@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks for the engine.
+  *
+  * All of these are compositions of `org.apache.spark.sql.functions`
+  * built-ins, so every one stays inside whole-stage codegen — no UDFs,
+  * no interpreted expressions in the hot path (SURVEY.md §7.3: no
+  * custom Catalyst node is required for reference parity).
+  */
+object DqFunctions {
+
+  /** Row-wise (horizontal) sample standard deviation with null-skip.
+    *
+    * Reproduces `pandas.DataFrame.std(axis=1)` (ddof=1, skipna=True)
+    * used by the reference at data_consistency_checks.py:140:
+    *   - nulls are dropped per-row before the computation;
+    *   - fewer than 2 non-null values → null;
+    *   - otherwise sqrt((Σx² − (Σx)²/n) / (n−1)), clamped at 0 to
+    *     guard tiny negative values from floating-point cancellation.
+    */
+  def horizontalStddevSamp(cols: Column*): Column = {
+    val xs = filter(array(cols.map(_.cast("double")): _*), x => x.isNotNull)
+    val n  = size(xs).cast("double")
+    val s  = aggregate(xs, lit(0.0), (a, x) => a + x)
+    val s2 = aggregate(xs, lit(0.0), (a, x) => a + x * x)
+    when(n >= 2,
+      sqrt(greatest((s2 - s * s / n) / (n - lit(1.0)), lit(0.0))))
+      .otherwise(lit(null).cast("double"))
+  }
+
+  /** Proleptic-Gregorian day ordinal (0001-01-01 = 1), matching
+    * `pandas.Timestamp.toordinal` (data_consistency_checks.py:136-138).
+    * Spark ≥3.0 uses the proleptic Gregorian calendar, so `datediff`
+    * against 0001-01-01 matches Python's `date.toordinal` exactly.
+    */
+  def dateOrdinal(c: Column): Column =
+    (datediff(c, to_date(lit("0001-01-01"))) + 1).cast("int")
+
+  // ---------------------------------------------------------------
+  // Vector math over ARRAY<FLOAT>/ARRAY<DOUBLE> embedding columns.
+  // Sequential left-fold (`aggregate`) keeps the summation order
+  // deterministic — bit-identical across runs and engines.
+  // ---------------------------------------------------------------
+
+  /** Dot product of two equal-length numeric arrays, computed in double. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean (L2) norm of a numeric array. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity of two numeric arrays (null-safe on zero norms). */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val d  = dotProduct(a, b)
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(null).cast("double"))
+  }
+
+  // ---------------------------------------------------------------
+  // Text primitives (dedup / text-analysis operators build on these).
+  // ---------------------------------------------------------------
+
+  /** Distinct character n-gram shingles of a string column. */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+        i => text.substr(i, lit(n))))
+
+  /** Distinct word n-gram shingles (whitespace tokenization). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Jaccard similarity of two array-typed set columns. */
+  def jaccardSim(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni   = size(array_union(a, b)).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  /** k MinHash values for an array-of-shingles column.
+    *
+    * Universal-hash family h_i(x) = (a_i·x + b_i) mod p over a 64-bit
+    * base hash (xxhash64) of each shingle; the minimum per hash
+    * function over the shingle set is the signature component.
+    * Returns ARRAY<LONG> of length k. Pure codegen'd built-ins.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+    val coeffs = minhashCoeffs(k)
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(shingles, s =>
+        pmod(lit(a) * pmod(xxhash64(s), lit(p)) + lit(b), lit(p))))
+    }: _*)
+  }
+
+  /** Deterministic (a_i, b_i) coefficients for the minhash family —
+    * a fixed-seed splitmix64 sequence, no RNG at plan time.
+    */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val p = 2305843009213693951L
+    (0 until k).map { _ =>
+      val a = java.lang.Math.floorMod(next(), p - 1) + 1 // a ∈ [1, p-1]
+      val b = java.lang.Math.floorMod(next(), p)         // b ∈ [0, p-1]
+      (a, b)
+    }
+  }
+
+  /** Estimated Jaccard from two equal-length minhash signatures:
+    * fraction of agreeing components.
+    */
+  def minhashAgreement(sigA: Column, sigB: Column): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / size(sigA).cast("double")
+
+  /** Whitespace token count — number of maximal \S+ runs. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish token count: alpha runs, single digits, single other
+    * non-space characters (a common pre-tokenizer approximation).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Whitespace-normalized lowercase form used for fingerprinting. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content fingerprint: sha256 hex of the normalized text. */
+  def contentFingerprint(text: Column): Column =
+    sha2(normalizedText(text).cast("binary"), 256)
+}
