@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.ParityQueries
+import graft.queries.{AnalyticsQueries, ExtensionQueries, ParityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -9,12 +9,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ParityQueries.q01LoadingStatus(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * M5 training-data-pipeline extensions and analytics queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries
+    ParityQueries.queries ++ ExtensionQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql
+    ParityQueries.oracleSql ++ ExtensionQueries.oracleSql ++ AnalyticsQueries.oracleSql
 }

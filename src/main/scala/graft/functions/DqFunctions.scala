@@ -98,13 +98,19 @@ object DqFunctions {
     * Returns ARRAY<LONG> of length k. Pure codegen'd built-ins.
     */
   def minhashSignature(shingles: Column, k: Int): Column = {
-    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+    val p = MinhashPrime
     val coeffs = minhashCoeffs(k)
     array(coeffs.map { case (a, b) =>
       array_min(transform(shingles, s =>
         pmod(lit(a) * pmod(xxhash64(s), lit(p)) + lit(b), lit(p))))
     }: _*)
   }
+
+  /** 2^31 − 1 (Mersenne). A 31-bit hash space keeps a·h + b within a
+    * signed 64-bit long (ANSI mode forbids silent overflow) while
+    * leaving minhash collision odds negligible (~n²/2³² per slot).
+    */
+  val MinhashPrime: Long = 2147483647L
 
   /** Deterministic (a_i, b_i) coefficients for the minhash family —
     * a fixed-seed splitmix64 sequence, no RNG at plan time.
@@ -118,7 +124,7 @@ object DqFunctions {
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z ^ (z >>> 31)
     }
-    val p = 2305843009213693951L
+    val p = MinhashPrime
     (0 until k).map { _ =>
       val a = java.lang.Math.floorMod(next(), p - 1) + 1 // a ∈ [1, p-1]
       val b = java.lang.Math.floorMod(next(), p)         // b ∈ [0, p-1]

@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DqFunctions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Exact dedup is a hash-groupBy; near-dup detection offers three
+  * families with different scale/recall trade-offs:
+  *
+  *  - n-gram Jaccard via an inverted shingle index (exact, no cross
+  *    join — pairs sharing zero shingles can never reach a positive
+  *    threshold, so the shingle-join enumerates a superset of all
+  *    qualifying pairs);
+  *  - MinHash + LSH banding (approximate, the 100 TB path: cost is
+  *    O(docs × signature) + bucket-local pair generation, never
+  *    all-pairs);
+  *  - SimHash with banded Hamming verification (approximate, cheapest:
+  *    signature computation is embarrassingly parallel and candidate
+  *    generation joins on 16-bit chunks).
+  *
+  * Embedding-cosine near-dup lives here too (brute + hyperplane-LSH).
+  * All hashing is xxhash64-based and fully deterministic.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------
+  // Exact
+  // ---------------------------------------------------------------
+
+  /** Duplicate groups by exact key: one representative (min id) per
+    * group with its multiplicity. A hash-groupBy — shuffles only
+    * (hash, id), never the payload.
+    */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    df.select(md5(keyCol.cast("binary")).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Keep exactly one row per exact-duplicate group (the min-id one). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, keyCol: Column): DataFrame = {
+    val keep = exactDuplicateGroups(df, idCol, keyCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ---------------------------------------------------------------
+  // n-gram Jaccard (exact pairs, inverted-index candidate generation)
+  // ---------------------------------------------------------------
+
+  /** All pairs with character-n-gram Jaccard ≥ threshold.
+    *
+    * Inverted index: explode distinct shingles, self-join on shingle,
+    * count per pair = |A ∩ B|; set sizes joined back give
+    * |A ∪ B| = |A| + |B| − |A ∩ B|. Exact for threshold > 0.
+    *
+    * Scale note: hot shingles blow up the self-join quadratically; at
+    * 100 TB use [[lshCandidatePairs]] (MinHash) instead, or cap
+    * shingle document-frequency before the join (a stop-shingle
+    * filter) — both standard practice for web-scale dedup.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), charShingles(col(textCol), n).as("sh"))
+    val sz = sh.select(col("id"), size(col("sh")).as("sz"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.as("sa"), col("id_a") === col("sa.id"))
+      .join(sz.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------
+
+  /** Per-doc MinHash signature over character n-gram shingles:
+    * (id, sig ARRAY<LONG> of length numHashes). Embarrassingly
+    * parallel — no shuffle.
+    */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      minhashSignature(charShingles(col(textCol), n), numHashes).as("sig"))
+
+  /** LSH banding: candidate pairs agreeing on at least one of `bands`
+    * bands of `numHashes / bands` rows each, with the estimated
+    * Jaccard (signature agreement fraction) attached.
+    *
+    * Candidate generation shuffles only (band hash → id), then pairs
+    * are formed within buckets — the all-pairs comparison is never
+    * materialized. With b bands of r rows, a pair of true Jaccard s
+    * collides w.p. 1 − (1 − s^r)^b (the standard S-curve).
+    */
+  def lshCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    // (band, bucket=hash of the band's signature slice, id)
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        minhashAgreement(col("a.sig"), col("b.sig")).as("est_jaccard"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: for each bit j, sum ±1
+    * over token hashes' j-th bit; bit j of the result is the sign.
+    * Entirely per-row array math — no shuffle, no UDF.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
+    (0 until 64).map { j =>
+      val bitSum = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Per-doc simhash table: (id, simhash LONG). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), simhash64(col(textCol)).as("simhash"))
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 for full
+    * recall with 4 bands: by pigeonhole, ≤3 differing bits leave at
+    * least one 16-bit chunk identical). Candidates join on chunks;
+    * verification is a popcount of the XOR.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sims = simhashes(df, idCol, textCol)
+    val chunked = sims.select(
+      col("id"), col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))
+      }: _*)).as("cc"))
+      .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.ck"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------------------
+  // Embedding-cosine near-dup
+  // ---------------------------------------------------------------
+
+  /** Exact all-pairs cosine ≥ threshold (brute self-join). Correct at
+    * any scale but O(n²) — the small-data baseline and verifier for
+    * [[embeddingNearDupLsh]].
+    */
+  def embeddingNearDupBrute(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cosine", cosineSimilarity(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+
+  /** Approximate pairs via random-hyperplane LSH: bucket = sign bits
+    * of `planes` fixed hyperplane projections; pairs are compared
+    * only within buckets. High-cosine pairs land in the same bucket
+    * w.p. (1 − θ/π)^planes per table; `tables` independent tables
+    * raise recall. Deterministic splitmix-seeded hyperplanes.
+    */
+  def embeddingNearDupLsh(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      dim: Int, planes: Int = 12, tables: Int = 4): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = v.select(
+      col("id"), col("v"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"), signBucket(col("v"), dim, planes, seedOffset = t * planes).as("bkt"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.tbl"), col("tb.bkt"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineSimilarity(col("a.v"), col("b.v")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Sign-bit bucket of `planes` hyperplane projections, as a long. */
+  private[graft] def signBucket(v: Column, dim: Int, planes: Int, seedOffset: Int): Column = {
+    val ps = hyperplanes(dim, planes, seedOffset)
+    val bits = ps.zipWithIndex.map { case (plane, j) =>
+      val dot = aggregate(
+        zip_with(v, array(plane.map(x => lit(x)): _*), (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes (splitmix64 →
+    * uniform in [-1, 1)); normalization is irrelevant for sign tests.
+    */
+  private[graft] def hyperplanes(dim: Int, planes: Int, seedOffset: Int): Seq[Array[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until planes).map { p =>
+      Array.tabulate(dim) { i =>
+        val h = mix((seedOffset + p).toLong * 1000003L + i)
+        (h.toDouble / Long.MaxValue.toDouble)
+      }
+    }
+  }
+}

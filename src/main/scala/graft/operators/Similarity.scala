@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DqFunctions._
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  * Brute-force cosine top-k is the exact baseline: one scan, cosine
+  * against a broadcast query vector, then `orderBy(...).limit(k)` —
+  * which Spark plans as TakeOrderedAndProject (per-partition partial
+  * top-k, merge of k·partitions rows on the driver), the right shape
+  * at any scale: no global sort, no full shuffle.
+  *
+  * The scale path is LSH bucketing (random hyperplanes): vectors are
+  * pre-bucketed; a query probes only buckets within a small Hamming
+  * radius of its own bucket, turning top-k into a pruned scan.
+  */
+object Similarity {
+
+  /** Cosine of every row against a constant query vector. */
+  def cosineToQuery(vecCol: Column, query: Seq[Double]): Column =
+    cosineSimilarity(vecCol, array(query.map(lit): _*))
+
+  /** Exact top-k by cosine (ties broken by id for determinism). */
+  def bruteForceTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        cosineToQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+
+  /** Bucketed ANN: pre-bucket vectors by hyperplane sign bits, probe
+    * the query's bucket plus all buckets within `probeHamming` bit
+    * flips, brute-force only inside the probed buckets.
+    *
+    * Recall/cost dial: more planes → smaller buckets (cheaper, lower
+    * recall); larger probeHamming → more buckets probed (costlier,
+    * higher recall). Deterministic (fixed hyperplanes).
+    */
+  def lshTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, dim: Int,
+      planes: Int = 8, probeHamming: Int = 2): DataFrame = {
+    val bucketed = df.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      Dedup.signBucket(col(vecCol), dim, planes, seedOffset = 0).as("bkt"))
+    val qBucket = queryBucket(query, dim, planes)
+    // enumerate probed buckets driver-side (tiny: Σ C(planes, ≤r))
+    val probed = bucketsWithin(qBucket, planes, probeHamming)
+    bucketed
+      .filter(col("bkt").isin(probed: _*))
+      .select(col("id"), cosineToQuery(col("v"), query).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** The query vector's own sign bucket (same hyperplanes as rows). */
+  private[graft] def queryBucket(query: Seq[Double], dim: Int, planes: Int): Long = {
+    val ps = Dedup.hyperplanes(dim, planes, seedOffset = 0)
+    ps.zipWithIndex.foldLeft(0L) { case (acc, (plane, j)) =>
+      val dot = query.zip(plane).map { case (a, b) => a * b }.sum
+      if (dot >= 0) acc | (1L << j) else acc
+    }
+  }
+
+  /** All bucket codes within Hamming distance ≤ r of `bucket`. */
+  private[graft] def bucketsWithin(bucket: Long, planes: Int, r: Int): Seq[Long] =
+    (0 to r).flatMap(d =>
+      (0 until planes).combinations(d).map(_.foldLeft(bucket)((b, i) => b ^ (1L << i))))
+      .distinct
+}

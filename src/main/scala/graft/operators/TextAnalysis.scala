@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DqFunctions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (n-gram/stopword heuristic), quality scoring, token counting, and
+  * document fingerprinting. All per-row built-in expressions — no
+  * UDFs, no shuffle; aggregation variants shuffle only the tiny
+  * per-group summaries.
+  */
+object TextAnalysis {
+
+  /** Language marker words with weights — a tiny stopword-frequency
+    * heuristic (real pipelines use fastText-style models; the engine
+    * keeps the deterministic heuristic as the no-dependency default).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " ist "),
+    "es" -> Seq(" el ", " de ", " la ", " es "),
+    "fr" -> Seq(" le ", " la ", " et ", " est "),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Occurrences of a literal substring (no regex — identical
+    * semantics in any engine): (len(s) − len(replace(s, m))) / len(m).
+    */
+  def substringCount(text: Column, marker: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), "")))
+      / marker.length).cast("int")
+
+  /** Per-language marker score: total marker occurrences. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(substringCount(text, _)).reduce(_ + _)
+
+  /** Predicted language: argmax of marker scores, first-listed wins
+    * ties, "und" (undetermined) when no marker hits. Pads the text
+    * with spaces so edge words match the space-delimited markers.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scored = LangMarkers.map { case (lang, ms) => (lang, langScore(padded, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((lang, s), elseCol) =>
+      when(s === best && s > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality features: lengths, token counts, ratios, and a blended
+    * 0..1 quality score (length-normalized, punctuation-penalized,
+    * stopword-informed) — the usual cheap pre-filter before model-
+    * based quality scoring.
+    */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nTokens = tokenCount(t)
+    val nPunct = length(t) - length(regexp_replace(t, "[.,;:!?]", ""))
+    val nStop = langScore(concat(lit(" "), t, lit(" ")),
+      Seq(" the ", " a ", " and ", " of ", " is ", " in "))
+    val meanWordLen = when(nTokens > 0,
+      length(regexp_replace(t, "\\s+", "")).cast("double") / nTokens.cast("double"))
+      .otherwise(lit(0.0))
+    df.select(
+      col(idCol),
+      nChars.cast("bigint").as("n_chars"),
+      nTokens.cast("bigint").as("n_tokens"),
+      bpeishTokenCount(t).cast("bigint").as("n_bpeish_tokens"),
+      nPunct.cast("bigint").as("n_punct"),
+      when(nChars > 0, nPunct.cast("double") / nChars.cast("double"))
+        .otherwise(lit(0.0)).as("punct_ratio"),
+      when(nTokens > 0, nStop.cast("double") / nTokens.cast("double"))
+        .otherwise(lit(0.0)).as("stopword_ratio"),
+      meanWordLen.as("mean_word_len"))
+  }
+
+  /** Per-group token statistics (e.g. per language or per source):
+    * docs, token sums, mean doc length. Partial aggregation at the
+    * scan; only per-group partials shuffle.
+    */
+  def tokenStats(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("bigint")).as("total_tokens"),
+        sum(bpeishTokenCount(col(textCol)).cast("bigint")).as("total_bpeish_tokens"),
+        sum(length(col(textCol)).cast("bigint")).as("total_chars"))
+
+  /** Document fingerprints: sha256 of whitespace-normalized lowercase
+    * text (content-defined, engine-portable) plus a cheap 64-bit
+    * xxhash for in-engine joins.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      contentFingerprint(col(textCol)).as("sha256_fingerprint"),
+      xxhash64(normalizedText(col(textCol))).as("hash64"))
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Analytics queries beyond the reference's surface: classic
+  * scan-heavy aggregation, multi-way join rollup, and windowed top-k
+  * — the shapes that dominate at 100 TB and exercise partial
+  * aggregation, broadcast vs shuffle join choice, and
+  * TakeOrdered-style ranking.
+  *
+  * Money arithmetic goes through DECIMAL(18,2) so sums are exact and
+  * the final cast to double is bit-identical in Spark and DuckDB
+  * (doubles summed in arbitrary order would not be).
+  */
+object AnalyticsQueries {
+
+  private val Cutoff = "2000-07-01 00:00:00"
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------
+  // q30 — pricing summary (TPC-H Q1 shape): one lineitem scan,
+  // grouped partial aggregation; everything folds map-side, only
+  // #groups rows shuffle.
+  // ---------------------------------------------------------------
+  def q30PricingSummary(spark: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") < to_timestamp(lit(Cutoff)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).as("dq"),
+        sum(dec("l_extendedprice")).as("dp"),
+        sum(dec("l_extendedprice") * (one - dec("l_discount"))).as("ddp"),
+        sum(dec("l_extendedprice") * (one - dec("l_discount")) * (one + dec("l_tax"))).as("dch"),
+        sum(dec("l_discount")).as("ddisc"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("dq").cast("double").as("sum_qty"),
+        col("dp").cast("double").as("sum_base_price"),
+        col("ddp").cast("double").as("sum_disc_price"),
+        col("dch").cast("double").as("sum_charge"),
+        (col("dq").cast("double") / col("count_order").cast("double")).as("avg_qty"),
+        (col("dp").cast("double") / col("count_order").cast("double")).as("avg_price"),
+        (col("ddisc").cast("double") / col("count_order").cast("double")).as("avg_disc"),
+        col("count_order"))
+  }
+
+  val q30Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+       |  CAST(COUNT(*) AS BIGINT) AS count_order
+       |FROM lineitem WHERE l_shipdate < TIMESTAMP '$Cutoff'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q31 — revenue rollup by nation: lineitem⋈orders co-keyed shuffle
+  // join, then customer, then broadcast nation (tiny dim — never
+  // shuffle the fact side for it).
+  // ---------------------------------------------------------------
+  def q31RevenueByNation(spark: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") < to_timestamp(lit(Cutoff)))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec("l_extendedprice") * (one - dec("l_discount"))).as("drev"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .select(col("n_name"),
+        col("drev").cast("double").as("revenue"), col("n_orders"))
+  }
+
+  val q31Sql: String =
+    s"""SELECT n_name,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate < TIMESTAMP '$Cutoff'
+       |GROUP BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q32 — latest-k events per user (window ranking): partition by
+  // user, order by time; rank ≤ 3 for a bounded user range. The
+  // filter pushes to the scan; ranking shuffles once on user_id.
+  // ---------------------------------------------------------------
+  def q32TopEventsPerUser(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").asc)
+    Tables.events(spark, d)
+      .filter(col("user_id") < 50)
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), col("event_type"))
+  }
+
+  val q32Sql: String =
+    """SELECT user_id, CAST(rn AS INT) AS rn, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+      |  FROM events WHERE user_id < 50) t
+      |WHERE rn <= 3""".stripMargin
+
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_pricing_summary"   -> (q30PricingSummary _),
+    "q31_revenue_by_nation" -> (q31RevenueByNation _),
+    "q32_top_events_per_user" -> (q32TopEventsPerUser _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_pricing_summary"   -> q30Sql,
+    "q31_revenue_by_nation" -> q31Sql,
+    "q32_top_events_per_user" -> q32Sql)
+}

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Report sinks (SURVEY.md S7-S9).
+  *
+  * The reference writes its report tables with drop-and-replace
+  * (data_consistency_checks.py:163-165) or explicit-drop-then-append
+  * (pre_and_post_etl_checks.py:245-247 — replace in effect, append by
+  * design intent: reports accumulate daily keyed by `date_created`),
+  * then verifies with a COUNT(*) read-back (DCC:166-168).
+  *
+  * Parquet-native equivalents; `verifyCount=true` reproduces the
+  * read-back assertion and returns the persisted row count.
+  */
+object Sinks {
+
+  /** Drop-and-replace sink (S7): `mode("overwrite")`. */
+  def writeReplace(df: DataFrame, path: String, verifyCount: Boolean = true): Long =
+    write(df, path, SaveMode.Overwrite, verifyCount)
+
+  /** Accumulating sink (S8): `mode("append")` — the PPE design
+    * intent, daily runs accumulating keyed by `date_created`.
+    */
+  def writeAppend(df: DataFrame, path: String, verifyCount: Boolean = true): Long =
+    write(df, path, SaveMode.Append, verifyCount)
+
+  private def write(df: DataFrame, path: String, mode: SaveMode, verify: Boolean): Long = {
+    df.write.mode(mode).parquet(path)
+    if (verify) df.sparkSession.read.parquet(path).count() // S9 read-back
+    else -1L
+  }
+}

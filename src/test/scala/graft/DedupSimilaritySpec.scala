@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (3L, "completely unrelated text about spark engines"),
+    (4L, "completely unrelated text about spark engines")  // exact dup of 3
+  ).toDF("doc_id", "text")
+
+  test("exact duplicate groups and dropExactDuplicates") {
+    val groups = Dedup.exactDuplicateGroups(docs, "doc_id", $"text")
+    assert(groups.count() == 3) // 3 distinct texts
+    val dups = groups.filter($"dup_count" > 1)
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(dups == Set((0L, 2L), (3L, 2L)))
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", $"text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L))
+  }
+
+  test("ngram jaccard pairs: exact dups at 1.0, near dup high, unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((3L, 4L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.7 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("minhash LSH candidates recover planted near-dups on the corpus") {
+    val corpus = Tables.documents(spark, TestSpark.sf)
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val lsh = Dedup.lshCandidatePairs(corpus, "doc_id", "text", 3, 64, 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // banding with b=8, r=8: s ≥ 0.92 collides w.p. ≥ 1−(1−0.92^8)^8 ≈ 0.97;
+    // the planted pairs all sit ≥ 0.92 → expect full recovery
+    assert(exact.subsetOf(lsh), s"missing: ${exact -- lsh}")
+  }
+
+  test("simhash: identical text → distance 0; near-dup pairs found") {
+    val sims = Dedup.simhashes(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) == sims(1L))
+    assert(sims(3L) == sims(4L))
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((3L, 4L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("embedding near-dup: brute finds planted parallel vectors; LSH recovers them") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.999f, 0.01f, 0.0f, 0.0f)),  // near dup of 0
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDupBrute(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute == Set((0L, 1L)))
+    val lsh = Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding", 0.95,
+      dim = 4, planes = 4, tables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((0L, 1L))) // near-parallel pair shares every bucket
+  }
+
+  test("brute top-k: exact ranking with deterministic ties") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(1.0, 0.0), 2)
+      .select("id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("lshTopK returns true cosines from probed buckets, sorted") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(emb.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(emb.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, 10, dim = 64, planes = 6, probeHamming = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // every LSH hit carries its exact cosine (subset-of-scan property)
+    val all = Similarity.bruteForceTopK(emb.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    lsh.foreach { case (id, c) => assert(math.abs(all(id) - c) < 1e-12) }
+    assert(lsh.map(_._2).toSeq == lsh.map(_._2).toSeq.sorted.reverse)
+    // and the (known-hard, θ≈68°) recall floor holds deterministically
+    assert(lsh.map(_._1).toSet.intersect(brute.keySet).size >= 3)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.DqFunctions._
+
+class DqFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("horizontalStddevSamp matches pandas ddof=1/skipna semantics") {
+    val df = Seq(
+      (1, Some(2.0), Some(4.0), Some(6.0)),  // stddev_samp(2,4,6) = 2
+      (2, Some(1.0), Some(1.0), None),       // two non-null → 0
+      (3, Some(5.0), None, None),            // one non-null → null
+      (4, None: Option[Double], None, None)  // all null → null
+    ).toDF("id", "a", "b", "c")
+    val out = df.select($"id",
+      horizontalStddevSamp($"a", $"b", $"c").as("sd")).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out(1) == 2.0)
+    assert(out(2) == 0.0)
+    assert(out(3) == null)
+    assert(out(4) == null)
+  }
+
+  test("horizontalStddevSamp agrees with stddev_samp over exploded rows") {
+    // property-style check on the corpus's ordinal range
+    val df = Seq((738155.0, 738900.0, 738400.0), (1.0, 2.0, 3.0),
+      (100.0, 100.0, 100.0)).toDF("x", "y", "z")
+    val horiz = df.select(horizontalStddevSamp($"x", $"y", $"z")).as[Double].collect()
+    val long = df.withColumn("id", monotonically_increasing_id())
+      .select($"id", explode(array($"x", $"y", $"z")).as("v"))
+      .groupBy("id").agg(stddev_samp($"v")).orderBy("id").select("stddev_samp(v)")
+      .as[Double].collect()
+    horiz.zip(long).foreach { case (h, l) => assert(math.abs(h - l) < 1e-9) }
+  }
+
+  test("dateOrdinal matches proleptic-Gregorian toordinal") {
+    // python: date(2024,1,15).toordinal() == 738900; date(1,1,1) == 1
+    val out = Seq("2024-01-15", "0001-01-01")
+      .toDF("d").select(dateOrdinal(to_date($"d"))).as[Int].collect()
+    assert(out.toSeq == Seq(738900, 1))
+  }
+
+  test("bround is half-even (pandas .round parity), round is not") {
+    val vals = Seq(0.5, 1.5, 2.5, 3.5).toDF("v")
+    assert(vals.select(bround($"v", 0)).as[Double].collect().toSeq ==
+      Seq(0.0, 2.0, 2.0, 4.0))
+  }
+
+  test("quarter underflow: Q1 reporting_quarter is 0, not 4 (E4)") {
+    val q = Seq("2024-02-10").toDF("d")
+      .select((quarter(to_timestamp($"d")) - 1).cast("int")).as[Int].head()
+    assert(q == 0)
+  }
+
+  test("cosineSimilarity exact on known vectors; null on zero norm") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),   // orthogonal → 0
+      (Seq(1.0, 2.0), Seq(2.0, 4.0)),   // parallel → 1
+      (Seq(0.0, 0.0), Seq(1.0, 1.0))    // zero norm → null
+    ).toDF("a", "b")
+    val out = df.select(cosineSimilarity($"a", $"b")).collect()
+    assert(math.abs(out(0).getDouble(0)) < 1e-15)
+    assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-12)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("charShingles and jaccardSim") {
+    val df = Seq(("abcd", "bcde")).toDF("s", "t")
+    val sh = df.select(charShingles($"s", 3)).as[Seq[String]].head()
+    assert(sh == Seq("abc", "bcd"))
+    // {abc,bcd} vs {bcd,cde}: inter 1, union 3
+    val j = df.select(jaccardSim(charShingles($"s", 3), charShingles($"t", 3)))
+      .as[Double].head()
+    assert(math.abs(j - 1.0 / 3.0) < 1e-15)
+  }
+
+  test("minhash: identical sets → identical signature; est in [0,1]") {
+    val df = Seq(("x", "the quick brown fox"), ("y", "the quick brown fox"),
+      ("z", "a completely different sentence here")).toDF("id", "t")
+    val sigs = df.select($"id",
+      minhashSignature(charShingles($"t", 3), 32).as("sig"))
+    val m = sigs.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m("x") == m("y"))
+    assert(m("x") != m("z"))
+    val est = sigs.as("a").join(sigs.as("b"), expr("a.id < b.id"))
+      .select(minhashAgreement($"a.sig", $"b.sig")).as[Double].collect()
+    assert(est.forall(e => e >= 0.0 && e <= 1.0))
+    assert(est.max == 1.0) // the identical pair
+  }
+
+  test("token counts and fingerprints") {
+    val df = Seq(("  hello   world!  x2 ", "Hello  World!")).toDF("a", "b")
+    assert(df.select(tokenCount($"a")).as[Int].head() == 3)
+    // alpha runs: hello, world, x / digit: 2 / punct: !
+    assert(df.select(bpeishTokenCount($"a")).as[Int].head() == 5)
+    assert(df.select(normalizedText($"b")).as[String].head() == "hello world!")
+  }
+}

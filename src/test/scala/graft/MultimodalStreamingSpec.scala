@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.streaming.StreamingFreshness
+
+class MultimodalStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("media table: binary payload, deterministic kind rotation") {
+    val media = Multimodal.mediaTable(
+      Tables.documents(spark, TestSpark.sf), "doc_id", "text", "source")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val kinds = media.select("kind").distinct().as[String].collect().toSet
+    assert(kinds == Set("image", "audio", "video"))
+    val k0 = media.filter($"media_id" === 0).select("kind").as[String].head()
+    assert(k0 == "image")
+  }
+
+  test("decodeFeatures: batched mapPartitions plumbing, deterministic stub") {
+    val media = Multimodal.mediaTable(
+      Tables.documents(spark, TestSpark.sf), "doc_id", "text", "source")
+    val feats = Multimodal.decodeFeatures(spark, media, partitions = 4, batchSize = 32)
+    val rows = feats.collect()
+    assert(rows.length == media.count())
+    assert(rows.forall(f => f.n_bytes > 0 && f.sha256.length == 64))
+    assert(rows.forall(f => f.width >= 64 && f.height >= 64))
+    assert(rows.filter(_.kind == "image").forall(_.duration_ms == 0L))
+    // determinism: second run identical
+    val again = Multimodal.decodeFeatures(spark, media, 4, 32).collect()
+    assert(rows.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+  }
+
+  test("frame sampling: n rows per video") {
+    val media = Multimodal.mediaTable(
+      Tables.documents(spark, TestSpark.sf), "doc_id", "text", "source")
+    val nVideos = media.filter($"kind" === "video").count()
+    val frames = Multimodal.sampleFrames(media, nFrames = 4)
+    assert(frames.count() == nVideos * 4)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_fingerprint"))
+  }
+
+  test("streaming freshness: memory-stream run matches batch run (unified API)") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Tables.events(spark, TestSpark.sf)
+      .select($"ts", $"event_type", $"user_id")
+    val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+    stream.addData(batch.as[(java.sql.Timestamp, String, Long)].collect().toSeq)
+
+    val sq = StreamingFreshness.windowedFreshness(
+        stream.toDF().toDF("ts", "event_type", "user_id"), "1 hour", "1 hour")
+      .writeStream.outputMode("complete").format("memory").queryName("fresh_out")
+      .start()
+    sq.processAllAvailable(); sq.stop()
+
+    val streamed = spark.table("fresh_out")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batched = StreamingFreshness.windowedFreshness(batch, "1 hour", "1 hour")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batched)
+    assert(streamed.nonEmpty)
+  }
+}
