@@ -96,13 +96,29 @@ object DqFunctions {
     * base hash (xxhash64) of each shingle; the minimum per hash
     * function over the shingle set is the signature component.
     * Returns ARRAY<LONG> of length k. Pure codegen'd built-ins.
+    *
+    * PERFORMANCE: this Column duplicates the `shingles` subtree k
+    * times — fine only when `shingles` is already a plain attribute.
+    * Passing a computed expression (e.g. charShingles(...)) makes the
+    * plan rebuild the shingle array k times per row. Use the staged
+    * projections in `Dedup.minhashSignatures` for the hot path.
     */
-  def minhashSignature(shingles: Column, k: Int): Column = {
+  def minhashSignature(shingles: Column, k: Int): Column =
+    minhashFromBase(minhashBaseHashes(shingles), k)
+
+  /** Base 31-bit hash per shingle — compute ONCE per row (alias it in
+    * its own projection so Catalyst cannot inline it k times).
+    */
+  def minhashBaseHashes(shingles: Column): Column =
+    transform(shingles, s => pmod(xxhash64(s), lit(MinhashPrime)))
+
+  /** Signature from precomputed base hashes: k × (array_min of the
+    * affine-permuted hashes). Only long arithmetic per hash function.
+    */
+  def minhashFromBase(baseHashes: Column, k: Int): Column = {
     val p = MinhashPrime
-    val coeffs = minhashCoeffs(k)
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(shingles, s =>
-        pmod(lit(a) * pmod(xxhash64(s), lit(p)) + lit(b), lit(p))))
+    array(minhashCoeffs(k).map { case (a, b) =>
+      array_min(transform(baseHashes, h => pmod(lit(a) * h + lit(b), lit(p))))
     }: _*)
   }
 

