@@ -34,6 +34,25 @@ object Tables {
     load(spark, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
+
+  /** `events` with `ts < cutoff` applied on the RAW nanos column so
+    * the predicate pushes into the parquet scan (filtering the
+    * converted timestamp cannot push). `ts div 1000 < cutoffMicros`
+    * ⟺ `ts < cutoffMicros·1000` for non-negative nanos, so results
+    * are identical to filtering after conversion — but row groups
+    * outside the range never leave disk, which at 100 TB is the
+    * difference between a pruned scan and a full one.
+    */
+  def eventsBefore(spark: SparkSession, d: String, cutoff: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cutoffNanos = java.time.LocalDateTime
+      .parse(cutoff.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+      .toEpochMilli * 1000000L
+    load(spark, d, "events")
+      .filter(org.apache.spark.sql.functions.col("ts") < cutoffNanos)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 }

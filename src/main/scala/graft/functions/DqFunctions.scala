@@ -45,15 +45,24 @@ object DqFunctions {
   // deterministic — bit-identical across runs and engines.
   // ---------------------------------------------------------------
 
-  /** Dot product of two equal-length numeric arrays, computed in double. */
+  /** Dot product of two equal-length numeric arrays, computed in
+    * double. Backed by the native codegen expression
+    * [[graft.functions.VectorDotProduct]]; bit-identical to the HOF
+    * composition ([[dotProductHof]]), just without per-pair boxing.
+    */
   def dotProduct(a: Column, b: Column): Column =
+    VectorExpressions.vectorDot(a, b)
+
+  /** HOF reference implementation of [[dotProduct]] — kept for the
+    * bit-parity spec and as the portable fallback.
+    */
+  private[graft] def dotProductHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   /** Euclidean (L2) norm of a numeric array. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
   /** Cosine similarity of two numeric arrays (null-safe on zero norms). */
   def cosineSimilarity(a: Column, b: Column): Column = {

@@ -115,7 +115,12 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    // The signature table feeds the band explode AND both sides of the
+    // scoring join; without persistence Catalyst recomputes the
+    // (shingle+hash heavy) signatures three times. It is tiny —
+    // numDocs × numHashes longs (at warehouse scale you'd materialize
+    // it as a table between runs anyway).
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes).persist()
     // Band rows carry only (id, band, bucket) — never the signature:
     // the band self-join can emit a pair once per colliding band, and
     // shipping 64-long signatures through that blow-up dominates cost.
@@ -252,9 +257,7 @@ object Dedup {
   private[graft] def signBucket(v: Column, dim: Int, planes: Int, seedOffset: Int): Column = {
     val ps = hyperplanes(dim, planes, seedOffset)
     val bits = ps.zipWithIndex.map { case (plane, j) =>
-      val dot = aggregate(
-        zip_with(v, array(plane.map(x => lit(x)): _*), (a, b) => a.cast("double") * b),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = dotProduct(v, array(plane.map(x => lit(x)): _*))
       when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))

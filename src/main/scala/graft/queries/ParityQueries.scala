@@ -48,7 +48,8 @@ object ParityQueries {
     val specs = Seq(
       FreshnessSpec("orders",   Tables.orders(spark, d),   col("o_orderdate"), cut(CutTpch)),
       FreshnessSpec("lineitem", Tables.lineitem(spark, d), col("l_shipdate"),  cut(CutTpch)),
-      FreshnessSpec("events",   Tables.events(spark, d),   col("ts"),          cut(CutEvents)),
+      // raw-nanos pushdown variant: row groups past the cutoff are pruned at the scan
+      FreshnessSpec("events",   Tables.eventsBefore(spark, d, CutEvents), col("ts"), cut(CutEvents)),
       // empty-input branch: global agg still emits one row (count 0, null max)
       FreshnessSpec("orders_empty", Tables.orders(spark, d), col("o_orderdate"), cut(CutEmpty)))
     Freshness.loadingStatus(facility, specs, cut(CutTpch))
@@ -81,7 +82,6 @@ object ParityQueries {
     val orders   = Tables.orders(spark, d)
     val customer = Tables.customer(spark, d)
     val lineitem = Tables.lineitem(spark, d)
-    val events   = Tables.events(spark, d)
     val oc = orders.join(customer, col("o_custkey") === col("c_custkey"))
     val lc = lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
@@ -90,7 +90,8 @@ object ParityQueries {
       FreshnessSpec("orders", oc, col("o_orderdate"), cut(CutTpch)),
       FreshnessSpec("lineitem", lc, col("l_shipdate"), cut(CutTpch))))
       .unionByName(Freshness.groupedLoadingStatus(pmod(col("user_id"), lit(25)), Seq(
-        FreshnessSpec("events", events, col("ts"), cut(CutEvents)))))
+        FreshnessSpec("events", Tables.eventsBefore(spark, d, CutEvents), col("ts"),
+          cut(CutEvents)))))
   }
 
   val q02Sql: String =

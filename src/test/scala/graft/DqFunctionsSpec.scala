@@ -92,6 +92,22 @@ class DqFunctionsSpec extends AnyFunSuite {
     assert(est.max == 1.0) // the identical pair
   }
 
+  test("native VectorDotProduct is bit-identical to the HOF fold") {
+    import graft.functions.DqFunctions
+    val emb = Tables.embeddings(spark, TestSpark.sf).limit(100)
+    val both = emb.as("a").crossJoin(emb.as("b"))
+      .select(
+        DqFunctions.dotProduct($"a.embedding", $"b.embedding").as("native"),
+        DqFunctions.dotProductHof($"a.embedding", $"b.embedding").as("hof"))
+    assert(both.filter($"native" =!= $"hof" ||
+      $"native".isNull =!= $"hof".isNull).count() == 0)
+    // null/length-mismatch semantics match zip_with's null poisoning
+    val edge = Seq((Seq(1.0f, 2.0f), Seq(1.0f)), (null, Seq(1.0f)))
+      .toDF("a", "b")
+      .select(DqFunctions.dotProduct($"a", $"b")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("token counts and fingerprints") {
     val df = Seq(("  hello   world!  x2 ", "Hello  World!")).toDF("a", "b")
     assert(df.select(tokenCount($"a")).as[Int].head() == 3)
