@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctionRegistry
+
+class PipelinesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("freshness pipeline end-to-end: fan-out, skip, pivot, stddev, sink") {
+    val root = Files.createTempDirectory("dcc").toString
+    def writeSrc(src: String, tables: Seq[String]): Unit =
+      tables.foreach { t =>
+        Seq((1, ts("2020-01-10 00:00:00")), (2, ts("2020-03-01 00:00:00")))
+          .toDF("id", "event_ts").write.parquet(s"$root/$src/$t")
+      }
+    writeSrc("openmrs_a", Seq("obs", "encounter", "orders"))
+    writeSrc("openmrs_b", Seq("obs", "encounter", "orders"))
+    writeSrc("openmrs_partial", Seq("obs")) // missing tables → schema skipped atomically
+
+    val out = Files.createTempDirectory("dccout").toString + "/report"
+    val report = Pipelines.freshnessPipeline(spark, root, "openmrs_",
+      Seq("obs" -> "event_ts", "encounter" -> "event_ts", "orders" -> "event_ts"),
+      to_timestamp(lit("2021-01-01 00:00:00")), out)
+
+    assert(report.rowsWritten == 2) // one report row per surviving source
+    assert(report.skipped.map(_.source) == Seq("openmrs_partial"))
+    assert(report.telemetry == "2 out of 3 sources processed successfully")
+    val persisted = spark.read.parquet(out)
+    assert(persisted.columns.toSeq == Seq("facility_id", "facility_name",
+      "obs_max_date", "encounter_max_date", "orders_max_date",
+      "std_dev", "date_created"))
+    // all three max-dates equal per row → stddev 0
+    assert(persisted.select("std_dev").as[Double].collect().forall(_ == 0.0))
+  }
+
+  test("reconciliation pipeline end-to-end: census vs destination, append sink") {
+    val root = Files.createTempDirectory("ppe").toString
+    Seq((1, 0), (2, 0), (3, 1)).toDF("id", "voided")
+      .write.parquet(s"$root/openmrs_x/obs")
+    Seq((1, 0)).toDF("id", "voided").write.parquet(s"$root/openmrs_x/person")
+
+    val siteId = pmod(xxhash64(lit("openmrs_x")), lit(Int.MaxValue)).cast("int")
+    val dest = spark.range(1).select(siteId.as("site_id"),
+      lit("obs").as("table_name"), lit(5L).as("record_count"))
+
+    val out = Files.createTempDirectory("ppeout").toString + "/etl"
+    val report = Pipelines.reconciliationPipeline(spark, root, "openmrs_",
+      Seq("obs" -> Some("voided"), "person" -> Some("voided")), dest, out)
+    assert(report.rowsWritten == 2 && report.skipped.isEmpty)
+
+    val rows = spark.read.parquet(out)
+      .select("table_name", "record_count_source", "record_count_ohdl", "variance")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rows("obs") == (Some(2L), Some(5L), Some(-3L)))    // voided filtered; dest ahead
+    assert(rows("person") == (Some(1L), None, None))          // dest missing → null variance
+
+    // S8 append semantics: second run accumulates
+    val again = Pipelines.reconciliationPipeline(spark, root, "openmrs_",
+      Seq("obs" -> Some("voided"), "person" -> Some("voided")), dest, out)
+    assert(again.rowsWritten == 4)
+  }
+
+  test("SQL registration: custom functions callable from spark.sql") {
+    GraftFunctionRegistry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       horizontal_stddev(2.0D, 4.0D, 6.0D) AS sd,
+        |       date_ordinal(DATE '2024-01-15') AS o,
+        |       cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 2.0)
+    assert(r.getInt(2) == 738900)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
+}
