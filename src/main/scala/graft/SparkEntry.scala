@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{AnalyticsQueries, ExtensionQueries, ParityQueries}
+import graft.queries.{AnalyticsQueries, CheckQueries, ExtensionQueries, ParityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,10 +12,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * M5 training-data-pipeline extensions and analytics queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ ExtensionQueries.queries ++ AnalyticsQueries.queries
+    ParityQueries.queries ++ ExtensionQueries.queries ++
+      AnalyticsQueries.queries ++ CheckQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ ExtensionQueries.oracleSql ++ AnalyticsQueries.oracleSql
+    ParityQueries.oracleSql ++ ExtensionQueries.oracleSql ++
+      AnalyticsQueries.oracleSql ++ CheckQueries.oracleSql
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the Deequ-shaped layer the
+  * reference's domain implies (SURVEY.md §7.1): completeness,
+  * uniqueness, referential integrity, value bounds. Each check
+  * returns a tidy metrics DataFrame (one row per checked unit) so
+  * results compose with the reconciliation/report sinks.
+  *
+  * Scale: every check is a single-pass aggregation (partial at the
+  * scan, O(#checked-units) rows shuffled) or an anti-join on the key
+  * columns only — payload never moves.
+  */
+object Checks {
+
+  /** Per-column completeness: non-null fraction. One scan for ALL
+    * columns (the per-column counts fold into one aggregate).
+    */
+  def completeness(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val agg = df.agg(
+      count(lit(1)).as("n_rows"),
+      cols.map(c => count(col(c)).as(s"_nn_$c")): _*)
+    val stacked = explode(array(cols.map(c =>
+      struct(lit(c).as("column"), col(s"_nn_$c").as("n_nonnull"))): _*))
+    agg.select(col("n_rows"), stacked.as("u"))
+      .select(
+        col("u.column"),
+        col("n_rows"),
+        col("u.n_nonnull"),
+        when(col("n_rows") > 0,
+          col("u.n_nonnull").cast("double") / col("n_rows").cast("double"))
+          .otherwise(lit(null).cast("double")).as("completeness"))
+  }
+
+  /** Key uniqueness: distinct key combinations vs rows. `label` names
+    * the key set in the output (checks over several key sets union).
+    */
+  def uniqueness(df: DataFrame, keyCols: Seq[String], label: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(struct(keyCols.map(col): _*)).as("n_distinct"))
+      .select(
+        lit(label).as("key_set"),
+        col("n_rows"), col("n_distinct"),
+        when(col("n_rows") > 0,
+          col("n_distinct").cast("double") / col("n_rows").cast("double"))
+          .otherwise(lit(null).cast("double")).as("uniqueness"))
+
+  /** Approximate cardinality (HLL) — the 100 TB path for uniqueness
+    * profiling where exact count-distinct would shuffle every key.
+    * No SQL oracle (sketch internals differ per engine); the spec
+    * pins relative error against the exact count.
+    */
+  def approxCardinality(df: DataFrame, cols: Seq[String], rsd: Double = 0.02): DataFrame = {
+    val agg = df.agg(
+      count(lit(1)).as("n_rows"),
+      cols.map(c => approx_count_distinct(col(c), rsd).as(s"_ac_$c")): _*)
+    val stacked = explode(array(cols.map(c =>
+      struct(lit(c).as("column"), col(s"_ac_$c").as("approx_distinct"))): _*))
+    agg.select(col("n_rows"), stacked.as("u"))
+      .select(col("u.column"), col("n_rows"), col("u.approx_distinct"))
+  }
+
+  /** Referential integrity: child keys with no parent (left anti join
+    * on the key columns only). The orphaned-foreign-key check the
+    * reference's reconciliation implies but never implements
+    * (SURVEY.md §2.3 note on semi/anti joins).
+    */
+  def referentialIntegrity(
+      child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column,
+      label: String): DataFrame = {
+    val c = child.select(childKey.as("_k"))
+    val p = parent.select(parentKey.as("_k"))
+    val nChild = c.agg(count(lit(1)).as("n_child"))
+    val orphans = c.join(p, Seq("_k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    nChild.crossJoin(orphans)
+      .select(
+        lit(label).as("relation"),
+        col("n_child"), col("n_orphans"),
+        when(col("n_child") > 0,
+          lit(1.0) - col("n_orphans").cast("double") / col("n_child").cast("double"))
+          .otherwise(lit(null).cast("double")).as("integrity"))
+  }
+
+  /** Numeric profile per column: min / max / exact mean (decimal sum
+    * ÷ count, so the double result is deterministic across engines).
+    */
+  def valueBounds(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val agg = df.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        min(col(c)).as(s"_min_$c"),
+        max(col(c)).as(s"_max_$c"),
+        sum(col(c).cast("decimal(18,2)")).as(s"_sum_$c"))): _*)
+    val stacked = explode(array(cols.map(c =>
+      struct(lit(c).as("column"),
+        col(s"_min_$c").cast("double").as("min_value"),
+        col(s"_max_$c").cast("double").as("max_value"),
+        col(s"_sum_$c").as("sum_dec"))): _*))
+    agg.select(col("n_rows"), stacked.as("u"))
+      .select(
+        col("u.column"), col("n_rows"),
+        col("u.min_value"), col("u.max_value"),
+        when(col("n_rows") > 0,
+          col("u.sum_dec").cast("double") / col("n_rows").cast("double"))
+          .otherwise(lit(null).cast("double")).as("mean_value"))
+  }
+}

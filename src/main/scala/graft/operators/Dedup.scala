@@ -99,7 +99,9 @@ object Dedup {
       n: Int, numHashes: Int): DataFrame =
     df.select(col(idCol).as("id"), charShingles(col(textCol), n).as("_sh"))
       .select(col("id"), minhashBaseHashes(col("_sh")).as("_mh"))
-      .select(col("id"), minhashFromBase(col("_mh"), numHashes).as("sig"))
+      .select(col("id"),
+        graft.functions.MinhashExpression
+          .minhashFromBaseNative(col("_mh"), numHashes).as("sig"))
 
   /** LSH banding: candidate pairs agreeing on at least one of `bands`
     * bands of `numHashes / bands` rows each, with the estimated

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Checks
+
+/** Declarative DQ-check queries (q22–q25) with DuckDB oracles.
+  *
+  * The corpus is clean (no nulls, intact FKs), so completeness and
+  * integrity checks run over deliberately perturbed frames — the
+  * post-join null pattern and a parent-side filter — which is exactly
+  * how these checks surface problems in a real warehouse. The
+  * lineitem (orderkey, linenumber) duplication is a genuine corpus
+  * property the uniqueness check exposes.
+  */
+object CheckQueries {
+
+  // ---------------------------------------------------------------
+  // q22 — completeness over a left join (natural nulls on the right
+  // side where the parent was filtered).
+  // ---------------------------------------------------------------
+  def q22Completeness(spark: SparkSession, d: String): DataFrame = {
+    val joined = Tables.orders(spark, d)
+      .join(Tables.customer(spark, d).filter(pmod(col("c_custkey"), lit(7)) =!= 0),
+        col("o_custkey") === col("c_custkey"), "left")
+    Checks.completeness(joined, Seq("o_orderkey", "c_name", "c_acctbal"))
+  }
+
+  val q22Sql: String =
+    """WITH j AS (
+      |  SELECT o_orderkey, c_name, c_acctbal
+      |  FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 7 <> 0) c
+      |    ON o_custkey = c_custkey)
+      |SELECT 'o_orderkey' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+      |  CAST(COUNT(o_orderkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS completeness FROM j
+      |UNION ALL
+      |SELECT 'c_name', CAST(COUNT(*) AS BIGINT), CAST(COUNT(c_name) AS BIGINT),
+      |  CAST(COUNT(c_name) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) FROM j
+      |UNION ALL
+      |SELECT 'c_acctbal', CAST(COUNT(*) AS BIGINT), CAST(COUNT(c_acctbal) AS BIGINT),
+      |  CAST(COUNT(c_acctbal) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) FROM j""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q23 — key uniqueness: customer PK is unique; lineitem
+  // (orderkey, linenumber) genuinely is not in this corpus.
+  // ---------------------------------------------------------------
+  def q23Uniqueness(spark: SparkSession, d: String): DataFrame =
+    Checks.uniqueness(Tables.customer(spark, d), Seq("c_custkey"), "customer_pk")
+      .unionByName(Checks.uniqueness(
+        Tables.lineitem(spark, d), Seq("l_orderkey", "l_linenumber"), "lineitem_pk"))
+
+  val q23Sql: String =
+    """SELECT 'customer_pk' AS key_set, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+      |  CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS uniqueness
+      |FROM customer
+      |UNION ALL
+      |SELECT 'lineitem_pk', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+      |  CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q24 — referential integrity: lineitem→orders intact; orders→
+  // (filtered customer) has orphans — the warehouse-lost-rows case.
+  // ---------------------------------------------------------------
+  def q24ReferentialIntegrity(spark: SparkSession, d: String): DataFrame =
+    Checks.referentialIntegrity(
+        Tables.lineitem(spark, d), col("l_orderkey"),
+        Tables.orders(spark, d), col("o_orderkey"), "lineitem->orders")
+      .unionByName(Checks.referentialIntegrity(
+        Tables.orders(spark, d), col("o_custkey"),
+        Tables.customer(spark, d).filter(pmod(col("c_custkey"), lit(5)) =!= 0),
+        col("c_custkey"), "orders->customer_pruned"))
+
+  val q24Sql: String =
+    """SELECT 'lineitem->orders' AS relation, CAST(COUNT(*) AS BIGINT) AS n_child,
+      |  CAST(COUNT(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphans,
+      |  1.0 - CAST(COUNT(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS integrity
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders->customer_pruned', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COUNT(*) FILTER (WHERE o_custkey NOT IN
+      |    (SELECT c_custkey FROM customer WHERE c_custkey % 5 <> 0)) AS BIGINT),
+      |  1.0 - CAST(COUNT(*) FILTER (WHERE o_custkey NOT IN
+      |    (SELECT c_custkey FROM customer WHERE c_custkey % 5 <> 0)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE)
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q25 — numeric profile (min/max/exact mean) of lineitem measures.
+  // ---------------------------------------------------------------
+  def q25ValueBounds(spark: SparkSession, d: String): DataFrame =
+    Checks.valueBounds(Tables.lineitem(spark, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+
+  val q25Sql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(MIN($c) AS DOUBLE) AS min_value, CAST(MAX($c) AS DOUBLE) AS max_value,
+         |  CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_value
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount").map(one).mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_completeness" -> (q22Completeness _),
+    "q23_uniqueness"   -> (q23Uniqueness _),
+    "q24_referential_integrity" -> (q24ReferentialIntegrity _),
+    "q25_value_bounds" -> (q25ValueBounds _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q22_completeness" -> q22Sql,
+    "q23_uniqueness"   -> q23Sql,
+    "q24_referential_integrity" -> q24Sql,
+    "q25_value_bounds" -> q25Sql)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Checks
+
+class ChecksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("completeness: nulls counted per column in one pass") {
+    val df = Seq((Some(1), Some("a")), (Some(2), None), (None, None))
+      .toDF("x", "y")
+    val out = Checks.completeness(df, Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out("x") == (2L, 2.0 / 3.0))
+    assert(out("y") == (1L, 1.0 / 3.0))
+  }
+
+  test("uniqueness: composite keys; duplicates detected") {
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "a")).toDF("k1", "k2")
+    val r = Checks.uniqueness(df, Seq("k1", "k2"), "pk").head()
+    assert(r.getLong(1) == 4 && r.getLong(2) == 3 && r.getDouble(3) == 0.75)
+  }
+
+  test("approx cardinality within rsd of exact on the corpus") {
+    val cust = Tables.customer(spark, TestSpark.sf)
+    val exact = cust.select(count_distinct($"c_custkey")).as[Long].head()
+    val approx = Checks.approxCardinality(cust, Seq("c_custkey"), rsd = 0.02)
+      .select("approx_distinct").as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
+  test("referential integrity: orphans via anti-join on keys only") {
+    val child = Seq(1, 2, 3, 4).toDF("k")
+    val parent = Seq(1, 2).toDF("p")
+    val r = Checks.referentialIntegrity(child, $"k", parent, $"p", "c->p").head()
+    assert(r.getString(0) == "c->p")
+    assert(r.getLong(1) == 4 && r.getLong(2) == 2 && r.getDouble(3) == 0.5)
+  }
+
+  test("value bounds: min/max/exact mean") {
+    val df = Seq(1.0, 2.0, 3.0, 6.0).toDF("v")
+    val r = Checks.valueBounds(df, Seq("v")).head()
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 6.0 && r.getDouble(4) == 3.0)
+  }
+}

@@ -108,6 +108,17 @@ class DqFunctionsSpec extends AnyFunSuite {
     assert(edge.forall(_.isNullAt(0)))
   }
 
+  test("native MinhashFromBase equals the HOF transform+array_min composition") {
+    import graft.functions.{DqFunctions, MinhashExpression}
+    val docs = Tables.documents(spark, TestSpark.sf).limit(200)
+      .select($"doc_id", DqFunctions.charShingles($"text", 3).as("sh"))
+      .select($"doc_id", DqFunctions.minhashBaseHashes($"sh").as("mh"))
+    val both = docs.select(
+      MinhashExpression.minhashFromBaseNative($"mh", 64).as("native"),
+      DqFunctions.minhashFromBase($"mh", 64).as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+  }
+
   test("token counts and fingerprints") {
     val df = Seq(("  hello   world!  x2 ", "Hello  World!")).toDF("a", "b")
     assert(df.select(tokenCount($"a")).as[Int].head() == 3)
