@@ -176,7 +176,9 @@ object Dedup {
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         transform(split(trim(col(textCol)), "\\s+"), t => xxhash64(t)).as("_th"))
-      .select(col("id"), simhashFromHashes(col("_th")).as("simhash"))
+      .select(col("id"),
+        graft.functions.SimhashExpression
+          .simhashFromHashesNative(col("_th")).as("simhash"))
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 for full
     * recall with 4 bands: by pigeonhole, ≤3 differing bits leave at

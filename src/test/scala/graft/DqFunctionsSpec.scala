@@ -119,6 +119,18 @@ class DqFunctionsSpec extends AnyFunSuite {
     assert(both.filter($"native" =!= $"hof").count() == 0)
   }
 
+  test("native SimhashFromHashes equals the HOF per-bit composition") {
+    import graft.functions.SimhashExpression
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, TestSpark.sf).limit(200)
+      .select($"doc_id",
+        transform(split(trim($"text"), "\\s+"), t => xxhash64(t)).as("th"))
+    val both = docs.select(
+      SimhashExpression.simhashFromHashesNative($"th").as("native"),
+      Dedup.simhashFromHashes($"th").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+  }
+
   test("token counts and fingerprints") {
     val df = Seq(("  hello   world!  x2 ", "Hello  World!")).toDF("a", "b")
     assert(df.select(tokenCount($"a")).as[Int].head() == 3)
