@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
 
 /** Streaming extension of the freshness/count checks (SURVEY.md
   * §2.10, §7.2 M5): the same per-table count + max-event-time
@@ -32,6 +33,48 @@ object StreamingFreshness {
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("record_count"), col("max_ts"))
+
+  /** One event-type's running freshness state, maintained across
+    * micro-batches by [[freshnessMonitor]].
+    */
+  final case class FreshnessState(maxTsMicros: Long, totalCount: Long)
+
+  /** Continuously-updated freshness snapshot per key. */
+  final case class FreshnessStatus(
+      event_type: String,
+      max_ts_micros: Long,
+      total_count: Long)
+
+  /** Stateful freshness monitor (`mapGroupsWithState`): tracks, per
+    * event_type, the running max event time and total count across
+    * ALL micro-batches — the DCC freshness check as a continuously-
+    * maintained quantity rather than a batch snapshot. State is one
+    * tiny record per key (bounded by key cardinality, not input
+    * volume); a production deployment adds a timeout to expire keys
+    * that stop arriving.
+    */
+  def freshnessMonitor(
+      spark: SparkSession,
+      events: DataFrame): Dataset[FreshnessStatus] = {
+    import spark.implicits._
+    events
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_micros"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FreshnessState, FreshnessStatus] {
+        (key: String, batch: Iterator[(String, Long)], state: GroupState[FreshnessState]) =>
+          val prev = state.getOption.getOrElse(FreshnessState(Long.MinValue, 0L))
+          var maxTs = prev.maxTsMicros
+          var n = prev.totalCount
+          batch.foreach { case (_, ts) =>
+            if (ts > maxTs) maxTs = ts
+            n += 1
+          }
+          val next = FreshnessState(maxTs, n)
+          state.update(next)
+          FreshnessStatus(key, next.maxTsMicros, next.totalCount)
+      }(Encoders.product[FreshnessState], Encoders.product[FreshnessStatus])
+  }
 
   /** Streaming reconciliation precursor: per-site running counts
     * (PPE's census as a continuously-maintained aggregate).

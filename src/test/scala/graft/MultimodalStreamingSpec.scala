@@ -44,6 +44,34 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_fingerprint"))
   }
 
+  test("stateful freshness monitor: state carries across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val sq = StreamingFreshness.freshnessMonitor(spark,
+        stream.toDF().toDF("ts", "event_type", "user_id"))
+      .writeStream.outputMode("update").format("memory").queryName("monitor_out")
+      .start()
+
+    stream.addData(Seq((t("2024-01-01 10:00:00"), "click", 1L),
+      (t("2024-01-01 11:00:00"), "click", 2L), (t("2024-01-01 09:00:00"), "view", 3L)))
+    sq.processAllAvailable()
+    stream.addData(Seq((t("2024-01-01 12:00:00"), "click", 1L)))
+    sq.processAllAvailable()
+    sq.stop()
+
+    // latest state per key: counts accumulated, max advanced
+    val latest = spark.table("monitor_out")
+      .groupBy("event_type")
+      .agg(max("total_count").as("n"), max("max_ts_micros").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(latest("click")._1 == 3L)
+    assert(latest("click")._2 ==
+      t("2024-01-01 12:00:00").getTime * 1000L)
+    assert(latest("view")._1 == 1L)
+  }
+
   test("streaming freshness: memory-stream run matches batch run (unified API)") {
     implicit val sqlCtx = spark.sqlContext
     val batch = Tables.events(spark, TestSpark.sf)
