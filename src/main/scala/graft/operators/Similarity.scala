@@ -57,6 +57,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: coarse-quantize vectors to `nlist` centroids
+    * (argmax cosine), probe the query's `nprobe` nearest centroids,
+    * brute-force only inside probed cells.
+    *
+    * Centroids here are a deterministic id-ordered sample — at real
+    * scale you train k-means once (e.g. MLlib) and persist the
+    * centroid table; the assignment/probe machinery is identical.
+    * The cell id is a plain column, so at rest it becomes a partition
+    * key and probing becomes partition pruning.
+    */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // deterministic centroid sample (1-row-per-centroid driver pull —
+    // config-sized, like the reference's scalar-subquery lookups)
+    val cents: Seq[(Int, Seq[Double])] = df
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](0).map(_.toDouble).toSeq
+      }.toSeq
+    def centCol(c: Seq[Double]): Column = array(c.map(lit): _*)
+    // assign: argmax cosine via array_max over (score, cell) structs
+    val scored = array(cents.map { case (i, c) =>
+      struct(cosineSimilarity(col(vecCol), centCol(c)).as("s"), lit(i).as("c"))
+    }: _*)
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      array_max(scored).getField("c").as("cell"))
+    // probe list: query's nprobe nearest centroids (driver math)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na > 0 && nb > 0) d / (na * nb) else -1.0
+    }
+    val probed = cents.sortBy { case (_, c) => -cos(query, c) }
+      .take(nprobe).map(_._1)
+    assigned
+      .filter(col("cell").isin(probed: _*))
+      .select(col("id"), cosineToQuery(col("v"), query).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** The query vector's own sign bucket (same hyperplanes as rows). */
   private[graft] def queryBucket(query: Seq[Double], dim: Int, planes: Int): Long = {
     val ps = Dedup.hyperplanes(dim, planes, seedOffset = 0)
