@@ -30,4 +30,23 @@ object Sinks {
     if (verify) df.sparkSession.read.parquet(path).count() // S9 read-back
     else -1L
   }
+
+  /** Bucketed + sorted managed table: the at-rest layout that makes
+    * repeated joins/aggregations on `bucketCols` shuffle-free (both
+    * sides pre-partitioned by bucket hash — Catalyst drops the
+    * Exchange entirely; see SinksSpec's plan assertion). This is the
+    * 100 TB answer to the fact⋈fact joins (e.g. lineitem⋈orders on
+    * orderkey) that no broadcast can absorb.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      verifyCount: Boolean = true): Long = {
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+    if (verifyCount) df.sparkSession.table(table).count() else -1L
+  }
 }

@@ -101,6 +101,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables: co-located join has no shuffle exchange") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_quantity")
+    val or = Tables.orders(spark, TestSpark.sf)
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    // drop both metadata and any leftover managed-table location from
+    // an earlier aborted run (DROP alone doesn't clear an orphan dir)
+    Seq("li_b", "or_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    assert(Sinks.writeBucketed(li, "li_b", Seq("l_orderkey"), 8) == li.count())
+    assert(Sinks.writeBucketed(or, "or_b", Seq("l_orderkey"), 8) == or.count())
+    // force the sort-merge path (at test SF the planner would rather
+    // broadcast, which bypasses bucketing entirely) to show the
+    // co-located join reads buckets directly — no shuffle exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b").join(spark.table("or_b"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(plan.contains("Bucketed: true"))
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sinks: replace overwrites, append accumulates, verify counts (S7-S9)") {
     val dir = Files.createTempDirectory("sink").toString + "/out"
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
