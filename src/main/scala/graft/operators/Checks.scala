@@ -86,6 +86,42 @@ object Checks {
           .otherwise(lit(null).cast("double")).as("integrity"))
   }
 
+  /** Run-over-run metric trend: for an accumulating report table
+    * (the S8 append-by-`date_created` design, PPE:245-247), compute
+    * each key's latest metric, its previous run's value, the delta,
+    * and a drift flag. This is the consumer the reference's
+    * accumulate-by-run-date sink implies but never implements —
+    * "did this site's count change suspiciously since yesterday?".
+    *
+    * One window pass partitioned by key ordered by run date; at scale
+    * the report table is tiny (keys × runs), so the window shuffle is
+    * negligible.
+    */
+  def metricTrend(
+      report: DataFrame,
+      keyCols: Seq[String],
+      metricCol: String,
+      runDateCol: String,
+      maxRelativeDrift: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(runDateCol).asc)
+    val withPrev = report
+      .withColumn("_prev", lag(col(metricCol), 1).over(w))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(col(runDateCol).desc)))
+      .filter(col("_rn") === 1)
+    withPrev.select(
+      keyCols.map(col) ++ Seq(
+        col(runDateCol),
+        col(metricCol).as("current_value"),
+        col("_prev").as("previous_value"),
+        (col(metricCol) - col("_prev")).as("delta"),
+        when(col("_prev").isNotNull && col("_prev") =!= 0,
+          abs((col(metricCol) - col("_prev")).cast("double") / col("_prev").cast("double"))
+            > maxRelativeDrift)
+          .otherwise(lit(null).cast("boolean")).as("drift_exceeded")): _*)
+  }
+
   /** Numeric profile per column: min / max / exact mean (decimal sum
     * ÷ count, so the double result is deterministic across engines).
     */

@@ -40,6 +40,25 @@ class ChecksSpec extends AnyFunSuite {
     assert(r.getLong(1) == 4 && r.getLong(2) == 2 && r.getDouble(3) == 0.5)
   }
 
+  test("metric trend over an accumulating report: latest vs previous run, drift flag") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("trend").toString + "/report"
+    def run(d: String, a: Long, b: Long): Unit =
+      graft.sources.Sinks.writeAppend(
+        Seq((1, a, java.sql.Date.valueOf(d)), (2, b, java.sql.Date.valueOf(d)))
+          .toDF("site_id", "record_count", "date_created"), out)
+    run("2026-08-10", 100L, 50L)
+    run("2026-08-11", 104L, 50L)   // site 1: +4% ; site 2: flat
+    run("2026-08-12", 160L, 50L)   // site 1: +54% → drift ; site 2: flat
+
+    val trend = Checks.metricTrend(spark.read.parquet(out),
+        Seq("site_id"), "record_count", "date_created", maxRelativeDrift = 0.10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(trend(1) == (160L, Some(104L), Some(56L), Some(true)))
+    assert(trend(2) == (50L, Some(50L), Some(0L), Some(false)))
+  }
+
   test("value bounds: min/max/exact mean") {
     val df = Seq(1.0, 2.0, 3.0, 6.0).toDF("v")
     val r = Checks.valueBounds(df, Seq("v")).head()
