@@ -26,8 +26,7 @@ object Pipelines {
       rowsWritten: Long,
       sourcesTotal: Int,
       skipped: Seq[FanOut.SkipRecord]) {
-    def telemetry: String =
-      s"${sourcesTotal - skipped.size} out of $sourcesTotal sources processed successfully"
+    def telemetry: String = FanOut.telemetryLine(sourcesTotal, skipped.size)
   }
 
   /** DCC freshness-consistency pipeline over a directory of source

@@ -28,6 +28,12 @@ object Tables {
     * microsecond timestamp with integer arithmetic (no double round-trip
     * — nanos since epoch exceed 2^53). DuckDB truncates NANOS→micros the
     * same way, so oracle values agree.
+    *
+    * Side effect: `nanosAsLong` is a session-level conf (Spark offers no
+    * per-read switch), so after the first events read, any OTHER
+    * nanos-timestamp parquet in the session also decodes as long. The
+    * corpus has exactly one such table; a multi-tenant session would
+    * need the conf scoped at its boundary instead.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

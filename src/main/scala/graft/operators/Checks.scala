@@ -104,8 +104,15 @@ object Checks {
       runDateCol: String,
       maxRelativeDrift: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same-day reruns of an append sink duplicate (key, run_date) rows,
+    // which would make lag()/row_number() tie-break nondeterministically;
+    // collapse to one row per (key, run_date) first (max = latest run's
+    // value under the grow-only metrics this check targets)
+    val perRun = report
+      .groupBy((keyCols :+ runDateCol).map(col): _*)
+      .agg(max(col(metricCol)).as(metricCol))
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(runDateCol).asc)
-    val withPrev = report
+    val withPrev = perRun
       .withColumn("_prev", lag(col(metricCol), 1).over(w))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(keyCols.map(col): _*).orderBy(col(runDateCol).desc)))

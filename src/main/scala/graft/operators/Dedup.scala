@@ -120,8 +120,9 @@ object Dedup {
     // The signature table feeds the band explode AND both sides of the
     // scoring join; without persistence Catalyst recomputes the
     // (shingle+hash heavy) signatures three times. It is tiny —
-    // numDocs × numHashes longs (at warehouse scale you'd materialize
-    // it as a table between runs anyway).
+    // numDocs × numHashes longs — and the cache entry lives until the
+    // session ends or the caller unpersists (at warehouse scale you'd
+    // materialize signatures as a table between runs instead).
     val sigs = minhashSignatures(df, idCol, textCol, n, numHashes).persist()
     // Band rows carry only (id, band, bucket) — never the signature:
     // the band self-join can emit a pair once per colliding band, and
@@ -240,21 +241,33 @@ object Dedup {
   def embeddingNearDupLsh(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       dim: Int, planes: Int = 12, tables: Int = 4): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // Same pairs-first discipline as lshCandidatePairs: the bucket
+    // self-join ships only (id, tbl, bkt) — never the vectors — and a
+    // pair colliding in several tables is deduped BEFORE the (single)
+    // cosine evaluation, with vectors joined back once per side.
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm"))
     val bucketed = v.select(
-      col("id"), col("v"),
+      col("id"),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("tbl"), signBucket(col("v"), dim, planes, seedOffset = t * planes).as("bkt"))
       }: _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.tbl"), col("tb.bkt"))
-    bucketed.as("a")
+      .select(col("id"), col("tb.tbl"), col("tb.bkt"))
+    val pairs = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineSimilarity(col("a.v"), col("b.v")).as("cosine"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    pairs
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cosine",
+        when(col("na") > 0 && col("nb") > 0,
+          dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
+          .otherwise(lit(null).cast("double")))
       .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Sign-bit bucket of `planes` hyperplane projections, as a long. */

@@ -76,9 +76,7 @@ object Similarity {
     val cents: Seq[(Int, Seq[Double])] = df
       .orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
-      .zipWithIndex.map { case (r, i) =>
-        i -> r.getSeq[Float](0).map(_.toDouble).toSeq
-      }.toSeq
+      .zipWithIndex.map { case (r, i) => i -> rowVecToDoubles(r) }.toSeq
     def centCol(c: Seq[Double]): Column = array(c.map(lit): _*)
     // assign: argmax cosine via array_max over (score, cell) structs
     val scored = array(cents.map { case (i, c) =>
@@ -101,6 +99,17 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Element-type-agnostic driver-side vector extraction (ARRAY<FLOAT>
+    * and ARRAY<DOUBLE> are both first-class across the vector API).
+    */
+  def rowVecToDoubles(r: org.apache.spark.sql.Row): Seq[Double] =
+    r.getSeq[Any](0).map {
+      case f: java.lang.Float  => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+      case other => throw new IllegalArgumentException(
+        s"vector element must be float/double, got ${other.getClass}")
+    }
 
   /** The query vector's own sign bucket (same hyperplanes as rows). */
   private[graft] def queryBucket(query: Seq[Double], dim: Int, planes: Int): Long = {

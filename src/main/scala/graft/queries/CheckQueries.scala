@@ -77,17 +77,22 @@ object CheckQueries {
         col("c_custkey"), "orders->customer_pruned"))
 
   val q24Sql: String =
+    // NOT EXISTS, not NOT IN: anti-join semantics (a NULL child key is
+    // an orphan) — NOT IN's three-valued logic would silently disagree
+    // with the engine's left_anti exactly when the data is dirty.
     """SELECT 'lineitem->orders' AS relation, CAST(COUNT(*) AS BIGINT) AS n_child,
-      |  CAST(COUNT(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphans,
-      |  1.0 - CAST(COUNT(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS DOUBLE)
+      |  CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS BIGINT) AS n_orphans,
+      |  1.0 - CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS DOUBLE)
       |      / CAST(COUNT(*) AS DOUBLE) AS integrity
       |FROM lineitem
       |UNION ALL
       |SELECT 'orders->customer_pruned', CAST(COUNT(*) AS BIGINT),
-      |  CAST(COUNT(*) FILTER (WHERE o_custkey NOT IN
-      |    (SELECT c_custkey FROM customer WHERE c_custkey % 5 <> 0)) AS BIGINT),
-      |  1.0 - CAST(COUNT(*) FILTER (WHERE o_custkey NOT IN
-      |    (SELECT c_custkey FROM customer WHERE c_custkey % 5 <> 0)) AS DOUBLE)
+      |  CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer WHERE c_custkey % 5 <> 0 AND c_custkey = o_custkey)) AS BIGINT),
+      |  1.0 - CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer WHERE c_custkey % 5 <> 0 AND c_custkey = o_custkey)) AS DOUBLE)
       |      / CAST(COUNT(*) AS DOUBLE)
       |FROM orders""".stripMargin
 

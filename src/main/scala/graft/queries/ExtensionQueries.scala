@@ -115,8 +115,8 @@ object ExtensionQueries {
   def q15KnnBrute(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     // 1-row config-style lookup → literal (SURVEY.md §4.2 J2 pattern)
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val q = Similarity.rowVecToDoubles(
+      emb.filter(col("vec_id") === 0).select(col("embedding")).head())
     Similarity.bruteForceTopK(
       emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, KnnK)
       .withColumnRenamed("id", "vec_id")
@@ -141,8 +141,8 @@ object ExtensionQueries {
   // ---------------------------------------------------------------
   def q16KnnLsh(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val q = Similarity.rowVecToDoubles(
+      emb.filter(col("vec_id") === 0).select(col("embedding")).head())
     // planes=6 / probe≤2 scans ~1/3 of buckets; on this corpus (no
     // true high-cosine neighbors, best ≈ 0.37 ⇒ θ ≈ 68°) hyperplane
     // LSH recall is ~0.6 — the honest ANN trade-off; for the dedup

@@ -24,10 +24,14 @@ object FanOut {
   /** One skipped source and why (the reference's log line, as data). */
   final case class SkipRecord(source: String, reason: String)
 
+  /** "N out of M processed" run telemetry line (A7, DCC:146-147) —
+    * single definition shared by FanOutResult and Pipelines.RunReport.
+    */
+  def telemetryLine(total: Int, skipped: Int): String =
+    s"${total - skipped} out of $total sources processed successfully"
+
   final case class FanOutResult(df: Option[DataFrame], skipped: Seq[SkipRecord]) {
-    /** "N out of M processed" run telemetry (A7, DCC:146-147). */
-    def telemetry(total: Int): String =
-      s"${total - skipped.size} out of $total sources processed successfully"
+    def telemetry(total: Int): String = telemetryLine(total, skipped.size)
   }
 
   /** Enumerate source "schemas": subdirectories of a root (the

@@ -21,9 +21,18 @@ object Sinks {
 
   /** Accumulating sink (S8): `mode("append")` — the PPE design
     * intent, daily runs accumulating keyed by `date_created`.
+    * Returns rows written by THIS run (post-write total minus
+    * pre-write total — the read-back verification, S9, minus what
+    * was already there; single-writer assumption).
     */
-  def writeAppend(df: DataFrame, path: String, verifyCount: Boolean = true): Long =
-    write(df, path, SaveMode.Append, verifyCount)
+  def writeAppend(df: DataFrame, path: String, verifyCount: Boolean = true): Long = {
+    val spark = df.sparkSession
+    val before =
+      if (!verifyCount) 0L
+      else scala.util.Try(spark.read.parquet(path).count()).getOrElse(0L)
+    df.write.mode(SaveMode.Append).parquet(path)
+    if (verifyCount) spark.read.parquet(path).count() - before else -1L
+  }
 
   private def write(df: DataFrame, path: String, mode: SaveMode, verify: Boolean): Long = {
     df.write.mode(mode).parquet(path)

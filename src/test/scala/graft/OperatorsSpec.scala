@@ -143,6 +143,7 @@ class OperatorsSpec extends AnyFunSuite {
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
     assert(Sinks.writeReplace(df, dir) == 2)
     assert(Sinks.writeReplace(df, dir) == 2)  // drop-and-replace, not append
-    assert(Sinks.writeAppend(df, dir) == 4)   // accumulate-by-run design (S8)
+    assert(Sinks.writeAppend(df, dir) == 2)   // rows written THIS run (S8)
+    assert(spark.read.parquet(dir).count() == 4) // table accumulated
   }
 }

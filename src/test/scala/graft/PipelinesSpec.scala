@@ -62,10 +62,11 @@ class PipelinesSpec extends AnyFunSuite {
     assert(rows("obs") == (Some(2L), Some(5L), Some(-3L)))    // voided filtered; dest ahead
     assert(rows("person") == (Some(1L), None, None))          // dest missing → null variance
 
-    // S8 append semantics: second run accumulates
+    // S8 append semantics: second run writes its own 2 rows, table accumulates to 4
     val again = Pipelines.reconciliationPipeline(spark, root, "openmrs_",
       Seq("obs" -> Some("voided"), "person" -> Some("voided")), dest, out)
-    assert(again.rowsWritten == 4)
+    assert(again.rowsWritten == 2)
+    assert(spark.read.parquet(out).count() == 4)
   }
 
   test("SQL registration: custom functions callable from spark.sql") {
