@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators Spark's Dataset API lacks as primitives,
+  * composed per the preference order (SURVEY.md guidance: compose
+  * built-ins before reaching for custom plans).
+  *
+  * Both are single-shuffle compositions: as-of join via the
+  * sort-based union trick (never the quadratic
+  * `l.ts >= r.ts` theta-join), sessionization via lag + running sum.
+  */
+object Temporal {
+
+  /** As-of (backward) join: for each left row, attach the latest
+    * right-side value with `rightTs <= leftTs` for the same key;
+    * null when no such row exists.
+    *
+    * Implementation: tag and union both sides, sort within each key
+    * partition by (ts, side) — right rows sort before left rows at
+    * equal timestamps, so an exactly-simultaneous snapshot IS visible
+    * to the event — and carry the last non-null right value forward
+    * with a running `last(ignoreNulls)` window. One shuffle on the
+    * key, O(n log n) per key, no row-pair blow-up: the scalable shape
+    * at any data size (vs. the naive `l.ts >= r.ts` join, which
+    * explodes quadratically per key).
+    *
+    * Right side must be unique per (key, ts) — pre-aggregate if not
+    * (ties would otherwise make "the latest value" nondeterministic).
+    */
+  def asOfJoinBackward(
+      left: DataFrame, leftKey: Column, leftTs: Column,
+      right: DataFrame, rightKey: Column, rightTs: Column,
+      valueCol: Column, valueName: String): DataFrame = {
+    val l = left.select(
+      leftKey.as("_k"), leftTs.as("_ts"), lit(1).as("_side"),
+      struct(left.columns.map(col): _*).as("_lrow"),
+      lit(null).cast(right.select(valueCol).schema.head.dataType).as("_v"))
+    val r = right.select(
+      rightKey.as("_k"), rightTs.as("_ts"), lit(0).as("_side"),
+      lit(null).cast(left.select(struct(left.columns.map(col): _*)).schema.head.dataType).as("_lrow"),
+      valueCol.as("_v"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_lrow.*"), col("_asof").as(valueName))
+  }
+
+  /** Gap-based sessionization: events more than `gap` apart start a
+    * new session. lag + running sum of session-start flags per key —
+    * one shuffle on the key. Returns per-session aggregates.
+    */
+  def sessionize(
+      events: DataFrame, key: Column, ts: Column,
+      gapSeconds: Long): DataFrame = {
+    val wOrder = Window.partitionBy(key).orderBy(ts.asc)
+    val prevTs = lag(ts, 1).over(wOrder)
+    val isStart = when(
+      prevTs.isNull || unix_micros(ts) - unix_micros(prevTs) > gapSeconds * 1000000L,
+      1L).otherwise(0L)
+    val wRun = Window.partitionBy(key).orderBy(ts.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_session", sum(isStart).over(wRun))
+      .groupBy(key.as("key"), col("_session"))
+      .agg(
+        min(ts).as("session_start"),
+        max(ts).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("key"), col("_session").cast("long").as("session_seq"),
+        col("session_start"), col("session_end"), col("n_events"))
+  }
+}

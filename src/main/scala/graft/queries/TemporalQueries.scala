@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Temporal
+
+/** Temporal-operator queries: as-of join (DuckDB has a native ASOF
+  * JOIN — a rare chance to oracle-check a composed operator Spark
+  * lacks) and gap sessionization.
+  */
+object TemporalQueries {
+
+  // ---------------------------------------------------------------
+  // q33 — as-of join: attach each purchase's latest at-or-before
+  // signup value per user (the "latest profile snapshot" pattern).
+  // ---------------------------------------------------------------
+  def q33AsofJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // unique per (user, ts): as-of right sides must be tie-free
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .agg(max(col("value")).as("profile_value"))
+    Temporal.asOfJoinBackward(
+        purchases, col("user_id"), col("ts"),
+        signups, col("s_user"), col("s_ts"),
+        col("profile_value"), "profile_value")
+      .select(col("event_id"), col("user_id"), col("profile_value"))
+  }
+
+  val q33Sql: String =
+    """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id AS s_user, ts AS s_ts, MAX(value) AS profile_value
+      |      FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT l.event_id, l.user_id, r.profile_value
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.s_user AND l.ts >= r.s_ts""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q34 — gap sessionization: 1-hour-gap sessions per user.
+  // Session bounds emitted as epoch micros (engine-portable ints).
+  // ---------------------------------------------------------------
+  def q34Sessions(spark: SparkSession, d: String): DataFrame =
+    Temporal.sessionize(Tables.events(spark, d), col("user_id"), col("ts"),
+        gapSeconds = 3600)
+      .select(
+        col("key").as("user_id"), col("session_seq"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"))
+
+  val q34Sql: String =
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS st
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(st) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM m)
+      |SELECT user_id, CAST(sess AS BIGINT) AS session_seq,
+      |  epoch_us(MIN(ts)) AS session_start_us,
+      |  epoch_us(MAX(ts)) AS session_end_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_asof_join" -> (q33AsofJoin _),
+    "q34_sessions"  -> (q34Sessions _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q33_asof_join" -> q33Sql,
+    "q34_sessions"  -> q34Sql)
+}

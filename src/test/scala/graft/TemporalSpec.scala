@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of backward join: latest at-or-before value; simultaneous visible; null when none") {
+    val left = Seq(
+      (1L, 1, ts("2024-01-01 10:00:00")),   // before any snapshot → null
+      (2L, 1, ts("2024-01-01 11:00:00")),   // exactly at snapshot → sees it
+      (3L, 1, ts("2024-01-01 12:00:00")),   // after both → latest wins
+      (4L, 2, ts("2024-01-01 12:00:00")))   // other key
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (1, ts("2024-01-01 11:00:00"), 10.0),
+      (1, ts("2024-01-01 11:30:00"), 20.0),
+      (2, ts("2024-01-01 09:00:00"), 30.0))
+      .toDF("rk", "rt", "v")
+    val out = Temporal.asOfJoinBackward(left, $"k", $"t", right, $"rk", $"rt",
+        $"v", "asof_v")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L) == None)
+    assert(out(2L) == Some(10.0))
+    assert(out(3L) == Some(20.0))
+    assert(out(4L) == Some(30.0))
+  }
+
+  test("sessionize: strict-gap boundary, per-key independence") {
+    val events = Seq(
+      (1, ts("2024-01-01 10:00:00")),
+      (1, ts("2024-01-01 10:59:59")),  // 59:59 gap → same session
+      (1, ts("2024-01-01 12:00:00")),  // 60:01 gap → new session
+      (1, ts("2024-01-01 13:00:00")),  // exactly 1h gap → same session (strict >)
+      (2, ts("2024-01-01 10:00:00")))
+      .toDF("u", "t")
+    val out = Temporal.sessionize(events, $"u", $"t", gapSeconds = 3600)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(out((1, 1L)) == 2)  // first session: 2 events
+    assert(out((1, 2L)) == 2)  // second: 12:00 + 13:00 (1h exactly → kept)
+    assert(out((2, 1L)) == 1)
+    assert(out.size == 3)
+  }
+}
