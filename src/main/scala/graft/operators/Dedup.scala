@@ -115,15 +115,26 @@ object Dedup {
   def lshCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // The signature table feeds the band explode AND both sides of the
     // scoring join; without persistence Catalyst recomputes the
     // (shingle+hash heavy) signatures three times. It is tiny —
     // numDocs × numHashes longs — and the cache entry lives until the
-    // session ends or the caller unpersists (at warehouse scale you'd
-    // materialize signatures as a table between runs instead).
+    // session ends or the caller unpersists. A warehouse-scale run
+    // materializes signatures as a table instead and calls
+    // [[lshCandidatePairsFromSignatures]] directly.
     val sigs = minhashSignatures(df, idCol, textCol, n, numHashes).persist()
+    lshCandidatePairsFromSignatures(sigs, numHashes, bands)
+  }
+
+  /** Candidate generation over a precomputed/persisted signature
+    * table `(id, sig ARRAY<LONG> of length numHashes)` — the
+    * production entry point when signatures are materialized between
+    * runs (incremental dedup: only new documents need signing).
+    */
+  def lshCandidatePairsFromSignatures(
+      sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
     // Band rows carry only (id, band, bucket) — never the signature:
     // the band self-join can emit a pair once per colliding band, and
     // shipping 64-long signatures through that blow-up dominates cost.
