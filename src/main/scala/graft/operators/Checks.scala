@@ -15,6 +15,34 @@ import org.apache.spark.sql.functions._
   */
 object Checks {
 
+  /** One declared constraint: a metrics frame, the metric column to
+    * gate on, the unit-label column, and the minimum acceptable
+    * value. [[evaluateSuite]] turns a set of these into one pass/fail
+    * report — the "quality gate" the reference's operational scripts
+    * are, expressed declaratively.
+    */
+  final case class Constraint(
+      checkName: String,
+      metrics: DataFrame,
+      labelCol: String,
+      metricCol: String,
+      minimum: Double)
+
+  /** Evaluate all constraints into one tidy report:
+    * (check_name, unit, metric_value, threshold, passed). Each
+    * constraint's metrics frame stays lazy until this union executes;
+    * unions of per-check aggregates are parallel stages of one job.
+    */
+  def evaluateSuite(constraints: Seq[Constraint]): DataFrame =
+    constraints.map { c =>
+      c.metrics.select(
+        lit(c.checkName).as("check_name"),
+        col(c.labelCol).cast("string").as("unit"),
+        col(c.metricCol).cast("double").as("metric_value"),
+        lit(c.minimum).as("threshold"),
+        (col(c.metricCol).cast("double") >= c.minimum).as("passed"))
+    }.reduce(_ unionByName _)
+
   /** Per-column completeness: non-null fraction. One scan for ALL
     * columns (the per-column counts fold into one aggregate).
     */

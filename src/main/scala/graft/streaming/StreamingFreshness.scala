@@ -76,6 +76,20 @@ object StreamingFreshness {
       }(Encoders.product[FreshnessState], Encoders.product[FreshnessStatus])
   }
 
+  /** Streaming exact dedup: drop events whose dedup key was already
+    * seen within the watermark horizon. State holds one entry per
+    * distinct key inside the horizon and is purged as the watermark
+    * advances — the streaming half of the training-data dedup story
+    * (batch half: Dedup.dropExactDuplicates).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Streaming reconciliation precursor: per-site running counts
     * (PPE's census as a continuously-maintained aggregate).
     */

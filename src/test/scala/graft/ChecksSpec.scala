@@ -59,6 +59,28 @@ class ChecksSpec extends AnyFunSuite {
     assert(trend(2) == (50L, Some(50L), Some(0L), Some(false)))
   }
 
+  test("constraint suite: declared thresholds evaluate to one pass/fail report") {
+    import graft.operators.Checks.Constraint
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val cust = Tables.customer(spark, TestSpark.sf)
+    val suite = Checks.evaluateSuite(Seq(
+      Constraint("pk_unique",
+        Checks.uniqueness(cust, Seq("c_custkey"), "customer_pk"),
+        "key_set", "uniqueness", minimum = 1.0),
+      Constraint("pk_unique",
+        Checks.uniqueness(li, Seq("l_orderkey", "l_linenumber"), "lineitem_pk"),
+        "key_set", "uniqueness", minimum = 1.0),
+      Constraint("fk_intact",
+        Checks.referentialIntegrity(li, $"l_orderkey",
+          Tables.orders(spark, TestSpark.sf), $"o_orderkey", "lineitem->orders"),
+        "relation", "integrity", minimum = 1.0)))
+    val rows = suite.collect()
+      .map(r => r.getString(1) -> r.getBoolean(4)).toMap
+    assert(rows("customer_pk"))            // clean PK passes
+    assert(!rows("lineitem_pk"))           // real corpus duplication fails the gate
+    assert(rows("lineitem->orders"))       // intact FK passes
+  }
+
   test("value bounds: min/max/exact mean") {
     val df = Seq(1.0, 2.0, 3.0, 6.0).toDF("v")
     val r = Checks.valueBounds(df, Seq("v")).head()

@@ -72,6 +72,24 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(latest("view")._1 == 1L)
   }
 
+  test("streaming dedup: duplicate keys within the horizon are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val sq = StreamingFreshness.dedupStream(
+        stream.toDF().toDF("ts", "doc_key"), Seq("doc_key"), "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .start()
+    stream.addData(Seq(
+      (t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:00:00"), 1L), // dup in batch
+      (t("2024-01-01 10:05:00"), 2L)))
+    sq.processAllAvailable()
+    stream.addData(Seq((t("2024-01-01 10:00:00"), 1L))) // dup across batches
+    sq.processAllAvailable()
+    sq.stop()
+    assert(spark.table("dedup_out").count() == 2) // keys 1 and 2, once each
+  }
+
   test("streaming freshness: memory-stream run matches batch run (unified API)") {
     implicit val sqlCtx = spark.sqlContext
     val batch = Tables.events(spark, TestSpark.sf)
