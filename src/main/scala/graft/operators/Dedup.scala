@@ -285,7 +285,7 @@ object Dedup {
   private[graft] def signBucket(v: Column, dim: Int, planes: Int, seedOffset: Int): Column = {
     val ps = hyperplanes(dim, planes, seedOffset)
     val bits = ps.zipWithIndex.map { case (plane, j) =>
-      val dot = dotProduct(v, array(plane.map(x => lit(x)): _*))
+      val dot = dotProduct(v, array(plane.toIndexedSeq.map(x => lit(x)): _*))
       when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))

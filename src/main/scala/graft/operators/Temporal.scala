@@ -36,11 +36,11 @@ object Temporal {
       valueCol: Column, valueName: String): DataFrame = {
     val l = left.select(
       leftKey.as("_k"), leftTs.as("_ts"), lit(1).as("_side"),
-      struct(left.columns.map(col): _*).as("_lrow"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("_lrow"),
       lit(null).cast(right.select(valueCol).schema.head.dataType).as("_v"))
     val r = right.select(
       rightKey.as("_k"), rightTs.as("_ts"), lit(0).as("_side"),
-      lit(null).cast(left.select(struct(left.columns.map(col): _*)).schema.head.dataType).as("_lrow"),
+      lit(null).cast(left.select(struct(left.columns.toIndexedSeq.map(col): _*)).schema.head.dataType).as("_lrow"),
       valueCol.as("_v"))
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_ts").asc, col("_side").asc)
