@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data splits.
+  *
+  * `rand()`-based sampling is irreproducible across runs/engines;
+  * these operators derive the sampling decision from a cryptographic
+  * hash of the row's id, so the same row lands in the same split on
+  * every run, on any engine, at any parallelism — the property
+  * train/test splits actually need. md5 (not xxhash) so DuckDB
+  * oracles can state the identical predicate.
+  *
+  * All per-row expression work: no shuffle, fully codegen'd.
+  */
+object Sampling {
+
+  /** Uniform [0,1) sampling score from an id column: the first 8 hex
+    * digits of md5(id-as-string) scaled by 2⁻³².
+    */
+  def hashScore(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Deterministic fraction sample: keep rows with score < fraction. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hashScore(col(idCol)) < fraction)
+
+  /** Disjoint deterministic split: assigns each row a split label by
+    * cumulative fraction ranges over the hash score. Fractions must
+    * sum to ≤ 1; rows beyond the last boundary get the final label's
+    * remainder only if fractions sum to 1.
+    */
+  def deterministicSplit(
+      df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val score = hashScore(col(idCol))
+    val label = splits.map(_._1).zip(bounds).foldRight(lit(null).cast("string")) {
+      case ((name, hi), elseCol) => when(score < hi, lit(name)).otherwise(elseCol)
+    }
+    // foldRight puts the FIRST split's condition outermost; since
+    // conditions are nested upper bounds, evaluation order must be
+    // ascending — rebuild ascending explicitly:
+    val ascending = splits.map(_._1).zip(bounds)
+      .foldLeft(Option.empty[Column]) {
+        case (None, (name, hi)) => Some(when(score < hi, lit(name)))
+        case (Some(c), (name, hi)) => Some(c.when(score < hi, lit(name)))
+      }.get.otherwise(lit(null).cast("string"))
+    df.withColumn("split", ascending)
+  }
+
+  /** Per-stratum deterministic sampling: different fractions per
+    * stratum value (class rebalancing — downsample dominant classes).
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (value, f)) =>
+        when(col(stratumCol) === value, lit(f)).otherwise(acc)
+    }
+    df.filter(hashScore(col(idCol)) < frac)
+  }
+}

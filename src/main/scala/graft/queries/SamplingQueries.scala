@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Sampling
+
+/** Deterministic-sampling queries: reproducible train/val/test
+  * splits and stratified downsampling, oracle-checked — the md5-based
+  * sampling predicate is stated identically in DuckDB.
+  */
+object SamplingQueries {
+
+  // ---------------------------------------------------------------
+  // q26 — three-way deterministic split of documents with per-split
+  // counts (the reproducibility property: same rows, same splits,
+  // every run, both engines).
+  // ---------------------------------------------------------------
+  def q26DeterministicSplit(spark: SparkSession, d: String): DataFrame =
+    Sampling.deterministicSplit(Tables.documents(spark, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+
+  /** Same hash → [0,1) score in DuckDB: first 8 md5 hex digits / 2³². */
+  private val scoreSql =
+    "CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0"
+
+  val q26Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, $scoreSql AS s FROM documents),
+       |labeled AS (
+       |  SELECT doc_id,
+       |    CASE WHEN s < 0.8 THEN 'train'
+       |         WHEN s < 0.9 THEN 'val'
+       |         WHEN s < 1.0 THEN 'test' END AS split
+       |  FROM scored)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
+       |FROM labeled GROUP BY split""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q27 — stratified downsample: keep 20% of 'en' docs, all others —
+  // the class-rebalancing pattern. Output is the kept doc ids.
+  // ---------------------------------------------------------------
+  def q27StratifiedSample(spark: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(spark, d), "doc_id", "lang",
+        Map("en" -> 0.2), defaultFraction = 1.0)
+      .select(col("doc_id"), col("lang"))
+
+  val q27Sql: String =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE $scoreSql < CASE WHEN lang = 'en' THEN 0.2 ELSE 1.0 END""".stripMargin
+
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_deterministic_split" -> (q26DeterministicSplit _),
+    "q27_stratified_sample"   -> (q27StratifiedSample _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q26_deterministic_split" -> q26Sql,
+    "q27_stratified_sample"   -> q27Sql)
+}

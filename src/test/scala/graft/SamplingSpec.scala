@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, TestSpark.sf)
+
+  test("splits are disjoint, exhaustive, and reproducible") {
+    val split = Sampling.deterministicSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.filter($"split".isNull).count() == 0)       // exhaustive
+    assert(split.count() == docs.count())                    // no row loss
+    val again = Sampling.deterministicSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.exceptAll(again).count() == 0)              // reproducible
+    val frac = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(frac("train") > frac("val") && frac("train") > frac("test"))
+    assert(math.abs(frac("train") / 500.0 - 0.8) < 0.1)      // ≈ declared fraction
+  }
+
+  test("deterministicSample is a subset-stable filter") {
+    val s20 = Sampling.deterministicSample(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val s50 = Sampling.deterministicSample(docs, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s20.subsetOf(s50)) // nested thresholds → nested samples
+    assert(s20.nonEmpty && s50.size < 500)
+  }
+
+  test("stratified sample downsamples only the targeted stratum") {
+    val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.2), defaultFraction = 1.0)
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("en") < before("en") * 0.35)          // en downsampled
+    assert(before.filterNot(_._1 == "en").forall {     // others untouched
+      case (l, n) => after(l) == n
+    })
+  }
+}
