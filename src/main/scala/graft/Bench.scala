@@ -1,6 +1,18 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 object Bench {
+  /** Force FULL evaluation of every output column: hash each row
+    * across all columns and sum the hashes. A bare `count()` lets
+    * Catalyst prune unreferenced projections, so projection-only
+    * queries (per-row expression work) would be timed as little more
+    * than a scan count.
+    */
+  private def evalAll(df: DataFrame): Unit = {
+    df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("_h"))
+      .agg(sum("_h")).head()
+    ()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,7 +27,7 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try evalAll(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -114,16 +114,26 @@ object Dedup {
     */
   def lshCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    // The signature table feeds the band explode AND both sides of the
-    // scoring join; without persistence Catalyst recomputes the
-    // (shingle+hash heavy) signatures three times. It is tiny —
-    // numDocs × numHashes longs — and the cache entry lives until the
-    // session ends or the caller unpersists. A warehouse-scale run
-    // materializes signatures as a table instead and calls
-    // [[lshCandidatePairsFromSignatures]] directly.
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
+    lshCandidatePairsWithSignatures(df, idCol, textCol, n, numHashes, bands)._1
+
+  /** As [[lshCandidatePairs]], but also returns the persisted
+    * signature table so long-lived sessions can `unpersist()` it once
+    * the pair plan has executed (the plain entry point leaves the
+    * cache entry to session end).
+    *
+    * The signature table feeds the band explode AND both sides of the
+    * scoring join; without persistence Catalyst recomputes the
+    * (shingle+hash heavy) signatures three times. It is tiny —
+    * numDocs × numHashes longs. A warehouse-scale run materializes
+    * signatures as a table instead and calls
+    * [[lshCandidatePairsFromSignatures]] directly.
+    */
+  def lshCandidatePairsWithSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): (DataFrame, DataFrame) = {
     val sigs = minhashSignatures(df, idCol, textCol, n, numHashes).persist()
-    lshCandidatePairsFromSignatures(sigs, numHashes, bands)
+    (lshCandidatePairsFromSignatures(sigs, numHashes, bands), sigs)
   }
 
   /** Candidate generation over a precomputed/persisted signature

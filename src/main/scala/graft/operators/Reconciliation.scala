@@ -56,8 +56,11 @@ object Reconciliation {
   /** Full outer reconciliation (J1): USING-join on the composite key
     * coalesces key columns (pandas `on=` semantics); the overlapping
     * `record_count` measure is pre-renamed with the `_source` /
-    * `_ohdl` suffixes (PPE:231-237). Both sides are tiny aggregates →
-    * broadcast the destination side.
+    * `_ohdl` suffixes (PPE:231-237). Both sides are tiny aggregates;
+    * no explicit broadcast hint — this Spark build rejects build-side
+    * broadcast for full-outer joins (the hint only logged warnings
+    * and fell back), and AQE already picks the cheapest legal
+    * strategy for sub-threshold sides.
     */
   def reconcile(
       source: DataFrame,
@@ -70,7 +73,7 @@ object Reconciliation {
     val extras = src.columns.toSeq
       .filterNot(Seq("site_id", "table_name", "record_count_source").contains)
     src
-      .join(broadcast(dst), Seq("site_id", "table_name"), "full_outer")
+      .join(dst, Seq("site_id", "table_name"), "full_outer")
       .withColumn("variance",
         col("record_count_source") - col("record_count_ohdl")) // E9 null-propagating
       .withColumn("date_created", dateCreated)                 // E10 audit column

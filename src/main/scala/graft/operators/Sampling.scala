@@ -37,12 +37,8 @@ object Sampling {
       splits: Seq[(String, Double)]): DataFrame = {
     val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val score = hashScore(col(idCol))
-    val label = splits.map(_._1).zip(bounds).foldRight(lit(null).cast("string")) {
-      case ((name, hi), elseCol) => when(score < hi, lit(name)).otherwise(elseCol)
-    }
-    // foldRight puts the FIRST split's condition outermost; since
-    // conditions are nested upper bounds, evaluation order must be
-    // ascending — rebuild ascending explicitly:
+    // ascending when-chain over cumulative upper bounds: the first
+    // matching bound wins, so conditions must be tested low-to-high
     val ascending = splits.map(_._1).zip(bounds)
       .foldLeft(Option.empty[Column]) {
         case (None, (name, hi)) => Some(when(score < hi, lit(name)))

@@ -29,26 +29,35 @@ object Temporal {
     *
     * Right side must be unique per (key, ts) — pre-aggregate if not
     * (ties would otherwise make "the latest value" nondeterministic).
+    *
+    * The carried value rides inside a struct with a constant marker
+    * field, so "no snapshot yet" (null struct — skipped by the
+    * ignoreNulls window) stays distinguishable from "snapshot whose
+    * value IS null" (non-null struct, null `_v`) — matching DuckDB
+    * ASOF JOIN and pandas merge_asof, which return the matched row's
+    * value even when that value is null.
     */
   def asOfJoinBackward(
       left: DataFrame, leftKey: Column, leftTs: Column,
       right: DataFrame, rightKey: Column, rightTs: Column,
       valueCol: Column, valueName: String): DataFrame = {
+    val vs = struct(lit(1).as("_m"), valueCol.as("_v"))
+    val vsType = right.select(vs).schema.head.dataType
     val l = left.select(
       leftKey.as("_k"), leftTs.as("_ts"), lit(1).as("_side"),
       struct(left.columns.toIndexedSeq.map(col): _*).as("_lrow"),
-      lit(null).cast(right.select(valueCol).schema.head.dataType).as("_v"))
+      lit(null).cast(vsType).as("_vs"))
     val r = right.select(
       rightKey.as("_k"), rightTs.as("_ts"), lit(0).as("_side"),
       lit(null).cast(left.select(struct(left.columns.toIndexedSeq.map(col): _*)).schema.head.dataType).as("_lrow"),
-      valueCol.as("_v"))
+      vs.as("_vs"))
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn("_asof", last(col("_v"), ignoreNulls = true).over(w))
+      .withColumn("_asof", last(col("_vs"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(col("_lrow.*"), col("_asof").as(valueName))
+      .select(col("_lrow.*"), col("_asof").getField("_v").as(valueName))
   }
 
   /** Gap-based sessionization: events more than `gap` apart start a

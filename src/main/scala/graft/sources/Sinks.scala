@@ -27,9 +27,15 @@ object Sinks {
     */
   def writeAppend(df: DataFrame, path: String, verifyCount: Boolean = true): Long = {
     val spark = df.sparkSession
+    // Only a missing sink path means "first run, zero rows"; any other
+    // read failure (e.g. corrupt existing files) must propagate — it
+    // would otherwise silently inflate the rows-written delta.
     val before =
       if (!verifyCount) 0L
-      else scala.util.Try(spark.read.parquet(path).count()).getOrElse(0L)
+      else try spark.read.parquet(path).count() catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => 0L
+      }
     df.write.mode(SaveMode.Append).parquet(path)
     if (verifyCount) spark.read.parquet(path).count() - before else -1L
   }

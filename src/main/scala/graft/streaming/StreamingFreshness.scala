@@ -88,7 +88,7 @@ object StreamingFreshness {
       watermarkDelay: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Streaming reconciliation precursor: per-site running counts
     * (PPE's census as a continuously-maintained aggregate).

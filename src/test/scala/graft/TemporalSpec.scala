@@ -33,6 +33,21 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(4L) == Some(30.0))
   }
 
+  test("as-of backward join: a matched snapshot with NULL value is returned as NULL, " +
+      "not skipped for an older non-null one (DuckDB ASOF / merge_asof semantics)") {
+    val left = Seq(
+      (1L, 1, ts("2024-01-01 12:00:00")))   // after both snapshots
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (1, ts("2024-01-01 10:00:00"), Some(10.0)),
+      (1, ts("2024-01-01 11:00:00"), None))  // latest snapshot: value IS null
+      .toDF("rk", "rt", "v")
+    val out = Temporal.asOfJoinBackward(left, $"k", $"t", right, $"rk", $"rt",
+        $"v", "asof_v").collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(3), "latest snapshot's null value must win, not the older 10.0")
+  }
+
   test("sessionize: strict-gap boundary, per-key independence") {
     val events = Seq(
       (1, ts("2024-01-01 10:00:00")),
