@@ -121,6 +121,26 @@ object DqFunctions {
   def minhashBaseHashes(shingles: Column): Column =
     transform(shingles, s => pmod(xxhash64(s), lit(MinhashPrime)))
 
+  /** Engine-portable variant of [[minhashBaseHashes]]: md5 → first 8
+    * hex digits → mod p. DuckDB states the identical hash as
+    * `CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) % p`, so
+    * minhash signatures built on this base are oracle-checkable
+    * bit-for-bit. xxhash64 ([[minhashBaseHashes]]) is the cheaper
+    * in-engine path; the affine permutation family on top is shared.
+    */
+  def minhashBaseHashesPortable(shingles: Column): Column =
+    transform(shingles, s =>
+      pmod(conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"),
+        lit(MinhashPrime)))
+
+  /** Engine-portable 60-bit string hash: md5 → first 15 hex digits.
+    * Nonnegative and < 2⁶⁰, so it fits a signed 64-bit long in both
+    * engines (DuckDB: `CAST(('0x' || substr(md5(t), 1, 15)) AS
+    * UBIGINT)`).
+    */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Signature from precomputed base hashes: k × (array_min of the
     * affine-permuted hashes). Only long arithmetic per hash function.
     */

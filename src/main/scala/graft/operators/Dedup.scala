@@ -103,6 +103,21 @@ object Dedup {
         graft.functions.MinhashExpression
           .minhashFromBaseNative(col("_mh"), numHashes).as("sig"))
 
+  /** Engine-portable signatures: md5-based base hashes (see
+    * [[graft.functions.DqFunctions.minhashBaseHashesPortable]])
+    * through the same native one-pass k-min — a DuckDB oracle can
+    * compute the identical signature, making the whole LSH pipeline
+    * hash-checkable. Same staging discipline as [[minhashSignatures]].
+    */
+  def minhashSignaturesPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"), charShingles(col(textCol), n).as("_sh"))
+      .select(col("id"), minhashBaseHashesPortable(col("_sh")).as("_mh"))
+      .select(col("id"),
+        graft.functions.MinhashExpression
+          .minhashFromBaseNative(col("_mh"), numHashes).as("sig"))
+
   /** LSH banding: candidate pairs agreeing on at least one of `bands`
     * bands of `numHashes / bands` rows each, with the estimated
     * Jaccard (signature agreement fraction) attached.
@@ -114,8 +129,9 @@ object Dedup {
     */
   def lshCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
-    lshCandidatePairsWithSignatures(df, idCol, textCol, n, numHashes, bands)._1
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      portable: Boolean = false): DataFrame =
+    lshCandidatePairsWithSignatures(df, idCol, textCol, n, numHashes, bands, portable)._1
 
   /** As [[lshCandidatePairs]], but also returns the persisted
     * signature table so long-lived sessions can `unpersist()` it once
@@ -131,9 +147,12 @@ object Dedup {
     */
   def lshCandidatePairsWithSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64, bands: Int = 16): (DataFrame, DataFrame) = {
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes).persist()
-    (lshCandidatePairsFromSignatures(sigs, numHashes, bands), sigs)
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      portable: Boolean = false): (DataFrame, DataFrame) = {
+    val sigs =
+      (if (portable) minhashSignaturesPortable(df, idCol, textCol, n, numHashes)
+       else minhashSignatures(df, idCol, textCol, n, numHashes)).persist()
+    (lshCandidatePairsFromSignatures(sigs, numHashes, bands, portable), sigs)
   }
 
   /** Candidate generation over a precomputed/persisted signature
@@ -142,9 +161,19 @@ object Dedup {
     * runs (incremental dedup: only new documents need signing).
     */
   def lshCandidatePairsFromSignatures(
-      sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+      sigs: DataFrame, numHashes: Int, bands: Int,
+      portableBuckets: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // Bucket id per band: xxhash64 of the signature slice (cheap,
+    // in-engine), or — portable mode — md5 of the comma-joined slice,
+    // which a DuckDB oracle states as
+    // md5(array_to_string(sig[b*r+1 : b*r+r], ',')). Both bucket on
+    // exact slice equality, so the candidate-pair set is identical.
+    def bucketOf(s: Column): Column =
+      if (portableBuckets)
+        md5(array_join(transform(s, x => x.cast("string")), ",").cast("binary"))
+      else xxhash64(s)
     // Band rows carry only (id, band, bucket) — never the signature:
     // the band self-join can emit a pair once per colliding band, and
     // shipping 64-long signatures through that blow-up dominates cost.
@@ -154,7 +183,7 @@ object Dedup {
       col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+          bucketOf(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     val pairs = banded.as("a")
@@ -202,19 +231,44 @@ object Dedup {
         graft.functions.SimhashExpression
           .simhashFromHashesNative(col("_th")).as("simhash"))
 
+  /** Engine-portable simhash table: tokens via regexp_extract_all
+    * (identical in DuckDB, including the empty-text → zero-tokens
+    * edge that `split` handles differently), hashed with the 60-bit
+    * md5 hash. Token hashes are < 2⁶⁰, so simhash bits 60-63 see only
+    * −1 contributions and stay 0 in both engines — the same native
+    * one-pass expression applies unchanged.
+    */
+  def simhashesPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        transform(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)),
+          t => md5Hash60(t)).as("_th"))
+      .select(col("id"),
+        graft.functions.SimhashExpression
+          .simhashFromHashesNative(col("_th")).as("simhash"))
+
   /** Near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 for full
     * recall with 4 bands: by pigeonhole, ≤3 differing bits leave at
-    * least one 16-bit chunk identical). Candidates join on chunks;
+    * least one chunk identical). Candidates join on chunks;
     * verification is a popcount of the XOR.
+    *
+    * Portable mode uses the md5-based 60-bit simhash
+    * ([[simhashesPortable]]) with 15-bit chunks (bits 60-63 are
+    * always 0, so four 15-bit chunks cover every bit that can
+    * differ) — a DuckDB oracle computes the identical pairs.
     */
   def simhashNearDupPairs(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val sims = simhashes(df, idCol, textCol)
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val sims =
+      if (portable) simhashesPortable(df, idCol, textCol)
+      else simhashes(df, idCol, textCol)
+    val chunkBits = if (portable) 15 else 16
+    val chunkMask = (1L << chunkBits) - 1L
     val chunked = sims.select(
       col("id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))
+          shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(chunkMask)).as("ck"))
       }: _*)).as("cc"))
       .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.ck"))
     chunked.as("a")

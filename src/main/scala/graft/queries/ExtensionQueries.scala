@@ -66,21 +66,80 @@ object ExtensionQueries {
        |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= $JaccardThreshold""".stripMargin
 
   // ---------------------------------------------------------------
-  // q12 — MinHash + LSH banding candidates (the 100 TB dedup path).
-  // No SQL oracle (xxhash64); spec-verified against q11's exact
-  // pairs (LSH recall) instead. Output: high-estimate candidates.
+  // q12 — MinHash + LSH banding candidates (the 100 TB dedup path),
+  // in portable mode: md5-based base hashes + md5 band buckets, so
+  // the DuckDB oracle computes the IDENTICAL signatures, buckets,
+  // candidate pairs, and agreement estimates. The xxhash64 fast path
+  // (same permutation family, same banding) is spec-pinned to emit
+  // the same pair set.
   // ---------------------------------------------------------------
+  private val LshBands = 8
+  private val LshHashes = 64
+
   def q12MinhashLsh(spark: SparkSession, d: String): DataFrame =
     Dedup.lshCandidatePairs(Tables.documents(spark, d),
-        "doc_id", "text", n = 3, numHashes = 64, bands = 8)
+        "doc_id", "text", n = 3, numHashes = LshHashes, bands = LshBands,
+        portable = true)
       .filter(col("est_jaccard") >= JaccardThreshold)
 
+  /** Mirrors the portable pipeline stage by stage: shingles → md5
+    * base hash mod p → k-min over the affine family (coefficients
+    * embedded as literals) → md5 band buckets → distinct pairs →
+    * agreement fraction.
+    */
+  val q12Sql: String = {
+    import graft.functions.DqFunctions.{minhashCoeffs, MinhashPrime}
+    val rows = LshHashes / LshBands
+    val minExprs = minhashCoeffs(LshHashes).map { case (a, b) =>
+      s"list_min(list_transform(h, x -> (${a} * x + ${b}) % $MinhashPrime))"
+    }.mkString("[\n      ", ",\n      ", "]")
+    s"""WITH sh AS (SELECT doc_id AS id, list_distinct(
+       |    [substr(text, i, 3) for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS s
+       |  FROM documents),
+       |bh AS (SELECT id, list_transform(s, g ->
+       |    CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) AS BIGINT) % $MinhashPrime) AS h
+       |  FROM sh),
+       |sig AS (SELECT id, $minExprs AS sg FROM bh),
+       |banded AS (SELECT id, b.band AS band,
+       |    md5(array_to_string(sg[b.band * $rows + 1 : b.band * $rows + $rows], ',')) AS bucket
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $LshBands)) AS band) b),
+       |pairs AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       |scored AS (SELECT ia AS id_a, ib AS id_b,
+       |    CAST(list_sum(list_transform(range(1, ${LshHashes + 1}),
+       |      i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |      / ${LshHashes}.0 AS est_jaccard
+       |  FROM pairs JOIN sig sa ON ia = sa.id JOIN sig sb ON ib = sb.id)
+       |SELECT id_a, id_b, est_jaccard FROM scored
+       |WHERE est_jaccard >= $JaccardThreshold""".stripMargin
+  }
+
   // ---------------------------------------------------------------
-  // q13 — SimHash near-dup pairs (banded Hamming ≤ 3).
-  // No SQL oracle (xxhash64); deterministic, spec-pinned.
+  // q13 — SimHash near-dup pairs (banded Hamming ≤ 3), portable
+  // mode: 60-bit md5 token hashes, 15-bit chunk candidates — the
+  // DuckDB oracle replays the identical bit arithmetic.
   // ---------------------------------------------------------------
   def q13SimhashNearDup(spark: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDupPairs(Tables.documents(spark, d), "doc_id", "text", maxHamming = 3)
+    Dedup.simhashNearDupPairs(Tables.documents(spark, d), "doc_id", "text",
+      maxHamming = 3, portable = true)
+
+  val q13Sql: String =
+    """WITH tk AS (SELECT doc_id AS id,
+      |    list_transform(regexp_extract_all(text, '\S+'),
+      |      t -> CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT)) AS th
+      |  FROM documents),
+      |sim AS (SELECT id, CAST(list_sum(list_transform(range(0, 60),
+      |    j -> CASE WHEN list_sum(list_transform(th,
+      |        x -> CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+      |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+      |  FROM tk),
+      |ck AS (SELECT id, s, c.chunk AS chunk, (s >> (c.chunk * 15)) & 32767 AS ckv
+      |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk) c),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |    CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+      |  FROM ck a JOIN ck b ON a.chunk = b.chunk AND a.ckv = b.ckv AND a.id < b.id)
+      |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
 
   // ---------------------------------------------------------------
   // q14 — embedding-cosine near-dup pairs (exact brute baseline).
@@ -88,6 +147,65 @@ object ExtensionQueries {
   def q14EmbeddingNearDup(spark: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupBrute(
       Tables.embeddings(spark, d), "vec_id", "embedding", CosineThreshold)
+
+  // ---------------------------------------------------------------
+  // q14b — embedding near-dup via hyperplane LSH (the scale path:
+  // bucket join ships (id, tbl, bkt) only; pairs deduped before one
+  // cosine evaluation). All arithmetic — splitmix-seeded hyperplane
+  // literals, sign buckets, cosine folds — is engine-portable, so
+  // the DuckDB oracle replays the pipeline exactly: parity is exact
+  // regardless of recall. Recall itself is corpus-dependent: this
+  // corpus has no true high-cosine pairs (max ≈ 0.51), where sign-
+  // bucket collision odds are inherently low; in the dedup regime
+  // (cosine → 1) the same parameters give recall → 1 (spec-pinned).
+  // ---------------------------------------------------------------
+  private val LshTables = 4
+  private val LshPlanes = 12
+
+  def q14bEmbeddingNearDupLsh(spark: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupLsh(Tables.embeddings(spark, d), "vec_id", "embedding",
+      CosineThreshold, dim = 64, planes = LshPlanes, tables = LshTables)
+
+  /** Hyperplane coordinates as exact round-trip double literals. */
+  private def planeLit(p: Array[Double]): String =
+    p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+
+  /** Sequential index-order dot product — the same left fold the
+    * engine's native vector expression computes, so doubles match
+    * bit-for-bit. `a` is a float vector (cast), `plane` a double list.
+    */
+  private def dotPlaneSql(vec: String, plane: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($vec[i] AS DOUBLE) * $plane[i]))"
+
+  private def dotVecSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  val q14bSql: String = {
+    val allPlanes = (0 until LshTables)
+      .flatMap(t => Dedup.hyperplanes(64, LshPlanes, seedOffset = t * LshPlanes))
+    val planeCols = allPlanes.zipWithIndex
+      .map { case (p, j) => s"${planeLit(p)} AS p$j" }.mkString(",\n    ")
+    def bucket(t: Int) = (0 until LshPlanes)
+      .map(j => s"(CASE WHEN ${dotPlaneSql("embedding", s"p${t * LshPlanes + j}")} >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("\n      + ")
+    val bandedSelects = (0 until LshTables).map { t =>
+      s"SELECT vec_id AS id, $t AS tbl, ${bucket(t)} AS bkt FROM embeddings CROSS JOIN pl"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH pl AS (SELECT
+       |    $planeCols),
+       |banded AS (
+       |  $bandedSelects),
+       |pairs AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.id < b.id),
+       |p AS (SELECT ia AS id_a, ib AS id_b,
+       |    ${dotVecSql("va.embedding", "vb.embedding")} /
+       |    (sqrt(${dotVecSql("va.embedding", "va.embedding")}) *
+       |     sqrt(${dotVecSql("vb.embedding", "vb.embedding")})) AS cosine
+       |  FROM pairs
+       |    JOIN embeddings va ON ia = va.vec_id
+       |    JOIN embeddings vb ON ib = vb.vec_id)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $CosineThreshold""".stripMargin
+  }
 
   /** The oracle mirrors the engine's exact float→double sequential
     * fold: dot / (sqrt(Σa²) · sqrt(Σb²)) in index order.
@@ -136,8 +254,11 @@ object ExtensionQueries {
        |ORDER BY cosine DESC, vec_id LIMIT $KnnK""".stripMargin
 
   // ---------------------------------------------------------------
-  // q16 — LSH-bucketed ANN top-k (the scale path; rows-only check,
-  // recall vs q15 pinned in the spec).
+  // q16 — LSH-bucketed ANN top-k (the scale path; recall vs q15
+  // additionally pinned in the spec). The bucketing is hyperplane
+  // sign bits over double literals — fully portable arithmetic, so
+  // the oracle replays bucket assignment, Hamming-ball probing, and
+  // the cosine top-k identically.
   // ---------------------------------------------------------------
   def q16KnnLsh(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
@@ -150,6 +271,32 @@ object ExtensionQueries {
     Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
         q, KnnK, dim = 64, planes = 6, probeHamming = 2)
       .withColumnRenamed("id", "vec_id")
+  }
+
+  /** Probing "all buckets within Hamming ≤ r of the query's bucket"
+    * is stated as the equivalent filter bit_count(xor(bkt, qbkt)) ≤ r.
+    */
+  val q16Sql: String = {
+    val planes = Dedup.hyperplanes(64, 6, seedOffset = 0)
+    val planeCols = planes.zipWithIndex
+      .map { case (p, j) => s"${planeLit(p)} AS p$j" }.mkString(",\n    ")
+    def bucket(vec: String) = planes.indices
+      .map(j => s"(CASE WHEN ${dotPlaneSql(vec, s"p$j")} >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("\n      + ")
+    s"""WITH pl AS (SELECT
+       |    $planeCols),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qb AS (SELECT ${bucket("qv")} AS qbkt FROM q CROSS JOIN pl),
+       |vb AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bkt
+       |  FROM embeddings CROSS JOIN pl WHERE vec_id <> 0),
+       |cand AS (SELECT vec_id, embedding FROM vb CROSS JOIN qb
+       |  WHERE bit_count(xor(bkt, qbkt)) <= 2)
+       |SELECT vec_id,
+       |  ${dotVecSql("embedding", "qv")} /
+       |  (sqrt(${dotVecSql("embedding", "embedding")}) *
+       |   sqrt(${dotVecSql("qv", "qv")})) AS cosine
+       |FROM cand CROSS JOIN q
+       |ORDER BY cosine DESC, vec_id LIMIT $KnnK""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -254,30 +401,32 @@ object ExtensionQueries {
   // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q10_dedup_exact"       -> (q10DedupExact _),
-    "q11_ngram_jaccard"     -> (q11NgramJaccard _),
-    "q12_minhash_lsh"       -> (q12MinhashLsh _),
-    "q13_simhash_neardup"   -> (q13SimhashNearDup _),
-    "q14_embedding_neardup" -> (q14EmbeddingNearDup _),
-    "q15_knn_brute"         -> (q15KnnBrute _),
-    "q16_knn_lsh"           -> (q16KnnLsh _),
-    "q17_lang_id"           -> (q17LangId _),
-    "q18_text_quality"      -> (q18TextQuality _),
-    "q19_token_stats"       -> (q19TokenStats _),
-    "q20_fingerprint"       -> (q20Fingerprint _),
-    "q21_multimodal_meta"   -> (q21MultimodalMeta _))
+    "q10_dedup_exact"        -> (q10DedupExact _),
+    "q11_ngram_jaccard"      -> (q11NgramJaccard _),
+    "q12_minhash_lsh"        -> (q12MinhashLsh _),
+    "q13_simhash_neardup"    -> (q13SimhashNearDup _),
+    "q14_embedding_neardup"  -> (q14EmbeddingNearDup _),
+    "q14b_embedding_lsh"     -> (q14bEmbeddingNearDupLsh _),
+    "q15_knn_brute"          -> (q15KnnBrute _),
+    "q16_knn_lsh"            -> (q16KnnLsh _),
+    "q17_lang_id"            -> (q17LangId _),
+    "q18_text_quality"       -> (q18TextQuality _),
+    "q19_token_stats"        -> (q19TokenStats _),
+    "q20_fingerprint"        -> (q20Fingerprint _),
+    "q21_multimodal_meta"    -> (q21MultimodalMeta _))
 
-  /** q12/q13/q16 are deliberately absent: xxhash64-based, not
-    * SQL-oracle-expressible → driver records rows-only checks.
-    */
   val oracleSql: Map[String, String] = Map(
-    "q10_dedup_exact"       -> q10Sql,
-    "q11_ngram_jaccard"     -> q11Sql,
-    "q14_embedding_neardup" -> q14Sql,
-    "q15_knn_brute"         -> q15Sql,
-    "q17_lang_id"           -> q17Sql,
-    "q18_text_quality"      -> q18Sql,
-    "q19_token_stats"       -> q19Sql,
-    "q20_fingerprint"       -> q20Sql,
-    "q21_multimodal_meta"   -> q21Sql)
+    "q10_dedup_exact"        -> q10Sql,
+    "q11_ngram_jaccard"      -> q11Sql,
+    "q12_minhash_lsh"        -> q12Sql,
+    "q13_simhash_neardup"    -> q13Sql,
+    "q14_embedding_neardup"  -> q14Sql,
+    "q14b_embedding_lsh"     -> q14bSql,
+    "q15_knn_brute"          -> q15Sql,
+    "q16_knn_lsh"            -> q16Sql,
+    "q17_lang_id"            -> q17Sql,
+    "q18_text_quality"       -> q18Sql,
+    "q19_token_stats"        -> q19Sql,
+    "q20_fingerprint"        -> q20Sql,
+    "q21_multimodal_meta"    -> q21Sql)
 }

@@ -49,6 +49,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"missing: ${exact -- lsh}")
   }
 
+  test("portable (md5) LSH variants keep the recall property and simhash dup detection") {
+    val corpus = Tables.documents(spark, TestSpark.sf)
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val lsh = Dedup.lshCandidatePairs(corpus, "doc_id", "text", 3, 64, 8, portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(lsh), s"missing: ${exact -- lsh}")
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3, portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((3L, 4L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
   test("simhash: identical text → distance 0; near-dup pairs found") {
     val sims = Dedup.simhashes(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
