@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{AnalyticsQueries, CheckQueries, ExtensionQueries, ParityQueries, SamplingQueries, TemporalQueries}
+import graft.queries.{AnalyticsQueries, CheckQueries, ExtensionQueries, JdbcQueries, ParityQueries, SamplingQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,11 +13,13 @@ object SparkEntry {
     * M5 training-data-pipeline extensions and analytics queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ ExtensionQueries.queries ++
-      AnalyticsQueries.queries ++ CheckQueries.queries ++ TemporalQueries.queries ++ SamplingQueries.queries
+      AnalyticsQueries.queries ++ CheckQueries.queries ++ TemporalQueries.queries ++
+      SamplingQueries.queries ++ JdbcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ ExtensionQueries.oracleSql ++
-      AnalyticsQueries.oracleSql ++ CheckQueries.oracleSql ++ TemporalQueries.oracleSql ++ SamplingQueries.oracleSql
+      AnalyticsQueries.oracleSql ++ CheckQueries.oracleSql ++ TemporalQueries.oracleSql ++
+      SamplingQueries.oracleSql ++ JdbcQueries.oracleSql
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Jdbc
+
+/** JDBC source/sink against embedded Derby (S2/S3 + S7-S9 over
+  * JDBC): drop-and-replace, append-with-delta, pushed-down SQL, and
+  * the partitioned parallel range-scan shape.
+  */
+class JdbcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val url = Jdbc.derbyUrl()
+
+  test("writeReplace drops and recreates; read-back count matches (S7+S9)") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    assert(Jdbc.writeReplace(df, url, "t_replace") == 3)
+    // replace again — not append
+    assert(Jdbc.writeReplace(df, url, "t_replace") == 3)
+    val back = Jdbc.readTable(spark, url, "t_replace")
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("writeAppend accumulates and returns this run's delta (S8+S9)") {
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "x")
+    Jdbc.writeReplace(df, url, "t_append")
+    assert(Jdbc.writeAppend(df, url, "t_append") == 2)
+    assert(Jdbc.readTable(spark, url, "t_append").count() == 4)
+  }
+
+  test("readQuery pushes SQL text to the database (S2): aggregate computed DB-side") {
+    val df = Seq((1L, 5L), (1L, 7L), (2L, 9L)).toDF("k", "x")
+    Jdbc.writeReplace(df, url, "t_query")
+    // identifiers quoted: Spark's JDBC writer creates case-sensitive
+    // quoted columns, which unquoted (auto-uppercased) refs miss
+    val agg = Jdbc.readQuery(spark, url,
+        """SELECT "k", SUM("x") AS "sx" FROM t_query GROUP BY "k"""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg == Map(1L -> 12L, 2L -> 9L))
+  }
+
+  test("readPartitioned fans a bounded range over N parallel scans") {
+    val df = spark.range(0, 100).select($"id", ($"id" * 2).as("x"))
+    Jdbc.writeReplace(df, url, "t_part")
+    val part = Jdbc.readPartitioned(spark, url, "t_part", "id", 0L, 100L, 4)
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.count() == 100)
+    assert(part.agg(sum("x")).head().getLong(0) == 9900L)
+  }
+
+  test("q35 round-trip reconciliation: zero variance on every region") {
+    val out = graft.queries.JdbcQueries
+      .q35JdbcRoundtrip(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(r.fieldIndex("variance")) == 0L))
+  }
+}
