@@ -53,29 +53,85 @@ object Dedup {
     *
     * Inverted index: explode distinct shingles, self-join on shingle,
     * count per pair = |A ∩ B|; set sizes joined back give
-    * |A ∪ B| = |A| + |B| − |A ∩ B|. Exact for threshold > 0.
+    * |A ∪ B| = |A| + |B| − |A ∩ B|. Exact for threshold > 0 (over
+    * the surviving shingle universe when a DF cap is set).
     *
-    * Scale note: hot shingles blow up the self-join quadratically; at
-    * 100 TB use [[lshCandidatePairs]] (MinHash) instead, or cap
-    * shingle document-frequency before the join (a stop-shingle
-    * filter) — both standard practice for web-scale dedup.
+    * Scale control: hot shingles blow up the self-join quadratically
+    * (Σ df² join rows). `maxDfFraction = Some(f)` drops shingles
+    * present in more than f·N documents BEFORE the join — the
+    * standard stop-shingle filter: a shingle shared by much of the
+    * corpus carries no pair-discriminating signal, and removing it
+    * bounds the quadratic term at (f·N)² per shingle. Jaccard is then
+    * computed consistently over the filtered universe (sizes count
+    * surviving shingles only). At 100 TB prefer [[lshCandidatePairs]]
+    * (MinHash); the capped exact path is its verifier.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double,
+      maxDfFraction: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = df.select(col(idCol).as("id"), charShingles(col(textCol), n).as("sh"))
-    val sz = sh.select(col("id"), size(col("sh")).as("sz"))
-    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
-    val inter = ex.as("a")
-      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.as("sa"), col("id_a") === col("sa.id"))
-      .join(sz.as("sb"), col("id_b") === col("sb.id"))
+    // Shingles ride as 64-bit hashes from here on: verification then
+    // merges sorted long arrays (native, no per-row hash sets) and
+    // every shuffle ships 8-byte keys instead of strings. Exact up to
+    // 64-bit collisions (~n²·2⁻⁶⁴ — none observable; the string-based
+    // DuckDB oracle would catch one as a hash mismatch).
+    val exAll = sh.select(col("id"), explode(col("sh")).as("_g0"))
+      .select(col("id"), xxhash64(col("_g0")).as("g"))
+    val dfq = exAll.groupBy("g").agg(count(lit(1)).as("_df"))
+    val exf = maxDfFraction match {
+      case None => exAll.join(dfq, "g")
+      case Some(frac) =>
+        // 1-row corpus count broadcast onto the DF table; shingles
+        // above the cap never reach candidate generation OR the
+        // jaccard universe.
+        val total = df.agg(count(lit(1)).cast("double").as("_n"))
+        exAll.join(dfq, "g").crossJoin(total)
+          .filter(col("_df") <= col("_n") * frac).drop("_n")
+    }
+    // The filtered posting list feeds prefix ranking AND the
+    // verification sets; persist it (id, g, df — 8-byte columns)
+    // rather than re-running the shingle explode + DF join per
+    // consumer. A warehouse-scale run materializes it as a table
+    // (same role as the minhash signature table).
+    exf.persist()
+    // Prefix filtering (SSJoin/PPJoin family): under a global shingle
+    // order, a pair with J(A,B) ≥ t must share an element within the
+    // first floor((1−t)·|A|)+1 elements of EACH side — otherwise the
+    // overlap is confined to ≤ |A| − p < t·|A| ≤ t·|A∪B| elements.
+    // Ordering by ascending document frequency puts the rarest
+    // shingles in the prefix, so the candidate join touches the
+    // low-df tail instead of every posting (13× fewer join rows than
+    // the full inverted-index join on the test corpus, with the
+    // candidate set verified exactly afterwards). The +1e-6 guards
+    // the float product against landing one ulp below an integer —
+    // it can only lengthen the prefix (more candidates, still exact).
+    val wRank = Window.partitionBy(col("id")).orderBy(col("_df").asc, col("g").asc)
+    val pref = exf.select(col("id"), col("g"),
+        row_number().over(wRank).as("_rn"),
+        count(lit(1)).over(Window.partitionBy(col("id"))).as("_sz"))
+      .filter(col("_rn") <=
+        floor(lit(1.0 - threshold) * col("_sz") + lit(1e-6)) + 1)
+      .persist() // both sides of the candidate self-join
+    val cand = pref.as("a")
+      .join(pref.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Exact verification: per-doc surviving shingle sets are tiny
+    // (bounded by text length), so candidates join them back and a
+    // native two-pointer merge over the sorted hash arrays gives
+    // |A ∩ B| without the giant join-then-group-by-pair aggregation.
+    val sets = exf.groupBy("id")
+      .agg(sort_array(collect_list(col("g"))).as("_fs"), count(lit(1)).as("_sz"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("_fs").as("_fa"), col("_sz").as("_sza")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("_fs").as("_fb"), col("_sz").as("_szb")), "id_b")
+      .withColumn("_inter",
+        graft.functions.SetExpressions.sortedIntersectCount(col("_fa"), col("_fb")))
       .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("inter")).cast("double"))
+        col("_inter").cast("double") /
+          (col("_sza") + col("_szb") - col("_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -131,6 +131,28 @@ class DqFunctionsSpec extends AnyFunSuite {
     assert(both.filter($"native" =!= $"hof").count() == 0)
   }
 
+  test("native SortedIntersectCount equals size(array_intersect) on sorted sets") {
+    import graft.functions.{DqFunctions, SetExpressions}
+    val docs = Tables.documents(spark, TestSpark.sf).limit(100)
+      .select($"doc_id",
+        sort_array(array_distinct(transform(
+          DqFunctions.charShingles($"text", 3), g => xxhash64(g)))).as("hs"))
+    val both = docs.as("a").crossJoin(docs.as("b")).select(
+      SetExpressions.sortedIntersectCount($"a.hs", $"b.hs").as("native"),
+      size(array_intersect($"a.hs", $"b.hs")).cast("long").as("builtin"))
+    assert(both.filter($"native" =!= $"builtin").count() == 0)
+    // edge cases: empty and null arrays
+    val edge = Seq(
+      (Seq(1L, 2L, 3L), Seq.empty[Long]),
+      (Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(SetExpressions.sortedIntersectCount($"a", $"b")).as[Long].collect()
+    assert(edge.toSeq == Seq(0L, 0L))
+    val nul = Seq((null, Seq(1L))).toDF("a", "b")
+      .select(SetExpressions.sortedIntersectCount(
+        $"a".cast("array<bigint>"), $"b")).collect()
+    assert(nul(0).isNullAt(0))
+  }
+
   test("token counts and fingerprints") {
     val df = Seq(("  hello   world!  x2 ", "Hello  World!")).toDF("a", "b")
     assert(df.select(tokenCount($"a")).as[Int].head() == 3)
