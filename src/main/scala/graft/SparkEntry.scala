@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{AnalyticsQueries, CheckQueries, ExtensionQueries, JdbcQueries, ParityQueries, SamplingQueries, TemporalQueries}
+import graft.queries.{AnalyticsQueries, CheckQueries, ExtensionQueries, JdbcQueries, ParityQueries, SamplingQueries, ScaleQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,12 +14,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ ExtensionQueries.queries ++
       AnalyticsQueries.queries ++ CheckQueries.queries ++ TemporalQueries.queries ++
-      SamplingQueries.queries ++ JdbcQueries.queries
+      SamplingQueries.queries ++ JdbcQueries.queries ++ ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ ExtensionQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++ CheckQueries.oracleSql ++ TemporalQueries.oracleSql ++
-      SamplingQueries.oracleSql ++ JdbcQueries.oracleSql
+      SamplingQueries.oracleSql ++ JdbcQueries.oracleSql ++ ScaleQueries.oracleSql
 }

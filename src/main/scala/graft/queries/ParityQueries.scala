@@ -109,19 +109,34 @@ object ParityQueries {
 
   // ---------------------------------------------------------------
   // q03 — pivot long→wide by table with MAX (A4 + P8), explicit
-  // pivot values for a single deterministic pass.
+  // pivot values for a single deterministic pass. The pivot key is
+  // (facility_id, facility_name), exactly the reference's composite
+  // key (data_consistency_checks.py:125,144): the name dimension is
+  // broadcast onto the long frame before pivoting.
   // ---------------------------------------------------------------
   private val PivotTables = Seq("orders", "lineitem", "events")
+  private val PivotKeys = Seq("facility_id", "facility_name")
+
+  /** The long fan-out frame with the facility-name dimension attached
+    * (nation is dim-sized → broadcast join, no shuffle).
+    */
+  private def longWithNames(spark: SparkSession, d: String): DataFrame = {
+    val names = Tables.nation(spark, d).select(
+      col("n_nationkey").cast("int").as("facility_id"),
+      col("n_name").as("facility_name"))
+    q02FanoutCounts(spark, d).join(broadcast(names), Seq("facility_id"), "left")
+  }
 
   def q03PivotMax(spark: SparkSession, d: String): DataFrame =
-    Freshness.pivotMaxDates(q02FanoutCounts(spark, d), Seq("facility_id"), PivotTables)
+    Freshness.pivotMaxDates(longWithNames(spark, d), PivotKeys, PivotTables)
 
   private val pivotSql: String =
-    s"""SELECT CAST(facility_id AS INT) AS facility_id,
+    s"""SELECT CAST(facility_id AS INT) AS facility_id, n_name AS facility_name,
        |  MAX(CASE WHEN table_name = 'orders' THEN max_date END) AS orders_max_date,
        |  MAX(CASE WHEN table_name = 'lineitem' THEN max_date END) AS lineitem_max_date,
        |  MAX(CASE WHEN table_name = 'events' THEN max_date END) AS events_max_date
-       |FROM long_fmt GROUP BY facility_id""".stripMargin
+       |FROM long_fmt LEFT JOIN nation ON facility_id = n_nationkey
+       |GROUP BY 1, 2""".stripMargin
 
   val q03Sql: String = s"WITH long_fmt AS (\n$q02Sql\n)\n$pivotSql"
 
@@ -133,7 +148,7 @@ object ParityQueries {
   // ---------------------------------------------------------------
   def q04FreshnessReport(spark: SparkSession, d: String): DataFrame =
     Freshness.freshnessReport(
-      q03PivotMax(spark, d), Seq("facility_id"), PivotTables, to_date(lit(RunDate)))
+      q03PivotMax(spark, d), PivotKeys, PivotTables, to_date(lit(RunDate)))
 
   val q04Sql: String =
     s"""WITH long_fmt AS (
@@ -152,7 +167,8 @@ object ParityQueries {
        |    list_sum(list_transform(xs, x -> x * x)) AS s2
        |  FROM o
        |)
-       |SELECT facility_id, orders_max_date, lineitem_max_date, events_max_date,
+       |SELECT facility_id, facility_name,
+       |  orders_max_date, lineitem_max_date, events_max_date,
        |  CASE WHEN n >= 2 THEN round_even(sqrt(greatest((s2 - s * s / n) / (n - 1), 0.0)), 0)
        |       ELSE NULL END AS std_dev,
        |  DATE '$RunDate' AS date_created

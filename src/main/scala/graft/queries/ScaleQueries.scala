@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Skew
+
+/** Scale-mechanics queries: the operators whose whole point is the
+  * 100 TB plan shape, pinned by oracles on the same semantics.
+  *
+  *  - q36: exact distinct count over a skewed key, computed with
+  *    value-hash salting (two-level aggregation). The oracle is the
+  *    plain COUNT(DISTINCT …) — identical answers, structurally
+  *    skew-proof plan (PlanShapeSpec asserts the two-level split).
+  *  - q37: date-partitioned at-rest layout + partition pruning: the
+  *    events table is written `partitionBy(event_date)` and read
+  *    back through a partition filter; only the matching directory
+  *    is scanned (PlanShapeSpec asserts exactly one selected
+  *    partition). The oracle recomputes from the flat parquet.
+  */
+object ScaleQueries {
+
+  def q36SaltedDistinct(spark: SparkSession, d: String): DataFrame =
+    Skew.saltedDistinctCount(
+      Tables.events(spark, d), Seq("event_type"), "user_id", nSalts = 8)
+
+  val q36Sql: String =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_count
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+
+  private val PruneDate = "2024-01-05"
+
+  /** Events rewritten date-partitioned (one file per date via a
+    * pre-write repartition on the partition column), per-process
+    * scratch dir under target/.
+    */
+  private[graft] def partitionedEventsDir(d: String): String =
+    s"target/prune/pid-${ProcessHandle.current().pid()}/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_by_date"
+
+  private[graft] def writePartitionedEvents(spark: SparkSession, d: String): String = {
+    val dir = partitionedEventsDir(d)
+    Tables.events(spark, d)
+      .withColumn("event_date", to_date(col("ts")))
+      .repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    dir
+  }
+
+  def q37PartitionPruning(spark: SparkSession, d: String): DataFrame = {
+    val dir = writePartitionedEvents(spark, d)
+    spark.read.parquet(dir)
+      .filter(col("event_date") === to_date(lit(PruneDate)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("record_count"), max(col("ts")).as("max_ts"))
+  }
+
+  val q37Sql: String =
+    s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS record_count,
+       |  CAST(MAX(ts) AS TIMESTAMP) AS max_ts
+       |FROM events WHERE CAST(ts AS DATE) = DATE '$PruneDate'
+       |GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_salted_distinct"   -> (q36SaltedDistinct _),
+    "q37_partition_pruning" -> (q37PartitionPruning _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q36_salted_distinct"   -> q36Sql,
+    "q37_partition_pruning" -> q37Sql)
+}

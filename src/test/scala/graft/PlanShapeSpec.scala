@@ -46,6 +46,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("vectordotproduct") || p.contains("VectorDotProduct"))
   }
 
+  test("q36: salted distinct splits the hot key across two aggregation levels") {
+    val p = plan(graft.queries.ScaleQueries.q36SaltedDistinct(spark, d))
+    assert(p.contains("_salt"), "salt column must appear in the grouping")
+    // two-level shape: a distinct-count per (key, salt) then a sum per key
+    assert(p.contains("partial_sum") || p.contains("sum(_dc"),
+      "per-salt partials must recombine with a sum")
+  }
+
+  test("q37: the date filter prunes partitions at the scan (one directory read)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = graft.queries.ScaleQueries.writePartitionedEvents(spark, d)
+    val q = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("event_date") === "2024-01-05")
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.partitionFilters.nonEmpty, "filter must become a PartitionFilter")
+    val nParts = scan.selectedPartitions.partitionCount
+    assert(nParts == 1,
+      s"exactly one of 30 date partitions should survive pruning, got $nParts")
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
