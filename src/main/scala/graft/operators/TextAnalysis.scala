@@ -88,6 +88,65 @@ object TextAnalysis {
         sum(bpeishTokenCount(col(textCol)).cast("bigint")).as("total_bpeish_tokens"),
         sum(length(col(textCol)).cast("bigint")).as("total_chars"))
 
+  /** Repetition signals (the Gopher/C4-style quality filters):
+    * documents dominated by repeated lines or a single over-frequent
+    * word are boilerplate/spam candidates.
+    *
+    *  - dup_line_frac: 1 − distinct lines / lines ('\n'-split);
+    *  - top_word_frac: occurrences of the most frequent whitespace
+    *    token / total tokens;
+    *  - dup_ngram_frac: 1 − distinct word bigrams / word bigrams.
+    *
+    * All per-row HOF expressions (no shuffle); the top-word pass is
+    * O(distinct·tokens) per row — fine for documents, and the whole
+    * computation stays engine-portable for the oracle.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val toks = regexp_extract_all(t, lit("\\S+"), lit(0))
+    val bigrams = wordShinglesWithDups(t, 2)
+    val topCount = array_max(transform(array_distinct(toks),
+      w => size(filter(toks, x => x === w))))
+    df.select(
+      col(idCol),
+      size(lines).cast("bigint").as("n_lines"),
+      (lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
+        .as("dup_line_frac"),
+      when(size(toks) > 0, topCount.cast("double") / size(toks).cast("double"))
+        .otherwise(lit(0.0)).as("top_word_frac"),
+      when(size(bigrams) > 0,
+        lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams).cast("double"))
+        .otherwise(lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  /** Word n-grams WITH duplicates preserved (repetition analysis
+    * needs multiplicity; [[graft.functions.DqFunctions.wordShingles]]
+    * deduplicates for set similarity). Empty/whitespace text → empty.
+    */
+  private[graft] def wordShinglesWithDups(text: Column, n: Int): Column = {
+    val toks = regexp_extract_all(text, lit("\\S+"), lit(0))
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-group EXACT token-count quantiles (p50/p90/p99): the
+    * length-distribution drift signal. Exact `percentile` (linear
+    * interpolation at p·(n−1)) matches DuckDB's quantile_cont, so
+    * the result is oracle-checkable; at warehouse scale swap in
+    * percentile_approx and drop the oracle to rows-only.
+    */
+  def tokenQuantiles(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.select(col(groupCol), tokenCount(col(textCol)).as("_n"))
+      .groupBy(col(groupCol))
+      .agg(
+        expr("percentile(_n, 0.5)").as("p50_tokens"),
+        expr("percentile(_n, 0.9)").as("p90_tokens"),
+        expr("percentile(_n, 0.99)").as("p99_tokens"))
+
   /** Document fingerprints: sha256 of whitespace-normalized lowercase
     * text (content-defined, engine-portable) plus a cheap 64-bit
     * xxhash for in-engine joins.

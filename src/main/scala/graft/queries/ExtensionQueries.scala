@@ -404,6 +404,47 @@ object ExtensionQueries {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------
+  // q38 — repetition quality signals (Gopher/C4-style boilerplate
+  // filters): duplicate-line fraction, top-word fraction, duplicate
+  // word-bigram fraction. Pure per-row HOFs, oracle-mirrored.
+  // ---------------------------------------------------------------
+  def q38Repetition(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionSignals(Tables.documents(spark, d), "doc_id", "text")
+
+  val q38Sql: String =
+    """WITH base AS (SELECT doc_id, text,
+      |    string_split(text, chr(10)) AS ln,
+      |    regexp_extract_all(text, '\S+') AS tk,
+      |    [tk[i] || ' ' || tk[i + 1] for i in range(1, len(regexp_extract_all(text, '\S+')))] AS bg
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(ln) AS BIGINT) AS n_lines,
+      |  1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / CAST(len(ln) AS DOUBLE) AS dup_line_frac,
+      |  CASE WHEN len(tk) > 0 THEN
+      |    CAST(list_max(list_transform(list_distinct(tk),
+      |      w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+      |  ELSE 0.0 END AS top_word_frac,
+      |  CASE WHEN len(bg) > 0 THEN
+      |    1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+      |  ELSE 0.0 END AS dup_bigram_frac
+      |FROM base""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q39 — per-language exact token-count quantiles (length-
+  // distribution drift). Exact percentile (linear interpolation at
+  // p·(n−1)) == DuckDB quantile_cont.
+  // ---------------------------------------------------------------
+  def q39TokenQuantiles(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenQuantiles(Tables.documents(spark, d), "lang", "text")
+
+  val q39Sql: String =
+    """SELECT lang,
+      |  quantile_cont(len(regexp_extract_all(text, '\S+')), 0.5) AS p50_tokens,
+      |  quantile_cont(len(regexp_extract_all(text, '\S+')), 0.9) AS p90_tokens,
+      |  quantile_cont(len(regexp_extract_all(text, '\S+')), 0.99) AS p99_tokens
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_dedup_exact"        -> (q10DedupExact _),
@@ -418,7 +459,9 @@ object ExtensionQueries {
     "q18_text_quality"       -> (q18TextQuality _),
     "q19_token_stats"        -> (q19TokenStats _),
     "q20_fingerprint"        -> (q20Fingerprint _),
-    "q21_multimodal_meta"    -> (q21MultimodalMeta _))
+    "q21_multimodal_meta"    -> (q21MultimodalMeta _),
+    "q38_repetition"         -> (q38Repetition _),
+    "q39_token_quantiles"    -> (q39TokenQuantiles _))
 
   val oracleSql: Map[String, String] = Map(
     "q10_dedup_exact"        -> q10Sql,
@@ -433,5 +476,7 @@ object ExtensionQueries {
     "q18_text_quality"       -> q18Sql,
     "q19_token_stats"        -> q19Sql,
     "q20_fingerprint"        -> q20Sql,
-    "q21_multimodal_meta"    -> q21Sql)
+    "q21_multimodal_meta"    -> q21Sql,
+    "q38_repetition"         -> q38Sql,
+    "q39_token_quantiles"    -> q39Sql)
 }

@@ -90,6 +90,58 @@ object StreamingFreshness {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Gap-based streaming sessionization via the built-in
+    * `session_window`: the streaming counterpart of
+    * `Temporal.sessionize`. A session's state is emitted and dropped
+    * once the watermark passes its close (start-gap merge handled by
+    * the engine); state is bounded by open sessions, not input volume.
+    */
+  def sessionizedCounts(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      gap: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"))
+
+  final case class VolumeState(count: Long, alerted: Boolean)
+  final case class VolumeAlert(event_type: String, total_count: Long)
+
+  /** Threshold-crossing alert stream (`flatMapGroupsWithState`):
+    * emits ONE alert per event_type the first time its running count
+    * reaches `threshold`, and nothing afterwards — 0-or-1 outputs per
+    * group per batch, the variable-arity contract that
+    * `mapGroupsWithState` (exactly one output) cannot express.
+    */
+  def volumeAlerts(
+      spark: SparkSession,
+      events: DataFrame,
+      threshold: Long): Dataset[VolumeAlert] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    events.select(col("event_type")).as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[VolumeState, VolumeAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[String], state: GroupState[VolumeState]) =>
+          val prev = state.getOption.getOrElse(VolumeState(0L, alerted = false))
+          val total = prev.count + batch.size
+          if (!prev.alerted && total >= threshold) {
+            state.update(VolumeState(total, alerted = true))
+            Iterator.single(VolumeAlert(key, total))
+          } else {
+            state.update(VolumeState(total, prev.alerted))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming reconciliation precursor: per-site running counts
     * (PPE's census as a continuously-maintained aggregate).
     */

@@ -90,6 +90,47 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 2) // keys 1 and 2, once each
   }
 
+  test("streaming sessionization: session_window closes on gap, emits on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val sq = StreamingFreshness.sessionizedCounts(
+        stream.toDF().toDF("ts", "user_id"), "user_id", "30 minutes", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .start()
+    stream.addData(Seq(
+      (t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:10:00"), 1L),  // one session
+      (t("2024-01-01 12:00:00"), 1L)))                                  // second session
+    sq.processAllAvailable()
+    stream.addData(Seq((t("2024-01-01 15:00:00"), 2L)))  // advance watermark → close both
+    sq.processAllAvailable()
+    sq.stop()
+    val rows = spark.table("sess_out")
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(rows.contains((1L, 2L)), "first session has 2 events")
+    assert(rows.contains((1L, 1L)), "second session has 1 event")
+  }
+
+  test("volume alerts fire exactly once per key on threshold crossing (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val sq = StreamingFreshness.volumeAlerts(
+        spark, stream.toDF().toDF("event_type"), threshold = 3L)
+      .writeStream.outputMode("append").format("memory").queryName("alert_out")
+      .start()
+    stream.addData(Seq("click", "click", "view"))      // click=2, view=1: no alert
+    sq.processAllAvailable()
+    assert(spark.table("alert_out").count() == 0)
+    stream.addData(Seq("click", "view"))               // click crosses 3 → one alert
+    sq.processAllAvailable()
+    val a1 = spark.table("alert_out").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a1.toSeq == Seq(("click", 3L)))
+    stream.addData(Seq("click", "click"))              // already alerted: silent
+    sq.processAllAvailable()
+    sq.stop()
+    assert(spark.table("alert_out").count() == 1, "alert must not re-fire")
+  }
+
   test("streaming freshness: memory-stream run matches batch run (unified API)") {
     implicit val sqlCtx = spark.sqlContext
     val batch = Tables.events(spark, TestSpark.sf)
