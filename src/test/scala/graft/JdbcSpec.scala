@@ -52,6 +52,29 @@ class JdbcSpec extends AnyFunSuite {
     assert(part.agg(sum("x")).head().getLong(0) == 9900L)
   }
 
+  test("connection config resolves env → url/props with override precedence (S10)") {
+    import graft.sources.ConnectionConfig
+    val fromRefEnv = ConnectionConfig.fromEnv(env = Map(
+      "DB_TYPE" -> "mysql", "DB_HOSTNAME" -> "db.example", "DB_PORT" -> "3306",
+      "DB_DATABASE" -> "warehouse", "DB_USERNAME" -> "etl", "DB_PASSWORD" -> "s3cret"))
+    assert(fromRefEnv.jdbcUrl == "jdbc:mysql://db.example:3306/warehouse")
+    assert(fromRefEnv.jdbcDriver == "com.mysql.cj.jdbc.Driver")
+    assert(fromRefEnv.jdbcProps.getProperty("user") == "etl")
+    // override beats env; defaults fill the rest (embedded derby)
+    val overridden = ConnectionConfig.fromEnv(
+      env = Map("DB_TYPE" -> "mysql"), overrides = Map("DB_TYPE" -> "derby"))
+    assert(overridden.jdbcUrl.startsWith("jdbc:derby:target/derby/"))
+    assert(overridden.jdbcProps.getProperty("driver") == "org.apache.derby.jdbc.EmbeddedDriver")
+  }
+
+  test("config-resolved connection drives a real Derby round-trip (S10 end-to-end)") {
+    import graft.sources.ConnectionConfig
+    val cfg = ConnectionConfig.fromEnv(env = Map.empty)
+    val df = Seq((1L, "x")).toDF("id", "v")
+    assert(Jdbc.writeReplace(df, cfg.jdbcUrl, "t_cfg", cfg.jdbcProps) == 1)
+    assert(Jdbc.readTable(spark, cfg.jdbcUrl, "t_cfg", cfg.jdbcProps).count() == 1)
+  }
+
   test("q35 round-trip reconciliation: zero variance on every region") {
     val out = graft.queries.JdbcQueries
       .q35JdbcRoundtrip(spark, TestSpark.sf).collect()
