@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{MinhashFromBase, SimhashFromHashesExpr, SortedIntersectCount, VectorDotProduct}
+import graft.functions.DqFunctions
+
+/** SparkSessionExtensions entry point: injects the engine's native
+  * expressions as SQL functions at session build time, so a cluster
+  * enables the whole surface with configuration only —
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * — no driver-side `registerAll` call required (that path,
+  * [[graft.functions.GraftFunctionRegistry]], remains for notebook
+  * sessions that already exist). Injection happens before analysis,
+  * so the functions resolve in views, streaming queries, and
+  * thriftserver SQL alike.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      info("vector_dot", "vector_dot(a, b) - double dot product of two numeric arrays"),
+      (exprs: Seq[Expression]) => VectorDotProduct(exprs(0), exprs(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |A ∩ B| for ascending-sorted bigint arrays"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(hashes) - 64-bit simhash of a bigint token-hash array"),
+      (exprs: Seq[Expression]) => SimhashFromHashesExpr(exprs(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash64"),
+      info("minhash64", "minhash64(baseHashes) - 64-component minhash signature"),
+      (exprs: Seq[Expression]) => {
+        val coeffs = DqFunctions.minhashCoeffs(64)
+        MinhashFromBase(exprs(0), coeffs.map(_._1).toArray,
+          coeffs.map(_._2).toArray, DqFunctions.MinhashPrime)
+      }))
+  }
+}

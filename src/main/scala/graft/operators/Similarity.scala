@@ -85,19 +85,52 @@ object Similarity {
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       array_max(scored).getField("c").as("cell"))
     // probe list: query's nprobe nearest centroids (driver math)
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      val d = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = math.sqrt(a.map(x => x * x).sum)
-      val nb = math.sqrt(b.map(x => x * x).sum)
-      if (na > 0 && nb > 0) d / (na * nb) else -1.0
-    }
-    val probed = cents.sortBy { case (_, c) => -cos(query, c) }
+    val probed = cents.sortBy { case (_, c) => -cosDriver(query, c) }
       .take(nprobe).map(_._1)
     assigned
       .filter(col("cell").isin(probed: _*))
       .select(col("id"), cosineToQuery(col("v"), query).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** IVF with k-means-TRAINED centroids (MLlib `KMeans`, cosine
+    * distance, fixed seed): the production variant of [[ivfTopK]]'s
+    * deterministic-sample centroids. Training is a one-time batch job
+    * (at scale: persist the model and reuse across queries); the
+    * assignment/probe machinery is identical — cells come from
+    * `model.transform`, the query probes its `nprobe` nearest
+    * centroids, and only probed cells are scanned exactly.
+    */
+  def ivfTopKKMeans(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setDistanceMeasure("cosine")
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(feats)
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => i -> c.toArray.toSeq }
+    val probed = cents.sortBy { case (_, c) => -cosDriver(query, c) }
+      .take(nprobe).map(_._1)
+    model.transform(feats)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("id"), cosineToQuery(col("v"), query).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Driver-side cosine for centroid ranking (config-sized inputs). */
+  private def cosDriver(a: Seq[Double], b: Seq[Double]): Double = {
+    val d = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    if (na > 0 && nb > 0) d / (na * nb) else -1.0
   }
 
   /** Element-type-agnostic driver-side vector extraction (ARRAY<FLOAT>
