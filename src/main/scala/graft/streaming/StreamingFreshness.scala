@@ -142,6 +142,31 @@ object StreamingFreshness {
       }
   }
 
+  /** Watermarked stream-stream interval join: attribute each `click`
+    * to the `view`s by the same user within the preceding
+    * `attributionWindow`. Both sides carry watermarks and the join
+    * condition bounds click_ts ∈ [view_ts, view_ts + window], so the
+    * engine can prove when buffered view state is unmatchable and
+    * drop it — the contract that makes stream-stream joins run with
+    * bounded state at any input rate.
+    */
+  def attributedClicks(
+      events: DataFrame,
+      attributionWindow: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermarkDelay)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    clicks.join(views,
+      expr(s"""c_user = v_user
+              |AND click_ts >= view_ts
+              |AND click_ts <= view_ts + INTERVAL $attributionWindow""".stripMargin))
+      .select(col("c_user").as("user_id"), col("view_ts"), col("click_ts"))
+  }
+
   /** Streaming reconciliation precursor: per-site running counts
     * (PPE's census as a continuously-maintained aggregate).
     */

@@ -131,6 +131,27 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(spark.table("alert_out").count() == 1, "alert must not re-fire")
   }
 
+  test("stream-stream interval join: clicks attribute to in-window views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val sq = StreamingFreshness.attributedClicks(
+        stream.toDF().toDF("ts", "event_type", "user_id"), "30 minutes", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("attr_out")
+      .start()
+    stream.addData(Seq(
+      (t("2024-01-01 10:00:00"), "view",  1L),
+      (t("2024-01-01 10:10:00"), "click", 1L),   // in window → attributed
+      (t("2024-01-01 11:30:00"), "click", 1L),   // 90 min later → not attributed
+      (t("2024-01-01 10:05:00"), "click", 2L)))  // other user → no view
+    sq.processAllAvailable()
+    sq.stop()
+    val rows = spark.table("attr_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+    assert(rows == Set((1L, t("2024-01-01 10:10:00"))),
+      "exactly the in-window same-user click attributes")
+  }
+
   test("streaming freshness: memory-stream run matches batch run (unified API)") {
     implicit val sqlCtx = spark.sqlContext
     val batch = Tables.events(spark, TestSpark.sf)
