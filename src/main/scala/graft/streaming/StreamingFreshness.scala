@@ -142,6 +142,46 @@ object StreamingFreshness {
       }
   }
 
+  /** First-seen filter over keys with native state TTL — the Spark 4
+    * `transformWithState` API (StatefulProcessor + ValueState +
+    * TTLConfig): emits a key's FIRST occurrence, suppresses repeats
+    * until the state's TTL expires, after which the key may be
+    * emitted again. State expiry is handled by the store itself (no
+    * watermark coupling) — the production shape for "dedup within a
+    * retention horizon" when the horizon is wall-clock, not
+    * event-time. Requires the RocksDB state store provider.
+    */
+  class FirstSeenProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, Long] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", Encoders.scalaBoolean, TTLConfig(ttl))
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Long], timerValues: TimerValues): Iterator[Long] =
+      if (seen.exists()) Iterator.empty
+      else { seen.update(true); Iterator.single(key) }
+  }
+
+  /** Streaming TTL dedup via [[FirstSeenProcessor]]. */
+  def dedupStreamTtl(
+      spark: SparkSession,
+      events: DataFrame,
+      keyCol: String,
+      ttl: java.time.Duration): Dataset[Long] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events.select(col(keyCol).cast("long")).as[Long]
+      .groupByKey(identity)
+      .transformWithState(new FirstSeenProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Watermarked stream-stream interval join: attribute each `click`
     * to the `view`s by the same user within the preceding
     * `attributionWindow`. Both sides carry watermarks and the join

@@ -131,6 +131,48 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(spark.table("alert_out").count() == 1, "alert must not re-fire")
   }
 
+  test("transformWithState TTL dedup: first occurrence emitted, repeats suppressed") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // state partition count binds from this conf at query start; each
+    // RocksDB instance checkpoints through Hadoop's shell-exec'd
+    // chmod per file, so 32 instances make a toy query take minutes
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    // processing-time TTL otherwise schedules no-data micro-batches
+    // forever (to advance time for eviction), so processAllAvailable
+    // never settles; TTL stays enforced lazily on state reads
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val stream = MemoryStream[Long]
+      val sq = StreamingFreshness.dedupStreamTtl(
+          spark, stream.toDF().toDF("doc_key"), "doc_key",
+          java.time.Duration.ofHours(1))
+        .writeStream.outputMode("append").format("memory").queryName("ttl_out")
+        .start()
+      stream.addData(Seq(1L, 1L, 2L))  // dup within batch
+      sq.processAllAvailable()
+      stream.addData(Seq(1L, 3L))      // dup across batches + new key
+      sq.processAllAvailable()
+      sq.stop()
+      val out = spark.table("ttl_out").as[Long].collect().sorted.toSeq
+      assert(out == Seq(1L, 2L, 3L), s"each key exactly once, got $out")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join: clicks attribute to in-window views only") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
