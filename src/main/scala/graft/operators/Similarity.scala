@@ -119,7 +119,7 @@ object Similarity {
     val probed = cents.sortBy { case (_, c) => -cosDriver(query, c) }
       .take(nprobe).map(_._1)
     model.transform(feats)
-      .filter(col("cell").isin(probed: _*))
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
       .select(col("id"), cosineToQuery(col("v"), query).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
