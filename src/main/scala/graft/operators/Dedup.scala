@@ -77,8 +77,12 @@ object Dedup {
     // every shuffle ships 8-byte keys instead of strings. Exact up to
     // 64-bit collisions (~n²·2⁻⁶⁴ — none observable; the string-based
     // DuckDB oracle would catch one as a hash mismatch).
+    // The raw posting list feeds BOTH the DF aggregate and the join
+    // back onto it; persisting the (id, 8-byte hash) pairs runs the
+    // shingle explode — the scan-heavy part — once instead of twice.
     val exAll = sh.select(col("id"), explode(col("sh")).as("_g0"))
       .select(col("id"), xxhash64(col("_g0")).as("g"))
+      .persist()
     val dfq = exAll.groupBy("g").agg(count(lit(1)).as("_df"))
     val exf = maxDfFraction match {
       case None => exAll.join(dfq, "g")
