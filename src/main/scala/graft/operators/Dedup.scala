@@ -71,17 +71,20 @@ object Dedup {
       n: Int, threshold: Double,
       maxDfFraction: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = df.select(col(idCol).as("id"), charShingles(col(textCol), n).as("sh"))
-    // Shingles ride as 64-bit hashes from here on: verification then
-    // merges sorted long arrays (native, no per-row hash sets) and
-    // every shuffle ships 8-byte keys instead of strings. Exact up to
+    // Shingles ride as 64-bit hashes from the very first pass: the
+    // native expression hashes each n-char window's UTF-8 byte slice
+    // in place (bit-equal to xxhash64-of-substring — same bytes, same
+    // seed — without materializing any shingle string or string hash
+    // set), verification then merges sorted long arrays, and every
+    // shuffle ships 8-byte keys instead of strings. Exact up to
     // 64-bit collisions (~n²·2⁻⁶⁴ — none observable; the string-based
     // DuckDB oracle would catch one as a hash mismatch).
     // The raw posting list feeds BOTH the DF aggregate and the join
     // back onto it; persisting the (id, 8-byte hash) pairs runs the
-    // shingle explode — the scan-heavy part — once instead of twice.
-    val exAll = sh.select(col("id"), explode(col("sh")).as("_g0"))
-      .select(col("id"), xxhash64(col("_g0")).as("g"))
+    // shingle scan once instead of twice.
+    val exAll = df.select(col(idCol).as("id"),
+        explode(graft.functions.NgramHashExpression
+          .distinctNgramHashes(col(textCol), n)).as("g"))
       .persist()
     val dfq = exAll.groupBy("g").agg(count(lit(1)).as("_df"))
     val exf = maxDfFraction match {

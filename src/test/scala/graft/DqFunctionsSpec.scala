@@ -131,6 +131,22 @@ class DqFunctionsSpec extends AnyFunSuite {
     assert(both.filter($"native" =!= $"hof").count() == 0)
   }
 
+  test("native DistinctNgramHashes equals xxhash64 over charShingles (incl. multi-byte text)") {
+    import graft.functions.{DqFunctions, NgramHashExpression}
+    val docs = Tables.documents(spark, TestSpark.sf).limit(300)
+      .select($"doc_id", $"text")
+      .union(Seq((90001L, "的是了在中文三字组"), (90002L, "ab"), (90003L, ""))
+        .toDF("doc_id", "text"))
+    val both = docs.select(
+      sort_array(NgramHashExpression.distinctNgramHashes($"text", 3)).as("native"),
+      sort_array(array_distinct(transform(
+        DqFunctions.charShingles($"text", 3), g => xxhash64(g)))).as("composed"))
+    assert(both.filter($"native" =!= $"composed").count() == 0)
+    val nul = Seq(Tuple1(null: String)).toDF("text")
+      .select(NgramHashExpression.distinctNgramHashes($"text", 3)).collect()
+    assert(nul(0).isNullAt(0))
+  }
+
   test("native SortedIntersectCount equals size(array_intersect) on sorted sets") {
     import graft.functions.{DqFunctions, SetExpressions}
     val docs = Tables.documents(spark, TestSpark.sf).limit(100)
