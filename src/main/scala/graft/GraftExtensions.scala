@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinhashFromBase, SimhashFromHashesExpr, SortedIntersectCount, VectorDotProduct}
+import graft.functions.{DistinctNgramHashes, MinhashFromBase, SimhashFromHashesExpr, SortedIntersectCount, VectorDotProduct}
 import graft.functions.DqFunctions
 
 /** SparkSessionExtensions entry point: injects the engine's native
@@ -38,6 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b) - |A ∩ B| for ascending-sorted bigint arrays"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("distinct_ngram_hashes"),
+      info("distinct_ngram_hashes",
+        "distinct_ngram_hashes(text, n) - distinct n-gram XXH64 hashes, one pass"),
+      (exprs: Seq[Expression]) => DistinctNgramHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
 
     ext.injectFunction((
       FunctionIdentifier("simhash64"),

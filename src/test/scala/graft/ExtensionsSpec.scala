@@ -27,11 +27,13 @@ class ExtensionsSpec extends AnyFunSuite {
           |  vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
           |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS c,
           |  simhash64(array(7L)) AS s,
-          |  size(minhash64(array(123L))) AS k""".stripMargin).head()
+          |  size(minhash64(array(123L))) AS k,
+          |  size(distinct_ngram_hashes('abcab', 3)) AS g""".stripMargin).head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getLong(1) == 2L)
       assert(r.getLong(2) == 7L, "single token hash: its own bits win every vote")
       assert(r.getInt(3) == 64)
+      assert(r.getInt(4) == 3, "abc, bca, cab — all distinct trigrams of 'abcab'")
     } finally {
       // never ext.stop() — it shares the suite-wide SparkContext
       SparkSession.setDefaultSession(base)
