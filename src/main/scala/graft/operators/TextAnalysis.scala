@@ -106,18 +106,34 @@ object TextAnalysis {
     val lines = split(t, "\n")
     val toks = regexp_extract_all(t, lit("\\S+"), lit(0))
     val bigrams = wordShinglesWithDups(t, 2)
-    val topCount = array_max(transform(array_distinct(toks),
-      w => size(filter(toks, x => x === w))))
-    df.select(
+    val perRow = df.select(
       col(idCol),
       size(lines).cast("bigint").as("n_lines"),
       (lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
         .as("dup_line_frac"),
-      when(size(toks) > 0, topCount.cast("double") / size(toks).cast("double"))
-        .otherwise(lit(0.0)).as("top_word_frac"),
+      size(toks).cast("bigint").as("_n_toks"),
       when(size(bigrams) > 0,
         lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams).cast("double"))
         .otherwise(lit(0.0)).as("dup_bigram_frac"))
+    // Top-word multiplicity via explode + two-level aggregation:
+    // linear in tokens and shuffles only (id, token-hash) partials —
+    // the per-row HOF alternative (count each distinct token by
+    // rescanning the array) is O(distinct·tokens) per row, quadratic
+    // on exactly the giant repetitive documents this filter exists to
+    // catch. Tokens ride as 64-bit hashes (multiplicities unchanged).
+    val top = df.select(col(idCol).as("_tid"),
+        explode(regexp_extract_all(t, lit("\\S+"), lit(0))).as("_w"))
+      .select(col("_tid"), xxhash64(col("_w")).as("_wh"))
+      .groupBy("_tid", "_wh").agg(count(lit(1)).as("_c"))
+      .groupBy("_tid").agg(max(col("_c")).as("_top"))
+    perRow
+      .join(top, perRow(idCol) === top("_tid"), "left")
+      .withColumn("top_word_frac",
+        when(col("_n_toks") > 0,
+          coalesce(col("_top"), lit(0L)).cast("double") / col("_n_toks").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col(idCol), col("n_lines"), col("dup_line_frac"),
+        col("top_word_frac"), col("dup_bigram_frac"))
   }
 
   /** Word n-grams WITH duplicates preserved (repetition analysis
