@@ -10,11 +10,13 @@ import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
 /** Training-data-pipeline extension queries (SURVEY.md §7.2 M5):
   * dedup, similarity search, text analysis, multimodal plumbing.
   *
-  * Oracle-checkable queries keep every floating-point computation as
-  * the same sequential left-fold in both engines, so doubles match
-  * bit-for-bit. MinHash/SimHash/LSH queries have no DuckDB oracle
-  * (no xxhash64 there) → rows-only checks; their correctness is
-  * pinned by ScalaTest specs against the exact operators instead.
+  * Every query here is fully oracle-checked. Floating-point
+  * computations keep the same sequential left-fold in both engines,
+  * so doubles match bit-for-bit; the hash-based families run in
+  * portable mode (md5-derived base hashes, DuckDB-expressible) so
+  * even MinHash/SimHash signatures and LSH candidate sets hash-match
+  * the oracle, with the cheaper xxhash64 fast paths spec-pinned to
+  * the same structure.
   */
 object ExtensionQueries {
 
