@@ -163,6 +163,33 @@ object TextAnalysis {
         expr("percentile(_n, 0.9)").as("p90_tokens"),
         expr("percentile(_n, 0.99)").as("p99_tokens"))
 
+  /** Corpus-frequency quality proxy (the perplexity-filter shape
+    * without a model): per document, the mean corpus occurrence count
+    * over its token occurrences. Boilerplate/template docs — built
+    * from tokens the corpus repeats constantly — score high;
+    * rare-vocabulary docs score low. Integer sums + one double
+    * division keep it engine-exact (a log-prob variant would hang
+    * parity on libm rounding).
+    *
+    * Shape: token explode → global dictionary aggregate → join back →
+    * per-doc mean. The dictionary join is the TF-IDF precursor; at
+    * 100 TB the dictionary is a materialized table and the join
+    * shuffles (hash, count) pairs only. Zero-token documents have no
+    * occurrences and drop out (consistent with the SQL mirror).
+    */
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = df.select(col(idCol).as("id"),
+        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("_w"))
+      .select(col("id"), xxhash64(col("_w")).as("_wh"))
+    val freq = tk.groupBy("_wh").agg(count(lit(1)).as("_cf"))
+    tk.join(freq, "_wh")
+      .groupBy(col("id"))
+      .agg(
+        (sum(col("_cf")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_token_freq"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Document fingerprints: sha256 of whitespace-normalized lowercase
     * text (content-defined, engine-portable) plus a cheap 64-bit
     * xxhash for in-engine joins.

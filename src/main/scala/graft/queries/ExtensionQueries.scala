@@ -447,6 +447,24 @@ object ExtensionQueries {
       |FROM documents GROUP BY lang""".stripMargin
 
   // ---------------------------------------------------------------
+  // q40 — corpus-frequency quality proxy: mean corpus occurrence
+  // count over each doc's token occurrences (boilerplate scores
+  // high). Token explode → dictionary aggregate → join back.
+  // ---------------------------------------------------------------
+  def q40TokenRarity(spark: SparkSession, d: String): DataFrame = {
+    val out = TextAnalysis.tokenRarity(Tables.documents(spark, d), "doc_id", "text")
+    out.withColumnRenamed("id", "doc_id")
+  }
+
+  val q40Sql: String =
+    """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+      |freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cf FROM tk GROUP BY w)
+      |SELECT doc_id,
+      |  CAST(SUM(cf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_token_freq,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+      |FROM tk JOIN freq USING (w) GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_dedup_exact"        -> (q10DedupExact _),
@@ -463,7 +481,8 @@ object ExtensionQueries {
     "q20_fingerprint"        -> (q20Fingerprint _),
     "q21_multimodal_meta"    -> (q21MultimodalMeta _),
     "q38_repetition"         -> (q38Repetition _),
-    "q39_token_quantiles"    -> (q39TokenQuantiles _))
+    "q39_token_quantiles"    -> (q39TokenQuantiles _),
+    "q40_token_rarity"       -> (q40TokenRarity _))
 
   val oracleSql: Map[String, String] = Map(
     "q10_dedup_exact"        -> q10Sql,
@@ -480,5 +499,6 @@ object ExtensionQueries {
     "q20_fingerprint"        -> q20Sql,
     "q21_multimodal_meta"    -> q21Sql,
     "q38_repetition"         -> q38Sql,
-    "q39_token_quantiles"    -> q39Sql)
+    "q39_token_quantiles"    -> q39Sql,
+    "q40_token_rarity"       -> q40Sql)
 }
