@@ -166,20 +166,24 @@ object Dedup {
         graft.functions.MinhashExpression
           .minhashFromBaseNative(col("_mh"), numHashes).as("sig"))
 
-  /** Engine-portable signatures: md5-based base hashes (see
-    * [[graft.functions.DqFunctions.minhashBaseHashesPortable]])
-    * through the same native one-pass k-min — a DuckDB oracle can
-    * compute the identical signature, making the whole LSH pipeline
-    * hash-checkable. Same staging discipline as [[minhashSignatures]].
+  /** Engine-portable signatures: md5-based base hashes through the
+    * same native one-pass k-min — a DuckDB oracle can compute the
+    * identical signature, making the whole LSH pipeline
+    * hash-checkable. The base hashes come from the native
+    * [[graft.functions.NgramMd5Hashes]] (digest-byte prefix per
+    * window, no hex-string render/parse, no shingle strings); minhash
+    * minima are multiplicity-invariant, so the window multiset needs
+    * no dedup pass. Spec-pinned equal to the compositional
+    * charShingles → md5 → conv pipeline.
     */
   def minhashSignaturesPortable(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame =
-    df.select(col(idCol).as("id"), charShingles(col(textCol), n).as("_sh"))
-      .select(col("id"), minhashBaseHashesPortable(col("_sh")).as("_mh"))
-      .select(col("id"),
-        graft.functions.MinhashExpression
-          .minhashFromBaseNative(col("_mh"), numHashes).as("sig"))
+    df.select(col(idCol).as("id"),
+      graft.functions.MinhashExpression.minhashFromBaseNative(
+        graft.functions.Md5Expressions.ngramMd5Hashes(
+          col(textCol), n, hexDigits = 8, mod = MinhashPrime),
+        numHashes).as("sig"))
 
   /** LSH banding: candidate pairs agreeing on at least one of `bands`
     * bands of `numHashes / bands` rows each, with the estimated
@@ -304,7 +308,7 @@ object Dedup {
   def simhashesPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         transform(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)),
-          t => md5Hash60(t)).as("_th"))
+          t => graft.functions.Md5Expressions.md5PrefixLong(t, hexDigits = 15)).as("_th"))
       .select(col("id"),
         graft.functions.SimhashExpression
           .simhashFromHashesNative(col("_th")).as("simhash"))

@@ -147,6 +147,30 @@ class DqFunctionsSpec extends AnyFunSuite {
     assert(nul(0).isNullAt(0))
   }
 
+  test("native md5-prefix expressions equal the conv(substring(md5)) composition") {
+    import graft.functions.{DqFunctions, Md5Expressions}
+    val docs = Tables.documents(spark, TestSpark.sf).limit(300)
+      .select($"doc_id", $"text")
+      .union(Seq((90001L, "的是了在"), (90002L, ""), (90003L, "a b  c")).toDF("doc_id", "text"))
+    // scalar, 15 hex digits (simhash token hash)
+    val s15 = docs.select(
+      Md5Expressions.md5PrefixLong($"text", 15).as("native"),
+      DqFunctions.md5Hash60($"text").as("composed"))
+    assert(s15.filter($"native" =!= $"composed").count() == 0)
+    // scalar, 8 hex digits mod p (minhash base hash)
+    val p = DqFunctions.MinhashPrime
+    val s8 = docs.select(
+      Md5Expressions.md5PrefixLong($"text", 8, p).as("native"),
+      pmod(conv(substring(md5($"text".cast("binary")), 1, 8), 16, 10).cast("long"), lit(p)).as("composed"))
+    assert(s8.filter($"native" =!= $"composed").count() == 0)
+    // n-gram array (as sets — native keeps multiplicity, minima agree)
+    val ng = docs.select(
+      sort_array(array_distinct(Md5Expressions.ngramMd5Hashes($"text", 3, 8, p))).as("native"),
+      sort_array(array_distinct(DqFunctions.minhashBaseHashesPortable(
+        DqFunctions.charShingles($"text", 3)))).as("composed"))
+    assert(ng.filter($"native" =!= $"composed").count() == 0)
+  }
+
   test("native SortedIntersectCount equals size(array_intersect) on sorted sets") {
     import graft.functions.{DqFunctions, SetExpressions}
     val docs = Tables.documents(spark, TestSpark.sf).limit(100)
