@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DistinctNgramHashes, MinhashFromBase, SimhashFromHashesExpr, SortedIntersectCount, VectorDotProduct}
+import graft.functions.{DistinctNgramHashes, Md5PrefixLong, MinhashFromBase, NgramMd5Hashes, SimhashFromHashesExpr, SortedIntersectCount, VectorDotProduct}
 import graft.functions.DqFunctions
 
 /** SparkSessionExtensions entry point: injects the engine's native
@@ -45,6 +45,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "distinct_ngram_hashes(text, n) - distinct n-gram XXH64 hashes, one pass"),
       (exprs: Seq[Expression]) => DistinctNgramHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Int])))
+
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix_long"),
+      info("md5_prefix_long",
+        "md5_prefix_long(s, hexDigits, mod) - first hex digits of md5 as bigint, optionally mod"),
+      (exprs: Seq[Expression]) => Md5PrefixLong(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval() match { case i: Int => i.toLong; case l: Long => l })))
+
+    ext.injectFunction((
+      FunctionIdentifier("ngram_md5_hashes"),
+      info("ngram_md5_hashes",
+        "ngram_md5_hashes(text, n, hexDigits, mod) - md5-prefix hash per character n-gram window"),
+      (exprs: Seq[Expression]) => NgramMd5Hashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval() match { case i: Int => i.toLong; case l: Long => l })))
 
     ext.injectFunction((
       FunctionIdentifier("simhash64"),

@@ -28,12 +28,17 @@ class ExtensionsSpec extends AnyFunSuite {
           |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS c,
           |  simhash64(array(7L)) AS s,
           |  size(minhash64(array(123L))) AS k,
-          |  size(distinct_ngram_hashes('abcab', 3)) AS g""".stripMargin).head()
+          |  size(distinct_ngram_hashes('abcab', 3)) AS g,
+          |  md5_prefix_long('abc', 8, 0L) AS m,
+          |  size(ngram_md5_hashes('abcd', 3, 8, 0L)) AS ng""".stripMargin).head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getLong(1) == 2L)
       assert(r.getLong(2) == 7L, "single token hash: its own bits win every vote")
       assert(r.getInt(3) == 64)
       assert(r.getInt(4) == 3, "abc, bca, cab — all distinct trigrams of 'abcab'")
+      // 0x90015098 = first 8 hex digits of md5('abc')
+      assert(r.getLong(5) == 0x90015098L)
+      assert(r.getInt(6) == 2, "two trigram windows in 'abcd'")
     } finally {
       // never ext.stop() — it shares the suite-wide SparkContext
       SparkSession.setDefaultSession(base)
