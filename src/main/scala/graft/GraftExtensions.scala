@@ -27,6 +27,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
+  /** Foldable int/long argument (accepts any SQL integral literal). */
+  private def intArg(e: Expression, what: String): Int = e.eval() match {
+    case n: Number => n.intValue()
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e.eval() match {
+    case n: Number => n.longValue()
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vector_dot"),
@@ -44,24 +54,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("distinct_ngram_hashes",
         "distinct_ngram_hashes(text, n) - distinct n-gram XXH64 hashes, one pass"),
       (exprs: Seq[Expression]) => DistinctNgramHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])))
+        intArg(exprs(1), "n"))))
 
     ext.injectFunction((
       FunctionIdentifier("md5_prefix_long"),
       info("md5_prefix_long",
-        "md5_prefix_long(s, hexDigits, mod) - first hex digits of md5 as bigint, optionally mod"),
+        "md5_prefix_long(s, hexDigits[, mod]) - first hex digits of md5 as bigint, optionally mod"),
       (exprs: Seq[Expression]) => Md5PrefixLong(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval() match { case i: Int => i.toLong; case l: Long => l })))
+        intArg(exprs(1), "hexDigits"),
+        if (exprs.length > 2) longArg(exprs(2), "mod") else 0L)))
 
     ext.injectFunction((
       FunctionIdentifier("ngram_md5_hashes"),
       info("ngram_md5_hashes",
-        "ngram_md5_hashes(text, n, hexDigits, mod) - md5-prefix hash per character n-gram window"),
+        "ngram_md5_hashes(text, n, hexDigits[, mod]) - md5-prefix hash per character n-gram window"),
       (exprs: Seq[Expression]) => NgramMd5Hashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval() match { case i: Int => i.toLong; case l: Long => l })))
+        intArg(exprs(1), "n"),
+        intArg(exprs(2), "hexDigits"),
+        if (exprs.length > 3) longArg(exprs(3), "mod") else 0L)))
 
     ext.injectFunction((
       FunctionIdentifier("simhash64"),

@@ -56,19 +56,10 @@ object Md5Prefix {
     */
   def ngramHashes(s: UTF8String, n: Int, hexDigits: Int, mod: Long): GenericArrayData = {
     val bytes = s.getBytes
-    val numBytes = bytes.length
     val numChars = s.numChars()
     if (numChars <= n)
-      return new GenericArrayData(Array(hash(bytes, 0, numBytes, hexDigits, mod)))
-    val starts = new Array[Int](numChars + 1)
-    var ci = 0
-    var b = 0
-    while (b < numBytes) {
-      starts(ci) = b
-      b += UTF8String.numBytesForFirstByte(bytes(b))
-      ci += 1
-    }
-    starts(numChars) = numBytes
+      return new GenericArrayData(Array(hash(bytes, 0, bytes.length, hexDigits, mod)))
+    val starts = NgramHash.codePointStarts(bytes, numChars)
     val count = numChars - n + 1
     val out = new Array[Long](count)
     var j = 0

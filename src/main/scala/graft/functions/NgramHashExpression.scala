@@ -51,31 +51,37 @@ case class DistinctNgramHashes(child: Expression, n: Int) extends UnaryExpressio
 object NgramHash {
   private val Seed = 42L // Spark's xxhash64 default seed
 
-  /** Core loop, shared by eval and generated code. */
-  def distinctHashes(s: UTF8String, n: Int): GenericArrayData = {
-    val numBytes = s.numBytes()
-    val base = s.getBaseObject
-    val off = s.getBaseOffset
-    val numChars = s.numChars()
-    if (numChars <= n)
-      return new GenericArrayData(
-        Array(XXH64.hashUnsafeBytes(base, off, numBytes, Seed)))
-    // byte offset of each code point start (+ end sentinel)
+  /** Byte offset of each code-point start, plus an end sentinel —
+    * the window-boundary walk shared with [[Md5Prefix.ngramHashes]]
+    * so the `charShingles` windowing contract lives in one place.
+    */
+  def codePointStarts(bytes: Array[Byte], numChars: Int): Array[Int] = {
     val starts = new Array[Int](numChars + 1)
     var ci = 0
     var b = 0
-    while (b < numBytes) {
+    while (b < bytes.length) {
       starts(ci) = b
-      b += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + b))
+      b += UTF8String.numBytesForFirstByte(bytes(b))
       ci += 1
     }
-    starts(numChars) = numBytes
+    starts(numChars) = bytes.length
+    starts
+  }
+
+  /** Core loop, shared by eval and generated code. */
+  def distinctHashes(s: UTF8String, n: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val numChars = s.numChars()
+    if (numChars <= n)
+      return new GenericArrayData(Array(XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, Seed)))
+    val starts = codePointStarts(bytes, numChars)
     val count = numChars - n + 1
     val out = new Array[Long](count)
     var j = 0
     while (j < count) {
       out(j) = XXH64.hashUnsafeBytes(
-        base, off + starts(j), starts(j + n) - starts(j), Seed)
+        bytes, Platform.BYTE_ARRAY_OFFSET + starts(j), starts(j + n) - starts(j), Seed)
       j += 1
     }
     java.util.Arrays.sort(out)

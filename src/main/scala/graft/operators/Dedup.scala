@@ -69,7 +69,19 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
-      maxDfFraction: Option[Double] = None): DataFrame = {
+      maxDfFraction: Option[Double] = None): DataFrame =
+    ngramJaccardPairsWithCaches(df, idCol, textCol, n, threshold, maxDfFraction)._1
+
+  /** As [[ngramJaccardPairs]], but also returns the persisted
+    * intermediates (posting list, filtered posting list, prefix
+    * table) so long-lived sessions can `unpersist()` them once the
+    * pair plan has executed — the same contract as
+    * [[lshCandidatePairsWithSignatures]].
+    */
+  def ngramJaccardPairsWithCaches(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      maxDfFraction: Option[Double] = None): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     // Shingles ride as 64-bit hashes from the very first pass: the
     // native expression hashes each n-char window's UTF-8 byte slice
@@ -131,7 +143,7 @@ object Dedup {
     // |A ∩ B| without the giant join-then-group-by-pair aggregation.
     val sets = exf.groupBy("id")
       .agg(sort_array(collect_list(col("g"))).as("_fs"), count(lit(1)).as("_sz"))
-    cand
+    val pairs = cand
       .join(sets.select(col("id").as("id_a"), col("_fs").as("_fa"), col("_sz").as("_sza")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("_fs").as("_fb"), col("_sz").as("_szb")), "id_b")
       .withColumn("_inter",
@@ -141,6 +153,7 @@ object Dedup {
           (col("_sza") + col("_szb") - col("_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    (pairs, Seq(exAll, exf, pref))
   }
 
   // ---------------------------------------------------------------

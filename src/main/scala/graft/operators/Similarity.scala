@@ -108,8 +108,12 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // cached: KMeans.fit is iterative (each iteration re-reads the
+    // input otherwise) and model.transform scans it once more; the
+    // cache entry lives with the returned plan (session-scoped)
     val feats = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .persist()
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setDistanceMeasure("cosine")
       .setFeaturesCol("features").setPredictionCol("cell")

@@ -61,7 +61,8 @@ object ExtensionQueries {
        |  FROM documents),
        |ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
        |keep AS (SELECT g FROM ex0 GROUP BY g
-       |  HAVING COUNT(*) <= $StopShingleDfFraction * (SELECT COUNT(*) FROM documents)),
+       |  HAVING CAST(COUNT(*) AS DOUBLE) <=
+       |    CAST($StopShingleDfFraction AS DOUBLE) * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)),
        |ex AS (SELECT doc_id, g FROM ex0 WHERE g IN (SELECT g FROM keep)),
        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
        |inter AS (

@@ -59,13 +59,16 @@ object Jdbc {
     * ON the database; only its result crosses the wire.
     */
   def readQuery(spark: SparkSession, url: String, sql: String,
-      props: Properties = derbyProps()): DataFrame =
-    spark.read
+      props: Properties = derbyProps()): DataFrame = {
+    // forward EVERY connection property (driver, user, password, …) —
+    // dropping credentials would break any authenticated database
+    val reader = spark.read
       .format("jdbc")
       .option("url", url)
       .option("query", sql)
-      .option("driver", props.getProperty("driver"))
-      .load()
+    props.stringPropertyNames().forEach(k => reader.option(k, props.getProperty(k)))
+    reader.load()
+  }
 
   /** Parallel bounded range-scan: `numPartitions` connections each
     * reading `partitionColumn` stripes of [lowerBound, upperBound] —
@@ -94,10 +97,32 @@ object Jdbc {
   def writeAppend(df: DataFrame, url: String, table: String,
       props: Properties = derbyProps()): Long = {
     val spark = df.sparkSession
+    // Only "table does not exist" means first run / zero rows; any
+    // other failure (auth, boot lock, network) must propagate — it
+    // would otherwise silently inflate the rows-written delta.
+    // SQLSTATE class 42 covers missing-object across engines (Derby
+    // 42X05, MySQL 42S02, Postgres 42P01); auth/connection classes
+    // (08xxx, 28xxx) fall through and rethrow.
     val before =
       try readTable(spark, url, table, props).count()
-      catch { case _: Exception => 0L } // table absent on first run
+      catch {
+        case e: Exception if missingObjectSqlState(e) => 0L
+      }
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
     readTable(spark, url, table, props).count() - before
+  }
+
+  private def missingObjectSqlState(t: Throwable): Boolean = {
+    var cur = t
+    while (cur != null) {
+      cur match {
+        case s: java.sql.SQLException
+            if s.getSQLState != null && s.getSQLState.startsWith("42") =>
+          return true
+        case _ =>
+      }
+      cur = if (cur.getCause eq cur) null else cur.getCause
+    }
+    false
   }
 }

@@ -29,8 +29,8 @@ class ExtensionsSpec extends AnyFunSuite {
           |  simhash64(array(7L)) AS s,
           |  size(minhash64(array(123L))) AS k,
           |  size(distinct_ngram_hashes('abcab', 3)) AS g,
-          |  md5_prefix_long('abc', 8, 0L) AS m,
-          |  size(ngram_md5_hashes('abcd', 3, 8, 0L)) AS ng""".stripMargin).head()
+          |  md5_prefix_long('abc', 8) AS m,
+          |  size(ngram_md5_hashes('abcd', 3, 8)) AS ng""".stripMargin).head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getLong(1) == 2L)
       assert(r.getLong(2) == 7L, "single token hash: its own bits win every vote")

@@ -52,6 +52,16 @@ class JdbcSpec extends AnyFunSuite {
     assert(part.agg(sum("x")).head().getLong(0) == 9900L)
   }
 
+  test("writeAppend: missing table counts from zero; non-missing failures propagate") {
+    val df = Seq((1L, 10L)).toDF("id", "x")
+    // first run: table does not exist (SQLSTATE 42X05) → before = 0
+    assert(Jdbc.writeAppend(df, url, "t_first_append") == 1)
+    // a connection-level failure (XJ004: database not found) must NOT
+    // be swallowed as "empty table"
+    assertThrows[Exception](
+      Jdbc.writeAppend(df, "jdbc:derby:/nonexistent-dir-graft/db", "t_x"))
+  }
+
   test("connection config resolves env → url/props with override precedence (S10)") {
     import graft.sources.ConnectionConfig
     val fromRefEnv = ConnectionConfig.fromEnv(env = Map(
