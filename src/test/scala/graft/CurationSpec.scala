@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Curation.{CurationConfig, CurationReport}
+
+/** End-to-end curation over the corpus: the funnel must be monotone,
+  * each stage must actually remove what it claims, and the sink must
+  * land split-partitioned with counts matching the report.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("curate: monotone funnel, dedup removes known duplicates, partitioned sink") {
+    val out = Files.createTempDirectory("curation").toString + "/corpus"
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val r: CurationReport = Curation.curate(
+      spark, docs, "doc_id", "text", out, CurationConfig())
+
+    assert(r.input == docs.count())
+    assert(r.afterQuality <= r.input)
+    assert(r.afterLanguage <= r.afterQuality)
+    assert(r.afterExactDedup <= r.afterLanguage,
+      "exact dedup can only remove (this corpus has no exact dups — q10 shows 1 group per doc)")
+    assert(r.afterNearDedup < r.afterExactDedup,
+      "the corpus plants near-duplicates (q11/q12) — some must drop")
+    assert(r.splits.values.sum == r.afterNearDedup,
+      "splits partition the survivors exactly")
+    assert(r.splits.keySet == Set("train", "val", "test"))
+    assert(r.splits("train") > r.splits("val"))
+
+    // the sink is physically partitioned by split
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("split="))
+    assert(dirs.toSet == Set("split=train", "split=val", "split=test"))
+
+    // survivors are exactly-unique by content
+    val kept = spark.read.parquet(out)
+    assert(kept.groupBy("text").count().filter($"count" > 1).count() == 0)
+  }
+}
