@@ -240,32 +240,39 @@ object Dedup {
     * production entry point when signatures are materialized between
     * runs (incremental dedup: only new documents need signing).
     */
-  def lshCandidatePairsFromSignatures(
+  /** (id, band, bucket) rows for a signature table. Bucket id per
+    * band: xxhash64 of the signature slice (cheap, in-engine), or —
+    * portable mode — md5 of the comma-joined slice, which a DuckDB
+    * oracle states as md5(array_to_string(sig[b*r+1 : b*r+r], ',')).
+    * Both bucket on exact slice equality, so candidate sets agree.
+    */
+  private def bandedOf(
       sigs: DataFrame, numHashes: Int, bands: Int,
-      portableBuckets: Boolean = false): DataFrame = {
+      portableBuckets: Boolean): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Bucket id per band: xxhash64 of the signature slice (cheap,
-    // in-engine), or — portable mode — md5 of the comma-joined slice,
-    // which a DuckDB oracle states as
-    // md5(array_to_string(sig[b*r+1 : b*r+r], ',')). Both bucket on
-    // exact slice equality, so the candidate-pair set is identical.
     def bucketOf(s: Column): Column =
       if (portableBuckets)
         md5(array_join(transform(s, x => x.cast("string")), ",").cast("binary"))
       else xxhash64(s)
-    // Band rows carry only (id, band, bucket) — never the signature:
-    // the band self-join can emit a pair once per colliding band, and
-    // shipping 64-long signatures through that blow-up dominates cost.
-    // Dedup pairs FIRST, then join the (small) signature table back
-    // twice and score each pair exactly once.
-    val banded = sigs.select(
+    sigs.select(
       col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           bucketOf(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  def lshCandidatePairsFromSignatures(
+      sigs: DataFrame, numHashes: Int, bands: Int,
+      portableBuckets: Boolean = false): DataFrame = {
+    // Band rows carry only (id, band, bucket) — never the signature:
+    // the band self-join can emit a pair once per colliding band, and
+    // shipping 64-long signatures through that blow-up dominates cost.
+    // Dedup pairs FIRST, then join the (small) signature table back
+    // twice and score each pair exactly once.
+    val banded = bandedOf(sigs, numHashes, bands, portableBuckets)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -277,6 +284,37 @@ object Dedup {
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         minhashAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
+  }
+
+  /** Incremental near-dedup: drop from `newDocs` everything whose
+    * estimated jaccard against the EXISTING corpus reaches
+    * `threshold`. The corpus arrives as its materialized signature
+    * table `(id, sig)` — signed once, persisted between runs (see
+    * [[minhashSignatures]]) — and the band join is asymmetric
+    * new × corpus, never corpus × corpus, so a daily increment costs
+    * O(increment), not O(corpus): the production shape for keeping a
+    * growing training set deduplicated.
+    */
+  def dropNearDuplicatesAgainst(
+      corpusSigs: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
+    val newSigs =
+      (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes)
+       else minhashSignatures(newDocs, idCol, textCol, n, numHashes)).persist()
+    val candidates = bandedOf(newSigs, numHashes, bands, portable).as("nw")
+      .join(bandedOf(corpusSigs, numHashes, bands, portable).as("cp"),
+        col("nw.band") === col("cp.band") && col("nw.bucket") === col("cp.bucket"))
+      .select(col("nw.id").as("new_id"), col("cp.id").as("corpus_id"))
+      .distinct()
+    val dropIds = candidates
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_n")), "new_id")
+      .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_c")), "corpus_id")
+      .filter(minhashAgreement(col("sig_n"), col("sig_c")) >= threshold)
+      .select(col("new_id").as(idCol))
+      .distinct()
+    newDocs.join(dropIds, Seq(idCol), "left_anti")
   }
 
   // ---------------------------------------------------------------

@@ -63,6 +63,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("incremental dedup: new batch deduped against the corpus signature table only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then sleeps"),
+      (2L, "completely different content about distributed query engines"))
+      .toDF("doc_id", "text")
+    val corpusSigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 64)
+    val newBatch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and then sleeps"),  // dup of 1
+      (11L, "entirely novel text with no counterpart in the corpus at all"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicatesAgainst(
+        corpusSigs, newBatch, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L), "the corpus duplicate drops, the novel doc survives")
+    // new docs are NOT compared among themselves (asymmetric join):
+    val twin = Seq(
+      (20L, "twin text duplicated within the new batch only right here"),
+      (21L, "twin text duplicated within the new batch only right here"))
+      .toDF("doc_id", "text")
+    val keptTwins = Dedup.dropNearDuplicatesAgainst(
+        corpusSigs, twin, "doc_id", "text", threshold = 0.8)
+      .count()
+    assert(keptTwins == 2, "within-batch dups are the intra-batch pass's job")
+  }
+
   test("simhash: identical text → distance 0; near-dup pairs found") {
     val sims = Dedup.simhashes(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
