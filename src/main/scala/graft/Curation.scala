@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.DqFunctions
 import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** End-to-end training-data curation: the composition every LLM-data
@@ -12,13 +13,13 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   *   quality filter → language filter → exact dedup → MinHash-LSH
   *   near-dedup → deterministic split → split-partitioned sink.
   *
-  * Every stage is a lazy DataFrame transform; the only actions are
-  * the per-stage counts for the funnel report and the final write.
-  * At 100 TB each stage keeps its designed shape: quality/language
-  * are per-row expressions at the scan, exact dedup shuffles
-  * (hash, id) pairs, near-dedup is the banded LSH path (never
-  * all-pairs), the split is a hash predicate, and the sink
-  * partitions by split so downstream training jobs prune.
+  * Quality and language are per-row predicates evaluated AT the scan
+  * (no join, no second pass); exact dedup shuffles (hash, id) pairs;
+  * near-dedup is the banded LSH path (never all-pairs); the split is
+  * a hash predicate; the sink partitions by split so downstream
+  * training jobs prune. Each surviving stage is persisted so the
+  * funnel counts and the final write execute every stage once, and
+  * all caches are released before returning.
   */
 object Curation {
 
@@ -31,17 +32,25 @@ object Curation {
       afterNearDedup: Long,
       splits: Map[String, Long])
 
-  /** Tunables, defaulted to the usual cheap-filter settings. */
+  /** Tunables, defaulted to the usual cheap-filter settings. Split
+    * fractions must sum to 1 (a shortfall would route rows to a null
+    * split). minhashBands = 16 (4-row bands) keeps LSH candidate
+    * recall ≈ 0.9998 at jaccard 0.8 — 8-row bands would silently
+    * miss ~23% of true near-dup pairs at the threshold.
+    */
   final case class CurationConfig(
       minTokens: Long = 5L,
       maxPunctRatio: Double = 0.2,
       keepLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
       shingleN: Int = 3,
       minhashHashes: Int = 64,
-      minhashBands: Int = 8,
+      minhashBands: Int = 16,
       nearDupThreshold: Double = 0.8,
       splits: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+  }
 
   def curate(
       spark: SparkSession,
@@ -49,25 +58,27 @@ object Curation {
       idCol: String,
       textCol: String,
       outPath: String,
-      config: CurationConfig = CurationConfig()): CurationReport = {
-    val cfg = config
+      cfg: CurationConfig = CurationConfig()): CurationReport = {
     val input = docs.count()
 
-    // 1. cheap per-row quality gate (q18's features)
-    val quality = TextAnalysis.qualityFeatures(docs, idCol, textCol)
-      .filter(col("n_tokens") >= cfg.minTokens &&
-        col("punct_ratio") <= cfg.maxPunctRatio)
-      .select(col(idCol))
-    val qualityDocs = docs.join(quality, Seq(idCol), "left_semi")
+    // 1+2. per-row quality and language gates, evaluated at the scan
+    // (the same expressions qualityFeatures/langId project in q17/q18)
+    val t = col(textCol)
+    val nTokens = DqFunctions.tokenCount(t)
+    val nChars = length(t)
+    val nPunct = nChars - length(regexp_replace(t, "[.,;:!?]", ""))
+    val punctRatio = when(nChars > 0,
+      nPunct.cast("double") / nChars.cast("double")).otherwise(lit(0.0))
+    val qualityDocs = docs
+      .filter(nTokens >= cfg.minTokens && punctRatio <= cfg.maxPunctRatio)
+      .persist()
     val afterQuality = qualityDocs.count()
-
-    // 2. language gate (q17's heuristic; a model-based ID drops in)
     val langDocs = qualityDocs.filter(
-      TextAnalysis.langId(col(textCol)).isin(cfg.keepLangs: _*))
+      TextAnalysis.langId(t).isin(cfg.keepLangs: _*)).persist()
     val afterLanguage = langDocs.count()
 
     // 3. exact dedup — keep the min-id representative per content hash
-    val exact = Dedup.dropExactDuplicates(langDocs, idCol, col(textCol))
+    val exact = Dedup.dropExactDuplicates(langDocs, idCol, t).persist()
     val afterExact = exact.count()
 
     // 4. near-dedup: LSH candidates above threshold; drop the higher
@@ -77,17 +88,23 @@ object Curation {
       exact, idCol, textCol, cfg.shingleN, cfg.minhashHashes, cfg.minhashBands)
     val drop = pairs.filter(col("est_jaccard") >= cfg.nearDupThreshold)
       .select(col("id_b").as(idCol)).distinct()
-    val nearDeduped = exact.join(drop, Seq(idCol), "left_anti")
+    val nearDeduped = exact.join(drop, Seq(idCol), "left_anti").persist()
     val afterNear = nearDeduped.count()
-    sigs.unpersist()
 
-    // 5. deterministic split + split-partitioned sink
+    // 5. deterministic split + split-partitioned sink (executes the
+    // persisted nearDeduped, so upstream caches can then be released)
     val split = Sampling.deterministicSplit(nearDeduped, idCol, cfg.splits)
     split.write.mode("overwrite").partitionBy("split").parquet(outPath)
     val written = spark.read.parquet(outPath)
       .groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every configured split gets a key — an empty split writes no
+    // partition directory but still reports 0
+    val splitCounts = cfg.splits.map { case (name, _) =>
+      name -> written.getOrElse(name, 0L)
+    }.toMap
 
-    CurationReport(input, afterQuality, afterLanguage, afterExact, afterNear, written)
+    Seq(sigs, qualityDocs, langDocs, exact, nearDeduped).foreach(_.unpersist())
+    CurationReport(input, afterQuality, afterLanguage, afterExact, afterNear, splitCounts)
   }
 }

@@ -235,11 +235,6 @@ object Dedup {
     (lshCandidatePairsFromSignatures(sigs, numHashes, bands, portable), sigs)
   }
 
-  /** Candidate generation over a precomputed/persisted signature
-    * table `(id, sig ARRAY<LONG> of length numHashes)` — the
-    * production entry point when signatures are materialized between
-    * runs (incremental dedup: only new documents need signing).
-    */
   /** (id, band, bucket) rows for a signature table. Bucket id per
     * band: xxhash64 of the signature slice (cheap, in-engine), or —
     * portable mode — md5 of the comma-joined slice, which a DuckDB
@@ -264,6 +259,11 @@ object Dedup {
       .select(col("id"), col("bb.band"), col("bb.bucket"))
   }
 
+  /** Candidate generation over a precomputed/persisted signature
+    * table `(id, sig ARRAY<LONG> of length numHashes)` — the
+    * production entry point when signatures are materialized between
+    * runs (incremental dedup: only new documents need signing).
+    */
   def lshCandidatePairsFromSignatures(
       sigs: DataFrame, numHashes: Int, bands: Int,
       portableBuckets: Boolean = false): DataFrame = {
@@ -299,7 +299,27 @@ object Dedup {
       corpusSigs: DataFrame,
       newDocs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
+      threshold: Double = 0.8, portable: Boolean = false): DataFrame =
+    dropNearDuplicatesAgainstWithSignatures(
+      corpusSigs, newDocs, idCol, textCol, n, numHashes, bands, threshold, portable)._1
+
+  /** As [[dropNearDuplicatesAgainst]], but also returns the persisted
+    * new-batch signature table so the caller can `unpersist()` it
+    * after executing the plan — and append it to the corpus signature
+    * table for the NEXT increment (the whole point of materializing
+    * signatures).
+    */
+  def dropNearDuplicatesAgainstWithSignatures(
+      corpusSigs: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, portable: Boolean = false): (DataFrame, DataFrame) = {
+    // a signature width differing from the materialized table would
+    // silently empty the candidate buckets — fail loudly instead
+    corpusSigs.select(size(col("sig"))).take(1).foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"corpus signature width ${r.getInt(0)} != numHashes $numHashes")
+    }
     val newSigs =
       (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes)
        else minhashSignatures(newDocs, idCol, textCol, n, numHashes)).persist()
@@ -314,7 +334,7 @@ object Dedup {
       .filter(minhashAgreement(col("sig_n"), col("sig_c")) >= threshold)
       .select(col("new_id").as(idCol))
       .distinct()
-    newDocs.join(dropIds, Seq(idCol), "left_anti")
+    (newDocs.join(dropIds, Seq(idCol), "left_anti"), newSigs)
   }
 
   // ---------------------------------------------------------------

@@ -86,6 +86,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
         corpusSigs, twin, "doc_id", "text", threshold = 0.8)
       .count()
     assert(keptTwins == 2, "within-batch dups are the intra-batch pass's job")
+    // mismatched signature width fails loudly instead of silently
+    // emptying the candidate buckets
+    assertThrows[IllegalArgumentException](
+      Dedup.dropNearDuplicatesAgainst(
+        Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 32),
+        newBatch, "doc_id", "text"))
   }
 
   test("simhash: identical text → distance 0; near-dup pairs found") {
