@@ -1,0 +1,58 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Release persisted intermediates once the plan they were persisted
+  * FOR has executed.
+  *
+  * The dedup/similarity entry points persist corpus-scale
+  * intermediates (posting lists, signature tables, k-means features)
+  * that several branches of the returned plan consume. The *WithCaches
+  * variants hand those handles to the caller to manage; the plain
+  * entry points instead register a one-shot QueryExecutionListener
+  * that unpersists the intermediates after the first completed
+  * execution whose analyzed plan contains any of them as a subtree —
+  * i.e. after the returned DataFrame (or a derivative) has run once.
+  * Long-lived sessions then don't accumulate a dead cache entry per
+  * invocation.
+  *
+  * Re-executing the same returned plan later recomputes the
+  * intermediates uncached — correct, just slower; callers that execute
+  * one plan repeatedly should use the *WithCaches variants and release
+  * when THEY are done.
+  */
+object CacheLifecycle {
+
+  /** Auto-unpersist `caches` after the first query execution that
+    * consumes any of them completes (success or failure). Matching is
+    * by analyzed-plan subtree (`sameResult`), so a late-delivered
+    * listener event from an unrelated earlier execution cannot release
+    * these caches prematurely.
+    */
+  def releaseAfterFirstUse(caches: Seq[DataFrame]): Unit = {
+    if (caches.isEmpty) return
+    val spark = caches.head.sparkSession
+    val ourPlans = caches.map(_.queryExecution.analyzed)
+    val released = new AtomicBoolean(false)
+    lazy val listener: QueryExecutionListener = new QueryExecutionListener {
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        val consumes =
+          try qe.analyzed.exists(n => ourPlans.exists(p => n.sameResult(p)))
+          catch { case _: Throwable => false } // a malformed plan never blocks release of others
+        if (consumes && released.compareAndSet(false, true)) {
+          caches.foreach(_.unpersist(blocking = false))
+          spark.listenerManager.unregister(listener)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+  }
+}

@@ -27,15 +27,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
-  /** Foldable int/long argument (accepts any SQL integral literal). */
-  private def intArg(e: Expression, what: String): Int = e.eval() match {
-    case n: Number => n.intValue()
-    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  /** Foldable int/long argument (accepts any SQL integral literal).
+    * Foldability is checked BEFORE eval: eval() on a column reference
+    * throws an opaque unresolved/unsupported-operation error at
+    * function-build time instead of the intended message.
+    */
+  private def foldedArg(e: Expression, what: String): Number = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be an integer literal, got expression ${e.sql}")
+    e.eval() match {
+      case n: Number => n
+      case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+    }
   }
-  private def longArg(e: Expression, what: String): Long = e.eval() match {
-    case n: Number => n.longValue()
-    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
-  }
+  private def intArg(e: Expression, what: String): Int = foldedArg(e, what).intValue()
+  private def longArg(e: Expression, what: String): Long = foldedArg(e, what).longValue()
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

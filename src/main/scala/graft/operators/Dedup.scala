@@ -69,8 +69,14 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
-      maxDfFraction: Option[Double] = None): DataFrame =
-    ngramJaccardPairsWithCaches(df, idCol, textCol, n, threshold, maxDfFraction)._1
+      maxDfFraction: Option[Double] = None): DataFrame = {
+    val (pairs, caches) =
+      ngramJaccardPairsWithCaches(df, idCol, textCol, n, threshold, maxDfFraction)
+    // the plain entry point owns the intermediates: release them once
+    // the pair plan has executed, instead of leaking to session end
+    graft.CacheLifecycle.releaseAfterFirstUse(caches)
+    pairs
+  }
 
   /** As [[ngramJaccardPairs]], but also returns the persisted
     * intermediates (posting list, filtered posting list, prefix
@@ -210,8 +216,12 @@ object Dedup {
   def lshCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      portable: Boolean = false): DataFrame =
-    lshCandidatePairsWithSignatures(df, idCol, textCol, n, numHashes, bands, portable)._1
+      portable: Boolean = false): DataFrame = {
+    val (pairs, sigs) =
+      lshCandidatePairsWithSignatures(df, idCol, textCol, n, numHashes, bands, portable)
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(sigs))
+    pairs
+  }
 
   /** As [[lshCandidatePairs]], but also returns the persisted
     * signature table so long-lived sessions can `unpersist()` it once
@@ -259,6 +269,34 @@ object Dedup {
       .select(col("id"), col("bb.band"), col("bb.bucket"))
   }
 
+  /** The pairs-first block every LSH family shares: join two bucket
+    * tables on their bucket-key columns, deduplicate the colliding id
+    * pairs BEFORE anything wide rides along, then join each side's
+    * per-id feature table back exactly once for a single scoring pass.
+    *
+    * Bucket rows must be `(id, keyCols…)`; feature tables must be
+    * keyed by `id` (their other columns come back suffixed `_a`/`_b`,
+    * alongside `id_a`/`id_b`). A bucket join can emit a pair once per
+    * colliding bucket, and shipping signatures/vectors through that
+    * blow-up dominates cost — hence pairs-first. `ordered = true`
+    * (self-join) emits each unordered pair once via id_a < id_b;
+    * asymmetric joins (new × corpus) pass false.
+    */
+  private def collisionPairsWithFeatures(
+      bucketsA: DataFrame, bucketsB: DataFrame, keyCols: Seq[String],
+      ordered: Boolean, featsA: DataFrame, featsB: DataFrame): DataFrame = {
+    val keyEq = keyCols.map(k => col("a." + k) === col("b." + k)).reduce(_ && _)
+    val cond = if (ordered) keyEq && col("a.id") < col("b.id") else keyEq
+    val pairs = bucketsA.as("a").join(bucketsB.as("b"), cond)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    def suffixed(f: DataFrame, idAs: String, sfx: String): DataFrame =
+      f.select((col("id").as(idAs) +: f.columns.filterNot(_ == "id")
+        .map(c => col(c).as(c + sfx)).toIndexedSeq): _*)
+    pairs.join(suffixed(featsA, "id_a", "_a"), "id_a")
+      .join(suffixed(featsB, "id_b", "_b"), "id_b")
+  }
+
   /** Candidate generation over a precomputed/persisted signature
     * table `(id, sig ARRAY<LONG> of length numHashes)` — the
     * production entry point when signatures are materialized between
@@ -267,21 +305,9 @@ object Dedup {
   def lshCandidatePairsFromSignatures(
       sigs: DataFrame, numHashes: Int, bands: Int,
       portableBuckets: Boolean = false): DataFrame = {
-    // Band rows carry only (id, band, bucket) — never the signature:
-    // the band self-join can emit a pair once per colliding band, and
-    // shipping 64-long signatures through that blow-up dominates cost.
-    // Dedup pairs FIRST, then join the (small) signature table back
-    // twice and score each pair exactly once.
     val banded = bandedOf(sigs, numHashes, bands, portableBuckets)
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+    collisionPairsWithFeatures(banded, banded, Seq("band", "bucket"),
+        ordered = true, featsA = sigs, featsB = sigs)
       .select(col("id_a"), col("id_b"),
         minhashAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
   }
@@ -299,9 +325,12 @@ object Dedup {
       corpusSigs: DataFrame,
       newDocs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, portable: Boolean = false): DataFrame =
-    dropNearDuplicatesAgainstWithSignatures(
-      corpusSigs, newDocs, idCol, textCol, n, numHashes, bands, threshold, portable)._1
+      threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
+    val (kept, newSigs) = dropNearDuplicatesAgainstWithSignatures(
+      corpusSigs, newDocs, idCol, textCol, n, numHashes, bands, threshold, portable)
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(newSigs))
+    kept
+  }
 
   /** As [[dropNearDuplicatesAgainst]], but also returns the persisted
     * new-batch signature table so the caller can `unpersist()` it
@@ -323,16 +352,13 @@ object Dedup {
     val newSigs =
       (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes)
        else minhashSignatures(newDocs, idCol, textCol, n, numHashes)).persist()
-    val candidates = bandedOf(newSigs, numHashes, bands, portable).as("nw")
-      .join(bandedOf(corpusSigs, numHashes, bands, portable).as("cp"),
-        col("nw.band") === col("cp.band") && col("nw.bucket") === col("cp.bucket"))
-      .select(col("nw.id").as("new_id"), col("cp.id").as("corpus_id"))
-      .distinct()
-    val dropIds = candidates
-      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_n")), "new_id")
-      .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_c")), "corpus_id")
-      .filter(minhashAgreement(col("sig_n"), col("sig_c")) >= threshold)
-      .select(col("new_id").as(idCol))
+    val dropIds = collisionPairsWithFeatures(
+        bandedOf(newSigs, numHashes, bands, portable),
+        bandedOf(corpusSigs, numHashes, bands, portable),
+        Seq("band", "bucket"), ordered = false,
+        featsA = newSigs, featsB = corpusSigs)
+      .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
+      .select(col("id_a").as(idCol))
       .distinct()
     (newDocs.join(dropIds, Seq(idCol), "left_anti"), newSigs)
   }
@@ -454,10 +480,11 @@ object Dedup {
   def embeddingNearDupLsh(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       dim: Int, planes: Int = 12, tables: Int = 4): DataFrame = {
-    // Same pairs-first discipline as lshCandidatePairs: the bucket
-    // self-join ships only (id, tbl, bkt) — never the vectors — and a
-    // pair colliding in several tables is deduped BEFORE the (single)
-    // cosine evaluation, with vectors joined back once per side.
+    // Same pairs-first discipline as lshCandidatePairs (the shared
+    // collisionPairsWithFeatures block): the bucket self-join ships
+    // only (id, tbl, bkt) — never the vectors — and a pair colliding
+    // in several tables is deduped BEFORE the (single) cosine
+    // evaluation, with vectors joined back once per side.
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"))
     val bucketed = v.select(
@@ -466,18 +493,11 @@ object Dedup {
         struct(lit(t).as("tbl"), signBucket(col("v"), dim, planes, seedOffset = t * planes).as("bkt"))
       }: _*)).as("tb"))
       .select(col("id"), col("tb.tbl"), col("tb.bkt"))
-    val pairs = bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    pairs
-      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+    collisionPairsWithFeatures(bucketed, bucketed, Seq("tbl", "bkt"),
+        ordered = true, featsA = v, featsB = v)
       .withColumn("cosine",
-        when(col("na") > 0 && col("nb") > 0,
-          dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
+        when(col("nrm_a") > 0 && col("nrm_b") > 0,
+          dotProduct(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
           .otherwise(lit(null).cast("double")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

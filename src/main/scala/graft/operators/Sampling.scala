@@ -29,21 +29,32 @@ object Sampling {
 
   /** Disjoint deterministic split: assigns each row a split label by
     * cumulative fraction ranges over the hash score. Fractions must
-    * sum to ≤ 1; rows beyond the last boundary get the final label's
-    * remainder only if fractions sum to 1.
+    * sum to ≤ 1; `split` is null for rows beyond the last boundary
+    * when they sum to strictly less than 1.
+    *
+    * When fractions sum to (numerically) 1, the FINAL bucket is the
+    * catch-all `otherwise` branch rather than a `score < bound`
+    * comparison: float accumulation can leave the last cumulative
+    * bound one ulp below 1.0, and a `<` test there would silently
+    * drop the top sliver of scores to split=null
+    * (`__HIVE_DEFAULT_PARTITION__` in a partitioned sink).
     */
   def deterministicSplit(
       df: DataFrame, idCol: String,
       splits: Seq[(String, Double)]): DataFrame = {
     val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val score = hashScore(col(idCol))
+    val sumsToOne = splits.nonEmpty && math.abs(bounds.last - 1.0) <= 1e-9
+    val (chained, catchAll) =
+      if (sumsToOne) (splits.init.map(_._1).zip(bounds.init), lit(splits.last._1))
+      else (splits.map(_._1).zip(bounds), lit(null).cast("string"))
     // ascending when-chain over cumulative upper bounds: the first
     // matching bound wins, so conditions must be tested low-to-high
-    val ascending = splits.map(_._1).zip(bounds)
+    val ascending = chained
       .foldLeft(Option.empty[Column]) {
         case (None, (name, hi)) => Some(when(score < hi, lit(name)))
         case (Some(c), (name, hi)) => Some(c.when(score < hi, lit(name)))
-      }.get.otherwise(lit(null).cast("string"))
+      }.fold(catchAll)(_.otherwise(catchAll))
     df.withColumn("split", ascending)
   }
 

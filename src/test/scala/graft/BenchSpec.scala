@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+class BenchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("evalAll completes over uniform 64-bit hashes (no ANSI overflow)") {
+    // Summing uniform 64-bit hashes overflows Long within a handful of
+    // rows under ANSI mode (each addition overflows w.p. ~1/2) — the
+    // r2 harness defect. The XOR fold must evaluate every row of every
+    // column without arithmetic.
+    val wide = spark.range(100000).selectExpr(
+      "xxhash64(id) AS a", "xxhash64(id + 1) AS b", "CAST(id AS STRING) AS c")
+    Bench.evalAll(wide) // must not throw
+  }
+
+  test("run surfaces per-query errors instead of swallowing them") {
+    val ok: (SparkSession, String) => DataFrame =
+      (s, _) => s.range(10).selectExpr("id", "id * 2 AS d")
+    // ANSI integral division by zero at id=5: a genuine runtime abort
+    val broken: (SparkSession, String) => DataFrame =
+      (s, _) => s.range(10).selectExpr("id div (id - 5) AS x")
+    val results = Bench.run(Seq("ok" -> ok, "broken" -> broken), spark, TestSpark.sf)
+    assert(results.map(_.name) == Seq("ok", "broken"))
+    val byName = results.map(r => r.name -> r).toMap
+    assert(byName("ok").err.isEmpty)
+    assert(byName("broken").err.isDefined,
+      "a failing query must carry an err field, not report success")
+    assert(results.forall(_.sec >= 0.0))
+  }
+}

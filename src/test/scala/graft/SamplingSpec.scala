@@ -25,6 +25,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(frac("train") / 500.0 - 0.8) < 0.1)      // ≈ declared fraction
   }
 
+  test("fractions summing to ~1: final bucket is a catch-all, not a float bound") {
+    // ten 0.1s accumulate to 0.9999999999999999 < 1.0 — an `s < bound`
+    // test on the final bucket would send the top score sliver to
+    // split=null (__HIVE_DEFAULT_PARTITION__ in a partitioned sink)
+    val ten = (0 until 10).map(i => s"b$i" -> 0.1)
+    assert(ten.map(_._2).scanLeft(0.0)(_ + _).last < 1.0)
+    val out = Sampling.deterministicSplit(docs, "doc_id", ten)
+    assert(out.filter($"split".isNull).count() == 0)
+    val rendered = out.queryExecution.analyzed.toString
+    assert(rendered.contains("ELSE b9"), // catch-all branch, not a bound compare
+      s"final bucket must be the otherwise() branch:\n$rendered")
+  }
+
+  test("fractions summing below 1 leave the remainder unlabeled (null)") {
+    val out = Sampling.deterministicSplit(docs, "doc_id",
+      Seq("a" -> 0.4, "b" -> 0.2))
+    val n = out.count()
+    val byLabel = out.groupBy("split").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byLabel.keySet.contains(None)) // remainder really is null
+    assert(byLabel(Some("a")) + byLabel(Some("b")) + byLabel(None) == n)
+    assert(math.abs(byLabel(Some("a")).toDouble / n - 0.4) < 0.1)
+  }
+
   test("deterministicSample is a subset-stable filter") {
     val s20 = Sampling.deterministicSample(docs, "doc_id", 0.2)
       .select("doc_id").as[Long].collect().toSet
