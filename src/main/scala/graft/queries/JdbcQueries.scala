@@ -48,9 +48,39 @@ object JdbcQueries {
       |  CAST(0 AS BIGINT) AS variance
       |FROM nation GROUP BY n_regionkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q41 — live-connection schema enumeration + per-schema fan-out:
+  // the reference's literal S1 flow (SHOW DATABASES → prefix filter →
+  // per-schema COUNT, skip-on-missing-table), against Derby's
+  // SYS.SYSSCHEMAS over one connection. The nation table is sharded
+  // into one schema per region 0-3; a fifth prefix-matched schema
+  // exists WITHOUT the table and must be skipped atomically (S5) —
+  // its absence from the result is what the oracle checks.
+  // ---------------------------------------------------------------
+  def q41SchemaFanout(spark: SparkSession, d: String): DataFrame = {
+    val url = Jdbc.derbyUrl()
+    val nation = Tables.nation(spark, d)
+    (0 until 4).foreach { r =>
+      Jdbc.writeReplace(nation.filter(col("n_regionkey") === r),
+        url, s"GRAFTS_R$r.nation_part")
+    }
+    Jdbc.ensureSchema(url, "GRAFTS_R4") // enumerable, but no nation_part
+    val schemas = Jdbc.listSchemas(spark, url, prefix = "GRAFTS_R")
+    val res = Jdbc.fanOutSchemas(spark, url, schemas,
+      s => s"""SELECT COUNT(*) AS "n_rows" FROM $s.nation_part""")
+    res.df.get.select(col("source_schema"), col("n_rows").cast("long"))
+  }
+
+  val q41Sql: String =
+    """SELECT 'GRAFTS_R' || CAST(n_regionkey AS VARCHAR) AS source_schema,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM nation WHERE n_regionkey <= 3 GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q35_jdbc_roundtrip" -> (q35JdbcRoundtrip _))
+    "q35_jdbc_roundtrip" -> (q35JdbcRoundtrip _),
+    "q41_schema_fanout"  -> (q41SchemaFanout _))
 
   val oracleSql: Map[String, String] = Map(
-    "q35_jdbc_roundtrip" -> q35Sql)
+    "q35_jdbc_roundtrip" -> q35Sql,
+    "q41_schema_fanout"  -> q41Sql)
 }

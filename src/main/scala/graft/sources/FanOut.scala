@@ -47,15 +47,28 @@ object FanOut {
       .toSeq
   }
 
+  /** Default skip classifier: a plan that fails to RESOLVE (missing
+    * table/path → AnalysisException) is skippable; everything else is
+    * a real failure.
+    */
+  val analysisSkip: Throwable => Option[String] = {
+    case e: AnalysisException => Some(e.getSimpleMessage.linesIterator.next())
+    case _ => None
+  }
+
   /** Build one plan per source with `read`, skipping sources whose
-    * plan fails to resolve (missing table/path → AnalysisException —
-    * the 1146-skip analog); anything else propagates, like the
-    * reference re-raises non-1146 errors (S6, DCC:108-112).
+    * failure `skipReason` classifies as benign (default: resolution
+    * failures — the 1146-skip analog); anything else propagates, like
+    * the reference re-raises non-1146 errors (S6, DCC:108-112). JDBC
+    * fan-outs pass a SQLSTATE-based classifier instead
+    * ([[Jdbc.fanOutSchemas]]).
     *
     * Each surviving frame is tagged with a `source_schema` column so
     * downstream grouping can attribute rows, then unioned by name.
     */
-  def fanOut(sources: Seq[String], read: String => DataFrame): FanOutResult = {
+  def fanOut(
+      sources: Seq[String], read: String => DataFrame,
+      skipReason: Throwable => Option[String] = analysisSkip): FanOutResult = {
     val results = sources.map { src =>
       src -> Try {
         // force analysis now so resolution errors surface per-source
@@ -65,11 +78,11 @@ object FanOut {
       }
     }
     val skipped = results.collect {
-      case (src, Failure(e: AnalysisException)) =>
-        SkipRecord(src, e.getSimpleMessage.linesIterator.next())
+      case (src, Failure(e)) if skipReason(e).isDefined =>
+        SkipRecord(src, skipReason(e).get)
     }
     results.collectFirst {
-      case (_, Failure(e)) if !e.isInstanceOf[AnalysisException] => e
+      case (_, Failure(e)) if skipReason(e).isEmpty => e
     }.foreach(throw _)
     val frames = results.collect { case (_, Success(df)) => df }
     FanOutResult(frames.reduceOption(_ unionByName _), skipped)

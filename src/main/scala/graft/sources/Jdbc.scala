@@ -112,6 +112,65 @@ object Jdbc {
     readTable(spark, url, table, props).count() - before
   }
 
+  /** Schema names over the live connection — the reference's
+    * `SHOW DATABASES` → prefix filter (S1 literal shape,
+    * data_consistency_checks.py:39-44). Derby's catalog is
+    * `SYS.SYSSCHEMAS`; pass `catalogSql` for other engines
+    * (`INFORMATION_SCHEMA.SCHEMATA`). Driver-side list — schema
+    * catalogs are config-sized, like the reference's fetchall().
+    */
+  def listSchemas(spark: SparkSession, url: String, prefix: String,
+      props: Properties = derbyProps(),
+      catalogSql: String = "SELECT SCHEMANAME FROM SYS.SYSSCHEMAS"): Seq[String] =
+    readQuery(spark, url, catalogSql, props)
+      .collect().map(_.getString(0))
+      .filter(_.startsWith(prefix)).sorted.toSeq
+
+  /** CREATE SCHEMA if absent (plain JDBC DDL — provisioning is a
+    * driver-side, config-sized act). Derby X0Y68 = already exists.
+    */
+  def ensureSchema(url: String, schema: String,
+      props: Properties = derbyProps()): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"CREATE SCHEMA $schema")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y68" => () }
+      finally st.close()
+    } finally conn.close()
+  }
+
+  /** Per-schema fan-out over one connection: the reference's
+    * `SHOW DATABASES` → `openmrs_%` → per-schema query flow
+    * (data_consistency_checks.py:39-105). Each schema's `sqlFor(s)`
+    * executes ON the database; a schema missing its table is skipped
+    * atomically (the MySQL-1146 analog, classified by missing-object
+    * SQLSTATE), any other failure propagates. Survivors union with a
+    * `source_schema` tag — S1+S4+S5 in one connection-driven flow.
+    */
+  def fanOutSchemas(spark: SparkSession, url: String, schemas: Seq[String],
+      sqlFor: String => String,
+      props: Properties = derbyProps()): FanOut.FanOutResult =
+    FanOut.fanOut(schemas,
+      s => readQuery(spark, url, sqlFor(s), props),
+      skipReason = jdbcMissingObjectSkip)
+
+  private[sources] val jdbcMissingObjectSkip: Throwable => Option[String] =
+    t => if (missingObjectSqlState(t)) Some(firstSqlMessage(t)) else None
+
+  private def firstSqlMessage(t: Throwable): String = {
+    var cur = t
+    while (cur != null) {
+      cur match {
+        case s: java.sql.SQLException =>
+          return Option(s.getMessage).map(_.linesIterator.next()).getOrElse(s.getSQLState)
+        case _ =>
+      }
+      cur = if (cur.getCause eq cur) null else cur.getCause
+    }
+    Option(t.getMessage).getOrElse(t.getClass.getName)
+  }
+
   /** Engine-specific missing-object SQLSTATEs: Derby 42X05, MySQL
     * 42S02, Postgres 42P01. Deliberately NOT the whole class 42 — it
     * also covers syntax errors (42601/42X01) and privilege violations

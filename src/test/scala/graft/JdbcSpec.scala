@@ -85,6 +85,36 @@ class JdbcSpec extends AnyFunSuite {
     assert(Jdbc.readTable(spark, cfg.jdbcUrl, "t_cfg", cfg.jdbcProps).count() == 1)
   }
 
+  test("schema enumeration + fan-out: reads over N schemas, skips the table-less one (S1+S5)") {
+    // two schemas with the table, one enumerable schema without it,
+    // one schema outside the prefix (must not even be attempted)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Jdbc.writeReplace(df, url, "GRAFTE_A.t_enum")
+    Jdbc.writeReplace(df.limit(1), url, "GRAFTE_B.t_enum")
+    Jdbc.ensureSchema(url, "GRAFTE_C")       // no t_enum → skipped
+    Jdbc.writeReplace(df, url, "OTHERPFX.t_enum") // prefix-excluded
+    val schemas = Jdbc.listSchemas(spark, url, prefix = "GRAFTE_")
+    assert(schemas == Seq("GRAFTE_A", "GRAFTE_B", "GRAFTE_C"))
+    val res = Jdbc.fanOutSchemas(spark, url, schemas,
+      s => s"""SELECT COUNT(*) AS "n" FROM $s.t_enum""")
+    assert(res.skipped.map(_.source) == Seq("GRAFTE_C"))
+    assert(res.telemetry(schemas.size) == "2 out of 3 sources processed successfully")
+    val counts = res.df.get.collect()
+      .map(r => r.getString(r.fieldIndex("source_schema")) -> r.getInt(r.fieldIndex("n")))
+      .toMap
+    assert(counts == Map("GRAFTE_A" -> 2, "GRAFTE_B" -> 1))
+  }
+
+  test("fan-out propagates non-missing-object failures (S6 over JDBC)") {
+    Jdbc.writeReplace(Seq((1L, "a")).toDF("id", "v"), url, "GRAFTF_A.t_prop")
+    // a syntax error (SQLSTATE 42X01) is NOT a missing table: it must
+    // propagate, not be silently absorbed as a skipped source
+    assertThrows[Exception] {
+      Jdbc.fanOutSchemas(spark, url, Seq("GRAFTF_A"),
+        s => s"SELEKT COUNT(*) FROM $s.t_prop")
+    }
+  }
+
   test("q35 round-trip reconciliation: zero variance on every region") {
     val out = graft.queries.JdbcQueries
       .q35JdbcRoundtrip(spark, TestSpark.sf).collect()

@@ -67,6 +67,54 @@ class PlanShapeSpec extends AnyFunSuite {
       s"exactly one of 30 date partitions should survive pruning, got $nParts")
   }
 
+  test("JDBC table scan: filter pushed into the JDBC relation, columns pruned") {
+    import graft.sources.Jdbc
+    val spark2 = spark; import spark2.implicits._
+    val url = Jdbc.derbyUrl()
+    Jdbc.writeReplace(spark.range(0, 100)
+      .select($"id".as("k"), ($"id" % 7).as("x"), $"id".cast("string").as("payload")),
+      url, "t_pushdown")
+    val q = Jdbc.readTable(spark, url, "t_pushdown")
+      .filter($"x" > 3).select($"k", $"x")
+    val p = plan(q)
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(x,3)"),
+      s"x > 3 must reach the JDBC scan, not execute above it:\n$p")
+    assert(!p.contains("payload"),
+      "unreferenced columns must not cross the wire")
+    assert(q.count() == 100 - 100 / 7 * 4 - 2) // 42 rows with id%7 > 3
+  }
+
+  test("JDBC catalog scan: aggregate pushed to the database (pushDownAggregate)") {
+    import graft.sources.Jdbc
+    val spark2 = spark; import spark2.implicits._
+    val url = Jdbc.derbyUrl()
+    Jdbc.writeReplace(spark.range(0, 100)
+      .select(($"id" % 5).as("k"), $"id".as("x")), url, "t_aggpush")
+    spark.conf.set("spark.sql.catalog.graftderby",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set("spark.sql.catalog.graftderby.url", url)
+    spark.conf.set("spark.sql.catalog.graftderby.driver",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    spark.conf.set("spark.sql.catalog.graftderby.pushDownAggregate", "true")
+    spark.conf.set("spark.sql.catalog.graftderby.pushDownLimit", "true")
+    try {
+      val t = spark.table("graftderby.APP.T_AGGPUSH")
+      val agg = t.filter($"x" >= 10).groupBy($"k")
+        .agg(org.apache.spark.sql.functions.count($"x").as("n"))
+      val p = plan(agg)
+      assert(p.contains("PushedAggregates: [COUNT"),
+        s"COUNT must execute on the database, not in Spark:\n$p")
+      assert(p.contains("PushedGroupByExpressions"),
+        s"GROUP BY must push with the aggregate:\n$p")
+      assert(p.toLowerCase.contains("pushedfilters") && p.contains("10"),
+        s"the x >= 10 filter must push beneath the aggregate:\n$p")
+      val rows = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows == (0L until 5L).map(k => k -> 18L).toMap) // ids 10..99 per residue
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftderby")
+    }
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
