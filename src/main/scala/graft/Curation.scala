@@ -84,10 +84,10 @@ object Curation {
     // 4. near-dedup: LSH candidates above threshold; drop the higher
     // id of each pair (greedy per-pair — at most one survivor per
     // connected near-dup component's min id chain)
-    val (pairs, sigs) = Dedup.lshCandidatePairsWithSignatures(
-      exact, idCol, textCol, cfg.shingleN, cfg.minhashHashes, cfg.minhashBands)
-    val drop = pairs.filter(col("est_jaccard") >= cfg.nearDupThreshold)
-      .select(col("id_b").as(idCol)).distinct()
+    val (pairs, sigs) = Dedup.lshNearDupPairsWithSignatures(
+      exact, idCol, textCol, cfg.shingleN, cfg.minhashHashes, cfg.minhashBands,
+      threshold = cfg.nearDupThreshold)
+    val drop = pairs.select(col("id_b").as(idCol)).distinct()
     val nearDeduped = exact.join(drop, Seq(idCol), "left_anti").persist()
     val afterNear = nearDeduped.count()
 

@@ -282,19 +282,77 @@ object Dedup {
     * (self-join) emits each unordered pair once via id_a < id_b;
     * asymmetric joins (new × corpus) pass false.
     */
-  private def collisionPairsWithFeatures(
+  private[graft] def collisionPairsWithFeatures(
       bucketsA: DataFrame, bucketsB: DataFrame, keyCols: Seq[String],
-      ordered: Boolean, featsA: DataFrame, featsB: DataFrame): DataFrame = {
-    val keyEq = keyCols.map(k => col("a." + k) === col("b." + k)).reduce(_ && _)
+      ordered: Boolean, featsA: DataFrame, featsB: DataFrame,
+      minCollisions: Int = 1, nSalts: Int = 16, hotBucketMin: Long = 8192,
+      maxHotBuckets: Int = 4096): DataFrame = {
+    // Within-bucket pair enumeration is the one genuinely skewed step
+    // of every LSH family: a hot bucket of k members must emit C(k,2)
+    // rows, and an unsalted bucket-key join emits them all in ONE
+    // task (observed on the test corpus: a 1766-member band bucket →
+    // 1.5M rows, single-threaded). Same discipline as Skew.saltedJoin
+    // — B side salts on its own id, A side replicates, salt joins as
+    // an extra key — but applied ADAPTIVELY: replicating the entire A
+    // side nSalts× costs more than the hot bucket saves (measured
+    // +60% on the test corpus), so only rows in buckets above
+    // `hotBucketMin` members are salted. The hot list is the heaviest
+    // `maxHotBuckets` buckets — a bounded, broadcastable set, ordered
+    // so the worst offenders are always covered. Output is identical
+    // either way: a pair joins under exactly one salt value.
+    val hot = broadcast(
+      bucketsB.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= hotBucketMin)
+        .orderBy(col("_n").desc)
+        .limit(maxHotBuckets)
+        .select(keyCols.map(col) :+ lit(true).as("_hot"): _*))
+    val saltVals = array((0 until nSalts).map(i => lit(i.toLong)): _*)
+    val a = bucketsA.join(hot, keyCols, "left").withColumn("_salt",
+        explode(when(col("_hot"), saltVals).otherwise(array(lit(0L)))))
+      .drop("_hot")
+    val b = bucketsB.join(hot, keyCols, "left").withColumn("_salt",
+        when(col("_hot"), pmod(xxhash64(col("id")), lit(nSalts.toLong)))
+          .otherwise(lit(0L)))
+      .drop("_hot")
+    val keyEq = (keyCols :+ "_salt").map(k => col("a." + k) === col("b." + k)).reduce(_ && _)
     val cond = if (ordered) keyEq && col("a.id") < col("b.id") else keyEq
-    val pairs = bucketsA.as("a").join(bucketsB.as("b"), cond)
+    val collisions = a.as("a").join(b.as("b"), cond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // A pair collides at most once per band/table (bucket rows are
+    // unique per (id, band)), so the per-pair row count IS the number
+    // of agreeing bands — countable in the same shuffle the distinct
+    // would cost. minCollisions > 1 prunes pairs that provably cannot
+    // reach the caller's similarity threshold (see minAgreeingBands)
+    // BEFORE any feature joins back.
+    val pairs =
+      if (minCollisions > 1)
+        collisions.groupBy("id_a", "id_b").agg(count(lit(1)).as("_nb"))
+          .filter(col("_nb") >= minCollisions).drop("_nb")
+      else collisions.distinct()
     def suffixed(f: DataFrame, idAs: String, sfx: String): DataFrame =
       f.select((col("id").as(idAs) +: f.columns.filterNot(_ == "id")
         .map(c => col(c).as(c + sfx)).toIndexedSeq): _*)
     pairs.join(suffixed(featsA, "id_a", "_a"), "id_a")
       .join(suffixed(featsB, "id_b", "_b"), "id_b")
+  }
+
+  /** Probe-only view of the banded rows (tools.Probe). */
+  private[graft] def bandedDebug(sigs: DataFrame, numHashes: Int, bands: Int,
+      portable: Boolean): DataFrame = bandedOf(sigs, numHashes, bands, portable)
+
+  /** Pigeonhole-sound band-count floor for pairs with signature
+    * agreement ≥ t: such a pair disagrees on at most
+    * H − ⌈t·H⌉ of its H components, and each disagreeing component
+    * breaks at most one band — so at least bands − (H − ⌈t·H⌉) bands
+    * agree EXACTLY. Every qualifying pair survives the floor (no
+    * false negatives); sub-threshold pairs are mostly pruned before
+    * any signature ships. At t=0.8, H=64, 16 bands: floor is 4
+    * agreeing bands, which cuts the scored candidate set ~20× on a
+    * high-ambient-similarity corpus.
+    */
+  private[graft] def minAgreeingBands(numHashes: Int, bands: Int, t: Double): Int = {
+    val agreeMin = math.ceil(t * numHashes - 1e-9).toInt
+    math.max(1, bands - (numHashes - agreeMin))
   }
 
   /** Candidate generation over a precomputed/persisted signature
@@ -304,12 +362,54 @@ object Dedup {
     */
   def lshCandidatePairsFromSignatures(
       sigs: DataFrame, numHashes: Int, bands: Int,
-      portableBuckets: Boolean = false): DataFrame = {
+      portableBuckets: Boolean = false): DataFrame =
+    scoredPairsFromSignatures(sigs, numHashes, bands, portableBuckets, minCollisions = 1)
+
+  private def scoredPairsFromSignatures(
+      sigs: DataFrame, numHashes: Int, bands: Int,
+      portableBuckets: Boolean, minCollisions: Int): DataFrame = {
     val banded = bandedOf(sigs, numHashes, bands, portableBuckets)
     collisionPairsWithFeatures(banded, banded, Seq("band", "bucket"),
-        ordered = true, featsA = sigs, featsB = sigs)
+        ordered = true, featsA = sigs, featsB = sigs,
+        minCollisions = minCollisions)
       .select(col("id_a"), col("id_b"),
         minhashAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
+  }
+
+  /** Near-dup pairs at estimated Jaccard ≥ threshold — the scale
+    * shape of [[lshCandidatePairs]]: candidates are pruned by
+    * agreeing-band count ([[minAgreeingBands]], lossless for the
+    * thresholded result) BEFORE signatures join back for exact
+    * agreement scoring. On a corpus with high ambient similarity the
+    * unpruned candidate set is quadratic-ish (46% of all pairs at
+    * 16×4 banding on the test corpus); the floor reduces scored
+    * candidates to the near-threshold tail.
+    */
+  def lshNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
+    val (pairs, sigs) = lshNearDupPairsWithSignatures(
+      df, idCol, textCol, n, numHashes, bands, threshold, portable)
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(sigs))
+    pairs
+  }
+
+  /** As [[lshNearDupPairs]] plus the persisted signature table (same
+    * caller-managed-cache contract as
+    * [[lshCandidatePairsWithSignatures]]).
+    */
+  def lshNearDupPairsWithSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, portable: Boolean = false): (DataFrame, DataFrame) = {
+    val sigs =
+      (if (portable) minhashSignaturesPortable(df, idCol, textCol, n, numHashes)
+       else minhashSignatures(df, idCol, textCol, n, numHashes)).persist()
+    val pairs = scoredPairsFromSignatures(sigs, numHashes, bands, portable,
+        minCollisions = minAgreeingBands(numHashes, bands, threshold))
+      .filter(col("est_jaccard") >= threshold)
+    (pairs, sigs)
   }
 
   /** Incremental near-dedup: drop from `newDocs` everything whose
@@ -356,7 +456,8 @@ object Dedup {
         bandedOf(newSigs, numHashes, bands, portable),
         bandedOf(corpusSigs, numHashes, bands, portable),
         Seq("band", "bucket"), ordered = false,
-        featsA = newSigs, featsB = corpusSigs)
+        featsA = newSigs, featsB = corpusSigs,
+        minCollisions = minAgreeingBands(numHashes, bands, threshold))
       .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
       .select(col("id_a").as(idCol))
       .distinct()

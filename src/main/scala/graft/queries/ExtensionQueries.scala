@@ -88,10 +88,9 @@ object ExtensionQueries {
   private val LshHashes = 64
 
   def q12MinhashLsh(spark: SparkSession, d: String): DataFrame =
-    Dedup.lshCandidatePairs(Tables.documents(spark, d),
-        "doc_id", "text", n = 3, numHashes = LshHashes, bands = LshBands,
-        portable = true)
-      .filter(col("est_jaccard") >= JaccardThreshold)
+    Dedup.lshNearDupPairs(Tables.documents(spark, d),
+      "doc_id", "text", n = 3, numHashes = LshHashes, bands = LshBands,
+      threshold = JaccardThreshold, portable = true)
 
   /** Mirrors the portable pipeline stage by stage: shingles → md5
     * base hash mod p → k-min over the affine family (coefficients

@@ -53,6 +53,39 @@ class CacheLifecycleSpec extends AnyFunSuite {
     sigs.unpersist(blocking = true)
   }
 
+  test("lshNearDupPairs band-count prefilter is lossless vs full candidate scoring") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val full = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16)
+      .filter(org.apache.spark.sql.functions.col("est_jaccard") >= 0.8)
+    val pruned = Dedup.lshNearDupPairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.8)
+    assert(pruned.exceptAll(full).count() == 0 && full.exceptAll(pruned).count() == 0,
+      "prefiltered result must equal the fully-scored thresholded result")
+    assert(Dedup.minAgreeingBands(64, 16, 0.8) == 4)
+    assert(Dedup.minAgreeingBands(64, 8, 0.8) == 1)   // floor degenerates, stays sound
+    assert(Dedup.minAgreeingBands(64, 32, 0.9) == 26) // ⌈.9·64⌉=58 → 6 breakable
+  }
+
+  test("hot-bucket salting preserves the exact pair set") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, TestSpark.sf).limit(300)
+    val (_, sigs) = Dedup.lshCandidatePairsWithSignatures(
+      docs, "doc_id", "text", numHashes = 64, bands = 16)
+    val banded = Dedup.bandedDebug(sigs, 64, 16, portable = false)
+    def pairsAt(hotMin: Long) = Dedup.collisionPairsWithFeatures(
+        banded, banded, Seq("band", "bucket"), ordered = true,
+        featsA = sigs, featsB = sigs, minCollisions = 4,
+        hotBucketMin = hotMin)
+      .select(col("id_a"), col("id_b"))
+    val plain = pairsAt(Long.MaxValue)  // nothing salted
+    val salted = pairsAt(1L)            // every bucket salted
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0,
+      "salted within-bucket enumeration must emit the identical pair set")
+    assert(plain.count() > 0, "prefilter sanity: some candidates survive")
+    sigs.unpersist(blocking = true)
+  }
+
   test("unrelated executions do not release caches prematurely") {
     val docs = Tables.documents(spark, TestSpark.sf).limit(40)
     val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", numHashes = 16, bands = 4)
