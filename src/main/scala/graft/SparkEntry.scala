@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{AnalyticsQueries, CheckQueries, ExtensionQueries, JdbcQueries, ParityQueries, SamplingQueries, ScaleQueries, TemporalQueries}
+import graft.queries.{AnalyticsQueries, CheckQueries, ExtensionQueries, JdbcQueries, ParityQueries, PipelineQueries, SamplingQueries, ScaleQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,7 +14,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ ExtensionQueries.queries ++
       AnalyticsQueries.queries ++ CheckQueries.queries ++ TemporalQueries.queries ++
-      SamplingQueries.queries ++ JdbcQueries.queries ++ ScaleQueries.queries
+      SamplingQueries.queries ++ JdbcQueries.queries ++ ScaleQueries.queries ++
+      PipelineQueries.queries
 
   /** One-time per-session materializations that queries depend on but
     * that should not be inside any timed region (q37's partitioned
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ ExtensionQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++ CheckQueries.oracleSql ++ TemporalQueries.oracleSql ++
-      SamplingQueries.oracleSql ++ JdbcQueries.oracleSql ++ ScaleQueries.oracleSql
+      SamplingQueries.oracleSql ++ JdbcQueries.oracleSql ++ ScaleQueries.oracleSql ++
+      PipelineQueries.oracleSql
 }

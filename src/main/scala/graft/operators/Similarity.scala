@@ -134,6 +134,88 @@ object Similarity {
     out
   }
 
+  /** Exact batch k-NN join: EVERY query row gets its top-k corpus
+    * neighbors by cosine — the all-queries-at-once shape (dataset
+    * linking, eval-set neighbor audits) vs the single-vector
+    * [[bruteForceTopK]].
+    *
+    * The query side is broadcast (eval/probe sets are small by
+    * construction); the corpus scans once and each partition scores
+    * its rows against every query map-side, so the only shuffle is
+    * the per-query top-k window over already-scored (query, neighbor,
+    * cosine) triples. Exact but O(|Q|·|corpus|) score work — the
+    * verifier baseline; [[annJoinIvf]] is the scale path.
+    */
+  def annJoinBrute(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSimilarity(col("_cv"), col("_qv")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+
+  /** IVF batch k-NN join — the 100 TB shape of [[annJoinBrute]]:
+    * corpus rows are assigned once to their nearest of `nlist`
+    * k-means centroids (MLlib, cosine, fixed seed); each QUERY row
+    * computes its `nprobe` nearest cells per-row with expression
+    * arithmetic (no driver loop — the centroid list is a literal
+    * array, config-sized); the equi-join on `cell` then scores only
+    * probed candidates, ~nprobe/nlist of the brute-force work. The
+    * cell column is a partition key at rest, so the join prunes
+    * partitions instead of scanning them.
+    *
+    * Approximate: a true neighbor in an unprobed cell is missed —
+    * recall vs [[annJoinBrute]] is pinned in the spec, not an oracle.
+    */
+  def annJoinIvf(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val feats = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .persist()
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setDistanceMeasure("cosine")
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(feats)
+    val assigned = model.transform(feats).select(
+      col("neighbor_id"), col("_cv"), col("cell"))
+    // per-query probe cells: rank the literal centroid array by
+    // cosine in-expression, keep the top nprobe, explode to join keys
+    val centScores = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(cosineSimilarity(col("_qv"), array(c.toArray.map(lit).toIndexedSeq: _*)).as("s"),
+        lit(i).as("c"))
+    }.toIndexedSeq: _*)
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+        .select(col("query_id"), col("_qv"),  // separate select: centScores
+          // references _qv, which may not be a lateral alias under explode
+          explode(transform(
+            slice(reverse(array_sort(centScores)), 1, nprobe),
+            sc => sc.getField("c"))).as("cell")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val out = assigned.join(probes, "cell")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSimilarity(col("_cv"), col("_qv")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .drop("rank")
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(feats))
+    out
+  }
+
   /** Driver-side cosine for centroid ranking (config-sized inputs). */
   private def cosDriver(a: Seq[Double], b: Seq[Double]): Double = {
     val d = a.zip(b).map { case (x, y) => x * y }.sum

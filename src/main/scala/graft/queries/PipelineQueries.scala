@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Decontamination, Redaction, Similarity}
+
+/** Training-data pipeline extensions, round 3: benchmark
+  * decontamination, PII redaction, batch ANN join. Oracle SQL is
+  * generated from the same parameters as the Spark plans so the two
+  * can't drift.
+  */
+object PipelineQueries {
+
+  // ---------------------------------------------------------------
+  // q42 — benchmark decontamination: corpus docs sharing ≥1 distinct
+  // word 8-gram with the benchmark split (doc_id % 10 == 0) are
+  // flagged with their overlap count. Shingle hashes are 60-bit md5
+  // prefixes on BOTH engines (the q13 idiom), so the join keys match
+  // bit-for-bit.
+  // ---------------------------------------------------------------
+  private val DecontN = 8
+  private val BenchMod = 10
+
+  def q42Decontamination(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    Decontamination.contaminationReport(
+      corpus = docs.filter(col("doc_id") % BenchMod =!= 0),
+      bench = docs.filter(col("doc_id") % BenchMod === 0),
+      idCol = "doc_id", textCol = "text", n = DecontN)
+  }
+
+  val q42Sql: String = {
+    val h = (s: String) =>
+      s"CAST(CAST(('0x' || substr(md5($s), 1, 15)) AS UBIGINT) AS BIGINT)"
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(w) >= $DecontN
+       |      THEN list_transform(range(1, len(w) - $DecontN + 2),
+       |             i -> array_to_string(w[i:i+${DecontN - 1}], ' '))
+       |      ELSE [] END)) AS s
+       |  FROM tok),
+       |bench AS (SELECT DISTINCT ${h("s")} AS h FROM sh WHERE doc_id % $BenchMod = 0),
+       |corp AS (SELECT doc_id, ${h("s")} AS h FROM sh WHERE doc_id % $BenchMod <> 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM corp JOIN bench USING (h)
+       |GROUP BY doc_id HAVING count(*) >= 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q43 — PII redaction. The synthetic customer table carries no PII
+  // text, so the query first composes one deterministically from
+  // integer columns (same concat in both engines), then redacts
+  // emails, phones, and customer names. Patterns apply in order;
+  // counts are taken on the text each pattern actually saw.
+  // ---------------------------------------------------------------
+  private val PiiRules = Seq(
+    Redaction.defaultPatterns.find(_.name == "email").get,
+    Redaction.defaultPatterns.find(_.name == "phone").get,
+    Redaction.PiiPattern("name", "Customer#\\d+", "<NAME>"))
+
+  def q43PiiRedaction(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d)
+    val withText = cust.select(
+      col("c_custkey"),
+      concat(
+        col("c_name"), lit(" contact "),
+        when(col("c_custkey") % 3 === 0,
+          concat(lit("c"), col("c_custkey").cast("string"), lit("@example.com")))
+          .otherwise(lit("none")),
+        lit(" ph "),
+        ((col("c_custkey") * 7 + 123) % 900 + 100).cast("string"), lit("-"),
+        ((col("c_custkey") * 13 + 456) % 900 + 100).cast("string"), lit("-"),
+        ((col("c_custkey") * 31 + 789) % 9000 + 1000).cast("string"),
+        lit(" seg "), col("c_mktsegment")).as("text"))
+    Redaction.redactPii(withText, "c_custkey", "text", PiiRules)
+  }
+
+  val q43Sql: String = {
+    val textExpr =
+      """c_name || ' contact ' ||
+        |    CASE WHEN c_custkey % 3 = 0
+        |      THEN 'c' || c_custkey || '@example.com' ELSE 'none' END ||
+        |    ' ph ' || ((c_custkey * 7 + 123) % 900 + 100) ||
+        |    '-' || ((c_custkey * 13 + 456) % 900 + 100) ||
+        |    '-' || ((c_custkey * 31 + 789) % 9000 + 1000) ||
+        |    ' seg ' || c_mktsegment""".stripMargin
+    // fold the rule list exactly as Redaction.redactPii does: count on
+    // the text as each pattern sees it, then replace
+    val (redacted, counts) =
+      PiiRules.foldLeft(("text", Vector.empty[String])) {
+        case ((t, acc), p) =>
+          // single-quoted DuckDB strings take backslashes literally,
+          // so the Java-regex text embeds unchanged (no quotes in rules)
+          val rx = "'" + p.regex + "'"
+          val n = s"CAST(len(regexp_extract_all($t, $rx)) AS BIGINT) AS n_${p.name}"
+          (s"regexp_replace($t, $rx, '${p.replacement}', 'g')", acc :+ n)
+      }
+    s"""WITH t AS (SELECT c_custkey, $textExpr AS text FROM customer)
+       |SELECT c_custkey, $redacted AS text_redacted,
+       |  ${counts.mkString(",\n  ")}
+       |FROM t""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q44 — exact batch ANN join: every 20th vector queries the rest of
+  // the corpus for its 3 nearest neighbors by cosine. The IVF variant
+  // (annJoinIvf) is spec-pinned for recall instead — approximate
+  // results can't hash-match a brute oracle.
+  // ---------------------------------------------------------------
+  private val AnnK = 3
+  private val QueryMod = 20
+
+  def q44AnnJoin(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.annJoinBrute(
+      queries = emb.filter(col("vec_id") % QueryMod === 0),
+      corpus = emb.filter(col("vec_id") % QueryMod =!= 0),
+      idCol = "vec_id", vecCol = "embedding", k = AnnK)
+  }
+
+  val q44Sql: String = {
+    def dot(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id % $QueryMod <> 0),
+       |s AS (SELECT query_id, neighbor_id,
+       |    ${dot("cv", "qv")} /
+       |    (sqrt(${dot("cv", "cv")}) * sqrt(${dot("qv", "qv")})) AS cosine
+       |  FROM c, q)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM s) WHERE rn <= $AnnK""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_decontamination" -> (q42Decontamination _),
+    "q43_pii_redaction" -> (q43PiiRedaction _),
+    "q44_ann_join" -> (q44AnnJoin _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q42_decontamination" -> q42Sql,
+    "q43_pii_redaction" -> q43Sql,
+    "q44_ann_join" -> q44Sql)
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Decontamination, Redaction, Similarity}
+
+/** Round-3 pipeline operators: decontamination, PII redaction, batch
+  * ANN join.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------
+  // Decontamination
+  // ---------------------------------------------------------------
+
+  private val benchDocs = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog tonight")).toDF("id", "text")
+
+  test("decontamination flags exact n-gram overlap and counts distinct shared shingles") {
+    val corpus = Seq(
+      // shares the full 10-token benchmark text → many 4-grams
+      (1L, "prefix words the quick brown fox jumps over the lazy dog tonight suffix"),
+      // shares exactly one 4-gram window
+      (2L, "xx yy quick brown fox jumps zz ww vv uu"),
+      // no 4-gram overlap
+      (3L, "completely different content with no shared windows at all here")
+    ).toDF("id", "text")
+    val report = Decontamination
+      .contaminationReport(corpus, benchDocs, "id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report.contains(1L) && report(1L) >= 7,
+      "full containment must share every benchmark window")
+    assert(report.get(2L) === Some(1L))
+    assert(!report.contains(3L))
+  }
+
+  test("decontaminate drops flagged docs; minOverlap raises the bar") {
+    val corpus = Seq(
+      (1L, "aa the quick brown fox jumps over the lazy dog tonight bb"),
+      (2L, "xx yy quick brown fox jumps zz ww vv uu"),
+      (3L, "completely different content with no shared windows at all here")
+    ).toDF("id", "text")
+    val kept1 = Decontamination.decontaminate(corpus, benchDocs, "id", "text", n = 4)
+      .select("id").as[Long].collect().toSet
+    assert(kept1 === Set(3L))
+    val kept2 = Decontamination
+      .decontaminate(corpus, benchDocs, "id", "text", n = 4, minOverlap = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept2 === Set(2L, 3L), "single-window overlap survives minOverlap=2")
+  }
+
+  test("docs shorter than n tokens contribute no shingles") {
+    val corpus = Seq((1L, "quick brown fox")).toDF("id", "text")
+    assert(Decontamination
+      .contaminationReport(corpus, benchDocs, "id", "text", n = 4).count() === 0)
+  }
+
+  // ---------------------------------------------------------------
+  // PII redaction
+  // ---------------------------------------------------------------
+
+  test("redactPii replaces all matches per pattern and counts them") {
+    val df = Seq(
+      (1L, "mail a@b.com and c.d+e@sub.domain.org call 555-123-4567 ssn 123456789"),
+      (2L, "clean text, nothing to redact")
+    ).toDF("id", "text")
+    val out = Redaction.redactPii(df, "id", "text").orderBy("id").collect()
+    val r1 = out(0)
+    assert(r1.getString(1) === "mail <EMAIL> and <EMAIL> call <PHONE> ssn <ID>")
+    assert(r1.getLong(2) === 2L && r1.getLong(3) === 1L && r1.getLong(4) === 1L)
+    val r2 = out(1)
+    assert(r2.getString(1) === "clean text, nothing to redact")
+    assert(r2.getLong(2) === 0L && r2.getLong(3) === 0L && r2.getLong(4) === 0L)
+  }
+
+  test("patterns apply in order: earlier replacements hide text from later rules") {
+    // the phone's digits would also match id_number if phone ran later
+    val df = Seq((1L, "call 555-123-4567")).toDF("id", "text")
+    val out = Redaction.redactPii(df, "id", "text").head()
+    assert(out.getString(1) === "call <PHONE>")
+    assert(out.getLong(4) === 0L, "id rule must see the already-redacted phone")
+  }
+
+  // ---------------------------------------------------------------
+  // Batch ANN join
+  // ---------------------------------------------------------------
+
+  test("annJoinBrute: k rows per query, exact ranking, no self matches") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val corpus = emb.filter(col("vec_id") % 20 =!= 0)
+    val nq = queries.count()
+    val out = Similarity.annJoinBrute(queries, corpus, "vec_id", "embedding", k = 3)
+      .persist()
+    assert(out.count() === nq * 3)
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 3).count() === 0)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    // spot-check one query against the single-vector brute path
+    val qid = queries.select(min("vec_id")).as[Long].head()
+    val qv = Similarity.rowVecToDoubles(
+      emb.filter(col("vec_id") === qid).select("embedding").head())
+    val expected = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", qv, 3)
+      .select("id").as[Long].collect().toSeq
+    val got = out.filter(col("query_id") === qid)
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got === expected)
+    out.unpersist()
+  }
+
+  test("annJoinIvf probing every cell equals brute; partial probe keeps recall") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val corpus = emb.filter(col("vec_id") % 20 =!= 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(
+      Similarity.annJoinBrute(queries, corpus, "vec_id", "embedding", k = 3))
+    val full = pairs(Similarity.annJoinIvf(
+      queries, corpus, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 8))
+    assert(full === brute, "probing all cells must reduce to exact brute force")
+    val partial = pairs(Similarity.annJoinIvf(
+      queries, corpus, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 4))
+    val recall = (partial & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@3 with half the cells probed was $recall")
+  }
+}

@@ -115,6 +115,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q42: benchmark shingle set broadcasts; corpus side semi-joins map-side") {
+    val p = plan(graft.queries.PipelineQueries.q42Decontamination(spark, d))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "benchmark n-gram set must broadcast into a semi-join, never shuffle the corpus")
+    assert(!p.toLowerCase.contains("sortmergejoin"),
+      "no shuffle join on the contamination path")
+  }
+
+  test("q44: query side broadcasts; per-query top-k is the only shuffle") {
+    val p = plan(graft.queries.PipelineQueries.q44AnnJoin(spark, d))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the query set must broadcast against the corpus scan")
+    assert(p.contains("vectordotproduct"),
+      "cosine must run on the native dot-product expression")
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
