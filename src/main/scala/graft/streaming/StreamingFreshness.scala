@@ -182,6 +182,95 @@ object StreamingFreshness {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  final case class SessionAgg(startMs: Long, endMs: Long, nEvents: Long)
+  final case class SessionOut(
+      user_id: Long, session_start_ms: Long, session_end_ms: Long, n_events: Long)
+
+  /** Inactivity-gap sessionization emitted by EVENT-TIME TIMERS — the
+    * transformWithState upgrade of [[sessionizedCounts]]'s
+    * `session_window`: the processor owns the session boundary
+    * decision, so enrichments the declarative form can't express
+    * (emit-on-close side outputs, per-session custom payloads,
+    * mid-session early emission) hang off the same skeleton.
+    *
+    * Each key holds one open session in a ValueState. Every input
+    * batch extends the session envelope and reschedules the ONE
+    * pending timer to (session end + gap); when the watermark passes
+    * that instant the timer fires, the session emits exactly once,
+    * and state clears — state lifetime is bounded by the gap, the
+    * timer registry holds one entry per open session, and emission
+    * needs no second shuffle. A later event simply opens a new
+    * session (standard watermark semantics).
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+    @transient private var sess: ValueState[SessionAgg] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[SessionAgg](
+        "sess", Encoders.product[SessionAgg], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      var start = Long.MaxValue
+      var end = Long.MinValue
+      var n = 0L
+      rows.foreach { case (_, ts) =>
+        val ms = ts.getTime
+        if (ms < start) start = ms
+        if (ms > end) end = ms
+        n += 1
+      }
+      if (n > 0) {
+        val merged =
+          if (sess.exists()) {
+            val cur = sess.get()
+            SessionAgg(math.min(cur.startMs, start), math.max(cur.endMs, end),
+              cur.nEvents + n)
+          } else SessionAgg(start, end, n)
+        sess.update(merged)
+        // one live timer per key: drop whatever was scheduled, then
+        // re-arm at the (possibly extended) close instant
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(merged.endMs + gapMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (!sess.exists()) Iterator.empty
+      else {
+        val s = sess.get()
+        sess.clear()
+        Iterator.single(SessionOut(key, s.startMs, s.endMs, s.nEvents))
+      }
+  }
+
+  /** Per-user sessions via [[SessionTimerProcessor]] (event-time
+    * timers; `events` needs a `user_id` and a timestamp `ts`).
+    */
+  def sessionsWithTimers(
+      spark: SparkSession, events: DataFrame,
+      gap: java.time.Duration,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gap.toMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Watermarked stream-stream interval join: attribute each `click`
     * to the `view`s by the same user within the preceding
     * `attributionWindow`. Both sides carry watermarks and the join

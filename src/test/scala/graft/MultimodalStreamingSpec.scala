@@ -111,6 +111,58 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, 1L)), "second session has 1 event")
   }
 
+  test("timer-based sessions: event-time timers close sessions, late extension re-arms") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val stream = MemoryStream[(Long, java.sql.Timestamp)]
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val sq = StreamingFreshness.sessionsWithTimers(
+          spark, stream.toDF().toDF("user_id", "ts"),
+          gap = java.time.Duration.ofMinutes(30), watermarkDelay = "10 minutes")
+        .writeStream.outputMode("append").format("memory").queryName("timer_sess")
+        .start()
+      // batch 1: user 1 has two events 10 min apart; user 2 has one.
+      // Watermark after this batch: 10:10 − 10 min = 10:00 → no timer
+      // (earliest expiry 10:40) fires yet.
+      stream.addData(Seq(
+        (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:10:00")),
+        (2L, t("2024-01-01 10:05:00"))))
+      sq.processAllAvailable()
+      assert(spark.table("timer_sess").isEmpty, "no session closes before its gap")
+      // batch 2: user 1 extends its session (10:30 < 10:10 + gap);
+      // the pending 10:40 timer must be REPLACED by 11:00, not fire.
+      // Watermark advances to 10:20 — still nothing emits.
+      stream.addData(Seq((1L, t("2024-01-01 10:30:00"))))
+      sq.processAllAvailable()
+      assert(spark.table("timer_sess").isEmpty, "extension must re-arm, not close")
+      // batch 3: far-future event pushes the watermark past every
+      // pending timer → both open sessions emit, exactly once each.
+      stream.addData(Seq((9L, t("2024-01-01 15:00:00"))))
+      sq.processAllAvailable()
+      val out = spark.table("timer_sess")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(out.contains((1L,
+        t("2024-01-01 10:00:00").getTime, t("2024-01-01 10:30:00").getTime, 3L)),
+        s"user 1: one merged 3-event session, got $out")
+      assert(out.contains((2L,
+        t("2024-01-01 10:05:00").getTime, t("2024-01-01 10:05:00").getTime, 1L)))
+      assert(out.size == 2, s"no duplicate emission: $out")
+      sq.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("volume alerts fire exactly once per key on threshold crossing (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
