@@ -4,32 +4,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DqFunctions
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Sampling, TextAnalysis}
 
 /** End-to-end training-data curation: the composition every LLM-data
   * pipeline runs, built entirely from this engine's oracle-pinned
   * operators —
   *
   *   quality filter → language filter → exact dedup → MinHash-LSH
-  *   near-dedup → deterministic split → split-partitioned sink.
+  *   near-dedup → benchmark decontamination (optional) →
+  *   deterministic split → split-partitioned sink.
   *
   * Quality and language are per-row predicates evaluated AT the scan
   * (no join, no second pass); exact dedup shuffles (hash, id) pairs;
-  * near-dedup is the banded LSH path (never all-pairs); the split is
-  * a hash predicate; the sink partitions by split so downstream
-  * training jobs prune. Each surviving stage is persisted so the
-  * funnel counts and the final write execute every stage once, and
-  * all caches are released before returning.
+  * near-dedup is the banded LSH path (never all-pairs);
+  * decontamination semi-joins a broadcast benchmark shingle set; the
+  * split is a hash predicate; the sink partitions by split so
+  * downstream training jobs prune. Each surviving stage is persisted
+  * so the funnel counts and the final write execute every stage once,
+  * and all caches are released before returning.
   */
 object Curation {
 
-  /** Per-stage surviving row counts plus the kept output. */
+  /** Per-stage surviving row counts plus the kept output.
+    * `afterDecontamination == afterNearDedup` when no benchmark was
+    * supplied (the stage is skipped entirely, not run vacuously).
+    */
   final case class CurationReport(
       input: Long,
       afterQuality: Long,
       afterLanguage: Long,
       afterExactDedup: Long,
       afterNearDedup: Long,
+      afterDecontamination: Long,
       splits: Map[String, Long])
 
   /** Tunables, defaulted to the usual cheap-filter settings. Split
@@ -46,6 +52,8 @@ object Curation {
       minhashHashes: Int = 64,
       minhashBands: Int = 16,
       nearDupThreshold: Double = 0.8,
+      decontamNgram: Int = 8,
+      decontamMinOverlap: Long = 1L,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
@@ -58,7 +66,8 @@ object Curation {
       idCol: String,
       textCol: String,
       outPath: String,
-      cfg: CurationConfig = CurationConfig()): CurationReport = {
+      cfg: CurationConfig = CurationConfig(),
+      benchmark: Option[DataFrame] = None): CurationReport = {
     val input = docs.count()
 
     // 1+2. per-row quality and language gates, evaluated at the scan
@@ -91,9 +100,19 @@ object Curation {
     val nearDeduped = exact.join(drop, Seq(idCol), "left_anti").persist()
     val afterNear = nearDeduped.count()
 
-    // 5. deterministic split + split-partitioned sink (executes the
-    // persisted nearDeduped, so upstream caches can then be released)
-    val split = Sampling.deterministicSplit(nearDeduped, idCol, cfg.splits)
+    // 5. benchmark decontamination (skipped when no eval set given):
+    // broadcast the benchmark's n-gram set, anti-join overlapping docs
+    val cleaned = benchmark match {
+      case Some(bench) =>
+        Decontamination.decontaminate(nearDeduped, bench, idCol, textCol,
+          cfg.decontamNgram, cfg.decontamMinOverlap).persist()
+      case None => nearDeduped
+    }
+    val afterDecontam = benchmark.fold(afterNear)(_ => cleaned.count())
+
+    // 6. deterministic split + split-partitioned sink (executes the
+    // persisted survivors, so upstream caches can then be released)
+    val split = Sampling.deterministicSplit(cleaned, idCol, cfg.splits)
     split.write.mode("overwrite").partitionBy("split").parquet(outPath)
     val written = spark.read.parquet(outPath)
       .groupBy("split").count()
@@ -104,7 +123,9 @@ object Curation {
       name -> written.getOrElse(name, 0L)
     }.toMap
 
-    Seq(sigs, qualityDocs, langDocs, exact, nearDeduped).foreach(_.unpersist())
-    CurationReport(input, afterQuality, afterLanguage, afterExact, afterNear, splitCounts)
+    (Seq(sigs, qualityDocs, langDocs, exact, nearDeduped) ++
+      (if (benchmark.isDefined) Seq(cleaned) else Nil)).foreach(_.unpersist())
+    CurationReport(input, afterQuality, afterLanguage, afterExact, afterNear,
+      afterDecontam, splitCounts)
   }
 }

@@ -27,6 +27,8 @@ class CurationSpec extends AnyFunSuite {
       "exact dedup can only remove (this corpus has no exact dups — q10 shows 1 group per doc)")
     assert(r.afterNearDedup < r.afterExactDedup,
       "the corpus plants near-duplicates (q11/q12) — some must drop")
+    assert(r.afterDecontamination == r.afterNearDedup,
+      "no benchmark supplied: the decontamination stage is skipped, counts pass through")
     assert(r.splits.values.sum == r.afterNearDedup,
       "splits partition the survivors exactly")
     assert(r.splits.keySet == Set("train", "val", "test"))
@@ -39,5 +41,25 @@ class CurationSpec extends AnyFunSuite {
     // survivors are exactly-unique by content
     val kept = spark.read.parquet(out)
     assert(kept.groupBy("text").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("curate with a benchmark: contaminated docs drop, report counts the stage") {
+    val out = Files.createTempDirectory("curation_decontam").toString + "/corpus"
+    val docs = Tables.documents(spark, TestSpark.sf)
+    // use a slice of the corpus itself as the "benchmark": every
+    // surviving doc sharing an 8-gram with it must disappear
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val r = Curation.curate(
+      spark, corpus, "doc_id", "text", out, CurationConfig(),
+      benchmark = Some(bench))
+    assert(r.afterDecontamination <= r.afterNearDedup)
+    assert(r.splits.values.sum == r.afterDecontamination,
+      "splits partition the decontaminated survivors exactly")
+    // nothing written overlaps the benchmark at the configured n-gram
+    val keptDocs = spark.read.parquet(out)
+    val overlap = graft.operators.Decontamination
+      .contaminationReport(keptDocs, bench, "doc_id", "text", n = 8)
+    assert(overlap.count() == 0, "sink must be clean of benchmark n-grams")
   }
 }
