@@ -247,9 +247,13 @@ object Dedup {
 
   /** (id, band, bucket) rows for a signature table. Bucket id per
     * band: xxhash64 of the signature slice (cheap, in-engine), or —
-    * portable mode — md5 of the comma-joined slice, which a DuckDB
-    * oracle states as md5(array_to_string(sig[b*r+1 : b*r+r], ',')).
-    * Both bucket on exact slice equality, so candidate sets agree.
+    * portable mode — the 60-bit md5 prefix of the comma-joined slice,
+    * which a DuckDB oracle states as
+    * `('0x' || substr(md5(array_to_string(sg[...], ',')), 1, 15))::UBIGINT`.
+    * Both bucket on slice equality (identical digests either engine),
+    * and an 8-byte bucket key ships through the band join instead of
+    * a 32-char hex string — the bucket value never reaches output, so
+    * only key-equality, not representation, has to match the oracle.
     */
   private def bandedOf(
       sigs: DataFrame, numHashes: Int, bands: Int,
@@ -258,7 +262,8 @@ object Dedup {
     val rows = numHashes / bands
     def bucketOf(s: Column): Column =
       if (portableBuckets)
-        md5(array_join(transform(s, x => x.cast("string")), ",").cast("binary"))
+        graft.functions.Md5Expressions.md5PrefixLong(
+          array_join(transform(s, x => x.cast("string")), ","), 15)
       else xxhash64(s)
     sigs.select(
       col("id"),

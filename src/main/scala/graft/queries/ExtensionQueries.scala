@@ -111,7 +111,9 @@ object ExtensionQueries {
        |  FROM sh),
        |sig AS (SELECT id, $minExprs AS sg FROM bh),
        |banded AS (SELECT id, b.band AS band,
-       |    md5(array_to_string(sg[b.band * $rows + 1 : b.band * $rows + $rows], ',')) AS bucket
+       |    CAST(CAST(('0x' || substr(md5(
+       |      array_to_string(sg[b.band * $rows + 1 : b.band * $rows + $rows], ',')
+       |    ), 1, 15)) AS UBIGINT) AS BIGINT) AS bucket
        |  FROM sig CROSS JOIN (SELECT unnest(range(0, $LshBands)) AS band) b),
        |pairs AS (SELECT DISTINCT a.id AS ia, b.id AS ib
        |  FROM banded a JOIN banded b
