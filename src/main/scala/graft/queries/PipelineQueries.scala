@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Decontamination, Redaction, Similarity}
+import graft.operators.{Decontamination, Redaction, Retrieval, Similarity}
 
 /** Training-data pipeline extensions, round 3: benchmark
   * decontamination, PII redaction, batch ANN join. Oracle SQL is
@@ -140,13 +140,67 @@ object PipelineQueries {
        |  FROM s) WHERE rn <= $AnnK""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q45 — BM25-family keyword retrieval: top-20 documents for a fixed
+  // term set. The idf is the plain ratio N/df (no log) so every
+  // operation is IEEE +,*,/ in a fixed association — the oracle
+  // reproduces the double arithmetic bit-for-bit. SQL is generated
+  // from the same constants as the Spark plan.
+  // ---------------------------------------------------------------
+  private val Bm25Terms = Seq("spark", "merge", "vector")
+  private val Bm25K = 20
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  def q45Bm25(spark: SparkSession, d: String): DataFrame =
+    Retrieval.bm25TopK(Tables.documents(spark, d), "doc_id", "text",
+      Bm25Terms, k = Bm25K, k1 = Bm25K1, b = Bm25B)
+
+  val q45Sql: String = {
+    val toks = "regexp_extract_all(lower(text), '\\S+')"
+    val tfs = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(len(list_filter($toks, x -> x = '$term')) AS BIGINT) AS _tf$i"
+    }.mkString(",\n    ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN _tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS _df$i")
+      .mkString(",\n    ")
+    // literals stringified from the SAME Scala doubles the plan uses:
+    // shortest-round-trip repr parses back to the identical double
+    val avglen = "(CAST(_sumlen AS DOUBLE) / CAST(_n AS DOUBLE))"
+    val termScores = Bm25Terms.indices.map { i =>
+      s"""(CASE WHEN _df$i > 0 AND _tf$i > 0
+         |    THEN (CAST(_n AS DOUBLE) / CAST(_df$i AS DOUBLE))
+         |      * (CAST(_tf$i AS DOUBLE) * ${Bm25K1 + 1.0})
+         |      / (CAST(_tf$i AS DOUBLE) + ${Bm25K1}
+         |         * (${1.0 - Bm25B} + ${Bm25B} * CAST(_len AS DOUBLE) / $avglen))
+         |    ELSE 0.0 END)""".stripMargin
+    }.mkString("\n  + ")
+    val outTfs = Bm25Terms.zipWithIndex
+      .map { case (term, i) => s"_tf$i AS tf_$term" }.mkString(", ")
+    s"""WITH pd AS (SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS _len,
+       |    $tfs
+       |  FROM documents),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS _n,
+       |    CAST(sum(_len) AS BIGINT) AS _sumlen,
+       |    $dfs
+       |  FROM pd)
+       |SELECT doc_id,
+       |  $termScores AS score,
+       |  $outTfs
+       |FROM pd CROSS JOIN st
+       |ORDER BY score DESC, doc_id LIMIT $Bm25K""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_decontamination" -> (q42Decontamination _),
     "q43_pii_redaction" -> (q43PiiRedaction _),
-    "q44_ann_join" -> (q44AnnJoin _))
+    "q44_ann_join" -> (q44AnnJoin _),
+    "q45_bm25_retrieval" -> (q45Bm25 _))
 
   val oracleSql: Map[String, String] = Map(
     "q42_decontamination" -> q42Sql,
     "q43_pii_redaction" -> q43Sql,
-    "q44_ann_join" -> q44Sql)
+    "q44_ann_join" -> q44Sql,
+    "q45_bm25_retrieval" -> q45Sql)
 }

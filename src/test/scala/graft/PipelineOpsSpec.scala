@@ -85,6 +85,46 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // BM25 retrieval
+  // ---------------------------------------------------------------
+
+  test("bm25TopK: rarity and term frequency drive the ranking; non-matches score 0") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),     // common term twice
+      (2L, "alpha beta gamma delta"),    // both terms once
+      (3L, "gamma delta delta epsilon"), // rare term (delta) twice
+      (4L, "zeta eta theta iota")        // no query terms
+    ).toDF("id", "text")
+    val out = Retrieval.bm25TopK(docs, "id", "text", Seq("beta", "epsilon"), k = 4)
+      .collect()
+    val scores = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // epsilon appears in 1 of 4 docs (idf 4.0), beta in 2 (idf 2.0):
+    // doc 3's single rare term beats doc 2's single common term
+    assert(scores(3L) > scores(2L), "rarer term must outscore commoner term")
+    assert(scores(1L) > scores(2L), "higher tf must outscore lower tf at equal df/len")
+    assert(scores(4L) === 0.0)
+    // ranked output: scores descending, id ascending on ties
+    val ranked = out.map(_.getLong(0)).toSeq
+    assert(ranked.head === ranked.maxBy(scores) && scores(ranked.last) === 0.0)
+    // tf columns surface per term
+    val row1 = out.find(_.getLong(0) == 1L).get
+    assert(row1.getLong(2) === 2L && row1.getLong(3) === 0L) // tf_beta, tf_epsilon
+  }
+
+  test("bm25TopK: minScore drops zero-score docs; k truncates") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "beta gamma"), (3L, "delta")).toDF("id", "text")
+    val hits = Retrieval.bm25TopK(docs, "id", "text", Seq("beta"), k = 10,
+        minScore = 1e-12)
+      .select("id").as[Long].collect().toSet
+    assert(hits === Set(1L, 2L))
+    assert(Retrieval.bm25TopK(docs, "id", "text", Seq("beta"), k = 1,
+      minScore = 1e-12).count() === 1)
+  }
+
+  // ---------------------------------------------------------------
   // Batch ANN join
   // ---------------------------------------------------------------
 
