@@ -33,12 +33,8 @@ object Decontamination {
     */
   private[graft] def shingleHashes(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
-    val shingles = when(size(toks) >= n,
-        array_distinct(transform(
-          sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    val shingles = array_distinct(graft.functions.DqFunctions.wordWindows(
+      regexp_extract_all(col(textCol), lit("\\S+"), lit(0)), n, minWindows = 0))
     df.select(col(idCol).as("id"), explode(shingles).as("_s"))
       .select(col("id"), Md5Expressions.md5PrefixLong(col("_s"), 15).as("h"))
   }

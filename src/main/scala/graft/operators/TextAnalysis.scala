@@ -140,14 +140,9 @@ object TextAnalysis {
     * needs multiplicity; [[graft.functions.DqFunctions.wordShingles]]
     * deduplicates for set similarity). Empty/whitespace text → empty.
     */
-  private[graft] def wordShinglesWithDups(text: Column, n: Int): Column = {
-    val toks = regexp_extract_all(text, lit("\\S+"), lit(0))
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+  private[graft] def wordShinglesWithDups(text: Column, n: Int): Column =
+    graft.functions.DqFunctions.wordWindows(
+      regexp_extract_all(text, lit("\\S+"), lit(0)), n, minWindows = 0)
 
   /** Per-group EXACT token-count quantiles (p50/p90/p99): the
     * length-distribution drift signal. Exact `percentile` (linear
