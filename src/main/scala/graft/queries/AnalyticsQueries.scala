@@ -118,14 +118,110 @@ object AnalyticsQueries {
       |WHERE rn <= 3""".stripMargin
 
   // ---------------------------------------------------------------
+  // q46 — hierarchical rollup (nation, order year) with grouping id:
+  // subtotal and grand-total rows materialize in ONE aggregation pass
+  // (Spark expands grouping sets; no self-union re-scan). grouping_id
+  // pins the null-from-rollup vs null-from-data distinction across
+  // engines (same MSB-first bitmask in Spark and DuckDB GROUPING()).
+  // ---------------------------------------------------------------
+  def q46RevenueRollup(spark: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") < to_timestamp(lit(Cutoff)))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+      .rollup(col("n_name"), col("order_year"))
+      .agg(
+        sum(dec("l_extendedprice") * (one - dec("l_discount"))).as("drev"),
+        count(lit(1)).as("n_items"),
+        grouping_id().cast("bigint").as("gid"))
+      .select(col("n_name"), col("order_year"),
+        col("drev").cast("double").as("revenue"), col("n_items"), col("gid"))
+  }
+
+  val q46Sql: String =
+    s"""SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  CAST(GROUPING(n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT)) AS BIGINT) AS gid
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate < TIMESTAMP '$Cutoff'
+       |GROUP BY ROLLUP (n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT))""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q47 — trailing moving average over per-day event counts (window
+  // FRAME coverage): one grouped aggregate, then a rows-frame window
+  // per event type. Exact integer sums under the frame; the single
+  // final division keeps the doubles engine-identical.
+  // ---------------------------------------------------------------
+  def q47MovingAvg(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("daily_count"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    daily.select(
+      col("event_type"), col("day"), col("daily_count"),
+      sum(col("daily_count")).over(w).cast("bigint").as("sum7"),
+      avg(col("daily_count")).over(w).as("ma7"))
+  }
+
+  val q47Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS daily_count
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+      |SELECT event_type, day, daily_count,
+      |  CAST(SUM(daily_count) OVER w AS BIGINT) AS sum7,
+      |  AVG(daily_count) OVER w AS ma7
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q48 — unpivot (wide → long): the inverse of the reference's pivot
+  // (A4/q03). Spark's native unpivot emits (id, measure-name, value)
+  // rows without a self-union; DuckDB's UNPIVOT mirrors it with the
+  // same measure-name strings.
+  // ---------------------------------------------------------------
+  def q48Unpivot(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_price"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")),
+        "measure", "value")
+
+  val q48Sql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, measure, value
+      |FROM a UNPIVOT (value FOR measure IN (sum_qty, sum_price))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_pricing_summary"   -> (q30PricingSummary _),
     "q31_revenue_by_nation" -> (q31RevenueByNation _),
-    "q32_top_events_per_user" -> (q32TopEventsPerUser _))
+    "q32_top_events_per_user" -> (q32TopEventsPerUser _),
+    "q46_revenue_rollup"    -> (q46RevenueRollup _),
+    "q47_moving_avg"        -> (q47MovingAvg _),
+    "q48_unpivot"           -> (q48Unpivot _))
 
   val oracleSql: Map[String, String] = Map(
     "q30_pricing_summary"   -> q30Sql,
     "q31_revenue_by_nation" -> q31Sql,
-    "q32_top_events_per_user" -> q32Sql)
+    "q32_top_events_per_user" -> q32Sql,
+    "q46_revenue_rollup"    -> q46Sql,
+    "q47_moving_avg"        -> q47Sql,
+    "q48_unpivot"           -> q48Sql)
 }
