@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** File-level lineage and data-skipping statistics.
+  *
+  * `fileManifest` computes, per source file, the row count and
+  * min/max of chosen columns — the manifest a lakehouse table format
+  * keeps so queries can skip files whose [min,max] excludes the
+  * predicate. The file identity comes from the scan's `_metadata`
+  * struct (constant-folded per file by the reader, not parsed per
+  * row); the aggregation shuffles one row per (file, stats) group.
+  *
+  * At 100 TB the manifest is computed incrementally per newly-landed
+  * file and unioned into a stats table; the per-file computation here
+  * is exactly that increment.
+  */
+object Provenance {
+
+  /** Per-file `(file_path, file_name, n_rows, min_<c>, max_<c>...)`.
+    * The input must be a file-source DataFrame (fresh `spark.read`
+    * result) — `_metadata` is a scan column and does not survive
+    * arbitrary upstream transforms. Grouping keys on the FULL path:
+    * a partitioned write puts identically-named part files into every
+    * partition directory (one task, one basename, many dirs), so the
+    * basename alone silently merges distinct files; it rides along
+    * for display only.
+    */
+  def fileManifest(df: DataFrame, statCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.select(
+        (col("_metadata.file_path").as("file_path") +: statCols.map(col)): _*)
+      .groupBy(col("file_path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("file_name", regexp_extract(col("file_path"), "([^/]+)$", 1))
+  }
+
+  /** Rows of `df` whose file's [min,max] envelope on `statCol` can
+    * contain `value` — the skip-check a reader would run against the
+    * manifest. Exposed mostly for the spec that proves manifest
+    * envelopes are sound (every matching row's file survives).
+    */
+  def filesPossiblyContaining(
+      manifest: DataFrame, statCol: String, value: Column): DataFrame =
+    manifest.filter(value >= col(s"min_$statCol") && value <= col(s"max_$statCol"))
+}

@@ -192,15 +192,65 @@ object PipelineQueries {
        |ORDER BY score DESC, doc_id LIMIT $Bm25K""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q49 — per-file manifest (row count + column min/max), the
+  // data-skipping statistics a lakehouse keeps. File identity comes
+  // from the scan's _metadata struct; the oracle pins the stats math
+  // (the sf inputs are single-file tables, so the basename is a
+  // constant there — the multi-file case is spec-pinned against the
+  // 30-file partitioned events layout).
+  // ---------------------------------------------------------------
+  def q49FileManifest(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Provenance.fileManifest(
+        Tables.lineitem(spark, d), Seq("l_orderkey", "l_shipdate"))
+      // absolute paths can't appear in a fixed oracle; the basename is
+      // a constant for the single-file sf tables
+      .drop("file_path")
+
+  val q49Sql: String =
+    """SELECT 'lineitem.parquet' AS file_name,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(l_orderkey) AS min_l_orderkey, max(l_orderkey) AS max_l_orderkey,
+      |  min(l_shipdate) AS min_l_shipdate, max(l_shipdate) AS max_l_shipdate
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q50 — CDC log compaction: current snapshot per user from the
+  // events change log — latest event wins (ts, then event_id, both
+  // descending: a TOTAL order, ties would make "current"
+  // nondeterministic), and a key whose latest event is an error
+  // tombstone drops out of the snapshot entirely.
+  // ---------------------------------------------------------------
+  def q50LatestSnapshot(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Snapshot.latestSnapshot(
+        Tables.events(spark, d), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc),
+        tombstone = Some(col("event_type") === "error"))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("event_type").as("last_type"),
+        col("value").as("last_value"))
+
+  val q50Sql: String =
+    """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+      |  event_type AS last_type, value AS last_value
+      |FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_decontamination" -> (q42Decontamination _),
     "q43_pii_redaction" -> (q43PiiRedaction _),
     "q44_ann_join" -> (q44AnnJoin _),
-    "q45_bm25_retrieval" -> (q45Bm25 _))
+    "q45_bm25_retrieval" -> (q45Bm25 _),
+    "q49_file_manifest" -> (q49FileManifest _),
+    "q50_latest_snapshot" -> (q50LatestSnapshot _))
 
   val oracleSql: Map[String, String] = Map(
     "q42_decontamination" -> q42Sql,
     "q43_pii_redaction" -> q43Sql,
     "q44_ann_join" -> q44Sql,
-    "q45_bm25_retrieval" -> q45Sql)
+    "q45_bm25_retrieval" -> q45Sql,
+    "q49_file_manifest" -> q49Sql,
+    "q50_latest_snapshot" -> q50Sql)
 }

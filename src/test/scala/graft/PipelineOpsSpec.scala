@@ -85,6 +85,50 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // Provenance / file manifest
+  // ---------------------------------------------------------------
+
+  test("fileManifest: one row per physical file, sound min/max envelopes") {
+    import graft.operators.Provenance
+    val dir = graft.queries.ScaleQueries.ensurePartitionedEvents(spark, TestSpark.sf)
+    val df = spark.read.parquet(dir)
+    val manifest = Provenance.fileManifest(df, Seq("user_id")).persist()
+    val nFiles = manifest.count()
+    assert(nFiles > 1, "partitioned layout must yield a multi-file manifest")
+    assert(manifest.select("file_path").distinct().count() === nFiles)
+    assert(manifest.select("file_name").distinct().count() < nFiles,
+      "basenames collide across partition dirs — exactly why the key is the full path")
+    assert(manifest.select(sum("n_rows")).as[Long].head() === df.count(),
+      "per-file counts must partition the table")
+    // envelope soundness: for an arbitrary present user, at least one
+    // surviving file really contains it, so a skip-reader loses nothing
+    val probe = df.select(min("user_id")).as[Long].head()
+    val candidates = Provenance
+      .filesPossiblyContaining(manifest, "user_id", lit(probe))
+    assert(candidates.count() >= 1 && candidates.count() <= nFiles)
+    manifest.unpersist()
+  }
+
+  // ---------------------------------------------------------------
+  // CDC snapshot compaction
+  // ---------------------------------------------------------------
+
+  test("latestSnapshot: last version wins, tombstone erases the key") {
+    import graft.operators.Snapshot
+    val log = Seq(
+      (1L, 1L, "set", 10.0), (1L, 3L, "set", 30.0), (1L, 2L, "set", 20.0),
+      (2L, 1L, "set", 1.0), (2L, 2L, "del", 0.0),
+      (3L, 1L, "del", 0.0), (3L, 2L, "set", 5.0)
+    ).toDF("key", "version", "op", "v")
+    val snap = Snapshot.latestSnapshot(log, Seq("key"),
+        Seq(col("version").desc), tombstone = Some(col("op") === "del"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(snap(1L) === (3L, 30.0), "latest version wins regardless of arrival order")
+    assert(!snap.contains(2L), "tombstone at head erases the key")
+    assert(snap(3L) === (2L, 5.0), "a set after a delete resurrects the key")
+  }
+
+  // ---------------------------------------------------------------
   // BM25 retrieval
   // ---------------------------------------------------------------
 
