@@ -27,32 +27,53 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object CacheLifecycle {
 
+  /** Safety-valve timer for plans that are built but never executed
+    * (daemon: never blocks JVM exit).
+    */
+  private val reaper = new java.util.Timer("graft-cache-lifecycle-reaper", true)
+
   /** Auto-unpersist `caches` after the first query execution that
     * consumes any of them completes (success or failure). Matching is
     * by analyzed-plan subtree (`sameResult`), so a late-delivered
     * listener event from an unrelated earlier execution cannot release
     * these caches prematurely.
+    *
+    * If the returned plan is NEVER executed (built for inspection,
+    * abandoned on error before the action), the listener would wait
+    * forever and the cache pin with it — so a timeout valve force-
+    * releases after `maxIdleMs` (default 1 h). The valve can only
+    * make an abandoned plan recompute if it IS eventually run later;
+    * it never produces wrong results.
     */
-  def releaseAfterFirstUse(caches: Seq[DataFrame]): Unit = {
+  def releaseAfterFirstUse(
+      caches: Seq[DataFrame], maxIdleMs: Long = 60L * 60 * 1000): Unit = {
     if (caches.isEmpty) return
     val spark = caches.head.sparkSession
     val ourPlans = caches.map(_.queryExecution.analyzed)
     val released = new AtomicBoolean(false)
-    lazy val listener: QueryExecutionListener = new QueryExecutionListener {
+    var unregister: () => Unit = () => ()
+    def release(): Unit =
+      if (released.compareAndSet(false, true)) {
+        try caches.foreach(_.unpersist(blocking = false))
+        catch { case _: Throwable => () } // stopped session: nothing to release
+        unregister()
+      }
+    val listener: QueryExecutionListener = new QueryExecutionListener {
       private def maybeRelease(qe: QueryExecution): Unit = {
         val consumes =
           try qe.analyzed.exists(n => ourPlans.exists(p => n.sameResult(p)))
           catch { case _: Throwable => false } // a malformed plan never blocks release of others
-        if (consumes && released.compareAndSet(false, true)) {
-          caches.foreach(_.unpersist(blocking = false))
-          spark.listenerManager.unregister(listener)
-        }
+        if (consumes) release()
       }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         maybeRelease(qe)
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
         maybeRelease(qe)
     }
+    unregister = () => spark.listenerManager.unregister(listener)
     spark.listenerManager.register(listener)
+    reaper.schedule(new java.util.TimerTask {
+      override def run(): Unit = release()
+    }, maxIdleMs)
   }
 }

@@ -305,10 +305,16 @@ object Dedup {
     // `maxHotBuckets` buckets — a bounded, broadcastable set, ordered
     // so the worst offenders are always covered. Output is identical
     // either way: a pair joins under exactly one salt value.
+    // The hot set is evaluated independently by the A-side and B-side
+    // joins below; a nondeterministic top-K (ties at the limit
+    // boundary) could make the sides DISAGREE on hotness if the
+    // exchange isn't reused, silently dropping pairs. The full-key
+    // tiebreak makes the ordering total, so both evaluations select
+    // the identical set under any plan.
     val hot = broadcast(
       bucketsB.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
         .filter(col("_n") >= hotBucketMin)
-        .orderBy(col("_n").desc)
+        .orderBy(col("_n").desc +: keyCols.map(k => col(k).asc): _*)
         .limit(maxHotBuckets)
         .select(keyCols.map(col) :+ lit(true).as("_hot"): _*))
     val saltVals = array((0 until nSalts).map(i => lit(i.toLong)): _*)

@@ -45,7 +45,12 @@ object Redaction {
         case ((text, acc), p) =>
           val n = size(regexp_extract_all(text, lit(p.regex), lit(0)))
             .cast("bigint").as("n_" + p.name)
-          (regexp_replace(text, p.regex, p.replacement), acc :+ n)
+          // quoteReplacement: regexp_replace treats '$'/'\' in the
+          // replacement as group references — a literal placeholder
+          // containing them would expand (or throw) instead of being
+          // written verbatim, breaking the PiiPattern contract
+          (regexp_replace(text, p.regex,
+            java.util.regex.Matcher.quoteReplacement(p.replacement)), acc :+ n)
       }
     df.select(col(idCol) +: redacted.as("text_redacted") +: counts: _*)
   }

@@ -47,9 +47,14 @@ object Retrieval {
     // over the token array — linear per row, codegen'd, no explode)
     def tfCol(term: String): Column =
       size(filter(t, x => x === lit(term))).cast("bigint")
+    // perDoc feeds BOTH the stats aggregate and the scoring scan of
+    // the same plan; without the persist the tokenizer and per-term
+    // filters (the dominant per-row cost) run twice. Released after
+    // the returned plan's first execution.
     val perDoc = df.select(
       (col(idCol).as("id") +: size(t).cast("bigint").as("_len") +:
         terms.zipWithIndex.map { case (term, i) => tfCol(term).as(s"_tf$i") }): _*)
+      .persist()
     // one corpus-statistics row: N, total length, per-term df
     val statCols = count(lit(1)).as("_n") +: sum(col("_len")).as("_sumlen") +:
       terms.indices.map(i =>
@@ -67,11 +72,13 @@ object Retrieval {
         .otherwise(lit(0.0))
     }
     val score = terms.indices.map(termScore).reduce(_ + _)
-    perDoc.crossJoin(stats)
+    val out = perDoc.crossJoin(stats)
       .select((col("id").as(idCol) +: score.as("score") +:
         terms.indices.map(i => col(s"_tf$i").as(s"tf_${terms(i)}"))): _*)
       .filter(col("score") >= minScore)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(perDoc))
+    out
   }
 }

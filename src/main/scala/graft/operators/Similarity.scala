@@ -146,21 +146,31 @@ object Similarity {
     * cosine) triples. Exact but O(|Q|·|corpus|) score work — the
     * verifier baseline; [[annJoinIvf]] is the scale path.
     */
+  /** Shared ranking tail of the batch k-NN family: per-query top-k
+    * over scored (query_id, neighbor_id, cosine) rows. One definition
+    * so the exact baseline and the IVF path (spec-pinned equal at
+    * full probe) cannot drift on tie order, rank type, or columns.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+
   def annJoinBrute(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-      .crossJoin(q)
-      .select(col("query_id"), col("neighbor_id"),
-        cosineSimilarity(col("_cv"), col("_qv")).as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .drop("rank")
+    topKPerQuery(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+        .crossJoin(q)
+        .select(col("query_id"), col("neighbor_id"),
+          cosineSimilarity(col("_cv"), col("_qv")).as("cosine")),
+      k)
   }
 
   /** IVF batch k-NN join — the 100 TB shape of [[annJoinBrute]]:
@@ -181,7 +191,6 @@ object Similarity {
       k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.sql.expressions.Window
     val feats = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
       .persist()
@@ -204,14 +213,11 @@ object Similarity {
           explode(transform(
             slice(reverse(array_sort(centScores)), 1, nprobe),
             sc => sc.getField("c"))).as("cell")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val out = assigned.join(probes, "cell")
-      .select(col("query_id"), col("neighbor_id"),
-        cosineSimilarity(col("_cv"), col("_qv")).as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .drop("rank")
+    val out = topKPerQuery(
+      assigned.join(probes, "cell")
+        .select(col("query_id"), col("neighbor_id"),
+          cosineSimilarity(col("_cv"), col("_qv")).as("cosine")),
+      k)
     graft.CacheLifecycle.releaseAfterFirstUse(Seq(feats))
     out
   }

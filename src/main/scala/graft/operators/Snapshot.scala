@@ -31,6 +31,9 @@ object Snapshot {
     val latest = df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
-    tombstone.fold(latest)(t => latest.filter(!t))
+    // null tombstone predicate means NOT a delete: a bare !t would
+    // drop NULL-evaluating rows (filter keeps only TRUE), erasing
+    // keys whose discriminator column is simply null
+    tombstone.fold(latest)(t => latest.filter(!coalesce(t, lit(false))))
   }
 }

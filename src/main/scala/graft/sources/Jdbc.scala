@@ -171,12 +171,19 @@ object Jdbc {
     Option(t.getMessage).getOrElse(t.getClass.getName)
   }
 
-  /** Engine-specific missing-object SQLSTATEs: Derby 42X05, MySQL
-    * 42S02, Postgres 42P01. Deliberately NOT the whole class 42 — it
-    * also covers syntax errors (42601/42X01) and privilege violations
-    * (42501/42000), which are real failures, not first-run.
+  /** Engine-specific missing-object SQLSTATEs: missing TABLE (Derby
+    * 42X05, MySQL 42S02, Postgres 42P01) plus missing SCHEMA (Derby
+    * 42Y07, Postgres 3F000) — a first append into a not-yet-created
+    * schema-qualified table fails its before-read with the schema
+    * state, which is just as much "first run" as a missing table.
+    * Deliberately NOT the whole class 42 — it also covers syntax
+    * errors (42601/42X01) and privilege violations (42501/42000),
+    * which are real failures, not first-run. MySQL reports an unknown
+    * database as bare 42000 (shared with syntax errors), so it cannot
+    * be distinguished safely and stays out.
     */
-  private val MissingObjectSqlStates = Set("42X05", "42S02", "42P01")
+  private val MissingObjectSqlStates =
+    Set("42X05", "42S02", "42P01", "42Y07", "3F000")
 
   private def missingObjectSqlState(t: Throwable): Boolean = {
     var cur = t

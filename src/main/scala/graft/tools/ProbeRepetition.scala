@@ -22,11 +22,7 @@ object ProbeRepetition {
       val t0 = System.nanoTime(); val r = f
       println(f"PROBE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    def evalAll(df: org.apache.spark.sql.DataFrame): Unit = {
-      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("_h"))
-        .agg(bit_xor(col("_h"))).head()
-      ()
-    }
+    def evalAll(df: org.apache.spark.sql.DataFrame): Unit = graft.Bench.evalAll(df)
 
     val t = col("text")
     val lines = split(t, "\n")

@@ -76,6 +76,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r2.getLong(2) === 0L && r2.getLong(3) === 0L && r2.getLong(4) === 0L)
   }
 
+  test("replacement strings are literal even when they contain regex group metacharacters") {
+    import graft.operators.Redaction.PiiPattern
+    val df = Seq((1L, "amount 1234 end")).toDF("id", "text")
+    val out = Redaction.redactPii(df, "id", "text",
+      Seq(PiiPattern("amt", "\\d+", "US$0\\x"))).head()
+    assert(out.getString(1) === "amount US$0\\x end",
+      "a '$0'/backslash in the placeholder must be written verbatim, not expanded")
+  }
+
   test("patterns apply in order: earlier replacements hide text from later rules") {
     // the phone's digits would also match id_number if phone ran later
     val df = Seq((1L, "call 555-123-4567")).toDF("id", "text")
@@ -126,6 +135,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(snap(1L) === (3L, 30.0), "latest version wins regardless of arrival order")
     assert(!snap.contains(2L), "tombstone at head erases the key")
     assert(snap(3L) === (2L, 5.0), "a set after a delete resurrects the key")
+  }
+
+  test("latestSnapshot: null tombstone discriminator means NOT deleted") {
+    import graft.operators.Snapshot
+    val log = Seq(
+      (1L, 1L, Option.empty[String], 7.0), // upsert with op = null
+      (2L, 1L, Some("del"), 0.0)
+    ).toDF("key", "version", "op", "v")
+    val snap = Snapshot.latestSnapshot(log, Seq("key"),
+        Seq(col("version").desc), tombstone = Some(col("op") === "del"))
+      .select("key").as[Long].collect().toSet
+    assert(snap === Set(1L), "a null op row must survive; only true tombstones drop")
   }
 
   // ---------------------------------------------------------------
