@@ -238,13 +238,44 @@ object PipelineQueries {
       |  FROM events) t
       |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q51 — range join: every event falling inside any 10-minute
+  // incident window (spawned by error events of low-id users). The
+  // naive non-equi join is a nested loop over |P|·|I|; the operator
+  // bins both sides so it runs as an equi-join on the bin key
+  // (plan-pinned: no BroadcastNestedLoopJoin). The oracle states the
+  // plain BETWEEN join — same result, DuckDB-sized input.
+  // ---------------------------------------------------------------
+  private val WindowMicros = 600000000L // 10 minutes
+
+  def q51RangeJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val points = ev.select(col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("pt"))
+    val windows = ev.filter(col("event_type") === "error" && col("user_id") < 5)
+      .select(col("event_id").as("window_id"),
+        unix_micros(col("ts")).as("w_start"),
+        (unix_micros(col("ts")) + lit(WindowMicros)).as("w_end"))
+    graft.operators.RangeJoin.pointInInterval(
+        points, "pt", windows, "w_start", "w_end", binWidth = WindowMicros)
+      .select(col("window_id"), col("event_id"), col("event_type"))
+  }
+
+  val q51Sql: String =
+    s"""WITH w AS (SELECT event_id AS window_id,
+       |    epoch_us(ts) AS ws, epoch_us(ts) + $WindowMicros AS we
+       |  FROM events WHERE event_type = 'error' AND user_id < 5)
+       |SELECT window_id, e.event_id, e.event_type
+       |FROM events e JOIN w ON epoch_us(e.ts) BETWEEN ws AND we""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_decontamination" -> (q42Decontamination _),
     "q43_pii_redaction" -> (q43PiiRedaction _),
     "q44_ann_join" -> (q44AnnJoin _),
     "q45_bm25_retrieval" -> (q45Bm25 _),
     "q49_file_manifest" -> (q49FileManifest _),
-    "q50_latest_snapshot" -> (q50LatestSnapshot _))
+    "q50_latest_snapshot" -> (q50LatestSnapshot _),
+    "q51_range_join" -> (q51RangeJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q42_decontamination" -> q42Sql,
@@ -252,5 +283,6 @@ object PipelineQueries {
     "q44_ann_join" -> q44Sql,
     "q45_bm25_retrieval" -> q45Sql,
     "q49_file_manifest" -> q49Sql,
-    "q50_latest_snapshot" -> q50Sql)
+    "q50_latest_snapshot" -> q50Sql,
+    "q51_range_join" -> q51Sql)
 }

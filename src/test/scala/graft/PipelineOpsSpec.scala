@@ -119,6 +119,41 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // Range join
+  // ---------------------------------------------------------------
+
+  test("pointInInterval: equals the naive non-equi join, plans as an equi-join") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, 5L), (2L, 15L), (3L, 25L), (4L, 100L))
+      .toDF("pid", "pt")
+    val intervals = Seq((10L, 0L, 20L), (20L, 14L, 30L), (30L, 99L, 99L))
+      .toDF("iid", "s", "e")
+    val binned = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e",
+      binWidth = 7L)
+    val naive = points.join(intervals, col("s") <= col("pt") && col("pt") <= col("e"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(pairs(binned) === pairs(naive),
+      "banding must reproduce the exact match set, once per pair")
+    assert(pairs(binned) === Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)),
+      "inclusive ends; point 4 outside every interval")
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must run as an equi-join on the bin key, got:\n$plan")
+  }
+
+  test("pointInInterval: refuses silent bin explosion on degenerate intervals") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, 5L)).toDF("pid", "pt")
+    val huge = Seq((1L, 0L, Long.MaxValue / 2)).toDF("iid", "s", "e")
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, "pt", huge, "s", "e",
+        binWidth = 10L, maxBinsPerInterval = 1000L)
+    }
+    assert(ex.getMessage.contains("bins"))
+  }
+
+  // ---------------------------------------------------------------
   // CDC snapshot compaction
   // ---------------------------------------------------------------
 
