@@ -157,6 +157,45 @@ object Checks {
           .otherwise(lit(null).cast("boolean")).as("drift_exceeded")): _*)
   }
 
+  /** Categorical distribution drift between a current batch and a
+    * baseline, by chi-square contribution per category: expected
+    * count = baseline fraction × current total, contribution =
+    * (observed − expected)² / expected. The overall statistic is the
+    * sum of contributions; per-category rows localize WHICH value
+    * drifted, which the scalar alone can't. Pure +,*,/ arithmetic —
+    * no p-value transcendentals — so the result is engine-exact and
+    * the caller compares against a precomputed critical value.
+    *
+    * Categories new to the current batch (no baseline mass) have no
+    * finite contribution: expected/contribution come back null with
+    * `new_category = true` — infinite drift surfaced as data, not an
+    * exception. Categories that vanished contribute their full
+    * expected count. Two tiny aggregates + a full outer join on the
+    * category key; scales with distinct categories, not rows.
+    */
+  def categoricalDrift(
+      current: DataFrame, baseline: DataFrame, catCol: String): DataFrame = {
+    val cur = current.groupBy(col(catCol)).agg(count(lit(1)).as("n_current"))
+    val base = baseline.groupBy(col(catCol)).agg(count(lit(1)).as("n_baseline"))
+    val joined = cur.join(base, Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("n_current"), lit(0L)).as("n_current"),
+        coalesce(col("n_baseline"), lit(0L)).as("n_baseline"))
+    val totals = joined.agg(
+      sum(col("n_current")).as("_tc"), sum(col("n_baseline")).as("_tb"))
+    val expected = col("n_baseline").cast("double") / col("_tb").cast("double") *
+      col("_tc").cast("double")
+    joined.crossJoin(totals)
+      .select(col(catCol), col("n_current"), col("n_baseline"),
+        when(col("n_baseline") > 0, expected)
+          .otherwise(lit(null).cast("double")).as("expected"),
+        when(col("n_baseline") > 0,
+          (col("n_current").cast("double") - expected)
+            * (col("n_current").cast("double") - expected) / expected)
+          .otherwise(lit(null).cast("double")).as("chi2_contribution"),
+        (col("n_baseline") === 0).as("new_category"))
+  }
+
   /** Numeric profile per column: min / max / exact mean (decimal sum
     * ÷ count, so the double result is deterministic across engines).
     */

@@ -113,16 +113,61 @@ object CheckQueries {
   }
 
   // ---------------------------------------------------------------
+  // q52 — categorical drift week-over-week: event_type distribution
+  // of week 2 vs the week-1 baseline, chi-square contribution per
+  // category (pure rational arithmetic → engine-exact; the overall
+  // statistic is the sum of contributions).
+  // ---------------------------------------------------------------
+  private val W1 = "2024-01-01 00:00:00"
+  private val W2 = "2024-01-08 00:00:00"
+  private val W3 = "2024-01-15 00:00:00"
+
+  def q52CategoricalDrift(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    def week(lo: String, hi: String) =
+      ev.filter(col("ts") >= to_timestamp(lit(lo)) && col("ts") < to_timestamp(lit(hi)))
+    Checks.categoricalDrift(
+      current = week(W2, W3), baseline = week(W1, W2), catCol = "event_type")
+  }
+
+  val q52Sql: String =
+    s"""WITH cur AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_current
+       |  FROM events WHERE ts >= TIMESTAMP '$W2' AND ts < TIMESTAMP '$W3'
+       |  GROUP BY event_type),
+       |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_baseline
+       |  FROM events WHERE ts >= TIMESTAMP '$W1' AND ts < TIMESTAMP '$W2'
+       |  GROUP BY event_type),
+       |j AS (SELECT event_type,
+       |    coalesce(n_current, 0) AS n_current,
+       |    coalesce(n_baseline, 0) AS n_baseline
+       |  FROM cur FULL OUTER JOIN base USING (event_type)),
+       |t AS (SELECT CAST(sum(n_current) AS BIGINT) AS tc,
+       |    CAST(sum(n_baseline) AS BIGINT) AS tb FROM j)
+       |SELECT event_type, n_current, n_baseline,
+       |  CASE WHEN n_baseline > 0
+       |    THEN CAST(n_baseline AS DOUBLE) / CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE)
+       |    ELSE NULL END AS expected,
+       |  CASE WHEN n_baseline > 0
+       |    THEN (CAST(n_current AS DOUBLE)
+       |        - CAST(n_baseline AS DOUBLE) / CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE))
+       |      * (CAST(n_current AS DOUBLE)
+       |        - CAST(n_baseline AS DOUBLE) / CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE))
+       |      / (CAST(n_baseline AS DOUBLE) / CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE))
+       |    ELSE NULL END AS chi2_contribution,
+       |  n_baseline = 0 AS new_category
+       |FROM j CROSS JOIN t""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_completeness" -> (q22Completeness _),
     "q23_uniqueness"   -> (q23Uniqueness _),
     "q24_referential_integrity" -> (q24ReferentialIntegrity _),
-    "q25_value_bounds" -> (q25ValueBounds _))
+    "q25_value_bounds" -> (q25ValueBounds _),
+    "q52_categorical_drift" -> (q52CategoricalDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q22_completeness" -> q22Sql,
     "q23_uniqueness"   -> q23Sql,
     "q24_referential_integrity" -> q24Sql,
-    "q25_value_bounds" -> q25Sql)
+    "q25_value_bounds" -> q25Sql,
+    "q52_categorical_drift" -> q52Sql)
 }

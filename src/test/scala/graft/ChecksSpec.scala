@@ -86,4 +86,25 @@ class ChecksSpec extends AnyFunSuite {
     val r = Checks.valueBounds(df, Seq("v")).head()
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 6.0 && r.getDouble(4) == 3.0)
   }
+
+  test("categoricalDrift: chi-square contributions, new and vanished categories") {
+    // baseline: a=50, b=50; current: a=80, b=10, c=10 (c is new)
+    val baseline = ((1 to 50).map(_ => "a") ++ (1 to 50).map(_ => "b")).toDF("k")
+    val current = ((1 to 80).map(_ => "a") ++ (1 to 10).map(_ => "b") ++
+      (1 to 10).map(_ => "c")).toDF("k")
+    val rows = Checks.categoricalDrift(current, baseline, "k")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // expected under baseline fractions: a=50, b=50
+    assert(rows("a").getDouble(3) === 50.0 && rows("b").getDouble(3) === 50.0)
+    assert(rows("a").getDouble(4) === 18.0)  // (80-50)^2/50
+    assert(rows("b").getDouble(4) === 32.0)  // (10-50)^2/50
+    assert(rows("c").isNullAt(3) && rows("c").isNullAt(4) && rows("c").getBoolean(5),
+      "a category with no baseline mass has no finite contribution, flags new_category")
+    // vanished category: current has none of 'b'
+    val gone = Checks.categoricalDrift(
+        ((1 to 10).map(_ => "a")).toDF("k"), baseline, "k")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(gone("b").getLong(1) === 0L && gone("b").getDouble(4) === 5.0,
+      "a vanished category contributes its full expected count: (0-5)^2/5")
+  }
 }
