@@ -60,6 +60,22 @@ object Curation {
       "split fractions must sum to 1")
   }
 
+  /** The per-row quality gate (also the streaming front-end's filter:
+    * [[graft.streaming.StreamingCuration]] applies the identical
+    * predicate, so batch and stream admit the same rows).
+    */
+  def qualityPredicate(textCol: org.apache.spark.sql.Column, cfg: CurationConfig): org.apache.spark.sql.Column = {
+    val nChars = length(textCol)
+    val nPunct = nChars - length(regexp_replace(textCol, "[.,;:!?]", ""))
+    val punctRatio = when(nChars > 0,
+      nPunct.cast("double") / nChars.cast("double")).otherwise(lit(0.0))
+    DqFunctions.tokenCount(textCol) >= cfg.minTokens && punctRatio <= cfg.maxPunctRatio
+  }
+
+  /** The per-row language gate (shared with the streaming front-end). */
+  def languagePredicate(textCol: org.apache.spark.sql.Column, cfg: CurationConfig): org.apache.spark.sql.Column =
+    TextAnalysis.langId(textCol).isin(cfg.keepLangs: _*)
+
   def curate(
       spark: SparkSession,
       docs: DataFrame,
@@ -73,17 +89,9 @@ object Curation {
     // 1+2. per-row quality and language gates, evaluated at the scan
     // (the same expressions qualityFeatures/langId project in q17/q18)
     val t = col(textCol)
-    val nTokens = DqFunctions.tokenCount(t)
-    val nChars = length(t)
-    val nPunct = nChars - length(regexp_replace(t, "[.,;:!?]", ""))
-    val punctRatio = when(nChars > 0,
-      nPunct.cast("double") / nChars.cast("double")).otherwise(lit(0.0))
-    val qualityDocs = docs
-      .filter(nTokens >= cfg.minTokens && punctRatio <= cfg.maxPunctRatio)
-      .persist()
+    val qualityDocs = docs.filter(qualityPredicate(t, cfg)).persist()
     val afterQuality = qualityDocs.count()
-    val langDocs = qualityDocs.filter(
-      TextAnalysis.langId(t).isin(cfg.keepLangs: _*)).persist()
+    val langDocs = qualityDocs.filter(languagePredicate(t, cfg)).persist()
     val afterLanguage = langDocs.count()
 
     // 3. exact dedup — keep the min-id representative per content hash

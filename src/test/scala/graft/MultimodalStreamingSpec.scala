@@ -111,6 +111,54 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, 1L)), "second session has 1 event")
   }
 
+  test("streaming curation front-end: gates + TTL content-dedup, batch-identical admission") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val good = "the quick brown fox jumps over the lazy dog again and again"
+      val short = "too short"                                  // fails minTokens
+      val punct = "a b c d e f g h i j !!!!!!!!!!!!!!!!!!!!!"  // fails punct ratio
+      val stream = MemoryStream[(Long, String)]
+      val sq = graft.streaming.StreamingCuration.gatedDedupedStream(
+          spark, stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          dedupTtl = java.time.Duration.ofHours(1))
+        .writeStream.outputMode("append").format("memory").queryName("cur_stream")
+        .start()
+      stream.addData(Seq((1L, good), (2L, short), (3L, punct), (4L, good)))
+      sq.processAllAvailable()
+      stream.addData(Seq((5L, good), (6L, good + " fresh")))
+      sq.processAllAvailable()
+      sq.stop()
+      val out = spark.table("cur_stream")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.keySet === Set(1L, 6L),
+        s"gates drop 2/3, dedup keeps first of 1/4/5, got ${out.keySet}")
+      // admission must equal the batch predicate exactly
+      val batchAdmitted = Seq((1L, good), (2L, short), (3L, punct))
+        .toDF("doc_id", "text")
+        .filter(graft.Curation.qualityPredicate(
+          org.apache.spark.sql.functions.col("text"), graft.Curation.CurationConfig()))
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchAdmitted === Set(1L))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("timer-based sessions: event-time timers close sessions, late extension re-arms") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
