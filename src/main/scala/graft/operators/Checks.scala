@@ -177,19 +177,28 @@ object Checks {
       current: DataFrame, baseline: DataFrame, catCol: String): DataFrame = {
     val cur = current.groupBy(col(catCol)).agg(count(lit(1)).as("n_current"))
     val base = baseline.groupBy(col(catCol)).agg(count(lit(1)).as("n_baseline"))
-    val joined = cur.join(base, Seq(catCol), "full_outer")
-      .select(col(catCol),
+    // null-SAFE key equality: a join on Seq(catCol) uses null-rejecting
+    // equality, so a NULL category present on both sides would split
+    // into a bogus new-category row AND a bogus vanished-category row
+    val joined = cur.as("c")
+      .join(base.as("b"), col(s"c.$catCol") <=> col(s"b.$catCol"), "full_outer")
+      .select(coalesce(col(s"c.$catCol"), col(s"b.$catCol")).as(catCol),
         coalesce(col("n_current"), lit(0L)).as("n_current"),
         coalesce(col("n_baseline"), lit(0L)).as("n_baseline"))
     val totals = joined.agg(
       sum(col("n_current")).as("_tc"), sum(col("n_baseline")).as("_tb"))
     val expected = col("n_baseline").cast("double") / col("_tb").cast("double") *
       col("_tc").cast("double")
+    // guard includes _tc > 0: an EMPTY current batch makes every
+    // expected count 0.0 and the contribution 0/0 — Spark yields NULL
+    // but other engines yield NaN, so the defined-ness rule must be
+    // explicit rather than left to division semantics
+    val defined = col("n_baseline") > 0 && col("_tc") > 0
     joined.crossJoin(totals)
       .select(col(catCol), col("n_current"), col("n_baseline"),
-        when(col("n_baseline") > 0, expected)
+        when(defined, expected)
           .otherwise(lit(null).cast("double")).as("expected"),
-        when(col("n_baseline") > 0,
+        when(defined,
           (col("n_current").cast("double") - expected)
             * (col("n_current").cast("double") - expected) / expected)
           .otherwise(lit(null).cast("double")).as("chi2_contribution"),

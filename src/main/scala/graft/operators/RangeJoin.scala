@@ -29,27 +29,41 @@ object RangeJoin {
   /** Join `points` (value column `pt`, a LONG — e.g. unix micros) to
     * `intervals` (`start`/`end` LONG columns, inclusive ends) on
     * start ≤ pt ≤ end. All other columns from both sides ride along.
+    *
+    * The explosion guard runs IN the plan (`raise_error` on the
+    * offending interval row), not as an eager pre-scan: no second job
+    * over the intervals, streaming inputs stay legal, and the failure
+    * message names the violating span. Inverted intervals
+    * (end < start) fail the same way instead of silently generating
+    * descending bin sequences. Bin counts are compared in DOUBLE so a
+    * domain-spanning interval can't wrap Long arithmetic past the
+    * guard.
     */
   def pointInInterval(
       points: DataFrame, ptCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       binWidth: Long, maxBinsPerInterval: Long = 1 << 20): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    // loud guard on degenerate intervals (1-row agg, config-sized)
-    val worst = intervals.agg(
-      max((col(endCol) - col(startCol)) / binWidth).as("_maxBins")).head()
-    val maxBins = Option(worst.get(0)).map(_.toString.toDouble.toLong).getOrElse(0L)
-    require(maxBins <= maxBinsPerInterval,
-      s"an interval spans $maxBins bins (> $maxBinsPerInterval): raise binWidth " +
-        "or split the interval — silent bin explosion refused")
-    val binned = intervals.withColumn("_bin",
-      explode(sequence(
-        floor(col(startCol) / binWidth).cast("long"),
-        floor(col(endCol) / binWidth).cast("long"))))
-    val pts = points.withColumn("_bin",
-      floor(col(ptCol) / binWidth).cast("long"))
-    pts.join(binned, "_bin")
+    val bin = "_graft_rj_bin" // collision-safe vs user columns named _bin
+    require(!points.columns.contains(bin) && !intervals.columns.contains(bin),
+      s"inputs must not carry a $bin column")
+    val lo = floor(col(startCol) / binWidth).cast("long")
+    val hi = floor(col(endCol) / binWidth).cast("long")
+    // double-precision span check: overflow-free for any Long inputs
+    val nBins = (col(endCol).cast("double") / binWidth) -
+      (col(startCol).cast("double") / binWidth) + lit(1.0)
+    val guarded = when(
+      col(endCol) >= col(startCol) && nBins <= lit(maxBinsPerInterval.toDouble),
+      sequence(lo, hi))
+      .otherwise(raise_error(concat(
+        lit(s"interval [" ), col(startCol), lit(", "), col(endCol),
+        lit(s"] is inverted or spans more than $maxBinsPerInterval bins of " +
+          s"$binWidth: raise binWidth or split the interval — " +
+          "silent bin explosion refused"))))
+    val binned = intervals.withColumn(bin, explode(guarded))
+    val pts = points.withColumn(bin, floor(col(ptCol) / binWidth).cast("long"))
+    pts.join(binned, bin)
       .filter(col(startCol) <= col(ptCol) && col(ptCol) <= col(endCol))
-      .drop("_bin")
+      .drop(bin)
   }
 }

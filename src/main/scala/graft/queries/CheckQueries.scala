@@ -137,17 +137,18 @@ object CheckQueries {
        |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_baseline
        |  FROM events WHERE ts >= TIMESTAMP '$W1' AND ts < TIMESTAMP '$W2'
        |  GROUP BY event_type),
-       |j AS (SELECT event_type,
+       |j AS (SELECT coalesce(cur.event_type, base.event_type) AS event_type,
        |    coalesce(n_current, 0) AS n_current,
        |    coalesce(n_baseline, 0) AS n_baseline
-       |  FROM cur FULL OUTER JOIN base USING (event_type)),
+       |  FROM cur FULL OUTER JOIN base
+       |    ON cur.event_type IS NOT DISTINCT FROM base.event_type),
        |t AS (SELECT CAST(sum(n_current) AS BIGINT) AS tc,
        |    CAST(sum(n_baseline) AS BIGINT) AS tb FROM j)
        |SELECT event_type, n_current, n_baseline,
-       |  CASE WHEN n_baseline > 0
+       |  CASE WHEN n_baseline > 0 AND tc > 0
        |    THEN CAST(n_baseline AS DOUBLE) / CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE)
        |    ELSE NULL END AS expected,
-       |  CASE WHEN n_baseline > 0
+       |  CASE WHEN n_baseline > 0 AND tc > 0
        |    THEN (CAST(n_current AS DOUBLE)
        |        - CAST(n_baseline AS DOUBLE) / CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE))
        |      * (CAST(n_current AS DOUBLE)

@@ -15,10 +15,16 @@ import graft.Curation.CurationConfig
   *
   * Gates reuse the EXACT batch predicates
   * ([[Curation.qualityPredicate]]/[[Curation.languagePredicate]]), so
-  * a document admitted by the stream is the same document the batch
-  * funnel would admit — no drift between ingest-time and compact-time
-  * filtering. Dedup state is per content hash with store-native TTL
-  * (RocksDB), bounding state by the horizon, not the stream length.
+  * the ADMISSION decision is identical between ingest-time and
+  * compact-time filtering. Dedup keys on the same md5 content hash as
+  * the batch path ([[graft.operators.Dedup.exactDuplicateGroups]]) —
+  * a 64-bit hash would collide with ~50% odds by ~5×10⁹ documents,
+  * dropping a distinct document forever. The REPRESENTATIVE differs
+  * by necessity: a stream keeps the first arrival per content (it
+  * cannot wait for a smaller id that may never come), where the batch
+  * path keeps the min id; content-wise the surviving set is the same.
+  * Dedup state carries store-native TTL (RocksDB), bounding state by
+  * the horizon, not the stream length.
   */
 object StreamingCuration {
 
@@ -28,7 +34,7 @@ object StreamingCuration {
     */
   class FirstDocPerContentProcessor(ttl: java.time.Duration)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, Long, String), (Long, String)] {
+        String, (String, Long, String), (Long, String)] {
     import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
     @transient private var seen: ValueState[Boolean] = _
 
@@ -39,7 +45,7 @@ object StreamingCuration {
         "seen", Encoders.scalaBoolean, TTLConfig(ttl))
 
     override def handleInputRows(
-        key: Long, rows: Iterator[(Long, Long, String)],
+        key: String, rows: Iterator[(String, Long, String)],
         timerValues: TimerValues): Iterator[(Long, String)] =
       if (seen.exists() || rows.isEmpty) Iterator.empty
       else {
@@ -65,8 +71,11 @@ object StreamingCuration {
     val t = col(textCol)
     docs
       .filter(Curation.qualityPredicate(t, cfg) && Curation.languagePredicate(t, cfg))
-      .select(xxhash64(t).as("_h"), col(idCol).cast("long").as("_id"), t.as("_text"))
-      .as[(Long, Long, String)]
+      // md5, NOT xxhash64: same content key as the batch exact dedup,
+      // and a 128-bit space so corpus-scale streams can't collide
+      .select(md5(t.cast("binary")).as("_h"),
+        col(idCol).cast("long").as("_id"), t.as("_text"))
+      .as[(String, Long, String)]
       .groupByKey(_._1)
       .transformWithState(new FirstDocPerContentProcessor(dedupTtl),
         TimeMode.ProcessingTime(), OutputMode.Append())

@@ -142,15 +142,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"range join must run as an equi-join on the bin key, got:\n$plan")
   }
 
-  test("pointInInterval: refuses silent bin explosion on degenerate intervals") {
+  test("pointInInterval: refuses silent bin explosion and inverted intervals at execution") {
     import graft.operators.RangeJoin
+    def rootMessages(t: Throwable): String = {
+      var cur: Throwable = t; val sb = new StringBuilder
+      while (cur != null) { sb.append(Option(cur.getMessage).getOrElse("")); cur = cur.getCause }
+      sb.toString
+    }
     val points = Seq((1L, 5L)).toDF("pid", "pt")
     val huge = Seq((1L, 0L, Long.MaxValue / 2)).toDF("iid", "s", "e")
-    val ex = intercept[IllegalArgumentException] {
+    val ex1 = intercept[Exception] {
       RangeJoin.pointInInterval(points, "pt", huge, "s", "e",
-        binWidth = 10L, maxBinsPerInterval = 1000L)
+        binWidth = 10L, maxBinsPerInterval = 1000L).count()
     }
-    assert(ex.getMessage.contains("bins"))
+    assert(rootMessages(ex1).contains("bin explosion refused"),
+      "domain-spanning interval must fail loudly in the plan, not wrap Long math")
+    val inverted = Seq((1L, 50L, 10L)).toDF("iid", "s", "e")
+    val ex2 = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "pt", inverted, "s", "e",
+        binWidth = 10L).count()
+    }
+    assert(rootMessages(ex2).contains("inverted"),
+      "end < start must fail, not silently generate a descending bin list")
   }
 
   // ---------------------------------------------------------------
