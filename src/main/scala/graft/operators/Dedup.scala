@@ -355,11 +355,16 @@ object Dedup {
     * agreement ≥ t: such a pair disagrees on at most
     * H − ⌈t·H⌉ of its H components, and each disagreeing component
     * breaks at most one band — so at least bands − (H − ⌈t·H⌉) bands
-    * agree EXACTLY. Every qualifying pair survives the floor (no
-    * false negatives); sub-threshold pairs are mostly pruned before
-    * any signature ships. At t=0.8, H=64, 16 bands: floor is 4
-    * agreeing bands, which cuts the scored candidate set ~20× on a
-    * high-ambient-similarity corpus.
+    * agree EXACTLY. Every qualifying CANDIDATE survives the floor (no
+    * false negatives vs [[lshCandidatePairs]]): when the pigeonhole
+    * bound drops to 0 — a qualifying pair could break every band —
+    * the clamp to 1 is still lossless relative to banding, because a
+    * pair with zero agreeing bands never enters the candidate set at
+    * all (that recall loss belongs to the banding parameters, not the
+    * floor; property-pinned in PropertySpec). Sub-threshold pairs are
+    * mostly pruned before any signature ships. At t=0.8, H=64,
+    * 16 bands: floor is 4 agreeing bands, which cuts the scored
+    * candidate set ~20× on a high-ambient-similarity corpus.
     */
   private[graft] def minAgreeingBands(numHashes: Int, bands: Int, t: Double): Int = {
     val agreeMin = math.ceil(t * numHashes - 1e-9).toInt

@@ -98,4 +98,49 @@ class PropertySpec extends AnyFunSuite {
     // 128 hashes → stderr ≈ sqrt(j(1-j)/128) ≤ 0.045; allow 5 sigma
     pairs.foreach { case (t, e) => assert(math.abs(t - e) < 0.25, s"true=$t est=$e") }
   }
+
+  test("minAgreeingBands floor is pigeonhole-sound for random signature pairs") {
+    // brute-force check of the combinatorial claim behind the LSH
+    // prefilter: ANY pair with componentwise agreement ≥ t fully
+    // agrees on at least the floor's number of bands
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val bands = Seq(4, 8, 16, 32)(rng.nextInt(4))
+      val rows = Seq(1, 2, 4)(rng.nextInt(3))
+      val h = bands * rows
+      val t = 0.5 + rng.nextDouble() * 0.5
+      val floor = graft.operators.Dedup.minAgreeingBands(h, bands, t)
+      val a = Array.fill(h)(rng.nextInt(1000))
+      val b = a.clone()
+      // flip exactly the number of components allowed at agreement t
+      val flips = h - math.ceil(t * h - 1e-9).toInt
+      rng.shuffle((0 until h).toList).take(flips).foreach(i => b(i) = a(i) + 1000)
+      val agreeing = (0 until bands).count { bb =>
+        (bb * rows until (bb + 1) * rows).forall(i => a(i) == b(i))
+      }
+      // the floor's contract is relative to the LSH CANDIDATE set: a
+      // pair with zero agreeing bands is invisible to banding anyway,
+      // so the clamp to 1 loses nothing vs lshCandidatePairs. Every
+      // qualifying pair that IS a candidate must clear the floor.
+      assert(agreeing >= floor || (agreeing == 0 && floor == 1),
+        s"h=$h bands=$bands t=$t flips=$flips: $agreeing bands agree, floor $floor")
+    }
+  }
+
+  test("binned range join equals the naive non-equi join on random intervals") {
+    import graft.operators.RangeJoin
+    val rng = new scala.util.Random(11)
+    val points = (1 to 150).map(i => (i.toLong, rng.nextLong() % 10000)).toDF("pid", "pt")
+    val intervals = (1 to 40).map { i =>
+      val s = rng.nextLong() % 10000
+      (i.toLong, s, s + rng.nextInt(500))
+    }.toDF("iid", "s", "e")
+    for (w <- Seq(7L, 100L, 1000L)) {
+      val binned = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", w)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      val naive = points.join(intervals, col("s") <= col("pt") && col("pt") <= col("e"))
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(binned === naive, s"binWidth=$w: match sets differ")
+    }
+  }
 }
