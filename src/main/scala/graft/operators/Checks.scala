@@ -205,6 +205,45 @@ object Checks {
         (col("n_baseline") === 0).as("new_category"))
   }
 
+  /** Numeric distribution drift: fixed-width histogram bins feed the
+    * categorical chi-square machinery ([[categoricalDrift]]). Fixed
+    * bins (not quantiles) keep the comparison stable run-over-run and
+    * engine-exact; choose `binWidth` from the baseline's range. Null
+    * values form their own bin (the null "category" survives the
+    * null-safe join), so a null-rate shift also registers as drift.
+    */
+  def numericDrift(
+      current: DataFrame, baseline: DataFrame, valueCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame) = df.select(
+      floor(col(valueCol).cast("double") / binWidth).cast("long").as("_bin"))
+    categoricalDrift(binned(current), binned(baseline), "_bin")
+      .withColumnRenamed("_bin", "bin")
+      .withColumn("bin_start", col("bin").cast("double") * binWidth)
+  }
+
+  /** Schema drift between two datasets: one row per column that was
+    * added, removed, or retyped. Metadata-only — no data scan; the
+    * result is a local DataFrame for uniform reporting.
+    */
+  def schemaDrift(
+      current: DataFrame, baseline: DataFrame): DataFrame = {
+    val spark = current.sparkSession
+    import spark.implicits._
+    val cur = current.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val base = baseline.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (cur.keySet -- base.keySet).toSeq.sorted.map(c =>
+        (c, "added", cur(c), null: String)) ++
+      (base.keySet -- cur.keySet).toSeq.sorted.map(c =>
+        (c, "removed", null: String, base(c))) ++
+      (cur.keySet & base.keySet).toSeq.sorted
+        .filter(c => cur(c) != base(c))
+        .map(c => (c, "retyped", cur(c), base(c)))
+    rows.toDF("column", "change", "current_type", "baseline_type")
+  }
+
   /** Numeric profile per column: min / max / exact mean (decimal sum
     * ÷ count, so the double result is deterministic across engines).
     */

@@ -158,17 +158,62 @@ object CheckQueries {
        |  n_baseline = 0 AS new_category
        |FROM j CROSS JOIN t""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q53 — numeric drift: event `value` histogram (fixed 20-unit bins)
+  // week-over-week through the same chi-square machinery as q52.
+  // ---------------------------------------------------------------
+  private val DriftBinWidth = 20.0
+
+  def q53NumericDrift(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    def week(lo: String, hi: String) =
+      ev.filter(col("ts") >= to_timestamp(lit(lo)) && col("ts") < to_timestamp(lit(hi)))
+    Checks.numericDrift(
+      current = week(W2, W3), baseline = week(W1, W2),
+      valueCol = "value", binWidth = DriftBinWidth)
+  }
+
+  val q53Sql: String =
+    s"""WITH curb AS (SELECT CAST(floor(value / $DriftBinWidth) AS BIGINT) AS bin
+       |  FROM events WHERE ts >= TIMESTAMP '$W2' AND ts < TIMESTAMP '$W3'),
+       |baseb AS (SELECT CAST(floor(value / $DriftBinWidth) AS BIGINT) AS bin
+       |  FROM events WHERE ts >= TIMESTAMP '$W1' AND ts < TIMESTAMP '$W2'),
+       |cur AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_current FROM curb GROUP BY bin),
+       |base AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_baseline FROM baseb GROUP BY bin),
+       |j AS (SELECT coalesce(cur.bin, base.bin) AS bin,
+       |    coalesce(n_current, 0) AS n_current,
+       |    coalesce(n_baseline, 0) AS n_baseline
+       |  FROM cur FULL OUTER JOIN base ON cur.bin IS NOT DISTINCT FROM base.bin),
+       |t AS (SELECT CAST(sum(n_current) AS BIGINT) AS tc,
+       |    CAST(sum(n_baseline) AS BIGINT) AS tb FROM j)
+       |SELECT bin, n_current, n_baseline,
+       |  CASE WHEN n_baseline > 0 AND tc > 0
+       |    THEN CAST(n_baseline AS DOUBLE) / CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE)
+       |    ELSE NULL END AS expected,
+       |  CASE WHEN n_baseline > 0 AND tc > 0
+       |    THEN (CAST(n_current AS DOUBLE)
+       |        - CAST(n_baseline AS DOUBLE) / CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE))
+       |      * (CAST(n_current AS DOUBLE)
+       |        - CAST(n_baseline AS DOUBLE) / CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE))
+       |      / (CAST(n_baseline AS DOUBLE) / CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE))
+       |    ELSE NULL END AS chi2_contribution,
+       |  n_baseline = 0 AS new_category,
+       |  CAST(bin AS DOUBLE) * $DriftBinWidth AS bin_start
+       |FROM j CROSS JOIN t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_completeness" -> (q22Completeness _),
     "q23_uniqueness"   -> (q23Uniqueness _),
     "q24_referential_integrity" -> (q24ReferentialIntegrity _),
     "q25_value_bounds" -> (q25ValueBounds _),
-    "q52_categorical_drift" -> (q52CategoricalDrift _))
+    "q52_categorical_drift" -> (q52CategoricalDrift _),
+    "q53_numeric_drift" -> (q53NumericDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q22_completeness" -> q22Sql,
     "q23_uniqueness"   -> q23Sql,
     "q24_referential_integrity" -> q24Sql,
     "q25_value_bounds" -> q25Sql,
-    "q52_categorical_drift" -> q52Sql)
+    "q52_categorical_drift" -> q52Sql,
+    "q53_numeric_drift" -> q53Sql)
 }

@@ -107,4 +107,34 @@ class ChecksSpec extends AnyFunSuite {
     assert(gone("b").getLong(1) === 0L && gone("b").getDouble(4) === 5.0,
       "a vanished category contributes its full expected count: (0-5)^2/5")
   }
+
+  test("categoricalDrift: null categories match each other; empty current is undefined, not NaN") {
+    val cur = Seq(Some("a"), None, None).toDF("k")
+    val base = Seq(Some("a"), Some("a"), None).toDF("k")
+    val rows = Checks.categoricalDrift(cur, base, "k").collect()
+    assert(rows.length === 2, "null category must join itself, not split into two rows")
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) === 2L && nullRow.getLong(2) === 1L && !nullRow.getBoolean(5))
+    val empty = Checks.categoricalDrift(
+      Seq.empty[String].toDF("k"), base, "k").collect()
+    assert(empty.forall(r => r.isNullAt(3) && r.isNullAt(4)),
+      "empty current: contributions undefined (null), never 0/0 NaN")
+  }
+
+  test("numericDrift: shifted distribution registers, identical does not; schemaDrift reports changes") {
+    val base = (1 to 100).map(_.toDouble % 50).toDF("v")
+    val same = Checks.numericDrift(base, base, "v", binWidth = 10.0)
+      .agg(org.apache.spark.sql.functions.sum("chi2_contribution")).head().getDouble(0)
+    assert(same === 0.0, "identical distributions have zero statistic")
+    val shifted = (1 to 100).map(i => (i.toDouble % 50) + 30).toDF("v")
+    val stat = Checks.numericDrift(shifted, base, "v", binWidth = 10.0)
+      .agg(org.apache.spark.sql.functions.sum("chi2_contribution")).head().getDouble(0)
+    assert(stat > 10.0, s"a 30-unit shift must register, got $stat")
+
+    val a = Seq((1L, "x", 1.0)).toDF("id", "kept", "widened")
+    val b = Seq((1, "x")).toDF("id", "kept")
+    val drift = Checks.schemaDrift(a, b).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(drift === Map("widened" -> "added", "id" -> "retyped"))
+  }
 }
