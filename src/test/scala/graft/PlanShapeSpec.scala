@@ -131,6 +131,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "cosine must run on the native dot-product expression")
   }
 
+  test("q45: BM25 ranking plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(graft.queries.PipelineQueries.q45Bm25(spark, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be per-partition partial top-k + driver merge, not a full sort")
+  }
+
+  test("q50: snapshot compaction shuffles once on the key") {
+    val p = plan(graft.queries.PipelineQueries.q50LatestSnapshot(spark, d))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"latest-per-key needs exactly one shuffle on the key, found $exchanges:\n$p")
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
