@@ -86,10 +86,22 @@ object ExtensionQueries {
   // parameterization trap Curation documents; don't showcase it).
   private val LshBands = 16
   private val LshHashes = 64
+  // 5-char shingles, not 3: trigrams on natural-language text have a
+  // tiny effective universe, so UNRELATED documents share most of
+  // their shingle sets (measured ambient Jaccard 0.44 mean / 0.64 p99
+  // on the test corpus at n=3, vs 0.17 / 0.25 at n=5). Band collision
+  // probability is s^rows, so that ambient mass is exactly what LSH
+  // enumerates: 9.6M band-collision rows at n=3 vs ~0.2M at n=5 on
+  // 5000 docs — a ~50× candidate reduction — while the ≥0.8 result
+  // set is IDENTICAL (25 pairs at sf0.01, 256 at sf0.1, both n): true
+  // near-dups sit near Jaccard 1.0 at either length. Longer shingles
+  // are the standard Broder-style remedy precisely because they push
+  // ambient similarity down without touching near-duplicate pairs.
+  private val LshShingleN = 5
 
   def q12MinhashLsh(spark: SparkSession, d: String): DataFrame =
     Dedup.lshNearDupPairs(Tables.documents(spark, d),
-      "doc_id", "text", n = 3, numHashes = LshHashes, bands = LshBands,
+      "doc_id", "text", n = LshShingleN, numHashes = LshHashes, bands = LshBands,
       threshold = JaccardThreshold, portable = true)
 
   /** Mirrors the portable pipeline stage by stage: shingles → md5
@@ -104,7 +116,7 @@ object ExtensionQueries {
       s"list_min(list_transform(h, x -> (${a} * x + ${b}) % $MinhashPrime))"
     }.mkString("[\n      ", ",\n      ", "]")
     s"""WITH sh AS (SELECT doc_id AS id, list_distinct(
-       |    [substr(text, i, 3) for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS s
+       |    [substr(text, i, $LshShingleN) for i in range(1, greatest(length(text) - ${LshShingleN - 1}, 1) + 1)]) AS s
        |  FROM documents),
        |bh AS (SELECT id, list_transform(s, g ->
        |    CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) AS BIGINT) % $MinhashPrime) AS h

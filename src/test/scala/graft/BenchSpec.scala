@@ -28,6 +28,8 @@ class BenchSpec extends AnyFunSuite {
     assert(byName("ok").err.isEmpty)
     assert(byName("broken").err.isDefined,
       "a failing query must carry an err field, not report success")
-    assert(results.forall(_.sec >= 0.0))
+    assert(results.forall(r => r.sec >= 0.0 && r.coldSec >= 0.0))
+    // a failed query is not re-run: its warm timing IS its cold timing
+    assert(byName("broken").sec == byName("broken").coldSec)
   }
 }
