@@ -26,12 +26,35 @@ object ExtensionQueries {
   private val JaccardThreshold = 0.8
   private val CosineThreshold  = 0.4
 
+  // Shared shingle length for q11 (exact) and q12 (LSH) — declared
+  // before both (object vals initialize in declaration order; a
+  // forward reference would silently read 0 into the oracle SQL).
+  // 5-char shingles, not 3: trigrams on natural-language text have a
+  // tiny effective universe, so UNRELATED documents share most of
+  // their shingle sets (measured ambient Jaccard 0.44 mean / 0.64 p99
+  // on the test corpus at n=3, vs 0.17 / 0.25 at n=5). Band collision
+  // probability is s^rows, so that ambient mass is exactly what LSH
+  // enumerates: 9.6M band-collision rows at n=3 vs ~0.2M at n=5 on
+  // 5000 docs — a ~50× candidate reduction — while the ≥0.8 result
+  // set is IDENTICAL (25 pairs at sf0.01, 256 at sf0.1, both n): true
+  // near-dups sit near Jaccard 1.0 at either length. Longer shingles
+  // are the standard Broder-style remedy precisely because they push
+  // ambient similarity down without touching near-duplicate pairs.
+  private val LshShingleN = 5
+
   // q11 runs the exact inverted-index pair join over the FULL corpus
   // with a stop-shingle document-frequency cap: shingles in more than
   // 40% of documents are dropped before the self-join, bounding the
   // quadratic term (13× fewer join rows at sf0.1) while recovering
   // 24/25 of the uncapped pairs at sf0.01 with zero spurious ones.
   // The scale path for web-size corpora remains the LSH query q12.
+  // q11 deliberately stays at n=3 while q12 moved to n=5: the DF cap
+  // is the exact path's answer to ambient-similarity mass (hot
+  // shingles are dropped, so the trigram universe's overlap never
+  // reaches the join), whereas at n=5 almost no shingle exceeds the
+  // cap and the posting lists are ~2× longer — measured 3–5× SLOWER.
+  // Each query showcases its own scale mechanism at the shingle
+  // length where that mechanism is the binding one.
   private val StopShingleDfFraction = 0.4
 
   // ---------------------------------------------------------------
@@ -86,18 +109,6 @@ object ExtensionQueries {
   // parameterization trap Curation documents; don't showcase it).
   private val LshBands = 16
   private val LshHashes = 64
-  // 5-char shingles, not 3: trigrams on natural-language text have a
-  // tiny effective universe, so UNRELATED documents share most of
-  // their shingle sets (measured ambient Jaccard 0.44 mean / 0.64 p99
-  // on the test corpus at n=3, vs 0.17 / 0.25 at n=5). Band collision
-  // probability is s^rows, so that ambient mass is exactly what LSH
-  // enumerates: 9.6M band-collision rows at n=3 vs ~0.2M at n=5 on
-  // 5000 docs — a ~50× candidate reduction — while the ≥0.8 result
-  // set is IDENTICAL (25 pairs at sf0.01, 256 at sf0.1, both n): true
-  // near-dups sit near Jaccard 1.0 at either length. Longer shingles
-  // are the standard Broder-style remedy precisely because they push
-  // ambient similarity down without touching near-duplicate pairs.
-  private val LshShingleN = 5
 
   def q12MinhashLsh(spark: SparkSession, d: String): DataFrame =
     Dedup.lshNearDupPairs(Tables.documents(spark, d),
