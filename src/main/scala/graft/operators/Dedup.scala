@@ -630,6 +630,90 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  // ---------------------------------------------------------------
+  // Duplicate clusters (connected components over a pair list)
+  // ---------------------------------------------------------------
+
+  /** Collapse a near-duplicate PAIR list into CLUSTERS: connected
+    * components of the pair graph, labeling every participating id
+    * with the smallest id reachable through pairs — the canonical
+    * representative a curation pipeline keeps (every other member of
+    * the cluster is dropped or down-weighted). This is the stage
+    * between "pairs ≥ threshold" (q11/q12/q13/q14) and an actionable
+    * keep/drop decision: near-duplication is not transitive, so
+    * pairwise output alone over-keeps (A~B, B~C with A,C just under
+    * threshold still form one boilerplate family).
+    *
+    * Returns (id, cluster_id, cluster_size) for every id that appears
+    * in `pairs`; singletons never enter the pair list, so the caller
+    * left-joins the corpus to label non-duplicates.
+    *
+    * Algorithm: distributed min-label propagation with path
+    * compression (pointer doubling) — each round every node takes the
+    * minimum of its own label, its neighbors' labels, and its LABEL's
+    * label. Compression makes convergence O(log diameter) rounds
+    * rather than O(diameter); near-dup components in practice have
+    * tiny diameter, so 2–4 rounds is typical. Per round the work is
+    * one equi-join edges⋈labels + a min-agg + one self-join, all on
+    * 8-byte keys over a table that is PAIR-scale (nodes that occur in
+    * pairs), never corpus-scale. Convergence is detected from
+    * sum(label), which strictly decreases until fixpoint (labels are
+    * monotone non-increasing per node) — a 1-row driver pull per
+    * round, no extra join against the previous labeling. Lineage is
+    * truncated every round via localCheckpoint so the plan doesn't deepen
+    * with iteration count (on a cluster with executor churn, swap in
+    * reliable checkpointing to a checkpoint dir).
+    */
+  def duplicateClusters(
+      pairs: DataFrame, idACol: String, idBCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val p = pairs.select(col(idACol).cast("long").as("src"),
+      col(idBCol).cast("long").as("dst"))
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    // sum(label) is NULL over an empty node set — coalesce so the
+    // empty-pairs case converges on the first round instead of NPEing
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges.as("e")
+        .join(labels.as("l"), col("e.src") === col("l.id"))
+        .groupBy(col("e.dst").as("id"))
+        .agg(min(col("l.label")).as("_nbr"))
+      val relabeled = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
+      // path compression: follow my label's label. Every label is the
+      // id of some participating node, so the lookup is total; the
+      // coalesce is belt-and-braces for the self-rooted case.
+      val compressed = relabeled.as("a")
+        .join(relabeled.select(col("id").as("_lid"), col("label").as("_llabel")),
+          col("a.label") === col("_lid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("_llabel"), col("a.label")).as("label"))
+        .localCheckpoint(true)
+      val newSum = labelSum(compressed)
+      converged = newSum == prevSum
+      prevSum = newSum
+      labels = compressed
+      round += 1
+    }
+    require(converged,
+      s"duplicateClusters did not converge in $maxRounds rounds — " +
+        "pathological graph diameter; raise maxRounds")
+    edges.unpersist()
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes (splitmix64 →
     * uniform in [-1, 1)); normalization is irrelevant for sign tests.
     */

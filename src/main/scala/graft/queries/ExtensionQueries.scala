@@ -151,6 +151,31 @@ object ExtensionQueries {
   }
 
   // ---------------------------------------------------------------
+  // q54 — duplicate clusters: connected components over the q12 LSH
+  // pair graph (pairs → canonical keep/drop groups). The oracle
+  // replays the identical pair list (q12's SQL as a subquery) and
+  // computes components by recursive transitive closure — small-data
+  // semantics for the distributed min-label-propagation algorithm.
+  // ---------------------------------------------------------------
+  def q54DupClusters(spark: SparkSession, d: String): DataFrame =
+    Dedup.duplicateClusters(q12MinhashLsh(spark, d), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+
+  val q54Sql: String =
+    s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($q12Sql) q12),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM lab GROUP BY 1)
+       |SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_size
+       |FROM lab JOIN sz ON lab.cluster_id = sz.cluster_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q13 — SimHash near-dup pairs (banded Hamming ≤ 3), portable
   // mode: 60-bit md5 token hashes, 15-bit chunk candidates — the
   // DuckDB oracle replays the identical bit arithmetic.
@@ -499,6 +524,7 @@ object ExtensionQueries {
     "q11_ngram_jaccard"      -> (q11NgramJaccard _),
     "q12_minhash_lsh"        -> (q12MinhashLsh _),
     "q13_simhash_neardup"    -> (q13SimhashNearDup _),
+    "q54_dup_clusters"       -> (q54DupClusters _),
     "q14_embedding_neardup"  -> (q14EmbeddingNearDup _),
     "q14b_embedding_lsh"     -> (q14bEmbeddingNearDupLsh _),
     "q15_knn_brute"          -> (q15KnnBrute _),
@@ -517,6 +543,7 @@ object ExtensionQueries {
     "q11_ngram_jaccard"      -> q11Sql,
     "q12_minhash_lsh"        -> q12Sql,
     "q13_simhash_neardup"    -> q13Sql,
+    "q54_dup_clusters"       -> q54Sql,
     "q14_embedding_neardup"  -> q14Sql,
     "q14b_embedding_lsh"     -> q14bSql,
     "q15_knn_brute"          -> q15Sql,

@@ -1,0 +1,75 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** duplicateClusters = connected components over a pair list. Pinned
+  * against a driver-side union-find on randomized graphs, plus the
+  * shapes that stress convergence (long paths — worst-case diameter)
+  * and bookkeeping (empty input, self-pairs, duplicate pairs).
+  */
+class DupClustersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def bruteComponents(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byRoot = parent.keys.toSeq.groupBy(find)
+    byRoot.flatMap { case (_, members) =>
+      val cid = members.min
+      members.map(m => m -> (cid, members.size.toLong))
+    }.toMap
+  }
+
+  private def run(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Dedup.duplicateClusters(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  test("matches union-find on randomized graphs") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val pairs = Seq.fill(n) {
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+      }.filter { case (a, b) => a != b }
+      assert(run(pairs) == bruteComponents(pairs), s"trial $trial: $pairs")
+    }
+  }
+
+  test("long path converges well under the round cap (pointer doubling)") {
+    // a 200-node path has diameter 199; naive propagation needs ~200
+    // rounds, compression must land it far below the default cap of 50
+    val pairs = (0L until 199L).map(i => (i, i + 1))
+    val got = run(pairs)
+    assert(got.keySet == (0L to 199L).toSet)
+    assert(got.values.forall { case (cid, sz) => cid == 0L && sz == 200L })
+  }
+
+  test("disjoint components keep distinct min-id labels and sizes") {
+    val got = run(Seq((5L, 3L), (3L, 9L), (20L, 21L)))
+    assert(got == Map(
+      3L -> (3L, 3L), 5L -> (3L, 3L), 9L -> (3L, 3L),
+      20L -> (20L, 2L), 21L -> (20L, 2L)))
+  }
+
+  test("empty and degenerate inputs") {
+    assert(run(Seq.empty) == Map.empty)
+    // self-pairs and duplicated pairs collapse to singleton semantics
+    assert(run(Seq((7L, 7L))) == Map(7L -> (7L, 1L)))
+    assert(run(Seq((1L, 2L), (2L, 1L), (1L, 2L))) ==
+      Map(1L -> (1L, 2L), 2L -> (1L, 2L)))
+  }
+}
