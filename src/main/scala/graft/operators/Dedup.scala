@@ -288,10 +288,21 @@ object Dedup {
     * asymmetric joins (new × corpus) pass false.
     */
   private[graft] def collisionPairsWithFeatures(
-      bucketsA: DataFrame, bucketsB: DataFrame, keyCols: Seq[String],
+      bucketsA0: DataFrame, bucketsB0: DataFrame, keyCols: Seq[String],
       ordered: Boolean, featsA: DataFrame, featsB: DataFrame,
       minCollisions: Int = 1, nSalts: Int = 16, hotBucketMin: Long = 8192,
       maxHotBuckets: Int = 4096): DataFrame = {
+    // The bucket tables are consumed three times below (hot-bucket
+    // detection + both sides of the collision join), and computing
+    // them re-runs the caller's signature/projection arithmetic per
+    // consumer (measured 4× the bucket cost on q14b, whose 48
+    // hyperplane dot products per row dominated the query). They are
+    // narrow (id + band/bucket keys, 8-byte columns), so persist and
+    // auto-release once the returned plan has executed.
+    val bucketsA = bucketsA0.persist()
+    val bucketsB = if (bucketsB0 eq bucketsA0) bucketsA else bucketsB0.persist()
+    graft.CacheLifecycle.releaseAfterFirstUse(
+      if (bucketsB eq bucketsA) Seq(bucketsA) else Seq(bucketsA, bucketsB))
     // Within-bucket pair enumeration is the one genuinely skewed step
     // of every LSH family: a hot bucket of k members must emit C(k,2)
     // rows, and an unsalted bucket-key join emits them all in ONE
