@@ -52,6 +52,7 @@ object Curation {
       minhashHashes: Int = 64,
       minhashBands: Int = 16,
       nearDupThreshold: Double = 0.8,
+      clusterNearDups: Boolean = false,
       decontamNgram: Int = 8,
       decontamMinOverlap: Long = 1L,
       splits: Seq[(String, Double)] =
@@ -98,13 +99,25 @@ object Curation {
     val exact = Dedup.dropExactDuplicates(langDocs, idCol, t).persist()
     val afterExact = exact.count()
 
-    // 4. near-dedup: LSH candidates above threshold; drop the higher
-    // id of each pair (greedy per-pair — at most one survivor per
-    // connected near-dup component's min id chain)
+    // 4. near-dedup. Two keep policies over the thresholded pair set:
+    //  - pairwise-greedy (default): drop the higher id of every pair.
+    //    A doc survives iff it is not the larger element of any pair;
+    //    local minima of disjoint pair neighborhoods inside one
+    //    component can all survive.
+    //  - cluster-canonical (clusterNearDups = true): collapse pairs
+    //    into connected components (duplicateClusters) and keep ONE
+    //    doc per component — the usual web-corpus policy (a
+    //    boilerplate family chained A~B~C is one cluster even when
+    //    A~C alone is sub-threshold). More aggressive than greedy.
     val (pairs, sigs) = Dedup.lshNearDupPairsWithSignatures(
       exact, idCol, textCol, cfg.shingleN, cfg.minhashHashes, cfg.minhashBands,
       threshold = cfg.nearDupThreshold)
-    val drop = pairs.select(col("id_b").as(idCol)).distinct()
+    val drop =
+      if (cfg.clusterNearDups)
+        Dedup.duplicateClusters(pairs, "id_a", "id_b")
+          .filter(col("id") =!= col("cluster_id")) // keep each component's min id
+          .select(col("id").as(idCol))
+      else pairs.select(col("id_b").as(idCol)).distinct()
     val nearDeduped = exact.join(drop, Seq(idCol), "left_anti").persist()
     val afterNear = nearDeduped.count()
 

@@ -201,13 +201,47 @@ object CheckQueries {
        |  CAST(bin AS DOUBLE) * $DriftBinWidth AS bin_start
        |FROM j CROSS JOIN t""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q55 — column profile: per-column census of lineitem's numeric
+  // measures in ONE scan (a wide aggregate + explode; never a job
+  // per column). Mean/stddev derive from exact DECIMAL sums so the
+  // doubles are partition-order independent and oracle-exact; the
+  // final double formula is written with the identical association
+  // in both engines.
+  // ---------------------------------------------------------------
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def q55Profile(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.profileNumeric(Tables.lineitem(spark, d), ProfileCols)
+
+  val q55Sql: String = ProfileCols.map { c =>
+    s"""SELECT '$c' AS "column",
+       |  CAST(count($c) AS BIGINT) AS n,
+       |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  CAST(min($c) AS DOUBLE) AS min,
+       |  CAST(max($c) AS DOUBLE) AS max,
+       |  CASE WHEN count($c) > 0 THEN
+       |    CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / CAST(count($c) AS DOUBLE)
+       |  ELSE NULL END AS mean,
+       |  CASE WHEN count($c) > 1 THEN
+       |    sqrt((CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+       |        - CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+       |          * CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+       |          / CAST(count($c) AS DOUBLE))
+       |      / (CAST(count($c) AS DOUBLE) - 1.0))
+       |  ELSE NULL END AS stddev
+       |FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_completeness" -> (q22Completeness _),
     "q23_uniqueness"   -> (q23Uniqueness _),
     "q24_referential_integrity" -> (q24ReferentialIntegrity _),
     "q25_value_bounds" -> (q25ValueBounds _),
     "q52_categorical_drift" -> (q52CategoricalDrift _),
-    "q53_numeric_drift" -> (q53NumericDrift _))
+    "q53_numeric_drift" -> (q53NumericDrift _),
+    "q55_column_profile" -> (q55Profile _))
 
   val oracleSql: Map[String, String] = Map(
     "q22_completeness" -> q22Sql,
@@ -215,5 +249,6 @@ object CheckQueries {
     "q24_referential_integrity" -> q24Sql,
     "q25_value_bounds" -> q25Sql,
     "q52_categorical_drift" -> q52Sql,
-    "q53_numeric_drift" -> q53Sql)
+    "q53_numeric_drift" -> q53Sql,
+    "q55_column_profile" -> q55Sql)
 }

@@ -43,6 +43,26 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.groupBy("text").count().filter($"count" > 1).count() == 0)
   }
 
+  test("cluster-canonical near-dedup keeps one doc per component, at most greedy's count") {
+    val outG = Files.createTempDirectory("curation_greedy").toString + "/corpus"
+    val outC = Files.createTempDirectory("curation_cluster").toString + "/corpus"
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val greedy = Curation.curate(spark, docs, "doc_id", "text", outG, CurationConfig())
+    val cluster = Curation.curate(spark, docs, "doc_id", "text", outC,
+      CurationConfig(clusterNearDups = true))
+    // same funnel up to near-dedup; cluster policy can only drop MORE
+    assert(cluster.afterExactDedup == greedy.afterExactDedup)
+    assert(cluster.afterNearDedup <= greedy.afterNearDedup)
+    assert(cluster.afterNearDedup < cluster.afterExactDedup)
+    // exactly one survivor per near-dup component: re-running the LSH
+    // pair search over the kept docs must find no pair at all
+    val kept = spark.read.parquet(outC).select($"doc_id", $"text")
+    val residual = graft.operators.Dedup.lshNearDupPairs(
+      kept, "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    assert(residual.count() == 0,
+      "cluster-canonical survivors must contain no near-dup pair")
+  }
+
   test("curate with a benchmark: contaminated docs drop, report counts the stage") {
     val out = Files.createTempDirectory("curation_decontam").toString + "/corpus"
     val docs = Tables.documents(spark, TestSpark.sf)

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Profiling
+
+class ProfilingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("per-column stats with nulls, against hand-computed values") {
+    val df = Seq(
+      (Some(1.0), Some(10.0)),
+      (Some(2.0), None),
+      (Some(3.0), Some(30.0)),
+      (None, Some(10.0))
+    ).toDF("a", "b")
+    val p = Profiling.profileNumeric(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = p("a")
+    assert(a.getLong(1) == 3 && a.getLong(2) == 1 && a.getLong(3) == 3)
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 3.0)
+    assert(a.getDouble(6) == 2.0)
+    assert(math.abs(a.getDouble(7) - 1.0) < 1e-12) // stddev_samp of 1,2,3
+    val b = p("b")
+    assert(b.getLong(1) == 3 && b.getLong(2) == 1 && b.getLong(3) == 2)
+    assert(math.abs(b.getDouble(6) - 50.0 / 3.0) < 1e-12)
+  }
+
+  test("empty input: n=0, null mean and stddev") {
+    val df = Seq.empty[(Option[Double], Option[Double])].toDF("a", "b")
+    val rows = Profiling.profileNumeric(df, Seq("a")).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(1) == 0 && rows(0).isNullAt(6) && rows(0).isNullAt(7))
+  }
+
+  test("single value: mean defined, stddev null (n < 2)") {
+    val rows = Profiling.profileNumeric(Seq(Tuple1(5.0)).toDF("a"), Seq("a")).collect()
+    assert(rows(0).getDouble(6) == 5.0 && rows(0).isNullAt(7))
+  }
+
+  test("auto-discovers numeric columns from the schema") {
+    val df = Seq((1L, "x", 2.5)).toDF("id", "s", "v")
+    val cols = Profiling.profileNumeric(df).collect().map(_.getString(0)).toSet
+    assert(cols == Set("id", "v")) // strings excluded
+  }
+
+  test("profiling matches stddev_samp/avg built-ins on decimal-exact data") {
+    val df = (1 to 1000).map(i => ((i % 97).toDouble + 0.25, i)).toDF("v", "i")
+    val row = Profiling.profileNumeric(df, Seq("v")).collect()(0)
+    val exp = df.selectExpr("avg(v)", "stddev_samp(v)").collect()(0)
+    assert(math.abs(row.getDouble(6) - exp.getDouble(0)) < 1e-9)
+    assert(math.abs(row.getDouble(7) - exp.getDouble(1)) < 1e-9)
+  }
+}
