@@ -101,7 +101,20 @@ object TextAnalysis {
     * O(distinct·tokens) per row — fine for documents, and the whole
     * computation stays engine-portable for the oracle.
     */
-  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.RepetitionExpression
+          .repetitionSignals(col(textCol)).as("r"))
+      .select(col(idCol), col("r.n_lines"), col("r.dup_line_frac"),
+        col("r.top_word_frac"), col("r.dup_bigram_frac"))
+
+  /** The compositional plan the native expression replaces (three
+    * regex passes + an explode→two-level-agg shuffle for the top
+    * word); kept as the value-equality pin for
+    * [[graft.functions.RepetitionSignals]].
+    */
+  private[graft] def repetitionSignalsComposed(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val lines = split(t, "\n")
     val toks = regexp_extract_all(t, lit("\\S+"), lit(0))
