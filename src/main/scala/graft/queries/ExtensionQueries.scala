@@ -285,6 +285,40 @@ object ExtensionQueries {
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $CosineThreshold""".stripMargin
 
   // ---------------------------------------------------------------
+  // q56 — int8 embedding quantization: per-dimension affine codes
+  // (the 4×-smaller at-rest representation for 100 TB vector
+  // stores), reported as per-vector reconstruction error. The
+  // dimension stats are a one-row broadcast; quantization is a pure
+  // projection. Oracle replays the identical arithmetic: half-even
+  // rounding (bround ↔ round_even), the same −128/+128 shift, and a
+  // strict left-fold error sum.
+  // ---------------------------------------------------------------
+  private val EmbDim = 64
+
+  def q56Quantization(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Quantization.reconstructionReport(
+      Tables.embeddings(spark, d), "vec_id", "embedding", EmbDim)
+
+  val q56Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |idx AS (SELECT unnest(range(1, ${EmbDim + 1})) AS i),
+       |st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM e CROSS JOIN idx GROUP BY i),
+       |arrs AS (SELECT list(mn ORDER BY i) AS mins,
+       |    list((mx - mn) / 255.0 ORDER BY i) AS scales FROM st),
+       |r AS (SELECT vec_id,
+       |    list_transform(range(1, ${EmbDim + 1}), i ->
+       |      CASE WHEN scales[i] > 0 THEN
+       |        abs(v[i] - (mins[i] +
+       |          (least(greatest(round_even((v[i] - mins[i]) / scales[i], 0), 0), 255)
+       |           - 128 + 128) * scales[i]))
+       |      ELSE 0.0 END) AS errs
+       |  FROM e CROSS JOIN arrs)
+       |SELECT vec_id, list_max(errs) AS max_abs_err,
+       |  list_reduce(errs, (a, b) -> a + b) / ${EmbDim}.0 AS mean_abs_err
+       |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------
   // q15 — brute-force cosine top-k for a fixed query vector
   // (vec_id 0; k-th/(k+1)-th neighbor gap verified wide).
   // ---------------------------------------------------------------
@@ -525,6 +559,7 @@ object ExtensionQueries {
     "q12_minhash_lsh"        -> (q12MinhashLsh _),
     "q13_simhash_neardup"    -> (q13SimhashNearDup _),
     "q54_dup_clusters"       -> (q54DupClusters _),
+    "q56_quantization"       -> (q56Quantization _),
     "q14_embedding_neardup"  -> (q14EmbeddingNearDup _),
     "q14b_embedding_lsh"     -> (q14bEmbeddingNearDupLsh _),
     "q15_knn_brute"          -> (q15KnnBrute _),
@@ -544,6 +579,7 @@ object ExtensionQueries {
     "q12_minhash_lsh"        -> q12Sql,
     "q13_simhash_neardup"    -> q13Sql,
     "q54_dup_clusters"       -> q54Sql,
+    "q56_quantization"       -> q56Sql,
     "q14_embedding_neardup"  -> q14Sql,
     "q14b_embedding_lsh"     -> q14bSql,
     "q15_knn_brute"          -> q15Sql,
