@@ -27,6 +27,30 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(hashScore(col(idCol)) < fraction)
 
+  /** Domain balancing: keep at most `k` rows per group, chosen
+    * deterministically by hash score with an id tiebreak — the
+    * "cap every source/domain at N documents" mixing primitive, with
+    * the same any-run/any-engine reproducibility as the splits.
+    *
+    * Returns the input columns plus `sample_rank` (1-based within
+    * the group). Only (id, group, score) triples ride the window
+    * shuffle; payload columns join back by id afterwards, so wide
+    * documents never shuffle. Uniform scores mean the kept set is a
+    * uniform k-subset of each group.
+    */
+  def capPerGroup(
+      df: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashScore(col(idCol)).asc, col(idCol).asc)
+    val winners = df.select(col(idCol), col(groupCol))
+      .withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .filter(col("sample_rank") <= k)
+      .select(col(idCol), col("sample_rank"))
+    df.join(winners, Seq(idCol))
+  }
+
   /** Disjoint deterministic split: assigns each row a split label by
     * cumulative fraction ranges over the hash score. Fractions must
     * sum to ≤ 1; `split` is null for rows beyond the last boundary

@@ -53,12 +53,32 @@ object SamplingQueries {
        |WHERE $scoreSql < CASE WHEN lang = 'en' THEN 0.2 ELSE 1.0 END""".stripMargin
 
   // ---------------------------------------------------------------
+  // q57 — per-source cap (domain balancing): keep a deterministic
+  // uniform 10-subset of every source. Only (id, source, score)
+  // triples ride the window shuffle; payload joins back by id.
+  // ---------------------------------------------------------------
+  private val SourceCap = 10
+
+  def q57SourceCap(spark: SparkSession, d: String): DataFrame =
+    Sampling.capPerGroup(Tables.documents(spark, d), "doc_id", "source", SourceCap)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+
+  val q57Sql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY $scoreSql, doc_id)
+       |      AS sample_rank
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+       |FROM ranked WHERE sample_rank <= $SourceCap""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_deterministic_split" -> (q26DeterministicSplit _),
-    "q27_stratified_sample"   -> (q27StratifiedSample _))
+    "q27_stratified_sample"   -> (q27StratifiedSample _),
+    "q57_source_cap"          -> (q57SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
     "q26_deterministic_split" -> q26Sql,
-    "q27_stratified_sample"   -> q27Sql)
+    "q27_stratified_sample"   -> q27Sql,
+    "q57_source_cap"          -> q57Sql)
 }

@@ -70,4 +70,26 @@ class SamplingSpec extends AnyFunSuite {
       case (l, n) => after(l) == n
     })
   }
+
+  test("capPerGroup: exact cap, deterministic winners, payload intact") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val capped = graft.operators.Sampling.capPerGroup(docs, "doc_id", "source", 10)
+    val perSource = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.values.forall(_ == 10), s"each source capped at 10: $perSource")
+    // ranks are 1..10 within each group
+    val ranks = capped.groupBy("source")
+      .agg(min("sample_rank"), max("sample_rank")).collect()
+    assert(ranks.forall(r => r.getLong(1) == 1L && r.getLong(2) == 10L))
+    // deterministic: a second evaluation keeps the identical ids
+    val ids1 = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = graft.operators.Sampling.capPerGroup(docs, "doc_id", "source", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // all original columns survive the semi-style join back
+    assert(capped.columns.toSet == docs.columns.toSet + "sample_rank")
+    // a cap above the group size keeps everything
+    assert(graft.operators.Sampling.capPerGroup(docs, "doc_id", "source", 1000)
+      .count() == docs.count())
+  }
 }
