@@ -139,8 +139,30 @@ object Dedup {
       .filter(col("_rn") <=
         floor(lit(1.0 - threshold) * col("_sz") + lit(1e-6)) + 1)
       .persist() // both sides of the candidate self-join
+    // PPJoin-style pruning inside the candidate join, before the
+    // distinct and the verification joins ever see a pair:
+    //  - length filter: J ≥ t needs min(|A|,|B|) ≥ t·max(|A|,|B|)
+    //    (|A∩B| ≤ min, |A∪B| ≥ max).
+    //  - positional filter: J ≥ t ⟺ overlap ≥ t/(1+t)·(|A|+|B|) =: α.
+    //    For the FIRST common shingle (global ascending-df order) at
+    //    ranks (i, j) there are no earlier common shingles, so
+    //    overlap ≤ 1 + min(|A|−i, |B|−j); a qualifying pair's first
+    //    common shingle sits inside both prefixes (else all common
+    //    shingles would fit in the post-prefix tail, < α of them) and
+    //    passes this bound, so keeping a pair when ANY join row passes
+    //    never drops a true pair — it only prunes rows whose matching
+    //    shingle sits too deep on either side. The −1e-6 slack on both
+    //    bounds mirrors the prefix-length guard: float error may only
+    //    ADMIT a candidate (verified exactly below), never reject one.
+    val ppLength =
+      least(col("a._sz"), col("b._sz")).cast("double") >=
+        lit(threshold) * greatest(col("a._sz"), col("b._sz")).cast("double") - lit(1e-6)
+    val ppPositional =
+      (lit(1L) + least(col("a._sz") - col("a._rn"), col("b._sz") - col("b._rn"))).cast("double") >=
+        lit(threshold / (1.0 + threshold)) * (col("a._sz") + col("b._sz")).cast("double") - lit(1e-6)
     val cand = pref.as("a")
-      .join(pref.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .join(pref.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id")
+        && ppLength && ppPositional)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // Exact verification: per-doc surviving shingle sets are tiny
@@ -680,10 +702,19 @@ object Dedup {
       maxRounds: Int = 50): DataFrame = {
     val p = pairs.select(col(idACol).cast("long").as("src"),
       col(idBCol).cast("long").as("dst"))
+    // Hash-partition the symmetric edge list by src once: the
+    // per-round edges⋈labels equi-join requires exactly this
+    // partitioning, so the persisted layout is reused every round and
+    // only the (much smaller) label table moves per iteration.
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+      .distinct().repartition(col("src")).persist()
+    // Seed each node with min(self, neighbors) directly — the
+    // symmetric edge list already carries every neighbor of `src`, so
+    // one agg replaces what would otherwise be the whole first
+    // propagation round (join + agg + join + 2 driver actions).
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("_nbr"))
+      .select(col("src").as("id"), least(col("src"), col("_nbr")).as("label"))
       .localCheckpoint(true)
     // sum(label) is NULL over an empty node set — coalesce so the
     // empty-pairs case converges on the first round instead of NPEing
