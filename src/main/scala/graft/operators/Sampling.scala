@@ -37,15 +37,33 @@ object Sampling {
     * shuffle; payload columns join back by id afterwards, so wide
     * documents never shuffle. Uniform scores mean the kept set is a
     * uniform k-subset of each group.
+    *
+    * Two-phase salted top-k, because group keys here are Zipfian in
+    * practice (web domains): a single `row_number` window over the
+    * group would sort the hottest domain's 10⁸⁺ rows in ONE task at
+    * corpus scale. Phase 1 ranks within (group, salt) — `salts`-way
+    * parallel even for one giant group — and keeps each salt's
+    * top-k; phase 2 ranks the ≤ salts·k survivors per group. Exact,
+    * not approximate: (score, id) is a total order, and every row in
+    * the global per-group top-k has within-salt rank ≤ its global
+    * rank ≤ k, so the global top-k is contained in the union of
+    * per-salt top-k sets.
     */
   def capPerGroup(
-      df: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
+      df: DataFrame, idCol: String, groupCol: String, k: Int,
+      salts: Int = 32): DataFrame = {
     require(k >= 1, "k must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(hashScore(col(idCol)).asc, col(idCol).asc)
+    require(salts >= 1, "salts must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val order = Seq(hashScore(col(idCol)).asc, col(idCol).asc)
+    val perSalt = W
+      .partitionBy(col(groupCol), pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+      .orderBy(order: _*)
+    val perGroup = W.partitionBy(col(groupCol)).orderBy(order: _*)
     val winners = df.select(col(idCol), col(groupCol))
-      .withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .withColumn("__salt_rank", row_number().over(perSalt))
+      .filter(col("__salt_rank") <= k)
+      .withColumn("sample_rank", row_number().over(perGroup).cast("bigint"))
       .filter(col("sample_rank") <= k)
       .select(col(idCol), col("sample_rank"))
     df.join(winners, Seq(idCol))

@@ -144,6 +144,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"latest-per-key needs exactly one shuffle on the key, found $exchanges:\n$p")
   }
 
+  test("q57: per-group cap runs as two window stages, the first keyed on (group, salt)") {
+    val p = plan(graft.queries.SamplingQueries.q57SourceCap(spark, d))
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows == 2,
+      s"expected the salted two-phase top-k (two Window nodes), found $windows:\n$p")
+    // phase 1 partitions by (source, pmod(xxhash64(id), salts)) so a
+    // single hot domain fans out across `salts` tasks instead of
+    // sorting in one
+    assert(p.contains("pmod") && p.contains("xxhash64"),
+      s"first window must be keyed on (group, salt):\n$p")
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))

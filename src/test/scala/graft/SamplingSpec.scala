@@ -92,4 +92,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(graft.operators.Sampling.capPerGroup(docs, "doc_id", "source", 1000)
       .count() == docs.count())
   }
+
+  test("capPerGroup: salted two-phase result equals the single-window result on a skewed fixture") {
+    // one Zipfian-hot group (80% of rows) plus a tail of small groups —
+    // the shape the salting exists for. salts=1 degenerates to the
+    // single-window plan; any salts value must keep the identical set,
+    // because the global per-group top-k under the (score, id) total
+    // order is contained in the union of per-salt top-k sets.
+    val skewed = spark.range(0, 5000).toDF("doc_id")
+      .withColumn("grp",
+        when($"doc_id" < 4000, lit("hot")).otherwise(concat(lit("g"), $"doc_id" % 10)))
+    def keptRanks(salts: Int) =
+      Sampling.capPerGroup(skewed, "doc_id", "grp", 7, salts = salts)
+        .select("doc_id", "grp", "sample_rank")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val unsalted = keptRanks(1)
+    assert(keptRanks(32) == unsalted)
+    assert(keptRanks(5) == unsalted) // salts ∤ group sizes: still exact
+    assert(unsalted.count(_._2 == "hot") == 7)
+  }
 }
