@@ -95,7 +95,14 @@ object Bench {
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_.sec).sum
     val coldTotal = results.map(_.coldSec).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cold$errJson,"sf":"$sfDir"}""")
+    // bench_schema 2: "value"/"queries" are the WARM pass (see run()
+    // scaladoc); cold timings ride along as cold_total/cold_queries.
+    // Schema 1 (rounds 1–3) had single-run semantics for "value".
+    println(s"""{"metric":"total","bench_schema":2,"value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cold$errJson,"sf":"$sfDir"}""")
+    // totals-only second line: the full per-query line (110+ entries)
+    // can outgrow a log tail capture and truncate mid-JSON; whatever
+    // reads only the tail still gets parseable totals from this one
+    println(s"""{"metric":"summary","bench_schema":2,"warm":$total,"cold":$coldTotal,"unit":"sec","n":${results.size},"errors":${errs.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errs.size} of ${results.size} queries errored")
