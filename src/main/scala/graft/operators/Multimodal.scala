@@ -7,15 +7,22 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * The actual codec step is STUBBED (this container ships no
-  * image/audio libraries): `decodeStub` derives deterministic fake
-  * dimensions from the payload hash. Everything around it — the
-  * schema, the typed Dataset plumbing, the batched `mapPartitions`
-  * shape (decode libraries amortize per-batch setup), and the
-  * repartition-for-parallel-decode step — is real and tested, so a
-  * real decoder drops in by replacing one function.
+  * The default codec (`decodeImageIO`) probes real image payloads
+  * with `javax.imageio` — a header-only read of dimensions + format,
+  * never a full pixel decode, which is the correct scale behavior
+  * for multi-MB payloads. Payloads no installed reader recognizes
+  * (and audio/video, for which the JDK ships no codec) fall back to
+  * `decodeStub`'s deterministic hash-derived features, so the
+  * pipeline shape stays testable with synthetic corpora. Everything
+  * around the codec — the schema, the typed Dataset plumbing, the
+  * batched `mapPartitions` shape (codec setup amortizes per batch),
+  * and the repartition-for-parallel-decode step — is codec-agnostic:
+  * an ffmpeg-style a/v binding drops in as another `Codec` function.
   */
 object Multimodal {
+
+  /** The codec contract: one batch of payloads in, features out. */
+  type Codec = Seq[MediaItem] => Seq[MediaFeatures]
 
   /** A media row: opaque payload + typed metadata. */
   final case class MediaItem(
@@ -24,7 +31,10 @@ object Multimodal {
       payload: Array[Byte],
       source: String)
 
-  /** Decoded features (width/height for images, duration for a/v). */
+  /** Decoded features (width/height for images, duration for a/v).
+    * `format` is the codec-reported container format (e.g. "png",
+    * "jpeg"); "synthetic" marks stub-derived features.
+    */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
@@ -32,7 +42,8 @@ object Multimodal {
       sha256: String,
       width: Int,
       height: Int,
-      duration_ms: Long)
+      duration_ms: Long,
+      format: String)
 
   /** Build a media table from any table with an id + string payload
     * column — the corpus has no true binary media, so documents.text
@@ -48,12 +59,11 @@ object Multimodal {
       encode(col(payloadCol), "UTF-8").as("payload"),
       col(sourceCol).as("source"))
 
-  /** ======= THE STUB =======
+  /** ======= STUB FALLBACK =======
     * Deterministic fake decode: dimensions and duration derived from
-    * payload length/hash. A real pipeline replaces this body with the
-    * actual codec call (e.g. javax.imageio / ffmpeg binding); the
-    * signature — one batch of payloads in, features out — is the
-    * contract that keeps per-batch codec setup amortized.
+    * payload length/hash. Serves payloads no real codec recognizes
+    * (synthetic corpora, a/v without an ffmpeg binding) so the
+    * pipeline stays total and reproducible.
     */
   def decodeStub(batch: Seq[MediaItem]): Seq[MediaFeatures] =
     batch.map { m =>
@@ -67,21 +77,64 @@ object Multimodal {
         sha256 = sha,
         width = 64 + math.floorMod(h, 1024),
         height = 64 + math.floorMod(h >> 10, 1024),
-        duration_ms = if (m.kind == "image") 0L else 1000L + math.floorMod(h, 60000).toLong)
+        duration_ms = if (m.kind == "image") 0L else 1000L + math.floorMod(h, 60000).toLong,
+        format = "synthetic")
     }
 
+  /** Header-only image probe: (width, height, format) via the
+    * registered `javax.imageio` reader, without decoding pixels —
+    * `ImageReader.getWidth/getHeight` read the header only, so a
+    * 50 MB JPEG costs a few KB of I/O, not a full raster decode.
+    * None when no installed reader recognizes the payload.
+    */
+  def probeImage(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+        } catch { case _: java.io.IOException => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** ======= DEFAULT CODEC =======
+    * Real metadata decode for image payloads via `javax.imageio`
+    * (PNG/JPEG/GIF/BMP with the stock JDK; TIFF+ with plugins on the
+    * executor classpath); stub fallback for everything else.
+    */
+  def decodeImageIO(batch: Seq[MediaItem]): Seq[MediaFeatures] = {
+    val fallback = decodeStub(batch)
+    batch.zip(fallback).map {
+      case (m, fb) if m.kind == "image" =>
+        probeImage(m.payload) match {
+          case Some((w, h, fmt)) =>
+            fb.copy(width = w, height = h, duration_ms = 0L, format = fmt)
+          case None => fb
+        }
+      case (_, fb) => fb
+    }
+  }
+
   /** Distributed decode: repartition for parallel codec work, then
-    * batched mapPartitions through the stub. `batchSize` bounds
+    * batched mapPartitions through the codec. `batchSize` bounds
     * per-batch memory (payloads can be MBs each at 100 TB scale —
     * never collect a partition into one batch).
     */
   def decodeFeatures(
       spark: SparkSession, media: DataFrame,
-      partitions: Int, batchSize: Int = 64): Dataset[MediaFeatures] = {
+      partitions: Int, batchSize: Int = 64,
+      codec: Codec = decodeImageIO): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaItem]
       .repartition(partitions, col("media_id"))
-      .mapPartitions(_.grouped(batchSize).flatMap(g => decodeStub(g.toSeq)))
+      .mapPartitions(_.grouped(batchSize).flatMap(g => codec(g.toSeq)))
   }
 
   /** Frame sampling for video rows: explode n evenly-spaced fake

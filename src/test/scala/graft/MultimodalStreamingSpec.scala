@@ -21,7 +21,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(k0 == "image")
   }
 
-  test("decodeFeatures: batched mapPartitions plumbing, deterministic stub") {
+  test("decodeFeatures: batched mapPartitions plumbing, deterministic stub fallback") {
     val media = Multimodal.mediaTable(
       Tables.documents(spark, TestSpark.sf), "doc_id", "text", "source")
     val feats = Multimodal.decodeFeatures(spark, media, partitions = 4, batchSize = 32)
@@ -30,9 +30,47 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(rows.forall(f => f.n_bytes > 0 && f.sha256.length == 64))
     assert(rows.forall(f => f.width >= 64 && f.height >= 64))
     assert(rows.filter(_.kind == "image").forall(_.duration_ms == 0L))
+    // text payloads match no imageio reader → every row is stub-derived
+    assert(rows.forall(_.format == "synthetic"))
     // determinism: second run identical
     val again = Multimodal.decodeFeatures(spark, media, 4, 32).collect()
     assert(rows.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+  }
+
+  test("imageio codec: real PNG/JPEG payloads yield true dimensions and format") {
+    val png = {
+      val in = getClass.getResourceAsStream("/graft/fixture_1x1.png")
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](1024)
+        Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+          .foreach(n => out.write(buf, 0, n))
+        out.toByteArray
+      } finally in.close()
+    }
+    val jpg = { // 5×3 JPEG rendered in memory by the JDK encoder
+      val img = new java.awt.image.BufferedImage(
+        5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaItem(1L, "image", png, "fixture"),
+      Multimodal.MediaItem(2L, "image", jpg, "fixture"),
+      Multimodal.MediaItem(3L, "image", "not an image".getBytes("UTF-8"), "fixture"),
+      Multimodal.MediaItem(4L, "audio", png, "fixture")) // audio kind: never probed
+    val feats = Multimodal.decodeImageIO(media).map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 1 && feats(1L).height == 1 && feats(1L).format == "png")
+    assert(feats(2L).width == 5 && feats(2L).height == 3 && feats(2L).format == "jpeg")
+    assert(feats(3L).format == "synthetic") // unrecognized → stub fallback
+    assert(feats(4L).format == "synthetic")
+    // the same codec through the distributed batched path
+    val dist = Multimodal.decodeFeatures(spark, media.toDS().toDF(),
+        partitions = 2, batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(dist(1L).width == 1 && dist(1L).format == "png")
+    assert(dist(2L).width == 5 && dist(2L).height == 3 && dist(2L).format == "jpeg")
   }
 
   test("frame sampling: n rows per video") {
