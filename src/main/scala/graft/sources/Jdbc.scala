@@ -112,17 +112,38 @@ object Jdbc {
     readTable(spark, url, table, props).count() - before
   }
 
+  /** Schema-catalog SQL per JDBC URL scheme — the dialect of the
+    * reference's `SHOW DATABASES` (data_consistency_checks.py:39).
+    * MySQL's `SHOW DATABASES` is exactly `information_schema.
+    * schemata`'s schema_name list; Postgres and most ANSI engines
+    * spell it identically, so the standard view is also the fallback
+    * for unrecognized schemes. Derby predates information_schema and
+    * exposes `SYS.SYSSCHEMAS` instead.
+    */
+  def catalogSqlFor(url: String): String = {
+    val scheme = url.stripPrefix("jdbc:").takeWhile(_ != ':').toLowerCase
+    scheme match {
+      case "derby" => "SELECT SCHEMANAME FROM SYS.SYSSCHEMAS"
+      case "mysql" | "mariadb" =>
+        "SELECT schema_name FROM information_schema.schemata"
+      case "postgresql" =>
+        "SELECT schema_name FROM information_schema.schemata"
+      case _ => "SELECT schema_name FROM information_schema.schemata"
+    }
+  }
+
   /** Schema names over the live connection — the reference's
     * `SHOW DATABASES` → prefix filter (S1 literal shape,
-    * data_consistency_checks.py:39-44). Derby's catalog is
-    * `SYS.SYSSCHEMAS`; pass `catalogSql` for other engines
-    * (`INFORMATION_SCHEMA.SCHEMATA`). Driver-side list — schema
-    * catalogs are config-sized, like the reference's fetchall().
+    * data_consistency_checks.py:39-44). The catalog query resolves
+    * from the URL's dialect via [[catalogSqlFor]]; pass `catalogSql`
+    * to override for engines with a nonstandard catalog. Driver-side
+    * list — schema catalogs are config-sized, like the reference's
+    * fetchall().
     */
   def listSchemas(spark: SparkSession, url: String, prefix: String,
       props: Properties = derbyProps(),
-      catalogSql: String = "SELECT SCHEMANAME FROM SYS.SYSSCHEMAS"): Seq[String] =
-    readQuery(spark, url, catalogSql, props)
+      catalogSql: Option[String] = None): Seq[String] =
+    readQuery(spark, url, catalogSql.getOrElse(catalogSqlFor(url)), props)
       .collect().map(_.getString(0))
       .filter(_.startsWith(prefix)).sorted.toSeq
 

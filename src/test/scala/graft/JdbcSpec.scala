@@ -105,6 +105,34 @@ class JdbcSpec extends AnyFunSuite {
     assert(counts == Map("GRAFTE_A" -> 2, "GRAFTE_B" -> 1))
   }
 
+  test("catalog SQL resolves per JDBC dialect; override yields the same schema-list shape") {
+    import graft.sources.Jdbc
+    // URL-scheme dialect routing: Derby → SYSSCHEMAS, MySQL/MariaDB/
+    // Postgres → the standard information_schema view (= the result
+    // set of the reference's SHOW DATABASES), unknown → the standard
+    // view as the ANSI default
+    assert(Jdbc.catalogSqlFor("jdbc:derby:target/x;create=true")
+      == "SELECT SCHEMANAME FROM SYS.SYSSCHEMAS")
+    for (u <- Seq("jdbc:mysql://host:3306/db", "jdbc:mariadb://host/db",
+        "jdbc:postgresql://host:5432/db", "jdbc:exotic://host/db"))
+      assert(Jdbc.catalogSqlFor(u)
+        == "SELECT schema_name FROM information_schema.schemata", u)
+    // live Derby resolves through the same routing with no explicit
+    // catalogSql (covered again by q41's fan-out), and an explicit
+    // override against a mocked information_schema-shaped catalog
+    // returns the identical list shape q41 consumes
+    Jdbc.ensureSchema(url, "GRAFTD_A")
+    Jdbc.ensureSchema(url, "GRAFTD_B")
+    val live = Jdbc.listSchemas(spark, url, prefix = "GRAFTD_")
+    assert(live == Seq("GRAFTD_A", "GRAFTD_B"))
+    Jdbc.writeReplace(
+      Seq("GRAFTD_A", "GRAFTD_B", "OTHER").toDF("schema_name"),
+      url, "t_schemata_mock")
+    val mocked = Jdbc.listSchemas(spark, url, prefix = "GRAFTD_",
+      catalogSql = Some("""SELECT "schema_name" FROM t_schemata_mock"""))
+    assert(mocked == live)
+  }
+
   test("fan-out propagates non-missing-object failures (S6 over JDBC)") {
     Jdbc.writeReplace(Seq((1L, "a")).toDF("id", "v"), url, "GRAFTF_A.t_prop")
     // a syntax error (SQLSTATE 42X01) is NOT a missing table: it must
