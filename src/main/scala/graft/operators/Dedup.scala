@@ -694,14 +694,78 @@ object Dedup {
     * monotone non-increasing per node) — a 1-row driver pull per
     * round, no extra join against the previous labeling. Lineage is
     * truncated every round via localCheckpoint so the plan doesn't deepen
-    * with iteration count (on a cluster with executor churn, swap in
-    * reliable checkpointing to a checkpoint dir).
+    * with iteration count; superseded rounds' blocks are released as
+    * soon as the next round materializes. On a cluster with executor
+    * churn pass `checkpointDir` to snapshot rounds to reliable storage
+    * instead of executor blocks. Non-integral id columns are mapped
+    * through a long surrogate (never silently cast).
     */
   def duplicateClusters(
       pairs: DataFrame, idACol: String, idBCol: String,
-      maxRounds: Int = 50): DataFrame = {
-    val p = pairs.select(col(idACol).cast("long").as("src"),
-      col(idBCol).cast("long").as("dst"))
+      maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val (aType, bType) =
+      (pairs.schema(idACol).dataType, pairs.schema(idBCol).dataType)
+    if (integral(aType) && integral(bType)) {
+      clusterLongPairs(
+        pairs.select(col(idACol).cast("long").as("src"),
+          col(idBCol).cast("long").as("dst")),
+        maxRounds, checkpointDir)
+    } else {
+      // Non-integral ids (string/UUID doc ids) must NOT go through a
+      // silent long cast: under non-ANSI semantics the cast yields
+      // null join keys and edges vanish without an error. Map through
+      // a long surrogate instead: assign each distinct participating
+      // id a surrogate once (id-scale, frozen by an eager snapshot so
+      // every consumer sees the same assignment), cluster the
+      // surrogate edges, and map both output columns back. The
+      // cluster representative is the member with the minimum
+      // SURROGATE — deterministic within the run, but not the
+      // lexicographic min of the original ids.
+      require(aType == bType,
+        s"id columns must share a type; got ${aType.simpleString} vs ${bType.simpleString}")
+      val mapping = pairs.select(col(idACol).as("_orig"))
+        .union(pairs.select(col(idBCol).as("_orig")))
+        .distinct()
+        .withColumn("_surr", monotonically_increasing_id())
+        .localCheckpoint(true)
+      val surrPairs = pairs
+        .join(mapping.select(col("_orig").as(idACol), col("_surr").as("src")), idACol)
+        .join(mapping.select(col("_orig").as(idBCol), col("_surr").as("dst")), idBCol)
+        .select(col("src"), col("dst"))
+      val clustered = clusterLongPairs(surrPairs, maxRounds, checkpointDir)
+      clustered
+        .join(mapping.select(col("_surr").as("id"), col("_orig").as("_id_orig")), "id")
+        .join(mapping.select(col("_surr").as("cluster_id"),
+          col("_orig").as("_cluster_orig")), "cluster_id")
+        .select(col("_id_orig").as("id"), col("_cluster_orig").as("cluster_id"),
+          col("cluster_size"))
+    }
+  }
+
+  private def clusterLongPairs(
+      p: DataFrame, maxRounds: Int, checkpointDir: Option[String]): DataFrame = {
+    val spark = p.sparkSession
+    // localCheckpoint is fast but its blocks die with their executor —
+    // on a churning cluster pass checkpointDir to snapshot each round
+    // to reliable storage instead (HDFS/object store)
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def snapshot(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    // free a superseded round's localCheckpoint blocks (its data LIVES
+    // in the persisted blocks, so only release after the next round's
+    // snapshot has materialized). Reliable checkpoints are files; their
+    // cleanup is the cluster's checkpoint-dir retention policy.
+    def release(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty)
+        df.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(false))
     // Hash-partition the symmetric edge list by src once: the
     // per-round edges⋈labels equi-join requires exactly this
     // partitioning, so the persisted layout is reused every round and
@@ -715,7 +779,7 @@ object Dedup {
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("_nbr"))
       .select(col("src").as("id"), least(col("src"), col("_nbr")).as("label"))
-      .localCheckpoint(true)
+    labels = snapshot(labels)
     // sum(label) is NULL over an empty node set — coalesce so the
     // empty-pairs case converges on the first round instead of NPEing
     def labelSum(df: DataFrame): Long =
@@ -734,13 +798,15 @@ object Dedup {
       // path compression: follow my label's label. Every label is the
       // id of some participating node, so the lookup is total; the
       // coalesce is belt-and-braces for the self-rooted case.
-      val compressed = relabeled.as("a")
+      val compressed = snapshot(relabeled.as("a")
         .join(relabeled.select(col("id").as("_lid"), col("label").as("_llabel")),
           col("a.label") === col("_lid"), "left")
         .select(col("a.id").as("id"),
-          coalesce(col("_llabel"), col("a.label")).as("label"))
-        .localCheckpoint(true)
+          coalesce(col("_llabel"), col("a.label")).as("label")))
       val newSum = labelSum(compressed)
+      // the eager snapshot + labelSum above materialized this round —
+      // the previous round's blocks are now dead weight
+      release(labels)
       converged = newSum == prevSum
       prevSum = newSum
       labels = compressed
@@ -750,6 +816,9 @@ object Dedup {
       s"duplicateClusters did not converge in $maxRounds rounds — " +
         "pathological graph diameter; raise maxRounds")
     edges.unpersist()
+    // the FINAL labels snapshot stays persisted — the returned plan
+    // reads it; it is one id-scale table, released with the session
+    // (or by the caller via CacheLifecycle)
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")

@@ -72,4 +72,47 @@ class DupClustersSpec extends AnyFunSuite {
     assert(run(Seq((1L, 2L), (2L, 1L), (1L, 2L))) ==
       Map(1L -> (1L, 2L), 2L -> (1L, 2L)))
   }
+
+  test("string ids cluster via long surrogate, never a silent cast") {
+    // a long cast of these keys would null out and silently drop every
+    // edge; the surrogate path must keep the components intact
+    val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c"), ("u-1", "u-2"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.keySet == Set("doc-a", "doc-b", "doc-c", "u-1", "u-2"))
+    val abc = Set("doc-a", "doc-b", "doc-c").map(got)
+    assert(abc.size == 1 && abc.head._2 == 3L,
+      s"doc-a/b/c share one representative: $got")
+    assert(Set("doc-a", "doc-b", "doc-c").contains(abc.head._1),
+      "the representative is a member of its own cluster")
+    val uv = Set("u-1", "u-2").map(got)
+    assert(uv.size == 1 && uv.head._2 == 2L && Set("u-1", "u-2").contains(uv.head._1))
+  }
+
+  test("reliable-checkpoint path produces identical clusters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L), (1L, 9L))
+    val reliable = Dedup.duplicateClusters(pairs.toDF("id_a", "id_b"),
+        "id_a", "id_b", checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(reliable == run(pairs))
+    // the rounds really went to reliable storage
+    assert(new java.io.File(dir).listFiles().nonEmpty,
+      "checkpointDir must contain checkpoint data")
+  }
+
+  test("superseded rounds release their blocks (no per-round cache accumulation)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // diameter-199 path: many propagation rounds, each localCheckpointed
+    val out = Dedup.duplicateClusters(
+      (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b"), "id_a", "id_b")
+    out.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the FINAL labels snapshot may remain (edges are unpersisted,
+    // prior rounds released); anything proportional to round count is
+    // the leak this pins
+    assert(after - before <= 1,
+      s"persistent RDDs grew $before -> $after; superseded rounds must unpersist")
+  }
 }
