@@ -53,6 +53,7 @@ object Curation {
       minhashBands: Int = 16,
       nearDupThreshold: Double = 0.8,
       clusterNearDups: Boolean = false,
+      canonicalBy: Option[org.apache.spark.sql.Column] = None,
       decontamNgram: Int = 8,
       decontamMinOverlap: Long = 1L,
       splits: Seq[(String, Double)] =
@@ -109,15 +110,34 @@ object Curation {
     //    doc per component — the usual web-corpus policy (a
     //    boilerplate family chained A~B~C is one cluster even when
     //    A~C alone is sub-threshold). More aggressive than greedy.
+    //    The survivor is the min-id member by default; canonicalBy
+    //    keeps the member with the HIGHEST value of the given
+    //    expression instead (quality-aware canonicals — e.g. longest
+    //    or best-scored doc), id-ascending tiebreak.
     val (pairs, sigs) = Dedup.lshNearDupPairsWithSignatures(
       exact, idCol, textCol, cfg.shingleN, cfg.minhashHashes, cfg.minhashBands,
       threshold = cfg.nearDupThreshold)
     val drop =
-      if (cfg.clusterNearDups)
-        Dedup.duplicateClusters(pairs, "id_a", "id_b")
-          .filter(col("id") =!= col("cluster_id")) // keep each component's min id
-          .select(col("id").as(idCol))
-      else pairs.select(col("id_b").as(idCol)).distinct()
+      if (cfg.clusterNearDups) {
+        val clusters = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+        cfg.canonicalBy match {
+          case Some(canon) =>
+            // evaluate the canonical score on the cluster MEMBERS only
+            // (pair-scale join, never corpus-wide); components are
+            // small by construction so the per-cluster window is cheap
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster_id"))
+              .orderBy(col("_canonical").desc, col(idCol).asc)
+            exact.select(col(idCol), canon.as("_canonical"))
+              .join(clusters.withColumnRenamed("id", idCol), idCol)
+              .withColumn("_rk", row_number().over(w))
+              .filter(col("_rk") > 1)
+              .select(col(idCol))
+          case None =>
+            clusters.filter(col("id") =!= col("cluster_id")) // keep min id
+              .select(col("id").as(idCol))
+        }
+      } else pairs.select(col("id_b").as(idCol)).distinct()
     val nearDeduped = exact.join(drop, Seq(idCol), "left_anti").persist()
     val afterNear = nearDeduped.count()
 

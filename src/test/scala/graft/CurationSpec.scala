@@ -63,6 +63,34 @@ class CurationSpec extends AnyFunSuite {
       "cluster-canonical survivors must contain no near-dup pair")
   }
 
+  test("canonicalBy keeps the highest-quality cluster member, not the min id") {
+    import org.apache.spark.sql.functions.{col, length}
+    val out = Files.createTempDirectory("curation_canon").toString + "/corpus"
+    val base = "the quick brown fox jumps over the lazy dog while the calm river " +
+      "flows past the old stone bridge and the quiet village sleeps under " +
+      "a wide summer sky full of slow white clouds drifting toward the hills"
+    val docs = Seq(
+      1L -> base,                                  // min id, SHORTER member
+      2L -> (base + " and far beyond them"),       // near-dup of 1, longer
+      9L -> ("a completely different report about " +
+        "steel production quotas in the northern " +
+        "factories during the long cold winter months of the planning year"))
+      .toDF("doc_id", "text")
+    // default policy: min id survives
+    val rMin = Curation.curate(spark, docs, "doc_id", "text",
+      Files.createTempDirectory("curation_min").toString + "/corpus",
+      CurationConfig(clusterNearDups = true))
+    assert(rMin.afterNearDedup == 2)
+    // quality-aware policy: the LONGEST member survives instead
+    val rQ = Curation.curate(spark, docs, "doc_id", "text", out,
+      CurationConfig(clusterNearDups = true, canonicalBy = Some(length(col("text")))))
+    assert(rQ.afterNearDedup == 2)
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L),
+      s"doc 2 (longest in its cluster) must be the canonical, got $kept")
+  }
+
   test("curate with a benchmark: contaminated docs drop, report counts the stage") {
     val out = Files.createTempDirectory("curation_decontam").toString + "/corpus"
     val docs = Tables.documents(spark, TestSpark.sf)
