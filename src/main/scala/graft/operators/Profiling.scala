@@ -76,8 +76,78 @@ object Profiling {
         col(s"${c}__max").as("max"),
         when(col(s"${c}__n") > 0, s / n).as("mean"),
         when(col(s"${c}__n") > 1,
-          sqrt((sq - s * s / n) / (n - lit(1.0)))).as("stddev"))
+          // the radicand is computed in double from the exact decimal
+          // sums; for (near-)constant columns with sums beyond 2^53
+          // double rounding can land it one ulp below zero → NaN.
+          // Clamp to 0 (the true value in exactly those cases),
+          // mirrored in the oracle SQL.
+          sqrt(greatest(sq - s * s / n, lit(0.0)) / (n - lit(1.0)))).as("stddev"))
     }: _*)
     wide.select(explode(entries).as("p")).select(col("p.*"))
+  }
+
+  /** Type-agnostic profile of `cols` (string/date/bool/anything
+    * orderable): one row per column — (column, n, n_null, n_distinct,
+    * min, max) with min/max rendered as strings. Same one-scan wide
+    * aggregate + two-aggregate distinct split as [[profileNumeric]].
+    */
+  def profileGeneral(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val plainAggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        (count(lit(1)) - count(col(c))).as(s"${c}__n_null"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val distinctAggs = cols.map { c =>
+      count_distinct(col(c)).as(s"${c}__n_distinct")
+    }
+    val wide = df.agg(plainAggs.head, plainAggs.tail: _*)
+      .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
+    val entries = array(cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"${c}__n").as("n"),
+        col(s"${c}__n_null").as("n_null"),
+        col(s"${c}__n_distinct").as("n_distinct"),
+        col(s"${c}__min").as("min"),
+        col(s"${c}__max").as("max"))
+    }: _*)
+    wide.select(explode(entries).as("p")).select(col("p.*"))
+  }
+
+  /** Per-column top-k most frequent values, long format — (column,
+    * value, n_rows, rank), rank 1..k per column, ties broken value-
+    * ascending so the result is total-ordered and engine-portable.
+    *
+    * ONE pass: every row contributes its (column, value) pairs to a
+    * single exploded stream, one grouped count, then the same salted
+    * two-phase top-k as [[Sampling.capPerGroup]] — rank within
+    * (column, salt) first, so a high-cardinality column's distinct
+    * values never funnel through a single-task sort. Exact by the
+    * usual containment argument over the (n_rows desc, value asc)
+    * total order.
+    */
+  def topValues(df: DataFrame, cols: Seq[String], k: Int, salts: Int = 32): DataFrame = {
+    require(cols.nonEmpty && k >= 1, "need columns and k >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*)).as("p"))
+      .select(col("p.*"))
+      .filter(col("value").isNotNull)
+    val counts = pairs.groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("n_rows"))
+    val order = Seq(col("n_rows").desc, col("value").asc)
+    val perSalt = W
+      .partitionBy(col("column"), pmod(xxhash64(col("value")), lit(salts.toLong)))
+      .orderBy(order: _*)
+    val perColumn = W.partitionBy(col("column")).orderBy(order: _*)
+    counts
+      .withColumn("__salt_rank", row_number().over(perSalt))
+      .filter(col("__salt_rank") <= k)
+      .withColumn("rank", row_number().over(perColumn).cast("bigint"))
+      .filter(col("rank") <= k)
+      .drop("__salt_rank")
   }
 }

@@ -225,13 +225,45 @@ object CheckQueries {
        |    CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / CAST(count($c) AS DOUBLE)
        |  ELSE NULL END AS mean,
        |  CASE WHEN count($c) > 1 THEN
-       |    sqrt((CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+       |    sqrt(greatest(
+       |      CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE)
        |        - CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)
        |          * CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)
-       |          / CAST(count($c) AS DOUBLE))
+       |          / CAST(count($c) AS DOUBLE), 0.0)
        |      / (CAST(count($c) AS DOUBLE) - 1.0))
        |  ELSE NULL END AS stddev
        |FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  // ---------------------------------------------------------------
+  // q55b — string-column profile of documents: the non-numeric half
+  // of the census (n / n_null / n_distinct / min / max + the modal
+  // value), same one-scan wide-aggregate shape, top value via the
+  // salted two-phase top-k so a high-cardinality column never sorts
+  // in one task.
+  // ---------------------------------------------------------------
+  private val StringProfileCols = Seq("lang", "source")
+
+  def q55bStringProfile(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val top1 = graft.operators.Profiling.topValues(docs, StringProfileCols, k = 1)
+      .select(col("column"), col("value").as("top_value"), col("n_rows").as("top_n"))
+    graft.operators.Profiling.profileGeneral(docs, StringProfileCols)
+      .join(top1, Seq("column"), "left")
+  }
+
+  val q55bSql: String = StringProfileCols.map { c =>
+    s"""SELECT '$c' AS "column",
+       |  CAST(count($c) AS BIGINT) AS n,
+       |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  CAST(min($c) AS VARCHAR) AS min,
+       |  CAST(max($c) AS VARCHAR) AS max,
+       |  (SELECT $c FROM documents WHERE $c IS NOT NULL
+       |     GROUP BY $c ORDER BY count(*) DESC, $c ASC LIMIT 1) AS top_value,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE $c IS NOT NULL
+       |     GROUP BY $c ORDER BY count(*) DESC, $c ASC LIMIT 1) AS top_n
+       |FROM documents""".stripMargin
   }.mkString("\nUNION ALL\n")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -241,7 +273,8 @@ object CheckQueries {
     "q25_value_bounds" -> (q25ValueBounds _),
     "q52_categorical_drift" -> (q52CategoricalDrift _),
     "q53_numeric_drift" -> (q53NumericDrift _),
-    "q55_column_profile" -> (q55Profile _))
+    "q55_column_profile" -> (q55Profile _),
+    "q55b_string_profile" -> (q55bStringProfile _))
 
   val oracleSql: Map[String, String] = Map(
     "q22_completeness" -> q22Sql,
@@ -250,5 +283,6 @@ object CheckQueries {
     "q25_value_bounds" -> q25Sql,
     "q52_categorical_drift" -> q52Sql,
     "q53_numeric_drift" -> q53Sql,
-    "q55_column_profile" -> q55Sql)
+    "q55_column_profile" -> q55Sql,
+    "q55b_string_profile" -> q55bSql)
 }

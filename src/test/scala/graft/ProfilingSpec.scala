@@ -52,4 +52,41 @@ class ProfilingSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(6) - exp.getDouble(0)) < 1e-9)
     assert(math.abs(row.getDouble(7) - exp.getDouble(1)) < 1e-9)
   }
+
+  test("constant column: stddev is exactly 0.0, never NaN (clamped radicand)") {
+    // large constants make sq - s*s/n a difference of huge doubles;
+    // without the greatest(...,0) clamp a one-ulp-negative radicand
+    // would sqrt to NaN
+    val df = Seq.fill(1000)(87654321.12).toDF("v")
+    val row = Profiling.profileNumeric(df, Seq("v")).collect()(0)
+    assert(row.getDouble(7) == 0.0, s"stddev of a constant is 0, got ${row.getDouble(7)}")
+  }
+
+  test("profileGeneral: string/date columns get n/n_null/n_distinct/min/max") {
+    val df = Seq(
+      (Some("b"), Some(java.sql.Date.valueOf("2024-01-02"))),
+      (Some("a"), None),
+      (None, Some(java.sql.Date.valueOf("2024-03-01"))),
+      (Some("b"), Some(java.sql.Date.valueOf("2024-01-02")))
+    ).toDF("s", "d")
+    val p = Profiling.profileGeneral(df, Seq("s", "d"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = p("s")
+    assert(s.getLong(1) == 3 && s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.getString(4) == "a" && s.getString(5) == "b")
+    val d = p("d")
+    assert(d.getLong(1) == 3 && d.getLong(2) == 1 && d.getLong(3) == 2)
+    assert(d.getString(4) == "2024-01-02" && d.getString(5) == "2024-03-01")
+  }
+
+  test("topValues: frequency-ranked with value-ascending ties; salted == unsalted") {
+    val df = (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq.fill(3)("a") ++ Seq("z"))
+      .map(Tuple1(_)).toDF("c")
+    def top(salts: Int) = Profiling.topValues(df, Seq("c"), k = 3, salts = salts)
+      .select("value", "n_rows", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Set(("x", 5L, 1L), ("a", 3L, 2L), ("y", 3L, 3L)) // tie a<y
+    assert(top(32) == expected)
+    assert(top(1) == expected)
+  }
 }
