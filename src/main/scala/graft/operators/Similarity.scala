@@ -222,6 +222,43 @@ object Similarity {
     out
   }
 
+  /** [[annJoinIvf]] with DETERMINISTIC id-ordered-sample centroids
+    * instead of k-means — same assignment (argmax cosine), same
+    * per-query probe expression, same cell equi-join, but every step
+    * is portable double arithmetic, so the full approximate result is
+    * oracle-replayable in SQL (hash-checkable, like q16's LSH replay),
+    * not just recall-pinned. Centroid quality is worse than k-means;
+    * the cell-join COST is identical, which is what a benchmark of
+    * the IVF plan needs to measure.
+    */
+  def annJoinIvfSampled(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents: Seq[(Int, Seq[Double])] = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) => i -> rowVecToDoubles(r) }.toSeq
+    def centCol(c: Seq[Double]): Column = array(c.map(lit): _*)
+    def centScores(vec: Column): Column = array(cents.map { case (i, c) =>
+      struct(cosineSimilarity(vec, centCol(c)).as("s"), lit(i).as("c"))
+    }: _*)
+    // corpus cell = argmax cosine: max over (s, c) structs — ties go
+    // to the higher centroid index, stated identically in the oracle
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .withColumn("cell", array_max(centScores(col("_cv"))).getField("c"))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+        .select(col("query_id"), col("_qv"),
+          explode(transform(
+            slice(reverse(array_sort(centScores(col("_qv")))), 1, nprobe),
+            sc => sc.getField("c"))).as("cell")))
+    topKPerQuery(
+      assigned.join(probes, "cell")
+        .select(col("query_id"), col("neighbor_id"),
+          cosineSimilarity(col("_cv"), col("_qv")).as("cosine")),
+      k)
+  }
+
   /** Driver-side cosine for centroid ranking (config-sized inputs). */
   private def cosDriver(a: Seq[Double], b: Seq[Double]): Double = {
     val d = a.zip(b).map { case (x, y) => x * y }.sum

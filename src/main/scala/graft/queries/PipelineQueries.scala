@@ -141,6 +141,57 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------
+  // q58 — IVF batch ANN join, bench-visible AND oracle-exact: same
+  // query/corpus split as q44 but through the IVF plan (assign cells
+  // by argmax cosine against deterministic sampled centroids, probe
+  // nprobe cells per query, equi-join on cell — never a cartesian).
+  // Every step is portable double arithmetic, so DuckDB replays the
+  // whole approximate pipeline and the result hash-matches (the
+  // k-means variant stays spec-pinned for recall instead).
+  // ---------------------------------------------------------------
+  private val IvfNlist = 16
+  private val IvfNprobe = 4
+
+  def q58AnnIvf(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.annJoinIvfSampled(
+      queries = emb.filter(col("vec_id") % QueryMod === 0),
+      corpus = emb.filter(col("vec_id") % QueryMod =!= 0),
+      idCol = "vec_id", vecCol = "embedding", k = AnnK,
+      nlist = IvfNlist, nprobe = IvfNprobe)
+  }
+
+  val q58Sql: String = {
+    def dot(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    def cos(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""WITH corpus AS (SELECT vec_id AS neighbor_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id % $QueryMod <> 0),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |cents AS (SELECT CAST(row_number() OVER (ORDER BY neighbor_id) - 1 AS INT) AS c, cv AS ct
+       |  FROM (SELECT neighbor_id, cv FROM corpus ORDER BY neighbor_id LIMIT $IvfNlist)),
+       |assigned AS (SELECT neighbor_id, cv, cell FROM (
+       |    SELECT neighbor_id, cv, c AS cell,
+       |      row_number() OVER (PARTITION BY neighbor_id
+       |        ORDER BY ${cos("cv", "ct")} DESC, c DESC) AS ar
+       |    FROM corpus CROSS JOIN cents) WHERE ar = 1),
+       |probes AS (SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, cents.c AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cos("qv", "ct")} DESC, c DESC) AS pr
+       |    FROM q CROSS JOIN cents) WHERE pr <= $IvfNprobe),
+       |scored AS (SELECT p.query_id, a.neighbor_id, ${cos("cv", "qv")} AS cosine
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM scored) WHERE rn <= $AnnK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q45 — BM25-family keyword retrieval: top-20 documents for a fixed
   // term set. The idf is the plain ratio N/df (no log) so every
   // operation is IEEE +,*,/ in a fixed association — the oracle
@@ -272,6 +323,7 @@ object PipelineQueries {
     "q42_decontamination" -> (q42Decontamination _),
     "q43_pii_redaction" -> (q43PiiRedaction _),
     "q44_ann_join" -> (q44AnnJoin _),
+    "q58_ann_ivf" -> (q58AnnIvf _),
     "q45_bm25_retrieval" -> (q45Bm25 _),
     "q49_file_manifest" -> (q49FileManifest _),
     "q50_latest_snapshot" -> (q50LatestSnapshot _),
@@ -281,6 +333,7 @@ object PipelineQueries {
     "q42_decontamination" -> q42Sql,
     "q43_pii_redaction" -> q43Sql,
     "q44_ann_join" -> q44Sql,
+    "q58_ann_ivf" -> q58Sql,
     "q45_bm25_retrieval" -> q45Sql,
     "q49_file_manifest" -> q49Sql,
     "q50_latest_snapshot" -> q50Sql,

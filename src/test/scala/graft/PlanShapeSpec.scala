@@ -144,6 +144,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"latest-per-key needs exactly one shuffle on the key, found $exchanges:\n$p")
   }
 
+  test("q58: IVF join is a hash equi-join on cell, never a cartesian over the corpus") {
+    val p = plan(graft.queries.PipelineQueries.q58AnnIvf(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes must broadcast into an equi-join on cell:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the IVF path must not degrade to an all-pairs join:\n$p")
+  }
+
   test("q57: per-group cap runs as two window stages, the first keyed on (group, salt)") {
     val p = plan(graft.queries.SamplingQueries.q57SourceCap(spark, d))
     val windows = "Window ".r.findAllIn(p).length
