@@ -259,6 +259,43 @@ object Similarity {
       k)
   }
 
+  /** kNN label agreement — the embedding-space label-noise / class-
+    * purity diagnostic: for each query vector, how many of its k
+    * nearest corpus neighbors (by cosine) carry the same label?
+    * Mislabeled or entangled classes surface as low agreement.
+    *
+    * Same plan as [[annJoinBrute]] (broadcast query set, map-side
+    * scoring, per-query top-k as the only shuffle) plus a label
+    * equality flag folded into a grouped count. Output is one row per
+    * query label: (label, n_queries, n_neighbors, n_agreeing) — all
+    * exact integers, so the result is engine-portable (a mean
+    * agreement like k/3 would not be: 1/3 sums differently in
+    * different orders).
+    */
+  def knnLabelAgreement(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv"), col(labelCol).as("_qlabel")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        col(labelCol).as("_nlabel"))
+      .crossJoin(q)
+      .select(col("query_id"), col("_qlabel"), col("_nlabel"),
+        cosineSimilarity(col("_cv"), col("_qv")).as("cosine"),
+        col("neighbor_id"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .groupBy(col("_qlabel").as("label"))
+      .agg(
+        count_distinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_neighbors"),
+        sum(when(col("_nlabel") === col("_qlabel"), 1L).otherwise(0L)).as("n_agreeing"))
+  }
+
   /** Driver-side cosine for centroid ranking (config-sized inputs). */
   private def cosDriver(a: Seq[Double], b: Seq[Double]): Double = {
     val d = a.zip(b).map { case (x, y) => x * y }.sum

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Decontamination, Redaction, Retrieval, Similarity}
+import graft.operators.{Decontamination, Redaction, Retrieval, SemiStructured, Similarity}
 
 /** Training-data pipeline extensions, round 3: benchmark
   * decontamination, PII redaction, batch ANN join. Oracle SQL is
@@ -192,6 +192,65 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------
+  // q59 — kNN label agreement (embedding-space label-noise / class-
+  // purity diagnostic): per query label, how many of each query's 3
+  // nearest corpus neighbors share the label. Counts only — exact
+  // integers hash-match; a mean like k/3 would be order-sensitive.
+  // ---------------------------------------------------------------
+  def q59LabelPurity(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.knnLabelAgreement(
+      queries = emb.filter(col("vec_id") % QueryMod === 0),
+      corpus = emb.filter(col("vec_id") % QueryMod =!= 0),
+      idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = AnnK)
+  }
+
+  val q59Sql: String = {
+    def dot(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+       |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS n_label
+       |  FROM embeddings WHERE vec_id % $QueryMod <> 0),
+       |s AS (SELECT query_id, q_label, n_label, neighbor_id,
+       |    ${dot("cv", "qv")} /
+       |    (sqrt(${dot("cv", "cv")}) * sqrt(${dot("qv", "qv")})) AS cosine
+       |  FROM c, q),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+       |SELECT q_label AS label,
+       |  CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       |  CAST(count(*) AS BIGINT) AS n_neighbors,
+       |  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agreeing
+       |FROM r WHERE rn <= $AnnK GROUP BY q_label""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q60 — schema-on-read over the events JSON payload: one codegen'd
+  // from_json parse per row projects props.k typed, then a grouped
+  // integer census. The semi-structured-column bridge pattern.
+  // ---------------------------------------------------------------
+  def q60JsonProps(spark: SparkSession, d: String): DataFrame =
+    SemiStructured.extractJson(
+        Tables.events(spark, d).select(col("event_type"), col("props")),
+        "props", "k INT")
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_k"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  val q60Sql: String =
+    """SELECT event_type,
+      |  CAST(count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
   // q45 — BM25-family keyword retrieval: top-20 documents for a fixed
   // term set. The idf is the plain ratio N/df (no log) so every
   // operation is IEEE +,*,/ in a fixed association — the oracle
@@ -324,6 +383,8 @@ object PipelineQueries {
     "q43_pii_redaction" -> (q43PiiRedaction _),
     "q44_ann_join" -> (q44AnnJoin _),
     "q58_ann_ivf" -> (q58AnnIvf _),
+    "q59_label_purity" -> (q59LabelPurity _),
+    "q60_json_props" -> (q60JsonProps _),
     "q45_bm25_retrieval" -> (q45Bm25 _),
     "q49_file_manifest" -> (q49FileManifest _),
     "q50_latest_snapshot" -> (q50LatestSnapshot _),
@@ -334,6 +395,8 @@ object PipelineQueries {
     "q43_pii_redaction" -> q43Sql,
     "q44_ann_join" -> q44Sql,
     "q58_ann_ivf" -> q58Sql,
+    "q59_label_purity" -> q59Sql,
+    "q60_json_props" -> q60Sql,
     "q45_bm25_retrieval" -> q45Sql,
     "q49_file_manifest" -> q49Sql,
     "q50_latest_snapshot" -> q50Sql,

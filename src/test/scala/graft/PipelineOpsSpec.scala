@@ -280,4 +280,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     val recall = (partial & brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall@3 with half the cells probed was $recall")
   }
+
+  test("knnLabelAgreement: separable clusters agree fully, shuffled labels don't") {
+    // two well-separated clusters on orthogonal axes, 8 vectors each
+    def vec(axis: Int, jitter: Double): Seq[Float] =
+      Seq.tabulate(4)(i => (if (i == axis) 1.0 else 0.0) + jitter * (i + 1)).map(_.toFloat)
+    val rows = (0 until 16).map { i =>
+      val axis = i % 2
+      (i.toLong, vec(axis, 0.01 * (i / 2)), axis)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter($"vec_id" < 2)   // one query per cluster
+    val corpus = emb.filter($"vec_id" >= 2)
+    val out = Similarity.knnLabelAgreement(
+        queries, corpus, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // each query's 3 nearest all come from its own cluster
+    assert(out == Map(0 -> (1L, 3L, 3L), 1 -> (1L, 3L, 3L)), out.toString)
+    // flipping corpus labels breaks agreement completely
+    val flipped = Similarity.knnLabelAgreement(queries,
+        corpus.withColumn("label", lit(1) - $"label"),
+        "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(flipped.values.forall(_ == 0L), flipped.toString)
+  }
+
+  test("extractJson: typed fields, malformed and missing-key null-propagation") {
+    import graft.operators.SemiStructured
+    val df = Seq(
+      (1L, """{"k": 7, "tag": "a"}"""),
+      (2L, """{"tag": "b"}"""),        // missing k → null
+      (3L, """not json at all"""),     // malformed → null struct → nulls
+      (4L, null.asInstanceOf[String])  // null payload
+    ).toDF("id", "props")
+    val out = SemiStructured.extractJson(df, "props", "k INT, tag STRING")
+    assert(out.columns.toSeq == Seq("id", "props", "k", "tag"))
+    val byId = out.collect().map(r =>
+      r.getLong(0) -> (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(byId(1L) == (Some(7), Some("a")))
+    assert(byId(2L) == (None, Some("b")))
+    assert(byId(3L) == (None, None))
+    assert(byId(4L) == (None, None))
+    // one parse serves all fields: a single from_json in the analyzed
+    // plan (the optimized plan constant-folds this local fixture away)
+    val plan = out.queryExecution.analyzed.toString
+    assert("from_json".r.findAllIn(plan).length == 1, plan)
+  }
 }
