@@ -32,13 +32,19 @@ object Profiling {
     * mean, stddev). `stddev` is null for n < 2, `mean` null for
     * n == 0, matching stddev_samp/avg conventions.
     */
-  def profileNumeric(df: DataFrame, cols: Seq[String] = Seq.empty): DataFrame = {
+  def profileNumeric(df: DataFrame, cols: Seq[String] = Seq.empty,
+      exactDistinct: Boolean = true): DataFrame = {
     val target =
       if (cols.nonEmpty) cols
       else df.schema.fields.collect {
         case f if f.dataType.isInstanceOf[NumericType] => f.name
       }.toSeq
     require(target.nonEmpty, "no numeric columns to profile")
+    // The 100 TB mode: HyperLogLog++ distinct counts are plain
+    // (mergeable, no Expand) aggregates, so the second pass folds
+    // back into the first — ONE scan total — at ~2% cardinality
+    // error. Exact mode stays the default (and the oracle target).
+    if (!exactDistinct) return profileNumericApprox(df, target)
     // Two one-row aggregates, not one: Spark plans multiple DISTINCT
     // aggregates via Expand (k+1 row copies), and every copy then
     // runs EVERY aggregate's update path — mixing the 5 plain
@@ -81,6 +87,42 @@ object Profiling {
           // double rounding can land it one ulp below zero → NaN.
           // Clamp to 0 (the true value in exactly those cases),
           // mirrored in the oracle SQL.
+          sqrt(greatest(sq - s * s / n, lit(0.0)) / (n - lit(1.0)))).as("stddev"))
+    }: _*)
+    wide.select(explode(entries).as("p")).select(col("p.*"))
+  }
+
+  /** Single-aggregate profile with approx_count_distinct: every
+    * metric for every column in literally ONE scan and one 1-row
+    * aggregate — no Expand (HLL sketches are plain mergeable
+    * aggregates), no second pass, no crossJoin.
+    */
+  private def profileNumericApprox(df: DataFrame, target: Seq[String]): DataFrame = {
+    val aggs = target.flatMap { c =>
+      val d = col(c).cast("decimal(18,2)")
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        (count(lit(1)) - count(col(c))).as(s"${c}__n_null"),
+        approx_count_distinct(col(c)).as(s"${c}__n_distinct"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        sum(d).as(s"${c}__sum"),
+        sum(d * d).as(s"${c}__sumsq"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = array(target.map { c =>
+      val n = col(s"${c}__n").cast("double")
+      val s = col(s"${c}__sum").cast("double")
+      val sq = col(s"${c}__sumsq").cast("double")
+      struct(
+        lit(c).as("column"),
+        col(s"${c}__n").as("n"),
+        col(s"${c}__n_null").as("n_null"),
+        col(s"${c}__n_distinct").as("n_distinct"),
+        col(s"${c}__min").as("min"),
+        col(s"${c}__max").as("max"),
+        when(col(s"${c}__n") > 0, s / n).as("mean"),
+        when(col(s"${c}__n") > 1,
           sqrt(greatest(sq - s * s / n, lit(0.0)) / (n - lit(1.0)))).as("stddev"))
     }: _*)
     wide.select(explode(entries).as("p")).select(col("p.*"))

@@ -72,13 +72,48 @@ object SamplingQueries {
        |SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
        |FROM ranked WHERE sample_rank <= $SourceCap""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q61 — sequence packing: documents greedily packed into ≤8
+  // parallel shards of 4000-char-budget packs (the pretraining
+  // batch-layout primitive). Shard, order, and boundary division are
+  // all portable md5/double arithmetic, so DuckDB replays the whole
+  // packer and the pack census hash-matches.
+  // ---------------------------------------------------------------
+  private val PackBudget = 4000L
+  private val PackShards = 8
+
+  def q61Packing(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Packing.packSummary(
+      Tables.documents(spark, d), "doc_id", "n_chars", PackBudget, PackShards)
+
+  val q61Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4)) AS UBIGINT) AS BIGINT)
+       |      % $PackShards AS shard,
+       |    $scoreSql AS s
+       |  FROM documents),
+       |packed AS (
+       |  SELECT shard, doc_id, n_chars,
+       |    CAST(floor(CAST(sum(n_chars) OVER (PARTITION BY shard ORDER BY s, doc_id
+       |        ROWS UNBOUNDED PRECEDING) - n_chars AS DOUBLE) / ${PackBudget}.0)
+       |      AS BIGINT) AS pack_id
+       |  FROM scored)
+       |SELECT shard, pack_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_size,
+       |  min(doc_id) AS min_id
+       |FROM packed GROUP BY shard, pack_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_deterministic_split" -> (q26DeterministicSplit _),
     "q27_stratified_sample"   -> (q27StratifiedSample _),
-    "q57_source_cap"          -> (q57SourceCap _))
+    "q57_source_cap"          -> (q57SourceCap _),
+    "q61_packing"             -> (q61Packing _))
 
   val oracleSql: Map[String, String] = Map(
     "q26_deterministic_split" -> q26Sql,
     "q27_stratified_sample"   -> q27Sql,
-    "q57_source_cap"          -> q57Sql)
+    "q57_source_cap"          -> q57Sql,
+    "q61_packing"             -> q61Sql)
 }

@@ -62,6 +62,28 @@ class ProfilingSpec extends AnyFunSuite {
     assert(row.getDouble(7) == 0.0, s"stddev of a constant is 0, got ${row.getDouble(7)}")
   }
 
+  test("approx mode: one Expand-free scan, same stats, distinct within HLL error") {
+    val df = Tables.lineitem(spark, TestSpark.sf)
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val exact = Profiling.profileNumeric(df, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approxDf = Profiling.profileNumeric(df, cols, exactDistinct = false)
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx mode must not Expand:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "approx mode needs no second aggregate to cross-join")
+    val approx = approxDf.collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2))
+      assert(a.getDouble(4) == e.getDouble(4) && a.getDouble(5) == e.getDouble(5))
+      assert(a.getDouble(6) == e.getDouble(6) && a.getDouble(7) == e.getDouble(7))
+      val (ed, ad) = (e.getLong(3).toDouble, a.getLong(3).toDouble)
+      assert(math.abs(ad - ed) / ed < 0.10,
+        s"$c: approx distinct $ad vs exact $ed drifted past HLL tolerance")
+    }
+  }
+
   test("profileGeneral: string/date columns get n/n_null/n_distinct/min/max") {
     val df = Seq(
       (Some("b"), Some(java.sql.Date.valueOf("2024-01-02"))),

@@ -93,6 +93,37 @@ class SamplingSpec extends AnyFunSuite {
       .count() == docs.count())
   }
 
+  test("packBySizeBudget: bounded packs, dense layout, deterministic, lossless") {
+    import graft.operators.Packing
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val budget = 4000L
+    val packed = Packing.packBySizeBudget(docs, "doc_id", "n_chars", budget, shards = 8)
+    assert(packed.count() == docs.count(), "packing loses no rows")
+    val packs = Packing.packSummary(docs, "doc_id", "n_chars", budget, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the streaming first-fit bound: a pack exceeds the budget only by
+    // part of its single straddling document
+    val maxDoc = docs.agg(max($"n_chars")).head().getLong(0)
+    assert(packs.forall(_._4 < budget + maxDoc),
+      s"pack totals must stay under budget+maxDoc: ${packs.filter(_._4 >= budget + maxDoc).toSeq}")
+    // dense: a non-final pack can fall short of the budget only by the
+    // previous pack's overshoot, which is bounded by one document —
+    // so every non-final pack totals > budget − maxDoc
+    val lastPack = packs.groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).max }
+    val sparse = packs.filter(p => p._4 <= budget - maxDoc && lastPack(p._1) != p._2)
+    assert(sparse.isEmpty, s"non-final packs must be budget-dense: ${sparse.toSeq}")
+    // in-pack positions are 1..n_docs
+    val pos = packed.groupBy("shard", "pack_id")
+      .agg(min($"pack_pos").as("lo"), max($"pack_pos").as("hi"), count(lit(1)).as("n"))
+      .collect()
+    assert(pos.forall(r => r.getLong(2) == 1L && r.getLong(3) == r.getLong(4)))
+    // deterministic across evaluations
+    val again = Packing.packBySizeBudget(docs, "doc_id", "n_chars", budget, shards = 8)
+      .select("doc_id", "shard", "pack_id", "pack_pos")
+    assert(packed.select("doc_id", "shard", "pack_id", "pack_pos")
+      .exceptAll(again).count() == 0)
+  }
+
   test("capPerGroup: salted two-phase result equals the single-window result on a skewed fixture") {
     // one Zipfian-hot group (80% of rows) plus a tail of small groups —
     // the shape the salting exists for. salts=1 degenerates to the
