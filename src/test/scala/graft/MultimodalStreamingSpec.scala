@@ -197,6 +197,62 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming LSH near-dedup: near-dups collide across batches, distinct docs don't") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val base = "the quick brown fox jumps over the lazy dog while the calm " +
+        "river flows past the old stone bridge and the quiet village sleeps " +
+        "under a wide summer sky full of slow white clouds drifting to the hills"
+      val nearDup = base + " tail"    // high-Jaccard variant of base
+      val distinct = "a completely different account of steel production " +
+        "quotas in the northern factories during the long cold winter months " +
+        "of the planning year with entirely disjoint vocabulary and phrasing"
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val sq = graft.streaming.StreamingNearDedup.bandCollisions(
+          spark, stream.toDF().toDF("doc_id", "text", "ts"),
+          "doc_id", "text", "ts",
+          ttl = java.time.Duration.ofHours(1))
+        .writeStream.outputMode("append").format("memory").queryName("lsh_stream")
+        .start()
+      stream.addData(Seq((1L, base, t("2024-01-01 10:00:00"))))
+      sq.processAllAvailable()
+      assert(spark.table("lsh_stream").isEmpty,
+        "the first document claims its buckets silently")
+      stream.addData(Seq(
+        (2L, nearDup, t("2024-01-01 10:05:00")),
+        (3L, distinct, t("2024-01-01 10:06:00"))))
+      sq.processAllAvailable()
+      sq.stop()
+      val byDoc = spark.table("lsh_stream")
+        .groupBy("doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byDoc.contains(2L) && byDoc(2L) >= 8,
+        s"a near-dup must collide in most of its 16 bands: $byDoc")
+      assert(!byDoc.contains(3L),
+        s"a distinct doc must not collide in any band: $byDoc")
+      // drop decision = distinct colliding doc ids
+      assert(byDoc.keySet == Set(2L))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("timer-based sessions: event-time timers close sessions, late extension re-arms") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
