@@ -22,6 +22,12 @@ object GraftFunctionRegistry {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", exprs => VectorDotProduct(exprs(0), exprs(1)), "scala_udf")
 
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "normalize_text", exprs => NormalizeText(exprs(0)), "scala_udf")
+
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "compression_ratio", exprs => CompressionRatio(exprs(0)), "scala_udf")
+
     // pandas-std(axis=1) semantics: ddof=1, skipna (DCC:140)
     spark.sql(
       """CREATE OR REPLACE TEMPORARY FUNCTION horizontal_stddev(
