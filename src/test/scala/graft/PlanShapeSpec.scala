@@ -164,6 +164,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"first window must be keyed on (group, salt):\n$p")
   }
 
+  test("q59: per-query top-k runs as WindowGroupLimit (partial top-k before the shuffle)") {
+    val p = plan(graft.queries.PipelineQueries.q59LabelPurity(spark, d))
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must prune per-partition before the exchange, not sort everything:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "agreement counts must combine map-side")
+  }
+
+  test("q60: one from_json parse at a pruned scan") {
+    val p = plan(graft.queries.PipelineQueries.q60JsonProps(spark, d))
+    assert("from_json".r.findAllIn(p).length == 1,
+      s"all fields must come from a single parse:\n$p")
+    assert(p.contains("ReadSchema: struct<event_type:string,props:string>"),
+      s"scan must read only the referenced columns:\n$p")
+  }
+
+  test("q61: pack summary prunes the unused position window; text never scans") {
+    val p = plan(graft.queries.SamplingQueries.q61Packing(spark, d))
+    assert("Window ".r.findAllIn(p).length == 1,
+      s"the pack_pos window must be pruned when only the census is consumed:\n$p")
+    assert(!p.contains("text"), "packing reads sizes, never document payloads")
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
