@@ -825,6 +825,44 @@ object Dedup {
       .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** Corpus-level MinHash sketch: the elementwise minimum of every
+    * document's portable signature — equal to the MinHash sketch of
+    * the UNION of all shingle sets, so sketches of two corpora
+    * estimate the Jaccard similarity of their shingle UNIVERSES
+    * (dataset-granularity overlap: train-vs-eval contamination
+    * triage, corpus-version diffing). Min is associative/commutative,
+    * so the sketch is a plain mergeable aggregate: one pass, map-side
+    * combine, `numHashes` longs of output no matter the corpus size.
+    */
+  def corpusSketch(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, numHashes: Int = 64): DataFrame =
+    minhashSignaturesPortable(df, idCol, textCol, n, numHashes)
+      .agg(
+        array((0 until numHashes).map(i =>
+          min(element_at(col("sig"), i + 1))): _*).as("sketch"),
+        count(lit(1)).as("n_docs"))
+
+  /** Estimated Jaccard of two corpora's shingle universes: the
+    * fraction of agreeing sketch components. One row out; exact
+    * integer-count arithmetic over the 1×1 sketch join, so the
+    * estimate is engine-portable.
+    */
+  def corpusOverlapEstimate(
+      a: DataFrame, b: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, numHashes: Int = 64): DataFrame = {
+    val sa = corpusSketch(a, idCol, textCol, n, numHashes)
+      .select(col("sketch").as("_ska"), col("n_docs").as("n_docs_a"))
+    val sb = corpusSketch(b, idCol, textCol, n, numHashes)
+      .select(col("sketch").as("_skb"), col("n_docs").as("n_docs_b"))
+    sa.crossJoin(sb).select(
+      col("n_docs_a"), col("n_docs_b"),
+      (aggregate(
+        zip_with(col("_ska"), col("_skb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes (splitmix64 →
     * uniform in [-1, 1)); normalization is irrelevant for sign tests.
     */

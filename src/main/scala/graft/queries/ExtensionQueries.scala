@@ -110,6 +110,50 @@ object ExtensionQueries {
   private val LshBands = 16
   private val LshHashes = 64
 
+  // ---------------------------------------------------------------
+  // q62 — corpus-overlap estimate: MinHash sketch (elementwise min
+  // of portable signatures = sketch of the shingle-universe union)
+  // of the even-id half of documents vs the odd-id half; output is
+  // the fraction of agreeing sketch components. Dataset-granularity
+  // similarity in one mergeable aggregate per corpus.
+  // ---------------------------------------------------------------
+  def q62CorpusOverlap(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    Dedup.corpusOverlapEstimate(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", n = LshShingleN, numHashes = LshHashes)
+  }
+
+  /** The oracle states each corpus sketch directly over the DISTINCT
+    * shingles of the whole corpus half — elementwise min over per-doc
+    * signatures IS the min over the union of shingle sets, so both
+    * formulations yield identical longs.
+    */
+  val q62Sql: String = {
+    import graft.functions.DqFunctions.{minhashCoeffs, MinhashPrime}
+    val sketchExprs = minhashCoeffs(LshHashes)
+      .map { case (a, b) => s"min(($a * h + $b) % $MinhashPrime)" }
+      .mkString("[\n      ", ",\n      ", "]")
+    def side(alias: String, pred: String) =
+      s"""sh_$alias AS (SELECT list_distinct(
+         |    [substr(text, i, $LshShingleN) for i in range(1, greatest(length(text) - ${LshShingleN - 1}, 1) + 1)]) AS s
+         |  FROM documents WHERE $pred),
+         |h_$alias AS (SELECT DISTINCT
+         |    CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) AS BIGINT) % $MinhashPrime AS h
+         |  FROM (SELECT unnest(s) AS g FROM sh_$alias)),
+         |sk_$alias AS (SELECT $sketchExprs AS sk,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE $pred) AS n_docs
+         |  FROM h_$alias)""".stripMargin
+    s"""WITH ${side("a", "doc_id % 2 = 0")},
+       |${side("b", "doc_id % 2 <> 0")}
+       |SELECT a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+       |  CAST(list_sum(list_transform(range(1, ${LshHashes + 1}),
+       |    i -> CASE WHEN a.sk[i] = b.sk[i] THEN 1 ELSE 0 END)) AS DOUBLE) / ${LshHashes}.0
+       |    AS est_jaccard
+       |FROM sk_a a CROSS JOIN sk_b b""".stripMargin
+  }
+
   def q12MinhashLsh(spark: SparkSession, d: String): DataFrame =
     Dedup.lshNearDupPairs(Tables.documents(spark, d),
       "doc_id", "text", n = LshShingleN, numHashes = LshHashes, bands = LshBands,
@@ -557,6 +601,7 @@ object ExtensionQueries {
     "q10_dedup_exact"        -> (q10DedupExact _),
     "q11_ngram_jaccard"      -> (q11NgramJaccard _),
     "q12_minhash_lsh"        -> (q12MinhashLsh _),
+    "q62_corpus_overlap"     -> (q62CorpusOverlap _),
     "q13_simhash_neardup"    -> (q13SimhashNearDup _),
     "q54_dup_clusters"       -> (q54DupClusters _),
     "q56_quantization"       -> (q56Quantization _),
@@ -577,6 +622,7 @@ object ExtensionQueries {
     "q10_dedup_exact"        -> q10Sql,
     "q11_ngram_jaccard"      -> q11Sql,
     "q12_minhash_lsh"        -> q12Sql,
+    "q62_corpus_overlap"     -> q62Sql,
     "q13_simhash_neardup"    -> q13Sql,
     "q54_dup_clusters"       -> q54Sql,
     "q56_quantization"       -> q56Sql,

@@ -150,4 +150,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // and the (known-hard, θ≈68°) recall floor holds deterministically
     assert(lsh.map(_._1).toSet.intersect(brute.keySet).size >= 3)
   }
+
+  test("corpus sketch: identical corpora estimate 1.0, disjoint vocabularies near 0") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val self = graft.operators.Dedup.corpusOverlapEstimate(
+      docs, docs, "doc_id", "text").head()
+    assert(self.getDouble(2) == 1.0, "a corpus fully overlaps itself")
+    assert(self.getLong(0) == self.getLong(1))
+    // shingle universes with no 5-gram in common
+    val latin = (1L to 50L).map(i => (i, s"alpha beta gamma delta epsilon run $i"))
+      .toDF("doc_id", "text")
+    val digits = (1L to 50L).map(i => (i, s"0123456789 9876543210 000111222 $i"))
+      .toDF("doc_id", "text")
+    val cross = graft.operators.Dedup.corpusOverlapEstimate(
+      latin, digits, "doc_id", "text").head().getDouble(2)
+    assert(cross < 0.2, s"disjoint vocabularies must estimate near zero, got $cross")
+    // sketch is order/partition independent: repartitioned corpus, same estimate
+    val shuffled = graft.operators.Dedup.corpusOverlapEstimate(
+      docs.repartition(7), docs.repartition(3), "doc_id", "text").head().getDouble(2)
+    assert(shuffled == 1.0)
+  }
 }
