@@ -45,4 +45,26 @@ object Provenance {
   def filesPossiblyContaining(
       manifest: DataFrame, statCol: String, value: Column): DataFrame =
     manifest.filter(value >= col(s"min_$statCol") && value <= col(s"max_$statCol"))
+
+  /** Small-files compaction plan: assign every physical file of a
+    * parquet layout to a rewrite group totaling ~`targetBytes` — the
+    * maintenance pass that keeps a streamed-into / trickle-appended
+    * table's file count sane. Pure composition: the file census comes
+    * from `_metadata` (path + size, one row per file), group
+    * assignment from [[Packing.packBySizeBudget]] over the census —
+    * so it inherits packing's guarantees (each group overflows the
+    * target by at most one file; `shards` groups files in parallel).
+    * Output: (file_path, size_bytes, shard, pack_id, pack_pos); a
+    * rewrite job coalesces each (shard, pack_id) group.
+    */
+  def compactionPlan(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long, shards: Int = 16): DataFrame = {
+    val census = spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.file_size").as("size_bytes"))
+      .groupBy("file_path")
+      .agg(max(col("size_bytes")).as("size_bytes"))
+    Packing.packBySizeBudget(census, "file_path", "size_bytes", targetBytes, shards)
+  }
 }

@@ -281,6 +281,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@3 with half the cells probed was $recall")
   }
 
+  test("compactionPlan: every file grouped once, groups near target, fewer groups than files") {
+    import graft.operators.Provenance
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // 12 deliberately small files
+    spark.range(0, 12000).selectExpr("id", "repeat('x', 64) AS pad")
+      .repartition(12).write.parquet(dir)
+    val nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles == 12)
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length())
+    val target = sizes.sum / 3 // aim for ~3 groups' worth per shard space
+    val plan = Provenance.compactionPlan(spark, dir, target, shards = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(plan.length == nFiles, "every file appears exactly once")
+    assert(plan.map(_._1).distinct.length == nFiles)
+    val groups = plan.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(groups.size < nFiles, s"compaction must reduce file count: $groups")
+    assert(groups.values.forall(_ < target + sizes.max),
+      s"each group overflows the target by at most one file: $groups")
+  }
+
   test("knnLabelAgreement: separable clusters agree fully, shuffled labels don't") {
     // two well-separated clusters on orthogonal axes, 8 vectors each
     def vec(axis: Int, jitter: Double): Seq[Float] =
