@@ -50,18 +50,28 @@ case class CompressionRatio(child: Expression) extends UnaryExpression {
 
 object CompressionRatio {
 
+  // one deflater + scratch buffer per task thread, reset between rows:
+  // a per-row Deflater means a native allocation and finalizer per
+  // document — real GC/native pressure at billions of rows
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+  }
+  private val scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
   def compute(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.length == 0) return 1.0
-    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val scratch = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(scratch)
-      total.toDouble / bytes.length
-    } finally d.end()
+    val d = deflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = scratch.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
   }
 
   /** Column wrapper. */

@@ -24,8 +24,12 @@ object SemiStructured {
     * struct schema of the JSON payload, e.g. `"k INT, tag STRING"`.
     */
   def extractJson(df: DataFrame, jsonCol: String, schemaDdl: String): DataFrame = {
-    val parsed = from_json(col(jsonCol),
-      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val clash = schema.fieldNames.toSet.intersect(df.columns.toSet)
+    require(clash.isEmpty,
+      s"JSON fields collide with existing columns: ${clash.mkString(", ")} — " +
+        "rename in the DDL (e.g. \"k INT\" -> \"props_k INT\" via a post-select)")
+    val parsed = from_json(col(jsonCol), schema)
     df.withColumn("_parsed", parsed)
       .select(col("*"), col("_parsed.*"))
       .drop("_parsed")

@@ -346,5 +346,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     // plan (the optimized plan constant-folds this local fixture away)
     val plan = out.queryExecution.analyzed.toString
     assert("from_json".r.findAllIn(plan).length == 1, plan)
+    // field/column name collisions fail loudly instead of duplicating
+    val e = intercept[IllegalArgumentException] {
+      SemiStructured.extractJson(df, "props", "id BIGINT")
+    }
+    assert(e.getMessage.contains("collide"))
   }
 }
