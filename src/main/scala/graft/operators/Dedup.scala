@@ -825,6 +825,48 @@ object Dedup {
       .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** Line-level corpus dedup (C4/RefinedWeb-style boilerplate
+    * removal): drop every line that occurs in more than
+    * `maxDocFrequency` DISTINCT documents — navigation chrome, cookie
+    * banners, footers — and reassemble each document's surviving
+    * lines in order.
+    *
+    * Scale shape: the document-frequency count shuffles only
+    * (md5(line), doc_id) pairs — 24 bytes a line, never line text;
+    * the hot-line set is corpus-chrome-sized (tiny) so the anti-join
+    * back is broadcastable; reassembly is one groupBy(doc) over
+    * surviving (pos, line) pairs. Output: (id, clean_text,
+    * n_lines_kept, n_lines_dropped); a document that was ALL
+    * boilerplate comes back with empty text, not a missing row.
+    */
+  def dropBoilerplateLines(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDocFrequency: Long): DataFrame = {
+    require(maxDocFrequency >= 1, "maxDocFrequency must be positive")
+    val lines = df.select(col(idCol).as("_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+    val hot = lines.select(md5(col("_line").cast("binary")).as("_h"), col("_id"))
+      .distinct()
+      .groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFrequency)
+      .select(col("_h"))
+    val kept = lines.join(hot,
+      md5(col("_line").cast("binary")) === col("_h"), "left_anti")
+    val rebuilt = kept.groupBy(col("_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            x => x.getField("_line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("bigint").as("_total"))
+      .join(rebuilt.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("_total") - coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_dropped"))
+  }
+
   /** Corpus-level MinHash sketch: the elementwise minimum of every
     * document's portable signature — equal to the MinHash sketch of
     * the UNION of all shingle sets, so sketches of two corpora

@@ -192,6 +192,52 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------
+  // q63 — line-level corpus dedup (C4-style boilerplate removal).
+  // The synthetic corpus has no repeated lines, so the query plants
+  // deterministic chrome — a header on every document, a footer on
+  // even ids — with the identical expression in both engines, then
+  // strips lines whose document frequency exceeds the threshold.
+  // Original lines (df = 1) survive byte-identically, order intact.
+  // ---------------------------------------------------------------
+  private val BoilerplateHeader = "GRAFT CORPUS HEADER v1"
+  private val BoilerplateFooter = "Subscribe to our newsletter for updates"
+  private val BoilerplateMaxDf = 10L
+
+  def q63LineDedup(spark: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(spark, d).select(col("doc_id"),
+      concat(lit(BoilerplateHeader), lit("\n"), col("text"),
+        when(col("doc_id") % 2 === 0,
+          lit("\n" + BoilerplateFooter)).otherwise(lit(""))).as("text"))
+    graft.operators.Dedup.dropBoilerplateLines(
+      planted, "doc_id", "text", BoilerplateMaxDf)
+  }
+
+  val q63Sql: String =
+    s"""WITH base AS (SELECT doc_id,
+       |    '$BoilerplateHeader' || chr(10) || text ||
+       |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || '$BoilerplateFooter' ELSE '' END AS text
+       |  FROM documents),
+       |lines AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+       |    SELECT doc_id,
+       |      unnest([{'pos': i, 'line': s[i]} for i in range(1, len(s) + 1)]) AS u
+       |    FROM (SELECT doc_id, string_split(text, chr(10)) AS s FROM base))),
+       |hot AS (SELECT line FROM (
+       |    SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+       |  WHERE df > $BoilerplateMaxDf),
+       |kept AS (SELECT l.doc_id, l.pos, l.line
+       |  FROM lines l LEFT JOIN hot h USING (line) WHERE h.line IS NULL),
+       |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+       |    CAST(count(*) AS BIGINT) AS n_lines_kept
+       |  FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS total
+       |  FROM base)
+       |SELECT t.doc_id,
+       |  coalesce(r.clean_text, '') AS clean_text,
+       |  coalesce(r.n_lines_kept, CAST(0 AS BIGINT)) AS n_lines_kept,
+       |  t.total - coalesce(r.n_lines_kept, CAST(0 AS BIGINT)) AS n_lines_dropped
+       |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------
   // q59 — kNN label agreement (embedding-space label-noise / class-
   // purity diagnostic): per query label, how many of each query's 3
   // nearest corpus neighbors share the label. Counts only — exact
@@ -385,6 +431,7 @@ object PipelineQueries {
     "q58_ann_ivf" -> (q58AnnIvf _),
     "q59_label_purity" -> (q59LabelPurity _),
     "q60_json_props" -> (q60JsonProps _),
+    "q63_line_dedup" -> (q63LineDedup _),
     "q45_bm25_retrieval" -> (q45Bm25 _),
     "q49_file_manifest" -> (q49FileManifest _),
     "q50_latest_snapshot" -> (q50LatestSnapshot _),
@@ -397,6 +444,7 @@ object PipelineQueries {
     "q58_ann_ivf" -> q58Sql,
     "q59_label_purity" -> q59Sql,
     "q60_json_props" -> q60Sql,
+    "q63_line_dedup" -> q63Sql,
     "q45_bm25_retrieval" -> q45Sql,
     "q49_file_manifest" -> q49Sql,
     "q50_latest_snapshot" -> q50Sql,

@@ -281,6 +281,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@3 with half the cells probed was $recall")
   }
 
+  test("dropBoilerplateLines: hot lines vanish, order survives, all-chrome docs stay as rows") {
+    import graft.operators.Dedup
+    val chrome = "COOKIE BANNER"
+    val docs = ((1L to 20L).map(i =>
+      (i, s"$chrome\nunique line a $i\nunique line b $i")) :+
+      (99L, chrome))                         // a document that is ALL boilerplate
+      .toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(docs, "doc_id", "text", maxDocFrequency = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 21, "every document keeps its row")
+    (1L to 20L).foreach { i =>
+      val (txt, kept, dropped) = out(i)
+      assert(txt == s"unique line a $i\nunique line b $i", s"doc $i: <$txt>")
+      assert(kept == 2 && dropped == 1)
+    }
+    assert(out(99L) == (("", 0L, 1L)), "all-boilerplate doc -> empty text, not a lost row")
+    // below the threshold nothing is touched
+    val untouched = Dedup.dropBoilerplateLines(docs, "doc_id", "text", maxDocFrequency = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 20L).forall(i => untouched(i) == s"$chrome\nunique line a $i\nunique line b $i"))
+  }
+
   test("compactionPlan: every file grouped once, groups near target, fewer groups than files") {
     import graft.operators.Provenance
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
