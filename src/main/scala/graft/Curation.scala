@@ -60,6 +60,9 @@ object Curation {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
+    require(canonicalBy.isEmpty || clusterNearDups,
+      "canonicalBy selects the survivor PER CLUSTER — it requires " +
+        "clusterNearDups = true (the pairwise-greedy policy has no cluster to rank)")
   }
 
   /** The per-row quality gate (also the streaming front-end's filter:

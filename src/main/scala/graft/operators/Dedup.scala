@@ -729,11 +729,21 @@ object Dedup {
       // lexicographic min of the original ids.
       require(aType == bType,
         s"id columns must share a type; got ${aType.simpleString} vs ${bType.simpleString}")
-      val mapping = pairs.select(col(idACol).as("_orig"))
+      // the frozen mapping follows the caller's durability choice:
+      // reliable checkpoint when checkpointDir is set (else losing the
+      // executor holding these blocks breaks the final map-back joins —
+      // the exact failure checkpointDir exists to prevent). Like the
+      // final labels snapshot, it is ONE id-scale table that lives
+      // until session end (localCheckpoint blocks are not CacheManager
+      // entries, so a listener-driven unpersist would be a no-op).
+      checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+      val mappingBase = pairs.select(col(idACol).as("_orig"))
         .union(pairs.select(col(idBCol).as("_orig")))
         .distinct()
         .withColumn("_surr", monotonically_increasing_id())
-        .localCheckpoint(true)
+      val mapping =
+        if (checkpointDir.isDefined) mappingBase.checkpoint(true)
+        else mappingBase.localCheckpoint(true)
       val surrPairs = pairs
         .join(mapping.select(col("_orig").as(idACol), col("_surr").as("src")), idACol)
         .join(mapping.select(col("_orig").as(idBCol), col("_surr").as("dst")), idBCol)

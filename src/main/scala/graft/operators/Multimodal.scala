@@ -90,15 +90,21 @@ object Multimodal {
   def probeImage(bytes: Array[Byte]): Option[(Int, Int, String)] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    if (iis == null) return None
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
       else {
         val r = readers.next()
+        // NonFatal, not just IOException: ImageIO readers throw
+        // IllegalArgument/IndexOutOfBounds on malformed-but-recognized
+        // headers (truncated GIF/BMP), and the decode pipeline must
+        // stay total — a corrupt payload falls back to the stub, it
+        // does not abort the task
         try {
           r.setInput(iis, true, true)
           Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
-        } catch { case _: java.io.IOException => None }
+        } catch { case scala.util.control.NonFatal(_) => None }
         finally r.dispose()
       }
     } finally iis.close()

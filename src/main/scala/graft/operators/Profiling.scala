@@ -67,8 +67,18 @@ object Profiling {
     }
     val wide = df.agg(plainAggs.head, plainAggs.tail: _*)
       .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
-    // one row in, |cols| rows out: explode an array of per-column
-    // structs built from the wide aggregate (driver-free, plan-side)
+    explodeNumericEntries(wide, target)
+  }
+
+  /** One row in, |cols| rows out: explode an array of per-column
+    * structs built from the wide aggregate (driver-free, plan-side).
+    * Shared by the exact and approx modes so the output shape — and
+    * the stddev radicand clamp: double rounding of exact decimal sums
+    * past 2^53 can land one ulp below zero → NaN for constant
+    * columns; greatest(.,0) is the true value in exactly those cases,
+    * mirrored in the oracle SQL — cannot drift between them.
+    */
+  private def explodeNumericEntries(wide: DataFrame, target: Seq[String]): DataFrame = {
     val entries = array(target.map { c =>
       val n = col(s"${c}__n").cast("double")
       val s = col(s"${c}__sum").cast("double")
@@ -82,11 +92,6 @@ object Profiling {
         col(s"${c}__max").as("max"),
         when(col(s"${c}__n") > 0, s / n).as("mean"),
         when(col(s"${c}__n") > 1,
-          // the radicand is computed in double from the exact decimal
-          // sums; for (near-)constant columns with sums beyond 2^53
-          // double rounding can land it one ulp below zero → NaN.
-          // Clamp to 0 (the true value in exactly those cases),
-          // mirrored in the oracle SQL.
           sqrt(greatest(sq - s * s / n, lit(0.0)) / (n - lit(1.0)))).as("stddev"))
     }: _*)
     wide.select(explode(entries).as("p")).select(col("p.*"))
@@ -109,23 +114,7 @@ object Profiling {
         sum(d).as(s"${c}__sum"),
         sum(d * d).as(s"${c}__sumsq"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val entries = array(target.map { c =>
-      val n = col(s"${c}__n").cast("double")
-      val s = col(s"${c}__sum").cast("double")
-      val sq = col(s"${c}__sumsq").cast("double")
-      struct(
-        lit(c).as("column"),
-        col(s"${c}__n").as("n"),
-        col(s"${c}__n_null").as("n_null"),
-        col(s"${c}__n_distinct").as("n_distinct"),
-        col(s"${c}__min").as("min"),
-        col(s"${c}__max").as("max"),
-        when(col(s"${c}__n") > 0, s / n).as("mean"),
-        when(col(s"${c}__n") > 1,
-          sqrt(greatest(sq - s * s / n, lit(0.0)) / (n - lit(1.0)))).as("stddev"))
-    }: _*)
-    wide.select(explode(entries).as("p")).select(col("p.*"))
+    explodeNumericEntries(df.agg(aggs.head, aggs.tail: _*), target)
   }
 
   /** Type-agnostic profile of `cols` (string/date/bool/anything
@@ -160,8 +149,12 @@ object Profiling {
   }
 
   /** Per-column top-k most frequent values, long format — (column,
-    * value, n_rows, rank), rank 1..k per column, ties broken value-
-    * ascending so the result is total-ordered and engine-portable.
+    * value, n_rows, rank), rank 1..k per column. Values are compared
+    * and tie-broken AS THEIR STRING RENDERING (the cast below): that
+    * is what makes one pass over heterogeneous columns possible and
+    * the order engine-portable for string columns; an oracle over a
+    * non-string column must state the same cast, or numeric ties
+    * ("10" < "2") will diverge from native order.
     *
     * ONE pass: every row contributes its (column, value) pairs to a
     * single exploded stream, one grouped count, then the same salted

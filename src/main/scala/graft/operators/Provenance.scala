@@ -60,11 +60,25 @@ object Provenance {
   def compactionPlan(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       targetBytes: Long, shards: Int = 16): DataFrame = {
-    val census = spark.read.parquet(dir)
-      .select(col("_metadata.file_path").as("file_path"),
-        col("_metadata.file_size").as("size_bytes"))
-      .groupBy("file_path")
-      .agg(max(col("size_bytes")).as("size_bytes"))
+    import spark.implicits._
+    // the census is a FILESYSTEM listing, not a table scan: (path,
+    // length) comes from directory metadata in seconds — projecting
+    // _metadata per row would read every row of the table to answer a
+    // file-count question. File lists are driver-scale (1e5–1e6
+    // entries at 100 TB — the same order every Spark read already
+    // lists into its file index).
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter { f =>
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(f => (f.getPath.toString, f.getLen))
+      .toSeq
+    val census = files.toDF("file_path", "size_bytes")
     Packing.packBySizeBudget(census, "file_path", "size_bytes", targetBytes, shards)
   }
 }

@@ -30,9 +30,13 @@ object SemiStructured {
       s"JSON fields collide with existing columns: ${clash.mkString(", ")} — " +
         "rename in the DDL (e.g. \"k INT\" -> \"props_k INT\" via a post-select)")
     val parsed = from_json(col(jsonCol), schema)
-    df.withColumn("_parsed", parsed)
-      .select(col("*"), col("_parsed.*"))
-      .drop("_parsed")
+    // collision-free temp name: a caller's own "_parsed" column must
+    // survive untouched
+    val tmp = Iterator.from(0).map(i => s"_parsed$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(tmp, parsed)
+      .select(col("*"), col(s"$tmp.*"))
+      .drop(tmp)
   }
 
   /** One extracted field as a Column without materializing the rest

@@ -123,11 +123,12 @@ object Jdbc {
   def catalogSqlFor(url: String): String = {
     val scheme = url.stripPrefix("jdbc:").takeWhile(_ != ':').toLowerCase
     scheme match {
+      // Derby predates information_schema entirely
       case "derby" => "SELECT SCHEMANAME FROM SYS.SYSSCHEMAS"
-      case "mysql" | "mariadb" =>
-        "SELECT schema_name FROM information_schema.schemata"
-      case "postgresql" =>
-        "SELECT schema_name FROM information_schema.schemata"
+      // MySQL/MariaDB (where this IS the result set of SHOW
+      // DATABASES), Postgres, and every other ANSI engine share the
+      // standard view — one arm, so adding a truly divergent dialect
+      // later means adding a case, not diffing identical strings
       case _ => "SELECT schema_name FROM information_schema.schemata"
     }
   }

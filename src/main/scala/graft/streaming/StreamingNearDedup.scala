@@ -74,6 +74,16 @@ object StreamingNearDedup {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // same guard as Dedup.duplicateClusters: a silent long cast of a
+    // string/UUID id nulls every doc_id and the collision stream
+    // degenerates to null rows with no error
+    val idType = docs.schema(idCol).dataType
+    require(idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"bandCollisions requires an integral id column; '$idCol' is " +
+      s"${idType.simpleString} — map ids to a long surrogate upstream")
     val rows = numHashes / bands
     // staged projections, exactly like the batch signature pipeline
     // (inlining would duplicate the shingle/hash subtree per band)
