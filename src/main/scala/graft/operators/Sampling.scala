@@ -69,10 +69,46 @@ object Sampling {
     df.join(winners, Seq(idCol))
   }
 
+  /** [[capPerGroup]] ranked by an explicit score instead of the
+    * uniform hash — "keep the BEST k per domain" (highest quality
+    * score, longest document) rather than a random k-subset. Same
+    * salted two-phase exactness argument: (score desc, id asc) is a
+    * total order, so the global per-group top-k is contained in the
+    * union of per-salt top-k sets. The score expression must be
+    * computable on `df`'s columns; only (id, group, score) triples
+    * ride the windows.
+    */
+  def capPerGroupBy(
+      df: DataFrame, idCol: String, groupCol: String, k: Int,
+      scoreCol: Column, salts: Int = 32): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(salts >= 1, "salts must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val order = Seq(col("_score").desc, col(idCol).asc)
+    val perSalt = W
+      .partitionBy(col(groupCol), pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+      .orderBy(order: _*)
+    val perGroup = W.partitionBy(col(groupCol)).orderBy(order: _*)
+    val winners = df.select(col(idCol), col(groupCol), scoreCol.as("_score"))
+      .withColumn("__salt_rank", row_number().over(perSalt))
+      .filter(col("__salt_rank") <= k)
+      .withColumn("sample_rank", row_number().over(perGroup).cast("bigint"))
+      .filter(col("sample_rank") <= k)
+      .select(col(idCol), col("sample_rank"))
+    df.join(winners, Seq(idCol))
+  }
+
   /** Disjoint deterministic split: assigns each row a split label by
     * cumulative fraction ranges over the hash score. Fractions must
     * sum to ≤ 1; `split` is null for rows beyond the last boundary
     * when they sum to strictly less than 1.
+    *
+    * Leakage-safe group-level splits fall out of the key choice: pass
+    * the GROUP column (source/domain, near-dup cluster id) as `idCol`
+    * and every row of a group lands in the same split — row-hashed
+    * splits let near-identical documents from one domain straddle
+    * train/test and inflate eval. Fractions then apportion groups,
+    * so per-split ROW counts track group sizes, not fractions.
     *
     * When fractions sum to (numerically) 1, the FINAL bucket is the
     * catch-all `otherwise` branch rather than a `score < bound`

@@ -105,15 +105,36 @@ object SamplingQueries {
        |  min(doc_id) AS min_id
        |FROM packed GROUP BY shard, pack_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q64 — quality-ranked per-source cap: keep each source's LONGEST
+  // 10 documents (score = n_chars) instead of a uniform subset —
+  // same salted two-phase window machinery as q57, explicit score.
+  // ---------------------------------------------------------------
+  def q64QualityCap(spark: SparkSession, d: String): DataFrame =
+    Sampling.capPerGroupBy(Tables.documents(spark, d), "doc_id", "source",
+        SourceCap, scoreCol = col("n_chars"))
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+
+  val q64Sql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+       |      AS sample_rank
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+       |FROM ranked WHERE sample_rank <= $SourceCap""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_deterministic_split" -> (q26DeterministicSplit _),
     "q27_stratified_sample"   -> (q27StratifiedSample _),
     "q57_source_cap"          -> (q57SourceCap _),
-    "q61_packing"             -> (q61Packing _))
+    "q61_packing"             -> (q61Packing _),
+    "q64_quality_cap"         -> (q64QualityCap _))
 
   val oracleSql: Map[String, String] = Map(
     "q26_deterministic_split" -> q26Sql,
     "q27_stratified_sample"   -> q27Sql,
     "q57_source_cap"          -> q57Sql,
-    "q61_packing"             -> q61Sql)
+    "q61_packing"             -> q61Sql,
+    "q64_quality_cap"         -> q64Sql)
 }

@@ -93,6 +93,35 @@ class SamplingSpec extends AnyFunSuite {
       .count() == docs.count())
   }
 
+  test("capPerGroupBy keeps the top-k BY SCORE per group; salted == unsalted") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val capped = Sampling.capPerGroupBy(docs, "doc_id", "source", 5, $"n_chars")
+    // every kept doc is at least as long as every unkept doc of its source
+    val keptMin = capped.groupBy("source").agg(min($"n_chars").as("kmin"))
+    val unkeptMax = docs.join(capped.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(max($"n_chars").as("umax"))
+    val bad = keptMin.join(unkeptMax, "source").filter($"umax" > $"kmin").collect()
+    assert(bad.isEmpty, s"an unkept doc outranks a kept one: ${bad.toSeq}")
+    assert(capped.groupBy("source").count().collect().forall(_.getLong(1) == 5))
+    // exactness of the salted two-phase under the explicit score order
+    def ids(salts: Int) = Sampling.capPerGroupBy(docs, "doc_id", "source", 5,
+      $"n_chars", salts = salts).select("doc_id", "sample_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids(1) == ids(32))
+  }
+
+  test("splitting on the group column is leakage-safe: a source never straddles splits") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val split = Sampling.deterministicSplit(docs, "source",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val perSource = split.groupBy("source")
+      .agg(countDistinct($"split").as("n_splits")).collect()
+    assert(perSource.forall(_.getLong(1) == 1L),
+      "every document of a source must land in exactly one split")
+    assert(split.select("split").distinct().count() > 1,
+      "groups spread across multiple splits")
+  }
+
   test("packBySizeBudget: bounded packs, dense layout, deterministic, lossless") {
     import graft.operators.Packing
     val docs = Tables.documents(spark, TestSpark.sf)
