@@ -46,10 +46,29 @@ object CacheLifecycle {
     * it never produces wrong results.
     */
   def releaseAfterFirstUse(
-      caches: Seq[DataFrame], maxIdleMs: Long = 60L * 60 * 1000): Unit = {
-    if (caches.isEmpty) return
+      caches: Seq[DataFrame], maxIdleMs: Long = 60L * 60 * 1000): Unit =
+    releaseOnMatch(caches, caches, maxIdleMs)
+
+  /** Like [[releaseAfterFirstUse]], but the release fires only when a
+    * plan containing `trigger` (the operator's RETURNED frame, or a
+    * derivative) executes — for operators that also run EAGER jobs
+    * over the caches while assembling that frame (a sketch build, a
+    * convergence count): those jobs' listener events are delivered
+    * asynchronously and can land after registration, and since their
+    * plans contain the cache subtree they would release it before the
+    * returned plan ever ran. Keying on the returned plan instead makes
+    * the pre-registration jobs unmatchable by construction.
+    */
+  def releaseWhenExecuted(
+      trigger: DataFrame, caches: Seq[DataFrame],
+      maxIdleMs: Long = 60L * 60 * 1000): Unit =
+    releaseOnMatch(Seq(trigger), caches, maxIdleMs)
+
+  private def releaseOnMatch(
+      matchOn: Seq[DataFrame], caches: Seq[DataFrame], maxIdleMs: Long): Unit = {
+    if (caches.isEmpty || matchOn.isEmpty) return
     val spark = caches.head.sparkSession
-    val ourPlans = caches.map(_.queryExecution.analyzed)
+    val ourPlans = matchOn.map(_.queryExecution.analyzed)
     val released = new AtomicBoolean(false)
     var unregister: () => Unit = () => ()
     def release(): Unit =

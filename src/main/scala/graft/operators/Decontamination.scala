@@ -74,4 +74,66 @@ object Decontamination {
       contaminationReport(corpus, bench, idCol, textCol, n, minOverlap)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** `might_contain` over a serialized `BloomFilter` sketch — wraps
+    * Spark's own codegen'd runtime-filter predicate (the expression
+    * behind `InjectRuntimeFilter`); the sketch literal deserializes
+    * once per task, not per row. Value must be the same long the
+    * sketch was built from.
+    */
+  private def mightContain(bloomBytes: Array[Byte], value: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(value)))
+  }
+
+  /** [[contaminationReport]] for benchmark sets too big to broadcast
+    * exactly. Same EXACT semantics, different 100 TB plan: a Bloom
+    * sketch of the benchmark shingle hashes (~1.2 bytes/item at 1%
+    * fpp vs 8+ bytes/item for the exact set) is built distributed,
+    * pulled to the driver once (config-sized: `fpp` and the item
+    * count bound it), and shipped as a literal — each corpus
+    * partition drops non-colliding shingles MAP-SIDE, so only true
+    * overlaps plus the ~fpp sliver of false positives ever shuffle.
+    * The surviving sliver then confirms against the exact benchmark
+    * set with a SHUFFLE semi-join (both sides now small) — false
+    * positives die there, and false negatives can't exist (Bloom
+    * guarantees no false negatives), so the report equals
+    * [[contaminationReport]] row-for-row; only the plan differs.
+    *
+    * Eager by design: building the sketch runs two jobs (count +
+    * sketch aggregation) before the returned plan is assembled —
+    * the benchmark side is materialized once per benchmark release
+    * in practice, exactly like the exact-set variant.
+    */
+  def contaminationReportBloom(
+      corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int, minOverlap: Long = 1L, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val benchSet = benchmarkShingles(bench, idCol, textCol, n).persist()
+    val items = math.max(benchSet.count(), 1L)
+    val bloom = benchSet.stat.bloomFilter("h", items, fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val out = shingleHashes(corpus, idCol, textCol, n)
+      .filter(mightContain(bloomBytes, col("h")))
+      // exact confirm: shuffle semi-join (NOT broadcast — the point of
+      // the sketch is that the exact set needn't fit in one place).
+      // The hint rides the BUILD side (right, for left_semi).
+      .join(benchSet.hint("shuffle_hash"), Seq("h"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+      .select(col("id").as(idCol), col("n_shared"))
+    // keyed on the returned plan, NOT the cache: the sketch build above
+    // already ran jobs over benchSet, whose async listener events must
+    // not release the cache before `out` executes
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(benchSet))
+    out
+  }
 }

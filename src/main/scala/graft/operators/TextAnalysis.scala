@@ -207,4 +207,92 @@ object TextAnalysis {
       col(idCol),
       contentFingerprint(col(textCol)).as("sha256_fingerprint"),
       xxhash64(normalizedText(col(textCol))).as("hash64"))
+
+  /** TF-IDF keyword extraction: the top-`k` terms of each document by
+    * tf·idf, with deterministic (score desc, term asc) ranking.
+    *
+    * Terms are lowercase alphanumeric runs (`[a-z0-9]+` over the
+    * lowercased text — punctuation-stripped, unlike the `\S+` token
+    * statistics, because keywords shouldn't differ by trailing
+    * commas). The idf factor is the plain ratio N/df — the
+    * [[Retrieval]] idiom: every operation stays IEEE +,*,/ with fixed
+    * association, so scores are bit-reproducible across engines
+    * (transcendental log is the one thing two engines won't agree on
+    * to the ulp). Ranking is the same monotone-in-rarity shape.
+    *
+    * Plan shape: explode → (doc, term) count [one shuffle, map-side
+    * combine] → per-term document frequency [second shuffle; hot
+    * stopword terms are fine because partial counts combine at the
+    * scan] → join back keyed on term → per-document top-k window.
+    * The per-document window partitions by doc id, bounded by a
+    * document's distinct-term count — no Zipfian hot key is possible
+    * (contrast per-GROUP top-k, which [[Sampling.capPerGroup]] salts).
+    * At warehouse scale the (term, df) dictionary is a maintained
+    * table and the join shuffles (term, count) pairs only.
+    */
+  def tfidfKeywords(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val tk = df.select(col(idCol).as("id"),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .as("term"))
+    // tf feeds BOTH the df dictionary and the scoring join; persist so
+    // the explode+count runs once. Released after first use.
+    val tf = tk.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf")).persist()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_dft"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
+    val out = tf.join(dfreq, "term").crossJoin(n)
+      .withColumn("score",
+        col("tf").cast("double") * col("_n").cast("double") / col("_dft").cast("double"))
+      .withColumn("kw_rank", row_number().over(w).cast("bigint"))
+      .filter(col("kw_rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("score"), col("kw_rank"))
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(tf))
+    out
+  }
+
+  /** Overlapping token-window chunking — the training/RAG context-
+    * window layout: each document becomes chunks of `chunkTokens`
+    * whitespace tokens starting every `stride` tokens, rejoined with
+    * single spaces (whitespace-lossy by construction; chunk
+    * boundaries, not byte fidelity, are the contract).
+    *
+    * Chunk starts are the 1-based grid {1, 1+stride, …}; a start
+    * whose chunk would be fully contained in the previous chunk is
+    * dropped (s > n − chunkTokens + stride), so the final chunk is
+    * the one that reaches the end, never a redundant tail sliver.
+    * Coverage is total: the largest kept start exceeds n − chunkTokens
+    * (grid step = stride ≤ chunkTokens), so every token appears in at
+    * least one chunk — pinned by spec. Documents with zero tokens
+    * produce zero chunks.
+    *
+    * Pure per-row expression work plus the explode — no shuffle at
+    * all; chunking 100 TB is a map-only pass that parallelizes with
+    * the scan. `chunk_idx` = (start−1)/stride is derivable from the
+    * grid, so no ordinality bookkeeping rides the explode.
+    */
+  def chunkByTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be positive")
+    require(stride >= 1 && stride <= chunkTokens,
+      "stride must be in [1, chunkTokens]")
+    val keepTail = chunkTokens - stride
+    val withTk = df
+      .select(col(idCol), regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("_tk"))
+      .filter(size(col("_tk")) > 0)
+    val starts = filter(
+      sequence(lit(1), size(col("_tk")), lit(stride)),
+      s => (s === 1) || (s <= size(col("_tk")) - keepTail))
+    withTk.select(col(idCol), col("_tk"), explode(starts).as("_s"))
+      .select(
+        col(idCol),
+        ((col("_s") - 1) / stride).cast("bigint").as("chunk_idx"),
+        array_join(slice(col("_tk"), col("_s"), lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens), size(col("_tk")) - col("_s") + 1).cast("bigint")
+          .as("n_tokens"))
+  }
 }

@@ -596,6 +596,53 @@ object ExtensionQueries {
       |FROM tk JOIN freq USING (w) GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q65 — TF-IDF keyword extraction: top-3 terms per document by
+  // tf·(N/df) with (score desc, term asc) determinism. Ratio idf (no
+  // log) keeps scores bit-identical across engines (the q45 idiom).
+  // ---------------------------------------------------------------
+  def q65TfidfKeywords(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidfKeywords(Tables.documents(spark, d), "doc_id", "text", k = 3)
+
+  val q65Sql: String =
+    """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY term),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |scored AS (SELECT doc_id, term, tf,
+      |    CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(dft AS DOUBLE) AS score
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk FROM scored)
+      |SELECT doc_id, term, tf, score, CAST(rnk AS BIGINT) AS kw_rank
+      |FROM ranked WHERE rnk <= 3""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q66 — overlapping token-window chunking (training/RAG context
+  // layout): 32-token chunks every 24 tokens, redundant tail slivers
+  // dropped, full coverage. Map-only — no shuffle at any scale.
+  // ---------------------------------------------------------------
+  private val ChunkTokens = 32
+  private val ChunkStride = 24
+
+  def q66Chunks(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkByTokens(Tables.documents(spark, d), "doc_id", "text",
+      chunkTokens = ChunkTokens, stride = ChunkStride)
+
+  val q66Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+       |  FROM documents WHERE len(regexp_extract_all(text, '\\S+')) > 0),
+       |ex AS (
+       |  SELECT doc_id, tk,
+       |    unnest(list_filter(generate_series(1, len(tk), $ChunkStride),
+       |      s -> s = 1 OR s <= len(tk) - ${ChunkTokens - ChunkStride})) AS s
+       |  FROM base)
+       |SELECT doc_id,
+       |  CAST((s - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+       |  array_to_string(tk[s : s + ${ChunkTokens - 1}], ' ') AS chunk_text,
+       |  CAST(least($ChunkTokens, len(tk) - s + 1) AS BIGINT) AS n_tokens
+       |FROM ex""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_dedup_exact"        -> (q10DedupExact _),
@@ -616,7 +663,9 @@ object ExtensionQueries {
     "q21_multimodal_meta"    -> (q21MultimodalMeta _),
     "q38_repetition"         -> (q38Repetition _),
     "q39_token_quantiles"    -> (q39TokenQuantiles _),
-    "q40_token_rarity"       -> (q40TokenRarity _))
+    "q40_token_rarity"       -> (q40TokenRarity _),
+    "q65_tfidf_keywords"     -> (q65TfidfKeywords _),
+    "q66_token_chunks"       -> (q66Chunks _))
 
   val oracleSql: Map[String, String] = Map(
     "q10_dedup_exact"        -> q10Sql,
@@ -637,5 +686,7 @@ object ExtensionQueries {
     "q21_multimodal_meta"    -> q21Sql,
     "q38_repetition"         -> q38Sql,
     "q39_token_quantiles"    -> q39Sql,
-    "q40_token_rarity"       -> q40Sql)
+    "q40_token_rarity"       -> q40Sql,
+    "q65_tfidf_keywords"     -> q65Sql,
+    "q66_token_chunks"       -> q66Sql)
 }

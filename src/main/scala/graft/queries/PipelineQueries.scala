@@ -424,7 +424,49 @@ object PipelineQueries {
        |SELECT window_id, e.event_id, e.event_type
        |FROM events e JOIN w ON epoch_us(e.ts) BETWEEN ws AND we""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q67 — Bloom-prefiltered decontamination: SAME exact semantics as
+  // q42 (the oracle is q42's SQL with n=6, minOverlap=2), different
+  // 100 TB plan — a broadcast Bloom sketch drops non-colliding corpus
+  // shingles map-side, and the surviving sliver confirms against the
+  // exact benchmark set with a shuffle semi-join (nothing corpus- or
+  // benchmark-scale is ever broadcast exactly). Bloom has no false
+  // negatives and the confirm join kills false positives, so the
+  // result is exact — which is exactly why it CAN be oracle-checked.
+  // ---------------------------------------------------------------
+  private val BloomN = 6
+  private val BloomMinOverlap = 2L
+
+  def q67BloomDecontam(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    Decontamination.contaminationReportBloom(
+      corpus = docs.filter(col("doc_id") % BenchMod =!= 0),
+      bench = docs.filter(col("doc_id") % BenchMod === 0),
+      idCol = "doc_id", textCol = "text",
+      n = BloomN, minOverlap = BloomMinOverlap, fpp = 0.01)
+  }
+
+  val q67Sql: String = {
+    val h = (s: String) =>
+      s"CAST(CAST(('0x' || substr(md5($s), 1, 15)) AS UBIGINT) AS BIGINT)"
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(w) >= $BloomN
+       |      THEN list_transform(range(1, len(w) - $BloomN + 2),
+       |             i -> array_to_string(w[i:i+${BloomN - 1}], ' '))
+       |      ELSE [] END)) AS s
+       |  FROM tok),
+       |bench AS (SELECT DISTINCT ${h("s")} AS h FROM sh WHERE doc_id % $BenchMod = 0),
+       |corp AS (SELECT doc_id, ${h("s")} AS h FROM sh WHERE doc_id % $BenchMod <> 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM corp JOIN bench USING (h)
+       |GROUP BY doc_id HAVING count(*) >= $BloomMinOverlap""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_bloom_decontam" -> (q67BloomDecontam _),
     "q42_decontamination" -> (q42Decontamination _),
     "q43_pii_redaction" -> (q43PiiRedaction _),
     "q44_ann_join" -> (q44AnnJoin _),
@@ -438,6 +480,7 @@ object PipelineQueries {
     "q51_range_join" -> (q51RangeJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q67_bloom_decontam" -> q67Sql,
     "q42_decontamination" -> q42Sql,
     "q43_pii_redaction" -> q43Sql,
     "q44_ann_join" -> q44Sql,

@@ -41,6 +41,24 @@ class CacheLifecycleSpec extends AnyFunSuite {
       "posting-list/prefix caches still present after the pair plan executed")
   }
 
+  test("bloom decontamination's eager sketch jobs do not release the benchmark cache early") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, TestSpark.sf).limit(80)
+    val before = cachedRddIds()
+    val out = graft.operators.Decontamination.contaminationReportBloom(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 5)
+    // the sketch build already ran jobs over the cached benchmark set;
+    // their async listener events must NOT release it (the release is
+    // keyed on the returned plan, which hasn't executed yet)
+    Thread.sleep(1500)
+    assert((cachedRddIds() -- before).nonEmpty,
+      "benchmark shingle cache must stay pinned until the report executes")
+    out.count()
+    assert(eventually() { cachedRddIds().subsetOf(before) },
+      "benchmark shingle cache still present after the report executed")
+  }
+
   test("WithCaches variant leaves the cache to the caller") {
     // distinct parameterization from the plain-call tests above, so an
     // unconsumed listener from those can never match this plan

@@ -58,6 +58,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       .contaminationReport(corpus, benchDocs, "id", "text", n = 4).count() === 0)
   }
 
+  test("bloom-prefiltered decontamination equals the exact report on a real corpus") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = asMap(Decontamination
+      .contaminationReport(corpus, bench, "doc_id", "text", n = 6, minOverlap = 2))
+    // a deliberately coarse sketch (high fpp) stresses the exact-confirm
+    // stage: false positives must all die at the semi-join
+    val bloom = asMap(Decontamination.contaminationReportBloom(
+      corpus, bench, "doc_id", "text", n = 6, minOverlap = 2, fpp = 0.5))
+    assert(exact.nonEmpty, "fixture must actually contain overlap")
+    assert(bloom === exact,
+      "bloom prefilter + exact confirm must reproduce the exact report")
+  }
+
+  test("bloom decontamination plan confirms with a shuffle join, not a broadcast of the exact set") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(100)
+    val out = Decontamination.contaminationReportBloom(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 6)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("might_contain"),
+      s"corpus side must be bloom-prefiltered map-side:\n$physical")
+    assert(physical.contains("ShuffledHashJoin") || physical.contains("SortMergeJoin"),
+      s"exact confirm must be a shuffle join (the exact set is never broadcast):\n$physical")
+  }
+
   // ---------------------------------------------------------------
   // PII redaction
   // ---------------------------------------------------------------

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Round-5 text operators: TF-IDF keyword extraction and overlapping
+  * token-window chunking.
+  */
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------
+  // TF-IDF keywords
+  // ---------------------------------------------------------------
+
+  test("tfidfKeywords ranks rare distinctive terms above ubiquitous ones") {
+    // "common" appears in every doc (idf = 1); "zebra" only in doc 1
+    val docs = Seq(
+      (1L, "common zebra common zebra zebra"),
+      (2L, "common words common filler text"),
+      (3L, "common text filler words here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(4)) -> r.getString(1)).toMap
+    // doc 1: zebra tf=3, df=1 → 3·3/1 = 9; common tf=2, df=3 → 2
+    assert(out((1L, 1L)) === "zebra")
+    assert(out((1L, 2L)) === "common")
+  }
+
+  test("tfidfKeywords is deterministic on score ties via term order and caps at k") {
+    // two terms with identical tf and df in one doc → tie broken by term asc
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "gamma delta")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 5)
+      .filter(col("doc_id") === 1L).orderBy("kw_rank").collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("alpha", "beta"))
+    assert(rows.map(_.getLong(4)).toSeq === Seq(1L, 2L))
+  }
+
+  test("tfidfKeywords lowercases and strips punctuation from terms") {
+    val docs = Seq((1L, "Hello, HELLO! hello?")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 1).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(1) === "hello")
+    assert(rows.head.getLong(2) === 3L) // tf counts all three casings as one term
+  }
+
+  // ---------------------------------------------------------------
+  // Token chunking
+  // ---------------------------------------------------------------
+
+  private def tokensOf(text: String): Seq[String] =
+    "\\S+".r.findAllIn(text).toSeq
+
+  test("chunkByTokens covers every token, chunks match slices, no redundant tail") {
+    val texts = Seq(
+      3, 8, 9, 10, 16, 17, 24, 25, 100 // below/at/above chunk & stride edges
+    ).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+    val docs = texts.toDF("doc_id", "text")
+    val chunkTokens = 8
+    val stride = 6
+    val out = TextAnalysis.chunkByTokens(docs, "doc_id", "text", chunkTokens, stride)
+      .collect().groupBy(_.getLong(0))
+    texts.foreach { case (id, text) =>
+      val tk = tokensOf(text)
+      val chunks = out(id).sortBy(_.getLong(1))
+      // chunk_idx is the dense 0..m grid positions that survived
+      val starts = chunks.map(r => r.getLong(1).toInt * stride + 1)
+      // every chunk is the exact slice of the original token stream
+      chunks.zip(starts).foreach { case (r, s) =>
+        val expected = tk.slice(s - 1, s - 1 + chunkTokens)
+        assert(r.getString(2) === expected.mkString(" "), s"doc $id start $s")
+        assert(r.getLong(3) === expected.length.toLong)
+      }
+      // total coverage: last chunk reaches the end
+      assert(starts.max + chunkTokens - 1 >= tk.length, s"doc $id tail uncovered")
+      // no redundant tail: each chunk past the first extends past the
+      // previous chunk's (length-clamped) end, i.e. adds new tokens
+      starts.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          val endA = math.min(a + chunkTokens - 1, tk.length)
+          val endB = math.min(b + chunkTokens - 1, tk.length)
+          assert(endB > endA, s"doc $id chunk at $b adds nothing beyond $endA")
+        case _ => ()
+      }
+    }
+  }
+
+  test("chunkByTokens drops zero-token documents and validates parameters") {
+    val docs = Seq((1L, "   "), (2L, "one two")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(docs, "doc_id", "text", 4, 4).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(out.head.getString(2) === "one two")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkByTokens(docs, "doc_id", "text", 4, 5)
+    }
+  }
+
+  test("chunkByTokens back-to-back stride (= chunkTokens) partitions exactly") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkByTokens(docs, "doc_id", "text", 4, 4)
+      .orderBy("chunk_idx").collect()
+    assert(rows.map(_.getString(2)).toSeq ===
+      Seq("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+    assert(rows.map(_.getLong(3)).toSeq === Seq(4L, 4L, 2L))
+  }
+}
