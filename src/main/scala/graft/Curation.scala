@@ -56,6 +56,8 @@ object Curation {
       canonicalBy: Option[org.apache.spark.sql.Column] = None,
       decontamNgram: Int = 8,
       decontamMinOverlap: Long = 1L,
+      decontamBloom: Boolean = false,
+      decontamFpp: Double = 0.01,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
@@ -145,11 +147,19 @@ object Curation {
     val afterNear = nearDeduped.count()
 
     // 5. benchmark decontamination (skipped when no eval set given):
-    // broadcast the benchmark's n-gram set, anti-join overlapping docs
+    // broadcast the benchmark's n-gram set — or, with decontamBloom,
+    // its Bloom sketch (same kept set, for benchmark sets too big to
+    // broadcast exactly) — and anti-join overlapping docs
     val cleaned = benchmark match {
       case Some(bench) =>
-        Decontamination.decontaminate(nearDeduped, bench, idCol, textCol,
-          cfg.decontamNgram, cfg.decontamMinOverlap).persist()
+        val dropFn =
+          if (cfg.decontamBloom)
+            Decontamination.decontaminateBloom(nearDeduped, bench, idCol, textCol,
+              cfg.decontamNgram, cfg.decontamMinOverlap, cfg.decontamFpp)
+          else
+            Decontamination.decontaminate(nearDeduped, bench, idCol, textCol,
+              cfg.decontamNgram, cfg.decontamMinOverlap)
+        dropFn.persist()
       case None => nearDeduped
     }
     val afterDecontam = benchmark.fold(afterNear)(_ => cleaned.count())

@@ -108,6 +108,18 @@ object Decontamination {
     * the benchmark side is materialized once per benchmark release
     * in practice, exactly like the exact-set variant.
     */
+  /** [[decontaminate]] on the Bloom-prefiltered plan — identical
+    * kept set (the report is exact), benchmark-set-sized broadcast
+    * replaced by the sketch.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int, minOverlap: Long = 1L, fpp: Double = 0.01): DataFrame =
+    corpus.join(
+      contaminationReportBloom(corpus, bench, idCol, textCol, n, minOverlap, fpp)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   def contaminationReportBloom(
       corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       n: Int, minOverlap: Long = 1L, fpp: Double = 0.01): DataFrame = {

@@ -117,6 +117,57 @@ object Profiling {
     explodeNumericEntries(df.agg(aggs.head, aggs.tail: _*), target)
   }
 
+  /** Per-dimension embedding profile: one row per vector dimension —
+    * (dim, n, min, max, mean, stddev). The collapsed-dimension /
+    * dead-channel diagnostic for embedding corpora: a dimension whose
+    * stddev ≈ 0 carries no information (dead encoder output), and a
+    * mean drifting from a sibling corpus's flags representation
+    * drift.
+    *
+    * Engine-exact by fixed-point quantization, NOT by casting doubles
+    * to decimal — engines disagree on that cast (Spark goes through
+    * the shortest string representation, DuckDB converts the exact
+    * binary value; the sums then differ in the last ulps). Instead
+    * each value is scaled to an integer with half-even rounding —
+    * w = bround(v·10¹⁵), all IEEE-deterministic (bround ↔ round_even,
+    * the q04 idiom) — and the w / w² sums are exact integer decimal
+    * arithmetic, independent of partitioning, row order, and engine.
+    * The sums convert to double THROUGH A STRING on both sides
+    * (string→double parsing is correctly rounded everywhere; the
+    * engines' native decimal→double casts are not), and mean/stddev
+    * evaluate in fixed-order double arithmetic from there. The 10⁻¹⁵
+    * quantization is far below float32 input precision (2⁻²⁴ ≈ 6e-8
+    * relative), so the profile is exact for any real embedding;
+    * components must be |v| ≲ 10³ for the scaled double to stay
+    * integer-exact (unit-norm-ish vectors trivially are).
+    *
+    * Plan: posexplode (×dim rows, map-side) → one grouped aggregate
+    * keyed on dim — partial aggregation means each task emits ≤ dim
+    * partial rows regardless of input size.
+    */
+  def profileEmbedding(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col("col")
+    val w = bround(v * lit(1e15)).cast("decimal(20,0)")
+    val n = col("n").cast("double")
+    val sD = col("_s").cast("string").cast("double") / lit(1e15)
+    val sqD = col("_sq").cast("string").cast("double") / lit(1e30)
+    df.select(posexplode(transform(col(vecCol), x => x.cast("double"))))
+      .groupBy(col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(v).as("min_v"),
+        max(v).as("max_v"),
+        sum(w).as("_s"),
+        sum(w * w).as("_sq"))
+      .select(
+        col("pos").cast("bigint").as("dim"),
+        col("n"),
+        col("min_v"),
+        col("max_v"),
+        (sD / n).as("mean"),
+        sqrt(greatest(sqD - sD * sD / n, lit(0.0)) / (n - lit(1.0))).as("stddev"))
+  }
+
   /** Type-agnostic profile of `cols` (string/date/bool/anything
     * orderable): one row per column — (column, n, n_null, n_distinct,
     * min, max) with min/max rendered as strings. Same one-scan wide

@@ -643,6 +643,38 @@ object ExtensionQueries {
        |FROM ex""".stripMargin
 
   // ---------------------------------------------------------------
+  // q68 — per-dimension embedding profile (dead-channel / drift
+  // diagnostic): n, min, max, mean, stddev per vector dimension.
+  // Exact DECIMAL(38,20) sums of per-value-deterministic doubles
+  // make the result independent of partitioning and engine; the
+  // final mean/stddev evaluate in double from the exact sums.
+  // ---------------------------------------------------------------
+  def q68EmbeddingProfile(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.profileEmbedding(Tables.embeddings(spark, d), "embedding")
+
+  // Mirrors the operator's fixed-point scheme exactly: half-even
+  // integer quantization (round_even ↔ bround), exact integer sums
+  // (HUGEINT ↔ decimal), and decimal→double THROUGH A STRING (the
+  // engines' native decimal→double casts are not correctly rounded;
+  // string→double parsing is, everywhere).
+  val q68Sql: String =
+    """WITH ex AS (
+      |  SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+      |         unnest(generate_series(0, len(embedding) - 1)) AS dim
+      |  FROM embeddings),
+      |qz AS (SELECT dim, v, CAST(round_even(v * 1e15, 0) AS HUGEINT) AS w FROM ex),
+      |agg AS (
+      |  SELECT dim, CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v,
+      |         CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) / 1e15 AS s,
+      |         CAST(CAST(sum(w * w) AS VARCHAR) AS DOUBLE) / 1e30 AS sq
+      |  FROM qz GROUP BY dim)
+      |SELECT CAST(dim AS BIGINT) AS dim, n, min_v, max_v,
+      |  s / CAST(n AS DOUBLE) AS mean,
+      |  sqrt(greatest(sq - s * s / CAST(n AS DOUBLE), 0.0)
+      |    / (CAST(n AS DOUBLE) - 1.0)) AS stddev
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_dedup_exact"        -> (q10DedupExact _),
@@ -665,7 +697,8 @@ object ExtensionQueries {
     "q39_token_quantiles"    -> (q39TokenQuantiles _),
     "q40_token_rarity"       -> (q40TokenRarity _),
     "q65_tfidf_keywords"     -> (q65TfidfKeywords _),
-    "q66_token_chunks"       -> (q66Chunks _))
+    "q66_token_chunks"       -> (q66Chunks _),
+    "q68_embedding_profile"  -> (q68EmbeddingProfile _))
 
   val oracleSql: Map[String, String] = Map(
     "q10_dedup_exact"        -> q10Sql,
@@ -688,5 +721,6 @@ object ExtensionQueries {
     "q39_token_quantiles"    -> q39Sql,
     "q40_token_rarity"       -> q40Sql,
     "q65_tfidf_keywords"     -> q65Sql,
-    "q66_token_chunks"       -> q66Sql)
+    "q66_token_chunks"       -> q66Sql,
+    "q68_embedding_profile"  -> q68Sql)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Skew
+import graft.operators.{Layout, Skew}
 
 /** Scale-mechanics queries: the operators whose whole point is the
   * 100 TB plan shape, pinned by oracles on the same semantics.
@@ -75,12 +75,38 @@ object ScaleQueries {
        |GROUP BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // q69 — Z-order (Morton) clustering value over (user_id, day):
+  // the multi-dimensional layout key `Layout.writeClustered` sorts
+  // by. The oracle states the identical mask-shift interleave —
+  // generated from the SAME constant table (`Layout.spreadSql`), so
+  // engine and oracle cannot drift. Pure per-row integer ops.
+  // ---------------------------------------------------------------
+
+  def q69Zorder(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).cast("long").as("day"))
+      .withColumn("zvalue", Layout.zorder2(col("user_id"), col("day")))
+
+  val q69Sql: String = {
+    val sx = Layout.spreadSql("user_id")
+    val sy = Layout.spreadSql("day")
+    s"""WITH b AS (
+       |  SELECT event_id, user_id,
+       |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+       |  FROM events)
+       |SELECT event_id, user_id, day,
+       |  CAST(($sx) | (($sy) << 1) AS BIGINT) AS zvalue
+       |FROM b""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_salted_distinct"   -> (q36SaltedDistinct _),
-    "q37_partition_pruning" -> (q37PartitionPruning _))
+    "q37_partition_pruning" -> (q37PartitionPruning _),
+    "q69_zorder_key"        -> (q69Zorder _))
 
   val oracleSql: Map[String, String] = Map(
     "q36_salted_distinct"   -> q36Sql,
-    "q37_partition_pruning" -> q37Sql)
+    "q37_partition_pruning" -> q37Sql,
+    "q69_zorder_key"        -> q69Sql)
 }

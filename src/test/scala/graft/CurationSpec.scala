@@ -109,5 +109,15 @@ class CurationSpec extends AnyFunSuite {
     val overlap = graft.operators.Decontamination
       .contaminationReport(keptDocs, bench, "doc_id", "text", n = 8)
     assert(overlap.count() == 0, "sink must be clean of benchmark n-grams")
+
+    // the bloom-prefiltered plan keeps the identical funnel counts
+    val outBloom = Files.createTempDirectory("curation_bloom").toString + "/corpus"
+    val rBloom = Curation.curate(
+      spark, corpus, "doc_id", "text", outBloom,
+      CurationConfig(decontamBloom = true),
+      benchmark = Some(bench))
+    assert(rBloom.afterDecontamination == r.afterDecontamination &&
+      rBloom.splits == r.splits,
+      "bloom decontamination must keep exactly the broadcast path's survivors")
   }
 }

@@ -111,4 +111,21 @@ class ProfilingSpec extends AnyFunSuite {
     assert(top(32) == expected)
     assert(top(1) == expected)
   }
+
+  test("profileEmbedding: dead dimension flags stddev 0, stats hand-checked") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.5f, 2.0f)),
+      (2L, Array(1.0f, 1.5f, 4.0f)),
+      (3L, Array(1.0f, 2.5f, 6.0f))).toDF("id", "embedding")
+    val p = Profiling.profileEmbedding(vecs, "embedding").orderBy("dim").collect()
+    assert(p.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(p.forall(_.getLong(1) === 3L))
+    // dim 0 is constant: the dead-channel signature is stddev exactly 0
+    assert(p(0).getDouble(4) === 1.0 && p(0).getDouble(5) === 0.0)
+    // dim 1: mean of {0.5, 1.5, 2.5}; dim 2: stddev of {2,4,6} = 2
+    assert(p(1).getDouble(4) === 1.5 && p(1).getDouble(5) === 1.0)
+    assert(p(2).getDouble(4) === 4.0 && p(2).getDouble(5) === 2.0)
+    assert(p(2).getDouble(2) === 2.0 && p(2).getDouble(3) === 6.0)
+  }
 }
