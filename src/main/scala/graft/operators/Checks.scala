@@ -267,4 +267,55 @@ object Checks {
           col("u.sum_dec").cast("double") / col("n_rows").cast("double"))
           .otherwise(lit(null).cast("double")).as("mean_value"))
   }
+
+  /** Robust per-group outlier report: median / MAD fences, the
+    * anomaly check that survives the anomalies (mean/stddev fences
+    * move with the outliers they're supposed to catch; the median and
+    * the median absolute deviation have 50% breakdown). A value is an
+    * outlier when |v − median| > cutoff · 1.4826 · MAD (1.4826
+    * rescales MAD to σ under normality; cutoff 3.5 is the standard
+    * Iglewicz–Hoberg modified-z fence).
+    *
+    * Engine-exact across Spark and DuckDB even though both
+    * interpolate quantiles in floating point: values are half-even
+    * quantized to integers first (w = bround(v·scale), the q68
+    * idiom), and linear interpolation BETWEEN INTEGER-VALUED DOUBLES
+    * is exact — `a + (b−a)·q` incurs zero rounding for q ∈ {.25,.5}
+    * and |w| < 2⁵¹ — so both engines compute the identical median and
+    * MAD, and the fence comparison agrees row-for-row.
+    *
+    * Three grouped aggregates (median → MAD → fence count), but only
+    * (group, w) pairs ever shuffle and the joins carry one row per
+    * group. `exact=false` swaps the percentiles for
+    * `approx_percentile` sketches (mergeable, bounded memory) — the
+    * 100 TB path when a group's value multiset is too large for the
+    * exact percentile's per-group buffer; fences are then
+    * approximate, not oracle-matched.
+    */
+  def robustOutliers(
+      df: DataFrame, valueCol: String, groupCol: String,
+      cutoff: Double = 3.5, scale: Double = 1e6,
+      exact: Boolean = true): DataFrame = {
+    val w = bround(col(valueCol).cast("double") * lit(scale))
+    val medAgg =
+      if (exact) expr("percentile(_w, 0.5)")
+      else percentile_approx(col("_w"), lit(0.5), lit(10000))
+    val quantized = df.select(col(groupCol), w.as("_w"))
+      .filter(col("_w").isNotNull)
+    val medians = quantized.groupBy(col(groupCol)).agg(medAgg.as("_med"))
+    val withDev = quantized.join(medians, Seq(groupCol))
+      .withColumn("_dev", abs(col("_w") - col("_med")))
+    val madAgg =
+      if (exact) expr("percentile(_dev, 0.5)")
+      else percentile_approx(col("_dev"), lit(0.5), lit(10000))
+    val mads = withDev.groupBy(col(groupCol)).agg(madAgg.as("_mad"))
+    withDev.join(mads, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        (first(col("_med")) / lit(scale)).as("median_value"),
+        (first(col("_mad")) / lit(scale)).as("mad"),
+        sum(when(col("_dev") > lit(cutoff) * lit(1.4826) * col("_mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -168,6 +168,73 @@ object Profiling {
         sqrt(greatest(sqD - sD * sD / n, lit(0.0)) / (n - lit(1.0))).as("stddev"))
   }
 
+  /** Pairwise dimension covariance / correlation of an embedding
+    * column — one row per dimension pair (i < j): (dim_i, dim_j, n,
+    * cov, corr). The redundancy diagnostic that [[profileEmbedding]]
+    * can't see: two dimensions with |corr| ≈ 1 carry one dimension of
+    * information (an encoder defect), and the full matrix is the
+    * input to PCA-whitening and to selecting decorrelated dimensions
+    * for cheap pre-filters.
+    *
+    * Same fixed-point scheme as [[profileEmbedding]] — values
+    * half-even quantized to integers (w = bround(v·10¹⁵)), so the
+    * Σwᵢ, Σwᵢ², Σwᵢwⱼ sums are exact integer decimal arithmetic
+    * (order- and engine-independent), then converted to double
+    * through a string and combined in one fixed expression order.
+    * cov = (Σxy − ΣxΣy/n)/(n−1); corr divides by the same-sum
+    * variance radicands (clamped at 0, the q55 lesson).
+    *
+    * Plan: each row emits its dim·(dim−1)/2 products map-side
+    * (flatten/transform over index sequences — no self-join, the
+    * vector never shuffles) into ONE grouped aggregate keyed on
+    * (i,j); partial aggregation bounds every task's output at
+    * dim²/2 rows regardless of row count, and the per-dimension sums
+    * join on broadcast-sized frames. O(dim²) work per row is the
+    * covariance lower bound; dim ≲ a few thousand is the practical
+    * ceiling (4096-dim ⇒ 8.4M partials per task — still fine).
+    */
+  def embeddingCovariance(df: DataFrame, vecCol: String): DataFrame = {
+    val wArr = transform(col(vecCol), x => bround(x.cast("double") * lit(1e15)).cast("decimal(20,0)"))
+    val quantized = df.select(wArr.as("_w"))
+    val idx = sequence(lit(0), size(col("_w")) - 1)
+    // inner index list via slice, NOT sequence(i+1, dim-1): Spark's
+    // sequence(a, b) with a > b yields a DESCENDING sequence, so the
+    // last i would emit bogus reversed pairs; slice past the end is
+    // just empty.
+    val pairStructs = flatten(transform(idx, i =>
+      transform(slice(idx, i + 2, size(col("_w"))), j =>
+        struct(
+          i.cast("int").as("i"), j.cast("int").as("j"),
+          (element_at(col("_w"), i + 1) * element_at(col("_w"), j + 1)).as("wij")))))
+    val pairAgg = quantized
+      .select(explode(pairStructs).as("p"))
+      .groupBy(col("p.i"), col("p.j"))
+      .agg(count(lit(1)).as("n"), sum(col("p.wij")).as("_sxy"))
+    val dimAgg = quantized
+      .select(posexplode(col("_w")).as(Seq("pos", "w")))
+      .groupBy(col("pos"))
+      .agg(sum(col("w")).as("_s"), sum(col("w") * col("w")).as("_sq"))
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("string").cast("double")
+    val n = col("n").cast("double")
+    val sx = d(col("a._s")) / lit(1e15)
+    val sy = d(col("b._s")) / lit(1e15)
+    val sqx = d(col("a._sq")) / lit(1e30)
+    val sqy = d(col("b._sq")) / lit(1e30)
+    val sxy = d(col("_sxy")) / lit(1e30)
+    val cxy = sxy - sx * sy / n
+    pairAgg
+      .join(broadcast(dimAgg.as("a")), col("i") === col("a.pos"))
+      .join(broadcast(dimAgg.as("b")), col("j") === col("b.pos"))
+      .select(
+        col("i").cast("bigint").as("dim_i"),
+        col("j").cast("bigint").as("dim_j"),
+        col("n"),
+        (cxy / (n - lit(1.0))).as("cov"),
+        (cxy / sqrt(greatest(sqx - sx * sx / n, lit(0.0)) *
+          greatest(sqy - sy * sy / n, lit(0.0)))).as("corr"))
+  }
+
   /** Type-agnostic profile of `cols` (string/date/bool/anything
     * orderable): one row per column — (column, n, n_null, n_distinct,
     * min, max) with min/max rendered as strings. Same one-scan wide

@@ -148,4 +148,89 @@ object Sampling {
     }
     df.filter(hashScore(col(idCol)) < frac)
   }
+
+  /** Weighted sample WITHOUT replacement: keep the k rows with the
+    * largest priority `weight / u`, u uniform on (0,1] — priority
+    * sampling (Duffield–Lund–Thorup, JACM 2007; the fixed-size
+    * counterpart of Efraimidis–Spirakis exponential keys). Longer /
+    * higher-quality documents are proportionally more likely to
+    * survive, which is the "sample the corpus by token count, not
+    * document count" mixing primitive.
+    *
+    * Engine-portable where the exponential-keys form is not: the
+    * classic key `u^(1/w)` needs `pow`/`ln`, which libms round
+    * differently; a single IEEE division is correctly rounded
+    * everywhere, so the same row set survives on any engine. u is the
+    * md5 hash score shifted to (0,1] — `(h+1)/2³²` — so the division
+    * can never hit u=0.
+    *
+    * Global top-k via the same salted two-phase window as
+    * [[capPerGroup]] (phase 1 ranks inside each of `salts` hash
+    * shards, phase 2 ranks the ≤ salts·k survivors): no single task
+    * ever sorts the full corpus, and only (id, weight) pairs ride the
+    * windows — payload joins back by id. Exact by the containment
+    * argument over the (priority desc, id asc) total order.
+    *
+    * Rows with weight ≤ 0 or null are excluded (they carry no mass).
+    */
+  def prioritySample(
+      df: DataFrame, idCol: String, weightCol: Column, k: Int,
+      salts: Int = 32): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(salts >= 1, "salts must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967296.0)
+    val priority = col("_w").cast("double") / u
+    val order = Seq(priority.desc, col(idCol).asc)
+    val perSalt = W
+      .partitionBy(pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+      .orderBy(order: _*)
+    val global = W.partitionBy().orderBy(order: _*)
+    val winners = df.select(col(idCol), weightCol.as("_w"))
+      .filter(col("_w").isNotNull && col("_w") > lit(0))
+      .withColumn("__salt_rank", row_number().over(perSalt))
+      .filter(col("__salt_rank") <= k)
+      .withColumn("priority_rank", row_number().over(global).cast("bigint"))
+      .filter(col("priority_rank") <= k)
+      .select(col(idCol), col("priority_rank"))
+    df.join(winners, Seq(idCol))
+  }
+
+  /** Source mixing to a row budget: sample each group down so the
+    * kept corpus approximates `budget` rows distributed by
+    * `targetWeights` — "the training mix is 50% web, 30% code,
+    * 20% books" as an operator. Per-group keep fraction is
+    * `min(1, budget·w_g / n_g)` (a group short of its target keeps
+    * everything — the shortfall is reported, not silently
+    * reassigned), applied as the deterministic hash-score filter, so
+    * the kept set is reproducible on any engine and any run. Groups
+    * absent from `targetWeights` are dropped.
+    *
+    * The group census is one count-only aggregate joined back onto
+    * the data broadcast-style (one row per group); the sampling
+    * decision itself is a map-side filter. Kept-row counts are
+    * binomially concentrated around the target (exact-k per group is
+    * [[capPerGroup]]'s job; fraction-based keeps this single-pass and
+    * composable with downstream dedup).
+    */
+  def mixToBudget(
+      df: DataFrame, idCol: String, groupCol: String,
+      targetWeights: Map[String, Double], budget: Long): DataFrame = {
+    require(targetWeights.nonEmpty, "no target weights")
+    require(budget >= 1, "budget must be positive")
+    val weight = targetWeights.foldLeft(lit(null).cast("double")) {
+      case (acc, (g, w)) => when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    val census = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n_group"))
+    df.join(broadcast(census), Seq(groupCol))
+      .withColumn("__w_target", weight)
+      .filter(col("__w_target").isNotNull)
+      .withColumn("keep_fraction",
+        least(lit(1.0),
+          lit(budget.toDouble) * col("__w_target") / col("__n_group").cast("double")))
+      .filter(hashScore(col(idCol)) < col("keep_fraction"))
+      .drop("__w_target", "__n_group")
+  }
 }

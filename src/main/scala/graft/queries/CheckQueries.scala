@@ -266,6 +266,36 @@ object CheckQueries {
        |FROM documents""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  // ---------------------------------------------------------------
+  // q72 — robust outlier report: per-event-type median/MAD fences
+  // over events.value (the modified-z anomaly check whose fences
+  // don't move with the anomalies). Values are half-even quantized
+  // to 10⁻⁶ integers first, so both engines' linear quantile
+  // interpolation is EXACT (integer-valued doubles) and the fence
+  // comparison agrees row-for-row.
+  // ---------------------------------------------------------------
+  def q72RobustOutliers(spark: SparkSession, d: String): DataFrame =
+    Checks.robustOutliers(Tables.events(spark, d), "value", "event_type")
+
+  val q72Sql: String =
+    """WITH qz AS (
+      |  SELECT event_type, round_even(CAST(value AS DOUBLE) * 1000000.0, 0) AS w
+      |  FROM events WHERE value IS NOT NULL),
+      |med AS (
+      |  SELECT event_type, quantile_cont(w, 0.5) AS med FROM qz GROUP BY event_type),
+      |dev AS (
+      |  SELECT q.event_type, q.w, m.med, abs(q.w - m.med) AS dv
+      |  FROM qz q JOIN med m ON q.event_type = m.event_type),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(dv, 0.5) AS mad FROM dev GROUP BY event_type)
+      |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  any_value(d.med) / 1000000.0 AS median_value,
+      |  any_value(a.mad) / 1000000.0 AS mad,
+      |  CAST(sum(CASE WHEN d.dv > 3.5 * 1.4826 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev d JOIN mad a ON d.event_type = a.event_type
+      |GROUP BY d.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_completeness" -> (q22Completeness _),
     "q23_uniqueness"   -> (q23Uniqueness _),
@@ -274,7 +304,8 @@ object CheckQueries {
     "q52_categorical_drift" -> (q52CategoricalDrift _),
     "q53_numeric_drift" -> (q53NumericDrift _),
     "q55_column_profile" -> (q55Profile _),
-    "q55b_string_profile" -> (q55bStringProfile _))
+    "q55b_string_profile" -> (q55bStringProfile _),
+    "q72_robust_outliers" -> (q72RobustOutliers _))
 
   val oracleSql: Map[String, String] = Map(
     "q22_completeness" -> q22Sql,
@@ -284,5 +315,6 @@ object CheckQueries {
     "q52_categorical_drift" -> q52Sql,
     "q53_numeric_drift" -> q53Sql,
     "q55_column_profile" -> q55Sql,
-    "q55b_string_profile" -> q55bSql)
+    "q55b_string_profile" -> q55bSql,
+    "q72_robust_outliers" -> q72Sql)
 }

@@ -675,6 +675,41 @@ object ExtensionQueries {
       |FROM agg""".stripMargin
 
   // ---------------------------------------------------------------
+  // q73 — pairwise dimension covariance/correlation of the embedding
+  // corpus (redundant-dimension diagnostic; PCA-whitening input).
+  // Same fixed-point exactness scheme as q68, extended to the
+  // cross-products: every sum is exact integer arithmetic, doubles
+  // appear only in one fixed final expression, and both engines
+  // convert decimal→double THROUGH A STRING.
+  // ---------------------------------------------------------------
+  def q73EmbeddingCov(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.embeddingCovariance(Tables.embeddings(spark, d), "embedding")
+
+  val q73Sql: String =
+    """WITH ex AS (
+      |  SELECT vec_id,
+      |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+      |         unnest(generate_series(0, len(embedding) - 1)) AS dim
+      |  FROM embeddings),
+      |qz AS (SELECT vec_id, dim, CAST(round_even(v * 1e15, 0) AS HUGEINT) AS w FROM ex),
+      |pairs AS (
+      |  SELECT a.dim AS i, b.dim AS j, a.w * b.w AS wij
+      |  FROM qz a JOIN qz b ON a.vec_id = b.vec_id AND a.dim < b.dim),
+      |pagg AS (
+      |  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(CAST(sum(wij) AS VARCHAR) AS DOUBLE) / 1e30 AS sxy
+      |  FROM pairs GROUP BY i, j),
+      |dagg AS (
+      |  SELECT dim,
+      |         CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) / 1e15 AS s,
+      |         CAST(CAST(sum(w * w) AS VARCHAR) AS DOUBLE) / 1e30 AS sq
+      |  FROM qz GROUP BY dim)
+      |SELECT CAST(p.i AS BIGINT) AS dim_i, CAST(p.j AS BIGINT) AS dim_j, p.n,
+      |  (p.sxy - a.s * b.s / CAST(p.n AS DOUBLE)) / (CAST(p.n AS DOUBLE) - 1.0) AS cov,
+      |  (p.sxy - a.s * b.s / CAST(p.n AS DOUBLE))
+      |    / sqrt(greatest(a.sq - a.s * a.s / CAST(p.n AS DOUBLE), 0.0)
+      |         * greatest(b.sq - b.s * b.s / CAST(p.n AS DOUBLE), 0.0)) AS corr
+      |FROM pagg p JOIN dagg a ON p.i = a.dim JOIN dagg b ON p.j = b.dim""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_dedup_exact"        -> (q10DedupExact _),
@@ -698,7 +733,8 @@ object ExtensionQueries {
     "q40_token_rarity"       -> (q40TokenRarity _),
     "q65_tfidf_keywords"     -> (q65TfidfKeywords _),
     "q66_token_chunks"       -> (q66Chunks _),
-    "q68_embedding_profile"  -> (q68EmbeddingProfile _))
+    "q68_embedding_profile"  -> (q68EmbeddingProfile _),
+    "q73_embedding_cov"      -> (q73EmbeddingCov _))
 
   val oracleSql: Map[String, String] = Map(
     "q10_dedup_exact"        -> q10Sql,
@@ -722,5 +758,6 @@ object ExtensionQueries {
     "q40_token_rarity"       -> q40Sql,
     "q65_tfidf_keywords"     -> q65Sql,
     "q66_token_chunks"       -> q66Sql,
-    "q68_embedding_profile"  -> q68Sql)
+    "q68_embedding_profile"  -> q68Sql,
+    "q73_embedding_cov"      -> q73Sql)
 }

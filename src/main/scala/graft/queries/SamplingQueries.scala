@@ -124,17 +124,84 @@ object SamplingQueries {
        |SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
        |FROM ranked WHERE sample_rank <= $SourceCap""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q70 — weighted sample without replacement (priority sampling):
+  // the 100 documents with the largest n_chars/u priority — "sample
+  // the corpus by length mass, not doc count". The priority is one
+  // IEEE division of portable operands, so both engines rank the
+  // identical row set (the pow/ln-free formulation is the point).
+  // ---------------------------------------------------------------
+  private val PriorityK = 100
+
+  def q70PrioritySample(spark: SparkSession, d: String): DataFrame =
+    Sampling.prioritySample(Tables.documents(spark, d), "doc_id",
+        col("n_chars"), PriorityK)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority_rank"))
+
+  /** (h+1)/2³² ∈ (0,1] — the operator's div-safe shifted score. */
+  private val shiftedScoreSql =
+    "((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE) + 1.0) / 4294967296.0)"
+
+  val q70Sql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source, n_chars,
+       |    row_number() OVER (
+       |      ORDER BY CAST(n_chars AS DOUBLE) / $shiftedScoreSql DESC, doc_id)
+       |      AS priority_rank
+       |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+       |SELECT doc_id, source, n_chars, CAST(priority_rank AS BIGINT) AS priority_rank
+       |FROM ranked WHERE priority_rank <= $PriorityK""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q71 — source mixing to a row budget: resample three sources
+  // toward a 50/30/20 mix of ~120 rows total. Keep fractions are
+  // min(1, budget·w/n) from a one-aggregate census; the kept-doc
+  // census below is what's compared (ids + per-source counts).
+  // ---------------------------------------------------------------
+  private val MixBudget = 120L
+  private val MixWeights = Seq("src3" -> 0.5, "src7" -> 0.3, "src12" -> 0.2)
+
+  def q71SourceMixture(spark: SparkSession, d: String): DataFrame =
+    Sampling.mixToBudget(Tables.documents(spark, d), "doc_id", "source",
+        MixWeights.toMap, MixBudget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc_id"),
+        max(col("keep_fraction")).as("keep_fraction"))
+
+  val q71Sql: String = {
+    val weightCase = MixWeights
+      .map { case (g, w) => s"WHEN d.source = '$g' THEN $w" }
+      .mkString(" ")
+    s"""WITH census AS (
+       |  SELECT source, count(*) AS n_group FROM documents GROUP BY source),
+       |eligible AS (
+       |  SELECT d.doc_id, d.source,
+       |    least(1.0, ${MixBudget}.0 * (CASE $weightCase END)
+       |      / CAST(c.n_group AS DOUBLE)) AS keep_fraction
+       |  FROM documents d JOIN census c ON d.source = c.source
+       |  WHERE (CASE $weightCase END) IS NOT NULL)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |  min(doc_id) AS min_doc_id, max(keep_fraction) AS keep_fraction
+       |FROM eligible
+       |WHERE ${scoreSql} < keep_fraction
+       |GROUP BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_deterministic_split" -> (q26DeterministicSplit _),
     "q27_stratified_sample"   -> (q27StratifiedSample _),
     "q57_source_cap"          -> (q57SourceCap _),
     "q61_packing"             -> (q61Packing _),
-    "q64_quality_cap"         -> (q64QualityCap _))
+    "q64_quality_cap"         -> (q64QualityCap _),
+    "q70_priority_sample"     -> (q70PrioritySample _),
+    "q71_source_mixture"      -> (q71SourceMixture _))
 
   val oracleSql: Map[String, String] = Map(
     "q26_deterministic_split" -> q26Sql,
     "q27_stratified_sample"   -> q27Sql,
     "q57_source_cap"          -> q57Sql,
     "q61_packing"             -> q61Sql,
-    "q64_quality_cap"         -> q64Sql)
+    "q64_quality_cap"         -> q64Sql,
+    "q70_priority_sample"     -> q70Sql,
+    "q71_source_mixture"      -> q71Sql)
 }

@@ -137,4 +137,25 @@ class ChecksSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(drift === Map("widened" -> "added", "id" -> "retyped"))
   }
+
+  test("robustOutliers: MAD fences flag planted spikes without moving the median") {
+    // 101 tight values around 10 (±0.05) plus two gross spikes — the
+    // spikes would drag a mean/stddev fence far enough to hide
+    // themselves (σ jumps from ~0.03 to ~140); the median/MAD fence
+    // doesn't move.
+    val base = Seq.tabulate(101)(i => ("a", (i - 50) * 0.001 + 10.0))
+    val calm = Seq.tabulate(50)(i => ("b", i * 0.01))
+    val df = (base :+ ("a", 1000.0) :+ ("a", -980.0)) ++ calm
+    val out = Checks.robustOutliers(df.toDF("g", "v"), "v", "g")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ra = out("a")
+    assert(math.abs(ra.getAs[Double]("median_value") - 10.0) < 0.001)
+    assert(ra.getAs[Long]("n_outliers") == 2L)
+    assert(ra.getAs[Long]("n") == 103L)
+    assert(out("b").getAs[Long]("n_outliers") == 0L)
+    // the sketch-based 100 TB mode agrees on this clear-cut fixture
+    val approx = Checks.robustOutliers(df.toDF("g", "v"), "v", "g", exact = false)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_outliers")).toMap
+    assert(approx("a") == 2L && approx("b") == 0L)
+  }
 }

@@ -128,4 +128,27 @@ class ProfilingSpec extends AnyFunSuite {
     assert(p(2).getDouble(4) === 4.0 && p(2).getDouble(5) === 2.0)
     assert(p(2).getDouble(2) === 2.0 && p(2).getDouble(3) === 6.0)
   }
+
+  test("embeddingCovariance: matches covar_samp, duplicated dimension flags corr 1") {
+    import org.apache.spark.sql.functions.{covar_samp, col}
+    // dim2 duplicates dim0 (redundant channel); dim1 is independent
+    val df = Seq(
+      Tuple1(Array(1.0f, 2.0f, 1.0f)),
+      Tuple1(Array(2.0f, 1.5f, 2.0f)),
+      Tuple1(Array(3.0f, 0.5f, 3.0f)),
+      Tuple1(Array(4.0f, 1.0f, 4.0f))).toDF("embedding")
+    val out = Profiling.embeddingCovariance(df, "embedding").collect()
+    assert(out.length == 3) // upper triangle of a 3×3 matrix
+    val m = out.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getAs[Double]("cov"), r.getAs[Double]("corr"))).toMap
+    assert(out.forall(_.getAs[Long]("n") == 4L))
+    assert(math.abs(m((0L, 2L))._2 - 1.0) < 1e-9) // redundant channel
+    val refCov = df.select(
+        col("embedding")(0).cast("double").as("x"),
+        col("embedding")(1).cast("double").as("y"))
+      .agg(covar_samp(col("x"), col("y"))).head.getDouble(0)
+    assert(math.abs(m((0L, 1L))._1 - refCov) < 1e-9)
+    // symmetry of the pairing: only i < j emitted
+    assert(m.keySet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
 }

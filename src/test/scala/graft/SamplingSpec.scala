@@ -171,4 +171,45 @@ class SamplingSpec extends AnyFunSuite {
     assert(keptRanks(5) == unsalted) // salts ∤ group sizes: still exact
     assert(unsalted.count(_._2 == "hot") == 7)
   }
+
+  test("prioritySample: exact weighted top-k, salted == unsalted, zero-weight rows excluded") {
+    val k = 25
+    val out = Sampling.prioritySample(docs, "doc_id", col("n_chars"), k)
+    assert(out.count() == k)
+    // salted two-phase == degenerate single-window plan (containment
+    // argument over the priority-desc total order)
+    val ref = Sampling.prioritySample(docs, "doc_id", col("n_chars"), k, salts = 1)
+      .select("doc_id", "priority_rank")
+    assert(out.select("doc_id", "priority_rank").exceptAll(ref).count() == 0)
+    // length-proportional inclusion: winners are longer than average
+    val avgAll = docs.agg(avg($"n_chars")).head.getDouble(0)
+    val avgWin = out.agg(avg($"n_chars")).head.getDouble(0)
+    assert(avgWin > avgAll,
+      s"priority winners avg $avgWin should exceed corpus avg $avgAll")
+    // rows with weight ≤ 0 carry no mass and never win
+    val zeroed = docs.withColumn("w2",
+      when($"doc_id" % 2 === 0, lit(0L)).otherwise($"n_chars"))
+    val oddOnly = Sampling.prioritySample(zeroed, "doc_id", col("w2"), k)
+    assert(oddOnly.filter($"doc_id" % 2 === 0).count() == 0)
+    assert(oddOnly.count() == k)
+  }
+
+  test("mixToBudget: kept counts track target weights; unlisted groups dropped; reproducible") {
+    val weights = Map("src1" -> 0.5, "src2" -> 0.3, "src4" -> 0.2)
+    val out = Sampling.mixToBudget(docs, "doc_id", "source", weights, budget = 60L)
+    val by = out.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by.keySet.subsetOf(weights.keySet)) // unlisted sources dropped
+    // src1 target 60·0.5 = 30 > the 25 available → fraction capped at 1,
+    // everything kept, shortfall visible rather than reassigned
+    assert(by("src1") == 25)
+    // partial keeps land near their binomial mean (n=25, p=.72/.48)
+    assert(by("src2") >= 12 && by("src2") < 25)
+    assert(by("src4") >= 5 && by("src4") < 20)
+    // deterministic: same rows every run
+    val again = Sampling.mixToBudget(docs, "doc_id", "source", weights, budget = 60L)
+    assert(out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0)
+    // keep_fraction is reported per row and constant within a group
+    assert(out.select("source", "keep_fraction").distinct().count() == by.size)
+  }
 }

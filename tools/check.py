@@ -25,6 +25,9 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if len(sys.argv) > 3:  # optional subset: comma-separated names
+        keep = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
