@@ -318,4 +318,59 @@ object Checks {
         sum(when(col("_dev") > lit(cutoff) * lit(1.4826) * col("_mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Winsorization report: per-group discrete percentile fences
+    * (rank-based, percentile_disc semantics — the smallest value
+    * whose cumulative count reaches ⌈p·n⌉) plus the clipped-tail
+    * census and the winsorized mean. The feature-clipping preprocessor
+    * for heavy-tailed columns, stated as a report so the fences are
+    * auditable before anything is rewritten.
+    *
+    * Rank fences instead of interpolated quantiles on purpose:
+    * discrete order statistics involve NO floating interpolation, so
+    * with values half-even quantized to integers (w = bround(v·scale),
+    * the q68/q72 idiom) every engine computes the identical fence —
+    * p·n and its ceil are single IEEE ops. The winsorized mean is an
+    * exact integer sum of clamped values (decimal, converted to
+    * double through a string).
+    *
+    * Plan shape: one (group, w) distinct-value census carries ALL the
+    * work — the running-count window runs over distinct values, not
+    * rows (bounded by the value cardinality, not the 10⁹-row group),
+    * and the final report joins one fence row per group back onto the
+    * census. Raw rows never shuffle twice.
+    */
+  def winsorizedStats(
+      df: DataFrame, valueCol: String, groupCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      scale: Double = 1e6): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = bround(col(valueCol).cast("double") * lit(scale))
+    val counts = df.select(col(groupCol), w.as("_w"))
+      .filter(col("_w").isNotNull)
+      .groupBy(col(groupCol), col("_w"))
+      .agg(count(lit(1)).as("_c"))
+    val cum = counts
+      .withColumn("_cum", sum(col("_c")).over(
+        W.partitionBy(col(groupCol)).orderBy(col("_w"))))
+      .withColumn("_n", sum(col("_c")).over(W.partitionBy(col(groupCol))))
+    val kLo = greatest(lit(1.0), ceil(lit(pLo) * col("_n")))
+    val kHi = ceil(lit(pHi) * col("_n"))
+    val fences = cum.groupBy(col(groupCol)).agg(
+      max(col("_n")).as("_n"),
+      min(when(col("_cum") >= kLo, col("_w"))).as("_lo"),
+      min(when(col("_cum") >= kHi, col("_w"))).as("_hi"))
+    val clamped = greatest(least(col("_w"), col("_hi")), col("_lo"))
+    counts.join(fences, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("_n")).as("n"),
+        (first(col("_lo")) / lit(scale)).as("lo_fence"),
+        (first(col("_hi")) / lit(scale)).as("hi_fence"),
+        sum(when(col("_w") < col("_lo"), col("_c")).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("_w") > col("_hi"), col("_c")).otherwise(0L)).as("n_clipped_hi"),
+        (sum(clamped.cast("decimal(20,0)") * col("_c")).cast("string").cast("double")
+          / lit(scale) / max(col("_n")).cast("double")).as("mean_winsorized"))
+  }
 }

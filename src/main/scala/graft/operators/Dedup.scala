@@ -915,6 +915,64 @@ object Dedup {
         lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
   }
 
+  /** Fuzzy duplicate pairs by edit distance with token blocking —
+    * record linkage for short strings (names, titles, addresses): all
+    * pairs whose Levenshtein distance is ≤ `maxDist`, among
+    * candidates sharing at least one whitespace token.
+    *
+    * Token blocking (an inverted index on words, the q11 shape) is
+    * the right blocker for edit distance where prefix blocking is
+    * not: a single leading edit ("cold bolt" → "old bolt") changes
+    * the prefix but leaves every other token intact, and any pair
+    * within distance d ≤ shortest-word length shares a token.
+    * Candidates are distinct (idA < idB) pairs from the token join;
+    * a |len(a)−len(b)| ≤ d filter prunes before the distance runs,
+    * and the distance itself uses Spark's bounded threshold variant
+    * (gives up at maxDist+1 instead of filling the full DP matrix).
+    *
+    * Scale: the index ships (token, id) pairs only; strings join back
+    * per candidate. Ambient stop-tokens ("the") make quadratic
+    * blocks, so tokens with document frequency > `maxTokenDf` are
+    * dropped from the INDEX (bounded candidates per token). That
+    * keeps completeness for every pair sharing at least one
+    * sub-threshold token — pairs sharing ONLY stop tokens are missed,
+    * the standard blocking trade-off; raise the cap (or pre-filter
+    * stopwords) where exactness over them matters.
+    */
+  def fuzzyPairs(
+      df: DataFrame, idCol: String, strCol: String, maxDist: Int,
+      maxTokenDf: Int = 1000): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val base = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
+      .filter(col("_s").isNotNull)
+    val tokens = base
+      .select(col("_id"), explode(array_distinct(split(col("_s"), "\\s+"))).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+    val hot = tokens.groupBy(col("_tok"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxTokenDf)
+      .select(col("_tok"))
+    val index = tokens.join(broadcast(hot), Seq("_tok"), "left_anti")
+    val cand = index.as("ta")
+      .join(index.as("tb"), col("ta._tok") === col("tb._tok") &&
+        col("ta._id") < col("tb._id"))
+      .select(col("ta._id").as("_ida"), col("tb._id").as("_idb"))
+      .distinct()
+    cand
+      .join(base.select(col("_id").as("_ida"), col("_s").as("_sa")), Seq("_ida"))
+      .join(base.select(col("_id").as("_idb"), col("_s").as("_sb")), Seq("_idb"))
+      .filter(abs(length(col("_sa")) - length(col("_sb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(
+        (Seq(col("_ida").as(s"${idCol}_a"), col("_idb").as(s"${idCol}_b")) ++
+          // when the string IS the id (dictionary linkage), don't
+          // emit the same column twice
+          (if (strCol == idCol) Seq.empty
+           else Seq(col("_sa").as(s"${strCol}_a"), col("_sb").as(s"${strCol}_b"))) ++
+          Seq(col("dist").cast("bigint").as("dist"))): _*)
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes (splitmix64 →
     * uniform in [-1, 1)); normalization is irrelevant for sign tests.
     */

@@ -296,6 +296,43 @@ object CheckQueries {
       |FROM dev d JOIN mad a ON d.event_type = a.event_type
       |GROUP BY d.event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q74 — winsorization report: rank-based (percentile_disc) p05/p95
+  // fences per event type, clipped-tail counts, winsorized mean. No
+  // interpolation anywhere, so fences are engine-exact by
+  // construction; the mean is an exact integer sum of clamped
+  // quantized values.
+  // ---------------------------------------------------------------
+  def q74Winsorize(spark: SparkSession, d: String): DataFrame =
+    Checks.winsorizedStats(Tables.events(spark, d), "value", "event_type")
+
+  val q74Sql: String =
+    """WITH qz AS (
+      |  SELECT event_type, round_even(CAST(value AS DOUBLE) * 1000000.0, 0) AS w
+      |  FROM events WHERE value IS NOT NULL),
+      |counts AS (
+      |  SELECT event_type, w, count(*) AS c FROM qz GROUP BY event_type, w),
+      |cum AS (
+      |  SELECT event_type, w, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY w) AS cumc,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM counts),
+      |fences AS (
+      |  SELECT event_type, max(n) AS n,
+      |    min(CASE WHEN cumc >= greatest(1.0, ceil(0.05 * n)) THEN w END) AS lo,
+      |    min(CASE WHEN cumc >= ceil(0.95 * n) THEN w END) AS hi
+      |  FROM cum GROUP BY event_type)
+      |SELECT c.event_type, CAST(f.n AS BIGINT) AS n,
+      |  f.lo / 1000000.0 AS lo_fence,
+      |  f.hi / 1000000.0 AS hi_fence,
+      |  CAST(sum(CASE WHEN c.w < f.lo THEN c.c ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+      |  CAST(sum(CASE WHEN c.w > f.hi THEN c.c ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+      |  CAST(CAST(sum(CAST(greatest(least(c.w, f.hi), f.lo) AS HUGEINT) * c.c)
+      |        AS VARCHAR) AS DOUBLE)
+      |    / 1000000.0 / CAST(f.n AS DOUBLE) AS mean_winsorized
+      |FROM counts c JOIN fences f USING (event_type)
+      |GROUP BY c.event_type, f.n, f.lo, f.hi""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_completeness" -> (q22Completeness _),
     "q23_uniqueness"   -> (q23Uniqueness _),
@@ -305,7 +342,8 @@ object CheckQueries {
     "q53_numeric_drift" -> (q53NumericDrift _),
     "q55_column_profile" -> (q55Profile _),
     "q55b_string_profile" -> (q55bStringProfile _),
-    "q72_robust_outliers" -> (q72RobustOutliers _))
+    "q72_robust_outliers" -> (q72RobustOutliers _),
+    "q74_winsorize" -> (q74Winsorize _))
 
   val oracleSql: Map[String, String] = Map(
     "q22_completeness" -> q22Sql,
@@ -316,5 +354,6 @@ object CheckQueries {
     "q53_numeric_drift" -> q53Sql,
     "q55_column_profile" -> q55Sql,
     "q55b_string_profile" -> q55bSql,
-    "q72_robust_outliers" -> q72Sql)
+    "q72_robust_outliers" -> q72Sql,
+    "q74_winsorize" -> q74Sql)
 }

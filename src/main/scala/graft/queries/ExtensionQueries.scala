@@ -711,6 +711,37 @@ object ExtensionQueries {
       |         * greatest(b.sq - b.s * b.s / CAST(p.n AS DOUBLE), 0.0)) AS corr
       |FROM pagg p JOIN dagg a ON p.i = a.dim JOIN dagg b ON p.j = b.dim""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q75 — fuzzy duplicate pairs (record linkage): every pair of
+  // DISTINCT part names within Levenshtein distance 2, found via
+  // token blocking (an inverted word index — robust to leading edits
+  // that break prefix blocking, e.g. "cold bolt" → "old bolt").
+  // ---------------------------------------------------------------
+  private val FuzzyMaxDist = 2
+
+  def q75FuzzyPairs(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.fuzzyPairs(
+      Tables.part(spark, d).select(col("p_name")).distinct(),
+      idCol = "p_name", strCol = "p_name", maxDist = FuzzyMaxDist)
+
+  val q75Sql: String =
+    s"""WITH d AS (SELECT DISTINCT p_name FROM part),
+       |tok AS (
+       |  SELECT DISTINCT p_name, unnest(string_split_regex(p_name, '\\s+')) AS t
+       |  FROM d),
+       |idx AS (
+       |  SELECT p_name, t FROM tok WHERE len(t) > 0
+       |    AND t IN (SELECT t FROM tok WHERE len(t) > 0
+       |              GROUP BY t HAVING count(*) <= 1000)),
+       |cand AS (
+       |  SELECT DISTINCT a.p_name AS pa, b.p_name AS pb
+       |  FROM idx a JOIN idx b ON a.t = b.t AND a.p_name < b.p_name)
+       |SELECT pa AS p_name_a, pb AS p_name_b,
+       |  CAST(levenshtein(pa, pb) AS BIGINT) AS dist
+       |FROM cand
+       |WHERE abs(len(pa) - len(pb)) <= $FuzzyMaxDist
+       |  AND levenshtein(pa, pb) <= $FuzzyMaxDist""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_dedup_exact"        -> (q10DedupExact _),
     "q11_ngram_jaccard"      -> (q11NgramJaccard _),
@@ -734,7 +765,8 @@ object ExtensionQueries {
     "q65_tfidf_keywords"     -> (q65TfidfKeywords _),
     "q66_token_chunks"       -> (q66Chunks _),
     "q68_embedding_profile"  -> (q68EmbeddingProfile _),
-    "q73_embedding_cov"      -> (q73EmbeddingCov _))
+    "q73_embedding_cov"      -> (q73EmbeddingCov _),
+    "q75_fuzzy_pairs"        -> (q75FuzzyPairs _))
 
   val oracleSql: Map[String, String] = Map(
     "q10_dedup_exact"        -> q10Sql,
@@ -759,5 +791,6 @@ object ExtensionQueries {
     "q65_tfidf_keywords"     -> q65Sql,
     "q66_token_chunks"       -> q66Sql,
     "q68_embedding_profile"  -> q68Sql,
-    "q73_embedding_cov"      -> q73Sql)
+    "q73_embedding_cov"      -> q73Sql,
+    "q75_fuzzy_pairs"        -> q75Sql)
 }

@@ -158,4 +158,22 @@ class ChecksSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n_outliers")).toMap
     assert(approx("a") == 2L && approx("b") == 0L)
   }
+
+  test("winsorizedStats: rank fences, clipped tails, winsorized mean hand-checked") {
+    // values 1..100 in one group. Rank fences follow the DOCUMENTED
+    // IEEE semantics: 0.05·100 rounds to exactly 5.0 (the error in
+    // binary 0.05 is below half an ulp at magnitude 5), so
+    // ceil = 5; 0.95·100 = 94.99999999999999 → ceil 95. Both engines
+    // compute these identically, which is the contract.
+    val df = (1 to 100).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val r = Checks.winsorizedStats(df, "v", "grp").collect().head
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Double]("lo_fence") == 5.0)
+    assert(r.getAs[Double]("hi_fence") == 95.0)
+    assert(r.getAs[Long]("n_clipped_lo") == 4L)  // 1..4 clamp up to 5
+    assert(r.getAs[Long]("n_clipped_hi") == 5L)  // 96..100 clamp down to 95
+    // clamping adds 4+3+2+1 below and removes 1+..+5 above:
+    // (5050 + 10 − 15) / 100
+    assert(r.getAs[Double]("mean_winsorized") == 50.45)
+  }
 }

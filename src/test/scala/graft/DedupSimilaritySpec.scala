@@ -170,4 +170,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       docs.repartition(7), docs.repartition(3), "doc_id", "text").head().getDouble(2)
     assert(shuffled == 1.0)
   }
+
+  test("fuzzyPairs: token blocking catches leading edits; distance bound and token cap hold") {
+    val names = Seq(
+      1L -> "cold bolt", 2L -> "old bolt",       // dist 1, prefixes differ
+      3L -> "cold ring",                          // shares 'cold', dist 4 from #1
+      4L -> "steel hammer", 5L -> "steel hammers",// dist 1 via shared 'steel'
+      6L -> "unrelated thing").toDF("id", "name")
+    val pairs = Dedup.fuzzyPairs(names, "id", "name", maxDist = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("dist")))
+      .toSet
+    // the leading-edit pair a prefix blocker would miss
+    assert(pairs == Set((1L, 2L, 1L), (4L, 5L, 1L)))
+    // string columns ride along when strCol != idCol
+    val cols = Dedup.fuzzyPairs(names, "id", "name", maxDist = 2).columns.toSeq
+    assert(cols == Seq("id_a", "id_b", "name_a", "name_b", "dist"))
+    // dictionary mode (id IS the string): no duplicated columns
+    val dict = Dedup.fuzzyPairs(names.select($"name"), "name", "name", maxDist = 2)
+    assert(dict.columns.toSeq == Seq("name_a", "name_b", "dist"))
+    assert(dict.count() == 2)
+    // stop-token cap: every shared token here has df 2, so a cap of 1
+    // empties the index — the documented blocking trade-off, loud in tests
+    assert(Dedup.fuzzyPairs(names, "id", "name", maxDist = 2, maxTokenDf = 1).isEmpty)
+  }
 }
