@@ -84,7 +84,13 @@ object Bench {
     // one-time setup outside any timed region (e.g. q37's partitioned
     // layout) so timed queries measure reads, not sibling writes
     SparkEntry.benchSetup(spark, sfDir)
-    val results = run(SparkEntry.queries.toSeq.sortBy(_._1), spark, sfDir)
+    // optional builder-side subset (comma-separated names); the
+    // driver sets no filter and always measures everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = run(
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) },
+      spark, sfDir)
     val qs = results.map(r => jsonStr(r.name) + ":" + r.sec)
       .mkString("{", ",", "}")
     val cold = results.map(r => jsonStr(r.name) + ":" + r.coldSec)

@@ -176,11 +176,17 @@ object Profiling {
     * input to PCA-whitening and to selecting decorrelated dimensions
     * for cheap pre-filters.
     *
-    * Same fixed-point scheme as [[profileEmbedding]] — values
-    * half-even quantized to integers (w = bround(v·10¹⁵)), so the
-    * Σwᵢ, Σwᵢ², Σwᵢwⱼ sums are exact integer decimal arithmetic
-    * (order- and engine-independent), then converted to double
-    * through a string and combined in one fixed expression order.
+    * Same fixed-point scheme as [[profileEmbedding]], tuned for the
+    * dim²-per-row hot loop: values half-even quantize to 10⁶-scaled
+    * LONGS (not 10¹⁵ decimals) so the pair products are single 64-bit
+    * multiplies — exact for |v| ≲ 3·10³ (|w| ≤ 3·10⁹ ⇒ |wᵢwⱼ| < 2⁶³)
+    * — and only the aggregation sums widen to decimal. Σwᵢ, Σwᵢ²,
+    * Σwᵢwⱼ stay exact integer arithmetic (order- and engine-
+    * independent), convert to double through a string, and combine in
+    * one fixed expression order. The coarser 10⁻⁶ grid is ~10× below
+    * float32's relative precision near |v|≈1 — right for a
+    * redundancy diagnostic; [[profileEmbedding]] keeps the 10⁻¹⁵ grid
+    * where per-dimension exactness is the point.
     * cov = (Σxy − ΣxΣy/n)/(n−1); corr divides by the same-sum
     * variance radicands (clamped at 0, the q55 lesson).
     *
@@ -194,7 +200,7 @@ object Profiling {
     * ceiling (4096-dim ⇒ 8.4M partials per task — still fine).
     */
   def embeddingCovariance(df: DataFrame, vecCol: String): DataFrame = {
-    val wArr = transform(col(vecCol), x => bround(x.cast("double") * lit(1e15)).cast("decimal(20,0)"))
+    val wArr = transform(col(vecCol), x => bround(x.cast("double") * lit(1e6)).cast("long"))
     val quantized = df.select(wArr.as("_w"))
     val idx = sequence(lit(0), size(col("_w")) - 1)
     // inner index list via slice, NOT sequence(i+1, dim-1): Spark's
@@ -209,19 +215,21 @@ object Profiling {
     val pairAgg = quantized
       .select(explode(pairStructs).as("p"))
       .groupBy(col("p.i"), col("p.j"))
-      .agg(count(lit(1)).as("n"), sum(col("p.wij")).as("_sxy"))
+      .agg(count(lit(1)).as("n"), sum(col("p.wij").cast("decimal(38,0)")).as("_sxy"))
     val dimAgg = quantized
       .select(posexplode(col("_w")).as(Seq("pos", "w")))
       .groupBy(col("pos"))
-      .agg(sum(col("w")).as("_s"), sum(col("w") * col("w")).as("_sq"))
+      .agg(
+        sum(col("w").cast("decimal(20,0)")).as("_s"),
+        sum((col("w") * col("w")).cast("decimal(38,0)")).as("_sq"))
     def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       c.cast("string").cast("double")
     val n = col("n").cast("double")
-    val sx = d(col("a._s")) / lit(1e15)
-    val sy = d(col("b._s")) / lit(1e15)
-    val sqx = d(col("a._sq")) / lit(1e30)
-    val sqy = d(col("b._sq")) / lit(1e30)
-    val sxy = d(col("_sxy")) / lit(1e30)
+    val sx = d(col("a._s")) / lit(1e6)
+    val sy = d(col("b._s")) / lit(1e6)
+    val sqx = d(col("a._sq")) / lit(1e12)
+    val sqy = d(col("b._sq")) / lit(1e12)
+    val sxy = d(col("_sxy")) / lit(1e12)
     val cxy = sxy - sx * sy / n
     pairAgg
       .join(broadcast(dimAgg.as("a")), col("i") === col("a.pos"))

@@ -691,18 +691,18 @@ object ExtensionQueries {
       |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
       |         unnest(generate_series(0, len(embedding) - 1)) AS dim
       |  FROM embeddings),
-      |qz AS (SELECT vec_id, dim, CAST(round_even(v * 1e15, 0) AS HUGEINT) AS w FROM ex),
+      |qz AS (SELECT vec_id, dim, CAST(round_even(v * 1e6, 0) AS BIGINT) AS w FROM ex),
       |pairs AS (
       |  SELECT a.dim AS i, b.dim AS j, a.w * b.w AS wij
       |  FROM qz a JOIN qz b ON a.vec_id = b.vec_id AND a.dim < b.dim),
       |pagg AS (
       |  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
-      |         CAST(CAST(sum(wij) AS VARCHAR) AS DOUBLE) / 1e30 AS sxy
+      |         CAST(CAST(sum(wij) AS VARCHAR) AS DOUBLE) / 1e12 AS sxy
       |  FROM pairs GROUP BY i, j),
       |dagg AS (
       |  SELECT dim,
-      |         CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) / 1e15 AS s,
-      |         CAST(CAST(sum(w * w) AS VARCHAR) AS DOUBLE) / 1e30 AS sq
+      |         CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) / 1e6 AS s,
+      |         CAST(CAST(sum(w * w) AS VARCHAR) AS DOUBLE) / 1e12 AS sq
       |  FROM qz GROUP BY dim)
       |SELECT CAST(p.i AS BIGINT) AS dim_i, CAST(p.j AS BIGINT) AS dim_j, p.n,
       |  (p.sxy - a.s * b.s / CAST(p.n AS DOUBLE)) / (CAST(p.n AS DOUBLE) - 1.0) AS cov,

@@ -187,6 +187,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("text"), "packing reads sizes, never document payloads")
   }
 
+  test("q70: priority sample is the salted two-window shape; documents never ride the windows") {
+    val p = plan(graft.queries.SamplingQueries.q70PrioritySample(spark, d))
+    assert("Window ".r.findAllIn(p).length == 2,
+      s"expected per-salt then global rank (two Window nodes):\n$p")
+    assert(p.contains("pmod") && p.contains("xxhash64"),
+      s"first window must shard by salt:\n$p")
+    assert(!p.contains("text"),
+      "only (id, weight) pairs ride the windows; payload joins back by id")
+  }
+
+  test("q73: pair aggregate combines map-side; per-dim sums broadcast back") {
+    val p = plan(graft.queries.ExtensionQueries.q73EmbeddingCov(spark, d))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"dim-pair partials must combine before the shuffle:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      s"both per-dim sum joins must broadcast (64-row frames):\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
+  test("q75: fuzzy candidates come from a token equi-join, never a cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.q75FuzzyPairs(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"token blocking must plan as an equi-join:\n$p")
+    assert(p.contains("levenshtein"),
+      "bounded-threshold levenshtein runs only on blocked candidates")
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
