@@ -202,18 +202,12 @@ object Profiling {
   def embeddingCovariance(df: DataFrame, vecCol: String): DataFrame = {
     val wArr = transform(col(vecCol), x => bround(x.cast("double") * lit(1e6)).cast("long"))
     val quantized = df.select(wArr.as("_w"))
-    val idx = sequence(lit(0), size(col("_w")) - 1)
-    // inner index list via slice, NOT sequence(i+1, dim-1): Spark's
-    // sequence(a, b) with a > b yields a DESCENDING sequence, so the
-    // last i would emit bogus reversed pairs; slice past the end is
-    // just empty.
-    val pairStructs = flatten(transform(idx, i =>
-      transform(slice(idx, i + 2, size(col("_w"))), j =>
-        struct(
-          i.cast("int").as("i"), j.cast("int").as("j"),
-          (element_at(col("_w"), i + 1) * element_at(col("_w"), j + 1)).as("wij")))))
+    // native upper-triangle expansion (codegen'd nested loop) — the
+    // HOF spelling (nested transform over index sequences + flatten)
+    // is spec-pinned equal but pays interpreted-lambda cost per
+    // element of the dim²/2 expansion
     val pairAgg = quantized
-      .select(explode(pairStructs).as("p"))
+      .select(explode(graft.functions.UpperTrianglePairs(col("_w"))).as("p"))
       .groupBy(col("p.i"), col("p.j"))
       .agg(count(lit(1)).as("n"), sum(col("p.wij").cast("decimal(38,0)")).as("_sxy"))
     val dimAgg = quantized

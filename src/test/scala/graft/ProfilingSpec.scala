@@ -151,4 +151,39 @@ class ProfilingSpec extends AnyFunSuite {
     // symmetry of the pairing: only i < j emitted
     assert(m.keySet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
+
+  test("UpperTrianglePairs: native pair expansion == HOF composition, eval == codegen") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      Tuple1(Array(3L, -1L, 4L, 1L)),
+      Tuple1(Array(2L, 7L)),
+      Tuple1(Array(9L)),           // single element: empty expansion
+      Tuple1(Array.empty[Long]),   // empty: empty expansion
+      Tuple1(null.asInstanceOf[Array[Long]])).toDF("w")
+    // the reference HOF spelling the expression replaces
+    val idx = sequence(lit(0), size(col("w")) - 1)
+    val hof = flatten(transform(idx, i =>
+      transform(slice(idx, i + 2, size(col("w"))), j =>
+        struct(i.cast("int").as("i"), j.cast("int").as("j"),
+          (element_at(col("w"), i + 1) * element_at(col("w"), j + 1)).as("wij")))))
+    val both = df.select(
+      graft.functions.UpperTrianglePairs(col("w")).as("native"), hof.as("ref"))
+    assert(both.filter(not(col("native") <=> col("ref"))).count() == 0)
+    // interpreted eval agrees with codegen (the TestSpark session
+    // runs codegen; force the interpreted path directly)
+    val expr = graft.functions.UpperTrianglePairs(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3L, -1L, 4L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    val evaled = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(evaled.numElements() == 3)
+    val r0 = evaled.getStruct(0, 3)
+    assert(r0.getInt(0) == 0 && r0.getInt(1) == 1 && r0.getLong(2) == -3L)
+    // null element poisons the row (dense-vector contract, loud)
+    val withNullElem = df.sparkSession.sql(
+      "SELECT array(1L, NULL, 2L) AS w")
+      .select(graft.functions.UpperTrianglePairs(col("w")).as("p"))
+    assert(withNullElem.head.isNullAt(0))
+  }
 }
