@@ -46,6 +46,37 @@ object Provenance {
       manifest: DataFrame, statCol: String, value: Column): DataFrame =
     manifest.filter(value >= col(s"min_$statCol") && value <= col(s"max_$statCol"))
 
+  /** Takedown / right-to-be-forgotten plan: given a manifest of ids
+    * to purge (opt-out lists, DMCA notices, consent revocations),
+    * report which physical files are impacted and how hard — the
+    * file-level rewrite set for an immutable-format delete. Output:
+    * one row per IMPACTED file — (file_path, file_name, n_rows,
+    * n_hit, hit_fraction); untouched files don't appear (they are
+    * exactly the files a rewrite job must NOT touch).
+    *
+    * One scan, one shuffle keyed on file identity: the takedown
+    * manifest broadcasts (opt-out lists are manifest-scale, orders of
+    * magnitude under the corpus — for a takedown so large it rivals
+    * the corpus, filter-and-rewrite everything instead of planning),
+    * rows carry only (file_path, id) into the aggregate, and the
+    * hit/total counts come from one conditional aggregation. Like
+    * [[fileManifest]], `df` must be a fresh file-source read —
+    * `_metadata` is a scan column.
+    */
+  def takedownPlan(df: DataFrame, idCol: String, takedown: DataFrame): DataFrame = {
+    val hits = takedown.select(col(idCol)).distinct().withColumn("_hit", lit(1L))
+    df.select(col("_metadata.file_path").as("file_path"), col(idCol))
+      .join(broadcast(hits), Seq(idCol), "left")
+      .groupBy(col("file_path"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .withColumn("hit_fraction",
+        col("n_hit").cast("double") / col("n_rows").cast("double"))
+      .withColumn("file_name", regexp_extract(col("file_path"), "([^/]+)$", 1))
+  }
+
   /** Small-files compaction plan: assign every physical file of a
     * parquet layout to a rewrite group totaling ~`targetBytes` — the
     * maintenance pass that keeps a streamed-into / trickle-appended

@@ -465,6 +465,29 @@ object PipelineQueries {
        |GROUP BY doc_id HAVING count(*) >= $BloomMinOverlap""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q76 — takedown plan: which files must be rewritten to purge a
+  // given id manifest (every 97th doc here), and how hard each is
+  // hit. File identity from _metadata as in q49; the sf tables are
+  // single-file, so the basename is the oracle constant (the
+  // multi-file case is spec-pinned on a partitioned layout).
+  // ---------------------------------------------------------------
+  def q76TakedownPlan(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    graft.operators.Provenance.takedownPlan(
+        docs, "doc_id",
+        docs.filter(col("doc_id") % 97 === 0).select(col("doc_id")))
+      .drop("file_path")
+  }
+
+  val q76Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS hit_fraction,
+      |  'documents.parquet' AS file_name
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_bloom_decontam" -> (q67BloomDecontam _),
     "q42_decontamination" -> (q42Decontamination _),
@@ -476,6 +499,7 @@ object PipelineQueries {
     "q63_line_dedup" -> (q63LineDedup _),
     "q45_bm25_retrieval" -> (q45Bm25 _),
     "q49_file_manifest" -> (q49FileManifest _),
+    "q76_takedown_plan" -> (q76TakedownPlan _),
     "q50_latest_snapshot" -> (q50LatestSnapshot _),
     "q51_range_join" -> (q51RangeJoin _))
 
@@ -490,6 +514,7 @@ object PipelineQueries {
     "q63_line_dedup" -> q63Sql,
     "q45_bm25_retrieval" -> q45Sql,
     "q49_file_manifest" -> q49Sql,
+    "q76_takedown_plan" -> q76Sql,
     "q50_latest_snapshot" -> q50Sql,
     "q51_range_join" -> q51Sql)
 }

@@ -147,6 +147,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     manifest.unpersist()
   }
 
+  test("takedownPlan: only impacted files appear, hit counts partition the manifest") {
+    import graft.operators.Provenance
+    val dir = graft.queries.ScaleQueries.ensurePartitionedEvents(spark, TestSpark.sf)
+    val df = spark.read.parquet(dir)
+    // purge a handful of specific events: every file holding one is
+    // in the plan, files without any are not
+    val targets = df.select($"event_id").orderBy($"event_id").limit(40)
+    val plan = Provenance.takedownPlan(df, "event_id", targets).persist()
+    val manifest = Provenance.fileManifest(df, Seq("event_id"))
+    assert(plan.count() >= 1 && plan.count() <= manifest.count())
+    assert(plan.select(sum($"n_hit")).as[Long].head() === 40L,
+      "per-file hits must partition the takedown manifest")
+    assert(plan.filter($"n_hit" === 0).count() === 0,
+      "untouched files are exactly the ones a rewrite must not touch")
+    assert(plan.filter($"hit_fraction" > 1.0).count() === 0)
+    // file totals agree with the manifest census for impacted files
+    val joined = plan.join(manifest.select($"file_path", $"n_rows".as("m_rows")), "file_path")
+    assert(joined.filter($"n_rows" =!= $"m_rows").count() === 0)
+    plan.unpersist()
+  }
+
   // ---------------------------------------------------------------
   // Range join
   // ---------------------------------------------------------------
