@@ -62,6 +62,117 @@ object Reconciliation {
     * and fell back), and AQE already picks the cheapest legal
     * strategy for sub-threshold sides.
     */
+  // -----------------------------------------------------------------
+  // Content-level reconciliation (Merkle-style bucket fingerprints)
+  // -----------------------------------------------------------------
+
+  /** Per-bucket content fingerprints: rows bucket by the
+    * engine-portable 60-bit hash ([[graft.functions.DqFunctions.md5Hash60]])
+    * of `keyCol` (the row's identity — primary key), and each bucket
+    * folds the hash of `canonicalRow` (a deterministic string
+    * rendering of ALL compared columns) into `(count, bit_xor)`.
+    *
+    * Bucketing by KEY, not by row content, is load-bearing: a
+    * modified row keeps its bucket, so the mismatch surfaces as a
+    * same-count different-fingerprint bucket (`content_mismatch`)
+    * rather than a pair of count blips in unrelated buckets — and
+    * drill-down by key becomes possible at all.
+    *
+    * This is the 100 TB upgrade of the reference's count-only
+    * reconciliation (`pre_and_post_etl_checks.py:229-239`): counts
+    * say two tables have the same NUMBER of rows; fingerprints say
+    * they have the same rows. The output is ≤ `buckets` rows no
+    * matter how big the input — small enough to ship between
+    * clusters, so each side's fingerprints are computed where that
+    * data lives and only the summaries cross the wire.
+    *
+    * Scale: one scan, partial aggregation map-side (count and xor
+    * are both commutative monoids), ≤ `buckets` rows cross the
+    * shuffle. Collision bound: a corrupted bucket reads as `ok` only
+    * if the multiset difference xors to zero AND the counts match —
+    * probability ~2⁻⁶⁰ per bucket for independent corruption.
+    */
+  def contentFingerprints(
+      df: DataFrame, keyCol: Column, canonicalRow: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    df.select(
+        graft.functions.DqFunctions.md5Hash60(keyCol).as("_kh"),
+        graft.functions.DqFunctions.md5Hash60(canonicalRow).as("_h"))
+      .groupBy(pmod(col("_kh"), lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), bit_xor(col("_h")).as("fingerprint"))
+  }
+
+  /** Full-outer compare of the two sides' bucket fingerprints.
+    * Output: one row per non-empty bucket with per-side counts and
+    * fingerprints (absent side coalesced to 0 — the xor identity)
+    * and a `status` of `ok` / `count_mismatch` / `content_mismatch`.
+    * Mismatched buckets are where to drill down with
+    * [[contentDiffHashes]]; at 100 TB that means re-scanning for
+    * diffs only after the cheap summary has localized them.
+    */
+  def contentReconcile(
+      source: DataFrame, dest: DataFrame,
+      keyCol: Column, canonicalRow: Column, buckets: Int): DataFrame = {
+    val s = contentFingerprints(source, keyCol, canonicalRow, buckets)
+      .withColumnRenamed("n_rows", "n_source")
+      .withColumnRenamed("fingerprint", "fp_source")
+    val d = contentFingerprints(dest, keyCol, canonicalRow, buckets)
+      .withColumnRenamed("n_rows", "n_dest")
+      .withColumnRenamed("fingerprint", "fp_dest")
+    val nS = coalesce(col("n_source"), lit(0L))
+    val nD = coalesce(col("n_dest"), lit(0L))
+    val fS = coalesce(col("fp_source"), lit(0L))
+    val fD = coalesce(col("fp_dest"), lit(0L))
+    s.join(d, Seq("bucket"), "full_outer")
+      .select(
+        col("bucket"),
+        nS.as("n_source"), nD.as("n_dest"),
+        fS.as("fp_source"), fD.as("fp_dest"),
+        when(nS =!= nD, lit("count_mismatch"))
+          .when(fS =!= fD, lit("content_mismatch"))
+          .otherwise(lit("ok")).as("status"))
+  }
+
+  /** Drill-down: per-key compare, optionally restricted to an
+    * already-localized bucket set (from [[contentReconcile]]'s
+    * mismatch rows). Returns one row per differing key — deleted
+    * (`n_dest` 0), inserted (`n_source` 0), duplicated (counts
+    * differ), or modified (counts equal, fingerprints differ) —
+    * so the caller can fetch the offending rows by key.
+    *
+    * Scale: with `onlyBuckets` set, each side's scan drops
+    * non-suspect rows map-side (the bucket is a pure function of
+    * the key), so only suspect-bucket `(key, hash)` pairs ever
+    * shuffle; the join is keyed on the key hash.
+    */
+  def contentDiffKeys(
+      source: DataFrame, dest: DataFrame,
+      keyCol: Column, canonicalRow: Column, buckets: Int,
+      onlyBuckets: Option[Seq[Long]] = None): DataFrame = {
+    def keyed(df: DataFrame, n: String, fp: String): DataFrame = {
+      val h = df.select(
+        keyCol.cast("string").as("key"),
+        pmod(graft.functions.DqFunctions.md5Hash60(keyCol),
+          lit(buckets.toLong)).as("bucket"),
+        graft.functions.DqFunctions.md5Hash60(canonicalRow).as("_h"))
+      val scoped = onlyBuckets.fold(h)(bs => h.filter(col("bucket").isin(bs: _*)))
+      scoped.groupBy(col("bucket"), col("key"))
+        .agg(count(lit(1)).as(n), bit_xor(col("_h")).as(fp))
+    }
+    val nS = coalesce(col("n_source"), lit(0L))
+    val nD = coalesce(col("n_dest"), lit(0L))
+    val fS = coalesce(col("fp_source"), lit(0L))
+    val fD = coalesce(col("fp_dest"), lit(0L))
+    keyed(source, "n_source", "fp_source")
+      .join(keyed(dest, "n_dest", "fp_dest"), Seq("bucket", "key"), "full_outer")
+      .filter(nS =!= nD || fS =!= fD)
+      .select(col("bucket"), col("key"),
+        nS.as("n_source"), nD.as("n_dest"),
+        when(nS =!= nD, lit("count_mismatch"))
+          .otherwise(lit("content_mismatch")).as("status"))
+  }
+
   def reconcile(
       source: DataFrame,
       destination: DataFrame,

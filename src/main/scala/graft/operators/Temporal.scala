@@ -60,6 +60,50 @@ object Temporal {
       .select(col("_lrow.*"), col("_asof").getField("_v").as(valueName))
   }
 
+  /** Arrival-continuity check: fixed-width time buckets between the
+    * stream's first and last event that received ZERO rows, merged
+    * into contiguous gap intervals `[gap_start_us, gap_end_us)` with
+    * their bucket count. The "did hour 14 of the feed ever land?"
+    * check — the reference's freshness query (max-date lag,
+    * `data_completeness_checks.py` family) sees only the trailing
+    * edge; this sees every hole in the middle of the history.
+    *
+    * Bucket starts are exact long arithmetic (`us - us mod width`) —
+    * no double division, which would mis-bucket near boundaries once
+    * the bucket width exceeds ~2⁵³/spine-length micros (day-wide
+    * buckets are already there).
+    *
+    * Scale: one partial-aggregated shuffle folds the data to ≤ one
+    * row per bucket; everything after runs on the bucket spine,
+    * whose size is (time range / width) — bounded by the calendar,
+    * not the data, so the single-partition islands window at the end
+    * is safe at any input size (10⁵ rows for a decade of hours).
+    */
+  def arrivalGaps(
+      events: DataFrame, ts: Column, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val present = events
+      .select((us - pmod(us, lit(width))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("_n"))
+    val spine = present
+      .agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(width))).as("b"))
+    val missing = spine.join(present, Seq("b"), "left_anti")
+    // islands of consecutive missing buckets: b - rank*width is
+    // constant within a run (the classic gaps-and-islands key)
+    val w = Window.orderBy(col("b"))
+    missing
+      .withColumn("_g", col("b") - row_number().over(w) * lit(width))
+      .groupBy(col("_g"))
+      .agg(
+        min(col("b")).as("gap_start_us"),
+        (max(col("b")) + lit(width)).as("gap_end_us"),
+        count(lit(1)).as("n_buckets"))
+      .drop("_g")
+  }
+
   /** Gap-based sessionization: events more than `gap` apart start a
     * new session. lag + running sum of session-start flags per key —
     * one shuffle on the key. Returns per-session aggregates.

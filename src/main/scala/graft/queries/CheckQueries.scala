@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Checks
+import graft.operators.{Checks, Reconciliation}
 
 /** Declarative DQ-check queries (q22–q25) with DuckDB oracles.
   *
@@ -333,6 +333,69 @@ object CheckQueries {
       |FROM counts c JOIN fences f USING (event_type)
       |GROUP BY c.event_type, f.n, f.lo, f.hi""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q77 — Merkle-style content reconciliation: orders vs a
+  // deterministically perturbed copy (every 997th key deleted, every
+  // 991st repriced by +0.01). Rows bucket by key hash; each bucket
+  // folds (count, bit_xor of the full-row hash), so 64 fingerprints
+  // localize every planted difference without ever comparing rows:
+  // deletions read as count_mismatch, repricings as content_mismatch
+  // in the key's own bucket. The count-only reconciliation (q07)
+  // would MISS the repricing entirely — same row count, different
+  // content — which is exactly the gap this operator closes.
+  // ---------------------------------------------------------------
+  private val ReconBuckets = 64
+  private val DelMod = 997
+  private val ModMod = 991
+
+  def q77MerkleRecon(spark: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(spark, d)
+    val dest = orders
+      .filter(col("o_orderkey") % DelMod =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % ModMod === 0, col("o_totalprice") + lit(0.01))
+          .otherwise(col("o_totalprice")))
+    // o_totalprice is a double: half-even quantize to integer cents
+    // BEFORE the long cast — Spark truncates double→long where DuckDB
+    // rounds, so a bare cast would fingerprint-mismatch on ~half the
+    // corpus (the q72/q74 quantization idiom)
+    val canonical = concat_ws("|",
+      col("o_orderkey"), bround(col("o_totalprice") * 100).cast("long"))
+    Reconciliation.contentReconcile(
+      orders, dest, col("o_orderkey").cast("string"), canonical, ReconBuckets)
+  }
+
+  val q77Sql: String = {
+    val h = (s: String) =>
+      s"CAST(CAST(('0x' || substr(md5($s), 1, 15)) AS UBIGINT) AS BIGINT)"
+    s"""WITH src AS (
+       |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+       |    o_orderkey || '|' ||
+       |      CAST(round_even(o_totalprice * 100, 0) AS BIGINT) AS canon
+       |  FROM orders),
+       |dst AS (
+       |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+       |    o_orderkey || '|' || CAST(round_even(
+       |      (CASE WHEN o_orderkey % $ModMod = 0 THEN o_totalprice + 0.01
+       |            ELSE o_totalprice END) * 100, 0) AS BIGINT) AS canon
+       |  FROM orders WHERE o_orderkey % $DelMod <> 0),
+       |sb AS (
+       |  SELECT ${h("k")} % $ReconBuckets AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_source, bit_xor(${h("canon")}) AS fp_source
+       |  FROM src GROUP BY 1),
+       |db AS (
+       |  SELECT ${h("k")} % $ReconBuckets AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_dest, bit_xor(${h("canon")}) AS fp_dest
+       |  FROM dst GROUP BY 1)
+       |SELECT bucket,
+       |  COALESCE(n_source, 0) AS n_source, COALESCE(n_dest, 0) AS n_dest,
+       |  COALESCE(fp_source, 0) AS fp_source, COALESCE(fp_dest, 0) AS fp_dest,
+       |  CASE WHEN COALESCE(n_source, 0) <> COALESCE(n_dest, 0) THEN 'count_mismatch'
+       |       WHEN COALESCE(fp_source, 0) <> COALESCE(fp_dest, 0) THEN 'content_mismatch'
+       |       ELSE 'ok' END AS status
+       |FROM sb FULL JOIN db USING (bucket)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_completeness" -> (q22Completeness _),
     "q23_uniqueness"   -> (q23Uniqueness _),
@@ -343,7 +406,8 @@ object CheckQueries {
     "q55_column_profile" -> (q55Profile _),
     "q55b_string_profile" -> (q55bStringProfile _),
     "q72_robust_outliers" -> (q72RobustOutliers _),
-    "q74_winsorize" -> (q74Winsorize _))
+    "q74_winsorize" -> (q74Winsorize _),
+    "q77_merkle_recon" -> (q77MerkleRecon _))
 
   val oracleSql: Map[String, String] = Map(
     "q22_completeness" -> q22Sql,
@@ -355,5 +419,6 @@ object CheckQueries {
     "q55_column_profile" -> q55Sql,
     "q55b_string_profile" -> q55bSql,
     "q72_robust_outliers" -> q72Sql,
-    "q74_winsorize" -> q74Sql)
+    "q74_winsorize" -> q74Sql,
+    "q77_merkle_recon" -> q77Sql)
 }

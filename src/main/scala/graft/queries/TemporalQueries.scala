@@ -69,12 +69,41 @@ object TemporalQueries {
       |FROM s GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
+  // q78 — arrival-continuity gaps: hours inside the error stream's
+  // own [first, last] range that received zero error events, merged
+  // into contiguous gap intervals. Bucket starts are exact epoch-
+  // micros arithmetic on both engines, so interval bounds hash-match.
+  // ---------------------------------------------------------------
+  private val GapBucketSeconds = 3600L
+
+  def q78ArrivalGaps(spark: SparkSession, d: String): DataFrame =
+    Temporal.arrivalGaps(
+      Tables.events(spark, d).filter(col("event_type") === "error"),
+      col("ts"), GapBucketSeconds)
+
+  val q78Sql: String = {
+    val w = GapBucketSeconds * 1000000L
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) - epoch_us(ts) % $w AS b
+       |  FROM events WHERE event_type = 'error'),
+       |p AS (SELECT DISTINCT b FROM e),
+       |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM p),
+       |spine AS (SELECT unnest(range(lo, hi + 1, $w)) AS b FROM bounds),
+       |m AS (SELECT spine.b FROM spine ANTI JOIN p USING (b)),
+       |g AS (SELECT b, b - row_number() OVER (ORDER BY b) * $w AS grp FROM m)
+       |SELECT CAST(min(b) AS BIGINT) AS gap_start_us,
+       |       CAST(max(b) + $w AS BIGINT) AS gap_end_us,
+       |       CAST(count(*) AS BIGINT) AS n_buckets
+       |FROM g GROUP BY grp""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_asof_join" -> (q33AsofJoin _),
-    "q34_sessions"  -> (q34Sessions _))
+    "q34_sessions"  -> (q34Sessions _),
+    "q78_arrival_gaps" -> (q78ArrivalGaps _))
 
   val oracleSql: Map[String, String] = Map(
     "q33_asof_join" -> q33Sql,
-    "q34_sessions"  -> q34Sql)
+    "q34_sessions"  -> q34Sql,
+    "q78_arrival_gaps" -> q78Sql)
 }

@@ -138,6 +138,58 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("content reconcile: identical sides all-ok; delete and modify classify per bucket") {
+    val B = 16
+    val key = $"k".cast("string")
+    val canon = concat_ws("|", $"k", $"v")
+    val src = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+
+    val same = Reconciliation.contentReconcile(src, src, key, canon, B)
+    assert(same.filter($"status" =!= "ok").count() == 0)
+    assert(same.count() <= B)
+
+    // a deleted key -> count_mismatch in its bucket; a modified row
+    // keeps its key bucket, so it reads as content_mismatch (same
+    // count, different fingerprint) — invisible to a count-only
+    // reconcile (q07's shape)
+    val dst = src.filter($"k" =!= 7L)
+      .withColumn("v", when($"k" === 13L, lit("CORRUPT")).otherwise($"v"))
+    val rec = Reconciliation.contentReconcile(src, dst, key, canon, B)
+    val byStatus = rec.filter($"status" =!= "ok")
+      .groupBy($"status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // k=7 and k=13 hash to different buckets here (fixture-pinned)
+    assert(byStatus == Map("count_mismatch" -> 1L, "content_mismatch" -> 1L))
+  }
+
+  test("content reconcile drilldown: diff keys recover exactly the planted rows") {
+    val B = 16
+    val key = $"k".cast("string")
+    val canon = concat_ws("|", $"k", $"v")
+    val src = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val dupRow = Seq((42L, "v42")).toDF("k", "v")
+    // dest: drop k=5, corrupt k=9, duplicate k=42 (an identical extra
+    // copy xors the fingerprint back to itself pairwise — the count
+    // component must catch it)
+    val dst = src.filter($"k" =!= 5L)
+      .withColumn("v", when($"k" === 9L, lit("X")).otherwise($"v"))
+      .unionByName(dupRow)
+    val diff = Reconciliation.contentDiffKeys(src, dst, key, canon, B)
+    val got = diff.select($"key", $"n_source", $"n_dest", $"status").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("5", 1L, 0L, "count_mismatch"),
+      ("9", 1L, 1L, "content_mismatch"),
+      ("42", 1L, 2L, "count_mismatch")))
+    // restricting to the localized buckets reproduces the same diff
+    val buckets = Reconciliation.contentReconcile(src, dst, key, canon, B)
+      .filter($"status" =!= "ok").select($"bucket")
+      .collect().map(_.getLong(0)).toSeq
+    val scoped =
+      Reconciliation.contentDiffKeys(src, dst, key, canon, B, Some(buckets))
+    assert(scoped.collect().toSet == diff.collect().toSet)
+  }
+
   test("sinks: replace overwrites, append accumulates, verify counts (S7-S9)") {
     val dir = Files.createTempDirectory("sink").toString + "/out"
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")

@@ -63,4 +63,25 @@ class TemporalSpec extends AnyFunSuite {
     assert(out((2, 1L)) == 1)
     assert(out.size == 3)
   }
+
+  test("arrival gaps: missing hours merge into intervals; dense stream has none; empty input empty") {
+    val hourUs = 3600L * 1000000L
+    // events in hours 0, 1, 4, 5, 6, 9 (of 2024-01-01) → gaps [2,4) and [7,9)
+    val events = Seq(0, 1, 4, 5, 6, 9)
+      .map(h => Tuple1(ts(f"2024-01-01 $h%02d:30:00"))).toDF("t")
+    val gaps = Temporal.arrivalGaps(events, $"t", 3600)
+      .orderBy($"gap_start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // same local-tz rendering as the fixture rows, so the expected
+    // bucket starts agree with unix_micros regardless of JVM zone
+    val base = ts("2024-01-01 00:00:00").getTime * 1000L
+    assert(gaps.toSeq == Seq(
+      (base + 2 * hourUs, base + 4 * hourUs, 2L),
+      (base + 7 * hourUs, base + 9 * hourUs, 2L)))
+    // two events in one bucket produce no phantom gap; dense → empty
+    val dense = Seq(0, 0, 1, 2).map(h => Tuple1(ts(f"2024-01-01 $h%02d:15:00"))).toDF("t")
+    assert(Temporal.arrivalGaps(dense, $"t", 3600).count() == 0)
+    val empty = Seq.empty[Tuple1[java.sql.Timestamp]].toDF("t")
+    assert(Temporal.arrivalGaps(empty, $"t", 3600).count() == 0)
+  }
 }
