@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -284,6 +284,45 @@ object Profiling {
     * usual containment argument over the (n_rows desc, value asc)
     * total order.
     */
+  /** Equi-width histogram of a numeric column: `bins` buckets over
+    * the column's own [min, max], empty buckets included (a drift
+    * dashboard needs the zero bars). Nulls are excluded; the max
+    * lands in the last bucket (closed upper edge).
+    *
+    * Two passes by necessity — the bounds must exist before anything
+    * can bucket — but each is one scan with map-side partial
+    * aggregation, and the one-row stats frame broadcasts back, so
+    * the shuffles carry ≤ `bins` rows and one row respectively at
+    * any input size. All edge arithmetic is plain IEEE double in
+    * the same expression shape on both engines, so bucket boundaries
+    * and assignments agree bit-for-bit with the oracle.
+    *
+    * A degenerate column (min == max, width 0) puts every row in
+    * bucket 0 rather than NaN-bucketing.
+    */
+  def histogram(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val stats = df.filter(value.isNotNull)
+      .agg(min(value).cast("double").as("mn"), max(value).cast("double").as("mx"))
+    val width = (col("mx") - col("mn")) / lit(bins.toDouble)
+    val bin = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(least(lit(bins - 1L),
+        floor((col("_v") - col("mn")) / width)))
+    val counts = df.filter(value.isNotNull)
+      .select(value.cast("double").as("_v"))
+      .crossJoin(broadcast(stats))
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+    stats
+      .select(explode(sequence(lit(0L), lit(bins - 1L))).as("bin"),
+        col("mn"), col("mx"))
+      .join(counts, Seq("bin"), "left")
+      .select(
+        col("bin"),
+        (col("mn") + col("bin") * width).as("lo"),
+        (col("mn") + (col("bin") + lit(1L)) * width).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   def topValues(df: DataFrame, cols: Seq[String], k: Int, salts: Int = 32): DataFrame = {
     require(cols.nonEmpty && k >= 1, "need columns and k >= 1")
     val W = org.apache.spark.sql.expressions.Window

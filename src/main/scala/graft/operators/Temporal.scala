@@ -60,6 +60,42 @@ object Temporal {
       .select(col("_lrow.*"), col("_asof").getField("_v").as(valueName))
   }
 
+  /** SCD2 history build: collapse a keyed change stream into
+    * slowly-changing-dimension validity intervals — one row per run
+    * of consecutive equal `attr` values, with `valid_from` (first
+    * observation), `valid_to` (start of the next run, null while
+    * current — the half-open convention) and `is_current`. The
+    * history-table half of [[graft.operators.Snapshot.latestSnapshot]]:
+    * that keeps the latest image, this keeps every version with its
+    * validity window.
+    *
+    * Input must be unique per (key, ts) — ties would make run
+    * boundaries nondeterministic (same contract as [[asOfJoinBackward]]'s
+    * right side). Null attr values are legal versions: run-change
+    * detection is null-safe (a null run closes a non-null run and
+    * vice versa), via the same null-struct marker trick as the as-of
+    * join, so "no previous row" stays distinguishable from "previous
+    * value was null".
+    *
+    * Scale: one shuffle on the key; both windows (lag to find run
+    * starts, lead to close intervals) share the same partitioning
+    * and sort, so the second is exchange-free. Per-key state is the
+    * key's own history — the shape every SCD2 build has.
+    */
+  def scd2Intervals(
+      df: DataFrame, key: Column, ts: Column, attr: Column): DataFrame = {
+    val wO = Window.partitionBy(col("key")).orderBy(col("_ts").asc)
+    val vs = struct(lit(1).as("_m"), col("value").as("_v"))
+    df.select(key.as("key"), ts.as("_ts"), attr.as("value"))
+      .withColumn("_prev", lag(vs, 1).over(wO))
+      .filter(col("_prev").isNull || !(col("_prev._v") <=> col("value")))
+      .withColumn("valid_from", col("_ts"))
+      .withColumn("valid_to", lead(col("_ts"), 1).over(wO))
+      .select(col("key"), col("value"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** Arrival-continuity check: fixed-width time buckets between the
     * stream's first and last event that received ZERO rows, merged
     * into contiguous gap intervals `[gap_start_us, gap_end_us)` with

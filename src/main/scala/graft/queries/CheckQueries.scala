@@ -396,6 +396,35 @@ object CheckQueries {
        |FROM sb FULL JOIN db USING (bucket)""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q79 — equi-width histogram of l_extendedprice (20 bins, empty
+  // bins included). Every edge is the same IEEE double expression on
+  // both engines, so boundaries and assignments hash-match exactly.
+  // ---------------------------------------------------------------
+  private val HistBins = 20
+
+  def q79Histogram(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.histogram(
+      Tables.lineitem(spark, d), col("l_extendedprice"), HistBins)
+
+  val q79Sql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+       |         CAST(max(l_extendedprice) AS DOUBLE) AS mx
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |c AS (
+       |  SELECT CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+       |         ELSE least(${HistBins - 1}, CAST(floor((l_extendedprice - mn)
+       |                / ((mx - mn) / $HistBins.0)) AS BIGINT))
+       |         END AS bin,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM lineitem, s WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+       |spine AS (SELECT unnest(range(0, $HistBins)) AS bin, mn, mx FROM s)
+       |SELECT spine.bin, mn + spine.bin * ((mx - mn) / $HistBins.0) AS lo,
+       |       mn + (spine.bin + 1) * ((mx - mn) / $HistBins.0) AS hi,
+       |       COALESCE(n, 0) AS n
+       |FROM spine LEFT JOIN c USING (bin)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_completeness" -> (q22Completeness _),
     "q23_uniqueness"   -> (q23Uniqueness _),
@@ -407,7 +436,8 @@ object CheckQueries {
     "q55b_string_profile" -> (q55bStringProfile _),
     "q72_robust_outliers" -> (q72RobustOutliers _),
     "q74_winsorize" -> (q74Winsorize _),
-    "q77_merkle_recon" -> (q77MerkleRecon _))
+    "q77_merkle_recon" -> (q77MerkleRecon _),
+    "q79_histogram" -> (q79Histogram _))
 
   val oracleSql: Map[String, String] = Map(
     "q22_completeness" -> q22Sql,
@@ -420,5 +450,6 @@ object CheckQueries {
     "q55b_string_profile" -> q55bSql,
     "q72_robust_outliers" -> q72Sql,
     "q74_winsorize" -> q74Sql,
-    "q77_merkle_recon" -> q77Sql)
+    "q77_merkle_recon" -> q77Sql,
+    "q79_histogram" -> q79Sql)
 }

@@ -97,13 +97,44 @@ object TemporalQueries {
        |FROM g GROUP BY grp""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q80 — SCD2 history: each user's event_type stream collapsed into
+  // validity intervals (one row per run of equal values, half-open
+  // [valid_from, valid_to), current row open-ended). Bounds as epoch
+  // micros; (user_id, ts) is unique in the corpus even after DuckDB's
+  // ns → Spark's µs truncation, so run boundaries agree exactly.
+  // ---------------------------------------------------------------
+  def q80Scd2(spark: SparkSession, d: String): DataFrame =
+    Temporal.scd2Intervals(
+        Tables.events(spark, d), col("user_id"), col("ts"), col("event_type"))
+      .select(
+        col("key").as("user_id"), col("value").as("event_type"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("is_current"))
+
+  val q80Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, event_type, ts FROM o
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+      |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS valid_to_us,
+      |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
+      |FROM ch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_asof_join" -> (q33AsofJoin _),
     "q34_sessions"  -> (q34Sessions _),
-    "q78_arrival_gaps" -> (q78ArrivalGaps _))
+    "q78_arrival_gaps" -> (q78ArrivalGaps _),
+    "q80_scd2" -> (q80Scd2 _))
 
   val oracleSql: Map[String, String] = Map(
     "q33_asof_join" -> q33Sql,
     "q34_sessions"  -> q34Sql,
-    "q78_arrival_gaps" -> q78Sql)
+    "q78_arrival_gaps" -> q78Sql,
+    "q80_scd2" -> q80Sql)
 }

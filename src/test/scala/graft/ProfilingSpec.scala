@@ -186,4 +186,23 @@ class ProfilingSpec extends AnyFunSuite {
       .select(graft.functions.UpperTrianglePairs(col("w")).as("p"))
     assert(withNullElem.head.isNullAt(0))
   }
+
+  test("histogram: hand-checked buckets, closed max edge, empty bins, nulls, constant column") {
+    import org.apache.spark.sql.functions._
+    // [0,10] in 5 bins of width 2: values land 0,0,1,4,4; bin 2,3 empty;
+    // the max (10.0) closes into the last bin, nulls drop
+    val df = Seq(Some(0.0), Some(1.9), Some(2.0), Some(8.0), Some(10.0), None)
+      .toDF("v")
+    val h = Profiling.histogram(df, col("v"), 5).orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(h.toSeq == Seq(
+      (0L, 0.0, 2.0, 2L), (1L, 2.0, 4.0, 1L), (2L, 4.0, 6.0, 0L),
+      (3L, 6.0, 8.0, 0L), (4L, 8.0, 10.0, 2L)))
+    assert(h.map(_._4).sum == 5L) // every non-null row bucketed exactly once
+    // constant column: width 0 must not NaN-bucket — all rows in bin 0
+    val const = Seq(7.0, 7.0, 7.0).toDF("v")
+    val hc = Profiling.histogram(const, col("v"), 4).orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(hc.toSeq == Seq((0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L)))
+  }
 }

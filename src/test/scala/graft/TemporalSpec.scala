@@ -64,6 +64,31 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("scd2 intervals: runs collapse, half-open bounds chain, null is a legal version") {
+    val rows = Seq(
+      (1, ts("2024-01-01 10:00:00"), Some("a")),
+      (1, ts("2024-01-01 11:00:00"), Some("a")),   // same run
+      (1, ts("2024-01-01 12:00:00"), Some("b")),   // change
+      (1, ts("2024-01-01 13:00:00"), None),        // null closes b's run
+      (1, ts("2024-01-01 14:00:00"), None),        // same (null) run
+      (1, ts("2024-01-01 15:00:00"), Some("a")),   // a again: NEW version
+      (2, ts("2024-01-01 10:00:00"), Some("x")))
+      .toDF("k", "t", "v")
+    val out = Temporal.scd2Intervals(rows, $"k", $"t", $"v")
+      .orderBy($"key", $"valid_from")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1, Some("a"), ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 12:00:00")), false),
+      (1, Some("b"), ts("2024-01-01 12:00:00"), Some(ts("2024-01-01 13:00:00")), false),
+      (1, None,      ts("2024-01-01 13:00:00"), Some(ts("2024-01-01 15:00:00")), false),
+      (1, Some("a"), ts("2024-01-01 15:00:00"), None, true),
+      (2, Some("x"), ts("2024-01-01 10:00:00"), None, true)))
+    // intervals tile each key's history: every consecutive pair chains
+    assert(out.toVector.filter(_._1 == 1).sliding(2).forall {
+      case Vector(a, b) => a._4.contains(b._3); case _ => true })
+  }
+
   test("arrival gaps: missing hours merge into intervals; dense stream has none; empty input empty") {
     val hourUs = 3600L * 1000000L
     // events in hours 0, 1, 4, 5, 6, 9 (of 2024-01-01) → gaps [2,4) and [7,9)
