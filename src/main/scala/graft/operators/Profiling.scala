@@ -299,27 +299,38 @@ object Profiling {
     *
     * A degenerate column (min == max, width 0) puts every row in
     * bucket 0 rather than NaN-bucketing.
+    *
+    * The bounds are pulled to the driver as ONE row and embedded as
+    * literals (the config-sized-pull pattern of the IVF centroid
+    * fetch): a lazy one-row stats frame would be independently
+    * re-computed by both the spine branch and the count branch,
+    * turning two data scans into three. Driver-side `(mx−mn)/bins`
+    * is the same correctly-rounded IEEE double either engine
+    * computes, so edges still hash-match. Eager by consequence: the
+    * bounds job runs when `histogram` is called.
     */
   def histogram(df: DataFrame, value: Column, bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    val stats = df.filter(value.isNotNull)
+    val nn = df.filter(value.isNotNull)
+    val bounds = nn
       .agg(min(value).cast("double").as("mn"), max(value).cast("double").as("mx"))
-    val width = (col("mx") - col("mn")) / lit(bins.toDouble)
-    val bin = when(col("mx") === col("mn"), lit(0L))
-      .otherwise(least(lit(bins - 1L),
-        floor((col("_v") - col("mn")) / width)))
-    val counts = df.filter(value.isNotNull)
-      .select(value.cast("double").as("_v"))
-      .crossJoin(broadcast(stats))
-      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
-    stats
-      .select(explode(sequence(lit(0L), lit(bins - 1L))).as("bin"),
-        col("mn"), col("mx"))
+      .head()
+    val spine = df.sparkSession.range(0, bins).select(col("id").as("bin"))
+    if (bounds.isNullAt(0))
+      return spine.limit(0).select(col("bin"),
+        lit(0.0).as("lo"), lit(0.0).as("hi"), lit(0L).as("n"))
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val width = (mx - mn) / bins
+    val bin =
+      if (mx == mn) lit(0L)
+      else least(lit(bins - 1L), floor((value.cast("double") - lit(mn)) / lit(width)))
+    val counts = nn.groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+    spine
       .join(counts, Seq("bin"), "left")
       .select(
         col("bin"),
-        (col("mn") + col("bin") * width).as("lo"),
-        (col("mn") + (col("bin") + lit(1L)) * width).as("hi"),
+        (lit(mn) + col("bin") * lit(width)).as("lo"),
+        (lit(mn) + (col("bin") + lit(1L)) * lit(width)).as("hi"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
