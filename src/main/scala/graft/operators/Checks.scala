@@ -373,4 +373,108 @@ object Checks {
         (sum(clamped.cast("decimal(20,0)") * col("_c")).cast("string").cast("double")
           / lit(scale) / max(col("_n")).cast("double")).as("mean_winsorized"))
   }
+
+  /** One candidate foreign-key edge for [[inclusionReport]]. */
+  final case class InclusionSpec(
+      relation: String,
+      child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column)
+
+  /** Inclusion-dependency profile — FK discovery over candidate
+    * column pairs: for each edge, the number of DISTINCT non-null
+    * child values, how many of them exist in the parent column, and
+    * the inclusion coefficient (1.0 = the child column is fully
+    * contained, i.e. a valid FK target).
+    *
+    * [[referentialIntegrity]] counts orphan ROWS of a known FK; this
+    * profiles candidate edges by distinct VALUES — the signal schema-
+    * discovery tools rank edges by (Bauckmann et al.'s SPIDER /
+    * Sindy-family inclusion testing, here as plain Spark plans).
+    *
+    * Scale: per edge, two distinct-aggregations and one semi join,
+    * all keyed on the value — co-partitioned shuffles that AQE
+    * handles; only per-edge scalar counts leave the aggregation.
+    * Edges are independent parallel subtrees of one unioned job.
+    */
+  def inclusionReport(specs: Seq[InclusionSpec]): DataFrame = {
+    require(specs.nonEmpty, "at least one inclusion edge required")
+    specs.map { s =>
+      val c = s.child.select(s.childKey.as("_k"))
+        .filter(col("_k").isNotNull).distinct()
+      val p = s.parent.select(s.parentKey.as("_k"))
+        .filter(col("_k").isNotNull).distinct()
+      val total = c.agg(count(lit(1)).as("n_child_distinct"))
+      val matched = c.join(p, Seq("_k"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      total.crossJoin(matched).select(
+        lit(s.relation).as("relation"),
+        col("n_child_distinct"), col("n_matched"),
+        when(col("n_child_distinct") > 0,
+          col("n_matched").cast("double") / col("n_child_distinct").cast("double"))
+          .otherwise(lit(null).cast("double")).as("inclusion"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Volume-anomaly check on arrival counts: bucket rows per (group,
+    * day), then flag days whose count deviates from the TRAILING
+    * `trailing`-day window (previous rows only — the current day must
+    * not contaminate its own baseline) by more than `threshold`
+    * sample standard deviations. The day-over-day "did the feed
+    * volume jump/collapse?" monitor the reference's append-by-run-
+    * date census implies ([[metricTrend]] compares one run to the
+    * previous; this scores against a rolling distribution).
+    *
+    * Engine-exact by construction: the window folds INTEGER daily
+    * counts into exact long (count, sum, sum-of-squares) — immune to
+    * both engines' float-summation order — and mean/stddev/flag are
+    * derived from those integers with identical IEEE expressions.
+    * Exactness bound: sum(n²) over the window must fit a long —
+    * daily group counts up to ~10⁹ at trailing ≤ 7 (7·10¹⁸ < 2⁶³).
+    * The trailing frame is ROWS-based: days with zero rows produce
+    * no bucket, so after an outage the baseline is the last
+    * `trailing` OBSERVED days (compose with
+    * [[Temporal.arrivalGaps]] to see the outage itself).
+    *
+    * Days with fewer than `minPrior` prior observations report null
+    * statistics (insufficient history ≠ normal); a zero-variance
+    * baseline likewise yields a null flag (no scale to score on).
+    *
+    * One shuffle to the daily grain, then a window over (groups ×
+    * days) rows — the pre-aggregation is what makes this safe at any
+    * row count.
+    */
+  def volumeAnomalies(
+      df: DataFrame, group: Column, ts: Column,
+      trailing: Int = 7, threshold: Double = 3.0,
+      minPrior: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trailing >= 1 && minPrior >= 2,
+      s"need trailing >= 1 and minPrior >= 2, got $trailing/$minPrior")
+    val daily = df
+      .groupBy(group.as("group"), to_date(ts).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("group")).orderBy(col("day").asc)
+      .rowsBetween(-trailing, -1)
+    val stats = daily
+      .withColumn("n_prior", count(col("n")).over(w))
+      .withColumn("_s", sum(col("n")).over(w))
+      .withColumn("_sq", sum(col("n") * col("n")).over(w))
+    val enough = col("n_prior") >= minPrior
+    val nP = col("n_prior").cast("double")
+    val mean = col("_s").cast("double") / nP
+    val variance = greatest(
+      (col("_sq").cast("double") - col("_s").cast("double") * col("_s").cast("double") / nP)
+        / (nP - lit(1.0)),
+      lit(0.0))
+    stats
+      .withColumn("mean_prior", when(enough, mean))
+      .withColumn("std_prior", when(enough, sqrt(variance)))
+      .select(
+        col("group"), col("day"), col("n"), col("n_prior"),
+        col("mean_prior"), col("std_prior"),
+        when(enough && col("std_prior") > 0.0,
+          abs(col("n").cast("double") - col("mean_prior"))
+            > lit(threshold) * col("std_prior"))
+          .otherwise(lit(null).cast("boolean")).as("is_anomaly"))
+  }
 }

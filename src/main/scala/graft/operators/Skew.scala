@@ -36,6 +36,40 @@ object Skew {
     * Results are identical to the plain join; the hot key's work is
     * parallelized at the cost of replicating the (small) right side.
     */
+  /** Join-skew diagnosis: per-key frequency census of both join
+    * sides and each key's output contribution (`n_left × n_right` —
+    * the row count that key alone would emit from the join), top-k
+    * hottest keys first. Run this BEFORE a big join to decide
+    * whether it needs [[saltedJoin]]/AQE skew handling, and which
+    * keys are the problem.
+    *
+    * Scale: both sides partial-aggregate map-side down to one row
+    * per distinct key before the full-outer merge, and the final
+    * ordering is `orderBy(...).limit(k)` — Spark plans that as
+    * TakeOrderedAndProject (per-partition top-k, then a k-row merge
+    * on the driver), never a global sort. Ties break on the key, so
+    * the top-k set is deterministic.
+    */
+  def joinSkewReport(
+      left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val l = left.select(leftKey.as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_left"))
+    val r = right.select(rightKey.as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_right"))
+    l.join(r, Seq("k"), "full_outer")
+      .select(
+        col("k"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"),
+        (coalesce(col("n_left"), lit(0L)) * coalesce(col("n_right"), lit(0L)))
+          .as("n_output"))
+      .orderBy(col("n_output").desc, col("k").asc)
+      .limit(topK)
+  }
+
   def saltedJoin(
       skewed: DataFrame, right: DataFrame, joinKeys: Seq[String],
       saltSource: Column, nSalts: Int): DataFrame = {

@@ -425,6 +425,93 @@ object CheckQueries {
        |       COALESCE(n, 0) AS n
        |FROM spine LEFT JOIN c USING (bin)""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q81 — inclusion-dependency profile (FK discovery): distinct-value
+  // containment for four candidate edges — three intact (coefficient
+  // 1.0 / organic) and one deliberately violated (parent filtered to
+  // every third customer → ~0.333).
+  // ---------------------------------------------------------------
+  def q81Inclusion(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d); val or = Tables.orders(spark, d)
+    val cu = Tables.customer(spark, d)
+    Checks.inclusionReport(Seq(
+      Checks.InclusionSpec("lineitem_orderkey_in_orders",
+        li, col("l_orderkey"), or, col("o_orderkey")),
+      Checks.InclusionSpec("orders_custkey_in_customer",
+        or, col("o_custkey"), cu, col("c_custkey")),
+      Checks.InclusionSpec("customer_custkey_in_orders",
+        cu, col("c_custkey"), or, col("o_custkey")),
+      Checks.InclusionSpec("orders_custkey_in_customer_mod3",
+        or, col("o_custkey"),
+        cu.filter(col("c_custkey") % 3 === 0), col("c_custkey"))))
+  }
+
+  val q81Sql: String = {
+    def edge(name: String, ck: String, ct: String, pk: String, pt: String) =
+      s"""SELECT '$name' AS relation,
+         |  CAST(count(*) AS BIGINT) AS n_child_distinct,
+         |  CAST(count(CASE WHEN p.k IS NOT NULL THEN 1 END) AS BIGINT) AS n_matched,
+         |  CASE WHEN count(*) > 0 THEN
+         |    CAST(count(CASE WHEN p.k IS NOT NULL THEN 1 END) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE)
+         |  END AS inclusion
+         |FROM (SELECT DISTINCT $ck AS k FROM $ct WHERE $ck IS NOT NULL) c
+         |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $pt) p USING (k)""".stripMargin
+    Seq(
+      edge("lineitem_orderkey_in_orders", "l_orderkey", "lineitem",
+        "o_orderkey", "orders"),
+      edge("orders_custkey_in_customer", "o_custkey", "orders",
+        "c_custkey", "customer"),
+      edge("customer_custkey_in_orders", "c_custkey", "customer",
+        "o_custkey", "orders"),
+      edge("orders_custkey_in_customer_mod3", "o_custkey", "orders",
+        "c_custkey", "(SELECT * FROM customer WHERE c_custkey % 3 = 0)"))
+      .mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------------------------
+  // q83 — volume-anomaly monitor: daily event counts per type scored
+  // against the trailing 7 observed days (current day excluded from
+  // its own baseline); |n − mean| > 2σ flags. The window folds exact
+  // integer (count, sum, sum-of-squares), so mean/σ/flag are the
+  // same IEEE doubles on both engines.
+  // ---------------------------------------------------------------
+  private val VolTrailing = 7
+  private val VolThreshold = 2.0
+
+  def q83VolumeAnomalies(spark: SparkSession, d: String): DataFrame =
+    Checks.volumeAnomalies(Tables.events(spark, d),
+      col("event_type"), col("ts"),
+      trailing = VolTrailing, threshold = VolThreshold)
+
+  val q83Sql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT grp, day, n,
+       |    CAST(count(n) OVER win AS BIGINT) AS n_prior,
+       |    CAST(sum(n) OVER win AS BIGINT) AS s,
+       |    CAST(sum(n*n) OVER win AS BIGINT) AS sq
+       |  FROM daily
+       |  WINDOW win AS (PARTITION BY grp ORDER BY day
+       |                 ROWS BETWEEN $VolTrailing PRECEDING AND 1 PRECEDING)),
+       |m AS (
+       |  SELECT grp, day, n, n_prior,
+       |    CASE WHEN n_prior >= 3
+       |      THEN CAST(s AS DOUBLE) / CAST(n_prior AS DOUBLE) END AS mean_prior,
+       |    CASE WHEN n_prior >= 3 THEN sqrt(greatest(
+       |      (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+       |         / CAST(n_prior AS DOUBLE)) / (CAST(n_prior AS DOUBLE) - 1.0),
+       |      0.0)) END AS std_prior
+       |  FROM w)
+       |SELECT grp AS "group", day, n, n_prior, mean_prior, std_prior,
+       |  CASE WHEN n_prior >= 3 AND std_prior > 0.0
+       |    THEN abs(CAST(n AS DOUBLE) - mean_prior) > $VolThreshold * std_prior
+       |  END AS is_anomaly
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_completeness" -> (q22Completeness _),
     "q23_uniqueness"   -> (q23Uniqueness _),
@@ -437,7 +524,9 @@ object CheckQueries {
     "q72_robust_outliers" -> (q72RobustOutliers _),
     "q74_winsorize" -> (q74Winsorize _),
     "q77_merkle_recon" -> (q77MerkleRecon _),
-    "q79_histogram" -> (q79Histogram _))
+    "q79_histogram" -> (q79Histogram _),
+    "q81_inclusion" -> (q81Inclusion _),
+    "q83_volume_anomalies" -> (q83VolumeAnomalies _))
 
   val oracleSql: Map[String, String] = Map(
     "q22_completeness" -> q22Sql,
@@ -451,5 +540,7 @@ object CheckQueries {
     "q72_robust_outliers" -> q72Sql,
     "q74_winsorize" -> q74Sql,
     "q77_merkle_recon" -> q77Sql,
-    "q79_histogram" -> q79Sql)
+    "q79_histogram" -> q79Sql,
+    "q81_inclusion" -> q81Sql,
+    "q83_volume_anomalies" -> q83Sql)
 }

@@ -100,13 +100,40 @@ object ScaleQueries {
        |FROM b""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q82 — join-skew diagnosis: the per-key frequency/contribution
+  // census you run BEFORE a big join to decide whether it needs
+  // salting. lineitem ⋈ part on partkey, 20 hottest keys by output
+  // contribution (deterministic key tiebreak). The plan is two
+  // partial-aggregated censuses + TakeOrderedAndProject — no global
+  // sort at any scale.
+  // ---------------------------------------------------------------
+  private val SkewTopK = 20
+
+  def q82JoinSkew(spark: SparkSession, d: String): DataFrame =
+    Skew.joinSkewReport(
+      Tables.lineitem(spark, d), col("l_partkey"),
+      Tables.part(spark, d), col("p_partkey"), SkewTopK)
+
+  val q82Sql: String =
+    s"""WITH l AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n_left
+       |           FROM lineitem GROUP BY 1),
+       |r AS (SELECT p_partkey AS k, CAST(count(*) AS BIGINT) AS n_right
+       |      FROM part GROUP BY 1)
+       |SELECT k, COALESCE(n_left, 0) AS n_left, COALESCE(n_right, 0) AS n_right,
+       |  COALESCE(n_left, 0) * COALESCE(n_right, 0) AS n_output
+       |FROM l FULL JOIN r USING (k)
+       |ORDER BY n_output DESC, k LIMIT $SkewTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_salted_distinct"   -> (q36SaltedDistinct _),
     "q37_partition_pruning" -> (q37PartitionPruning _),
-    "q69_zorder_key"        -> (q69Zorder _))
+    "q69_zorder_key"        -> (q69Zorder _),
+    "q82_join_skew"         -> (q82JoinSkew _))
 
   val oracleSql: Map[String, String] = Map(
     "q36_salted_distinct"   -> q36Sql,
     "q37_partition_pruning" -> q37Sql,
-    "q69_zorder_key"        -> q69Sql)
+    "q69_zorder_key"        -> q69Sql,
+    "q82_join_skew"         -> q82Sql)
 }
