@@ -145,6 +145,11 @@ object Reconciliation {
     * non-suspect rows map-side (the bucket is a pure function of
     * the key), so only suspect-bucket `(key, hash)` pairs ever
     * shuffle; the join is keyed on the key hash.
+    *
+    * Pass the SAME `keyCol` expression here as to
+    * [[contentReconcile]] (string-typed for cross-engine oracles) —
+    * the bucket is a hash of that expression's bytes, so a different
+    * rendering of the same key buckets elsewhere.
     */
   def contentDiffKeys(
       source: DataFrame, dest: DataFrame,

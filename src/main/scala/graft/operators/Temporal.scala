@@ -100,8 +100,8 @@ object Temporal {
     * stream's first and last event that received ZERO rows, merged
     * into contiguous gap intervals `[gap_start_us, gap_end_us)` with
     * their bucket count. The "did hour 14 of the feed ever land?"
-    * check — the reference's freshness query (max-date lag,
-    * `data_completeness_checks.py` family) sees only the trailing
+    * check — the reference's freshness query (max-date vs cutoff,
+    * `data_consistency_checks.py:43-77`) sees only the trailing
     * edge; this sees every hole in the middle of the history.
     *
     * Bucket starts are exact long arithmetic (`us - us mod width`) —
