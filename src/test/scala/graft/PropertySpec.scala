@@ -143,4 +143,69 @@ class PropertySpec extends AnyFunSuite {
       assert(binned === naive, s"binWidth=$w: match sets differ")
     }
   }
+
+  test("content reconcile detects every random single-row perturbation") {
+    val key = $"k".cast("string")
+    val canon = concat_ws("|", $"k", $"v")
+    val n = 300
+    val src = (1 to n).map(i => (i.toLong, s"payload-$i")).toDF("k", "v")
+    val rnd = new scala.util.Random(42)
+    // ten random perturbations of each flavor; every one must surface
+    (1 to 10).foreach { _ =>
+      val victim = 1L + rnd.nextInt(n)
+      val deleted = src.filter($"k" =!= victim)
+      val modified = src.withColumn("v",
+        when($"k" === victim, lit("tampered")).otherwise($"v"))
+      for ((dst, expect) <- Seq(
+          deleted -> "count_mismatch", modified -> "content_mismatch")) {
+        val bad = Reconciliation.contentReconcile(src, dst, key, canon, 16)
+          .filter($"status" =!= "ok").collect()
+        assert(bad.length == 1 && bad.head.getString(5) == expect,
+          s"victim=$victim expected one $expect, got ${bad.mkString(",")}")
+        val diff = Reconciliation.contentDiffKeys(src, dst, key, canon, 16)
+          .collect()
+        assert(diff.length == 1 && diff.head.getString(1) == victim.toString)
+      }
+    }
+  }
+
+  test("histogram bucket counts always sum to the non-null row count; edges tile [min,max]") {
+    import graft.operators.Profiling
+    val rnd = new scala.util.Random(7)
+    for (bins <- Seq(1, 7, 32)) {
+      val vals = Seq.fill(200)(rnd.nextDouble() * 1000 - 500) ++
+        Seq.fill(20)(rnd.nextGaussian())  // a second, tight cluster
+      val df = vals.map(Option(_)).padTo(230, None).toDF("v")
+      val h = Profiling.histogram(df, $"v", bins).orderBy("bin").collect()
+      assert(h.length == bins)
+      assert(h.map(_.getLong(3)).sum == 220)
+      // consecutive buckets chain: hi(i) == lo(i+1) bit-for-bit
+      h.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(2) == b.getDouble(1))
+        case _ => ()
+      }
+    }
+  }
+
+  test("volumeAnomalies integer-sum stddev equals stddev_samp over the same trailing counts") {
+    import graft.operators.Checks
+    val rnd = new scala.util.Random(11)
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-$day%02d 03:00:00")
+    val rows = (1 to 25).flatMap { day =>
+      Seq.fill(5 + rnd.nextInt(40))(("g", d(day)))
+    }
+    val out = Checks.volumeAnomalies(rows.toDF("g", "t"), $"g", $"t",
+        trailing = 7, threshold = 2.0)
+      .orderBy($"day").collect()
+    val daily = out.map(r => r.getLong(2))
+    out.zipWithIndex.filter(_._1.getLong(3) >= 3).foreach { case (r, i) =>
+      val window = daily.slice(math.max(0, i - 7), i)
+      val mean = window.sum.toDouble / window.length
+      val variance =
+        window.map(x => (x - mean) * (x - mean)).sum / (window.length - 1)
+      assert(math.abs(r.getDouble(4) - mean) < 1e-9)
+      assert(math.abs(r.getDouble(5) - math.sqrt(variance)) < 1e-9,
+        s"row $i: ${r.getDouble(5)} vs ${math.sqrt(variance)}")
+    }
+  }
 }
