@@ -113,6 +113,39 @@ object StreamingFreshness {
   final case class VolumeState(count: Long, alerted: Boolean)
   final case class VolumeAlert(event_type: String, total_count: Long)
 
+  /** Windowed volume-anomaly stream: tumbling event-time count
+    * windows per group, each flagged against a STATIC per-group
+    * baseline of `(group, mean, std)` — the profile a batch
+    * [[graft.operators.Checks.volumeAnomalies]] run over history
+    * produces. The streaming half of that monitor: history profiles
+    * offline, the live feed is scored window-by-window as the
+    * watermark closes each one.
+    *
+    * Scale: the windowed count is watermark-bounded state (groups ×
+    * open windows); the baseline joins as a broadcast (it is
+    * group-cardinality-sized by construction), so no stream-side
+    * shuffle beyond the count's own. Unprofiled groups flag null,
+    * not false — new feeds are "unknown", never silently normal.
+    */
+  def anomalousWindows(
+      events: DataFrame,
+      baseline: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "1 hour",
+      threshold: Double = 3.0): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(groupCol).as("group"), window(col(tsCol), windowLength))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(baseline), Seq("group"), "left_outer")
+      .select(
+        col("group"), col("window.start").as("window_start"), col("n"),
+        when(col("std") > 0.0,
+          abs(col("n").cast("double") - col("mean")) > lit(threshold) * col("std"))
+          .otherwise(lit(null).cast("boolean")).as("is_anomaly"))
+
   /** Threshold-crossing alert stream (`flatMapGroupsWithState`):
     * emits ONE alert per event_type the first time its running count
     * reaches `threshold`, and nothing afterwards — 0-or-1 outputs per

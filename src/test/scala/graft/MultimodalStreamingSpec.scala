@@ -408,4 +408,35 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(streamed == batched)
     assert(streamed.nonEmpty)
   }
+
+  test("anomalous windows: spike flagged against static baseline, unprofiled group null") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val baseline = Seq(("click", 3.0, 1.0)).toDF("group", "mean", "std")
+    val sq = StreamingFreshness.anomalousWindows(
+        stream.toDF().toDF("ts", "event_type"), baseline,
+        windowLength = "1 hour", watermarkDelay = "1 minute", threshold = 2.0)
+      .writeStream.outputMode("append").format("memory").queryName("anom_out")
+      .start()
+    // hour 10: 8 clicks (z=5, anomalous) + 2 "mystery" (no baseline);
+    // hour 11: 3 clicks (z=0, normal)
+    stream.addData(
+      (1 to 8).map(i => (t(f"2024-01-01 10:${i}%02d:00"), "click")) ++
+        Seq((t("2024-01-01 10:30:00"), "mystery"), (t("2024-01-01 10:31:00"), "mystery")))
+    sq.processAllAvailable()
+    stream.addData(Seq((t("2024-01-01 11:10:00"), "click"),
+      (t("2024-01-01 11:20:00"), "click"), (t("2024-01-01 11:30:00"), "click")))
+    sq.processAllAvailable()
+    // advance the watermark past hour 11 so both windows finalize
+    stream.addData(Seq((t("2024-01-01 13:00:00"), "click")))
+    sq.processAllAvailable()
+    sq.stop()
+    val rows = spark.table("anom_out")
+      .collect().map(r => (r.getString(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).toSet
+    assert(rows.contains(("click", 8L, Some(true))))     // spike flagged
+    assert(rows.contains(("click", 3L, Some(false))))    // normal window not
+    assert(rows.contains(("mystery", 2L, None)))         // unknown feed: null
+  }
 }
