@@ -214,6 +214,38 @@ class PlanShapeSpec extends AnyFunSuite {
       "bounded-threshold levenshtein runs only on blocked candidates")
   }
 
+  test("q77: fingerprints fold map-side; only bucket rows cross each shuffle") {
+    val p = plan(graft.queries.CheckQueries.q77MerkleRecon(spark, d))
+    assert(p.contains("partial_bit_xor"),
+      "xor fingerprint must combine map-side before the bucket shuffle")
+    assert(p.contains("partial_count"))
+    // dest-side perturbation filter reaches the scan
+    assert(p.contains("DataFilters: [isnotnull(o_orderkey"), p)
+  }
+
+  test("q82: skew census is TakeOrderedAndProject over partial-agg'd sides (no global sort)") {
+    val p = plan(graft.queries.ScaleQueries.q82JoinSkew(spark, d))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_count"), "per-key census must combine map-side")
+    // the SMJ's per-partition key sorts are fine; what must NOT exist
+    // is a Sort stage on the output-contribution ordering (that would
+    // be a global sort instead of the top-k operator)
+    assert(!p.contains("Sort [n_output"),
+      "ordering column must only appear inside TakeOrderedAndProject")
+  }
+
+  test("q83: anomaly window rides the daily pre-aggregate, not raw rows") {
+    val df = graft.queries.CheckQueries.q83VolumeAnomalies(spark, d)
+    val p = plan(df)
+    // the Window's child must be the (group, day) aggregate — i.e. the
+    // window input is groups × days, not the event rows
+    val windowIdx = p.indexOf("Window ")
+    val aggIdx = p.indexOf("HashAggregate", windowIdx)
+    assert(windowIdx >= 0 && aggIdx > windowIdx,
+      s"expected Window over HashAggregate(daily):\n$p")
+    assert(p.substring(aggIdx).contains("partial_count"))
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
