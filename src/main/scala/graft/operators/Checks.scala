@@ -374,6 +374,63 @@ object Checks {
           / lit(scale) / max(col("_n")).cast("double")).as("mean_winsorized"))
   }
 
+  /** One validation rule for [[quarantine]]/[[validationReport]]:
+    * `valid` TRUE keeps the row; FALSE or NULL violates (a rule that
+    * cannot evaluate is a failed rule — strict by design, so a
+    * null-riddled column can't slip through a bounds check).
+    */
+  final case class ValidationRule(name: String, valid: Column)
+
+  private def violated(r: ValidationRule): Column =
+    !coalesce(r.valid, lit(false))
+
+  /** Quarantine split — the ingest gate: `(valid, rejects)` where
+    * rejects carry a `violations` array naming EVERY failed rule
+    * (not just the first — triage wants the full diagnosis). Both
+    * frames are lazy filters over one scan; no shuffle is introduced
+    * at any input size. The reference's scripts report problems;
+    * this enforces them — the quarantine-table pattern warehouse
+    * loaders put in front of a curated zone.
+    */
+  def quarantine(
+      df: DataFrame, rules: Seq[ValidationRule]): (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "at least one validation rule required")
+    val vios = filter(
+      array(rules.map(r => when(violated(r), lit(r.name))): _*),
+      x => x.isNotNull)
+    val tagged = df.withColumn("violations", vios)
+    (tagged.filter(size(col("violations")) === 0).drop("violations"),
+      tagged.filter(size(col("violations")) > 0))
+  }
+
+  /** Per-rule violation census in ONE scan: every rule's violation
+    * count and rate, plus an `ANY` row (rows failing at least one
+    * rule — what [[quarantine]] would reject). All counts fold in a
+    * single aggregate (map-side partial), then unpivot to one row
+    * per rule — rows scale with the rule list, not the data.
+    */
+  def validationReport(
+      df: DataFrame, rules: Seq[ValidationRule]): DataFrame = {
+    require(rules.nonEmpty, "at least one validation rule required")
+    val any = rules.map(violated).reduce(_ || _)
+    val aggs =
+      rules.map(r => sum(when(violated(r), 1L).otherwise(0L)).as(s"_v_${r.name}")) :+
+        sum(when(any, 1L).otherwise(0L)).as("_v_ANY") :+
+        count(lit(1)).as("_n")
+    val entries = (rules.map(_.name) :+ "ANY").map { n =>
+      struct(lit(n).as("rule"), col(s"_v_$n").as("n_violations"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("_n"), explode(array(entries: _*)).as("_e"))
+      .select(
+        col("_e.rule").as("rule"),
+        col("_n").as("n_rows"),
+        col("_e.n_violations"),
+        when(col("_n") > 0,
+          col("_e.n_violations").cast("double") / col("_n").cast("double"))
+          .otherwise(lit(null).cast("double")).as("violation_rate"))
+  }
+
   /** One candidate foreign-key edge for [[inclusionReport]]. */
   final case class InclusionSpec(
       relation: String,

@@ -512,6 +512,44 @@ object CheckQueries {
        |  END AS is_anomaly
        |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q84 — validation-gate census: per-rule violation counts + rate
+  // and the ANY row (what quarantine would reject), in one scan.
+  // Two rules genuinely violate on this corpus, one passes clean.
+  // ---------------------------------------------------------------
+  private def q84Rules = Seq(
+    Checks.ValidationRule("qty_le_40", col("l_quantity") <= 40),
+    Checks.ValidationRule("discount_le_05", col("l_discount") <= 0.05),
+    Checks.ValidationRule("price_positive", col("l_extendedprice") > 0))
+
+  def q84ValidationReport(spark: SparkSession, d: String): DataFrame =
+    Checks.validationReport(Tables.lineitem(spark, d), q84Rules)
+
+  val q84Sql: String =
+    """SELECT u.rule, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE u.rule
+      |    WHEN 'qty_le_40' THEN CASE WHEN NOT COALESCE(l_quantity <= 40, FALSE) THEN 1 ELSE 0 END
+      |    WHEN 'discount_le_05' THEN CASE WHEN NOT COALESCE(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END
+      |    WHEN 'price_positive' THEN CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END
+      |    ELSE CASE WHEN NOT COALESCE(l_quantity <= 40, FALSE)
+      |           OR NOT COALESCE(l_discount <= 0.05, FALSE)
+      |           OR NOT COALESCE(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END
+      |  END) AS BIGINT) AS n_violations,
+      |  CASE WHEN count(*) > 0 THEN
+      |    CAST(sum(CASE u.rule
+      |      WHEN 'qty_le_40' THEN CASE WHEN NOT COALESCE(l_quantity <= 40, FALSE) THEN 1 ELSE 0 END
+      |      WHEN 'discount_le_05' THEN CASE WHEN NOT COALESCE(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END
+      |      WHEN 'price_positive' THEN CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END
+      |      ELSE CASE WHEN NOT COALESCE(l_quantity <= 40, FALSE)
+      |             OR NOT COALESCE(l_discount <= 0.05, FALSE)
+      |             OR NOT COALESCE(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END
+      |    END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |  END AS violation_rate
+      |FROM lineitem
+      |CROSS JOIN (SELECT unnest(['qty_le_40', 'discount_le_05',
+      |                           'price_positive', 'ANY']) AS rule) u
+      |GROUP BY u.rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_completeness" -> (q22Completeness _),
     "q23_uniqueness"   -> (q23Uniqueness _),
@@ -526,7 +564,8 @@ object CheckQueries {
     "q77_merkle_recon" -> (q77MerkleRecon _),
     "q79_histogram" -> (q79Histogram _),
     "q81_inclusion" -> (q81Inclusion _),
-    "q83_volume_anomalies" -> (q83VolumeAnomalies _))
+    "q83_volume_anomalies" -> (q83VolumeAnomalies _),
+    "q84_validation_report" -> (q84ValidationReport _))
 
   val oracleSql: Map[String, String] = Map(
     "q22_completeness" -> q22Sql,
@@ -542,5 +581,6 @@ object CheckQueries {
     "q77_merkle_recon" -> q77Sql,
     "q79_histogram" -> q79Sql,
     "q81_inclusion" -> q81Sql,
-    "q83_volume_anomalies" -> q83Sql)
+    "q83_volume_anomalies" -> q83Sql,
+    "q84_validation_report" -> q84Sql)
 }

@@ -177,6 +177,29 @@ class ChecksSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mean_winsorized") == 50.45)
   }
 
+  test("quarantine: rejects carry every failed rule; null predicate violates; split is lossless") {
+    val df = Seq(
+      (1, Some(10), Some(0.02)),   // clean
+      (2, Some(99), Some(0.02)),   // qty violation
+      (3, Some(99), None),         // qty + null-discount violations
+      (4, Some(10), Some(0.50)))   // discount violation
+      .toDF("id", "qty", "disc")
+    val rules = Seq(
+      Checks.ValidationRule("qty_ok", $"qty" <= 40),
+      Checks.ValidationRule("disc_ok", $"disc" <= 0.1))
+    val (valid, rejects) = Checks.quarantine(df, rules)
+    assert(valid.select("id").as[Int].collect().toSeq == Seq(1))
+    val got = rejects.select($"id", $"violations").collect()
+      .map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+    assert(got == Map(
+      2 -> List("qty_ok"), 3 -> List("qty_ok", "disc_ok"), 4 -> List("disc_ok")))
+    assert(valid.count() + rejects.count() == df.count())
+    // census agrees with the split, and ANY == reject count
+    val rep = Checks.validationReport(df, rules)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep == Map("qty_ok" -> 2L, "disc_ok" -> 2L, "ANY" -> 3L))
+  }
+
   test("inclusionReport: contained, partial, and empty-child edges; duplicates don't inflate") {
     val child = Seq(1, 1, 2, 3, 3, 3).toDF("k")      // distinct {1,2,3}
     val parent = Seq(1, 2, 2, 9).toDF("p")           // distinct {1,2,9}
