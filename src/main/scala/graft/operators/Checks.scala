@@ -412,6 +412,15 @@ object Checks {
   def validationReport(
       df: DataFrame, rules: Seq[ValidationRule]): DataFrame = {
     require(rules.nonEmpty, "at least one validation rule required")
+    // rule names become intermediate column names and the ANY row's
+    // label: reject collisions and names column resolution can't take
+    val names = rules.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate rule names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    require(!names.contains("ANY"), "'ANY' is reserved for the any-rule row")
+    names.foreach(n => require(
+      n.nonEmpty && !n.exists(c => c == '.' || c == '`'),
+      s"rule name '$n' must be nonempty without '.' or '`'"))
     val any = rules.map(violated).reduce(_ || _)
     val aggs =
       rules.map(r => sum(when(violated(r), 1L).otherwise(0L)).as(s"_v_${r.name}")) :+

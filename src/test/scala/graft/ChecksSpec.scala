@@ -198,6 +198,16 @@ class ChecksSpec extends AnyFunSuite {
     val rep = Checks.validationReport(df, rules)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(rep == Map("qty_ok" -> 2L, "disc_ok" -> 2L, "ANY" -> 3L))
+    // loud guards: reserved/duplicate/unresolvable rule names
+    intercept[IllegalArgumentException] {
+      Checks.validationReport(df, rules :+ Checks.ValidationRule("ANY", lit(true)))
+    }
+    intercept[IllegalArgumentException] {
+      Checks.validationReport(df, rules :+ Checks.ValidationRule("qty_ok", lit(true)))
+    }
+    intercept[IllegalArgumentException] {
+      Checks.validationReport(df, Seq(Checks.ValidationRule("a.b", lit(true))))
+    }
   }
 
   test("inclusionReport: contained, partial, and empty-child edges; duplicates don't inflate") {
