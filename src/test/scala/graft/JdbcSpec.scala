@@ -149,4 +149,30 @@ class JdbcSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.forall(r => r.getLong(r.fieldIndex("variance")) == 0L))
   }
+
+  test("cross-system content reconcile: JDBC source vs parquet warehouse localizes a tampered row") {
+    import graft.operators.Reconciliation
+    // the reference's fleet-vs-warehouse compare, content-level: the
+    // operational DB is the JDBC side, the warehouse copy is parquet;
+    // fingerprints are computed per system and only summaries compare
+    val rows = (1 to 120).map(i => (i.toLong, s"rec-$i"))
+    Jdbc.writeReplace(rows.toDF("id", "payload"), url, "t_recon_src")
+    val dir = java.nio.file.Files.createTempDirectory("xrecon").toString + "/wh"
+    // warehouse lost row 50 and silently altered row 77's payload
+    rows.filter(_._1 != 50L)
+      .map { case (i, p) => (i, if (i == 77L) "rec-ALTERED" else p) }
+      .toDF("id", "payload").write.parquet(dir)
+
+    val source = Jdbc.readTable(spark, url, "t_recon_src")
+    val warehouse = spark.read.parquet(dir)
+    val key = col("id").cast("string")
+    val canon = concat_ws("|", col("id"), col("payload"))
+    val rec = Reconciliation.contentReconcile(source, warehouse, key, canon, 16)
+    val bad = rec.filter(col("status") =!= "ok").collect()
+    assert(bad.nonEmpty && bad.length <= 2)
+    val diff = Reconciliation
+      .contentDiffKeys(source, warehouse, key, canon, 16)
+      .collect().map(r => (r.getString(1), r.getString(4))).toSet
+    assert(diff == Set("50" -> "count_mismatch", "77" -> "content_mismatch"))
+  }
 }
