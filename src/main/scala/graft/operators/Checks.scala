@@ -504,6 +504,8 @@ object Checks {
     * Days with fewer than `minPrior` prior observations report null
     * statistics (insufficient history ≠ normal); a zero-variance
     * baseline likewise yields a null flag (no scale to score on).
+    * Day boundaries follow the session time zone (`to_date`) — pin
+    * `spark.sql.session.timeZone` when feeds cross zones.
     *
     * One shuffle to the daily grain, then a window over (groups ×
     * days) rows — the pre-aggregation is what makes this safe at any

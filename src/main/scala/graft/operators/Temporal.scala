@@ -114,6 +114,10 @@ object Temporal {
     * whose size is (time range / width) — bounded by the calendar,
     * not the data, so the single-partition islands window at the end
     * is safe at any input size (10⁵ rows for a decade of hours).
+    * Operational hazard: ONE corrupt far-future timestamp stretches
+    * the spine to it (`sequence` refuses past ~2³¹ elements) — fence
+    * the timestamp column first ([[graft.operators.Checks.quarantine]]
+    * with a bounds rule) when the source isn't trusted.
     */
   def arrivalGaps(
       events: DataFrame, ts: Column, bucketSeconds: Long): DataFrame = {
