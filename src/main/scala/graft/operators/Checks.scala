@@ -440,6 +440,51 @@ object Checks {
           .otherwise(lit(null).cast("double")).as("violation_rate"))
   }
 
+  /** One candidate functional dependency for [[fdReport]]:
+    * `lhs → rhs` claims every lhs value determines one rhs value.
+    */
+  final case class FdSpec(name: String, lhs: Seq[Column], rhs: Column)
+
+  /** Functional-dependency profile — "does A determine B, and where
+    * not?": for each candidate FD, the number of distinct lhs
+    * groups, how many map to MORE than one distinct rhs value
+    * (violations), the violation rate, and the worst group's rhs
+    * cardinality. The single-candidate core of FD discovery (TANE /
+    * HyFD verify step) as a plain aggregation — uniqueness
+    * ([[uniqueness]]) is the special case rhs = whole row.
+    *
+    * Null rhs counts as a value of its own (a lhs mapping to both
+    * null and a value IS two images — that inconsistency is exactly
+    * what the check exists to find), via null-safe distinct counting.
+    *
+    * Scale: one shuffle per candidate keyed on the lhs (map-side
+    * partial count_distinct), then a groups-sized summary fold;
+    * candidates are parallel subtrees of one job. A Zipfian-hot lhs
+    * key concentrates its DISTINCT rhs set on one reducer — if a
+    * single group's distinct rhs set can be huge, pre-shrink with
+    * [[graft.operators.Skew.saltedDistinctCount]]'s two-level shape.
+    */
+  def fdReport(df: DataFrame, specs: Seq[FdSpec]): DataFrame = {
+    require(specs.nonEmpty, "at least one FD candidate required")
+    specs.map { s =>
+      // null-safe: fold rhs into a 1-field struct so null is countable
+      val groups = df
+        .groupBy(s.lhs: _*)
+        .agg(count_distinct(struct(s.rhs.as("_v"))).as("_nrhs"))
+      groups.agg(
+        lit(s.name).as("fd"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_nrhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+        when(count(lit(1)) > 0,
+          sum(when(col("_nrhs") > 1, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"))
+          .otherwise(lit(null).cast("double")).as("violation_rate"),
+        max(col("_nrhs")).as("max_rhs_per_group"))
+    }.reduce(_ unionByName _)
+      .select(col("fd"), col("n_groups"), col("n_violating"),
+        col("violation_rate"), col("max_rhs_per_group"))
+  }
+
   /** One candidate foreign-key edge for [[inclusionReport]]. */
   final case class InclusionSpec(
       relation: String,

@@ -550,6 +550,41 @@ object CheckQueries {
       |                           'price_positive', 'ANY']) AS rule) u
       |GROUP BY u.rule""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q85 — functional-dependency profile: three candidates with
+  // deterministic outcomes on this corpus — the (orderkey,
+  // linenumber) "PK" is violated by the known duplication quirk
+  // (~26% of groups), partkey→suppkey fails everywhere (parts have
+  // many suppliers), orderkey→shipdate fails for multi-line orders.
+  // ---------------------------------------------------------------
+  def q85FdReport(spark: SparkSession, d: String): DataFrame =
+    Checks.fdReport(Tables.lineitem(spark, d), Seq(
+      Checks.FdSpec("pk_determines_partkey",
+        Seq(col("l_orderkey"), col("l_linenumber")), col("l_partkey")),
+      Checks.FdSpec("partkey_determines_suppkey",
+        Seq(col("l_partkey")), col("l_suppkey")),
+      Checks.FdSpec("orderkey_determines_shipdate",
+        Seq(col("l_orderkey")), col("l_shipdate"))))
+
+  val q85Sql: String = {
+    def cand(name: String, lhs: String, rhs: String) =
+      s"""SELECT '$name' AS fd,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  CASE WHEN count(*) > 0 THEN
+         |    CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE)
+         |  END AS violation_rate,
+         |  CAST(max(nrhs) AS BIGINT) AS max_rhs_per_group
+         |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nrhs
+         |      FROM lineitem GROUP BY $lhs)""".stripMargin
+    Seq(
+      cand("pk_determines_partkey", "l_orderkey, l_linenumber", "l_partkey"),
+      cand("partkey_determines_suppkey", "l_partkey", "l_suppkey"),
+      cand("orderkey_determines_shipdate", "l_orderkey", "l_shipdate"))
+      .mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_completeness" -> (q22Completeness _),
     "q23_uniqueness"   -> (q23Uniqueness _),
@@ -565,7 +600,8 @@ object CheckQueries {
     "q79_histogram" -> (q79Histogram _),
     "q81_inclusion" -> (q81Inclusion _),
     "q83_volume_anomalies" -> (q83VolumeAnomalies _),
-    "q84_validation_report" -> (q84ValidationReport _))
+    "q84_validation_report" -> (q84ValidationReport _),
+    "q85_fd_report" -> (q85FdReport _))
 
   val oracleSql: Map[String, String] = Map(
     "q22_completeness" -> q22Sql,
@@ -582,5 +618,6 @@ object CheckQueries {
     "q79_histogram" -> q79Sql,
     "q81_inclusion" -> q81Sql,
     "q83_volume_anomalies" -> q83Sql,
-    "q84_validation_report" -> q84Sql)
+    "q84_validation_report" -> q84Sql,
+    "q85_fd_report" -> q85Sql)
 }

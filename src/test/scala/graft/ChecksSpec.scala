@@ -210,6 +210,27 @@ class ChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("fdReport: holding FD zero violations; null rhs is a countable image; composite lhs") {
+    val df = Seq(
+      (1, "x", Some("a")),
+      (1, "x", Some("a")),    // duplicate row: still one image
+      (2, "x", Some("b")),
+      (3, "y", Some("c")),
+      (3, "y", None),         // null + value = TWO images → violation
+      (4, "y", None))         // only null: one image, no violation
+      .toDF("k", "tag", "v")
+    val out = Checks.fdReport(df, Seq(
+        Checks.FdSpec("k_determines_v", Seq($"k"), $"v"),
+        Checks.FdSpec("ktag_determines_v", Seq($"k", $"tag"), $"v"),
+        Checks.FdSpec("tag_determines_v", Seq($"tag"), $"v")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out("k_determines_v") == ((4L, 1L, 2L)))     // only k=3 violates
+    assert(out("ktag_determines_v") == ((4L, 1L, 2L)))
+    // tag "x" → {a,b}, tag "y" → {c,null,null} = {c,NULL}: both violate
+    assert(out("tag_determines_v") == ((2L, 2L, 2L)))
+  }
+
   test("inclusionReport: contained, partial, and empty-child edges; duplicates don't inflate") {
     val child = Seq(1, 1, 2, 3, 3, 3).toDF("k")      // distinct {1,2,3}
     val parent = Seq(1, 2, 2, 9).toDF("p")           // distinct {1,2,9}
