@@ -86,11 +86,20 @@ object Projection {
     */
   def projectPca(
       df: DataFrame, vecCol: String, model: PcaModel,
-      outCol: String = "pca"): DataFrame = {
+      outCol: String = "pca", whiten: Boolean = false): DataFrame = {
     val x = transform(col(vecCol), v => v.cast("double"))
-    val offsets = model.components.map(comp =>
+    // whitening folds 1/√λ into the component vectors themselves, so
+    // the per-row work is identical; a ~zero eigenvalue keeps scale 1
+    // (an all-but-constant direction must not blow up to ±∞)
+    val comps =
+      if (!whiten) model.components
+      else model.components.zip(model.explainedVariance).map { case (c, ev) =>
+        val s = if (ev > 1e-12) 1.0 / math.sqrt(ev) else 1.0
+        c.map(_ * s)
+      }
+    val offsets = comps.map(comp =>
       comp.zip(model.mean).map { case (a, b) => a * b }.sum)
-    val ys = model.components.zip(offsets).map { case (comp, off) =>
+    val ys = comps.zip(offsets).map { case (comp, off) =>
       aggregate(
         zip_with(x, typedLit(comp.toSeq), (a, b) => a * b),
         lit(0.0), (acc, p) => acc + p) - lit(off)

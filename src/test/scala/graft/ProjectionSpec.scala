@@ -67,6 +67,18 @@ class ProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("whitened projection has unit variance per component") {
+    val m = Projection.fitPca(df, "embedding", k = 2)
+    val ys = Projection.projectPca(df, "embedding", m, whiten = true)
+      .select($"pca").as[Seq[Double]].collect()
+    (0 until 2).foreach { j =>
+      val col = ys.map(_(j))
+      val mean = col.sum / col.length
+      val varr = col.map(v => (v - mean) * (v - mean)).sum / (col.length - 1)
+      assert(math.abs(varr - 1.0) < 1e-6, s"whitened var($j) = $varr")
+    }
+  }
+
   test("fit is deterministic across runs (sign convention pins the basis)") {
     val a = Projection.fitPca(df, "embedding", k = 2)
     val b = Projection.fitPca(df, "embedding", k = 2)
