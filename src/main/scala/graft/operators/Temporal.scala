@@ -144,6 +144,51 @@ object Temporal {
       .drop("_g")
   }
 
+  /** Ordered-funnel analysis: how many keys (users) completed stage
+    * 1, then stage 2 STRICTLY AFTER their first stage-1 event, then
+    * stage 3 after that, … Each row is (stage, stage_seq, n_keys),
+    * n_keys monotonically non-increasing — the classic conversion
+    * funnel, with the earliest-qualifying-event semantics (a user's
+    * stage-k clock starts at their FIRST stage-(k−1)-qualifying
+    * moment).
+    *
+    * Implementation: fold over stages — per key, min(ts) of rows
+    * matching the stage predicate that land strictly after the
+    * previous stage's qualifying time (carried via an equi-join on
+    * the key). Each stage is one partial-aggregated shuffle plus one
+    * co-keyed join on (key, prev_ts) pairs — per-stage state is one
+    * row per surviving key, never raw events. Strictly-after (`>`)
+    * means a single event cannot satisfy two stages at once even if
+    * both predicates match it.
+    */
+  def funnel(
+      events: DataFrame, key: Column, ts: Column,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage required")
+    val base = events.select(
+      (Seq(key.as("_k"), ts.as("_ts")) ++
+        stages.map { case (n, p) => coalesce(p, lit(false)).as(s"_is_$n") }): _*)
+    // fold: qualified(k) carries each surviving key's qualifying time
+    val (_, counts) = stages.zipWithIndex
+      .foldLeft(Option.empty[DataFrame] -> Vector.empty[DataFrame]) {
+        case ((prev, acc), ((name, _), idx)) =>
+          val eligible = prev match {
+            case None => base
+            case Some(q) =>
+              base.join(q, Seq("_k")).filter(col("_ts") > col("_q")).drop("_q")
+          }
+          val qualified = eligible.filter(col(s"_is_$name"))
+            .groupBy(col("_k")).agg(min(col("_ts")).as("_q"))
+          val row = qualified.agg(
+            lit(name).as("stage"),
+            lit((idx + 1).toLong).as("stage_seq"),
+            count(lit(1)).as("n_keys"))
+          (Some(qualified), acc :+ row)
+      }
+    counts.reduce(_ unionByName _)
+      .select(col("stage"), col("stage_seq"), col("n_keys"))
+  }
+
   /** Gap-based sessionization: events more than `gap` apart start a
     * new session. lag + running sum of session-start flags per key —
     * one shuffle on the key. Returns per-session aggregates.

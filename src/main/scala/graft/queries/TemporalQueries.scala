@@ -126,15 +126,49 @@ object TemporalQueries {
       |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
       |FROM ch""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q86 — ordered conversion funnel: first view → a >90-value click
+  // strictly after it → a >95-value purchase strictly after that.
+  // 150 → 131 → 86 users at sf0.01 — a genuinely narrowing funnel.
+  // Timestamp comparisons agree across engines because (user_id, ts)
+  // stays unique after the ns → µs truncation (the q80 argument).
+  // ---------------------------------------------------------------
+  def q86Funnel(spark: SparkSession, d: String): DataFrame =
+    Temporal.funnel(Tables.events(spark, d), col("user_id"), col("ts"), Seq(
+      "view" -> (col("event_type") === "view"),
+      "click" -> (col("event_type") === "click" && col("value") > 90),
+      "purchase" -> (col("event_type") === "purchase" && col("value") > 95)))
+
+  val q86Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id AS k, min(ts) AS q FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id AS k, min(e.ts) AS q
+      |  FROM events e JOIN s1 ON e.user_id = s1.k AND e.ts > s1.q
+      |  WHERE e.event_type = 'click' AND e.value > 90 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id AS k, min(e.ts) AS q
+      |  FROM events e JOIN s2 ON e.user_id = s2.k AND e.ts > s2.q
+      |  WHERE e.event_type = 'purchase' AND e.value > 95 GROUP BY 1)
+      |SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_seq,
+      |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_keys
+      |UNION ALL SELECT 'click', CAST(2 AS BIGINT),
+      |  CAST((SELECT count(*) FROM s2) AS BIGINT)
+      |UNION ALL SELECT 'purchase', CAST(3 AS BIGINT),
+      |  CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_asof_join" -> (q33AsofJoin _),
     "q34_sessions"  -> (q34Sessions _),
     "q78_arrival_gaps" -> (q78ArrivalGaps _),
-    "q80_scd2" -> (q80Scd2 _))
+    "q80_scd2" -> (q80Scd2 _),
+    "q86_funnel" -> (q86Funnel _))
 
   val oracleSql: Map[String, String] = Map(
     "q33_asof_join" -> q33Sql,
     "q34_sessions"  -> q34Sql,
     "q78_arrival_gaps" -> q78Sql,
-    "q80_scd2" -> q80Sql)
+    "q80_scd2" -> q80Sql,
+    "q86_funnel" -> q86Sql)
 }

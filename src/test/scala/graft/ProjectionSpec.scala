@@ -79,6 +79,35 @@ class ProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("full-rank projection preserves L2 neighbor sets on the real corpus (ANN-safe rotation)") {
+    // translation + rotation leave pairwise L2 distances untouched, so
+    // k=dim PCA must return IDENTICAL nearest-neighbor sets — the
+    // end-to-end guarantee that makes PCA a safe ANN pre-transform.
+    // (A recall bound for k << dim is deliberately NOT pinned: the
+    // synthetic corpus has a near-flat eigenspectrum — measured top
+    // eigenvalues 0.029..0.023 of trace 1.0 — so low-rank recall is
+    // data-dependent, not an operator property.)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .orderBy("vec_id").limit(200)
+    val model = Projection.fitPca(emb, "embedding", k = 64)
+    val rows = Projection.projectPca(emb, "embedding", model)
+      .select($"vec_id", $"embedding", $"pca")
+      .as[(Long, Seq[Float], Seq[Double])].collect()
+    def topK(points: Array[(Long, Array[Double])], qi: Int, k: Int): Set[Long] = {
+      val (qid, q) = points(qi)
+      points.filter(_._1 != qid)
+        .map { case (id, v) =>
+          id -> v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum }
+        .sortBy { case (id, dist) => (dist, id) }.take(k).map(_._1).toSet
+    }
+    val full = rows.map { case (id, x, _) => id -> x.map(_.toDouble).toArray }
+    val red = rows.map { case (id, _, y) => id -> y.toArray }
+    (0 until 20).foreach { qi =>
+      assert(topK(full, qi, 10) == topK(red, qi, 10),
+        s"query $qi: neighbor set changed under full-rank projection")
+    }
+  }
+
   test("fit is deterministic across runs (sign convention pins the basis)") {
     val a = Projection.fitPca(df, "embedding", k = 2)
     val b = Projection.fitPca(df, "embedding", k = 2)

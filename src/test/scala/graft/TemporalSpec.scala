@@ -64,6 +64,32 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("funnel: strict ordering per key, earliest-qualifying clock, monotone counts") {
+    val rows = Seq(
+      // u1 completes in order
+      (1, ts("2024-01-01 10:00:00"), "a"),
+      (1, ts("2024-01-01 11:00:00"), "b"),
+      (1, ts("2024-01-01 12:00:00"), "c"),
+      // u2: b BEFORE a — must not count for stage b
+      (2, ts("2024-01-01 09:00:00"), "b"),
+      (2, ts("2024-01-01 10:00:00"), "a"),
+      // u3: a then b simultaneous with a (strict > excludes), later b ok
+      (3, ts("2024-01-01 10:00:00"), "a"),
+      (3, ts("2024-01-01 10:00:00"), "b"),   // same instant: excluded
+      (3, ts("2024-01-01 10:30:00"), "b"),   // counts
+      // u4: only c
+      (4, ts("2024-01-01 10:00:00"), "c"))
+      .toDF("u", "t", "e")
+    val out = Temporal.funnel(rows, $"u", $"t", Seq(
+        "a" -> ($"e" === "a"), "b" -> ($"e" === "b"), "c" -> ($"e" === "c")))
+      .orderBy($"stage_seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 1L, 3L), ("b", 2L, 2L), ("c", 3L, 1L)))
+    // earliest-qualifying clock: u1's c at 12:00 counts because b's
+    // clock is 11:00 (not a later b); monotone by construction
+    assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sorted.reverse)
+  }
+
   test("scd2 intervals: runs collapse, half-open bounds chain, null is a legal version") {
     val rows = Seq(
       (1, ts("2024-01-01 10:00:00"), Some("a")),
