@@ -189,6 +189,52 @@ object Temporal {
       .select(col("stage"), col("stage_seq"), col("n_keys"))
   }
 
+  /** Cohort retention: keys cohorted by their FIRST activity bucket,
+    * then per (cohort, bucket-offset) the count of distinct keys
+    * still active — the "week-N retention" triangle. Same exact long
+    * bucket arithmetic as [[arrivalGaps]].
+    *
+    * Scale: activity first collapses to DISTINCT (key, bucket) —
+    * one shuffle, everything after runs on ≤ keys × buckets rows;
+    * the cohort map is a per-key min folded map-side and joined
+    * co-keyed. The offset division is exact (bucket deltas are exact
+    * multiples of the width).
+    */
+  def cohortRetention(
+      events: DataFrame, key: Column, ts: Column,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val act = events
+      .select(key.as("_k"), (us - pmod(us, lit(width))).as("_b"))
+      .distinct()
+    val cohort = act.groupBy(col("_k")).agg(min(col("_b")).as("_c"))
+    act.join(cohort, Seq("_k"))
+      .groupBy(
+        col("_c").as("cohort_start_us"),
+        ((col("_b") - col("_c")) / lit(width)).cast("long").as("offset"))
+      .agg(count_distinct(col("_k")).as("n_active"))
+  }
+
+  /** First-order transition census of a per-key event-state stream:
+    * counts of consecutive (from_state → to_state) pairs — the
+    * empirical Markov matrix behavior modeling and synthetic-data QA
+    * both start from. One key-partitioned window (lag) + one grouped
+    * count; ties are impossible under the unique-(key, ts) input
+    * contract shared with [[scd2Intervals]].
+    */
+  def transitionCounts(
+      events: DataFrame, key: Column, ts: Column, state: Column): DataFrame = {
+    val w = Window.partitionBy(col("_k")).orderBy(col("_ts").asc)
+    events
+      .select(key.as("_k"), ts.as("_ts"), state.as("_s"))
+      .withColumn("_prev", lag(col("_s"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_state"), col("_s").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Gap-based sessionization: events more than `gap` apart start a
     * new session. lag + running sum of session-start flags per key —
     * one shuffle on the key. Returns per-session aggregates.

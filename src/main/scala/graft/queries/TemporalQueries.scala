@@ -158,17 +158,64 @@ object TemporalQueries {
       |UNION ALL SELECT 'purchase', CAST(3 AS BIGINT),
       |  CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q87 — weekly cohort retention over high-value activity
+  // (value > 200): users cohorted by first qualifying week, distinct
+  // actives per (cohort, week offset). The rarity filter is what
+  // makes the triangle non-degenerate on this dense corpus.
+  // ---------------------------------------------------------------
+  private val CohortWeekSeconds = 7L * 86400L
+  private val CohortValueMin = 200
+
+  def q87CohortRetention(spark: SparkSession, d: String): DataFrame =
+    Temporal.cohortRetention(
+      Tables.events(spark, d).filter(col("value") > CohortValueMin),
+      col("user_id"), col("ts"), CohortWeekSeconds)
+
+  val q87Sql: String = {
+    val w = CohortWeekSeconds * 1000000L
+    s"""WITH act AS (
+       |  SELECT DISTINCT user_id AS k, epoch_us(ts) - epoch_us(ts) % $w AS b
+       |  FROM events WHERE value > $CohortValueMin),
+       |coh AS (SELECT k, min(b) AS c FROM act GROUP BY 1)
+       |SELECT c AS cohort_start_us, CAST((b - c) / $w AS BIGINT) AS offset,
+       |  CAST(count(DISTINCT k) AS BIGINT) AS n_active
+       |FROM act JOIN coh USING (k) GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q88 — empirical transition matrix: consecutive event-type pairs
+  // per user (the first-order Markov census). Unique (user, ts)
+  // keeps the lag deterministic on both engines.
+  // ---------------------------------------------------------------
+  def q88Transitions(spark: SparkSession, d: String): DataFrame =
+    Temporal.transitionCounts(
+      Tables.events(spark, d), col("user_id"), col("ts"), col("event_type"))
+
+  val q88Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events)
+      |SELECT prev AS from_state, event_type AS to_state,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_asof_join" -> (q33AsofJoin _),
     "q34_sessions"  -> (q34Sessions _),
     "q78_arrival_gaps" -> (q78ArrivalGaps _),
     "q80_scd2" -> (q80Scd2 _),
-    "q86_funnel" -> (q86Funnel _))
+    "q86_funnel" -> (q86Funnel _),
+    "q87_cohort_retention" -> (q87CohortRetention _),
+    "q88_transitions" -> (q88Transitions _))
 
   val oracleSql: Map[String, String] = Map(
     "q33_asof_join" -> q33Sql,
     "q34_sessions"  -> q34Sql,
     "q78_arrival_gaps" -> q78Sql,
     "q80_scd2" -> q80Sql,
-    "q86_funnel" -> q86Sql)
+    "q86_funnel" -> q86Sql,
+    "q87_cohort_retention" -> q87Sql,
+    "q88_transitions" -> q88Sql)
 }

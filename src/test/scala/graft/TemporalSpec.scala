@@ -90,6 +90,41 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sorted.reverse)
   }
 
+  test("cohort retention: first-bucket cohorting, distinct actives per offset, gaps allowed") {
+    val hour = 3600L
+    val rows = Seq(
+      // u1: cohort hour 0, active hours 0,1,3 (skips 2)
+      (1, ts("2024-01-01 00:10:00")), (1, ts("2024-01-01 00:50:00")), // same bucket once
+      (1, ts("2024-01-01 01:10:00")), (1, ts("2024-01-01 03:10:00")),
+      // u2: cohort hour 0, never returns
+      (2, ts("2024-01-01 00:20:00")),
+      // u3: cohort hour 1, active hours 1,2
+      (3, ts("2024-01-01 01:30:00")), (3, ts("2024-01-01 02:30:00")))
+      .toDF("u", "t")
+    val out = Temporal.cohortRetention(rows, $"u", $"t", hour)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val h0 = ts("2024-01-01 00:00:00").getTime * 1000L
+    val h1 = h0 + hour * 1000000L
+    assert(out == Map(
+      (h0, 0L) -> 2L, (h0, 1L) -> 1L, (h0, 3L) -> 1L,   // hour-2 gap: no row
+      (h1, 0L) -> 1L, (h1, 1L) -> 1L))
+  }
+
+  test("transition counts: per-key consecutive pairs only, first event has no transition") {
+    val rows = Seq(
+      (1, ts("2024-01-01 10:00:00"), "a"), (1, ts("2024-01-01 11:00:00"), "b"),
+      (1, ts("2024-01-01 12:00:00"), "a"), (1, ts("2024-01-01 13:00:00"), "a"),
+      (2, ts("2024-01-01 10:00:00"), "b"), (2, ts("2024-01-01 11:00:00"), "a"))
+      .toDF("u", "t", "e")
+    val out = Temporal.transitionCounts(rows, $"u", $"t", $"e")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // u1: a→b, b→a, a→a; u2: b→a. No cross-user pair (u1's 13:00 "a"
+    // never chains into u2's 10:00 "b").
+    assert(out == Map(("a", "b") -> 1L, ("b", "a") -> 2L, ("a", "a") -> 1L))
+    assert(out.values.sum == 4L) // n_events - n_keys
+  }
+
   test("scd2 intervals: runs collapse, half-open bounds chain, null is a legal version") {
     val rows = Seq(
       (1, ts("2024-01-01 10:00:00"), Some("a")),
