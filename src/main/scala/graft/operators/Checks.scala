@@ -440,6 +440,43 @@ object Checks {
           .otherwise(lit(null).cast("double")).as("violation_rate"))
   }
 
+  /** IEEE float audit — the NaN/±Inf poisoning census for ML-bound
+    * numeric columns: one row per column with counts of null, NaN,
+    * +Inf, −Inf, and finite values. A single NaN silently poisons
+    * every mean/stddev/matmul downstream, and `profileNumeric`'s
+    * aggregates would only show it as a NaN statistic after the
+    * fact; this localizes WHICH column and HOW MANY rows before the
+    * data ships. One scan, all columns folded into one map-side
+    * partial aggregate (the [[validationReport]] shape).
+    */
+  def floatAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    def cnt(cond: org.apache.spark.sql.Column) =
+      sum(when(cond, 1L).otherwise(0L))
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(
+        cnt(v.isNull).as(s"_null_$c"),
+        cnt(isnan(v)).as(s"_nan_$c"),
+        cnt(v === Double.PositiveInfinity).as(s"_pinf_$c"),
+        cnt(v === Double.NegativeInfinity).as(s"_ninf_$c"))
+    } :+ count(lit(1)).as("_n")
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"_null_$c").as("n_null"), col(s"_nan_$c").as("n_nan"),
+        col(s"_pinf_$c").as("n_posinf"), col(s"_ninf_$c").as("n_neginf"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("_n"), explode(array(entries: _*)).as("_e"))
+      .select(
+        col("_e.col_name").as("col_name"),
+        col("_n").as("n_rows"),
+        col("_e.n_null"), col("_e.n_nan"),
+        col("_e.n_posinf"), col("_e.n_neginf"),
+        (col("_n") - col("_e.n_null") - col("_e.n_nan")
+          - col("_e.n_posinf") - col("_e.n_neginf")).as("n_finite"))
+  }
+
   /** One candidate functional dependency for [[fdReport]]:
     * `lhs → rhs` claims every lhs value determines one rhs value.
     */

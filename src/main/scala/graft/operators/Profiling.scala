@@ -284,6 +284,42 @@ object Profiling {
     * usual containment argument over the (n_rows desc, value asc)
     * total order.
     */
+  /** Mergeable distinct-count sketch table (DataSketches HLL via the
+    * built-in `hll_sketch_agg` family): one binary sketch per key
+    * group, storable at rest and unioned later WITHOUT rescanning —
+    * the incremental shape for "distinct users this month" over
+    * daily partitions at 100 TB (day sketches build in each day's
+    * ingest; any rollup is a cheap union over kilobyte blobs).
+    *
+    * HLL register merge is a bucketwise max — associative,
+    * commutative, idempotent — so a union of partial sketches yields
+    * BIT-IDENTICAL estimates to a single-pass sketch at the same
+    * lgK (spec-pinned), and re-merging overlapping spans never
+    * double-counts. Spec-only surface: the sketch binary is
+    * engine-specific, so there is no cross-engine oracle; exact
+    * counterpart is [[graft.operators.Skew.saltedDistinctCount]].
+    */
+  def distinctSketch(
+      df: DataFrame, keyCols: Seq[String], valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("sketch"))
+
+  /** Roll sketches up to a coarser key (subset of the sketch table's
+    * keys): one `hll_union_agg` pass over kilobyte blobs. */
+  def mergeDistinctSketches(
+      sketches: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val grouped =
+      if (keyCols.isEmpty) sketches.groupBy()
+      else sketches.groupBy(keyCols.map(col): _*)
+    grouped.agg(hll_union_agg(col("sketch"), true).as("sketch"))
+  }
+
+  /** Decode a sketch column to its distinct-count estimate. */
+  def sketchEstimate(sketches: DataFrame): DataFrame =
+    sketches.withColumn("n_distinct_est",
+      hll_sketch_estimate(col("sketch")).cast("long"))
+
   /** Equi-width histogram of a numeric column: `bins` buckets over
     * the column's own [min, max], empty buckets included (a drift
     * dashboard needs the zero bars). Nulls are excluded; the max

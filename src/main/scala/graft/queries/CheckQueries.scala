@@ -585,6 +585,46 @@ object CheckQueries {
       .mkString("\nUNION ALL\n")
   }
 
+  // ---------------------------------------------------------------
+  // q89 — IEEE float audit: the corpus is clean, so the price column
+  // is deterministically poisoned in-query (every 97th key → NaN,
+  // 89th → +Inf, 83rd → −Inf, first match wins) and the audit must
+  // count each species exactly; the untouched quantity column pins
+  // the all-finite case.
+  // ---------------------------------------------------------------
+  def q89FloatAudit(spark: SparkSession, d: String): DataFrame = {
+    val poisoned = Tables.lineitem(spark, d).select(
+      when(col("l_orderkey") % 97 === 0, lit(Double.NaN))
+        .when(col("l_orderkey") % 89 === 0, lit(Double.PositiveInfinity))
+        .when(col("l_orderkey") % 83 === 0, lit(Double.NegativeInfinity))
+        .otherwise(col("l_extendedprice")).as("price"),
+      col("l_quantity").as("qty"))
+    Checks.floatAudit(poisoned, Seq("price", "qty"))
+  }
+
+  val q89Sql: String = {
+    def audit(c: String) =
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(sum(CASE WHEN COALESCE(isnan($c), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+         |  CAST(sum(CASE WHEN $c = 'Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS n_posinf,
+         |  CAST(sum(CASE WHEN $c = '-Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS n_neginf,
+         |  CAST(sum(CASE WHEN $c IS NOT NULL AND NOT COALESCE(isnan($c), FALSE)
+         |    AND $c <> 'Infinity'::DOUBLE AND $c <> '-Infinity'::DOUBLE
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_finite
+         |FROM t""".stripMargin
+    s"""WITH t AS (
+       |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'NaN'::DOUBLE
+       |              WHEN l_orderkey % 89 = 0 THEN 'Infinity'::DOUBLE
+       |              WHEN l_orderkey % 83 = 0 THEN '-Infinity'::DOUBLE
+       |              ELSE l_extendedprice END AS price,
+       |         l_quantity AS qty
+       |  FROM lineitem)
+       |${audit("price")}
+       |UNION ALL
+       |${audit("qty")}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_completeness" -> (q22Completeness _),
     "q23_uniqueness"   -> (q23Uniqueness _),
@@ -601,7 +641,8 @@ object CheckQueries {
     "q81_inclusion" -> (q81Inclusion _),
     "q83_volume_anomalies" -> (q83VolumeAnomalies _),
     "q84_validation_report" -> (q84ValidationReport _),
-    "q85_fd_report" -> (q85FdReport _))
+    "q85_fd_report" -> (q85FdReport _),
+    "q89_float_audit" -> (q89FloatAudit _))
 
   val oracleSql: Map[String, String] = Map(
     "q22_completeness" -> q22Sql,
@@ -619,5 +660,6 @@ object CheckQueries {
     "q81_inclusion" -> q81Sql,
     "q83_volume_anomalies" -> q83Sql,
     "q84_validation_report" -> q84Sql,
-    "q85_fd_report" -> q85Sql)
+    "q85_fd_report" -> q85Sql,
+    "q89_float_audit" -> q89Sql)
 }

@@ -210,6 +210,20 @@ class ChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("floatAudit: every IEEE species counted once, finite remainder, clean column clean") {
+    val df = Seq(
+      Some(1.5), Some(-2.0), None,
+      Some(Double.NaN), Some(Double.NaN),
+      Some(Double.PositiveInfinity), Some(Double.NegativeInfinity))
+      .toDF("x").withColumn("y", lit(7.0))
+    val out = Checks.floatAudit(df, Seq("x", "y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(out("x") == ((7L, 1L, 2L, 1L, 1L, 2L)))
+    assert(out("y") == ((7L, 0L, 0L, 0L, 0L, 7L)))
+  }
+
   test("fdReport: holding FD zero violations; null rhs is a countable image; composite lhs") {
     val df = Seq(
       (1, "x", Some("a")),

@@ -187,6 +187,32 @@ class ProfilingSpec extends AnyFunSuite {
     assert(withNullElem.head.isNullAt(0))
   }
 
+  test("distinct sketches: partial-union estimates equal single-pass; accuracy within rsd") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), (col("event_id") % 7).as("day"))
+    // daily sketch table -> month rollup
+    val daily = Profiling.distinctSketch(events, Seq("day"), "user_id")
+    assert(daily.count() == 7)
+    val merged = Profiling.sketchEstimate(
+      Profiling.mergeDistinctSketches(daily, Seq.empty))
+    val single = Profiling.sketchEstimate(
+      Profiling.distinctSketch(events, Seq.empty, "user_id"))
+    val mEst = merged.select("n_distinct_est").head().getLong(0)
+    val sEst = single.select("n_distinct_est").head().getLong(0)
+    // register merge is bucketwise max: identical estimate, not just close
+    assert(mEst == sEst, s"merged $mEst != single-pass $sEst")
+    val exact = events.select("user_id").distinct().count()
+    assert(math.abs(mEst - exact).toDouble / exact < 0.05,
+      s"estimate $mEst vs exact $exact")
+    // idempotence: re-merging the merged sketch with itself double-counts nothing
+    val twice = Profiling.sketchEstimate(Profiling.mergeDistinctSketches(
+      Profiling.mergeDistinctSketches(daily, Seq.empty)
+        .unionByName(Profiling.mergeDistinctSketches(daily, Seq.empty)),
+      Seq.empty)).select("n_distinct_est").head().getLong(0)
+    assert(twice == mEst)
+  }
+
   test("histogram: hand-checked buckets, closed max edge, empty bins, nulls, constant column") {
     import org.apache.spark.sql.functions._
     // [0,10] in 5 bins of width 2: values land 0,0,1,4,4; bin 2,3 empty;
