@@ -596,14 +596,22 @@ object Checks {
   def volumeAnomalies(
       df: DataFrame, group: Column, ts: Column,
       trailing: Int = 7, threshold: Double = 3.0,
-      minPrior: Int = 3): DataFrame = {
+      minPrior: Int = 3, perWeekday: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(trailing >= 1 && minPrior >= 2,
       s"need trailing >= 1 and minPrior >= 2, got $trailing/$minPrior")
     val daily = df
       .groupBy(group.as("group"), to_date(ts).as("day"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("group")).orderBy(col("day").asc)
+    // perWeekday: Mondays score against trailing MONDAYS — weekly
+    // seasonality (weekend dips, batch-job spikes) stops reading as
+    // anomalies and a bad Monday stops hiding inside a weekly mean.
+    // Same exact-integer machinery; the baseline partition just gains
+    // the weekday. trailing then counts SAME-WEEKDAY observations.
+    val baselineKeys =
+      if (perWeekday) Seq(col("group"), dayofweek(col("day")))
+      else Seq(col("group"))
+    val w = Window.partitionBy(baselineKeys: _*).orderBy(col("day").asc)
       .rowsBetween(-trailing, -1)
     val stats = daily
       .withColumn("n_prior", count(col("n")).over(w))

@@ -370,6 +370,39 @@ object Profiling {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Per-group equi-width histogram: [[histogram]] with each group
+    * bucketed over ITS OWN [min, max] — the drift-dashboard shape
+    * ("price distribution per return flag / per source"). Unlike the
+    * global histogram, bounds stay a DataFrame joined back on the
+    * group key (no driver pull: the group count is unbounded), so
+    * the plan is two data scans + one group-keyed join — broadcast
+    * when the group census is small, co-keyed shuffle otherwise.
+    * Same IEEE edge expressions, empty bins kept per group, width-0
+    * groups collapse to bucket 0.
+    */
+  def histogramByGroup(
+      df: DataFrame, group: Column, value: Column, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val nn = df.filter(value.isNotNull)
+      .select(group.as("group"), value.cast("double").as("_v"))
+    val bounds = nn.groupBy(col("group"))
+      .agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"))
+    val width = (col("mx") - col("mn")) / lit(bins.toDouble)
+    val bin = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(least(lit(bins - 1L), floor((col("_v") - col("mn")) / width)))
+    val counts = nn.join(bounds, Seq("group"))
+      .groupBy(col("group"), bin.as("bin")).agg(count(lit(1)).as("n"))
+    bounds
+      .select(col("group"), col("mn"), col("mx"),
+        explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+      .join(counts, Seq("group", "bin"), "left")
+      .select(
+        col("group"), col("bin"),
+        (col("mn") + col("bin") * width).as("lo"),
+        (col("mn") + (col("bin") + lit(1L)) * width).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   def topValues(df: DataFrame, cols: Seq[String], k: Int, salts: Int = 32): DataFrame = {
     require(cols.nonEmpty && k >= 1, "need columns and k >= 1")
     val W = org.apache.spark.sql.expressions.Window

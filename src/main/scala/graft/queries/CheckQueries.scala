@@ -625,6 +625,80 @@ object CheckQueries {
        |${audit("qty")}""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q90 — weekday-seasonal volume baseline: each day scores against
+  // its trailing SAME-WEEKDAY observations (weekly seasonality never
+  // reads as anomaly). The weekday key is partition-only, so Spark's
+  // 1-7 vs DuckDB's 0-6 numbering is irrelevant — the equivalence
+  // classes are identical.
+  // ---------------------------------------------------------------
+  private val SeasTrailing = 3
+  private val SeasThreshold = 1.5
+
+  def q90SeasonalVolume(spark: SparkSession, d: String): DataFrame =
+    Checks.volumeAnomalies(Tables.events(spark, d),
+      col("event_type"), col("ts"),
+      trailing = SeasTrailing, threshold = SeasThreshold, perWeekday = true)
+
+  val q90Sql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT grp, day, n,
+       |    CAST(count(n) OVER win AS BIGINT) AS n_prior,
+       |    CAST(sum(n) OVER win AS BIGINT) AS s,
+       |    CAST(sum(n*n) OVER win AS BIGINT) AS sq
+       |  FROM daily
+       |  WINDOW win AS (PARTITION BY grp, dayofweek(day) ORDER BY day
+       |                 ROWS BETWEEN $SeasTrailing PRECEDING AND 1 PRECEDING)),
+       |m AS (
+       |  SELECT grp, day, n, n_prior,
+       |    CASE WHEN n_prior >= 3
+       |      THEN CAST(s AS DOUBLE) / CAST(n_prior AS DOUBLE) END AS mean_prior,
+       |    CASE WHEN n_prior >= 3 THEN sqrt(greatest(
+       |      (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+       |         / CAST(n_prior AS DOUBLE)) / (CAST(n_prior AS DOUBLE) - 1.0),
+       |      0.0)) END AS std_prior
+       |  FROM w)
+       |SELECT grp AS "group", day, n, n_prior, mean_prior, std_prior,
+       |  CASE WHEN n_prior >= 3 AND std_prior > 0.0
+       |    THEN abs(CAST(n AS DOUBLE) - mean_prior) > $SeasThreshold * std_prior
+       |  END AS is_anomaly
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q91 — per-group histogram: price distribution per return flag,
+  // each flag bucketed over its own range (10 bins, empty kept).
+  // ---------------------------------------------------------------
+  private val GrpHistBins = 10
+
+  def q91GroupHistogram(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.histogramByGroup(
+      Tables.lineitem(spark, d), col("l_returnflag"),
+      col("l_extendedprice"), GrpHistBins)
+
+  val q91Sql: String =
+    s"""WITH nn AS (
+       |  SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |b AS (SELECT grp, min(v) AS mn, max(v) AS mx FROM nn GROUP BY 1),
+       |c AS (
+       |  SELECT nn.grp,
+       |    CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+       |      ELSE least(${GrpHistBins - 1},
+       |        CAST(floor((v - mn) / ((mx - mn) / $GrpHistBins.0)) AS BIGINT))
+       |    END AS bin,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM nn JOIN b ON nn.grp = b.grp GROUP BY 1, 2),
+       |spine AS (SELECT grp, mn, mx, unnest(range(0, $GrpHistBins)) AS bin FROM b)
+       |SELECT spine.grp AS "group", spine.bin,
+       |  mn + spine.bin * ((mx - mn) / $GrpHistBins.0) AS lo,
+       |  mn + (spine.bin + 1) * ((mx - mn) / $GrpHistBins.0) AS hi,
+       |  COALESCE(n, 0) AS n
+       |FROM spine LEFT JOIN c ON spine.grp = c.grp AND spine.bin = c.bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_completeness" -> (q22Completeness _),
     "q23_uniqueness"   -> (q23Uniqueness _),
@@ -642,7 +716,9 @@ object CheckQueries {
     "q83_volume_anomalies" -> (q83VolumeAnomalies _),
     "q84_validation_report" -> (q84ValidationReport _),
     "q85_fd_report" -> (q85FdReport _),
-    "q89_float_audit" -> (q89FloatAudit _))
+    "q89_float_audit" -> (q89FloatAudit _),
+    "q90_seasonal_volume" -> (q90SeasonalVolume _),
+    "q91_group_histogram" -> (q91GroupHistogram _))
 
   val oracleSql: Map[String, String] = Map(
     "q22_completeness" -> q22Sql,
@@ -661,5 +737,7 @@ object CheckQueries {
     "q83_volume_anomalies" -> q83Sql,
     "q84_validation_report" -> q84Sql,
     "q85_fd_report" -> q85Sql,
-    "q89_float_audit" -> q89Sql)
+    "q89_float_audit" -> q89Sql,
+    "q90_seasonal_volume" -> q90Sql,
+    "q91_group_histogram" -> q91Sql)
 }

@@ -210,6 +210,28 @@ class ChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("volumeAnomalies perWeekday: a weekly spike is normal seasonally, anomalous unseasoned") {
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:00")
+    // 4 weeks: Mondays (2024-03-04 is a Monday) ~100 events, other
+    // days ~10, small deterministic wiggle so baselines have variance
+    val rows = (1 to 28).flatMap { day =>
+      val isMonday = (day - 4) % 7 == 0
+      val n = (if (isMonday) 100 else 10) + day % 3
+      Seq.fill(n)(("a", d(day)))
+    }.toDF("g", "t")
+    def lastMondayFlag(perWeekday: Boolean): Option[Boolean] = {
+      val r = Checks.volumeAnomalies(rows, $"g", $"t",
+          trailing = 3, threshold = 2.0, perWeekday = perWeekday)
+        .filter($"day" === java.sql.Date.valueOf("2024-03-25")) // 4th Monday
+        .head()
+      if (r.isNullAt(6)) None else Some(r.getBoolean(6))
+    }
+    assert(lastMondayFlag(perWeekday = false) == Some(true),
+      "mixed-weekday baseline must flag the Monday spike")
+    assert(lastMondayFlag(perWeekday = true) == Some(false),
+      "same-weekday baseline must treat the Monday spike as seasonal")
+  }
+
   test("floatAudit: every IEEE species counted once, finite remainder, clean column clean") {
     val df = Seq(
       Some(1.5), Some(-2.0), None,

@@ -213,6 +213,25 @@ class ProfilingSpec extends AnyFunSuite {
     assert(twice == mEst)
   }
 
+  test("histogramByGroup: independent per-group ranges, counts tile, degenerate group safe") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("a", 0.0), ("a", 5.0), ("a", 10.0),   // a: range [0,10]
+      ("b", 100.0), ("b", 104.0),            // b: range [100,104]
+      ("c", 7.0), ("c", 7.0))                // c: constant
+      .toDF("g", "v")
+    val h = Profiling.histogramByGroup(df, $"g", $"v", 2)
+      .orderBy("group", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(h.toSeq == Seq(
+      ("a", 0L, 0.0, 5.0, 1L), ("a", 1L, 5.0, 10.0, 2L),
+      ("b", 0L, 100.0, 102.0, 1L), ("b", 1L, 102.0, 104.0, 1L),
+      ("c", 0L, 7.0, 7.0, 2L), ("c", 1L, 7.0, 7.0, 0L)))
+    // per-group counts tile each group's rows exactly once
+    assert(h.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap ==
+      Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
+  }
+
   test("histogram: hand-checked buckets, closed max edge, empty bins, nulls, constant column") {
     import org.apache.spark.sql.functions._
     // [0,10] in 5 bins of width 2: values land 0,0,1,4,4; bin 2,3 empty;
