@@ -451,6 +451,9 @@ object Checks {
     */
   def floatAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column required")
+    require(cols.distinct.size == cols.size, "duplicate column names")
+    cols.foreach(c => require(!c.exists(ch => ch == '.' || ch == '`'),
+      s"column name '$c' must not contain '.' or '`' (intermediate-name safety)"))
     def cnt(cond: org.apache.spark.sql.Column) =
       sum(when(cond, 1L).otherwise(0L))
     val aggs = cols.flatMap { c =>

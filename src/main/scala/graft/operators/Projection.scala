@@ -50,14 +50,21 @@ object Projection {
     */
   def fitPca(df: DataFrame, vecCol: String, k: Int): PcaModel = {
     val stats = Profiling.profileEmbedding(df, vecCol)
-      .select(col("dim"), col("mean"), col("stddev"))
-      .collect().map(r => (r.getLong(0).toInt, r.getDouble(1), r.getDouble(2)))
+      .select(col("dim"), col("mean"), col("stddev"), col("n"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getDouble(1), r.getDouble(2), r.getLong(3)))
     val dim = stats.length
     require(dim >= 1, "empty input: no dimensions to fit")
     require(k >= 1 && k <= dim, s"need 1 <= k <= $dim, got $k")
+    // ragged vectors would silently corrupt the covariance assembly
+    // (missing pair sums default to 0) — refuse loudly instead
+    require(stats.map(_._4).distinct.length == 1,
+      s"ragged $vecCol: per-dimension counts differ " +
+        s"(${stats.map(_._4).min}..${stats.map(_._4).max}); " +
+        "all vectors must share one length")
     val mean = Array.ofDim[Double](dim)
     val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
-    stats.foreach { case (i, m, s) => mean(i) = m; cov(i, i) = s * s }
+    stats.foreach { case (i, m, s, _) => mean(i) = m; cov(i, i) = s * s }
     Profiling.embeddingCovariance(df, vecCol)
       .select(col("dim_i"), col("dim_j"), col("cov"))
       .collect().foreach { r =>

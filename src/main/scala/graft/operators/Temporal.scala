@@ -160,6 +160,11 @@ object Temporal {
     * row per surviving key, never raw events. Strictly-after (`>`)
     * means a single event cannot satisfy two stages at once even if
     * both predicates match it.
+    *
+    * The source is scanned once per stage (the standard SQL funnel
+    * shape; the oracle does the same). For an S-stage funnel over a
+    * scan-expensive source, pre-filter to rows matching ANY stage
+    * predicate — or persist that projection — before calling.
     */
   def funnel(
       events: DataFrame, key: Column, ts: Column,
