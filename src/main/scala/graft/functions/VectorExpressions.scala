@@ -39,6 +39,14 @@ case class VectorDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  /** Pure function of its inputs, so literal arguments constant-fold:
+    * `dot(centroid_lit, centroid_lit)` becomes ONE plan-time eval
+    * instead of a per-row loop (BinaryExpression's default is
+    * never-foldable). Centroid-norm subexpressions in the IVF plans
+    * collapse to double literals under Catalyst's ConstantFolding.
+    */
+  override def foldable: Boolean = left.foldable && right.foldable
+
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 

@@ -163,13 +163,21 @@ object Similarity {
   def annJoinBrute(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
+    // norms hoisted to once per query row (broadcast side) and once
+    // per corpus row: the per-pair work drops from 3 dot loops to 1,
+    // value-identical to cosineSimilarity (same d/(na*nb), same
+    // operand values, same order)
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        graft.functions.DqFunctions.l2Norm(col(vecCol)).as("_qn")))
     topKPerQuery(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+          graft.functions.DqFunctions.l2Norm(col(vecCol)).as("_cn"))
         .crossJoin(q)
         .select(col("query_id"), col("neighbor_id"),
-          cosineSimilarity(col("_cv"), col("_qv")).as("cosine")),
+          when(col("_cn") > 0 && col("_qn") > 0,
+            dotProduct(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+            .otherwise(lit(null).cast("double")).as("cosine")),
       k)
   }
 
@@ -239,23 +247,38 @@ object Similarity {
       .select(col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) => i -> rowVecToDoubles(r) }.toSeq
     def centCol(c: Seq[Double]): Column = array(c.map(lit): _*)
-    def centScores(vec: Column): Column = array(cents.map { case (i, c) =>
-      struct(cosineSimilarity(vec, centCol(c)).as("s"), lit(i).as("c"))
+    // hoisted-norm cosine, value-identical to cosineSimilarity (same
+    // d/(na*nb) with the same operand values in the same order): the
+    // row's norm is computed ONCE per row instead of once per
+    // centroid, and each centroid's norm is a foldable literal
+    // subtree (VectorDotProduct.foldable), so ConstantFolding
+    // collapses it at plan time — nlist fewer dot loops per row on
+    // the assignment scan, 2 of 3 dot loops gone per scored pair.
+    def cosWith(vn: Column, vec: Column, other: Column, on: Column): Column =
+      when(vn > 0 && on > 0, dotProduct(vec, other) / (vn * on))
+        .otherwise(lit(null).cast("double"))
+    def centScores(vec: Column, vn: Column): Column = array(cents.map {
+      case (i, c) =>
+        struct(cosWith(vn, vec, centCol(c), l2Norm(centCol(c))).as("s"),
+          lit(i).as("c"))
     }: _*)
     // corpus cell = argmax cosine: max over (s, c) structs — ties go
     // to the higher centroid index, stated identically in the oracle
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-      .withColumn("cell", array_max(centScores(col("_cv"))).getField("c"))
+      .withColumn("_cn", l2Norm(col("_cv")))
+      .withColumn("cell",
+        array_max(centScores(col("_cv"), col("_cn"))).getField("c"))
     val probes = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-        .select(col("query_id"), col("_qv"),
+        .withColumn("_qn", l2Norm(col("_qv")))
+        .select(col("query_id"), col("_qv"), col("_qn"),
           explode(transform(
-            slice(reverse(array_sort(centScores(col("_qv")))), 1, nprobe),
+            slice(reverse(array_sort(centScores(col("_qv"), col("_qn")))), 1, nprobe),
             sc => sc.getField("c"))).as("cell")))
     topKPerQuery(
       assigned.join(probes, "cell")
         .select(col("query_id"), col("neighbor_id"),
-          cosineSimilarity(col("_cv"), col("_qv")).as("cosine")),
+          cosWith(col("_cn"), col("_cv"), col("_qv"), col("_qn")).as("cosine")),
       k)
   }
 
