@@ -299,13 +299,17 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("_qv"), col(labelCol).as("_qlabel")))
+      col(vecCol).as("_qv"), col(labelCol).as("_qlabel"),
+      l2Norm(col(vecCol)).as("_qn")))
     val scored = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-        col(labelCol).as("_nlabel"))
+        col(labelCol).as("_nlabel"), l2Norm(col(vecCol)).as("_cn"))
       .crossJoin(q)
       .select(col("query_id"), col("_qlabel"), col("_nlabel"),
-        cosineSimilarity(col("_cv"), col("_qv")).as("cosine"),
+        // hoisted-norm cosine, value-identical (see annJoinBrute)
+        when(col("_cn") > 0 && col("_qn") > 0,
+          dotProduct(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+          .otherwise(lit(null).cast("double")).as("cosine"),
         col("neighbor_id"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")

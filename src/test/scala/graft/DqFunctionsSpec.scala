@@ -200,4 +200,19 @@ class DqFunctionsSpec extends AnyFunSuite {
     assert(df.select(bpeishTokenCount($"a")).as[Int].head() == 5)
     assert(df.select(normalizedText($"b")).as[String].head() == "hello world!")
   }
+
+  test("vector_dot over literal arrays constant-folds (centroid norms cost zero per row)") {
+    import org.apache.spark.sql.functions.{array, lit}
+    val arr = array(Seq(1.0, 2.0, 3.0).map(lit): _*)
+    // range (not a local relation, which would fold away entirely) so
+    // the projection survives into the optimized plan
+    val plan = spark.range(1)
+      .select(($"id" + dotProduct(arr, arr)).as("y"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("vectordotproduct"),
+      s"literal dot must fold to a constant:\n$plan")
+    assert(plan.contains("14.0"), s"folded value expected in plan:\n$plan")
+    // and the folded value equals the runtime value
+    assert(Seq(1).toDF("x").select(dotProduct(arr, arr)).as[Double].head() == 14.0)
+  }
 }
