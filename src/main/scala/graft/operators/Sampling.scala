@@ -233,4 +233,28 @@ object Sampling {
       .filter(hashScore(col(idCol)) < col("keep_fraction"))
       .drop("__w_target", "__n_group")
   }
+
+  /** Deterministic epoch shuffle: a seeded pseudorandom permutation
+    * of the corpus for training-data ordering — same `(id, seed)`
+    * always lands in the same place, different seeds give different
+    * orders (re-shuffle between epochs by bumping the seed), and a
+    * re-run of the same epoch reproduces the batch sequence exactly.
+    *
+    * Implementation: a 64-bit hash of (id, seed) range-partitions
+    * the frame and orders rows within each partition — the
+    * distributed sort shape (sampling-based range boundaries, no
+    * single-task global sort, no driver state). Reading partitions
+    * in index order yields the full permutation; writing with this
+    * layout makes the at-rest file order the shuffle order.
+    */
+  def deterministicShuffle(
+      df: DataFrame, idCol: String, seed: Long,
+      numPartitions: Int): DataFrame = {
+    require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
+    val key = xxhash64(col(idCol), lit(seed))
+    df.withColumn("__shuffle_key", key)
+      .repartitionByRange(numPartitions, col("__shuffle_key"))
+      .sortWithinPartitions(col("__shuffle_key"), col(idCol))
+      .drop("__shuffle_key")
+  }
 }

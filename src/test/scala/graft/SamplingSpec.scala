@@ -212,4 +212,27 @@ class SamplingSpec extends AnyFunSuite {
     // keep_fraction is reported per row and constant within a group
     assert(out.select("source", "keep_fraction").distinct().count() == by.size)
   }
+
+  test("deterministicShuffle: a reproducible seeded permutation; seeds decorrelate; no global sort") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 500).map(i => (i.toLong, s"doc$i")).toDF("id", "text")
+    def order(seed: Long): Seq[Long] = {
+      val shuffled = Sampling.deterministicShuffle(df, "id", seed, 8)
+      // read partitions in index order = the full permutation
+      shuffled.select($"id").rdd
+        .mapPartitionsWithIndex { case (p, it) => it.map(r => (p, r.getLong(0))) }
+        .collect().sortBy(_._1).map(_._2).toSeq
+    }
+    val e0 = order(seed = 0); val e0again = order(seed = 0); val e1 = order(seed = 1)
+    assert(e0 == e0again)                       // same epoch reproduces exactly
+    assert(e0.sorted == (1L to 500L) && e1.sorted == (1L to 500L)) // permutations
+    assert(e0 != e1)                            // epochs decorrelate
+    assert(e0 != (1L to 500L))                  // and it actually shuffles
+    // plan shape: range repartition + per-partition sort, never a
+    // single-partition global Sort
+    val plan = Sampling.deterministicShuffle(df, "id", 0, 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("Sort ") && plan.contains("false, 0"), plan) // global=false
+  }
 }
