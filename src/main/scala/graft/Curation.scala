@@ -58,6 +58,7 @@ object Curation {
       decontamMinOverlap: Long = 1L,
       decontamBloom: Boolean = false,
       decontamFpp: Double = 0.01,
+      extraRules: Seq[graft.operators.Checks.ValidationRule] = Seq.empty,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
@@ -70,13 +71,21 @@ object Curation {
   /** The per-row quality gate (also the streaming front-end's filter:
     * [[graft.streaming.StreamingCuration]] applies the identical
     * predicate, so batch and stream admit the same rows).
+    *
+    * `cfg.extraRules` ([[graft.operators.Checks.ValidationRule]])
+    * fold into this gate with quarantine semantics — FALSE or NULL
+    * rejects — so corpus-specific constraints (schema bounds, source
+    * allow-lists, float sanity) ride the same scan-time predicate in
+    * batch AND streaming, with no extra pass.
     */
   def qualityPredicate(textCol: org.apache.spark.sql.Column, cfg: CurationConfig): org.apache.spark.sql.Column = {
     val nChars = length(textCol)
     val nPunct = nChars - length(regexp_replace(textCol, "[.,;:!?]", ""))
     val punctRatio = when(nChars > 0,
       nPunct.cast("double") / nChars.cast("double")).otherwise(lit(0.0))
-    DqFunctions.tokenCount(textCol) >= cfg.minTokens && punctRatio <= cfg.maxPunctRatio
+    val base =
+      DqFunctions.tokenCount(textCol) >= cfg.minTokens && punctRatio <= cfg.maxPunctRatio
+    cfg.extraRules.foldLeft(base)((acc, r) => acc && coalesce(r.valid, lit(false)))
   }
 
   /** The per-row language gate (shared with the streaming front-end). */

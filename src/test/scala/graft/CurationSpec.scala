@@ -43,6 +43,23 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.groupBy("text").count().filter($"count" > 1).count() == 0)
   }
 
+  test("extraRules fold into the quality gate: rule-violating docs never reach the corpus") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("curation_rules").toString + "/corpus"
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val rule = graft.operators.Checks.ValidationRule(
+      "source_blocklist", col("source") =!= "src0")
+    val r = Curation.curate(spark, docs, "doc_id", "text", out,
+      CurationConfig(extraRules = Seq(rule)))
+    val rBase = Curation.curate(spark, docs, "doc_id", "text",
+      Files.createTempDirectory("curation_norules").toString + "/corpus",
+      CurationConfig())
+    assert(r.afterQuality < rBase.afterQuality,
+      "the corpus has src0 docs — the rule must reject some")
+    val kept = spark.read.parquet(out)
+    assert(kept.filter(col("source") === "src0").count() == 0)
+  }
+
   test("cluster-canonical near-dedup keeps one doc per component, at most greedy's count") {
     val outG = Files.createTempDirectory("curation_greedy").toString + "/corpus"
     val outC = Files.createTempDirectory("curation_cluster").toString + "/corpus"
