@@ -246,6 +246,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.substring(aggIdx).contains("partial_count"))
   }
 
+  test("q80: scd2's two windows share one exchange and one sort") {
+    val p = plan(graft.queries.TemporalQueries.q80Scd2(spark, d))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one key exchange, got $exchanges:\n$p")
+    // the lead window must NOT re-sort: exactly one Sort under the exchange
+    assert("\\bSort \\[".r.findAllIn(p).length == 1,
+      s"lag and lead must share the (key, ts) sort:\n$p")
+  }
+
+  test("q91: per-group histogram bounds fold map-side; spine join on the group key") {
+    val p = plan(graft.queries.CheckQueries.q91GroupHistogram(spark, d))
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      "per-group bounds must partial-aggregate at the scan")
+    assert(p.contains("partial_count"), "bucket counts must combine map-side")
+  }
+
+  test("q87: cohort activity collapses to distinct (key, bucket) before anything joins") {
+    val p = plan(graft.queries.TemporalQueries.q87CohortRetention(spark, d))
+    // the distinct is a keyed aggregate with a map-side partial phase
+    assert(p.contains("HashAggregate(keys=[_k"), p)
+    assert(p.contains("partial_min"), "cohort map folds map-side")
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
