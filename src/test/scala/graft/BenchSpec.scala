@@ -31,5 +31,16 @@ class BenchSpec extends AnyFunSuite {
     assert(results.forall(r => r.sec >= 0.0 && r.coldSec >= 0.0))
     // a failed query is not re-run: its warm timing IS its cold timing
     assert(byName("broken").sec == byName("broken").coldSec)
+    assert(byName("broken").warmSecs.isEmpty)
+  }
+
+  test("sec is the minimum over the requested warm passes") {
+    val ok: (SparkSession, String) => DataFrame =
+      (s, _) => s.range(10).selectExpr("id")
+    val results = Bench.run(Seq("ok" -> ok), spark, TestSpark.sf, warmPasses = 3)
+    val r = results.head
+    assert(r.warmSecs.size == 3)
+    assert(r.sec == r.warmSecs.min,
+      "canonical sec must be the noise-robust min over warm passes")
   }
 }
