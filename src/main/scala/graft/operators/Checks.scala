@@ -395,6 +395,13 @@ object Checks {
   def quarantine(
       df: DataFrame, rules: Seq[ValidationRule]): (DataFrame, DataFrame) = {
     require(rules.nonEmpty, "at least one validation rule required")
+    // `withColumn("violations", …)` would silently REPLACE a
+    // pre-existing input column of that name, and the valid side
+    // would then drop the user's original data. Fail loudly instead
+    // of destroying a column.
+    require(!df.columns.contains("violations"),
+      "input already has a 'violations' column; rename it before quarantine " +
+        "(the rejects side reserves that name for the failed-rule array)")
     val vios = filter(
       array(rules.map(r => when(violated(r), lit(r.name))): _*),
       x => x.isNotNull)

@@ -347,7 +347,11 @@ object Profiling {
     */
   def histogram(df: DataFrame, value: Column, bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    val nn = df.filter(value.isNotNull)
+    // NaN must be fenced with nulls: Spark's max() orders NaN above
+    // every double, so a single NaN input would make mx = NaN, hence
+    // width/edges/assignments all NaN — and every row would silently
+    // vanish from the spine join (the floatAudit rationale).
+    val nn = df.filter(value.isNotNull && !isnan(value.cast("double")))
     val bounds = nn
       .agg(min(value).cast("double").as("mn"), max(value).cast("double").as("mx"))
       .head()
@@ -383,7 +387,9 @@ object Profiling {
   def histogramByGroup(
       df: DataFrame, group: Column, value: Column, bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    val nn = df.filter(value.isNotNull)
+    // same NaN fence as [[histogram]]: one NaN would poison its
+    // group's max/width and drop that group's rows from the spine
+    val nn = df.filter(value.isNotNull && !isnan(value.cast("double")))
       .select(group.as("group"), value.cast("double").as("_v"))
     val bounds = nn.groupBy(col("group"))
       .agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"))

@@ -49,6 +49,11 @@ object Projection {
     * the two statistics jobs at call time.
     */
   def fitPca(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    // a single row makes the sample stddev divide by (n−1) = 0 inside
+    // the statistics job (an opaque executor-side ANSI arithmetic
+    // error) — check cheaply up front and fail with a clear message
+    require(df.select(vecCol).limit(2).count() >= 2,
+      "need at least 2 rows to fit a sample covariance")
     val stats = Profiling.profileEmbedding(df, vecCol)
       .select(col("dim"), col("mean"), col("stddev"), col("n"))
       .collect()

@@ -236,16 +236,27 @@ object Sampling {
 
   /** Deterministic epoch shuffle: a seeded pseudorandom permutation
     * of the corpus for training-data ordering — same `(id, seed)`
-    * always lands in the same place, different seeds give different
-    * orders (re-shuffle between epochs by bumping the seed), and a
-    * re-run of the same epoch reproduces the batch sequence exactly.
+    * always lands in the same place in the GLOBAL order, different
+    * seeds give different orders (re-shuffle between epochs by
+    * bumping the seed).
+    *
+    * Determinism contract: the concatenated global (hash, id) order
+    * is stable across re-runs — it is a pure function of (id, seed).
+    * The PARTITION BOUNDARIES are not: `repartitionByRange` samples
+    * boundary cut-points with an RDD-id-derived seed, so which rows
+    * land in which partition/file (and hence per-file batch
+    * composition) can shift between sessions even though the
+    * concatenated order is identical. Callers that need stable
+    * per-file batches should cut the hash space explicitly (fixed
+    * splits of the 64-bit range via `floor(hash / step)` as the
+    * partition key) and accept the skew risk of unsampled bounds.
     *
     * Implementation: a 64-bit hash of (id, seed) range-partitions
     * the frame and orders rows within each partition — the
     * distributed sort shape (sampling-based range boundaries, no
     * single-task global sort, no driver state). Reading partitions
     * in index order yields the full permutation; writing with this
-    * layout makes the at-rest file order the shuffle order.
+    * layout makes the at-rest file order follow the shuffle order.
     */
   def deterministicShuffle(
       df: DataFrame, idCol: String, seed: Long,

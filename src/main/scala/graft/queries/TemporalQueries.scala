@@ -113,14 +113,22 @@ object TemporalQueries {
         unix_micros(col("valid_to")).as("valid_to_us"),
         col("is_current"))
 
+  // Boundary test is null-SAFE (`IS DISTINCT FROM` + explicit
+  // first-row marker), matching scd2Intervals' `<=>`-based run
+  // detection: a NULL event_type run neither merges with its
+  // neighbors nor drops the partition's first row. The corpus has no
+  // NULL event_type today, but the oracle must pin the same
+  // null-version semantics the operator implements, not a weaker
+  // variant that happens to agree on this corpus.
   val q80Sql: String =
     """WITH o AS (
       |  SELECT user_id, event_type, ts,
-      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
       |  FROM events),
       |ch AS (
       |  SELECT user_id, event_type, ts FROM o
-      |  WHERE prev IS NULL OR prev <> event_type)
+      |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
       |SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
       |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS valid_to_us,
       |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current

@@ -198,6 +198,11 @@ class ChecksSpec extends AnyFunSuite {
     val rep = Checks.validationReport(df, rules)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(rep == Map("qty_ok" -> 2L, "disc_ok" -> 2L, "ANY" -> 3L))
+    // a pre-existing 'violations' column would be silently replaced
+    // and then dropped on the valid side — refuse loudly instead
+    intercept[IllegalArgumentException] {
+      Checks.quarantine(df.withColumn("violations", lit("user data")), rules)
+    }
     // loud guards: reserved/duplicate/unresolvable rule names
     intercept[IllegalArgumentException] {
       Checks.validationReport(df, rules :+ Checks.ValidationRule("ANY", lit(true)))

@@ -250,4 +250,23 @@ class ProfilingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(3)))
     assert(hc.toSeq == Seq((0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L)))
   }
+
+  test("histogram fences NaN: buckets stay finite and real rows stay counted") {
+    import org.apache.spark.sql.functions._
+    // Without the fence, max() = NaN makes every edge NaN and all
+    // rows vanish from the spine join; with it, NaN drops like null.
+    val df = Seq(0.0, 2.0, 4.0, Double.NaN).toDF("v")
+    val h = Profiling.histogram(df, col("v"), 2).orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(h.toSeq == Seq((0L, 0.0, 2.0, 1L), (1L, 2.0, 4.0, 2L)))
+    assert(h.forall { case (_, lo, hi, _) => !lo.isNaN && !hi.isNaN })
+    // per-group variant: the NaN poisons only nothing — its group
+    // still buckets its finite rows over finite edges
+    val g = Seq(("a", 0.0), ("a", 2.0), ("a", Double.NaN), ("b", 1.0))
+      .toDF("g", "v")
+    val hg = Profiling.histogramByGroup(g, col("g"), col("v"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(hg.collect { case ("a", _, n) => n }.sum == 2L)
+    assert(hg.collect { case ("b", _, n) => n }.sum == 1L)
+  }
 }

@@ -114,4 +114,12 @@ class ProjectionSpec extends AnyFunSuite {
     assert(a.components.flatten.toSeq == b.components.flatten.toSeq)
     assert(a.explainedVariance.toSeq == b.explainedVariance.toSeq)
   }
+
+  test("fit refuses a single row: sample covariance needs n >= 2, not a silent NaN") {
+    val one = Seq(Tuple1(Seq(1.0f, 2.0f, 3.0f))).toDF("embedding")
+    val e = intercept[IllegalArgumentException] {
+      Projection.fitPca(one, "embedding", k = 1)
+    }
+    assert(e.getMessage.contains("at least 2 rows"))
+  }
 }
