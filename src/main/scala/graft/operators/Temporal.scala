@@ -152,46 +152,62 @@ object Temporal {
     * stage-k clock starts at their FIRST stage-(k−1)-qualifying
     * moment).
     *
-    * Implementation: fold over stages — per key, min(ts) of rows
-    * matching the stage predicate that land strictly after the
-    * previous stage's qualifying time (carried via an equi-join on
-    * the key). Each stage is one partial-aggregated shuffle plus one
-    * co-keyed join on (key, prev_ts) pairs — per-stage state is one
-    * row per surviving key, never raw events. Strictly-after (`>`)
-    * means a single event cannot satisfy two stages at once even if
-    * both predicates match it.
+    * Implementation — ONE scan, ONE shuffle, any stage count. The
+    * source is first filtered to rows matching ANY stage predicate
+    * and projected to (key, ts, is_stage…). Stage-k qualifying times
+    * then stack as per-key window minimums: `q_k = min(ts WHERE
+    * is_k AND ts > q_{k-1}) OVER (PARTITION BY key)`. Every window
+    * shares the same partitioning, so Catalyst plans S chained
+    * WindowExec nodes over a SINGLE Exchange (each stage's window
+    * reads its predecessor's column in place — no re-shuffle, no
+    * re-scan); the per-key collapse that follows is already
+    * co-partitioned (no second Exchange), and the final count is a
+    * one-row global aggregate exploded back to one row per stage.
+    * Strictly-after (`>`) means a single event cannot satisfy two
+    * stages at once even if both predicates match it; a NULL
+    * predecessor time disqualifies the stage (ts > NULL is NULL), so
+    * the recurrence short-circuits exactly like the join fold would.
     *
-    * The source is scanned once per stage (the standard SQL funnel
-    * shape; the oracle does the same). For an S-stage funnel over a
-    * scan-expensive source, pre-filter to rows matching ANY stage
-    * predicate — or persist that projection — before calling.
+    * Earlier rounds scanned the source once PER STAGE (the standard
+    * SQL funnel shape, and still what the oracle does): at a 100 TB
+    * events table an S-stage funnel was S full scans. This shape
+    * reads the table once regardless of S.
     */
   def funnel(
       events: DataFrame, key: Column, ts: Column,
       stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "at least one funnel stage required")
-    val base = events.select(
-      (Seq(key.as("_k"), ts.as("_ts")) ++
-        stages.map { case (n, p) => coalesce(p, lit(false)).as(s"_is_$n") }): _*)
-    // fold: qualified(k) carries each surviving key's qualifying time
-    val (_, counts) = stages.zipWithIndex
-      .foldLeft(Option.empty[DataFrame] -> Vector.empty[DataFrame]) {
-        case ((prev, acc), ((name, _), idx)) =>
-          val eligible = prev match {
-            case None => base
-            case Some(q) =>
-              base.join(q, Seq("_k")).filter(col("_ts") > col("_q")).drop("_q")
-          }
-          val qualified = eligible.filter(col(s"_is_$name"))
-            .groupBy(col("_k")).agg(min(col("_ts")).as("_q"))
-          val row = qualified.agg(
-            lit(name).as("stage"),
-            lit((idx + 1).toLong).as("stage_seq"),
-            count(lit(1)).as("n_keys"))
-          (Some(qualified), acc :+ row)
-      }
-    counts.reduce(_ unionByName _)
-      .select(col("stage"), col("stage_seq"), col("n_keys"))
+    val preds = stages.map { case (_, p) => coalesce(p, lit(false)) }
+    val base = events
+      .filter(preds.reduce(_ || _)) // rows matching no stage can never qualify
+      .select(
+        (Seq(key.as("_k"), ts.as("_ts")) ++
+          stages.zip(preds).map { case ((n, _), p) => p.as(s"_is_$n") }): _*)
+    val w = Window.partitionBy(col("_k"))
+    val staged = stages.zipWithIndex.foldLeft(base) {
+      case (df, ((name, _), idx)) =>
+        val qualifies =
+          if (idx == 0) col(s"_is_$name")
+          else col(s"_is_$name") && col("_ts") > col(s"_q${idx - 1}")
+        df.withColumn(s"_q$idx", min(when(qualifies, col("_ts"))).over(w))
+    }
+    // q_k is constant per key after the windows: collapse to one row
+    // per key (co-partitioned — no new shuffle), then count non-null
+    // qualifying times per stage in one global one-row aggregate
+    val perKey = staged.groupBy(col("_k")).agg(
+      min(col("_q0")).as("_q0"),
+      stages.indices.drop(1).map(i => min(col(s"_q$i")).as(s"_q$i")): _*)
+    val totals = perKey.agg(
+      count(col("_q0")).as("_n0"),
+      stages.indices.drop(1).map(i => count(col(s"_q$i")).as(s"_n$i")): _*)
+    totals
+      .select(explode(array(stages.zipWithIndex.map { case ((name, _), i) =>
+        struct(
+          lit(name).as("stage"),
+          lit((i + 1).toLong).as("stage_seq"),
+          col(s"_n$i").as("n_keys"))
+      }: _*)).as("_s"))
+      .select(col("_s.stage"), col("_s.stage_seq"), col("_s.n_keys"))
   }
 
   /** Cohort retention: keys cohorted by their FIRST activity bucket,

@@ -46,6 +46,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("vectordotproduct") || p.contains("VectorDotProduct"))
   }
 
+  test("q86: the funnel scans events ONCE and shuffles once, any stage count") {
+    // string-level pin (the q80 convention): AQE wraps executedPlan,
+    // but its textual form still prints the full initial plan
+    val p = plan(graft.queries.TemporalQueries.q86Funnel(spark, d))
+    val scans = "(?i)(?:file)?scan parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"an S-stage funnel must read the events table exactly once, got $scans:\n$p")
+    // all stage windows + the per-key collapse share one key partitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"stacked same-partitioning windows must reuse one Exchange, got $exchanges:\n$p")
+    // the any-stage prefilter reaches the scan: the event_type
+    // disjunction must push down so non-funnel rows die at the reader
+    assert(p.contains("PushedFilters:") && p.contains("event_type"),
+      s"any-stage disjunction must reach the scan:\n$p")
+  }
+
   test("q36: salted distinct splits the hot key across two aggregation levels") {
     val p = plan(graft.queries.ScaleQueries.q36SaltedDistinct(spark, d))
     assert(p.contains("_salt"), "salt column must appear in the grouping")
