@@ -133,6 +133,37 @@ class JdbcSpec extends AnyFunSuite {
     assert(mocked == live)
   }
 
+  test("fan-out skips a table dropped AFTER listSchemas (the live-fleet race, S5)") {
+    // The reference's 1146-skip fires on the QUERY, not the catalog
+    // scan (data_consistency_checks.py:93-105): a table can exist at
+    // SHOW DATABASES time and be gone by the per-schema read. Stage
+    // the race explicitly: enumerate while all three schemas have the
+    // table, then drop one table before fanning out.
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Jdbc.writeReplace(df, url, "GRAFTR_A.t_race")
+    Jdbc.writeReplace(df.limit(1), url, "GRAFTR_B.t_race")
+    Jdbc.writeReplace(df, url, "GRAFTR_C.t_race")
+    val schemas = Jdbc.listSchemas(spark, url, prefix = "GRAFTR_")
+    assert(schemas == Seq("GRAFTR_A", "GRAFTR_B", "GRAFTR_C"))
+    // the drop happens between enumeration and fan-out — the race
+    val conn = java.sql.DriverManager.getConnection(url, Jdbc.derbyProps())
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE GRAFTR_B.t_race") finally st.close()
+    } finally conn.close()
+    val res = Jdbc.fanOutSchemas(spark, url, schemas,
+      s => s"""SELECT COUNT(*) AS "n" FROM $s.t_race""")
+    // the vanished schema is skipped atomically with a recorded
+    // reason; the survivors still union and attribute correctly
+    assert(res.skipped.map(_.source) == Seq("GRAFTR_B"))
+    assert(res.skipped.head.reason.nonEmpty)
+    assert(res.telemetry(schemas.size) == "2 out of 3 sources processed successfully")
+    val counts = res.df.get.collect()
+      .map(r => r.getString(r.fieldIndex("source_schema")) -> r.getInt(r.fieldIndex("n")))
+      .toMap
+    assert(counts == Map("GRAFTR_A" -> 2, "GRAFTR_C" -> 2))
+  }
+
   test("fan-out propagates non-missing-object failures (S6 over JDBC)") {
     Jdbc.writeReplace(Seq((1L, "a")).toDF("id", "v"), url, "GRAFTF_A.t_prop")
     // a syntax error (SQLSTATE 42X01) is NOT a missing table: it must
