@@ -241,7 +241,24 @@ object Similarity {
     */
   def annJoinIvfSampled(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    topKPerQuery(
+      ivfSampledScored(queries, corpus, idCol, vecCol, nlist, nprobe),
+      k)
+
+  /** Shared IVF-sampled candidate pipeline: centroid sample → argmax
+    * cell assignment → per-query probe explode → cell equi-join →
+    * hoisted-norm cosine. Returns scored (query_id, neighbor_id,
+    * cosine) rows plus any `carryQuery`/`carryCorpus` passenger
+    * columns (renamed src→out), so [[annJoinIvfSampled]] and
+    * [[knnLabelAgreementIvf]] ride the IDENTICAL plan and cannot
+    * drift on centroid choice, tie order, or cosine arithmetic.
+    */
+  private def ivfSampledScored(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, nprobe: Int,
+      carryQuery: Seq[(String, String)] = Nil,
+      carryCorpus: Seq[(String, String)] = Nil): DataFrame = {
     val cents: Seq[(Int, Seq[Double])] = corpus
       .orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
@@ -264,22 +281,28 @@ object Similarity {
     }: _*)
     // corpus cell = argmax cosine: max over (s, c) structs — ties go
     // to the higher centroid index, stated identically in the oracle
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val assigned = corpus.select(
+        (Seq(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")) ++
+          carryCorpus.map { case (src, out) => col(src).as(out) }): _*)
       .withColumn("_cn", l2Norm(col("_cv")))
       .withColumn("cell",
         array_max(centScores(col("_cv"), col("_cn"))).getField("c"))
     val probes = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      queries.select(
+          (Seq(col(idCol).as("query_id"), col(vecCol).as("_qv")) ++
+            carryQuery.map { case (src, out) => col(src).as(out) }): _*)
         .withColumn("_qn", l2Norm(col("_qv")))
-        .select(col("query_id"), col("_qv"), col("_qn"),
-          explode(transform(
-            slice(reverse(array_sort(centScores(col("_qv"), col("_qn")))), 1, nprobe),
-            sc => sc.getField("c"))).as("cell")))
-    topKPerQuery(
-      assigned.join(probes, "cell")
-        .select(col("query_id"), col("neighbor_id"),
-          cosWith(col("_cn"), col("_cv"), col("_qv"), col("_qn")).as("cosine")),
-      k)
+        .select(
+          (Seq(col("query_id"), col("_qv"), col("_qn")) ++
+            carryQuery.map { case (_, out) => col(out) } :+
+            explode(transform(
+              slice(reverse(array_sort(centScores(col("_qv"), col("_qn")))), 1, nprobe),
+              sc => sc.getField("c"))).as("cell")): _*))
+    assigned.join(probes, "cell")
+      .select(
+        (Seq(col("query_id"), col("neighbor_id"),
+          cosWith(col("_cn"), col("_cv"), col("_qv"), col("_qn")).as("cosine")) ++
+          (carryQuery ++ carryCorpus).map { case (_, out) => col(out) }): _*)
   }
 
   /** kNN label agreement — the embedding-space label-noise / class-
@@ -311,6 +334,36 @@ object Similarity {
           dotProduct(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
           .otherwise(lit(null).cast("double")).as("cosine"),
         col("neighbor_id"))
+    labelAgreementTail(scored, k)
+  }
+
+  /** [[knnLabelAgreement]] through the IVF plan — the 100 TB shape:
+    * instead of scoring every query against the whole corpus
+    * (O(|Q|·corpus)), candidates come from [[ivfSampledScored]]'s
+    * cell equi-join (~nprobe/nlist of the brute work, partition-
+    * prunable at rest), and labels ride the same rows as passenger
+    * columns. Deterministic sampled centroids keep every step
+    * portable double arithmetic, so the whole approximate diagnostic
+    * is oracle-replayable (hash-checkable) like the q58 ANN join.
+    * Approximate: a true neighbor in an unprobed cell is missed, so
+    * agreement counts can differ from the brute diagnostic; at
+    * nprobe = nlist the two are spec-pinned equal.
+    */
+  def knnLabelAgreementIvf(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    labelAgreementTail(
+      ivfSampledScored(queries, corpus, idCol, vecCol, nlist, nprobe,
+        carryQuery = Seq(labelCol -> "_qlabel"),
+        carryCorpus = Seq(labelCol -> "_nlabel")),
+      k)
+
+  /** Shared agreement aggregate over scored-and-labeled candidate
+    * rows: per-query top-k (rank by cosine, id tiebreak — the
+    * [[topKPerQuery]] order) then per-label exact integer counts.
+    * One definition so the brute and IVF diagnostics cannot drift.
+    */
+  private def labelAgreementTail(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

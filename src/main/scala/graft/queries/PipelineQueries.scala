@@ -273,6 +273,64 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------
+  // q92 — kNN label agreement through the IVF plan: q59's diagnostic
+  // with q58's candidate machinery. Candidates come from the sampled-
+  // centroid cell equi-join (never O(|Q|·corpus)); labels ride the
+  // candidate rows. Every step is portable double arithmetic, so
+  // DuckDB replays the whole approximate pipeline and the counts
+  // hash-match — the brute/IVF pair (q59/q92) mirrors q44/q58.
+  // Cost note (same as q58 vs q44): at sf0.1 the IVF variant is
+  // SLOWER than brute (~2.8 s vs ~1.0 s warm) because the per-row
+  // centroid assignment scan dominates while the corpus is small;
+  // the shapes cross at scale, where scoring nprobe/nlist of the
+  // pairs beats scoring all of them and the cell key partition-prunes
+  // at rest. q92 exists to keep that scale path oracle-pinned and
+  // bench-visible, not to win at this SF.
+  // ---------------------------------------------------------------
+  def q92LabelPurityIvf(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.knnLabelAgreementIvf(
+      queries = emb.filter(col("vec_id") % QueryMod === 0),
+      corpus = emb.filter(col("vec_id") % QueryMod =!= 0),
+      idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = AnnK,
+      nlist = IvfNlist, nprobe = IvfNprobe)
+  }
+
+  val q92Sql: String = {
+    def dot(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    def cos(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""WITH corpus AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS n_label
+       |  FROM embeddings WHERE vec_id % $QueryMod <> 0),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+       |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |cents AS (SELECT CAST(row_number() OVER (ORDER BY neighbor_id) - 1 AS INT) AS c, cv AS ct
+       |  FROM (SELECT neighbor_id, cv FROM corpus ORDER BY neighbor_id LIMIT $IvfNlist)),
+       |assigned AS (SELECT neighbor_id, cv, n_label, cell FROM (
+       |    SELECT neighbor_id, cv, n_label, c AS cell,
+       |      row_number() OVER (PARTITION BY neighbor_id
+       |        ORDER BY ${cos("cv", "ct")} DESC, c DESC) AS ar
+       |    FROM corpus CROSS JOIN cents) WHERE ar = 1),
+       |probes AS (SELECT query_id, qv, q_label, cell FROM (
+       |    SELECT q.query_id, q.qv, q.q_label, cents.c AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cos("qv", "ct")} DESC, c DESC) AS pr
+       |    FROM q CROSS JOIN cents) WHERE pr <= $IvfNprobe),
+       |scored AS (SELECT p.query_id, p.q_label, a.n_label, a.neighbor_id,
+       |    ${cos("cv", "qv")} AS cosine
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+       |SELECT q_label AS label,
+       |  CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       |  CAST(count(*) AS BIGINT) AS n_neighbors,
+       |  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agreeing
+       |FROM r WHERE rn <= $AnnK GROUP BY q_label""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q60 — schema-on-read over the events JSON payload: one codegen'd
   // from_json parse per row projects props.k typed, then a grouped
   // integer census. The semi-structured-column bridge pattern.
@@ -495,6 +553,7 @@ object PipelineQueries {
     "q44_ann_join" -> (q44AnnJoin _),
     "q58_ann_ivf" -> (q58AnnIvf _),
     "q59_label_purity" -> (q59LabelPurity _),
+    "q92_label_purity_ivf" -> (q92LabelPurityIvf _),
     "q60_json_props" -> (q60JsonProps _),
     "q63_line_dedup" -> (q63LineDedup _),
     "q45_bm25_retrieval" -> (q45Bm25 _),
@@ -510,6 +569,7 @@ object PipelineQueries {
     "q44_ann_join" -> q44Sql,
     "q58_ann_ivf" -> q58Sql,
     "q59_label_purity" -> q59Sql,
+    "q92_label_purity_ivf" -> q92Sql,
     "q60_json_props" -> q60Sql,
     "q63_line_dedup" -> q63Sql,
     "q45_bm25_retrieval" -> q45Sql,

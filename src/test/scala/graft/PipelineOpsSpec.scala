@@ -331,6 +331,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@3 with half the cells probed was $recall")
   }
 
+  test("knnLabelAgreementIvf at full probe equals the brute diagnostic; partial probe stays sane") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val corpus = emb.filter(col("vec_id") % 20 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Long)] =
+      df.select("label", "n_queries", "n_neighbors", "n_agreeing")
+        .as[(String, Long, Long, Long)].collect().toSet
+    val brute = rows(Similarity.knnLabelAgreement(
+      queries, corpus, "vec_id", "embedding", "label", k = 3))
+    // probing every cell scores every (query, corpus) pair the brute
+    // path scores — identical ranking tail, identical counts
+    val full = rows(Similarity.knnLabelAgreementIvf(
+      queries, corpus, "vec_id", "embedding", "label", k = 3,
+      nlist = 8, nprobe = 8))
+    assert(full === brute, "full probe must reduce to the exact diagnostic")
+    // partial probe: same query census (every query still probes
+    // SOME cells), neighbor counts bounded by k per query
+    val partial = Similarity.knnLabelAgreementIvf(
+      queries, corpus, "vec_id", "embedding", "label", k = 3,
+      nlist = 8, nprobe = 4)
+      .select("label", "n_queries", "n_neighbors", "n_agreeing")
+      .as[(String, Long, Long, Long)].collect()
+    assert(partial.map(_._2).sum == brute.toSeq.map(_._2).sum,
+      "every query must survive probing (it always probes nprobe cells)")
+    partial.foreach { case (l, nq, nn, na) =>
+      assert(nn <= nq * 3 && na <= nn, s"label $l: inconsistent counts ($nq, $nn, $na)")
+    }
+  }
+
   test("dropBoilerplateLines: hot lines vanish, order survives, all-chrome docs stay as rows") {
     import graft.operators.Dedup
     val chrome = "COOKIE BANNER"
