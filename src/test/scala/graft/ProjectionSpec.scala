@@ -115,6 +115,67 @@ class ProjectionSpec extends AnyFunSuite {
     assert(a.explainedVariance.toSeq == b.explainedVariance.toSeq)
   }
 
+  test("iterative fit at dim 1024 matches eigSym of the exact covariance to 1e-6") {
+    // planted spectrum with strong gaps so subspace iteration's
+    // geometric convergence is far below the tolerance by 30 rounds
+    val dim = 1024
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val u1 = unit(); val u2 = unit(); val u3 = unit()
+    val rows = Seq.fill(220) {
+      val (g1, g2, g3) = (rnd.nextGaussian(), rnd.nextGaussian(), rnd.nextGaussian())
+      Array.tabulate(dim)(p =>
+        (10.0 * g1 * u1(p) + 5.0 * g2 * u2(p) + 2.0 * g3 * u3(p) +
+          0.001 * rnd.nextGaussian()).toFloat).toSeq
+    }
+    val df = rows.map(Tuple1(_)).toDF("embedding")
+    // dim > the 512 threshold: fitPca must take the iterative path
+    val m = Projection.fitPca(df, "embedding", k = 3)
+    assert(m.dim == dim && m.k == 3)
+    // reference: breeze eigSym of the exact sample covariance of the
+    // SAME data, computed driver-side (220×1024 fits trivially)
+    import breeze.linalg.{`*` => bAll, DenseMatrix, sum => bSum}
+    val X = DenseMatrix.tabulate(rows.length, dim)(
+      (i, j) => rows(i)(j).toDouble)
+    val mu = bSum(X(::, bAll)).t / rows.length.toDouble
+    val Xc = X(bAll, ::) - mu
+    val cov = (Xc.t * Xc) / (rows.length - 1).toDouble
+    val es = breeze.linalg.eigSym(cov)
+    val order = (0 until dim).sortBy(i => -es.eigenvalues(i)).take(3)
+    order.zipWithIndex.foreach { case (c, j) =>
+      val ref0 = Array.tabulate(dim)(r => es.eigenvectors(r, c))
+      val pivot = ref0.indices.maxBy(i => math.abs(ref0(i)))
+      val ref = if (ref0(pivot) < 0) ref0.map(x => -x) else ref0
+      val got = m.components(j)
+      val maxDiff = ref.indices.map(i => math.abs(ref(i) - got(i))).max
+      assert(maxDiff < 1e-6, s"component $j: max coordinate diff $maxDiff")
+      assert(math.abs(m.explainedVariance(j) - es.eigenvalues(c))
+        / es.eigenvalues(c) < 1e-9,
+        s"eigenvalue $j: ${m.explainedVariance(j)} vs ${es.eigenvalues(c)}")
+    }
+  }
+
+  test("iterative and exact paths agree on the small fixture") {
+    val exact = Projection.fitPcaExact(df, "embedding", k = 2)
+    val iter = Projection.fitPcaIterative(df, "embedding", k = 2)
+    (0 until 2).foreach { j =>
+      // the paths eigendecompose slightly different covariance
+      // representations (fixed-point quantized sums vs plain double
+      // dots); eigenvector sensitivity is perturbation/eigengap, so
+      // agreement lands near 1e-7 on this fixture — pin the headline
+      // 1e-6, not machine epsilon
+      val diff = exact.components(j).zip(iter.components(j))
+        .map { case (a, b) => math.abs(a - b) }.max
+      assert(diff < 1e-6, s"component $j drifted between paths: $diff")
+      assert(math.abs(exact.explainedVariance(j) - iter.explainedVariance(j))
+        / exact.explainedVariance(j) < 1e-7)
+    }
+  }
+
   test("fit refuses a single row: sample covariance needs n >= 2, not a silent NaN") {
     val one = Seq(Tuple1(Seq(1.0f, 2.0f, 3.0f))).toDF("embedding")
     val e = intercept[IllegalArgumentException] {
