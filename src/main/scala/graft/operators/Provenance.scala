@@ -112,4 +112,64 @@ object Provenance {
     val census = files.toDF("file_path", "size_bytes")
     Packing.packBySizeBudget(census, "file_path", "size_bytes", targetBytes, shards)
   }
+
+  /** Outcome of [[compact]], verified by read-back (the S9 sink
+    * discipline): the row counts are REQUIRED equal before this
+    * returns, so a caller holding a report knows the rewrite is safe
+    * to swap in.
+    */
+  final case class CompactionReport(
+      nGroups: Int, filesBefore: Long, filesAfter: Long, rowsTotal: Long)
+
+  /** Execute a [[compactionPlan]]: rewrite each (shard, pack_id)
+    * group of small files as one coalesced file in `outDir`, then
+    * verify the row count survived. The write is side-by-side, never
+    * in place — compaction of an immutable layout is write-new,
+    * verify, atomically swap (rename/pointer-flip), exactly like the
+    * drop-and-replace sink discipline; an in-place rewrite that dies
+    * midway loses data, so `outDir == dir` is refused loudly.
+    *
+    * Each group is one small job: read exactly that group's files,
+    * `coalesce(1)`, append one part-file to `outDir`. Jobs are
+    * driver-looped over a config-sized group list (the plan is
+    * file-census-scale); a production deployment runs the loop with a
+    * job-group thread pool for overlap — the per-group read is
+    * already cluster-parallel, so the loop bounds only job-submit
+    * latency, not data parallelism. Flat layouts only: for a
+    * partitioned table, run per partition directory (explicit leaf
+    * file reads do not reconstruct partition-column values).
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession, dir: String, outDir: String,
+      targetBytes: Long, shards: Int = 16): CompactionReport = {
+    val canonical = new org.apache.hadoop.fs.Path(dir)
+    val canonicalOut = new org.apache.hadoop.fs.Path(outDir)
+    require(canonical != canonicalOut,
+      "in-place compaction is refused: write side-by-side, verify, then swap")
+    val plan = compactionPlan(spark, dir, targetBytes, shards)
+      .select(col("file_path"), col("shard"), col("pack_id"))
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("shard")), r.getLong(r.fieldIndex("pack_id")))
+        -> r.getString(r.fieldIndex("file_path")))
+    val groups = plan.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (g, fs) => g -> fs.map(_._2).sorted.toSeq }
+    groups.foreach { case (_, paths) =>
+      spark.read.parquet(paths: _*)
+        .coalesce(1)
+        .write.mode("append").parquet(outDir)
+    }
+    // read-back verification: the rewrite preserved every row
+    val rowsBefore = spark.read.parquet(dir).count()
+    val rowsAfter = spark.read.parquet(outDir).count()
+    require(rowsAfter == rowsBefore,
+      s"compaction dropped rows: $rowsBefore in, $rowsAfter out — do NOT swap $outDir in")
+    val fs = canonicalOut.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(canonicalOut, true)
+    val filesAfter = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .count { f =>
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    CompactionReport(groups.size, plan.length.toLong, filesAfter.toLong, rowsAfter)
+  }
 }

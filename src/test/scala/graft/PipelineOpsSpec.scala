@@ -403,6 +403,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"each group overflows the target by at most one file: $groups")
   }
 
+  test("compact executes the plan: file count drops, every row survives byte-identically") {
+    import graft.operators.Provenance
+    val base = java.nio.file.Files.createTempDirectory("compactx").toString
+    val dir = base + "/in"
+    val outDir = base + "/out"
+    spark.range(0, 12000).selectExpr("id", "repeat('y', 64) AS pad")
+      .repartition(12).write.parquet(dir)
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length())
+    val report = Provenance.compact(spark, dir, outDir, sizes.sum / 3, shards = 1)
+    assert(report.filesBefore == 12 && report.rowsTotal == 12000L)
+    assert(report.nGroups < 12 && report.filesAfter == report.nGroups,
+      s"one coalesced file per plan group expected: $report")
+    assert(parquetFiles(outDir) == report.nGroups)
+    // content identity, not just counts: the per-row hash multiset of
+    // every column survives the rewrite exactly
+    val h = (d: String) => spark.read.parquet(d)
+      .selectExpr("xxhash64(id, pad) AS h").as[Long].collect().sorted.toSeq
+    assert(h(outDir) == h(dir))
+    // in-place rewrite is refused before touching anything
+    intercept[IllegalArgumentException] {
+      Provenance.compact(spark, dir, dir, sizes.sum / 3)
+    }
+  }
+
   test("knnLabelAgreement: separable clusters agree fully, shuffled labels don't") {
     // two well-separated clusters on orthogonal axes, 8 vectors each
     def vec(axis: Int, jitter: Double): Seq[Float] =
