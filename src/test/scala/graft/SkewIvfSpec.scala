@@ -33,6 +33,66 @@ class SkewIvfSpec extends AnyFunSuite {
       salted.exceptAll(plain).count() == 0)
   }
 
+  test("AQE skew-join splits the hot key at runtime; saltedJoin matches it structurally") {
+    // A hot key that dwarfs the median partition: ~60% of the fact
+    // side lands on k=0. AQE's skew split and the manual salted join
+    // must both produce the plain join's exact result; the spec also
+    // pins that AQE actually ENGAGED (skew=true in the final plan) so
+    // the demonstration can't silently degrade into an ordinary SMJ.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // test-scale thresholds: the defaults (256 MB) never fire at
+      // spec volume; production leaves them alone
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // suppress broadcast so the join is a genuine shuffle SMJ —
+      // the only shape AQE skew-splits
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val facts = spark.range(0, 150000).selectExpr(
+        "CASE WHEN id % 10 < 6 THEN CAST(0 AS BIGINT) ELSE id % 1000 END AS k",
+        "id AS fact_id", "repeat('p', 32) AS pad")
+      val dim = spark.range(0, 1000).selectExpr(
+        "id AS k", "concat('dim-', id) AS name")
+      def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.selectExpr("xxhash64(fact_id, name) AS h")
+          .agg(count(lit(1)), bit_xor($"h")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val aqe = facts.join(dim, "k").select($"fact_id", $"name")
+      val aqeFp = fingerprint(aqe)
+      // fingerprint() executed a derived plan; run the join itself so
+      // ITS adaptive plan finalizes, then pin the skew split engaged
+      aqe.collect()
+      val planStr = aqe.queryExecution.executedPlan.toString
+      assert(planStr.contains("skew=true"),
+        s"AQE must have split the hot partition (skew=true):\n$planStr")
+      val salted = Skew
+        .saltedJoin(facts, dim, Seq("k"), $"fact_id", 8)
+        .select($"fact_id", $"name")
+      assert(fingerprint(salted) == aqeFp,
+        "salted and AQE-split joins must produce the identical result")
+      assert(aqeFp._1 == 150000L, "inner join keeps every fact row (dim is total on k)")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("ivfTopK: true cosines from probed cells, sorted; decent recall") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter($"vec_id" === 0).select($"embedding").head()
