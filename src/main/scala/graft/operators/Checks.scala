@@ -244,6 +244,108 @@ object Checks {
     rows.toDF("column", "change", "current_type", "baseline_type")
   }
 
+  /** Benford first-significant-digit census — the classic fabricated-
+    * data / unit-mix-up screen: naturally occurring multi-magnitude
+    * quantities (amounts, populations, file sizes) put digit d first
+    * with probability log10(1 + 1/d); truncation, capping, synthetic
+    * fill-in, or a unit change bend the curve. Output: one row per
+    * digit 1–9 with the observed count, observed fraction, Benford
+    * expectation, and the chi-square contribution — per-digit rows
+    * localize WHICH digit deviates ([[categoricalDrift]]'s shape).
+    *
+    * Engine-exact by construction. The digit comes from
+    * `floor(|v| / 10^floor(log10(|v|)))` with a two-sided FIXUP
+    * (result 0 → shift up; result ≥ 10 → shift down): log10 is
+    * transcendental and may land one ulp apart across engines at
+    * exact powers of ten, but both ulp-neighbors converge to the
+    * same digit after the fixup, so the census is integer-exact
+    * everywhere. Benford expectations are Scala-computed literals
+    * stringified into the oracle (shortest-round-trip — the BM25
+    * trick), and the chi-square term is +,*,/ only. Zeros and nulls
+    * carry no first digit and are excluded; at 100 TB the whole
+    * census is one scan with a 9-group map-side partial aggregate.
+    */
+  def benfordFirstDigit(df: DataFrame, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = abs(valueCol.cast("double"))
+    val e = floor(log10(v))
+    val raw = floor(v / pow(lit(10.0), e)).cast("long")
+    // fixup both ulp directions: log10 rounded HIGH makes raw 0 (the
+    // true digit is floor(v/10^(e−1)), e.g. 9 for v just under a
+    // power of ten); rounded LOW makes raw 10..99 (integer-divide
+    // back). Either engine's ulp lands on the same digit after this.
+    val digit = when(raw >= 10L, raw / 10L)
+      .when(raw === 0L, floor(v / pow(lit(10.0), e - 1)).cast("long"))
+      .otherwise(raw)
+    val counts = df
+      .filter(valueCol.isNotNull && v > 0 && !isnan(v))
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val expected = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+    val spine = expected.toDF("digit_i", "expected_p")
+      .select(col("digit_i").cast("long").as("digit"), col("expected_p"))
+    val total = counts.agg(sum(col("n")).as("_t"))
+    spine.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"), col("expected_p"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("digit"), col("n"),
+        when(col("_t") > 0, col("n").cast("double") / col("_t").cast("double"))
+          .otherwise(lit(null).cast("double")).as("observed_p"),
+        col("expected_p"),
+        when(col("_t") > 0,
+          (col("n").cast("double") - col("_t").cast("double") * col("expected_p"))
+            * (col("n").cast("double") - col("_t").cast("double") * col("expected_p"))
+            / (col("_t").cast("double") * col("expected_p")))
+          .otherwise(lit(null).cast("double")).as("chi2_contribution"))
+  }
+
+  /** Scala-literal Benford expectations for oracle generation: the
+    * SAME doubles the plan embeds, stringified shortest-round-trip
+    * and parsed back THROUGH A STRING cast — a bare decimal literal
+    * goes through DuckDB's DECIMAL type first and its decimal→double
+    * conversion is off by an ulp, while string→double parsing is
+    * correctly rounded in every engine.
+    */
+  def benfordExpectedSql: String =
+    (1 to 9).map(d =>
+      s"($d, CAST('${math.log10(1.0 + 1.0 / d)}' AS DOUBLE))").mkString(", ")
+
+  /** Per-key order-inversion census — the sequence-sanity check for
+    * anything that must not run backwards per entity: version
+    * counters, balances that only accrue, odometer readings, event
+    * sequence numbers. For each key, rows are walked in `orderCol`
+    * order and adjacent pairs where the previous value exceeds the
+    * current (`>=` under `strict`) count as inversions. Output: one
+    * row per key — (key, n_rows, n_inversions, is_monotone) —
+    * composable (aggregate for the corpus census, filter for the
+    * offender list). A NULL value breaks no pair (comparisons with
+    * NULL are not inversions) but interrupts the run on both sides.
+    *
+    * Scale: one key-partitioned window (lag) feeding a grouped count
+    * on the SAME key — the window's partitioning satisfies the
+    * aggregation, so the plan is one shuffle total, and per-key state
+    * is the window frame's single lagged row. Requires unique
+    * (key, orderCol) pairs for a deterministic walk (the scd2/
+    * transitions input contract).
+    */
+  def orderInversions(
+      df: DataFrame, key: Column, orderCol: Column, value: Column,
+      strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_k")).orderBy(col("_o").asc)
+    val prev = lag(col("_v"), 1).over(w)
+    val inverted =
+      if (strict) prev >= col("_v") else prev > col("_v")
+    df.select(key.as("_k"), orderCol.as("_o"), value.as("_v"))
+      .withColumn("_inv", when(inverted, 1L).otherwise(0L))
+      .groupBy(col("_k").as("key"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("_inv")).as("n_inversions"),
+        (sum(col("_inv")) === 0L).as("is_monotone"))
+  }
+
   /** Numeric profile per column: min / max / exact mean (decimal sum
     * ÷ count, so the double result is deterministic across engines).
     */

@@ -430,4 +430,5 @@ object Profiling {
       .filter(col("rank") <= k)
       .drop("__salt_rank")
   }
+
 }

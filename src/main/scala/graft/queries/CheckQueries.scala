@@ -699,7 +699,69 @@ object CheckQueries {
        |  COALESCE(n, 0) AS n
        |FROM spine LEFT JOIN c ON spine.grp = c.grp AND spine.bin = c.bin""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q93 — Benford first-digit census over extended prices: the
+  // fabricated-data / unit-mix-up screen. The digit extraction uses
+  // the two-sided ulp fixup (see Checks.benfordFirstDigit) so both
+  // engines land on identical integer digits; expectations are the
+  // same Scala doubles stringified into the VALUES list; the
+  // chi-square term is +,*,/ only.
+  // ---------------------------------------------------------------
+  def q93Benford(spark: SparkSession, d: String): DataFrame =
+    Checks.benfordFirstDigit(Tables.lineitem(spark, d), col("l_extendedprice"))
+
+  val q93Sql: String =
+    s"""WITH vals AS (
+       |  SELECT abs(CAST(l_extendedprice AS DOUBLE)) AS v FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL
+       |    AND abs(CAST(l_extendedprice AS DOUBLE)) > 0
+       |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+       |d0 AS (SELECT v,
+       |    CAST(floor(v / power(10.0, floor(log10(v)))) AS BIGINT) AS raw
+       |  FROM vals),
+       |dig AS (SELECT CASE
+       |    WHEN raw >= 10 THEN CAST(floor(CAST(raw AS DOUBLE) / 10.0) AS BIGINT)
+       |    WHEN raw = 0 THEN CAST(floor(v / power(10.0, floor(log10(v)) - 1)) AS BIGINT)
+       |    ELSE raw END AS digit
+       |  FROM d0),
+       |counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dig GROUP BY 1),
+       |exp AS (SELECT * FROM (VALUES ${Checks.benfordExpectedSql}) AS t(digit, expected_p)),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+       |SELECT CAST(exp.digit AS BIGINT) AS digit,
+       |  COALESCE(n, CAST(0 AS BIGINT)) AS n,
+       |  CASE WHEN t > 0
+       |    THEN CAST(COALESCE(n, 0) AS DOUBLE) / CAST(t AS DOUBLE) END AS observed_p,
+       |  expected_p,
+       |  CASE WHEN t > 0 THEN
+       |    (CAST(COALESCE(n, 0) AS DOUBLE) - CAST(t AS DOUBLE) * expected_p)
+       |      * (CAST(COALESCE(n, 0) AS DOUBLE) - CAST(t AS DOUBLE) * expected_p)
+       |      / (CAST(t AS DOUBLE) * expected_p) END AS chi2_contribution
+       |FROM exp LEFT JOIN counts ON exp.digit = counts.digit CROSS JOIN tot""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q94 — per-user order-inversion census: does `value` ever run
+  // backwards along a user's event timeline? (user_id, ts) is unique
+  // in the corpus, so the walk order is deterministic in both
+  // engines and the inversion counts are exact integers.
+  // ---------------------------------------------------------------
+  def q94OrderInversions(spark: SparkSession, d: String): DataFrame =
+    Checks.orderInversions(Tables.events(spark, d),
+      col("user_id"), col("ts"), col("value"))
+
+  val q94Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events)
+      |SELECT user_id AS key,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN prev > value THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+      |  sum(CASE WHEN prev > value THEN 1 ELSE 0 END) = 0 AS is_monotone
+      |FROM s GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_benford" -> (q93Benford _),
+    "q94_order_inversions" -> (q94OrderInversions _),
     "q22_completeness" -> (q22Completeness _),
     "q23_uniqueness"   -> (q23Uniqueness _),
     "q24_referential_integrity" -> (q24ReferentialIntegrity _),
@@ -721,6 +783,8 @@ object CheckQueries {
     "q91_group_histogram" -> (q91GroupHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q93_benford" -> q93Sql,
+    "q94_order_inversions" -> q94Sql,
     "q22_completeness" -> q22Sql,
     "q23_uniqueness"   -> q23Sql,
     "q24_referential_integrity" -> q24Sql,

@@ -327,4 +327,47 @@ class ChecksSpec extends AnyFunSuite {
     val zeros = top.filter(_._4 == 0L).map(_._1)
     assert(zeros.toSeq == zeros.toSeq.sorted)
   }
+
+  test("benfordFirstDigit: hand-checked digits, ulp-safe power-of-ten edges, zero/null excluded") {
+    val df = Seq[Option[Double]](
+      Some(1.0), Some(19.5), Some(950.0), Some(0.02), Some(-3.7),
+      Some(1000.0),                       // exact power of ten → digit 1
+      Some(math.nextDown(1000.0)),        // just under → digit 9 (the fixup case)
+      Some(0.0), None)                    // no first digit: excluded
+      .toDF("v")
+    val out = Checks.benfordFirstDigit(df, $"v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // digits: 1, 1, 9, 2, 3, 1, 9 → spine keeps all nine rows
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L,
+      6L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 2L))
+    val row = Checks.benfordFirstDigit(df, $"v")
+      .filter($"digit" === 1).head()
+    assert(row.getDouble(row.fieldIndex("observed_p")) == 3.0 / 7.0)
+    assert(row.getDouble(row.fieldIndex("expected_p")) == math.log10(2.0))
+    // chi-square contribution is finite and non-negative everywhere
+    val chi = Checks.benfordFirstDigit(df, $"v")
+      .collect().map(r => r.getDouble(r.fieldIndex("chi2_contribution")))
+    assert(chi.forall(c => c >= 0.0 && !c.isNaN && !c.isInfinite))
+  }
+
+  test("orderInversions: adjacent pairs only, strict mode counts ties, null breaks no pair") {
+    val rows = Seq(
+      // u1: 1,3,2,5 → one inversion (3>2)
+      (1, 1L, Some(1.0)), (1, 2L, Some(3.0)), (1, 3L, Some(2.0)), (1, 4L, Some(5.0)),
+      // u2: monotone with a tie: 1,1,2 → 0 inversions lax, 1 strict
+      (2, 1L, Some(1.0)), (2, 2L, Some(1.0)), (2, 3L, Some(2.0)),
+      // u3: null interrupts: 5, null, 1 → no countable pair
+      (3, 1L, Some(5.0)), (3, 2L, None), (3, 3L, Some(1.0)))
+      .toDF("u", "o", "v")
+    def collectMap(strict: Boolean) =
+      Checks.orderInversions(rows, $"u", $"o", $"v", strict)
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toMap
+    val lax = collectMap(strict = false)
+    assert(lax == Map(
+      1 -> ((4L, 1L, false)), 2 -> ((3L, 0L, true)), 3 -> ((3L, 0L, true))))
+    val strict = collectMap(strict = true)
+    assert(strict(2) == ((3L, 1L, false)), "a tie is an inversion under strict")
+    assert(strict(1) == ((4L, 1L, false)))
+  }
 }
