@@ -136,6 +136,46 @@ object Sampling {
     df.withColumn("split", ascending)
   }
 
+  /** Split-leakage audit — the eval-contamination check every
+    * train/test split needs before anyone trusts the eval: a content
+    * group (exact-dup hash, near-dup cluster id, source domain)
+    * whose rows straddle more than one split leaks training data
+    * into evaluation and inflates every metric downstream. One row
+    * out: total groups, multi-row groups (the population at risk),
+    * leaking groups, and leaking rows (the blast radius — what a fix
+    * must reassign). A clean GROUP-keyed split audits to zero by
+    * construction; this catches the row-keyed splits that weren't.
+    *
+    * Scale: one scan; groupBy(group) partial-aggregates map-side to
+    * one row per group carrying two counters, then a one-row fold —
+    * no row-scale state crosses the shuffle. NULL splits (rows the
+    * split didn't assign) are not leakage on their own:
+    * `count_distinct` ignores them, so a group must touch two REAL
+    * splits to count.
+    */
+  def splitLeakage(df: DataFrame, group: Column, split: Column): DataFrame =
+    df.groupBy(group.as("_g"))
+      .agg(
+        count(lit(1)).as("_n_rows"),
+        count_distinct(split).as("_n_splits"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_n_rows") > 1, 1L).otherwise(0L)).as("n_multi_row_groups"),
+        sum(when(col("_n_splits") > 1, 1L).otherwise(0L)).as("n_leaking_groups"),
+        sum(when(col("_n_splits") > 1, col("_n_rows")).otherwise(0L))
+          .as("n_leaking_rows"))
+
+  /** The offender list behind [[splitLeakage]]'s counts: one row per
+    * LEAKING group — (group, n_rows, n_splits) — the reassignment
+    * worklist. Same single-shuffle shape; empty on a clean split.
+    */
+  def splitLeakageGroups(df: DataFrame, group: Column, split: Column): DataFrame =
+    df.groupBy(group.as("group"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(split).as("n_splits"))
+      .filter(col("n_splits") > 1)
+
   /** Per-stratum deterministic sampling: different fractions per
     * stratum value (class rebalancing — downsample dominant classes).
     */

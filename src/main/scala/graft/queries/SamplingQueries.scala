@@ -187,7 +187,55 @@ object SamplingQueries {
        |GROUP BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q95 — split-leakage audit: a ROW-keyed 80/20 split of documents
+  // audited against exact-content groups (md5(text) — q10's key).
+  // The synthetic corpus has no exact-duplicate texts, so the query
+  // PLANTS them deterministically (the q63 boilerplate pattern):
+  // every doc_id ≡ 0 or 5 (mod 10) is overwritten with a clone text
+  // shared by its pair — 2-member content groups whose members the
+  // row-hashed split assigns independently, so a fraction leak
+  // across train/test. Both engines replay the identical planting,
+  // md5-score split, and md5 grouping; the counts are exact.
+  // ---------------------------------------------------------------
+  def q95SplitLeakage(spark: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(spark, d).select(
+      col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("PLANTED DUPLICATE "),
+          floor(col("doc_id") / 10.0).cast("long").cast("string")))
+        .otherwise(col("text")).as("text"))
+    val assigned = Sampling.deterministicSplit(
+      planted, "doc_id", Seq("train" -> 0.8, "test" -> 0.2))
+    Sampling.splitLeakage(assigned, md5(col("text")), col("split"))
+  }
+
+  val q95Sql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN 'PLANTED DUPLICATE ' || CAST(CAST(floor(doc_id / 10.0) AS BIGINT) AS VARCHAR)
+       |      ELSE text END AS text
+       |  FROM documents),
+       |labeled AS (
+       |  SELECT md5(text) AS g,
+       |    CASE WHEN $scoreSql < 0.8 THEN 'train' ELSE 'test' END AS split
+       |  FROM planted),
+       |per AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(count(DISTINCT split) AS BIGINT) AS n_splits
+       |  FROM labeled GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(CASE WHEN n_rows > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_multi_row_groups,
+       |  CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_leaking_groups,
+       |  CAST(sum(CASE WHEN n_splits > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+       |    AS n_leaking_rows
+       |FROM per""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_split_leakage" -> (q95SplitLeakage _),
     "q26_deterministic_split" -> (q26DeterministicSplit _),
     "q27_stratified_sample"   -> (q27StratifiedSample _),
     "q57_source_cap"          -> (q57SourceCap _),
@@ -197,6 +245,7 @@ object SamplingQueries {
     "q71_source_mixture"      -> (q71SourceMixture _))
 
   val oracleSql: Map[String, String] = Map(
+    "q95_split_leakage" -> q95Sql,
     "q26_deterministic_split" -> q26Sql,
     "q27_stratified_sample"   -> q27Sql,
     "q57_source_cap"          -> q57Sql,

@@ -235,4 +235,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("rangepartitioning"), plan)
     assert(plan.contains("Sort ") && plan.contains("false, 0"), plan) // global=false
   }
+
+  test("splitLeakage: straddling groups counted exactly; group-keyed split audits clean") {
+    val rows = Seq(
+      // group A: 3 rows across train+test → leaks (3 rows)
+      (1L, "A", "train"), (2L, "A", "train"), (3L, "A", "test"),
+      // group B: 2 rows, same split → multi-row but clean
+      (4L, "B", "test"), (5L, "B", "test"),
+      // group C: singleton → can't leak
+      (6L, "C", "train"),
+      // group D: one real split + one unassigned row → NOT leakage
+      (7L, "D", "train"), (8L, "D", null))
+      .toDF("id", "g", "split")
+    val r = Sampling.splitLeakage(rows, $"g", $"split").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((4L, 3L, 1L, 3L)),
+      "expected 4 groups, 3 multi-row, 1 leaking, 3 leaking rows")
+    val offenders = Sampling.splitLeakageGroups(rows, $"g", $"split")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(offenders.toSeq == Seq(("A", 3L, 2L)))
+    // the leakage-safe recipe: split keyed on the GROUP column
+    // assigns whole groups — the audit reads zero by construction
+    val grouped = Sampling.deterministicSplit(
+      rows.drop("split"), "g", Seq("train" -> 0.5, "test" -> 0.5))
+    val clean = Sampling.splitLeakage(grouped, $"g", $"split").head()
+    assert(clean.getLong(2) == 0L && clean.getLong(3) == 0L,
+      "a group-keyed split must never leak")
+  }
 }
