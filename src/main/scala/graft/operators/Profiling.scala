@@ -431,4 +431,32 @@ object Profiling {
       .drop("__salt_rank")
   }
 
+  /** Class-balance profile of a label column — the one-look check
+    * before training on labeled data: row count, class count, and
+    * Gini impurity (1 − Σ pᵢ²; 0 = one class, → 1 − 1/k at perfect
+    * balance). NULL labels count as a class of their own (unlabeled
+    * mass is exactly what the check should surface, not drop).
+    *
+    * Engine-exact WITHOUT fixed-order float summation: Σ pᵢ² is
+    * computed as an exact integer Σ nᵢ² (decimal — immune to both
+    * overflow and addition order) over N², converted through a
+    * string to double once (the profileEmbedding pattern), so a
+    * single correctly-rounded division produces the only float in
+    * the result. One scan: a map-side partial count per class, then
+    * a classes-sized fold.
+    */
+  def classBalance(df: DataFrame, label: Column): DataFrame =
+    df.groupBy(label.as("_label")).agg(count(lit(1)).as("_n"))
+      .agg(
+        sum(col("_n")).as("_N"),
+        count(lit(1)).as("_k"),
+        sum(col("_n").cast("decimal(19,0)") * col("_n").cast("decimal(19,0)"))
+          .as("_ssq"))
+      .select(
+        coalesce(col("_N"), lit(0L)).as("n_rows"),
+        col("_k").as("n_classes"),
+        when(col("_N") > 0,
+          lit(1.0) - col("_ssq").cast("string").cast("double")
+            / (col("_N").cast("double") * col("_N").cast("double")))
+          .otherwise(lit(null).cast("double")).as("gini"))
 }

@@ -759,7 +759,31 @@ object CheckQueries {
       |  sum(CASE WHEN prev > value THEN 1 ELSE 0 END) = 0 AS is_monotone
       |FROM s GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q96 — label class balance over the embeddings table: row count,
+  // class count, Gini impurity. Σ pᵢ² folds as an exact decimal
+  // Σ nᵢ² over N² (order-independent), through a string to double
+  // once — a single correctly-rounded division is the only float.
+  // ---------------------------------------------------------------
+  def q96ClassBalance(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.classBalance(
+      Tables.embeddings(spark, d), col("label"))
+
+  val q96Sql: String =
+    """WITH c AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+      |  FROM embeddings GROUP BY label),
+      |f AS (SELECT CAST(sum(n) AS BIGINT) AS N,
+      |    CAST(count(*) AS BIGINT) AS k,
+      |    sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS ssq
+      |  FROM c)
+      |SELECT COALESCE(N, CAST(0 AS BIGINT)) AS n_rows, k AS n_classes,
+      |  CASE WHEN N > 0 THEN
+      |    1.0 - CAST(CAST(ssq AS VARCHAR) AS DOUBLE)
+      |      / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)) END AS gini
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_class_balance" -> (q96ClassBalance _),
     "q93_benford" -> (q93Benford _),
     "q94_order_inversions" -> (q94OrderInversions _),
     "q22_completeness" -> (q22Completeness _),
@@ -783,6 +807,7 @@ object CheckQueries {
     "q91_group_histogram" -> (q91GroupHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q96_class_balance" -> q96Sql,
     "q93_benford" -> q93Sql,
     "q94_order_inversions" -> q94Sql,
     "q22_completeness" -> q22Sql,

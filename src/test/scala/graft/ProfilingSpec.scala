@@ -251,6 +251,19 @@ class ProfilingSpec extends AnyFunSuite {
     assert(hc.toSeq == Seq((0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L)))
   }
 
+  test("classBalance: hand-checked gini, null labels are a class, degenerate inputs") {
+    import org.apache.spark.sql.functions._
+    // a,a,b,null → N=4, k=3, Σn² = 4+1+1 = 6, gini = 1 − 6/16
+    val df = Seq(Some("a"), Some("a"), Some("b"), None).toDF("label")
+    val r = Profiling.classBalance(df, col("label")).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((4L, 3L, 0.625)))
+    // one class → impurity 0; empty input → 0 rows, null gini
+    val one = Seq("x", "x", "x").toDF("label")
+    assert(Profiling.classBalance(one, col("label")).head().getDouble(2) == 0.0)
+    val empty = Profiling.classBalance(one.limit(0), col("label")).head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(2))
+  }
+
   test("histogram fences NaN: buckets stay finite and real rows stay counted") {
     import org.apache.spark.sql.functions._
     // Without the fence, max() = NaN makes every edge NaN and all

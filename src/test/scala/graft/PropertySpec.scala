@@ -208,4 +208,59 @@ class PropertySpec extends AnyFunSuite {
         s"row $i: ${r.getDouble(5)} vs ${math.sqrt(variance)}")
     }
   }
+
+  test("funnel counts are monotone non-increasing and bounded by the key census, any random stream") {
+    import graft.operators.Temporal
+    val rows = Gen.listOfN(400,
+      Gen.zip(Gen.choose(1, 25),                 // key
+        Gen.choose(0L, 10000L),                  // epoch seconds
+        Gen.oneOf("a", "b", "c", "d")))          // event type
+      .sample.get.distinctBy(r => (r._1, r._2))  // unique (key, ts) contract
+    val df = rows.toDF("u", "sec", "e")
+      .select($"u", timestamp_seconds($"sec").as("t"), $"e")
+    val out = Temporal.funnel(df, $"u", $"t", Seq(
+        "s1" -> ($"e" === "a"), "s2" -> ($"e" === "b"), "s3" -> ($"e" === "c")))
+      .orderBy($"stage_seq").collect().map(_.getLong(2))
+    assert(out.length == 3)
+    assert(out.toSeq == out.toSeq.sorted.reverse, s"funnel must narrow: ${out.toSeq}")
+    val nKeysWithA = rows.filter(_._3 == "a").map(_._1).distinct.size.toLong
+    assert(out.head == nKeysWithA, "stage 1 is exactly the first-predicate key census")
+  }
+
+  test("benford digits always land in 1..9 and counts tile the nonzero row census") {
+    import graft.operators.Checks
+    val vals = Gen.listOfN(300, Gen.oneOf(
+      Gen.choose(-1e12, 1e12),
+      Gen.choose(-1e-9, 1e-9),
+      Gen.oneOf(0.0, 1.0, 10.0, 100.0, 1000.0, 0.1, 0.001, 1e15, -1e15)))
+      .sample.get.map(g => g)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val out = Checks.benfordFirstDigit(df, $"v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.map(_._1).sorted.toSeq == (1L to 9L), "exactly the nine digit rows")
+    val expected = vals.count(v => v != 0.0 && !v.isNaN).toLong
+    assert(out.map(_._2).sum == expected,
+      "every nonzero value lands in exactly one digit bucket")
+  }
+
+  test("splitLeakage invariants hold for random group/split assignments") {
+    import graft.operators.Sampling
+    val rows = Gen.listOfN(300,
+      Gen.zip(Gen.choose(1, 60), Gen.oneOf("train", "test", "val")))
+      .sample.get.zipWithIndex.map { case ((g, s), i) => (i.toLong, s"g$g", s) }
+    val df = rows.toDF("id", "g", "split")
+    val r = Sampling.splitLeakage(df, $"g", $"split").head()
+    val (groups, multi, leaking, leakRows) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(leaking <= multi && multi <= groups,
+      "leaking groups are a subset of multi-row groups")
+    assert(leakRows >= 2 * leaking,
+      "every leaking group contributes at least two rows")
+    // reference recount driver-side
+    val byGroup = rows.groupBy(_._2)
+    assert(groups == byGroup.size.toLong)
+    assert(leaking == byGroup.values.count(_.map(_._3).distinct.size > 1).toLong)
+    assert(leakRows == byGroup.values.filter(_.map(_._3).distinct.size > 1)
+      .map(_.size).sum.toLong)
+  }
 }
