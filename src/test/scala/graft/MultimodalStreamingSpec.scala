@@ -149,6 +149,59 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, 1L)), "second session has 1 event")
   }
 
+  test("streaming drift: watermarked census closes windows; scored drift equals batch categoricalDrift per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDrift
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val sq = StreamingDrift.windowedCategoryCensus(
+        stream.toDF().toDF("ts", "cat"),
+        "cat", "ts", windowLength = "1 hour", watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("drift_census")
+      .start()
+    // window 10:00: a-heavy; window 11:00: b appears, c vanishes
+    stream.addData(Seq(
+      (t("2024-01-01 10:00:10"), "a"), (t("2024-01-01 10:10:00"), "a"),
+      (t("2024-01-01 10:20:00"), "a"), (t("2024-01-01 10:30:00"), "c"),
+      (t("2024-01-01 11:05:00"), "a"), (t("2024-01-01 11:15:00"), "b"),
+      (t("2024-01-01 11:25:00"), "b")))
+    sq.processAllAvailable()
+    stream.addData(Seq((t("2024-01-01 13:00:00"), "a"))) // advance watermark: close both
+    sq.processAllAvailable()
+    sq.stop()
+    val census = spark.table("drift_census")
+      .filter($"window_start" < t("2024-01-01 12:00:00"))
+    assert(census.count() == 4, "two windows x their observed categories")
+    // baseline: equal a/b/c mass
+    val baseline = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++ Seq.fill(10)("c"))
+      .toDF("cat")
+    val scored = StreamingDrift.scoreDrift(census, baseline, "cat")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toMap
+    // spine covers every (window, baseline category): the vanished
+    // 'b' in window 10 and 'c' in window 11 still contribute
+    assert(scored.keySet.map(_._2) == Set("a", "b", "c"))
+    assert(scored.size == 6)
+    // per-window equality with the batch operator, cell by cell
+    for (w <- Seq(t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00"))) {
+      val windowRows = census.filter($"window_start" === w)
+        .select($"cat", $"n_current")
+      // rebuild the current batch as raw rows for the batch operator
+      val current = windowRows.collect()
+        .flatMap(r => Seq.fill(r.getLong(1).toInt)(r.getString(0))).toSeq.toDF("cat")
+      val batch = graft.operators.Checks.categoricalDrift(current, baseline, "cat")
+        .collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+      batch.foreach { case (cat, chi) =>
+        assert(scored((w, cat))._3 == chi,
+          s"window $w cat $cat: streaming-scored $chi must equal batch")
+      }
+    }
+  }
+
   test("streaming curation front-end: gates + TTL content-dedup, batch-identical admission") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
