@@ -142,9 +142,16 @@ object Provenance {
   def compact(
       spark: org.apache.spark.sql.SparkSession, dir: String, outDir: String,
       targetBytes: Long, shards: Int = 16): CompactionReport = {
-    val canonical = new org.apache.hadoop.fs.Path(dir)
+    val inPath = new org.apache.hadoop.fs.Path(dir)
     val canonicalOut = new org.apache.hadoop.fs.Path(outDir)
-    require(canonical != canonicalOut,
+    // qualify + normalize before comparing: "/a/b/../b" or a bare
+    // scheme difference must not slip an in-place rewrite past the
+    // guard
+    val conf = spark.sparkContext.hadoopConfiguration
+    val qIn = inPath.getFileSystem(conf).makeQualified(inPath).toUri.normalize()
+    val qOut = canonicalOut.getFileSystem(conf).makeQualified(canonicalOut)
+      .toUri.normalize()
+    require(qIn != qOut,
       "in-place compaction is refused: write side-by-side, verify, then swap")
     val plan = compactionPlan(spark, dir, targetBytes, shards)
       .select(col("file_path"), col("shard"), col("pack_id"))

@@ -424,9 +424,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     val h = (d: String) => spark.read.parquet(d)
       .selectExpr("xxhash64(id, pad) AS h").as[Long].collect().sorted.toSeq
     assert(h(outDir) == h(dir))
-    // in-place rewrite is refused before touching anything
+    // in-place rewrite is refused before touching anything — also
+    // through an unnormalized alias of the same directory
     intercept[IllegalArgumentException] {
       Provenance.compact(spark, dir, dir, sizes.sum / 3)
+    }
+    intercept[IllegalArgumentException] {
+      Provenance.compact(spark, dir, dir + "/../" + new java.io.File(dir).getName,
+        sizes.sum / 3)
     }
   }
 

@@ -272,6 +272,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"lag and lead must share the (key, ts) sort:\n$p")
   }
 
+  test("q93/q94/q96: new checks partial-aggregate map-side with pruned scans") {
+    // Benford: only the audited column is read; the 9-digit census
+    // folds map-side before its single tiny shuffle
+    val p93 = plan(graft.queries.CheckQueries.q93Benford(spark, d))
+    assert(!p93.contains("l_orderkey"),
+      s"benford must not read unrelated lineitem columns:\n$p93")
+    assert(p93.contains("partial_count"), "digit census must combine map-side")
+    // order inversions: the window's key partitioning also serves the
+    // grouped fold — exactly one hash exchange in the whole plan
+    val p94 = plan(graft.queries.CheckQueries.q94OrderInversions(spark, d))
+    val ex94 = "Exchange hashpartitioning".r.findAllIn(p94).length
+    assert(ex94 == 1,
+      s"window partitioning must be reused by the aggregate, got $ex94:\n$p94")
+    // class balance: per-class counts partial-aggregate at the scan
+    val p96 = plan(graft.queries.CheckQueries.q96ClassBalance(spark, d))
+    assert(p96.contains("partial_count"), "class census must combine map-side")
+    val readSchema96 = "ReadSchema: [^\\n]*".r.findFirstIn(p96).getOrElse("")
+    assert(readSchema96.contains("label") && !readSchema96.contains("embedding"),
+      s"class balance must scan the label column only, got $readSchema96")
+  }
+
   test("q91: per-group histogram bounds fold map-side; spine join on the group key") {
     val p = plan(graft.queries.CheckQueries.q91GroupHistogram(spark, d))
     assert(p.contains("partial_min") && p.contains("partial_max"),
