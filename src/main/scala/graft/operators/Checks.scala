@@ -275,7 +275,11 @@ object Checks {
     // true digit is floor(v/10^(e−1)), e.g. 9 for v just under a
     // power of ten); rounded LOW makes raw 10..99 (integer-divide
     // back). Either engine's ulp lands on the same digit after this.
-    val digit = when(raw >= 10L, raw / 10L)
+    // NB: Column `/` on longs is DOUBLE division in Spark — 31/10
+    // would yield digit 3.1 and silently miss the 9-digit spine, so
+    // the shift-down branch floors explicitly (same text as the
+    // oracle SQL)
+    val digit = when(raw >= 10L, floor(raw.cast("double") / lit(10.0)).cast("long"))
       .when(raw === 0L, floor(v / pow(lit(10.0), e - 1)).cast("long"))
       .otherwise(raw)
     val counts = df

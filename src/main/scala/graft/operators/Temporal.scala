@@ -177,6 +177,10 @@ object Temporal {
       events: DataFrame, key: Column, ts: Column,
       stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "at least one funnel stage required")
+    // duplicate names would collide as _is_<name> working columns and
+    // die with an opaque ambiguous-reference error — refuse clearly
+    require(stages.map(_._1).distinct.size == stages.size,
+      s"duplicate stage names: ${stages.map(_._1).mkString(", ")}")
     val preds = stages.map { case (_, p) => coalesce(p, lit(false)) }
     val base = events
       .filter(preds.reduce(_ || _)) // rows matching no stage can never qualify

@@ -87,7 +87,12 @@ object StreamingDrift {
     val expected = col("n_baseline").cast("double") / col("_tb").cast("double") *
       col("_tc").cast("double")
     val defined = col("n_baseline") > 0 && col("_tc") > 0
-    joined.select(
+    joined
+      // a category observed only in SOME OTHER window contributes
+      // nothing here: without baseline mass and without current rows
+      // the (window, category) cell is vacuous, not "new"
+      .filter(col("n_baseline") > 0 || col("n_current") > 0)
+      .select(
       col("window_start"), col(catCol), col("n_current"), col("n_baseline"),
       when(defined, expected)
         .otherwise(lit(null).cast("double")).as("expected"),
