@@ -136,6 +136,57 @@ object Sampling {
     df.withColumn("split", ascending)
   }
 
+  /** Budget-bounded deterministic sample: keep rows in hash-score
+    * order until a cumulative `weight` budget is reached — "give me
+    * ~2B training tokens of this corpus, reproducibly". A row is
+    * kept iff the total weight of all hash-earlier rows is under
+    * `budget`, so the kept set is an exact prefix of the (score, id)
+    * order: stable across runs, engines, and partitionings, and
+    * growing the corpus only ever changes the tail.
+    *
+    * The global prefix-sum is the scale trap here — a naive
+    * `sum OVER (ORDER BY score)` is one task holding the whole
+    * corpus. Two-phase instead: (1) rows bucket by
+    * `floor(score·B)`; per-bucket weight totals fold map-side to ≤ B
+    * rows, whose running totals are a trivially small window;
+    * (2) buckets entirely under budget keep every row with no
+    * per-row window at all, buckets entirely past it drop, and only
+    * the BOUNDARY bucket's rows (≈ corpus/B of the data) ride a
+    * bucket-partitioned window for the exact row-level cut. The
+    * distributed prefix-sum shape — same answer as the global
+    * window, none of the single-task state.
+    */
+  def sampleToBudget(
+      df: DataFrame, idCol: String, weight: Column, budget: Long,
+      buckets: Int = 4096): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("_score", hashScore(col(idCol)))
+      .withColumn("_w", weight.cast("long"))
+      .withColumn("_b", floor(col("_score") * buckets).cast("long"))
+    val perBucket = base.groupBy(col("_b")).agg(sum(col("_w")).as("_wb"))
+    // ≤ `buckets` rows: the unpartitioned window is config-sized by
+    // construction, not a data-scale single task
+    val wBuckets = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = perBucket.withColumn("_cumb",
+      coalesce(sum(col("_wb")).over(wBuckets), lit(0L)))
+    val joined = base.join(broadcast(cum), Seq("_b"))
+    val fullKeep = joined.filter(col("_cumb") + col("_wb") <= budget)
+    val wRows = Window.partitionBy(col("_b"))
+      .orderBy(col("_score").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundaryKeep = joined
+      .filter(col("_cumb") < budget && col("_cumb") + col("_wb") > budget)
+      .withColumn("_run", coalesce(sum(col("_w")).over(wRows), lit(0L)))
+      .filter(col("_cumb") + col("_run") < budget)
+      .drop("_run")
+    fullKeep.unionByName(boundaryKeep)
+      .drop("_score", "_w", "_b", "_wb", "_cumb")
+  }
+
   /** Split-leakage audit — the eval-contamination check every
     * train/test split needs before anyone trusts the eval: a content
     * group (exact-dup hash, near-dup cluster id, source domain)

@@ -234,7 +234,51 @@ object SamplingQueries {
        |    AS n_leaking_rows
        |FROM per""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q97 — budget-bounded sample: keep documents in md5-score order
+  // until ~60k characters — the "give me N tokens, reproducibly"
+  // cut. The distributed two-phase prefix sum (bucket totals +
+  // boundary-bucket window) replays exactly in DuckDB: same score,
+  // same buckets, same keep conditions, exact integer weights.
+  // 60k cuts the sf0.01 corpus (149k chars) around 40% — the
+  // boundary-bucket path is genuinely exercised at verify scale.
+  // ---------------------------------------------------------------
+  private val BudgetChars = 60000L
+  private val BudgetBuckets = 4096
+
+  def q97BudgetSample(spark: SparkSession, d: String): DataFrame =
+    Sampling.sampleToBudget(
+        Tables.documents(spark, d), "doc_id", length(col("text")),
+        BudgetChars, BudgetBuckets)
+      .select(col("doc_id"), length(col("text")).cast("long").as("chars"))
+
+  val q97Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS w, $scoreSql AS s
+       |  FROM documents),
+       |b AS (SELECT *, CAST(floor(s * $BudgetBuckets) AS BIGINT) AS bk FROM base),
+       |pb AS (SELECT bk, CAST(sum(w) AS BIGINT) AS wb FROM b GROUP BY 1),
+       |cumt AS (SELECT bk, wb,
+       |    COALESCE(CAST(sum(wb) OVER (ORDER BY bk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      CAST(0 AS BIGINT)) AS cumb
+       |  FROM pb),
+       |j AS (SELECT b.doc_id, b.w, b.s, b.bk, cumt.wb, cumt.cumb
+       |  FROM b JOIN cumt ON b.bk = cumt.bk),
+       |keep_full AS (
+       |  SELECT doc_id, w FROM j WHERE cumb + wb <= $BudgetChars),
+       |boundary AS (
+       |  SELECT doc_id, w, cumb,
+       |    COALESCE(CAST(sum(w) OVER (PARTITION BY bk ORDER BY s, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      CAST(0 AS BIGINT)) AS run
+       |  FROM j WHERE cumb < $BudgetChars AND cumb + wb > $BudgetChars),
+       |keep_b AS (SELECT doc_id, w FROM boundary WHERE cumb + run < $BudgetChars)
+       |SELECT doc_id, w AS chars FROM keep_full
+       |UNION ALL SELECT doc_id, w AS chars FROM keep_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_budget_sample" -> (q97BudgetSample _),
     "q95_split_leakage" -> (q95SplitLeakage _),
     "q26_deterministic_split" -> (q26DeterministicSplit _),
     "q27_stratified_sample"   -> (q27StratifiedSample _),
@@ -245,6 +289,7 @@ object SamplingQueries {
     "q71_source_mixture"      -> (q71SourceMixture _))
 
   val oracleSql: Map[String, String] = Map(
+    "q97_budget_sample" -> q97Sql,
     "q95_split_leakage" -> q95Sql,
     "q26_deterministic_split" -> q26Sql,
     "q27_stratified_sample"   -> q27Sql,

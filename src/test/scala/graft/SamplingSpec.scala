@@ -236,6 +236,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("Sort ") && plan.contains("false, 0"), plan) // global=false
   }
 
+  test("sampleToBudget: exact prefix of the hash order, bucketed == global reference") {
+    import graft.operators.Sampling
+    val df = (1L to 300L).map(i => (i, 10L + i % 7)).toDF("id", "w")
+    val budget = 900L
+    // driver-side reference: sort by the SAME score, scan until the
+    // running total before a row reaches the budget
+    val scored = df
+      .withColumn("_s", Sampling.hashScore($"id"))
+      .select($"id", $"w", $"_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, s) => (s, id) }
+    var cum = 0L
+    val expected = scored.takeWhile { case (_, w, _) =>
+      val keep = cum < budget; cum += w; keep
+    }.map(_._1).toSet
+    // few buckets → the boundary window path is genuinely exercised
+    for (buckets <- Seq(1, 4, 4096)) {
+      val kept = Sampling.sampleToBudget(df, "id", $"w", budget, buckets)
+        .select("id").as[Long].collect().toSet
+      assert(kept == expected,
+        s"buckets=$buckets must reproduce the global prefix (got ${kept.size}, want ${expected.size})")
+    }
+    // degenerate budgets
+    assert(Sampling.sampleToBudget(df, "id", $"w", 0L).count() == 0)
+    val all = Sampling.sampleToBudget(df, "id", $"w", Long.MaxValue).count()
+    assert(all == 300L, "a budget beyond the corpus keeps everything")
+  }
+
   test("splitLeakage: straddling groups counted exactly; group-keyed split audits clean") {
     val rows = Seq(
       // group A: 3 rows across train+test → leaks (3 rows)
