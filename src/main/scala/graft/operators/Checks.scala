@@ -315,6 +315,67 @@ object Checks {
     (1 to 9).map(d =>
       s"($d, CAST('${math.log10(1.0 + 1.0 / d)}' AS DOUBLE))").mkString(", ")
 
+  /** Privacy census — k-anonymity and l-diversity in ONE scan: rows
+    * group into equivalence classes by the quasi-identifier columns
+    * (the attributes a re-identification attack joins on: zip+age+
+    * gender-style combinations); a class smaller than `k` makes its
+    * members linkable (k-anonymity violation), and a class whose
+    * `sensitive` column holds fewer than `l` distinct values leaks
+    * the sensitive attribute even when k holds (homogeneity attack —
+    * l-diversity violation). Output is ONE row: total rows/classes,
+    * violating classes and rows-at-risk for each property. NULL
+    * sensitive values count as a value of their own (the struct-
+    * wrapped distinct of [[fdReport]]); NULL quasi values form their
+    * own classes like any other value.
+    *
+    * The redaction operator masks what a regex can find; this
+    * measures what a JOIN can re-identify — the release gate for
+    * anything column-structured in a training corpus.
+    *
+    * Scale: one groupBy on the quasi columns with map-side partial
+    * count + count_distinct, then a classes-sized one-row fold — no
+    * row-scale state crosses the shuffle.
+    */
+  def privacyCensus(
+      df: DataFrame, quasiCols: Seq[String], sensitive: Column,
+      k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column required")
+    require(k >= 1 && l >= 1, s"need k >= 1 and l >= 1, got k=$k l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("_n"),
+        count_distinct(struct(sensitive.as("_v"))).as("_nd"))
+      .agg(
+        coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        coalesce(sum(when(col("_n") < k, 1L).otherwise(0L)), lit(0L))
+          .as("k_violating_classes"),
+        coalesce(sum(when(col("_n") < k, col("_n")).otherwise(0L)), lit(0L))
+          .as("k_risky_rows"),
+        coalesce(sum(when(col("_nd") < l, 1L).otherwise(0L)), lit(0L))
+          .as("l_violating_classes"),
+        coalesce(sum(when(col("_nd") < l, col("_n")).otherwise(0L)), lit(0L))
+          .as("l_risky_rows"))
+  }
+
+  /** The worklist behind [[privacyCensus]]: one row per violating
+    * equivalence class — quasi values, class size, distinct sensitive
+    * values, and which property failed — what a generalization /
+    * suppression pass must rewrite. Same single-shuffle shape.
+    */
+  def privacyOffenders(
+      df: DataFrame, quasiCols: Seq[String], sensitive: Column,
+      k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column required")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("class_size"),
+        count_distinct(struct(sensitive.as("_v"))).as("n_sensitive_values"))
+      .filter(col("class_size") < k || col("n_sensitive_values") < l)
+      .withColumn("k_violation", col("class_size") < k)
+      .withColumn("l_violation", col("n_sensitive_values") < l)
+  }
+
   /** Per-key order-inversion census — the sequence-sanity check for
     * anything that must not run backwards per entity: version
     * counters, balances that only accrue, odometer readings, event

@@ -782,7 +782,46 @@ object CheckQueries {
       |      / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)) END AS gini
       |FROM f""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q98 — privacy census over customers: quasi-identifiers
+  // (mktsegment, nationkey), sensitive attribute = debt status
+  // (acctbal < 0 — "everyone in this segment+nation group is in
+  // debt" is the homogeneity leak), k=10, l=2. Both properties
+  // violate nontrivially at sf0.01 (35 under-k classes; uniform-debt
+  // classes leak under l). Counts are exact integers; the oracle's
+  // distinct is written null-safe (count distinct + has-null flag)
+  // to pin the same null-as-a-value semantics the operator
+  // implements.
+  // ---------------------------------------------------------------
+  private val PrivacyK = 10
+  private val PrivacyL = 2
+
+  def q98PrivacyCensus(spark: SparkSession, d: String): DataFrame =
+    Checks.privacyCensus(Tables.customer(spark, d),
+      Seq("c_mktsegment", "c_nationkey"), col("c_acctbal") < 0,
+      k = PrivacyK, l = PrivacyL)
+
+  val q98Sql: String =
+    s"""WITH cls AS (
+       |  SELECT c_mktsegment, c_nationkey,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(DISTINCT (c_acctbal < 0))
+       |      + max(CASE WHEN (c_acctbal < 0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nd
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(sum(CASE WHEN n < $PrivacyK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS k_violating_classes,
+       |  CAST(sum(CASE WHEN n < $PrivacyK THEN n ELSE 0 END) AS BIGINT)
+       |    AS k_risky_rows,
+       |  CAST(sum(CASE WHEN nd < $PrivacyL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS l_violating_classes,
+       |  CAST(sum(CASE WHEN nd < $PrivacyL THEN n ELSE 0 END) AS BIGINT)
+       |    AS l_risky_rows
+       |FROM cls""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_privacy_census" -> (q98PrivacyCensus _),
     "q96_class_balance" -> (q96ClassBalance _),
     "q93_benford" -> (q93Benford _),
     "q94_order_inversions" -> (q94OrderInversions _),
@@ -807,6 +846,7 @@ object CheckQueries {
     "q91_group_histogram" -> (q91GroupHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q98_privacy_census" -> q98Sql,
     "q96_class_balance" -> q96Sql,
     "q93_benford" -> q93Sql,
     "q94_order_inversions" -> q94Sql,

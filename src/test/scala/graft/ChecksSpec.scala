@@ -350,6 +350,32 @@ class ChecksSpec extends AnyFunSuite {
     assert(chi.forall(c => c >= 0.0 && !c.isNaN && !c.isInfinite))
   }
 
+  test("privacyCensus: k and l violations counted exactly; null sensitive is a value") {
+    val df = Seq(
+      // class (Z1, 30): 3 rows, sensitive {a, a, b} → k ok (3>=3), l=2
+      ("Z1", 30, Some("a")), ("Z1", 30, Some("a")), ("Z1", 30, Some("b")),
+      // class (Z1, 40): 1 row → k violation; 1 distinct → l violation
+      ("Z1", 40, Some("a")),
+      // class (Z2, 30): 3 rows, sensitive {a, null, b} → null counts: l=3 ok
+      ("Z2", 30, Some("a")), ("Z2", 30, None), ("Z2", 30, Some("b")))
+      .toDF("zip", "age", "diag")
+    val r = Checks.privacyCensus(df, Seq("zip", "age"), $"diag", k = 3, l = 3)
+      .head()
+    assert((r.getLong(0), r.getLong(1)) == ((7L, 3L)))
+    assert((r.getLong(2), r.getLong(3)) == ((1L, 1L)), "one 1-row class under k=3")
+    assert((r.getLong(4), r.getLong(5)) == ((2L, 4L)),
+      "(Z1,30) l=2 and (Z1,40) l=1 violate l=3; 3+1 rows at risk")
+    val off = Checks.privacyOffenders(df, Seq("zip", "age"), $"diag", k = 3, l = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(off.keySet == Set(("Z1", 30), ("Z1", 40)))
+    assert(off(("Z1", 40)) == ((1L, 1L, true, true)))
+    assert(off(("Z1", 30)) == ((3L, 2L, false, true)))
+    // empty input: zero everything, no nulls
+    val empty = Checks.privacyCensus(df.limit(0), Seq("zip", "age"), $"diag", 3, 3).head()
+    assert((0 until 6).map(empty.getLong) == Seq(0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("orderInversions: adjacent pairs only, strict mode counts ties, null breaks no pair") {
     val rows = Seq(
       // u1: 1,3,2,5 → one inversion (3>2)
