@@ -376,6 +376,36 @@ object Checks {
       .withColumn("l_violation", col("n_sensitive_values") < l)
   }
 
+  /** Record suppression to k-anonymity — [[privacyCensus]]'s
+    * executor: `(kept, suppressed)` where every under-k equivalence
+    * class moves whole to the suppressed side, so the kept frame is
+    * k-anonymous over `quasiCols` by construction (every surviving
+    * class kept its full ≥ k membership). The standard baseline
+    * before fancier generalization; both frames are lazy filters
+    * over one class-size join, the quarantine discipline.
+    *
+    * The class-size join is NULL-SAFE on every quasi column: a
+    * null-valued class is still a class, and a null-rejecting join
+    * would silently leave its rows unmatched (neither kept nor
+    * counted). Class sizes are aggregate-scale; the join is a plain
+    * equi-join on the quasi key (EqualNullSafe is hash-joinable),
+    * broadcast when the class census is small.
+    */
+  def suppressUnderK(
+      df: DataFrame, quasiCols: Seq[String], k: Int): (DataFrame, DataFrame) = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column required")
+    require(!df.columns.contains("_class_n"),
+      "input already has a '_class_n' column; rename it first")
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_class_n"))
+      .select((quasiCols.map(c => col(c).as(s"_q_$c")) :+ col("_class_n")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"_q_$c")).reduce(_ && _)
+    val joined = df.join(sizes, cond)
+      .drop(quasiCols.map(c => s"_q_$c"): _*)
+    (joined.filter(col("_class_n") >= k).drop("_class_n"),
+      joined.filter(col("_class_n") < k).drop("_class_n"))
+  }
+
   /** Per-key order-inversion census — the sequence-sanity check for
     * anything that must not run backwards per entity: version
     * counters, balances that only accrue, odometer readings, event

@@ -820,7 +820,32 @@ object CheckQueries {
        |    AS l_risky_rows
        |FROM cls""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q99 — k-anonymization by record suppression: the customers that
+  // SURVIVE dropping every under-k (mktsegment, nationkey) class —
+  // q98's executor. 1500 − 279 = 1221 rows at sf0.01. The oracle
+  // joins null-safely (IS NOT DISTINCT FROM) to pin the operator's
+  // null-class semantics even though this corpus has no nulls.
+  // ---------------------------------------------------------------
+  def q99SuppressUnderK(spark: SparkSession, d: String): DataFrame = {
+    val (kept, _) = Checks.suppressUnderK(
+      Tables.customer(spark, d), Seq("c_mktsegment", "c_nationkey"), PrivacyK)
+    kept.select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+  }
+
+  val q99Sql: String =
+    s"""WITH cls AS (
+       |  SELECT c_mktsegment AS m, c_nationkey AS n,
+       |    CAST(count(*) AS BIGINT) AS cn
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey
+       |FROM customer c JOIN cls
+       |  ON c.c_mktsegment IS NOT DISTINCT FROM cls.m
+       |  AND c.c_nationkey IS NOT DISTINCT FROM cls.n
+       |WHERE cn >= $PrivacyK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_suppress_under_k" -> (q99SuppressUnderK _),
     "q98_privacy_census" -> (q98PrivacyCensus _),
     "q96_class_balance" -> (q96ClassBalance _),
     "q93_benford" -> (q93Benford _),
@@ -846,6 +871,7 @@ object CheckQueries {
     "q91_group_histogram" -> (q91GroupHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q99_suppress_under_k" -> q99Sql,
     "q98_privacy_census" -> q98Sql,
     "q96_class_balance" -> q96Sql,
     "q93_benford" -> q93Sql,

@@ -376,6 +376,25 @@ class ChecksSpec extends AnyFunSuite {
     assert((0 until 6).map(empty.getLong) == Seq(0L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  test("suppressUnderK: kept side is k-anonymous by construction; null classes move whole") {
+    val df = Seq(
+      ("Z1", Some(30), 1L), ("Z1", Some(30), 2L), ("Z1", Some(30), 3L),
+      ("Z1", Some(40), 4L),                        // 1-row class → suppressed
+      (null: String, None, 5L), (null, None, 6L),  // null class of 2 → suppressed at k=3
+      ("Z2", Some(30), 7L), ("Z2", Some(30), 8L), ("Z2", Some(30), 9L))
+      .toDF("zip", "age", "id")
+    val (kept, suppressed) = Checks.suppressUnderK(df, Seq("zip", "age"), k = 3)
+    assert(kept.select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 7L, 8L, 9L))
+    assert(suppressed.select("id").as[Long].collect().toSet == Set(4L, 5L, 6L),
+      "the null-valued class must move WHOLE, not vanish from both sides")
+    assert(kept.count() + suppressed.count() == df.count(), "split is lossless")
+    // post-condition: the kept frame audits clean
+    val audit = Checks.privacyCensus(kept, Seq("zip", "age"), lit(0), k = 3, l = 1)
+      .head()
+    assert(audit.getLong(2) == 0L, "kept side must have zero under-k classes")
+  }
+
   test("orderInversions: adjacent pairs only, strict mode counts ties, null breaks no pair") {
     val rows = Seq(
       // u1: 1,3,2,5 → one inversion (3>2)
