@@ -132,9 +132,13 @@ object Provenance {
     * Each group is one small job: read exactly that group's files,
     * `coalesce(1)`, append one part-file to `outDir`. Jobs are
     * driver-looped over a config-sized group list (the plan is
-    * file-census-scale); a production deployment runs the loop with a
-    * job-group thread pool for overlap — the per-group read is
-    * already cluster-parallel, so the loop bounds only job-submit
+    * file-census-scale) and deliberately SEQUENTIAL: concurrent
+    * append jobs into one directory race on the file committer's
+    * shared `_temporary` staging area (a finishing job's cleanup can
+    * delete a running job's staged files). For overlap, write each
+    * group to its own subdirectory (or use a staging-free committer)
+    * and move the part-files after — the per-group read is already
+    * cluster-parallel either way, so the loop bounds only job-submit
     * latency, not data parallelism. Flat layouts only: for a
     * partitioned table, run per partition directory (explicit leaf
     * file reads do not reconstruct partition-column values).
