@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Association / co-occurrence mining over grouped event or token
+  * streams — the support-counting first pass of A-Priori, which is
+  * also the useful 90% of it for corpus QA ("which event types /
+  * tags / sources travel together?").
+  */
+object Association {
+
+  /** Co-occurrence pair census: for each unordered pair of distinct
+    * `item` values that appear within the same `group` (session,
+    * user-day, document), the number of groups containing both;
+    * pairs below `minSupport` groups are dropped.
+    *
+    * Scale shape: the input first collapses to DISTINCT
+    * (group, item) — one shuffle, after which each group carries at
+    * most |item domain| rows no matter how many raw events it had.
+    * Pair generation is then a self-equi-join on the group key
+    * (co-partitioned: both sides are the same collapsed frame, so
+    * the sort/partitioning is reused) with `item_a < item_b` keeping
+    * each unordered pair once, and the final support count
+    * partial-aggregates map-side. Per-group work is quadratic in the
+    * group's DISTINCT item count — bounded by the item domain, not
+    * by group activity; for open-ended domains (raw tokens) cap
+    * items per group first ([[graft.operators.Sampling.capPerGroup]])
+    * or the one mega-group becomes the straggler.
+    *
+    * Null items are excluded (a null "item" is absence, not a
+    * co-occurring thing).
+    */
+  def coOccurrencePairs(
+      df: DataFrame, group: Column, item: Column,
+      minSupport: Long = 1L): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val gi = df
+      .filter(item.isNotNull)
+      .select(group.as("_g"), item.as("_i"))
+      .distinct()
+    val a = gi.select(col("_g"), col("_i").as("item_a"))
+    val b = gi.select(col("_g"), col("_i").as("item_b"))
+    a.join(b, Seq("_g"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_groups"))
+      .filter(col("n_groups") >= minSupport)
+  }
+}

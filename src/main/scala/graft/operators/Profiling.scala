@@ -459,4 +459,109 @@ object Profiling {
           lit(1.0) - col("_ssq").cast("string").cast("double")
             / (col("_N").cast("double") * col("_N").cast("double")))
           .otherwise(lit(null).cast("double")).as("gini"))
+
+  /** Join-key skew census — the one-row planning probe to run BEFORE
+    * shuffling 100 TB on a key: row/key totals, the heaviest key's
+    * row count, the mean, the max/mean skew ratio, and how many keys
+    * sit above 2× / 10× the mean. A skew ratio near 1 means hash
+    * partitions will balance; a ratio in the thousands means the hot
+    * key owns a straggler task and the join wants salting
+    * ([[graft.operators.Skew]]) or AQE skew splitting first.
+    *
+    * Reports the hot key's COUNT, deliberately not its identity —
+    * several keys can tie at the max, and an arbitrary pick would be
+    * nondeterministic; [[topValues]] is the identity-bearing
+    * drill-down. Physically one scan: the key census subtree feeds
+    * both the one-row totals and the final fold, and Spark's
+    * exchange reuse dedupes the identical shuffle (the same
+    * 1-row-broadcast-totals shape as the Checks drift queries). The
+    * over-mean comparisons are exact decimal cross-products
+    * (`n·K > m·N` ⇔ `n > m·N/K`), so no float enters the counts;
+    * the two reported doubles are single correctly-rounded
+    * divisions of exact longs and hash-match across engines.
+    */
+  def keySkew(df: DataFrame, key: Column): DataFrame = {
+    val census = df.groupBy(key.as("_k")).agg(count(lit(1)).as("_n"))
+    val totals = census.agg(
+      sum(col("_n")).as("_tot"), count(lit(1)).as("_nk"))
+    val over = (m: Long) =>
+      col("_n").cast("decimal(20,0)") * col("_nk").cast("decimal(20,0)") >
+        lit(m).cast("decimal(20,0)") * col("_tot").cast("decimal(20,0)")
+    census.crossJoin(broadcast(totals))
+      .agg(
+        max(col("_tot")).as("n_rows"),
+        max(col("_nk")).as("n_keys"),
+        max(col("_n")).as("max_per_key"),
+        sum(when(over(2L), 1L).otherwise(0L)).as("n_keys_over_2x_mean"),
+        sum(when(over(10L), 1L).otherwise(0L)).as("n_keys_over_10x_mean"))
+      .select(
+        col("n_rows"), col("n_keys"), col("max_per_key"),
+        (col("n_rows").cast("double") / col("n_keys").cast("double"))
+          .as("avg_per_key"),
+        (col("max_per_key").cast("double")
+          / (col("n_rows").cast("double") / col("n_keys").cast("double")))
+          .as("skew_ratio"),
+        col("n_keys_over_2x_mean"), col("n_keys_over_10x_mean"))
+  }
+
+  /** Exact equal-frequency binning (distributed ntile): assign each
+    * row its n-quantile bucket over `value` with a deterministic
+    * `tiebreak` total order, without the single-task global sort
+    * that `ntile() OVER (ORDER BY …)` plans. The feature-binning /
+    * per-decile-report primitive where equi-WIDTH ([[histogram]])
+    * puts 99% of a skewed column in one bar.
+    *
+    * Distributed-rank shape (the [[graft.operators.Sampling.sampleToBudget]]
+    * prefix-sum, in value space): rows bucket by equi-width cells
+    * over the broadcast [min, max] (exactly [[histogram]]'s edge
+    * arithmetic, so cell assignment is engine-exact); per-cell
+    * counts cumulate in a ≤ `cells`-row window; each row's global
+    * rank is its cell's offset plus a row_number within the cell —
+    * the only per-row window is PARTITIONED by cell, so no task ever
+    * holds more than one cell's rows (a heavily repeated single
+    * value concentrates its cell — same documented hazard as the
+    * budget-sample boundary bucket). The SQL-standard ntile split
+    * (first N mod n bins get one extra row) is then a closed-form
+    * expression of the rank.
+    *
+    * Nulls and NaNs are excluded (the [[histogram]] fence); `bin`
+    * is 1-based like ntile.
+    */
+  def equalFrequencyBins(
+      df: DataFrame, value: Column, tiebreak: Column, nBins: Int,
+      cells: Int = 4096): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    val nn = df.filter(value.isNotNull && !isnan(value.cast("double")))
+      .withColumn("_v", value.cast("double"))
+    val bounds = nn.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx")).head()
+    if (bounds.isNullAt(0))
+      return nn.drop("_v").withColumn("bin", lit(1L)).limit(0)
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val width = (mx - mn) / cells
+    val cell =
+      if (mx == mn) lit(0L)
+      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+    val base = nn.withColumn("_c", cell)
+    val perCell = base.groupBy(col("_c")).agg(count(lit(1)).as("_nc"))
+    val wCells = W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)
+    val offs = perCell
+      .withColumn("_off", coalesce(sum(col("_nc")).over(wCells), lit(0L)))
+      .withColumn("_N", sum(col("_nc")).over(
+        W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val wRows = W.partitionBy(col("_c")).orderBy(col("_v").asc, tiebreak.asc)
+    // long-through-double divisions are exact below 2^52 rows — four
+    // orders of magnitude above a 100 TB corpus's row count; the
+    // truncating cast is floor (all operands non-negative)
+    val q = col("_N").divide(lit(nBins)).cast("long") // floor bin size
+    val r = col("_N") % lit(nBins)                    // first r bins get q+1
+    val rank0 = col("_off") + row_number().over(wRows) - lit(1L) // 0-based
+    val bin = when(q === 0L, rank0 + lit(1L)) // N < nBins: ntile gives row i bin i
+      .when(rank0 < r * (q + lit(1L)), rank0.divide(q + lit(1L)).cast("long") + lit(1L))
+      .otherwise(r + (rank0 - r * (q + lit(1L))).divide(q).cast("long") + lit(1L))
+    base.join(broadcast(offs), Seq("_c"))
+      .withColumn("bin", bin)
+      .drop("_c", "_nc", "_off", "_N", "_v")
+  }
 }

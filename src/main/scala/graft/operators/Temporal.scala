@@ -260,6 +260,82 @@ object Temporal {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Rolling time-window totals per key: bucket each event into a
+    * fixed-width time bucket (same exact long arithmetic as
+    * [[arrivalGaps]]), collapse to per-(key, bucket) totals, then
+    * attach a trailing `windowBuckets`-wide rolling count and weight
+    * sum — the "7-day moving volume per source" series every
+    * freshness/drift dashboard plots next to the raw dailies.
+    *
+    * The scale decision is the ORDER of operations: aggregate FIRST,
+    * window SECOND. The range-frame window runs over ≤ keys ×
+    * buckets rows (calendar-bounded, like the [[arrivalGaps]]
+    * spine), never over raw events — a direct `RANGE BETWEEN`
+    * window over a 100 TB event table would sort and frame-scan
+    * every row. The pre-aggregate is one partial-combined shuffle;
+    * the window re-shuffles only the collapsed series. Buckets with
+    * zero events are absent from the series, and the RANGE frame
+    * (not ROWS) is what keeps the rolling sum honest across those
+    * holes: the frame is bounded by bucket-time distance, so a
+    * missing day simply contributes nothing instead of letting the
+    * frame slide further back.
+    *
+    * `weight` is summed as a long (callers quantize doubles first —
+    * integer sums are order-insensitive, so results are stable
+    * across partitionings and engines; a raw double rolling sum
+    * would not be).
+    */
+  def rollingBucketTotals(
+      events: DataFrame, key: Column, ts: Column, weight: Column,
+      bucketSeconds: Long, windowBuckets: Int): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    require(windowBuckets >= 1, s"windowBuckets must be >= 1, got $windowBuckets")
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val daily = events
+      .select(key.as("key"), (us - pmod(us, lit(width))).as("bucket_start_us"),
+        weight.cast("long").as("_w"))
+      .groupBy(col("key"), col("bucket_start_us"))
+      .agg(count(lit(1)).as("n"), sum(col("_w")).as("w_sum"))
+    val frame = Window.partitionBy(col("key"))
+      .orderBy(col("bucket_start_us").asc)
+      .rangeBetween(-width * (windowBuckets - 1L), 0L)
+    daily.select(
+      col("key"), col("bucket_start_us"), col("n"), col("w_sum"),
+      sum(col("n")).over(frame).as("n_roll"),
+      sum(col("w_sum")).over(frame).as("w_sum_roll"))
+  }
+
+  /** Period-over-period activity churn: per key, whether it was
+    * active in a prior period, a current period, or both — the
+    * new / retained / churned census behind every "are we losing
+    * sources/users?" review. Pass the two periods as boolean
+    * predicates over the event row (time cuts, usually); a key
+    * appears iff it matched at least one.
+    *
+    * ONE scan, ONE shuffle: both flags fold as conditional `max`es
+    * in the same grouped aggregate (partial-combined map-side), so
+    * the two-period compare never becomes two scans + a full outer
+    * join — the standard SQL shape, and exactly what stops scaling
+    * first at a 100 TB events table.
+    */
+  def activityChurn(
+      events: DataFrame, key: Column,
+      priorPred: Column, currentPred: Column): DataFrame = {
+    val flag = (p: Column) =>
+      coalesce(max(when(coalesce(p, lit(false)), 1L).otherwise(0L)), lit(0L)) === 1L
+    events
+      .filter(coalesce(priorPred, lit(false)) || coalesce(currentPred, lit(false)))
+      .groupBy(key.as("key"))
+      .agg(
+        flag(priorPred).as("in_prior"),
+        flag(currentPred).as("in_current"))
+      .withColumn("status",
+        when(col("in_prior") && col("in_current"), lit("retained"))
+          .when(col("in_prior"), lit("churned"))
+          .otherwise(lit("new")))
+  }
+
   /** Gap-based sessionization: events more than `gap` apart start a
     * new session. lag + running sum of session-start flags per key —
     * one shuffle on the key. Returns per-session aggregates.

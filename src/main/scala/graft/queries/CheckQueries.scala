@@ -844,7 +844,65 @@ object CheckQueries {
        |  AND c.c_nationkey IS NOT DISTINCT FROM cls.n
        |WHERE cn >= $PrivacyK""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q101 — join-key skew census on orders.o_custkey: the one-row
+  // "is this key safe to shuffle 100 TB on?" probe. Cross-products
+  // in the over-mean counts are exact decimals (HUGEINT on the
+  // DuckDB side); the two doubles are single divisions of exact
+  // longs, mirrored expression-for-expression.
+  // ---------------------------------------------------------------
+  def q101KeySkew(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.keySkew(Tables.orders(spark, d), col("o_custkey"))
+
+  val q101Sql: String =
+    """WITH c AS (
+      |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS kn
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(kn) AS BIGINT) AS tot,
+      |             CAST(count(*) AS BIGINT) AS nk
+      |      FROM c)
+      |SELECT max(tot) AS n_rows, max(nk) AS n_keys, max(kn) AS max_per_key,
+      |  CAST(max(tot) AS DOUBLE) / CAST(max(nk) AS DOUBLE) AS avg_per_key,
+      |  CAST(max(kn) AS DOUBLE)
+      |    / (CAST(max(tot) AS DOUBLE) / CAST(max(nk) AS DOUBLE)) AS skew_ratio,
+      |  CAST(sum(CASE WHEN CAST(kn AS HUGEINT) * CAST(nk AS HUGEINT)
+      |    > 2 * CAST(tot AS HUGEINT) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_keys_over_2x_mean,
+      |  CAST(sum(CASE WHEN CAST(kn AS HUGEINT) * CAST(nk AS HUGEINT)
+      |    > 10 * CAST(tot AS HUGEINT) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_keys_over_10x_mean
+      |FROM c, t""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q102 — exact equal-frequency octiles of l_extendedprice,
+  // summarized per bin: the distributed-ntile shape (cell-bucketed
+  // prefix-sum ranks — no single-task global sort) against DuckDB's
+  // native ntile over the same deterministic (value, line-id) order.
+  // ---------------------------------------------------------------
+  private val EqFreqBins = 8
+
+  def q102EqFreqBins(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.equalFrequencyBins(
+        Tables.lineitem(spark, d), col("l_extendedprice"),
+        col("l_orderkey") * 10 + col("l_linenumber"), EqFreqBins)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+
+  val q102Sql: String =
+    s"""WITH r AS (
+       |  SELECT l_extendedprice AS v,
+       |    ntile($EqFreqBins) OVER (
+       |      ORDER BY l_extendedprice, l_orderkey * 10 + l_linenumber) AS bin
+       |  FROM lineitem)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+       |  min(v) AS lo, max(v) AS hi
+       |FROM r GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_key_skew" -> (q101KeySkew _),
+    "q102_eqfreq_bins" -> (q102EqFreqBins _),
     "q99_suppress_under_k" -> (q99SuppressUnderK _),
     "q98_privacy_census" -> (q98PrivacyCensus _),
     "q96_class_balance" -> (q96ClassBalance _),
@@ -871,6 +929,8 @@ object CheckQueries {
     "q91_group_histogram" -> (q91GroupHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q101_key_skew" -> q101Sql,
+    "q102_eqfreq_bins" -> q102Sql,
     "q99_suppress_under_k" -> q99Sql,
     "q98_privacy_census" -> q98Sql,
     "q96_class_balance" -> q96Sql,

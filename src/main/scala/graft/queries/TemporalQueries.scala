@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Temporal
+import graft.operators.{Association, Temporal}
 
 /** Temporal-operator queries: as-of join (DuckDB has a native ASOF
   * JOIN — a rare chance to oracle-check a composed operator Spark
@@ -209,6 +209,90 @@ object TemporalQueries {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q100 — 7-day rolling daily volume per event type: daily counts
+  // and cent-quantized value totals with a trailing one-week RANGE
+  // window. Weights are quantized half-even to integer cents BEFORE
+  // summing (integer sums are order-insensitive — the only way a
+  // rolling "sum of doubles" can hash-match across engines).
+  // ---------------------------------------------------------------
+  private val DaySeconds = 86400L
+  private val DayUs = DaySeconds * 1000000L
+  private val RollDays = 7
+
+  def q100RollingDaily(spark: SparkSession, d: String): DataFrame =
+    Temporal.rollingBucketTotals(
+      Tables.events(spark, d), col("event_type"), col("ts"),
+      bround(col("value") * 100).cast("long"), DaySeconds, RollDays)
+
+  val q100Sql: String =
+    s"""WITH dly AS (
+       |  SELECT event_type AS key,
+       |    epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_start_us,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT) AS w_sum
+       |  FROM events GROUP BY 1, 2)
+       |SELECT key, bucket_start_us, n, w_sum,
+       |  CAST(sum(n) OVER w AS BIGINT) AS n_roll,
+       |  CAST(sum(w_sum) OVER w AS BIGINT) AS w_sum_roll
+       |FROM dly
+       |WINDOW w AS (PARTITION BY key ORDER BY bucket_start_us
+       |  RANGE BETWEEN ${DayUs * (RollDays - 1)} PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q103 — purchase-activity churn across the corpus's two
+  // half-months: per user, active-in-prior vs active-in-current →
+  // new / retained / churned. Cutoff pinned as epoch micros (the
+  // fixed-literal NOW convention, tz-proof on both engines).
+  // ---------------------------------------------------------------
+  private val ChurnCutoffUs = 1705363200000000L // 2024-01-16T00:00:00Z
+
+  def q103Churn(spark: SparkSession, d: String): DataFrame = {
+    val purchase = col("event_type") === "purchase"
+    Temporal.activityChurn(
+      Tables.events(spark, d), col("user_id"),
+      purchase && unix_micros(col("ts")) < ChurnCutoffUs,
+      purchase && unix_micros(col("ts")) >= ChurnCutoffUs)
+  }
+
+  val q103Sql: String =
+    s"""WITH f AS (
+       |  SELECT user_id AS key,
+       |    max(CASE WHEN epoch_us(ts) < $ChurnCutoffUs THEN 1 ELSE 0 END) AS p,
+       |    max(CASE WHEN epoch_us(ts) >= $ChurnCutoffUs THEN 1 ELSE 0 END) AS c
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+       |SELECT key, p = 1 AS in_prior, c = 1 AS in_current,
+       |  CASE WHEN p = 1 AND c = 1 THEN 'retained'
+       |       WHEN p = 1 THEN 'churned' ELSE 'new' END AS status
+       |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q104 — event-type co-occurrence within user-days: which types
+  // travel together in the same user's same day (support ≥ 5
+  // user-days). The A-Priori pair-support census on a
+  // calendar-bounded group key.
+  // ---------------------------------------------------------------
+  private val CoPairMinSupport = 5L
+
+  def q104CoPairs(spark: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    Association.coOccurrencePairs(
+      Tables.events(spark, d),
+      struct(col("user_id"), (us - pmod(us, lit(DayUs))).as("d")),
+      col("event_type"), CoPairMinSupport)
+  }
+
+  val q104Sql: String =
+    s"""WITH gi AS (
+       |  SELECT DISTINCT user_id,
+       |    epoch_us(ts) - epoch_us(ts) % $DayUs AS d, event_type AS i
+       |  FROM events),
+       |p AS (
+       |  SELECT a.i AS item_a, b.i AS item_b
+       |  FROM gi a JOIN gi b ON a.user_id = b.user_id AND a.d = b.d AND a.i < b.i)
+       |SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_groups
+       |FROM p GROUP BY 1, 2 HAVING count(*) >= $CoPairMinSupport""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_asof_join" -> (q33AsofJoin _),
     "q34_sessions"  -> (q34Sessions _),
@@ -216,7 +300,10 @@ object TemporalQueries {
     "q80_scd2" -> (q80Scd2 _),
     "q86_funnel" -> (q86Funnel _),
     "q87_cohort_retention" -> (q87CohortRetention _),
-    "q88_transitions" -> (q88Transitions _))
+    "q88_transitions" -> (q88Transitions _),
+    "q100_rolling_daily" -> (q100RollingDaily _),
+    "q103_activity_churn" -> (q103Churn _),
+    "q104_copair_support" -> (q104CoPairs _))
 
   val oracleSql: Map[String, String] = Map(
     "q33_asof_join" -> q33Sql,
@@ -225,5 +312,8 @@ object TemporalQueries {
     "q80_scd2" -> q80Sql,
     "q86_funnel" -> q86Sql,
     "q87_cohort_retention" -> q87Sql,
-    "q88_transitions" -> q88Sql)
+    "q88_transitions" -> q88Sql,
+    "q100_rolling_daily" -> q100Sql,
+    "q103_activity_churn" -> q103Sql,
+    "q104_copair_support" -> q104Sql)
 }

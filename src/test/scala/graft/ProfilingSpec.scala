@@ -282,4 +282,47 @@ class ProfilingSpec extends AnyFunSuite {
     assert(hg.collect { case ("a", _, n) => n }.sum == 2L)
     assert(hg.collect { case ("b", _, n) => n }.sum == 1L)
   }
+
+  test("key skew census: hand-computed hot-key profile") {
+    import org.apache.spark.sql.functions._
+    // counts: a=6, b=1, c=1 → N=8, K=3, mean 8/3 ≈ 2.67;
+    // only a exceeds 2× mean (6 > 5.33); none exceeds 10× (26.7)
+    val df = (Seq.fill(6)("a") ++ Seq("b", "c")).toDF("k")
+    val r = Profiling.keySkew(df, col("k")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (8L, 3L, 6L))
+    assert(r.getDouble(3) == 8.0 / 3.0)
+    assert(r.getDouble(4) == 6.0 / (8.0 / 3.0))
+    assert((r.getLong(5), r.getLong(6)) == (1L, 0L))
+  }
+
+  test("equal-frequency bins: SQL ntile split, deterministic ties, null/NaN fence") {
+    import org.apache.spark.sql.functions._
+    // N=10, n=3 → ntile sizes 4,3,3 over the (v, id) order
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val bins = Profiling.equalFrequencyBins(df, col("v"), col("id"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1 to 4).forall(i => bins(i.toLong) == 1L))
+    assert((5 to 7).forall(i => bins(i.toLong) == 2L))
+    assert((8 to 10).forall(i => bins(i.toLong) == 3L))
+    // ties broken by id: equal values split across the bin edge by id order
+    val tied = (1 to 4).map(i => (i.toLong, 7.0)).toDF("id", "v")
+    val tb = Profiling.equalFrequencyBins(tied, col("v"), col("id"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tb == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+    // null and NaN rows are excluded, not binned
+    val messy = Seq((1L, Some(1.0)), (2L, Some(Double.NaN)), (3L, None), (4L, Some(2.0)))
+      .toDF("id", "v")
+    val mb = Profiling.equalFrequencyBins(messy, col("v"), col("id"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(mb == Map(1L -> 1L, 4L -> 2L))
+    // fewer rows than bins: row i lands in bin i (ntile semantics)
+    val few = Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v")
+    val fb = Profiling.equalFrequencyBins(few, col("v"), col("id"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fb == Map(1L -> 1L, 2L -> 2L))
+    // empty input: empty output, schema intact
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val eb = Profiling.equalFrequencyBins(empty, col("v"), col("id"), 3)
+    assert(eb.columns.toSeq == Seq("id", "v", "bin") && eb.count() == 0)
+  }
 }

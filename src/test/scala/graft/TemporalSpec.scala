@@ -150,6 +150,46 @@ class TemporalSpec extends AnyFunSuite {
       case Vector(a, b) => a._4.contains(b._3); case _ => true })
   }
 
+  test("rolling bucket totals: RANGE frame skips absent buckets; weights sum as longs") {
+    val dayUs = 86400L * 1000000L
+    // key "a": days 0, 1, 8 — day 8's 2-day window must NOT reach back
+    // to day 1 (a ROWS frame would); key "b" independent
+    val events = Seq(
+      ("a", ts("2024-01-01 05:00:00"), 10L),
+      ("a", ts("2024-01-01 06:00:00"), 5L),
+      ("a", ts("2024-01-02 05:00:00"), 1L),
+      ("a", ts("2024-01-09 05:00:00"), 7L),
+      ("b", ts("2024-01-02 12:00:00"), 100L))
+      .toDF("k", "t", "w")
+    val out = Temporal.rollingBucketTotals(events, $"k", $"t", $"w",
+        bucketSeconds = 86400L, windowBuckets = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val base = ts("2024-01-01 00:00:00").getTime * 1000L
+    assert(out(("a", base)) == (2L, 15L, 2L, 15L))
+    assert(out(("a", base + dayUs)) == (1L, 1L, 3L, 16L))      // rolls over day 0
+    assert(out(("a", base + 8 * dayUs)) == (1L, 7L, 1L, 7L))   // gap: window empty behind
+    assert(out(("b", base + dayUs)) == (1L, 100L, 1L, 100L))   // keys independent
+    assert(out.size == 4)
+  }
+
+  test("activity churn: retained/churned/new; keys matching neither period absent") {
+    val cut = ts("2024-01-16 00:00:00")
+    val events = Seq(
+      (1, ts("2024-01-05 00:00:00"), "p"),  // prior only → churned
+      (2, ts("2024-01-05 00:00:00"), "p"),  // both → retained
+      (2, ts("2024-01-20 00:00:00"), "p"),
+      (3, ts("2024-01-20 00:00:00"), "p"),  // current only → new
+      (4, ts("2024-01-05 00:00:00"), "x"))  // matches neither predicate → absent
+      .toDF("u", "t", "e")
+    val out = Temporal.activityChurn(events, $"u",
+        $"e" === "p" && $"t" < cut, $"e" === "p" && $"t" >= cut)
+      .collect().map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(out == Map(1 -> "churned", 2 -> "retained", 3 -> "new"))
+  }
+
   test("arrival gaps: missing hours merge into intervals; dense stream has none; empty input empty") {
     val hourUs = 3600L * 1000000L
     // events in hours 0, 1, 4, 5, 6, 9 (of 2024-01-01) → gaps [2,4) and [7,9)
