@@ -526,6 +526,12 @@ object Profiling {
     *
     * Nulls and NaNs are excluded (the [[histogram]] fence); `bin`
     * is 1-based like ntile.
+    *
+    * Three passes over the input by necessity ([[histogram]]'s
+    * two-pass argument plus one): bounds, cell census, and bin
+    * assignment — cell ids depend on bounds, offsets on the census.
+    * Each pass is scan + map-side partial work; nothing row-scale
+    * crosses a shuffle except the final cell-partitioned rank.
     */
   def equalFrequencyBins(
       df: DataFrame, value: Column, tiebreak: Column, nBins: Int,

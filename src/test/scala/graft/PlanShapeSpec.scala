@@ -307,6 +307,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), "cohort map folds map-side")
   }
 
+  test("q100/q103: one events scan; rolling window rides the daily pre-aggregate") {
+    val p100 = plan(graft.queries.TemporalQueries.q100RollingDaily(spark, d))
+    assert("(?i)(?:file)?scan parquet".r.findAllIn(p100).length == 1,
+      s"rolling totals must read events once:\n$p100")
+    assert(p100.contains("partial_sum"), "daily totals must combine map-side")
+    // the RANGE window's child chain contains the aggregate — it frames
+    // the collapsed per-(key, bucket) series, never raw event rows
+    assert(p100.contains("RangeFrame"), "rolling frame must be RANGE (gap-aware)")
+    assert(p100.indexOf("Window ") < p100.indexOf("HashAggregate"),
+      "window must sit ABOVE the daily aggregate in the plan")
+    val p103 = plan(graft.queries.TemporalQueries.q103Churn(spark, d))
+    assert("(?i)(?:file)?scan parquet".r.findAllIn(p103).length == 1,
+      s"churn census must read events once:\n$p103")
+    assert("Exchange hashpartitioning".r.findAllIn(p103).length == 1,
+      s"churn census is one grouped aggregate — exactly one shuffle:\n$p103")
+  }
+
+  test("q102: bin ranks are cell-partitioned windows; offsets broadcast back") {
+    val p = plan(graft.queries.CheckQueries.q102EqFreqBins(spark, d))
+    assert(p.contains("row_number() windowspecdefinition(_c"),
+      "the per-row rank window must be PARTITIONED by cell — an " +
+        "unpartitioned rank would be the single-task global sort this " +
+        "operator exists to avoid")
+    assert(p.contains("BroadcastHashJoin"),
+      "cell offsets (≤ cells rows) must broadcast, not shuffle the data side")
+    assert(p.contains("PushedFilters: [IsNotNull(l_extendedprice)"),
+      "null fence must reach the scan")
+  }
+
+  test("q101/q104: self-derived join sides reuse one exchange at runtime (one scan)") {
+    // these pins need the FINAL adaptive plan: reuse materializes when
+    // AQE replans at runtime, so execute first
+    val skew = graft.queries.CheckQueries.q101KeySkew(spark, d)
+    skew.collect()
+    val pSkew = skew.queryExecution.executedPlan.toString
+    assert(pSkew.contains("ReusedExchange"),
+      s"keySkew totals must reuse the census exchange, not rescan orders:\n$pSkew")
+    val pairs = graft.queries.TemporalQueries.q104CoPairs(spark, d)
+    pairs.collect()
+    val pPairs = pairs.queryExecution.executedPlan.toString
+    assert(pPairs.contains("ReusedExchange"),
+      s"pair self-join must reuse the distinct (group,item) exchange:\n$pPairs")
+    assert(!pPairs.contains("CartesianProduct") && !pPairs.contains("NestedLoop"),
+      "pair generation must stay an equi-join on the group key")
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
