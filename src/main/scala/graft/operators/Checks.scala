@@ -223,6 +223,55 @@ object Checks {
       .withColumn("bin_start", col("bin").cast("double") * binWidth)
   }
 
+  /** Numeric drift over the baseline's own quantiles: equal-
+    * frequency edges from the baseline ([[Profiling.equalFrequencyBins]]'
+    * exact ntile), both sides re-binned by those edges, chi-square
+    * per bin — the PSI-shaped test. Where [[numericDrift]]'s fixed-
+    * width bins put 99% of a skewed column in one bar (drift inside
+    * that bar is invisible), quantile bins give every bin equal
+    * baseline mass, so the test has uniform power across the
+    * distribution.
+    *
+    * Binning rule: lowest bin whose edge is ≥ the value; values past
+    * the baseline's top edge land in bin `nBins` (the open top bin —
+    * a current batch drifting beyond the baseline max still
+    * registers rather than falling off the census). Nulls and NaNs
+    * form their own null bin through [[categoricalDrift]]'s
+    * null-safe join, so a null-rate shift also registers. Ties at an
+    * edge collapse to the lower bin on BOTH sides — deterministic
+    * regardless of `baseTiebreak`, which only fixes the edge
+    * extraction order.
+    *
+    * Scale: the edges are a `nBins`-row config-sized driver pull
+    * (the [[Profiling.histogram]] bounds pattern) on top of the
+    * binning passes; in production the baseline edge profile is
+    * computed once and reused per batch, so the steady-state cost is
+    * one literal-comparison scan per side feeding a bins-sized
+    * aggregate.
+    */
+  def quantileDrift(
+      current: DataFrame, baseline: DataFrame, valueCol: String,
+      baseTiebreak: Column, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val edges = Profiling.equalFrequencyBins(
+        baseline.select(col(valueCol), baseTiebreak.as("_tb")),
+        col(valueCol), col("_tb"), nBins)
+      .groupBy(col("bin")).agg(max(col(valueCol).cast("double")).as("hi"))
+      .orderBy(col("bin"))
+      .collect().map(_.getDouble(1)).toSeq
+    require(edges.nonEmpty, "baseline has no non-null finite values to profile")
+    def binned(df: DataFrame) = {
+      val v = col(valueCol).cast("double")
+      val fenced = when(v.isNull || isnan(v), lit(null).cast("long"))
+      val chain = edges.dropRight(1).zipWithIndex.foldLeft(fenced) {
+        case (acc, (e, i)) => acc.when(v <= e, (i + 1).toLong)
+      }
+      df.select(chain.otherwise(edges.size.toLong).as("_qbin"))
+    }
+    categoricalDrift(binned(current), binned(baseline), "_qbin")
+      .withColumnRenamed("_qbin", "bin")
+  }
+
   /** Schema drift between two datasets: one row per column that was
     * added, removed, or retyped. Metadata-only — no data scan; the
     * result is a local DataFrame for uniform reporting.

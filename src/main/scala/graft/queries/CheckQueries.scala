@@ -159,6 +159,65 @@ object CheckQueries {
        |FROM j CROSS JOIN t""".stripMargin
 
   // ---------------------------------------------------------------
+  // q106 — quantile drift: week-over-week `value` drift over the
+  // BASELINE week's own deciles (PSI shape — every bin carries equal
+  // baseline mass, so the test has uniform power where q53's fixed
+  // bins concentrate it). Edges are exact ntile order statistics;
+  // the oracle rebuilds them with DuckDB's native ntile and re-bins
+  // both sides with the same lowest-edge-≥-value rule.
+  // ---------------------------------------------------------------
+  private val QuantileDriftBins = 10
+
+  def q106QuantileDrift(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    def week(lo: String, hi: String) =
+      ev.filter(col("ts") >= to_timestamp(lit(lo)) && col("ts") < to_timestamp(lit(hi)))
+    Checks.quantileDrift(
+      current = week(W2, W3), baseline = week(W1, W2),
+      valueCol = "value", baseTiebreak = col("event_id"),
+      nBins = QuantileDriftBins)
+  }
+
+  val q106Sql: String =
+    s"""WITH base_raw AS (SELECT value AS v, event_id AS tb FROM events
+       |    WHERE ts >= TIMESTAMP '$W1' AND ts < TIMESTAMP '$W2'),
+       |cur_raw AS (SELECT value AS v FROM events
+       |    WHERE ts >= TIMESTAMP '$W2' AND ts < TIMESTAMP '$W3'),
+       |r AS (SELECT v, ntile($QuantileDriftBins) OVER (ORDER BY v, tb) AS bin
+       |  FROM base_raw WHERE v IS NOT NULL AND NOT isnan(v)),
+       |edges AS (SELECT bin, max(v) AS hi FROM r GROUP BY 1),
+       |mxb AS (SELECT CAST(max(bin) AS BIGINT) AS mx FROM edges),
+       |bbase AS (SELECT coalesce((SELECT CAST(min(e.bin) AS BIGINT) FROM edges e
+       |      WHERE e.bin < (SELECT mx FROM mxb) AND b.v <= e.hi),
+       |    (SELECT mx FROM mxb)) AS bin
+       |  FROM base_raw b WHERE v IS NOT NULL AND NOT isnan(v)),
+       |bcur AS (SELECT coalesce((SELECT CAST(min(e.bin) AS BIGINT) FROM edges e
+       |      WHERE e.bin < (SELECT mx FROM mxb) AND c.v <= e.hi),
+       |    (SELECT mx FROM mxb)) AS bin
+       |  FROM cur_raw c WHERE v IS NOT NULL AND NOT isnan(v)),
+       |cur AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_current FROM bcur GROUP BY bin),
+       |base AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_baseline FROM bbase GROUP BY bin),
+       |j AS (SELECT coalesce(cur.bin, base.bin) AS bin,
+       |    coalesce(n_current, 0) AS n_current,
+       |    coalesce(n_baseline, 0) AS n_baseline
+       |  FROM cur FULL OUTER JOIN base ON cur.bin IS NOT DISTINCT FROM base.bin),
+       |t AS (SELECT CAST(sum(n_current) AS BIGINT) AS tc,
+       |    CAST(sum(n_baseline) AS BIGINT) AS tb2 FROM j)
+       |SELECT bin, n_current, n_baseline,
+       |  CASE WHEN n_baseline > 0 AND tc > 0
+       |    THEN CAST(n_baseline AS DOUBLE) / CAST(tb2 AS DOUBLE) * CAST(tc AS DOUBLE)
+       |    ELSE NULL END AS expected,
+       |  CASE WHEN n_baseline > 0 AND tc > 0
+       |    THEN (CAST(n_current AS DOUBLE)
+       |        - CAST(n_baseline AS DOUBLE) / CAST(tb2 AS DOUBLE) * CAST(tc AS DOUBLE))
+       |      * (CAST(n_current AS DOUBLE)
+       |        - CAST(n_baseline AS DOUBLE) / CAST(tb2 AS DOUBLE) * CAST(tc AS DOUBLE))
+       |      / (CAST(n_baseline AS DOUBLE) / CAST(tb2 AS DOUBLE) * CAST(tc AS DOUBLE))
+       |    ELSE NULL END AS chi2_contribution,
+       |  n_baseline = 0 AS new_category
+       |FROM j CROSS JOIN t""".stripMargin
+
+  // ---------------------------------------------------------------
   // q53 — numeric drift: event `value` histogram (fixed 20-unit bins)
   // week-over-week through the same chi-square machinery as q52.
   // ---------------------------------------------------------------
@@ -902,6 +961,7 @@ object CheckQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_key_skew" -> (q101KeySkew _),
+    "q106_quantile_drift" -> (q106QuantileDrift _),
     "q102_eqfreq_bins" -> (q102EqFreqBins _),
     "q99_suppress_under_k" -> (q99SuppressUnderK _),
     "q98_privacy_census" -> (q98PrivacyCensus _),
@@ -930,6 +990,7 @@ object CheckQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q101_key_skew" -> q101Sql,
+    "q106_quantile_drift" -> q106Sql,
     "q102_eqfreq_bins" -> q102Sql,
     "q99_suppress_under_k" -> q99Sql,
     "q98_privacy_census" -> q98Sql,

@@ -546,7 +546,36 @@ object PipelineQueries {
       |  'documents.parquet' AS file_name
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q105 — incremental aggregate maintenance: the query path splits
+  // events at mid-month, builds per-(type, day) PARTIALS for each
+  // half independently, merges, and rolls up per type — while the
+  // oracle aggregates the raw table directly in one pass. Equality
+  // IS the maintenance contract: append-only partials replace
+  // history rescans. Weights are cent-quantized (the q100
+  // convention) so sums stay integer-exact in any merge order.
+  // ---------------------------------------------------------------
+  private val IncrCutoffUs = 1705363200000000L // 2024-01-16T00:00:00Z
+
+  def q105IncrementalTotals(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.Incremental
+    val ev = Tables.events(spark, d)
+    val w = bround(col("value") * 100).cast("long")
+    def partials(p: org.apache.spark.sql.Column) =
+      Incremental.bucketPartials(
+        ev.filter(p), col("event_type"), col("ts"), w, 86400L)
+    val us = unix_micros(col("ts"))
+    Incremental.keyTotals(Incremental.mergePartials(
+      partials(us < IncrCutoffUs), partials(us >= IncrCutoffUs)))
+  }
+
+  val q105Sql: String =
+    """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT) AS w_sum
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_incremental_totals" -> (q105IncrementalTotals _),
     "q67_bloom_decontam" -> (q67BloomDecontam _),
     "q42_decontamination" -> (q42Decontamination _),
     "q43_pii_redaction" -> (q43PiiRedaction _),
@@ -563,6 +592,7 @@ object PipelineQueries {
     "q51_range_join" -> (q51RangeJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q105_incremental_totals" -> q105Sql,
     "q67_bloom_decontam" -> q67Sql,
     "q42_decontamination" -> q42Sql,
     "q43_pii_redaction" -> q43Sql,

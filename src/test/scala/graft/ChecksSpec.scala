@@ -415,4 +415,25 @@ class ChecksSpec extends AnyFunSuite {
     assert(strict(2) == ((3L, 1L, false)), "a tie is an inversion under strict")
     assert(strict(1) == ((4L, 1L, false)))
   }
+
+  test("quantileDrift: equal baseline mass per bin; shift registers; beyond-max lands in the top bin") {
+    // baseline 1..100 → deciles of exactly 10; identical current drifts nowhere
+    val base = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val same = Checks.quantileDrift(base, base, "v", col("id"), 10).collect()
+    assert(same.length == 10)
+    assert(same.forall(r => r.getLong(2) == 10L), "deciles must carry equal baseline mass")
+    assert(same.map(_.getDouble(4)).sum == 0.0)
+    // current shifted past the baseline max: everything piles into bin 10
+    val far = (1 to 100).map(i => (i.toLong, i + 1000.0)).toDF("id", "v")
+    val drift = Checks.quantileDrift(far, base, "v", col("id"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drift(10L) == 100L, "beyond-baseline values must land in the open top bin")
+    assert((1L to 9L).forall(b => drift(b) == 0L))
+    // a null in current forms its own bin row via the null-safe join
+    val withNull = Seq((1L, Some(5.0)), (2L, None)).toDF("id", "v")
+    val nullRow = Checks.quantileDrift(withNull, base, "v", col("id"), 10)
+      .filter(col("bin").isNull).collect()
+    assert(nullRow.length == 1 && nullRow.head.getLong(1) == 1L,
+      "null values must register as their own drift category")
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Incremental
+
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val events = Seq(
+    ("a", ts("2024-01-01 05:00:00"), 10L),
+    ("a", ts("2024-01-01 06:00:00"), 5L),
+    ("a", ts("2024-01-02 05:00:00"), 1L),
+    ("b", ts("2024-01-01 12:00:00"), 100L),
+    ("b", ts("2024-01-03 12:00:00"), 7L))
+    .toDF("k", "t", "w")
+
+  private def totalsMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("merged disjoint partials equal the single-pass aggregate, in any merge order") {
+    val direct = totalsMap(Incremental.keyTotals(
+      Incremental.bucketPartials(events, $"k", $"t", $"w", 86400L)))
+    assert(direct == Map("a" -> (3L, 16L), "b" -> (2L, 107L)))
+    // split by day parity, merge in both orders
+    val day = dayofmonth($"t")
+    val p1 = Incremental.bucketPartials(events.filter(day % 2 === 1), $"k", $"t", $"w", 86400L)
+    val p2 = Incremental.bucketPartials(events.filter(day % 2 === 0), $"k", $"t", $"w", 86400L)
+    assert(totalsMap(Incremental.keyTotals(Incremental.mergePartials(p1, p2))) == direct)
+    assert(totalsMap(Incremental.keyTotals(Incremental.mergePartials(p2, p1))) == direct)
+  }
+
+  test("late data for an existing bucket merges additively, not by replacement") {
+    val p = Incremental.bucketPartials(events, $"k", $"t", $"w", 86400L)
+    val late = Incremental.bucketPartials(
+      Seq(("a", ts("2024-01-01 23:00:00"), 4L)).toDF("k", "t", "w"),
+      $"k", $"t", $"w", 86400L)
+    val merged = Incremental.mergePartials(p, late)
+    val day1a = merged.filter($"key" === "a")
+      .orderBy($"bucket_start_us").collect().head
+    assert((day1a.getLong(2), day1a.getLong(3)) == (3L, 19L))
+    // other buckets untouched
+    assert(totalsMap(Incremental.keyTotals(merged))("b") == (2L, 107L))
+  }
+}
