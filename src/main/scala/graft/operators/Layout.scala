@@ -86,4 +86,37 @@ object Layout {
       .drop("__cluster")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Write `df` hash-bucketed (and per-bucket sorted) on `bucketCol`
+    * as a catalog table at `path` — the at-rest layout that makes
+    * every FUTURE equi-join or aggregation on that key shuffle-free:
+    * two tables bucketed on the same key with the same bucket count
+    * sort-merge-join with NO Exchange on either side (the file
+    * layout IS the hash partitioning, so Spark reuses it instead of
+    * re-shuffling 100 TB per query). The amortization argument of
+    * [[writeClustered]] applied to joins instead of scans: pay one
+    * shuffle at write time, never again.
+    *
+    * Catalog, not bare parquet, by necessity: bucket metadata lives
+    * in the table definition, so a path read cannot prove the layout
+    * and would re-shuffle. `numBuckets` is the at-rest parallelism —
+    * size it so one bucket of the LARGER fact table fits an executor
+    * (too few buckets caps join parallelism; a 100 TB fact wants
+    * thousands). Joining tables with MISMATCHED bucket counts
+    * shuffles the smaller side only when one count divides the other
+    * (Spark's bucket coalescing); keep counts aligned across a
+    * subject area.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, path: String, bucketCol: String,
+      numBuckets: Int): Unit = {
+    require(numBuckets >= 1, "numBuckets must be positive")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+  }
 }

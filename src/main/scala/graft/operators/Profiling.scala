@@ -320,6 +320,78 @@ object Profiling {
     sketches.withColumn("n_distinct_est",
       hll_sketch_estimate(col("sketch")).cast("long"))
 
+  /** Count-min sketch counter table: the mergeable FREQUENCY sketch
+    * that answers "how often does key X occur?" in `depth × width`
+    * fixed counters regardless of key cardinality — the approximate
+    * counterpart of [[keySkew]]'s exact census, and the additive
+    * sibling of [[distinctSketch]]'s HLL (counters merge by plain
+    * integer addition, any order, never double-count-corrupting).
+    * Store one counter table per ingest batch; heavy-hitter probes
+    * then run against the merged table without rescanning history.
+    *
+    * Each key occurrence increments one counter per row r:
+    * `bucket = md5_prefix(r ‖ ':' ‖ key) mod width`. The estimate
+    * (min over rows of the probed counters) over-counts, never
+    * under-counts — collisions only ADD — with the standard
+    * (Cormode–Muthukrishnan) error bound n·e/width at confidence
+    * 1 − e^−depth. Hashing is the portable 60-bit md5 prefix
+    * ([[graft.functions.Md5Expressions]]), so a DuckDB oracle states
+    * the identical buckets and the gate hash-checks the sketch, not
+    * just its shape.
+    *
+    * One shuffle of (row, bucket) pairs with map-side partial
+    * counts — depth× the input rows in flight but ≤ depth·width rows
+    * out, at any input size. Null keys are excluded (count them with
+    * [[Checks]] completeness, not a sketch).
+    */
+  def countMinCounters(
+      df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.filter(key.isNotNull)
+      .select(explode(cmsEntries(key, depth, width)).as("e"))
+      .select(col("e.row").as("row"), col("e.bucket").as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge counter tables (daily shards, backfill batches): union +
+    * re-add. Tables must share (depth, width, key rendering). */
+  def mergeCountMin(counters: DataFrame*): DataFrame = {
+    require(counters.nonEmpty, "at least one counter table required")
+    counters.reduce(_.unionByName(_))
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** Probe a counter table: estimated occurrence count per probe key
+    * (min over rows, absent counters = 0). The counter table is
+    * depth·width rows — config-sized — so the probe join broadcasts;
+    * the probe side streams at any size (typically per-partition
+    * candidate heavy hitters, or a fixed watchlist).
+    */
+  def countMinEstimate(
+      counters: DataFrame, probes: DataFrame, key: Column,
+      depth: Int, width: Int): DataFrame =
+    probes.filter(key.isNotNull)
+      .select(key.as("key"), explode(cmsEntries(key, depth, width)).as("e"))
+      .join(broadcast(counters),
+        col("e.row") === counters("row") &&
+          col("e.bucket") === counters("bucket"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(counters("n"), lit(0L))).as("est_n"))
+
+  /** The depth (row, bucket) pairs of one key — shared by build and
+    * probe so both sides state identical hashing. */
+  private def cmsEntries(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { r =>
+      struct(
+        lit(r).as("row"),
+        graft.functions.Md5Expressions.md5PrefixLong(
+          concat(lit(s"$r:"), key.cast("string")), 15, width.toLong)
+          .as("bucket"))
+    }: _*)
+
   /** Equi-width histogram of a numeric column: `bins` buckets over
     * the column's own [min, max], empty buckets included (a drift
     * dashboard needs the zero bars). Nulls are excluded; the max

@@ -959,8 +959,58 @@ object CheckQueries {
        |  min(v) AS lo, max(v) AS hi
        |FROM r GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q107 — count-min sketch frequency census on events.user_id:
+  // build the depth×width counter table, probe every distinct user
+  // back through it, and report estimate vs exact count (overcount
+  // ≥ 0 always — CMS collisions only add). Hashing is the portable
+  // 60-bit md5 prefix, so the oracle states the IDENTICAL buckets
+  // and the gate hash-checks the sketch itself, not just its shape.
+  // ---------------------------------------------------------------
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+
+  def q107CmsCounts(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.Profiling
+    val ev = Tables.events(spark, d).filter(col("user_id").isNotNull)
+    val counters =
+      Profiling.countMinCounters(ev, col("user_id"), CmsDepth, CmsWidth)
+    val est = Profiling.countMinEstimate(
+      counters, ev.select(col("user_id")).distinct(), col("user_id"),
+      CmsDepth, CmsWidth)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
+    est.withColumnRenamed("key", "user_id")
+      .join(exact, Seq("user_id"))
+      .select(col("user_id"), col("est_n"), col("true_n"),
+        (col("est_n") - col("true_n")).as("overcount"))
+  }
+
+  val q107Sql: String = {
+    def bucket(keyExpr: String) =
+      s"""CAST(CAST(('0x' || substr(md5(CAST(rw AS VARCHAR) || ':' || $keyExpr),
+         |    1, 15)) AS UBIGINT) % $CmsWidth AS BIGINT)""".stripMargin
+    s"""WITH k AS (SELECT user_id, CAST(user_id AS VARCHAR) AS ks
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(rw)),
+       |counters AS (
+       |  SELECT rw, ${bucket("ks")} AS bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM k CROSS JOIN r GROUP BY 1, 2),
+       |probe AS (SELECT DISTINCT user_id, ks FROM k),
+       |pb AS (SELECT user_id, rw, ${bucket("ks")} AS bucket
+       |  FROM probe CROSS JOIN r),
+       |est AS (SELECT user_id, CAST(min(coalesce(n, 0)) AS BIGINT) AS est_n
+       |  FROM pb LEFT JOIN counters
+       |    ON pb.rw = counters.rw AND pb.bucket = counters.bucket
+       |  GROUP BY 1),
+       |ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+       |  FROM k GROUP BY 1)
+       |SELECT est.user_id, est_n, true_n, est_n - true_n AS overcount
+       |FROM est JOIN ex ON est.user_id = ex.user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_key_skew" -> (q101KeySkew _),
+    "q107_cms_counts" -> (q107CmsCounts _),
     "q106_quantile_drift" -> (q106QuantileDrift _),
     "q102_eqfreq_bins" -> (q102EqFreqBins _),
     "q99_suppress_under_k" -> (q99SuppressUnderK _),
@@ -990,6 +1040,7 @@ object CheckQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q101_key_skew" -> q101Sql,
+    "q107_cms_counts" -> q107Sql,
     "q106_quantile_drift" -> q106Sql,
     "q102_eqfreq_bins" -> q102Sql,
     "q99_suppress_under_k" -> q99Sql,

@@ -125,15 +125,63 @@ object ScaleQueries {
        |FROM l FULL JOIN r USING (k)
        |ORDER BY n_output DESC, k LIMIT $SkewTopK""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q108 — bucketed co-located join: orders and customer written
+  // hash-bucketed on the customer key (Layout.writeBucketed), then
+  // joined and rolled up per market segment. Functionally the plain
+  // join the oracle states; structurally the join runs with NO
+  // shuffle on either side — the at-rest bucket layout is the hash
+  // partitioning (PlanShapeSpec pins zero Exchanges under the join).
+  // The write is per-process setup (the q37 convention), so the
+  // bench times what repeats at 100 TB: the shuffle-free read.
+  // ---------------------------------------------------------------
+  private val JoinBuckets = 8
+
+  /** Bucketed copies of orders/customer, written at most once per
+    * (process, sf dir); returns the catalog table names. */
+  private[graft] def ensureBucketedTables(
+      spark: SparkSession, d: String): (String, String) = {
+    val suf = d.replaceAll("[^A-Za-z0-9]", "_")
+    val (ot, ct) = (s"graft_bkt_orders_$suf", s"graft_bkt_customer_$suf")
+    if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(ct)) {
+      val base =
+        s"target/buckets/pid-${ProcessHandle.current().pid()}/$suf"
+      Layout.writeBucketed(
+        Tables.orders(spark, d), ot, s"$base/orders", "o_custkey", JoinBuckets)
+      Layout.writeBucketed(
+        Tables.customer(spark, d), ct, s"$base/customer", "c_custkey", JoinBuckets)
+    }
+    (ot, ct)
+  }
+
+  def q108BucketedJoin(spark: SparkSession, d: String): DataFrame = {
+    val (ot, ct) = ensureBucketedTables(spark, d)
+    spark.table(ot)
+      .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(bround(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+  }
+
+  val q108Sql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(round_even(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_salted_distinct"   -> (q36SaltedDistinct _),
     "q37_partition_pruning" -> (q37PartitionPruning _),
     "q69_zorder_key"        -> (q69Zorder _),
-    "q82_join_skew"         -> (q82JoinSkew _))
+    "q82_join_skew"         -> (q82JoinSkew _),
+    "q108_bucketed_join"    -> (q108BucketedJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q36_salted_distinct"   -> q36Sql,
     "q37_partition_pruning" -> q37Sql,
     "q69_zorder_key"        -> q69Sql,
-    "q82_join_skew"         -> q82Sql)
+    "q82_join_skew"         -> q82Sql,
+    "q108_bucketed_join"    -> q108Sql)
 }

@@ -353,6 +353,50 @@ class PlanShapeSpec extends AnyFunSuite {
       "pair generation must stay an equi-join on the group key")
   }
 
+  test("q105: every shuffle runs on the partials key space, never raw event columns") {
+    val p = plan(graft.queries.PipelineQueries.q105IncrementalTotals(spark, d))
+    // two scans are the POINT (the split-history demo); what must hold
+    // is that each half collapses map-side before anything moves, and
+    // no shuffle ever partitions on raw event columns
+    assert("(?i)(?:file)?scan parquet".r.findAllIn(p).length == 2)
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"bucket partials must combine map-side at the scans:\n$p")
+    assert("hashpartitioning\\(key".r.findAllIn(p).nonEmpty,
+      s"shuffles must run on the (key, bucket) partials space:\n$p")
+    assert(!p.contains("hashpartitioning(event_") && !p.contains("hashpartitioning(user_"),
+      s"no shuffle may carry raw event rows:\n$p")
+  }
+
+  test("q107: CMS counters fold map-side; the probe joins the counter table by broadcast") {
+    val p = plan(graft.queries.CheckQueries.q107CmsCounts(spark, d))
+    assert(p.contains("partial_count"),
+      s"counter increments must combine map-side before the (row, bucket) shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the depth x width counter table is config-sized and must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probe must stay an equi-join on (row, bucket):\n$p")
+  }
+
+  test("q108: bucketed tables sort-merge-join with ZERO exchanges under the join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.queries.ScaleQueries.q108BucketedJoin(spark, d))
+      assert(p.contains("SortMergeJoin"),
+        s"with broadcast off, co-located buckets should SMJ:\n$p")
+      assert(p.contains("Bucketed: true"),
+        s"both scans must read the bucket layout as their partitioning:\n$p")
+      // the ONLY exchange allowed is the market-segment rollup above
+      // the join; the join itself must reuse the at-rest bucketing
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"expected exactly one exchange (the segment rollup), got $exchanges:\n$p")
+      assert(!p.contains("hashpartitioning(o_custkey") &&
+        !p.contains("hashpartitioning(c_custkey"),
+        s"the join key must never shuffle — that is what bucketing buys:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))

@@ -325,4 +325,48 @@ class ProfilingSpec extends AnyFunSuite {
     val eb = Profiling.equalFrequencyBins(empty, col("v"), col("id"), 3)
     assert(eb.columns.toSeq == Seq("id", "v", "bin") && eb.count() == 0)
   }
+
+  test("count-min sketch: estimates never undercount, shard-merge equals single pass") {
+    import org.apache.spark.sql.functions.col
+    val keys = (1 to 40).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i"))
+    val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "key")
+    val (depth, width) = (4, 64)
+
+    val counters = Profiling.countMinCounters(df, col("key"), depth, width)
+    // depth rows of counters, each summing to the total occurrence count
+    val perRow = counters.groupBy(col("row")).sum("n")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perRow.keySet == (0 until depth).toSet)
+    assert(perRow.values.forall(_ == keys.size.toLong))
+
+    // one-sided error: est >= true for EVERY key
+    val truth = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val est = Profiling.countMinEstimate(
+        counters, df.select(col("key")).distinct(), col("key"), depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == truth.keySet)
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS undercounted $k: ${est(k)} < $n")
+    }
+
+    // a probe key never seen estimates 0 unless it collides (allow either,
+    // but it must not be negative and must be <= total)
+    val ghost = Profiling.countMinEstimate(
+        counters, Seq("never-seen").toDF("key"), col("key"), depth, width)
+      .collect().head.getLong(1)
+    assert(ghost >= 0L && ghost <= keys.size.toLong)
+
+    // mergeability: counters built per shard and merged == single pass
+    val merged = Profiling.mergeCountMin(
+      Profiling.countMinCounters(df.filter(col("id") % 2 === 0), col("key"), depth, width),
+      Profiling.countMinCounters(df.filter(col("id") % 2 === 1), col("key"), depth, width))
+    val a = counters.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b, "shard-merged counter table must equal the single-pass table")
+
+    // null keys are excluded, not hashed
+    val withNull = Seq((1L, Some("x")), (2L, None), (3L, Some("x"))).toDF("id", "key")
+    val nn = Profiling.countMinCounters(withNull, col("key"), 2, 8)
+    assert(nn.agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0) == 4L)
+  }
 }
