@@ -359,4 +359,66 @@ object Sampling {
       .sortWithinPartitions(col("__shuffle_key"), col(idCol))
       .drop("__shuffle_key")
   }
+
+  /** Stride-scheduled mixture interleave: a deterministic curriculum
+    * position per row such that reading the corpus in `sched_pos`
+    * order yields every PREFIX in the target source proportions —
+    * source s with weight w contributes its i-th row (in a seeded
+    * pseudorandom within-source order) at position `(i + 0.5) / w`,
+    * the classic stride-scheduling rule. Twice the weight → rows at
+    * half the stride → twice the density in any window of the
+    * schedule. This is the ORDERING half of mixture control;
+    * [[Sampling.mixToBudget]]-style capping decides how MUCH of
+    * each source, this decides WHERE it lands so a training run that
+    * stops early has still consumed the target mix.
+    *
+    * The within-source rank is the [[graft.operators.Profiling.equalFrequencyBins]]
+    * prefix-sum shape transposed to hash space: rows rank inside
+    * (source, score-cell) cells — `cells`-way parallel even for one
+    * giant source, never a whole-source window partition — and
+    * per-cell offsets (sources × cells rows, config-sized) broadcast
+    * back. All arithmetic is engine-exact: the md5 score is an
+    * integer scaled by 2⁻³² (power-of-two divisor, exact), the cell
+    * cut multiplies by a power-of-two cell count, and the position is
+    * one IEEE division of an exact dividend — a DuckDB oracle
+    * stating plain `row_number()` per source matches bit-for-bit.
+    *
+    * A null source is its own group (null-safe cell join) at
+    * `defaultWeight`. Output adds `source_rank` (0-based within
+    * source) and `sched_pos`; `cells` must be a power of two so the
+    * cell cut stays exact.
+    */
+  def mixtureSchedule(
+      df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], defaultWeight: Double,
+      cells: Int = 1024): DataFrame = {
+    require(defaultWeight > 0, "defaultWeight must be positive")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    require(cells >= 1 && (cells & (cells - 1)) == 0,
+      s"cells must be a positive power of two, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("_s", hashScore(col(idCol)))
+      .withColumn("_c",
+        least(lit(cells - 1L), floor(col("_s") * cells).cast("long")))
+    val offs = base
+      .groupBy(col(sourceCol).as("_src"), col("_c").as("_oc"))
+      .agg(count(lit(1)).as("_nc"))
+      .withColumn("_off", coalesce(
+        sum(col("_nc")).over(W.partitionBy(col("_src")).orderBy(col("_oc"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .drop("_nc")
+    val wRows = W.partitionBy(col(sourceCol), col("_c"))
+      .orderBy(col("_s").asc, col(idCol).asc)
+    val weightCol = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    base
+      .join(broadcast(offs),
+        col(sourceCol) <=> col("_src") && col("_c") === col("_oc"))
+      .withColumn("source_rank", col("_off") + row_number().over(wRows) - 1)
+      .withColumn("sched_pos",
+        (col("source_rank").cast("double") + lit(0.5)) / weightCol)
+      .drop("_s", "_c", "_src", "_oc", "_off")
+  }
 }

@@ -277,7 +277,41 @@ object SamplingQueries {
        |SELECT doc_id, w AS chars FROM keep_full
        |UNION ALL SELECT doc_id, w AS chars FROM keep_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q109 — stride-scheduled mixture interleave: a deterministic
+  // curriculum position per document such that any schedule prefix
+  // carries the target source proportions (src0 at 4x density, src1
+  // at 2x, src5 at half, rest at 1x). The oracle states the naive
+  // per-source row_number() form; the engine computes the same rank
+  // via cell-partitioned prefix sums (no whole-source window). All
+  // weights are exact binary doubles, so positions hash-match.
+  // ---------------------------------------------------------------
+  private val SchedWeights = Seq("src0" -> 4.0, "src1" -> 2.0, "src5" -> 0.5)
+
+  def q109MixtureSchedule(spark: SparkSession, d: String): DataFrame =
+    Sampling.mixtureSchedule(
+        Tables.documents(spark, d).select(col("doc_id"), col("source")),
+        "doc_id", "source", SchedWeights.toMap, defaultWeight = 1.0)
+      .select(col("doc_id"), col("source"), col("source_rank"), col("sched_pos"))
+
+  val q109Sql: String = {
+    val weightCase = SchedWeights
+      .map { case (s, w) => s"WHEN source = '$s' THEN $w" }
+      .mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, $scoreSql AS s FROM documents),
+       |r AS (SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY s, doc_id) - 1
+       |      AS BIGINT) AS source_rank
+       |  FROM scored)
+       |SELECT doc_id, source, source_rank,
+       |  (CAST(source_rank AS DOUBLE) + 0.5)
+       |    / (CASE $weightCase ELSE 1.0 END) AS sched_pos
+       |FROM r""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_mixture_schedule" -> (q109MixtureSchedule _),
     "q97_budget_sample" -> (q97BudgetSample _),
     "q95_split_leakage" -> (q95SplitLeakage _),
     "q26_deterministic_split" -> (q26DeterministicSplit _),
@@ -289,6 +323,7 @@ object SamplingQueries {
     "q71_source_mixture"      -> (q71SourceMixture _))
 
   val oracleSql: Map[String, String] = Map(
+    "q109_mixture_schedule" -> q109Sql,
     "q97_budget_sample" -> q97Sql,
     "q95_split_leakage" -> q95Sql,
     "q26_deterministic_split" -> q26Sql,

@@ -397,6 +397,15 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q109: schedule ranks window inside (source, cell); offsets broadcast back") {
+    val p = plan(graft.queries.SamplingQueries.q109MixtureSchedule(spark, d))
+    assert("windowspecdefinition\\(source#\\d+, _c#".r.findAllIn(p).nonEmpty,
+      "the rank window must partition by (source, cell) — a whole-source " +
+        s"window would sort the hottest source in one task:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-cell offsets (sources x cells rows) must broadcast:\n$p")
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))

@@ -290,4 +290,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(clean.getLong(2) == 0L && clean.getLong(3) == 0L,
       "a group-keyed split must never leak")
   }
+
+  test("mixtureSchedule: dense per-source ranks, weight-proportional prefixes, null source scheduled") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 300).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "src")
+    val sched = Sampling.mixtureSchedule(
+      df, "id", "src", Map("s0" -> 2.0), defaultWeight = 1.0, cells = 16)
+    val rows = sched.orderBy(col("sched_pos"), col("id")).collect()
+    assert(rows.length == 300)
+    // ranks are a dense 0-based permutation inside every source
+    rows.groupBy(_.getString(1)).foreach { case (s, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (0L until rs.length).toSeq,
+        s"ranks of $s must be dense from 0")
+    }
+    // stride rule: position of source-rank i at weight w is (i+0.5)/w
+    rows.foreach { r =>
+      val w = if (r.getString(1) == "s0") 2.0 else 1.0
+      assert(r.getDouble(3) == (r.getLong(2) + 0.5) / w)
+    }
+    // the prefix up to schedule position 30 holds 60 of s0 (2x density)
+    // and 30 each of s1/s2 — the whole point of the interleave
+    val prefix = rows.filter(_.getDouble(3) < 30.0).map(_.getString(1))
+    assert(prefix.count(_ == "s0") == 60)
+    assert(prefix.count(_ == "s1") == 30 && prefix.count(_ == "s2") == 30)
+    // reproducible: a second computation yields the identical schedule
+    val again = Sampling.mixtureSchedule(
+        df, "id", "src", Map("s0" -> 2.0), defaultWeight = 1.0, cells = 16)
+      .orderBy(col("sched_pos"), col("id")).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // null source: its own group at defaultWeight, never dropped
+    val withNull = Seq((1L, Some("a")), (2L, None), (3L, None)).toDF("id", "src")
+    val ns = Sampling.mixtureSchedule(
+        withNull, "id", "src", Map.empty, defaultWeight = 1.0, cells = 4)
+      .filter(col("src").isNull).collect()
+    assert(ns.length == 2 && ns.map(_.getLong(2)).sorted.toSeq == Seq(0L, 1L))
+  }
 }
