@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Incremental
+
+/** The streaming front-end of [[graft.operators.Incremental]]: keep
+  * the per-(key, bucket) partials table current as events ARRIVE, so
+  * the at-rest history is born incremental instead of being rebuilt
+  * by batch backfills.
+  *
+  * Shape: each micro-batch collapses to its own bucket partials
+  * (one partial-combined aggregate over just the batch's rows) and
+  * APPENDS them to the partials log — a pure insert, no
+  * read-modify-write, so the sink commits atomically per batch and a
+  * retried batch cannot corrupt totals that were already read.
+  * Readers merge at read time ([[readTotals]]): additive integer
+  * re-aggregation over partials rows, exactly
+  * [[Incremental.mergePartials]]'s contract, so totals equal the
+  * single-pass batch aggregate over everything that has arrived —
+  * late data included, because a late row simply lands as one more
+  * partial row for its (old) bucket.
+  *
+  * The log grows by ≤ keys × buckets rows per micro-batch regardless
+  * of batch row count; compact it on the same cadence as any
+  * append-log (re-aggregate a closed time range and swap — the
+  * [[graft.operators.Provenance]] compaction discipline). No
+  * watermark is needed for CORRECTNESS (append + merge is
+  * order-free); add one only if downstream wants bounded-lateness
+  * bucket finalization.
+  */
+object StreamingIncremental {
+
+  /** Start the partials sink: collapse each micro-batch with
+    * [[Incremental.bucketPartials]] and append to `path`.
+    */
+  def partialsSink(
+      stream: DataFrame, key: Column, ts: Column, weight: Column,
+      bucketSeconds: Long, path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Incremental.bucketPartials(batch, key, ts, weight, bucketSeconds)
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
+  /** Current per-key totals of a partials log: merge-at-read over
+    * partials rows (never raw history). */
+  def readTotals(spark: SparkSession, path: String): DataFrame =
+    Incremental.keyTotals(
+      Incremental.mergePartials(spark.read.parquet(path)))
+
+  /** Current per-(key, bucket) series of a partials log, late data
+    * folded in. */
+  def readSeries(spark: SparkSession, path: String): DataFrame =
+    Incremental.mergePartials(spark.read.parquet(path))
+}

@@ -46,4 +46,39 @@ class IncrementalSpec extends AnyFunSuite {
     // other buckets untouched
     assert(totalsMap(Incremental.keyTotals(merged))("b") == (2L, 107L))
   }
+
+  test("streaming partials sink: merge-at-read totals equal the batch aggregate, late data folds in") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIncremental
+    implicit val sqlCtx = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_inc").toString
+    val (log, ckpt) = (s"$scratch/partials", s"$scratch/ckpt")
+
+    val stream = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val sq = StreamingIncremental.partialsSink(
+      stream.toDF().toDF("k", "t", "w"),
+      $"k", $"t", $"w", 86400L, log, ckpt)
+    stream.addData(Seq(
+      ("a", ts("2024-01-01 05:00:00"), 10L),
+      ("a", ts("2024-01-01 06:00:00"), 5L),
+      ("b", ts("2024-01-01 12:00:00"), 100L)))
+    sq.processAllAvailable()
+    stream.addData(Seq(
+      ("a", ts("2024-01-02 05:00:00"), 1L),
+      ("b", ts("2024-01-03 12:00:00"), 7L),
+      ("a", ts("2024-01-01 23:00:00"), 4L))) // late row for day 1
+    sq.processAllAvailable()
+    sq.stop()
+
+    // totals equal the single-pass batch aggregate over all arrivals
+    val totals = totalsMap(StreamingIncremental.readTotals(spark, log))
+    assert(totals == Map("a" -> (4L, 20L), "b" -> (2L, 107L)))
+    // the late arrival merged additively into the EXISTING day-1 bucket
+    val series = StreamingIncremental.readSeries(spark, log)
+      .filter($"key" === "a").orderBy($"bucket_start_us").collect()
+    assert(series.length == 2, "late data must not mint a new bucket")
+    assert((series.head.getLong(2), series.head.getLong(3)) == (3L, 19L))
+    // the log holds per-batch partials (append-only), more rows than buckets
+    assert(spark.read.parquet(log).count() == 5L) // 2 + 3 per-batch bucket rows
+  }
 }
