@@ -24,6 +24,7 @@ object SparkEntry {
     */
   def benchSetup(spark: SparkSession, sfDir: String): Unit = {
     ScaleQueries.ensurePartitionedEvents(spark, sfDir)
+    ScaleQueries.ensureBucketedTables(spark, sfDir)
     ()
   }
 

@@ -272,6 +272,52 @@ object Checks {
       .withColumnRenamed("_qbin", "bin")
   }
 
+  /** Representation drift between two embedding corpora, one row per
+    * vector dimension: did the encoder (or the data under it) move?
+    * Completes the drift family — [[categoricalDrift]] for labels,
+    * [[numericDrift]]/[[quantileDrift]] for scalars, this for the
+    * embedding space a curation pipeline filters and indexes by. A
+    * mean shifting by sigmas in a few dimensions is a fingerprint of
+    * an encoder version change or a corpus composition shift —
+    * either silently invalidates an ANN index or a trained quality
+    * gate downstream.
+    *
+    * Per dimension: both sides' n/mean/stddev
+    * ([[Profiling.profileEmbedding]]'s engine-exact fixed-point
+    * sums), the raw mean shift, the shift in baseline sigmas
+    * (null when the baseline dimension is constant — a shift off a
+    * zero-variance baseline is categorical, not scalable), and the
+    * stddev ratio (same guard). All post-profile arithmetic is one
+    * subtraction and two divisions of already-exact doubles in a
+    * fixed expression order, so an oracle restating the q68 scheme
+    * hash-matches.
+    *
+    * Scale: two profile passes (posexplode + one grouped aggregate
+    * each, ≤ dim partial rows per task) and a dims-sized full-outer
+    * join — a ragged corpus (mismatched dims) surfaces as rows with
+    * one side null rather than vanishing.
+    */
+  def embeddingDrift(
+      current: DataFrame, baseline: DataFrame, vecCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      Profiling.profileEmbedding(df, vecCol).select(
+        col("dim"), col("n").as(s"n_$tag"),
+        col("mean").as(s"mean_$tag"), col("stddev").as(s"stddev_$tag"))
+    side(current, "current")
+      .join(side(baseline, "baseline"), Seq("dim"), "full_outer")
+      .withColumn("mean_shift", col("mean_current") - col("mean_baseline"))
+      .withColumn("shift_sigmas",
+        when(col("stddev_baseline") > 0.0,
+          col("mean_shift") / col("stddev_baseline")))
+      .withColumn("stddev_ratio",
+        when(col("stddev_baseline") > 0.0,
+          col("stddev_current") / col("stddev_baseline")))
+      .select(col("dim"), col("n_baseline"), col("n_current"),
+        col("mean_baseline"), col("mean_current"), col("mean_shift"),
+        col("shift_sigmas"), col("stddev_baseline"), col("stddev_current"),
+        col("stddev_ratio"))
+  }
+
   /** Schema drift between two datasets: one row per column that was
     * added, removed, or retyped. Metadata-only — no data scan; the
     * result is a local DataFrame for uniform reporting.

@@ -1008,9 +1008,52 @@ object CheckQueries {
        |FROM est JOIN ex ON est.user_id = ex.user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q110 — embedding representation drift: per-dimension mean/stddev
+  // of two embedding corpus halves (vec_id parity stands in for
+  // before/after an encoder change), with the shift in baseline
+  // sigmas and the stddev ratio. Both sides run the q68 fixed-point
+  // profile scheme, so every statistic is engine-exact; the oracle
+  // restates it with a side key and joins the halves per dim.
+  // ---------------------------------------------------------------
+  def q110EmbeddingDrift(spark: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(spark, d)
+    Checks.embeddingDrift(
+      current = em.filter(pmod(col("vec_id"), lit(2)) === 1),
+      baseline = em.filter(pmod(col("vec_id"), lit(2)) === 0),
+      vecCol = "embedding")
+  }
+
+  val q110Sql: String =
+    """WITH ex AS (
+      |  SELECT vec_id,
+      |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+      |         unnest(generate_series(0, len(embedding) - 1)) AS dim
+      |  FROM embeddings),
+      |qz AS (SELECT vec_id, dim,
+      |    CAST(round_even(v * 1e15, 0) AS HUGEINT) AS w FROM ex),
+      |prof AS (
+      |  SELECT (vec_id % 2) AS side, dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) / 1e15 AS s,
+      |    CAST(CAST(sum(w * w) AS VARCHAR) AS DOUBLE) / 1e30 AS sq
+      |  FROM qz GROUP BY 1, 2),
+      |st AS (
+      |  SELECT side, dim, n, s / CAST(n AS DOUBLE) AS mean,
+      |    sqrt(greatest(sq - s * s / CAST(n AS DOUBLE), 0.0)
+      |      / (CAST(n AS DOUBLE) - 1.0)) AS sd
+      |  FROM prof)
+      |SELECT CAST(b.dim AS BIGINT) AS dim, b.n AS n_baseline, c.n AS n_current,
+      |  b.mean AS mean_baseline, c.mean AS mean_current,
+      |  c.mean - b.mean AS mean_shift,
+      |  CASE WHEN b.sd > 0.0 THEN (c.mean - b.mean) / b.sd END AS shift_sigmas,
+      |  b.sd AS stddev_baseline, c.sd AS stddev_current,
+      |  CASE WHEN b.sd > 0.0 THEN c.sd / b.sd END AS stddev_ratio
+      |FROM st b JOIN st c ON b.dim = c.dim AND b.side = 0 AND c.side = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_key_skew" -> (q101KeySkew _),
     "q107_cms_counts" -> (q107CmsCounts _),
+    "q110_embedding_drift" -> (q110EmbeddingDrift _),
     "q106_quantile_drift" -> (q106QuantileDrift _),
     "q102_eqfreq_bins" -> (q102EqFreqBins _),
     "q99_suppress_under_k" -> (q99SuppressUnderK _),
@@ -1041,6 +1084,7 @@ object CheckQueries {
   val oracleSql: Map[String, String] = Map(
     "q101_key_skew" -> q101Sql,
     "q107_cms_counts" -> q107Sql,
+    "q110_embedding_drift" -> q110Sql,
     "q106_quantile_drift" -> q106Sql,
     "q102_eqfreq_bins" -> q102Sql,
     "q99_suppress_under_k" -> q99Sql,

@@ -436,4 +436,28 @@ class ChecksSpec extends AnyFunSuite {
     assert(nullRow.length == 1 && nullRow.head.getLong(1) == 1L,
       "null values must register as their own drift category")
   }
+
+  test("embeddingDrift: hand-checked shift in sigmas; constant baseline dim yields null sigmas") {
+    // baseline dim0: {1,3} (mean 2, sd sqrt(2)); dim1 constant 5
+    val base = Seq(Seq(1.0f, 5.0f), Seq(3.0f, 5.0f)).toDF("embedding")
+    // current dim0: {3,5} (mean 4 -> shift +2 = sqrt(2) sigmas); dim1 {5,7}
+    val cur = Seq(Seq(3.0f, 5.0f), Seq(5.0f, 7.0f)).toDF("embedding")
+    val byDim = Checks.embeddingDrift(cur, base, "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d0 = byDim(0L)
+    assert(d0.getDouble(3) == 2.0 && d0.getDouble(4) == 4.0)
+    assert(d0.getDouble(5) == 2.0, "raw mean shift")
+    assert(math.abs(d0.getDouble(6) - math.sqrt(2.0)) < 1e-12,
+      "shift of 2 over sd sqrt(2) is sqrt(2) sigmas")
+    val d1 = byDim(1L)
+    assert(d1.getDouble(5) == 1.0, "dim1 mean moved 5 -> 6")
+    assert(d1.isNullAt(6) && d1.isNullAt(9),
+      "a zero-variance baseline dimension cannot scale a shift")
+    // ragged corpora: a dimension present on one side only survives
+    // the full-outer join as a half-null row instead of vanishing
+    val wide = Seq(Seq(1.0f, 2.0f, 9.0f), Seq(3.0f, 4.0f, 11.0f)).toDF("embedding")
+    val extra = Checks.embeddingDrift(wide, base, "embedding")
+      .filter(col("dim") === 2L).collect()
+    assert(extra.length == 1 && extra.head.isNullAt(1) && extra.head.getLong(2) == 2L)
+  }
 }
