@@ -46,6 +46,44 @@ object Provenance {
       manifest: DataFrame, statCol: String, value: Column): DataFrame =
     manifest.filter(value >= col(s"min_$statCol") && value <= col(s"max_$statCol"))
 
+  /** Predicted scan cost of a range predicate `[lo, hi]` on
+    * `statCol`, answered from the manifest alone — the zone-map
+    * skipping arithmetic a reader runs BEFORE touching data. One
+    * row: file/row totals, how many survive the envelope overlap
+    * test (`max ≥ lo AND min ≤ hi`), and the skipped fractions.
+    *
+    * This is the planning complement of [[graft.operators.Layout]]:
+    * run it against the manifests of two candidate layouts and the
+    * skip fractions ARE the layout decision — a clustered layout
+    * shows ~range/span of rows scanned, an unclustered one shows
+    * every file surviving because each envelope spans the whole
+    * domain. Cost: one aggregate over manifest rows (files, not
+    * data) — at 100 TB this is the table you can afford to consult
+    * per query.
+    *
+    * The envelope test is conservative by construction (a surviving
+    * file may still contain no matching rows; a skipped one provably
+    * cannot), so `n_rows_scanned` upper-bounds the true matching
+    * rows — the same soundness contract as
+    * [[filesPossiblyContaining]].
+    */
+  def pruningEstimate(
+      manifest: DataFrame, statCol: String, lo: Column, hi: Column): DataFrame = {
+    val hit = col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi
+    manifest
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(when(hit, lit(1L)).otherwise(lit(0L))).as("n_files_scanned"),
+        sum(col("n_rows")).as("n_rows_total"),
+        sum(when(hit, col("n_rows")).otherwise(lit(0L))).as("n_rows_scanned"))
+      .withColumn("file_skip_fraction",
+        lit(1.0) - col("n_files_scanned").cast("double")
+          / col("n_files").cast("double"))
+      .withColumn("row_skip_fraction",
+        lit(1.0) - col("n_rows_scanned").cast("double")
+          / col("n_rows_total").cast("double"))
+  }
+
   /** Takedown / right-to-be-forgotten plan: given a manifest of ids
     * to purge (opt-out lists, DMCA notices, consent revocations),
     * report which physical files are impacted and how hard — the

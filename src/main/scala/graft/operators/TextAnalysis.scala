@@ -76,6 +76,38 @@ object TextAnalysis {
       meanWordLen.as("mean_word_len"))
   }
 
+  /** The inference half of a fasttext-style LINEAR quality
+    * classifier over the [[qualityFeatures]] surface: logit = bias +
+    * w·f, entirely codegen'd column arithmetic — no model runtime,
+    * no UDF, no shuffle; at 100 TB the gate costs exactly one
+    * feature scan. Weights come from any offline trainer (logistic
+    * regression on a labeled quality sample); this operator is the
+    * deploy path that keeps scoring inside whole-stage codegen.
+    *
+    * The logit is reported raw, not sigmoid'd: the decision boundary
+    * only needs its sign, ordering only needs monotonicity, and
+    * keeping `exp` out of the hashed surface keeps the score
+    * engine-portable (the transcendental-ulp rule). Character volume
+    * enters as n_chars/1024 — a power-of-two scaling, exact in IEEE
+    * — so the weight magnitudes stay comparable. The fixed
+    * left-to-right sum order makes the double arithmetic
+    * bit-reproducible on any engine stating the same expression.
+    */
+  def linearQualityScore(
+      df: DataFrame, idCol: String, textCol: String,
+      bias: Double, wStopword: Double, wPunct: Double,
+      wMeanWordLen: Double, wKChars: Double,
+      threshold: Double = 0.0): DataFrame =
+    qualityFeatures(df, idCol, textCol)
+      .select(col(idCol),
+        (lit(bias)
+          + lit(wStopword) * col("stopword_ratio")
+          + lit(wPunct) * col("punct_ratio")
+          + lit(wMeanWordLen) * col("mean_word_len")
+          + lit(wKChars) * (col("n_chars").cast("double") / lit(1024.0)))
+          .as("logit"))
+      .withColumn("keep", col("logit") > lit(threshold))
+
   /** Per-group token statistics (e.g. per language or per source):
     * docs, token sums, mean doc length. Partial aggregation at the
     * scan; only per-group partials shuffle.

@@ -494,6 +494,31 @@ object ExtensionQueries {
       |FROM (SELECT *, ' ' || text || ' ' AS p FROM documents)""".stripMargin
 
   // ---------------------------------------------------------------
+  // q112 — linear quality gate: a fasttext-style classifier's
+  // inference pass as pure codegen'd arithmetic over the q18
+  // features. The logit stays raw (sign decides; exp would be a
+  // transcendental on the hashed surface) and the oracle reuses
+  // q18's feature SQL verbatim, so engine and oracle share ONE
+  // feature definition. Weights are exact binary doubles.
+  // ---------------------------------------------------------------
+  def q112LinearQuality(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.linearQualityScore(
+      Tables.documents(spark, d), "doc_id", "text",
+      bias = -2.0, wStopword = 8.0, wPunct = -4.0,
+      wMeanWordLen = 0.25, wKChars = 0.5)
+
+  val q112Sql: String =
+    s"""WITH f AS ($q18Sql)
+       |SELECT doc_id,
+       |  -2.0 + 8.0 * stopword_ratio + (-4.0) * punct_ratio
+       |    + 0.25 * mean_word_len
+       |    + 0.5 * (CAST(n_chars AS DOUBLE) / 1024.0) AS logit,
+       |  (-2.0 + 8.0 * stopword_ratio + (-4.0) * punct_ratio
+       |    + 0.25 * mean_word_len
+       |    + 0.5 * (CAST(n_chars AS DOUBLE) / 1024.0)) > 0.0 AS keep
+       |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------
   // q19 — per-language token statistics.
   // ---------------------------------------------------------------
   def q19TokenStats(spark: SparkSession, d: String): DataFrame =
@@ -756,6 +781,7 @@ object ExtensionQueries {
     "q16_knn_lsh"            -> (q16KnnLsh _),
     "q17_lang_id"            -> (q17LangId _),
     "q18_text_quality"       -> (q18TextQuality _),
+    "q112_linear_quality"    -> (q112LinearQuality _),
     "q19_token_stats"        -> (q19TokenStats _),
     "q20_fingerprint"        -> (q20Fingerprint _),
     "q21_multimodal_meta"    -> (q21MultimodalMeta _),
@@ -782,6 +808,7 @@ object ExtensionQueries {
     "q16_knn_lsh"            -> q16Sql,
     "q17_lang_id"            -> q17Sql,
     "q18_text_quality"       -> q18Sql,
+    "q112_linear_quality"    -> q112Sql,
     "q19_token_stats"        -> q19Sql,
     "q20_fingerprint"        -> q20Sql,
     "q21_multimodal_meta"    -> q21Sql,

@@ -171,17 +171,59 @@ object ScaleQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q111 — zone-map pruning estimate: predicted scan cost of a ts
+  // range over the date-partitioned events layout, answered from the
+  // file manifest alone (files, not data). The scratch layout is one
+  // file per date (the q37 write), so the oracle's per-date groups
+  // ARE the files; the envelope test and skip fractions mirror
+  // expression-for-expression.
+  // ---------------------------------------------------------------
+  private val PruneLo = "2024-01-05 00:00:00"
+  private val PruneHi = "2024-01-07 12:00:00"
+
+  def q111PruningEstimate(spark: SparkSession, d: String): DataFrame = {
+    val dir = ensurePartitionedEvents(spark, d)
+    val manifest = graft.operators.Provenance.fileManifest(
+      spark.read.parquet(dir), Seq("ts"))
+    graft.operators.Provenance.pruningEstimate(manifest, "ts",
+      to_timestamp(lit(PruneLo)), to_timestamp(lit(PruneHi)))
+  }
+
+  val q111Sql: String =
+    s"""WITH f AS (
+       |  SELECT CAST(ts AS DATE) AS dt, CAST(count(*) AS BIGINT) AS n_rows,
+       |    min(CAST(ts AS TIMESTAMP)) AS mn, max(CAST(ts AS TIMESTAMP)) AS mx
+       |  FROM events GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_files,
+       |    CAST(sum(CASE WHEN mx >= TIMESTAMP '$PruneLo'
+       |      AND mn <= TIMESTAMP '$PruneHi' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_files_scanned,
+       |    CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+       |    CAST(sum(CASE WHEN mx >= TIMESTAMP '$PruneLo'
+       |      AND mn <= TIMESTAMP '$PruneHi' THEN n_rows ELSE 0 END) AS BIGINT)
+       |      AS n_rows_scanned
+       |  FROM f)
+       |SELECT n_files, n_files_scanned, n_rows_total, n_rows_scanned,
+       |  1.0 - CAST(n_files_scanned AS DOUBLE) / CAST(n_files AS DOUBLE)
+       |    AS file_skip_fraction,
+       |  1.0 - CAST(n_rows_scanned AS DOUBLE) / CAST(n_rows_total AS DOUBLE)
+       |    AS row_skip_fraction
+       |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_salted_distinct"   -> (q36SaltedDistinct _),
     "q37_partition_pruning" -> (q37PartitionPruning _),
     "q69_zorder_key"        -> (q69Zorder _),
     "q82_join_skew"         -> (q82JoinSkew _),
-    "q108_bucketed_join"    -> (q108BucketedJoin _))
+    "q108_bucketed_join"    -> (q108BucketedJoin _),
+    "q111_pruning_estimate" -> (q111PruningEstimate _))
 
   val oracleSql: Map[String, String] = Map(
     "q36_salted_distinct"   -> q36Sql,
     "q37_partition_pruning" -> q37Sql,
     "q69_zorder_key"        -> q69Sql,
     "q82_join_skew"         -> q82Sql,
-    "q108_bucketed_join"    -> q108Sql)
+    "q108_bucketed_join"    -> q108Sql,
+    "q111_pruning_estimate" -> q111Sql)
 }

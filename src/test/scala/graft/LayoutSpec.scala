@@ -86,4 +86,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(zx <= nFiles / 2, s"x-point should skip at least half the z-ordered files, survived $zx/$nFiles")
     assert(zy <= nFiles / 2, s"y-point should skip at least half the z-ordered files, survived $zy/$nFiles")
   }
+
+  test("pruningEstimate: clustered layout predicts hard skips; estimate is a sound upper bound") {
+    val rows = (0L until 1024L).map(i => Tuple1(i)).toDF("v")
+    val base = s"target/layout/pid-${ProcessHandle.current().pid()}"
+    val cDir = s"$base/prune_clustered"
+    Layout.writeClustered(rows, cDir, col("v"), 16)
+    val manifest = Provenance.fileManifest(spark.read.parquet(cDir), Seq("v"))
+    val est = Provenance.pruningEstimate(manifest, "v", lit(100L), lit(163L)).head()
+    assert(est.getLong(0) == 16L, "16-file layout")
+    // a 64-value range over 64-row files touches at most 3 envelopes
+    assert(est.getLong(1) <= 3L,
+      s"clustered layout must localize the range, scanned ${est.getLong(1)} files")
+    assert(est.getLong(2) == 1024L)
+    // soundness: the estimate upper-bounds the true matching rows
+    val truth = spark.read.parquet(cDir)
+      .filter(col("v") >= 100L && col("v") <= 163L).count()
+    assert(truth == 64L && est.getLong(3) >= truth)
+    assert(est.getDouble(4) == 1.0 - est.getLong(1).toDouble / 16.0)
+    assert(est.getDouble(5) == 1.0 - est.getLong(3).toDouble / 1024.0)
+    // an empty range (hi < lo) scans nothing
+    val none = Provenance.pruningEstimate(manifest, "v", lit(5000L), lit(6000L)).head()
+    assert(none.getLong(1) == 0L && none.getDouble(4) == 1.0)
+  }
 }

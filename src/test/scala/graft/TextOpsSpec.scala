@@ -109,4 +109,28 @@ class TextOpsSpec extends AnyFunSuite {
       Seq("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
     assert(rows.map(_.getLong(3)).toSeq === Seq(4L, 4L, 2L))
   }
+
+  test("linearQualityScore: hand-checked logit; weights separate prose from junk") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat is in the hat and the dog is of note"), // stopword-rich prose
+      (2L, "!!! ??? ;;; ... ,,, :::")                       // punctuation soup
+    ).toDF("doc_id", "text")
+    val scored = TextAnalysis.linearQualityScore(
+        docs, "doc_id", "text",
+        bias = -2.0, wStopword = 8.0, wPunct = -4.0,
+        wMeanWordLen = 0.25, wKChars = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the logit must be exactly the weighted fold of the q18 features
+    val feats = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      val f = feats(id)
+      val expected = -2.0 + 8.0 * f.getDouble(6) + -4.0 * f.getDouble(5) +
+        0.25 * f.getDouble(7) + 0.5 * (f.getLong(1).toDouble / 1024.0)
+      assert(scored(id).getDouble(1) == expected, s"logit mismatch for doc $id")
+    }
+    assert(scored(1L).getBoolean(2), "stopword-rich prose must pass")
+    assert(!scored(2L).getBoolean(2), "punctuation soup must not pass the gate")
+  }
 }
