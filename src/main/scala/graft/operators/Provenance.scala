@@ -77,11 +77,13 @@ object Provenance {
         sum(col("n_rows")).as("n_rows_total"),
         sum(when(hit, col("n_rows")).otherwise(lit(0L))).as("n_rows_scanned"))
       .withColumn("file_skip_fraction",
-        lit(1.0) - col("n_files_scanned").cast("double")
-          / col("n_files").cast("double"))
+        when(col("n_files") > 0,
+          lit(1.0) - col("n_files_scanned").cast("double")
+            / col("n_files").cast("double")))
       .withColumn("row_skip_fraction",
-        lit(1.0) - col("n_rows_scanned").cast("double")
-          / col("n_rows_total").cast("double"))
+        when(col("n_rows_total") > 0,
+          lit(1.0) - col("n_rows_scanned").cast("double")
+            / col("n_rows_total").cast("double")))
   }
 
   /** Takedown / right-to-be-forgotten plan: given a manifest of ids

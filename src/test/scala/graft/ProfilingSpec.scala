@@ -369,4 +369,37 @@ class ProfilingSpec extends AnyFunSuite {
     val nn = Profiling.countMinCounters(withNull, col("key"), 2, 8)
     assert(nn.agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0) == 4L)
   }
+
+  test("streaming CMS sink: estimates over the log equal the single-pass sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamingSketch
+    implicit val sqlCtx = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_cms").toString
+    val (log, ckpt) = (s"$scratch/cms", s"$scratch/ckpt")
+    val (depth, width) = (4, 64)
+
+    val stream = MemoryStream[(Long, String)]
+    val sq = StreamingSketch.cmsSink(
+      stream.toDF().toDF("id", "key"), col("key"), depth, width, log, ckpt)
+    val batch1 = (1 to 30).map(i => (i.toLong, s"k${i % 7}"))
+    val batch2 = (31 to 50).map(i => (i.toLong, s"k${i % 4}"))
+    stream.addData(batch1); sq.processAllAvailable()
+    stream.addData(batch2); sq.processAllAvailable()
+    sq.stop()
+
+    val all = (batch1 ++ batch2).map { case (i, k) => (i, k) }.toDF("id", "key")
+    val merged = StreamingSketch.readCounters(spark, log)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val single = Profiling.countMinCounters(all, col("key"), depth, width)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == single,
+      "the merged per-batch counter log must equal the single-pass sketch")
+
+    val est = StreamingSketch.readEstimates(
+        spark, log, all.select(col("key")).distinct(), col("key"), depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = (batch1 ++ batch2).groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    truth.foreach { case (k, n) => assert(est(k) >= n) }
+  }
 }
