@@ -642,4 +642,75 @@ object Profiling {
       .withColumn("bin", bin)
       .drop("_c", "_nc", "_off", "_N", "_v")
   }
+
+  /** Exact per-group order statistics — (group, p, n, quantile) for
+    * each requested probability — computed WITHOUT a per-group
+    * global sort: [[equalFrequencyBins]]' cell-partitioned prefix-sum
+    * rank machinery with the group key threaded through, so a group
+    * holding 90% of the corpus still ranks `cells`-way parallel.
+    * This is the p50/p90/p99 latency/size/score report at 100 TB:
+    * the naive `PARTITION BY group ORDER BY v` window (which the
+    * oracle deliberately states) sorts each group in ONE task;
+    * approx_percentile trades exactness away entirely. Here the
+    * quantile is the true order statistic: the row of group rank
+    * `max(1, ceil(p·N))` under the (value, tiebreak) total order —
+    * SQL-standard discrete quantile, deterministic via the tiebreak.
+    *
+    * Shuffles: a (group, cell) census whose prefix-sum window runs
+    * over census rows (groups × occupied cells, aggregate-scale), the
+    * (group, cell)-partitioned rank, and a broadcast of the
+    * groups × probs target table. Nulls/NaN values are fenced
+    * ([[histogram]]'s rationale); a NULL GROUP is a real group
+    * (null-safe joins throughout). `ceil(p·N)` is one IEEE multiply
+    * + ceil of exact operands — identical in any engine stating the
+    * same expression.
+    */
+  def quantilesByGroup(
+      df: DataFrame, value: Column, tiebreak: Column, group: Column,
+      probs: Seq[Double], cells: Int = 4096): DataFrame = {
+    require(probs.nonEmpty, "at least one probability required")
+    require(probs.forall(p => p > 0.0 && p <= 1.0),
+      s"probabilities must be in (0, 1], got $probs")
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    val nn = df.filter(value.isNotNull && !isnan(value.cast("double")))
+      .select(group.as("_g"), value.cast("double").as("_v"),
+        tiebreak.as("_tb"))
+    val bounds = nn.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx")).head()
+    if (bounds.isNullAt(0))
+      return nn.select(col("_g").as("group_key"),
+        lit(0.0).as("p"), lit(0L).as("n"), col("_v").as("quantile")).limit(0)
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val width = (mx - mn) / cells
+    val cell =
+      if (mx == mn) lit(0L)
+      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+    val base = nn.withColumn("_c", cell)
+    val wCells = W.partitionBy(col("_og")).orderBy(col("_oc"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offs = base
+      .groupBy(col("_g").as("_og"), col("_c").as("_oc"))
+      .agg(count(lit(1)).as("_nc"))
+      .withColumn("_off", coalesce(sum(col("_nc")).over(wCells), lit(0L)))
+      .withColumn("_N", sum(col("_nc")).over(
+        W.partitionBy(col("_og"))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val wRows = W.partitionBy(col("_g"), col("_c"))
+      .orderBy(col("_v").asc, col("_tb").asc)
+    val ranked = base
+      .join(broadcast(offs),
+        col("_g") <=> col("_og") && col("_c") === col("_oc"))
+      .withColumn("_rank", col("_off") + row_number().over(wRows)) // 1-based
+    val targets = offs.select(col("_og").as("_tg"), col("_N").as("_tN"))
+      .distinct()
+      .select(col("_tg"), col("_tN"),
+        explode(array(probs.map(lit(_)): _*)).as("p"))
+      .withColumn("_target",
+        greatest(lit(1L), ceil(col("p") * col("_tN").cast("double"))))
+    ranked
+      .join(broadcast(targets),
+        col("_g") <=> col("_tg") && col("_rank") === col("_target"))
+      .select(col("_g").as("group_key"), col("p"), col("_tN").as("n"),
+        col("_v").as("quantile"))
+  }
 }

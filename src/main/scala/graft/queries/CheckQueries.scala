@@ -1050,10 +1050,43 @@ object CheckQueries {
       |  CASE WHEN b.sd > 0.0 THEN c.sd / b.sd END AS stddev_ratio
       |FROM st b JOIN st c ON b.dim = c.dim AND b.side = 0 AND c.side = 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q113 — exact per-group quantiles (p50/p90/p99 of event value per
+  // event type): the true order statistic at group rank
+  // max(1, ceil(p·N)) under the (value, event_id) total order. The
+  // oracle states the naive per-group window sort; the engine ranks
+  // inside (group, cell) cells so no group ever sorts in one task.
+  // Probabilities cross engines as strings (decimal-literal trap).
+  // ---------------------------------------------------------------
+  private val QuantileProbs = Seq(0.5, 0.9, 0.99)
+
+  def q113GroupQuantiles(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.quantilesByGroup(
+      Tables.events(spark, d), col("value"), col("event_id"),
+      col("event_type"), QuantileProbs)
+
+  val q113Sql: String = {
+    val probsValues = QuantileProbs
+      .map(p => s"(CAST('$p' AS DOUBLE))").mkString(", ")
+    s"""WITH nn AS (SELECT event_type AS g, value AS v, event_id AS tb
+       |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+       |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM nn GROUP BY 1),
+       |r AS (SELECT g, v,
+       |    CAST(row_number() OVER (PARTITION BY g ORDER BY v, tb) AS BIGINT) AS rk
+       |  FROM nn),
+       |p AS (SELECT * FROM (VALUES $probsValues) t(p)),
+       |tg AS (SELECT g, p, n,
+       |    greatest(1, CAST(ceil(p * CAST(n AS DOUBLE)) AS BIGINT)) AS target
+       |  FROM cnt CROSS JOIN p)
+       |SELECT tg.g AS group_key, tg.p AS p, tg.n AS n, r.v AS quantile
+       |FROM tg JOIN r ON r.g = tg.g AND r.rk = tg.target""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_key_skew" -> (q101KeySkew _),
     "q107_cms_counts" -> (q107CmsCounts _),
     "q110_embedding_drift" -> (q110EmbeddingDrift _),
+    "q113_group_quantiles" -> (q113GroupQuantiles _),
     "q106_quantile_drift" -> (q106QuantileDrift _),
     "q102_eqfreq_bins" -> (q102EqFreqBins _),
     "q99_suppress_under_k" -> (q99SuppressUnderK _),
@@ -1085,6 +1118,7 @@ object CheckQueries {
     "q101_key_skew" -> q101Sql,
     "q107_cms_counts" -> q107Sql,
     "q110_embedding_drift" -> q110Sql,
+    "q113_group_quantiles" -> q113Sql,
     "q106_quantile_drift" -> q106Sql,
     "q102_eqfreq_bins" -> q102Sql,
     "q99_suppress_under_k" -> q99Sql,

@@ -406,6 +406,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-cell offsets (sources x cells rows) must broadcast:\n$p")
   }
 
+  test("q113: group-quantile ranks window inside (group, cell); targets broadcast") {
+    val p = plan(graft.queries.CheckQueries.q113GroupQuantiles(spark, d))
+    assert("row_number\\(\\) windowspecdefinition\\(_g#\\d+, _c#".r.findAllIn(p).nonEmpty,
+      "the rank window must partition by (group, cell) — a whole-group " +
+        s"window would sort the hottest group in one task:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"cell offsets and quantile targets must both broadcast:\n$p")
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))

@@ -370,6 +370,34 @@ class ProfilingSpec extends AnyFunSuite {
     assert(nn.agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0) == 4L)
   }
 
+  test("quantilesByGroup: true per-group order statistics; ties and null groups behave") {
+    import org.apache.spark.sql.functions.col
+    val rows =
+      (1 to 100).map(i => (Some("a"), i.toDouble, i.toLong)) ++
+      (1 to 10).map(i => (Some("b"), i.toDouble, (100 + i).toLong)) ++
+      Seq((Option.empty[String], 7.0, 200L), (Option.empty[String], 9.0, 201L))
+    val df = rows.toDF("g", "v", "id")
+    val probs = Seq(0.5, 0.9, 0.99)
+    val out = Profiling.quantilesByGroup(df, col("v"), col("id"), col("g"), probs, cells = 8)
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1)) -> r.getDouble(3)).toMap
+    // mirror of the operator's rank rule, same IEEE expression
+    def expect(n: Int, p: Double, vs: Seq[Double]): Double =
+      vs.sorted.apply((math.max(1L, math.ceil(p * n).toLong) - 1).toInt)
+    probs.foreach { p =>
+      assert(out((Some("a"), p)) == expect(100, p, (1 to 100).map(_.toDouble)),
+        s"group a p=$p")
+      assert(out((Some("b"), p)) == expect(10, p, (1 to 10).map(_.toDouble)),
+        s"group b p=$p")
+      assert(out((None, p)) == expect(2, p, Seq(7.0, 9.0)), s"null group p=$p")
+    }
+    assert(out.size == 9, "groups x probs rows, null group included")
+    // all-tied values: the order statistic is the tied value at any p
+    val tied = Seq(("t", 5.0, 1L), ("t", 5.0, 2L), ("t", 5.0, 3L)).toDF("g", "v", "id")
+    val tq = Profiling.quantilesByGroup(tied, col("v"), col("id"), col("g"), Seq(0.5))
+      .head()
+    assert(tq.getDouble(3) == 5.0 && tq.getLong(2) == 3L)
+  }
+
   test("streaming CMS sink: estimates over the log equal the single-pass sketch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
