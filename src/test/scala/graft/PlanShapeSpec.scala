@@ -415,6 +415,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cell offsets and quantile targets must both broadcast:\n$p")
   }
 
+  test("runtime bloom filter: a selective dim filter reaches the fact side as a semi-join filter") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set(keys(0), "-1") // force SMJ — broadcast already prunes at the join
+    spark.conf.set(keys(1), "true")
+    spark.conf.set(keys(2), "0")    // sf0.1 stands in for the 10GB+ fact
+    spark.conf.set(keys(3), "100MB")
+    try {
+      val li = graft.Tables.lineitem(spark, d)
+      val pt = graft.Tables.part(spark, d).filter(col("p_partkey") % 100 === 0)
+      val q = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString.toLowerCase
+      assert(p.contains("bloomfilter") || p.contains("bloom_filter"),
+        "the optimizer must inject a bloom-filter semi-join: the dim side's " +
+          "selective filter builds a bloom filter that prunes fact rows at " +
+          s"the scan, before the shuffle:\n$p")
+      assert(q.head().getLong(0) > 0, "the filtered join still matches rows")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
