@@ -56,4 +56,27 @@ object StreamingIncremental {
     * folded in. */
   def readSeries(spark: SparkSession, path: String): DataFrame =
     Incremental.mergePartials(spark.read.parquet(path))
+
+  /** Compact a partials log: merge every appended batch into ONE
+    * partials table at `outPath` (side-by-side — never in place, the
+    * [[graft.operators.Provenance.compact]] discipline), then verify
+    * by read-back that per-key totals are IDENTICAL before
+    * returning. The swap stays with the caller; a sink that keeps
+    * appending during compaction is fine as long as the swap also
+    * re-points the reader at rows appended after the cut (read the
+    * compacted table + the post-cut tail).
+    *
+    * Throws (and leaves `outPath` for inspection) on any totals
+    * mismatch rather than silently blessing a lossy rewrite.
+    */
+  def compactLog(spark: SparkSession, path: String, outPath: String): Unit = {
+    readSeries(spark, path).write.mode("error").parquet(outPath)
+    val before = readTotals(spark, path)
+    val after = Incremental.keyTotals(spark.read.parquet(outPath))
+    val lost = before.exceptAll(after).count()
+    val gained = after.exceptAll(before).count()
+    require(lost == 0 && gained == 0,
+      s"compacted partials diverge from the log ($lost lost / $gained new " +
+        s"total rows) — do NOT swap $outPath in")
+  }
 }

@@ -80,5 +80,21 @@ class IncrementalSpec extends AnyFunSuite {
     assert((series.head.getLong(2), series.head.getLong(3)) == (3L, 19L))
     // the log holds per-batch partials (append-only), more rows than buckets
     assert(spark.read.parquet(log).count() == 5L) // 2 + 3 per-batch bucket rows
+
+    // compaction: one row per (key, bucket), totals identical, verified
+    val compacted = s"$scratch/compacted"
+    StreamingIncremental.compactLog(spark, log, compacted)
+    assert(spark.read.parquet(compacted).count() == 4L) // a:2 buckets, b:2
+    assert(totalsMap(Incremental.keyTotals(spark.read.parquet(compacted))) == totals)
+    // a lossy rewrite is refused loudly: drop a row and re-verify
+    val tampered = s"$scratch/tampered"
+    spark.read.parquet(compacted).filter($"key" =!= "b").write.parquet(tampered)
+    val e = intercept[IllegalArgumentException] {
+      val after = Incremental.keyTotals(spark.read.parquet(tampered))
+      val before = StreamingIncremental.readTotals(spark, log)
+      require(before.exceptAll(after).count() == 0 &&
+        after.exceptAll(before).count() == 0, "compacted partials diverge — do NOT swap")
+    }
+    assert(e.getMessage.contains("diverge"))
   }
 }
