@@ -75,8 +75,15 @@ object Bench {
       else {
         val warm = Seq.fill(math.max(1, warmPasses))(once())
         val firstErr = warm.collectFirst { case (_, Some(e)) => e }
-        QueryResult(name, warm.map(_._1).min, coldSec, warm.map(_._1),
-          firstErr)
+        // min over SUCCESSFUL passes only: a transient failure
+        // fast-fails in milliseconds, and folding that into the min
+        // would report a bogus near-zero cost for a query that also
+        // errored. If every warm pass failed, fall back to the cold
+        // (successful) timing; the error still rides along and the
+        // run still exits nonzero.
+        val ok = warm.collect { case (s, None) => s }
+        val sec = if (ok.nonEmpty) ok.min else coldSec
+        QueryResult(name, sec, coldSec, warm.map(_._1), firstErr)
       }
     }
 

@@ -29,7 +29,13 @@ object Association {
     * or the one mega-group becomes the straggler.
     *
     * Null items are excluded (a null "item" is absence, not a
-    * co-occurring thing).
+    * co-occurring thing). Group keys compare with Spark's JOIN
+    * equality, which is type-dependent: a top-level NULL group never
+    * joins (its rows silently contribute no pairs), while a STRUCT
+    * group whose fields are NULL compares field-wise null-safe and
+    * forms a real group. Callers composing struct group keys from
+    * nullable columns should fence them upstream
+    * (`filter(c.isNotNull)`) if null-keyed groups are not wanted.
     */
   def coOccurrencePairs(
       df: DataFrame, group: Column, item: Column,

@@ -378,7 +378,12 @@ object Checks {
       .when(raw === 0L, floor(v / pow(lit(10.0), e - 1)).cast("long"))
       .otherwise(raw)
     val counts = df
-      .filter(valueCol.isNotNull && v > 0 && !isnan(v))
+      // ±Infinity carries no first digit either: it would pass v > 0
+      // (after abs), make e and v/10^e NaN, count under a phantom
+      // digit the spine drops — yet still inflate _t and deflate
+      // every observed_p. Fence it like NaN.
+      .filter(valueCol.isNotNull && v > 0 && !isnan(v) &&
+        v =!= lit(Double.PositiveInfinity))
       .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
     val expected = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
     val spine = expected.toDF("digit_i", "expected_p")
@@ -491,6 +496,13 @@ object Checks {
     require(quasiCols.nonEmpty, "at least one quasi-identifier column required")
     require(!df.columns.contains("_class_n"),
       "input already has a '_class_n' column; rename it first")
+    // the census side renames each quasi col to _q_<name>; an input
+    // already carrying that name would make the join condition's
+    // col("_q_<name>") resolve against BOTH sides and fail with an
+    // opaque AMBIGUOUS_REFERENCE — refuse clearly instead
+    val renameClashes = quasiCols.map(c => s"_q_$c").filter(df.columns.contains)
+    require(renameClashes.isEmpty,
+      s"input already has ${renameClashes.mkString(", ")}; rename before suppressUnderK")
     val sizes = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("_class_n"))
       .select((quasiCols.map(c => col(c).as(s"_q_$c")) :+ col("_class_n")): _*)

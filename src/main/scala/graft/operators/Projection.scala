@@ -58,10 +58,15 @@ object Projection {
     */
   def fitPca(df: DataFrame, vecCol: String, k: Int,
       dimThreshold: Int = 512): PcaModel = {
-    // dim probe from one row (cheap; the fit is eager anyway)
-    val first = df.select(vecCol).limit(1).collect()
-    require(first.nonEmpty, "empty input: no rows to fit")
-    val dim = first(0).getSeq[Any](0).length
+    // dim probe (cheap; the fit is eager anyway). A null-filtered
+    // aggregate, NOT limit(1): limit on a multi-partition frame
+    // returns an arbitrary row — a null or short first vector would
+    // make the exact-vs-iterative dispatch nondeterministic (or NPE).
+    // max(size) ignores nulls and is stable; ragged inputs still hit
+    // the loud per-path require downstream.
+    val probed = df.select(max(size(col(vecCol))).as("_d")).collect()(0)
+    require(!probed.isNullAt(0), "empty input: no non-null vectors to fit")
+    val dim = probed.getInt(0)
     if (dim <= dimThreshold) fitPcaExact(df, vecCol, k)
     else fitPcaIterative(df, vecCol, k)
   }

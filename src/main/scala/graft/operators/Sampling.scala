@@ -162,9 +162,15 @@ object Sampling {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     import org.apache.spark.sql.expressions.Window
+    // NULL weight counts as 0: the row is kept whenever its position
+    // is inside the budget and never consumes any of it. Without the
+    // coalesce a null would poison the per-bucket sums (an all-null
+    // bucket gets _wb = NULL and every row of it fails BOTH the
+    // full-keep and the boundary predicate — vanishing from the
+    // output with no error).
     val base = df
       .withColumn("_score", hashScore(col(idCol)))
-      .withColumn("_w", weight.cast("long"))
+      .withColumn("_w", coalesce(weight.cast("long"), lit(0L)))
       .withColumn("_b", floor(col("_score") * buckets).cast("long"))
     val perBucket = base.groupBy(col("_b")).agg(sum(col("_w")).as("_wb"))
     // ≤ `buckets` rows: the unpartitioned window is config-sized by

@@ -288,15 +288,11 @@ object Temporal {
   def rollingBucketTotals(
       events: DataFrame, key: Column, ts: Column, weight: Column,
       bucketSeconds: Long, windowBuckets: Int): DataFrame = {
-    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
     require(windowBuckets >= 1, s"windowBuckets must be >= 1, got $windowBuckets")
     val width = bucketSeconds * 1000000L
-    val us = unix_micros(ts)
-    val daily = events
-      .select(key.as("key"), (us - pmod(us, lit(width))).as("bucket_start_us"),
-        weight.cast("long").as("_w"))
-      .groupBy(col("key"), col("bucket_start_us"))
-      .agg(count(lit(1)).as("n"), sum(col("_w")).as("w_sum"))
+    // the per-(key, bucket) collapse IS the incremental partials
+    // contract — one definition of the bucket arithmetic, shared
+    val daily = Incremental.bucketPartials(events, key, ts, weight, bucketSeconds)
     val frame = Window.partitionBy(col("key"))
       .orderBy(col("bucket_start_us").asc)
       .rangeBetween(-width * (windowBuckets - 1L), 0L)

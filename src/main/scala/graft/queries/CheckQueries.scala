@@ -774,7 +774,8 @@ object CheckQueries {
        |  SELECT abs(CAST(l_extendedprice AS DOUBLE)) AS v FROM lineitem
        |  WHERE l_extendedprice IS NOT NULL
        |    AND abs(CAST(l_extendedprice AS DOUBLE)) > 0
-       |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+       |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+       |    AND NOT isinf(CAST(l_extendedprice AS DOUBLE))),
        |d0 AS (SELECT v,
        |    CAST(floor(v / power(10.0, floor(log10(v)))) AS BIGINT) AS raw
        |  FROM vals),

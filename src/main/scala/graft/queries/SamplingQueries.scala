@@ -254,7 +254,8 @@ object SamplingQueries {
 
   val q97Sql: String =
     s"""WITH base AS (
-       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS w, $scoreSql AS s
+       |  SELECT doc_id, COALESCE(CAST(length(text) AS BIGINT), CAST(0 AS BIGINT)) AS w,
+       |    $scoreSql AS s
        |  FROM documents),
        |b AS (SELECT *, CAST(floor(s * $BudgetBuckets) AS BIGINT) AS bk FROM base),
        |pb AS (SELECT bk, CAST(sum(w) AS BIGINT) AS wb FROM b GROUP BY 1),

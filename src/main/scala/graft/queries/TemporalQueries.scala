@@ -276,8 +276,12 @@ object TemporalQueries {
 
   def q104CoPairs(spark: SparkSession, d: String): DataFrame = {
     val us = unix_micros(col("ts"))
+    // user_id fenced on BOTH sides: the struct group key compares its
+    // fields null-safe in Spark's join while the oracle's
+    // `a.user_id = b.user_id` is null-rejecting — a NULL user would
+    // silently diverge engine vs oracle (Association scaladoc).
     Association.coOccurrencePairs(
-      Tables.events(spark, d),
+      Tables.events(spark, d).filter(col("user_id").isNotNull),
       struct(col("user_id"), (us - pmod(us, lit(DayUs))).as("d")),
       col("event_type"), CoPairMinSupport)
   }
@@ -286,7 +290,7 @@ object TemporalQueries {
     s"""WITH gi AS (
        |  SELECT DISTINCT user_id,
        |    epoch_us(ts) - epoch_us(ts) % $DayUs AS d, event_type AS i
-       |  FROM events),
+       |  FROM events WHERE user_id IS NOT NULL),
        |p AS (
        |  SELECT a.i AS item_a, b.i AS item_b
        |  FROM gi a JOIN gi b ON a.user_id = b.user_id AND a.d = b.d AND a.i < b.i)

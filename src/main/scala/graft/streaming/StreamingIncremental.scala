@@ -61,18 +61,36 @@ object StreamingIncremental {
     * partials table at `outPath` (side-by-side — never in place, the
     * [[graft.operators.Provenance.compact]] discipline), then verify
     * by read-back that per-key totals are IDENTICAL before
-    * returning. The swap stays with the caller; a sink that keeps
-    * appending during compaction is fine as long as the swap also
-    * re-points the reader at rows appended after the cut (read the
-    * compacted table + the post-cut tail).
+    * returning. The CUT is the log's file set listed once up front:
+    * both the rewrite and the verify read exactly that snapshot, so a
+    * sink that keeps appending during compaction cannot fail the
+    * verify spuriously (its new files are simply outside the cut).
+    * Returns the snapshot's file paths — the caller's swap replaces
+    * exactly those files with the compacted table and keeps the
+    * post-cut tail.
     *
     * Throws (and leaves `outPath` for inspection) on any totals
     * mismatch rather than silently blessing a lossy rewrite.
     */
-  def compactLog(spark: SparkSession, path: String, outPath: String): Unit = {
-    readSeries(spark, path).write.mode("error").parquet(outPath)
-    val before = readTotals(spark, path)
+  def compactLog(spark: SparkSession, path: String, outPath: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cut = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq.sorted
+    require(cut.nonEmpty, s"no parquet files to compact under $path")
+    val snapshot = Incremental.mergePartials(spark.read.parquet(cut: _*))
+    snapshot.write.mode("error").parquet(outPath)
+    val before = Incremental.keyTotals(spark.read.parquet(cut: _*))
     val after = Incremental.keyTotals(spark.read.parquet(outPath))
+    verifyLossless(before, after, outPath)
+    cut
+  }
+
+  /** The compaction gate: require `after` to carry IDENTICAL per-key
+    * totals to `before`, else throw. Factored out of [[compactLog]]
+    * so the refusal path is directly testable. */
+  def verifyLossless(before: DataFrame, after: DataFrame, outPath: String): Unit = {
     val lost = before.exceptAll(after).count()
     val gained = after.exceptAll(before).count()
     require(lost == 0 && gained == 0,

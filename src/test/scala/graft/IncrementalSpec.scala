@@ -83,17 +83,33 @@ class IncrementalSpec extends AnyFunSuite {
 
     // compaction: one row per (key, bucket), totals identical, verified
     val compacted = s"$scratch/compacted"
-    StreamingIncremental.compactLog(spark, log, compacted)
+    val cut = StreamingIncremental.compactLog(spark, log, compacted)
     assert(spark.read.parquet(compacted).count() == 4L) // a:2 buckets, b:2
     assert(totalsMap(Incremental.keyTotals(spark.read.parquet(compacted))) == totals)
-    // a lossy rewrite is refused loudly: drop a row and re-verify
-    val tampered = s"$scratch/tampered"
-    spark.read.parquet(compacted).filter($"key" =!= "b").write.parquet(tampered)
+
+    // the cut is the exact file set compacted: a file appended AFTER
+    // the cut (a sink still running) is outside it, and the caller's
+    // swap discipline (compacted table + post-cut tail) reproduces
+    // the full log's totals
+    Incremental.bucketPartials(
+      Seq(("c", ts("2024-01-05 01:00:00"), 9L)).toDF("k", "t", "w"),
+      $"k", $"t", $"w", 86400L)
+      .write.mode("append").parquet(log)
+    val allFiles = new java.io.File(log).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.toURI.toString)
+    val tail = allFiles.filterNot(f => cut.exists(c =>
+      new org.apache.hadoop.fs.Path(c).getName == new org.apache.hadoop.fs.Path(f).getName))
+    assert(tail.length == 1, "exactly the post-cut append is outside the cut")
+    val swapped = Incremental.keyTotals(Incremental.mergePartials(
+      spark.read.parquet(compacted).unionByName(spark.read.parquet(tail: _*))))
+    assert(totalsMap(swapped) == totals + ("c" -> (1L, 9L)))
+
+    // a lossy rewrite is refused loudly by the PRODUCTION gate
+    val before = Incremental.keyTotals(spark.read.parquet(compacted))
+    val lossy = before.filter($"key" =!= "b")
     val e = intercept[IllegalArgumentException] {
-      val after = Incremental.keyTotals(spark.read.parquet(tampered))
-      val before = StreamingIncremental.readTotals(spark, log)
-      require(before.exceptAll(after).count() == 0 &&
-        after.exceptAll(before).count() == 0, "compacted partials diverge — do NOT swap")
+      StreamingIncremental.verifyLossless(before, lossy, compacted)
     }
     assert(e.getMessage.contains("diverge"))
   }
