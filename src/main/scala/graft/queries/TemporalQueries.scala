@@ -297,6 +297,39 @@ object TemporalQueries {
        |SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_groups
        |FROM p GROUP BY 1, 2 HAVING count(*) >= $CoPairMinSupport""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q114 — association strength over the q104 pair census: lift and
+  // both conditional confidences from exact integer marginals. Every
+  // score is ONE correctly-rounded double op over integers (products
+  // stay below 2^53), so it hash-matches cross-engine — the reason
+  // there is deliberately no log-PMI column.
+  // ---------------------------------------------------------------
+  def q114PairLift(spark: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    Association.pairLift(
+      Tables.events(spark, d).filter(col("user_id").isNotNull),
+      struct(col("user_id"), (us - pmod(us, lit(DayUs))).as("d")),
+      col("event_type"), CoPairMinSupport)
+  }
+
+  val q114Sql: String =
+    s"""WITH gi AS (
+       |  SELECT DISTINCT user_id,
+       |    epoch_us(ts) - epoch_us(ts) % $DayUs AS d, event_type AS i
+       |  FROM events WHERE user_id IS NOT NULL),
+       |pairs AS (
+       |  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_groups
+       |  FROM gi a JOIN gi b ON a.user_id = b.user_id AND a.d = b.d AND a.i < b.i
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoPairMinSupport),
+       |marg AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM gi GROUP BY 1),
+       |tot AS (SELECT CAST(count(DISTINCT (user_id, d)) AS BIGINT) AS n_total FROM gi)
+       |SELECT item_a, item_b, n_groups, ma.n_i AS n_a, mb.n_i AS n_b, n_total,
+       |  CAST(n_groups * n_total AS DOUBLE) / CAST(ma.n_i * mb.n_i AS DOUBLE) AS lift,
+       |  CAST(n_groups AS DOUBLE) / CAST(ma.n_i AS DOUBLE) AS conf_a_b,
+       |  CAST(n_groups AS DOUBLE) / CAST(mb.n_i AS DOUBLE) AS conf_b_a
+       |FROM pairs JOIN marg ma ON pairs.item_a = ma.i
+       |JOIN marg mb ON pairs.item_b = mb.i CROSS JOIN tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_asof_join" -> (q33AsofJoin _),
     "q34_sessions"  -> (q34Sessions _),
@@ -307,7 +340,8 @@ object TemporalQueries {
     "q88_transitions" -> (q88Transitions _),
     "q100_rolling_daily" -> (q100RollingDaily _),
     "q103_activity_churn" -> (q103Churn _),
-    "q104_copair_support" -> (q104CoPairs _))
+    "q104_copair_support" -> (q104CoPairs _),
+    "q114_pair_lift" -> (q114PairLift _))
 
   val oracleSql: Map[String, String] = Map(
     "q33_asof_join" -> q33Sql,
@@ -319,5 +353,6 @@ object TemporalQueries {
     "q88_transitions" -> q88Sql,
     "q100_rolling_daily" -> q100Sql,
     "q103_activity_churn" -> q103Sql,
-    "q104_copair_support" -> q104Sql)
+    "q104_copair_support" -> q104Sql,
+    "q114_pair_lift" -> q114Sql)
 }

@@ -353,6 +353,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "pair generation must stay an equi-join on the group key")
   }
 
+  test("q114: marginals and total ride broadcast; the census exchange is still reused") {
+    val lift = graft.queries.TemporalQueries.q114PairLift(spark, d)
+    lift.collect()
+    val p = lift.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"pairLift's three uses of distinct (group,item) must share one exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "item marginals (≤ item-domain rows) must broadcast onto the pair table")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row group total must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "no non-broadcast cartesian anywhere in the scoring join")
+  }
+
   test("q105: every shuffle runs on the partials key space, never raw event columns") {
     val p = plan(graft.queries.PipelineQueries.q105IncrementalTotals(spark, d))
     // two scans are the POINT (the split-history demo); what must hold
