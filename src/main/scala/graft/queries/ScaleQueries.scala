@@ -211,13 +211,60 @@ object ScaleQueries {
        |    AS row_skip_fraction
        |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q115 — link-graph importance (integer fixed-point PageRank) over
+  // the customer↔supplier purchase graph: 3 damped rounds in integer
+  // micro-units, so an ITERATIVE graph algorithm hash-matches the
+  // oracle exactly (every op is long arithmetic — no double sums, no
+  // order sensitivity). The oracle unrolls the three rounds as CTEs
+  // with the identical div/truncation rule; DuckDB's `//` and
+  // Spark's `div` agree on the all-positive ranks here.
+  // ---------------------------------------------------------------
+  def q115PageRank(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
+    val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        concat(lit("c:"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    // symmetrize: importance flows both ways in a bipartite purchase
+    // graph (and no node dangles)
+    val edges = raw.union(raw.select(col("b").as("a"), col("a").as("b")))
+    graft.operators.Graph.pageRankInt(edges, col("a"), col("b"), iterations = 3)
+  }
+
+  val q115Sql: String = {
+    def contrib(prev: String, i: Int): String =
+      s"""c$i AS (SELECT e.dst AS node, CAST(sum(r.rank // dg.d) AS BIGINT) AS s
+         |  FROM e JOIN $prev r ON e.src = r.node JOIN deg dg ON e.src = dg.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |    CAST(150000 + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS rank
+         |  FROM n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+    s"""WITH raw AS (
+       |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+       |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM raw
+       |      UNION SELECT b, a FROM raw),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n),
+       |${contrib("r0", 1)},
+       |${contrib("r1", 2)},
+       |${contrib("r2", 3)}
+       |SELECT node, rank FROM r3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_salted_distinct"   -> (q36SaltedDistinct _),
     "q37_partition_pruning" -> (q37PartitionPruning _),
     "q69_zorder_key"        -> (q69Zorder _),
     "q82_join_skew"         -> (q82JoinSkew _),
     "q108_bucketed_join"    -> (q108BucketedJoin _),
-    "q111_pruning_estimate" -> (q111PruningEstimate _))
+    "q111_pruning_estimate" -> (q111PruningEstimate _),
+    "q115_pagerank"         -> (q115PageRank _))
 
   val oracleSql: Map[String, String] = Map(
     "q36_salted_distinct"   -> q36Sql,
@@ -225,5 +272,6 @@ object ScaleQueries {
     "q69_zorder_key"        -> q69Sql,
     "q82_join_skew"         -> q82Sql,
     "q108_bucketed_join"    -> q108Sql,
-    "q111_pruning_estimate" -> q111Sql)
+    "q111_pruning_estimate" -> q111Sql,
+    "q115_pagerank"         -> q115Sql)
 }
