@@ -481,6 +481,89 @@ object Profiling {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Fixed-bounds equi-width histogram — the MERGEABLE variant of
+    * [[histogram]]: with `lo`/`hi`/`bins` fixed by the caller instead
+    * of derived from the data, two shards' histograms merge by plain
+    * integer addition of per-bin counts (union + groupBy(bin) + sum —
+    * the Count-Min / [[Incremental]] partials discipline), so the
+    * at-rest distribution census rolls forward per ingest batch with
+    * no history rescans. The price of mergeability is the fixed
+    * domain: values outside [lo, hi) CLAMP into the edge bins rather
+    * than dropping, so bin totals always cover the whole non-null
+    * population and quantiles over the merged table
+    * ([[histogramQuantile]]) stay defined — degraded only inside the
+    * edge bins, which is visible as edge-bin mass. NaN and null are
+    * fenced like [[histogram]].
+    *
+    * One scan, map-side partial aggregation to ≤ `bins` rows; the
+    * bin-edge arithmetic is the same literal-width IEEE expression on
+    * both engines, so assignments hash-match the oracle.
+    */
+  def histogramFixed(
+      df: DataFrame, value: Column, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val nn = df.filter(value.isNotNull && !isnan(value.cast("double")))
+    val bin = least(lit(bins - 1L),
+      greatest(lit(0L), floor((value.cast("double") - lit(lo)) / lit(width))))
+    val counts = nn.groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+    df.sparkSession.range(0, bins).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(
+        col("bin"),
+        (lit(lo) + col("bin") * lit(width)).as("lo"),
+        (lit(lo) + (col("bin") + lit(1L)) * lit(width)).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Quantile estimates from a histogram table (`bin, lo, hi, n` —
+    * [[histogram]] or a merged [[histogramFixed]] log): for each
+    * probability p, the first bin whose cumulative count reaches
+    * `ceil(p · N)`, with the classic within-bin linear interpolation
+    * as the point estimate. This is the approximate-quantile path
+    * that costs O(bins) AFTER the one-scan census — the 100 TB
+    * monitoring complement to [[quantilesByGroup]]'s exact order
+    * statistics: a drift dashboard re-estimates quantiles every batch
+    * from the merged partials without touching raw history.
+    *
+    * All arithmetic is engine-portable: targets are `ceil` of one
+    * double product over exact integers, the bin walk is integer
+    * cumulative sums over ≤ `bins` rows (a config-sized window, not a
+    * data-scale sort), and the interpolation is a replayable chain of
+    * correctly-rounded double ops. Probabilities cross to the oracle
+    * as stringified literals (the [[quantilesByGroup]] convention).
+    * Empty input (N = 0) returns no rows rather than NaN estimates.
+    */
+  def histogramQuantile(hist: DataFrame, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probabilities must be in (0, 1], got $probs")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    // total rides as a second window over the SAME ≤ bins rows, so
+    // the histogram input (often a full scan upstream) evaluates
+    // exactly once — a separate agg would recompute it
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(
+        W.orderBy(col("bin")).rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("_total", sum(col("n")).over(
+        W.orderBy(col("bin"))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .filter(col("_total") > 0)
+    val ps = probs.toDF("p")
+    cum.crossJoin(broadcast(ps))
+      .withColumn("target", ceil(col("p") * col("_total").cast("double")))
+      .filter(col("cum") >= col("target") &&
+        (col("cum") - col("n")) < col("target"))
+      .select(
+        col("p"), col("bin"), col("lo"), col("hi"), col("n"), col("cum"),
+        (col("lo") + (col("hi") - col("lo")) *
+          ((col("target") - (col("cum") - col("n"))).cast("double") /
+            col("n").cast("double"))).as("estimate"))
+  }
+
   def topValues(df: DataFrame, cols: Seq[String], k: Int, salts: Int = 32): DataFrame = {
     require(cols.nonEmpty && k >= 1, "need columns and k >= 1")
     val W = org.apache.spark.sql.expressions.Window

@@ -485,6 +485,56 @@ object CheckQueries {
        |FROM spine LEFT JOIN c USING (bin)""".stripMargin
 
   // ---------------------------------------------------------------
+  // q116 — approximate quantiles from MERGEABLE fixed-bounds
+  // histogram partials: p50/p90/p99 of events.value estimated from a
+  // 50-bin [0, 500) census — the monitoring path that re-estimates
+  // quantiles per ingest batch by integer-adding bin counts, no
+  // history rescans (exact counterpart: q113). Bounds chosen so
+  // width = 10.0 exactly; targets are ceil of one double product;
+  // interpolation is a replayable chain of correctly-rounded ops;
+  // probabilities cross as stringified literals.
+  // ---------------------------------------------------------------
+  private val HqLo = 0.0
+  private val HqHi = 500.0
+  private val HqBins = 50
+  private val HqProbs = Seq(0.5, 0.9, 0.99)
+
+  def q116HistQuantiles(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.histogramQuantile(
+      graft.operators.Profiling.histogramFixed(
+        Tables.events(spark, d), col("value"), HqLo, HqHi, HqBins),
+      HqProbs)
+
+  val q116Sql: String = {
+    val width = (HqHi - HqLo) / HqBins
+    val probsValues = HqProbs.map(p => s"(CAST('$p' AS DOUBLE))").mkString(", ")
+    s"""WITH c AS (
+       |  SELECT least(${HqBins - 1}, greatest(0,
+       |      CAST(floor((value - CAST('$HqLo' AS DOUBLE)) / CAST('$width' AS DOUBLE)) AS BIGINT)))
+       |    AS bin, CAST(count(*) AS BIGINT) AS n
+       |  FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1),
+       |h AS (
+       |  SELECT spine.bin,
+       |    CAST('$HqLo' AS DOUBLE) + spine.bin * CAST('$width' AS DOUBLE) AS lo,
+       |    CAST('$HqLo' AS DOUBLE) + (spine.bin + 1) * CAST('$width' AS DOUBLE) AS hi,
+       |    COALESCE(n, 0) AS n
+       |  FROM (SELECT unnest(range(0, $HqBins)) AS bin) spine LEFT JOIN c USING (bin)),
+       |cum AS (
+       |  SELECT bin, lo, hi, n,
+       |    CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(n) OVER () AS BIGINT) AS total
+       |  FROM h),
+       |ps AS (SELECT * FROM (VALUES $probsValues) AS t(p))
+       |SELECT p, bin, lo, hi, n, cum,
+       |  lo + (hi - lo) * (CAST(target - (cum - n) AS DOUBLE) / CAST(n AS DOUBLE)) AS estimate
+       |FROM (
+       |  SELECT p, bin, lo, hi, n, cum,
+       |    CAST(ceil(p * CAST(total AS DOUBLE)) AS BIGINT) AS target
+       |  FROM cum CROSS JOIN ps WHERE total > 0)
+       |WHERE cum >= target AND (cum - n) < target""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q81 — inclusion-dependency profile (FK discovery): distinct-value
   // containment for four candidate edges — three intact (coefficient
   // 1.0 / organic) and one deliberately violated (parent filtered to
@@ -1089,6 +1139,7 @@ object CheckQueries {
     "q110_embedding_drift" -> (q110EmbeddingDrift _),
     "q113_group_quantiles" -> (q113GroupQuantiles _),
     "q106_quantile_drift" -> (q106QuantileDrift _),
+    "q116_hist_quantiles" -> (q116HistQuantiles _),
     "q102_eqfreq_bins" -> (q102EqFreqBins _),
     "q99_suppress_under_k" -> (q99SuppressUnderK _),
     "q98_privacy_census" -> (q98PrivacyCensus _),
@@ -1121,6 +1172,7 @@ object CheckQueries {
     "q110_embedding_drift" -> q110Sql,
     "q113_group_quantiles" -> q113Sql,
     "q106_quantile_drift" -> q106Sql,
+    "q116_hist_quantiles" -> q116Sql,
     "q102_eqfreq_bins" -> q102Sql,
     "q99_suppress_under_k" -> q99Sql,
     "q98_privacy_census" -> q98Sql,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Profiling
@@ -430,4 +431,40 @@ class ProfilingSpec extends AnyFunSuite {
     val truth = (batch1 ++ batch2).groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
     truth.foreach { case (k, n) => assert(est(k) >= n) }
   }
+  test("histogramFixed: shard merge by integer addition equals the single pass; clamp and fences") {
+    val whole = Seq(5.0, 15.0, 15.5, 25.0, 999.0, -3.0).toDF("v")
+    val h = Profiling.histogramFixed(whole, col("v"), 0.0, 30.0, 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    // out-of-range CLAMPS into edge bins: -3 -> bin0, 999 -> bin2
+    assert(h(0L) == ((0.0, 10.0, 2L)) && h(1L) == ((10.0, 20.0, 2L)) && h(2L) == ((20.0, 30.0, 2L)))
+    // null/NaN fenced, not clamped
+    val fenced = Profiling.histogramFixed(
+      Seq(Some(5.0), None, Some(Double.NaN)).toDF("v"), col("v"), 0.0, 30.0, 3)
+    assert(fenced.agg(sum(col("n"))).head().getLong(0) == 1L)
+    // the mergeability contract: integer-add two shards' bins == whole
+    val s1 = Profiling.histogramFixed(whole.filter(col("v") < 15.2), col("v"), 0.0, 30.0, 3)
+    val s2 = Profiling.histogramFixed(whole.filter(col("v") >= 15.2), col("v"), 0.0, 30.0, 3)
+    val merged = s1.unionByName(s2)
+      .groupBy(col("bin"), col("lo"), col("hi")).agg(sum(col("n")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(merged == h.map { case (b, (_, _, n)) => b -> n })
+  }
+
+  test("histogramQuantile: hand-computed targets, interpolation, empty-bin skip, empty input") {
+    val hist = Seq(
+      (0L, 0.0, 10.0, 4L), (1L, 10.0, 20.0, 0L), (2L, 20.0, 30.0, 6L))
+      .toDF("bin", "lo", "hi", "n")
+    val q = Profiling.histogramQuantile(hist, Seq(0.2, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(6))).toMap
+    // N=10: p=.2 -> target 2 -> bin0, est 0+10*(2-0)/4 = 5.0
+    assert(q(0.2) == ((0L, 5.0)))
+    // p=.5 -> target 5 -> bin2 (empty bin1 skipped), est 20+10*(5-4)/6
+    assert(q(0.5)._1 == 2L && math.abs(q(0.5)._2 - (20.0 + 10.0 / 6.0)) < 1e-12)
+    // p=1 -> target 10 -> bin2 upper edge exactly
+    assert(q(1.0) == ((2L, 30.0)))
+    // all-empty histogram: no rows, not NaN
+    val empty = Seq((0L, 0.0, 10.0, 0L)).toDF("bin", "lo", "hi", "n")
+    assert(Profiling.histogramQuantile(empty, Seq(0.5)).count() == 0L)
+  }
+
 }
