@@ -518,6 +518,68 @@ object Profiling {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Per-group [[histogramFixed]] — every group bucketed over the
+    * SAME caller-fixed domain, so per-(group, bin) counts merge by
+    * integer addition across shards AND compare directly across
+    * groups (unlike [[histogramByGroup]], whose per-group bounds make
+    * bins incomparable between groups — the right tool for shape
+    * inspection, the wrong one for cross-source drift). One scan,
+    * map-side partials to ≤ groups × bins rows; the spine keeps empty
+    * bins per group present in the data.
+    */
+  def histogramFixedByGroup(
+      df: DataFrame, group: Column, value: Column, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val nn = df.filter(value.isNotNull && !isnan(value.cast("double")))
+      .select(group.as("group"), value.cast("double").as("_v"))
+    val bin = least(lit(bins - 1L),
+      greatest(lit(0L), floor((col("_v") - lit(lo)) / lit(width))))
+    val counts = nn.groupBy(col("group"), bin.as("bin")).agg(count(lit(1)).as("n"))
+    nn.select(col("group")).distinct()
+      .select(col("group"), explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+      .join(counts, Seq("group", "bin"), "left")
+      .select(
+        col("group"), col("bin"),
+        (lit(lo) + col("bin") * lit(width)).as("lo"),
+        (lit(lo) + (col("bin") + lit(1L)) * lit(width)).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Per-group [[histogramQuantile]]: the same estimator with every
+    * window partitioned by the `group` column the histogram carries —
+    * per-(group, bin) state only, a groups-way-parallel config-sized
+    * window, never a data-scale sort. Groups with zero mass emit no
+    * rows.
+    */
+  def histogramQuantileByGroup(hist: DataFrame, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probabilities must be in (0, 1], got $probs")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val g = W.partitionBy(col("group"))
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(
+        g.orderBy(col("bin")).rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("_total", sum(col("n")).over(
+        g.orderBy(col("bin"))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .filter(col("_total") > 0)
+    cum.crossJoin(broadcast(probs.toDF("p")))
+      .withColumn("target", ceil(col("p") * col("_total").cast("double")))
+      .filter(col("cum") >= col("target") &&
+        (col("cum") - col("n")) < col("target"))
+      .select(
+        col("group"), col("p"), col("bin"), col("lo"), col("hi"),
+        col("n"), col("cum"),
+        (col("lo") + (col("hi") - col("lo")) *
+          ((col("target") - (col("cum") - col("n"))).cast("double") /
+            col("n").cast("double"))).as("estimate"))
+  }
+
   /** Quantile estimates from a histogram table (`bin, lo, hi, n` —
     * [[histogram]] or a merged [[histogramFixed]] log): for each
     * probability p, the first bin whose cumulative count reaches

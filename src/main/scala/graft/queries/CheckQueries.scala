@@ -535,6 +535,52 @@ object CheckQueries {
   }
 
   // ---------------------------------------------------------------
+  // q117 — per-source quantile monitor: q116's mergeable census keyed
+  // by event_type, quantiles per group from the SHARED fixed domain
+  // (cross-source comparable, unlike per-group-bounds histograms).
+  // The estimator windows partition by group — groups-way parallel,
+  // per-group state ≤ bins rows.
+  // ---------------------------------------------------------------
+  def q117GroupHistQuantiles(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.histogramQuantileByGroup(
+      graft.operators.Profiling.histogramFixedByGroup(
+        Tables.events(spark, d), col("event_type"), col("value"),
+        HqLo, HqHi, HqBins),
+      HqProbs)
+
+  val q117Sql: String = {
+    val width = (HqHi - HqLo) / HqBins
+    val probsValues = HqProbs.map(p => s"(CAST('$p' AS DOUBLE))").mkString(", ")
+    s"""WITH c AS (
+       |  SELECT event_type AS grp, least(${HqBins - 1}, greatest(0,
+       |      CAST(floor((value - CAST('$HqLo' AS DOUBLE)) / CAST('$width' AS DOUBLE)) AS BIGINT)))
+       |    AS bin, CAST(count(*) AS BIGINT) AS n
+       |  FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT grp, bin FROM (SELECT DISTINCT grp FROM c)
+       |  CROSS JOIN (SELECT unnest(range(0, $HqBins)) AS bin)),
+       |h AS (
+       |  SELECT spine.grp, spine.bin,
+       |    CAST('$HqLo' AS DOUBLE) + spine.bin * CAST('$width' AS DOUBLE) AS lo,
+       |    CAST('$HqLo' AS DOUBLE) + (spine.bin + 1) * CAST('$width' AS DOUBLE) AS hi,
+       |    COALESCE(n, 0) AS n
+       |  FROM spine LEFT JOIN c ON spine.grp = c.grp AND spine.bin = c.bin),
+       |cum AS (
+       |  SELECT grp, bin, lo, hi, n,
+       |    CAST(sum(n) OVER (PARTITION BY grp ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(n) OVER (PARTITION BY grp) AS BIGINT) AS total
+       |  FROM h),
+       |ps AS (SELECT * FROM (VALUES $probsValues) AS t(p))
+       |SELECT grp AS "group", p, bin, lo, hi, n, cum,
+       |  lo + (hi - lo) * (CAST(target - (cum - n) AS DOUBLE) / CAST(n AS DOUBLE)) AS estimate
+       |FROM (
+       |  SELECT grp, p, bin, lo, hi, n, cum,
+       |    CAST(ceil(p * CAST(total AS DOUBLE)) AS BIGINT) AS target
+       |  FROM cum CROSS JOIN ps WHERE total > 0)
+       |WHERE cum >= target AND (cum - n) < target""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q81 — inclusion-dependency profile (FK discovery): distinct-value
   // containment for four candidate edges — three intact (coefficient
   // 1.0 / organic) and one deliberately violated (parent filtered to
@@ -1140,6 +1186,7 @@ object CheckQueries {
     "q113_group_quantiles" -> (q113GroupQuantiles _),
     "q106_quantile_drift" -> (q106QuantileDrift _),
     "q116_hist_quantiles" -> (q116HistQuantiles _),
+    "q117_group_hist_quantiles" -> (q117GroupHistQuantiles _),
     "q102_eqfreq_bins" -> (q102EqFreqBins _),
     "q99_suppress_under_k" -> (q99SuppressUnderK _),
     "q98_privacy_census" -> (q98PrivacyCensus _),
@@ -1173,6 +1220,7 @@ object CheckQueries {
     "q113_group_quantiles" -> q113Sql,
     "q106_quantile_drift" -> q106Sql,
     "q116_hist_quantiles" -> q116Sql,
+    "q117_group_hist_quantiles" -> q117Sql,
     "q102_eqfreq_bins" -> q102Sql,
     "q99_suppress_under_k" -> q99Sql,
     "q98_privacy_census" -> q98Sql,

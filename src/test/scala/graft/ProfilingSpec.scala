@@ -467,4 +467,18 @@ class ProfilingSpec extends AnyFunSuite {
     assert(Profiling.histogramQuantile(empty, Seq(0.5)).count() == 0L)
   }
 
+  test("histogramFixedByGroup + quantileByGroup: shared domain, per-group estimates, empty group fence") {
+    val df = Seq(("a", 5.0), ("a", 15.0), ("a", 25.0), ("b", 25.0), ("b", 999.0))
+      .toDF("g", "v")
+    val h = Profiling.histogramFixedByGroup(df, col("g"), col("v"), 0.0, 30.0, 3)
+    // shared [0,30) domain: bins comparable across groups; 999 clamps to b's bin2
+    val rows = h.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(rows == Map(("a",0L)->1L, ("a",1L)->1L, ("a",2L)->1L,
+      ("b",0L)->0L, ("b",1L)->0L, ("b",2L)->2L))
+    val q = Profiling.histogramQuantileByGroup(h, Seq(0.5))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(7))).toMap
+    // a: N=3, target 2 -> bin1, est 10+10*(2-1)/1 = 20; b: N=2, target 1 -> bin2, est 20+10*(1-0)/2 = 25
+    assert(q("a") == ((1L, 20.0)) && q("b") == ((2L, 25.0)))
+  }
+
 }
