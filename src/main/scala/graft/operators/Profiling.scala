@@ -381,6 +381,51 @@ object Profiling {
       .groupBy(col("key"))
       .agg(min(coalesce(counters("n"), lit(0L))).as("est_n"))
 
+  /** Equi-join OUTPUT-SIZE estimation from two count-min counter
+    * tables — the AMS-family inner-product estimator: for each sketch
+    * row r, Σ_bucket nA·nB upper-bounds Σ_key fA(key)·fB(key) (the
+    * exact join size — hash collisions only ever ADD cross terms),
+    * and the min over rows is the estimate. The planning primitive
+    * behind "will this 100 TB join explode?": both operands are
+    * depth×width counter tables you already keep per ingest batch
+    * ([[countMinCounters]]/[[mergeCountMin]]), so the estimate costs
+    * an equi-join of two config-sized tables — no scan of either fact
+    * table — and is one-sided like every CMS answer: it never
+    * UNDER-estimates, so a green light is trustworthy. Tables must
+    * share (depth, width, key rendering). Products and sums run in
+    * decimal so counter pairs near 2^31 cannot overflow the
+    * accumulation; the final estimate must fit a long.
+    */
+  def countMinJoinSize(countersA: DataFrame, countersB: DataFrame): DataFrame = {
+    val a = countersA.select(col("row"), col("bucket"),
+      col("n").cast("decimal(19,0)").as("_na"))
+    val b = countersB.select(col("row"), col("bucket"),
+      col("n").cast("decimal(19,0)").as("_nb"))
+    a.join(b, Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("_na") * col("_nb")).as("_est"))
+      .agg(min(col("_est")).cast("long").as("join_size_estimate"))
+  }
+
+  /** EXACT equi-join output size without running the join:
+    * Σ_key nA(key)·nB(key) over the two per-key censuses — two
+    * grouped counts + a census-scale equi-join, never the join's
+    * row-scale output. The ground truth [[countMinJoinSize]]
+    * upper-bounds, and the detailed per-key version of what
+    * [[Skew.joinSkewReport]] ranks. Null keys never join, so both
+    * censuses fence them. Returns one row (0 on disjoint keys).
+    */
+  def joinSizeExact(
+      a: DataFrame, keyA: Column, b: DataFrame, keyB: Column): DataFrame = {
+    val ca = a.filter(keyA.isNotNull).groupBy(keyA.as("_k"))
+      .agg(count(lit(1)).cast("decimal(19,0)").as("_na"))
+    val cb = b.filter(keyB.isNotNull).groupBy(keyB.as("_k"))
+      .agg(count(lit(1)).cast("decimal(19,0)").as("_nb"))
+    ca.join(cb, Seq("_k"))
+      .agg(coalesce(sum(col("_na") * col("_nb")).cast("long"), lit(0L))
+        .as("join_size"))
+  }
+
   /** The depth (row, bucket) pairs of one key — shared by build and
     * probe so both sides state identical hashing. */
   private def cmsEntries(key: Column, depth: Int, width: Int): Column =

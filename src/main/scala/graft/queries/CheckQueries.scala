@@ -1106,6 +1106,55 @@ object CheckQueries {
   }
 
   // ---------------------------------------------------------------
+  // q118 — join-size estimation from sketches: the AMS inner-product
+  // over two CMS counter tables (lineitem.l_partkey × part.p_partkey)
+  // vs the exact census-product join size — "will this join explode?"
+  // answered from config-sized state, no fact-table scan at decision
+  // time. One-sided: the estimate never undercounts. Same portable
+  // md5 buckets as q107, so the oracle replays the sketch exactly.
+  // ---------------------------------------------------------------
+  def q118JoinSizeEstimate(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.Profiling
+    val li = Tables.lineitem(spark, d)
+    val pa = Tables.part(spark, d)
+    val est = Profiling.countMinJoinSize(
+      Profiling.countMinCounters(li, col("l_partkey"), CmsDepth, CmsWidth),
+      Profiling.countMinCounters(pa, col("p_partkey"), CmsDepth, CmsWidth))
+    val exact = Profiling.joinSizeExact(li, col("l_partkey"), pa, col("p_partkey"))
+    exact.crossJoin(est).select(
+      col("join_size"), col("join_size_estimate"),
+      (col("join_size_estimate").cast("double") /
+        col("join_size").cast("double")).as("overestimate_ratio"))
+  }
+
+  val q118Sql: String = {
+    def bucket(keyExpr: String) =
+      s"""CAST(CAST(('0x' || substr(md5(CAST(rw AS VARCHAR) || ':' || $keyExpr),
+         |    1, 15)) AS UBIGINT) % $CmsWidth AS BIGINT)""".stripMargin
+    s"""WITH r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(rw)),
+       |la AS (SELECT CAST(l_partkey AS VARCHAR) AS ks FROM lineitem
+       |  WHERE l_partkey IS NOT NULL),
+       |pb AS (SELECT CAST(p_partkey AS VARCHAR) AS ks FROM part
+       |  WHERE p_partkey IS NOT NULL),
+       |ca AS (SELECT rw, ${bucket("ks")} AS bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM la CROSS JOIN r GROUP BY 1, 2),
+       |cb AS (SELECT rw, ${bucket("ks")} AS bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM pb CROSS JOIN r GROUP BY 1, 2),
+       |estd AS (SELECT ca.rw, CAST(sum(ca.n * cb.n) AS BIGINT) AS s
+       |  FROM ca JOIN cb ON ca.rw = cb.rw AND ca.bucket = cb.bucket GROUP BY 1),
+       |est AS (SELECT CAST(min(s) AS BIGINT) AS join_size_estimate FROM estd),
+       |exa AS (SELECT COALESCE(CAST(sum(x.n * y.n) AS BIGINT), 0) AS join_size
+       |  FROM (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n FROM lineitem
+       |        WHERE l_partkey IS NOT NULL GROUP BY 1) x
+       |  JOIN (SELECT p_partkey AS k, CAST(count(*) AS BIGINT) AS n FROM part
+       |        WHERE p_partkey IS NOT NULL GROUP BY 1) y ON x.k = y.k)
+       |SELECT join_size, join_size_estimate,
+       |  CAST(join_size_estimate AS DOUBLE) / CAST(join_size AS DOUBLE)
+       |    AS overestimate_ratio
+       |FROM exa CROSS JOIN est""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q110 — embedding representation drift: per-dimension mean/stddev
   // of two embedding corpus halves (vec_id parity stands in for
   // before/after an encoder change), with the shift in baseline
@@ -1182,6 +1231,7 @@ object CheckQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_key_skew" -> (q101KeySkew _),
     "q107_cms_counts" -> (q107CmsCounts _),
+    "q118_join_size_estimate" -> (q118JoinSizeEstimate _),
     "q110_embedding_drift" -> (q110EmbeddingDrift _),
     "q113_group_quantiles" -> (q113GroupQuantiles _),
     "q106_quantile_drift" -> (q106QuantileDrift _),
@@ -1216,6 +1266,7 @@ object CheckQueries {
   val oracleSql: Map[String, String] = Map(
     "q101_key_skew" -> q101Sql,
     "q107_cms_counts" -> q107Sql,
+    "q118_join_size_estimate" -> q118Sql,
     "q110_embedding_drift" -> q110Sql,
     "q113_group_quantiles" -> q113Sql,
     "q106_quantile_drift" -> q106Sql,

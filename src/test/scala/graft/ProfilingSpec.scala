@@ -481,4 +481,25 @@ class ProfilingSpec extends AnyFunSuite {
     assert(q("a") == ((1L, 20.0)) && q("b") == ((2L, 25.0)))
   }
 
+  test("join-size estimation: exact census product; CMS inner product never underestimates") {
+    val a = Seq("x", "x", "x", "y", "z").toDF("k")  // fA: x:3 y:1 z:1
+    val b = Seq("x", "y", "y", "w").toDF("k")       // fB: x:1 y:2 w:1
+    // true |A join B| = 3*1 + 1*2 = 5
+    val exact = Profiling.joinSizeExact(a, col("k"), b, col("k")).head().getLong(0)
+    assert(exact == 5L)
+    val wide = Profiling.countMinJoinSize(
+      Profiling.countMinCounters(a, col("k"), 4, 1024),
+      Profiling.countMinCounters(b, col("k"), 4, 1024)).head().getLong(0)
+    assert(wide >= exact, "the CMS estimate is one-sided: never under")
+    // a deliberately tiny sketch forces collisions: still one-sided
+    val tiny = Profiling.countMinJoinSize(
+      Profiling.countMinCounters(a, col("k"), 2, 2),
+      Profiling.countMinCounters(b, col("k"), 2, 2)).head().getLong(0)
+    assert(tiny >= exact)
+    // disjoint key sets: exact 0 (coalesced, not null)
+    val disjoint = Profiling.joinSizeExact(
+      Seq("p").toDF("k"), col("k"), Seq("q").toDF("k"), col("k")).head().getLong(0)
+    assert(disjoint == 0L)
+  }
+
 }
