@@ -23,11 +23,13 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame     = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame   = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf) and convert to a
-    * microsecond timestamp with integer arithmetic (no double round-trip
-    * — nanos since epoch exceed 2^53). DuckDB truncates NANOS→micros the
-    * same way, so oracle values agree.
+  /** `events.ts` has shipped in two parquet layouts across corpus
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as long via the legacy conf and convert with
+    * integer arithmetic, since nanos since epoch exceed 2^53) and plain
+    * TIMESTAMP(MICROS) (readable directly). Detect per read and handle
+    * both; DuckDB truncates NANOS→micros the same way, so oracle values
+    * agree in either layout.
     *
     * Side effect: `nanosAsLong` is a session-level conf (Spark offers no
     * per-read switch), so after the first events read, any OTHER
@@ -37,27 +39,54 @@ object Tables {
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Naive micros layout. Downstream operators use `unix_micros`,
+        // which requires TIMESTAMP(LTZ); under the UTC session timezone
+        // the cast is numerically exact and reproduces the nanos-layout
+        // output type bit-for-bit.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
-  /** `events` with `ts < cutoff` applied on the RAW nanos column so
-    * the predicate pushes into the parquet scan (filtering the
-    * converted timestamp cannot push). `ts div 1000 < cutoffMicros`
-    * ⟺ `ts < cutoffMicros·1000` for non-negative nanos, so results
-    * are identical to filtering after conversion — but row groups
-    * outside the range never leave disk, which at 100 TB is the
-    * difference between a pruned scan and a full one.
+  /** `events` with `ts < cutoff` applied on the RAW stored column so
+    * the predicate pushes into the parquet scan (filtering a converted
+    * timestamp cannot push). For the nanos-as-long layout,
+    * `ts div 1000 < cutoffMicros` ⟺ `ts < cutoffMicros·1000` for
+    * non-negative nanos, so results are identical to filtering after
+    * conversion — but row groups outside the range never leave disk,
+    * which at 100 TB is the difference between a pruned scan and a
+    * full one. For the native-timestamp layout the filter pushes as-is.
     */
   def eventsBefore(spark: SparkSession, d: String, cutoff: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val cutoffNanos = java.time.LocalDateTime
-      .parse(cutoff.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC)
-      .toEpochMilli * 1000000L
-    load(spark, d, "events")
-      .filter(org.apache.spark.sql.functions.col("ts") < cutoffNanos)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val cutoffNanos = java.time.LocalDateTime
+          .parse(cutoff.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+          .toEpochMilli * 1000000L
+        raw
+          .filter(org.apache.spark.sql.functions.col("ts") < cutoffNanos)
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Filter on the stored NTZ column (pushes into the scan), then
+        // normalize to TIMESTAMP(LTZ) as `events` does.
+        raw
+          .filter(org.apache.spark.sql.functions.col("ts") <
+            org.apache.spark.sql.functions.lit(cutoff).cast(org.apache.spark.sql.types.TimestampNTZType))
+          .withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ =>
+        raw.filter(org.apache.spark.sql.functions.col("ts") <
+          org.apache.spark.sql.functions.lit(cutoff).cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

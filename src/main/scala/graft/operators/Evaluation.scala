@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-quality evaluation over corpus-scale scored data: exact ROC
+  * AUC and calibration censuses for the classifiers that gate training
+  * data (the q112 linear quality gate, language-ID confidence, any
+  * scored filter). At 100 TB the eval set itself is big — "compute AUC"
+  * must not mean "sort every score in one task".
+  *
+  * Both operators follow the repo's engine-exact discipline: every
+  * intermediate is integer/decimal (counts, rank sums) and the only
+  * floating-point steps are single correctly-rounded IEEE ops over
+  * exactly-converted operands stated identically in the oracle — so a
+  * distributed, partition-order-free computation still hash-matches a
+  * naive single-node engine.
+  */
+object Evaluation {
+
+  /** Exact ROC AUC via the Mann–Whitney U statistic with midrank tie
+    * handling — the textbook trapezoidal-ROC value, computed WITHOUT a
+    * global sort.
+    *
+    * AUC = [Σ_s pos(s) · (2·cumNegBelow(s) + neg(s))] / (2·P·N)
+    * where `s` ranges over DISTINCT score values ascending: each
+    * positive beats every negative strictly below it and half-ties
+    * with negatives at the same score.
+    *
+    * Distribution: rows collapse to a (score → pos, neg) census in
+    * one map-side-partial shuffle, so everything after rides census
+    * rows (distinct scores), never raw rows. The cumulative-negative
+    * prefix uses the q102 cell machinery: per-cell totals offset a
+    * window partitioned BY cell, so even a census with billions of
+    * distinct scores ranks `cells`-way parallel — no unpartitioned
+    * window task anywhere. The rank-sum numerator accumulates in
+    * DECIMAL(38,0) (exact far past 100 TB row counts: it is bounded by
+    * 2·P·N < 10³⁸ for P,N < 10¹⁸); the lone division is stated as
+    * `CAST(num AS DOUBLE) / (2.0 · P · N)` in both engines.
+    *
+    * Output: one row (n_pos, n_neg, n_distinct_scores, auc). Rows with
+    * NULL/NaN score or NULL label are excluded (an undefined score
+    * cannot be ranked; excluding beats silently calling it 0). Returns
+    * auc NULL when either class is empty — AUC is undefined, not 0.5.
+    */
+  def aucExact(
+      df: DataFrame, score: Column, label: Column,
+      cells: Int = 4096): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    val nn = df
+      .filter(score.isNotNull && !isnan(score.cast("double")) && label.isNotNull)
+      .select(score.cast("double").as("_v"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
+    val bounds = nn.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx")).head()
+    if (bounds.isNullAt(0))
+      // empty eval set: a defined shape, not a crash
+      return nn.sparkSession.range(1).select(
+        lit(0L).as("n_pos"), lit(0L).as("n_neg"),
+        lit(0L).as("n_distinct_scores"),
+        lit(null).cast("double").as("auc"))
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val width = (mx - mn) / cells
+    val cell =
+      if (mx == mn) lit(0L)
+      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+    // score census: everything after this rides distinct-score rows
+    val census = nn.withColumn("_c", cell)
+      .groupBy(col("_c"), col("_v"))
+      .agg(sum(col("_p")).as("_pos"),
+        sum(lit(1L) - col("_p")).as("_neg"))
+    // per-cell negative totals -> broadcast offsets (config-sized rows)
+    val perCell = census.groupBy(col("_c")).agg(sum(col("_neg")).as("_nc"))
+    val offs = perCell.withColumn("_off",
+      coalesce(sum(col("_nc")).over(
+        W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    // within-cell prefix, cell-partitioned — parallel in `cells`
+    val wCell = W.partitionBy(col("_c")).orderBy(col("_v"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val ranked = census.join(broadcast(offs.select(col("_c"), col("_off"))), Seq("_c"))
+      .withColumn("_cumNeg",
+        col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
+    ranked.agg(
+      sum(col("_pos")).as("n_pos"),
+      sum(col("_neg")).as("n_neg"),
+      count(lit(1)).as("n_distinct_scores"),
+      sum((col("_pos") * (lit(2L) * col("_cumNeg") + col("_neg")))
+        .cast("decimal(38,0)")).as("_num"))
+      .select(
+        col("n_pos"), col("n_neg"), col("n_distinct_scores"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          col("_num").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
+  }
+
+  /** Calibration census: fixed score bands over [lo, hi), out-of-range
+    * scores clamped to the edge bands ([[Profiling.histogramFixed]]'s
+    * convention, so the census covers the full population and merges
+    * by integer addition across shards). Per band: count, positives,
+    * and the empirical positive rate — the reliability-diagram table,
+    * and the threshold-picking table for a quality gate ("band 7 is
+    * 92% positive — gate there").
+    *
+    * One scan, map-side partials to ≤ bins rows; the spine join keeps
+    * empty bands present so diagrams align across runs. Band edges are
+    * `lo + i·width` doubles — exact IEEE expressions both engines
+    * state identically; pos_rate is the single division.
+    */
+  def calibrationReport(
+      df: DataFrame, score: Column, label: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val nn = df
+      .filter(score.isNotNull && !isnan(score.cast("double")) && label.isNotNull)
+      .select(score.cast("double").as("_v"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
+    val bin = least(lit(bins - 1L),
+      greatest(lit(0L), floor((col("_v") - lit(lo)) / lit(width))))
+    val counts = nn.groupBy(bin.as("band"))
+      .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pos"))
+    df.sparkSession.range(0, bins).select(col("id").as("band"))
+      .join(counts, Seq("band"), "left")
+      .select(
+        col("band"),
+        (lit(lo) + col("band") * lit(width)).as("lo"),
+        (lit(lo) + (col("band") + lit(1L)) * lit(width)).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        when(coalesce(col("n"), lit(0L)) > 0L,
+          col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+  }
+}
