@@ -184,6 +184,79 @@ object Dedup {
     (pairs, Seq(exAll, exf, pref))
   }
 
+  /** Asymmetric near-dup detection: shingle-set CONTAINMENT
+    * c(A→B) = |A∩B| / |A|, the signal Jaccard structurally misses —
+    * a short document pasted inside a much longer one has
+    * c(short→long) ≈ 1 while J = |short|/|long| ≈ 0, so quote-wrapped
+    * copies, boilerplate-padded rehosts, and excerpt pages survive a
+    * Jaccard dedup and leak duplicated text into training. Emits
+    * unordered pairs where EITHER direction's containment ≥
+    * `threshold`, with both directions reported.
+    *
+    * Same machinery and scale discipline as [[ngramJaccardPairs]]
+    * (shared 8-byte shingle hashing, DF stop-shingle cap, sorted-
+    * intersect exact verify). The prefix filter adapts: for a pair
+    * with max-containment ≥ t the SMALLER side must share a shingle
+    * within its first ⌊(1−t)·|S|⌋+1 rarest (otherwise all common
+    * shingles sit in its tail, < t·|S| ≤ |A∩B| of them — contradiction);
+    * the larger side admits no useful prefix bound (it may contain S
+    * anywhere), so each document's prefix joins the FULL filtered
+    * posting list. That asymmetric join is the price of asymmetric
+    * similarity — still DF-capped, never all-pairs.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      maxDfFraction: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val exAll = df.select(col(idCol).as("id"),
+        explode(graft.functions.NgramHashExpression
+          .distinctNgramHashes(col(textCol), n)).as("g"))
+      .persist()
+    val dfq = exAll.groupBy("g").agg(count(lit(1)).as("_df"))
+    val exf = maxDfFraction match {
+      case None => exAll.join(dfq, "g")
+      case Some(frac) =>
+        val total = df.agg(count(lit(1)).cast("double").as("_n"))
+        exAll.join(dfq, "g").crossJoin(total)
+          .filter(col("_df") <= col("_n") * frac).drop("_n")
+    }
+    exf.persist()
+    val wRank = Window.partitionBy(col("id")).orderBy(col("_df").asc, col("g").asc)
+    val pref = exf.select(col("id"), col("g"),
+        row_number().over(wRank).as("_rn"),
+        count(lit(1)).over(Window.partitionBy(col("id"))).as("_sz"))
+      .filter(col("_rn") <=
+        floor(lit(1.0 - threshold) * col("_sz") + lit(1e-6)) + 1)
+    // prefix side ⋈ full posting side: qualifying pairs are caught via
+    // the smaller side's prefix regardless of which side that is,
+    // because EVERY document's prefix probes the full posting list
+    val cand = pref.as("a")
+      .join(exf.select(col("id"), col("g")).as("b"),
+        col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val sets = exf.groupBy("id")
+      .agg(sort_array(collect_list(col("g"))).as("_fs"), count(lit(1)).as("_sz"))
+    val pairs = cand
+      .join(sets.select(col("id").as("id_a"), col("_fs").as("_fa"), col("_sz").as("_sza")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("_fs").as("_fb"), col("_sz").as("_szb")), "id_b")
+      .withColumn("_inter",
+        graft.functions.SetExpressions.sortedIntersectCount(col("_fa"), col("_fb")))
+      .withColumn("containment_a_in_b",
+        col("_inter").cast("double") / col("_sza").cast("double"))
+      .withColumn("containment_b_in_a",
+        col("_inter").cast("double") / col("_szb").cast("double"))
+      .filter(greatest(col("containment_a_in_b"), col("containment_b_in_a"))
+        >= threshold)
+      .select("id_a", "id_b", "containment_a_in_b", "containment_b_in_a")
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(exAll, exf))
+    pairs
+  }
+
   // ---------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------

@@ -64,11 +64,17 @@ object Evaluation {
     val cell =
       if (mx == mn) lit(0L)
       else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
-    // score census: everything after this rides distinct-score rows
+    // score census: everything after this rides distinct-score rows.
+    // Persisted because BOTH the offsets branch and the ranked branch
+    // consume it — without the cache Catalyst collapses the offsets
+    // aggregate into its own scan pipeline and the raw data (plus the
+    // full score expression) is read twice. Aggregate-scale rows
+    // (distinct scores), 3 longs + a double wide.
     val census = nn.withColumn("_c", cell)
       .groupBy(col("_c"), col("_v"))
       .agg(sum(col("_p")).as("_pos"),
         sum(lit(1L) - col("_p")).as("_neg"))
+      .persist()
     // per-cell negative totals -> broadcast offsets (config-sized rows)
     val perCell = census.groupBy(col("_c")).agg(sum(col("_neg")).as("_nc"))
     val offs = perCell.withColumn("_off",
@@ -80,6 +86,7 @@ object Evaluation {
     val ranked = census.join(broadcast(offs.select(col("_c"), col("_off"))), Seq("_c"))
       .withColumn("_cumNeg",
         col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
     ranked.agg(
       sum(col("_pos")).as("n_pos"),
       sum(col("_neg")).as("n_neg"),

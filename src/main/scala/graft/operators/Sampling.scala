@@ -427,4 +427,66 @@ object Sampling {
         (col("source_rank").cast("double") + lit(0.5)) / weightCol)
       .drop("_s", "_c", "_src", "_oc", "_off")
   }
+
+  /** Deterministic uniform negative sampling for contrastive training:
+    * `k` pseudo-random non-self corpus rows per anchor, reproducible
+    * on any engine at any parallelism (no `rand()`, no `TABLESAMPLE`).
+    *
+    * Draw j of anchor a targets corpus INDEX
+    * `md5_prefix(a ++ ":" ++ j) mod N` — a uniform, seedable pick a
+    * DuckDB oracle states verbatim. The corpus gets a dense 0..N−1
+    * index over the id order WITHOUT a global sort: ids cell-bucket by
+    * range, per-cell counts prefix-sum into broadcast offsets
+    * (config-sized window), and `row_number` runs inside each cell —
+    * the q102 rank machinery. The draw→row resolution is then a plain
+    * equi-join on the 8-byte index: anchors×k rows against N rows,
+    * hash-partitioned, never a cartesian; self-collisions (an anchor
+    * drawing itself) are filtered, so an anchor yields k or rarely
+    * fewer pairs — uniformity over the other N−1 rows is exact either
+    * way per draw.
+    *
+    * At 100 TB: the index table is built once per corpus snapshot and
+    * is worth persisting alongside it; every epoch's negatives then
+    * cost one hash expression + one co-partitionable join. Bump `salt`
+    * to re-draw fresh negatives per epoch.
+    */
+  def negativePairs(
+      corpus: DataFrame, idCol: String, k: Int,
+      salt: String = "", cells: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    val ids = corpus.select(col(idCol).as("_id")).filter(col("_id").isNotNull)
+    val bounds = ids.agg(
+      min(col("_id").cast("double")).as("mn"),
+      max(col("_id").cast("double")).as("mx"),
+      count(lit(1)).as("n")).head()
+    if (bounds.isNullAt(0))
+      return ids.select(col("_id").as("anchor_id"), lit(0L).as("draw"),
+        col("_id").as("neg_id")).limit(0)
+    val (mn, mx, n) = (bounds.getDouble(0), bounds.getDouble(1), bounds.getLong(2))
+    val width = (mx - mn) / cells
+    val cell =
+      if (mx == mn) lit(0L)
+      else least(lit(cells - 1L), floor((col("_id").cast("double") - lit(mn)) / lit(width)))
+    val base = ids.withColumn("_c", cell)
+    val offs = base.groupBy(col("_c")).agg(count(lit(1)).as("_nc"))
+      .withColumn("_off", coalesce(sum(col("_nc")).over(
+        W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_c"), col("_off"))
+    val wCell = W.partitionBy(col("_c")).orderBy(col("_id"))
+    val indexed = base.join(broadcast(offs), Seq("_c"))
+      .select(col("_id").as("neg_id"),
+        (col("_off") + row_number().over(wCell) - lit(1L)).as("_idx"))
+    val draws = ids.select(col("_id").as("anchor_id"))
+      .select(col("anchor_id"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("draw"))
+      .withColumn("_tgt",
+        graft.functions.Md5Expressions.md5PrefixLong(
+          concat(col("anchor_id").cast("string"), lit(":"),
+            col("draw").cast("string"), lit(salt)), 15, n))
+    draws.join(indexed, col("_tgt") === col("_idx"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("draw"), col("neg_id"))
+  }
 }

@@ -358,6 +358,39 @@ object Similarity {
         carryCorpus = Seq(labelCol -> "_nlabel")),
       k)
 
+  /** Hard-negative mining for contrastive training — per query, the
+    * `k` most-similar corpus rows with a DIFFERENT label: the
+    * near-the-margin negatives that make an embedding model learn
+    * (random negatives, [[graft.operators.Sampling.negativePairs]],
+    * are trivially far once training starts; hard negatives keep the
+    * loss informative — the ANCE/contrastive-curriculum recipe).
+    *
+    * Rides [[ivfSampledScored]]'s cell equi-join verbatim (labels as
+    * passenger columns, ~nprobe/nlist of brute work, partition-
+    * prunable, never O(|Q|·corpus)), then filters to label-mismatched
+    * candidates BEFORE the per-query top-k — so the k slots are all
+    * negatives, not wasted on same-label neighbors. Deterministic
+    * sampled centroids keep the whole pipeline portable double
+    * arithmetic: oracle-replayable like q58/q92. Null-label rows
+    * count as differing from every non-null label (a row with no
+    * label cannot be a positive).
+    */
+  def hardNegativesIvf(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    ivfSampledScored(queries, corpus, idCol, vecCol, nlist, nprobe,
+        carryQuery = Seq(labelCol -> "query_label"),
+        carryCorpus = Seq(labelCol -> "neighbor_label"))
+      .filter(!(col("neighbor_label") <=> col("query_label")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), col("query_label"), col("neighbor_label"))
+  }
+
   /** Shared agreement aggregate over scored-and-labeled candidate
     * rows: per-query top-k (rank by cosine, id tiebreak — the
     * [[topKPerQuery]] order) then per-label exact integer counts.

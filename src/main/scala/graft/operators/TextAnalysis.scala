@@ -53,7 +53,9 @@ object TextAnalysis {
     * stopword-informed) — the usual cheap pre-filter before model-
     * based quality scoring.
     */
-  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityFeatures(
+      df: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nChars = length(t)
     val nTokens = tokenCount(t)
@@ -64,16 +66,17 @@ object TextAnalysis {
       length(regexp_replace(t, "\\s+", "")).cast("double") / nTokens.cast("double"))
       .otherwise(lit(0.0))
     df.select(
-      col(idCol),
-      nChars.cast("bigint").as("n_chars"),
-      nTokens.cast("bigint").as("n_tokens"),
-      bpeishTokenCount(t).cast("bigint").as("n_bpeish_tokens"),
-      nPunct.cast("bigint").as("n_punct"),
-      when(nChars > 0, nPunct.cast("double") / nChars.cast("double"))
-        .otherwise(lit(0.0)).as("punct_ratio"),
-      when(nTokens > 0, nStop.cast("double") / nTokens.cast("double"))
-        .otherwise(lit(0.0)).as("stopword_ratio"),
-      meanWordLen.as("mean_word_len"))
+      (Seq(
+        col(idCol),
+        nChars.cast("bigint").as("n_chars"),
+        nTokens.cast("bigint").as("n_tokens"),
+        bpeishTokenCount(t).cast("bigint").as("n_bpeish_tokens"),
+        nPunct.cast("bigint").as("n_punct"),
+        when(nChars > 0, nPunct.cast("double") / nChars.cast("double"))
+          .otherwise(lit(0.0)).as("punct_ratio"),
+        when(nTokens > 0, nStop.cast("double") / nTokens.cast("double"))
+          .otherwise(lit(0.0)).as("stopword_ratio"),
+        meanWordLen.as("mean_word_len")) ++ carry.map(col)): _*)
   }
 
   /** The inference half of a fasttext-style LINEAR quality
@@ -97,15 +100,17 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       bias: Double, wStopword: Double, wPunct: Double,
       wMeanWordLen: Double, wKChars: Double,
-      threshold: Double = 0.0): DataFrame =
-    qualityFeatures(df, idCol, textCol)
-      .select(col(idCol),
-        (lit(bias)
-          + lit(wStopword) * col("stopword_ratio")
-          + lit(wPunct) * col("punct_ratio")
-          + lit(wMeanWordLen) * col("mean_word_len")
-          + lit(wKChars) * (col("n_chars").cast("double") / lit(1024.0)))
-          .as("logit"))
+      threshold: Double = 0.0,
+      carry: Seq[String] = Nil): DataFrame =
+    qualityFeatures(df, idCol, textCol, carry)
+      .select(
+        (Seq(col(idCol),
+          (lit(bias)
+            + lit(wStopword) * col("stopword_ratio")
+            + lit(wPunct) * col("punct_ratio")
+            + lit(wMeanWordLen) * col("mean_word_len")
+            + lit(wKChars) * (col("n_chars").cast("double") / lit(1024.0)))
+            .as("logit")) ++ carry.map(col)): _*)
       .withColumn("keep", col("logit") > lit(threshold))
 
   /** Per-group token statistics (e.g. per language or per source):

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Evaluation
+
+/** Round-8 evaluation surface: classifier-quality measurement over the
+  * scored corpus (exact AUC, calibration) — the eval loop that decides
+  * whether a data-quality gate is worth trusting before it filters
+  * 100 TB. Score = the q112 linear quality logit; reference label =
+  * `lang = 'en'` (the corpus's dominant class), giving both operators a
+  * deterministic, engine-portable scored/labeled eval set with no model
+  * binary in the loop.
+  */
+object EvalQueries {
+
+  // shared scored eval set: q112's logit with the label carried
+  // through the SAME projection — one scan, no self-join; ONE feature
+  // definition for engine and oracle (q112's contract)
+  private def scored(spark: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.linearQualityScore(
+      Tables.documents(spark, d), "doc_id", "text",
+      bias = -2.0, wStopword = 8.0, wPunct = -4.0,
+      wMeanWordLen = 0.25, wKChars = 0.5,
+      carry = Seq("lang"))
+      .select(col("doc_id"), col("logit"), (col("lang") === "en").as("is_en"))
+
+  private val scoredSql: String =
+    s"""WITH q AS (${ExtensionQueries.q112Sql})
+       |SELECT q.doc_id, q.logit, d.lang = 'en' AS is_en
+       |FROM q JOIN documents d ON q.doc_id = d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q119 — exact ROC AUC (Mann–Whitney with midranks) of the quality
+  // logit against the is-English label. Census-then-prefix-sum: no
+  // global sort; the oracle states the naive window form over the
+  // same distinct-score census, the sums agree exactly, and the one
+  // division is stated identically.
+  // ---------------------------------------------------------------
+  def q119Auc(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.aucExact(s, col("logit"), col("is_en"))
+  }
+
+  val q119Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |c AS (
+       |  SELECT logit AS v,
+       |    CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS neg
+       |  FROM s GROUP BY logit),
+       |w AS (
+       |  SELECT pos, neg,
+       |    COALESCE(CAST(SUM(neg) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumneg
+       |  FROM c)
+       |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
+       |  CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+       |    CAST(CAST(SUM(pos * (2 * cumneg + neg)) AS DECIMAL(38,0)) AS DOUBLE)
+       |      / (2.0 * CAST(CAST(SUM(pos) AS BIGINT) AS DOUBLE)
+       |             * CAST(CAST(SUM(neg) AS BIGINT) AS DOUBLE))
+       |  END AS auc
+       |FROM w""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q120 — calibration census of the logit over fixed bands [-4, 4),
+  // edge-clamped (the histogramFixed convention): per band, count /
+  // positives / empirical positive rate. Empty bands present via the
+  // spine so reliability diagrams align across runs.
+  // ---------------------------------------------------------------
+  def q120Calibration(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.calibrationReport(s, col("logit"), col("is_en"),
+      lo = -4.0, hi = 4.0, bins = 16)
+  }
+
+  val q120Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |b AS (
+       |  SELECT LEAST(15, GREATEST(0, CAST(FLOOR((logit - (-4.0)) / 0.5) AS BIGINT))) AS band,
+       |    CASE WHEN is_en THEN 1 ELSE 0 END AS p
+       |  FROM s),
+       |c AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS n_pos
+       |      FROM b GROUP BY band)
+       |SELECT spine.band,
+       |  -4.0 + spine.band * 0.5 AS lo,
+       |  -4.0 + (spine.band + 1) * 0.5 AS hi,
+       |  COALESCE(c.n, 0) AS n, COALESCE(c.n_pos, 0) AS n_pos,
+       |  CASE WHEN COALESCE(c.n, 0) > 0
+       |    THEN CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE) END AS pos_rate
+       |FROM (SELECT UNNEST(range(0, 16)) AS band) spine
+       |LEFT JOIN c ON spine.band = c.band""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_auc"         -> (q119Auc _),
+    "q120_calibration" -> (q120Calibration _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q119_auc"         -> q119Sql,
+    "q120_calibration" -> q120Sql)
+}

@@ -97,6 +97,42 @@ object ExtensionQueries {
        |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= $JaccardThreshold""".stripMargin
 
   // ---------------------------------------------------------------
+  // q122 — asymmetric containment pairs: the quote-wrapped-copy /
+  // excerpt-page signal Jaccard misses (a short doc pasted inside a
+  // long one has containment ≈ 1 at Jaccard ≈ |short|/|long|). Same
+  // shingle universe and DF cap as q11; the oracle states the naive
+  // inverted-index form with both containment directions.
+  // ---------------------------------------------------------------
+  private val ContainmentThreshold = 0.62
+
+  def q122Containment(spark: SparkSession, d: String): DataFrame =
+    Dedup.ngramContainmentPairs(
+      Tables.documents(spark, d),
+      "doc_id", "text", n = 3, threshold = ContainmentThreshold,
+      maxDfFraction = Some(StopShingleDfFraction))
+
+  val q122Sql: String =
+    s"""WITH sh AS (SELECT doc_id, list_distinct(
+       |    [substr(text, i, 3) for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS s
+       |  FROM documents),
+       |ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |keep AS (SELECT g FROM ex0 GROUP BY g
+       |  HAVING CAST(COUNT(*) AS DOUBLE) <=
+       |    CAST($StopShingleDfFraction AS DOUBLE) * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)),
+       |ex AS (SELECT doc_id, g FROM ex0 WHERE g IN (SELECT g FROM keep)),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT ia AS id_a, ib AS id_b,
+       |  CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment_a_in_b,
+       |  CAST(i AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS containment_b_in_a
+       |FROM inter JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+       |WHERE GREATEST(CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+       |               CAST(i AS DOUBLE) / CAST(sb.sz AS DOUBLE))
+       |      >= $ContainmentThreshold""".stripMargin
+
+  // ---------------------------------------------------------------
   // q12 — MinHash + LSH banding candidates (the 100 TB dedup path),
   // in portable mode: md5-based base hashes + md5 band buckets, so
   // the DuckDB oracle computes the IDENTICAL signatures, buckets,
@@ -770,6 +806,7 @@ object ExtensionQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_dedup_exact"        -> (q10DedupExact _),
     "q11_ngram_jaccard"      -> (q11NgramJaccard _),
+    "q122_containment"       -> (q122Containment _),
     "q12_minhash_lsh"        -> (q12MinhashLsh _),
     "q62_corpus_overlap"     -> (q62CorpusOverlap _),
     "q13_simhash_neardup"    -> (q13SimhashNearDup _),
@@ -797,6 +834,7 @@ object ExtensionQueries {
   val oracleSql: Map[String, String] = Map(
     "q10_dedup_exact"        -> q10Sql,
     "q11_ngram_jaccard"      -> q11Sql,
+    "q122_containment"       -> q122Sql,
     "q12_minhash_lsh"        -> q12Sql,
     "q62_corpus_overlap"     -> q62Sql,
     "q13_simhash_neardup"    -> q13Sql,

@@ -331,6 +331,55 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------
+  // q123 — hard-negative mining: per query vector, the 3 most-similar
+  // DIFFERENT-label corpus rows through the q92 IVF candidate plan
+  // (label filter BEFORE the top-k, so every slot is a negative).
+  // The contrastive-training companion to q121's random negatives;
+  // fully oracle-replayed like q58/q92.
+  // ---------------------------------------------------------------
+  def q123HardNegatives(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.hardNegativesIvf(
+      queries = emb.filter(col("vec_id") % QueryMod === 0),
+      corpus = emb.filter(col("vec_id") % QueryMod =!= 0),
+      idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = AnnK,
+      nlist = IvfNlist, nprobe = IvfNprobe)
+  }
+
+  val q123Sql: String = {
+    def dot(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    def cos(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""WITH corpus AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS n_label
+       |  FROM embeddings WHERE vec_id % $QueryMod <> 0),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+       |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |cents AS (SELECT CAST(row_number() OVER (ORDER BY neighbor_id) - 1 AS INT) AS c, cv AS ct
+       |  FROM (SELECT neighbor_id, cv FROM corpus ORDER BY neighbor_id LIMIT $IvfNlist)),
+       |assigned AS (SELECT neighbor_id, cv, n_label, cell FROM (
+       |    SELECT neighbor_id, cv, n_label, c AS cell,
+       |      row_number() OVER (PARTITION BY neighbor_id
+       |        ORDER BY ${cos("cv", "ct")} DESC, c DESC) AS ar
+       |    FROM corpus CROSS JOIN cents) WHERE ar = 1),
+       |probes AS (SELECT query_id, qv, q_label, cell FROM (
+       |    SELECT q.query_id, q.qv, q.q_label, cents.c AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cos("qv", "ct")} DESC, c DESC) AS pr
+       |    FROM q CROSS JOIN cents) WHERE pr <= $IvfNprobe),
+       |scored AS (SELECT p.query_id, p.q_label, a.n_label, a.neighbor_id,
+       |    ${cos("cv", "qv")} AS cosine
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.n_label <> p.q_label),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, cosine,
+       |  q_label AS query_label, n_label AS neighbor_label
+       |FROM r WHERE rn <= $AnnK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q60 — schema-on-read over the events JSON payload: one codegen'd
   // from_json parse per row projects props.k typed, then a grouped
   // integer census. The semi-structured-column bridge pattern.
@@ -583,6 +632,7 @@ object PipelineQueries {
     "q58_ann_ivf" -> (q58AnnIvf _),
     "q59_label_purity" -> (q59LabelPurity _),
     "q92_label_purity_ivf" -> (q92LabelPurityIvf _),
+    "q123_hard_negatives" -> (q123HardNegatives _),
     "q60_json_props" -> (q60JsonProps _),
     "q63_line_dedup" -> (q63LineDedup _),
     "q45_bm25_retrieval" -> (q45Bm25 _),
@@ -600,6 +650,7 @@ object PipelineQueries {
     "q58_ann_ivf" -> q58Sql,
     "q59_label_purity" -> q59Sql,
     "q92_label_purity_ivf" -> q92Sql,
+    "q123_hard_negatives" -> q123Sql,
     "q60_json_props" -> q60Sql,
     "q63_line_dedup" -> q63Sql,
     "q45_bm25_retrieval" -> q45Sql,

@@ -311,7 +311,36 @@ object SamplingQueries {
        |FROM r""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q121 — deterministic contrastive negative sampling: 3 uniform
+  // non-self negatives per anchor document, resolved through the
+  // dense corpus index (cell-partitioned rank machinery — the oracle
+  // states the naive global row_number form). Draw j of anchor a is
+  // md5_prefix(a:j) mod N: reproducible on any engine, re-drawable
+  // per epoch via the salt.
+  // ---------------------------------------------------------------
+  def q121NegativePairs(spark: SparkSession, d: String): DataFrame =
+    Sampling.negativePairs(Tables.documents(spark, d), "doc_id", k = 3)
+
+  val q121Sql: String =
+    """WITH ix AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+      |  FROM documents),
+      |a AS (
+      |  SELECT doc_id AS anchor_id, CAST(UNNEST(range(0, 3)) AS BIGINT) AS draw
+      |  FROM documents),
+      |t AS (
+      |  SELECT anchor_id, draw,
+      |    CAST(CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || ':' ||
+      |      CAST(draw AS VARCHAR)), 1, 15)) AS UBIGINT)
+      |      % (SELECT COUNT(*) FROM documents) AS BIGINT) AS tgt
+      |  FROM a)
+      |SELECT t.anchor_id, t.draw, ix.doc_id AS neg_id
+      |FROM t JOIN ix ON ix.idx = t.tgt
+      |WHERE ix.doc_id <> t.anchor_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_negative_pairs" -> (q121NegativePairs _),
     "q109_mixture_schedule" -> (q109MixtureSchedule _),
     "q97_budget_sample" -> (q97BudgetSample _),
     "q95_split_leakage" -> (q95SplitLeakage _),
@@ -324,6 +353,7 @@ object SamplingQueries {
     "q71_source_mixture"      -> (q71SourceMixture _))
 
   val oracleSql: Map[String, String] = Map(
+    "q121_negative_pairs" -> q121Sql,
     "q109_mixture_schedule" -> q109Sql,
     "q97_budget_sample" -> q97Sql,
     "q95_split_leakage" -> q95Sql,

@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Evaluation, Sampling, Dedup, Similarity}
+
+class EvaluationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------- aucExact ----------------
+
+  test("aucExact matches the hand-computed Mann-Whitney value with tie midranks") {
+    // scores: pos at 3.0, 2.0, 1.0(x1); neg at 2.0, 0.5, 0.0
+    // pairs P*N = 9: pos3.0 beats all 3; pos2.0 beats 2, ties 1 (0.5);
+    // pos1.0 beats 2 -> U = 3 + 2.5 + 2 = 7.5, AUC = 7.5/9
+    val df = Seq(
+      (3.0, true), (2.0, true), (1.0, true),
+      (2.0, false), (0.5, false), (0.0, false)).toDF("s", "y")
+    val r = Evaluation.aucExact(df, $"s", $"y").head()
+    assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 3L)
+    assert(r.getAs[Long]("n_distinct_scores") == 5L)
+    assert(r.getAs[Double]("auc") == 7.5 / 9.0)
+  }
+
+  test("aucExact: perfect separation gives 1.0, inverted gives 0.0, identical scores 0.5") {
+    def auc(rows: Seq[(Double, Boolean)]): Double =
+      Evaluation.aucExact(rows.toDF("s", "y"), $"s", $"y")
+        .head().getAs[Double]("auc")
+    assert(auc(Seq((2.0, true), (3.0, true), (0.0, false), (1.0, false))) == 1.0)
+    assert(auc(Seq((0.0, true), (1.0, true), (2.0, false), (3.0, false))) == 0.0)
+    // all scores equal: every pos half-ties every neg
+    assert(auc(Seq((1.0, true), (1.0, true), (1.0, false))) == 0.5)
+  }
+
+  test("aucExact: single-class and empty inputs return NULL auc, not 0.5") {
+    val onlyPos = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    val r = Evaluation.aucExact(onlyPos, $"s", $"y").head()
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 0L)
+    assert(r.isNullAt(r.fieldIndex("auc")))
+    val empty = Seq.empty[(Double, Boolean)].toDF("s", "y")
+    val e = Evaluation.aucExact(empty, $"s", $"y").head()
+    assert(e.getAs[Long]("n_pos") == 0L && e.isNullAt(e.fieldIndex("auc")))
+  }
+
+  test("aucExact: NaN/null scores and null labels are excluded, not ranked") {
+    val df = Seq(
+      (Some(3.0), Some(true)), (Some(0.0), Some(false)),
+      (Some(Double.NaN), Some(true)), (None, Some(false)),
+      (Some(9.9), None)).toDF("s", "y")
+    val r = Evaluation.aucExact(df, $"s", $"y").head()
+    assert(r.getAs[Long]("n_pos") == 1L && r.getAs[Long]("n_neg") == 1L)
+    assert(r.getAs[Double]("auc") == 1.0)
+  }
+
+  test("aucExact is partitioning-independent (cell machinery == naive rank sum)") {
+    // 200 rows, heavy ties, across several cells and partitions
+    val rows = (0 until 200).map(i => ((i % 17).toDouble, i % 3 == 0))
+    val few = Evaluation.aucExact(
+      rows.toDF("s", "y").repartition(1), $"s", $"y", cells = 2).head()
+    val many = Evaluation.aucExact(
+      rows.toDF("s", "y").repartition(7), $"s", $"y", cells = 64).head()
+    assert(few.getAs[Double]("auc") == many.getAs[Double]("auc"))
+    // naive reference: midrank sum over positives
+    val sorted = rows.map(_._1).sorted
+    val rank = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> g.map(_._2 + 1).sum.toDouble / g.size }
+    val pos = rows.filter(_._2).map(_._1)
+    val u = pos.map(rank).sum - pos.size * (pos.size + 1) / 2.0
+    val expected = u / (pos.size.toDouble * (rows.size - pos.size))
+    assert(math.abs(few.getAs[Double]("auc") - expected) < 1e-12)
+  }
+
+  // ---------------- calibrationReport ----------------
+
+  test("calibrationReport: hand-checked bands, edge clamp, empty bands present") {
+    val df = Seq(
+      (-10.0, false),         // clamps to band 0
+      (0.1, false), (0.3, true), // band 0 of [0,1)x4? -> with lo=0,hi=2,bins=4: band 0
+      (0.6, true), (0.9, true),  // band 1
+      (1.7, false),              // band 3
+      (99.0, true)).toDF("s", "y") // clamps to band 3
+    val r = Evaluation.calibrationReport(df, $"s", $"y", lo = 0.0, hi = 2.0, bins = 4)
+      .orderBy("band").collect()
+    assert(r.length == 4)
+    assert(r(0).getAs[Long]("n") == 3L && r(0).getAs[Long]("n_pos") == 1L)
+    assert(r(1).getAs[Long]("n") == 2L && r(1).getAs[Long]("n_pos") == 2L)
+    assert(r(2).getAs[Long]("n") == 0L && r(2).isNullAt(r(2).fieldIndex("pos_rate")))
+    assert(r(3).getAs[Long]("n") == 2L && r(3).getAs[Long]("n_pos") == 1L)
+    assert(r(1).getAs[Double]("pos_rate") == 1.0)
+    assert(r(0).getAs[Double]("lo") == 0.0 && r(3).getAs[Double]("hi") == 2.0)
+  }
+
+  // ---------------- negativePairs ----------------
+
+  test("negativePairs: k non-self draws per anchor, all from the corpus, reproducible") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val n = docs.count()
+    val pairs = Sampling.negativePairs(docs, "doc_id", k = 4)
+    val byAnchor = pairs.groupBy("anchor_id").count().collect()
+    assert(byAnchor.length == n)                      // every anchor drew
+    assert(byAnchor.forall(_.getLong(1) <= 4))        // ≤ k (self-collisions drop)
+    assert(pairs.filter($"anchor_id" === $"neg_id").count() == 0)
+    // negatives are real corpus rows
+    assert(pairs.join(docs, pairs("neg_id") === docs("doc_id"), "left_anti").count() == 0)
+    val again = Sampling.negativePairs(docs.repartition(5), "doc_id", k = 4)
+    assert(pairs.exceptAll(again).count() == 0 && again.exceptAll(pairs).count() == 0)
+  }
+
+  test("negativePairs: salt re-draws; draws are near-uniform over the corpus") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val a = Sampling.negativePairs(docs, "doc_id", k = 2)
+    val b = Sampling.negativePairs(docs, "doc_id", k = 2, salt = "#epoch2")
+    assert(a.exceptAll(b).count() > 0, "salted epoch must draw different negatives")
+    // uniformity smoke test: no corpus row hogs the draws
+    val maxHit = a.groupBy("neg_id").count().agg(max("count")).head().getLong(0)
+    assert(maxHit <= 12, s"uniform draws should not concentrate, max=$maxHit")
+  }
+
+  // ---------------- ngramContainmentPairs ----------------
+
+  test("containment catches an excerpt pair Jaccard misses; values are exact") {
+    val long =
+      "the quick brown fox jumps over the lazy dog while seventeen astronauts " +
+        "practice orbital mechanics and the committee debates parquet encodings " +
+        "at length with citations and appendices"
+    val short = "seventeen astronauts practice orbital mechanics"
+    val docs = Seq((1L, long), (2L, short), (3L, "completely unrelated zebra text"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8, maxDfFraction = None).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("id_a") == 1L && p.getAs[Long]("id_b") == 2L)
+    // the short side is (near-)contained; naive recompute must agree exactly
+    def shingles(s: String): Set[String] =
+      if (s.length <= 3) Set(s) else (0 to s.length - 3).map(i => s.substring(i, i + 3)).toSet
+    val (sa, sb) = (shingles(long), shingles(short))
+    val inter = (sa intersect sb).size.toDouble
+    assert(p.getAs[Double]("containment_a_in_b") == inter / sa.size)
+    assert(p.getAs[Double]("containment_b_in_a") == inter / sb.size)
+    assert(p.getAs[Double]("containment_b_in_a") >= 0.8)
+    // and Jaccard would NOT have flagged it at the same bar
+    assert(inter / (sa ++ sb).size < 0.8)
+  }
+
+  test("containment prefix+DF-cap path equals the uncapped naive pair set on the corpus") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(120)
+    val got = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.62, maxDfFraction = None)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive reference over the same shingle universe
+    val sets = docs.select($"doc_id", $"text").collect().map { r =>
+      val t = r.getString(1)
+      val sh =
+        if (t.length <= 3) Set(t)
+        else (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet
+      r.getLong(0) -> sh
+    }
+    val expect = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa intersect sb).size.toDouble
+      if inter / math.min(sa.size, sb.size) >= 0.62
+    } yield (ia, ib)).toSet
+    assert(got == expect)
+  }
+
+  // ---------------- hardNegativesIvf ----------------
+
+  test("hard negatives: every slot is a different-label neighbor, k per query, full-probe == brute-filtered") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter($"vec_id" % 20 === 0)
+    val corpus = emb.filter($"vec_id" % 20 =!= 0)
+    val hard = Similarity.hardNegativesIvf(queries, corpus,
+      "vec_id", "embedding", "label", k = 3, nlist = 8, nprobe = 8)
+    val rows = hard.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Int]("query_label") != r.getAs[Int]("neighbor_label")))
+    val perQuery = hard.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) <= 3))
+    // nprobe == nlist probes every cell -> identical to brute filtered top-k
+    val brute = Similarity.annJoinBrute(
+        queries.withColumnRenamed("label", "_ql"), corpus, "vec_id", "embedding",
+        k = Int.MaxValue) // all scored pairs, we re-rank after the label filter
+      .join(queries.select($"vec_id".as("query_id"), $"label".as("_qlab")), "query_id")
+      .join(corpus.select($"vec_id".as("neighbor_id"), $"label".as("_nlab")),
+        "neighbor_id")
+      .filter($"_qlab" =!= $"_nlab")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    val bruteTop = brute.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hardSet = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(hardSet == bruteTop)
+  }
+}

@@ -458,6 +458,54 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q119: AUC reads documents once; the prefix window is cell-partitioned") {
+    val p = plan(graft.queries.EvalQueries.q119Auc(spark, d))
+    // the offsets branch and the ranked branch both read the persisted
+    // census: every textual FileScan is the cached-plan rendering
+    // inside an InMemoryRelation — the raw data is scanned once, at
+    // cache fill. A dropped persist shows up as a FileScan without a
+    // matching InMemoryRelation.
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    val cached = "InMemoryRelation".r.findAllIn(p).length
+    assert(scans == cached && "InMemoryTableScan".r.findAllIn(p).length == 2,
+      s"both prefix-sum branches must read the cached census ($scans scans, $cached cached):\n$p")
+    // the data-scale cumulative window runs inside cells, never one task
+    assert(p.contains("Window") && p.contains("windowspecdefinition(_c#"),
+      s"cumulative negatives must be a cell-partitioned window:\n$p")
+    assert(p.contains("partial_sum"), "census folds map-side")
+  }
+
+  test("q121: negative draws resolve via equi-join on the dense index, never a nested loop") {
+    val p = plan(graft.queries.SamplingQueries.q121NegativePairs(spark, d))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"draw->row resolution must be an equi-join on the 8-byte index:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a hash equi-join:\n$p")
+  }
+
+  test("q122: containment candidate join is an equi-join on shingle hashes (no cartesian)") {
+    val p = plan(graft.queries.ExtensionQueries.q122Containment(spark, d))
+    assert(!p.contains("CartesianProduct"),
+      s"prefix x posting join must be an equi-join on g:\n$p")
+    // the candidate join keys on the 8-byte shingle hash; any
+    // BroadcastNestedLoopJoin in the text is the deliberate 1-row
+    // DF-cap total broadcast repeated by the cached-plan rendering
+    assert("Join \\[g#\\d+L\\], \\[g#\\d+L\\]".r.findFirstIn(p).isDefined,
+      s"expected a hash equi-join on the shingle hash g:\n$p")
+    "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).foreach { l =>
+      assert(l.contains("BuildLeft") || l.contains("BuildRight"),
+        s"unexpected nested-loop shape: $l")
+    }
+  }
+
+  test("q123: hard negatives ride the IVF cell equi-join, never a cartesian over the corpus") {
+    val p = plan(graft.queries.PipelineQueries.q123HardNegatives(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes must broadcast into an equi-join on cell:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the IVF path must not degrade to an all-pairs join:\n$p")
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
