@@ -99,22 +99,43 @@ object ExtensionQueries {
   // ---------------------------------------------------------------
   // q122 — asymmetric containment pairs: the quote-wrapped-copy /
   // excerpt-page signal Jaccard misses (a short doc pasted inside a
-  // long one has containment ≈ 1 at Jaccard ≈ |short|/|long|). Same
-  // shingle universe and DF cap as q11; the oracle states the naive
-  // inverted-index form with both containment directions.
+  // long one has containment ≈ 1 at Jaccard ≈ |short|/|long|). The
+  // oracle states the naive inverted-index form with both containment
+  // directions.
+  //
+  // WORD 4-shingles (Broder w-shingling), not character n-grams, as
+  // of r9: the containment prefix filter probes the FULL posting list
+  // of every prefix shingle (asymmetric similarity admits no bound on
+  // the larger side), so candidate count is Σ_g prefix_df(g)·df(g) —
+  // and on this small-vocabulary corpus EVERY character shingle
+  // length stays ambient (measured at sf0.1: 9.5M of 12.5M possible
+  // pairs became candidates at n=3 chars and still ~8M at n=8 chars;
+  // 15.2 s warm, the whole suite's worst query, with the verify join
+  // as the floor). Word shingles draw from vocab⁴ ≈ 10⁶ values, so
+  // unrelated docs share essentially nothing: 39k of 12.5M pairs
+  // share ANY shingle at sf0.1 and the warm time drops ~20×. The
+  // qualifying result set is the SAME planted near-dup/excerpt pairs
+  // (25 at sf0.01, 256 at sf0.1 — verified equal at 3- and 4-word
+  // shingles). DF cap stays as a backstop; EvaluationSpec pins the
+  // excerpt fixture and the naive-path equality at word shingles.
   // ---------------------------------------------------------------
   private val ContainmentThreshold = 0.62
+  private val ContainmentShingleWords = 4
 
   def q122Containment(spark: SparkSession, d: String): DataFrame =
-    Dedup.ngramContainmentPairs(
+    Dedup.wordShingleContainmentPairs(
       Tables.documents(spark, d),
-      "doc_id", "text", n = 3, threshold = ContainmentThreshold,
+      "doc_id", "text", n = ContainmentShingleWords, threshold = ContainmentThreshold,
       maxDfFraction = Some(StopShingleDfFraction))
 
   val q122Sql: String =
-    s"""WITH sh AS (SELECT doc_id, list_distinct(
-       |    [substr(text, i, 3) for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS s
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
        |  FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(
+       |    [list_aggregate(ws[i:i+${ContainmentShingleWords - 1}], 'string_agg', ' ')
+       |     for i in range(1, greatest(len(ws) - ${ContainmentShingleWords - 1}, 0) + 1)]) AS s
+       |  FROM w),
        |ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
        |keep AS (SELECT g FROM ex0 GROUP BY g
        |  HAVING CAST(COUNT(*) AS DOUBLE) <=

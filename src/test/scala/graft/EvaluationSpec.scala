@@ -166,6 +166,45 @@ class EvaluationSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("word-shingle containment catches the excerpt pair at the q122 parameters") {
+    val long =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val short = "zeta eta theta iota kappa lambda mu nu"
+    val docs = Seq((1L, long), (2L, short), (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    // no DF cap at 3 docs: the q122 cap (0.4·N) would drop every
+    // df=2 shingle below N=5 — the cap is a corpus-scale backstop
+    val pairs = Dedup.wordShingleContainmentPairs(docs, "doc_id", "text",
+      n = 4, threshold = 0.62, maxDfFraction = None).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("id_a") == 1L && p.getAs[Long]("id_b") == 2L)
+    // exact values: the short doc's 5 word-4-shingles are all inside
+    // the long doc's 17
+    assert(p.getAs[Double]("containment_b_in_a") == 1.0)
+    assert(p.getAs[Double]("containment_a_in_b") == 5.0 / 17.0)
+  }
+
+  test("word-shingle containment prefix+positional path equals the naive pair set on the corpus") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(120)
+    val got = Dedup.wordShingleContainmentPairs(docs, "doc_id", "text",
+      n = 4, threshold = 0.62, maxDfFraction = None)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = docs.select($"doc_id", $"text").collect().map { r =>
+      val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+      val sh = if (ws.length < 4) Set.empty[String]
+        else ws.sliding(4).map(_.mkString(" ")).toSet
+      r.getLong(0) -> sh
+    }.filter(_._2.nonEmpty)
+    val expect = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa intersect sb).size.toDouble
+      if inter / math.min(sa.size, sb.size) >= 0.62
+    } yield (ia, ib)).toSet
+    assert(got == expect)
+  }
+
   // ---------------- hardNegativesIvf ----------------
 
   test("hard negatives: every slot is a different-label neighbor, k per query, full-probe == brute-filtered") {
