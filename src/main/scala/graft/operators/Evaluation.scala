@@ -28,13 +28,19 @@ object Evaluation {
     * with negatives at the same score.
     *
     * Distribution: rows collapse to a (score → pos, neg) census in
-    * one map-side-partial shuffle, so everything after rides census
-    * rows (distinct scores), never raw rows. The cumulative-negative
-    * prefix uses the q102 cell machinery: per-cell totals offset a
-    * window partitioned BY cell, so even a census with billions of
-    * distinct scores ranks `cells`-way parallel — no unpartitioned
-    * window task anywhere. The rank-sum numerator accumulates in
-    * DECIMAL(38,0) (exact far past 100 TB row counts: it is bounded by
+    * one map-side-partial shuffle — the ONLY scan of the input, which
+    * matters when the scores are an expensive upstream pipeline (the
+    * q119 logit is the full text-feature extraction). Bounds and the
+    * prefix-sum cells derive from the persisted census itself
+    * (distinct-score scale), never from a second raw scan. The
+    * cumulative-negative prefix uses the q102 cell machinery: per-cell
+    * totals offset a window partitioned BY cell, so even a census with
+    * billions of distinct scores ranks `cells`-way parallel — no
+    * unpartitioned window task anywhere. The rank-sum numerator
+    * multiplies in DECIMAL(38,0) — each factor is cast BEFORE the
+    * product, so nothing ever wraps in Long arithmetic (exact far past
+    * 100 TB row counts: the factor 2·cumNeg+neg stays a Long ≤ 2N
+    * < 9.2×10¹⁸ and the accumulated numerator is bounded by
     * 2·P·N < 10³⁸ for P,N < 10¹⁸); the lone division is stated as
     * `CAST(num AS DOUBLE) / (2.0 · P · N)` in both engines.
     *
@@ -52,38 +58,38 @@ object Evaluation {
       .filter(score.isNotNull && !isnan(score.cast("double")) && label.isNotNull)
       .select(score.cast("double").as("_v"),
         when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
-    val bounds = nn.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx")).head()
-    if (bounds.isNullAt(0))
+    // score census FIRST: one raw scan, persisted at distinct-score
+    // scale (3 longs + a double per row). Bounds, cells, offsets, and
+    // the ranked branch all ride the cache — the raw input (and any
+    // expensive score expression feeding it) is never read again.
+    val census = nn.groupBy(col("_v"))
+      .agg(sum(col("_p")).as("_pos"),
+        sum(lit(1L) - col("_p")).as("_neg"))
+      .persist()
+    val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx")).head()
+    if (bounds.isNullAt(0)) {
       // empty eval set: a defined shape, not a crash
+      census.unpersist(blocking = false)
       return nn.sparkSession.range(1).select(
         lit(0L).as("n_pos"), lit(0L).as("n_neg"),
         lit(0L).as("n_distinct_scores"),
         lit(null).cast("double").as("auc"))
+    }
     val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
     val width = (mx - mn) / cells
     val cell =
       if (mx == mn) lit(0L)
       else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
-    // score census: everything after this rides distinct-score rows.
-    // Persisted because BOTH the offsets branch and the ranked branch
-    // consume it — without the cache Catalyst collapses the offsets
-    // aggregate into its own scan pipeline and the raw data (plus the
-    // full score expression) is read twice. Aggregate-scale rows
-    // (distinct scores), 3 longs + a double wide.
-    val census = nn.withColumn("_c", cell)
-      .groupBy(col("_c"), col("_v"))
-      .agg(sum(col("_p")).as("_pos"),
-        sum(lit(1L) - col("_p")).as("_neg"))
-      .persist()
+    val cen = census.withColumn("_c", cell)
     // per-cell negative totals -> broadcast offsets (config-sized rows)
-    val perCell = census.groupBy(col("_c")).agg(sum(col("_neg")).as("_nc"))
+    val perCell = cen.groupBy(col("_c")).agg(sum(col("_neg")).as("_nc"))
     val offs = perCell.withColumn("_off",
       coalesce(sum(col("_nc")).over(
         W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
     // within-cell prefix, cell-partitioned — parallel in `cells`
     val wCell = W.partitionBy(col("_c")).orderBy(col("_v"))
       .rowsBetween(W.unboundedPreceding, -1)
-    val ranked = census.join(broadcast(offs.select(col("_c"), col("_off"))), Seq("_c"))
+    val ranked = cen.join(broadcast(offs.select(col("_c"), col("_off"))), Seq("_c"))
       .withColumn("_cumNeg",
         col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
     graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
@@ -91,8 +97,9 @@ object Evaluation {
       sum(col("_pos")).as("n_pos"),
       sum(col("_neg")).as("n_neg"),
       count(lit(1)).as("n_distinct_scores"),
-      sum((col("_pos") * (lit(2L) * col("_cumNeg") + col("_neg")))
-        .cast("decimal(38,0)")).as("_num"))
+      sum(col("_pos").cast("decimal(38,0)") *
+          (lit(2L) * col("_cumNeg") + col("_neg")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("_num"))
       .select(
         col("n_pos"), col("n_neg"), col("n_distinct_scores"),
         when(col("n_pos") > 0L && col("n_neg") > 0L,

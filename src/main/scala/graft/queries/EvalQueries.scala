@@ -27,10 +27,17 @@ object EvalQueries {
       carry = Seq("lang"))
       .select(col("doc_id"), col("logit"), (col("lang") === "en").as("is_en"))
 
+  // The WHERE states the engine's exclusion contract (aucExact /
+  // calibrationReport drop NULL/NaN scores and NULL labels) so both
+  // engines share one null semantics even on a corpus WITH nulls —
+  // without it the oracle would census NULL logits and count NULL
+  // lang as a negative via CASE WHEN.
   private val scoredSql: String =
     s"""WITH q AS (${ExtensionQueries.q112Sql})
        |SELECT q.doc_id, q.logit, d.lang = 'en' AS is_en
-       |FROM q JOIN documents d ON q.doc_id = d.doc_id""".stripMargin
+       |FROM q JOIN documents d ON q.doc_id = d.doc_id
+       |WHERE q.logit IS NOT NULL AND NOT isnan(q.logit)
+       |  AND d.lang IS NOT NULL""".stripMargin
 
   // ---------------------------------------------------------------
   // q119 — exact ROC AUC (Mann–Whitney with midranks) of the quality

@@ -371,7 +371,10 @@ object PipelineQueries {
        |scored AS (SELECT p.query_id, p.q_label, a.n_label, a.neighbor_id,
        |    ${cos("cv", "qv")} AS cosine
        |  FROM assigned a JOIN probes p ON a.cell = p.cell
-       |  WHERE a.n_label <> p.q_label),
+       |  -- IS DISTINCT FROM = the engine's !(n_label <=> q_label):
+       |  -- a NULL-label neighbor IS a negative for a labeled query
+       |  -- (and vice versa); only null-vs-null is same-label
+       |  WHERE a.n_label IS DISTINCT FROM p.q_label),
        |r AS (SELECT *, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, cosine,
