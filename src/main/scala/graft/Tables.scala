@@ -23,23 +23,47 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame     = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame   = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
+  private val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Load `events.parquet` with the legacy `nanosAsLong` conf set ONLY
+    * if the file actually carries the TIMESTAMP(NANOS) layout.
+    *
+    * The probe: set the conf, read the footer schema (eager at
+    * `spark.read.parquet`), inspect `ts`. If the layout is NOT
+    * nanos-as-long, restore the previous conf value immediately — a
+    * micros/native-timestamp corpus leaves the session untouched, so
+    * other nanos-timestamp parquets in the same session keep their
+    * normal (fail-loudly) decoding. If the layout IS nanos, the conf
+    * must stay set: Spark re-reads it at EXECUTION time (the physical
+    * reader re-resolves the session conf when an action runs, long
+    * after any save/restore bracket would have closed), so scoping it
+    * tighter would break the lazy DataFrame. That residual
+    * session-wide effect exists only for nanos corpora and is the
+    * documented cost of Spark offering no per-read switch.
+    */
+  private def loadEventsRaw(spark: SparkSession, d: String): DataFrame = {
+    val saved = spark.conf.getOption(NanosAsLongKey)
+    spark.conf.set(NanosAsLongKey, "true")
+    val raw = load(spark, d, "events")
+    if (raw.schema("ts").dataType != org.apache.spark.sql.types.LongType) {
+      saved match {
+        case Some(v) => spark.conf.set(NanosAsLongKey, v)
+        case None    => spark.conf.unset(NanosAsLongKey)
+      }
+    }
+    raw
+  }
+
   /** `events.ts` has shipped in two parquet layouts across corpus
     * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
     * rejects — read nanos as long via the legacy conf and convert with
     * integer arithmetic, since nanos since epoch exceed 2^53) and plain
     * TIMESTAMP(MICROS) (readable directly). Detect per read and handle
     * both; DuckDB truncates NANOS→micros the same way, so oracle values
-    * agree in either layout.
-    *
-    * Side effect: `nanosAsLong` is a session-level conf (Spark offers no
-    * per-read switch), so after the first events read, any OTHER
-    * nanos-timestamp parquet in the session also decodes as long. The
-    * corpus has exactly one such table; a multi-tenant session would
-    * need the conf scoped at its boundary instead.
+    * agree in either layout. Conf scoping: see [[loadEventsRaw]].
     */
   def events(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, d, "events")
+    val raw = loadEventsRaw(spark, d)
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
@@ -64,8 +88,7 @@ object Tables {
     * full one. For the native-timestamp layout the filter pushes as-is.
     */
   def eventsBefore(spark: SparkSession, d: String, cutoff: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, d, "events")
+    val raw = loadEventsRaw(spark, d)
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         val cutoffNanos = java.time.LocalDateTime

@@ -449,26 +449,49 @@ object Sampling {
     * is worth persisting alongside it; every epoch's negatives then
     * cost one hash expression + one co-partitionable join. Bump `salt`
     * to re-draw fresh negatives per epoch.
+    *
+    * Id types: numeric/date/timestamp ids range-bucket on their cast
+    * double; string/binary ids range-bucket on the first-8-bytes
+    * value (zero-padded big-endian — order-preserving under Spark's
+    * byte-lexicographic string comparison, so cells still respect the
+    * global id order and the dense index equals `row_number() OVER
+    * (ORDER BY id)` either way). Ids sharing a long common prefix
+    * degrade cell SPREAD (fewer distinct cells), never correctness.
+    * Any other id type is rejected loudly — the old behavior
+    * (cast-to-double producing all-null buckets) silently returned an
+    * EMPTY result for string corpora.
     */
   def negativePairs(
       corpus: DataFrame, idCol: String, k: Int,
       salt: String = "", cells: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.types._
     require(k >= 1, s"k must be >= 1, got $k")
     require(cells >= 1, s"cells must be >= 1, got $cells")
     val W = org.apache.spark.sql.expressions.Window
     val ids = corpus.select(col(idCol).as("_id")).filter(col("_id").isNotNull)
+    // order-preserving numeric key for range-cell bucketing
+    val orderKey: Column = ids.schema("_id").dataType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType =>
+        col("_id").cast("double")
+      case StringType =>
+        expr("CAST(conv(hex(rpad(encode(_id, 'UTF-8'), 8, x'00')), 16, 10) AS DOUBLE)")
+      case BinaryType =>
+        expr("CAST(conv(hex(rpad(_id, 8, x'00')), 16, 10) AS DOUBLE)")
+      case t => throw new IllegalArgumentException(
+        s"negativePairs: unsupported id type $t for column $idCol — " +
+          "need a numeric, date/timestamp, string, or binary id")
+    }
     val bounds = ids.agg(
-      min(col("_id").cast("double")).as("mn"),
-      max(col("_id").cast("double")).as("mx"),
+      min(orderKey).as("mn"), max(orderKey).as("mx"),
       count(lit(1)).as("n")).head()
-    if (bounds.isNullAt(0))
+    if (bounds.getLong(2) == 0L)
       return ids.select(col("_id").as("anchor_id"), lit(0L).as("draw"),
         col("_id").as("neg_id")).limit(0)
     val (mn, mx, n) = (bounds.getDouble(0), bounds.getDouble(1), bounds.getLong(2))
     val width = (mx - mn) / cells
     val cell =
       if (mx == mn) lit(0L)
-      else least(lit(cells - 1L), floor((col("_id").cast("double") - lit(mn)) / lit(width)))
+      else least(lit(cells - 1L), floor((orderKey - lit(mn)) / lit(width)))
     val base = ids.withColumn("_c", cell)
     val offs = base.groupBy(col("_c")).agg(count(lit(1)).as("_nc"))
       .withColumn("_off", coalesce(sum(col("_nc")).over(

@@ -322,18 +322,23 @@ object SamplingQueries {
   def q121NegativePairs(spark: SparkSession, d: String): DataFrame =
     Sampling.negativePairs(Tables.documents(spark, d), "doc_id", k = 3)
 
+  // WHERE doc_id IS NOT NULL states the engine's exclusion (index,
+  // anchors, AND the modulus all use non-null ids) — on the null-free
+  // fixture it is a no-op, but it keeps the two engines' N identical
+  // on a corpus with null ids.
   val q121Sql: String =
-    """WITH ix AS (
+    """WITH nn AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+      |ix AS (
       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
-      |  FROM documents),
+      |  FROM nn),
       |a AS (
       |  SELECT doc_id AS anchor_id, CAST(UNNEST(range(0, 3)) AS BIGINT) AS draw
-      |  FROM documents),
+      |  FROM nn),
       |t AS (
       |  SELECT anchor_id, draw,
       |    CAST(CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || ':' ||
       |      CAST(draw AS VARCHAR)), 1, 15)) AS UBIGINT)
-      |      % (SELECT COUNT(*) FROM documents) AS BIGINT) AS tgt
+      |      % (SELECT COUNT(*) FROM nn) AS BIGINT) AS tgt
       |  FROM a)
       |SELECT t.anchor_id, t.draw, ix.doc_id AS neg_id
       |FROM t JOIN ix ON ix.idx = t.tgt

@@ -108,6 +108,38 @@ class EvaluationSpec extends AnyFunSuite {
     assert(pairs.exceptAll(again).count() == 0 && again.exceptAll(pairs).count() == 0)
   }
 
+  test("negativePairs: string ids get k negatives per anchor via the id-order dense index") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(concat(lit("doc_"), lpad($"doc_id".cast("string"), 6, "0")).as("sid"))
+    val n = docs.count()
+    val pairs = Sampling.negativePairs(docs, "sid", k = 3)
+    val byAnchor = pairs.groupBy("anchor_id").count().collect()
+    assert(byAnchor.length == n, "every string-id anchor must draw (was: silently empty)")
+    assert(byAnchor.forall(_.getLong(1) <= 3))
+    assert(pairs.filter($"anchor_id" === $"neg_id").count() == 0)
+    // the dense index must equal row_number() OVER (ORDER BY sid):
+    // replay one anchor's draws against a driver-side naive index
+    val idsSorted = docs.collect().map(_.getString(0)).sorted
+    val anchor = idsSorted.head
+    val got = pairs.filter($"anchor_id" === anchor)
+      .orderBy("draw").collect().map(r => (r.getLong(1), r.getString(2)))
+    val expect = (0L until 3L).map { j =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$anchor:$j".getBytes("UTF-8"))
+      val hex = h.map("%02x".format(_)).mkString.take(15)
+      (j, idsSorted((java.lang.Long.parseLong(hex, 16) % n).toInt))
+    }.filter(_._2 != anchor)
+    assert(got.toSeq == expect)
+  }
+
+  test("negativePairs: unsupported id type is rejected loudly, not silently empty") {
+    val weird = Seq((Array(1.0, 2.0), 1)).toDF("v", "x")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.negativePairs(weird, "v", k = 2)
+    }
+    assert(e.getMessage.contains("unsupported id type"))
+  }
+
   test("negativePairs: salt re-draws; draws are near-uniform over the corpus") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val a = Sampling.negativePairs(docs, "doc_id", k = 2)

@@ -11,6 +11,21 @@ class TemporalSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("Tables.events leaves the session nanosAsLong conf untouched for non-nanos layouts") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val ev = Tables.events(spark, TestSpark.sf)
+    assert(ev.count() > 0)
+    // the corpus under test is the micros/NTZ layout: the probe must
+    // restore whatever was set before (here: unset/default), so other
+    // nanos-timestamp parquets in the session keep fail-loud decoding
+    assert(spark.conf.getOption(key) == before,
+      s"events read must not leak $key for a non-nanos corpus")
+    val evB = Tables.eventsBefore(spark, TestSpark.sf, "2024-06-01 00:00:00")
+    assert(evB.count() >= 0)
+    assert(spark.conf.getOption(key) == before)
+  }
+
   test("as-of backward join: latest at-or-before value; simultaneous visible; null when none") {
     val left = Seq(
       (1L, 1, ts("2024-01-01 10:00:00")),   // before any snapshot → null
