@@ -108,6 +108,80 @@ object Evaluation {
           .as("auc"))
   }
 
+  /** Per-group exact ROC AUC — [[aucExact]]'s census machinery with a
+    * group key carried through every stage, answering the question a
+    * curation team actually asks before gating 100 TB: "is the quality
+    * classifier equally trustworthy per source / per language?" (a
+    * gate with AUC 0.9 overall and 0.6 on one source silently skews
+    * the mixture).
+    *
+    * Same one-scan discipline: ONE (group, score) census, bounds from
+    * the census, prefix windows partitioned by (group, cell) so no
+    * group ever ranks in a single task, offsets broadcast at
+    * groups×cells rows (config-sized for the dashboard-cardinality
+    * groups this targets — languages, sources, shards; for millions
+    * of groups drop the broadcast hint). Output: one row per group
+    * (group_key, n_pos, n_neg, n_distinct_scores, auc); auc is NULL
+    * for single-class groups, and groups with no surviving rows do
+    * not appear.
+    */
+  def aucExactBy(
+      df: DataFrame, group: Column, score: Column, label: Column,
+      cells: Int = 4096): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    val nn = df
+      .filter(score.isNotNull && !isnan(score.cast("double")) &&
+        label.isNotNull && group.isNotNull)
+      .select(group.as("_g"), score.cast("double").as("_v"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
+    val census = nn.groupBy(col("_g"), col("_v"))
+      .agg(sum(col("_p")).as("_pos"),
+        sum(lit(1L) - col("_p")).as("_neg"))
+      .persist()
+    val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
+      count(lit(1)).as("n")).head()
+    if (bounds.getLong(2) == 0L) {
+      census.unpersist(blocking = false)
+      return census.select(col("_g").as("group_key"),
+        lit(0L).as("n_pos"), lit(0L).as("n_neg"),
+        lit(0L).as("n_distinct_scores"),
+        lit(null).cast("double").as("auc")).limit(0)
+    }
+    // GLOBAL bounds are fine for the cells: the cell split only
+    // controls window parallelism; ranks come from (_g, _c, _v)
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val width = (mx - mn) / cells
+    val cell =
+      if (mx == mn) lit(0L)
+      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+    val cen = census.withColumn("_c", cell)
+    val perCell = cen.groupBy(col("_g"), col("_c")).agg(sum(col("_neg")).as("_nc"))
+    val offs = perCell.withColumn("_off",
+      coalesce(sum(col("_nc")).over(W.partitionBy(col("_g")).orderBy(col("_c"))
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val wCell = W.partitionBy(col("_g"), col("_c")).orderBy(col("_v"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val ranked = cen
+      .join(broadcast(offs.select(col("_g"), col("_c"), col("_off"))), Seq("_g", "_c"))
+      .withColumn("_cumNeg",
+        col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
+    ranked.groupBy(col("_g").as("group_key")).agg(
+      sum(col("_pos")).as("n_pos"),
+      sum(col("_neg")).as("n_neg"),
+      count(lit(1)).as("n_distinct_scores"),
+      sum(col("_pos").cast("decimal(38,0)") *
+          (lit(2L) * col("_cumNeg") + col("_neg")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("_num"))
+      .select(
+        col("group_key"), col("n_pos"), col("n_neg"), col("n_distinct_scores"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          col("_num").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
+  }
+
   /** Calibration census: fixed score bands over [lo, hi), out-of-range
     * scores clamped to the edge bands ([[Profiling.histogramFixed]]'s
     * convention, so the census covers the full population and merges
@@ -145,5 +219,46 @@ object Evaluation {
         coalesce(col("n_pos"), lit(0L)).as("n_pos"),
         when(coalesce(col("n"), lit(0L)) > 0L,
           col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+  }
+
+  /** Per-group calibration census — [[calibrationReport]] keyed by a
+    * group column, one scan + map-side partials to ≤ groups×bins rows.
+    * The spine is distinct-groups × bands so every group's reliability
+    * diagram has all `bins` rows (empty bands n=0), aligned across
+    * groups and across runs. Shared [lo, hi) domain for every group —
+    * the q117 shared-domain convention, which is what makes per-group
+    * diagrams comparable side by side.
+    */
+  def calibrationReportBy(
+      df: DataFrame, group: Column, score: Column, label: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val nn = df
+      .filter(score.isNotNull && !isnan(score.cast("double")) &&
+        label.isNotNull && group.isNotNull)
+      .select(group.as("_g"), score.cast("double").as("_v"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
+    val bin = least(lit(bins - 1L),
+      greatest(lit(0L), floor((col("_v") - lit(lo)) / lit(width))))
+    val counts = nn.groupBy(col("_g"), bin.as("band"))
+      .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pos"))
+      .persist()
+    val spine = counts.select(col("_g")).distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(0, bins).select(col("id").as("band"))))
+    val out = spine.join(counts, Seq("_g", "band"), "left")
+      .select(
+        col("_g").as("group_key"),
+        col("band"),
+        (lit(lo) + col("band") * lit(width)).as("lo"),
+        (lit(lo) + (col("band") + lit(1L)) * lit(width)).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        when(coalesce(col("n"), lit(0L)) > 0L,
+          col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(counts))
+    out
   }
 }

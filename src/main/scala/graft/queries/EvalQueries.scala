@@ -24,8 +24,9 @@ object EvalQueries {
       Tables.documents(spark, d), "doc_id", "text",
       bias = -2.0, wStopword = 8.0, wPunct = -4.0,
       wMeanWordLen = 0.25, wKChars = 0.5,
-      carry = Seq("lang"))
-      .select(col("doc_id"), col("logit"), (col("lang") === "en").as("is_en"))
+      carry = Seq("lang", "source"))
+      .select(col("doc_id"), col("logit"), (col("lang") === "en").as("is_en"),
+        col("source"))
 
   // The WHERE states the engine's exclusion contract (aucExact /
   // calibrationReport drop NULL/NaN scores and NULL labels) so both
@@ -34,7 +35,7 @@ object EvalQueries {
   // lang as a negative via CASE WHEN.
   private val scoredSql: String =
     s"""WITH q AS (${ExtensionQueries.q112Sql})
-       |SELECT q.doc_id, q.logit, d.lang = 'en' AS is_en
+       |SELECT q.doc_id, q.logit, d.lang = 'en' AS is_en, d.source
        |FROM q JOIN documents d ON q.doc_id = d.doc_id
        |WHERE q.logit IS NOT NULL AND NOT isnan(q.logit)
        |  AND d.lang IS NOT NULL""".stripMargin
@@ -101,11 +102,83 @@ object EvalQueries {
        |FROM (SELECT UNNEST(range(0, 16)) AS band) spine
        |LEFT JOIN c ON spine.band = c.band""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q124 — per-SOURCE exact AUC of the quality gate: the question a
+  // curation team asks before filtering the mixture ("is the gate
+  // equally trustworthy on every source, or does it silently skew
+  // one?"). Same census machinery as q119 with the group key carried
+  // through; windows partitioned by (source, cell).
+  // ---------------------------------------------------------------
+  def q124GroupAuc(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.aucExactBy(s, col("source"), col("logit"), col("is_en"))
+      .withColumnRenamed("group_key", "source")
+  }
+
+  val q124Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |c AS (
+       |  SELECT source, logit AS v,
+       |    CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS neg
+       |  FROM s WHERE source IS NOT NULL GROUP BY source, logit),
+       |w AS (
+       |  SELECT source, pos, neg,
+       |    COALESCE(CAST(SUM(neg) OVER (PARTITION BY source ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumneg
+       |  FROM c)
+       |SELECT source,
+       |  CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
+       |  CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+       |    CAST(CAST(SUM(pos * (2 * cumneg + neg)) AS DECIMAL(38,0)) AS DOUBLE)
+       |      / (2.0 * CAST(CAST(SUM(pos) AS BIGINT) AS DOUBLE)
+       |             * CAST(CAST(SUM(neg) AS BIGINT) AS DOUBLE))
+       |  END AS auc
+       |FROM w GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q125 — per-SOURCE calibration census over the shared [-4, 4)
+  // domain: every source gets all 16 bands (empty bands n=0) so
+  // reliability diagrams line up side by side.
+  // ---------------------------------------------------------------
+  def q125GroupCalibration(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.calibrationReportBy(s, col("source"), col("logit"), col("is_en"),
+      lo = -4.0, hi = 4.0, bins = 16)
+      .withColumnRenamed("group_key", "source")
+  }
+
+  val q125Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |b AS (
+       |  SELECT source,
+       |    LEAST(15, GREATEST(0, CAST(FLOOR((logit - (-4.0)) / 0.5) AS BIGINT))) AS band,
+       |    CASE WHEN is_en THEN 1 ELSE 0 END AS p
+       |  FROM s WHERE source IS NOT NULL),
+       |c AS (SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(p) AS BIGINT) AS n_pos
+       |      FROM b GROUP BY source, band),
+       |spine AS (SELECT g.source, sp.band
+       |  FROM (SELECT DISTINCT source FROM b) g
+       |  CROSS JOIN (SELECT UNNEST(range(0, 16)) AS band) sp)
+       |SELECT spine.source, spine.band,
+       |  -4.0 + spine.band * 0.5 AS lo,
+       |  -4.0 + (spine.band + 1) * 0.5 AS hi,
+       |  COALESCE(c.n, 0) AS n, COALESCE(c.n_pos, 0) AS n_pos,
+       |  CASE WHEN COALESCE(c.n, 0) > 0
+       |    THEN CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE) END AS pos_rate
+       |FROM spine LEFT JOIN c ON spine.source = c.source AND spine.band = c.band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q119_auc"         -> (q119Auc _),
-    "q120_calibration" -> (q120Calibration _))
+    "q119_auc"               -> (q119Auc _),
+    "q120_calibration"       -> (q120Calibration _),
+    "q124_group_auc"         -> (q124GroupAuc _),
+    "q125_group_calibration" -> (q125GroupCalibration _))
 
   val oracleSql: Map[String, String] = Map(
-    "q119_auc"         -> q119Sql,
-    "q120_calibration" -> q120Sql)
+    "q119_auc"               -> q119Sql,
+    "q120_calibration"       -> q120Sql,
+    "q124_group_auc"         -> q124Sql,
+    "q125_group_calibration" -> q125Sql)
 }

@@ -72,6 +72,47 @@ class EvaluationSpec extends AnyFunSuite {
     assert(math.abs(few.getAs[Double]("auc") - expected) < 1e-12)
   }
 
+  test("aucExactBy: per-group AUC equals aucExact run on each group alone; partition-independent") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"source", $"n_chars".cast("double").as("s"), ($"lang" === "en").as("y"))
+    val grouped = Evaluation.aucExactBy(docs, $"source", $"s", $"y", cells = 8)
+      .collect().map(r => r.getAs[String]("group_key") ->
+        (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+         Option(r.getAs[java.lang.Double]("auc")))).toMap
+    val sources = docs.select("source").distinct().collect().map(_.getString(0))
+    assert(grouped.keySet == sources.toSet)
+    sources.foreach { src =>
+      val solo = Evaluation.aucExact(
+        docs.filter($"source" === src), $"s", $"y", cells = 3).head()
+      val (np, nn2, auc) = grouped(src)
+      assert(np == solo.getAs[Long]("n_pos") && nn2 == solo.getAs[Long]("n_neg"))
+      assert(auc == Option(solo.getAs[java.lang.Double]("auc")),
+        s"group $src AUC must equal the solo computation")
+    }
+    val repart = Evaluation.aucExactBy(docs.repartition(7), $"source", $"s", $"y", cells = 64)
+      .collect().map(r => r.getAs[String]("group_key") ->
+        Option(r.getAs[java.lang.Double]("auc"))).toMap
+    assert(repart == grouped.map { case (k, (_, _, a)) => k -> a })
+  }
+
+  test("calibrationReportBy: every group has all bands; counts equal the solo report") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"source", $"n_chars".cast("double").as("s"), ($"lang" === "en").as("y"))
+    val by = Evaluation.calibrationReportBy(docs, $"source", $"s", $"y",
+      lo = 0.0, hi = 800.0, bins = 8).collect()
+    val sources = docs.select("source").distinct().collect().map(_.getString(0))
+    assert(by.length == sources.length * 8)
+    sources.foreach { src =>
+      val mine = by.filter(_.getAs[String]("group_key") == src)
+        .map(r => r.getAs[Long]("band") -> (r.getAs[Long]("n"), r.getAs[Long]("n_pos"))).toMap
+      val solo = Evaluation.calibrationReport(
+        docs.filter($"source" === src), $"s", $"y", lo = 0.0, hi = 800.0, bins = 8)
+        .collect()
+        .map(r => r.getAs[Long]("band") -> (r.getAs[Long]("n"), r.getAs[Long]("n_pos"))).toMap
+      assert(mine == solo, s"group $src bands must equal the solo report")
+    }
+  }
+
   // ---------------- calibrationReport ----------------
 
   test("calibrationReport: hand-checked bands, edge clamp, empty bands present") {
