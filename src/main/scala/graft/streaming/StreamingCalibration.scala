@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming extension of the calibration census (the batch
+  * [[graft.operators.Evaluation.calibrationReport]], q120): a
+  * continuously maintained per-window score-band census scored against
+  * a static baseline report — "is the quality gate still calibrated on
+  * live traffic?" as a standing query instead of a nightly batch. A
+  * gate whose band-7 positive rate drifts from 0.92 to 0.60 is
+  * mislabeling; catching that within a window beats discovering it in
+  * next week's eval.
+  *
+  * Split into two stages like [[StreamingDrift]] (Structured Streaming
+  * allows ONE aggregation per query): the STREAMING stage computes the
+  * watermarked windowed (band → n, n_pos) census — bounded state,
+  * ≤ open-windows × bins rows — and the calibration SCORING runs as a
+  * cheap batch query over the census sink (windows × bins rows,
+  * orders of magnitude under the stream): in `foreachBatch`, on a
+  * schedule, or ad hoc.
+  *
+  * Batch parity: both stages are pure DataFrame → DataFrame, so the
+  * identical code runs in batch mode; the spec pins the windowed
+  * census against [[graft.operators.Evaluation.calibrationReport]]
+  * window by window, including the late-data fold.
+  */
+object StreamingCalibration {
+
+  /** Watermarked tumbling-window score-band census — the streaming
+    * half. Bands follow [[graft.operators.Evaluation.calibrationReport]]:
+    * fixed [lo, hi) domain, out-of-range scores clamped to the edge
+    * bands, NULL/NaN scores and NULL labels excluded (the engine's
+    * documented eval exclusion). Append-mode safe: a window's rows
+    * emit once the watermark passes its end, and its state drops.
+    */
+  def windowedBandCensus(
+      stream: DataFrame, scoreCol: String, labelCol: String,
+      lo: Double, hi: Double, bins: Int,
+      tsCol: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val v = col(scoreCol).cast("double")
+    val band = least(lit(bins - 1L),
+      greatest(lit(0L), floor((v - lit(lo)) / lit(width))))
+    stream
+      .filter(col(scoreCol).isNotNull && !isnan(v) && col(labelCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength), band.as("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("window.start").as("window_start"),
+        col("band"), col("n"), col("n_pos"))
+  }
+
+  /** Score a windowed band census against a static baseline
+    * calibration report — the batch half.
+    *
+    * `baseline` is a [[graft.operators.Evaluation.calibrationReport]]
+    * output (band, lo, hi, n, n_pos, pos_rate) over the reference
+    * corpus; its full band spine is reused here, so every window
+    * reports ALL bands (empty bands n=0) and reliability diagrams
+    * align across windows and against the baseline. Per (window,
+    * band): live counts and positive rate, the baseline rate, their
+    * gap, and the ECE-style contribution |gap|·n/window_total —
+    * summing `ece_contribution` per window gives the window's
+    * expected calibration error against the baseline. Pure counts and
+    * single divisions; aggregate-scale only.
+    */
+  def scoreCalibration(
+      windowBands: DataFrame, baseline: DataFrame): DataFrame = {
+    val wins = windowBands.select(col("window_start")).distinct()
+    // re-aliased lineages: wins/totals/live all derive from the same
+    // windowBands plan — distinct column names per branch keep the
+    // self-joins unambiguous
+    val totals = windowBands.select(col("window_start").as("_tws"), col("n").as("_tn"))
+      .groupBy(col("_tws")).agg(sum(col("_tn")).as("_tw"))
+    val spine = wins.crossJoin(broadcast(
+      baseline.select(col("band"), col("lo"), col("hi"),
+        col("pos_rate").as("baseline_pos_rate"))))
+    val live = windowBands.select(col("window_start").as("_ws"),
+      col("band").as("_b"), col("n"), col("n_pos"))
+    val joined = spine
+      .join(live, col("window_start") === col("_ws") && col("band") === col("_b"), "left")
+      .drop("_ws", "_b")
+      .join(totals, col("window_start") === col("_tws"))
+      .drop("_tws")
+      .select(
+        col("window_start"), col("band"), col("lo"), col("hi"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        col("baseline_pos_rate"), col("_tw"))
+    val rate = when(col("n") > 0L,
+      col("n_pos").cast("double") / col("n").cast("double"))
+    val gap = when(col("n") > 0L && col("baseline_pos_rate").isNotNull,
+      col("n_pos").cast("double") / col("n").cast("double") - col("baseline_pos_rate"))
+    joined.select(
+      col("window_start"), col("band"), col("lo"), col("hi"),
+      col("n"), col("n_pos"),
+      rate.as("pos_rate"),
+      col("baseline_pos_rate"),
+      gap.as("rate_gap"),
+      when(gap.isNotNull,
+        abs(gap) * col("n").cast("double") / col("_tw").cast("double"))
+        .as("ece_contribution"))
+  }
+}

@@ -202,6 +202,64 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming calibration: late data folds into its window; scored census equals batch calibrationReport") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCalibration
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(java.sql.Timestamp, Double, Boolean)]
+    val sq = StreamingCalibration.windowedBandCensus(
+        stream.toDF().toDF("ts", "score", "label"),
+        "score", "label", lo = 0.0, hi = 1.0, bins = 4,
+        tsCol = "ts", windowLength = "1 hour", watermarkDelay = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("cal_census")
+      .start()
+    // window 10:00 — band 0: (0.1,T), band 3: (0.9,T),(0.95,F) and a clamp (1.7->band 3)
+    stream.addData(Seq(
+      (t("2024-01-01 10:05:00"), 0.1, true),
+      (t("2024-01-01 10:10:00"), 0.9, true),
+      (t("2024-01-01 10:20:00"), 0.95, false),
+      (t("2024-01-01 10:25:00"), 1.7, true),
+      (t("2024-01-01 11:01:00"), 0.5, false))) // watermark -> 10:31, window 10 still open
+    sq.processAllAvailable()
+    // LATE but within the watermark: event-time 10:40 arrives after the
+    // 11:01 row — must still fold into window 10:00's census
+    stream.addData(Seq((t("2024-01-01 10:40:00"), 0.2, false)))
+    sq.processAllAvailable()
+    stream.addData(Seq((t("2024-01-01 12:30:00"), 0.5, true))) // close both windows
+    sq.processAllAvailable()
+    sq.stop()
+    val census = spark.table("cal_census")
+      .filter($"window_start" === t("2024-01-01 10:00:00"))
+    val bands = census.collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(bands == Map(0L -> (2L, 1L), 3L -> (3L, 2L)),
+      s"late 10:40 row must fold into band 0 of window 10, got $bands")
+    // batch parity: the window census equals calibrationReport's counts
+    // over the same raw rows (on the n>0 bands)
+    val raw = Seq((0.1, true), (0.9, true), (0.95, false), (1.7, true), (0.2, false))
+      .toDF("score", "label")
+    val batch = graft.operators.Evaluation.calibrationReport(
+        raw, $"score", $"label", lo = 0.0, hi = 1.0, bins = 4)
+      .filter($"n" > 0).collect()
+      .map(r => r.getAs[Long]("band") -> (r.getAs[Long]("n"), r.getAs[Long]("n_pos"))).toMap
+    assert(bands == batch)
+    // scoring: baseline = the same distribution -> zero gap everywhere;
+    // all 4 bands present per window including empty ones
+    val baseline = graft.operators.Evaluation.calibrationReport(
+      raw, $"score", $"label", lo = 0.0, hi = 1.0, bins = 4)
+    val scored = StreamingCalibration.scoreCalibration(census, baseline).collect()
+    assert(scored.length == 4, "every window reports all bands")
+    scored.foreach { r =>
+      if (r.getAs[Long]("n") > 0) {
+        assert(r.getAs[Double]("rate_gap") == 0.0)
+        assert(r.getAs[Double]("ece_contribution") == 0.0)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("pos_rate")))
+        assert(r.isNullAt(r.fieldIndex("ece_contribution")))
+      }
+    }
+  }
+
   test("streaming curation front-end: gates + TTL content-dedup, batch-identical admission") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
