@@ -54,22 +54,34 @@ object Evaluation {
       cells: Int = 4096): DataFrame = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     val W = org.apache.spark.sql.expressions.Window
+    // Raw-row filter on the LABEL only; the score's null/NaN
+    // exclusion applies to CENSUS rows above the cache boundary.
+    // Filtering raw rows on the score column re-evaluates the score
+    // expression per row: predicate pushdown rewrites the filter
+    // below the projection with the score's whole expression tree
+    // inlined, so an expensive score (q119's logit is the full
+    // text-feature pipeline) runs ~3× per row — measured 2.1 s vs
+    // the 0.64 s single-evaluation scan at sf0.1. Null/NaN scores
+    // census into their own group rows and are dropped there, at
+    // distinct-score scale, where the filter cannot push past the
+    // InMemoryRelation.
     val nn = df
-      .filter(score.isNotNull && !isnan(score.cast("double")) && label.isNotNull)
+      .filter(label.isNotNull)
       .select(score.cast("double").as("_v"),
         when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
     // score census FIRST: one raw scan, persisted at distinct-score
     // scale (3 longs + a double per row). Bounds, cells, offsets, and
     // the ranked branch all ride the cache — the raw input (and any
     // expensive score expression feeding it) is never read again.
-    val census = nn.groupBy(col("_v"))
+    val censusAll = nn.groupBy(col("_v"))
       .agg(sum(col("_p")).as("_pos"),
         sum(lit(1L) - col("_p")).as("_neg"))
       .persist()
+    val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
     val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx")).head()
     if (bounds.isNullAt(0)) {
       // empty eval set: a defined shape, not a crash
-      census.unpersist(blocking = false)
+      censusAll.unpersist(blocking = false)
       return nn.sparkSession.range(1).select(
         lit(0L).as("n_pos"), lit(0L).as("n_neg"),
         lit(0L).as("n_distinct_scores"),
@@ -92,7 +104,7 @@ object Evaluation {
     val ranked = cen.join(broadcast(offs.select(col("_c"), col("_off"))), Seq("_c"))
       .withColumn("_cumNeg",
         col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
-    graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(censusAll))
     ranked.agg(
       sum(col("_pos")).as("n_pos"),
       sum(col("_neg")).as("n_neg"),
@@ -130,19 +142,22 @@ object Evaluation {
       cells: Int = 4096): DataFrame = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     val W = org.apache.spark.sql.expressions.Window
+    // label/group filters run on raw rows (cheap columns); the score
+    // null/NaN exclusion runs census-side so an expensive score
+    // expression is evaluated exactly once per row — see [[aucExact]]
     val nn = df
-      .filter(score.isNotNull && !isnan(score.cast("double")) &&
-        label.isNotNull && group.isNotNull)
+      .filter(label.isNotNull && group.isNotNull)
       .select(group.as("_g"), score.cast("double").as("_v"),
         when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
-    val census = nn.groupBy(col("_g"), col("_v"))
+    val censusAll = nn.groupBy(col("_g"), col("_v"))
       .agg(sum(col("_p")).as("_pos"),
         sum(lit(1L) - col("_p")).as("_neg"))
       .persist()
+    val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
     val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
       count(lit(1)).as("n")).head()
     if (bounds.getLong(2) == 0L) {
-      census.unpersist(blocking = false)
+      censusAll.unpersist(blocking = false)
       return census.select(col("_g").as("group_key"),
         lit(0L).as("n_pos"), lit(0L).as("n_neg"),
         lit(0L).as("n_distinct_scores"),
@@ -166,7 +181,7 @@ object Evaluation {
       .join(broadcast(offs.select(col("_g"), col("_c"), col("_off"))), Seq("_g", "_c"))
       .withColumn("_cumNeg",
         col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
-    graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(censusAll))
     ranked.groupBy(col("_g").as("group_key")).agg(
       sum(col("_pos")).as("n_pos"),
       sum(col("_neg")).as("n_neg"),
@@ -201,15 +216,27 @@ object Evaluation {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     val width = (hi - lo) / bins
+    // label filter on raw rows (cheap column); null/NaN scores fall
+    // into a NULL band that the spine join never matches — no raw
+    // filter on the score column, so an expensive score expression
+    // is evaluated exactly once per row (see [[aucExact]]: a pushed-
+    // down score filter inlines the whole expression tree per row)
     val nn = df
-      .filter(score.isNotNull && !isnan(score.cast("double")) && label.isNotNull)
+      .filter(label.isNotNull)
       .select(score.cast("double").as("_v"),
         when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
-    val bin = least(lit(bins - 1L),
-      greatest(lit(0L), floor((col("_v") - lit(lo)) / lit(width))))
+    val bin = when(col("_v").isNotNull && !isnan(col("_v")),
+      least(lit(bins - 1L),
+        greatest(lit(0L), floor((col("_v") - lit(lo)) / lit(width)))))
+    // persisted (≤ bins+1 tiny rows) not for reuse but as an optimizer
+    // fence: the left join's null-rejecting inference (isnotnull(band)
+    // on the aggregate side) otherwise propagates BELOW the aggregate
+    // and inlines the score expression into a raw-row filter — the
+    // exact multi-evaluation this operator's layout avoids
     val counts = nn.groupBy(bin.as("band"))
       .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pos"))
-    df.sparkSession.range(0, bins).select(col("id").as("band"))
+      .persist()
+    val out = df.sparkSession.range(0, bins).select(col("id").as("band"))
       .join(counts, Seq("band"), "left")
       .select(
         col("band"),
@@ -219,6 +246,8 @@ object Evaluation {
         coalesce(col("n_pos"), lit(0L)).as("n_pos"),
         when(coalesce(col("n"), lit(0L)) > 0L,
           col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(counts))
+    out
   }
 
   /** Per-group calibration census — [[calibrationReport]] keyed by a
@@ -235,16 +264,22 @@ object Evaluation {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     val width = (hi - lo) / bins
+    // cheap-column filters on raw rows; null/NaN scores -> NULL band,
+    // dropped census-side (see [[calibrationReport]])
     val nn = df
-      .filter(score.isNotNull && !isnan(score.cast("double")) &&
-        label.isNotNull && group.isNotNull)
+      .filter(label.isNotNull && group.isNotNull)
       .select(group.as("_g"), score.cast("double").as("_v"),
         when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
-    val bin = least(lit(bins - 1L),
-      greatest(lit(0L), floor((col("_v") - lit(lo)) / lit(width))))
-    val counts = nn.groupBy(col("_g"), bin.as("band"))
+    val bin = when(col("_v").isNotNull && !isnan(col("_v")),
+      least(lit(bins - 1L),
+        greatest(lit(0L), floor((col("_v") - lit(lo)) / lit(width)))))
+    val countsAll = nn.groupBy(col("_g"), bin.as("band"))
       .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pos"))
       .persist()
+    // a group whose every score is null/NaN has no surviving band
+    // rows and stays absent from the spine — the engine's documented
+    // exclusion
+    val counts = countsAll.filter(col("band").isNotNull)
     val spine = counts.select(col("_g")).distinct()
       .crossJoin(broadcast(
         df.sparkSession.range(0, bins).select(col("id").as("band"))))
@@ -258,7 +293,7 @@ object Evaluation {
         coalesce(col("n_pos"), lit(0L)).as("n_pos"),
         when(coalesce(col("n"), lit(0L)) > 0L,
           col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
-    graft.CacheLifecycle.releaseAfterFirstUse(Seq(counts))
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(countsAll))
     out
   }
 }
