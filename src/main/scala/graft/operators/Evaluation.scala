@@ -104,8 +104,7 @@ object Evaluation {
     val ranked = cen.join(broadcast(offs.select(col("_c"), col("_off"))), Seq("_c"))
       .withColumn("_cumNeg",
         col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
-    graft.CacheLifecycle.releaseAfterFirstUse(Seq(censusAll))
-    ranked.agg(
+    val out = ranked.agg(
       sum(col("_pos")).as("n_pos"),
       sum(col("_neg")).as("n_neg"),
       count(lit(1)).as("n_distinct_scores"),
@@ -118,6 +117,13 @@ object Evaluation {
           col("_num").cast("double") /
             (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
           .as("auc"))
+    // keyed on the RETURNED frame, not the caches: the eager bounds
+    // head() above CONSUMES the census, and its async listener event
+    // can land after registration — releaseAfterFirstUse would drop
+    // the cache before the returned plan ever ran (recomputing the
+    // census from raw on both prefix-sum branches)
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll))
+    out
   }
 
   /** Per-group exact ROC AUC — [[aucExact]]'s census machinery with a
@@ -181,8 +187,7 @@ object Evaluation {
       .join(broadcast(offs.select(col("_g"), col("_c"), col("_off"))), Seq("_g", "_c"))
       .withColumn("_cumNeg",
         col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
-    graft.CacheLifecycle.releaseAfterFirstUse(Seq(censusAll))
-    ranked.groupBy(col("_g").as("group_key")).agg(
+    val out = ranked.groupBy(col("_g").as("group_key")).agg(
       sum(col("_pos")).as("n_pos"),
       sum(col("_neg")).as("n_neg"),
       count(lit(1)).as("n_distinct_scores"),
@@ -195,6 +200,10 @@ object Evaluation {
           col("_num").cast("double") /
             (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
           .as("auc"))
+    // keyed on the returned frame — the eager bounds head() consumes
+    // the census (see [[aucExact]])
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll))
+    out
   }
 
   /** Calibration census: fixed score bands over [lo, hi), out-of-range
