@@ -259,6 +259,81 @@ object Evaluation {
     out
   }
 
+  /** Threshold-sweep census: for each candidate gate threshold
+    * t = lo + band·width, the confusion counts of the gate
+    * "keep if score ≥ t" — TP (kept positives), FP (kept negatives),
+    * FN (dropped positives), TN (dropped negatives) — plus precision,
+    * recall, and F1. The companion table to [[calibrationReport]]:
+    * calibration says whether the scores mean what they claim;
+    * this says WHERE to set the gate ("threshold 1.5 keeps 94% of
+    * positives at 88% precision — band 11 maximizes F1").
+    *
+    * Same one-scan discipline as the rest of the family: cheap-column
+    * raw filter, banded census with census-side null/NaN exclusion,
+    * then SUFFIX sums over the ≤ bins census rows (kept mass = the
+    * bands at or above the threshold; scores below `lo` clamp to band
+    * 0 and are kept by every threshold in the table — stated, exact,
+    * and matching the calibration clamp convention). All counts are
+    * integer adds; precision/recall/F1 are single divisions over
+    * exact longs, stated identically in the oracle.
+    *
+    * Output: one row per band (threshold, tp, fp, fn, tn, precision,
+    * recall, f1); precision NULL when nothing is kept, f1 NULL when
+    * precision+recall is 0 or undefined.
+    */
+  def thresholdSweep(
+      df: DataFrame, score: Column, label: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val W = org.apache.spark.sql.expressions.Window
+    val width = (hi - lo) / bins
+    val nn = df
+      .filter(label.isNotNull)
+      .select(score.cast("double").as("_v"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
+    val bin = when(col("_v").isNotNull && !isnan(col("_v")),
+      least(lit(bins - 1L),
+        greatest(lit(0L), floor((col("_v") - lit(lo)) / lit(width)))))
+    // optimizer fence persist, as in [[calibrationReport]]: the spine
+    // join's null-rejecting inference must not cross the aggregate
+    val counts = nn.groupBy(bin.as("band"))
+      .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pos"))
+      .persist()
+    val spine = df.sparkSession.range(0, bins).select(col("id").as("band"))
+      .join(counts, Seq("band"), "left")
+      .select(col("band"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"))
+    // suffix sums over ≤ bins rows: kept = bands ≥ this one
+    val wSuffix = W.orderBy(col("band"))
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
+    val wAll = W.orderBy(col("band"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val swept = spine
+      .withColumn("tp", sum(col("n_pos")).over(wSuffix))
+      .withColumn("kept", sum(col("n")).over(wSuffix))
+      .withColumn("p_all", sum(col("n_pos")).over(wAll))
+      .withColumn("n_all", sum(col("n")).over(wAll))
+    val precision = when(col("kept") > 0L,
+      col("tp").cast("double") / col("kept").cast("double"))
+    val recall = when(col("p_all") > 0L,
+      col("tp").cast("double") / col("p_all").cast("double"))
+    val out = swept.select(
+      col("band"),
+      (lit(lo) + col("band") * lit(width)).as("threshold"),
+      col("tp"),
+      (col("kept") - col("tp")).as("fp"),
+      (col("p_all") - col("tp")).as("fn"),
+      (col("n_all") - col("kept") - (col("p_all") - col("tp"))).as("tn"),
+      precision.as("precision"),
+      recall.as("recall"),
+      when(precision.isNotNull && recall.isNotNull && (precision + recall) > 0.0,
+        lit(2.0) * precision * recall / (precision + recall)).as("f1"))
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(counts))
+    out
+  }
+
   /** Per-group calibration census — [[calibrationReport]] keyed by a
     * group column, one scan + map-side partials to ≤ groups×bins rows.
     * The spine is distinct-groups × bands so every group's reliability

@@ -170,15 +170,65 @@ object EvalQueries {
        |    THEN CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE) END AS pos_rate
        |FROM spine LEFT JOIN c ON spine.source = c.source AND spine.band = c.band""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q126 — threshold sweep of the quality gate: per candidate
+  // threshold (band edge over the q120 domain), the confusion counts
+  // of "keep if logit >= t" plus precision/recall/F1 — the table that
+  // picks WHERE to gate before filtering 100 TB. Suffix sums over the
+  // 16-row band census; same single scan as q120.
+  // ---------------------------------------------------------------
+  def q126ThresholdSweep(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.thresholdSweep(s, col("logit"), col("is_en"),
+      lo = -4.0, hi = 4.0, bins = 16)
+  }
+
+  val q126Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |b AS (
+       |  SELECT LEAST(15, GREATEST(0, CAST(FLOOR((logit - (-4.0)) / 0.5) AS BIGINT))) AS band,
+       |    CASE WHEN is_en THEN 1 ELSE 0 END AS p
+       |  FROM s),
+       |c AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS n_pos
+       |      FROM b GROUP BY band),
+       |sp AS (SELECT spine.band,
+       |    COALESCE(c.n, 0) AS n, COALESCE(c.n_pos, 0) AS n_pos
+       |  FROM (SELECT UNNEST(range(0, 16)) AS band) spine
+       |  LEFT JOIN c ON spine.band = c.band),
+       |w AS (SELECT band, n, n_pos,
+       |    CAST(SUM(n_pos) OVER (ORDER BY band
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS tp,
+       |    CAST(SUM(n) OVER (ORDER BY band
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS kept,
+       |    CAST(SUM(n_pos) OVER () AS BIGINT) AS p_all,
+       |    CAST(SUM(n) OVER () AS BIGINT) AS n_all
+       |  FROM sp)
+       |SELECT band, -4.0 + band * 0.5 AS threshold,
+       |  tp, kept - tp AS fp, p_all - tp AS fn,
+       |  n_all - kept - (p_all - tp) AS tn,
+       |  CASE WHEN kept > 0 THEN CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE) END AS precision,
+       |  CASE WHEN p_all > 0 THEN CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE) END AS recall,
+       |  CASE WHEN kept > 0 AND p_all > 0
+       |         AND (CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE)
+       |            + CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE)) > 0.0
+       |    THEN 2.0 * (CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE))
+       |             * (CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE))
+       |         / (CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE)
+       |          + CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE))
+       |  END AS f1
+       |FROM w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
     "q124_group_auc"         -> (q124GroupAuc _),
-    "q125_group_calibration" -> (q125GroupCalibration _))
+    "q125_group_calibration" -> (q125GroupCalibration _),
+    "q126_threshold_sweep"   -> (q126ThresholdSweep _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
     "q120_calibration"       -> q120Sql,
     "q124_group_auc"         -> q124Sql,
-    "q125_group_calibration" -> q125Sql)
+    "q125_group_calibration" -> q125Sql,
+    "q126_threshold_sweep"   -> q126Sql)
 }

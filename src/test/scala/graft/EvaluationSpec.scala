@@ -133,6 +133,59 @@ class EvaluationSpec extends AnyFunSuite {
     assert(r(0).getAs[Double]("lo") == 0.0 && r(3).getAs[Double]("hi") == 2.0)
   }
 
+  test("thresholdSweep: hand-checked confusion counts, clamp keeps low scores at band 0, F1 argmax") {
+    // lo=0, hi=2, bins=4 -> thresholds 0, 0.5, 1.0, 1.5
+    val df = Seq(
+      (-5.0, false),          // clamps to band 0: kept by EVERY threshold
+      (0.2, false), (0.4, true),   // band 0
+      (0.7, true), (0.9, true),    // band 1
+      (1.2, false),                // band 2
+      (1.8, true), (9.9, true)     // band 3 (9.9 clamps down)
+    ).toDF("s", "y")
+    val r = Evaluation.thresholdSweep(df, $"s", $"y", lo = 0.0, hi = 2.0, bins = 4)
+      .orderBy("band").collect()
+    assert(r.length == 4)
+    // band 0: everything kept -> tp = all 5 positives, fp = all 3 negatives
+    assert(r(0).getAs[Long]("tp") == 5L && r(0).getAs[Long]("fp") == 3L)
+    assert(r(0).getAs[Long]("fn") == 0L && r(0).getAs[Long]("tn") == 0L)
+    assert(r(0).getAs[Double]("recall") == 1.0)
+    // band 1 (t=0.5): drops the 3 band-0 rows (1 pos, 2 neg incl. clamp)
+    assert(r(1).getAs[Long]("tp") == 4L && r(1).getAs[Long]("fp") == 1L)
+    assert(r(1).getAs[Long]("fn") == 1L && r(1).getAs[Long]("tn") == 2L)
+    assert(r(1).getAs[Double]("precision") == 4.0 / 5.0)
+    // band 3 (t=1.5): keeps only the two band-3 positives
+    assert(r(3).getAs[Long]("tp") == 2L && r(3).getAs[Long]("fp") == 0L)
+    assert(r(3).getAs[Double]("precision") == 1.0)
+    assert(r(3).getAs[Double]("recall") == 2.0 / 5.0)
+    // identities hold on every row
+    r.foreach { row =>
+      assert(row.getAs[Long]("tp") + row.getAs[Long]("fn") == 5L)
+      assert(row.getAs[Long]("fp") + row.getAs[Long]("tn") == 3L)
+    }
+    // F1 = harmonic mean, spot-checked at band 1
+    val (p1, rc1) = (4.0 / 5.0, 4.0 / 5.0)
+    assert(math.abs(r(1).getAs[Double]("f1") - 2 * p1 * rc1 / (p1 + rc1)) < 1e-15)
+  }
+
+  test("thresholdSweep: null/NaN scores and null labels are excluded; empty input gives all-zero bands") {
+    val df = Seq(
+      (Some(0.5), Some(true)),
+      (None, Some(true)),                      // null score dropped
+      (Some(Double.NaN), Some(false)),         // NaN score dropped
+      (Some(0.7), None)                        // null label dropped
+    ).toDF("s", "y")
+    val r = Evaluation.thresholdSweep(df, $"s", $"y", lo = 0.0, hi = 1.0, bins = 2)
+      .orderBy("band").collect()
+    assert(r.map(_.getAs[Long]("tp")).toSeq == Seq(1L, 1L))
+    assert(r.map(_.getAs[Long]("fp")).toSeq == Seq(0L, 0L))
+    val empty = Evaluation.thresholdSweep(
+      Seq.empty[(Double, Boolean)].toDF("s", "y"), $"s", $"y", 0.0, 1.0, 2)
+      .collect()
+    assert(empty.length == 2)
+    assert(empty.forall(row => row.getAs[Long]("tp") == 0L &&
+      row.getAs[Long]("tn") == 0L && row.isNullAt(row.fieldIndex("precision"))))
+  }
+
   // ---------------- negativePairs ----------------
 
   test("negativePairs: k non-self draws per anchor, all from the corpus, reproducible") {
