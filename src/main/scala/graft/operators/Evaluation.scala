@@ -334,6 +334,75 @@ object Evaluation {
     out
   }
 
+  /** Per-group threshold sweep — [[thresholdSweep]] keyed by a group
+    * column: per (group, threshold), the confusion counts and P/R/F1
+    * of the gate applied WITHIN that group. Completes the per-source
+    * triptych (AUC [[aucExactBy]], calibration
+    * [[calibrationReportBy]], sweep): one global threshold is rarely
+    * right for every source — this table shows per-source operating
+    * points over the SHARED domain so they compare side by side.
+    *
+    * Suffix sums run in windows partitioned by group over the
+    * groups×bins census — config-sized, groups-way parallel. A group
+    * whose every score is null/NaN is absent (the family's exclusion
+    * convention).
+    */
+  def thresholdSweepBy(
+      df: DataFrame, group: Column, score: Column, label: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val W = org.apache.spark.sql.expressions.Window
+    val width = (hi - lo) / bins
+    val nn = df
+      .filter(label.isNotNull && group.isNotNull)
+      .select(group.as("_g"), score.cast("double").as("_v"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
+    val bin = when(col("_v").isNotNull && !isnan(col("_v")),
+      least(lit(bins - 1L),
+        greatest(lit(0L), floor((col("_v") - lit(lo)) / lit(width)))))
+    val countsAll = nn.groupBy(col("_g"), bin.as("band"))
+      .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pos"))
+      .persist()
+    val counts = countsAll.filter(col("band").isNotNull)
+    val spine = counts.select(col("_g")).distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(0, bins).select(col("id").as("band"))))
+      .join(counts.select(col("_g").as("_cg"), col("band").as("_cb"),
+          col("n"), col("n_pos")),
+        col("_g") === col("_cg") && col("band") === col("_cb"), "left")
+      .select(col("_g"), col("band"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"))
+    val wSuffix = W.partitionBy(col("_g")).orderBy(col("band"))
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
+    val wAll = W.partitionBy(col("_g")).orderBy(col("band"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val swept = spine
+      .withColumn("tp", sum(col("n_pos")).over(wSuffix))
+      .withColumn("kept", sum(col("n")).over(wSuffix))
+      .withColumn("p_all", sum(col("n_pos")).over(wAll))
+      .withColumn("n_all", sum(col("n")).over(wAll))
+    val precision = when(col("kept") > 0L,
+      col("tp").cast("double") / col("kept").cast("double"))
+    val recall = when(col("p_all") > 0L,
+      col("tp").cast("double") / col("p_all").cast("double"))
+    val out = swept.select(
+      col("_g").as("group_key"),
+      col("band"),
+      (lit(lo) + col("band") * lit(width)).as("threshold"),
+      col("tp"),
+      (col("kept") - col("tp")).as("fp"),
+      (col("p_all") - col("tp")).as("fn"),
+      (col("n_all") - col("kept") - (col("p_all") - col("tp"))).as("tn"),
+      precision.as("precision"),
+      recall.as("recall"),
+      when(precision.isNotNull && recall.isNotNull && (precision + recall) > 0.0,
+        lit(2.0) * precision * recall / (precision + recall)).as("f1"))
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(countsAll))
+    out
+  }
+
   /** Per-group calibration census — [[calibrationReport]] keyed by a
     * group column, one scan + map-side partials to ≤ groups×bins rows.
     * The spine is distinct-groups × bands so every group's reliability

@@ -218,17 +218,70 @@ object EvalQueries {
        |  END AS f1
        |FROM w""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q127 — per-SOURCE threshold sweep: the q126 table keyed by
+  // source, completing the per-source eval triptych (q124 AUC, q125
+  // calibration, q127 operating points). One global threshold is
+  // rarely right for every source.
+  // ---------------------------------------------------------------
+  def q127GroupThresholdSweep(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.thresholdSweepBy(s, col("source"), col("logit"), col("is_en"),
+      lo = -4.0, hi = 4.0, bins = 16)
+      .withColumnRenamed("group_key", "source")
+  }
+
+  val q127Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |b AS (
+       |  SELECT source,
+       |    LEAST(15, GREATEST(0, CAST(FLOOR((logit - (-4.0)) / 0.5) AS BIGINT))) AS band,
+       |    CASE WHEN is_en THEN 1 ELSE 0 END AS p
+       |  FROM s WHERE source IS NOT NULL),
+       |c AS (SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(p) AS BIGINT) AS n_pos
+       |      FROM b GROUP BY source, band),
+       |sp AS (SELECT g.source, spine.band,
+       |    COALESCE(c.n, 0) AS n, COALESCE(c.n_pos, 0) AS n_pos
+       |  FROM (SELECT DISTINCT source FROM b) g
+       |  CROSS JOIN (SELECT UNNEST(range(0, 16)) AS band) spine
+       |  LEFT JOIN c ON g.source = c.source AND spine.band = c.band),
+       |w AS (SELECT source, band, n, n_pos,
+       |    CAST(SUM(n_pos) OVER (PARTITION BY source ORDER BY band
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS tp,
+       |    CAST(SUM(n) OVER (PARTITION BY source ORDER BY band
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS kept,
+       |    CAST(SUM(n_pos) OVER (PARTITION BY source) AS BIGINT) AS p_all,
+       |    CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS n_all
+       |  FROM sp)
+       |SELECT source, band, -4.0 + band * 0.5 AS threshold,
+       |  tp, kept - tp AS fp, p_all - tp AS fn,
+       |  n_all - kept - (p_all - tp) AS tn,
+       |  CASE WHEN kept > 0 THEN CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE) END AS precision,
+       |  CASE WHEN p_all > 0 THEN CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE) END AS recall,
+       |  CASE WHEN kept > 0 AND p_all > 0
+       |         AND (CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE)
+       |            + CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE)) > 0.0
+       |    THEN 2.0 * (CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE))
+       |             * (CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE))
+       |         / (CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE)
+       |          + CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE))
+       |  END AS f1
+       |FROM w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
     "q124_group_auc"         -> (q124GroupAuc _),
     "q125_group_calibration" -> (q125GroupCalibration _),
-    "q126_threshold_sweep"   -> (q126ThresholdSweep _))
+    "q126_threshold_sweep"   -> (q126ThresholdSweep _),
+    "q127_group_threshold_sweep" -> (q127GroupThresholdSweep _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
     "q120_calibration"       -> q120Sql,
     "q124_group_auc"         -> q124Sql,
     "q125_group_calibration" -> q125Sql,
-    "q126_threshold_sweep"   -> q126Sql)
+    "q126_threshold_sweep"   -> q126Sql,
+    "q127_group_threshold_sweep" -> q127Sql)
 }

@@ -186,6 +186,28 @@ class EvaluationSpec extends AnyFunSuite {
       row.getAs[Long]("tn") == 0L && row.isNullAt(row.fieldIndex("precision"))))
   }
 
+  test("thresholdSweepBy: per-group sweep equals thresholdSweep run on each group alone") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"source", $"n_chars".cast("double").as("s"), ($"lang" === "en").as("y"))
+    val by = Evaluation.thresholdSweepBy(docs, $"source", $"s", $"y",
+      lo = 0.0, hi = 800.0, bins = 8).collect()
+    val sources = docs.select("source").distinct().collect().map(_.getString(0))
+    assert(by.length == sources.length * 8)
+    sources.foreach { src =>
+      val mine = by.filter(_.getAs[String]("group_key") == src)
+        .map(r => r.getAs[Long]("band") ->
+          (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+           r.getAs[Long]("fn"), r.getAs[Long]("tn"))).toMap
+      val solo = Evaluation.thresholdSweep(
+        docs.filter($"source" === src), $"s", $"y", lo = 0.0, hi = 800.0, bins = 8)
+        .collect()
+        .map(r => r.getAs[Long]("band") ->
+          (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+           r.getAs[Long]("fn"), r.getAs[Long]("tn"))).toMap
+      assert(mine == solo, s"group $src sweep must equal the solo sweep")
+    }
+  }
+
   // ---------------- negativePairs ----------------
 
   test("negativePairs: k non-self draws per anchor, all from the corpus, reproducible") {

@@ -528,7 +528,9 @@ class PlanShapeSpec extends AnyFunSuite {
       graft.queries.EvalQueries.q119Auc(spark, d),
       graft.queries.EvalQueries.q120Calibration(spark, d),
       graft.queries.EvalQueries.q124GroupAuc(spark, d),
-      graft.queries.EvalQueries.q125GroupCalibration(spark, d)
+      graft.queries.EvalQueries.q125GroupCalibration(spark, d),
+      graft.queries.EvalQueries.q126ThresholdSweep(spark, d),
+      graft.queries.EvalQueries.q127GroupThresholdSweep(spark, d)
     ).foreach { df =>
       val qe = df.queryExecution
       // the census/counts hide inside InMemoryRelation cache
