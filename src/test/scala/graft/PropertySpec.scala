@@ -37,6 +37,62 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("thresholdSweep invariants hold on random scored batches") {
+    // one generated batch, many rows; invariants checked per sweep row:
+    //  - band 0 keeps everything (edge clamp): tp = P, fp = N
+    //  - tp + fn = P and fp + tn = N on EVERY row
+    //  - tp and kept (tp+fp) are non-increasing in the threshold
+    //  - recall is non-increasing; tp/precision/recall consistent
+    val rowGen = for {
+      s <- Gen.choose(-10.0, 10.0)   // beyond [lo,hi) on both sides
+      y <- Gen.oneOf(true, false)
+    } yield (s, y)
+    val rows = Gen.listOfN(120, rowGen).sample.get
+    val p = rows.count(_._2).toLong
+    val nneg = rows.size - p
+    val r = graft.operators.Evaluation.thresholdSweep(
+        rows.toDF("s", "y"), $"s", $"y", lo = -2.0, hi = 2.0, bins = 8)
+      .orderBy("band").collect()
+    assert(r.length == 8)
+    assert(r(0).getAs[Long]("tp") == p && r(0).getAs[Long]("fp") == nneg)
+    r.foreach { row =>
+      assert(row.getAs[Long]("tp") + row.getAs[Long]("fn") == p)
+      assert(row.getAs[Long]("fp") + row.getAs[Long]("tn") == nneg)
+      val kept = row.getAs[Long]("tp") + row.getAs[Long]("fp")
+      if (kept > 0)
+        assert(row.getAs[Double]("precision") ==
+          row.getAs[Long]("tp").toDouble / kept)
+      if (p > 0)
+        assert(row.getAs[Double]("recall") ==
+          row.getAs[Long]("tp").toDouble / p)
+    }
+    val tps = r.map(_.getAs[Long]("tp"))
+    val kepts = r.map(row => row.getAs[Long]("tp") + row.getAs[Long]("fp"))
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b },
+      "tp must be non-increasing in the threshold")
+    assert(kepts.zip(kepts.tail).forall { case (a, b) => a >= b },
+      "kept mass must be non-increasing in the threshold")
+  }
+
+  test("aucExact is invariant under any strictly monotone score transform") {
+    // AUC depends only on the ranking: x -> x^3 (monotone over the
+    // generated range) must give the identical value, census and all
+    val rowGen = for {
+      s <- Gen.choose(0.1, 9.9)
+      y <- Gen.oneOf(true, false)
+    } yield (s, y)
+    val rows = Gen.listOfN(100, rowGen).sample.get
+    val base = graft.operators.Evaluation.aucExact(
+      rows.toDF("s", "y"), $"s", $"y", cells = 16).head()
+    val cubed = graft.operators.Evaluation.aucExact(
+      rows.map { case (s, y) => (s * s * s, y) }.toDF("s", "y"),
+      $"s", $"y", cells = 16).head()
+    assert(base.getAs[Long]("n_distinct_scores") ==
+      cubed.getAs[Long]("n_distinct_scores"))
+    assert(base.getAs[Double]("auc") == cubed.getAs[Double]("auc"),
+      "AUC is a rank statistic: monotone transforms must not change it")
+  }
+
   test("union fan-out count is the sum of per-source counts") {
     val sizes = Gen.listOfN(5, Gen.choose(0, 50)).sample.get
     val frames = sizes.zipWithIndex.map { case (n, i) =>
