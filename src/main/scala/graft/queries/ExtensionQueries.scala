@@ -277,6 +277,40 @@ object ExtensionQueries {
        |FROM lab JOIN sz ON lab.cluster_id = sz.cluster_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q128 — the dedup DECISION: per clustered doc, keep or drop.
+  // q54 says which docs are duplicates of each other; q112 says how
+  // good each doc is; this joins them into the action list a curation
+  // pipeline actually executes — keep the HIGHEST-QUALITY member of
+  // every near-dup cluster (id-ascending tiebreak), drop the rest.
+  // The quality-aware canonical policy `Curation.curate` applies
+  // internally (canonicalBy), here as an oracle-pinned surface.
+  // Clusters are small, so the per-cluster rank window partitions by
+  // cluster_id — cluster-count-way parallel, never one task.
+  // ---------------------------------------------------------------
+  def q128ClusterKeepList(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = Dedup.duplicateClusters(q12MinhashLsh(spark, d), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+    val scoredDocs = q112LinearQuality(spark, d).select(col("doc_id"), col("logit"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("logit").desc, col("doc_id").asc)
+    clusters.join(scoredDocs, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "cluster_size", "logit", "keep")
+  }
+
+  // lazy: q112Sql is declared later in this object, and object vals
+  // initialize in declaration order — an eager val would interpolate
+  // null into the oracle
+  lazy val q128Sql: String =
+    s"""WITH clus AS ($q54Sql), q AS ($q112Sql),
+       |j AS (SELECT clus.doc_id, clus.cluster_id, clus.cluster_size, q.logit
+       |  FROM clus JOIN q ON clus.doc_id = q.doc_id),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY cluster_id ORDER BY logit DESC, doc_id) AS rn FROM j)
+       |SELECT doc_id, cluster_id, cluster_size, logit, rn = 1 AS keep FROM r""".stripMargin
+
+  // ---------------------------------------------------------------
   // q13 — SimHash near-dup pairs (banded Hamming ≤ 3), portable
   // mode: 60-bit md5 token hashes, 15-bit chunk candidates — the
   // DuckDB oracle replays the identical bit arithmetic.
@@ -832,6 +866,7 @@ object ExtensionQueries {
     "q62_corpus_overlap"     -> (q62CorpusOverlap _),
     "q13_simhash_neardup"    -> (q13SimhashNearDup _),
     "q54_dup_clusters"       -> (q54DupClusters _),
+    "q128_cluster_keep_list" -> (q128ClusterKeepList _),
     "q56_quantization"       -> (q56Quantization _),
     "q14_embedding_neardup"  -> (q14EmbeddingNearDup _),
     "q14b_embedding_lsh"     -> (q14bEmbeddingNearDupLsh _),
@@ -860,6 +895,7 @@ object ExtensionQueries {
     "q62_corpus_overlap"     -> q62Sql,
     "q13_simhash_neardup"    -> q13Sql,
     "q54_dup_clusters"       -> q54Sql,
+    "q128_cluster_keep_list" -> q128Sql,
     "q56_quantization"       -> q56Sql,
     "q14_embedding_neardup"  -> q14Sql,
     "q14b_embedding_lsh"     -> q14bSql,

@@ -115,4 +115,23 @@ class DupClustersSpec extends AnyFunSuite {
     assert(after - before <= 1,
       s"persistent RDDs grew $before -> $after; superseded rounds must unpersist")
   }
+
+  test("q128 keep list: exactly one keep per cluster, and it is the best-quality member") {
+    val r = graft.queries.ExtensionQueries
+      .q128ClusterKeepList(spark, TestSpark.sf).collect()
+    assert(r.nonEmpty)
+    val byCluster = r.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val keeps = members.filter(_.getAs[Boolean]("keep"))
+      assert(keeps.length == 1, s"cluster $cid must keep exactly one member")
+      val kept = keeps.head
+      // the kept member maximizes (logit, then lowest doc_id)
+      val best = members.maxBy(m =>
+        (m.getAs[Double]("logit"), -m.getAs[Long]("doc_id")))
+      assert(kept.getAs[Long]("doc_id") == best.getAs[Long]("doc_id"),
+        s"cluster $cid kept a non-optimal member")
+      // cluster_size is consistent with the observed membership
+      assert(members.forall(_.getAs[Long]("cluster_size") == members.length))
+    }
+  }
 }
