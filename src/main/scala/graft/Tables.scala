@@ -24,6 +24,12 @@ object Tables {
   def orders(spark: SparkSession, d: String): DataFrame   = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   private val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+  // path -> whether that events.parquet carries the nanos-as-long layout;
+  // populated on first probe so repeat loads never re-bracket the conf.
+  // Assumes a file at a given path keeps its layout for the session.
+  private val nanosLayout =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val probeLock = new Object
 
   /** Load `events.parquet` with the legacy `nanosAsLong` conf set ONLY
     * if the file actually carries the TIMESTAMP(NANOS) layout.
@@ -40,18 +46,47 @@ object Tables {
     * tighter would break the lazy DataFrame. That residual
     * session-wide effect exists only for nanos corpora and is the
     * documented cost of Spark offering no per-read switch.
+    *
+    * Concurrency: the set-probe-restore bracket is serialized on
+    * `probeLock` and runs at most ONCE per path — the detected layout
+    * is cached, so steady-state loads never touch the conf (nanos
+    * paths just re-assert `true`, idempotently). The bracket still
+    * cannot shield parquet loads issued OUTSIDE this object during the
+    * first probe's brief window: a concurrent `spark.read.parquet`
+    * elsewhere in the session could observe the temporarily-set conf.
+    * Callers mixing other nanos-timestamp parquets into the same
+    * session should issue the first `events` load before going
+    * multi-threaded.
     */
   private def loadEventsRaw(spark: SparkSession, d: String): DataFrame = {
-    val saved = spark.conf.getOption(NanosAsLongKey)
-    spark.conf.set(NanosAsLongKey, "true")
-    val raw = load(spark, d, "events")
-    if (raw.schema("ts").dataType != org.apache.spark.sql.types.LongType) {
-      saved match {
-        case Some(v) => spark.conf.set(NanosAsLongKey, v)
-        case None    => spark.conf.unset(NanosAsLongKey)
-      }
+    val path = s"$d/events.parquet"
+    val known = nanosLayout.get(path)
+    if (known != null) {
+      // nanos layouts need the conf live at execution time; re-assert
+      // (idempotent) in case another probe's restore raced this plan
+      if (known) spark.conf.set(NanosAsLongKey, "true")
+      return load(spark, d, "events")
     }
-    raw
+    probeLock.synchronized {
+      val again = nanosLayout.get(path)
+      if (again != null) {
+        if (again) spark.conf.set(NanosAsLongKey, "true")
+        return load(spark, d, "events")
+      }
+      val saved = spark.conf.getOption(NanosAsLongKey)
+      spark.conf.set(NanosAsLongKey, "true")
+      val raw = load(spark, d, "events")
+      val isNanos =
+        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      nanosLayout.put(path, isNanos)
+      if (!isNanos) {
+        saved match {
+          case Some(v) => spark.conf.set(NanosAsLongKey, v)
+          case None    => spark.conf.unset(NanosAsLongKey)
+        }
+      }
+      raw
+    }
   }
 
   /** `events.ts` has shipped in two parquet layouts across corpus

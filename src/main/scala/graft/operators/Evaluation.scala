@@ -271,9 +271,13 @@ object Evaluation {
     * Same one-scan discipline as the rest of the family: cheap-column
     * raw filter, banded census with census-side null/NaN exclusion,
     * then SUFFIX sums over the ≤ bins census rows (kept mass = the
-    * bands at or above the threshold; scores below `lo` clamp to band
-    * 0 and are kept by every threshold in the table — stated, exact,
-    * and matching the calibration clamp convention). All counts are
+    * bands at or above the threshold). Clamp convention, matching the
+    * calibration census: scores ≥ `hi` clamp to band bins−1 and are
+    * kept by EVERY threshold in the table; scores below `lo` clamp to
+    * band 0 and are kept only by the band-0 threshold — i.e. the table
+    * deviates from the true gate "score ≥ t" only at band 0, where
+    * sub-lo scores count as kept though they sit below t=lo. Stated,
+    * exact, identical in the oracle. All counts are
     * integer adds; precision/recall/F1 are single divisions over
     * exact longs, stated identically in the oracle.
     *

@@ -450,8 +450,10 @@ object Sampling {
     * cost one hash expression + one co-partitionable join. Bump `salt`
     * to re-draw fresh negatives per epoch.
     *
-    * Id types: numeric/date/timestamp ids range-bucket on their cast
-    * double; string/binary ids range-bucket on the first-8-bytes
+    * Id types: numeric/timestamp ids range-bucket on their cast
+    * double; date ids on their epoch-day ordinal and timestamp_ntz ids
+    * via a TIMESTAMP hop (Spark's Cast disallows DATE/TIMESTAMP_NTZ →
+    * numeric directly); string/binary ids range-bucket on the first-8-bytes
     * value (zero-padded big-endian — order-preserving under Spark's
     * byte-lexicographic string comparison, so cells still respect the
     * global id order and the dense index equals `row_number() OVER
@@ -471,8 +473,17 @@ object Sampling {
     val ids = corpus.select(col(idCol).as("_id")).filter(col("_id").isNotNull)
     // order-preserving numeric key for range-cell bucketing
     val orderKey: Column = ids.schema("_id").dataType match {
-      case _: NumericType | DateType | TimestampType | TimestampNTZType =>
+      case _: NumericType | TimestampType =>
         col("_id").cast("double")
+      case DateType =>
+        // Cast.canCast disallows DATE -> DOUBLE; the day ordinal is the
+        // same order-preserving value the direct cast would have given.
+        datediff(col("_id"), lit("1970-01-01")).cast("double")
+      case TimestampNTZType =>
+        // TIMESTAMP_NTZ -> numeric is not castable either; hop through
+        // TIMESTAMP. The session-zone reinterpretation is monotonic
+        // non-decreasing, which is all range-cell bucketing needs.
+        col("_id").cast(TimestampType).cast("double")
       case StringType =>
         expr("CAST(conv(hex(rpad(encode(_id, 'UTF-8'), 8, x'00')), 16, 10) AS DOUBLE)")
       case BinaryType =>

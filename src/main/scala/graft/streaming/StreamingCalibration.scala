@@ -69,6 +69,17 @@ object StreamingCalibration {
     * summing `ece_contribution` per window gives the window's
     * expected calibration error against the baseline. Pure counts and
     * single divisions; aggregate-scale only.
+    *
+    * Coverage caveat, made explicit: a band the baseline never
+    * populated (baseline_pos_rate NULL — pos_rate is NULL for empty
+    * baseline bands) has no reference rate, so its `rate_gap` and
+    * `ece_contribution` are NULL and the per-window Σece is
+    * CONDITIONAL on baseline-covered bands. Live traffic drifting
+    * into such bands is exactly the drift a conditional ECE would
+    * understate, so that mass is surfaced per row as
+    * `uncovered_mass` = n/window_total on uncovered bands (0.0 on
+    * covered ones): Σuncovered_mass per window is the fraction of
+    * live traffic the ECE could not see — alert on it alongside Σece.
     */
   def scoreCalibration(
       windowBands: DataFrame, baseline: DataFrame): DataFrame = {
@@ -105,6 +116,9 @@ object StreamingCalibration {
       gap.as("rate_gap"),
       when(gap.isNotNull,
         abs(gap) * col("n").cast("double") / col("_tw").cast("double"))
-        .as("ece_contribution"))
+        .as("ece_contribution"),
+      when(col("baseline_pos_rate").isNull && col("n") > 0L,
+        col("n").cast("double") / col("_tw").cast("double"))
+        .otherwise(lit(0.0)).as("uncovered_mass"))
   }
 }

@@ -136,7 +136,7 @@ class EvaluationSpec extends AnyFunSuite {
   test("thresholdSweep: hand-checked confusion counts, clamp keeps low scores at band 0, F1 argmax") {
     // lo=0, hi=2, bins=4 -> thresholds 0, 0.5, 1.0, 1.5
     val df = Seq(
-      (-5.0, false),          // clamps to band 0: kept by EVERY threshold
+      (-5.0, false),          // clamps to band 0: kept only at the band-0 threshold
       (0.2, false), (0.4, true),   // band 0
       (0.7, true), (0.9, true),    // band 1
       (1.2, false),                // band 2
@@ -246,6 +246,29 @@ class EvaluationSpec extends AnyFunSuite {
       (j, idsSorted((java.lang.Long.parseLong(hex, 16) % n).toInt))
     }.filter(_._2 != anchor)
     assert(got.toSeq == expect)
+  }
+
+  test("negativePairs: date and timestamp_ntz ids plan and draw (no AnalysisException)") {
+    // DATE -> DOUBLE and TIMESTAMP_NTZ -> DOUBLE are not castable in Spark;
+    // the order-key must route through datediff / a TIMESTAMP hop instead.
+    val dates = Tables.documents(spark, TestSpark.sf)
+      .select(date_add(lit("2020-01-01").cast("date"), $"doc_id".cast("int")).as("did"))
+    val n = dates.count()
+    val datePairs = Sampling.negativePairs(dates, "did", k = 2)
+    assert(datePairs.groupBy("anchor_id").count().count() == n,
+      "every date-id anchor must draw")
+    assert(datePairs.filter($"anchor_id" === $"neg_id").count() == 0)
+    // negatives are real corpus rows (the old cast produced all-null cells
+    // for un-castable types, which would silently empty this join)
+    assert(datePairs.join(dates, datePairs("neg_id") === dates("did"),
+      "left_anti").count() == 0)
+
+    val ntz = Tables.documents(spark, TestSpark.sf)
+      .select(timestamp_seconds($"doc_id" * 60).cast("timestamp_ntz").as("tid"))
+    val ntzPairs = Sampling.negativePairs(ntz, "tid", k = 2)
+    assert(ntzPairs.groupBy("anchor_id").count().count() == n,
+      "every timestamp_ntz-id anchor must draw")
+    assert(ntzPairs.filter($"anchor_id" === $"neg_id").count() == 0)
   }
 
   test("negativePairs: unsupported id type is rejected loudly, not silently empty") {

@@ -257,7 +257,26 @@ class MultimodalStreamingSpec extends AnyFunSuite {
         assert(r.isNullAt(r.fieldIndex("pos_rate")))
         assert(r.isNullAt(r.fieldIndex("ece_contribution")))
       }
+      // baseline covers every live band here — nothing uncovered
+      assert(r.getAs[Double]("uncovered_mass") == 0.0)
     }
+    // drift into baseline-uncovered territory: a baseline that never
+    // populated band 0 leaves window-10's 2 band-0 rows (of 5) outside
+    // the conditional ECE — uncovered_mass must surface exactly 2/5
+    val sparseBaseline = Seq((0.9, true), (0.95, false))
+      .toDF("score", "label")
+    val sparseScored = StreamingCalibration.scoreCalibration(
+        census,
+        graft.operators.Evaluation.calibrationReport(
+          sparseBaseline, $"score", $"label", lo = 0.0, hi = 1.0, bins = 4))
+      .collect()
+      .map(r => r.getAs[Long]("band") ->
+        (r.getAs[Double]("uncovered_mass"),
+         Option(r.getAs[Any]("ece_contribution")))).toMap
+    assert(sparseScored(0L) == (0.4, None),
+      "live mass in a baseline-empty band is uncovered, not silently dropped")
+    assert(sparseScored(3L)._1 == 0.0 && sparseScored(3L)._2.isDefined)
+    assert(sparseScored(1L) == (0.0, None), "empty live + empty baseline band is 0 mass")
   }
 
   test("streaming curation front-end: gates + TTL content-dedup, batch-identical admission") {
