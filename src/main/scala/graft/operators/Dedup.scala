@@ -684,6 +684,133 @@ object Dedup {
     (newDocs.join(dropIds, Seq(idCol), "left_anti"), newSigs)
   }
 
+  /** Incremental maintenance of the cluster KEEP-LIST — fold a new
+    * batch into a materialized `(doc_id, cluster_id, cluster_size,
+    * score, keep)` decision table (the q128 surface) without
+    * recomputing the corpus×corpus pair graph, the closure, or the
+    * scores. At 100 TB nobody re-derives the dedup decision nightly;
+    * they maintain it: this is that operator.
+    *
+    * Inputs: `state` is the prior keep-list (exactly the schema this
+    * operator returns, so runs chain); `corpusSigs` is the FULL old
+    * corpus's materialized `(id, sig)` table (every doc, clustered or
+    * not — a new doc can pair with a previously-singleton old doc);
+    * `scores` is a `(doc_id, score)` lookup covering old corpus AND
+    * new batch (the materialized q112 output — `state.score` must
+    * have come from the same table). New-batch ids must be disjoint
+    * from corpus ids.
+    *
+    * Equality with from-scratch: the full pair graph is
+    * old×old ∪ new×old ∪ new×new. old×old components are already
+    * contracted inside `state` (components of a graph equal
+    * components after contracting each existing component to a
+    * super-node), so only the two increment-scale pair sets are
+    * computed — new×corpus via [[dropNearDuplicatesAgainst]]'s
+    * asymmetric band join, new×new via the standard self-join — and
+    * connected components run over the CONTRACTED graph: new-doc
+    * nodes, plus one node per touched old cluster (its cluster_id),
+    * plus previously-unclustered old docs as themselves. A new doc
+    * bridging two old clusters therefore merges them, exactly as
+    * from-scratch would. Labels are min-reachable-node, and because
+    * an existing cluster_id IS the min id of its members, the merged
+    * label equals the from-scratch min member id. Keep is then
+    * re-elected (max score, id-ascending tiebreak) and cluster_size
+    * recounted ONLY in touched clusters; untouched state rows pass
+    * through byte-identical. Result: incremental == from-scratch,
+    * oracle-pinned by q129 against the q128 SQL.
+    *
+    * Scale shape: everything is increment-scale except two passes
+    * over `state`, each an equi-join on cluster_id against the
+    * touched-cluster map (itself increment-scale, hence
+    * broadcastable): one to pull touched members for re-election, one
+    * anti-join to pass untouched rows through. The mini component
+    * graph is pairs-of-the-increment sized, so the iterative closure
+    * that dominates a from-scratch run (q54) runs on a graph ~the
+    * size of the day's batch. Returns `(updatedKeepList, newSigs)`;
+    * `newSigs` is persisted — append it to the corpus signature table
+    * for the next increment, then release it (the
+    * [[dropNearDuplicatesAgainstWithSignatures]] contract).
+    */
+  def foldIntoClusterKeepList(
+      state: DataFrame, corpusSigs: DataFrame, scores: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, portable: Boolean = false,
+      maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    corpusSigs.select(size(col("sig"))).take(1).foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"corpus signature width ${r.getInt(0)} != numHashes $numHashes")
+    }
+    val st = state.select(col("doc_id"), col("cluster_id"),
+      col("cluster_size"), col("score"), col("keep"))
+    val sc = scores.select(col("doc_id"), col("score"))
+    val floor = minAgreeingBands(numHashes, bands, threshold)
+    val newSigs =
+      (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes)
+       else minhashSignatures(newDocs, idCol, textCol, n, numHashes)).persist()
+    // new × corpus pairs at est_jaccard >= threshold — asymmetric band
+    // join, O(increment); resolved against state so each old endpoint
+    // becomes its cluster node (or itself if previously unclustered).
+    // Persisted: consumed by the eager closure below AND by the
+    // singleton-promotion branch of the returned plan.
+    val newOldResolved = collisionPairsWithFeatures(
+        bandedOf(newSigs, numHashes, bands, portable),
+        bandedOf(corpusSigs, numHashes, bands, portable),
+        Seq("band", "bucket"), ordered = false,
+        featsA = newSigs, featsB = corpusSigs, minCollisions = floor)
+      .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
+      .select(col("id_a").as("_new"), col("id_b").as("_old"))
+      .join(st.select(col("doc_id").as("_old"), col("cluster_id").as("_oc")),
+        Seq("_old"), "left")
+      .persist()
+    val newNew = scoredPairsFromSignatures(newSigs, numHashes, bands, portable,
+        minCollisions = floor)
+      .filter(col("est_jaccard") >= threshold)
+    // contracted component graph: increment-scale edges only
+    val edges = newOldResolved
+      .select(col("_new").as("a"), coalesce(col("_oc"), col("_old")).as("b"))
+      .union(newNew.select(col("id_a").as("a"), col("id_b").as("b")))
+    val comp = duplicateClusters(edges, "a", "b", maxRounds, checkpointDir)
+      .select(col("id").as("_node"), col("cluster_id").as("_newc"))
+    // touched old clusters relabel wholesale (map is increment-scale)
+    val clusterMap = comp
+      .join(st.select(col("cluster_id").as("_oldc")).distinct(),
+        col("_node") === col("_oldc"))
+      .select(col("_oldc"), col("_newc"))
+    val touchedStateMembers = st
+      .join(broadcast(clusterMap), col("cluster_id") === col("_oldc"))
+      .select(col("doc_id"), col("_newc").as("cluster_id"), col("score"))
+    // previously-unclustered old docs that a new doc paired with:
+    // promote into the cluster table with their materialized score
+    val promoted = newOldResolved.filter(col("_oc").isNull)
+      .select(col("_old").as("doc_id")).distinct()
+      .join(comp, col("doc_id") === col("_node"))
+      .join(sc, "doc_id")
+      .select(col("doc_id"), col("_newc").as("cluster_id"), col("score"))
+    val newMembers = comp
+      .join(newSigs.select(col("id").as("_node")), Seq("_node"))
+      .select(col("_node").as("doc_id"), col("_newc").as("cluster_id"))
+      .join(sc, "doc_id")
+      .select(col("doc_id"), col("cluster_id"), col("score"))
+    // re-elect keep + recount size in touched clusters only; windows
+    // partition by cluster_id — cluster-count-way parallel
+    val wRank = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val wSize = Window.partitionBy(col("cluster_id"))
+    val recomputed = touchedStateMembers.union(promoted).union(newMembers)
+      .withColumn("cluster_size", count(lit(1)).over(wSize))
+      .withColumn("keep", row_number().over(wRank) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("score"), col("keep"))
+    val untouched = st.join(broadcast(clusterMap.select(col("_oldc"))),
+      col("cluster_id") === col("_oldc"), "left_anti")
+    val out = untouched.unionByName(recomputed)
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(newOldResolved))
+    (out, newSigs)
+  }
+
   // ---------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------

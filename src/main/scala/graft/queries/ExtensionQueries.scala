@@ -311,6 +311,50 @@ object ExtensionQueries {
        |SELECT doc_id, cluster_id, cluster_size, logit, rn = 1 AS keep FROM r""".stripMargin
 
   // ---------------------------------------------------------------
+  // q129 — INCREMENTAL cluster keep-list: q128's decision table
+  // maintained, not recomputed. The corpus is split into a prior
+  // corpus (doc_id % 10 != 0) and a new batch (doc_id % 10 == 0);
+  // the prior run's state — keep-list + materialized signatures —
+  // is built over the prior corpus only, then the batch is FOLDED in
+  // via Dedup.foldIntoClusterKeepList: asymmetric new×corpus band
+  // join, new×new pairs, connected components over the CONTRACTED
+  // graph (old clusters as super-nodes), keep re-election only in
+  // touched clusters. The oracle is q128's from-scratch SQL over the
+  // full corpus — the whole point is incremental == from-scratch,
+  // and this row pins it.
+  // ---------------------------------------------------------------
+  def q129IncrementalKeepList(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+    val priorDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    val newBatch = docs.filter(col("doc_id") % 10 === 0)
+    // the materialized score table (q112), covering prior AND new docs
+    val scores = q112LinearQuality(spark, d)
+      .select(col("doc_id"), col("logit").as("score"))
+    // prior-run state: pairs -> clusters -> keep election, prior corpus only
+    val (priorPairs, priorSigs) = Dedup.lshNearDupPairsWithSignatures(
+      priorDocs, "doc_id", "text", n = LshShingleN, numHashes = LshHashes,
+      bands = LshBands, threshold = JaccardThreshold, portable = true)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val state = Dedup.duplicateClusters(priorPairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .join(scores, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "cluster_size", "score", "keep")
+    val (updated, newSigs) = Dedup.foldIntoClusterKeepList(
+      state, priorSigs, scores, newBatch, "doc_id", "text",
+      n = LshShingleN, numHashes = LshHashes, bands = LshBands,
+      threshold = JaccardThreshold, portable = true)
+    val out = updated.select(col("doc_id"), col("cluster_id"),
+      col("cluster_size"), col("score").as("logit"), col("keep"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(priorSigs, newSigs))
+    out
+  }
+
+  lazy val q129Sql: String = q128Sql
+
+  // ---------------------------------------------------------------
   // q13 — SimHash near-dup pairs (banded Hamming ≤ 3), portable
   // mode: 60-bit md5 token hashes, 15-bit chunk candidates — the
   // DuckDB oracle replays the identical bit arithmetic.
@@ -867,6 +911,7 @@ object ExtensionQueries {
     "q13_simhash_neardup"    -> (q13SimhashNearDup _),
     "q54_dup_clusters"       -> (q54DupClusters _),
     "q128_cluster_keep_list" -> (q128ClusterKeepList _),
+    "q129_incremental_keep_list" -> (q129IncrementalKeepList _),
     "q56_quantization"       -> (q56Quantization _),
     "q14_embedding_neardup"  -> (q14EmbeddingNearDup _),
     "q14b_embedding_lsh"     -> (q14bEmbeddingNearDupLsh _),
@@ -896,6 +941,7 @@ object ExtensionQueries {
     "q13_simhash_neardup"    -> q13Sql,
     "q54_dup_clusters"       -> q54Sql,
     "q128_cluster_keep_list" -> q128Sql,
+    "q129_incremental_keep_list" -> q129Sql,
     "q56_quantization"       -> q56Sql,
     "q14_embedding_neardup"  -> q14Sql,
     "q14b_embedding_lsh"     -> q14bSql,

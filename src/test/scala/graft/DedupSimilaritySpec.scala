@@ -94,6 +94,112 @@ class DedupSimilaritySpec extends AnyFunSuite {
         newBatch, "doc_id", "text"))
   }
 
+  // ---------------- foldIntoClusterKeepList ----------------
+  // bands = numHashes (1 row per band) makes LSH candidate recall
+  // exact — a pair collides iff any signature position agrees — so
+  // these fixtures are fully deterministic: pairs are exactly
+  // "agreement >= threshold".
+
+  private val FoldT = 0.35
+  private def foldFixtureState(oldDocs: org.apache.spark.sql.DataFrame,
+      scores: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val (pairs, sigs) = Dedup.lshNearDupPairsWithSignatures(
+      oldDocs, "doc_id", "text", n = 3, numHashes = 64, bands = 64, threshold = FoldT)
+    val w = Window.partitionBy($"cluster_id").orderBy($"score".desc, $"doc_id".asc)
+    val state = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"cluster_id", $"cluster_size")
+      .join(scores, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "cluster_size", "score", "keep")
+    (state, sigs)
+  }
+
+  test("foldIntoClusterKeepList: untouched increment leaves the keep-list byte-identical") {
+    val ta = "aardvark banana cathedral dolphin elephant fortress gorilla"
+    val oldDocs = Seq((5L, ta), (9L, ta),
+      (8L, "zygote xylophone wombat vulture uakari tamarin serval"))
+      .toDF("doc_id", "text")
+    val scores = Seq((5L, 1.0), (9L, 2.0), (8L, 0.5), (13L, 9.9)).toDF("doc_id", "score")
+    val (state, sigs) = foldFixtureState(oldDocs, scores)
+    val novel = Seq((13L, "quarterly amphitheater jurisprudence onomatopoeia"))
+      .toDF("doc_id", "text")
+    val (updated, newSigs) = Dedup.foldIntoClusterKeepList(
+      state, sigs, scores, novel, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 64, threshold = FoldT)
+    assert(updated.exceptAll(state).count() == 0 &&
+      state.exceptAll(updated).count() == 0,
+      "an increment touching no cluster must not change a single row")
+    sigs.unpersist(); newSigs.unpersist()
+  }
+
+  test("foldIntoClusterKeepList: bridge merges two old clusters; singleton promotion; new-new pairs; equality with from-scratch") {
+    val ta = "aardvark banana cathedral dolphin elephant fortress gorilla"
+    val tb = "hurricane iceberg jaguar kangaroo labyrinth mountain nebula"
+    val ts = "orchestra penumbra quasar renegade sapphire tornado umbrella"
+    val tu = "zygote xylophone wombat vulture uakari tamarin serval"
+    val tn = "velocity waterfall xenon yardstick zeppelin anchor barnacle"
+    val oldDocs = Seq(
+      (5L, ta), (9L, ta),      // cluster A, cid 5
+      (3L, tb), (7L, tb),      // cluster B, cid 3
+      (6L, ts),                // old singleton (unclustered)
+      (8L, tu)                 // old unrelated (unclustered, stays so)
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (1L, ta + " " + tb),     // bridge: merges A and B; new min id 1
+      (11L, ts),               // exact dup of old singleton 6 -> promotion
+      (30L, tn), (31L, tn),    // new-new pair, no old contact
+      (40L, "quarterly amphitheater jurisprudence onomatopoeia") // novel
+    ).toDF("doc_id", "text")
+    val scores = Seq(
+      (1L, 0.1), (3L, 0.2), (5L, 0.3), (6L, 0.4), (7L, 5.0), (8L, 0.6),
+      (9L, 0.7), (11L, 8.0), (30L, 0.9), (31L, 1.0), (40L, 1.1)
+    ).toDF("doc_id", "score")
+    val (state, sigs) = foldFixtureState(oldDocs, scores)
+    // sanity on the prior state: A and B are separate clusters
+    val stateMap = state.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(stateMap.keySet == Set(3L, 5L, 7L, 9L))
+    assert(stateMap(5L)._1 == 5L && stateMap(3L)._1 == 3L)
+    val (updated, newSigs) = Dedup.foldIntoClusterKeepList(
+      state, sigs, scores, newBatch, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 64, threshold = FoldT)
+    val rows = updated.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // merged cluster: bridge + both old clusters, labeled by the NEW min id
+    for (id <- Seq(1L, 3L, 5L, 7L, 9L)) {
+      assert(rows(id)._1 == 1L, s"doc $id must be in the merged cluster 1")
+      assert(rows(id)._2 == 5L, s"merged cluster_size must be 5 for doc $id")
+      assert(rows(id)._4 == (id == 7L), s"keep re-elects top score (doc 7), got $id")
+    }
+    // promotion: old singleton 6 enters with new dup 11; keep = higher score 11
+    assert(rows(6L)._1 == 6L && rows(6L)._2 == 2L && !rows(6L)._4)
+    assert(rows(11L)._1 == 6L && rows(11L)._2 == 2L && rows(11L)._4)
+    // new-new pair clusters among themselves
+    assert(rows(30L)._1 == 30L && rows(30L)._2 == 2L)
+    assert(rows(31L)._1 == 30L && rows(31L)._4 && !rows(30L)._4,
+      "keep elects the higher score (31: 1.0 over 30: 0.9)")
+    // novel new doc and untouched unrelated old doc never appear
+    assert(!rows.contains(40L) && !rows.contains(8L))
+    // incremental == from-scratch over the union corpus
+    val (fullState, fullSigs) = foldFixtureState(oldDocs.unionByName(newBatch), scores)
+    assert(updated.exceptAll(fullState).count() == 0 &&
+      fullState.exceptAll(updated).count() == 0,
+      "fold must equal the from-scratch keep-list")
+    sigs.unpersist(); newSigs.unpersist(); fullSigs.unpersist()
+  }
+
+  test("foldIntoClusterKeepList: q129 split on the synthetic corpus equals from-scratch q128") {
+    val inc = graft.queries.ExtensionQueries
+      .q129IncrementalKeepList(spark, TestSpark.sf)
+    val scratch = graft.queries.ExtensionQueries
+      .q128ClusterKeepList(spark, TestSpark.sf)
+    assert(inc.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(inc).count() == 0,
+      "incremental fold must reproduce the from-scratch decision table")
+  }
+
   test("simhash: identical text → distance 0; near-dup pairs found") {
     val sims = Dedup.simhashes(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
