@@ -18,6 +18,82 @@ import org.apache.spark.sql.functions._
   */
 object Evaluation {
 
+  /** Rows at or under which the grouped-eval family's offsets/census
+    * tables are broadcast. These tables are groups×cells (AUC offsets)
+    * rows: config-sized for the dashboard-cardinality groups this
+    * family targets (languages, sources, shards — broadcast wins by
+    * skipping a shuffle of the census), but data-sized for a
+    * million-group column, where an unconditional hint would spill or
+    * OOM the driver. 4M rows ≈ 100 MB of (group, cell, offset) longs —
+    * comfortably under Spark's driver/executor broadcast ceilings.
+    */
+  private val BroadcastRowLimit: Long = 4L << 20
+
+  /** Broadcast only when the (already-computed, census-derived) row
+    * count is at or under [[BroadcastRowLimit]] — the
+    * cardinality-adaptive form of the broadcast hint, so pointing
+    * q124-style operators at a high-cardinality group column degrades
+    * to a shuffled join instead of a driver OOM. The count costs one
+    * cheap agg over the persisted census, never a raw-row scan.
+    */
+  private def broadcastIfSmall(df: DataFrame, rows: Long, limit: Long): DataFrame =
+    if (rows <= limit) broadcast(df) else df
+
+  /** The banded-census + band-spine stage every member of the
+    * calibration/sweep family shares: ONE raw scan (cheap-column
+    * filters only — the score's null/NaN exclusion happens
+    * census-side so an expensive score expression evaluates exactly
+    * once per row, see [[aucExact]]) collapsed to a persisted
+    * `(group?, band, n, n_pos)` census, left-joined onto the full
+    * band spine (per distinct group when grouped) with empty bands
+    * filled as zeros.
+    *
+    * The persist is an optimizer fence as much as a cache: the spine
+    * join's null-rejecting inference (`isnotnull(band)` on the
+    * aggregate side) would otherwise propagate BELOW the aggregate
+    * and inline the score expression into a raw-row filter — the
+    * exact multi-evaluation this family's layout avoids. A group
+    * whose every score is null/NaN has no surviving census row and
+    * stays absent from the spine (the family's documented exclusion).
+    *
+    * Returns (spine, censusAll); the caller releases `censusAll` via
+    * [[graft.CacheLifecycle]] once its output plan is built.
+    */
+  private def bandedCensusSpine(
+      df: DataFrame, group: Option[Column], score: Column, label: Column,
+      lo: Double, hi: Double, bins: Int): (DataFrame, DataFrame) = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val rawFilter =
+      group.map(g => label.isNotNull && g.isNotNull).getOrElse(label.isNotNull)
+    val nn = df.filter(rawFilter)
+      .select(group.map(_.as("_g")).toSeq ++ Seq(
+        score.cast("double").as("_v"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("_p")): _*)
+    val bin = when(col("_v").isNotNull && !isnan(col("_v")),
+      least(lit(bins - 1L),
+        greatest(lit(0L), floor((col("_v") - lit(lo)) / lit(width)))))
+    val gcols = group.map(_ => col("_g")).toSeq
+    val censusAll = nn.groupBy(gcols :+ bin.as("band"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pos"))
+      .persist()
+    val counts = censusAll.filter(col("band").isNotNull)
+    val bandSpine = df.sparkSession.range(0, bins).select(col("id").as("band"))
+    val joined = group match {
+      case Some(_) =>
+        counts.select(col("_g")).distinct()
+          .crossJoin(broadcast(bandSpine))
+          .join(counts, Seq("_g", "band"), "left")
+      case None =>
+        bandSpine.join(counts, Seq("band"), "left")
+    }
+    val spine = joined.select(gcols ++ Seq(col("band"),
+      coalesce(col("n"), lit(0L)).as("n"),
+      coalesce(col("n_pos"), lit(0L)).as("n_pos")): _*)
+    (spine, censusAll)
+  }
+
   /** Exact ROC AUC via the Mann–Whitney U statistic with midrank tie
     * handling — the textbook trapezoidal-ROC value, computed WITHOUT a
     * global sort.
@@ -135,17 +211,20 @@ object Evaluation {
     *
     * Same one-scan discipline: ONE (group, score) census, bounds from
     * the census, prefix windows partitioned by (group, cell) so no
-    * group ever ranks in a single task, offsets broadcast at
-    * groups×cells rows (config-sized for the dashboard-cardinality
-    * groups this targets — languages, sources, shards; for millions
-    * of groups drop the broadcast hint). Output: one row per group
+    * group ever ranks in a single task, offsets at groups×cells rows
+    * broadcast ADAPTIVELY ([[broadcastIfSmall]]: config-sized for the
+    * dashboard-cardinality groups this targets — languages, sources,
+    * shards — and automatically a shuffled join past
+    * [[BroadcastRowLimit]], so a million-group column degrades
+    * instead of OOMing the driver). Output: one row per group
     * (group_key, n_pos, n_neg, n_distinct_scores, auc); auc is NULL
     * for single-class groups, and groups with no surviving rows do
     * not appear.
     */
   def aucExactBy(
       df: DataFrame, group: Column, score: Column, label: Column,
-      cells: Int = 4096): DataFrame = {
+      cells: Int = 4096,
+      broadcastRowLimit: Long = BroadcastRowLimit): DataFrame = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     val W = org.apache.spark.sql.expressions.Window
     // label/group filters run on raw rows (cheap columns); the score
@@ -181,10 +260,17 @@ object Evaluation {
     val offs = perCell.withColumn("_off",
       coalesce(sum(col("_nc")).over(W.partitionBy(col("_g")).orderBy(col("_c"))
         .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    // cardinality-adaptive: the offsets table is groups×cells rows —
+    // counting it rides the persisted census (cheap); above the limit
+    // the broadcast hint is dropped and the join shuffles instead of
+    // OOMing the driver on a million-group column
+    val offRows = perCell.count()
     val wCell = W.partitionBy(col("_g"), col("_c")).orderBy(col("_v"))
       .rowsBetween(W.unboundedPreceding, -1)
     val ranked = cen
-      .join(broadcast(offs.select(col("_g"), col("_c"), col("_off"))), Seq("_g", "_c"))
+      .join(broadcastIfSmall(offs.select(col("_g"), col("_c"), col("_off")),
+          offRows, broadcastRowLimit),
+        Seq("_g", "_c"))
       .withColumn("_cumNeg",
         col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
     val out = ranked.groupBy(col("_g").as("group_key")).agg(
@@ -222,40 +308,17 @@ object Evaluation {
   def calibrationReport(
       df: DataFrame, score: Column, label: Column,
       lo: Double, hi: Double, bins: Int): DataFrame = {
-    require(bins >= 1, s"bins must be >= 1, got $bins")
-    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     val width = (hi - lo) / bins
-    // label filter on raw rows (cheap column); null/NaN scores fall
-    // into a NULL band that the spine join never matches — no raw
-    // filter on the score column, so an expensive score expression
-    // is evaluated exactly once per row (see [[aucExact]]: a pushed-
-    // down score filter inlines the whole expression tree per row)
-    val nn = df
-      .filter(label.isNotNull)
-      .select(score.cast("double").as("_v"),
-        when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
-    val bin = when(col("_v").isNotNull && !isnan(col("_v")),
-      least(lit(bins - 1L),
-        greatest(lit(0L), floor((col("_v") - lit(lo)) / lit(width)))))
-    // persisted (≤ bins+1 tiny rows) not for reuse but as an optimizer
-    // fence: the left join's null-rejecting inference (isnotnull(band)
-    // on the aggregate side) otherwise propagates BELOW the aggregate
-    // and inlines the score expression into a raw-row filter — the
-    // exact multi-evaluation this operator's layout avoids
-    val counts = nn.groupBy(bin.as("band"))
-      .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pos"))
-      .persist()
-    val out = df.sparkSession.range(0, bins).select(col("id").as("band"))
-      .join(counts, Seq("band"), "left")
-      .select(
-        col("band"),
-        (lit(lo) + col("band") * lit(width)).as("lo"),
-        (lit(lo) + (col("band") + lit(1L)) * lit(width)).as("hi"),
-        coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
-        when(coalesce(col("n"), lit(0L)) > 0L,
-          col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
-    graft.CacheLifecycle.releaseAfterFirstUse(Seq(counts))
+    val (spine, census) =
+      bandedCensusSpine(df, None, score, label, lo, hi, bins)
+    val out = spine.select(
+      col("band"),
+      (lit(lo) + col("band") * lit(width)).as("lo"),
+      (lit(lo) + (col("band") + lit(1L)) * lit(width)).as("hi"),
+      col("n"), col("n_pos"),
+      when(col("n") > 0L,
+        col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
     out
   }
 
@@ -288,32 +351,35 @@ object Evaluation {
   def thresholdSweep(
       df: DataFrame, score: Column, label: Column,
       lo: Double, hi: Double, bins: Int): DataFrame = {
-    require(bins >= 1, s"bins must be >= 1, got $bins")
-    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val (spine, census) =
+      bandedCensusSpine(df, None, score, label, lo, hi, bins)
+    val out = sweepOverSpine(spine, group = None, lo, hi, bins)
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
+    out
+  }
+
+  /** Suffix-sum confusion sweep over a filled band spine — the shared
+    * back half of [[thresholdSweep]] and [[thresholdSweepBy]]. Windows
+    * run over ≤ bins rows (per group when grouped) — bounded by
+    * construction.
+    */
+  private def sweepOverSpine(
+      spine: DataFrame, group: Option[Column],
+      lo: Double, hi: Double, bins: Int): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val width = (hi - lo) / bins
-    val nn = df
-      .filter(label.isNotNull)
-      .select(score.cast("double").as("_v"),
-        when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
-    val bin = when(col("_v").isNotNull && !isnan(col("_v")),
-      least(lit(bins - 1L),
-        greatest(lit(0L), floor((col("_v") - lit(lo)) / lit(width)))))
-    // optimizer fence persist, as in [[calibrationReport]]: the spine
-    // join's null-rejecting inference must not cross the aggregate
-    val counts = nn.groupBy(bin.as("band"))
-      .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pos"))
-      .persist()
-    val spine = df.sparkSession.range(0, bins).select(col("id").as("band"))
-      .join(counts, Seq("band"), "left")
-      .select(col("band"),
-        coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("n_pos"), lit(0L)).as("n_pos"))
-    // suffix sums over ≤ bins rows: kept = bands ≥ this one
-    val wSuffix = W.orderBy(col("band"))
-      .rowsBetween(W.currentRow, W.unboundedFollowing)
-    val wAll = W.orderBy(col("band"))
-      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val (wSuffix, wAll) = group match {
+      case Some(_) => (
+        W.partitionBy(col("_g")).orderBy(col("band"))
+          .rowsBetween(W.currentRow, W.unboundedFollowing),
+        W.partitionBy(col("_g")).orderBy(col("band"))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+      case None => (
+        W.orderBy(col("band"))
+          .rowsBetween(W.currentRow, W.unboundedFollowing),
+        W.orderBy(col("band"))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    }
     val swept = spine
       .withColumn("tp", sum(col("n_pos")).over(wSuffix))
       .withColumn("kept", sum(col("n")).over(wSuffix))
@@ -323,19 +389,18 @@ object Evaluation {
       col("tp").cast("double") / col("kept").cast("double"))
     val recall = when(col("p_all") > 0L,
       col("tp").cast("double") / col("p_all").cast("double"))
-    val out = swept.select(
-      col("band"),
-      (lit(lo) + col("band") * lit(width)).as("threshold"),
-      col("tp"),
-      (col("kept") - col("tp")).as("fp"),
-      (col("p_all") - col("tp")).as("fn"),
-      (col("n_all") - col("kept") - (col("p_all") - col("tp"))).as("tn"),
-      precision.as("precision"),
-      recall.as("recall"),
-      when(precision.isNotNull && recall.isNotNull && (precision + recall) > 0.0,
-        lit(2.0) * precision * recall / (precision + recall)).as("f1"))
-    graft.CacheLifecycle.releaseAfterFirstUse(Seq(counts))
-    out
+    swept.select(
+      group.map(_ => col("_g").as("group_key")).toSeq ++ Seq(
+        col("band"),
+        (lit(lo) + col("band") * lit(width)).as("threshold"),
+        col("tp"),
+        (col("kept") - col("tp")).as("fp"),
+        (col("p_all") - col("tp")).as("fn"),
+        (col("n_all") - col("kept") - (col("p_all") - col("tp"))).as("tn"),
+        precision.as("precision"),
+        recall.as("recall"),
+        when(precision.isNotNull && recall.isNotNull && (precision + recall) > 0.0,
+          lit(2.0) * precision * recall / (precision + recall)).as("f1")): _*)
   }
 
   /** Per-group threshold sweep — [[thresholdSweep]] keyed by a group
@@ -354,56 +419,10 @@ object Evaluation {
   def thresholdSweepBy(
       df: DataFrame, group: Column, score: Column, label: Column,
       lo: Double, hi: Double, bins: Int): DataFrame = {
-    require(bins >= 1, s"bins must be >= 1, got $bins")
-    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
-    val W = org.apache.spark.sql.expressions.Window
-    val width = (hi - lo) / bins
-    val nn = df
-      .filter(label.isNotNull && group.isNotNull)
-      .select(group.as("_g"), score.cast("double").as("_v"),
-        when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
-    val bin = when(col("_v").isNotNull && !isnan(col("_v")),
-      least(lit(bins - 1L),
-        greatest(lit(0L), floor((col("_v") - lit(lo)) / lit(width)))))
-    val countsAll = nn.groupBy(col("_g"), bin.as("band"))
-      .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pos"))
-      .persist()
-    val counts = countsAll.filter(col("band").isNotNull)
-    val spine = counts.select(col("_g")).distinct()
-      .crossJoin(broadcast(
-        df.sparkSession.range(0, bins).select(col("id").as("band"))))
-      .join(counts.select(col("_g").as("_cg"), col("band").as("_cb"),
-          col("n"), col("n_pos")),
-        col("_g") === col("_cg") && col("band") === col("_cb"), "left")
-      .select(col("_g"), col("band"),
-        coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("n_pos"), lit(0L)).as("n_pos"))
-    val wSuffix = W.partitionBy(col("_g")).orderBy(col("band"))
-      .rowsBetween(W.currentRow, W.unboundedFollowing)
-    val wAll = W.partitionBy(col("_g")).orderBy(col("band"))
-      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    val swept = spine
-      .withColumn("tp", sum(col("n_pos")).over(wSuffix))
-      .withColumn("kept", sum(col("n")).over(wSuffix))
-      .withColumn("p_all", sum(col("n_pos")).over(wAll))
-      .withColumn("n_all", sum(col("n")).over(wAll))
-    val precision = when(col("kept") > 0L,
-      col("tp").cast("double") / col("kept").cast("double"))
-    val recall = when(col("p_all") > 0L,
-      col("tp").cast("double") / col("p_all").cast("double"))
-    val out = swept.select(
-      col("_g").as("group_key"),
-      col("band"),
-      (lit(lo) + col("band") * lit(width)).as("threshold"),
-      col("tp"),
-      (col("kept") - col("tp")).as("fp"),
-      (col("p_all") - col("tp")).as("fn"),
-      (col("n_all") - col("kept") - (col("p_all") - col("tp"))).as("tn"),
-      precision.as("precision"),
-      recall.as("recall"),
-      when(precision.isNotNull && recall.isNotNull && (precision + recall) > 0.0,
-        lit(2.0) * precision * recall / (precision + recall)).as("f1"))
-    graft.CacheLifecycle.releaseAfterFirstUse(Seq(countsAll))
+    val (spine, census) =
+      bandedCensusSpine(df, Some(group), score, label, lo, hi, bins)
+    val out = sweepOverSpine(spine, Some(group), lo, hi, bins)
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
     out
   }
 
@@ -418,39 +437,18 @@ object Evaluation {
   def calibrationReportBy(
       df: DataFrame, group: Column, score: Column, label: Column,
       lo: Double, hi: Double, bins: Int): DataFrame = {
-    require(bins >= 1, s"bins must be >= 1, got $bins")
-    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     val width = (hi - lo) / bins
-    // cheap-column filters on raw rows; null/NaN scores -> NULL band,
-    // dropped census-side (see [[calibrationReport]])
-    val nn = df
-      .filter(label.isNotNull && group.isNotNull)
-      .select(group.as("_g"), score.cast("double").as("_v"),
-        when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
-    val bin = when(col("_v").isNotNull && !isnan(col("_v")),
-      least(lit(bins - 1L),
-        greatest(lit(0L), floor((col("_v") - lit(lo)) / lit(width)))))
-    val countsAll = nn.groupBy(col("_g"), bin.as("band"))
-      .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pos"))
-      .persist()
-    // a group whose every score is null/NaN has no surviving band
-    // rows and stays absent from the spine — the engine's documented
-    // exclusion
-    val counts = countsAll.filter(col("band").isNotNull)
-    val spine = counts.select(col("_g")).distinct()
-      .crossJoin(broadcast(
-        df.sparkSession.range(0, bins).select(col("id").as("band"))))
-    val out = spine.join(counts, Seq("_g", "band"), "left")
-      .select(
-        col("_g").as("group_key"),
-        col("band"),
-        (lit(lo) + col("band") * lit(width)).as("lo"),
-        (lit(lo) + (col("band") + lit(1L)) * lit(width)).as("hi"),
-        coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
-        when(coalesce(col("n"), lit(0L)) > 0L,
-          col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
-    graft.CacheLifecycle.releaseAfterFirstUse(Seq(countsAll))
+    val (spine, census) =
+      bandedCensusSpine(df, Some(group), score, label, lo, hi, bins)
+    val out = spine.select(
+      col("_g").as("group_key"),
+      col("band"),
+      (lit(lo) + col("band") * lit(width)).as("lo"),
+      (lit(lo) + (col("band") + lit(1L)) * lit(width)).as("hi"),
+      col("n"), col("n_pos"),
+      when(col("n") > 0L,
+        col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
     out
   }
 }

@@ -95,6 +95,33 @@ class EvaluationSpec extends AnyFunSuite {
     assert(repart == grouped.map { case (k, (_, _, a)) => k -> a })
   }
 
+  test("aucExactBy: past the broadcast row limit the offsets join degrades to a shuffle, results unchanged") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"source", $"n_chars".cast("double").as("s"), ($"lang" === "en").as("y"))
+    // disable size-based auto-broadcast so the plans show exactly what
+    // the HINT contributes: on sf-test data the offsets table is tiny
+    // and Spark's own statistics would (correctly) broadcast it anyway
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = Evaluation.aucExactBy(docs, $"source", $"s", $"y", cells = 8)
+      // limit 0 simulates a group column too wide to broadcast
+      val adaptive = Evaluation.aucExactBy(docs, $"source", $"s", $"y",
+        cells = 8, broadcastRowLimit = 0L)
+      val pPlan = hinted.queryExecution.executedPlan.toString
+      val aPlan = adaptive.queryExecution.executedPlan.toString
+      assert(pPlan.contains("BroadcastHashJoin"),
+        "under the limit the offsets join must broadcast via the hint")
+      assert(!aPlan.contains("BroadcastHashJoin"),
+        s"past the limit no broadcast hint may survive:\n$aPlan")
+      assert(aPlan.contains("SortMergeJoin") || aPlan.contains("ShuffledHashJoin"),
+        s"the offsets join must degrade to a shuffled join:\n$aPlan")
+      assert(adaptive.exceptAll(hinted).count() == 0 &&
+        hinted.exceptAll(adaptive).count() == 0,
+        "the join strategy must not change a single output row")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("calibrationReportBy: every group has all bands; counts equal the solo report") {
     val docs = Tables.documents(spark, TestSpark.sf)
       .select($"source", $"n_chars".cast("double").as("s"), ($"lang" === "en").as("y"))
