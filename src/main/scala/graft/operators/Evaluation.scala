@@ -426,6 +426,58 @@ object Evaluation {
     out
   }
 
+  /** Apply per-group operating points — the operator a curation run
+    * actually EXECUTES after reading the sweep: elect each group's
+    * F1-maximizing threshold from a [[thresholdSweepBy]] table
+    * (lowest band wins ties; groups whose every F1 is NULL fall back
+    * to the lowest threshold, i.e. keep everything at/above `lo`),
+    * gate every row with the TRUE predicate `score ≥ t_group`, and
+    * return the per-group kept-corpus census. [[thresholdSweepBy]]
+    * says where the operating points are; this turns them into the
+    * kept/dropped row counts a mixture plan is built from.
+    *
+    * `sweep` is a [[thresholdSweepBy]] output (materialized table or
+    * cached frame — it is read once to elect points; the raw data is
+    * scanned once, with the score expression in a projection, never a
+    * filter). Unlike the sweep's band-0 clamp convention, the apply
+    * gate is exact: NULL/NaN scores never pass `≥ t`, and sub-`lo`
+    * scores are dropped by any threshold above `lo`. Rows with a NULL
+    * group, and groups absent from the sweep (no surviving census
+    * rows), have no operating point and produce no census row.
+    *
+    * Scale shape: the elected-point table is ≤ one row per group —
+    * with a cached sweep its size statistics are known, so Spark
+    * auto-broadcasts it into the data-side join at dashboard
+    * cardinality and falls back to a shuffled join for a huge group
+    * column; the census is one map-side-combining aggregate. Output:
+    * (group_key, threshold, f1, n_total, n_kept, n_dropped,
+    * kept_frac).
+    */
+  def applyOperatingPoints(
+      df: DataFrame, group: Column, score: Column,
+      sweep: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val op = sweep
+      .select(col("group_key").as("_g"), col("band"), col("threshold"), col("f1"))
+      .withColumn("_rn", row_number().over(
+        W.partitionBy(col("_g"))
+          .orderBy(col("f1").desc_nulls_last, col("band").asc)))
+      .filter(col("_rn") === 1)
+      .select(col("_g"), col("threshold"), col("f1"))
+    df.filter(group.isNotNull)
+      .select(group.as("_g"), score.cast("double").as("_v"))
+      .join(op, Seq("_g"))
+      .groupBy(col("_g"), col("threshold"), col("f1"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("_v").isNotNull && !isnan(col("_v")) &&
+          col("_v") >= col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("_g").as("group_key"), col("threshold"), col("f1"),
+        col("n_total"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"),
+        (col("n_kept").cast("double") / col("n_total").cast("double"))
+          .as("kept_frac"))
+  }
+
   /** Per-group calibration census — [[calibrationReport]] keyed by a
     * group column, one scan + map-side partials to ≤ groups×bins rows.
     * The spine is distinct-groups × bands so every group's reliability

@@ -269,13 +269,61 @@ object EvalQueries {
        |  END AS f1
        |FROM w""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q130 — gate APPLY: elect each source's F1-max threshold from the
+  // q127 sweep and execute the true gate `logit >= t_source` over the
+  // corpus, producing the per-source kept/dropped census — the
+  // decision surface a curation run materializes after reading the
+  // sweep (q128's analog for thresholds). The sweep is persisted so
+  // the elected-point table has known (tiny) statistics and
+  // auto-broadcasts into the data-side join.
+  // ---------------------------------------------------------------
+  def q130GateApply(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    val sweep = Evaluation.thresholdSweepBy(
+      s, col("source"), col("logit"), col("is_en"),
+      lo = -4.0, hi = 4.0, bins = 16).persist()
+    val out = Evaluation.applyOperatingPoints(s, col("source"), col("logit"), sweep)
+      .withColumnRenamed("group_key", "source")
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(sweep))
+    out
+  }
+
+  // The apply census runs over ALL rows with a non-null source (the
+  // gate decides for every row; NULL/NaN logits simply never pass
+  // `>= t`), while the operating points come from the sweep with its
+  // eval-set exclusions — both engines state the same split.
+  val q130Sql: String =
+    s"""WITH sw AS ($q127Sql),
+       |op0 AS (SELECT source, band, threshold, f1,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY f1 DESC NULLS LAST, band) AS rn
+       |  FROM sw),
+       |op AS (SELECT source, threshold, f1 FROM op0 WHERE rn = 1),
+       |app AS (SELECT q.logit, d.source
+       |  FROM (${ExtensionQueries.q112Sql}) q
+       |  JOIN documents d ON q.doc_id = d.doc_id
+       |  WHERE d.source IS NOT NULL)
+       |SELECT app.source, op.threshold, op.f1,
+       |  CAST(COUNT(*) AS BIGINT) AS n_total,
+       |  CAST(SUM(CASE WHEN app.logit IS NOT NULL AND NOT isnan(app.logit)
+       |    AND app.logit >= op.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(COUNT(*) - SUM(CASE WHEN app.logit IS NOT NULL AND NOT isnan(app.logit)
+       |    AND app.logit >= op.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(CASE WHEN app.logit IS NOT NULL AND NOT isnan(app.logit)
+       |    AND app.logit >= op.threshold THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+       |FROM app JOIN op ON app.source = op.source
+       |GROUP BY app.source, op.threshold, op.f1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
     "q124_group_auc"         -> (q124GroupAuc _),
     "q125_group_calibration" -> (q125GroupCalibration _),
     "q126_threshold_sweep"   -> (q126ThresholdSweep _),
-    "q127_group_threshold_sweep" -> (q127GroupThresholdSweep _))
+    "q127_group_threshold_sweep" -> (q127GroupThresholdSweep _),
+    "q130_gate_apply"        -> (q130GateApply _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -283,5 +331,6 @@ object EvalQueries {
     "q124_group_auc"         -> q124Sql,
     "q125_group_calibration" -> q125Sql,
     "q126_threshold_sweep"   -> q126Sql,
-    "q127_group_threshold_sweep" -> q127Sql)
+    "q127_group_threshold_sweep" -> q127Sql,
+    "q130_gate_apply"        -> q130Sql)
 }

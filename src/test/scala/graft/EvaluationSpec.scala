@@ -235,6 +235,34 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("applyOperatingPoints: elects the F1-max threshold per group and executes the true gate") {
+    // group A: positives at high scores -> F1-max at t=1.0 (band 2)
+    //   scores: (0.2,F) (0.7,F) (1.2,T) (1.7,T); at t=1.0 tp=2 fp=0 -> F1=1.0
+    // group B: all positive -> every kept-nonzero band has precision 1,
+    //   recall max at band 0 -> F1-max at t=0.0
+    val df = Seq(
+      ("A", 0.2, false), ("A", 0.7, false), ("A", 1.2, true), ("A", 1.7, true),
+      ("B", 0.3, true), ("B", 1.9, true)
+    ).toDF("g", "s", "y")
+    val sweep = Evaluation.thresholdSweepBy(df, $"g", $"s", $"y",
+      lo = 0.0, hi = 2.0, bins = 4).persist()
+    // apply over a frame with extra rows the sweep never saw: a NaN
+    // score (never passes the gate) and a group absent from the sweep
+    val applyTo = df.unionByName(Seq(
+      ("A", Double.NaN, false), ("C", 5.0, true)).toDF("g", "s", "y"))
+    val r = Evaluation.applyOperatingPoints(applyTo, $"g", $"s", sweep)
+      .collect().map(x => x.getAs[String]("group_key") ->
+        (x.getAs[Double]("threshold"), x.getAs[Long]("n_total"),
+         x.getAs[Long]("n_kept"), x.getAs[Long]("n_dropped"),
+         x.getAs[Double]("kept_frac"))).toMap
+    assert(r.keySet == Set("A", "B"), "no operating point for unseen group C")
+    assert(r("A") == (1.0, 5L, 2L, 3L, 0.4),
+      s"A gates at its F1-max 1.0; NaN never passes: ${r("A")}")
+    assert(r("B") == (0.0, 2L, 2L, 0L, 1.0),
+      s"B keeps everything at its F1-max 0.0: ${r("B")}")
+    sweep.unpersist()
+  }
+
   // ---------------- negativePairs ----------------
 
   test("negativePairs: k non-self draws per anchor, all from the corpus, reproducible") {
