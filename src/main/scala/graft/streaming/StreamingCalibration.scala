@@ -56,6 +56,52 @@ object StreamingCalibration {
         col("band"), col("n"), col("n_pos"))
   }
 
+  /** Gate-DISCRIMINATION monitor: per-window trapezoidal band-AUC
+    * over a [[windowedBandCensus]] output — the streaming eval
+    * family's third leg next to drift and calibration ("is the gate
+    * still separating classes on live traffic?"). A window whose
+    * band-AUC sags from the static [[graft.operators.Evaluation.aucExact]]
+    * baseline is the earliest signal the scorer went stale.
+    *
+    * The value is exactly the Mann–Whitney/midrank AUC of
+    * [[graft.operators.Evaluation.aucExact]] computed at BAND
+    * granularity: bands are the distinct "scores" ascending, each
+    * positive beats the negatives in strictly lower bands and
+    * half-ties with its own band's negatives — i.e. the trapezoidal
+    * area of the banded ROC. Against the exact AUC it coarsens ties
+    * to band resolution (the standard census trade; with the same
+    * [lo, hi, bins] the baseline is comparable band-AUC to band-AUC,
+    * and equals exact AUC whenever the score is the band index —
+    * spec-pinned). All arithmetic is the aucExact discipline: integer
+    * counts, DECIMAL(38,0) rank sums, one final division; windows run
+    * over ≤ open-windows × bins rows. NULL when a window has a single
+    * class (AUC undefined, not 0.5).
+    *
+    * Batch query over the census sink (windows × bins rows), like
+    * [[scoreCalibration]] — run in `foreachBatch` or ad hoc.
+    */
+  def scoreBandAuc(windowBands: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wPrev = W.partitionBy(col("window_start")).orderBy(col("band"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    windowBands
+      .select(col("window_start"), col("band"),
+        col("n_pos"), (col("n") - col("n_pos")).as("_neg"))
+      .withColumn("_cumNeg", coalesce(sum(col("_neg")).over(wPrev), lit(0L)))
+      .groupBy(col("window_start"))
+      .agg(
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("_neg")).as("n_neg"),
+        sum(col("n_pos").cast("decimal(38,0)") *
+            (lit(2L) * col("_cumNeg") + col("_neg")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("_num"))
+      .select(col("window_start"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          col("_num").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("band_auc"))
+  }
+
   /** Score a windowed band census against a static baseline
     * calibration report — the batch half.
     *

@@ -279,6 +279,63 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(sparseScored(1L) == (0.0, None), "empty live + empty baseline band is 0 mass")
   }
 
+  test("streaming band-AUC: windowed discrimination equals batch band-AUC and exact AUC on band scores, late data folded") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCalibration
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(java.sql.Timestamp, Double, Boolean)]
+    val sq = StreamingCalibration.windowedBandCensus(
+        stream.toDF().toDF("ts", "score", "label"),
+        "score", "label", lo = 0.0, hi = 1.0, bins = 4,
+        tsCol = "ts", windowLength = "1 hour", watermarkDelay = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("auc_census")
+      .start()
+    // window 10: mixed discrimination across bands 0/1/3
+    stream.addData(Seq(
+      (t("2024-01-01 10:05:00"), 0.1, false),
+      (t("2024-01-01 10:10:00"), 0.3, true),
+      (t("2024-01-01 10:15:00"), 0.8, true),
+      (t("2024-01-01 10:20:00"), 0.9, false),
+      (t("2024-01-01 11:01:00"), 0.5, true)))  // keeps window 10 open
+    sq.processAllAvailable()
+    // late but within watermark: a negative folding into band 0
+    stream.addData(Seq((t("2024-01-01 10:40:00"), 0.2, false)))
+    sq.processAllAvailable()
+    stream.addData(Seq((t("2024-01-01 12:30:00"), 0.5, true)))  // close both
+    sq.processAllAvailable()
+    sq.stop()
+    val census = spark.table("auc_census")
+    val w10 = t("2024-01-01 10:00:00")
+    val scored = StreamingCalibration.scoreBandAuc(census).collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getAs[java.lang.Double]("band_auc"))))
+      .toMap
+    // window 10 (incl. the late row): pos in bands {1,3}, neg in {0,0,3}
+    assert(scored(w10)._1 == 2L && scored(w10)._2 == 3L)
+    // batch parity: same function over calibrationReport's census of
+    // the same raw rows
+    val raw = Seq((0.1, false), (0.3, true), (0.8, true), (0.9, false), (0.2, false))
+      .toDF("score", "label")
+    val batchCensus = graft.operators.Evaluation.calibrationReport(
+        raw, $"score", $"label", lo = 0.0, hi = 1.0, bins = 4)
+      .select(lit(w10).as("window_start"), $"band", $"n", $"n_pos")
+    val batchAuc = StreamingCalibration.scoreBandAuc(batchCensus)
+      .head().getAs[java.lang.Double]("band_auc")
+    assert(scored(w10)._3 == Option(batchAuc),
+      "windowed band-AUC must equal the batch band-AUC on the same rows")
+    // band-AUC == EXACT AUC when the score IS the band index: pins the
+    // formula to the aucExact machinery (midrank ties at band level)
+    val bandScores = raw.select(
+      least(lit(3.0), greatest(lit(0.0), floor($"score" / 0.25))).as("s"), $"label")
+    val exact = graft.operators.Evaluation.aucExact(bandScores, $"s", $"label")
+      .head().getAs[java.lang.Double]("auc")
+    assert(Option(batchAuc) == Option(exact),
+      "band-AUC must be the exact AUC of band-granular scores")
+    // single-class window 11 (both rows positive): AUC undefined -> NULL
+    assert(scored(t("2024-01-01 11:00:00"))._3.isEmpty,
+      "single-class window must report NULL, not 0.5")
+  }
+
   test("streaming curation front-end: gates + TTL content-dedup, batch-identical admission") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -484,6 +541,100 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       sq.stop()
       val out = spark.table("ttl_out").as[Long].collect().sorted.toSeq
       assert(out == Seq(1L, 2L, 3L), s"each key exactly once, got $out")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("state portability: TTL dedup and timer sessions survive a restart under a different shuffle-partition count") {
+    // The state-store partition count binds from the CHECKPOINT at
+    // first start, not from the session conf — a cluster restart with
+    // retuned spark.sql.shuffle.partitions must rebind state to the
+    // checkpointed layout (keys land on their old partitions) instead
+    // of silently splitting state across a new count. This is the
+    // streaming-surface failure mode the per-operator specs don't
+    // cover: dedup forgetting keys / timers losing sessions after a
+    // restart.
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // no-data micro-batches off ONLY for the TTL phase (processing-time
+    // TTL schedules them forever); the timer phase NEEDS the no-data
+    // batch after a watermark advance to fire its event-time timers
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val ttlCkpt = java.nio.file.Files.createTempDirectory("graft_ttl_ckpt").toString
+    val sessCkpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // the memory sink cannot recover from a checkpoint — collect
+      // through foreachBatch into a per-phase buffer instead
+      // --- TTL dedup across the restart ---
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val keys = MemoryStream[Long]
+      def startTtl(buf: java.util.concurrent.ConcurrentLinkedQueue[Long]) =
+        StreamingFreshness.dedupStreamTtl(
+            spark, keys.toDF().toDF("doc_key"), "doc_key",
+            java.time.Duration.ofHours(1))
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[Long], _: Long) =>
+            df.collect().foreach(k => buf.add(k))
+          }
+          .option("checkpointLocation", ttlCkpt).start()
+      val buf1 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val ttl1 = startTtl(buf1)
+      keys.addData(Seq(1L, 2L)); ttl1.processAllAvailable(); ttl1.stop()
+      assert(buf1.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq
+        == Seq(1L, 2L))
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      val buf2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val ttl2 = startTtl(buf2)
+      keys.addData(Seq(1L, 2L, 3L)); ttl2.processAllAvailable(); ttl2.stop()
+      val out2 = buf2.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq
+      assert(out2 == Seq(3L),
+        s"restored state must still suppress keys 1 and 2, got $out2")
+
+      // --- timer sessions across the restart ---
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val events = MemoryStream[(Long, java.sql.Timestamp)]
+      val sessBuf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+      def startSess() = StreamingFreshness.sessionsWithTimers(
+          spark, events.toDF().toDF("user_id", "ts"),
+          gap = java.time.Duration.ofMinutes(30), watermarkDelay = "10 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamingFreshness.SessionOut], _: Long) =>
+            df.collect().foreach(s => sessBuf.add(
+              (s.user_id, s.session_start_ms, s.session_end_ms, s.n_events)))
+        }
+        .option("checkpointLocation", sessCkpt).start()
+      val sess1 = startSess()
+      events.addData(Seq(
+        (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:10:00"))))
+      sess1.processAllAvailable(); sess1.stop()
+      assert(sessBuf.isEmpty, "session still open at shutdown")
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      val sess2 = startSess()
+      // far-future event: the RESTORED timer must fire and close the
+      // session built from RESTORED state (2 events, old bounds)
+      events.addData(Seq((9L, t("2024-01-01 15:00:00"))))
+      sess2.processAllAvailable(); sess2.stop()
+      val sessions = sessBuf.toArray(
+        Array.empty[(Long, Long, Long, Long)]).toSet
+      assert(sessions.contains((1L,
+        t("2024-01-01 10:00:00").getTime, t("2024-01-01 10:10:00").getTime, 2L)),
+        s"restored timer must close the pre-restart session intact, got $sessions")
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevNoData match {
