@@ -128,8 +128,6 @@ object Evaluation {
   def aucExact(
       df: DataFrame, score: Column, label: Column,
       cells: Int = 4096): DataFrame = {
-    require(cells >= 1, s"cells must be >= 1, got $cells")
-    val W = org.apache.spark.sql.expressions.Window
     // Raw-row filter on the LABEL only; the score's null/NaN
     // exclusion applies to CENSUS rows above the cache boundary.
     // Filtering raw rows on the score column re-evaluates the score
@@ -144,14 +142,56 @@ object Evaluation {
     val nn = df
       .filter(label.isNotNull)
       .select(score.cast("double").as("_v"),
-        when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
+        when(label.cast("boolean"), 1L).otherwise(0L).as("_pw"),
+        when(label.cast("boolean"), 0L).otherwise(1L).as("_nw"))
+    aucMassCore(nn, cells)
+  }
+
+  /** Weighted exact ROC AUC: [[aucExact]] where each row counts with
+    * an INTEGER multiplicity `weight` — the eval form for a deduped
+    * corpus (each kept representative weighted by its cluster size, so
+    * the metric answers for the pre-dedup population without paying
+    * pre-dedup scale) and for deterministic resampling
+    * ([[aucBootstrap]]'s Poisson replicates). Integral weights keep
+    * every intermediate an exact integer/decimal — the same
+    * engine-exact discipline as the unweighted form; a fractional
+    * weight would reintroduce order-dependent float sums, so the
+    * contract is multiplicities, not arbitrary reals.
+    *
+    * Rows with NULL label, NULL weight, or weight ≤ 0 are excluded
+    * (a zero draw IS exclusion — that is what makes Poisson bootstrap
+    * work); NULL/NaN scores are excluded census-side as always.
+    * n_pos/n_neg report WEIGHTED mass.
+    */
+  def aucExactWeighted(
+      df: DataFrame, score: Column, label: Column, weight: Column,
+      cells: Int = 4096): DataFrame = {
+    val w = weight.cast("long")
+    val nn = df
+      .filter(label.isNotNull && w.isNotNull && w > 0L)
+      .select(score.cast("double").as("_v"),
+        when(label.cast("boolean"), w).otherwise(0L).as("_pw"),
+        when(label.cast("boolean"), 0L).otherwise(w).as("_nw"))
+    aucMassCore(nn, cells)
+  }
+
+  /** The rank-sum core shared by [[aucExact]] and [[aucExactWeighted]]
+    * over a prepared (_v, _pw, _nw) mass frame: distinct-score census,
+    * cell-partitioned cumulative-negative prefix, DECIMAL(38,0)
+    * Mann–Whitney numerator. The unweighted form is the `_pw ∈ {0,1}`
+    * special case — one code path, so weighted and unweighted can
+    * never drift.
+    */
+  private def aucMassCore(nn: DataFrame, cells: Int): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
     // score census FIRST: one raw scan, persisted at distinct-score
     // scale (3 longs + a double per row). Bounds, cells, offsets, and
     // the ranked branch all ride the cache — the raw input (and any
     // expensive score expression feeding it) is never read again.
     val censusAll = nn.groupBy(col("_v"))
-      .agg(sum(col("_p")).as("_pos"),
-        sum(lit(1L) - col("_p")).as("_neg"))
+      .agg(sum(col("_pw")).as("_pos"),
+        sum(col("_nw")).as("_neg"))
       .persist()
     val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
     val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx")).head()
@@ -225,18 +265,46 @@ object Evaluation {
       df: DataFrame, group: Column, score: Column, label: Column,
       cells: Int = 4096,
       broadcastRowLimit: Long = BroadcastRowLimit): DataFrame = {
-    require(cells >= 1, s"cells must be >= 1, got $cells")
-    val W = org.apache.spark.sql.expressions.Window
     // label/group filters run on raw rows (cheap columns); the score
     // null/NaN exclusion runs census-side so an expensive score
     // expression is evaluated exactly once per row — see [[aucExact]]
     val nn = df
       .filter(label.isNotNull && group.isNotNull)
       .select(group.as("_g"), score.cast("double").as("_v"),
-        when(label.cast("boolean"), 1L).otherwise(0L).as("_p"))
+        when(label.cast("boolean"), 1L).otherwise(0L).as("_pw"),
+        when(label.cast("boolean"), 0L).otherwise(1L).as("_nw"))
+    aucMassCoreBy(nn, cells, broadcastRowLimit)
+  }
+
+  /** Per-group weighted exact ROC AUC — [[aucExactWeighted]] keyed by
+    * a group column (the [[aucBootstrap]] engine: replicate id as the
+    * group). Same exclusions as the weighted global form; same
+    * cardinality-adaptive offsets broadcast as [[aucExactBy]].
+    */
+  def aucExactWeightedBy(
+      df: DataFrame, group: Column, score: Column, label: Column,
+      weight: Column, cells: Int = 4096,
+      broadcastRowLimit: Long = BroadcastRowLimit): DataFrame = {
+    val w = weight.cast("long")
+    val nn = df
+      .filter(label.isNotNull && group.isNotNull && w.isNotNull && w > 0L)
+      .select(group.as("_g"), score.cast("double").as("_v"),
+        when(label.cast("boolean"), w).otherwise(0L).as("_pw"),
+        when(label.cast("boolean"), 0L).otherwise(w).as("_nw"))
+    aucMassCoreBy(nn, cells, broadcastRowLimit)
+  }
+
+  /** Grouped rank-sum core over a prepared (_g, _v, _pw, _nw) mass
+    * frame — [[aucMassCore]] with the group key carried through every
+    * stage; shared by [[aucExactBy]] and [[aucExactWeightedBy]].
+    */
+  private def aucMassCoreBy(
+      nn: DataFrame, cells: Int, broadcastRowLimit: Long): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
     val censusAll = nn.groupBy(col("_g"), col("_v"))
-      .agg(sum(col("_p")).as("_pos"),
-        sum(lit(1L) - col("_p")).as("_neg"))
+      .agg(sum(col("_pw")).as("_pos"),
+        sum(col("_nw")).as("_neg"))
       .persist()
     val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
     val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
@@ -476,6 +544,261 @@ object Evaluation {
         (col("n_total") - col("n_kept")).as("n_dropped"),
         (col("n_kept").cast("double") / col("n_total").cast("double"))
           .as("kept_frac"))
+  }
+
+  /** The descending-rank census core shared by [[averagePrecisionExact]]
+    * and [[averagePrecisionBy]]: ONE raw scan collapsed to a persisted
+    * (group?, score → pos, neg) census, then the descending cumulative
+    * positives/total at every distinct score via the [[aucExact]] cell
+    * machinery run in reverse — per-cell totals offset a window
+    * partitioned by (group?, cell), so billions of distinct scores rank
+    * `cells`-way parallel with no global sort and no unpartitioned
+    * window over data-sized input.
+    *
+    * Returns (ranked, censusAll) where `ranked` carries `_pos`, `_neg`,
+    * `_cumPos`, `_cumN` (both INCLUSIVE of the current score block,
+    * descending), plus `_g` when grouped; `censusAll` is the persisted
+    * census the caller must release via [[graft.CacheLifecycle]].
+    * Returns None when the census is empty (no surviving rows).
+    */
+  private def descRankedCensus(
+      df: DataFrame, group: Option[Column], score: Column, label: Column,
+      cells: Int, broadcastRowLimit: Long): Option[(DataFrame, DataFrame)] = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    // label/group filters run on raw rows (cheap columns); the score
+    // null/NaN exclusion runs census-side so an expensive score
+    // expression is evaluated exactly once per row — see [[aucExact]]
+    val rawFilter =
+      group.map(g => label.isNotNull && g.isNotNull).getOrElse(label.isNotNull)
+    val nn = df.filter(rawFilter)
+      .select(group.map(_.as("_g")).toSeq ++ Seq(
+        score.cast("double").as("_v"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("_p")): _*)
+    val gcols = group.map(_ => col("_g")).toSeq
+    val censusAll = nn.groupBy(gcols :+ col("_v"): _*)
+      .agg(sum(col("_p")).as("_pos"),
+        sum(lit(1L) - col("_p")).as("_neg"))
+      .persist()
+    val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
+    val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
+      count(lit(1)).as("n")).head()
+    if (bounds.getLong(2) == 0L) {
+      censusAll.unpersist(blocking = false)
+      return None
+    }
+    // GLOBAL bounds are fine for the cells: the cell split only
+    // controls window parallelism; ranks come from (_g?, _c, _v)
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val width = (mx - mn) / cells
+    val cell =
+      if (mx == mn) lit(0L)
+      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+    val cen = census.withColumn("_c", cell)
+    // per-cell totals -> DESCENDING offsets (mass strictly above the
+    // cell); groups×cells rows, cardinality-adaptive broadcast
+    val perCell = cen.groupBy(gcols :+ col("_c"): _*)
+      .agg(sum(col("_pos")).as("_pc"),
+        sum(col("_pos") + col("_neg")).as("_tc"))
+    val wOff = group match {
+      case Some(_) => W.partitionBy(col("_g")).orderBy(col("_c").desc)
+        .rowsBetween(W.unboundedPreceding, -1)
+      case None => W.orderBy(col("_c").desc)
+        .rowsBetween(W.unboundedPreceding, -1)
+    }
+    val offs = perCell
+      .withColumn("_offPos", coalesce(sum(col("_pc")).over(wOff), lit(0L)))
+      .withColumn("_offTot", coalesce(sum(col("_tc")).over(wOff), lit(0L)))
+      .select(gcols ++ Seq(col("_c"), col("_offPos"), col("_offTot")): _*)
+    val offRows = group.map(_ => perCell.count()).getOrElse(cells.toLong)
+    // within-cell INCLUSIVE descending cumulative, (group?, cell)-
+    // partitioned — parallel in groups×cells
+    val wCell = W.partitionBy(gcols :+ col("_c"): _*).orderBy(col("_v").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val joinKeys = group.map(_ => Seq("_g", "_c")).getOrElse(Seq("_c"))
+    val ranked = cen
+      .join(broadcastIfSmall(offs, offRows, broadcastRowLimit), joinKeys)
+      .withColumn("_cumPos", col("_offPos") + sum(col("_pos")).over(wCell))
+      .withColumn("_cumN",
+        col("_offTot") + sum(col("_pos") + col("_neg")).over(wCell))
+    Some((ranked, censusAll))
+  }
+
+  /** Exact average precision (area under the precision–recall curve,
+    * step-wise, sklearn's uninterpolated convention) — the companion
+    * scalar to [[aucExact]] for the imbalanced-label regime a quality
+    * gate actually lives in (1% positives: ROC AUC barely moves when
+    * precision collapses; AP does).
+    *
+    * AP = (1/P) · Σ_s pos(s) · precision(s), where `s` ranges over
+    * DISTINCT scores descending, pos(s) is the positive count at `s`,
+    * and precision(s) = cumPos(s)/cumN(s) over the mass at or above
+    * `s` — ties handled block-wise, matching
+    * `sklearn.average_precision_score` exactly up to the quantization
+    * below.
+    *
+    * Engine-exactness: a per-block DOUBLE precision summed across
+    * blocks would be association-order-dependent (the one thing a
+    * distributed engine cannot promise). Instead each block's
+    * precision is floor-quantized to 10⁻¹² by INTEGER division —
+    * `(cumPos·10¹²) div cumN` — and the numerator Σ pos·prec_q
+    * accumulates in DECIMAL(38,0): exact, associative, order-free,
+    * overflow-safe past 10²⁴ weighted rows. The lone float steps are
+    * the final correctly-rounded decimal→double cast and ONE division
+    * by the exact double `10¹²·P` — stated identically in the oracle.
+    * The quantization biases AP down by < 10⁻¹² absolute: far below
+    * any decision threshold, and — unlike an unstated float-sum drift
+    * — deterministic, portable, and documented.
+    *
+    * Distribution: identical shape to [[aucExact]] run in reverse —
+    * one raw scan to a distinct-score census, descending prefix sums
+    * via (cell)-partitioned windows, no global sort. Output: one row
+    * (n_pos, n_neg, n_distinct_scores, ap); ap is NULL when there are
+    * no positives (undefined, not 0). NULL/NaN scores and NULL labels
+    * are excluded as in the rest of the family.
+    */
+  def averagePrecisionExact(
+      df: DataFrame, score: Column, label: Column,
+      cells: Int = 4096): DataFrame = {
+    descRankedCensus(df, None, score, label, cells, BroadcastRowLimit) match {
+      case None =>
+        df.sparkSession.range(1).select(
+          lit(0L).as("n_pos"), lit(0L).as("n_neg"),
+          lit(0L).as("n_distinct_scores"),
+          lit(null).cast("double").as("ap"))
+      case Some((ranked, censusAll)) =>
+        val out = ranked
+          .withColumn("_precQ", expr(
+            "(CAST(_cumPos AS DECIMAL(38,0)) * CAST(1000000000000 AS DECIMAL(38,0))) div _cumN"))
+          .agg(
+            sum(col("_pos")).as("n_pos"),
+            sum(col("_neg")).as("n_neg"),
+            count(lit(1)).as("n_distinct_scores"),
+            sum(col("_pos").cast("decimal(38,0)") *
+                col("_precQ").cast("decimal(38,0)"))
+              .cast("decimal(38,0)").as("_num"))
+          .select(
+            col("n_pos"), col("n_neg"), col("n_distinct_scores"),
+            when(col("n_pos") > 0L,
+              col("_num").cast("double") /
+                (lit(1.0e12) * col("n_pos").cast("double"))).as("ap"))
+        graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll))
+        out
+    }
+  }
+
+  /** Per-group exact average precision — [[averagePrecisionExact]]
+    * keyed by a group column, completing the per-source eval triptych
+    * on the PR side (a gate's ROC AUC can hold per source while its
+    * precision collapses on the source whose base rate is 100× lower —
+    * exactly the failure AP per source surfaces). Same one-scan census,
+    * (group, cell)-partitioned descending ranks, cardinality-adaptive
+    * offsets broadcast. Output: one row per group (group_key, n_pos,
+    * n_neg, n_distinct_scores, ap); groups with no surviving rows are
+    * absent, ap NULL for positive-free groups.
+    */
+  def averagePrecisionBy(
+      df: DataFrame, group: Column, score: Column, label: Column,
+      cells: Int = 4096,
+      broadcastRowLimit: Long = BroadcastRowLimit): DataFrame = {
+    descRankedCensus(df, Some(group), score, label, cells,
+        broadcastRowLimit) match {
+      case None =>
+        df.filter(lit(false)).select(group.as("group_key"))
+          .select(col("group_key"),
+            lit(0L).as("n_pos"), lit(0L).as("n_neg"),
+            lit(0L).as("n_distinct_scores"),
+            lit(null).cast("double").as("ap"))
+      case Some((ranked, censusAll)) =>
+        val out = ranked
+          .withColumn("_precQ", expr(
+            "(CAST(_cumPos AS DECIMAL(38,0)) * CAST(1000000000000 AS DECIMAL(38,0))) div _cumN"))
+          .groupBy(col("_g").as("group_key"))
+          .agg(
+            sum(col("_pos")).as("n_pos"),
+            sum(col("_neg")).as("n_neg"),
+            count(lit(1)).as("n_distinct_scores"),
+            sum(col("_pos").cast("decimal(38,0)") *
+                col("_precQ").cast("decimal(38,0)"))
+              .cast("decimal(38,0)").as("_num"))
+          .select(
+            col("group_key"), col("n_pos"), col("n_neg"),
+            col("n_distinct_scores"),
+            when(col("n_pos") > 0L,
+              col("_num").cast("double") /
+                (lit(1.0e12) * col("n_pos").cast("double"))).as("ap"))
+        graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll))
+        out
+    }
+  }
+
+  /** Poisson(1) CDF at k = 0..8, as the exact decimal-literal strings
+    * BOTH engines parse (each becomes the nearest IEEE double): one
+    * source of digits for the engine's when-chain and the oracle's
+    * CASE, so the replicate weights cannot drift by a ulp between
+    * engines. Draws above 8 clamp to 9 (P ≈ 1.1e-7 per row — the
+    * clamp is stated, deterministic, and identical in both engines).
+    */
+  val PoissonOneCdf: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253", "0.999998874797402")
+
+  /** Inverse-CDF Poisson(1) draw from a uniform [0,1) hash score —
+    * the deterministic bootstrap-replicate weight. */
+  def poissonOneDraw(u: Column): Column = {
+    val chain = PoissonOneCdf.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (None, (c, k)) => Some(when(u < lit(c.toDouble), lit(k.toLong)))
+      case (Some(acc), (c, k)) => Some(acc.when(u < lit(c.toDouble), lit(k.toLong)))
+    }
+    chain.get.otherwise(lit(PoissonOneCdf.size.toLong))
+  }
+
+  /** Deterministic Poisson bootstrap of the exact AUC: `replicates`
+    * resampled copies of the eval set, each row drawn Poisson(1)
+    * times per replicate from an md5 hash of (id, replicate, salt),
+    * each replicate's AUC computed EXACTLY by the weighted rank-sum
+    * machinery. The spread across replicate AUCs is the confidence
+    * interval a gate decision actually needs ("AUC 0.86 ± what?") —
+    * and because the draws are hash-derived, the whole resampling
+    * experiment is reproducible across runs, partitionings, and
+    * engines, row for row.
+    *
+    * Shape: ONE narrow (id, score, label) projection — persisted, so
+    * the replicate explode cannot push the score expression below
+    * the generator and evaluate it `replicates`× per row (the
+    * InferFiltersFromGenerate trap) — then `replicates` weighted
+    * censuses ride [[aucExactWeightedBy]] with the replicate id as
+    * the group: (replicate, cell)-partitioned ranks, no global sort,
+    * nothing driver-side. At 100 TB the narrow frame is a
+    * materialized eval table and the explode streams — the cache
+    * here is a local-run convenience, not a scale requirement.
+    *
+    * Output: one row per replicate (replicate, n_pos, n_neg,
+    * n_distinct_scores, auc) — quantiles over it are the CI; rows
+    * whose draw is 0 are excluded from that replicate by the
+    * weighted core's `w > 0` contract (that IS the bootstrap).
+    */
+  def aucBootstrap(
+      df: DataFrame, id: Column, score: Column, label: Column,
+      replicates: Int, salt: String, cells: Int = 4096): DataFrame = {
+    require(replicates >= 1, s"replicates must be >= 1, got $replicates")
+    val narrow = df.filter(label.isNotNull)
+      .select(id.cast("string").as("_id"),
+        score.cast("double").as("_v"),
+        label.cast("boolean").as("_y"))
+      .persist()
+    val reps = narrow
+      .withColumn("_r", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("replicate", col("_r").cast("long"))
+    val u = Sampling.hashScore(
+      concat(col("_id"), lit("|"), col("replicate").cast("string"),
+        lit("|"), lit(salt)))
+    val out = aucExactWeightedBy(
+        reps, col("replicate"), col("_v"), col("_y"), poissonOneDraw(u), cells)
+      .withColumnRenamed("group_key", "replicate")
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(narrow))
+    out
   }
 
   /** Per-group calibration census — [[calibrationReport]] keyed by a

@@ -316,6 +316,181 @@ object EvalQueries {
        |FROM app JOIN op ON app.source = op.source
        |GROUP BY app.source, op.threshold, op.f1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q131 — exact average precision (area under the step-wise PR
+  // curve) of the quality logit: the imbalanced-regime companion to
+  // q119's ROC AUC. Distinct-score census, DESCENDING prefix sums,
+  // per-block precision floor-quantized to 1e-12 by integer division
+  // so the numerator is an order-free DECIMAL(38,0) sum — the oracle
+  // replays the identical integer arithmetic with HUGEINT `//`.
+  // ---------------------------------------------------------------
+  def q131Ap(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.averagePrecisionExact(s, col("logit"), col("is_en"))
+  }
+
+  val q131Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |c AS (
+       |  SELECT logit AS v,
+       |    CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS neg
+       |  FROM s GROUP BY logit),
+       |w AS (
+       |  SELECT pos, neg,
+       |    CAST(SUM(pos) OVER (ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumpos,
+       |    CAST(SUM(pos + neg) OVER (ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn
+       |  FROM c)
+       |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
+       |  CASE WHEN SUM(pos) > 0 THEN
+       |    CAST(CAST(SUM(pos * ((CAST(cumpos AS HUGEINT) * 1000000000000)
+       |        // CAST(cumn AS HUGEINT))) AS DECIMAL(38,0)) AS DOUBLE)
+       |      / (1000000000000.0 * CAST(CAST(SUM(pos) AS BIGINT) AS DOUBLE))
+       |  END AS ap
+       |FROM w""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q132 — per-SOURCE exact average precision: the PR side of the
+  // per-source triptych (q124 AUC / q125 calibration / q127 sweep).
+  // A gate whose ROC AUC holds on every source can still have
+  // precision collapse on the source with the lowest base rate —
+  // this is the table that shows it.
+  // ---------------------------------------------------------------
+  def q132GroupAp(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.averagePrecisionBy(s, col("source"), col("logit"), col("is_en"))
+      .withColumnRenamed("group_key", "source")
+  }
+
+  val q132Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |c AS (
+       |  SELECT source, logit AS v,
+       |    CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS neg
+       |  FROM s WHERE source IS NOT NULL GROUP BY source, logit),
+       |w AS (
+       |  SELECT source, pos, neg,
+       |    CAST(SUM(pos) OVER (PARTITION BY source ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumpos,
+       |    CAST(SUM(pos + neg) OVER (PARTITION BY source ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn
+       |  FROM c)
+       |SELECT source,
+       |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
+       |  CASE WHEN SUM(pos) > 0 THEN
+       |    CAST(CAST(SUM(pos * ((CAST(cumpos AS HUGEINT) * 1000000000000)
+       |        // CAST(cumn AS HUGEINT))) AS DECIMAL(38,0)) AS DOUBLE)
+       |      / (1000000000000.0 * CAST(CAST(SUM(pos) AS BIGINT) AS DOUBLE))
+       |  END AS ap
+       |FROM w GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q133 — dedup-WEIGHTED exact AUC: the gate evaluated over the
+  // deduplicated corpus (q128's keep-list), each kept cluster
+  // representative counting with its cluster size and unclustered
+  // docs counting once — so the metric answers for the pre-dedup
+  // population while only scoring post-dedup rows. Every weighted
+  // mass stays an exact integer; total weighted n equals the full
+  // corpus size (each cluster's mass rides its keeper), which is the
+  // sanity the oracle pins.
+  // ---------------------------------------------------------------
+  def q133DedupWeightedAuc(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    val kl = ExtensionQueries.q128ClusterKeepList(spark, d)
+      .select(col("doc_id"), col("cluster_size"), col("keep"))
+    val weighted = s.join(kl, Seq("doc_id"), "left")
+      .filter(col("keep").isNull || col("keep"))
+      .withColumn("w", coalesce(col("cluster_size"), lit(1L)))
+    Evaluation.aucExactWeighted(weighted, col("logit"), col("is_en"), col("w"))
+  }
+
+  lazy val q133Sql: String =
+    s"""WITH s AS ($scoredSql), kl AS (${ExtensionQueries.q128Sql}),
+       |j AS (
+       |  SELECT s.logit, s.is_en, COALESCE(kl.cluster_size, 1) AS w
+       |  FROM s LEFT JOIN kl ON s.doc_id = kl.doc_id
+       |  WHERE kl.doc_id IS NULL OR kl.keep),
+       |c AS (
+       |  SELECT logit AS v,
+       |    CAST(SUM(CASE WHEN is_en THEN w ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(SUM(CASE WHEN is_en THEN 0 ELSE w END) AS BIGINT) AS neg
+       |  FROM j GROUP BY logit),
+       |w2 AS (
+       |  SELECT pos, neg,
+       |    COALESCE(CAST(SUM(neg) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumneg
+       |  FROM c)
+       |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
+       |  CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+       |    CAST(CAST(SUM(pos * (2 * cumneg + neg)) AS DECIMAL(38,0)) AS DOUBLE)
+       |      / (2.0 * CAST(CAST(SUM(pos) AS BIGINT) AS DOUBLE)
+       |             * CAST(CAST(SUM(neg) AS BIGINT) AS DOUBLE))
+       |  END AS auc
+       |FROM w2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q134 — Poisson-bootstrap AUC confidence spread: 16 deterministic
+  // md5-seeded Poisson(1) resamples of the eval set, each replicate's
+  // AUC exact via the weighted rank-sum core. The CDF cut points are
+  // one shared literal table (Evaluation.PoissonOneCdf) interpolated
+  // into BOTH engines, so the draws — and therefore every replicate
+  // AUC — hash-match bit for bit.
+  // ---------------------------------------------------------------
+  private val BootstrapReplicates = 16
+  private val BootstrapSalt = "graft-r10"
+
+  def q134AucBootstrap(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.aucBootstrap(s, col("doc_id"), col("logit"), col("is_en"),
+      replicates = BootstrapReplicates, salt = BootstrapSalt)
+  }
+
+  private val poissonCaseSql: String =
+    Evaluation.PoissonOneCdf.zipWithIndex.map { case (c, k) =>
+      s"WHEN u < CAST($c AS DOUBLE) THEN $k"
+    }.mkString("CASE ", " ", s" ELSE ${Evaluation.PoissonOneCdf.size} END")
+
+  val q134Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |r AS (SELECT UNNEST(range(0, $BootstrapReplicates)) AS replicate),
+       |x AS (
+       |  SELECT r.replicate, s.logit, s.is_en,
+       |    CAST(CAST(('0x' || substr(md5(
+       |      CAST(s.doc_id AS VARCHAR) || '|' || CAST(r.replicate AS VARCHAR)
+       |        || '|$BootstrapSalt'), 1, 8)) AS UBIGINT) AS DOUBLE)
+       |      / 4294967296.0 AS u
+       |  FROM s CROSS JOIN r),
+       |wt AS (
+       |  SELECT replicate, logit, is_en, $poissonCaseSql AS w FROM x),
+       |f AS (SELECT * FROM wt WHERE w > 0),
+       |c AS (
+       |  SELECT replicate, logit AS v,
+       |    CAST(SUM(CASE WHEN is_en THEN w ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(SUM(CASE WHEN is_en THEN 0 ELSE w END) AS BIGINT) AS neg
+       |  FROM f GROUP BY replicate, logit),
+       |w2 AS (
+       |  SELECT replicate, pos, neg,
+       |    COALESCE(CAST(SUM(neg) OVER (PARTITION BY replicate ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumneg
+       |  FROM c)
+       |SELECT CAST(replicate AS BIGINT) AS replicate,
+       |  CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
+       |  CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+       |    CAST(CAST(SUM(pos * (2 * cumneg + neg)) AS DECIMAL(38,0)) AS DOUBLE)
+       |      / (2.0 * CAST(CAST(SUM(pos) AS BIGINT) AS DOUBLE)
+       |             * CAST(CAST(SUM(neg) AS BIGINT) AS DOUBLE))
+       |  END AS auc
+       |FROM w2 GROUP BY replicate""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -323,7 +498,11 @@ object EvalQueries {
     "q125_group_calibration" -> (q125GroupCalibration _),
     "q126_threshold_sweep"   -> (q126ThresholdSweep _),
     "q127_group_threshold_sweep" -> (q127GroupThresholdSweep _),
-    "q130_gate_apply"        -> (q130GateApply _))
+    "q130_gate_apply"        -> (q130GateApply _),
+    "q131_ap"                -> (q131Ap _),
+    "q132_group_ap"          -> (q132GroupAp _),
+    "q133_dedup_weighted_auc" -> (q133DedupWeightedAuc _),
+    "q134_auc_bootstrap"     -> (q134AucBootstrap _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -332,5 +511,9 @@ object EvalQueries {
     "q125_group_calibration" -> q125Sql,
     "q126_threshold_sweep"   -> q126Sql,
     "q127_group_threshold_sweep" -> q127Sql,
-    "q130_gate_apply"        -> q130Sql)
+    "q130_gate_apply"        -> q130Sql,
+    "q131_ap"                -> q131Sql,
+    "q132_group_ap"          -> q132Sql,
+    "q133_dedup_weighted_auc" -> q133Sql,
+    "q134_auc_bootstrap"     -> q134Sql)
 }

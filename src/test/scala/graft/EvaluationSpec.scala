@@ -460,4 +460,185 @@ class EvaluationSpec extends AnyFunSuite {
     val hardSet = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(hardSet == bruteTop)
   }
+
+  // ---------------- averagePrecisionExact ----------------
+
+  test("averagePrecisionExact matches the hand-computed step-wise AP with block ties") {
+    // same eval set as the AUC hand-check: pos at 3.0, 2.0, 1.0; neg
+    // at 2.0, 0.5, 0.0. Distinct scores DESC:
+    //   3.0: pos=1 cumPos=1 cumN=1 prec=1
+    //   2.0: pos=1 cumPos=2 cumN=3 prec=2/3
+    //   1.0: pos=1 cumPos=3 cumN=4 prec=3/4
+    // prec quantized by floor(cumPos*1e12/cumN):
+    //   1e12, 666666666666, 750000000000 -> num = 2416666666666
+    val df = Seq(
+      (3.0, true), (2.0, true), (1.0, true),
+      (2.0, false), (0.5, false), (0.0, false)).toDF("s", "y")
+    val r = Evaluation.averagePrecisionExact(df, $"s", $"y").head()
+    assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 3L)
+    assert(r.getAs[Long]("n_distinct_scores") == 5L)
+    assert(r.getAs[Double]("ap") == 2416666666666.0 / 3.0e12)
+    // and the quantized value sits within 1e-12 of the true 29/36
+    assert(math.abs(r.getAs[Double]("ap") - 29.0 / 36.0) < 1e-12)
+  }
+
+  test("averagePrecisionExact: perfect ranking gives exactly 1.0; positives-last gives P/N-shaped collapse") {
+    def ap(rows: Seq[(Double, Boolean)]): Double =
+      Evaluation.averagePrecisionExact(rows.toDF("s", "y"), $"s", $"y")
+        .head().getAs[Double]("ap")
+    // every prefix above the last positive is pure positive: prec == 1
+    // at every positive block, quantization exact
+    assert(ap(Seq((3.0, true), (2.0, true), (1.0, false), (0.0, false))) == 1.0)
+    // single positive ranked last of 3: prec = 1/3 -> floor(1e12/3)
+    assert(ap(Seq((0.0, true), (1.0, false), (2.0, false)))
+      == 333333333333.0 / 1.0e12)
+  }
+
+  test("averagePrecisionExact: no positives or empty input give NULL ap, not 0") {
+    val onlyNeg = Seq((1.0, false), (2.0, false)).toDF("s", "y")
+    val r = Evaluation.averagePrecisionExact(onlyNeg, $"s", $"y").head()
+    assert(r.getAs[Long]("n_pos") == 0L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.isNullAt(r.fieldIndex("ap")))
+    val empty = Seq.empty[(Double, Boolean)].toDF("s", "y")
+    val e = Evaluation.averagePrecisionExact(empty, $"s", $"y").head()
+    assert(e.getAs[Long]("n_pos") == 0L && e.isNullAt(e.fieldIndex("ap")))
+    // all-positive degenerate case: prec == 1 at every block -> AP 1
+    val onlyPos = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    assert(Evaluation.averagePrecisionExact(onlyPos, $"s", $"y")
+      .head().getAs[Double]("ap") == 1.0)
+  }
+
+  test("averagePrecisionExact: NaN/null scores and null labels are excluded") {
+    val df = Seq(
+      (Some(3.0), Some(true)), (Some(0.0), Some(false)),
+      (Some(Double.NaN), Some(true)), (None, Some(false)),
+      (Some(9.9), None)).toDF("s", "y")
+    val r = Evaluation.averagePrecisionExact(df, $"s", $"y").head()
+    assert(r.getAs[Long]("n_pos") == 1L && r.getAs[Long]("n_neg") == 1L)
+    assert(r.getAs[Double]("ap") == 1.0)
+  }
+
+  test("averagePrecisionExact is partitioning- and cell-count-independent, and tracks the naive double AP") {
+    val rows = (0 until 200).map(i => ((i % 17).toDouble, i % 3 == 0))
+    val few = Evaluation.averagePrecisionExact(
+      rows.toDF("s", "y").repartition(1), $"s", $"y", cells = 1).head()
+    val many = Evaluation.averagePrecisionExact(
+      rows.toDF("s", "y").repartition(13), $"s", $"y", cells = 64).head()
+    assert(few.getAs[Double]("ap") == many.getAs[Double]("ap"))
+    // naive single-threaded step-wise AP over distinct scores desc
+    val byScore = rows.groupBy(_._1).map { case (s, g) =>
+      (s, g.count(_._2).toLong, g.size.toLong) }.toSeq.sortBy(-_._1)
+    val p = byScore.map(_._2).sum
+    var (cumPos, cumN, num) = (0L, 0L, 0.0)
+    byScore.foreach { case (_, pos, tot) =>
+      cumPos += pos; cumN += tot
+      num += pos.toDouble * cumPos.toDouble / cumN.toDouble
+    }
+    assert(math.abs(many.getAs[Double]("ap") - num / p) < 1e-9)
+  }
+
+  test("averagePrecisionBy: per-group AP equals averagePrecisionExact per group; shuffle path past the broadcast limit agrees") {
+    val rows = (0 until 300).map { i =>
+      (s"g${i % 3}", (i % 23).toDouble + (i % 7) * 0.1, i % 4 == 0)
+    }
+    val df = rows.toDF("g", "s", "y")
+    val by = Evaluation.averagePrecisionBy(df, $"g", $"s", $"y", cells = 16)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(by.keySet == Set("g0", "g1", "g2"))
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Evaluation.averagePrecisionExact(
+        df.filter($"g" === g), $"s", $"y", cells = 16).head()
+      assert(by(g).getAs[Double]("ap") == solo.getAs[Double]("ap"), g)
+      assert(by(g).getAs[Long]("n_pos") == solo.getAs[Long]("n_pos"), g)
+    }
+    // degrade path: a 1-row broadcast limit forces the shuffled
+    // offsets join; results must be identical
+    val shuffled = Evaluation.averagePrecisionBy(
+      df, $"g", $"s", $"y", cells = 16, broadcastRowLimit = 1L)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("ap")).toMap
+    for (g <- Seq("g0", "g1", "g2"))
+      assert(shuffled(g) == by(g).getAs[Double]("ap"), g)
+  }
+
+  // ---------------- aucExactWeighted / aucBootstrap ----------------
+
+  test("aucExactWeighted: weight w is exact row multiplicity (== aucExact on the expanded frame)") {
+    val weighted = Seq(
+      (3.0, true, 3L), (2.0, true, 1L), (1.0, true, 2L),
+      (2.0, false, 2L), (0.5, false, 4L), (0.0, false, 1L)).toDF("s", "y", "w")
+    val expanded = weighted.as[(Double, Boolean, Long)].collect()
+      .flatMap { case (s, y, w) => Seq.fill(w.toInt)((s, y)) }.toSeq
+      .toDF("s", "y")
+    val a = Evaluation.aucExactWeighted(weighted, $"s", $"y", $"w").head()
+    val b = Evaluation.aucExact(expanded, $"s", $"y").head()
+    assert(a.getAs[Long]("n_pos") == b.getAs[Long]("n_pos"))
+    assert(a.getAs[Long]("n_neg") == b.getAs[Long]("n_neg"))
+    assert(a.getAs[Double]("auc") == b.getAs[Double]("auc"))
+    // and all-ones weights reproduce the unweighted value exactly
+    val ones = Evaluation.aucExactWeighted(
+      weighted.withColumn("w", lit(1L)), $"s", $"y", $"w").head()
+    val plain = Evaluation.aucExact(weighted, $"s", $"y").head()
+    assert(ones.getAs[Double]("auc") == plain.getAs[Double]("auc"))
+  }
+
+  test("aucExactWeighted: null/zero/negative weights exclude the row") {
+    val df = Seq(
+      (3.0, true, Some(1L)), (0.0, false, Some(1L)),
+      (9.0, false, Some(0L)), (8.0, false, Some(-2L)), (7.0, false, None))
+      .toDF("s", "y", "w")
+    val r = Evaluation.aucExactWeighted(df, $"s", $"y", $"w").head()
+    assert(r.getAs[Long]("n_pos") == 1L && r.getAs[Long]("n_neg") == 1L)
+    assert(r.getAs[Double]("auc") == 1.0)
+  }
+
+  test("aucExactWeightedBy: per-group weighted AUC equals the weighted solo per group") {
+    val rows = (0 until 240).map { i =>
+      (s"g${i % 2}", (i % 19).toDouble, i % 3 == 0, (i % 4 + 1).toLong)
+    }
+    val df = rows.toDF("g", "s", "y", "w")
+    val by = Evaluation.aucExactWeightedBy(df, $"g", $"s", $"y", $"w", cells = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("g0", "g1")) {
+      val solo = Evaluation.aucExactWeighted(
+        df.filter($"g" === g), $"s", $"y", $"w", cells = 8).head()
+      assert(by(g).getAs[Double]("auc") == solo.getAs[Double]("auc"), g)
+      assert(by(g).getAs[Long]("n_pos") == solo.getAs[Long]("n_pos"), g)
+    }
+  }
+
+  test("poissonOneDraw: deterministic, non-negative, mean ~1 over hash-uniform input") {
+    val ids = (0 until 4000).map(i => s"row$i").toDF("id")
+    val u = Sampling.hashScore($"id")
+    val draws = ids.select(Evaluation.poissonOneDraw(u).as("k"))
+    val again = ids.select(Evaluation.poissonOneDraw(u).as("k"))
+    assert(draws.collect().map(_.getLong(0)).toSeq ==
+      again.collect().map(_.getLong(0)).toSeq)
+    val stats = draws.agg(avg($"k"), min($"k"), max($"k")).head()
+    assert(stats.getLong(1) >= 0L)
+    assert(math.abs(stats.getDouble(0) - 1.0) < 0.06,
+      s"Poisson(1) mean drifted: ${stats.getDouble(0)}")
+  }
+
+  test("aucBootstrap: per-replicate AUC equals the weighted AUC of the manually-drawn resample") {
+    val rows = (0 until 150).map(i => (i.toLong, (i % 13).toDouble, i % 3 == 0))
+    val df = rows.toDF("id", "s", "y")
+    val boot = Evaluation.aucBootstrap(df, $"id", $"s", $"y",
+      replicates = 4, salt = "spec-salt")
+    val got = boot.collect().map(r => r.getAs[Long]("replicate") -> r).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    // replicates are genuinely resampled: not every AUC identical
+    assert(got.values.map(_.getAs[Double]("auc")).toSet.size > 1)
+    // pin replicate 2 against a manual draw of the same weights
+    val manual = df
+      .withColumn("w", Evaluation.poissonOneDraw(Sampling.hashScore(
+        concat($"id".cast("string"), lit("|2|spec-salt")))))
+    val solo = Evaluation.aucExactWeighted(manual, $"s", $"y", $"w").head()
+    assert(got(2L).getAs[Double]("auc") == solo.getAs[Double]("auc"))
+    assert(got(2L).getAs[Long]("n_pos") == solo.getAs[Long]("n_pos"))
+    // and the bootstrap is reproducible run to run
+    val boot2 = Evaluation.aucBootstrap(df, $"id", $"s", $"y",
+      replicates = 4, salt = "spec-salt")
+      .collect().map(r => r.getAs[Long]("replicate") -> r.getAs[Double]("auc")).toMap
+    assert(got.view.mapValues(_.getAs[Double]("auc")).toMap == boot2)
+  }
 }
