@@ -801,6 +801,92 @@ object Evaluation {
     out
   }
 
+  /** Brier-score decomposition (Murphy 1973) over the banded forecast:
+    * treats each band's midpoint — in min-max-scaled units, p_b =
+    * (2b+1)/(2·bins) over the stated [lo, hi) domain — as the forecast
+    * probability (exactly what a reliability diagram plots) and
+    * decomposes the banded Brier score into
+    *
+    *   brier = reliability − resolution + uncertainty
+    *
+    * reliability = (1/N)·Σ_b n_b·(p_b − ȳ_b)²   (how far each band's
+    * claimed probability sits from its empirical rate — 0 is
+    * perfectly calibrated), resolution = (1/N)·Σ_b n_b·(ȳ_b − ȳ)²
+    * (how much the bands actually separate outcomes — higher is
+    * better), uncertainty = ȳ·(1−ȳ) (the no-skill floor, a property
+    * of the labels alone). [[calibrationReport]] shows the per-band
+    * table; this is its one-row scalar summary — the number a gate
+    * dashboard tracks per run.
+    *
+    * Engine-exactness: every band mass is integer. The banded Brier
+    * numerator Σ_b [(2b+1)²·n_b − 4·bins·(2b+1)·pos_b + 4·bins²·pos_b]
+    * is a pure integer sum (y² = y for 0/1 labels — no quantization at
+    * all); reliability and resolution terms are per-band rationals
+    * floor-quantized to 10⁻⁶ by integer division — exact, associative,
+    * order-free DECIMAL sums (the [[averagePrecisionExact]] discipline;
+    * LONG-safe per band to ~9×10¹² rows). The only floats are the
+    * final stated divisions. Quantization bias is < bins·10⁻⁶/N
+    * absolute per metric (resolution may dip below zero by that much
+    * on a perfectly-flat census); the decomposition identity holds to
+    * the same tolerance.
+    *
+    * One scan ([[bandedCensusSpine]]'s single-evaluation layout);
+    * out-of-range scores clamp to edge bands; NULL/NaN scores and NULL
+    * labels are excluded census-side. Output: one row (n, n_pos,
+    * brier, reliability, resolution, uncertainty); metrics NULL on an
+    * empty eval set.
+    */
+  def brierDecomposition(
+      df: DataFrame, score: Column, label: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val (spine, census) =
+      bandedCensusSpine(df, None, score, label, lo, hi, bins)
+    val q = 1000000L // 10⁻⁶ quantum: per-band LONG results to ~9e12 rows
+    val b4 = 4L * bins
+    val b2 = 2L * bins
+    val bsq = 4L * bins * bins
+    val terms = spine.select(
+      col("n"), col("n_pos"),
+      // Σ-term of the banded Brier numerator: integer, no quantization
+      expr(s"(2*band+1)*(2*band+1)*n - $b4*(2*band+1)*n_pos + $bsq*n_pos")
+        .cast("decimal(38,0)").as("_sb"),
+      // n_b·(p_b − ȳ_b)² ≡ A_b²/($bsq·n_b), A_b = (2b+1)·n_b − 2·bins·pos_b
+      coalesce(
+        when(col("n") > 0L, expr(
+          s"""(CAST((2*band+1)*n - $b2*n_pos AS DECIMAL(38,0))
+             | * CAST((2*band+1)*n - $b2*n_pos AS DECIMAL(38,0))
+             | * $q) div ($bsq * n)""".stripMargin)),
+        lit(0L)).cast("decimal(38,0)").as("_rq"),
+      // Σ pos_b²/n_b (resolution via Σ n_b·(ȳ_b−ȳ)² = Σ pos²/n − P²/N)
+      coalesce(
+        when(col("n") > 0L, expr(
+          s"(CAST(n_pos AS DECIMAL(38,0)) * CAST(n_pos AS DECIMAL(38,0)) * $q) div n")),
+        lit(0L)).cast("decimal(38,0)").as("_sq"))
+    val agg = terms.agg(
+      sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+      sum(col("_sb")).cast("decimal(38,0)").as("_sb"),
+      sum(col("_rq")).cast("decimal(38,0)").as("_rq"),
+      sum(col("_sq")).cast("decimal(38,0)").as("_sq"))
+    val out = agg.select(
+      col("n"), col("n_pos"),
+      when(col("n") > 0L,
+        col("_sb").cast("double") /
+          (lit(bsq.toDouble) * col("n").cast("double"))).as("brier"),
+      when(col("n") > 0L,
+        col("_rq").cast("double") /
+          (lit(q.toDouble) * col("n").cast("double"))).as("reliability"),
+      when(col("n") > 0L,
+        (col("_sq") - expr(
+          s"(CAST(n_pos AS DECIMAL(38,0)) * CAST(n_pos AS DECIMAL(38,0)) * $q) div n")
+          .cast("decimal(38,0)")).cast("double") /
+          (lit(q.toDouble) * col("n").cast("double"))).as("resolution"),
+      when(col("n") > 0L,
+        col("n_pos").cast("double") * (col("n") - col("n_pos")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("uncertainty"))
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
+    out
+  }
+
   /** Per-group calibration census — [[calibrationReport]] keyed by a
     * group column, one scan + map-side partials to ≤ groups×bins rows.
     * The spine is distinct-groups × bands so every group's reliability

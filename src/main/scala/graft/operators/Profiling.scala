@@ -903,4 +903,97 @@ object Profiling {
       .select(col("_g").as("group_key"), col("p"), col("_tN").as("n"),
         col("_v").as("quantile"))
   }
+
+  /** Spearman rank correlation between two numeric columns, EXACT
+    * with midrank tie handling — "do my two quality signals agree?" /
+    * "is the gate just a proxy for length?" answered as a number, and
+    * robust where Pearson is not (any monotone relation scores ±1;
+    * outliers move ranks by one step, not by their magnitude).
+    *
+    * Engine-exactness: ρ is Pearson over the rank vectors, and with
+    * DOUBLED midranks (2·cumBelow + cnt + 1 — integers even where a
+    * tie's midrank is x.5) every deviation is an exact integer:
+    * doubled ranks have mean exactly N+1, so the centered sums
+    * Σa′b′, Σa′², Σb′² accumulate in DECIMAL(38,0) — order-free,
+    * associative, exact to N < 10¹² — and the doubling cancels in the
+    * ratio. The only floats are the final stated expression
+    * `CAST(Σab AS DOUBLE) / sqrt(Σaa · Σbb)` — three correctly-rounded
+    * IEEE ops both engines state identically (the single sqrt keeps
+    * ρ = ±1 exact whenever Σaa·Σbb squares without rounding).
+    *
+    * Distribution: each column ranks via the [[equalFrequencyBins]] /
+    * AUC census machinery — distinct-value census, per-cell totals
+    * broadcast as offsets, within-cell prefix windows partitioned BY
+    * cell — so a billion distinct values rank `cells`-way parallel
+    * with no global sort; rows then join their value's midrank back
+    * by equi-join. Rows with NULL/NaN in EITHER column are excluded
+    * (a pair is ranked or it isn't). Output: one row (n, spearman_rho);
+    * rho NULL when either column is constant (undefined, not 0) or
+    * the input is empty.
+    */
+  def spearmanCorr(
+      df: DataFrame, x: Column, y: Column, cells: Int = 4096): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    // persist the raw PROJECTION and filter ABOVE the cache: the
+    // pairwise null/NaN exclusion references the derived columns, and
+    // a raw-row filter on them would push below the projection with
+    // the (possibly expensive) x/y expression trees inlined —
+    // evaluating each twice per row (the eval family's
+    // single-evaluation discipline; PlanShapeSpec pins it for q139)
+    val raw = df
+      .select(x.cast("double").as("_x"), y.cast("double").as("_y"))
+      .persist()
+    val nn = raw.filter(col("_x").isNotNull && !isnan(col("_x")) &&
+      col("_y").isNotNull && !isnan(col("_y")))
+    // doubled-midrank table for one column: distinct-value census →
+    // cell-partitioned cumulative-below → 2·cumBelow + cnt + 1
+    def midranks2(c: String, outV: String, outR: String): DataFrame = {
+      val census = nn.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_cnt"))
+      val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
+        count(lit(1)).as("k")).head()
+      if (bounds.getLong(2) == 0L)
+        return census.select(col("_v").as(outV), lit(0L).as(outR)).limit(0)
+      val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+      val width = (mx - mn) / cells
+      val cell =
+        if (mx == mn) lit(0L)
+        else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+      val cen = census.withColumn("_c", cell)
+      val perCell = cen.groupBy(col("_c")).agg(sum(col("_cnt")).as("_nc"))
+      val offs = perCell.withColumn("_off",
+        coalesce(sum(col("_nc")).over(
+          W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      val wCell = W.partitionBy(col("_c")).orderBy(col("_v"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      cen.join(broadcast(offs.select(col("_c"), col("_off"))), Seq("_c"))
+        .withColumn("_cumBelow",
+          col("_off") + coalesce(sum(col("_cnt")).over(wCell), lit(0L)))
+        .select(col("_v").as(outV),
+          (lit(2L) * col("_cumBelow") + col("_cnt") + lit(1L)).as(outR))
+    }
+    val xr = midranks2("_x", "_xv", "_ax")
+    val yr = midranks2("_y", "_yv", "_ay")
+    val totals = nn.agg(count(lit(1)).as("_n"))
+    val joined = nn
+      .join(xr, col("_x") === col("_xv"))
+      .join(yr, col("_y") === col("_yv"))
+      .crossJoin(broadcast(totals))
+    val dev = joined.select(
+      (col("_ax") - col("_n") - lit(1L)).cast("decimal(38,0)").as("_da"),
+      (col("_ay") - col("_n") - lit(1L)).cast("decimal(38,0)").as("_db"))
+    val out = dev.agg(
+      count(lit(1)).as("n"),
+      sum(col("_da") * col("_db")).cast("decimal(38,0)").as("_sab"),
+      sum(col("_da") * col("_da")).cast("decimal(38,0)").as("_saa"),
+      sum(col("_db") * col("_db")).cast("decimal(38,0)").as("_sbb"))
+      .select(
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("_saa") > 0 && col("_sbb") > 0,
+          col("_sab").cast("double") /
+            sqrt(col("_saa").cast("double") * col("_sbb").cast("double")))
+          .as("spearman_rho"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(raw))
+    out
+  }
 }

@@ -136,6 +136,41 @@ object Sampling {
     df.withColumn("split", ascending)
   }
 
+  /** Near-dup-safe deterministic split: every member of a duplicate
+    * CLUSTER lands in the same split, so near-identical documents can
+    * never straddle train/test — the leakage mode [[splitLeakage]]
+    * detects, prevented by construction. A row-hashed split keeps two
+    * 95%-identical crawls of one page apart only by luck; this splits
+    * by the cluster representative instead.
+    *
+    * `clusters` is a materialized duplicate-cluster table
+    * ([[Dedup.duplicateClusters]] / the q128 keep-list):
+    * (clusterDocCol → clusterIdCol). Rows absent from it are
+    * singletons and split by their own id — same hash domain, since a
+    * cluster id IS its minimum member id. The split key is
+    * `coalesce(cluster_id, id)` fed to [[deterministicSplit]], so all
+    * of its conventions (cumulative bounds, catch-all last bucket)
+    * apply; fractions then apportion CLUSTERS, with per-split row
+    * counts tracking cluster sizes.
+    *
+    * Scale: one equi-join against the cluster table (pair-scale,
+    * ≪ corpus — broadcast at dashboard size, shuffled join beyond),
+    * then a pure map-side projection. An audit
+    * `splitLeakage(out, coalesce(cluster_id, id), split)` reports
+    * zero leaking groups by construction.
+    */
+  def clusterSafeSplit(
+      df: DataFrame, idCol: String,
+      clusters: DataFrame, clusterDocCol: String, clusterIdCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val reps = clusters.select(
+      col(clusterDocCol).as(idCol), col(clusterIdCol).as("_rep"))
+    val keyed = df.join(reps, Seq(idCol), "left")
+      .withColumn("_split_key", coalesce(col("_rep"), col(idCol)))
+    deterministicSplit(keyed, "_split_key", splits)
+      .drop("_rep", "_split_key")
+  }
+
   /** Budget-bounded deterministic sample: keep rows in hash-score
     * order until a cumulative `weight` budget is reached — "give me
     * ~2B training tokens of this corpus, reproducibly". A row is

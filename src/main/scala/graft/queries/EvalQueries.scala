@@ -491,6 +491,108 @@ object EvalQueries {
        |  END AS auc
        |FROM w2 GROUP BY replicate""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q137 — Brier decomposition of the quality gate over the q120
+  // bands: reliability (calibration error), resolution (outcome
+  // separation), uncertainty (no-skill floor) — the one-row scalar
+  // summary of the q120 reliability diagram, with the banded Brier
+  // numerator a pure integer sum and the rel/res terms 1e-6-floor-
+  // quantized integer divisions the oracle replays with HUGEINT `//`.
+  // ---------------------------------------------------------------
+  private val BrierBins = 16
+
+  def q137BrierDecomposition(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.brierDecomposition(s, col("logit"), col("is_en"),
+      lo = -4.0, hi = 4.0, bins = BrierBins)
+  }
+
+  val q137Sql: String = {
+    val b4 = 4 * BrierBins       // 64
+    val b2 = 2 * BrierBins       // 32
+    val bsq = 4 * BrierBins * BrierBins // 1024
+    s"""WITH s AS ($scoredSql),
+       |b AS (
+       |  SELECT LEAST(${BrierBins - 1}, GREATEST(0,
+       |      CAST(FLOOR((logit - (-4.0)) / 0.5) AS BIGINT))) AS band,
+       |    CASE WHEN is_en THEN 1 ELSE 0 END AS p
+       |  FROM s),
+       |c AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(p) AS BIGINT) AS n_pos
+       |      FROM b GROUP BY band),
+       |t AS (SELECT
+       |    CAST(SUM(n) AS BIGINT) AS n,
+       |    CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       |    CAST(SUM((2*band+1)*(2*band+1)*n - $b4*(2*band+1)*n_pos
+       |      + $bsq*n_pos) AS DECIMAL(38,0)) AS sb,
+       |    CAST(SUM((CAST((2*band+1)*n - $b2*n_pos AS HUGEINT)
+       |      * CAST((2*band+1)*n - $b2*n_pos AS HUGEINT)
+       |      * 1000000) // CAST($bsq * n AS HUGEINT)) AS DECIMAL(38,0)) AS sr,
+       |    CAST(SUM((CAST(n_pos AS HUGEINT) * CAST(n_pos AS HUGEINT)
+       |      * 1000000) // CAST(n AS HUGEINT)) AS DECIMAL(38,0)) AS ss
+       |  FROM c)
+       |SELECT n, n_pos,
+       |  CAST(sb AS DOUBLE) / (${bsq}.0 * CAST(n AS DOUBLE)) AS brier,
+       |  CAST(sr AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)) AS reliability,
+       |  CAST(ss - CAST((CAST(n_pos AS HUGEINT) * CAST(n_pos AS HUGEINT)
+       |      * 1000000) // CAST(n AS HUGEINT) AS DECIMAL(38,0)) AS DOUBLE)
+       |    / (1000000.0 * CAST(n AS DOUBLE)) AS resolution,
+       |  CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS uncertainty
+       |FROM t""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q139 — Spearman rank correlation between the quality logit and
+  // document length: "is the gate just a proxy for length?" as an
+  // exact number. Doubled midranks keep every centered sum an exact
+  // integer; the oracle replays the identical rank census with naive
+  // windows and states the same three-float final expression.
+  // ---------------------------------------------------------------
+  def q139LengthCorrelation(spark: SparkSession, d: String): DataFrame = {
+    // the table's n_chars rides under an alias: qualityFeatures emits
+    // its own computed n_chars feature, and a same-name carry would
+    // be ambiguous
+    val docs = Tables.documents(spark, d).withColumn("doc_len", col("n_chars"))
+    val s = graft.operators.TextAnalysis.linearQualityScore(
+      docs, "doc_id", "text",
+      bias = -2.0, wStopword = 8.0, wPunct = -4.0,
+      wMeanWordLen = 0.25, wKChars = 0.5,
+      carry = Seq("doc_len"))
+    graft.operators.Profiling.spearmanCorr(s, col("logit"), col("doc_len"))
+  }
+
+  val q139Sql: String =
+    s"""WITH q AS (${ExtensionQueries.q112Sql}),
+       |s AS (SELECT q.logit AS x, CAST(d.n_chars AS DOUBLE) AS y
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id
+       |  WHERE q.logit IS NOT NULL AND NOT isnan(q.logit)
+       |    AND d.n_chars IS NOT NULL),
+       |xc AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY x),
+       |xr AS (SELECT v,
+       |    2 * COALESCE(CAST(SUM(cnt) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      + cnt + 1 AS mr2
+       |  FROM xc),
+       |yc AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY y),
+       |yr AS (SELECT v,
+       |    2 * COALESCE(CAST(SUM(cnt) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      + cnt + 1 AS mr2
+       |  FROM yc),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+       |d2 AS (SELECT CAST(xr.mr2 - (t.n + 1) AS HUGEINT) AS da,
+       |    CAST(yr.mr2 - (t.n + 1) AS HUGEINT) AS db
+       |  FROM s JOIN xr ON s.x = xr.v JOIN yr ON s.y = yr.v CROSS JOIN t),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(da * db) AS sab, SUM(da * da) AS saa, SUM(db * db) AS sbb
+       |  FROM d2)
+       |SELECT n,
+       |  CASE WHEN saa > 0 AND sbb > 0 THEN
+       |    CAST(sab AS DOUBLE) / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE))
+       |  END AS spearman_rho
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -502,7 +604,9 @@ object EvalQueries {
     "q131_ap"                -> (q131Ap _),
     "q132_group_ap"          -> (q132GroupAp _),
     "q133_dedup_weighted_auc" -> (q133DedupWeightedAuc _),
-    "q134_auc_bootstrap"     -> (q134AucBootstrap _))
+    "q134_auc_bootstrap"     -> (q134AucBootstrap _),
+    "q137_brier_decomposition" -> (q137BrierDecomposition _),
+    "q139_length_correlation" -> (q139LengthCorrelation _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -515,5 +619,7 @@ object EvalQueries {
     "q131_ap"                -> q131Sql,
     "q132_group_ap"          -> q132Sql,
     "q133_dedup_weighted_auc" -> q133Sql,
-    "q134_auc_bootstrap"     -> q134Sql)
+    "q134_auc_bootstrap"     -> q134Sql,
+    "q137_brier_decomposition" -> q137Sql,
+    "q139_length_correlation" -> q139Sql)
 }

@@ -344,7 +344,38 @@ object SamplingQueries {
       |FROM t JOIN ix ON ix.idx = t.tgt
       |WHERE ix.doc_id <> t.anchor_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q138 — near-dup-safe split: documents split train/test by their
+  // q54 CLUSTER representative (singletons by their own id), so no
+  // near-dup pair can straddle the boundary — the q95 leakage mode
+  // prevented by construction rather than audited after the fact.
+  // The oracle replays the q54 closure + the identical md5 split
+  // predicate over the coalesced key.
+  // ---------------------------------------------------------------
+  def q138ClusterSafeSplit(spark: SparkSession, d: String): DataFrame = {
+    val clusters = ExtensionQueries.q54DupClusters(spark, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val docs = Tables.documents(spark, d).select("doc_id")
+    Sampling.clusterSafeSplit(docs, "doc_id", clusters, "doc_id", "cluster_id",
+        Seq("train" -> 0.9, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+  }
+
+  // lazy: ExtensionQueries.q54Sql lives in another object — defer the
+  // interpolation past both objects' init
+  lazy val q138Sql: String =
+    s"""WITH clus AS (${ExtensionQueries.q54Sql}),
+       |k AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS key
+       |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+       |s AS (SELECT doc_id,
+       |    CAST(CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8)) AS UBIGINT)
+       |      AS DOUBLE) / 4294967296.0 AS sc
+       |  FROM k)
+       |SELECT doc_id, CASE WHEN sc < 0.9 THEN 'train' ELSE 'test' END AS split
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_cluster_safe_split" -> (q138ClusterSafeSplit _),
     "q121_negative_pairs" -> (q121NegativePairs _),
     "q109_mixture_schedule" -> (q109MixtureSchedule _),
     "q97_budget_sample" -> (q97BudgetSample _),
@@ -357,7 +388,8 @@ object SamplingQueries {
     "q70_priority_sample"     -> (q70PrioritySample _),
     "q71_source_mixture"      -> (q71SourceMixture _))
 
-  val oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
+    "q138_cluster_safe_split" -> q138Sql,
     "q121_negative_pairs" -> q121Sql,
     "q109_mixture_schedule" -> q109Sql,
     "q97_budget_sample" -> q97Sql,

@@ -641,4 +641,62 @@ class EvaluationSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("replicate") -> r.getAs[Double]("auc")).toMap
     assert(got.view.mapValues(_.getAs[Double]("auc")).toMap == boot2)
   }
+
+  // ---------------- brierDecomposition ----------------
+
+  test("brierDecomposition: hand-computed two-band fixture; identity holds") {
+    // domain [0,1), bins=2 -> forecasts p0=0.25, p1=0.75
+    // band0: (0.1,T),(0.2,F) -> n=2, pos=1, ybar=0.5
+    // band1: (0.6,T),(0.9,T),(0.7,F) -> n=3, pos=2, ybar=2/3
+    // N=5, P=3, ybar=0.6
+    val df = Seq(
+      (0.1, true), (0.2, false),
+      (0.6, true), (0.9, true), (0.7, false)).toDF("s", "y")
+    val r = Evaluation.brierDecomposition(df, $"s", $"y", 0.0, 1.0, 2).head()
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("n_pos") == 3L)
+    // brier = (1/5)[(.25-1)^2+(.25-0)^2 + 2*(.75-1)^2+(.75-0)^2] = 0.2625
+    assert(math.abs(r.getAs[Double]("brier") - 0.2625) < 1e-12)
+    // rel = (1/5)[2*(0.25-0.5)^2 + 3*(0.75-2/3)^2] = (0.125 + 1/48)/5
+    assert(math.abs(r.getAs[Double]("reliability") - (0.125 + 1.0 / 48.0) / 5.0) < 1e-6)
+    // res = (1/5)[2*(0.5-0.6)^2 + 3*(2/3-0.6)^2] = (0.02 + 1/75)/5
+    assert(math.abs(r.getAs[Double]("resolution") - (0.02 + 1.0 / 75.0) / 5.0) < 1e-6)
+    assert(r.getAs[Double]("uncertainty") == 0.6 * 0.4)
+    // Murphy identity: brier = rel - res + unc (to quantization)
+    assert(math.abs(r.getAs[Double]("brier") -
+      (r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+        r.getAs[Double]("uncertainty"))) < 1e-6)
+  }
+
+  test("brierDecomposition: band-exact forecasts give reliability exactly 0") {
+    // band0 (p=0.25): 4 rows 1 pos; band1 (p=0.75): 4 rows 3 pos —
+    // A_b = (2b+1)n - 2*bins*pos = 0 in both bands, so rel is exact 0
+    val df = Seq(
+      (0.1, true), (0.2, false), (0.3, false), (0.4, false),
+      (0.6, true), (0.7, true), (0.9, true), (0.8, false)).toDF("s", "y")
+    val r = Evaluation.brierDecomposition(df, $"s", $"y", 0.0, 1.0, 2).head()
+    assert(r.getAs[Double]("reliability") == 0.0)
+    // with rel=0, brier = unc - res exactly (integer numerators)
+    assert(math.abs(r.getAs[Double]("brier") -
+      (r.getAs[Double]("uncertainty") - r.getAs[Double]("resolution"))) < 1e-6)
+  }
+
+  test("brierDecomposition: out-of-range scores clamp to edge bands; empty input NULLs") {
+    val df = Seq((-5.0, true), (9.0, false), (0.5, true)).toDF("s", "y")
+    val r = Evaluation.brierDecomposition(df, $"s", $"y", 0.0, 1.0, 2).head()
+    assert(r.getAs[Long]("n") == 3L) // clamped rows still censused
+    val e = Evaluation.brierDecomposition(
+      Seq.empty[(Double, Boolean)].toDF("s", "y"), $"s", $"y", 0.0, 1.0, 2).head()
+    assert(e.getAs[Long]("n") == 0L)
+    assert(e.isNullAt(e.fieldIndex("brier")))
+    assert(e.isNullAt(e.fieldIndex("uncertainty")))
+  }
+
+  test("brierDecomposition is partitioning-independent") {
+    val rows = (0 until 500).map(i => (((i * 37) % 100) / 100.0, i % 3 == 0))
+    val a = Evaluation.brierDecomposition(
+      rows.toDF("s", "y").repartition(1), $"s", $"y", 0.0, 1.0, 10).head()
+    val b = Evaluation.brierDecomposition(
+      rows.toDF("s", "y").repartition(13), $"s", $"y", 0.0, 1.0, 10).head()
+    assert(a == b)
+  }
 }

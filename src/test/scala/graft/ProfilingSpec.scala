@@ -502,4 +502,54 @@ class ProfilingSpec extends AnyFunSuite {
     assert(disjoint == 0L)
   }
 
+  // ---------------- spearmanCorr ----------------
+
+  test("spearmanCorr: perfect monotone is 1.0, reversed -1.0 (exact while Σ² fits a double)") {
+    val mono = (1 to 50).map(i => (i.toDouble, math.exp(i * 0.1))).toDF("x", "y")
+    val r = Profiling.spearmanCorr(mono, col("x"), col("y")).head()
+    assert(r.getAs[Long]("n") == 50L)
+    assert(r.getAs[Double]("spearman_rho") == 1.0)
+    val rev = (1 to 50).map(i => (i.toDouble, -i * 3.0)).toDF("x", "y")
+    assert(Profiling.spearmanCorr(rev, col("x"), col("y"))
+      .head().getAs[Double]("spearman_rho") == -1.0)
+  }
+
+  test("spearmanCorr: hand-computed value with tie midranks") {
+    // x: 1,2,2,3  midranks 1, 2.5, 2.5, 4  (doubled: 2,5,5,8)
+    // y: 10,20,30,30  midranks 1, 2, 3.5, 3.5 (doubled: 2,4,7,7)
+    // N=4, mean2 = 5; da = -3,0,0,3; db = -3,-1,2,2
+    // sab = 9+0+0+6 = 15; saa = 18; sbb = 9+1+4+4 = 18 -> rho = 15/18
+    val df = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 30.0)).toDF("x", "y")
+    val r = Profiling.spearmanCorr(df, col("x"), col("y")).head()
+    assert(r.getAs[Double]("spearman_rho") == 15.0 / math.sqrt(18.0 * 18.0))
+  }
+
+  test("spearmanCorr: null/NaN pairs excluded; constant column gives NULL rho") {
+    val df = Seq(
+      (Some(1.0), Some(5.0)), (Some(2.0), Some(6.0)), (Some(3.0), Some(7.0)),
+      (None, Some(9.0)), (Some(4.0), None), (Some(Double.NaN), Some(1.0)))
+      .toDF("x", "y")
+    val r = Profiling.spearmanCorr(df, col("x"), col("y")).head()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Double]("spearman_rho") == 1.0)
+    val const = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0)).toDF("x", "y")
+    val c = Profiling.spearmanCorr(const, col("x"), col("y")).head()
+    assert(c.isNullAt(c.fieldIndex("spearman_rho")))
+    val e = Profiling.spearmanCorr(
+      Seq.empty[(Double, Double)].toDF("x", "y"), col("x"), col("y")).head()
+    assert(e.getAs[Long]("n") == 0L && e.isNullAt(e.fieldIndex("spearman_rho")))
+  }
+
+  test("spearmanCorr is partitioning- and cell-count-independent") {
+    val rows = (0 until 400).map(i => (((i * 31) % 97).toDouble, ((i * 17) % 23).toDouble))
+    val a = Profiling.spearmanCorr(rows.toDF("x", "y").repartition(1),
+      col("x"), col("y")).head()
+    val b = Profiling.spearmanCorr(rows.toDF("x", "y").repartition(13),
+      col("x"), col("y"), cells = 7).head()
+    assert(a == b)
+    // outlier robustness: blowing up one y value moves ranks, not sums
+    val out = rows.updated(0, (rows(0)._1, 1e18))
+    val c = Profiling.spearmanCorr(out.toDF("x", "y"), col("x"), col("y")).head()
+    assert(math.abs(c.getAs[Double]("spearman_rho") -
+      a.getAs[Double]("spearman_rho")) < 0.05)
+  }
 }

@@ -325,4 +325,44 @@ class SamplingSpec extends AnyFunSuite {
       .filter(col("src").isNull).collect()
     assert(ns.length == 2 && ns.map(_.getLong(2)).sorted.toSeq == Seq(0L, 1L))
   }
+
+  // ---------------- clusterSafeSplit ----------------
+
+  test("clusterSafeSplit: every cluster lands whole in one split — zero leakage by construction") {
+    // 60 docs; docs 0..29 pair up into 10 clusters of 3 (cluster id = min member)
+    val rows = (0L until 60L).map(i => Tuple1(i)).toDF("doc_id")
+    val clusters = (0L until 30L).map(i => (i, i % 10)).toDF("doc_id", "cluster_id")
+    val out = Sampling.clusterSafeSplit(rows, "doc_id",
+      clusters, "doc_id", "cluster_id", Seq("train" -> 0.5, "test" -> 0.5))
+    assert(out.count() == 60L)
+    // audit on the representative key: zero leaking groups
+    val keyed = out.join(clusters, Seq("doc_id"), "left")
+      .withColumn("g", coalesce(col("cluster_id"), col("doc_id")))
+    val audit = Sampling.splitLeakage(keyed, col("g"), col("split")).head()
+    assert(audit.getAs[Long]("n_leaking_groups") == 0L)
+    assert(audit.getAs[Long]("n_multi_row_groups") == 10L)
+    // all three members of each cluster share the split
+    val perCluster = keyed.filter(col("cluster_id").isNotNull)
+      .groupBy("cluster_id").agg(count_distinct(col("split")).as("k")).collect()
+    assert(perCluster.length == 10 && perCluster.forall(_.getAs[Long]("k") == 1L))
+  }
+
+  test("clusterSafeSplit: singletons split exactly as deterministicSplit on their own id") {
+    val rows = (100L until 160L).map(i => Tuple1(i)).toDF("doc_id")
+    val noClusters = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val a = Sampling.clusterSafeSplit(rows, "doc_id",
+        noClusters, "doc_id", "cluster_id", Seq("train" -> 0.8, "test" -> 0.2))
+      .select("doc_id", "split").orderBy("doc_id").collect().toSeq
+    val b = Sampling.deterministicSplit(rows, "doc_id",
+        Seq("train" -> 0.8, "test" -> 0.2))
+      .select("doc_id", "split").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // a clustered doc follows its REPRESENTATIVE's hash, not its own
+    val one = Seq((150L, 101L)).toDF("doc_id", "cluster_id")
+    val moved = Sampling.clusterSafeSplit(rows, "doc_id",
+        one, "doc_id", "cluster_id", Seq("train" -> 0.8, "test" -> 0.2))
+      .filter(col("doc_id") === 150L || col("doc_id") === 101L)
+      .select("split").distinct().count()
+    assert(moved == 1L, "doc 150 must share doc 101's split")
+  }
 }
