@@ -59,6 +59,7 @@ object Curation {
       decontamBloom: Boolean = false,
       decontamFpp: Double = 0.01,
       extraRules: Seq[graft.operators.Checks.ValidationRule] = Seq.empty,
+      splitByCluster: Boolean = false,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
@@ -174,8 +175,23 @@ object Curation {
     val afterDecontam = benchmark.fold(afterNear)(_ => cleaned.count())
 
     // 6. deterministic split + split-partitioned sink (executes the
-    // persisted survivors, so upstream caches can then be released)
-    val split = Sampling.deterministicSplit(cleaned, idCol, cfg.splits)
+    // persisted survivors, so upstream caches can then be released).
+    // splitByCluster keys the split on the near-dup CLUSTER
+    // representative (Sampling.clusterSafeSplit): under the default
+    // pairwise-greedy dedup policy, several members of one near-dup
+    // family can survive, and a row-hashed split would let them
+    // straddle train/test — the leakage q95 audits, prevented here by
+    // construction. (Under clusterNearDups one survivor per family
+    // remains and the two keyings coincide except for sub-threshold
+    // relatives.) Reuses the SAME pair set the dedup stage mined —
+    // no second LSH pass.
+    val split =
+      if (cfg.splitByCluster) {
+        val clusters = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+          .select(col("id").as(idCol), col("cluster_id"))
+        Sampling.clusterSafeSplit(cleaned, idCol, clusters, idCol, "cluster_id",
+          cfg.splits)
+      } else Sampling.deterministicSplit(cleaned, idCol, cfg.splits)
     split.write.mode("overwrite").partitionBy("split").parquet(outPath)
     val written = spark.read.parquet(outPath)
       .groupBy("split").count()

@@ -1001,7 +1001,8 @@ object Dedup {
   def duplicateClusters(
       pairs: DataFrame, idACol: String, idBCol: String,
       maxRounds: Int = 50,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      smallGraphEdgeLimit: Long = DefaultSmallGraphEdgeLimit): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
     def integral(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
@@ -1013,7 +1014,7 @@ object Dedup {
       clusterLongPairs(
         pairs.select(col(idACol).cast("long").as("src"),
           col(idBCol).cast("long").as("dst")),
-        maxRounds, checkpointDir)
+        maxRounds, checkpointDir, smallGraphEdgeLimit)
     } else {
       // Non-integral ids (string/UUID doc ids) must NOT go through a
       // silent long cast: under non-ANSI semantics the cast yields
@@ -1046,7 +1047,8 @@ object Dedup {
         .join(mapping.select(col("_orig").as(idACol), col("_surr").as("src")), idACol)
         .join(mapping.select(col("_orig").as(idBCol), col("_surr").as("dst")), idBCol)
         .select(col("src"), col("dst"))
-      val clustered = clusterLongPairs(surrPairs, maxRounds, checkpointDir)
+      val clustered =
+        clusterLongPairs(surrPairs, maxRounds, checkpointDir, smallGraphEdgeLimit)
       clustered
         .join(mapping.select(col("_surr").as("id"), col("_orig").as("_id_orig")), "id")
         .join(mapping.select(col("_surr").as("cluster_id"),
@@ -1056,9 +1058,71 @@ object Dedup {
     }
   }
 
+  /** Edge count at or under which the closure runs as a DRIVER-side
+    * union-find instead of iterative distributed propagation — the
+    * cardinality-adaptive pattern ([[graft.operators.Evaluation]]'s
+    * offsets broadcast): each distributed round costs a fixed ~4 jobs
+    * (join, agg, compression self-join, convergence pull) regardless
+    * of graph size, so a batch-sized pair graph pays seconds of
+    * round overhead for milliseconds of work. 1M edges ≈ 16 MB on the
+    * driver — the same order as the broadcast tables this engine
+    * already pulls — and union-find with path halving is ~O(E·α).
+    * Beyond the limit (a 100 TB corpus's pair graph) the pointer-
+    * doubling path runs unchanged. Both paths produce IDENTICAL
+    * labels (min member id) — spec-pinned against each other.
+    */
+  val DefaultSmallGraphEdgeLimit: Long = 1L << 20
+
+  /** Driver union-find over a materialized edge list: union by
+    * MIN root, so every final root is its component's minimum member
+    * id — the exact labeling the distributed path converges to.
+    */
+  private def clusterLongPairsDriver(pc: DataFrame): DataFrame = {
+    val session = pc.sparkSession
+    import session.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.get(x) != x) {
+        val g = parent.get(parent.get(x))
+        parent.put(x, g)
+        x = g
+      }
+      x
+    }
+    pc.collect().foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val labeled = parent.keySet().asScala.toSeq.map(id => (id, find(id)))
+    val sizes = labeled.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    labeled.map { case (id, root) => (id, root, sizes(root)) }
+      .toDF("id", "cluster_id", "cluster_size")
+  }
+
   private def clusterLongPairs(
-      p: DataFrame, maxRounds: Int, checkpointDir: Option[String]): DataFrame = {
+      p: DataFrame, maxRounds: Int, checkpointDir: Option[String],
+      smallGraphEdgeLimit: Long = DefaultSmallGraphEdgeLimit): DataFrame = {
     val spark = p.sparkSession
+    // materialize the pair list once: the edge count routes the
+    // small-graph driver path, and BOTH paths consume `p` twice
+    // (driver: count + collect; distributed: the symmetric union) —
+    // without the persist an expensive pair pipeline (LSH) would run
+    // per consumption
+    val pc = p.persist()
+    val edgeCount = pc.count()
+    if (edgeCount <= smallGraphEdgeLimit) {
+      val out = clusterLongPairsDriver(pc)
+      pc.unpersist(blocking = false)
+      return out
+    }
     // localCheckpoint is fast but its blocks die with their executor —
     // on a churning cluster pass checkpointDir to snapshot each round
     // to reliable storage instead (HDFS/object store)
@@ -1078,7 +1142,7 @@ object Dedup {
     // per-round edges⋈labels equi-join requires exactly this
     // partitioning, so the persisted layout is reused every round and
     // only the (much smaller) label table moves per iteration.
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = pc.union(pc.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().repartition(col("src")).persist()
     // Seed each node with min(self, neighbors) directly — the
     // symmetric edge list already carries every neighbor of `src`, so
@@ -1124,6 +1188,7 @@ object Dedup {
       s"duplicateClusters did not converge in $maxRounds rounds — " +
         "pathological graph diameter; raise maxRounds")
     edges.unpersist()
+    pc.unpersist(blocking = false)
     // the FINAL labels snapshot stays persisted — the returned plan
     // reads it; it is one id-scale table, released with the session
     // (or by the caller via CacheLifecycle)

@@ -830,22 +830,59 @@ object Evaluation {
     * on a perfectly-flat census); the decomposition identity holds to
     * the same tolerance.
     *
+    * The expected calibration error rides along EXACTLY: ece =
+    * (1/N)·Σ_b n_b·|p_b − ȳ_b| = Σ_b |A_b| / (2·bins·N) — the
+    * absolute-value integers sum with NO quantization at all, so the
+    * dashboard's headline calibration number is engine-exact to the
+    * last bit of its single division.
+    *
     * One scan ([[bandedCensusSpine]]'s single-evaluation layout);
     * out-of-range scores clamp to edge bands; NULL/NaN scores and NULL
     * labels are excluded census-side. Output: one row (n, n_pos,
-    * brier, reliability, resolution, uncertainty); metrics NULL on an
-    * empty eval set.
+    * brier, reliability, resolution, uncertainty, ece); metrics NULL
+    * on an empty eval set.
     */
   def brierDecomposition(
       df: DataFrame, score: Column, label: Column,
       lo: Double, hi: Double, bins: Int): DataFrame = {
     val (spine, census) =
       bandedCensusSpine(df, None, score, label, lo, hi, bins)
+    val out = brierOverSpine(spine, group = None, bins)
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
+    out
+  }
+
+  /** Per-group Brier decomposition — [[brierDecomposition]] keyed by
+    * a group column: per source/language, the reliability / resolution
+    * / uncertainty / ECE split over the SHARED [lo, hi) domain (the
+    * q117 convention), completing the per-source eval triptych on the
+    * calibration-scalar side — a gate can hold its global ECE while
+    * one source's reliability quietly collapses. Same one-scan census,
+    * groups×bins integer sums; groups with no surviving rows are
+    * absent.
+    */
+  def brierDecompositionBy(
+      df: DataFrame, group: Column, score: Column, label: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val (spine, census) =
+      bandedCensusSpine(df, Some(group), score, label, lo, hi, bins)
+    val out = brierOverSpine(spine, Some(group), bins)
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
+    out
+  }
+
+  /** Integer-sum Brier/ECE fold over a filled band spine — the shared
+    * back half of [[brierDecomposition]] and [[brierDecompositionBy]].
+    * All sums run over ≤ (groups ×) bins census rows.
+    */
+  private def brierOverSpine(
+      spine: DataFrame, group: Option[Column], bins: Int): DataFrame = {
     val q = 1000000L // 10⁻⁶ quantum: per-band LONG results to ~9e12 rows
     val b4 = 4L * bins
     val b2 = 2L * bins
     val bsq = 4L * bins * bins
     val terms = spine.select(
+      group.map(_ => col("_g")).toSeq ++ Seq(
       col("n"), col("n_pos"),
       // Σ-term of the banded Brier numerator: integer, no quantization
       expr(s"(2*band+1)*(2*band+1)*n - $b4*(2*band+1)*n_pos + $bsq*n_pos")
@@ -861,13 +898,21 @@ object Evaluation {
       coalesce(
         when(col("n") > 0L, expr(
           s"(CAST(n_pos AS DECIMAL(38,0)) * CAST(n_pos AS DECIMAL(38,0)) * $q) div n")),
-        lit(0L)).cast("decimal(38,0)").as("_sq"))
-    val agg = terms.agg(
+        lit(0L)).cast("decimal(38,0)").as("_sq"),
+      // Σ |A_b|: the ECE numerator — exact, unquantized
+      expr(s"abs((2*band+1)*n - $b2*n_pos)").cast("decimal(38,0)").as("_se")): _*)
+    val agg = group match {
+      case Some(_) => terms.groupBy(col("_g").as("group_key"))
+      case None => terms.groupBy()
+    }
+    val folded = agg.agg(
       sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
       sum(col("_sb")).cast("decimal(38,0)").as("_sb"),
       sum(col("_rq")).cast("decimal(38,0)").as("_rq"),
-      sum(col("_sq")).cast("decimal(38,0)").as("_sq"))
-    val out = agg.select(
+      sum(col("_sq")).cast("decimal(38,0)").as("_sq"),
+      sum(col("_se")).cast("decimal(38,0)").as("_se"))
+    folded.select(
+      group.map(_ => col("group_key")).toSeq ++ Seq(
       col("n"), col("n_pos"),
       when(col("n") > 0L,
         col("_sb").cast("double") /
@@ -882,9 +927,10 @@ object Evaluation {
           (lit(q.toDouble) * col("n").cast("double"))).as("resolution"),
       when(col("n") > 0L,
         col("n_pos").cast("double") * (col("n") - col("n_pos")).cast("double") /
-          (col("n").cast("double") * col("n").cast("double"))).as("uncertainty"))
-    graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
-    out
+          (col("n").cast("double") * col("n").cast("double"))).as("uncertainty"),
+      when(col("n") > 0L,
+        col("_se").cast("double") /
+          (lit(b2.toDouble) * col("n").cast("double"))).as("ece")): _*)
   }
 
   /** Per-group calibration census — [[calibrationReport]] keyed by a

@@ -402,13 +402,26 @@ object EvalQueries {
   // sanity the oracle pins.
   // ---------------------------------------------------------------
   def q133DedupWeightedAuc(spark: SparkSession, d: String): DataFrame = {
-    val s = scored(spark, d)
-    val kl = ExtensionQueries.q128ClusterKeepList(spark, d)
+    import org.apache.spark.sql.expressions.Window
+    // ONE evaluation of the text-feature pipeline: the q128 keep-list
+    // is rebuilt here from the SAME persisted scored frame (identical
+    // logit expression — the oracle still states q128's SQL verbatim)
+    // instead of calling q128ClusterKeepList, which would re-run q112
+    // end to end for its copy of the scores
+    val s = scored(spark, d).persist()
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("logit").desc, col("doc_id").asc)
+    val kl = ExtensionQueries.q54DupClusters(spark, d)
+      .join(s.select(col("doc_id"), col("logit")), "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
       .select(col("doc_id"), col("cluster_size"), col("keep"))
     val weighted = s.join(kl, Seq("doc_id"), "left")
       .filter(col("keep").isNull || col("keep"))
       .withColumn("w", coalesce(col("cluster_size"), lit(1L)))
-    Evaluation.aucExactWeighted(weighted, col("logit"), col("is_en"), col("w"))
+    val out =
+      Evaluation.aucExactWeighted(weighted, col("logit"), col("is_en"), col("w"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(s))
+    out
   }
 
   lazy val q133Sql: String =
@@ -529,7 +542,8 @@ object EvalQueries {
        |      * CAST((2*band+1)*n - $b2*n_pos AS HUGEINT)
        |      * 1000000) // CAST($bsq * n AS HUGEINT)) AS DECIMAL(38,0)) AS sr,
        |    CAST(SUM((CAST(n_pos AS HUGEINT) * CAST(n_pos AS HUGEINT)
-       |      * 1000000) // CAST(n AS HUGEINT)) AS DECIMAL(38,0)) AS ss
+       |      * 1000000) // CAST(n AS HUGEINT)) AS DECIMAL(38,0)) AS ss,
+       |    CAST(SUM(abs((2*band+1)*n - $b2*n_pos)) AS DECIMAL(38,0)) AS se
        |  FROM c)
        |SELECT n, n_pos,
        |  CAST(sb AS DOUBLE) / (${bsq}.0 * CAST(n AS DOUBLE)) AS brier,
@@ -538,7 +552,58 @@ object EvalQueries {
        |      * 1000000) // CAST(n AS HUGEINT) AS DECIMAL(38,0)) AS DOUBLE)
        |    / (1000000.0 * CAST(n AS DOUBLE)) AS resolution,
        |  CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)
-       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS uncertainty
+       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS uncertainty,
+       |  CAST(se AS DOUBLE) / (${b2}.0 * CAST(n AS DOUBLE)) AS ece
+       |FROM t""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q140 — per-SOURCE Brier decomposition + ECE over the shared
+  // domain: the calibration-scalar leg of the per-source triptych —
+  // a gate can hold its global ECE while one source's reliability
+  // quietly collapses. Same integer-sum discipline as q137, keyed.
+  // ---------------------------------------------------------------
+  def q140GroupBrier(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.brierDecompositionBy(s, col("source"), col("logit"), col("is_en"),
+      lo = -4.0, hi = 4.0, bins = BrierBins)
+      .withColumnRenamed("group_key", "source")
+  }
+
+  val q140Sql: String = {
+    val b4 = 4 * BrierBins
+    val b2 = 2 * BrierBins
+    val bsq = 4 * BrierBins * BrierBins
+    s"""WITH s AS ($scoredSql),
+       |b AS (
+       |  SELECT source, LEAST(${BrierBins - 1}, GREATEST(0,
+       |      CAST(FLOOR((logit - (-4.0)) / 0.5) AS BIGINT))) AS band,
+       |    CASE WHEN is_en THEN 1 ELSE 0 END AS p
+       |  FROM s WHERE source IS NOT NULL),
+       |c AS (SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(p) AS BIGINT) AS n_pos
+       |      FROM b GROUP BY source, band),
+       |t AS (SELECT source,
+       |    CAST(SUM(n) AS BIGINT) AS n,
+       |    CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       |    CAST(SUM((2*band+1)*(2*band+1)*n - $b4*(2*band+1)*n_pos
+       |      + $bsq*n_pos) AS DECIMAL(38,0)) AS sb,
+       |    CAST(SUM((CAST((2*band+1)*n - $b2*n_pos AS HUGEINT)
+       |      * CAST((2*band+1)*n - $b2*n_pos AS HUGEINT)
+       |      * 1000000) // CAST($bsq * n AS HUGEINT)) AS DECIMAL(38,0)) AS sr,
+       |    CAST(SUM((CAST(n_pos AS HUGEINT) * CAST(n_pos AS HUGEINT)
+       |      * 1000000) // CAST(n AS HUGEINT)) AS DECIMAL(38,0)) AS ss,
+       |    CAST(SUM(abs((2*band+1)*n - $b2*n_pos)) AS DECIMAL(38,0)) AS se
+       |  FROM c GROUP BY source)
+       |SELECT source, n, n_pos,
+       |  CAST(sb AS DOUBLE) / (${bsq}.0 * CAST(n AS DOUBLE)) AS brier,
+       |  CAST(sr AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)) AS reliability,
+       |  CAST(ss - CAST((CAST(n_pos AS HUGEINT) * CAST(n_pos AS HUGEINT)
+       |      * 1000000) // CAST(n AS HUGEINT) AS DECIMAL(38,0)) AS DOUBLE)
+       |    / (1000000.0 * CAST(n AS DOUBLE)) AS resolution,
+       |  CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS uncertainty,
+       |  CAST(se AS DOUBLE) / (${b2}.0 * CAST(n AS DOUBLE)) AS ece
        |FROM t""".stripMargin
   }
 
@@ -606,7 +671,8 @@ object EvalQueries {
     "q133_dedup_weighted_auc" -> (q133DedupWeightedAuc _),
     "q134_auc_bootstrap"     -> (q134AucBootstrap _),
     "q137_brier_decomposition" -> (q137BrierDecomposition _),
-    "q139_length_correlation" -> (q139LengthCorrelation _))
+    "q139_length_correlation" -> (q139LengthCorrelation _),
+    "q140_group_brier"       -> (q140GroupBrier _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -621,5 +687,6 @@ object EvalQueries {
     "q133_dedup_weighted_auc" -> q133Sql,
     "q134_auc_bootstrap"     -> q134Sql,
     "q137_brier_decomposition" -> q137Sql,
-    "q139_length_correlation" -> q139Sql)
+    "q139_length_correlation" -> q139Sql,
+    "q140_group_brier"       -> q140Sql)
 }

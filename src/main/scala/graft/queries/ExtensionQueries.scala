@@ -328,10 +328,19 @@ object ExtensionQueries {
     val docs = Tables.documents(spark, d)
     val priorDocs = docs.filter(col("doc_id") % 10 =!= 0)
     val newBatch = docs.filter(col("doc_id") % 10 === 0)
-    // the materialized score table (q112), covering prior AND new docs
+    // the materialized score table (q112), covering prior AND new
+    // docs. PERSISTED: the fold consumes it three times (state
+    // election, singleton promotion, new-member join) and each
+    // consumption would otherwise re-run the full text-feature
+    // pipeline — in production this is a materialized table read, so
+    // the cache is the honest stand-in
     val scores = q112LinearQuality(spark, d)
       .select(col("doc_id"), col("logit").as("score"))
-    // prior-run state: pairs -> clusters -> keep election, prior corpus only
+      .persist()
+    // prior-run state: pairs -> clusters -> keep election, prior
+    // corpus only. PERSISTED for the same reason: the fold reads the
+    // decision table twice (touched-member pull + untouched anti-join)
+    // and in production it IS a materialized table
     val (priorPairs, priorSigs) = Dedup.lshNearDupPairsWithSignatures(
       priorDocs, "doc_id", "text", n = LshShingleN, numHashes = LshHashes,
       bands = LshBands, threshold = JaccardThreshold, portable = true)
@@ -342,13 +351,15 @@ object ExtensionQueries {
       .join(scores, "doc_id")
       .withColumn("keep", row_number().over(w) === 1)
       .select("doc_id", "cluster_id", "cluster_size", "score", "keep")
+      .persist()
     val (updated, newSigs) = Dedup.foldIntoClusterKeepList(
       state, priorSigs, scores, newBatch, "doc_id", "text",
       n = LshShingleN, numHashes = LshHashes, bands = LshBands,
       threshold = JaccardThreshold, portable = true)
     val out = updated.select(col("doc_id"), col("cluster_id"),
       col("cluster_size"), col("score").as("logit"), col("keep"))
-    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(priorSigs, newSigs))
+    graft.CacheLifecycle.releaseWhenExecuted(out,
+      Seq(priorSigs, newSigs, scores, state))
     out
   }
 

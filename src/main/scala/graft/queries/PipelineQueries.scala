@@ -386,20 +386,43 @@ object PipelineQueries {
   // q135 — retrieval-quality eval of the IVF index against brute
   // ground truth: the q58 run scored against the q44 top-k as the
   // relevant set, per query — hits, precision@k, recall@k, first
-  // relevant rank, reciprocal rank. THE operational question for an
-  // approximate index ("how much recall did nprobe=4/16 cost, and on
-  // which queries?") as an oracle-pinned surface; both pipelines are
-  // already fully DuckDB-replayable, so the eval of an approximate
-  // run is itself exact.
+  // relevant rank, reciprocal rank, AND nDCG@k against brute-graded
+  // gains (k+1−rank ∈ {3,2,1}) in one report. THE operational
+  // questions for an approximate index ("how much recall did
+  // nprobe=4/16 cost, and did it rank what it kept?") as one
+  // oracle-pinned surface; both pipelines are fully DuckDB-
+  // replayable, so the eval of an approximate run is itself exact.
+  // The run and truth frames are persisted and shared by both
+  // operators — one brute scan and one IVF probe per report, however
+  // many metrics read them. nDCG discounts are 10¹²-quantized
+  // integer literals (one Scala computation interpolated into BOTH
+  // engines — the PoissonOneCdf shared-literal discipline), so each
+  // query's DCG/IDCG is an exact integer.
   // ---------------------------------------------------------------
   def q135RetrievalQuality(spark: SparkSession, d: String): DataFrame = {
-    val run = q58AnnIvf(spark, d)
-    val truth = q44AnnJoin(spark, d).select(col("query_id"), col("neighbor_id"))
-    Ranking.retrievalQuality(run, truth,
+    import org.apache.spark.sql.expressions.Window
+    val run = q58AnnIvf(spark, d).persist()
+    val truth = q44AnnJoin(spark, d).persist()
+    val rq = Ranking.retrievalQuality(run,
+      truth.select(col("query_id"), col("neighbor_id")),
       "query_id", "neighbor_id", "cosine", k = AnnK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val graded = truth.withColumn("gain",
+      (lit(AnnK + 1) - row_number().over(w)).cast("long"))
+    val nd = Ranking.ndcgAtK(run, graded,
+      "query_id", "neighbor_id", "cosine", "gain", k = AnnK)
+    val out = rq.join(nd, Seq("query_id"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(run, truth))
+    out
   }
 
-  val q135Sql: String =
+  val q135Sql: String = {
+    val disc = Ranking.discountsQ(AnnK)
+    def discCase(rankExpr: String): String =
+      disc.zipWithIndex.map { case (d0, i) =>
+        s"WHEN $rankExpr = ${i + 1} THEN CAST($d0 AS DECIMAL(38,0))"
+      }.mkString("CASE ", " ", " ELSE CAST(0 AS DECIMAL(38,0)) END")
     s"""WITH run AS ($q58Sql), tr AS ($q44Sql),
        |rel AS (SELECT DISTINCT query_id, neighbor_id FROM tr),
        |rq AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
@@ -413,53 +436,11 @@ object PipelineQueries {
        |    CAST(MIN(CASE WHEN rel.neighbor_id IS NOT NULL THEN rnk END) AS BIGINT) AS first_rel_rank
        |  FROM rk3 LEFT JOIN rel ON rk3.query_id = rel.query_id
        |    AND rk3.neighbor_id = rel.neighbor_id
-       |  GROUP BY rk3.query_id)
-       |SELECT rq.query_id, rq.n_rel,
-       |  COALESCE(h.n_ret, 0) AS n_ret, COALESCE(h.hits, 0) AS hits,
-       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / ${AnnK}.0 AS precision_at_k,
-       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(rq.n_rel AS DOUBLE) AS recall_at_k,
-       |  h.first_rel_rank,
-       |  CASE WHEN h.first_rel_rank IS NOT NULL
-       |    THEN 1.0 / CAST(h.first_rel_rank AS DOUBLE) END AS rr
-       |FROM rq LEFT JOIN h ON rq.query_id = h.query_id""".stripMargin
-
-  // ---------------------------------------------------------------
-  // q136 — nDCG@k of the IVF run against brute-graded truth: the
-  // ORDERING complement of q135's recall (a relevant hit at rank 1
-  // and rank 3 count the same for recall; nDCG discounts them).
-  // Truth gains grade the brute top-k by rank (k+1−rank ∈ {3,2,1});
-  // discounts are 10¹²-quantized integer literals (one Scala
-  // computation interpolated into BOTH engines — the PoissonOneCdf
-  // shared-literal discipline), so each query's DCG/IDCG is an exact
-  // integer and the lone float is the final division.
-  // ---------------------------------------------------------------
-  def q136AnnNdcg(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val run = q58AnnIvf(spark, d)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val graded = q44AnnJoin(spark, d)
-      .withColumn("gain",
-        (lit(AnnK + 1) - row_number().over(w)).cast("long"))
-    Ranking.ndcgAtK(run, graded,
-      "query_id", "neighbor_id", "cosine", "gain", k = AnnK)
-  }
-
-  val q136Sql: String = {
-    val disc = Ranking.discountsQ(AnnK)
-    def discCase(rankExpr: String): String =
-      disc.zipWithIndex.map { case (d0, i) =>
-        s"WHEN $rankExpr = ${i + 1} THEN CAST($d0 AS DECIMAL(38,0))"
-      }.mkString("CASE ", " ", " ELSE CAST(0 AS DECIMAL(38,0)) END")
-    s"""WITH run AS ($q58Sql), tr AS ($q44Sql),
+       |  GROUP BY rk3.query_id),
        |g AS (SELECT query_id, neighbor_id,
        |    CAST(${AnnK + 1} - row_number() OVER (
        |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS gain
        |  FROM tr),
-       |rk AS (SELECT query_id, neighbor_id, row_number() OVER (
-       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
-       |  FROM run),
-       |rk3 AS (SELECT * FROM rk WHERE rnk <= $AnnK),
        |dcg AS (SELECT rk3.query_id,
        |    CAST(SUM(CAST(COALESCE(g.gain, 0) AS DECIMAL(38,0))
        |      * ${discCase("rk3.rnk")}) AS BIGINT) AS dcg_q
@@ -472,11 +453,20 @@ object PipelineQueries {
        |idcg AS (SELECT query_id,
        |    CAST(SUM(CAST(gain AS DECIMAL(38,0)) * ${discCase("irank")}) AS BIGINT) AS idcg_q
        |  FROM ideal WHERE irank <= $AnnK GROUP BY query_id)
-       |SELECT idcg.query_id, COALESCE(dcg.dcg_q, 0) AS dcg_q, idcg.idcg_q,
+       |SELECT rq.query_id, rq.n_rel,
+       |  COALESCE(h.n_ret, 0) AS n_ret, COALESCE(h.hits, 0) AS hits,
+       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / ${AnnK}.0 AS precision_at_k,
+       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(rq.n_rel AS DOUBLE) AS recall_at_k,
+       |  h.first_rel_rank,
+       |  CASE WHEN h.first_rel_rank IS NOT NULL
+       |    THEN 1.0 / CAST(h.first_rel_rank AS DOUBLE) END AS rr,
+       |  COALESCE(dcg.dcg_q, 0) AS dcg_q, idcg.idcg_q,
        |  CASE WHEN idcg.idcg_q > 0 THEN
        |    CAST(COALESCE(dcg.dcg_q, 0) AS DOUBLE) / CAST(idcg.idcg_q AS DOUBLE)
        |  END AS ndcg
-       |FROM idcg LEFT JOIN dcg ON idcg.query_id = dcg.query_id""".stripMargin
+       |FROM rq LEFT JOIN h ON rq.query_id = h.query_id
+       |JOIN idcg ON rq.query_id = idcg.query_id
+       |LEFT JOIN dcg ON rq.query_id = dcg.query_id""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -734,7 +724,6 @@ object PipelineQueries {
     "q92_label_purity_ivf" -> (q92LabelPurityIvf _),
     "q123_hard_negatives" -> (q123HardNegatives _),
     "q135_retrieval_quality" -> (q135RetrievalQuality _),
-    "q136_ann_ndcg" -> (q136AnnNdcg _),
     "q60_json_props" -> (q60JsonProps _),
     "q63_line_dedup" -> (q63LineDedup _),
     "q45_bm25_retrieval" -> (q45Bm25 _),
@@ -754,7 +743,6 @@ object PipelineQueries {
     "q92_label_purity_ivf" -> q92Sql,
     "q123_hard_negatives" -> q123Sql,
     "q135_retrieval_quality" -> q135Sql,
-    "q136_ann_ndcg" -> q136Sql,
     "q60_json_props" -> q60Sql,
     "q63_line_dedup" -> q63Sql,
     "q45_bm25_retrieval" -> q45Sql,

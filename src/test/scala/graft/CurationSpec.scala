@@ -137,4 +137,29 @@ class CurationSpec extends AnyFunSuite {
       rBloom.splits == r.splits,
       "bloom decontamination must keep exactly the broadcast path's survivors")
   }
+
+  test("splitByCluster: surviving near-dup relatives never straddle train/test") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("curation_csplit").toString + "/corpus"
+    val docs = Tables.documents(spark, TestSpark.sf)
+    // default pairwise-greedy dedup: several members of one near-dup
+    // family can survive — the configuration where a row-hashed split
+    // can leak and the cluster-keyed split must not
+    val cfg = CurationConfig(splitByCluster = true)
+    val r = Curation.curate(spark, docs, "doc_id", "text", out, cfg)
+    assert(r.splits.values.sum == r.afterNearDedup)
+    val kept = spark.read.parquet(out)
+    // re-mine near-dup pairs among the SURVIVORS: each pair must share
+    // a split (its two sides are in one cluster of the original graph)
+    val pairs = graft.operators.Dedup.lshNearDupPairs(
+      kept, "doc_id", "text", cfg.shingleN, cfg.minhashHashes,
+      cfg.minhashBands, cfg.nearDupThreshold)
+    val sides = kept.select($"doc_id", $"split")
+    val straddling = pairs
+      .join(sides.select($"doc_id".as("id_a"), $"split".as("_sa")), "id_a")
+      .join(sides.select($"doc_id".as("id_b"), $"split".as("_sb")), "id_b")
+      .filter($"_sa" =!= $"_sb")
+    assert(straddling.count() == 0,
+      "cluster-keyed split must put surviving near-dup relatives in one split")
+  }
 }

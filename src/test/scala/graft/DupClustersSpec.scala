@@ -51,11 +51,28 @@ class DupClustersSpec extends AnyFunSuite {
 
   test("long path converges well under the round cap (pointer doubling)") {
     // a 200-node path has diameter 199; naive propagation needs ~200
-    // rounds, compression must land it far below the default cap of 50
+    // rounds, compression must land it far below the default cap of 50.
+    // smallGraphEdgeLimit = 0 forces the DISTRIBUTED branch — the
+    // default would route this fixture to the driver union-find
     val pairs = (0L until 199L).map(i => (i, i + 1))
-    val got = run(pairs)
+    val got = Dedup.duplicateClusters(pairs.toDF("id_a", "id_b"), "id_a", "id_b",
+        smallGraphEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got.keySet == (0L to 199L).toSet)
     assert(got.values.forall { case (cid, sz) => cid == 0L && sz == 200L })
+  }
+
+  test("driver union-find and distributed propagation label identically") {
+    val rnd = new Random(7)
+    val pairs = Seq.fill(300) {
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    }.filter { case (a, b) => a != b }
+    val driver = run(pairs) // default limit: driver path
+    val distributed = Dedup.duplicateClusters(
+        pairs.toDF("id_a", "id_b"), "id_a", "id_b", smallGraphEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(driver == distributed)
+    assert(driver == bruteComponents(pairs))
   }
 
   test("disjoint components keep distinct min-id labels and sizes") {
@@ -94,7 +111,7 @@ class DupClustersSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L), (1L, 9L))
     val reliable = Dedup.duplicateClusters(pairs.toDF("id_a", "id_b"),
-        "id_a", "id_b", checkpointDir = Some(dir))
+        "id_a", "id_b", checkpointDir = Some(dir), smallGraphEdgeLimit = 0L)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(reliable == run(pairs))
     // the rounds really went to reliable storage
@@ -105,8 +122,10 @@ class DupClustersSpec extends AnyFunSuite {
   test("superseded rounds release their blocks (no per-round cache accumulation)") {
     val before = spark.sparkContext.getPersistentRDDs.size
     // diameter-199 path: many propagation rounds, each localCheckpointed
+    // (distributed branch forced — the driver path has no rounds)
     val out = Dedup.duplicateClusters(
-      (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b"), "id_a", "id_b")
+      (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b"), "id_a", "id_b",
+      smallGraphEdgeLimit = 0L)
     out.count()
     val after = spark.sparkContext.getPersistentRDDs.size
     // only the FINAL labels snapshot may remain (edges are unpersisted,

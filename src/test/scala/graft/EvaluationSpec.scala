@@ -661,10 +661,38 @@ class EvaluationSpec extends AnyFunSuite {
     // res = (1/5)[2*(0.5-0.6)^2 + 3*(2/3-0.6)^2] = (0.02 + 1/75)/5
     assert(math.abs(r.getAs[Double]("resolution") - (0.02 + 1.0 / 75.0) / 5.0) < 1e-6)
     assert(r.getAs[Double]("uncertainty") == 0.6 * 0.4)
+    // ece = (1/5)[2*|0.25-0.5| + 3*|0.75-2/3|] = 0.15 — EXACT (pure
+    // integer numerator Σ|A_b| = 2+1 = 3, over 2*bins*N = 20)
+    assert(r.getAs[Double]("ece") == 3.0 / 20.0)
     // Murphy identity: brier = rel - res + unc (to quantization)
     assert(math.abs(r.getAs[Double]("brier") -
       (r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
         r.getAs[Double]("uncertainty"))) < 1e-6)
+  }
+
+  test("brierDecompositionBy: per-group rows equal the solo decomposition per group") {
+    val rows = (0 until 300).map { i =>
+      (if (i % 3 == 0) "a" else "b", ((i * 29) % 100) / 100.0, i % 4 == 0)
+    }
+    val df = rows.toDF("g", "s", "y")
+    val by = Evaluation.brierDecompositionBy(df, $"g", $"s", $"y", 0.0, 1.0, 8)
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    assert(by.keySet == Set("a", "b"))
+    for (g <- Seq("a", "b")) {
+      val solo = Evaluation.brierDecomposition(
+        df.filter($"g" === g), $"s", $"y", 0.0, 1.0, 8).head()
+      val got = by(g)
+      for (c <- Seq("n", "n_pos"))
+        assert(got.getAs[Long](c) == solo.getAs[Long](c), s"$g.$c")
+      for (c <- Seq("brier", "reliability", "resolution", "uncertainty", "ece"))
+        assert(got.getAs[Double](c) == solo.getAs[Double](c), s"$g.$c")
+    }
+    // a group whose rows are all excluded is absent, not zero
+    val withNullLabel = df.select($"g", $"s", $"y".cast("boolean").as("y"))
+      .union(Seq(("c", 0.5, Option.empty[Boolean])).toDF("g", "s", "y"))
+    val by2 = Evaluation.brierDecompositionBy(
+      withNullLabel, $"g", $"s", $"y", 0.0, 1.0, 8)
+    assert(!by2.collect().map(_.getAs[String]("group_key")).contains("c"))
   }
 
   test("brierDecomposition: band-exact forecasts give reliability exactly 0") {
