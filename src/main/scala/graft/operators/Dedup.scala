@@ -1278,6 +1278,64 @@ object Dedup {
         lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
   }
 
+  /** Per-group MinHash sketches of each group's SHINGLE UNIVERSE —
+    * [[corpusSketch]] keyed by a group column (source/domain/snapshot):
+    * one mergeable aggregate pass produces a `numHashes`-long sketch
+    * per group, k-min over the union of the group's doc shingle sets
+    * (elementwise min of per-doc portable signatures — minima
+    * distribute over union, so the grouped route equals the
+    * direct-universe route the oracle states). NULL groups are
+    * excluded. Output: (group_key, sketch, n_docs).
+    */
+  def groupSketches(
+      df: DataFrame, textCol: String, groupCol: String,
+      n: Int = 5, numHashes: Int = 64): DataFrame =
+    df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("group_key"),
+        graft.functions.MinhashExpression.minhashFromBaseNative(
+          graft.functions.Md5Expressions.ngramMd5Hashes(
+            col(textCol), n, hexDigits = 8, mod = MinhashPrime),
+          numHashes).as("sig"))
+      .groupBy(col("group_key"))
+      .agg(
+        array((0 until numHashes).map(i =>
+          min(element_at(col("sig"), i + 1))): _*).as("sketch"),
+        count(lit(1)).as("n_docs"))
+
+  /** Pairwise cross-source overlap matrix: estimated Jaccard of every
+    * two groups' shingle universes — "which sources duplicate each
+    * other" as one table, the corpus-composition diagnostic that
+    * decides whether two crawls/snapshots are worth ingesting both.
+    * [[corpusOverlapEstimate]] answers it for ONE pair; this answers
+    * it for all ≤ groups²/2 pairs from ONE scan of the corpus (the
+    * sketches are group-scale, so the pairwise comparison — an
+    * inequality self-join over the broadcast sketch table — costs
+    * groups², independent of corpus size; fine to thousands of
+    * groups). Exact integer agreement counts over the sketch arrays;
+    * the single division is the only float. Output one row per
+    * unordered pair (group_a < group_b): (source_a, source_b,
+    * n_docs_a, n_docs_b, est_jaccard).
+    */
+  def sourceOverlapMatrix(
+      df: DataFrame, textCol: String, groupCol: String,
+      n: Int = 5, numHashes: Int = 64): DataFrame = {
+    val sk = groupSketches(df, textCol, groupCol, n, numHashes).persist()
+    val a = sk.select(col("group_key").as("source_a"),
+      col("sketch").as("_ska"), col("n_docs").as("n_docs_a"))
+    val b = sk.select(col("group_key").as("source_b"),
+      col("sketch").as("_skb"), col("n_docs").as("n_docs_b"))
+    val out = a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("n_docs_a"), col("n_docs_b"),
+        (aggregate(
+          zip_with(col("_ska"), col("_skb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+          .as("est_jaccard"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(sk))
+    out
+  }
+
   /** Fuzzy duplicate pairs by edit distance with token blocking —
     * record linkage for short strings (names, titles, addresses): all
     * pairs whose Levenshtein distance is ≤ `maxDist`, among

@@ -42,16 +42,46 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Edge count at or under which the fixed-point runs DRIVER-side —
+    * the [[Dedup.DefaultSmallGraphEdgeLimit]] rationale: each
+    * distributed round costs a fixed join+agg+snapshot regardless of
+    * graph size, so a batch-scale graph pays seconds of round
+    * overhead for microseconds of integer arithmetic. The integer
+    * fixed-point discipline makes the two paths BIT-IDENTICAL
+    * (`div` on non-negative longs is plain Java division) —
+    * spec-pinned against each other in GraphSpec. 2M edges ≈ tens of
+    * MB collected (keys ride as their JVM values) — the same order as
+    * the engine's broadcast ceilings; the per-round arithmetic is
+    * O(E) hash lookups, far cheaper than one distributed round.
+    */
+  val DefaultSmallGraphEdgeLimit: Long = 2L << 20
+
   def pageRankInt(
       edges: DataFrame, src: Column, dst: Column,
       iterations: Int = 3, dampingPermille: Long = 850L,
       unitRank: Long = 1000000L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      smallGraphEdgeLimit: Long = DefaultSmallGraphEdgeLimit): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
     require(unitRank >= 1, s"unitRank must be >= 1, got $unitRank")
     val spark = edges.sparkSession
+    // materialize the distinct edge list once; the count routes the
+    // small-graph driver path (and the distributed path consumes the
+    // edge list through this cache when building eDeg)
+    val distinctEdges = edges
+      .filter(src.isNotNull && dst.isNotNull)
+      .select(src.as("src"), dst.as("dst"))
+      .distinct()
+      .persist()
+    val edgeCount = distinctEdges.count()
+    if (edgeCount <= smallGraphEdgeLimit) {
+      val out = pageRankIntDriver(
+        distinctEdges, iterations, dampingPermille, unitRank)
+      distinctEdges.unpersist(blocking = false)
+      return out
+    }
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def snapshot(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
@@ -66,10 +96,7 @@ object Graph {
     // partitioning the repartition just built — no extra shuffle).
     // The per-round join is then edges⋈ranks only, reusing this
     // layout every round; just the (node, rank) table moves.
-    val eDeg = edges
-      .filter(src.isNotNull && dst.isNotNull)
-      .select(src.as("src"), dst.as("dst"))
-      .distinct()
+    val eDeg = distinctEdges
       .repartition(col("src"))
       .withColumn("_deg",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -102,6 +129,52 @@ object Graph {
     }
     eDeg.unpersist(false)
     nodes.unpersist(false)
+    distinctEdges.unpersist(blocking = false)
     ranks
+  }
+
+  /** Driver fixed-point over a materialized distinct edge list:
+    * the identical integer recurrence (`rank div deg` per edge,
+    * integer sums, damped rebirth with `div 1000`) in plain Long
+    * arithmetic — non-negative operands, so Spark's `div` and Java
+    * `/` agree bit for bit. Node keys are kept as their collected
+    * JVM values, so any join-able id type routes through unchanged.
+    */
+  private def pageRankIntDriver(
+      distinctEdges: DataFrame, iterations: Int,
+      dampingPermille: Long, unitRank: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.collection.mutable
+    val rows = distinctEdges.collect()
+    val deg = mutable.HashMap.empty[Any, Long].withDefaultValue(0L)
+    val nodes = mutable.LinkedHashSet.empty[Any]
+    rows.foreach { r =>
+      val s = r.get(0); val t = r.get(1)
+      deg(s) += 1L
+      nodes += s; nodes += t
+    }
+    val baseRank = ((1000L - dampingPermille) * unitRank) / 1000L
+    var ranks = mutable.HashMap.empty[Any, Long]
+    nodes.foreach(n => ranks(n) = unitRank)
+    var round = 0
+    while (round < iterations) {
+      val sums = mutable.HashMap.empty[Any, Long].withDefaultValue(0L)
+      rows.foreach { r =>
+        val s = r.get(0)
+        sums(r.get(1)) += ranks(s) / deg(s)
+      }
+      val next = mutable.HashMap.empty[Any, Long]
+      nodes.foreach(n =>
+        next(n) = baseRank + (dampingPermille * sums.getOrElse(n, 0L)) / 1000L)
+      ranks = next
+      round += 1
+    }
+    val schema = StructType(Seq(
+      StructField("node", distinctEdges.schema("src").dataType),
+      StructField("rank", LongType, nullable = false)))
+    val out = new java.util.ArrayList[Row]()
+    nodes.foreach(n => out.add(Row(n, ranks(n))))
+    distinctEdges.sparkSession.createDataFrame(out, schema)
   }
 }

@@ -211,6 +211,43 @@ object ExtensionQueries {
        |FROM sk_a a CROSS JOIN sk_b b""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q141 — cross-source overlap matrix: estimated Jaccard of every
+  // two sources' shingle universes from ONE corpus scan (per-source
+  // mergeable MinHash sketches, then a groups² sketch comparison) —
+  // "which sources duplicate each other" as a table. The oracle
+  // re-derives each source's sketch from its distinct shingle
+  // universe directly (different route, identical longs — the q62
+  // argument per group) and compares the same pairs.
+  // ---------------------------------------------------------------
+  def q141SourceOverlap(spark: SparkSession, d: String): DataFrame =
+    Dedup.sourceOverlapMatrix(Tables.documents(spark, d), "text", "source",
+      n = LshShingleN, numHashes = LshHashes)
+
+  val q141Sql: String = {
+    import graft.functions.DqFunctions.{minhashCoeffs, MinhashPrime}
+    val sketchExprs = minhashCoeffs(LshHashes)
+      .map { case (a, b) => s"min(($a * h + $b) % $MinhashPrime)" }
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH sh AS (SELECT source, unnest(list_distinct(
+       |    [substr(text, i, $LshShingleN) for i in range(1, greatest(length(text) - ${LshShingleN - 1}, 1) + 1)])) AS g
+       |  FROM documents WHERE source IS NOT NULL),
+       |h0 AS (SELECT DISTINCT source,
+       |    CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) AS BIGINT) % $MinhashPrime AS h
+       |  FROM sh),
+       |sk AS (SELECT source, $sketchExprs AS sk FROM h0 GROUP BY source),
+       |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents WHERE source IS NOT NULL GROUP BY source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  na.n_docs AS n_docs_a, nb.n_docs AS n_docs_b,
+       |  CAST(list_sum(list_transform(range(1, ${LshHashes + 1}),
+       |    i -> CASE WHEN a.sk[i] = b.sk[i] THEN 1 ELSE 0 END)) AS DOUBLE) / ${LshHashes}.0
+       |    AS est_jaccard
+       |FROM sk a JOIN sk b ON a.source < b.source
+       |JOIN nd na ON a.source = na.source
+       |JOIN nd nb ON b.source = nb.source""".stripMargin
+  }
+
   def q12MinhashLsh(spark: SparkSession, d: String): DataFrame =
     Dedup.lshNearDupPairs(Tables.documents(spark, d),
       "doc_id", "text", n = LshShingleN, numHashes = LshHashes, bands = LshBands,
@@ -919,6 +956,7 @@ object ExtensionQueries {
     "q122_containment"       -> (q122Containment _),
     "q12_minhash_lsh"        -> (q12MinhashLsh _),
     "q62_corpus_overlap"     -> (q62CorpusOverlap _),
+    "q141_source_overlap"    -> (q141SourceOverlap _),
     "q13_simhash_neardup"    -> (q13SimhashNearDup _),
     "q54_dup_clusters"       -> (q54DupClusters _),
     "q128_cluster_keep_list" -> (q128ClusterKeepList _),
@@ -949,6 +987,7 @@ object ExtensionQueries {
     "q122_containment"       -> q122Sql,
     "q12_minhash_lsh"        -> q12Sql,
     "q62_corpus_overlap"     -> q62Sql,
+    "q141_source_overlap"    -> q141Sql,
     "q13_simhash_neardup"    -> q13Sql,
     "q54_dup_clusters"       -> q54Sql,
     "q128_cluster_keep_list" -> q128Sql,

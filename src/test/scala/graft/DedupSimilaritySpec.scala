@@ -277,6 +277,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(shuffled == 1.0)
   }
 
+  test("sourceOverlapMatrix: all pairs once, identical sources 1.0, pair value == corpusOverlapEstimate") {
+    val latin = (1L to 30L).map(i => (i, "a", s"alpha beta gamma delta epsilon run $i"))
+    val latin2 = (31L to 60L).map(i => (i, "b", s"alpha beta gamma delta epsilon run ${i - 30}"))
+    val digits = (61L to 90L).map(i => (i, "c", s"0123456789 9876543210 000111222 ${i - 60}"))
+    val nullSrc = Seq((91L, null.asInstanceOf[String], "whatever text this is"))
+    val df = (latin ++ latin2 ++ digits ++ nullSrc).toDF("doc_id", "source", "text")
+    val m = graft.operators.Dedup.sourceOverlapMatrix(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // 3 non-null sources -> 3 unordered pairs, a < b ordering
+    assert(m.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // a and b carry the SAME texts (shifted ids): identical universes
+    assert(m(("a", "b")).getAs[Double]("est_jaccard") == 1.0)
+    assert(m(("a", "c")).getAs[Double]("est_jaccard") < 0.2)
+    assert(m(("a", "b")).getAs[Long]("n_docs_a") == 30L)
+    // the matrix cell equals the dedicated two-corpus operator
+    val pair = graft.operators.Dedup.corpusOverlapEstimate(
+      df.filter($"source" === "a"), df.filter($"source" === "c"),
+      "doc_id", "text").head().getDouble(2)
+    assert(m(("a", "c")).getAs[Double]("est_jaccard") == pair)
+  }
+
   test("fuzzyPairs: token blocking catches leading edits; distance bound and token cap hold") {
     val names = Seq(
       1L -> "cold bolt", 2L -> "old bolt",       // dist 1, prefixes differ

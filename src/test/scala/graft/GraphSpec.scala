@@ -42,10 +42,31 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("rank is deterministic across partitionings (integer sums commute)") {
+    // smallGraphEdgeLimit = 0 forces the DISTRIBUTED branch — the
+    // partitioning-commutativity property is about that path
     val edges = (1 to 40).map(i => (s"n${i % 7}", s"n${(i * 3) % 7}"))
       .filter { case (a, b) => a != b }.toDF("s", "t")
-    val one = ranks(Graph.pageRankInt(edges.coalesce(1), col("s"), col("t"), iterations = 3))
-    val many = ranks(Graph.pageRankInt(edges.repartition(13), col("s"), col("t"), iterations = 3))
+    val one = ranks(Graph.pageRankInt(edges.coalesce(1), col("s"), col("t"),
+      iterations = 3, smallGraphEdgeLimit = 0L))
+    val many = ranks(Graph.pageRankInt(edges.repartition(13), col("s"), col("t"),
+      iterations = 3, smallGraphEdgeLimit = 0L))
     assert(one == many)
+  }
+
+  test("driver fixed-point and distributed rounds are bit-identical") {
+    val edges = (1 to 60).map(i => (s"n${i % 11}", s"n${(i * 5) % 11}"))
+      .filter { case (a, b) => a != b }.toDF("s", "t")
+    val driver = ranks(Graph.pageRankInt(edges, col("s"), col("t"), iterations = 3))
+    val dist = ranks(Graph.pageRankInt(edges, col("s"), col("t"),
+      iterations = 3, smallGraphEdgeLimit = 0L))
+    assert(driver == dist)
+    // long node ids route through the driver path unchanged
+    val longEdges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("s", "t")
+    val dl = Graph.pageRankInt(longEdges, col("s"), col("t"), iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ll = Graph.pageRankInt(longEdges, col("s"), col("t"), iterations = 2,
+        smallGraphEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dl == ll)
   }
 }
