@@ -1302,6 +1302,65 @@ object Dedup {
           min(element_at(col("sig"), i + 1))): _*).as("sketch"),
         count(lit(1)).as("n_docs"))
 
+  /** Merge two [[groupSketches]] tables — the incremental-maintenance
+    * form of the overlap surface (the [[Incremental]] partials
+    * discipline applied to MinHash): per group, the union-universe
+    * sketch is the ELEMENTWISE MIN of the two sketches (each k-min
+    * component over A ∪ B is min of the per-side minima — exact, not
+    * approximate merging), and doc counts add. Groups present on one
+    * side pass through. A nightly ingest therefore maintains the
+    * source-overlap matrix by sketching ONLY the new batch and
+    * min-merging — no corpus rescan; merging is associative and
+    * commutative, so any shard/batch order gives the identical table
+    * (spec-pinned: merged halves == single-pass sketch, bit for bit).
+    */
+  def mergeGroupSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("group_key"), col("sketch").as("_sa"), col("n_docs").as("_na"))
+      .join(
+        b.select(col("group_key"), col("sketch").as("_sb"), col("n_docs").as("_nb")),
+        Seq("group_key"), "full")
+      .select(col("group_key"),
+        when(col("_sa").isNull, col("_sb"))
+          .when(col("_sb").isNull, col("_sa"))
+          .otherwise(zip_with(col("_sa"), col("_sb"), (x, y) => least(x, y)))
+          .as("sketch"),
+        (coalesce(col("_na"), lit(0L)) + coalesce(col("_nb"), lit(0L)))
+          .as("n_docs"))
+
+  /** One-row impact report over a cluster keep-list (the q128/q129
+    * decision surface): how much the dedup decision actually removes —
+    * clustered docs, clusters, keepers, drops, the drop fraction, and
+    * the size extremes. The reporting layer a curation run logs after
+    * maintaining the decision table; one map-side-partial aggregate
+    * over the (already pair-scale) keep-list.
+    */
+  def keepListImpact(keepList: DataFrame): DataFrame =
+    keepList.agg(
+      count(lit(1)).as("n_docs_clustered"),
+      count_distinct(col("cluster_id")).as("n_clusters"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("n_drop"),
+      max(col("cluster_size")).as("max_cluster_size"))
+      .select(col("n_docs_clustered"), col("n_clusters"),
+        col("n_keep"), col("n_drop"), col("max_cluster_size"),
+        when(col("n_docs_clustered") > 0L,
+          col("n_drop").cast("double") / col("n_docs_clustered").cast("double"))
+          .as("drop_frac"))
+
+  /** Cluster-size census over a keep-list: per distinct cluster size,
+    * how many clusters and docs sit at that size — the "how big are
+    * my duplicate families" distribution that decides whether the
+    * corpus has a boilerplate monster or a long tail of pairs.
+    * Collapses to one row per cluster first (≤ clusters rows cross
+    * the shuffle), then to ≤ distinct-sizes rows.
+    */
+  def clusterSizeCensus(keepList: DataFrame): DataFrame =
+    keepList.select(col("cluster_id"), col("cluster_size")).distinct()
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"))
+
   /** Pairwise cross-source overlap matrix: estimated Jaccard of every
     * two groups' shingle universes — "which sources duplicate each
     * other" as one table, the corpus-composition diagnostic that

@@ -298,6 +298,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(m(("a", "c")).getAs[Double]("est_jaccard") == pair)
   }
 
+  test("mergeGroupSketches: min-merged batch sketches equal the single-pass sketch bit for bit") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val whole = graft.operators.Dedup.groupSketches(docs, "text", "source")
+    val merged = graft.operators.Dedup.mergeGroupSketches(
+      graft.operators.Dedup.groupSketches(docs.filter($"doc_id" % 2 === 0), "text", "source"),
+      graft.operators.Dedup.groupSketches(docs.filter($"doc_id" % 2 =!= 0), "text", "source"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(m(merged) == m(whole))
+    // a group present on one side only passes through unchanged
+    val solo = graft.operators.Dedup.groupSketches(
+      Seq((1L, "only", "zz yy xx ww vv uu")).toDF("doc_id", "source", "text"),
+      "text", "source")
+    val withSolo = graft.operators.Dedup.mergeGroupSketches(whole, solo)
+    assert(m(withSolo)("only") == m(solo)("only"))
+    assert(m(withSolo).filterNot(_._1 == "only") == m(whole))
+  }
+
+  test("keepListImpact and clusterSizeCensus: hand-checked report; q128 invariants") {
+    val kl = Seq(
+      (1L, 10L, 3L, true), (2L, 10L, 3L, false), (3L, 10L, 3L, false),
+      (4L, 20L, 2L, true), (5L, 20L, 2L, false))
+      .toDF("doc_id", "cluster_id", "cluster_size", "keep")
+    val imp = graft.operators.Dedup.keepListImpact(kl).head()
+    assert(imp.getAs[Long]("n_docs_clustered") == 5L)
+    assert(imp.getAs[Long]("n_clusters") == 2L)
+    assert(imp.getAs[Long]("n_keep") == 2L && imp.getAs[Long]("n_drop") == 3L)
+    assert(imp.getAs[Long]("max_cluster_size") == 3L)
+    assert(imp.getAs[Double]("drop_frac") == 0.6)
+    val cs = graft.operators.Dedup.clusterSizeCensus(kl).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cs == Map(3L -> (1L, 3L), 2L -> (1L, 2L)))
+    // over the real decision table: one keeper per cluster, all real clusters
+    val real = graft.queries.ExtensionQueries
+      .q128ClusterKeepList(spark, TestSpark.sf)
+    val rimp = graft.operators.Dedup.keepListImpact(real).head()
+    assert(rimp.getAs[Long]("n_keep") == rimp.getAs[Long]("n_clusters"))
+    assert(graft.operators.Dedup.clusterSizeCensus(real)
+      .filter($"cluster_size" < 2).isEmpty)
+  }
+
   test("fuzzyPairs: token blocking catches leading edits; distance bound and token cap hold") {
     val names = Seq(
       1L -> "cold bolt", 2L -> "old bolt",       // dist 1, prefixes differ

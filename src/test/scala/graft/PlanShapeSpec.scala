@@ -555,6 +555,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q141: sketch comparison is a broadcast join over group-scale sketches, never a cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.q141SourceOverlap(spark, d))
+    // the inequality pair join must ride the broadcast sketch table
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"pair comparison must broadcast the group-scale sketch side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the matrix must never degrade to a shuffled cartesian:\n$p")
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
