@@ -720,4 +720,81 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(rows.contains(("click", 3L, Some(false))))    // normal window not
     assert(rows.contains(("mystery", 2L, None)))         // unknown feed: null
   }
+
+  test("streaming keep-list maintenance: foreachBatch folds arriving batches; final state equals from-scratch") {
+    // The q129 maintenance operator driven the way production drives
+    // it: document batches arrive on a stream, foreachBatch folds each
+    // into the MATERIALIZED decision + signature tables (parquet,
+    // versioned per batch — write-new, never overwrite-while-reading),
+    // and after any number of batches the maintained table equals the
+    // from-scratch run over everything seen. No corpus rescan ever
+    // happens inside the loop — each fold touches the increment plus
+    // the touched clusters only.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text", $"n_chars").persist()
+    // the maintained score table (production: a materialized q112 run)
+    val scores = docs.select($"doc_id", $"n_chars".cast("double").as("score"))
+    val dir = java.nio.file.Files.createTempDirectory("stream_keeplist").toString
+    val w = Window.partitionBy($"cluster_id").orderBy($"score".desc, $"doc_id".asc)
+    // initial state from the first third, batch-style
+    val b0 = docs.filter($"doc_id" % 3 === 0)
+    val (p0, s0) = Dedup.lshNearDupPairsWithSignatures(
+      b0, "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    Dedup.duplicateClusters(p0, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"cluster_id", $"cluster_size")
+      .join(scores, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "cluster_size", "score", "keep")
+      .write.parquet(s"$dir/state_v0")
+    s0.write.parquet(s"$dir/sigs_v0"); s0.unpersist()
+    var version = 0
+    val stream = MemoryStream[(Long, String)]
+    val sq = stream.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val state = spark.read.parquet(s"$dir/state_v$version")
+        val sigs = spark.read.parquet(s"$dir/sigs_v$version")
+        val (updated, newSigs) = Dedup.foldIntoClusterKeepList(
+          state, sigs, scores, batch, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        version += 1
+        updated.write.parquet(s"$dir/state_v$version")
+        sigs.unionByName(newSigs).write.parquet(s"$dir/sigs_v$version")
+        newSigs.unpersist()
+        ()
+      }
+      .start()
+    val third1 = docs.filter($"doc_id" % 3 === 1)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val third2 = docs.filter($"doc_id" % 3 === 2)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    stream.addData(third1)
+    sq.processAllAvailable()
+    stream.addData(third2)
+    sq.processAllAvailable()
+    sq.stop()
+    assert(version == 2, s"two folds expected, got $version")
+    // from-scratch over the full corpus with the same scores
+    val (pAll, sAll) = Dedup.lshNearDupPairsWithSignatures(
+      docs, "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    val scratch = Dedup.duplicateClusters(pAll, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"cluster_id", $"cluster_size")
+      .join(scores, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "cluster_size", "score", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    sAll.unpersist()
+    val maintained = spark.read.parquet(s"$dir/state_v$version")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Double]("score"), r.getAs[Boolean]("keep"))).toMap
+    docs.unpersist()
+    assert(maintained == scratch,
+      "maintained decision table must equal the from-scratch run")
+  }
 }

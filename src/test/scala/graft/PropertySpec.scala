@@ -319,4 +319,83 @@ class PropertySpec extends AnyFunSuite {
     assert(leakRows == byGroup.values.filter(_.map(_._3).distinct.size > 1)
       .map(_.size).sum.toLong)
   }
+
+  test("brierDecomposition: Murphy identity and metric bounds on random banded batches") {
+    import graft.operators.Evaluation
+    val rowGen = for {
+      s <- Gen.choose(-0.5, 1.5) // beyond [0,1) on both sides (clamp)
+      y <- Gen.oneOf(true, false)
+    } yield (s, y)
+    for (trial <- 1 to 3) {
+      val rows = Gen.listOfN(150, rowGen).sample.get
+      val r = Evaluation.brierDecomposition(
+        rows.toDF("s", "y"), $"s", $"y", 0.0, 1.0, 8).head()
+      val (brier, rel, res, unc, ece) = (
+        r.getAs[Double]("brier"), r.getAs[Double]("reliability"),
+        r.getAs[Double]("resolution"), r.getAs[Double]("uncertainty"),
+        r.getAs[Double]("ece"))
+      assert(brier >= 0 && brier <= 1, s"trial $trial: brier $brier")
+      assert(rel >= 0 && unc >= 0 && unc <= 0.25)
+      assert(res >= -1e-5 && res <= unc + 1e-5,
+        s"trial $trial: resolution $res must sit in [0, uncertainty=$unc] up to quanta")
+      assert(ece >= 0 && ece <= 1)
+      // Jensen: reliability >= ece^2 (mean of squares vs squared mean
+      // of the per-band |gap| under the band-mass weighting)
+      assert(rel + 1e-5 >= ece * ece,
+        s"trial $trial: rel $rel < ece^2 ${ece * ece}")
+      assert(math.abs(brier - (rel - res + unc)) < 1e-5,
+        s"trial $trial: identity broke: $brier vs ${rel - res + unc}")
+    }
+  }
+
+  test("spearmanCorr bounds and symmetry on random pair batches") {
+    import graft.operators.Profiling
+    val rowGen = for {
+      x <- Gen.choose(-100, 100)
+      y <- Gen.choose(-100, 100)
+    } yield (x.toDouble, y.toDouble)
+    val rows = Gen.listOfN(200, rowGen).sample.get
+    val df = rows.toDF("x", "y")
+    val rho = Profiling.spearmanCorr(df, $"x", $"y").head().getAs[Double]("spearman_rho")
+    assert(rho >= -1.0 - 1e-12 && rho <= 1.0 + 1e-12, s"rho out of range: $rho")
+    // symmetric in its arguments
+    val rho2 = Profiling.spearmanCorr(df, $"y", $"x").head().getAs[Double]("spearman_rho")
+    assert(rho == rho2)
+    // invariant under strictly monotone transforms of either column
+    val rho3 = Profiling.spearmanCorr(
+      df.select(exp($"x" / 50.0).as("x"), $"y"), $"x", $"y")
+      .head().getAs[Double]("spearman_rho")
+    assert(math.abs(rho - rho3) < 1e-12,
+      s"rank correlation must survive a monotone transform: $rho vs $rho3")
+  }
+
+  test("retrievalQuality invariants: hits monotone in k, recall/precision consistent") {
+    import graft.operators.Ranking
+    val runGen = for {
+      q <- Gen.choose(1L, 8L)
+      item <- Gen.choose(1, 40)
+      s <- Gen.choose(0.0, 1.0)
+    } yield (q, s"i$item", s)
+    val truthGen = for {
+      q <- Gen.choose(1L, 8L)
+      item <- Gen.choose(1, 40)
+    } yield (q, s"i$item")
+    val run = Gen.listOfN(120, runGen).sample.get
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (q,item)
+      .toDF("q", "item", "s")
+    val truth = Gen.listOfN(40, truthGen).sample.get.distinct.toDF("q", "item")
+    def byQ(k: Int) = Ranking.retrievalQuality(run, truth, "q", "item", "s", k)
+      .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+    val k2 = byQ(2); val k5 = byQ(5)
+    assert(k2.keySet == k5.keySet, "the query set comes from truth, not the cutoff")
+    k2.keySet.foreach { q =>
+      val (a, b) = (k2(q), k5(q))
+      assert(a.getAs[Long]("hits") <= b.getAs[Long]("hits"), s"q$q hits monotone in k")
+      assert(b.getAs[Long]("hits") <= b.getAs[Long]("n_rel"))
+      assert(b.getAs[Long]("n_ret") <= 5L)
+      val recall = b.getAs[Double]("recall_at_k")
+      assert(recall >= 0 && recall <= 1)
+      assert(recall == b.getAs[Long]("hits").toDouble / b.getAs[Long]("n_rel").toDouble)
+    }
+  }
 }
