@@ -933,6 +933,157 @@ object Evaluation {
           (lit(b2.toDouble) * col("n").cast("double"))).as("ece")): _*)
   }
 
+  /** Isotonic (pool-adjacent-violators) calibration over the band
+    * census — the FIX step completing the calibration family:
+    * [[calibrationReport]] diagnoses miscalibration,
+    * [[thresholdSweep]] picks operating points, and this produces the
+    * monotone band → probability mapping that recalibrates the score
+    * (the standard isotonic-regression recalibrator, computed at band
+    * granularity so it trains on a census, not on raw rows).
+    *
+    * Algorithm: ascending bands pool while the empirical rate
+    * DECREASES (adjacent-violators merge), leaving maximal blocks
+    * with non-decreasing pooled rates — the exact isotonic fit to the
+    * banded data under L2. Rate comparisons cross-multiply exact
+    * longs (pos_a·n_b ≥ pos_b·n_a — no float enters the pooling
+    * decision), so the block structure is engine/order-exact; each
+    * band's calibrated_p is the single stated division
+    * pooledPos/pooledN of its block. Empty bands carry no evidence:
+    * they join whatever block their position falls in (leading
+    * empties take the first block's value), keeping the mapping total
+    * over the band domain and monotone.
+    *
+    * Scale shape: ONE raw scan to the ≤ bins census
+    * ([[bandedCensusSpine]]'s single-evaluation layout), then PAV
+    * runs driver-side over ≤ bins rows — config-sized, the same
+    * class of pull as centroids/bin-edges. Output: one row per band
+    * (band, lo, hi, n, n_pos, calibrated_p), monotone non-decreasing
+    * in `band`; mass is conserved exactly within each block
+    * (Σ n_b·p̂_b over a block = that block's positives — the PAV
+    * property that makes the recalibrated scores sum-faithful).
+    * Returns the empty mapping on an empty eval set.
+    */
+  def isotonicCalibration(
+      df: DataFrame, score: Column, label: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val width = (hi - lo) / bins
+    val (spine, census) =
+      bandedCensusSpine(df, None, score, label, lo, hi, bins)
+    val rows = spine.select(col("band"), col("n"), col("n_pos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
+    val spark = df.sparkSession
+    if (rows.forall(_._2 == 0L))
+      return spark.range(0).select(
+        col("id").as("band"), lit(0.0).as("lo"), lit(0.0).as("hi"),
+        lit(0L).as("n"), lit(0L).as("n_pos"),
+        lit(0.0).as("calibrated_p"))
+    val out = pavMapping(rows.toIndexedSeq).map { case (b, n, p, cal) =>
+      (b, lo + b * width, lo + (b + 1) * width, n, p, cal)
+    }
+    import spark.implicits._
+    out.toDF("band", "lo", "hi", "n", "n_pos", "calibrated_p")
+  }
+
+  /** Per-group isotonic recalibration — [[isotonicCalibration]] keyed
+    * by a group column: each source gets its OWN monotone mapping
+    * over the shared [lo, hi) domain, completing the per-source
+    * family on the recalibration side (a gate miscalibrated on one
+    * source is fixed per source, not nudged globally). One scan to
+    * the groups×bins census; PAV runs driver-side per group over the
+    * collected census — a groups×bins pull, the same
+    * dashboard-cardinality contract as the grouped-eval offsets
+    * broadcast (for a million-group column, run the global form per
+    * partition of interest instead). Groups with no surviving rows
+    * are absent. Output: (group_key, band, lo, hi, n, n_pos,
+    * calibrated_p), monotone within each group.
+    */
+  def isotonicCalibrationBy(
+      df: DataFrame, group: Column, score: Column, label: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val width = (hi - lo) / bins
+    val (spine, census) =
+      bandedCensusSpine(df, Some(group), score, label, lo, hi, bins)
+    val rows = spine.select(col("_g"), col("band"), col("n"), col("n_pos"))
+      .collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.CacheLifecycle.releaseAfterFirstUse(Seq(census))
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val gType = spine.schema("_g").dataType
+    val schema = StructType(Seq(
+      StructField("group_key", gType),
+      StructField("band", LongType, nullable = false),
+      StructField("lo", DoubleType, nullable = false),
+      StructField("hi", DoubleType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("n_pos", LongType, nullable = false),
+      StructField("calibrated_p", DoubleType, nullable = false)))
+    val out = new java.util.ArrayList[Row]()
+    rows.groupBy(_._1).foreach { case (g, grows) =>
+      val perBand = grows.map(t => (t._2, t._3, t._4)).sortBy(_._1).toIndexedSeq
+      if (perBand.exists(_._2 > 0L))
+        pavMapping(perBand).foreach { case (b, n, p, cal) =>
+          out.add(Row(g, b, lo + b * width, lo + (b + 1) * width, n, p, cal))
+        }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** The PAV core over one group's band census (ascending, all bands
+    * present): pool adjacent violators with exact long cross-product
+    * rate comparisons, then map every band to its covering block's
+    * rate (empties extend the earlier block; leading empties take the
+    * first block). Returns (band, n, n_pos, calibrated_p).
+    */
+  private def pavMapping(
+      rows: IndexedSeq[(Long, Long, Long)]): IndexedSeq[(Long, Long, Long, Double)] = {
+    final case class Block(from: Long, to: Long, n: Long, pos: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    rows.filter(_._2 > 0L).foreach { case (b, n, p) =>
+      var cur = Block(b, b, n, p)
+      // merge while the previous block's rate EXCEEDS the new one:
+      // pos_prev·n_cur > pos_cur·n_prev — exact long cross-product
+      while (stack.nonEmpty &&
+        stack.last.pos * cur.n > cur.pos * stack.last.n) {
+        val prev = stack.remove(stack.length - 1)
+        cur = Block(prev.from, cur.to, prev.n + cur.n, prev.pos + cur.pos)
+      }
+      stack += cur
+    }
+    val blocks = stack.toIndexedSeq
+    def blockFor(band: Long): Block = {
+      val idx = blocks.lastIndexWhere(_.from <= band)
+      blocks(math.max(idx, 0))
+    }
+    rows.map { case (b, n, p) =>
+      val blk = blockFor(b)
+      (b, n, p, blk.pos.toDouble / blk.n.toDouble)
+    }
+  }
+
+  /** Apply an [[isotonicCalibration]] mapping to raw scores: each row
+    * gets `calibrated_p` of its (clamped) band — a broadcast join
+    * against the ≤ bins mapping, map-side at any scale. Rows with
+    * NULL/NaN scores calibrate to NULL (no band carries them — the
+    * family's exclusion convention).
+    */
+  def applyIsotonic(
+      df: DataFrame, score: Column, mapping: DataFrame,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val width = (hi - lo) / bins
+    val v = score.cast("double")
+    val band = when(v.isNotNull && !isnan(v),
+      least(lit(bins - 1L), greatest(lit(0L), floor((v - lit(lo)) / lit(width)))))
+    df.withColumn("_band", band)
+      .join(broadcast(mapping.select(col("band").as("_band"),
+        col("calibrated_p"))), Seq("_band"), "left")
+      .drop("_band")
+  }
+
   /** Per-group calibration census — [[calibrationReport]] keyed by a
     * group column, one scan + map-side partials to ≤ groups×bins rows.
     * The spine is distinct-groups × bands so every group's reliability

@@ -658,6 +658,91 @@ object EvalQueries {
        |  END AS spearman_rho
        |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q142 — isotonic (PAV) recalibration mapping of the quality gate
+  // over the q120 bands: the FIX completing the calibration family.
+  // The engine pools adjacent violators driver-side over the ≤ bins
+  // census (exact long cross-product comparisons); the oracle states
+  // the MINIMAX characterization of the same fit — calibrated_p(b) =
+  // max_{i<=b} min_{j>=b} pooled-rate[i..j] over non-empty bands —
+  // an O(bins³) SQL the two routes provably share (each candidate
+  // rate is a single division of exact longs, so equal rationals are
+  // equal doubles). Oracle-pinned on the NON-EMPTY bands (the
+  // engine's empty-band block-extension is a stated convention,
+  // spec-pinned).
+  // ---------------------------------------------------------------
+  def q142IsotonicCalibration(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.isotonicCalibration(s, col("logit"), col("is_en"),
+      lo = -4.0, hi = 4.0, bins = BrierBins)
+      .filter(col("n") > 0L)
+  }
+
+  val q142Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |b AS (
+       |  SELECT LEAST(${BrierBins - 1}, GREATEST(0,
+       |      CAST(FLOOR((logit - (-4.0)) / 0.5) AS BIGINT))) AS band,
+       |    CASE WHEN is_en THEN 1 ELSE 0 END AS p
+       |  FROM s),
+       |c AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(p) AS BIGINT) AS n_pos
+       |      FROM b GROUP BY band),
+       |ranges AS (SELECT i.band AS lo_b, j.band AS hi_b,
+       |    CAST(CAST(SUM(k.n_pos) AS BIGINT) AS DOUBLE)
+       |      / CAST(CAST(SUM(k.n) AS BIGINT) AS DOUBLE) AS r
+       |  FROM c i JOIN c j ON i.band <= j.band
+       |  JOIN c k ON k.band BETWEEN i.band AND j.band
+       |  GROUP BY i.band, j.band),
+       |mn AS (SELECT cb.band, rg.lo_b, MIN(rg.r) AS v
+       |  FROM c cb JOIN ranges rg ON rg.lo_b <= cb.band AND rg.hi_b >= cb.band
+       |  GROUP BY cb.band, rg.lo_b),
+       |mm AS (SELECT band, MAX(v) AS calibrated_p FROM mn GROUP BY band)
+       |SELECT c.band, -4.0 + c.band * 0.5 AS lo, -4.0 + (c.band + 1) * 0.5 AS hi,
+       |  c.n, c.n_pos, mm.calibrated_p
+       |FROM c JOIN mm ON c.band = mm.band""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q143 — per-SOURCE isotonic recalibration: each source gets its
+  // own PAV mapping over the shared domain (the q142 fit keyed by
+  // source). Oracle: the minimax characterization partitioned by
+  // source. Non-empty bands pinned, as in q142.
+  // ---------------------------------------------------------------
+  def q143GroupIsotonic(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.isotonicCalibrationBy(s, col("source"), col("logit"), col("is_en"),
+      lo = -4.0, hi = 4.0, bins = BrierBins)
+      .withColumnRenamed("group_key", "source")
+      .filter(col("n") > 0L)
+  }
+
+  val q143Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |b AS (
+       |  SELECT source, LEAST(${BrierBins - 1}, GREATEST(0,
+       |      CAST(FLOOR((logit - (-4.0)) / 0.5) AS BIGINT))) AS band,
+       |    CASE WHEN is_en THEN 1 ELSE 0 END AS p
+       |  FROM s WHERE source IS NOT NULL),
+       |c AS (SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(p) AS BIGINT) AS n_pos
+       |      FROM b GROUP BY source, band),
+       |ranges AS (SELECT i.source, i.band AS lo_b, j.band AS hi_b,
+       |    CAST(CAST(SUM(k.n_pos) AS BIGINT) AS DOUBLE)
+       |      / CAST(CAST(SUM(k.n) AS BIGINT) AS DOUBLE) AS r
+       |  FROM c i JOIN c j ON i.source = j.source AND i.band <= j.band
+       |  JOIN c k ON k.source = i.source AND k.band BETWEEN i.band AND j.band
+       |  GROUP BY i.source, i.band, j.band),
+       |mn AS (SELECT cb.source, cb.band, rg.lo_b, MIN(rg.r) AS v
+       |  FROM c cb JOIN ranges rg ON rg.source = cb.source
+       |    AND rg.lo_b <= cb.band AND rg.hi_b >= cb.band
+       |  GROUP BY cb.source, cb.band, rg.lo_b),
+       |mm AS (SELECT source, band, MAX(v) AS calibrated_p
+       |  FROM mn GROUP BY source, band)
+       |SELECT c.source, c.band,
+       |  -4.0 + c.band * 0.5 AS lo, -4.0 + (c.band + 1) * 0.5 AS hi,
+       |  c.n, c.n_pos, mm.calibrated_p
+       |FROM c JOIN mm ON c.source = mm.source AND c.band = mm.band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -672,7 +757,9 @@ object EvalQueries {
     "q134_auc_bootstrap"     -> (q134AucBootstrap _),
     "q137_brier_decomposition" -> (q137BrierDecomposition _),
     "q139_length_correlation" -> (q139LengthCorrelation _),
-    "q140_group_brier"       -> (q140GroupBrier _))
+    "q140_group_brier"       -> (q140GroupBrier _),
+    "q142_isotonic_calibration" -> (q142IsotonicCalibration _),
+    "q143_group_isotonic"    -> (q143GroupIsotonic _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -688,5 +775,7 @@ object EvalQueries {
     "q134_auc_bootstrap"     -> q134Sql,
     "q137_brier_decomposition" -> q137Sql,
     "q139_length_correlation" -> q139Sql,
-    "q140_group_brier"       -> q140Sql)
+    "q140_group_brier"       -> q140Sql,
+    "q142_isotonic_calibration" -> q142Sql,
+    "q143_group_isotonic"    -> q143Sql)
 }

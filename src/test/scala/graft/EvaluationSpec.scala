@@ -719,6 +719,94 @@ class EvaluationSpec extends AnyFunSuite {
     assert(e.isNullAt(e.fieldIndex("uncertainty")))
   }
 
+  test("isotonicCalibration: PAV pools the violator pair, mapping is total and monotone") {
+    // bands on [0,1) with bins=4: rates 0.6, 0.2, 0.9, (empty) —
+    // bands 0,1 violate (0.6 > 0.2) and pool to 4/10 = 0.4
+    val rows =
+      Seq.fill(3)((0.1, true)) ++ Seq.fill(2)((0.1, false)) ++
+      Seq.fill(1)((0.3, true)) ++ Seq.fill(4)((0.3, false)) ++
+      Seq.fill(9)((0.6, true)) ++ Seq.fill(1)((0.6, false))
+    val m = Evaluation.isotonicCalibration(rows.toDF("s", "y"), $"s", $"y", 0.0, 1.0, 4)
+      .collect().map(r => r.getAs[Long]("band") -> r).toMap
+    assert(m.keySet == Set(0L, 1L, 2L, 3L))
+    assert(m(0L).getAs[Double]("calibrated_p") == 0.4)
+    assert(m(1L).getAs[Double]("calibrated_p") == 0.4)
+    assert(m(2L).getAs[Double]("calibrated_p") == 0.9)
+    // trailing empty band extends the last block
+    assert(m(3L).getAs[Double]("calibrated_p") == 0.9)
+    assert(m(1L).getAs[Long]("n") == 5L && m(1L).getAs[Long]("n_pos") == 1L)
+    // mass conservation: sum n*p_hat == total positives (PAV property)
+    val mass = m.values.map(r => r.getAs[Long]("n") * r.getAs[Double]("calibrated_p")).sum
+    assert(math.abs(mass - 13.0) < 1e-9)
+  }
+
+  test("isotonicCalibration: monotone on random batches; leading empty bands take the first block") {
+    val rows = (0 until 300).map(i => (((i * 37) % 100) / 100.0, (i * 13) % 7 < 3))
+    val m = Evaluation.isotonicCalibration(rows.toDF("s", "y"), $"s", $"y", 0.0, 1.0, 10)
+      .orderBy("band").collect().map(_.getAs[Double]("calibrated_p"))
+    assert(m.length == 10)
+    assert(m.sliding(2).forall(p => p(0) <= p(1)), s"not monotone: ${m.toSeq}")
+    // all mass in the top band: the three leading empty bands inherit
+    // the first (and only) block's value 2/3
+    val hi = Seq((0.8, true), (0.9, false), (0.95, true)).toDF("s", "y")
+    val mh = Evaluation.isotonicCalibration(hi, $"s", $"y", 0.0, 1.0, 4)
+      .collect().map(r => r.getAs[Long]("band") -> r.getAs[Double]("calibrated_p")).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(b => mh(b) == 2.0 / 3.0), mh.toString)
+    // empty input: empty mapping, not a crash
+    assert(Evaluation.isotonicCalibration(
+      Seq.empty[(Double, Boolean)].toDF("s", "y"), $"s", $"y", 0.0, 1.0, 4).isEmpty)
+  }
+
+  test("isotonicCalibrationBy: per-group mapping equals the solo fit per group") {
+    val rows = (0 until 240).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      // different score-label structure per group
+      val s = ((i * 29) % 100) / 100.0
+      val y = if (g == "a") (i % 3 == 0) else ((i * 7) % 5 < 3)
+      (g, s, y)
+    }
+    val df = rows.toDF("g", "s", "y")
+    val by = Evaluation.isotonicCalibrationBy(df, $"g", $"s", $"y", 0.0, 1.0, 8)
+      .collect()
+      .groupBy(_.getAs[String]("group_key"))
+      .view.mapValues(_.map(r => r.getAs[Long]("band") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Double]("calibrated_p"))).toMap).toMap
+    assert(by.keySet == Set("a", "b"))
+    for (g <- Seq("a", "b")) {
+      val solo = Evaluation.isotonicCalibration(
+        df.filter($"g" === g), $"s", $"y", 0.0, 1.0, 8)
+        .collect().map(r => r.getAs[Long]("band") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+            r.getAs[Double]("calibrated_p"))).toMap
+      assert(by(g) == solo, s"group $g drifted from the solo fit")
+      // monotone within the group
+      val ordered = by(g).toSeq.sortBy(_._1).map(_._2._3)
+      assert(ordered.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
+  test("applyIsotonic: rows calibrate by clamped band; null/NaN scores calibrate to NULL") {
+    val train = Seq.fill(4)((0.1, false)) ++ Seq.fill(4)((0.9, true))
+    val mapping = Evaluation.isotonicCalibration(
+      train.toDF("s", "y"), $"s", $"y", 0.0, 1.0, 2)
+    val applied = Evaluation.applyIsotonic(
+      Seq(Some(0.2), Some(0.7), Some(-5.0), Some(99.0), None, Some(Double.NaN))
+        .toDF("s"), $"s", mapping, 0.0, 1.0, 2)
+      .select($"s", $"calibrated_p").collect()
+    def calFor(p: Double => Boolean): Option[Double] = {
+      val r = applied.find(r => !r.isNullAt(0) && p(r.getDouble(0))).get
+      if (r.isNullAt(1)) None else Some(r.getDouble(1))
+    }
+    assert(calFor(_ == 0.2) == Some(0.0))
+    assert(calFor(_ == 0.7) == Some(1.0))
+    assert(calFor(_ == -5.0) == Some(0.0), "clamps to band 0")
+    assert(calFor(_ == 99.0) == Some(1.0), "clamps to the top band")
+    assert(calFor(_.isNaN).isEmpty, "NaN score calibrates to NULL")
+    val nullRow = applied.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(1), "NULL score calibrates to NULL")
+  }
+
   test("brierDecomposition is partitioning-independent") {
     val rows = (0 until 500).map(i => (((i * 37) % 100) / 100.0, i % 3 == 0))
     val a = Evaluation.brierDecomposition(
