@@ -182,7 +182,29 @@ object Evaluation {
     * special case — one code path, so weighted and unweighted can
     * never drift.
     */
-  private def aucMassCore(nn: DataFrame, cells: Int): DataFrame = {
+  private def aucMassCore(nn: DataFrame, cells: Int): DataFrame =
+    rankedMass(nn, cells) match {
+      case None =>
+        // empty eval set: a defined shape, not a crash
+        nn.sparkSession.range(1).select(
+          lit(0L).as("n_pos"), lit(0L).as("n_neg"),
+          lit(0L).as("n_distinct_scores"),
+          lit(null).cast("double").as("auc"))
+      case Some((ranked, censusAll)) => aucFinish(ranked, censusAll)
+    }
+
+  /** Build the cell-ranked distinct-score census shared by the
+    * rank-statistic family ([[aucExact]]/[[aucExactWeighted]]'s AUC
+    * and [[rankSumTest]]'s Mann–Whitney z): one raw scan collapsed to
+    * a persisted (score → pos mass, neg mass) census, bounds and the
+    * `cells`-way-parallel cumulative-negative prefix derived from the
+    * census itself. Returns None when the census is empty (no rows, or
+    * every score NULL/NaN) — the cache is already released in that
+    * case; otherwise (ranked, censusAll) with the caller owning the
+    * census release (key it on the RETURNED plan, see [[aucFinish]]).
+    */
+  private def rankedMass(
+      nn: DataFrame, cells: Int): Option[(DataFrame, DataFrame)] = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     val W = org.apache.spark.sql.expressions.Window
     // score census FIRST: one raw scan, persisted at distinct-score
@@ -196,12 +218,8 @@ object Evaluation {
     val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
     val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx")).head()
     if (bounds.isNullAt(0)) {
-      // empty eval set: a defined shape, not a crash
       censusAll.unpersist(blocking = false)
-      return nn.sparkSession.range(1).select(
-        lit(0L).as("n_pos"), lit(0L).as("n_neg"),
-        lit(0L).as("n_distinct_scores"),
-        lit(null).cast("double").as("auc"))
+      return None
     }
     val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
     val width = (mx - mn) / cells
@@ -220,6 +238,13 @@ object Evaluation {
     val ranked = cen.join(broadcast(offs.select(col("_c"), col("_off"))), Seq("_c"))
       .withColumn("_cumNeg",
         col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
+    Some((ranked, censusAll))
+  }
+
+  /** The AUC finisher over [[rankedMass]]'s frame: DECIMAL(38,0)
+    * Mann–Whitney numerator, one stated division.
+    */
+  private def aucFinish(ranked: DataFrame, censusAll: DataFrame): DataFrame = {
     val out = ranked.agg(
       sum(col("_pos")).as("n_pos"),
       sum(col("_neg")).as("n_neg"),
@@ -240,6 +265,73 @@ object Evaluation {
     // census from raw on both prefix-sum branches)
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll))
     out
+  }
+
+  /** Mann–Whitney U rank-sum test with tie-corrected normal
+    * approximation — the SIGNIFICANCE leg of the rank-statistic family
+    * ([[aucExact]] answers "how well does the score separate the
+    * classes"; this answers "is that separation more than chance for
+    * these sample sizes"). Same census machinery, same single scan:
+    * U rides the identical DECIMAL(38,0) rank-sum numerator
+    * (num = 2U), and the tie correction Σ(t³−t) accumulates in
+    * DECIMAL(38,0) over per-distinct-score tie sizes t = pos+neg
+    * (exact while every tie group stays under ~4.5×10¹² rows — far
+    * past any real score census).
+    *
+    *   z = (U − n₁n₂/2) / σ,
+    *   σ² = n₁n₂/12 · [(n+1) − Σ(t³−t)/(n(n−1))],  n = n₁+n₂
+    *
+    * stated as ONE fixed dag of IEEE ops over exactly-converted
+    * integers, identical in the oracle (no continuity correction —
+    * the convention is stated, not hidden). Output: one row
+    * (n_pos, n_neg, n_distinct_scores, u, tie_term, z); z is NULL
+    * when either class is empty or the variance is zero (all scores
+    * tied) — undefined, not 0. Exclusions as [[aucExact]]: NULL
+    * labels raw-side, NULL/NaN scores census-side.
+    */
+  def rankSumTest(
+      df: DataFrame, score: Column, label: Column,
+      cells: Int = 4096): DataFrame = {
+    val nn = df
+      .filter(label.isNotNull)
+      .select(score.cast("double").as("_v"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("_pw"),
+        when(label.cast("boolean"), 0L).otherwise(1L).as("_nw"))
+    rankedMass(nn, cells) match {
+      case None =>
+        nn.sparkSession.range(1).select(
+          lit(0L).as("n_pos"), lit(0L).as("n_neg"),
+          lit(0L).as("n_distinct_scores"),
+          lit(null).cast("double").as("u"),
+          lit(null).cast("double").as("tie_term"),
+          lit(null).cast("double").as("z"))
+      case Some((ranked, censusAll)) =>
+        val t = (col("_pos") + col("_neg")).cast("decimal(38,0)")
+        val agged = ranked.agg(
+          sum(col("_pos")).as("n_pos"),
+          sum(col("_neg")).as("n_neg"),
+          count(lit(1)).as("n_distinct_scores"),
+          sum(col("_pos").cast("decimal(38,0)") *
+              (lit(2L) * col("_cumNeg") + col("_neg")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("_num"),
+          sum(t * t * t - t).cast("decimal(38,0)").as("_tie"))
+        val dn1 = col("n_pos").cast("double")
+        val dn2 = col("n_neg").cast("double")
+        val dn = (col("n_pos") + col("n_neg")).cast("double")
+        // σ²(U): the guard also keeps the dn−1 denominator live only
+        // when n ≥ 2 (both classes non-empty)
+        val varU = dn1 * dn2 / lit(12.0) *
+          ((dn + lit(1.0)) - col("_tie").cast("double") / (dn * (dn - lit(1.0))))
+        val out = agged.select(
+          col("n_pos"), col("n_neg"), col("n_distinct_scores"),
+          (col("_num").cast("double") / lit(2.0)).as("u"),
+          col("_tie").cast("double").as("tie_term"),
+          when(col("n_pos") > 0L && col("n_neg") > 0L && varU > lit(0.0),
+            (col("_num").cast("double") - dn1 * dn2) / (lit(2.0) * sqrt(varU)))
+            .as("z"))
+        graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll))
+        out
+    }
   }
 
   /** Per-group exact ROC AUC — [[aucExact]]'s census machinery with a

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-level statistical tests over corpus-scale data: the
+  * exact two-sample Kolmogorov–Smirnov statistic and the contingency
+  * chi-square census. These complete the drift family (q78 histogram
+  * drift, q106 quantile/PSI drift, q121 categorical drift) with the
+  * classical TEST STATISTICS a data-quality report quotes — "how big
+  * is the largest CDF gap between these two cohorts, and is the
+  * language mix independent of the source?".
+  *
+  * Both follow the repo's engine-exact discipline (`Evaluation`'s
+  * contract): every sum is an integer computed map-side-partial over a
+  * distinct-value or key-pair census; the only floating-point steps
+  * are fixed dags of correctly-rounded IEEE ops (`/`, `-`, `*`, `abs`,
+  * `max`, `sqrt`) over exactly-converted integers, stated identically
+  * in the oracle — so the distributed, partition-order-free plan
+  * hash-matches a naive single-node engine.
+  *
+  * Reference tie-in: the reference's consistency checks compare COUNTS
+  * between systems (`data_consistency_checks.py`'s row-count parity);
+  * these operators are the distributional generalization — comparing
+  * SHAPES, not just sizes — that a 100 TB curation pipeline needs
+  * before trusting a cohort split or a source mix.
+  */
+object StatTests {
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic WITHOUT a global
+    * sort: D = sup_x |F_A(x) − F_B(x)| over the empirical CDFs of
+    * `value` in the two cohorts `inA` / not-`inA`.
+    *
+    * Distribution (the [[Evaluation.aucExact]] census machinery): rows
+    * collapse to a (value → countA, countB) census in one
+    * map-side-partial shuffle — the only scan of the input. The
+    * cumulative counts use the cell trick: per-cell totals (≤ `cells`
+    * rows, a bounded window) offset an INCLUSIVE running sum
+    * partitioned BY cell, so a census with billions of distinct values
+    * ranks `cells`-way parallel — no unpartitioned window task
+    * anywhere. The ECDF is right-continuous, so the sup over all x is
+    * attained at a data point with the inclusive prefix — which is
+    * exactly what the per-distinct-value inclusive sums give.
+    *
+    * Every cumulative count is an exact Long; F_A(x) = cumA/|A| is one
+    * IEEE division of exactly-converted operands, the gap one
+    * subtraction + abs, and the sup an order-independent MAX — all
+    * bitwise-identical across engines.
+    *
+    * Output: one row —
+    *   - `n_a`, `n_b`: cohort sizes (rows with non-NULL/NaN value);
+    *   - `n_distinct_values`: distinct-value census size;
+    *   - `ks_stat`: D;
+    *   - `ks_at`: the SMALLEST value attaining the sup (deterministic
+    *     diagnostic: where do the distributions diverge most);
+    *   - `ks_z`: sqrt(n_a·n_b/(n_a+n_b))·D, the scaled statistic to
+    *     compare against Kolmogorov critical values (1.358 ≈ α=0.05).
+    * Rows with NULL `inA` are excluded (cohort unknown); NULL/NaN
+    * values are excluded census-side (an undefined value has no place
+    * in a CDF). If either cohort is empty the statistic columns are
+    * NULL — the test is undefined, not 0.
+    */
+  def ksTwoSample(
+      df: DataFrame, value: Column, inA: Column,
+      cells: Int = 4096): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    // value census FIRST: one raw scan persisted at distinct-value
+    // scale; bounds, totals, cells, and both prefix branches ride the
+    // cache (see aucExact for why the raw filter touches only `inA`).
+    val nn = df
+      .filter(inA.isNotNull)
+      .select(value.cast("double").as("_v"),
+        when(inA.cast("boolean"), 1L).otherwise(0L).as("_a"),
+        when(inA.cast("boolean"), 0L).otherwise(1L).as("_b"))
+    val censusAll = nn.groupBy(col("_v"))
+      .agg(sum(col("_a")).as("_na"), sum(col("_b")).as("_nb"))
+      .persist()
+    val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
+    val stats = census
+      .agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
+        coalesce(sum(col("_na")), lit(0L)).as("ta"),
+        coalesce(sum(col("_nb")), lit(0L)).as("tb"),
+        count(lit(1)).as("nd"))
+      .head()
+    val (ta, tb) = (stats.getLong(2), stats.getLong(3))
+    if (stats.isNullAt(0) || ta == 0L || tb == 0L) {
+      // one cohort (or the whole census) empty: a defined shape, not
+      // a crash — D is undefined, the sizes still report
+      censusAll.unpersist(blocking = false)
+      return spark.range(1).select(
+        lit(ta).as("n_a"), lit(tb).as("n_b"),
+        lit(stats.getLong(4)).as("n_distinct_values"),
+        lit(null).cast("double").as("ks_stat"),
+        lit(null).cast("double").as("ks_at"),
+        lit(null).cast("double").as("ks_z"))
+    }
+    val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
+    val width = (mx - mn) / cells
+    val cell =
+      if (mx == mn) lit(0L)
+      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+    val cen = census.withColumn("_c", cell)
+    // per-cell cohort totals -> broadcast offsets (≤ `cells` rows; the
+    // lone unpartitioned window is bounded by construction)
+    val perCell = cen.groupBy(col("_c"))
+      .agg(sum(col("_na")).as("_tca"), sum(col("_nb")).as("_tcb"))
+    val offs = perCell
+      .withColumn("_offa",
+        coalesce(sum(col("_tca")).over(
+          W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_offb",
+        coalesce(sum(col("_tcb")).over(
+          W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    // within-cell INCLUSIVE prefix, cell-partitioned — the ECDF at
+    // each distinct value; parallel in `cells`
+    val wIncl = W.partitionBy(col("_c")).orderBy(col("_v"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val ranked = cen
+      .join(broadcast(offs.select(col("_c"), col("_offa"), col("_offb"))), Seq("_c"))
+      .withColumn("_ca", col("_offa") + sum(col("_na")).over(wIncl))
+      .withColumn("_cb", col("_offb") + sum(col("_nb")).over(wIncl))
+    val gaps = ranked.select(col("_v"),
+      abs(col("_ca").cast("double") / lit(ta.toDouble)
+        - col("_cb").cast("double") / lit(tb.toDouble)).as("_gap"))
+      .persist()
+    val zScale = math.sqrt(ta.toDouble * tb.toDouble / (ta + tb).toDouble)
+    val out = gaps
+      .crossJoin(broadcast(gaps.agg(max(col("_gap")).as("_mx"))))
+      .agg(
+        count(lit(1)).as("n_distinct_values"),
+        max(col("_gap")).as("ks_stat"),
+        min(when(col("_gap") === col("_mx"), col("_v"))).as("ks_at"))
+      .select(lit(ta).as("n_a"), lit(tb).as("n_b"),
+        col("n_distinct_values"), col("ks_stat"), col("ks_at"),
+        (lit(zScale) * col("ks_stat")).as("ks_z"))
+    // keyed on the returned frame: the eager stats head() above
+    // already consumed the census (see aucMassCore's rationale)
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll, gaps))
+    out
+  }
+
+  /** Contingency chi-square census between two categorical keys: per
+    * (row_key, col_key) CELL — observed count, marginals, expected
+    * count under independence, the chi-square contribution
+    * (o−e)²/e, and the Pearson residual (o−e)/√e. The full
+    * rows×cols spine is present (zero cells included — they carry
+    * contribution = e), so the census IS the test: Σcontribution is
+    * the chi-square statistic with (r−1)(c−1) degrees of freedom,
+    * and the per-cell rows say WHICH cells drive dependence — the
+    * actionable half a scalar hides. The scalar itself is left to the
+    * reader (a sum of doubles is summation-order-dependent; the
+    * engine-exact contract stops at per-cell values — the q93 Benford
+    * convention).
+    *
+    * Distribution: one map-side-partial groupBy collapses the input to
+    * the key-pair census (config-sized by contract: contingency keys
+    * are dashboard-cardinality — sources, languages, shards); marginals
+    * derive from the census, never from a second raw scan; the spine
+    * and marginal joins broadcast census-derived frames. Counts stay
+    * Long throughout; `expected` is the one product-then-divide over
+    * exactly-converted doubles (marginals ≤ 2⁵³ stay exact; the
+    * product is one correctly-rounded IEEE multiply either way),
+    * stated identically in the oracle.
+    *
+    * Rows with a NULL key on either side are excluded (a cell needs
+    * both coordinates; nulls would otherwise silently form phantom
+    * rows/columns).
+    */
+  def contingencyChiSquare(
+      df: DataFrame, rowKey: Column, colKey: Column): DataFrame = {
+    val nn = df
+      .filter(rowKey.isNotNull && colKey.isNotNull)
+      .select(rowKey.as("row_key"), colKey.as("col_key"))
+    val cellsDf = nn.groupBy(col("row_key"), col("col_key"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val rowTot = cellsDf.groupBy(col("row_key")).agg(sum(col("n")).as("row_total"))
+    val colTot = cellsDf.groupBy(col("col_key")).agg(sum(col("n")).as("col_total"))
+    val grand = cellsDf.agg(sum(col("n")).as("grand_total"))
+    val spine = rowTot.select(col("row_key"))
+      .crossJoin(broadcast(colTot.select(col("col_key"))))
+    val expected = col("row_total").cast("double") * col("col_total").cast("double") /
+      col("grand_total").cast("double")
+    val dev = col("n").cast("double") - col("expected")
+    val out = spine
+      .join(cellsDf, Seq("row_key", "col_key"), "left")
+      .join(broadcast(rowTot), Seq("row_key"))
+      .join(broadcast(colTot), Seq("col_key"))
+      .crossJoin(broadcast(grand))
+      .select(col("row_key"), col("col_key"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("row_total"), col("col_total"), col("grand_total"))
+      .withColumn("expected", expected)
+      .withColumn("contribution", dev * dev / col("expected"))
+      .withColumn("residual", dev / sqrt(col("expected")))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(cellsDf))
+    out
+  }
+}

@@ -1228,7 +1228,46 @@ object CheckQueries {
        |FROM tg JOIN r ON r.g = tg.g AND r.rk = tg.target""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q145 — contingency chi-square census: is the language mix
+  // independent of the source? Per (source, lang) cell — observed
+  // count, marginals, expected count under independence, chi-square
+  // contribution, Pearson residual — over the full rows×cols spine
+  // (zero cells carry contribution = expected). Σcontribution is the
+  // chi-square statistic with (r−1)(c−1) dof; the per-cell rows say
+  // WHICH source/language pairs drive dependence. Counts stay BIGINT
+  // end-to-end; expected/contribution/residual are identical fixed
+  // IEEE dags in both engines (the q93 Benford convention).
+  // ---------------------------------------------------------------
+  def q145Contingency(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.contingencyChiSquare(
+      Tables.documents(spark, d), col("source"), col("lang"))
+
+  val q145Sql: String =
+    """WITH s AS (
+      |  SELECT source AS row_key, lang AS col_key FROM documents
+      |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+      |c AS (SELECT row_key, col_key, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM s GROUP BY row_key, col_key),
+      |r AS (SELECT row_key, CAST(SUM(n) AS BIGINT) AS row_total FROM c GROUP BY row_key),
+      |cl AS (SELECT col_key, CAST(SUM(n) AS BIGINT) AS col_total FROM c GROUP BY col_key),
+      |g AS (SELECT CAST(SUM(n) AS BIGINT) AS grand_total FROM c),
+      |j AS (
+      |  SELECT r.row_key, cl.col_key, COALESCE(c.n, 0) AS n,
+      |    r.row_total, cl.col_total, g.grand_total,
+      |    CAST(r.row_total AS DOUBLE) * CAST(cl.col_total AS DOUBLE)
+      |      / CAST(g.grand_total AS DOUBLE) AS expected
+      |  FROM r CROSS JOIN cl
+      |  LEFT JOIN c ON c.row_key = r.row_key AND c.col_key = cl.col_key
+      |  CROSS JOIN g)
+      |SELECT row_key, col_key, n, row_total, col_total, grand_total, expected,
+      |  (CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)
+      |    / expected AS contribution,
+      |  (CAST(n AS DOUBLE) - expected) / SQRT(expected) AS residual
+      |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_contingency_chi2" -> (q145Contingency _),
     "q101_key_skew" -> (q101KeySkew _),
     "q107_cms_counts" -> (q107CmsCounts _),
     "q118_join_size_estimate" -> (q118JoinSizeEstimate _),
@@ -1264,6 +1303,7 @@ object CheckQueries {
     "q91_group_histogram" -> (q91GroupHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q145_contingency_chi2" -> q145Sql,
     "q101_key_skew" -> q101Sql,
     "q107_cms_counts" -> q107Sql,
     "q118_join_size_estimate" -> q118Sql,

@@ -743,6 +743,100 @@ object EvalQueries {
        |  c.n, c.n_pos, mm.calibrated_p
        |FROM c JOIN mm ON c.source = mm.source AND c.band = mm.band""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q144 — exact two-sample Kolmogorov–Smirnov statistic of the
+  // quality logit between the English and non-English cohorts: the
+  // sup-CDF-gap complement to q119's AUC (AUC integrates the
+  // separation; D localizes it — ks_at says WHERE the distributions
+  // diverge most, i.e. where a gate threshold discriminates hardest).
+  // Census + cell-partitioned inclusive prefix: no global sort; the
+  // oracle states the naive window form over the same distinct-value
+  // census and every division/subtraction identically.
+  // ---------------------------------------------------------------
+  def q144Ks(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    graft.operators.StatTests.ksTwoSample(s, col("logit"), col("is_en"))
+  }
+
+  val q144Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |c AS (
+       |  SELECT logit AS v,
+       |    CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS nb
+       |  FROM s GROUP BY logit),
+       |t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb,
+       |        CAST(COUNT(*) AS BIGINT) AS nd FROM c),
+       |w AS (
+       |  SELECT v,
+       |    CAST(SUM(na) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+       |    CAST(SUM(nb) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+       |  FROM c),
+       |g AS (
+       |  SELECT w.v,
+       |    ABS(CAST(w.ca AS DOUBLE) / CAST(t.ta AS DOUBLE)
+       |      - CAST(w.cb AS DOUBLE) / CAST(t.tb AS DOUBLE)) AS gap
+       |  FROM w CROSS JOIN t),
+       |m AS (SELECT MAX(gap) AS mx FROM g)
+       |SELECT t.ta AS n_a, t.tb AS n_b, t.nd AS n_distinct_values,
+       |  CASE WHEN t.ta > 0 AND t.tb > 0 THEN m.mx END AS ks_stat,
+       |  CASE WHEN t.ta > 0 AND t.tb > 0 THEN
+       |    (SELECT MIN(v) FROM g WHERE gap = m.mx) END AS ks_at,
+       |  CASE WHEN t.ta > 0 AND t.tb > 0 THEN
+       |    SQRT(CAST(t.ta AS DOUBLE) * CAST(t.tb AS DOUBLE)
+       |      / CAST(t.ta + t.tb AS DOUBLE)) * m.mx END AS ks_z
+       |FROM t CROSS JOIN m""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q146 — Mann–Whitney rank-sum z with tie correction: q119's AUC
+  // machinery finished as a significance statistic ("is the gate's
+  // separation more than chance at these sample sizes"). Identical
+  // DECIMAL(38,0) rank-sum numerator; the tie term accumulates in
+  // HUGEINT/DECIMAL(38,0); the z formula is one fixed IEEE dag stated
+  // identically in both engines.
+  // ---------------------------------------------------------------
+  def q146RankSum(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.rankSumTest(s, col("logit"), col("is_en"))
+  }
+
+  val q146Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |c AS (
+       |  SELECT logit AS v,
+       |    CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS neg
+       |  FROM s GROUP BY logit),
+       |w AS (
+       |  SELECT pos, neg,
+       |    COALESCE(CAST(SUM(neg) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumneg
+       |  FROM c),
+       |a AS (
+       |  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
+       |    CAST(SUM(pos * (2 * cumneg + neg)) AS DECIMAL(38,0)) AS num,
+       |    CAST(SUM(CAST(pos + neg AS HUGEINT) * (pos + neg) * (pos + neg)
+       |      - (pos + neg)) AS DECIMAL(38,0)) AS tie
+       |  FROM w)
+       |SELECT n_pos, n_neg, n_distinct_scores,
+       |  CAST(num AS DOUBLE) / 2.0 AS u,
+       |  CAST(tie AS DOUBLE) AS tie_term,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0
+       |    AND CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) / 12.0
+       |      * ((CAST(n_pos + n_neg AS DOUBLE) + 1.0)
+       |         - CAST(tie AS DOUBLE) / (CAST(n_pos + n_neg AS DOUBLE)
+       |             * (CAST(n_pos + n_neg AS DOUBLE) - 1.0))) > 0.0
+       |  THEN (CAST(num AS DOUBLE) - CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+       |    / (2.0 * SQRT(CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) / 12.0
+       |      * ((CAST(n_pos + n_neg AS DOUBLE) + 1.0)
+       |         - CAST(tie AS DOUBLE) / (CAST(n_pos + n_neg AS DOUBLE)
+       |             * (CAST(n_pos + n_neg AS DOUBLE) - 1.0)))))
+       |  END AS z
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -759,7 +853,9 @@ object EvalQueries {
     "q139_length_correlation" -> (q139LengthCorrelation _),
     "q140_group_brier"       -> (q140GroupBrier _),
     "q142_isotonic_calibration" -> (q142IsotonicCalibration _),
-    "q143_group_isotonic"    -> (q143GroupIsotonic _))
+    "q143_group_isotonic"    -> (q143GroupIsotonic _),
+    "q144_ks_two_sample"     -> (q144Ks _),
+    "q146_rank_sum_z"        -> (q146RankSum _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -777,5 +873,7 @@ object EvalQueries {
     "q139_length_correlation" -> q139Sql,
     "q140_group_brier"       -> q140Sql,
     "q142_isotonic_calibration" -> q142Sql,
-    "q143_group_isotonic"    -> q143Sql)
+    "q143_group_isotonic"    -> q143Sql,
+    "q144_ks_two_sample"     -> q144Sql,
+    "q146_rank_sum_z"        -> q146Sql)
 }

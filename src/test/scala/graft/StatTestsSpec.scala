@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Evaluation, StatTests}
+
+class StatTestsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------- ksTwoSample ----------------
+
+  test("ksTwoSample matches the hand-computed sup-CDF-gap") {
+    // A = {1,2,3}, B = {2,3,4}; distinct values 1,2,3,4
+    // F_A = 1/3, 2/3, 1, 1 ; F_B = 0, 1/3, 2/3, 1
+    // gaps all 1/3 mathematically — but in IEEE doubles
+    // 2/3 − 1/3 ≠ 1/3 by one ulp, so state the SAME dag the engine
+    // (and the oracle) computes: per-value |cumA/3 − cumB/3|.
+    val gaps = Seq(
+      1.0 -> math.abs(1.0 / 3.0 - 0.0 / 3.0),
+      2.0 -> math.abs(2.0 / 3.0 - 1.0 / 3.0),
+      3.0 -> math.abs(3.0 / 3.0 - 2.0 / 3.0),
+      4.0 -> math.abs(3.0 / 3.0 - 3.0 / 3.0))
+    val d = gaps.map(_._2).max
+    val at = gaps.filter(_._2 == d).map(_._1).min
+    val df = Seq(
+      (1.0, true), (2.0, true), (3.0, true),
+      (2.0, false), (3.0, false), (4.0, false)).toDF("v", "a")
+    val r = StatTests.ksTwoSample(df, $"v", $"a").head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("n_distinct_values") == 4L)
+    assert(r.getAs[Double]("ks_stat") == d)
+    assert(math.abs(r.getAs[Double]("ks_stat") - 1.0 / 3.0) < 1e-15)
+    assert(r.getAs[Double]("ks_at") == at)
+    assert(r.getAs[Double]("ks_z") ==
+      math.sqrt(3.0 * 3.0 / 6.0) * d)
+  }
+
+  test("ksTwoSample: identical distributions give D = 0; disjoint give D = 1") {
+    val same = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "a")
+    assert(StatTests.ksTwoSample(same, $"v", $"a").head()
+      .getAs[Double]("ks_stat") == 0.0)
+    // every A value strictly below every B value: the gap hits 1 at
+    // the largest A value
+    val apart = Seq((1.0, true), (2.0, true), (5.0, false), (6.0, false))
+      .toDF("v", "a")
+    val r = StatTests.ksTwoSample(apart, $"v", $"a").head()
+    assert(r.getAs[Double]("ks_stat") == 1.0)
+    assert(r.getAs[Double]("ks_at") == 2.0)
+  }
+
+  test("ksTwoSample: NULL cohort rows and NULL/NaN values are excluded") {
+    val df = Seq(
+      (Some(1.0), Some(true)), (Some(2.0), Some(true)),
+      (Some(2.0), Some(false)), (Some(3.0), Some(false)),
+      (Some(9.0), None),                  // cohort unknown -> dropped
+      (None, Some(true)),                 // null value -> dropped
+      (Some(Double.NaN), Some(false)))    // NaN value -> dropped
+      .toDF("v", "a")
+    val r = StatTests.ksTwoSample(df, $"v", $"a").head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("n_distinct_values") == 3L)
+    // A={1,2}, B={2,3}: gaps 1/2, 1/2, 0 -> D=1/2 at v=1
+    assert(r.getAs[Double]("ks_stat") == 0.5)
+    assert(r.getAs[Double]("ks_at") == 1.0)
+  }
+
+  test("ksTwoSample: an empty cohort yields NULL statistics, not 0") {
+    val df = Seq((1.0, true), (2.0, true)).toDF("v", "a")
+    val r = StatTests.ksTwoSample(df, $"v", $"a").head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 0L)
+    assert(r.isNullAt(r.fieldIndex("ks_stat")))
+    assert(r.isNullAt(r.fieldIndex("ks_at")))
+    assert(r.isNullAt(r.fieldIndex("ks_z")))
+    val empty = spark.emptyDataset[(Double, Boolean)].toDF("v", "a")
+    val e = StatTests.ksTwoSample(empty, $"v", $"a").head()
+    assert(e.getAs[Long]("n_a") == 0L && e.getAs[Long]("n_b") == 0L)
+    assert(e.isNullAt(e.fieldIndex("ks_stat")))
+  }
+
+  test("ksTwoSample: cell count does not change the statistic (cells-machinery invariance)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      val a = i % 3 != 0
+      (if (a) rnd.nextGaussian() else rnd.nextGaussian() + 0.4, a)
+    }
+    val df = rows.toDF("v", "a")
+    val r1 = StatTests.ksTwoSample(df, $"v", $"a", cells = 1).head()
+    val r2 = StatTests.ksTwoSample(df, $"v", $"a", cells = 4096).head()
+    assert(r1.getAs[Double]("ks_stat") == r2.getAs[Double]("ks_stat"))
+    assert(r1.getAs[Double]("ks_at") == r2.getAs[Double]("ks_at"))
+  }
+
+  // ---------------- rankSumTest ----------------
+
+  test("rankSumTest: U agrees with aucExact (U = AUC * n1 * n2) and z matches the direct formula") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      val y = i % 4 == 0
+      // coarse grid -> plenty of ties to exercise the correction
+      (math.rint((rnd.nextGaussian() + (if (y) 0.5 else 0.0)) * 4) / 4, y)
+    }
+    val df = rows.toDF("s", "y")
+    val r = Evaluation.rankSumTest(df, $"s", $"y").head()
+    val auc = Evaluation.aucExact(df, $"s", $"y").head().getAs[Double]("auc")
+    val (n1, n2) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"))
+    val u = r.getAs[Double]("u")
+    assert(u == auc * (n1 * n2).toDouble)
+    // direct single-node formula over the same rows
+    val byScore = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    val tie = byScore.values.map(t => t.toLong * t * t - t).sum.toDouble
+    assert(r.getAs[Double]("tie_term") == tie)
+    val (d1, d2) = (n1.toDouble, n2.toDouble)
+    val dn = (n1 + n2).toDouble
+    val varU = d1 * d2 / 12.0 * ((dn + 1.0) - tie / (dn * (dn - 1.0)))
+    val zExpected = (2.0 * u - d1 * d2) / (2.0 * math.sqrt(varU))
+    assert(math.abs(r.getAs[Double]("z") - zExpected) < 1e-12)
+  }
+
+  test("rankSumTest: all scores tied -> zero variance -> NULL z; single class -> NULL z") {
+    val tied = Seq((1.0, true), (1.0, true), (1.0, false)).toDF("s", "y")
+    val r = Evaluation.rankSumTest(tied, $"s", $"y").head()
+    assert(r.getAs[Double]("u") == 1.0) // 2 pos half-tie 1 neg
+    assert(r.isNullAt(r.fieldIndex("z")))
+    val onePos = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    val p = Evaluation.rankSumTest(onePos, $"s", $"y").head()
+    assert(p.getAs[Long]("n_neg") == 0L && p.isNullAt(p.fieldIndex("z")))
+    val empty = spark.emptyDataset[(Double, Boolean)].toDF("s", "y")
+    val e = Evaluation.rankSumTest(empty, $"s", $"y").head()
+    assert(e.getAs[Long]("n_distinct_scores") == 0L &&
+      e.isNullAt(e.fieldIndex("z")))
+  }
+
+  test("rankSumTest: balanced symmetric data gives z = 0 exactly") {
+    // pos and neg identically distributed -> U = n1*n2/2 exactly
+    val df = Seq(
+      (1.0, true), (2.0, true), (1.0, false), (2.0, false)).toDF("s", "y")
+    val r = Evaluation.rankSumTest(df, $"s", $"y").head()
+    assert(r.getAs[Double]("u") == 2.0)
+    assert(r.getAs[Double]("z") == 0.0)
+  }
+
+  // ---------------- contingencyChiSquare ----------------
+
+  test("contingencyChiSquare matches the hand-computed 2x2 table") {
+    // table: (x,p)=10 (x,q)=20 / (y,p)=30 (y,q)=40
+    val rows =
+      Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(30)(("y", "p")) ++ Seq.fill(40)(("y", "q"))
+    val df = rows.toDF("r", "c")
+    val out = StatTests.contingencyChiSquare(df, $"r", $"c")
+      .collect().map(r => ((r.getAs[String]("row_key"), r.getAs[String]("col_key")), r))
+      .toMap
+    assert(out.size == 4)
+    val xp = out(("x", "p"))
+    assert(xp.getAs[Long]("n") == 10L)
+    assert(xp.getAs[Long]("row_total") == 30L)
+    assert(xp.getAs[Long]("col_total") == 40L)
+    assert(xp.getAs[Long]("grand_total") == 100L)
+    assert(xp.getAs[Double]("expected") == 30.0 * 40.0 / 100.0) // 12
+    assert(xp.getAs[Double]("contribution") == (10.0 - 12.0) * (10.0 - 12.0) / 12.0)
+    assert(xp.getAs[Double]("residual") == (10.0 - 12.0) / math.sqrt(12.0))
+    // chi2 statistic = sum of contributions:
+    // N(ad-bc)^2 / (r1 r2 c1 c2) = 100*200^2/(30*70*40*60) = 50/63
+    val chi2 = out.values.map(_.getAs[Double]("contribution")).sum
+    assert(math.abs(chi2 - 50.0 / 63.0) < 1e-12)
+  }
+
+  test("contingencyChiSquare: exact independence gives zero contributions") {
+    // counts proportional: every cell = row share x col share
+    val rows =
+      Seq.fill(4)(("x", "p")) ++ Seq.fill(8)(("x", "q")) ++
+      Seq.fill(2)(("y", "p")) ++ Seq.fill(4)(("y", "q"))
+    val out = StatTests.contingencyChiSquare(rows.toDF("r", "c"), $"r", $"c")
+      .collect()
+    assert(out.forall(_.getAs[Double]("contribution") == 0.0))
+    assert(out.forall(_.getAs[Double]("residual") == 0.0))
+  }
+
+  test("contingencyChiSquare: absent pairs appear on the spine with n = 0 and contribution = expected") {
+    // (y,q) never observed
+    val rows = Seq(("x", "p"), ("x", "q"), ("y", "p"))
+    val out = StatTests.contingencyChiSquare(rows.toDF("r", "c"), $"r", $"c")
+      .collect().map(r => ((r.getAs[String]("row_key"), r.getAs[String]("col_key")), r))
+      .toMap
+    assert(out.size == 4)
+    val yq = out(("y", "q"))
+    assert(yq.getAs[Long]("n") == 0L)
+    val e = yq.getAs[Double]("expected")
+    assert(e == 1.0 * 1.0 / 3.0)
+    assert(yq.getAs[Double]("contribution") == (0.0 - e) * (0.0 - e) / e)
+  }
+
+  test("contingencyChiSquare: NULL keys on either side are excluded") {
+    val rows = Seq(
+      (Some("x"), Some("p")), (Some("x"), Some("q")),
+      (None, Some("p")), (Some("y"), None))
+    val out = StatTests.contingencyChiSquare(rows.toDF("r", "c"), $"r", $"c")
+      .collect()
+    assert(out.map(_.getAs[Long]("n")).sum == 2L)
+    assert(out.forall(_.getAs[Long]("grand_total") == 2L))
+    assert(!out.exists(r => r.getAs[String]("row_key") == "y" ||
+      r.getAs[String]("col_key") == null))
+  }
+}
