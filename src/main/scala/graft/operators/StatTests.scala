@@ -141,6 +141,139 @@ object StatTests {
     out
   }
 
+  /** Per-group exact KS drift: for every group g, the two-sample
+    * Kolmogorov–Smirnov statistic between the group's value
+    * distribution and the REST of the corpus — "which source's score
+    * distribution diverges most from everything else?", the
+    * distribution-level leg of the per-source drift triptych
+    * (per-source AUC q124, calibration q125, Brier q140).
+    *
+    * One (group, value) census is the only scan. Both ECDFs step only
+    * at data points, so the per-group sup ranges over ALL distinct
+    * corpus values: the evaluation frame is the groups × distinct-
+    * values spine — the intrinsic cost of the statistic (bounded by
+    * groups × census, NOT groups × rows; fine at dashboard group
+    * cardinality, and every window below is (group, cell)-partitioned
+    * so no group ever ranks in one task). The global cumulative is
+    * computed ONCE (solo cell machinery) and rides the spine; the
+    * group cumulative is a (group, cell)-partitioned inclusive prefix
+    * over the spine's zero-filled group counts; rest = global − group,
+    * an exact Long subtraction. Gap, max, and the z-scaling follow
+    * [[ksTwoSample]]'s engine-exact dag per group.
+    *
+    * Output: one row per group — (group_key, n_group, n_rest,
+    * n_distinct_values, ks_stat, ks_at, ks_z); the statistic columns
+    * are NULL for a group that is the whole corpus (empty rest).
+    * NULL-group rows are excluded from the universe (the grouped-
+    * family convention); NULL/NaN values are excluded census-side.
+    */
+  def ksGroupVsRest(
+      df: DataFrame, group: Column, value: Column,
+      cells: Int = 4096): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    val nn = df.filter(group.isNotNull)
+      .select(group.as("_g"), value.cast("double").as("_v"))
+    val censusGvAll = nn.groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_n"))
+      .persist()
+    val censusGv = censusGvAll.filter(col("_v").isNotNull && !isnan(col("_v")))
+    // global value census + bounds/totals, all census-derived
+    val censusV = censusGv.groupBy(col("_v")).agg(sum(col("_n")).as("_nAll"))
+    val bounds = censusV
+      .agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
+        coalesce(sum(col("_nAll")), lit(0L)).as("nn"),
+        count(lit(1)).as("nd"))
+      .head()
+    if (bounds.isNullAt(0)) {
+      // empty census: zero rows with the group column's true type
+      censusGvAll.unpersist(blocking = false)
+      return nn.limit(0).select(col("_g").as("group_key"),
+        lit(0L).as("n_group"), lit(0L).as("n_rest"),
+        lit(0L).as("n_distinct_values"),
+        lit(null).cast("double").as("ks_stat"),
+        lit(null).cast("double").as("ks_at"),
+        lit(null).cast("double").as("ks_z"))
+    }
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val bigN = bounds.getLong(2)
+    val nd = bounds.getLong(3)
+    val width = (mx - mn) / cells
+    val cell =
+      if (mx == mn) lit(0L)
+      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+    // global inclusive cumulative, solo cell machinery (ONE copy,
+    // shared by every group through the spine)
+    val cenV = censusV.withColumn("_c", cell)
+    val offsV = cenV.groupBy(col("_c")).agg(sum(col("_nAll")).as("_tc"))
+      .withColumn("_off",
+        coalesce(sum(col("_tc")).over(
+          W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val wIncl = W.partitionBy(col("_c")).orderBy(col("_v"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val cumAll = cenV
+      .join(broadcast(offsV.select(col("_c"), col("_off"))), Seq("_c"))
+      .withColumn("_cumAll", col("_off") + sum(col("_nAll")).over(wIncl))
+      .select(col("_v"), col("_c"), col("_cumAll"))
+      .persist()
+    // group totals (group-scale) and the groups × values spine.
+    // Broadcasts are cardinality-adaptive (the grouped-eval family's
+    // convention): the group count comes from one cheap agg over the
+    // persisted census, and past ~4M offset rows the hints drop away
+    // so a pathological group column degrades to shuffled joins
+    // instead of OOMing the driver.
+    val groupTot = censusGv.groupBy(col("_g")).agg(sum(col("_n")).as("_tg"))
+    val nGroups = groupTot.count()
+    val broadcastLimit = 4L << 20
+    def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastLimit) broadcast(f) else f
+    val spine = cumAll
+      .crossJoin(bcIfSmall(groupTot, nGroups))
+      .join(censusGv, Seq("_g", "_v"), "left")
+      .withColumn("_ng", coalesce(col("_n"), lit(0L)))
+    // per-group inclusive prefix: (group, cell)-partitioned window
+    // offset by per-(group, cell) totals — groups×cells offset rows
+    val perGc = spine.groupBy(col("_g"), col("_c")).agg(sum(col("_ng")).as("_tgc"))
+    val wg = W.partitionBy(col("_g")).orderBy(col("_c"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsG = perGc.withColumn("_offg",
+      coalesce(sum(col("_tgc")).over(wg), lit(0L)))
+    val wgIncl = W.partitionBy(col("_g"), col("_c")).orderBy(col("_v"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val ranked = spine
+      .join(bcIfSmall(offsG.select(col("_g"), col("_c"), col("_offg")),
+        nGroups * cells), Seq("_g", "_c"))
+      .withColumn("_cumG", col("_offg") + sum(col("_ng")).over(wgIncl))
+    // the when-guard keeps the rest-side divisor live only when the
+    // rest is non-empty (ANSI mode raises on /0 otherwise); the
+    // degenerate whole-corpus group gets NULL gaps, masked below
+    val gaps = ranked.select(col("_g"), col("_v"), col("_tg"),
+      when(col("_tg") < lit(bigN),
+        abs(col("_cumG").cast("double") / col("_tg").cast("double")
+          - (col("_cumAll") - col("_cumG")).cast("double")
+            / (lit(bigN) - col("_tg")).cast("double"))).as("_gap"))
+      .persist()
+    val mxPerG = gaps.groupBy(col("_g")).agg(max(col("_gap")).as("_mx"))
+    val out = gaps
+      .join(bcIfSmall(mxPerG, nGroups), Seq("_g"))
+      .groupBy(col("_g"))
+      .agg(first(col("_tg")).as("n_group"),
+        max(col("_gap")).as("_d"),
+        min(when(col("_gap") === col("_mx"), col("_v"))).as("_at"))
+      .select(col("_g").as("group_key"),
+        col("n_group"),
+        (lit(bigN) - col("n_group")).as("n_rest"),
+        lit(nd).as("n_distinct_values"),
+        when(col("n_group") < lit(bigN), col("_d")).as("ks_stat"),
+        when(col("n_group") < lit(bigN), col("_at")).as("ks_at"),
+        when(col("n_group") < lit(bigN),
+          sqrt(col("n_group").cast("double")
+            * (lit(bigN) - col("n_group")).cast("double")
+            / lit(bigN.toDouble)) * col("_d")).as("ks_z"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusGvAll, cumAll, gaps))
+    out
+  }
+
   /** Contingency chi-square census between two categorical keys: per
     * (row_key, col_key) CELL — observed count, marginals, expected
     * count under independence, the chi-square contribution

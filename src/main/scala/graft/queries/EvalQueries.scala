@@ -837,6 +837,59 @@ object EvalQueries {
        |  END AS z
        |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q147 — per-source KS drift vs rest-of-corpus: for every source,
+  // the exact two-sample KS statistic between its quality-logit
+  // distribution and everything else — "which source's score
+  // distribution diverges most?", the distribution-level leg of the
+  // per-source drift triptych (q124 AUC / q125 calibration / q140
+  // Brier). One (source, logit) census; the global cumulative is
+  // computed once and shared through the groups × distinct-values
+  // spine; per-source prefixes are (source, cell)-partitioned.
+  // ---------------------------------------------------------------
+  def q147GroupKs(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    graft.operators.StatTests.ksGroupVsRest(s, col("source"), col("logit"))
+      .withColumnRenamed("group_key", "source")
+  }
+
+  val q147Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |gv AS (
+       |  SELECT source AS g, logit AS v, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM s WHERE source IS NOT NULL GROUP BY source, logit),
+       |av AS (SELECT v, CAST(SUM(n) AS BIGINT) AS n_all FROM gv GROUP BY v),
+       |ac AS (
+       |  SELECT v, CAST(SUM(n_all) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+       |  FROM av),
+       |tg AS (SELECT g, CAST(SUM(n) AS BIGINT) AS t FROM gv GROUP BY g),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+       |        (SELECT CAST(COUNT(*) AS BIGINT) FROM av) AS nd FROM gv),
+       |sp AS (SELECT tg.g, ac.v, ac.cum_all FROM tg CROSS JOIN ac),
+       |cg AS (
+       |  SELECT sp.g, sp.v, sp.cum_all,
+       |    CAST(SUM(COALESCE(gv.n, 0)) OVER (PARTITION BY sp.g ORDER BY sp.v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g
+       |  FROM sp LEFT JOIN gv ON gv.g = sp.g AND gv.v = sp.v),
+       |gaps AS (
+       |  SELECT cg.g, cg.v,
+       |    ABS(CAST(cg.cum_g AS DOUBLE) / CAST(tg.t AS DOUBLE)
+       |      - CAST(cg.cum_all - cg.cum_g AS DOUBLE)
+       |        / CAST(tot.nn - tg.t AS DOUBLE)) AS gap
+       |  FROM cg JOIN tg ON cg.g = tg.g CROSS JOIN tot),
+       |m AS (SELECT g, MAX(gap) AS mx FROM gaps GROUP BY g)
+       |SELECT tg.g AS source, tg.t AS n_group, tot.nn - tg.t AS n_rest,
+       |  tot.nd AS n_distinct_values,
+       |  CASE WHEN tg.t < tot.nn THEN m.mx END AS ks_stat,
+       |  CASE WHEN tg.t < tot.nn THEN
+       |    (SELECT MIN(v) FROM gaps WHERE gaps.g = m.g AND gaps.gap = m.mx)
+       |  END AS ks_at,
+       |  CASE WHEN tg.t < tot.nn THEN
+       |    SQRT(CAST(tg.t AS DOUBLE) * CAST(tot.nn - tg.t AS DOUBLE)
+       |      / CAST(tot.nn AS DOUBLE)) * m.mx END AS ks_z
+       |FROM m JOIN tg ON m.g = tg.g CROSS JOIN tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -855,7 +908,8 @@ object EvalQueries {
     "q142_isotonic_calibration" -> (q142IsotonicCalibration _),
     "q143_group_isotonic"    -> (q143GroupIsotonic _),
     "q144_ks_two_sample"     -> (q144Ks _),
-    "q146_rank_sum_z"        -> (q146RankSum _))
+    "q146_rank_sum_z"        -> (q146RankSum _),
+    "q147_group_ks_drift"    -> (q147GroupKs _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -875,5 +929,6 @@ object EvalQueries {
     "q142_isotonic_calibration" -> q142Sql,
     "q143_group_isotonic"    -> q143Sql,
     "q144_ks_two_sample"     -> q144Sql,
-    "q146_rank_sum_z"        -> q146Sql)
+    "q146_rank_sum_z"        -> q146Sql,
+    "q147_group_ks_drift"    -> q147Sql)
 }

@@ -93,6 +93,59 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("ks_at") == r2.getAs[Double]("ks_at"))
   }
 
+  // ---------------- ksGroupVsRest ----------------
+
+  test("ksGroupVsRest with two groups equals ksTwoSample against the other group, both directions") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 300).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      (g, math.rint((rnd.nextGaussian() + (if (g == "a") 0.6 else 0.0)) * 8) / 8)
+    }
+    val df = rows.toDF("g", "v")
+    val grouped = graft.operators.StatTests.ksGroupVsRest(df, $"g", $"v")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    val solo = graft.operators.StatTests
+      .ksTwoSample(df, $"v", $"g" === "a").head()
+    // group "a" vs rest IS cohort-a vs cohort-b; D is symmetric
+    assert(grouped("a").getAs[Double]("ks_stat") == solo.getAs[Double]("ks_stat"))
+    assert(grouped("b").getAs[Double]("ks_stat") == solo.getAs[Double]("ks_stat"))
+    assert(grouped("a").getAs[Long]("n_group") == solo.getAs[Long]("n_a"))
+    assert(grouped("a").getAs[Long]("n_rest") == solo.getAs[Long]("n_b"))
+    assert(grouped("a").getAs[Double]("ks_z") == solo.getAs[Double]("ks_z"))
+    // ks_at: the same sup is attained at the same (global) value set
+    assert(grouped("a").getAs[Double]("ks_at") == grouped("b").getAs[Double]("ks_at"))
+  }
+
+  test("ksGroupVsRest: the planted-shift group carries the largest D; ordering is stable across cells") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 600).map { i =>
+      val g = s"s${i % 3}"
+      val shift = if (g == "s1") 1.5 else 0.0
+      (g, math.rint((rnd.nextGaussian() + shift) * 6) / 6)
+    }
+    val df = rows.toDF("g", "v")
+    def stats(cells: Int): Map[String, Double] =
+      graft.operators.StatTests.ksGroupVsRest(df, $"g", $"v", cells = cells)
+        .collect()
+        .map(r => r.getAs[String]("group_key") -> r.getAs[Double]("ks_stat"))
+        .toMap
+    val d = stats(4096)
+    assert(d("s1") > d("s0") && d("s1") > d("s2"))
+    assert(stats(1) == d) // cell machinery cannot change the value
+  }
+
+  test("ksGroupVsRest: null groups excluded; a group that is the whole corpus gets NULL statistics") {
+    val df = Seq(
+      (Some("a"), 1.0), (Some("a"), 2.0), (None, 9.0))
+      .toDF("g", "v")
+    val rows = graft.operators.StatTests.ksGroupVsRest(df, $"g", $"v").collect()
+    assert(rows.length == 1)
+    val a = rows.head
+    assert(a.getAs[Long]("n_group") == 2L && a.getAs[Long]("n_rest") == 0L)
+    assert(a.isNullAt(a.fieldIndex("ks_stat")))
+    assert(a.isNullAt(a.fieldIndex("ks_z")))
+  }
+
   // ---------------- rankSumTest ----------------
 
   test("rankSumTest: U agrees with aucExact (U = AUC * n1 * n2) and z matches the direct formula") {
