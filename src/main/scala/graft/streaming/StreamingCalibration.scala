@@ -102,6 +102,79 @@ object StreamingCalibration {
           .as("band_auc"))
   }
 
+  /** Distribution-DRIFT monitor: per-window banded two-sample KS
+    * between the window's score distribution and a static baseline
+    * band census — the streaming analog of
+    * [[graft.operators.StatTests.ksTwoSample]], completing the
+    * windowed eval triad (calibration: rate gaps; band-AUC:
+    * discrimination; banded KS: did the SCORE DISTRIBUTION itself
+    * move). PSI-style bin drift censuses weight all bins equally;
+    * the KS sup-gap is the single worst CDF divergence — the number
+    * with distribution-free critical values.
+    *
+    * The statistic is the exact two-sample KS computed at BAND
+    * granularity: both ECDFs step only at band edges, so
+    * D = max_b |cumLive(b)/n_live − cumBase(b)/n_base| — equal to the
+    * exact KS whenever the score is the band index (spec-pinned, the
+    * [[scoreBandAuc]] convention), and a lower bound on it otherwise
+    * (quantization can only hide divergence inside a band, never
+    * invent it). All counts are exact Longs; the gap is the
+    * engine-exact division/subtraction dag; `ks_z` scales by
+    * sqrt(n_live·n_base/(n_live+n_base)) for Kolmogorov critical
+    * values (1.358 ≈ α=0.05).
+    *
+    * `baseline` is a [[graft.operators.Evaluation.calibrationReport]]
+    * output over the reference corpus (its full band spine is reused,
+    * so empty live bands still step the baseline CDF). Batch query
+    * over the census sink — ≤ windows × bins rows, windows
+    * partitioned per window_start — run in `foreachBatch` or ad hoc.
+    * Output per window: (window_start, n_live, n_base, band_ks,
+    * ks_at_band — the smallest band attaining the sup — and ks_z);
+    * statistic columns are NULL when either side is empty.
+    */
+  def scoreBandKs(windowBands: DataFrame, baseline: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // baseline cumulative over its own spine: ≤ bins rows — the lone
+    // unpartitioned window is bounded by construction
+    val wB = W.orderBy(col("band")).rowsBetween(W.unboundedPreceding, 0)
+    val baseCum = baseline.select(col("band"), col("n").as("_bn"))
+      .withColumn("_bc", sum(col("_bn")).over(wB))
+      .crossJoin(broadcast(
+        baseline.select(col("n").as("_tbn")).agg(sum(col("_tbn")).as("_bt"))))
+    val wins = windowBands.select(col("window_start")).distinct()
+    val live = windowBands.select(col("window_start").as("_ws"),
+      col("band").as("_b"), col("n").as("_ln"))
+    val totals = windowBands.select(col("window_start").as("_tws"), col("n").as("_tn"))
+      .groupBy(col("_tws")).agg(sum(col("_tn")).as("_lt"))
+    val wWin = W.partitionBy(col("window_start")).orderBy(col("band"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val gaps = wins
+      .crossJoin(broadcast(baseCum))
+      .join(live, col("window_start") === col("_ws") && col("band") === col("_b"), "left")
+      .drop("_ws", "_b")
+      .join(totals, col("window_start") === col("_tws"))
+      .drop("_tws")
+      .withColumn("_lc", sum(coalesce(col("_ln"), lit(0L))).over(wWin))
+      .select(col("window_start"), col("band"), col("_lt"), col("_bt"),
+        when(col("_lt") > 0L && col("_bt") > 0L,
+          abs(col("_lc").cast("double") / col("_lt").cast("double")
+            - col("_bc").cast("double") / col("_bt").cast("double"))).as("_gap"))
+    val mxPerW = gaps.groupBy(col("window_start").as("_mws"))
+      .agg(max(col("_gap")).as("_mx"))
+    gaps
+      .join(mxPerW, col("window_start") === col("_mws"))
+      .drop("_mws")
+      .groupBy(col("window_start"))
+      .agg(first(col("_lt")).as("n_live"),
+        first(col("_bt")).as("n_base"),
+        max(col("_gap")).as("band_ks"),
+        min(when(col("_gap") === col("_mx"), col("band"))).as("ks_at_band"))
+      .withColumn("ks_z",
+        when(col("band_ks").isNotNull,
+          sqrt(col("n_live").cast("double") * col("n_base").cast("double")
+            / (col("n_live") + col("n_base")).cast("double")) * col("band_ks")))
+  }
+
   /** Score a windowed band census against a static baseline
     * calibration report — the batch half.
     *

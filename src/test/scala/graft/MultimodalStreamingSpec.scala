@@ -336,6 +336,61 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       "single-class window must report NULL, not 0.5")
   }
 
+  test("streaming banded KS: per-window drift equals the batch two-sample KS on band scores, late data folded") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCalibration
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(java.sql.Timestamp, Double, Boolean)]
+    val sq = StreamingCalibration.windowedBandCensus(
+        stream.toDF().toDF("ts", "score", "label"),
+        "score", "label", lo = 0.0, hi = 1.0, bins = 4,
+        tsCol = "ts", windowLength = "1 hour", watermarkDelay = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("ks_census")
+      .start()
+    // window 10: mass concentrated low (bands 0,0,1,3 after late fold);
+    // window 11: a single high row (band 2)
+    stream.addData(Seq(
+      (t("2024-01-01 10:05:00"), 0.1, false),
+      (t("2024-01-01 10:10:00"), 0.15, true),
+      (t("2024-01-01 10:20:00"), 0.9, false),
+      (t("2024-01-01 11:01:00"), 0.6, true)))   // keeps window 10 open
+    sq.processAllAvailable()
+    stream.addData(Seq((t("2024-01-01 10:40:00"), 0.3, false)))  // late, in watermark
+    sq.processAllAvailable()
+    stream.addData(Seq((t("2024-01-01 12:30:00"), 0.6, true)))   // close both
+    sq.processAllAvailable()
+    sq.stop()
+    val census = spark.table("ks_census")
+    // baseline: uniform-ish reference corpus over the same domain
+    val baseRaw = Seq(0.05, 0.3, 0.55, 0.8, 0.95, 0.6)
+      .map(v => (v, true)).toDF("score", "label")
+    val baseline = graft.operators.Evaluation.calibrationReport(
+      baseRaw, $"score", $"label", lo = 0.0, hi = 1.0, bins = 4)
+    val scored = StreamingCalibration.scoreBandKs(census, baseline).collect()
+      .map(r => r.getTimestamp(0) -> r).toMap
+    val w10 = t("2024-01-01 10:00:00")
+    assert(scored(w10).getAs[Long]("n_live") == 4L,
+      "late row must fold into window 10 before scoring")
+    assert(scored(w10).getAs[Long]("n_base") == 6L)
+    // batch parity: exact two-sample KS on band-index values, live
+    // window-10 rows (incl. the late one) vs the baseline corpus
+    def bands(vs: Seq[Double], a: Boolean) =
+      vs.map(v => (math.min(3.0, math.floor(v / 0.25)), a))
+    val combined =
+      (bands(Seq(0.1, 0.15, 0.9, 0.3), a = true) ++
+       bands(Seq(0.05, 0.3, 0.55, 0.8, 0.95, 0.6), a = false))
+        .toDF("v", "a")
+    val solo = graft.operators.StatTests.ksTwoSample(combined, $"v", $"a").head()
+    assert(scored(w10).getAs[Double]("band_ks") == solo.getAs[Double]("ks_stat"),
+      "banded streaming KS must equal the exact KS of band-granular scores")
+    assert(scored(w10).getAs[Long]("ks_at_band").toDouble == solo.getAs[Double]("ks_at"))
+    assert(scored(w10).getAs[Double]("ks_z") == solo.getAs[Double]("ks_z"))
+    // window 11 (one live row in band 2): D = max(|1-cumBase|, ...)
+    val w11 = scored(t("2024-01-01 11:00:00"))
+    assert(w11.getAs[Long]("n_live") == 1L)
+    assert(w11.getAs[Double]("band_ks") > 0.0)
+  }
+
   test("streaming curation front-end: gates + TTL content-dedup, batch-identical admission") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
