@@ -391,7 +391,25 @@ object Evaluation {
     * stage; shared by [[aucExactBy]] and [[aucExactWeightedBy]].
     */
   private def aucMassCoreBy(
-      nn: DataFrame, cells: Int, broadcastRowLimit: Long): DataFrame = {
+      nn: DataFrame, cells: Int, broadcastRowLimit: Long): DataFrame =
+    rankedMassBy(nn, cells, broadcastRowLimit) match {
+      case None =>
+        nn.limit(0).select(col("_g").as("group_key"),
+          lit(0L).as("n_pos"), lit(0L).as("n_neg"),
+          lit(0L).as("n_distinct_scores"),
+          lit(null).cast("double").as("auc"))
+      case Some((ranked, censusAll)) => aucFinishBy(ranked, censusAll)
+    }
+
+  /** Grouped sibling of [[rankedMass]]: the (group, score) census with
+    * the `(_g, _c)`-partitioned cumulative-negative prefix shared by
+    * [[aucExactBy]]/[[aucExactWeightedBy]] and [[rankSumTestBy]].
+    * Returns None when the census is empty (cache already released);
+    * otherwise the caller owns the census release.
+    */
+  private def rankedMassBy(
+      nn: DataFrame, cells: Int,
+      broadcastRowLimit: Long): Option[(DataFrame, DataFrame)] = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     val W = org.apache.spark.sql.expressions.Window
     val censusAll = nn.groupBy(col("_g"), col("_v"))
@@ -403,10 +421,7 @@ object Evaluation {
       count(lit(1)).as("n")).head()
     if (bounds.getLong(2) == 0L) {
       censusAll.unpersist(blocking = false)
-      return census.select(col("_g").as("group_key"),
-        lit(0L).as("n_pos"), lit(0L).as("n_neg"),
-        lit(0L).as("n_distinct_scores"),
-        lit(null).cast("double").as("auc")).limit(0)
+      return None
     }
     // GLOBAL bounds are fine for the cells: the cell split only
     // controls window parallelism; ranks come from (_g, _c, _v)
@@ -433,6 +448,11 @@ object Evaluation {
         Seq("_g", "_c"))
       .withColumn("_cumNeg",
         col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
+    Some((ranked, censusAll))
+  }
+
+  /** The per-group AUC finisher over [[rankedMassBy]]'s frame. */
+  private def aucFinishBy(ranked: DataFrame, censusAll: DataFrame): DataFrame = {
     val out = ranked.groupBy(col("_g").as("group_key")).agg(
       sum(col("_pos")).as("n_pos"),
       sum(col("_neg")).as("n_neg"),
@@ -450,6 +470,62 @@ object Evaluation {
     // the census (see [[aucExact]])
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll))
     out
+  }
+
+  /** Per-group Mann–Whitney rank-sum z — [[rankSumTest]] keyed by a
+    * group column over the shared domain: "is the gate's separation
+    * more than chance on EVERY source, or does one source's apparent
+    * skill vanish at its sample size?" (the per-source AUC q124 says
+    * how big; this says how sure). Shares [[rankedMassBy]] with
+    * [[aucExactBy]] — one census, one prefix machinery, the grouped
+    * tie term and z finished per group with the identical engine-exact
+    * dag as the solo form. Output: one row per group (group_key,
+    * n_pos, n_neg, n_distinct_scores, u, tie_term, z); z NULL for
+    * single-class or all-tied groups; groups with no surviving rows
+    * absent (the grouped-family convention).
+    */
+  def rankSumTestBy(
+      df: DataFrame, group: Column, score: Column, label: Column,
+      cells: Int = 4096,
+      broadcastRowLimit: Long = BroadcastRowLimit): DataFrame = {
+    val nn = df
+      .filter(label.isNotNull && group.isNotNull)
+      .select(group.as("_g"), score.cast("double").as("_v"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("_pw"),
+        when(label.cast("boolean"), 0L).otherwise(1L).as("_nw"))
+    rankedMassBy(nn, cells, broadcastRowLimit) match {
+      case None =>
+        nn.limit(0).select(col("_g").as("group_key"),
+          lit(0L).as("n_pos"), lit(0L).as("n_neg"),
+          lit(0L).as("n_distinct_scores"),
+          lit(null).cast("double").as("u"),
+          lit(null).cast("double").as("tie_term"),
+          lit(null).cast("double").as("z"))
+      case Some((ranked, censusAll)) =>
+        val t = (col("_pos") + col("_neg")).cast("decimal(38,0)")
+        val agged = ranked.groupBy(col("_g").as("group_key")).agg(
+          sum(col("_pos")).as("n_pos"),
+          sum(col("_neg")).as("n_neg"),
+          count(lit(1)).as("n_distinct_scores"),
+          sum(col("_pos").cast("decimal(38,0)") *
+              (lit(2L) * col("_cumNeg") + col("_neg")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("_num"),
+          sum(t * t * t - t).cast("decimal(38,0)").as("_tie"))
+        val dn1 = col("n_pos").cast("double")
+        val dn2 = col("n_neg").cast("double")
+        val dn = (col("n_pos") + col("n_neg")).cast("double")
+        val varU = dn1 * dn2 / lit(12.0) *
+          ((dn + lit(1.0)) - col("_tie").cast("double") / (dn * (dn - lit(1.0))))
+        val out = agged.select(
+          col("group_key"), col("n_pos"), col("n_neg"), col("n_distinct_scores"),
+          (col("_num").cast("double") / lit(2.0)).as("u"),
+          col("_tie").cast("double").as("tie_term"),
+          when(col("n_pos") > 0L && col("n_neg") > 0L && varU > lit(0.0),
+            (col("_num").cast("double") - dn1 * dn2) / (lit(2.0) * sqrt(varU)))
+            .as("z"))
+        graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll))
+        out
+    }
   }
 
   /** Calibration census: fixed score bands over [lo, hi), out-of-range

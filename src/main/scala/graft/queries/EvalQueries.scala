@@ -890,6 +890,54 @@ object EvalQueries {
        |      / CAST(tot.nn AS DOUBLE)) * m.mx END AS ks_z
        |FROM m JOIN tg ON m.g = tg.g CROSS JOIN tot""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q148 — per-source Mann–Whitney rank-sum z: q146's significance
+  // statistic keyed by source ("source X's AUC of 0.7 — is that
+  // signal or sample size?"). Shares the grouped census machinery
+  // with q124; oracle = the q146 formula partitioned by source.
+  // ---------------------------------------------------------------
+  def q148GroupRankSum(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    Evaluation.rankSumTestBy(s, col("source"), col("logit"), col("is_en"))
+      .withColumnRenamed("group_key", "source")
+  }
+
+  val q148Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |c AS (
+       |  SELECT source, logit AS v,
+       |    CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS neg
+       |  FROM s WHERE source IS NOT NULL GROUP BY source, logit),
+       |w AS (
+       |  SELECT source, pos, neg,
+       |    COALESCE(CAST(SUM(neg) OVER (PARTITION BY source ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumneg
+       |  FROM c),
+       |a AS (
+       |  SELECT source,
+       |    CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
+       |    CAST(SUM(pos * (2 * cumneg + neg)) AS DECIMAL(38,0)) AS num,
+       |    CAST(SUM(CAST(pos + neg AS HUGEINT) * (pos + neg) * (pos + neg)
+       |      - (pos + neg)) AS DECIMAL(38,0)) AS tie
+       |  FROM w GROUP BY source)
+       |SELECT source, n_pos, n_neg, n_distinct_scores,
+       |  CAST(num AS DOUBLE) / 2.0 AS u,
+       |  CAST(tie AS DOUBLE) AS tie_term,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0
+       |    AND CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) / 12.0
+       |      * ((CAST(n_pos + n_neg AS DOUBLE) + 1.0)
+       |         - CAST(tie AS DOUBLE) / (CAST(n_pos + n_neg AS DOUBLE)
+       |             * (CAST(n_pos + n_neg AS DOUBLE) - 1.0))) > 0.0
+       |  THEN (CAST(num AS DOUBLE) - CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+       |    / (2.0 * SQRT(CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) / 12.0
+       |      * ((CAST(n_pos + n_neg AS DOUBLE) + 1.0)
+       |         - CAST(tie AS DOUBLE) / (CAST(n_pos + n_neg AS DOUBLE)
+       |             * (CAST(n_pos + n_neg AS DOUBLE) - 1.0)))))
+       |  END AS z
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -909,7 +957,8 @@ object EvalQueries {
     "q143_group_isotonic"    -> (q143GroupIsotonic _),
     "q144_ks_two_sample"     -> (q144Ks _),
     "q146_rank_sum_z"        -> (q146RankSum _),
-    "q147_group_ks_drift"    -> (q147GroupKs _))
+    "q147_group_ks_drift"    -> (q147GroupKs _),
+    "q148_group_rank_sum"    -> (q148GroupRankSum _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -930,5 +979,6 @@ object EvalQueries {
     "q143_group_isotonic"    -> q143Sql,
     "q144_ks_two_sample"     -> q144Sql,
     "q146_rank_sum_z"        -> q146Sql,
-    "q147_group_ks_drift"    -> q147Sql)
+    "q147_group_ks_drift"    -> q147Sql,
+    "q148_group_rank_sum"    -> q148Sql)
 }

@@ -186,6 +186,34 @@ class StatTestsSpec extends AnyFunSuite {
       e.isNullAt(e.fieldIndex("z")))
   }
 
+  test("rankSumTestBy: per-group z equals rankSumTest run on each group alone") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 240).map { i =>
+      val g = s"g${i % 3}"
+      val y = i % 5 == 0
+      (g, math.rint((rnd.nextGaussian() + (if (y) 0.7 else 0.0)) * 5) / 5, y)
+    }
+    val df = rows.toDF("g", "s", "y")
+    val grouped = Evaluation.rankSumTestBy(df, $"g", $"s", $"y")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    assert(grouped.keySet == Set("g0", "g1", "g2"))
+    for (g <- grouped.keySet) {
+      val solo = Evaluation.rankSumTest(
+        df.filter($"g" === g), $"s", $"y").head()
+      val gr = grouped(g)
+      assert(gr.getAs[Long]("n_pos") == solo.getAs[Long]("n_pos"))
+      assert(gr.getAs[Long]("n_neg") == solo.getAs[Long]("n_neg"))
+      assert(gr.getAs[Double]("u") == solo.getAs[Double]("u"))
+      assert(gr.getAs[Double]("tie_term") == solo.getAs[Double]("tie_term"))
+      assert(gr.getAs[Double]("z") == solo.getAs[Double]("z"))
+    }
+    // null-group rows are excluded, not a phantom group
+    val withNull = rows.map { case (g, s, y) => (Option(g).filter(_ != "g0"), s, y) }
+      .toDF("g", "s", "y")
+    val g2 = Evaluation.rankSumTestBy(withNull, $"g", $"s", $"y").collect()
+    assert(g2.map(_.getAs[String]("group_key")).toSet == Set("g1", "g2"))
+  }
+
   test("rankSumTest: balanced symmetric data gives z = 0 exactly") {
     // pos and neg identically distributed -> U = n1*n2/2 exactly
     val df = Seq(
