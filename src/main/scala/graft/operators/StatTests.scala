@@ -274,6 +274,128 @@ object StatTests {
     out
   }
 
+  /** KS drift TIMELINE: the exact two-sample KS statistic between
+    * every pair of ADJACENT time buckets of an event stream — "did
+    * yesterday's value distribution differ from the day before's?",
+    * per day, as one query. The volume monitors (q83/q90) watch row
+    * COUNTS move; this watches the distribution itself, with the q144
+    * statistic per step.
+    *
+    * Bucketing is the [[Incremental.bucketPartials]] long arithmetic
+    * (`us − pmod(us, width)`), so the timeline lines up with the
+    * rolling/seasonal volume series. One (bucket, value) census is the
+    * only scan; each census row feeds the pair to its LEFT and the
+    * pair to its RIGHT via a two-branch union (≤ 2× census rows — the
+    * statistic's intrinsic cost, since a pair's sup ranges over the
+    * union of both buckets' values). Valid pairs (both buckets
+    * present in the census) come from a bucket-scale self-join —
+    * calendar-bounded, like the arrival-gaps spine. Prefixes are
+    * (pair, cell)-partitioned with cardinality-adaptive offset
+    * broadcasts; gap/max/z follow [[ksTwoSample]]'s engine-exact dag.
+    *
+    * Output: one row per adjacent pair — (bucket_start_us,
+    * next_start_us, n_left, n_right, n_distinct_values, ks_stat,
+    * ks_at, ks_z). Rows with NULL ts are excluded; NULL/NaN values
+    * census-side, as always.
+    */
+  def ksAdjacentPeriods(
+      df: DataFrame, ts: Column, value: Column,
+      bucketSeconds: Long, cells: Int = 4096): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val nn = df.filter(ts.isNotNull)
+      .select((us - pmod(us, lit(width))).as("_b"),
+        value.cast("double").as("_v"))
+    val censusAll = nn.groupBy(col("_b"), col("_v"))
+      .agg(count(lit(1)).as("_n"))
+      .persist()
+    val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
+    val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"))
+      .head()
+    if (bounds.isNullAt(0)) {
+      censusAll.unpersist(blocking = false)
+      return nn.limit(0).select(col("_b").as("bucket_start_us"),
+        col("_b").as("next_start_us"),
+        lit(0L).as("n_left"), lit(0L).as("n_right"),
+        lit(0L).as("n_distinct_values"),
+        lit(null).cast("double").as("ks_stat"),
+        lit(null).cast("double").as("ks_at"),
+        lit(null).cast("double").as("ks_z"))
+    }
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    // valid pairs = buckets whose successor bucket also has census
+    // rows: a bucket-scale (calendar-bounded) self-join
+    val bks = census.select(col("_b")).distinct()
+    val valid = bks.select(col("_b").as("_p"))
+      .join(bks.select((col("_b") - lit(width)).as("_p")), Seq("_p"))
+    val nPairs = valid.count()
+    val broadcastLimit = 4L << 20
+    def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastLimit) broadcast(f) else f
+    // each census row enters its left-neighbor pair as the RIGHT mass
+    // and its own pair as the LEFT mass
+    val pc = census
+      .select(col("_b").as("_p"), col("_v"),
+        col("_n").as("_nl"), lit(0L).as("_nr"))
+      .unionByName(census.select((col("_b") - lit(width)).as("_p"), col("_v"),
+        lit(0L).as("_nl"), col("_n").as("_nr")))
+      .join(bcIfSmall(valid, nPairs), Seq("_p"))
+      .groupBy(col("_p"), col("_v"))
+      .agg(sum(col("_nl")).as("_nl"), sum(col("_nr")).as("_nr"))
+      .persist()
+    val tot = pc.groupBy(col("_p"))
+      .agg(sum(col("_nl")).as("_tl"), sum(col("_nr")).as("_tr"),
+        count(lit(1)).as("_nd"))
+    // GLOBAL bounds for the cells (the grouped-family convention:
+    // cells only control window parallelism)
+    val width2 = (mx - mn) / cells
+    val cell =
+      if (mx == mn) lit(0L)
+      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width2)))
+    val cen = pc.withColumn("_c", cell)
+    val perPc = cen.groupBy(col("_p"), col("_c"))
+      .agg(sum(col("_nl")).as("_tcl"), sum(col("_nr")).as("_tcr"))
+    val wp = W.partitionBy(col("_p")).orderBy(col("_c"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offs = perPc
+      .withColumn("_offl", coalesce(sum(col("_tcl")).over(wp), lit(0L)))
+      .withColumn("_offr", coalesce(sum(col("_tcr")).over(wp), lit(0L)))
+    val wIncl = W.partitionBy(col("_p"), col("_c")).orderBy(col("_v"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val ranked = cen
+      .join(bcIfSmall(offs.select(col("_p"), col("_c"), col("_offl"), col("_offr")),
+        nPairs * cells), Seq("_p", "_c"))
+      .withColumn("_cl", col("_offl") + sum(col("_nl")).over(wIncl))
+      .withColumn("_cr", col("_offr") + sum(col("_nr")).over(wIncl))
+    val gaps = ranked
+      .join(bcIfSmall(tot, nPairs), Seq("_p"))
+      .select(col("_p"), col("_v"), col("_tl"), col("_tr"), col("_nd"),
+        abs(col("_cl").cast("double") / col("_tl").cast("double")
+          - col("_cr").cast("double") / col("_tr").cast("double")).as("_gap"))
+      .persist()
+    val mxPerP = gaps.groupBy(col("_p")).agg(max(col("_gap")).as("_mx"))
+    val out = gaps
+      .join(bcIfSmall(mxPerP, nPairs), Seq("_p"))
+      .groupBy(col("_p"))
+      .agg(first(col("_tl")).as("n_left"),
+        first(col("_tr")).as("n_right"),
+        first(col("_nd")).as("n_distinct_values"),
+        max(col("_gap")).as("ks_stat"),
+        min(when(col("_gap") === col("_mx"), col("_v"))).as("ks_at"))
+      .select(col("_p").as("bucket_start_us"),
+        (col("_p") + lit(width)).as("next_start_us"),
+        col("n_left"), col("n_right"), col("n_distinct_values"),
+        col("ks_stat"), col("ks_at"),
+        (sqrt(col("n_left").cast("double") * col("n_right").cast("double")
+          / (col("n_left") + col("n_right")).cast("double"))
+          * col("ks_stat")).as("ks_z"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll, pc, gaps))
+    out
+  }
+
   /** Contingency chi-square census between two categorical keys: per
     * (row_key, col_key) CELL — observed count, marginals, expected
     * count under independence, the chi-square contribution

@@ -330,7 +330,58 @@ object TemporalQueries {
        |FROM pairs JOIN marg ma ON pairs.item_a = ma.i
        |JOIN marg mb ON pairs.item_b = mb.i CROSS JOIN tot""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q149 — KS drift timeline: exact two-sample KS between every pair
+  // of adjacent DAYS of the events stream on `value` — the
+  // distribution-level companion to q83/q90's volume monitors, one
+  // row per day step. Buckets use the q100 long arithmetic so the
+  // timeline aligns with the rolling/seasonal series; the oracle
+  // replays the pair-union census with naive windows per pair.
+  // ---------------------------------------------------------------
+  def q149KsTimeline(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.ksAdjacentPeriods(
+      Tables.events(spark, d), col("ts"), col("value"), DaySeconds)
+
+  val q149Sql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS b, CAST(value AS DOUBLE) AS v
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+       |c AS (SELECT b, v, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY b, v),
+       |bk AS (SELECT DISTINCT b FROM c),
+       |vp AS (SELECT b1.b AS p FROM bk b1 JOIN bk b2 ON b2.b = b1.b + $DayUs),
+       |u AS (
+       |  SELECT b AS p, v, n AS nl, CAST(0 AS BIGINT) AS nr FROM c
+       |  UNION ALL
+       |  SELECT b - $DayUs AS p, v, CAST(0 AS BIGINT) AS nl, n AS nr FROM c),
+       |pc AS (
+       |  SELECT u.p, u.v, CAST(SUM(nl) AS BIGINT) AS nl, CAST(SUM(nr) AS BIGINT) AS nr
+       |  FROM u JOIN vp ON u.p = vp.p GROUP BY u.p, u.v),
+       |t AS (SELECT p, CAST(SUM(nl) AS BIGINT) AS tl, CAST(SUM(nr) AS BIGINT) AS tr,
+       |        CAST(COUNT(*) AS BIGINT) AS nd FROM pc GROUP BY p),
+       |w AS (
+       |  SELECT p, v,
+       |    CAST(SUM(nl) OVER (PARTITION BY p ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cl,
+       |    CAST(SUM(nr) OVER (PARTITION BY p ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cr
+       |  FROM pc),
+       |g AS (
+       |  SELECT w.p, w.v,
+       |    ABS(CAST(w.cl AS DOUBLE) / CAST(t.tl AS DOUBLE)
+       |      - CAST(w.cr AS DOUBLE) / CAST(t.tr AS DOUBLE)) AS gap
+       |  FROM w JOIN t ON w.p = t.p),
+       |m AS (SELECT p, MAX(gap) AS mx FROM g GROUP BY p)
+       |SELECT t.p AS bucket_start_us, t.p + $DayUs AS next_start_us,
+       |  t.tl AS n_left, t.tr AS n_right, t.nd AS n_distinct_values,
+       |  m.mx AS ks_stat,
+       |  (SELECT MIN(v) FROM g WHERE g.p = m.p AND g.gap = m.mx) AS ks_at,
+       |  SQRT(CAST(t.tl AS DOUBLE) * CAST(t.tr AS DOUBLE)
+       |    / CAST(t.tl + t.tr AS DOUBLE)) * m.mx AS ks_z
+       |FROM m JOIN t ON m.p = t.p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_ks_timeline" -> (q149KsTimeline _),
     "q33_asof_join" -> (q33AsofJoin _),
     "q34_sessions"  -> (q34Sessions _),
     "q78_arrival_gaps" -> (q78ArrivalGaps _),
@@ -344,6 +395,7 @@ object TemporalQueries {
     "q114_pair_lift" -> (q114PairLift _))
 
   val oracleSql: Map[String, String] = Map(
+    "q149_ks_timeline" -> q149Sql,
     "q33_asof_join" -> q33Sql,
     "q34_sessions"  -> q34Sql,
     "q78_arrival_gaps" -> q78Sql,

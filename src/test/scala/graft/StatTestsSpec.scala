@@ -146,6 +146,55 @@ class StatTestsSpec extends AnyFunSuite {
     assert(a.isNullAt(a.fieldIndex("ks_z")))
   }
 
+  // ---------------- ksAdjacentPeriods ----------------
+
+  test("ksAdjacentPeriods: each adjacent-day pair equals ksTwoSample on the two days; gaps break the chain") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rnd = new scala.util.Random(41)
+    // day1 ~ N(0,1), day2 ~ N(0.5,1), day4 ~ N(0,1); day3 missing
+    def day(d: String, shift: Double, n: Int) =
+      (1 to n).map(i => (t(s"2024-03-0$d ${10 + i % 8}:0${i % 6}:00"),
+        math.rint((rnd.nextGaussian() + shift) * 4) / 4))
+    val rows = day("1", 0.0, 40) ++ day("2", 0.5, 50) ++ day("4", 0.0, 30)
+    val df = rows.toDF("ts", "v")
+    val out = graft.operators.StatTests
+      .ksAdjacentPeriods(df, $"ts", $"v", bucketSeconds = 86400L)
+      .collect().map(r => r.getAs[Long]("bucket_start_us") -> r).toMap
+    // only the 1->2 pair exists (day 3 missing breaks 2->3 and 3->4)
+    assert(out.size == 1)
+    val pair = out.values.head
+    assert(pair.getAs[Long]("n_left") == 40L && pair.getAs[Long]("n_right") == 50L)
+    assert(pair.getAs[Long]("next_start_us") ==
+      pair.getAs[Long]("bucket_start_us") + 86400000000L)
+    // cross-pin against the solo two-sample statistic on the same rows
+    val combined = rows.filter(_._1.getTime < t("2024-03-03 00:00:00").getTime)
+      .map { case (ts, v) => (v, ts.getTime < t("2024-03-02 00:00:00").getTime) }
+      .toDF("v", "a")
+    val solo = graft.operators.StatTests.ksTwoSample(combined, $"v", $"a").head()
+    assert(pair.getAs[Double]("ks_stat") == solo.getAs[Double]("ks_stat"))
+    assert(pair.getAs[Double]("ks_at") == solo.getAs[Double]("ks_at"))
+    assert(pair.getAs[Double]("ks_z") == solo.getAs[Double]("ks_z"))
+    assert(pair.getAs[Long]("n_distinct_values") ==
+      solo.getAs[Long]("n_distinct_values"))
+  }
+
+  test("ksAdjacentPeriods: identical adjacent days give D = 0; null ts and NaN values excluded") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = Seq(1.0, 2.0, 3.0)
+    val rows =
+      base.map(v => (Some(t("2024-03-01 10:00:00")), v)) ++
+      base.map(v => (Some(t("2024-03-02 10:00:00")), v)) ++
+      Seq((None, 9.0), (Some(t("2024-03-02 11:00:00")), Double.NaN))
+    val df = rows.toDF("ts", "v")
+    val out = graft.operators.StatTests
+      .ksAdjacentPeriods(df, $"ts", $"v", bucketSeconds = 86400L)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("ks_stat") == 0.0)
+    assert(out.head.getAs[Long]("n_left") == 3L &&
+      out.head.getAs[Long]("n_right") == 3L)
+  }
+
   // ---------------- rankSumTest ----------------
 
   test("rankSumTest: U agrees with aucExact (U = AUC * n1 * n2) and z matches the direct formula") {
