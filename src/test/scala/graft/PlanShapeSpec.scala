@@ -513,7 +513,7 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the IVF path must not degrade to an all-pairs join:\n$p")
   }
 
-  test("eval family q119-q139: the score expression never appears in a raw-row Filter (single evaluation)") {
+  test("eval family q119-q148: the score expression never appears in a raw-row Filter (single evaluation)") {
     // The logit feeding the eval family is the full text-feature
     // pipeline. A pushed-down score filter (or the spine join's
     // null-rejecting isnotnull inference) inlines that whole tree
@@ -538,7 +538,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // (measured not worth fencing — see the verify notes)
       graft.queries.EvalQueries.q134AucBootstrap(spark, d),
       graft.queries.EvalQueries.q137BrierDecomposition(spark, d),
-      graft.queries.EvalQueries.q139LengthCorrelation(spark, d)
+      graft.queries.EvalQueries.q139LengthCorrelation(spark, d),
+      graft.queries.EvalQueries.q144Ks(spark, d),
+      graft.queries.EvalQueries.q146RankSum(spark, d),
+      graft.queries.EvalQueries.q147GroupKs(spark, d),
+      graft.queries.EvalQueries.q148GroupRankSum(spark, d)
     ).foreach { df =>
       val qe = df.queryExecution
       // the census/counts hide inside InMemoryRelation cache
