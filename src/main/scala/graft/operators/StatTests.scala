@@ -178,12 +178,15 @@ object StatTests {
       .agg(count(lit(1)).as("_n"))
       .persist()
     val censusGv = censusGvAll.filter(col("_v").isNotNull && !isnan(col("_v")))
-    // global value census + bounds/totals, all census-derived
+    // global value census + bounds/totals/cardinalities in ONE job,
+    // all census-derived (the group count feeds the adaptive
+    // broadcasts below without a second probe job)
     val censusV = censusGv.groupBy(col("_v")).agg(sum(col("_n")).as("_nAll"))
-    val bounds = censusV
+    val bounds = censusGv
       .agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
-        coalesce(sum(col("_nAll")), lit(0L)).as("nn"),
-        count(lit(1)).as("nd"))
+        coalesce(sum(col("_n")), lit(0L)).as("nn"),
+        countDistinct(col("_v")).as("nd"),
+        countDistinct(col("_g")).as("ng"))
       .head()
     if (bounds.isNullAt(0)) {
       // empty census: zero rows with the group column's true type
@@ -218,12 +221,12 @@ object StatTests {
       .persist()
     // group totals (group-scale) and the groups × values spine.
     // Broadcasts are cardinality-adaptive (the grouped-eval family's
-    // convention): the group count comes from one cheap agg over the
-    // persisted census, and past ~4M offset rows the hints drop away
-    // so a pathological group column degrades to shuffled joins
-    // instead of OOMing the driver.
+    // convention): the group count rode the bounds job above, and
+    // past ~4M offset rows the hints drop away so a pathological
+    // group column degrades to shuffled joins instead of OOMing the
+    // driver.
     val groupTot = censusGv.groupBy(col("_g")).agg(sum(col("_n")).as("_tg"))
-    val nGroups = groupTot.count()
+    val nGroups = bounds.getLong(4)
     val broadcastLimit = 4L << 20
     def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
       if (rows <= broadcastLimit) broadcast(f) else f
@@ -313,7 +316,10 @@ object StatTests {
       .agg(count(lit(1)).as("_n"))
       .persist()
     val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
-    val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"))
+    // bounds + bucket cardinality in ONE job; the bucket count is a
+    // safe upper bound on the pair count for the adaptive broadcasts
+    val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
+        countDistinct(col("_b")).as("nb"))
       .head()
     if (bounds.isNullAt(0)) {
       censusAll.unpersist(blocking = false)
@@ -331,7 +337,7 @@ object StatTests {
     val bks = census.select(col("_b")).distinct()
     val valid = bks.select(col("_b").as("_p"))
       .join(bks.select((col("_b") - lit(width)).as("_p")), Seq("_p"))
-    val nPairs = valid.count()
+    val nPairs = bounds.getLong(2) // ≥ true pair count: adaptivity-safe
     val broadcastLimit = 4L << 20
     def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
       if (rows <= broadcastLimit) broadcast(f) else f
