@@ -398,4 +398,73 @@ class PropertySpec extends AnyFunSuite {
       assert(recall == b.getAs[Long]("hits").toDouble / b.getAs[Long]("n_rel").toDouble)
     }
   }
+
+  test("ksTwoSample invariants: bounds, cohort symmetry, monotone-transform invariance") {
+    import graft.operators.StatTests
+    val rowGen = for {
+      v <- Gen.choose(-50, 50)
+      a <- Gen.oneOf(true, false)
+    } yield (v.toDouble / 4, a)
+    val rows = Gen.listOfN(250, rowGen).sample.get
+    val df = rows.toDF("v", "a")
+    val r = StatTests.ksTwoSample(df, $"v", $"a").head()
+    val d = r.getAs[Double]("ks_stat")
+    assert(d >= 0.0 && d <= 1.0, s"D out of range: $d")
+    // D is symmetric in the cohorts (|F_A - F_B| = |F_B - F_A|)
+    val r2 = StatTests.ksTwoSample(df, $"v", !$"a").head()
+    assert(r2.getAs[Double]("ks_stat") == d)
+    assert(r2.getAs[Double]("ks_at") == r.getAs[Double]("ks_at"))
+    assert(r2.getAs[Long]("n_a") == r.getAs[Long]("n_b"))
+    // a strictly increasing transform permutes nothing: D unchanged,
+    // the attaining point maps through the transform
+    val r3 = StatTests.ksTwoSample(
+      df.select(($"v" * 3.0 + 100.0).as("v"), $"a"), $"v", $"a").head()
+    assert(r3.getAs[Double]("ks_stat") == d,
+      "KS is a rank statistic: monotone transforms cannot move D")
+    assert(r3.getAs[Double]("ks_at") == r.getAs[Double]("ks_at") * 3.0 + 100.0)
+  }
+
+  test("rankSumTest: z is antisymmetric under label flip; |z| invariant under monotone transforms") {
+    import graft.operators.Evaluation
+    val rowGen = for {
+      v <- Gen.choose(-20, 20)
+      y <- Gen.frequency(1 -> true, 2 -> false)
+    } yield (v.toDouble / 2, y)
+    val rows = Gen.listOfN(200, rowGen).sample.get
+    // ensure both classes present (frequency gen could degenerate)
+    val fixed = (1.0, true) :: (2.0, false) :: rows
+    val df = fixed.toDF("s", "y")
+    val z = Evaluation.rankSumTest(df, $"s", $"y").head().getAs[Double]("z")
+    val zFlip = Evaluation.rankSumTest(df, $"s", !$"y").head().getAs[Double]("z")
+    // swapping the classes negates U - mu exactly; sigma is unchanged
+    assert(z == -zFlip, s"label flip must negate z: $z vs $zFlip")
+    val zMono = Evaluation.rankSumTest(
+      df.select(($"s" * 5.0 - 7.0).as("s"), $"y"), $"s", $"y")
+      .head().getAs[Double]("z")
+    assert(z == zMono, "rank statistic: monotone transform cannot move z")
+  }
+
+  test("contingencyChiSquare: contributions are non-negative and marginals tile the grand total") {
+    import graft.operators.StatTests
+    val rowGen = for {
+      r <- Gen.oneOf("a", "b", "c")
+      c <- Gen.oneOf("x", "y", "z", "w")
+    } yield (r, c)
+    val rows = Gen.listOfN(300, rowGen).sample.get
+    val out = StatTests.contingencyChiSquare(rows.toDF("r", "c"), $"r", $"c")
+      .collect()
+    val n = rows.size.toLong
+    assert(out.forall(_.getAs[Long]("grand_total") == n))
+    assert(out.forall(_.getAs[Double]("contribution") >= 0.0))
+    assert(out.map(_.getAs[Long]("n")).sum == n, "cells tile the population")
+    // row marginals: summing n over a row recovers row_total
+    out.groupBy(_.getAs[String]("row_key")).foreach { case (_, cells) =>
+      assert(cells.map(_.getAs[Long]("n")).sum ==
+        cells.head.getAs[Long]("row_total"))
+    }
+    out.groupBy(_.getAs[String]("col_key")).foreach { case (_, cells) =>
+      assert(cells.map(_.getAs[Long]("n")).sum ==
+        cells.head.getAs[Long]("col_total"))
+    }
+  }
 }
