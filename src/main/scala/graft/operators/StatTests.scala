@@ -334,24 +334,11 @@ object StatTests {
     val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
     // valid pairs = buckets whose successor bucket also has census
     // rows: a bucket-scale (calendar-bounded) self-join
-    val bks = census.select(col("_b")).distinct()
-    val valid = bks.select(col("_b").as("_p"))
-      .join(bks.select((col("_b") - lit(width)).as("_p")), Seq("_p"))
     val nPairs = bounds.getLong(2) // ≥ true pair count: adaptivity-safe
     val broadcastLimit = 4L << 20
     def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
       if (rows <= broadcastLimit) broadcast(f) else f
-    // each census row enters its left-neighbor pair as the RIGHT mass
-    // and its own pair as the LEFT mass
-    val pc = census
-      .select(col("_b").as("_p"), col("_v"),
-        col("_n").as("_nl"), lit(0L).as("_nr"))
-      .unionByName(census.select((col("_b") - lit(width)).as("_p"), col("_v"),
-        lit(0L).as("_nl"), col("_n").as("_nr")))
-      .join(bcIfSmall(valid, nPairs), Seq("_p"))
-      .groupBy(col("_p"), col("_v"))
-      .agg(sum(col("_nl")).as("_nl"), sum(col("_nr")).as("_nr"))
-      .persist()
+    val pc = adjacentPairCensus(census, "_v", width, nPairs).persist()
     val tot = pc.groupBy(col("_p"))
       .agg(sum(col("_nl")).as("_tl"), sum(col("_nr")).as("_tr"),
         count(lit(1)).as("_nd"))
@@ -399,6 +386,110 @@ object StatTests {
           / (col("n_left") + col("n_right")).cast("double"))
           * col("ks_stat")).as("ks_z"))
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll, pc, gaps))
+    out
+  }
+
+  /** The two-branch pair union shared by the timeline operators
+    * ([[ksAdjacentPeriods]], [[categoricalDriftTimeline]]): each
+    * census row (`_b`, key, `_n`) enters its own bucket's pair as the
+    * LEFT mass and its left-neighbor's pair as the RIGHT mass; pairs
+    * where either bucket is absent from the census are dropped via a
+    * calendar-bounded bucket self-join (broadcast while the bucket
+    * count stays under the adaptive limit). Returns (`_p`, key,
+    * `_nl`, `_nr`) at ≤ 2× census rows.
+    */
+  private def adjacentPairCensus(
+      census: DataFrame, keyName: String, width: Long,
+      nBuckets: Long): DataFrame = {
+    val bks = census.select(col("_b")).distinct()
+    val valid = bks.select(col("_b").as("_p"))
+      .join(bks.select((col("_b") - lit(width)).as("_p")), Seq("_p"))
+    val hinted = if (nBuckets <= (4L << 20)) broadcast(valid) else valid
+    census
+      .select(col("_b").as("_p"), col(keyName),
+        col("_n").as("_nl"), lit(0L).as("_nr"))
+      .unionByName(census.select((col("_b") - lit(width)).as("_p"), col(keyName),
+        lit(0L).as("_nl"), col("_n").as("_nr")))
+      .join(hinted, Seq("_p"))
+      .groupBy(col("_p"), col(keyName))
+      .agg(sum(col("_nl")).as("_nl"), sum(col("_nr")).as("_nr"))
+  }
+
+  /** Categorical drift TIMELINE: for every pair of adjacent time
+    * buckets, the 2×k contingency drift of a categorical key's mix —
+    * per (pair, key) cell: both sides' counts and rates, the rate
+    * gap, and the two-sided chi-square contribution against the
+    * pair's pooled expectation. Σchi2_contribution over a pair's keys
+    * is the pair's chi-square statistic with (k−1) dof — the
+    * [[ksAdjacentPeriods]] companion for categorical columns
+    * (event types, sources, languages), and the timeline form of the
+    * two-cohort categorical drift (q52). The per-cell convention is
+    * [[contingencyChiSquare]]'s: rows are engine-exact; the scalar is
+    * the reader's sum.
+    *
+    * Same machinery as the KS timeline: one (bucket, key) census,
+    * the shared [[adjacentPairCensus]] union (≤ 2× census rows), the
+    * calendar-bounded valid-pair join — and nothing else: no windows
+    * at all, since chi-square needs no ordering. A key absent on one
+    * side of a pair carries a zero count (and its full contribution);
+    * a key absent on both sides contributes nothing, exactly as a
+    * zero-row would. NULL ts or NULL key rows are excluded.
+    */
+  def categoricalDriftTimeline(
+      df: DataFrame, ts: Column, key: Column,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val nn = df.filter(ts.isNotNull && key.isNotNull)
+      .select((us - pmod(us, lit(width))).as("_b"), key.as("_k"))
+    val censusAll = nn.groupBy(col("_b"), col("_k"))
+      .agg(count(lit(1)).as("_n"))
+      .persist()
+    val nBuckets = censusAll.agg(countDistinct(col("_b"))).head().getLong(0)
+    if (nBuckets == 0L) {
+      censusAll.unpersist(blocking = false)
+      return nn.limit(0).select(col("_b").as("bucket_start_us"),
+        col("_b").as("next_start_us"), col("_k").as("key"),
+        lit(0L).as("n_left"), lit(0L).as("n_right"),
+        lit(0L).as("left_total"), lit(0L).as("right_total"),
+        lit(null).cast("double").as("rate_left"),
+        lit(null).cast("double").as("rate_right"),
+        lit(null).cast("double").as("rate_gap"),
+        lit(null).cast("double").as("chi2_contribution"))
+    }
+    val pc = adjacentPairCensus(censusAll, "_k", width, nBuckets).persist()
+    val tot = pc.groupBy(col("_p"))
+      .agg(sum(col("_nl")).as("_tl"), sum(col("_nr")).as("_tr"))
+    val totHinted = if (nBuckets <= (4L << 20)) broadcast(tot) else tot
+    // pooled expectation per cell; totals ≥ 1 per valid side and
+    // nl + nr ≥ 1 per census-driven cell, so both divisors are live
+    val el = col("left_total").cast("double") *
+      (col("n_left") + col("n_right")).cast("double") /
+      (col("left_total") + col("right_total")).cast("double")
+    val er = col("right_total").cast("double") *
+      (col("n_left") + col("n_right")).cast("double") /
+      (col("left_total") + col("right_total")).cast("double")
+    val devl = col("n_left").cast("double") - col("_el")
+    val devr = col("n_right").cast("double") - col("_er")
+    val out = pc
+      .join(totHinted, Seq("_p"))
+      .select(col("_p").as("bucket_start_us"),
+        (col("_p") + lit(width)).as("next_start_us"),
+        col("_k").as("key"),
+        col("_nl").as("n_left"), col("_nr").as("n_right"),
+        col("_tl").as("left_total"), col("_tr").as("right_total"))
+      .withColumn("rate_left",
+        col("n_left").cast("double") / col("left_total").cast("double"))
+      .withColumn("rate_right",
+        col("n_right").cast("double") / col("right_total").cast("double"))
+      .withColumn("rate_gap", col("rate_left") - col("rate_right"))
+      .withColumn("_el", el)
+      .withColumn("_er", er)
+      .withColumn("chi2_contribution",
+        devl * devl / col("_el") + devr * devr / col("_er"))
+      .drop("_el", "_er")
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll, pc))
     out
   }
 

@@ -380,7 +380,54 @@ object TemporalQueries {
        |    / CAST(t.tl + t.tr AS DOUBLE)) * m.mx AS ks_z
        |FROM m JOIN t ON m.p = t.p""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q150 — categorical drift timeline: the 2×k chi-square drift of
+  // the event-type mix between every pair of adjacent days — q149's
+  // companion for categorical columns (and the timeline form of
+  // q52's two-cohort categorical drift). Per (pair, type) cell:
+  // counts, rates, rate gap, two-sided chi-square contribution
+  // against the pooled expectation; Σ per pair = χ² with k−1 dof.
+  // ---------------------------------------------------------------
+  def q150CatTimeline(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.categoricalDriftTimeline(
+      Tables.events(spark, d), col("ts"), col("event_type"), DaySeconds)
+
+  val q150Sql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS b, event_type AS k
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+       |c AS (SELECT b, k, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY b, k),
+       |bk AS (SELECT DISTINCT b FROM c),
+       |vp AS (SELECT b1.b AS p FROM bk b1 JOIN bk b2 ON b2.b = b1.b + $DayUs),
+       |u AS (
+       |  SELECT b AS p, k, n AS nl, CAST(0 AS BIGINT) AS nr FROM c
+       |  UNION ALL
+       |  SELECT b - $DayUs AS p, k, CAST(0 AS BIGINT) AS nl, n AS nr FROM c),
+       |pc AS (
+       |  SELECT u.p, u.k, CAST(SUM(nl) AS BIGINT) AS nl, CAST(SUM(nr) AS BIGINT) AS nr
+       |  FROM u JOIN vp ON u.p = vp.p GROUP BY u.p, u.k),
+       |t AS (SELECT p, CAST(SUM(nl) AS BIGINT) AS tl, CAST(SUM(nr) AS BIGINT) AS tr
+       |      FROM pc GROUP BY p),
+       |j AS (
+       |  SELECT pc.p, pc.k, pc.nl, pc.nr, t.tl, t.tr,
+       |    CAST(t.tl AS DOUBLE) * CAST(pc.nl + pc.nr AS DOUBLE)
+       |      / CAST(t.tl + t.tr AS DOUBLE) AS el,
+       |    CAST(t.tr AS DOUBLE) * CAST(pc.nl + pc.nr AS DOUBLE)
+       |      / CAST(t.tl + t.tr AS DOUBLE) AS er
+       |  FROM pc JOIN t ON pc.p = t.p)
+       |SELECT p AS bucket_start_us, p + $DayUs AS next_start_us, k AS key,
+       |  nl AS n_left, nr AS n_right, tl AS left_total, tr AS right_total,
+       |  CAST(nl AS DOUBLE) / CAST(tl AS DOUBLE) AS rate_left,
+       |  CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE) AS rate_right,
+       |  CAST(nl AS DOUBLE) / CAST(tl AS DOUBLE)
+       |    - CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE) AS rate_gap,
+       |  (CAST(nl AS DOUBLE) - el) * (CAST(nl AS DOUBLE) - el) / el
+       |    + (CAST(nr AS DOUBLE) - er) * (CAST(nr AS DOUBLE) - er) / er
+       |    AS chi2_contribution
+       |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_cat_timeline" -> (q150CatTimeline _),
     "q149_ks_timeline" -> (q149KsTimeline _),
     "q33_asof_join" -> (q33AsofJoin _),
     "q34_sessions"  -> (q34Sessions _),
@@ -395,6 +442,7 @@ object TemporalQueries {
     "q114_pair_lift" -> (q114PairLift _))
 
   val oracleSql: Map[String, String] = Map(
+    "q150_cat_timeline" -> q150Sql,
     "q149_ks_timeline" -> q149Sql,
     "q33_asof_join" -> q33Sql,
     "q34_sessions"  -> q34Sql,

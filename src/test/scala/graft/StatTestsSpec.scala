@@ -195,6 +195,40 @@ class StatTestsSpec extends AnyFunSuite {
       out.head.getAs[Long]("n_right") == 3L)
   }
 
+  // ---------------- categoricalDriftTimeline ----------------
+
+  test("categoricalDriftTimeline: hand-computed 2x2 pair; one-sided keys carry zero counts; identical days contribute 0") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // day1: a=3, b=1 ; day2: a=1, b=2, c=1 ; day3 identical to day2
+    def mk(d: Int, k: String, n: Int) =
+      Seq.fill(n)((t(f"2024-05-0$d%d 12:00:00"), k))
+    val rows = mk(1, "a", 3) ++ mk(1, "b", 1) ++
+      mk(2, "a", 1) ++ mk(2, "b", 2) ++ mk(2, "c", 1) ++
+      mk(3, "a", 1) ++ mk(3, "b", 2) ++ mk(3, "c", 1)
+    val df = rows.toDF("ts", "k")
+    val out = graft.operators.StatTests
+      .categoricalDriftTimeline(df, $"ts", $"k", bucketSeconds = 86400L)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket_start_us"), r.getAs[String]("key")) -> r)
+      .toMap
+    val day1 = out.keys.map(_._1).min
+    val day2 = out.keys.map(_._1).max
+    assert(out.size == 6) // pair1: a,b,c ; pair2: a,b,c
+    // pair day1->day2, key c: absent on the left
+    val c1 = out((day1, "c"))
+    assert(c1.getAs[Long]("n_left") == 0L && c1.getAs[Long]("n_right") == 1L)
+    assert(c1.getAs[Long]("left_total") == 4L && c1.getAs[Long]("right_total") == 4L)
+    // hand chi-square for key a in pair 1: e_l = 4*4/8 = 2, e_r = 2
+    val a1 = out((day1, "a"))
+    assert(a1.getAs[Double]("chi2_contribution") ==
+      (3.0 - 2.0) * (3.0 - 2.0) / 2.0 + (1.0 - 2.0) * (1.0 - 2.0) / 2.0)
+    assert(a1.getAs[Double]("rate_gap") == 3.0 / 4.0 - 1.0 / 4.0)
+    // pair day2->day3 (identical mixes): every contribution exactly 0
+    val p2 = out.filter(_._1._1 == day2).values
+    assert(p2.nonEmpty && p2.forall(_.getAs[Double]("chi2_contribution") == 0.0))
+    assert(p2.forall(_.getAs[Double]("rate_gap") == 0.0))
+  }
+
   // ---------------- rankSumTest ----------------
 
   test("rankSumTest: U agrees with aucExact (U = AUC * n1 * n2) and z matches the direct formula") {
