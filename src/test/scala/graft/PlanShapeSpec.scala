@@ -568,6 +568,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the matrix must never degrade to a shuffled cartesian:\n$p")
   }
 
+  test("q149/q150 timelines: every KS window is pair-partitioned; q150 needs no window at all") {
+    // the KS timeline's windows must all be (pair[, cell])-partitioned
+    // — an unpartitioned window would funnel the pair census through
+    // one task; the chi-square timeline is window-free by design.
+    val ks = plan(graft.queries.TemporalQueries.q149KsTimeline(spark, d))
+    val specs = "windowspecdefinition\\(([^,)]*)".r.findAllMatchIn(ks).toSeq
+    assert(specs.nonEmpty, s"expected window specs in the KS timeline:\n$ks")
+    specs.foreach { m =>
+      assert(m.group(1).startsWith("_p#"),
+        s"window not partitioned by the pair key: ${m.matched}")
+    }
+    val cat = plan(graft.queries.TemporalQueries.q150CatTimeline(spark, d))
+    assert(!cat.contains("windowspecdefinition"),
+      s"the categorical timeline needs no ordering, so no window:\n$cat")
+  }
+
   test("no scala UDFs anywhere in the query surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
