@@ -996,4 +996,111 @@ object Profiling {
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(raw))
     out
   }
+
+  /** Banded Kendall τ-b: the concordance-based rank correlation over a
+    * fixed 2-D band grid — [[spearmanCorr]]'s sibling with the other
+    * classical tie treatment, and the scale form of Kendall's τ:
+    * exact Kendall needs 2-D dominance counts over the raw value
+    * pairs (an order-statistic structure no shuffle expresses);
+    * banding the domain makes every dominance sum a SUFFIX SUM over
+    * the config-sized binsX × binsY census grid — two window passes,
+    * nothing data-sized past the census. On data whose values ARE
+    * band indices the banded τ-b IS the exact τ-b (the band-AUC
+    * convention, spec-pinned against a brute-force O(n²) count).
+    *
+    * Census: one scan to (bx, by, n) with the edge-clamp banding of
+    * the calibration family; NULL/NaN on either side excluded
+    * census-side (single-evaluation discipline: the raw projection is
+    * persisted and the exclusion filter sits above the cache).
+    * Dominance: on the zero-filled full grid,
+    * G(c) = Σ_{bx'>bx, by'>by} n and L(c) = Σ_{bx'>bx, by'<by} n via
+    * a within-column suffix/prefix then an across-column suffix —
+    * windows over ≤ binsX × binsY rows. Then
+    *
+    *   C = Σ n·G,  D = Σ n·L  (each unordered pair counted once, at
+    *   its x-lower cell)
+    *   τ-b = (C − D) / √((n0 − n1)(n0 − n2)),
+    *   n0 = n(n−1)/2, n1/n2 = Σ t(t−1)/2 over x / y marginal ties
+    *
+    * with every count an exact DECIMAL(38,0) (pair sums exact to
+    * ~4×10¹⁸ rows) and the final expression one IEEE dag stated
+    * identically in the oracle. Output: one row — n, concordant,
+    * discordant, tie_x2/tie_y2/tie_xy2 (the DOUBLED tie-pair sums
+    * Σt(t−1), exact integers), tau_b (NULL when either denominator
+    * leg is 0 — a constant column has no rank order). The pair
+    * identity 2C + 2D + tie_x2 + tie_y2 − tie_xy2 = n(n−1) is
+    * spec-pinned.
+    */
+  def kendallTauBanded(
+      df: DataFrame, x: Column, y: Column,
+      loX: Double, hiX: Double, binsX: Int,
+      loY: Double, hiY: Double, binsY: Int): DataFrame = {
+    require(binsX >= 1 && binsY >= 1, s"bins must be >= 1, got $binsX/$binsY")
+    require(loX < hiX && loY < hiY, "need lo < hi on both axes")
+    val W = org.apache.spark.sql.expressions.Window
+    val wX = (hiX - loX) / binsX
+    val wY = (hiY - loY) / binsY
+    val raw = df
+      .select(x.cast("double").as("_x"), y.cast("double").as("_y"))
+      .persist()
+    val nn = raw.filter(col("_x").isNotNull && !isnan(col("_x")) &&
+      col("_y").isNotNull && !isnan(col("_y")))
+    def band(c: Column, lo: Double, w: Double, bins: Int): Column =
+      least(lit(bins - 1L), greatest(lit(0L), floor((c - lit(lo)) / lit(w))))
+    val census = nn
+      .groupBy(band(col("_x"), loX, wX, binsX).as("_bx"),
+        band(col("_y"), loY, wY, binsY).as("_by"))
+      .agg(count(lit(1)).as("_n"))
+    val spark = df.sparkSession
+    val grid = spark.range(0, binsX).select(col("id").as("_bx"))
+      .crossJoin(broadcast(spark.range(0, binsY).select(col("id").as("_by"))))
+    val full = grid.join(census, Seq("_bx", "_by"), "left")
+      .select(col("_bx"), col("_by"), coalesce(col("_n"), lit(0L)).as("_n"))
+      .persist()
+    // within-column suffix (by' > by) and prefix (by' < by), then the
+    // across-column suffix (bx' > bx) — all over the bounded grid
+    val wCol = W.partitionBy(col("_bx")).orderBy(col("_by"))
+    val s1 = full
+      .withColumn("_sAbove",
+        coalesce(sum(col("_n")).over(wCol.rowsBetween(1, W.unboundedFollowing)), lit(0L)))
+      .withColumn("_sBelow",
+        coalesce(sum(col("_n")).over(wCol.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val wRow = W.partitionBy(col("_by")).orderBy(col("_bx"))
+      .rowsBetween(1, W.unboundedFollowing)
+    val dom = s1
+      .withColumn("_g", coalesce(sum(col("_sAbove")).over(wRow), lit(0L)))
+      .withColumn("_l", coalesce(sum(col("_sBelow")).over(wRow), lit(0L)))
+    val nDec = col("_n").cast("decimal(38,0)")
+    val concDisc = dom.agg(
+      sum(col("_n")).as("n"),
+      sum(nDec * col("_g").cast("decimal(38,0)")).cast("decimal(38,0)").as("_c"),
+      sum(nDec * col("_l").cast("decimal(38,0)")).cast("decimal(38,0)").as("_d"),
+      sum(nDec * (nDec - lit(1L).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").as("_txy2"))
+    // marginal tie sums Σt(t−1), census-derived
+    def margTie2(key: String): DataFrame = {
+      val t = full.groupBy(col(key)).agg(sum(col("_n")).as("_t"))
+      val tDec = col("_t").cast("decimal(38,0)")
+      t.agg(sum(tDec * (tDec - lit(1L).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").as(s"_t$key"))
+    }
+    val joined = concDisc
+      .crossJoin(broadcast(margTie2("_bx")))
+      .crossJoin(broadcast(margTie2("_by")))
+    val dn = col("n").cast("double")
+    val dx = (dn * (dn - lit(1.0)) - col("_t_bx").cast("double")) / lit(2.0)
+    val dy = (dn * (dn - lit(1.0)) - col("_t_by").cast("double")) / lit(2.0)
+    val out = joined.select(
+      col("n"),
+      col("_c").cast("double").as("concordant"),
+      col("_d").cast("double").as("discordant"),
+      col("_t_bx").cast("double").as("tie_x2"),
+      col("_t_by").cast("double").as("tie_y2"),
+      col("_txy2").cast("double").as("tie_xy2"),
+      when(dx > lit(0.0) && dy > lit(0.0),
+        (col("_c").cast("double") - col("_d").cast("double")) / sqrt(dx * dy))
+        .as("tau_b"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(raw, full))
+    out
+  }
 }

@@ -938,6 +938,80 @@ object EvalQueries {
        |  END AS z
        |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q151 — banded Kendall τ-b of the quality logit vs document
+  // length: q139's Spearman companion with the concordance-based tie
+  // treatment. Banding makes the 2-D dominance counts suffix sums
+  // over the 16×16 census grid (exact Kendall would need an
+  // order-statistic structure no shuffle expresses); bands use the
+  // calibration clamp on [-4,4) × [0,640).
+  // ---------------------------------------------------------------
+  def q151KendallTau(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).withColumn("doc_len", col("n_chars"))
+    val s = graft.operators.TextAnalysis.linearQualityScore(
+      docs, "doc_id", "text",
+      bias = -2.0, wStopword = 8.0, wPunct = -4.0,
+      wMeanWordLen = 0.25, wKChars = 0.5,
+      carry = Seq("doc_len"))
+    graft.operators.Profiling.kendallTauBanded(s,
+      col("logit"), col("doc_len"),
+      loX = -4.0, hiX = 4.0, binsX = 16,
+      loY = 0.0, hiY = 640.0, binsY = 16)
+  }
+
+  val q151Sql: String =
+    s"""WITH q AS (${ExtensionQueries.q112Sql}),
+       |s AS (SELECT q.logit AS x, CAST(d.n_chars AS DOUBLE) AS y
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id
+       |  WHERE q.logit IS NOT NULL AND NOT isnan(q.logit)
+       |    AND d.n_chars IS NOT NULL),
+       |bnd AS (SELECT
+       |    LEAST(15, GREATEST(0, CAST(FLOOR((x - (-4.0)) / 0.5) AS BIGINT))) AS bx,
+       |    LEAST(15, GREATEST(0, CAST(FLOOR((y - 0.0) / 40.0) AS BIGINT))) AS byy
+       |  FROM s),
+       |c AS (SELECT bx, byy, CAST(COUNT(*) AS BIGINT) AS n FROM bnd GROUP BY bx, byy),
+       |grid AS (SELECT gx.bx, gy.byy
+       |  FROM (SELECT UNNEST(range(0, 16)) AS bx) gx
+       |  CROSS JOIN (SELECT UNNEST(range(0, 16)) AS byy) gy),
+       |f AS (SELECT grid.bx, grid.byy, COALESCE(c.n, 0) AS n
+       |  FROM grid LEFT JOIN c ON grid.bx = c.bx AND grid.byy = c.byy),
+       |s1 AS (SELECT bx, byy, n,
+       |    COALESCE(CAST(SUM(n) OVER (PARTITION BY bx ORDER BY byy
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT), 0) AS sab,
+       |    COALESCE(CAST(SUM(n) OVER (PARTITION BY bx ORDER BY byy
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS sbe
+       |  FROM f),
+       |dom AS (SELECT bx, byy, n,
+       |    COALESCE(CAST(SUM(sab) OVER (PARTITION BY byy ORDER BY bx
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT), 0) AS gg,
+       |    COALESCE(CAST(SUM(sbe) OVER (PARTITION BY byy ORDER BY bx
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT), 0) AS ll
+       |  FROM s1),
+       |a AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(n AS HUGEINT) * gg) AS DECIMAL(38,0)) AS c,
+       |    CAST(SUM(CAST(n AS HUGEINT) * ll) AS DECIMAL(38,0)) AS d,
+       |    CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS DECIMAL(38,0)) AS txy
+       |  FROM dom),
+       |tx AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS DECIMAL(38,0)) AS v
+       |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM f GROUP BY bx) mt),
+       |ty AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS DECIMAL(38,0)) AS v
+       |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM f GROUP BY byy) mt)
+       |SELECT a.n,
+       |  CAST(a.c AS DOUBLE) AS concordant, CAST(a.d AS DOUBLE) AS discordant,
+       |  CAST(tx.v AS DOUBLE) AS tie_x2, CAST(ty.v AS DOUBLE) AS tie_y2,
+       |  CAST(a.txy AS DOUBLE) AS tie_xy2,
+       |  CASE WHEN (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)
+       |        - CAST(tx.v AS DOUBLE)) / 2.0 > 0.0
+       |    AND (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)
+       |        - CAST(ty.v AS DOUBLE)) / 2.0 > 0.0
+       |  THEN (CAST(a.c AS DOUBLE) - CAST(a.d AS DOUBLE))
+       |    / SQRT(((CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)
+       |        - CAST(tx.v AS DOUBLE)) / 2.0)
+       |      * ((CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)
+       |        - CAST(ty.v AS DOUBLE)) / 2.0))
+       |  END AS tau_b
+       |FROM a CROSS JOIN tx CROSS JOIN ty""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -958,7 +1032,8 @@ object EvalQueries {
     "q144_ks_two_sample"     -> (q144Ks _),
     "q146_rank_sum_z"        -> (q146RankSum _),
     "q147_group_ks_drift"    -> (q147GroupKs _),
-    "q148_group_rank_sum"    -> (q148GroupRankSum _))
+    "q148_group_rank_sum"    -> (q148GroupRankSum _),
+    "q151_kendall_tau"       -> (q151KendallTau _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -980,5 +1055,6 @@ object EvalQueries {
     "q144_ks_two_sample"     -> q144Sql,
     "q146_rank_sum_z"        -> q146Sql,
     "q147_group_ks_drift"    -> q147Sql,
-    "q148_group_rank_sum"    -> q148Sql)
+    "q148_group_rank_sum"    -> q148Sql,
+    "q151_kendall_tau"       -> q151Sql)
 }

@@ -552,4 +552,78 @@ class ProfilingSpec extends AnyFunSuite {
     assert(math.abs(c.getAs[Double]("spearman_rho") -
       a.getAs[Double]("spearman_rho")) < 0.05)
   }
+
+  // ---------------- kendallTauBanded ----------------
+
+  test("kendallTauBanded equals brute-force tau-b when values are band indices") {
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 150).map { _ =>
+      val x = rnd.nextInt(8)
+      // correlate y with x so tau is non-trivial
+      val y = math.max(0, math.min(5, x / 2 + rnd.nextInt(3) - 1))
+      (x.toDouble, y.toDouble)
+    }
+    val r = Profiling.kendallTauBanded(rows.toDF("x", "y"), col("x"), col("y"),
+      loX = 0.0, hiX = 8.0, binsX = 8, loY = 0.0, hiY = 6.0, binsY = 6).head()
+    var cc = 0L; var dd = 0L; var tx = 0L; var ty = 0L; var txy = 0L
+    for (i <- rows.indices; j <- i + 1 until rows.size) {
+      val sx = java.lang.Double.compare(rows(i)._1, rows(j)._1)
+      val sy = java.lang.Double.compare(rows(i)._2, rows(j)._2)
+      if (sx == 0 && sy == 0) txy += 1
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+      if (sx * sy > 0) cc += 1
+      if (sx * sy < 0) dd += 1
+    }
+    assert(r.getAs[Long]("n") == rows.size.toLong)
+    assert(r.getAs[Double]("concordant") == cc.toDouble)
+    assert(r.getAs[Double]("discordant") == dd.toDouble)
+    assert(r.getAs[Double]("tie_x2") == (2L * tx).toDouble)
+    assert(r.getAs[Double]("tie_y2") == (2L * ty).toDouble)
+    assert(r.getAs[Double]("tie_xy2") == (2L * txy).toDouble)
+    val n = rows.size.toDouble
+    val tauRef = (cc - dd).toDouble /
+      math.sqrt((n * (n - 1.0) - 2.0 * tx) / 2.0 * ((n * (n - 1.0) - 2.0 * ty) / 2.0))
+    assert(math.abs(r.getAs[Double]("tau_b") - tauRef) < 1e-12)
+    // pair identity: every unordered pair is concordant, discordant,
+    // or tied on at least one axis
+    assert(2 * cc + 2 * dd + 2 * tx + 2 * ty - 2 * txy ==
+      rows.size.toLong * (rows.size - 1))
+  }
+
+  test("kendallTauBanded: monotone grid is +1, reversed -1; constant axis gives NULL; nulls/NaN excluded") {
+    val mono = (0 until 12).map(i => (i.toDouble, i.toDouble))
+    val r1 = Profiling.kendallTauBanded(mono.toDF("x", "y"), col("x"), col("y"),
+      0.0, 12.0, 12, 0.0, 12.0, 12).head()
+    assert(r1.getAs[Double]("tau_b") == 1.0)
+    val rev = mono.map { case (a, b) => (a, 11.0 - b) }
+    val r2 = Profiling.kendallTauBanded(rev.toDF("x", "y"), col("x"), col("y"),
+      0.0, 12.0, 12, 0.0, 12.0, 12).head()
+    assert(r2.getAs[Double]("tau_b") == -1.0)
+    val const = mono.map { case (a, _) => (a, 1.0) }
+    val r3 = Profiling.kendallTauBanded(const.toDF("x", "y"), col("x"), col("y"),
+      0.0, 12.0, 12, 0.0, 12.0, 12).head()
+    assert(r3.isNullAt(r3.fieldIndex("tau_b")))
+    val withBad = mono.map { case (a, b) => (Option(a), Option(b)) } ++
+      Seq((None, Some(1.0)), (Some(1.0), None), (Some(Double.NaN), Some(2.0)))
+    val r4 = Profiling.kendallTauBanded(withBad.toDF("x", "y"), col("x"), col("y"),
+      0.0, 12.0, 12, 0.0, 12.0, 12).head()
+    assert(r4.getAs[Long]("n") == 12L && r4.getAs[Double]("tau_b") == 1.0)
+  }
+
+  test("kendallTauBanded: out-of-range values clamp to edge bands; partitioning-independent") {
+    val rows = Seq((-99.0, -5.0), (0.5, 0.5), (1.5, 1.5), (99.0, 99.0))
+    // clamps: (-99,-5)->(0,0); (99,99)->(3,3): still strictly monotone in bands
+    val r = Profiling.kendallTauBanded(rows.toDF("x", "y"), col("x"), col("y"),
+      0.0, 4.0, 4, 0.0, 4.0, 4).head()
+    assert(r.getAs[Double]("tau_b") == 1.0)
+    val rnd = new scala.util.Random(61)
+    val big = (1 to 200).map(_ => (rnd.nextGaussian(), rnd.nextGaussian()))
+    val a = Profiling.kendallTauBanded(big.toDF("x", "y"), col("x"), col("y"),
+      -3.0, 3.0, 16, -3.0, 3.0, 16).head()
+    val b = Profiling.kendallTauBanded(big.toDF("x", "y").repartition(17),
+      col("x"), col("y"), -3.0, 3.0, 16, -3.0, 3.0, 16).head()
+    assert(a.getAs[Double]("tau_b") == b.getAs[Double]("tau_b"))
+    assert(a.getAs[Double]("concordant") == b.getAs[Double]("concordant"))
+  }
 }
