@@ -997,6 +997,95 @@ object Profiling {
     out
   }
 
+  /** Per-group exact Spearman ρ — [[spearmanCorr]] keyed by a group
+    * column: "is the gate a length proxy on SOME source?" answered
+    * per source. Same doubled-midrank exactness, per group: the
+    * (group, value) census ranks within its group via (group, cell)-
+    * partitioned prefix windows (global value bounds set the cells —
+    * they only control parallelism), the per-group doubled-rank mean
+    * is exactly N_g + 1, and the centered sums accumulate per group
+    * in DECIMAL(38,0). Offsets/rank broadcasts are cardinality-
+    * adaptive on a census-derived groups×cells upper bound (the
+    * grouped-family convention). Output: one row per group
+    * (group_key, n, spearman_rho); rho NULL for a constant column
+    * within the group; NULL-group rows and NULL/NaN pairs excluded.
+    */
+  def spearmanCorrBy(
+      df: DataFrame, group: Column, x: Column, y: Column,
+      cells: Int = 4096,
+      broadcastRowLimit: Long = 4L << 20): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    val raw = df
+      .select(group.as("_g"), x.cast("double").as("_x"), y.cast("double").as("_y"))
+      .persist()
+    val nn = raw.filter(col("_g").isNotNull &&
+      col("_x").isNotNull && !isnan(col("_x")) &&
+      col("_y").isNotNull && !isnan(col("_y")))
+    def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastRowLimit) broadcast(f) else f
+    // ONE stats job feeds both columns' cells, the empty check, and
+    // the adaptive-broadcast group count (probe-folding discipline)
+    val stats = nn.agg(
+      min(col("_x")).as("mnx"), max(col("_x")).as("mxx"),
+      min(col("_y")).as("mny"), max(col("_y")).as("mxy"),
+      count(lit(1)).as("k"), countDistinct(col("_g")).as("ng")).head()
+    if (stats.getLong(4) == 0L) {
+      raw.unpersist(blocking = false)
+      return nn.limit(0).select(col("_g").as("group_key"),
+        lit(0L).as("n"), lit(null).cast("double").as("spearman_rho"))
+    }
+    val ng = stats.getLong(5)
+    // per-group doubled-midrank table for one column
+    def midranks2By(c: String, mn: Double, mx: Double,
+        gOut: String, outV: String, outR: String): DataFrame = {
+      val census = nn.groupBy(col("_g"), col(c).as("_v"))
+        .agg(count(lit(1)).as("_cnt"))
+      val width = (mx - mn) / cells
+      val cell =
+        if (mx == mn) lit(0L)
+        else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+      val cen = census.withColumn("_c", cell)
+      val perCell = cen.groupBy(col("_g"), col("_c")).agg(sum(col("_cnt")).as("_nc"))
+      val offs = perCell.withColumn("_off",
+        coalesce(sum(col("_nc")).over(W.partitionBy(col("_g")).orderBy(col("_c"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      val wCell = W.partitionBy(col("_g"), col("_c")).orderBy(col("_v"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      cen.join(bcIfSmall(offs.select(col("_g"), col("_c"), col("_off")),
+          ng * cells), Seq("_g", "_c"))
+        .withColumn("_cumBelow",
+          col("_off") + coalesce(sum(col("_cnt")).over(wCell), lit(0L)))
+        .select(col("_g").as(gOut), col("_v").as(outV),
+          (lit(2L) * col("_cumBelow") + col("_cnt") + lit(1L)).as(outR))
+    }
+    val xr = midranks2By("_x", stats.getDouble(0), stats.getDouble(1),
+      "_gx", "_xv", "_ax")
+    val yr = midranks2By("_y", stats.getDouble(2), stats.getDouble(3),
+      "_gy", "_yv", "_ay")
+    val totals = nn.groupBy(col("_g").as("_gt")).agg(count(lit(1)).as("_n"))
+    val joined = nn
+      .join(xr, col("_g") === col("_gx") && col("_x") === col("_xv"))
+      .join(yr, col("_g") === col("_gy") && col("_y") === col("_yv"))
+      .join(bcIfSmall(totals, ng), col("_g") === col("_gt"))
+    val dev = joined.select(col("_g"),
+      (col("_ax") - col("_n") - lit(1L)).cast("decimal(38,0)").as("_da"),
+      (col("_ay") - col("_n") - lit(1L)).cast("decimal(38,0)").as("_db"))
+    val out = dev.groupBy(col("_g").as("group_key")).agg(
+      count(lit(1)).as("n"),
+      sum(col("_da") * col("_db")).cast("decimal(38,0)").as("_sab"),
+      sum(col("_da") * col("_da")).cast("decimal(38,0)").as("_saa"),
+      sum(col("_db") * col("_db")).cast("decimal(38,0)").as("_sbb"))
+      .select(
+        col("group_key"), col("n"),
+        when(col("_saa") > 0 && col("_sbb") > 0,
+          col("_sab").cast("double") /
+            sqrt(col("_saa").cast("double") * col("_sbb").cast("double")))
+          .as("spearman_rho"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(raw))
+    out
+  }
+
   /** Banded Kendall τ-b: the concordance-based rank correlation over a
     * fixed 2-D band grid — [[spearmanCorr]]'s sibling with the other
     * classical tie treatment, and the scale form of Kendall's τ:

@@ -1012,6 +1012,58 @@ object EvalQueries {
        |  END AS tau_b
        |FROM a CROSS JOIN tx CROSS JOIN ty""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q152 — per-source Spearman ρ of the quality logit vs document
+  // length: q139 keyed by source — "is the gate a length proxy on
+  // SOME source?". Ranks are per-source doubled midranks over the
+  // shared census machinery; the oracle partitions the q139 window
+  // replay by source.
+  // ---------------------------------------------------------------
+  def q152GroupSpearman(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).withColumn("doc_len", col("n_chars"))
+    val s = graft.operators.TextAnalysis.linearQualityScore(
+      docs, "doc_id", "text",
+      bias = -2.0, wStopword = 8.0, wPunct = -4.0,
+      wMeanWordLen = 0.25, wKChars = 0.5,
+      carry = Seq("doc_len", "source"))
+    graft.operators.Profiling.spearmanCorrBy(
+        s, col("source"), col("logit"), col("doc_len"))
+      .withColumnRenamed("group_key", "source")
+  }
+
+  val q152Sql: String =
+    s"""WITH q AS (${ExtensionQueries.q112Sql}),
+       |s AS (SELECT d.source AS g, q.logit AS x, CAST(d.n_chars AS DOUBLE) AS y
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id
+       |  WHERE q.logit IS NOT NULL AND NOT isnan(q.logit)
+       |    AND d.n_chars IS NOT NULL AND d.source IS NOT NULL),
+       |xc AS (SELECT g, x AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY g, x),
+       |xr AS (SELECT g, v,
+       |    2 * COALESCE(CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      + cnt + 1 AS mr2
+       |  FROM xc),
+       |yc AS (SELECT g, y AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY g, y),
+       |yr AS (SELECT g, v,
+       |    2 * COALESCE(CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      + cnt + 1 AS mr2
+       |  FROM yc),
+       |t AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY g),
+       |d2 AS (SELECT s.g, CAST(xr.mr2 - (t.n + 1) AS HUGEINT) AS da,
+       |    CAST(yr.mr2 - (t.n + 1) AS HUGEINT) AS db
+       |  FROM s JOIN xr ON s.g = xr.g AND s.x = xr.v
+       |  JOIN yr ON s.g = yr.g AND s.y = yr.v
+       |  JOIN t ON s.g = t.g),
+       |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(da * db) AS sab, SUM(da * da) AS saa, SUM(db * db) AS sbb
+       |  FROM d2 GROUP BY g)
+       |SELECT g AS source, n,
+       |  CASE WHEN saa > 0 AND sbb > 0 THEN
+       |    CAST(sab AS DOUBLE) / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE))
+       |  END AS spearman_rho
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -1033,7 +1085,8 @@ object EvalQueries {
     "q146_rank_sum_z"        -> (q146RankSum _),
     "q147_group_ks_drift"    -> (q147GroupKs _),
     "q148_group_rank_sum"    -> (q148GroupRankSum _),
-    "q151_kendall_tau"       -> (q151KendallTau _))
+    "q151_kendall_tau"       -> (q151KendallTau _),
+    "q152_group_spearman"    -> (q152GroupSpearman _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -1056,5 +1109,6 @@ object EvalQueries {
     "q146_rank_sum_z"        -> q146Sql,
     "q147_group_ks_drift"    -> q147Sql,
     "q148_group_rank_sum"    -> q148Sql,
-    "q151_kendall_tau"       -> q151Sql)
+    "q151_kendall_tau"       -> q151Sql,
+    "q152_group_spearman"    -> q152Sql)
 }

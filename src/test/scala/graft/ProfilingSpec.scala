@@ -553,6 +553,42 @@ class ProfilingSpec extends AnyFunSuite {
       a.getAs[Double]("spearman_rho")) < 0.05)
   }
 
+  test("spearmanCorrBy: per-group rho equals spearmanCorr run on each group alone") {
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 240).map { i =>
+      val g = s"g${i % 3}"
+      val x = math.rint(rnd.nextGaussian() * 6) / 2
+      // per-group different relationships: g0 positive, g1 negative, g2 noise
+      val y = g match {
+        case "g0" => x + math.rint(rnd.nextGaussian() * 2)
+        case "g1" => -x + math.rint(rnd.nextGaussian() * 2)
+        case _    => math.rint(rnd.nextGaussian() * 4)
+      }
+      (g, x, y)
+    }
+    val df = rows.toDF("g", "x", "y")
+    val grouped = Profiling.spearmanCorrBy(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    assert(grouped.keySet == Set("g0", "g1", "g2"))
+    for (g <- grouped.keySet) {
+      val solo = Profiling.spearmanCorr(
+        df.filter(col("g") === g), col("x"), col("y")).head()
+      assert(grouped(g).getAs[Long]("n") == solo.getAs[Long]("n"))
+      assert(grouped(g).getAs[Double]("spearman_rho") ==
+        solo.getAs[Double]("spearman_rho"), s"group $g drifted from solo")
+    }
+    assert(grouped("g0").getAs[Double]("spearman_rho") > 0.5)
+    assert(grouped("g1").getAs[Double]("spearman_rho") < -0.5)
+    // null groups excluded; a constant-x group reports NULL rho
+    val withNull = rows.map { case (g, x, y) =>
+      (Option(g).filter(_ != "g2"), x, y) } :+ (Some("g3"), 1.0, 5.0)
+    val g2 = Profiling.spearmanCorrBy(withNull.toDF("g", "x", "y"),
+      col("g"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    assert(g2.keySet == Set("g0", "g1", "g3"))
+    assert(g2("g3").isNullAt(g2("g3").fieldIndex("spearman_rho")))
+  }
+
   // ---------------- kendallTauBanded ----------------
 
   test("kendallTauBanded equals brute-force tau-b when values are band indices") {
