@@ -493,6 +493,65 @@ object StatTests {
     out
   }
 
+  /** CUSUM change-point census over a bucketed event series: per time
+    * bucket, the cumulative deviation of arrivals from the
+    * all-period mean rate — the classical change-point statistic
+    * whose peak |CUSUM| marks WHERE the level shifted. The volume
+    * monitors (q83/q90) flag locally anomalous days; CUSUM
+    * accumulates small persistent shifts that never trip a per-day
+    * threshold (a 5% rate drop is invisible daily, unmistakable
+    * cumulatively).
+    *
+    * Engine-exact by scaling: with D buckets and N total rows,
+    * S_k = Σ_{i≤k} n_i − k·N/D has a rational mean, so the census
+    * carries D·S_k = D·cum_k − k·N — exact integers in
+    * DECIMAL(38,0) — and `cusum` = CAST(scaled)/D is the single
+    * stated division. `is_peak` marks the earliest bucket attaining
+    * max |scaled| (exact integer comparison): the change-point
+    * estimate.
+    *
+    * The running sum is one window over the BUCKET-scale series —
+    * calendar-bounded (the arrival-gaps convention: a century of
+    * days is 36 525 rows), so the unpartitioned window is fine at
+    * any corpus size; the raw scan collapses to that series in one
+    * map-side-partial shuffle. Buckets with zero events are absent
+    * from the census and simply contribute no step (the q100
+    * convention); NULL ts rows are excluded.
+    */
+  def cusumChangePoint(
+      df: DataFrame, ts: Column, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val W = org.apache.spark.sql.expressions.Window
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val daily = df.filter(ts.isNotNull)
+      .select((us - pmod(us, lit(width))).as("_b"))
+      .groupBy(col("_b")).agg(count(lit(1)).as("n"))
+      .persist()
+    val tot = daily.agg(count(lit(1)).as("_d"), sum(col("n")).as("_N"))
+    val w = W.orderBy(col("_b")).rowsBetween(W.unboundedPreceding, 0)
+    val cum = daily
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("_k", row_number().over(W.orderBy(col("_b"))))
+      .withColumn("cusum_scaled",
+        (col("_d").cast("decimal(38,0)") * col("cum_n").cast("decimal(38,0)") -
+          col("_k").cast("decimal(38,0)") * col("_N").cast("decimal(38,0)"))
+          .cast("decimal(38,0)"))
+      .persist()
+    val mx = cum.agg(max(abs(col("cusum_scaled"))).as("_mx"))
+    val peak = cum.crossJoin(broadcast(mx))
+      .agg(min(when(abs(col("cusum_scaled")) === col("_mx"), col("_b"))).as("_pb"))
+    val out = cum
+      .crossJoin(broadcast(peak))
+      .select(col("_b").as("bucket_start_us"), col("n"), col("cum_n"),
+        col("cusum_scaled").cast("double").as("cusum_scaled"),
+        (col("cusum_scaled").cast("double") / col("_d").cast("double")).as("cusum"),
+        (col("_b") === col("_pb")).as("is_peak"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(daily, cum))
+    out
+  }
+
   /** Contingency chi-square census between two categorical keys: per
     * (row_key, col_key) CELL — observed count, marginals, expected
     * count under independence, the chi-square contribution

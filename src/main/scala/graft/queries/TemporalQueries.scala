@@ -426,7 +426,43 @@ object TemporalQueries {
        |    AS chi2_contribution
        |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q153 — CUSUM change-point census over daily event volume: the
+  // cumulative deviation from the all-period mean rate, per day,
+  // with the peak |CUSUM| day flagged — catches persistent small
+  // level shifts the per-day volume monitors (q83/q90) cannot see.
+  // Integer-exact via the D-scaled form (D·cum_k − k·N).
+  // ---------------------------------------------------------------
+  def q153Cusum(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.cusumChangePoint(
+      Tables.events(spark, d), col("ts"), DaySeconds)
+
+  val q153Sql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  FROM events WHERE ts IS NOT NULL),
+       |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY b),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS d, CAST(SUM(n) AS BIGINT) AS nn
+       |      FROM c),
+       |w AS (SELECT b, n,
+       |    CAST(SUM(n) OVER (ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY b) AS BIGINT) AS k
+       |  FROM c),
+       |sc AS (SELECT w.b, w.n, w.cum_n, t.d,
+       |    CAST(CAST(t.d AS HUGEINT) * w.cum_n
+       |      - CAST(w.k AS HUGEINT) * t.nn AS DECIMAL(38,0)) AS scaled
+       |  FROM w CROSS JOIN t),
+       |m AS (SELECT MAX(ABS(scaled)) AS mx FROM sc),
+       |p AS (SELECT MIN(b) AS pb FROM sc CROSS JOIN m WHERE ABS(scaled) = m.mx)
+       |SELECT sc.b AS bucket_start_us, sc.n, sc.cum_n,
+       |  CAST(sc.scaled AS DOUBLE) AS cusum_scaled,
+       |  CAST(sc.scaled AS DOUBLE) / CAST(sc.d AS DOUBLE) AS cusum,
+       |  sc.b = p.pb AS is_peak
+       |FROM sc CROSS JOIN p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_cusum" -> (q153Cusum _),
     "q150_cat_timeline" -> (q150CatTimeline _),
     "q149_ks_timeline" -> (q149KsTimeline _),
     "q33_asof_join" -> (q33AsofJoin _),
@@ -442,6 +478,7 @@ object TemporalQueries {
     "q114_pair_lift" -> (q114PairLift _))
 
   val oracleSql: Map[String, String] = Map(
+    "q153_cusum" -> q153Sql,
     "q150_cat_timeline" -> q150Sql,
     "q149_ks_timeline" -> q149Sql,
     "q33_asof_join" -> q33Sql,

@@ -229,6 +229,41 @@ class StatTestsSpec extends AnyFunSuite {
     assert(p2.forall(_.getAs[Double]("rate_gap") == 0.0))
   }
 
+  // ---------------- cusumChangePoint ----------------
+
+  test("cusumChangePoint: planted level shift peaks at the shift boundary with hand-computed values") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // days 1-4 at rate 10, days 5-8 at rate 20: D=8, N=120
+    // scaled(k<=4) = 8*10k - 120k = -40k  (min at k=4: -160)
+    // scaled(k>4)  = 40k - 320            (back to 0 at k=8)
+    val rows = (1 to 8).flatMap { d =>
+      val rate = if (d <= 4) 10 else 20
+      (1 to rate).map(i => t(f"2024-06-0$d%d ${8 + i % 10}%02d:00:00"))
+    }
+    val out = graft.operators.StatTests
+      .cusumChangePoint(rows.map(Tuple1(_)).toDF("ts"), $"ts", 86400L)
+      .collect().sortBy(_.getAs[Long]("bucket_start_us"))
+    assert(out.length == 8)
+    val scaled = out.map(_.getAs[Double]("cusum_scaled"))
+    assert(scaled.take(4).toSeq == Seq(-40.0, -80.0, -120.0, -160.0))
+    assert(scaled(7) == 0.0)
+    assert(out(3).getAs[Boolean]("is_peak"), "peak |CUSUM| must mark day 4")
+    assert(out.count(_.getAs[Boolean]("is_peak")) == 1)
+    assert(out(3).getAs[Double]("cusum") == -160.0 / 8.0)
+    assert(out(3).getAs[Long]("cum_n") == 40L)
+  }
+
+  test("cusumChangePoint: constant rate gives all-zero CUSUM; peak defaults to the earliest bucket") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = (1 to 5).flatMap { d =>
+      (1 to 7).map(i => t(f"2024-06-1$d%d ${9 + i}%02d:00:00")) }
+    val out = graft.operators.StatTests
+      .cusumChangePoint(rows.map(Tuple1(_)).toDF("ts"), $"ts", 86400L)
+      .collect().sortBy(_.getAs[Long]("bucket_start_us"))
+    assert(out.forall(_.getAs[Double]("cusum_scaled") == 0.0))
+    assert(out.head.getAs[Boolean]("is_peak") && out.count(_.getAs[Boolean]("is_peak")) == 1)
+  }
+
   // ---------------- rankSumTest ----------------
 
   test("rankSumTest: U agrees with aucExact (U = AUC * n1 * n2) and z matches the direct formula") {
