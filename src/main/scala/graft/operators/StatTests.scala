@@ -552,6 +552,62 @@ object StatTests {
     out
   }
 
+  /** Per-group CUSUM change-point census — [[cusumChangePoint]] keyed
+    * by a categorical column: each key gets its own mean-rate
+    * baseline, cumulative deviation series, and flagged peak ("WHICH
+    * event type / source shifted, and when?"). Same integer-exact
+    * D-scaled form per key; running sums and ranks ride
+    * key-partitioned windows over the keys × buckets series
+    * (calendar-bounded per key); the per-key totals and peak tables
+    * are group-scale with cardinality-adaptive broadcasts. NULL ts or
+    * NULL key rows are excluded.
+    */
+  def cusumChangePointBy(
+      df: DataFrame, ts: Column, key: Column,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val W = org.apache.spark.sql.expressions.Window
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val daily = df.filter(ts.isNotNull && key.isNotNull)
+      .select(key.as("_k"), (us - pmod(us, lit(width))).as("_b"))
+      .groupBy(col("_k"), col("_b")).agg(count(lit(1)).as("n"))
+      .persist()
+    val nKeys = daily.agg(countDistinct(col("_k"))).head().getLong(0)
+    val limit = 4L << 20
+    def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
+      if (rows <= limit) broadcast(f) else f
+    val tot = daily.groupBy(col("_k").as("_tk"))
+      .agg(count(lit(1)).as("_d"), sum(col("n")).as("_N"))
+    val w = W.partitionBy(col("_k")).orderBy(col("_b"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val cum = daily
+      .join(bcIfSmall(tot, nKeys), col("_k") === col("_tk"))
+      .drop("_tk")
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("_j", row_number().over(W.partitionBy(col("_k")).orderBy(col("_b"))))
+      .withColumn("cusum_scaled",
+        (col("_d").cast("decimal(38,0)") * col("cum_n").cast("decimal(38,0)") -
+          col("_j").cast("decimal(38,0)") * col("_N").cast("decimal(38,0)"))
+          .cast("decimal(38,0)"))
+      .persist()
+    val mxPerK = cum.groupBy(col("_k").as("_mk"))
+      .agg(max(abs(col("cusum_scaled"))).as("_mx"))
+    val peakPerK = cum
+      .join(bcIfSmall(mxPerK, nKeys), col("_k") === col("_mk"))
+      .groupBy(col("_k").as("_pk"))
+      .agg(min(when(abs(col("cusum_scaled")) === col("_mx"), col("_b"))).as("_pb"))
+    val out = cum
+      .join(bcIfSmall(peakPerK, nKeys), col("_k") === col("_pk"))
+      .select(col("_k").as("key"), col("_b").as("bucket_start_us"),
+        col("n"), col("cum_n"),
+        col("cusum_scaled").cast("double").as("cusum_scaled"),
+        (col("cusum_scaled").cast("double") / col("_d").cast("double")).as("cusum"),
+        (col("_b") === col("_pb")).as("is_peak"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(daily, cum))
+    out
+  }
+
   /** Contingency chi-square census between two categorical keys: per
     * (row_key, col_key) CELL — observed count, marginals, expected
     * count under independence, the chi-square contribution

@@ -461,7 +461,42 @@ object TemporalQueries {
        |  sc.b = p.pb AS is_peak
        |FROM sc CROSS JOIN p""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q154 — per-type CUSUM change-point census: q153 keyed by
+  // event_type, so a level shift in one stream is localized to ITS
+  // key and day instead of diluting into the corpus total.
+  // ---------------------------------------------------------------
+  def q154GroupCusum(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.cusumChangePointBy(
+      Tables.events(spark, d), col("ts"), col("event_type"), DaySeconds)
+
+  val q154Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type AS k, epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+       |c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY k, b),
+       |t AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS d, CAST(SUM(n) AS BIGINT) AS nn
+       |      FROM c GROUP BY k),
+       |w AS (SELECT k, b, n,
+       |    CAST(SUM(n) OVER (PARTITION BY k ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY b) AS BIGINT) AS j
+       |  FROM c),
+       |sc AS (SELECT w.k, w.b, w.n, w.cum_n, t.d,
+       |    CAST(CAST(t.d AS HUGEINT) * w.cum_n
+       |      - CAST(w.j AS HUGEINT) * t.nn AS DECIMAL(38,0)) AS scaled
+       |  FROM w JOIN t ON w.k = t.k),
+       |m AS (SELECT k, MAX(ABS(scaled)) AS mx FROM sc GROUP BY k),
+       |p AS (SELECT sc.k, MIN(b) AS pb FROM sc JOIN m ON sc.k = m.k
+       |      WHERE ABS(sc.scaled) = m.mx GROUP BY sc.k)
+       |SELECT sc.k AS key, sc.b AS bucket_start_us, sc.n, sc.cum_n,
+       |  CAST(sc.scaled AS DOUBLE) AS cusum_scaled,
+       |  CAST(sc.scaled AS DOUBLE) / CAST(sc.d AS DOUBLE) AS cusum,
+       |  sc.b = p.pb AS is_peak
+       |FROM sc JOIN p ON sc.k = p.k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_group_cusum" -> (q154GroupCusum _),
     "q153_cusum" -> (q153Cusum _),
     "q150_cat_timeline" -> (q150CatTimeline _),
     "q149_ks_timeline" -> (q149KsTimeline _),
@@ -478,6 +513,7 @@ object TemporalQueries {
     "q114_pair_lift" -> (q114PairLift _))
 
   val oracleSql: Map[String, String] = Map(
+    "q154_group_cusum" -> q154Sql,
     "q153_cusum" -> q153Sql,
     "q150_cat_timeline" -> q150Sql,
     "q149_ks_timeline" -> q149Sql,

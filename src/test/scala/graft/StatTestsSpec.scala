@@ -264,6 +264,38 @@ class StatTestsSpec extends AnyFunSuite {
     assert(out.head.getAs[Boolean]("is_peak") && out.count(_.getAs[Boolean]("is_peak")) == 1)
   }
 
+  test("cusumChangePointBy: per-key series equals the solo CUSUM per key; shifted key peaks, steady key stays flat") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows =
+      (1 to 8).flatMap { d =>
+        val shifted = (1 to (if (d <= 4) 10 else 20)).map(i =>
+          (t(f"2024-06-0$d%d ${8 + i % 10}%02d:00:00"), "shifted"))
+        val steady = (1 to 6).map(i =>
+          (t(f"2024-06-0$d%d ${8 + i}%02d:00:00"), "steady"))
+        shifted ++ steady
+      }
+    val df = rows.toDF("ts", "k")
+    val grouped = graft.operators.StatTests
+      .cusumChangePointBy(df, $"ts", $"k", 86400L)
+      .collect()
+      .groupBy(_.getAs[String]("key"))
+    for ((k, g) <- grouped) {
+      val solo = graft.operators.StatTests
+        .cusumChangePoint(df.filter($"k" === k).select($"ts"), $"ts", 86400L)
+        .collect().map(r => r.getAs[Long]("bucket_start_us") -> r).toMap
+      g.foreach { r =>
+        val s = solo(r.getAs[Long]("bucket_start_us"))
+        assert(r.getAs[Double]("cusum_scaled") == s.getAs[Double]("cusum_scaled"))
+        assert(r.getAs[Boolean]("is_peak") == s.getAs[Boolean]("is_peak"))
+      }
+    }
+    val steadyRows = grouped("steady").sortBy(_.getAs[Long]("bucket_start_us"))
+    assert(steadyRows.forall(_.getAs[Double]("cusum_scaled") == 0.0))
+    val shiftPeak = grouped("shifted").filter(_.getAs[Boolean]("is_peak"))
+    assert(shiftPeak.length == 1)
+    assert(shiftPeak.head.getAs[Double]("cusum_scaled") == -160.0)
+  }
+
   // ---------------- rankSumTest ----------------
 
   test("rankSumTest: U agrees with aucExact (U = AUC * n1 * n2) and z matches the direct formula") {
