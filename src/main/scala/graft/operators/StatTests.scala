@@ -552,6 +552,57 @@ object StatTests {
     out
   }
 
+  /** Weighted CUSUM change-point census: [[cusumChangePoint]] on a
+    * quantized VALUE MASS instead of the row count — "when did the
+    * money/size/score level shift?", which a steady-volume corpus
+    * hides from the count form entirely. `weight` follows the
+    * volume-anomaly convention: the caller quantizes doubles to a
+    * Long (`bround(value * 100).cast("long")`) so the daily masses,
+    * the cumulative sums, and the D-scaled deviations
+    * D·cumW_k − k·W are all exact integers (DECIMAL(38,0) for the
+    * scaled form). Rows with NULL ts are excluded; NULL weights
+    * contribute no mass but their rows still count in `n` — both
+    * engines' SUM skips NULLs, so the convention is shared for free.
+    * Output per bucket: (bucket_start_us, n, w_sum, cum_w,
+    * cusum_scaled, cusum, is_peak).
+    */
+  def cusumChangePointWeighted(
+      df: DataFrame, ts: Column, weight: Column,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val W = org.apache.spark.sql.expressions.Window
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val daily = df.filter(ts.isNotNull)
+      .select((us - pmod(us, lit(width))).as("_b"), weight.cast("long").as("_w"))
+      .groupBy(col("_b"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("_w")), lit(0L)).as("w_sum"))
+      .persist()
+    val tot = daily.agg(count(lit(1)).as("_d"), sum(col("w_sum")).as("_W"))
+    val w = W.orderBy(col("_b")).rowsBetween(W.unboundedPreceding, 0)
+    val cum = daily
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_w", sum(col("w_sum")).over(w))
+      .withColumn("_k", row_number().over(W.orderBy(col("_b"))))
+      .withColumn("cusum_scaled",
+        (col("_d").cast("decimal(38,0)") * col("cum_w").cast("decimal(38,0)") -
+          col("_k").cast("decimal(38,0)") * col("_W").cast("decimal(38,0)"))
+          .cast("decimal(38,0)"))
+      .persist()
+    val mx = cum.agg(max(abs(col("cusum_scaled"))).as("_mx"))
+    val peak = cum.crossJoin(broadcast(mx))
+      .agg(min(when(abs(col("cusum_scaled")) === col("_mx"), col("_b"))).as("_pb"))
+    val out = cum
+      .crossJoin(broadcast(peak))
+      .select(col("_b").as("bucket_start_us"), col("n"), col("w_sum"),
+        col("cum_w"),
+        col("cusum_scaled").cast("double").as("cusum_scaled"),
+        (col("cusum_scaled").cast("double") / col("_d").cast("double")).as("cusum"),
+        (col("_b") === col("_pb")).as("is_peak"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(daily, cum))
+    out
+  }
+
   /** Per-group CUSUM change-point census — [[cusumChangePoint]] keyed
     * by a categorical column: each key gets its own mean-rate
     * baseline, cumulative deviation series, and flagged peak ("WHICH

@@ -495,7 +495,45 @@ object TemporalQueries {
        |  sc.b = p.pb AS is_peak
        |FROM sc JOIN p ON sc.k = p.k""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q155 — weighted CUSUM change point: q153 on the quantized daily
+  // VALUE mass (cents, the q100 convention) — a value-level shift is
+  // invisible to the count form when volume is steady.
+  // ---------------------------------------------------------------
+  def q155WeightedCusum(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.cusumChangePointWeighted(
+      Tables.events(spark, d), col("ts"),
+      bround(col("value") * 100).cast("long"), DaySeconds)
+
+  val q155Sql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS b,
+       |    CAST(round_even(value * 100, 0) AS BIGINT) AS w
+       |  FROM events WHERE ts IS NOT NULL),
+       |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+       |        COALESCE(CAST(SUM(w) AS BIGINT), 0) AS w_sum
+       |      FROM e GROUP BY b),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS d,
+       |        CAST(SUM(w_sum) AS BIGINT) AS ww FROM c),
+       |w2 AS (SELECT b, n, w_sum,
+       |    CAST(SUM(w_sum) OVER (ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY b) AS BIGINT) AS k
+       |  FROM c),
+       |sc AS (SELECT w2.b, w2.n, w2.w_sum, w2.cum_w, t.d,
+       |    CAST(CAST(t.d AS HUGEINT) * w2.cum_w
+       |      - CAST(w2.k AS HUGEINT) * t.ww AS DECIMAL(38,0)) AS scaled
+       |  FROM w2 CROSS JOIN t),
+       |m AS (SELECT MAX(ABS(scaled)) AS mx FROM sc),
+       |p AS (SELECT MIN(b) AS pb FROM sc CROSS JOIN m WHERE ABS(scaled) = m.mx)
+       |SELECT sc.b AS bucket_start_us, sc.n, sc.w_sum, sc.cum_w,
+       |  CAST(sc.scaled AS DOUBLE) AS cusum_scaled,
+       |  CAST(sc.scaled AS DOUBLE) / CAST(sc.d AS DOUBLE) AS cusum,
+       |  sc.b = p.pb AS is_peak
+       |FROM sc CROSS JOIN p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_weighted_cusum" -> (q155WeightedCusum _),
     "q154_group_cusum" -> (q154GroupCusum _),
     "q153_cusum" -> (q153Cusum _),
     "q150_cat_timeline" -> (q150CatTimeline _),
@@ -513,6 +551,7 @@ object TemporalQueries {
     "q114_pair_lift" -> (q114PairLift _))
 
   val oracleSql: Map[String, String] = Map(
+    "q155_weighted_cusum" -> q155Sql,
     "q154_group_cusum" -> q154Sql,
     "q153_cusum" -> q153Sql,
     "q150_cat_timeline" -> q150Sql,

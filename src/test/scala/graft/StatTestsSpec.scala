@@ -296,6 +296,32 @@ class StatTestsSpec extends AnyFunSuite {
     assert(shiftPeak.head.getAs[Double]("cusum_scaled") == -160.0)
   }
 
+  test("cusumChangePointWeighted: value-level shift invisible to the count form peaks; null weights carry rows but no mass") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // constant volume (5 rows/day), value steps 1.0 -> 3.0 after day 4
+    val rows = (1 to 8).flatMap { d =>
+      val v = if (d <= 4) 1.0 else 3.0
+      (1 to 5).map(i => (t(f"2024-07-0$d%d ${9 + i}%02d:00:00"), Option(v)))
+    } :+ ((t("2024-07-01 20:00:00"), Option.empty[Double]))
+    val df = rows.toDF("ts", "v")
+    val wq = graft.operators.StatTests.cusumChangePointWeighted(
+        df, $"ts", bround($"v" * 100).cast("long"), 86400L)
+      .collect().sortBy(_.getAs[Long]("bucket_start_us"))
+    assert(wq.length == 8)
+    // day 1 has the extra null-weight row: 6 rows, mass still 500
+    assert(wq(0).getAs[Long]("n") == 6L && wq(0).getAs[Long]("w_sum") == 500L)
+    // D=8, W=8000: scaled(k<=4) = 8*500k - 1000k = 3000k... no:
+    // 8*500k - k*8000 = 4000k - 8000k = -4000k, min at k=4 (-16000)
+    assert(wq(3).getAs[Double]("cusum_scaled") == -16000.0)
+    assert(wq(3).getAs[Boolean]("is_peak") && wq.count(_.getAs[Boolean]("is_peak")) == 1)
+    assert(wq(7).getAs[Double]("cusum_scaled") == 0.0)
+    // the COUNT form sees almost nothing (only the one extra row)
+    val cq = graft.operators.StatTests.cusumChangePoint(
+        df.select($"ts"), $"ts", 86400L)
+      .collect().sortBy(_.getAs[Long]("bucket_start_us"))
+    assert(math.abs(cq.map(_.getAs[Double]("cusum_scaled")).map(math.abs).max) <= 8.0)
+  }
+
   // ---------------- rankSumTest ----------------
 
   test("rankSumTest: U agrees with aucExact (U = AUC * n1 * n2) and z matches the direct formula") {
