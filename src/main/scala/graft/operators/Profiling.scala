@@ -1192,4 +1192,94 @@ object Profiling {
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(raw, full))
     out
   }
+
+  /** Per-group banded Kendall τ-b — [[kendallTauBanded]] keyed by a
+    * group column: each group gets its own concordance census over
+    * the shared band grid (groups × binsX × binsY rows — group
+    * cardinality times a config-sized grid), dominance windows
+    * partitioned by (group, band), and its own τ-b. Same exactness
+    * and conventions as the solo form; NULL-group rows excluded;
+    * groups with no surviving rows absent.
+    */
+  def kendallTauBandedBy(
+      df: DataFrame, group: Column, x: Column, y: Column,
+      loX: Double, hiX: Double, binsX: Int,
+      loY: Double, hiY: Double, binsY: Int,
+      broadcastRowLimit: Long = 4L << 20): DataFrame = {
+    require(binsX >= 1 && binsY >= 1, s"bins must be >= 1, got $binsX/$binsY")
+    require(loX < hiX && loY < hiY, "need lo < hi on both axes")
+    val W = org.apache.spark.sql.expressions.Window
+    val wX = (hiX - loX) / binsX
+    val wY = (hiY - loY) / binsY
+    val raw = df
+      .select(group.as("_g"), x.cast("double").as("_x"), y.cast("double").as("_y"))
+      .persist()
+    val nn = raw.filter(col("_g").isNotNull &&
+      col("_x").isNotNull && !isnan(col("_x")) &&
+      col("_y").isNotNull && !isnan(col("_y")))
+    def band(c: Column, lo: Double, w: Double, bins: Int): Column =
+      least(lit(bins - 1L), greatest(lit(0L), floor((c - lit(lo)) / lit(w))))
+    val census = nn
+      .groupBy(col("_g"), band(col("_x"), loX, wX, binsX).as("_bx"),
+        band(col("_y"), loY, wY, binsY).as("_by"))
+      .agg(count(lit(1)).as("_n"))
+      .persist()
+    val ng = census.agg(countDistinct(col("_g"))).head().getLong(0)
+    def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastRowLimit) broadcast(f) else f
+    val spark = df.sparkSession
+    val grid = spark.range(0, binsX).select(col("id").as("_bx"))
+      .crossJoin(broadcast(spark.range(0, binsY).select(col("id").as("_by"))))
+    val full = census.select(col("_g")).distinct()
+      .crossJoin(broadcast(grid))
+      .join(census, Seq("_g", "_bx", "_by"), "left")
+      .select(col("_g"), col("_bx"), col("_by"),
+        coalesce(col("_n"), lit(0L)).as("_n"))
+      .persist()
+    val wCol = W.partitionBy(col("_g"), col("_bx")).orderBy(col("_by"))
+    val s1 = full
+      .withColumn("_sAbove",
+        coalesce(sum(col("_n")).over(wCol.rowsBetween(1, W.unboundedFollowing)), lit(0L)))
+      .withColumn("_sBelow",
+        coalesce(sum(col("_n")).over(wCol.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val wRow = W.partitionBy(col("_g"), col("_by")).orderBy(col("_bx"))
+      .rowsBetween(1, W.unboundedFollowing)
+    val dom = s1
+      .withColumn("_gg", coalesce(sum(col("_sAbove")).over(wRow), lit(0L)))
+      .withColumn("_ll", coalesce(sum(col("_sBelow")).over(wRow), lit(0L)))
+    val nDec = col("_n").cast("decimal(38,0)")
+    val concDisc = dom.groupBy(col("_g")).agg(
+      sum(col("_n")).as("n"),
+      sum(nDec * col("_gg").cast("decimal(38,0)")).cast("decimal(38,0)").as("_c"),
+      sum(nDec * col("_ll").cast("decimal(38,0)")).cast("decimal(38,0)").as("_d"),
+      sum(nDec * (nDec - lit(1L).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").as("_txy2"))
+    def margTie2(key: String, out: String): DataFrame = {
+      val t = full.groupBy(col("_g").as("_gm"), col(key)).agg(sum(col("_n")).as("_t"))
+      val tDec = col("_t").cast("decimal(38,0)")
+      t.groupBy(col("_gm"))
+        .agg(sum(tDec * (tDec - lit(1L).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as(out))
+    }
+    val joined = concDisc
+      .join(bcIfSmall(margTie2("_bx", "_tx2"), ng), col("_g") === col("_gm"))
+      .drop("_gm")
+      .join(bcIfSmall(margTie2("_by", "_ty2"), ng), col("_g") === col("_gm"))
+      .drop("_gm")
+    val dn = col("n").cast("double")
+    val dx = (dn * (dn - lit(1.0)) - col("_tx2").cast("double")) / lit(2.0)
+    val dy = (dn * (dn - lit(1.0)) - col("_ty2").cast("double")) / lit(2.0)
+    val out = joined.select(
+      col("_g").as("group_key"), col("n"),
+      col("_c").cast("double").as("concordant"),
+      col("_d").cast("double").as("discordant"),
+      col("_tx2").cast("double").as("tie_x2"),
+      col("_ty2").cast("double").as("tie_y2"),
+      col("_txy2").cast("double").as("tie_xy2"),
+      when(dx > lit(0.0) && dy > lit(0.0),
+        (col("_c").cast("double") - col("_d").cast("double")) / sqrt(dx * dy))
+        .as("tau_b"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(raw, census, full))
+    out
+  }
 }

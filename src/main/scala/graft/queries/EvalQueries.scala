@@ -1064,6 +1064,84 @@ object EvalQueries {
        |  END AS spearman_rho
        |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q156 — per-source banded Kendall τ-b: q151 keyed by source,
+  // completing the correlation family's grouped forms (q152 is the
+  // per-source Spearman). Oracle = the q151 grid replay partitioned
+  // by source.
+  // ---------------------------------------------------------------
+  def q156GroupKendall(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).withColumn("doc_len", col("n_chars"))
+    val s = graft.operators.TextAnalysis.linearQualityScore(
+      docs, "doc_id", "text",
+      bias = -2.0, wStopword = 8.0, wPunct = -4.0,
+      wMeanWordLen = 0.25, wKChars = 0.5,
+      carry = Seq("doc_len", "source"))
+    graft.operators.Profiling.kendallTauBandedBy(s,
+      col("source"), col("logit"), col("doc_len"),
+      loX = -4.0, hiX = 4.0, binsX = 16,
+      loY = 0.0, hiY = 640.0, binsY = 16)
+      .withColumnRenamed("group_key", "source")
+  }
+
+  val q156Sql: String =
+    s"""WITH q AS (${ExtensionQueries.q112Sql}),
+       |s AS (SELECT d.source AS g, q.logit AS x, CAST(d.n_chars AS DOUBLE) AS y
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id
+       |  WHERE q.logit IS NOT NULL AND NOT isnan(q.logit)
+       |    AND d.n_chars IS NOT NULL AND d.source IS NOT NULL),
+       |bnd AS (SELECT g,
+       |    LEAST(15, GREATEST(0, CAST(FLOOR((x - (-4.0)) / 0.5) AS BIGINT))) AS bx,
+       |    LEAST(15, GREATEST(0, CAST(FLOOR((y - 0.0) / 40.0) AS BIGINT))) AS byy
+       |  FROM s),
+       |c AS (SELECT g, bx, byy, CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM bnd GROUP BY g, bx, byy),
+       |grid AS (SELECT gs.g, gx.bx, gy.byy
+       |  FROM (SELECT DISTINCT g FROM c) gs
+       |  CROSS JOIN (SELECT UNNEST(range(0, 16)) AS bx) gx
+       |  CROSS JOIN (SELECT UNNEST(range(0, 16)) AS byy) gy),
+       |f AS (SELECT grid.g, grid.bx, grid.byy, COALESCE(c.n, 0) AS n
+       |  FROM grid LEFT JOIN c
+       |    ON grid.g = c.g AND grid.bx = c.bx AND grid.byy = c.byy),
+       |s1 AS (SELECT g, bx, byy, n,
+       |    COALESCE(CAST(SUM(n) OVER (PARTITION BY g, bx ORDER BY byy
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT), 0) AS sab,
+       |    COALESCE(CAST(SUM(n) OVER (PARTITION BY g, bx ORDER BY byy
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS sbe
+       |  FROM f),
+       |dom AS (SELECT g, bx, byy, n,
+       |    COALESCE(CAST(SUM(sab) OVER (PARTITION BY g, byy ORDER BY bx
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT), 0) AS gg,
+       |    COALESCE(CAST(SUM(sbe) OVER (PARTITION BY g, byy ORDER BY bx
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT), 0) AS ll
+       |  FROM s1),
+       |a AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(n AS HUGEINT) * gg) AS DECIMAL(38,0)) AS c,
+       |    CAST(SUM(CAST(n AS HUGEINT) * ll) AS DECIMAL(38,0)) AS d,
+       |    CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS DECIMAL(38,0)) AS txy
+       |  FROM dom GROUP BY g),
+       |tx AS (SELECT g, CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS DECIMAL(38,0)) AS v
+       |  FROM (SELECT g, CAST(SUM(n) AS BIGINT) AS t FROM f GROUP BY g, bx) mt
+       |  GROUP BY g),
+       |ty AS (SELECT g, CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS DECIMAL(38,0)) AS v
+       |  FROM (SELECT g, CAST(SUM(n) AS BIGINT) AS t FROM f GROUP BY g, byy) mt
+       |  GROUP BY g)
+       |SELECT a.g AS source, a.n,
+       |  CAST(a.c AS DOUBLE) AS concordant, CAST(a.d AS DOUBLE) AS discordant,
+       |  CAST(tx.v AS DOUBLE) AS tie_x2, CAST(ty.v AS DOUBLE) AS tie_y2,
+       |  CAST(a.txy AS DOUBLE) AS tie_xy2,
+       |  CASE WHEN (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)
+       |        - CAST(tx.v AS DOUBLE)) / 2.0 > 0.0
+       |    AND (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)
+       |        - CAST(ty.v AS DOUBLE)) / 2.0 > 0.0
+       |  THEN (CAST(a.c AS DOUBLE) - CAST(a.d AS DOUBLE))
+       |    / SQRT(((CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)
+       |        - CAST(tx.v AS DOUBLE)) / 2.0)
+       |      * ((CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)
+       |        - CAST(ty.v AS DOUBLE)) / 2.0))
+       |  END AS tau_b
+       |FROM a JOIN tx ON a.g = tx.g JOIN ty ON a.g = ty.g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -1086,7 +1164,8 @@ object EvalQueries {
     "q147_group_ks_drift"    -> (q147GroupKs _),
     "q148_group_rank_sum"    -> (q148GroupRankSum _),
     "q151_kendall_tau"       -> (q151KendallTau _),
-    "q152_group_spearman"    -> (q152GroupSpearman _))
+    "q152_group_spearman"    -> (q152GroupSpearman _),
+    "q156_group_kendall"     -> (q156GroupKendall _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -1110,5 +1189,6 @@ object EvalQueries {
     "q147_group_ks_drift"    -> q147Sql,
     "q148_group_rank_sum"    -> q148Sql,
     "q151_kendall_tau"       -> q151Sql,
-    "q152_group_spearman"    -> q152Sql)
+    "q152_group_spearman"    -> q152Sql,
+    "q156_group_kendall"     -> q156Sql)
 }

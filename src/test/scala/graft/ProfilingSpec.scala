@@ -647,6 +647,38 @@ class ProfilingSpec extends AnyFunSuite {
     assert(r4.getAs[Long]("n") == 12L && r4.getAs[Double]("tau_b") == 1.0)
   }
 
+  test("kendallTauBandedBy: per-group tau equals kendallTauBanded run on each group alone") {
+    val rnd = new scala.util.Random(71)
+    val rows = (1 to 240).map { i =>
+      val g = s"g${i % 3}"
+      val x = rnd.nextInt(8).toDouble
+      val y = g match {
+        case "g0" => math.max(0, math.min(5, x / 2 + rnd.nextInt(2))).toDouble
+        case "g1" => math.max(0, math.min(5, 5 - x / 2 - rnd.nextInt(2))).toDouble
+        case _    => rnd.nextInt(6).toDouble
+      }
+      (g, x, y)
+    }
+    val df = rows.toDF("g", "x", "y")
+    val grouped = Profiling.kendallTauBandedBy(df, col("g"), col("x"), col("y"),
+        0.0, 8.0, 8, 0.0, 6.0, 6)
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    assert(grouped.keySet == Set("g0", "g1", "g2"))
+    for (g <- grouped.keySet) {
+      val solo = Profiling.kendallTauBanded(
+        df.filter(col("g") === g), col("x"), col("y"),
+        0.0, 8.0, 8, 0.0, 6.0, 6).head()
+      val gr = grouped(g)
+      assert(gr.getAs[Long]("n") == solo.getAs[Long]("n"))
+      assert(gr.getAs[Double]("concordant") == solo.getAs[Double]("concordant"))
+      assert(gr.getAs[Double]("discordant") == solo.getAs[Double]("discordant"))
+      assert(gr.getAs[Double]("tau_b") == solo.getAs[Double]("tau_b"),
+        s"group $g drifted from solo")
+    }
+    assert(grouped("g0").getAs[Double]("tau_b") > 0.3)
+    assert(grouped("g1").getAs[Double]("tau_b") < -0.3)
+  }
+
   test("kendallTauBanded: out-of-range values clamp to edge bands; partitioning-independent") {
     val rows = Seq((-99.0, -5.0), (0.5, 0.5), (1.5, 1.5), (99.0, 99.0))
     // clamps: (-99,-5)->(0,0); (99,99)->(3,3): still strictly monotone in bands
