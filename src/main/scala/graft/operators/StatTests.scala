@@ -521,34 +521,74 @@ object StatTests {
   def cusumChangePoint(
       df: DataFrame, ts: Column, bucketSeconds: Long): DataFrame = {
     require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
-    val W = org.apache.spark.sql.expressions.Window
     val width = bucketSeconds * 1000000L
     val us = unix_micros(ts)
     val daily = df.filter(ts.isNotNull)
       .select((us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_b")).agg(count(lit(1)).as("n"))
       .persist()
-    val tot = daily.agg(count(lit(1)).as("_d"), sum(col("n")).as("_N"))
+    cusumCore(daily, massCol = "n", cumName = "cum_n", caches = Seq(daily))
+  }
+
+  /** CUSUM scoring over an ALREADY-BUCKETED series — the plug for
+    * at-rest partials tables ([[Incremental.bucketPartials]] /
+    * `StreamingIncremental.readSeries`): duplicate bucket rows (an
+    * uncompacted partials log) fold by integer addition first, then
+    * the same D-scaled census as [[cusumChangePoint]]. This is the
+    * statistic's STREAMING form: the standing query maintains the
+    * partials log (bounded state), and the all-history CUSUM is a
+    * batch query over the bucket-scale series — the
+    * windowedBandCensus/scoreBandKs split applied to change-point
+    * detection; spec-pinned equal to the batch operator over the raw
+    * events, late data folded. Output: (bucket_start_us, mass,
+    * cum_mass, cusum_scaled, cusum, is_peak).
+    */
+  def cusumOverSeries(
+      series: DataFrame, bucket: Column, mass: Column): DataFrame = {
+    val daily = series.filter(bucket.isNotNull)
+      .select(bucket.cast("long").as("_b"), mass.cast("long").as("_m"))
+      .groupBy(col("_b"))
+      .agg(coalesce(sum(col("_m")), lit(0L)).as("mass"))
+      .persist()
+    cusumCore(daily, massCol = "mass", cumName = "cum_mass", caches = Seq(daily))
+  }
+
+  /** The shared CUSUM finisher over a (\_b, …, massCol) bucket
+    * series: totals, the D-scaled deviation census, and the flagged
+    * peak — one unpartitioned window over the calendar-bounded
+    * series (see [[cusumChangePoint]]). Pass-through columns of
+    * `daily` survive into the output with `_b` renamed
+    * `bucket_start_us`.
+    */
+  private def cusumCore(
+      daily: DataFrame, massCol: String, cumName: String,
+      caches: Seq[DataFrame]): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val tot = daily.agg(count(lit(1)).as("_d"), sum(col(massCol)).as("_T"))
     val w = W.orderBy(col("_b")).rowsBetween(W.unboundedPreceding, 0)
     val cum = daily
       .crossJoin(broadcast(tot))
-      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn(cumName, sum(col(massCol)).over(w))
       .withColumn("_k", row_number().over(W.orderBy(col("_b"))))
       .withColumn("cusum_scaled",
-        (col("_d").cast("decimal(38,0)") * col("cum_n").cast("decimal(38,0)") -
-          col("_k").cast("decimal(38,0)") * col("_N").cast("decimal(38,0)"))
+        (col("_d").cast("decimal(38,0)") * col(cumName).cast("decimal(38,0)") -
+          col("_k").cast("decimal(38,0)") * col("_T").cast("decimal(38,0)"))
           .cast("decimal(38,0)"))
       .persist()
     val mx = cum.agg(max(abs(col("cusum_scaled"))).as("_mx"))
     val peak = cum.crossJoin(broadcast(mx))
       .agg(min(when(abs(col("cusum_scaled")) === col("_mx"), col("_b"))).as("_pb"))
+    val keep = daily.columns.map {
+      case "_b" => col("_b").as("bucket_start_us")
+      case c    => col(c)
+    }
     val out = cum
       .crossJoin(broadcast(peak))
-      .select(col("_b").as("bucket_start_us"), col("n"), col("cum_n"),
+      .select(keep.toSeq ++ Seq(col(cumName),
         col("cusum_scaled").cast("double").as("cusum_scaled"),
         (col("cusum_scaled").cast("double") / col("_d").cast("double")).as("cusum"),
-        (col("_b") === col("_pb")).as("is_peak"))
-    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(daily, cum))
+        (col("_b") === col("_pb")).as("is_peak")): _*)
+    graft.CacheLifecycle.releaseWhenExecuted(out, caches :+ cum)
     out
   }
 
@@ -570,7 +610,6 @@ object StatTests {
       df: DataFrame, ts: Column, weight: Column,
       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
-    val W = org.apache.spark.sql.expressions.Window
     val width = bucketSeconds * 1000000L
     val us = unix_micros(ts)
     val daily = df.filter(ts.isNotNull)
@@ -578,29 +617,7 @@ object StatTests {
       .groupBy(col("_b"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("_w")), lit(0L)).as("w_sum"))
       .persist()
-    val tot = daily.agg(count(lit(1)).as("_d"), sum(col("w_sum")).as("_W"))
-    val w = W.orderBy(col("_b")).rowsBetween(W.unboundedPreceding, 0)
-    val cum = daily
-      .crossJoin(broadcast(tot))
-      .withColumn("cum_w", sum(col("w_sum")).over(w))
-      .withColumn("_k", row_number().over(W.orderBy(col("_b"))))
-      .withColumn("cusum_scaled",
-        (col("_d").cast("decimal(38,0)") * col("cum_w").cast("decimal(38,0)") -
-          col("_k").cast("decimal(38,0)") * col("_W").cast("decimal(38,0)"))
-          .cast("decimal(38,0)"))
-      .persist()
-    val mx = cum.agg(max(abs(col("cusum_scaled"))).as("_mx"))
-    val peak = cum.crossJoin(broadcast(mx))
-      .agg(min(when(abs(col("cusum_scaled")) === col("_mx"), col("_b"))).as("_pb"))
-    val out = cum
-      .crossJoin(broadcast(peak))
-      .select(col("_b").as("bucket_start_us"), col("n"), col("w_sum"),
-        col("cum_w"),
-        col("cusum_scaled").cast("double").as("cusum_scaled"),
-        (col("cusum_scaled").cast("double") / col("_d").cast("double")).as("cusum"),
-        (col("_b") === col("_pb")).as("is_peak"))
-    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(daily, cum))
-    out
+    cusumCore(daily, massCol = "w_sum", cumName = "cum_w", caches = Seq(daily))
   }
 
   /** Per-group CUSUM change-point census — [[cusumChangePoint]] keyed

@@ -113,4 +113,43 @@ class IncrementalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("diverge"))
   }
+
+  test("streaming CUSUM: scoring the partials log equals the batch change point over raw events, late data folded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIncremental
+    implicit val sqlCtx = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_cusum").toString
+    val (log, ckpt) = (s"$scratch/partials", s"$scratch/ckpt")
+    // level shift: days 1-3 at 4 rows, days 4-6 at 8 rows; one late row
+    def day(d: Int, n: Int) =
+      (1 to n).map(i => ("s", ts(f"2024-02-0$d%d ${8 + i % 12}%02d:0${i % 6}:00"), 1L))
+    val batch1 = day(1, 4) ++ day(2, 4) ++ day(3, 3) ++ day(4, 8)
+    val batch2 = day(5, 8) ++ day(6, 8) :+ (("s", ts("2024-02-03 22:00:00"), 1L)) // late day-3 row
+    val stream = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val sq = StreamingIncremental.partialsSink(
+      stream.toDF().toDF("k", "t", "w"), $"k", $"t", $"w", 86400L, log, ckpt)
+    stream.addData(batch1); sq.processAllAvailable()
+    stream.addData(batch2); sq.processAllAvailable()
+    sq.stop()
+    // the standing query maintained the bucket series; CUSUM is a
+    // batch query over it (the windowedBandCensus/scoreBandKs split)
+    val streamed = graft.operators.StatTests.cusumOverSeries(
+        StreamingIncremental.readSeries(spark, log),
+        col("bucket_start_us"), col("n"))
+      .collect().map(r => r.getAs[Long]("bucket_start_us") -> r).toMap
+    val allRows = (batch1 ++ batch2).map(_._2).map(Tuple1(_)).toDF("t")
+    val batch = graft.operators.StatTests.cusumChangePoint(allRows, $"t", 86400L)
+      .collect().map(r => r.getAs[Long]("bucket_start_us") -> r).toMap
+    assert(streamed.keySet == batch.keySet && streamed.size == 6)
+    for ((b, s) <- streamed) {
+      assert(s.getAs[Long]("mass") == batch(b).getAs[Long]("n"),
+        "late data must fold into its bucket before scoring")
+      assert(s.getAs[Double]("cusum_scaled") == batch(b).getAs[Double]("cusum_scaled"))
+      assert(s.getAs[Boolean]("is_peak") == batch(b).getAs[Boolean]("is_peak"))
+    }
+    // the peak marks the boundary before the shift (end of day 3)
+    val peak = streamed.values.filter(_.getAs[Boolean]("is_peak")).toSeq
+    assert(peak.length == 1)
+    assert(peak.head.getAs[Long]("bucket_start_us") == streamed.keys.toSeq.sorted.apply(2))
+  }
 }
