@@ -175,6 +175,79 @@ object StreamingCalibration {
             / (col("n_live") + col("n_base")).cast("double")) * col("band_ks")))
   }
 
+  /** Window-over-window banded KS: each window's score distribution
+    * against its PREDECESSOR window — [[scoreBandKs]] with the
+    * previous window as the moving baseline, i.e. the
+    * [[graft.operators.StatTests.ksAdjacentPeriods]] drift timeline
+    * as a standing query. A static-baseline monitor says "did we
+    * drift from launch"; this says "did the distribution MOVE just
+    * now" — the pair a drift dashboard plots together.
+    *
+    * Predecessor = the previous window PRESENT in the census (lag
+    * over the window sequence, one bounded window over
+    * retention-scale rows) — a silent-gap window pairs with the last
+    * observed one, which is the comparison a monitor actually wants
+    * after an outage. Both CDFs evaluate on the union band spine
+    * (distinct observed bands, ≤ bins), zero-filled per window, so
+    * empty bands still step the other side's CDF. The first window
+    * has no predecessor and is omitted. Engine-exact as always:
+    * integer cumulative counts, one division/subtraction dag,
+    * order-free MAX, `ks_z` scaled for Kolmogorov critical values.
+    * Output per window: (window_start, prev_start, n_live, n_prev,
+    * band_ks, ks_at_band, ks_z).
+    */
+  def scoreBandKsAdjacent(windowBands: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // every branch re-aliases window_start/band at its source — the
+    // census plan is shared four ways and bare self-joins would carry
+    // conflicting references (the scoreCalibration discipline)
+    val wins = windowBands.select(col("window_start").as("_w0")).distinct()
+      .withColumn("_prev", lag(col("_w0"), 1).over(W.orderBy(col("_w0"))))
+      .filter(col("_prev").isNotNull)
+    val bandSpine = windowBands.select(col("band").as("_sb")).distinct()
+    val live = windowBands.select(col("window_start").as("_lws"),
+      col("band").as("_lb"), col("n").as("_ln"))
+    val grid = windowBands.select(col("window_start").as("_gws")).distinct()
+      .crossJoin(broadcast(bandSpine))
+      .join(live, col("_gws") === col("_lws") && col("_sb") === col("_lb"), "left")
+      .drop("_lws", "_lb")
+      .withColumn("_nz", coalesce(col("_ln"), lit(0L)))
+    val wCum = W.partitionBy(col("_gws")).orderBy(col("_sb"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val cum = grid.withColumn("_c", sum(col("_nz")).over(wCum))
+      .select(col("_gws"), col("_sb"), col("_c"))
+    val tot = windowBands.select(col("window_start").as("_tws"), col("n").as("_tn"))
+      .groupBy(col("_tws")).agg(sum(col("_tn")).as("_t"))
+    val cur = cum
+      .join(tot, col("_gws") === col("_tws")).drop("_tws")
+    val prev = cum.select(col("_gws").as("_pws"), col("_sb").as("_pb"),
+        col("_c").as("_pc"))
+      .join(tot.select(col("_tws").as("_ptws"), col("_t").as("_pt")),
+        col("_pws") === col("_ptws")).drop("_ptws")
+    val gaps = wins
+      .join(cur, col("_w0") === col("_gws")).drop("_gws")
+      .join(prev, col("_prev") === col("_pws") && col("_sb") === col("_pb"))
+      .drop("_pws", "_pb")
+      .select(col("_w0"), col("_prev"), col("_sb"),
+        col("_t"), col("_pt"),
+        abs(col("_c").cast("double") / col("_t").cast("double")
+          - col("_pc").cast("double") / col("_pt").cast("double")).as("_gap"))
+    val mxPerW = gaps.groupBy(col("_w0").as("_mws"))
+      .agg(max(col("_gap")).as("_mx"))
+    gaps
+      .join(mxPerW, col("_w0") === col("_mws")).drop("_mws")
+      .groupBy(col("_w0").as("window_start"))
+      .agg(first(col("_prev")).as("prev_start"),
+        first(col("_t")).as("n_live"),
+        first(col("_pt")).as("n_prev"),
+        max(col("_gap")).as("band_ks"),
+        min(when(col("_gap") === col("_mx"), col("_sb"))).as("ks_at_band"))
+      .withColumn("ks_z",
+        when(col("band_ks").isNotNull,
+          sqrt(col("n_live").cast("double") * col("n_prev").cast("double")
+            / (col("n_live") + col("n_prev")).cast("double")) * col("band_ks")))
+  }
+
   /** Score a windowed band census against a static baseline
     * calibration report — the batch half.
     *

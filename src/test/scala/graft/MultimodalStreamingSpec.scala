@@ -391,6 +391,53 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(w11.getAs[Double]("band_ks") > 0.0)
   }
 
+  test("streaming window-over-window banded KS: each window vs its predecessor equals the batch two-sample KS on band scores") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCalibration
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(java.sql.Timestamp, Double, Boolean)]
+    val sq = StreamingCalibration.windowedBandCensus(
+        stream.toDF().toDF("ts", "score", "label"),
+        "score", "label", lo = 0.0, hi = 1.0, bins = 4,
+        tsCol = "ts", windowLength = "1 hour", watermarkDelay = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("adj_census")
+      .start()
+    // window 10 low-heavy, window 11 high-heavy, window 13 (12 silent)
+    val w10 = Seq(0.1, 0.2, 0.3, 0.6).map((_, "10:10:00"))
+    val w11 = Seq(0.7, 0.8, 0.9).map((_, "11:10:00"))
+    val w13 = Seq(0.1, 0.9).map((_, "13:10:00"))
+    stream.addData((w10 ++ w11 ++ w13).map { case (v, hm) =>
+      (t(s"2024-01-01 $hm"), v, true) })
+    sq.processAllAvailable()
+    stream.addData(Seq((t("2024-01-01 15:30:00"), 0.5, true))) // close all
+    sq.processAllAvailable()
+    sq.stop()
+    val out = StreamingCalibration
+      .scoreBandKsAdjacent(spark.table("adj_census"))
+      .collect().map(r => r.getTimestamp(0) -> r).toMap
+    // windows 11 and 13 report (vs 10 and vs 11); 10 and 15 have no
+    // predecessor-with-successor pairing in the output keys we check
+    def bands(vs: Seq[Double], a: Boolean) =
+      vs.map(v => (math.min(3.0, math.floor(v / 0.25)), a))
+    val k11 = out(t("2024-01-01 11:00:00"))
+    assert(k11.getTimestamp(k11.fieldIndex("prev_start")) == t("2024-01-01 10:00:00"))
+    assert(k11.getAs[Long]("n_live") == 3L && k11.getAs[Long]("n_prev") == 4L)
+    val solo11 = graft.operators.StatTests.ksTwoSample(
+      (bands(w11.map(_._1), a = true) ++ bands(w10.map(_._1), a = false))
+        .toDF("v", "a"), $"v", $"a").head()
+    assert(k11.getAs[Double]("band_ks") == solo11.getAs[Double]("ks_stat"))
+    assert(k11.getAs[Double]("ks_z") == solo11.getAs[Double]("ks_z"))
+    // the silent-gap window 13 pairs with the last OBSERVED window 11
+    val k13 = out(t("2024-01-01 13:00:00"))
+    assert(k13.getTimestamp(k13.fieldIndex("prev_start")) == t("2024-01-01 11:00:00"))
+    val solo13 = graft.operators.StatTests.ksTwoSample(
+      (bands(w13.map(_._1), a = true) ++ bands(w11.map(_._1), a = false))
+        .toDF("v", "a"), $"v", $"a").head()
+    assert(k13.getAs[Double]("band_ks") == solo13.getAs[Double]("ks_stat"))
+    // the first window never reports (no predecessor)
+    assert(!out.contains(t("2024-01-01 10:00:00")))
+  }
+
   test("streaming curation front-end: gates + TTL content-dedup, batch-identical admission") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
