@@ -444,6 +444,34 @@ class PropertySpec extends AnyFunSuite {
     assert(z == zMono, "rank statistic: monotone transform cannot move z")
   }
 
+  test("cusumOverSeries: invariant under arbitrary re-sharding of the partials log; telescopes to zero") {
+    import graft.operators.StatTests
+    val rnd = new scala.util.Random(73)
+    val buckets = (0 until 12).map(i => (i * 86400000000L, 5L + rnd.nextInt(20)))
+    val compact = buckets.toDF("b", "m")
+    // shard each bucket's mass into 1-4 random partial rows (an
+    // uncompacted append log); totals per bucket are preserved
+    val sharded = buckets.flatMap { case (b, m) =>
+      val k = 1 + rnd.nextInt(math.min(4, m.toInt))
+      val cuts = (Seq(0L, m) ++ (1 until k).map(_ => rnd.nextLong(m + 1))).sorted
+      cuts.sliding(2).map { case Seq(lo, hi) => (b, hi - lo) }.toSeq
+    }.toDF("b", "m")
+    val a = StatTests.cusumOverSeries(compact, col("b"), col("m"))
+      .collect().map(r => r.getAs[Long]("bucket_start_us") -> r).toMap
+    val s = StatTests.cusumOverSeries(sharded, col("b"), col("m"))
+      .collect().map(r => r.getAs[Long]("bucket_start_us") -> r).toMap
+    assert(a.keySet == s.keySet && a.size == 12)
+    a.keySet.foreach { b =>
+      assert(a(b).getAs[Long]("mass") == s(b).getAs[Long]("mass"))
+      assert(a(b).getAs[Double]("cusum_scaled") == s(b).getAs[Double]("cusum_scaled"))
+      assert(a(b).getAs[Boolean]("is_peak") == s(b).getAs[Boolean]("is_peak"))
+    }
+    // the deviation series telescopes: the last bucket is exactly 0
+    val last = a(a.keySet.max)
+    assert(last.getAs[Double]("cusum_scaled") == 0.0,
+      "D*cum_D - D*T must cancel exactly at the end of the series")
+  }
+
   test("contingencyChiSquare: contributions are non-negative and marginals tile the grand total") {
     import graft.operators.StatTests
     val rowGen = for {
