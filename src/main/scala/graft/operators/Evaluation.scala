@@ -19,15 +19,11 @@ import org.apache.spark.sql.functions._
 object Evaluation {
 
   /** Rows at or under which the grouped-eval family's offsets/census
-    * tables are broadcast. These tables are groups×cells (AUC offsets)
-    * rows: config-sized for the dashboard-cardinality groups this
-    * family targets (languages, sources, shards — broadcast wins by
-    * skipping a shuffle of the census), but data-sized for a
-    * million-group column, where an unconditional hint would spill or
-    * OOM the driver. 4M rows ≈ 100 MB of (group, cell, offset) longs —
-    * comfortably under Spark's driver/executor broadcast ceilings.
+    * tables are broadcast — the engine-wide [[graft.Limits.BroadcastRowLimit]]
+    * (shared with StatTests/Profiling so a tuning change lands
+    * everywhere at once).
     */
-  private val BroadcastRowLimit: Long = 4L << 20
+  private val BroadcastRowLimit: Long = graft.Limits.BroadcastRowLimit
 
   /** Broadcast only when the (already-computed, census-derived) row
     * count is at or under [[BroadcastRowLimit]] — the

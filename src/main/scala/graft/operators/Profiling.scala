@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Limits
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
@@ -1013,7 +1014,7 @@ object Profiling {
   def spearmanCorrBy(
       df: DataFrame, group: Column, x: Column, y: Column,
       cells: Int = 4096,
-      broadcastRowLimit: Long = 4L << 20): DataFrame = {
+      broadcastRowLimit: Long = Limits.BroadcastRowLimit): DataFrame = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     val W = org.apache.spark.sql.expressions.Window
     val raw = df
@@ -1205,7 +1206,7 @@ object Profiling {
       df: DataFrame, group: Column, x: Column, y: Column,
       loX: Double, hiX: Double, binsX: Int,
       loY: Double, hiY: Double, binsY: Int,
-      broadcastRowLimit: Long = 4L << 20): DataFrame = {
+      broadcastRowLimit: Long = Limits.BroadcastRowLimit): DataFrame = {
     require(binsX >= 1 && binsY >= 1, s"bins must be >= 1, got $binsX/$binsY")
     require(loX < hiX && loY < hiY, "need lo < hi on both axes")
     val W = org.apache.spark.sql.expressions.Window

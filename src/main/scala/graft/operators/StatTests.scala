@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Limits
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -227,7 +228,7 @@ object StatTests {
     // driver.
     val groupTot = censusGv.groupBy(col("_g")).agg(sum(col("_n")).as("_tg"))
     val nGroups = bounds.getLong(4)
-    val broadcastLimit = 4L << 20
+    val broadcastLimit = Limits.BroadcastRowLimit
     def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
       if (rows <= broadcastLimit) broadcast(f) else f
     val spine = cumAll
@@ -335,7 +336,7 @@ object StatTests {
     // valid pairs = buckets whose successor bucket also has census
     // rows: a bucket-scale (calendar-bounded) self-join
     val nPairs = bounds.getLong(2) // ≥ true pair count: adaptivity-safe
-    val broadcastLimit = 4L << 20
+    val broadcastLimit = Limits.BroadcastRowLimit
     def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
       if (rows <= broadcastLimit) broadcast(f) else f
     val pc = adjacentPairCensus(census, "_v", width, nPairs).persist()
@@ -404,7 +405,7 @@ object StatTests {
     val bks = census.select(col("_b")).distinct()
     val valid = bks.select(col("_b").as("_p"))
       .join(bks.select((col("_b") - lit(width)).as("_p")), Seq("_p"))
-    val hinted = if (nBuckets <= (4L << 20)) broadcast(valid) else valid
+    val hinted = if (nBuckets <= Limits.BroadcastRowLimit) broadcast(valid) else valid
     census
       .select(col("_b").as("_p"), col(keyName),
         col("_n").as("_nl"), lit(0L).as("_nr"))
@@ -461,7 +462,7 @@ object StatTests {
     val pc = adjacentPairCensus(censusAll, "_k", width, nBuckets).persist()
     val tot = pc.groupBy(col("_p"))
       .agg(sum(col("_nl")).as("_tl"), sum(col("_nr")).as("_tr"))
-    val totHinted = if (nBuckets <= (4L << 20)) broadcast(tot) else tot
+    val totHinted = if (nBuckets <= Limits.BroadcastRowLimit) broadcast(tot) else tot
     // pooled expectation per cell; totals ≥ 1 per valid side and
     // nl + nr ≥ 1 per census-driven cell, so both divisors are live
     val el = col("left_total").cast("double") *
@@ -642,7 +643,7 @@ object StatTests {
       .groupBy(col("_k"), col("_b")).agg(count(lit(1)).as("n"))
       .persist()
     val nKeys = daily.agg(countDistinct(col("_k"))).head().getLong(0)
-    val limit = 4L << 20
+    val limit = Limits.BroadcastRowLimit
     def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
       if (rows <= limit) broadcast(f) else f
     val tot = daily.groupBy(col("_k").as("_tk"))
@@ -731,6 +732,207 @@ object StatTests {
       .withColumn("contribution", dev * dev / col("expected"))
       .withColumn("residual", dev / sqrt(col("expected")))
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(cellsDf))
+    out
+  }
+
+  /** Per-group exact two-sample KS: for every group g, the
+    * Kolmogorov–Smirnov statistic between the `inA` and not-`inA`
+    * cohorts of the group's `value` distribution — [[ksTwoSample]]
+    * run independently per group in ONE pass ("did the A/B split
+    * shift the distribution, per axis / per source / per shard?").
+    * Unlike [[ksGroupVsRest]] each group's census is self-contained
+    * (its sup ranges only over the group's own distinct values), so
+    * the evaluation frame is exactly the (group, value) census — no
+    * groups × global-spine blowup.
+    *
+    * One (group, value, countA, countB) census is the only scan of
+    * the input. Cumulatives are (group, cell)-partitioned inclusive
+    * prefixes offset by per-(group, cell) totals (the [[ksTwoSample]]
+    * cell trick with the group riding the partition key), so a group
+    * with billions of distinct values ranks `cells`-way parallel —
+    * no unpartitioned window anywhere. Offsets/totals broadcasts are
+    * cardinality-adaptive ([[graft.Limits.BroadcastRowLimit]]).
+    * Every cumulative count is an exact Long; gap, sup, and the
+    * z-scaling follow [[ksTwoSample]]'s engine-exact dag per group,
+    * with sqrt computed in-column (same IEEE result as the solo
+    * form's driver-side literal).
+    *
+    * Output: one row per group — (group_key, n_a, n_b,
+    * n_distinct_values, ks_stat, ks_at, ks_z); the statistic columns
+    * are NULL for a group with an empty cohort. Rows with NULL group
+    * or NULL `inA` are excluded; NULL/NaN values census-side, as
+    * always. A group whose every value is NULL/NaN is absent.
+    */
+  def ksTwoSampleBy(
+      df: DataFrame, group: Column, value: Column, inA: Column,
+      cells: Int = 4096): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    val nn = df.filter(group.isNotNull && inA.isNotNull)
+      .select(group.as("_g"), value.cast("double").as("_v"),
+        when(inA.cast("boolean"), 1L).otherwise(0L).as("_a"),
+        when(inA.cast("boolean"), 0L).otherwise(1L).as("_b"))
+    val censusAll = nn.groupBy(col("_g"), col("_v"))
+      .agg(sum(col("_a")).as("_na"), sum(col("_b")).as("_nb"))
+      .persist()
+    val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
+    // bounds + group cardinality in one job (feeds the cell width and
+    // the adaptive broadcasts below without a second probe)
+    val bounds = census
+      .agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
+        countDistinct(col("_g")).as("ng"))
+      .head()
+    if (bounds.isNullAt(0)) {
+      censusAll.unpersist(blocking = false)
+      return nn.limit(0).select(col("_g").as("group_key"),
+        lit(0L).as("n_a"), lit(0L).as("n_b"),
+        lit(0L).as("n_distinct_values"),
+        lit(null).cast("double").as("ks_stat"),
+        lit(null).cast("double").as("ks_at"),
+        lit(null).cast("double").as("ks_z"))
+    }
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val nGroups = bounds.getLong(2)
+    def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
+      if (rows <= Limits.BroadcastRowLimit) broadcast(f) else f
+    val width = (mx - mn) / cells
+    val cell =
+      if (mx == mn) lit(0L)
+      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+    val cen = census.withColumn("_c", cell)
+    // per-(group, cell) cohort totals -> exclusive offsets, group-
+    // partitioned (bounded windows: ≤ cells rows per group partition)
+    val perGc = cen.groupBy(col("_g"), col("_c"))
+      .agg(sum(col("_na")).as("_tca"), sum(col("_nb")).as("_tcb"))
+    val wOff = W.partitionBy(col("_g")).orderBy(col("_c"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offs = perGc
+      .withColumn("_offa", coalesce(sum(col("_tca")).over(wOff), lit(0L)))
+      .withColumn("_offb", coalesce(sum(col("_tcb")).over(wOff), lit(0L)))
+    val groupTot = perGc.groupBy(col("_g"))
+      .agg(sum(col("_tca")).as("_ta"), sum(col("_tcb")).as("_tb"),
+        count(lit(1)).as("_ncells"))
+    val wIncl = W.partitionBy(col("_g"), col("_c")).orderBy(col("_v"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val ranked = cen
+      .join(bcIfSmall(offs.select(col("_g"), col("_c"), col("_offa"), col("_offb")),
+        nGroups * cells), Seq("_g", "_c"))
+      .withColumn("_ca", col("_offa") + sum(col("_na")).over(wIncl))
+      .withColumn("_cb", col("_offb") + sum(col("_nb")).over(wIncl))
+      .join(bcIfSmall(groupTot.select(col("_g"), col("_ta"), col("_tb")), nGroups),
+        Seq("_g"))
+    // the when-guard keeps both divisors live only when both cohorts
+    // are non-empty (ANSI raises on double /0); empty-cohort groups
+    // get NULL stats below
+    val gaps = ranked.select(col("_g"), col("_v"), col("_ta"), col("_tb"),
+      when(col("_ta") > 0L && col("_tb") > 0L,
+        abs(col("_ca").cast("double") / col("_ta").cast("double")
+          - col("_cb").cast("double") / col("_tb").cast("double"))).as("_gap"))
+      .persist()
+    val mxPerG = gaps.groupBy(col("_g")).agg(max(col("_gap")).as("_mx"))
+    val out = gaps
+      .join(bcIfSmall(mxPerG, nGroups), Seq("_g"))
+      .groupBy(col("_g"))
+      .agg(first(col("_ta")).as("n_a"),
+        first(col("_tb")).as("n_b"),
+        count(lit(1)).as("n_distinct_values"),
+        max(col("_gap")).as("_d"),
+        min(when(col("_gap") === col("_mx"), col("_v"))).as("_at"))
+      .select(col("_g").as("group_key"), col("n_a"), col("n_b"),
+        col("n_distinct_values"),
+        col("_d").as("ks_stat"),
+        col("_at").as("ks_at"),
+        when(col("_d").isNotNull,
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double")
+            / (col("n_a") + col("n_b")).cast("double")) * col("_d")).as("ks_z"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll, gaps))
+    out
+  }
+
+  /** Deterministic Rademacher (±1.0) projection matrix for
+    * [[randomProjectionKs]]: k rows of `dims` signs derived from
+    * (seed, axis, dim) via the splitmix64 finalizer. Pure function of
+    * its arguments — the SAME matrix is interpolated as literals into
+    * the engine expression and the oracle SQL (the
+    * [[Evaluation.PoissonOneCdf]] shared-literal discipline), and a
+    * spec pins determinism. ±1.0 multiplies are EXACT in IEEE (sign
+    * flips), so the projection's only rounding is the dot-product
+    * summation itself — the [[graft.functions.DqFunctions.dotProduct]]
+    * sequential fold both engines replay bit-identically (q44's
+    * parity).
+    */
+  def projectionMatrix(dims: Int, k: Int, seed: Long): IndexedSeq[IndexedSeq[Double]] = {
+    require(dims >= 1 && k >= 1, s"need dims/k >= 1, got $dims/$k")
+    def splitmix64(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    (0 until k).map { j =>
+      (0 until dims).map { i =>
+        if ((splitmix64(seed + j.toLong * 1000003L + i.toLong) & 1L) == 0L) 1.0
+        else -1.0
+      }
+    }
+  }
+
+  /** Embedding-space distribution drift beyond per-dimension
+    * marginals: a RANDOM-PROJECTION KS ENSEMBLE between a current and
+    * a baseline embedding corpus. Per-dimension profiles (q110's
+    * mean/stddev drift) are blind to correlated / rotational drift —
+    * an encoder change that rotates the representation space can
+    * leave every marginal identical while moving the joint
+    * distribution arbitrarily. Projecting both corpora onto k fixed
+    * random axes and running the exact two-sample KS per axis catches
+    * exactly that (Cramér–Wold: the 1-D projections determine the
+    * joint; k fixed axes are the practical ensemble).
+    *
+    * Projections are `dotProduct(vec, literal ±1 axis)` — one native
+    * codegen expression per axis, all k computed in ONE scan per side
+    * and unpivoted via posexplode (k× census rows, k config-sized).
+    * The per-axis statistics are [[ksTwoSampleBy]] with the axis as
+    * the group — census-scale shuffles, (axis, cell)-partitioned
+    * prefixes, no global sort. Fully oracle-replayable: the matrix is
+    * [[projectionMatrix]] literals in both engines, the dot the
+    * shared sequential fold, the KS dag [[ksTwoSample]]'s.
+    *
+    * Output: one row per axis — (axis, n_current, n_baseline,
+    * n_distinct_values, ks_stat, ks_at, ks_z) — plus the ensemble
+    * summary repeated on every row: `ks_ensemble_max` (the drift
+    * verdict; order-free MAX) and `ks_ensemble_mean` (10¹⁵-quantized
+    * before the cross-axis sum so the k-term mean is order-free
+    * integer arithmetic — engine-exact across partitionings and
+    * engines).
+    */
+  def randomProjectionKs(
+      current: DataFrame, baseline: DataFrame, vecCol: String,
+      dims: Int, k: Int = 8, seed: Long = 42L,
+      cells: Int = 4096): DataFrame = {
+    val m = projectionMatrix(dims, k, seed)
+    def projected(df: DataFrame, a: Boolean): DataFrame = {
+      val dots = m.map { w =>
+        graft.functions.DqFunctions.dotProduct(
+          col(vecCol), array(w.map(lit): _*))
+      }
+      df.select(array(dots: _*).as("_ps"))
+        .select(posexplode(col("_ps")).as(Seq("_axis", "_pv")))
+        .select(col("_axis").cast("long").as("_axis"), col("_pv"),
+          lit(a).as("_ina"))
+    }
+    val both = projected(current, a = true)
+      .unionByName(projected(baseline, a = false))
+    val perAxis = ksTwoSampleBy(both, col("_axis"), col("_pv"), col("_ina"), cells)
+      .select(col("group_key").as("axis"),
+        col("n_a").as("n_current"), col("n_b").as("n_baseline"),
+        col("n_distinct_values"), col("ks_stat"), col("ks_at"), col("ks_z"))
+      .persist() // ≤ k rows; consumed by the summary agg AND the join below
+    val summary = perAxis.agg(
+      max(col("ks_stat")).as("ks_ensemble_max"),
+      (sum(bround(col("ks_stat") * lit(1e15)).cast("decimal(38,0)"))
+        .cast("double") / lit(1e15) / lit(k.toDouble)).as("ks_ensemble_mean"))
+    val out = perAxis.crossJoin(broadcast(summary))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(perAxis))
     out
   }
 }

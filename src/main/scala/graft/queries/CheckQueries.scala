@@ -1197,6 +1197,83 @@ object CheckQueries {
       |FROM st b JOIN st c ON b.dim = c.dim AND b.side = 0 AND c.side = 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // q157 — random-projection KS drift ensemble: the rotational-drift
+  // catch q110 misses. q110 profiles per-dimension marginals, so an
+  // encoder change that ROTATES the embedding space (correlated
+  // drift, identical marginals) is invisible to it; projecting both
+  // corpus halves onto 8 fixed Rademacher axes and running the exact
+  // two-sample KS per axis sees it (Cramér–Wold). The ±1 projection
+  // matrix is one Scala computation interpolated as literals into
+  // BOTH engines (PoissonOneCdf discipline); the dot is the shared
+  // sequential fold (q44's parity); the per-axis KS is q144's exact
+  // dag partitioned by axis. Ensemble summary: order-free MAX and a
+  // 1e15-quantized order-free mean.
+  // ---------------------------------------------------------------
+  private val ProjK = 8
+  private val ProjDims = 64
+  private val ProjSeed = 42L
+
+  def q157ProjectionDriftKs(spark: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(spark, d)
+    graft.operators.StatTests.randomProjectionKs(
+      current = em.filter(pmod(col("vec_id"), lit(2)) === 1),
+      baseline = em.filter(pmod(col("vec_id"), lit(2)) === 0),
+      vecCol = "embedding", dims = ProjDims, k = ProjK, seed = ProjSeed)
+  }
+
+  val q157Sql: String = {
+    val m = graft.operators.StatTests.projectionMatrix(ProjDims, ProjK, ProjSeed)
+    def wList(j: Int): String =
+      m(j).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val branches = (0 until ProjK).map { j =>
+      s"""SELECT (vec_id % 2 = 1) AS cur, CAST($j AS BIGINT) AS axis,
+         |    list_sum(list_transform(range(1, ${ProjDims + 1}),
+         |      i -> CAST(embedding[i] AS DOUBLE) * (${wList(j)})[i])) AS v
+         |  FROM embeddings""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH p AS (
+       |  $branches),
+       |c AS (
+       |  SELECT axis, v,
+       |    CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS nb
+       |  FROM p GROUP BY axis, v),
+       |t AS (SELECT axis, CAST(SUM(na) AS BIGINT) AS ta,
+       |    CAST(SUM(nb) AS BIGINT) AS tb,
+       |    CAST(COUNT(*) AS BIGINT) AS nd FROM c GROUP BY axis),
+       |w AS (
+       |  SELECT axis, v,
+       |    CAST(SUM(na) OVER (PARTITION BY axis ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+       |    CAST(SUM(nb) OVER (PARTITION BY axis ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+       |  FROM c),
+       |g AS (
+       |  SELECT w.axis, w.v,
+       |    ABS(CAST(w.ca AS DOUBLE) / CAST(t.ta AS DOUBLE)
+       |      - CAST(w.cb AS DOUBLE) / CAST(t.tb AS DOUBLE)) AS gap
+       |  FROM w JOIN t ON w.axis = t.axis),
+       |m AS (SELECT axis, MAX(gap) AS mx FROM g GROUP BY axis),
+       |ax AS (
+       |  SELECT t.axis, t.ta AS n_current, t.tb AS n_baseline,
+       |    t.nd AS n_distinct_values,
+       |    CASE WHEN t.ta > 0 AND t.tb > 0 THEN m.mx END AS ks_stat,
+       |    CASE WHEN t.ta > 0 AND t.tb > 0 THEN
+       |      (SELECT MIN(v) FROM g WHERE g.axis = t.axis AND g.gap = m.mx)
+       |    END AS ks_at,
+       |    CASE WHEN t.ta > 0 AND t.tb > 0 THEN
+       |      SQRT(CAST(t.ta AS DOUBLE) * CAST(t.tb AS DOUBLE)
+       |        / CAST(t.ta + t.tb AS DOUBLE)) * m.mx END AS ks_z
+       |  FROM t JOIN m ON t.axis = m.axis),
+       |s AS (SELECT MAX(ks_stat) AS ks_ensemble_max,
+       |    (CAST(SUM(CAST(round_even(ks_stat * 1e15, 0) AS HUGEINT)) AS DOUBLE)
+       |      / 1e15) / ${ProjK}.0 AS ks_ensemble_mean FROM ax)
+       |SELECT ax.axis, ax.n_current, ax.n_baseline, ax.n_distinct_values,
+       |  ax.ks_stat, ax.ks_at, ax.ks_z, s.ks_ensemble_max, s.ks_ensemble_mean
+       |FROM ax CROSS JOIN s""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q113 — exact per-group quantiles (p50/p90/p99 of event value per
   // event type): the true order statistic at group rank
   // max(1, ceil(p·N)) under the (value, event_id) total order. The
@@ -1272,6 +1349,7 @@ object CheckQueries {
     "q107_cms_counts" -> (q107CmsCounts _),
     "q118_join_size_estimate" -> (q118JoinSizeEstimate _),
     "q110_embedding_drift" -> (q110EmbeddingDrift _),
+    "q157_projection_drift_ks" -> (q157ProjectionDriftKs _),
     "q113_group_quantiles" -> (q113GroupQuantiles _),
     "q106_quantile_drift" -> (q106QuantileDrift _),
     "q116_hist_quantiles" -> (q116HistQuantiles _),
@@ -1308,6 +1386,7 @@ object CheckQueries {
     "q107_cms_counts" -> q107Sql,
     "q118_join_size_estimate" -> q118Sql,
     "q110_embedding_drift" -> q110Sql,
+    "q157_projection_drift_ks" -> q157Sql,
     "q113_group_quantiles" -> q113Sql,
     "q106_quantile_drift" -> q106Sql,
     "q116_hist_quantiles" -> q116Sql,

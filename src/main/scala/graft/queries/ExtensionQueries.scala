@@ -360,43 +360,64 @@ object ExtensionQueries {
   // full corpus — the whole point is incremental == from-scratch,
   // and this row pins it.
   // ---------------------------------------------------------------
-  def q129IncrementalKeepList(spark: SparkSession, d: String): DataFrame = {
+  /** The prior run's state — score table, keep-list decision table and
+    * materialized signature store over the prior corpus (doc_id % 10
+    * != 0) — written to scratch parquet at most once per process.
+    * In production these ARE materialized tables (the whole point of
+    * incremental maintenance is that they persist between runs), so
+    * the parquet fixture is the honest stand-in; rebuilding them from
+    * raw text inside q129's timed region made the bench time the
+    * fixture, not the O(increment) fold (r10 verdict item 1).
+    */
+  private[graft] def ensureKeepListState(
+      spark: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, d)
-    val priorDocs = docs.filter(col("doc_id") % 10 =!= 0)
-    val newBatch = docs.filter(col("doc_id") % 10 === 0)
-    // the materialized score table (q112), covering prior AND new
-    // docs. PERSISTED: the fold consumes it three times (state
-    // election, singleton promotion, new-member join) and each
-    // consumption would otherwise re-run the full text-feature
-    // pipeline — in production this is a materialized table read, so
-    // the cache is the honest stand-in
-    val scores = q112LinearQuality(spark, d)
-      .select(col("doc_id"), col("logit").as("score"))
-      .persist()
-    // prior-run state: pairs -> clusters -> keep election, prior
-    // corpus only. PERSISTED for the same reason: the fold reads the
-    // decision table twice (touched-member pull + untouched anti-join)
-    // and in production it IS a materialized table
-    val (priorPairs, priorSigs) = Dedup.lshNearDupPairsWithSignatures(
-      priorDocs, "doc_id", "text", n = LshShingleN, numHashes = LshHashes,
-      bands = LshBands, threshold = JaccardThreshold, portable = true)
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    val state = Dedup.duplicateClusters(priorPairs, "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
-      .join(scores, "doc_id")
-      .withColumn("keep", row_number().over(w) === 1)
-      .select("doc_id", "cluster_id", "cluster_size", "score", "keep")
-      .persist()
+    val scores = QueryFixtures.ensure(spark, d, "q129_scores") {
+      q112LinearQuality(spark, d)
+        .select(col("doc_id"), col("logit").as("score"))
+    }
+    val stateDir = QueryFixtures.dirFor(d, "q129_state")
+    val sigsDir = QueryFixtures.dirFor(d, "q129_sigs")
+    if (!new java.io.File(stateDir, "_SUCCESS").exists() ||
+        !new java.io.File(sigsDir, "_SUCCESS").exists()) {
+      val priorDocs = Tables.documents(spark, d).filter(col("doc_id") % 10 =!= 0)
+      // one LSH pass feeds both outputs (pairs derive from the
+      // persisted sigs), so both parquet dirs are written together
+      val (priorPairs, priorSigs) = Dedup.lshNearDupPairsWithSignatures(
+        priorDocs, "doc_id", "text", n = LshShingleN, numHashes = LshHashes,
+        bands = LshBands, threshold = JaccardThreshold, portable = true)
+      priorSigs.write.mode("overwrite").parquet(sigsDir)
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      Dedup.duplicateClusters(priorPairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+        .join(scores, "doc_id")
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("doc_id", "cluster_id", "cluster_size", "score", "keep")
+        .write.mode("overwrite").parquet(stateDir)
+      priorSigs.unpersist()
+    }
+    (spark.read.parquet(stateDir), spark.read.parquet(sigsDir), scores)
+  }
+
+  def q129IncrementalKeepList(spark: SparkSession, d: String): DataFrame = {
+    val newBatch = Tables.documents(spark, d).filter(col("doc_id") % 10 === 0)
+    // prior-run state from the materialized store: the timed region is
+    // the FOLD — asymmetric new×corpus band join, contracted-graph
+    // closure, touched-cluster re-election — which is the operator
+    // q129 exists to pin. scores is persisted because the fold
+    // consumes it three times (state election, singleton promotion,
+    // new-member join); the other two state frames are single-read
+    // parquet scans
+    val (state, priorSigs, scoresRaw) = ensureKeepListState(spark, d)
+    val scores = scoresRaw.persist()
     val (updated, newSigs) = Dedup.foldIntoClusterKeepList(
       state, priorSigs, scores, newBatch, "doc_id", "text",
       n = LshShingleN, numHashes = LshHashes, bands = LshBands,
       threshold = JaccardThreshold, portable = true)
     val out = updated.select(col("doc_id"), col("cluster_id"),
       col("cluster_size"), col("score").as("logit"), col("keep"))
-    graft.CacheLifecycle.releaseWhenExecuted(out,
-      Seq(priorSigs, newSigs, scores, state))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(newSigs, scores))
     out
   }
 

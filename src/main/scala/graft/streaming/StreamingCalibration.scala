@@ -124,8 +124,12 @@ object StreamingCalibration {
     * values (1.358 ≈ α=0.05).
     *
     * `baseline` is a [[graft.operators.Evaluation.calibrationReport]]
-    * output over the reference corpus (its full band spine is reused,
-    * so empty live bands still step the baseline CDF). Batch query
+    * output over the reference corpus. Both CDFs evaluate on the
+    * UNION of the baseline and observed live band spines, zero-filled
+    * per side — empty live bands still step the baseline CDF, and a
+    * live band absent from the baseline spine (a bins/lo/hi mismatch)
+    * still steps the live CDF instead of being silently dropped from
+    * the cumulative while counted in the total. Batch query
     * over the census sink — ≤ windows × bins rows, windows
     * partitioned per window_start — run in `foreachBatch` or ad hoc.
     * Output per window: (window_start, n_live, n_base, band_ks,
@@ -134,11 +138,22 @@ object StreamingCalibration {
     */
   def scoreBandKs(windowBands: DataFrame, baseline: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    // baseline cumulative over its own spine: ≤ bins rows — the lone
-    // unpartitioned window is bounded by construction
+    // both CDFs evaluate on the UNION band spine (baseline ∪ observed
+    // live bands, ≤ 2×bins rows), zero-filled per side — so a live
+    // band outside the baseline's spine still steps the live CDF
+    // instead of being silently dropped (it contributes a gap of
+    // live_cdf − base_cdf with the baseline side flat), and a
+    // bins/lo/hi mismatch between census and baseline degrades to a
+    // correct-on-observed-bands statistic rather than a quiet
+    // undercount. The unpartitioned windows below are bounded by the
+    // spine size by construction.
+    val spine = windowBands.select(col("band"))
+      .union(baseline.select(col("band"))).distinct()
     val wB = W.orderBy(col("band")).rowsBetween(W.unboundedPreceding, 0)
-    val baseCum = baseline.select(col("band"), col("n").as("_bn"))
-      .withColumn("_bc", sum(col("_bn")).over(wB))
+    val baseCum = spine
+      .join(baseline.select(col("band"), col("n").as("_bn")), Seq("band"), "left")
+      .withColumn("_bc", sum(coalesce(col("_bn"), lit(0L))).over(wB))
+      .drop("_bn")
       .crossJoin(broadcast(
         baseline.select(col("n").as("_tbn")).agg(sum(col("_tbn")).as("_bt"))))
     val wins = windowBands.select(col("window_start")).distinct()

@@ -391,6 +391,28 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(w11.getAs[Double]("band_ks") > 0.0)
   }
 
+  test("banded KS monitor: live bands outside the baseline spine still step the live CDF (union spine)") {
+    // r10 advice: the old implementation evaluated the live CDF only on
+    // the BASELINE's band spine, so a live band absent from the
+    // baseline (a bins/lo/hi mismatch between census and baseline) was
+    // silently dropped from the cumulative while still counted in the
+    // total. Disjoint spines are the sharpest pin: all live mass in
+    // band 0, all baseline mass in band 5 — true banded KS is 1.0; the
+    // old spine-restricted evaluation reported 0.0.
+    import graft.streaming.StreamingCalibration
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val w10 = t("2024-01-01 10:00:00")
+    val live = Seq((w10, 0L, 4L)).toDF("window_start", "band", "n")
+    val baseline = Seq((5L, 4L)).toDF("band", "n")
+    val r = StreamingCalibration.scoreBandKs(live, baseline).head()
+    assert(r.getAs[Long]("n_live") == 4L)
+    assert(r.getAs[Long]("n_base") == 4L)
+    assert(r.getAs[Double]("band_ks") == 1.0,
+      "disjoint live/baseline spines must score KS 1.0, not drop the live-only band")
+    assert(r.getAs[Long]("ks_at_band") == 0L)
+    assert(r.getAs[Double]("ks_z") == math.sqrt(4.0 * 4.0 / 8.0) * 1.0)
+  }
+
   test("streaming window-over-window banded KS: each window vs its predecessor equals the batch two-sample KS on band scores") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingCalibration

@@ -461,4 +461,107 @@ class StatTestsSpec extends AnyFunSuite {
     assert(!out.exists(r => r.getAs[String]("row_key") == "y" ||
       r.getAs[String]("col_key") == null))
   }
+
+  // ---------------- ksTwoSampleBy / randomProjectionKs ----------------
+
+  test("ksTwoSampleBy equals the solo ksTwoSample per group") {
+    val rows = Seq(
+      // group g1: A = {1,2,3}, B = {2,3,4}
+      ("g1", 1.0, true), ("g1", 2.0, true), ("g1", 3.0, true),
+      ("g1", 2.0, false), ("g1", 3.0, false), ("g1", 4.0, false),
+      // group g2: disjoint cohorts
+      ("g2", 1.0, true), ("g2", 2.0, true),
+      ("g2", 5.0, false), ("g2", 6.0, false),
+      // group g3: only cohort A -> NULL stats, row kept
+      ("g3", 7.0, true),
+      // NULL group and NULL cohort rows are excluded
+      (null.asInstanceOf[String], 1.0, true))
+      .toDF("g", "v", "a")
+    val by = StatTests.ksTwoSampleBy(rows, $"g", $"v", $"a").collect()
+      .map(r => r.getAs[String]("group_key") -> r).toMap
+    assert(by.keySet == Set("g1", "g2", "g3"))
+    for (g <- Seq("g1", "g2")) {
+      val solo = StatTests.ksTwoSample(
+        rows.filter($"g" === g), $"v", $"a").head()
+      assert(by(g).getAs[Long]("n_a") == solo.getAs[Long]("n_a"))
+      assert(by(g).getAs[Long]("n_b") == solo.getAs[Long]("n_b"))
+      assert(by(g).getAs[Long]("n_distinct_values") ==
+        solo.getAs[Long]("n_distinct_values"))
+      assert(by(g).getAs[Double]("ks_stat") == solo.getAs[Double]("ks_stat"),
+        s"group $g ks_stat must equal the solo statistic")
+      assert(by(g).getAs[Double]("ks_at") == solo.getAs[Double]("ks_at"))
+      assert(by(g).getAs[Double]("ks_z") == solo.getAs[Double]("ks_z"))
+    }
+    assert(by("g3").getAs[Long]("n_a") == 1L)
+    assert(by("g3").getAs[Long]("n_b") == 0L)
+    assert(by("g3").isNullAt(by("g3").fieldIndex("ks_stat")),
+      "a one-cohort group must report NULL stats, not crash or drop")
+  }
+
+  test("projectionMatrix is deterministic, ±1-valued, and shape-correct") {
+    val a = StatTests.projectionMatrix(64, 8, 42L)
+    val b = StatTests.projectionMatrix(64, 8, 42L)
+    assert(a == b, "same (dims, k, seed) must give the same matrix")
+    assert(a.size == 8 && a.forall(_.size == 64))
+    assert(a.flatten.forall(w => w == 1.0 || w == -1.0))
+    // not degenerate: both signs occur, and rows differ
+    assert(a.flatten.toSet == Set(1.0, -1.0))
+    assert(a.distinct.size == 8, "axes must be distinct")
+    assert(StatTests.projectionMatrix(64, 8, 43L) != a,
+      "a different seed must give a different matrix")
+  }
+
+  test("randomProjectionKs catches a rotational shift that per-dim profiles miss") {
+    // Two 2-D corpora with IDENTICAL per-dimension marginals:
+    //   baseline: (v_i, v_{9-i}) — anti-correlated
+    //   current:  (v_i, v_i)     — perfectly correlated
+    // Per-dim mean/stddev (q110's instrument) see NOTHING; any ±1
+    // projection axis separates them (difference axis: baseline
+    // spreads over {-7..7}, current collapses to 0; sum axis:
+    // baseline collapses to 9, current spreads).
+    val vs = (1 to 8).map(_.toDouble)
+    val baseline = vs.zip(vs.reverse)
+      .map { case (x, y) => Tuple1(Array(x.toFloat, y.toFloat)) }
+      .toDF("embedding")
+    val current = vs.map(x => Tuple1(Array(x.toFloat, x.toFloat)))
+      .toDF("embedding")
+    // q110 blindness: per-dim profile drift is exactly zero
+    val prof = graft.operators.Checks.embeddingDrift(
+      current = current, baseline = baseline, vecCol = "embedding").collect()
+    assert(prof.nonEmpty)
+    assert(prof.forall(_.getAs[Double]("mean_shift") == 0.0),
+      "per-dim means must be identical by construction")
+    assert(prof.forall(_.getAs[Double]("stddev_ratio") == 1.0),
+      "per-dim stddevs must be identical by construction")
+    // the projection ensemble sees it
+    val k = 8
+    val m = StatTests.projectionMatrix(2, k, 42L)
+    assert(m.exists(w => w(0) != w(1)) && m.exists(w => w(0) == w(1)),
+      "seed 42 must yield both difference-type and sum-type axes (fixture sanity)")
+    val out = StatTests.randomProjectionKs(
+      current, baseline, "embedding", dims = 2, k = k, seed = 42L).collect()
+    assert(out.length == k)
+    val mx = out.head.getAs[Double]("ks_ensemble_max")
+    assert(mx >= 0.5, s"ensemble max KS must flag the rotation, got $mx")
+    assert(out.forall(_.getAs[Double]("ks_ensemble_max") == mx))
+    // per-axis equality with the solo statistic on hand-computed
+    // projections (the same sequential-fold dot)
+    val axis = out.map(r => r.getAs[Long]("axis") -> r).toMap
+    for (j <- 0 until k) {
+      val w = m(j)
+      def proj(xs: Seq[(Double, Double)]) =
+        xs.map { case (x, y) => x * w(0) + y * w(1) }
+      val solo = StatTests.ksTwoSample(
+        (proj(vs.map(x => (x, x))).map((_, true)) ++
+          proj(vs.zip(vs.reverse)).map((_, false))).toDF("v", "a"),
+        $"v", $"a").head()
+      assert(axis(j.toLong).getAs[Double]("ks_stat") ==
+        solo.getAs[Double]("ks_stat"), s"axis $j must equal solo KS")
+    }
+    // ensemble mean: quantized order-free mean of the per-axis stats
+    val expMean = out.map(r =>
+      math.rint(r.getAs[Double]("ks_stat") * 1e15).toLong)
+      .sum.toDouble / 1e15 / k.toDouble
+    assert(out.head.getAs[Double]("ks_ensemble_mean") == expMean)
+  }
 }
