@@ -1274,6 +1274,45 @@ object CheckQueries {
   }
 
   // ---------------------------------------------------------------
+  // q158 — mergeable quantile sketch (deterministic bottom-k / KMV):
+  // bounded-error quantiles whose sketch is a pure function of the
+  // input multiset, so merge == single-pass EXACTLY. The engine path
+  // deliberately goes split → per-shard sketch → merge (the q105
+  // partials discipline) while the oracle computes the single-pass
+  // bottom-k directly — the equality IS the merge contract, pinned
+  // by the hash compare. Quantile read: value at rank
+  // max(1, ceil(p·n)) of the sketch — same dag both engines.
+  // ---------------------------------------------------------------
+  private val SketchK = 1024
+  private val SketchProbs = Seq(0.5, 0.9, 0.99)
+
+  def q158QuantileSketch(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.QuantileSketch
+    val ev = Tables.events(spark, d)
+    val even = QuantileSketch.sketchPartials(
+      ev.filter(col("event_id") % 2 === 0), col("value"), col("event_id"), SketchK)
+    val odd = QuantileSketch.sketchPartials(
+      ev.filter(col("event_id") % 2 === 1), col("value"), col("event_id"), SketchK)
+    QuantileSketch.quantiles(
+      QuantileSketch.merge(SketchK, even, odd), SketchProbs)
+  }
+
+  val q158Sql: String =
+    s"""WITH hv AS (
+       |  SELECT CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+       |      AS UBIGINT) AS BIGINT) AS h,
+       |    CAST(value AS DOUBLE) AS v
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+       |sk AS (SELECT h, v FROM hv ORDER BY h, v LIMIT $SketchK),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sk),
+       |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM sk),
+       |pp AS (SELECT unnest([${SketchProbs.mkString(", ")}]) AS p)
+       |SELECT pp.p, r.v AS q, nn.n
+       |FROM pp CROSS JOIN nn
+       |JOIN r ON r.rk = GREATEST(1, CAST(ceil(pp.p * nn.n) AS BIGINT))""".stripMargin
+
+  // ---------------------------------------------------------------
   // q113 — exact per-group quantiles (p50/p90/p99 of event value per
   // event type): the true order statistic at group rank
   // max(1, ceil(p·N)) under the (value, event_id) total order. The
@@ -1350,6 +1389,7 @@ object CheckQueries {
     "q118_join_size_estimate" -> (q118JoinSizeEstimate _),
     "q110_embedding_drift" -> (q110EmbeddingDrift _),
     "q157_projection_drift_ks" -> (q157ProjectionDriftKs _),
+    "q158_quantile_sketch" -> (q158QuantileSketch _),
     "q113_group_quantiles" -> (q113GroupQuantiles _),
     "q106_quantile_drift" -> (q106QuantileDrift _),
     "q116_hist_quantiles" -> (q116HistQuantiles _),
@@ -1387,6 +1427,7 @@ object CheckQueries {
     "q118_join_size_estimate" -> q118Sql,
     "q110_embedding_drift" -> q110Sql,
     "q157_projection_drift_ks" -> q157Sql,
+    "q158_quantile_sketch" -> q158Sql,
     "q113_group_quantiles" -> q113Sql,
     "q106_quantile_drift" -> q106Sql,
     "q116_hist_quantiles" -> q116Sql,

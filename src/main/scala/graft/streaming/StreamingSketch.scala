@@ -47,4 +47,43 @@ object StreamingSketch {
       depth: Int, width: Int): DataFrame =
     Profiling.countMinEstimate(
       readCounters(spark, path), probes, key, depth, width)
+
+  // ---------------------------------------------------------------
+  // Quantile sketch (bounded-error streaming quantiles / KS — the
+  // r10 "band-granular only" gap closed): same append-log
+  // discipline, applied to [[graft.operators.QuantileSketch]]. Each
+  // micro-batch appends ITS OWN bottom-k sketch (≤ k rows per batch
+  // regardless of batch size); reads merge by bottom-k — order-free
+  // and exactly equal to the single-pass sketch of everything that
+  // has arrived (the multiset-pure merge), so a retried batch or an
+  // out-of-order backfill cannot change the merged result as long as
+  // each row appends once. A compaction is one
+  // [[graft.operators.QuantileSketch.merge]] over a closed range
+  // swapped in place of its inputs.
+  // ---------------------------------------------------------------
+
+  /** Start the quantile-sketch sink: each micro-batch's bottom-k
+    * sketch of `value` (keyed by `rowId`) appends to `path`. */
+  def quantileSink(
+      stream: DataFrame, value: Column, rowId: Column, k: Int,
+      path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.QuantileSketch
+          .sketchPartials(batch, value, rowId, k)
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
+  /** The merged sketch of everything appended so far. */
+  def readQuantileSketch(spark: SparkSession, path: String, k: Int): DataFrame =
+    graft.operators.QuantileSketch.merge(k, spark.read.parquet(path))
+
+  /** Bounded-error quantiles over the whole log. */
+  def readQuantiles(
+      spark: SparkSession, path: String, k: Int,
+      probs: Seq[Double]): DataFrame =
+    graft.operators.QuantileSketch.quantiles(
+      readQuantileSketch(spark, path, k), probs)
 }
