@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def longArg(e: Expression, what: String): Long = foldedArg(e, what).longValue()
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL-callable check surface: `CALL graft.<check>(k => 'v', ...)`
+    // — see graft.sql.GraftSqlParser / graft.sql.GraftChecks
+    ext.injectParser((session, delegate) =>
+      new graft.sql.GraftSqlParser(session, delegate))
+
     ext.injectFunction((
       FunctionIdentifier("vector_dot"),
       info("vector_dot", "vector_dot(a, b) - double dot product of two numeric arrays"),

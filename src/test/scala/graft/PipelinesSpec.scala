@@ -69,6 +69,66 @@ class PipelinesSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 4)
   }
 
+  test("SQL-callable checks: CALL graft.<check> runs the operator layer from pure SQL text") {
+    // the reference's users drive everything by SQL strings — this is
+    // that surface restored: inputs are CATALOG names (temp views
+    // here), column args are SQL expressions, no DataFrame touched
+    Seq(
+      (1, ts("2020-01-10 00:00:00")), (1, ts("2020-03-01 00:00:00")),
+      (2, ts("2020-02-15 00:00:00")))
+      .toDF("site_id", "event_ts").createOrReplaceTempView("sqlc_obs")
+    Seq((1, ts("2020-03-01 00:00:00")), (2, ts("2020-02-10 00:00:00")))
+      .toDF("site_id", "event_ts").createOrReplaceTempView("sqlc_enc")
+
+    // the DCC freshness report, invoked as SQL
+    val fresh = spark.sql(
+      """CALL graft.freshness(
+        |  tables => 'sqlc_obs:event_ts,sqlc_enc:event_ts',
+        |  group_by => 'site_id',
+        |  cutoff => '2021-01-01 00:00:00',
+        |  date_created => '2024-01-01')""".stripMargin)
+      .collect().map(r => r.getAs[Int]("facility_id") -> r).toMap
+    assert(fresh.keySet == Set(1, 2))
+    assert(fresh(1).getAs[java.sql.Date]("sqlc_obs_max_date").toString == "2020-03-01")
+    assert(fresh(1).getAs[Double]("std_dev") == 0.0,
+      "site 1's two tables are equally fresh")
+    assert(fresh(2).getAs[Double]("std_dev") > 0.0,
+      "site 2's tables diverge by 5 days")
+
+    // an exact KS test, invoked as SQL — cohort is an arbitrary SQL
+    // boolean expression with '' quote escaping
+    Seq((1.0, "en"), (2.0, "en"), (3.0, "en"),
+      (2.0, "fr"), (3.0, "fr"), (4.0, "fr"))
+      .toDF("v", "lang").createOrReplaceTempView("sqlc_docs")
+    val ks = spark.sql(
+      """CALL graft.ks_two_sample(`table` => 'sqlc_docs',
+        |  value => 'v', cohort => 'lang = ''en''')""".stripMargin).head()
+    val direct = graft.operators.StatTests.ksTwoSample(
+      spark.table("sqlc_docs"), $"v", $"lang" === "en").head()
+    assert(ks.getAs[Double]("ks_stat") == direct.getAs[Double]("ks_stat"))
+    assert(ks.getAs[Long]("n_a") == 3L && ks.getAs[Long]("n_b") == 3L)
+
+    // the Scala runner is the same registry
+    val viaRunner = graft.sql.GraftChecks.run(spark, "ks_two_sample",
+      Map("table" -> "sqlc_docs", "value" -> "v", "cohort" -> "lang = 'en'"))
+      .head()
+    assert(viaRunner.getAs[Double]("ks_stat") == ks.getAs[Double]("ks_stat"))
+
+    // discovery + failure modes speak SQL-user language
+    val help = spark.sql("CALL graft.help()").collect()
+    assert(help.map(_.getString(0)).contains("ks_two_sample"))
+    val unknown = intercept[IllegalArgumentException] {
+      spark.sql("CALL graft.no_such_check(x => 'y')")
+    }
+    assert(unknown.getMessage.contains("available:"))
+    val missing = intercept[IllegalArgumentException] {
+      spark.sql("CALL graft.completeness(`table` => 'sqlc_docs')")
+    }
+    assert(missing.getMessage.contains("missing required argument 'cols'"))
+    // non-CALL statements pass through to the delegate parser
+    assert(spark.sql("SELECT 1 AS one").head().getInt(0) == 1)
+  }
+
   test("SQL registration: custom functions callable from spark.sql") {
     GraftFunctionRegistry.registerAll(spark)
     val r = spark.sql(
