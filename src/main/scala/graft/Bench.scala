@@ -99,6 +99,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogSilence.boundedWindowWarnings() // every remaining unpartitioned window is config-bounded (see LogSilence)
     // warm up JVM/codegen/parquet-footer paths so the first timed
     // query doesn't absorb session init; not part of any measurement
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

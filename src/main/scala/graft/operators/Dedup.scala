@@ -1327,6 +1327,21 @@ object Dedup {
         (coalesce(col("_na"), lit(0L)) + coalesce(col("_nb"), lit(0L)))
           .as("n_docs"))
 
+  /** N-way [[mergeGroupSketches]] over an APPEND LOG of per-batch
+    * sketch tables (the streamed-maintenance read path): per group,
+    * elementwise min across all logged sketches + doc-count sum, in
+    * one grouped aggregate — associative/commutative min and add, so
+    * the result is a pure function of the logged batches regardless
+    * of arrival order, and equals the single-pass [[groupSketches]]
+    * over everything the batches contained (spec-pinned bit for bit).
+    */
+  def mergeGroupSketchLog(log: DataFrame, numHashes: Int = 64): DataFrame =
+    log.groupBy(col("group_key"))
+      .agg(
+        array((0 until numHashes).map(i =>
+          min(element_at(col("sketch"), i + 1))): _*).as("sketch"),
+        sum(col("n_docs")).as("n_docs"))
+
   /** One-row impact report over a cluster keep-list (the q128/q129
     * decision surface): how much the dedup decision actually removes —
     * clustered docs, clusters, keepers, drops, the drop fraction, and
@@ -1379,11 +1394,24 @@ object Dedup {
       df: DataFrame, textCol: String, groupCol: String,
       n: Int = 5, numHashes: Int = 64): DataFrame = {
     val sk = groupSketches(df, textCol, groupCol, n, numHashes).persist()
+    val out = overlapMatrixFromSketches(sk, numHashes)
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(sk))
+    out
+  }
+
+  /** The pairwise-compare leg of [[sourceOverlapMatrix]] alone, over
+    * an already-materialized (group_key, sketch, n_docs) table — a
+    * [[groupSketches]] output, a [[mergeGroupSketches]] result, or a
+    * merged streamed log ([[mergeGroupSketchLog]]). groups²-scale
+    * inequality self-join over the broadcast sketch table, corpus-
+    * size-independent.
+    */
+  def overlapMatrixFromSketches(sk: DataFrame, numHashes: Int = 64): DataFrame = {
     val a = sk.select(col("group_key").as("source_a"),
       col("sketch").as("_ska"), col("n_docs").as("n_docs_a"))
     val b = sk.select(col("group_key").as("source_b"),
       col("sketch").as("_skb"), col("n_docs").as("n_docs_b"))
-    val out = a.join(broadcast(b), col("source_a") < col("source_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
       .select(col("source_a"), col("source_b"),
         col("n_docs_a"), col("n_docs_b"),
         (aggregate(
@@ -1391,8 +1419,6 @@ object Dedup {
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes)
           .as("est_jaccard"))
-    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(sk))
-    out
   }
 
   /** Fuzzy duplicate pairs by edit distance with token blocking —

@@ -86,4 +86,44 @@ object StreamingSketch {
       probs: Seq[Double]): DataFrame =
     graft.operators.QuantileSketch.quantiles(
       readQuantileSketch(spark, path, k), probs)
+
+  // ---------------------------------------------------------------
+  // Source-overlap maintenance (the q141 matrix kept current per
+  // ingest batch instead of recomputed — r10 verdict item 8): the
+  // same append-log discipline applied to the per-group MinHash
+  // sketches. Each micro-batch appends ITS OWN group-sketch table
+  // (≤ groups rows per batch); reads merge by elementwise min + doc-
+  // count add — associative/commutative, so the merged table equals
+  // the single-pass sketch of everything arrived, bit for bit, in
+  // any batch order. The overlap matrix then reads groups² sketch
+  // rows, never the corpus.
+  // ---------------------------------------------------------------
+
+  /** Start the group-sketch sink: each micro-batch's per-group
+    * MinHash sketches append to `path`. */
+  def groupSketchSink(
+      stream: DataFrame, textCol: String, groupCol: String,
+      path: String, checkpoint: String,
+      n: Int = 5, numHashes: Int = 64): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .groupSketches(batch, textCol, groupCol, n, numHashes)
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
+  /** The merged per-group sketch table of everything appended. */
+  def readGroupSketches(
+      spark: SparkSession, path: String, numHashes: Int = 64): DataFrame =
+    graft.operators.Dedup.mergeGroupSketchLog(
+      spark.read.parquet(path), numHashes)
+
+  /** The cross-source overlap matrix over the whole log — the q141
+    * surface, maintained. */
+  def readOverlapMatrix(
+      spark: SparkSession, path: String, numHashes: Int = 64): DataFrame =
+    graft.operators.Dedup.overlapMatrixFromSketches(
+      readGroupSketches(spark, path, numHashes), numHashes)
 }

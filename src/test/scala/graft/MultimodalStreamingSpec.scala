@@ -391,6 +391,56 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(w11.getAs[Double]("band_ks") > 0.0)
   }
 
+  test("streamed source-overlap maintenance: merged group-sketch log equals the single-pass sketches and matrix") {
+    // r10 verdict item 8: the q141 matrix maintained per ingest batch
+    // — append each batch's per-group MinHash sketches, merge at read
+    // by elementwise min + doc-count add. Merged == single-pass over
+    // everything arrived, BIT FOR BIT (min distributes over union).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSketch
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_gsk").toString
+    val (log, ckpt) = (s"$scratch/gsk", s"$scratch/ckpt")
+    val (nGram, hashes) = (3, 16)
+
+    val stream = MemoryStream[(Long, String, String)]
+    val sq = StreamingSketch.groupSketchSink(
+      stream.toDF().toDF("doc_id", "text", "source"),
+      "text", "source", log, ckpt, n = nGram, numHashes = hashes)
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "web"),
+      (2L, "pack my box with five dozen liquor jugs", "web"),
+      (3L, "the quick brown fox jumps over the lazy dog", "books"))
+    val batch2 = Seq(
+      (4L, "sphinx of black quartz judge my vow", "web"),
+      (5L, "pack my box with five dozen liquor jugs", "news"),
+      (6L, "sphinx of black quartz judge my vow", "books"))
+    stream.addData(batch1); sq.processAllAvailable()
+    stream.addData(batch2); sq.processAllAvailable()
+    sq.stop()
+
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    val all = (batch1 ++ batch2).toDF("doc_id", "text", "source")
+    val merged = keyed(StreamingSketch.readGroupSketches(spark, log, hashes))
+    val single = keyed(Dedup.groupSketches(all, "text", "source", nGram, hashes))
+    assert(merged == single,
+      "merged per-batch sketch log must equal the single-pass group sketches bit for bit")
+    assert(merged.keySet == Set("web", "books", "news"))
+
+    // and the maintained matrix equals the batch q141 surface
+    def mkey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val mStream = mkey(StreamingSketch.readOverlapMatrix(spark, log, hashes))
+    val mBatch = mkey(Dedup.sourceOverlapMatrix(all, "text", "source", nGram, hashes))
+    assert(mStream == mBatch,
+      "the maintained overlap matrix must equal the from-scratch q141 matrix")
+    // sanity: books shares a doc-universe with web (duplicated texts)
+    assert(mStream(("books", "web"))._3 > 0.0)
+  }
+
   test("banded KS monitor: live bands outside the baseline spine still step the live CDF (union spine)") {
     // r10 advice: the old implementation evaluated the live CDF only on
     // the BASELINE's band spine, so a live band absent from the
