@@ -949,4 +949,75 @@ object Checks {
             > lit(threshold) * col("std_prior"))
           .otherwise(lit(null).cast("boolean")).as("is_anomaly"))
   }
+
+  /** Benford first-significant-digit probabilities log10(1 + 1/d),
+    * d = 1..9, as the exact decimal-literal strings both engines
+    * parse (the single-source-of-digits discipline — log10 is not
+    * ulp-portable across engines, nine shared literals are).
+    */
+  val BenfordP: Seq[String] = Seq(
+    "0.3010299956639812", "0.17609125905568124", "0.12493873660829992",
+    "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+    "0.05799194697768673", "0.05115252244738129", "0.04575749056067514")
+
+  /** Benford first-digit conformance census — the classic fraud /
+    * data-fabrication screen: naturally occurring multiplicative
+    * quantities (amounts, populations, file sizes) follow
+    * P(d) = log10(1+1/d); fabricated or truncated-range data do not.
+    *
+    * `intValue` must be an EXACT integer-typed (or integer-valued)
+    * column — for doubles, quantize first (`bround(x * 100)` for
+    * cents) so the cross-engine double→long cast divergence (DuckDB
+    * rounds, Spark truncates) never sees a fractional value. Rows
+    * with NULL or <= 0 values are excluded (Benford is defined on
+    * positive magnitudes; a sign is not a digit).
+    *
+    * One scan → 9-row digit census (first digit via the BIGINT's
+    * decimal string — exact in both engines, no log10 on the data
+    * path). Output per digit: `n`, `observed_p`, `expected_p`,
+    * `chi2_contrib` ((n − N·p)²/(N·p)), plus the summary columns
+    * broadcast onto every row: `chi2_stat` (quantized
+    * order-independent sum — bround·1e9 → decimal, the
+    * projectionDriftKs discipline), and `mad` (mean |obs−exp| over
+    * the 9 digits, the Nigrini conformity measure; < 0.006 is
+    * "close conformity", > 0.015 "nonconformity").
+    *
+    * 100 TB: the census is a 9-group hash aggregate with map-side
+    * partials; everything after is a 9-row frame. Digits absent from
+    * the data still appear (zero count) via the literal digit spine —
+    * a missing digit is the loudest Benford signal there is.
+    */
+  def benfordDigits(df: DataFrame, intValue: Column): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .select(intValue.cast("long").as("_v"))
+      .filter(col("_v").isNotNull && col("_v") > 0L)
+      .select(substring(col("_v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val expected = spine.withColumn("expected_p",
+      element_at(array(BenfordP.map(s => lit(s.toDouble)): _*), col("digit")))
+    val census = expected
+      .join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"), col("expected_p"))
+    val tot = census.agg(sum(col("n")).as("_N"))
+    val contrib = census.crossJoin(broadcast(tot))
+      .withColumn("observed_p",
+        when(col("_N") > 0L, col("n").cast("double") / col("_N").cast("double")))
+      .withColumn("chi2_contrib",
+        when(col("_N") > 0L, {
+          val e = col("_N").cast("double") * col("expected_p")
+          (col("n").cast("double") - e) * (col("n").cast("double") - e) / e
+        }))
+    val summary = contrib.agg(
+      (sum(bround(col("chi2_contrib") * lit(1e9)).cast("decimal(38,0)"))
+        .cast("double") / lit(1e9)).as("chi2_stat"),
+      (sum(bround(abs(col("observed_p") - col("expected_p")) * lit(1e15))
+        .cast("decimal(38,0)"))
+        .cast("double") / lit(1e15) / lit(9.0)).as("mad"))
+    contrib
+      .select(col("digit"), col("n"), col("observed_p"), col("expected_p"),
+        col("chi2_contrib"))
+      .crossJoin(broadcast(summary))
+  }
 }

@@ -935,4 +935,179 @@ object StatTests {
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(perAxis))
     out
   }
+
+  /** Kolmogorov distribution survival function Q(λ) = 2·Σ_{k≥1}
+    * (−1)^{k−1}·exp(−2k²λ²), tabulated at λ = 0.30 + i·0.01 for
+    * i = 0..270 as the exact decimal-literal strings BOTH engines
+    * parse (the [[graft.operators.Evaluation.PoissonOneCdf]]
+    * single-source-of-digits discipline): the asymptotic p-value of
+    * the two-sample KS statistic needs exp(), which is NOT
+    * ulp-portable across engines — a literal grid plus one linear
+    * interpolation (a fixed IEEE dag stated identically in Spark and
+    * the oracle SQL) is. Grid step 0.01 bounds the interpolation
+    * error near 2.5e−5 — far inside any decision margin a p-value
+    * feeds; the grid was generated once with a 200-term compensated
+    * (fsum) series, clamped to [0,1].
+    */
+  val KolmogorovQGrid: Seq[String] = Seq(
+    "0.9999906941986654", "0.9999785020570597", "0.9999541201308876",
+    "0.9999086804678158", "0.9998290948601503", "0.9996971473702906",
+    "0.9994887769610757", "0.9991736569658024", "0.9987151458373863",
+    "0.9980706413847182", "0.9971923267772982", "0.9960282580366815",
+    "0.9945237142469575", "0.9926227153740532", "0.9902696081545562",
+    "0.9874106261529367", "0.983995343083883", "0.9799779559351085",
+    "0.9753183536399833", "0.969982945894297", "0.9639452436648751",
+    "0.9571861970810589", "0.9496943073294777", "0.9414655368786882",
+    "0.9325030471043408", "0.922816794589152", "0.912423017528563",
+    "0.9013436422831755", "0.8896056376475567", "0.8772403412558947",
+    "0.8642827790506044", "0.8507709951598499", "0.8367454060556158",
+    "0.8222481896276203", "0.8073227168928092", "0.7920130315089251",
+    "0.7763633800874641", "0.7604177944983465", "0.7442197259033896",
+    "0.7278117291165674", "0.7112351950296892", "0.6945301282244591",
+    "0.6777349664784748", "0.6608864386282611", "0.6440194571446778",
+    "0.6271670417762617", "0.6103602706992852", "0.5936282557581772",
+    "0.5769981385685902", "0.5604951044730809", "0.5441424115741981",
+    "0.5279614323123148", "0.5119717052984971", "0.4961909953505057",
+    "0.48063535990868866", "0.4653192202251585", "0.45025543592243367",
+    "0.4354553817055706", "0.42092902518422476", "0.4066850049180474",
+    "0.3927307079406545", "0.37907234614464197", "0.36571503102351577",
+    "0.352662846366768", "0.3399189185925665", "0.32748548447955916",
+    "0.31536395612605395", "0.3035549830222197", "0.2920585111698588",
+    "0.2808738392255489", "0.26999967167735456", "0.25943416909359746",
+    "0.24917499550506247", "0.23921936300013408", "0.22956407362631887",
+    "0.2202055587019503", "0.2111399156490973", "0.20236294246327216",
+    "0.19387016993785058", "0.18565689176157327", "0.17771819260640118",
+    "0.17004897432066504", "0.1626439803391253", "0.15549781841748672",
+    "0.14860498179427897", "0.14195986887800088", "0.13555680155217864",
+    "0.12939004218561884", "0.1234538094297657", "0.11774229287977166",
+    "0.11224966667072497", "0.10697010207551334", "0.10189777916606356",
+    "0.09702689759522085", "0.09235168655233264", "0.08786641394169108",
+    "0.08356539482936792", "0.07944299920064743", "0.07549365906721044",
+    "0.07171187496044883", "0.06809222184476636", "0.06462935448244651",
+    "0.06131801227961465", "0.05815302364097883", "0.05512930985938036",
+    "0.05224188856470461", "0.049485876755377876", "0.04685649343449063",
+    "0.044349061871523425", "0.04195901150969805", "0.039681879538114355",
+    "0.037513312147054764", "0.03544906548412803", "0.03348500632827307",
+    "0.03161711249804308", "0.029841473010029346", "0.028154288002759514",
+    "0.026551868440904867", "0.02503063561415656", "0.02358712044466908",
+    "0.022217962616525127", "0.020919909540238767", "0.019689815164885417",
+    "0.018524638650023843", "0.017421442909155472", "0.016377393036049223",
+    "0.015389754624844708", "0.014455891994432035", "0.013573266327193904",
+    "0.01273943373178295", "0.011952043239196616", "0.011208834741002822",
+    "0.010507636878161924", "0.00984636488848652", "0.009223018420378749",
+    "0.008635679320087892", "0.008082509399337856",
+    "0.0075617481897870134", "0.007071710690401428",
+    "0.006610785113447644", "0.006177430634444117", "0.005770175151050935",
+    "0.005387613055526676", "0.0050284030250398295",
+    "0.004691265833789842", "0.004374982190571073", "0.004078390605101352",
+    "0.0038003852861358597", "0.003539914074097407",
+    "0.0032959764106755113", "0.003067621347579706",
+    "0.0028539455963768837", "0.0026540916210985497",
+    "0.002467245775071748", "0.0022926364832066798",
+    "0.0021295324707651647", "0.0019772410394365857",
+    "0.001835106391361818", "0.0017025080015708085", "0.00157885903913558",
+    "0.0014636048371873493", "0.0013562214118039814",
+    "0.0012562140296417032", "0.0011631158240628307",
+    "0.001076486459398664", "0.0009959108428835783",
+    "0.0009209978837021604", "0.0008513792985058265",
+    "0.0007867084626782406", "0.0007266593065597689",
+    "0.0006709252557796953", "0.0006192182147907245",
+    "0.000571267592652984", "0.0005268193700739797",
+    "0.00048563520667630156", "0.0004474915874362287",
+    "0.0004121790072129495", "0.00037950119227007944",
+    "0.00034927435767769806", "0.00032132649947428385",
+    "0.0002954967204631142", "0.0002716345885168295",
+    "0.0002495995262663892", "0.00022926023105656365",
+    "0.00021049412405884258", "0.00019318682744419392",
+    "0.0001772316685319751", "0.0001625292098474702",
+    "0.00014898680403854827", "0.00013651817262177635",
+    "0.00012504300754960976", "0.00011448659461295154",
+    "0.00010477945771712402", "9.585702309404538e-05",
+    "8.765930253891902e-05", "8.013059478589699e-05",
+    "7.321920416385014e-05", "6.687717570036446e-05",
+    "6.106004586935535e-05", "5.572660820503812e-05",
+    "5.083869303239775e-05", "4.6360960591592845e-05",
+    "4.226070686088362e-05", "3.850768140955769e-05",
+    "3.507391663892059e-05", "3.1933567795609474e-05",
+    "2.9062763167262682e-05", "2.643946389585219e-05",
+    "2.404333286873792e-05", "2.185561217168994e-05",
+    "1.9859008611702142e-05", "1.8037586840386127e-05",
+    "1.637666963103639e-05", "1.4862744884107476e-05",
+    "1.348337895680141e-05", "1.2227135932742845e-05",
+    "1.1083502467293168e-05", "1.0042817862938677e-05",
+    "9.096209047365309e-06", "8.235530144320985e-06",
+    "7.453306344157342e-06", "6.742681797056346e-06",
+    "6.097371267379712e-06", "5.5116153023536825e-06",
+    "4.980138682419505e-06", "4.498111934064693e-06",
+    "4.061115698807367e-06", "3.6651077642595475e-06",
+    "3.306392574855062e-06", "2.981593050916147e-06",
+    "2.687624555263038e-06", "2.421670856565513e-06",
+    "2.181161948107974e-06", "1.9637535896136362e-06",
+    "1.767308448263132e-06", "1.5898787230698281e-06",
+    "1.4296901443559026e-06", "1.2851272472274098e-06",
+    "1.1547198246931898e-06", "1.0371304724272216e-06",
+    "9.311431431566206e-07", "8.356526342833311e-07",
+    "7.496549376350482e-07", "6.722383852050892e-07",
+    "6.025755293990697e-07", "5.399157006726028e-07",
+    "4.835781895349462e-07", "4.329460037221953e-07",
+    "3.8746015492496615e-07", "3.466144328024234e-07",
+    "3.099506271405799e-07", "2.7705416192983033e-07",
+    "2.475501078572927e-07", "2.2109954224453115e-07",
+    "1.9739622782211928e-07", "1.7616358392921114e-07",
+    "1.5715192576919562e-07", "1.401359492507396e-07",
+    "1.2491244070635492e-07", "1.1129819241640532e-07",
+    "9.912810638344996e-08", "8.825347020763e-08", "7.85403902156885e-08",
+    "6.986836820115313e-08", "6.212900924755241e-08",
+    "5.5224849136560896e-08", "4.906829079430924e-08",
+    "4.358064010730018e-08", "3.869123224946008e-08",
+    "3.433664040870202e-08", "3.045995948942526e-08")
+
+  /** Asymptotic p-value for a scaled KS statistic `z` (= `ks_z` from
+    * [[ksTwoSample]] and friends): P(K > z) under the null, via
+    * linear interpolation on [[KolmogorovQGrid]]. Semantics at the
+    * edges are stated, not accidental: z < 0.30 → 1.0 (the null is
+    * not rejectable that low — true Q(0.30) ≈ 0.99999); z ≥ 3.00 →
+    * the grid-end value ≈ 3.0e−8 (any real decision threshold was
+    * crossed long before); NULL z (degenerate cohort) → NULL p. The
+    * whole dag — (z−0.30)·100, floor, two element_at lookups, one
+    * multiply-add — is bitwise-replayable in the oracle.
+    */
+  def kolmogorovPValue(z: Column): Column = {
+    val arr = array(KolmogorovQGrid.map(s => lit(s.toDouble)): _*)
+    val t = (z - lit(0.30)) * lit(100.0)
+    val i = floor(t)                      // long in Spark, same value as the oracle's FLOOR double
+    val frac = t - i.cast("double")
+    val lo = element_at(arr, (i + lit(1L)).cast("int"))
+    val hi = element_at(arr, (i + lit(2L)).cast("int"))
+    when(z.isNull, lit(null).cast("double"))
+      .when(z < lit(0.30), lit(1.0))
+      .when(t >= lit(270.0), lit(KolmogorovQGrid.last.toDouble))
+      .otherwise(lo + (hi - lo) * frac)
+  }
+
+  /** The oracle-side rendering of [[kolmogorovPValue]] over a column
+    * expression `zExpr`: the SAME literal digits and the SAME
+    * interpolation dag as DuckDB SQL, so engine and oracle cannot
+    * drift by a ulp. Kept next to the grid so the two surfaces share
+    * one source of truth.
+    */
+  def kolmogorovPValueSql(zExpr: String): String = {
+    // `e0` forces DuckDB to parse each literal as DOUBLE: a bare
+    // decimal literal in a list is typed DECIMAL, and the
+    // decimal→double conversion can land one ulp off the correctly
+    // rounded direct parse (observed on the q160 grid).
+    def dbl(s: String) = if (s.contains("e") || s.contains("E")) s else s + "e0"
+    val lst = KolmogorovQGrid.map(dbl).mkString("[", ", ", "]")
+    s"""CASE WHEN ($zExpr) IS NULL THEN NULL
+       |  WHEN ($zExpr) < 0.30 THEN 1.0
+       |  WHEN (($zExpr) - 0.30) * 100.0 >= 270.0 THEN ${dbl(KolmogorovQGrid.last)}
+       |  ELSE list_extract($lst,
+       |      CAST(FLOOR((($zExpr) - 0.30) * 100.0) AS BIGINT) + 1)
+       |    + (list_extract($lst,
+       |        CAST(FLOOR((($zExpr) - 0.30) * 100.0) AS BIGINT) + 2)
+       |      - list_extract($lst,
+       |        CAST(FLOOR((($zExpr) - 0.30) * 100.0) AS BIGINT) + 1))
+       |    * ((($zExpr) - 0.30) * 100.0 - FLOOR((($zExpr) - 0.30) * 100.0))
+       |END""".stripMargin
+  }
 }

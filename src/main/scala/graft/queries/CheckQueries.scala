@@ -1382,7 +1382,63 @@ object CheckQueries {
       |  (CAST(n AS DOUBLE) - expected) / SQRT(expected) AS residual
       |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q161 — Benford first-digit conformance over order totals: the
+  // classic fabrication screen. Prices quantized to integer cents
+  // HALF-EVEN first (bround·100 — both engines then cast the same
+  // integer-valued double; DuckDB's rounding double→bigint cast
+  // never sees a fraction), digit from the BIGINT's decimal string
+  // (no log10 on the data path), expected p from the shared literal
+  // table, chi2/MAD summed order-independently (bround→decimal).
+  // ---------------------------------------------------------------
+  def q161Benford(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Checks.benfordDigits(
+      graft.Tables.orders(spark, d),
+      bround(col("o_totalprice") * lit(100.0)))
+
+  val q161Sql: String = {
+    val bp = graft.operators.Checks.BenfordP.map(_ + "e0")
+      .mkString("[", ", ", "]")
+    s"""WITH v AS (
+       |  SELECT CAST(round_even(o_totalprice * 100.0, 0) AS BIGINT) AS v
+       |  FROM orders
+       |  WHERE round_even(o_totalprice * 100.0, 0) IS NOT NULL),
+       |cnt AS (
+       |  SELECT CAST(SUBSTRING(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM v WHERE v > 0 GROUP BY 1),
+       |spine AS (
+       |  SELECT CAST(d AS INT) AS digit,
+       |    list_extract($bp, CAST(d AS INT)) AS expected_p
+       |  FROM generate_series(1, 9) t(d)),
+       |census AS (
+       |  SELECT s.digit, COALESCE(cnt.n, 0) AS n, s.expected_p
+       |  FROM spine s LEFT JOIN cnt ON cnt.digit = s.digit),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM census),
+       |c AS (
+       |  SELECT census.digit, census.n, census.expected_p,
+       |    CASE WHEN tot.nn > 0 THEN
+       |      CAST(census.n AS DOUBLE) / CAST(tot.nn AS DOUBLE) END AS observed_p,
+       |    CASE WHEN tot.nn > 0 THEN
+       |      (CAST(census.n AS DOUBLE) - CAST(tot.nn AS DOUBLE) * census.expected_p)
+       |      * (CAST(census.n AS DOUBLE) - CAST(tot.nn AS DOUBLE) * census.expected_p)
+       |      / (CAST(tot.nn AS DOUBLE) * census.expected_p) END AS chi2_contrib
+       |  FROM census CROSS JOIN tot),
+       |summ AS (
+       |  SELECT
+       |    CAST(CAST(SUM(CAST(round_even(chi2_contrib * 1000000000.0, 0)
+       |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000.0
+       |      AS chi2_stat,
+       |    CAST(CAST(SUM(CAST(round_even(ABS(observed_p - expected_p) * 1e15, 0)
+       |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1e15 / 9.0 AS mad
+       |  FROM c)
+       |SELECT c.digit, c.n, c.observed_p, c.expected_p, c.chi2_contrib,
+       |  summ.chi2_stat, summ.mad
+       |FROM c CROSS JOIN summ""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_benford" -> (q161Benford _),
     "q145_contingency_chi2" -> (q145Contingency _),
     "q101_key_skew" -> (q101KeySkew _),
     "q107_cms_counts" -> (q107CmsCounts _),
@@ -1421,6 +1477,7 @@ object CheckQueries {
     "q91_group_histogram" -> (q91GroupHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q161_benford" -> q161Sql,
     "q145_contingency_chi2" -> q145Sql,
     "q101_key_skew" -> q101Sql,
     "q107_cms_counts" -> q107Sql,

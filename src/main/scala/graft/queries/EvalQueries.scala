@@ -1144,6 +1144,45 @@ object EvalQueries {
        |  END AS tau_b
        |FROM a JOIN tx ON a.g = tx.g JOIN ty ON a.g = ty.g""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q159 — the q144 KS statistic finished as a DECISION: asymptotic
+  // p-value P(K > ks_z) under the null, via the KolmogorovQGrid
+  // literal-interpolation discipline (exp() is not ulp-portable
+  // across engines; a shared literal grid + one linear-interpolation
+  // IEEE dag is). Closes the "ks_z left unscored" gap: the monitor
+  // can now gate on "p < 0.01", not a raw critical value.
+  // ---------------------------------------------------------------
+  def q159KsPValue(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d)
+    graft.operators.StatTests.ksTwoSample(s, col("logit"), col("is_en"))
+      .withColumn("p_value",
+        graft.operators.StatTests.kolmogorovPValue(col("ks_z")))
+  }
+
+  val q159Sql: String =
+    s"""WITH base AS ($q144Sql)
+       |SELECT n_a, n_b, n_distinct_values, ks_stat, ks_at, ks_z,
+       |  ${graft.operators.StatTests.kolmogorovPValueSql("ks_z")} AS p_value
+       |FROM base""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q160 — per-source KS drift (q147) scored: each source's
+  // divergence from the rest of the corpus as a p-value, so the
+  // drift dashboard ranks sources by evidence strength, not by a raw
+  // D that conflates effect size with sample size. Same grid, same
+  // dag, per group.
+  // ---------------------------------------------------------------
+  def q160GroupKsPValue(spark: SparkSession, d: String): DataFrame =
+    q147GroupKs(spark, d)
+      .withColumn("p_value",
+        graft.operators.StatTests.kolmogorovPValue(col("ks_z")))
+
+  val q160Sql: String =
+    s"""WITH base AS ($q147Sql)
+       |SELECT source, n_group, n_rest, n_distinct_values, ks_stat, ks_at, ks_z,
+       |  ${graft.operators.StatTests.kolmogorovPValueSql("ks_z")} AS p_value
+       |FROM base""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -1167,7 +1206,9 @@ object EvalQueries {
     "q148_group_rank_sum"    -> (q148GroupRankSum _),
     "q151_kendall_tau"       -> (q151KendallTau _),
     "q152_group_spearman"    -> (q152GroupSpearman _),
-    "q156_group_kendall"     -> (q156GroupKendall _))
+    "q156_group_kendall"     -> (q156GroupKendall _),
+    "q159_ks_p_value"        -> (q159KsPValue _),
+    "q160_group_ks_p_value"  -> (q160GroupKsPValue _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -1192,5 +1233,7 @@ object EvalQueries {
     "q148_group_rank_sum"    -> q148Sql,
     "q151_kendall_tau"       -> q151Sql,
     "q152_group_spearman"    -> q152Sql,
-    "q156_group_kendall"     -> q156Sql)
+    "q156_group_kendall"     -> q156Sql,
+    "q159_ks_p_value"        -> q159Sql,
+    "q160_group_ks_p_value"  -> q160Sql)
 }

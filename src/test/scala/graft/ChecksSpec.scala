@@ -460,4 +460,37 @@ class ChecksSpec extends AnyFunSuite {
       .filter(col("dim") === 2L).collect()
     assert(extra.length == 1 && extra.head.isNullAt(1) && extra.head.getLong(2) == 2L)
   }
+
+  // ---------------- benfordDigits ----------------
+
+  test("benfordDigits: geometric data conforms, uniform data does not") {
+    import org.apache.spark.sql.functions._
+    // 2^k mod-spread: a multiplicative process — classic Benford
+    val geo = spark.range(0, 1000)
+      .select(pow(lit(1.3), col("id").cast("double") % 60.0).cast("long").as("v"))
+      .filter(col("v") > 0L)
+    val conform = Checks.benfordDigits(geo, col("v")).head()
+    // uniform ints 10000..99999: every first digit equally likely
+    val uni = spark.range(10000, 100000).select(col("id").as("v"))
+    val flat = Checks.benfordDigits(uni, col("v")).head()
+    assert(conform.getAs[Double]("mad") < flat.getAs[Double]("mad"))
+    assert(flat.getAs[Double]("mad") > 0.015)   // Nigrini nonconformity
+    assert(conform.getAs[Double]("chi2_stat") < flat.getAs[Double]("chi2_stat"))
+  }
+
+  test("benfordDigits: 9-row spine with zero counts; nulls and non-positives excluded") {
+    import org.apache.spark.sql.functions._
+    val df = Seq[Option[Long]](Some(100L), Some(123L), Some(199L), Some(201L),
+      Some(0L), Some(-5L), None).toDF("v")
+    val out = Checks.benfordDigits(df, col("v")).orderBy("digit").collect()
+    assert(out.length == 9)
+    assert(out.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val n = out.map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n")).toMap
+    assert(n(1) == 3L && n(2) == 1L && (3 to 9).forall(n(_) == 0L))
+    // observed_p sums to 1 over the spine
+    val obs = out.map(_.getAs[Double]("observed_p")).sum
+    assert(math.abs(obs - 1.0) < 1e-12)
+    // expected_p matches the shared literal table
+    assert(out.head.getAs[Double]("expected_p") == Checks.BenfordP.head.toDouble)
+  }
 }

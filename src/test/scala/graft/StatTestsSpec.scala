@@ -564,4 +564,34 @@ class StatTestsSpec extends AnyFunSuite {
       .sum.toDouble / 1e15 / k.toDouble
     assert(out.head.getAs[Double]("ks_ensemble_mean") == expMean)
   }
+
+  // ---------------- kolmogorovPValue ----------------
+
+  test("kolmogorovPValue: known critical values, clamps, NULL propagation") {
+    val zs = Seq[java.lang.Double](1.358, 1.628, 0.1, 0.30, 5.0, null, 0.5)
+    val df = zs.zipWithIndex
+      .map { case (z, i) => (i, Option(z).map(_.doubleValue)) }
+      .toDF("i", "z")
+    val got = df
+      .withColumn("p", StatTests.kolmogorovPValue(col("z")))
+      .orderBy("i").collect().map(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    // classic alpha=0.05 / alpha=0.01 critical values of K
+    assert(math.abs(got(0).get - 0.05) < 2e-3)
+    assert(math.abs(got(1).get - 0.01) < 1e-3)
+    assert(got(2).get == 1.0)                 // below-grid clamp
+    // z exactly at the grid start interpolates from the first cell
+    assert(math.abs(got(3).get - StatTests.KolmogorovQGrid.head.toDouble) < 1e-12)
+    assert(got(4).get == StatTests.KolmogorovQGrid.last.toDouble) // above-grid clamp
+    assert(got(5).isEmpty)                    // NULL z -> NULL p
+    // interior sanity: Q(0.5) ~ 0.9639 (Smirnov tables)
+    assert(math.abs(got(6).get - 0.9639) < 1e-3)
+  }
+
+  test("kolmogorovPValue is monotone non-increasing across the grid range") {
+    val df = spark.range(0, 330).select((col("id") * 0.01).as("z"))
+    val ps = df.withColumn("p", StatTests.kolmogorovPValue(col("z")))
+      .orderBy("z").select("p").collect().map(_.getDouble(0))
+    ps.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+    assert(ps.head == 1.0 && ps.last < 1e-7)
+  }
 }
