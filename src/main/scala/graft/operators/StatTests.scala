@@ -1072,18 +1072,50 @@ object StatTests {
     * whole dag — (z−0.30)·100, floor, two element_at lookups, one
     * multiply-add — is bitwise-replayable in the oracle.
     */
-  def kolmogorovPValue(z: Column): Column = {
-    val arr = array(KolmogorovQGrid.map(s => lit(s.toDouble)): _*)
-    val t = (z - lit(0.30)) * lit(100.0)
+  /** Shared literal-grid linear interpolation: value at `x` over a
+    * grid tabulated from `start` in steps of 0.01 — the one IEEE dag
+    * ((x−start)·100, floor, two element_at lookups, one multiply-add)
+    * every tabulated distribution in this file rides, engine-side.
+    * Callers own the edge semantics (below-start / past-end clamps)
+    * with their own when-branches; this evaluates the INTERIOR only.
+    */
+  private def gridInterp(grid: Seq[String], x: Column, start: Double): Column = {
+    val arr = array(grid.map(s => lit(s.toDouble)): _*)
+    val t = (x - lit(start)) * lit(100.0)
     val i = floor(t)                      // long in Spark, same value as the oracle's FLOOR double
     val frac = t - i.cast("double")
     val lo = element_at(arr, (i + lit(1L)).cast("int"))
     val hi = element_at(arr, (i + lit(2L)).cast("int"))
+    lo + (hi - lo) * frac
+  }
+
+  /** `e0` forces DuckDB to parse a literal as DOUBLE: a bare decimal
+    * literal in a list is typed DECIMAL, and the decimal→double
+    * conversion can land one ulp off the correctly rounded direct
+    * parse (observed on the q160 grid). */
+  private def sqlDouble(s: String): String =
+    if (s.contains("e") || s.contains("E")) s else s + "e0"
+
+  /** The oracle-side rendering of [[gridInterp]]: the SAME literal
+    * digits and the SAME interpolation dag as DuckDB SQL, so engine
+    * and oracle cannot drift by a ulp. */
+  private def gridInterpSql(grid: Seq[String], xExpr: String, start: String): String = {
+    val lst = grid.map(sqlDouble).mkString("[", ", ", "]")
+    s"""list_extract($lst,
+       |      CAST(FLOOR((($xExpr) - $start) * 100.0) AS BIGINT) + 1)
+       |    + (list_extract($lst,
+       |        CAST(FLOOR((($xExpr) - $start) * 100.0) AS BIGINT) + 2)
+       |      - list_extract($lst,
+       |        CAST(FLOOR((($xExpr) - $start) * 100.0) AS BIGINT) + 1))
+       |    * ((($xExpr) - $start) * 100.0 - FLOOR((($xExpr) - $start) * 100.0))""".stripMargin
+  }
+
+  def kolmogorovPValue(z: Column): Column =
     when(z.isNull, lit(null).cast("double"))
       .when(z < lit(0.30), lit(1.0))
-      .when(t >= lit(270.0), lit(KolmogorovQGrid.last.toDouble))
-      .otherwise(lo + (hi - lo) * frac)
-  }
+      .when((z - lit(0.30)) * lit(100.0) >= lit(270.0),
+        lit(KolmogorovQGrid.last.toDouble))
+      .otherwise(gridInterp(KolmogorovQGrid, z, 0.30))
 
   /** The oracle-side rendering of [[kolmogorovPValue]] over a column
     * expression `zExpr`: the SAME literal digits and the SAME
@@ -1091,23 +1123,300 @@ object StatTests {
     * drift by a ulp. Kept next to the grid so the two surfaces share
     * one source of truth.
     */
-  def kolmogorovPValueSql(zExpr: String): String = {
-    // `e0` forces DuckDB to parse each literal as DOUBLE: a bare
-    // decimal literal in a list is typed DECIMAL, and the
-    // decimal→double conversion can land one ulp off the correctly
-    // rounded direct parse (observed on the q160 grid).
-    def dbl(s: String) = if (s.contains("e") || s.contains("E")) s else s + "e0"
-    val lst = KolmogorovQGrid.map(dbl).mkString("[", ", ", "]")
+  def kolmogorovPValueSql(zExpr: String): String =
     s"""CASE WHEN ($zExpr) IS NULL THEN NULL
        |  WHEN ($zExpr) < 0.30 THEN 1.0
-       |  WHEN (($zExpr) - 0.30) * 100.0 >= 270.0 THEN ${dbl(KolmogorovQGrid.last)}
-       |  ELSE list_extract($lst,
-       |      CAST(FLOOR((($zExpr) - 0.30) * 100.0) AS BIGINT) + 1)
-       |    + (list_extract($lst,
-       |        CAST(FLOOR((($zExpr) - 0.30) * 100.0) AS BIGINT) + 2)
-       |      - list_extract($lst,
-       |        CAST(FLOOR((($zExpr) - 0.30) * 100.0) AS BIGINT) + 1))
-       |    * ((($zExpr) - 0.30) * 100.0 - FLOOR((($zExpr) - 0.30) * 100.0))
+       |  WHEN (($zExpr) - 0.30) * 100.0 >= 270.0 THEN ${sqlDouble(KolmogorovQGrid.last)}
+       |  ELSE ${gridInterpSql(KolmogorovQGrid, zExpr, "0.30")}
        |END""".stripMargin
+
+  /** Standard-normal SURVIVAL function 1 − Φ(z), tabulated at
+    * z = 0.00 + i·0.01 for i = 0..600 — same single-source-of-digits
+    * rationale as [[KolmogorovQGrid]] (erf is not ulp-portable;
+    * a shared literal grid is). Tabulating the survival function
+    * directly — not Φ — keeps full relative precision in the tail
+    * where 1 − Φ(z) underflows the subtraction (generated once with
+    * erfc(z/√2)/2). Scores EVERY z-statistic the engine emits:
+    * Mann–Whitney rank-sum z, CUSUM-style standardized shifts,
+    * Spearman/Kendall large-sample z.
+    */
+  val NormalSfGrid: Seq[String] = Seq(
+    "0.5", "0.4960106436853684", "0.492021686283098",
+    "0.48803352658588733", "0.48404656314716926", "0.4800611941616275",
+    "0.47607781734589316", "0.47209682981947887", "0.4681186279860126",
+    "0.4641436074148279", "0.460172162722971", "0.4562046874576832",
+    "0.45224157397941617", "0.44828321334543886", "0.44432999519409355",
+    "0.4403823076297575", "0.4364405371085672", "0.4325050683249616",
+    "0.4285762840990993", "0.42465456526520456", "0.420740290560897",
+    "0.4168338365175577", "0.4129355773517854", "0.40904588485799415",
+    "0.4051651283022042", "0.4012936743170763", "0.3974318867982395",
+    "0.3935801268019605", "0.3897387524442028", "0.3859081188011227",
+    "0.3820885778110474", "0.3782804781779807", "0.37448416527668",
+    "0.3706999810593465", "0.36692826396397193", "0.3631693488243809",
+    "0.35942356678200876", "0.3556912451994533", "0.3519727075758372",
+    "0.3482682734640176", "0.3445782583896758", "0.3409029737723226",
+    "0.3372427268482495", "0.3335978205954577", "0.32996855366059363",
+    "0.32635522028792", "0.32275811025034773", "0.3191775087825558",
+    "0.3156136965162226", "0.31206694941739055", "0.3085375387259869",
+    "0.30502573089751944", "0.3015317875469662", "0.29805596539487644",
+    "0.29459851621569805", "0.29115968678834636", "0.28773971884902705",
+    "0.2843388490463241", "0.28095730889856435", "0.27759532475346493",
+    "0.2742531177500736", "0.2709309037830057", "0.26762889346898305",
+    "0.26434729211567753", "0.2610862996928616", "0.2578461108058647",
+    "0.25462691467133614", "0.25142889509531013", "0.24825223045357053",
+    "0.24509709367430946", "0.241963652223073", "0.23885206808998674",
+    "0.23576249777925118", "0.23269509230089744", "0.22964999716479065",
+    "0.2266273523768682", "0.22362729243759943", "0.22064994634264962",
+    "0.21769543758573318", "0.21476388416363712", "0.2118553985833967",
+    "0.2089700878716016", "0.20610805358581305", "0.2032693918280684",
+    "0.20045419326044972", "0.1976625431226924", "0.19489452125180837",
+    "0.1921502021036962", "0.18942965477671214", "0.18673294303717264",
+    "0.1840601253467595", "0.18141125489179724", "0.17878637961437172",
+    "0.17618554224525795", "0.1736087803386246", "0.1710561263084818",
+    "0.16852760746683784", "0.16602324606352964", "0.16354305932769236",
+    "0.16108705951083094", "0.15865525393145707", "0.1562476450212546",
+    "0.15386423037273483", "0.15150500278834372", "0.14916995033098143",
+    "0.14685905637589597", "0.1445722996639096", "0.1423096543559392",
+    "0.14007109008876906", "0.1378565720320355", "0.13566606094638267",
+    "0.13349951324274723", "0.13135688104273072", "0.12923811224001783",
+    "0.12714315056279824", "0.12507193563715024", "0.1230244030513434",
+    "0.12100048442101821", "0.11900010745520073", "0.11702319602310876",
+    "0.1150696702217083", "0.1131394464439773", "0.11123243744783462",
+    "0.10934855242569194", "0.10748769707458694", "0.10564977366685528",
+    "0.10383468112130041", "0.10204231507481915", "0.10027256795444212",
+    "0.09852532904974785", "0.09680048458561034", "0.09509791779523905",
+    "0.0934175089934718", "0.09175913565028083", "0.09012267246445248",
+    "0.08850799143740204", "0.08691496194708502", "0.08534345082196698",
+    "0.08379332241501426", "0.08226443867766894", "0.08075665923377104",
+    "0.07926984145339241", "0.07780384052654642", "0.07635850953673912",
+    "0.07493369953432706", "0.07352925960964835", "0.07214503696589378",
+    "0.07078087699168557", "0.06943662333333175", "0.06811211796672548",
+    "0.06680720126885809", "0.06552171208891651", "0.06425548781893584",
+    "0.06300836446397842", "0.06178017671181189", "0.060570758002059",
+    "0.059379940594793054", "0.05820755563855304", "0.05705343323775424",
+    "0.055917402519469445", "0.054799291699558", "0.053698928148119704",
+    "0.052616138454252045", "0.05155074849008935", "0.0505025834741037",
+    "0.04947146803364811", "0.048457226266722817", "0.04745968180294734",
+    "0.046478657863720074", "0.045513977321549826", "0.044565462758543076",
+    "0.04363293652403192", "0.04271622079132894", "0.04181513761359497",
+    "0.04092950897880738", "0.04005915686381709", "0.039203903287482654",
+    "0.038363570362871253", "0.03753798034851681", "0.03672695569872631",
+    "0.03593031911292581", "0.0351478935840388", "0.03437950244589",
+    "0.03362496941962834", "0.03288411865916388", "0.032156774795613706",
+    "0.031442762980752714", "0.030741908929465964", "0.030054038961199795",
+    "0.029378980040409428", "0.028716559816001797", "0.028066606659772505",
+    "0.027428949703836834", "0.02680341887705497", "0.0261898449404527",
+    "0.025588059521638628", "0.024997895148220435", "0.024419185280222563",
+    "0.023851764341508538", "0.023295467750211837", "0.02275013194817922",
+    "0.022215594429431464", "0.021691693767646788", "0.021178269642672255",
+    "0.020675162866070056", "0.020182215405704414", "0.01969927040937691",
+    "0.0192261722275173", "0.01876276643493776", "0.018308899851658983",
+    "0.017864420562816563", "0.017429177937657102", "0.0170030226476328",
+    "0.01658580668360502", "0.016177383372166093", "0.015777607391090517",
+    "0.015386334783925457", "0.015003422973732205", "0.01462873077598926",
+    "0.014262118410668883", "0.01390344751349861", "0.01355258114641999",
+    "0.013209383807256277", "0.012873721438602026", "0.012545461435946571",
+    "0.012224472655044704", "0.011910625418547064", "0.011603791521903542",
+    "0.011303844238552789", "0.011010658324411393", "0.0107241100216758",
+    "0.010444077061951088", "0.010170438668719688", "0.009903075559164252",
+    "0.009641869945358341", "0.009386705534838575", "0.009137467530572676",
+    "0.00889404263033678", "0.008656319025516558", "0.008424186399345696",
+    "0.008197535924596138", "0.00797626026073373", "0.0077602535505536495",
+    "0.007549411416309206", "0.007343630955348351", "0.007142810735271422",
+    "0.006946850788624317", "0.006755652607140651", "0.006569119135546768",
+    "0.006387154764943176", "0.006209665325776139", "0.006036558080412657",
+    "0.005867741715332567", "0.005703126332950692", "0.005542623443082606",
+    "0.005386145954066688", "0.005233608163555793", "0.005084925748991042",
+    "0.004940015757770648", "0.004798796597126188", "0.004661188023718751",
+    "0.0045271111329673284", "0.0043964883481213135",
+    "0.004269243409089355", "0.004145301361036041", "0.00402458854275831",
+    "0.00390703257485278", "0.003792562347685491", "0.003681108009174983",
+    "0.003572600952399743", "0.003466973803040668",
+    "0.0033641604066691954", "0.0032640958158913114",
+    "0.0031667162773577964", "0.003071959218650494",
+    "0.0029797632350545573", "0.0028900680762261465",
+    "0.002802814632765031", "0.002717944922701258",
+    "0.0026354020779049544", "0.002555130330427932",
+    "0.0024770749987858627", "0.0024011824741892547",
+    "0.0023274002067315545", "0.002255676691542325",
+    "0.002185961454913241", "0.0021182050404046217",
+    "0.0020523589949397536", "0.001988375854894326",
+    "0.0019262091321878595", "0.0018658133003840384",
+    "0.001807143780806431", "0.0017501569286761", "0.001694810019277264",
+    "0.0016410612341569999", "0.0015888696473648695",
+    "0.001538195211738061", "0.0014889987452374662",
+    "0.0014412419173400165", "0.0013948872354922503",
+    "0.0013498980316300957", "0.0013062384487694675",
+    "0.0012638734276722993", "0.0012227686935922595",
+    "0.001182890743104407", "0.001144206831022698", "0.001106684957409247",
+    "0.0010702938546789228", "0.0010350029748028412",
+    "0.0010007824766140113", "0.0009676032132183562", "0.0009354367195141",
+    "0.0009042551998223413", "0.0008740315156315671",
+    "0.0008447391734586283", "0.0008163523128285638",
+    "0.000788845694375574", "0.0007621946880672362",
+    "0.0007363752615539311", "0.0007113639686453651",
+    "0.0006871379379158485", "0.0006636748614399685",
+    "0.0006409529836600562", "0.0006189510903868353",
+    "0.0005976484979344155", "0.0005770250423907673",
+    "0.0005570610690246212", "0.0005377374218296951",
+    "0.0005190354332069723", "0.0005009369137857221",
+    "0.0004834241423837776", "0.00046647985610754917",
+    "0.00045008724059211763", "0.0004342299203816562",
+    "0.00041889194945036984", "0.00040405780186402167",
+    "0.00038971236258203255", "0.0003758409184000837",
+    "0.0003624291490330445", "0.00034946311833797153",
+    "0.0003369292656768815", "0.0003248143974188781",
+    "0.0003131056785812004", "0.00030179062460863735",
+    "0.0002908570932907435", "0.00028029327681617733",
+    "0.00027008769396347486", "0.0002602291824274666",
+    "0.00025070689128053777", "0.000241510273567836",
+    "0.00023262907903552504", "0.00022405334699109308",
+    "0.00021577339929471746", "0.0002077798334806214",
+    "0.00020006351600732056", "0.0001926155756356333",
+    "0.00018542739693327818", "0.00017849061390484737",
+    "0.00017179710374593096", "0.00016533898072011003",
+    "0.000159108590157534", "0.0001530985025737555",
+    "0.00014730150790747266", "0.0001417106098758194",
+    "0.000136319020445802", "0.00013112015442048473",
+    "0.0001261076241384867", "0.00012127523428535801",
+    "0.00011661697681536816", "0.00011212702598224715",
+    "0.00010779973347738823", "0.00010362962367403113",
+    "9.961138897591672e-05", "9.573988526891472e-05",
+    "9.20101274741056e-05", "8.841728520080404e-05",
+    "8.495667849799792e-05", "8.162377370268624e-05",
+    "7.841417938358505e-05", "7.532364237868339e-05",
+    "7.234804392511996e-05", "6.948339587986525e-05",
+    "6.672583702968468e-05", "6.40716294888746e-05",
+    "6.151715518325535e-05", "5.905891241892255e-05",
+    "5.66935125342567e-05", "5.441767663369977e-05",
+    "5.2228232401820196e-05", "5.012211099618836e-05",
+    "4.809634401760275e-05", "4.6148060556208884e-05",
+    "4.427448431207074e-05", "4.2472930788761255e-05",
+    "4.074080455855082e-05", "3.907559659778755e-05",
+    "3.7474881691073525e-05", "3.593631590285384e-05",
+    "3.445763411505314e-05", "3.303664762940245e-05",
+    "3.1671241833119965e-05", "3.035937392661827e-05",
+    "2.9099070711930933e-05", "2.788842644056394e-05",
+    "2.6725600719492107e-05", "2.5608816474041537e-05",
+    "2.4536357966409675e-05", "2.3506568868595562e-05",
+    "2.251785038852544e-05", "2.1568659448180613e-05",
+    "2.0657506912546785e-05", "1.9782955868224065e-05",
+    "1.8943619950553294e-05", "1.8138161718130913e-05",
+    "1.7365291073604076e-05", "1.6623763729652247e-05",
+    "1.59123797190822e-05", "1.5229981947977917e-05",
+    "1.457545479086707e-05", "1.3947722726881248e-05",
+    "1.3345749015906346e-05", "1.2768534413734974e-05",
+    "1.2215115925253059e-05", "1.1684565594707412e-05",
+    "1.117598933212056e-05", "1.068852577493443e-05",
+    "1.0221345183984087e-05", "9.773648372917575e-06",
+    "9.344665670196367e-06", "8.933655912827006e-06",
+    "8.539905470991816e-06", "8.162727302763068e-06",
+    "7.801460038101353e-06", "7.455467091355144e-06",
+    "7.124135801495344e-06", "6.8068765993340456e-06",
+    "6.503122200992803e-06", "6.212326826901516e-06",
+    "5.933965445624682e-06", "5.667533041826754e-06",
+    "5.412543907703858e-06", "5.168530957224143e-06",
+    "4.935045062533279e-06", "4.711654411897247e-06",
+    "4.49794388856791e-06", "4.293514469971871e-06",
+    "4.0979826466363635e-06", "3.91097986028071e-06",
+    "3.7321519605144834e-06", "3.5611586795975568e-06",
+    "3.3976731247300615e-06", "3.2413812873533944e-06",
+    "3.0919815689561772e-06", "2.9491843228915214e-06",
+    "2.8127114117242163e-06", "2.6822957796388553e-06",
+    "2.5576810394515236e-06", "2.4386210737794265e-06",
+    "2.324879649934414e-06", "2.2162300481175476e-06",
+    "2.112454702502846e-06", "2.01334485480934e-06",
+    "1.9187002199708997e-06", "1.8283286635241654e-06",
+    "1.7420458903446622e-06", "1.659675144371462e-06",
+    "1.5810469189705114e-06", "1.505998677596157e-06",
+    "1.4343745844201367e-06", "1.3660252446061406e-06",
+    "1.3008074539172811e-06", "1.2385839573524714e-06",
+    "1.1792232165163983e-06", "1.1225991854361736e-06",
+    "1.068591094545936e-06", "1.0170832425687061e-06",
+    "9.679647960327358e-07", "9.211295961671407e-07",
+    "8.764759729292051e-07", "8.339065659229123e-07",
+    "7.933281519755974e-07", "7.54651479146369e-07",
+    "7.177911069469002e-07", "6.826652525616645e-07",
+    "6.491956428613363e-07", "6.17307372009195e-07",
+    "5.869287644666383e-07", "5.579912432097827e-07",
+    "5.304292029750949e-07", "5.041798883575366e-07",
+    "4.791832765903205e-07", "4.553819648407319e-07",
+    "4.32721061861702e-07", "4.11148083843931e-07",
+    "3.906128543183264e-07", "3.7106740796333366e-07",
+    "3.524658981764252e-07", "3.347645082736184e-07",
+    "3.179213661852819e-07", "3.0189646252084903e-07",
+    "2.866515718791946e-07", "2.7215017728558263e-07",
+    "2.583573976399724e-07", "2.452399180653704e-07",
+    "2.327659230486002e-07", "2.2090503226954393e-07",
+    "2.0962823901836944e-07", "1.989078511037129e-07",
+    "1.887174341580603e-07", "1.790317572498343e-07",
+    "1.6982674071475984e-07", "1.6107940612213792e-07",
+    "1.5276782829456663e-07", "1.4487108930250856e-07",
+    "1.37369234357842e-07", "1.3024322953320162e-07",
+    "1.234749212365168e-07", "1.1704699737263197e-07",
+    "1.1094295012634682e-07", "1.0514704030354067e-07",
+    "9.964426316933493e-08", "9.442031572442989e-08",
+    "8.946156536290777e-08", "8.475501985682846e-08",
+    "8.028829861495894e-08", "7.604960516488726e-08",
+    "7.202770080965975e-08", "6.821187941186212e-08",
+    "6.459194325982505e-08", "6.115817997230601e-08",
+    "5.790134039964602e-08", "5.481261748095644e-08",
+    "5.188362601842433e-08", "4.91063833312855e-08",
+    "4.647329075344128e-08", "4.397711594005888e-08",
+    "4.161097594981976e-08", "3.936832107075916e-08",
+    "3.724291935887128e-08", "3.522884185984314e-08",
+    "3.3320448485428574e-08", "3.151237451708228e-08",
+    "2.9799517710536358e-08", "2.817702597603999e-08",
+    "2.66402856099672e-08", "2.5184910054461153e-08",
+    "2.3806729162700414e-08", "2.2501778948268612e-08",
+    "2.1266291797959174e-08", "2.009668712817647e-08",
+    "1.8989562465887738e-08", "1.794168493584716e-08",
+    "1.6949983136550827e-08", "1.6011539388090975e-08",
+    "1.5123582335761027e-08", "1.4283479893922777e-08",
+    "1.3488732515278421e-08", "1.2736966771299924e-08",
+    "1.2025929230154949e-08", "1.1353480619032212e-08",
+    "1.0717590258310892e-08", "1.0116330755541395e-08",
+    "9.54787294770429e-09", "9.010481080699081e-09",
+    "8.50250821547508e-09", "8.022391850663509e-09",
+    "7.568649751997724e-09", "7.139875979218421e-09",
+    "6.734737101557545e-09", "6.351968593271952e-09",
+    "5.990371401063533e-09", "5.648808675570941e-09",
+    "5.326202659455511e-09", "5.02153172492452e-09",
+    "4.733827553845582e-09", "4.4621724539016125e-09",
+    "4.205696804522029e-09", "3.9635766265976285e-09",
+    "3.735031270249742e-09", "3.519321215174624e-09",
+    "3.315745978326164e-09", "3.123642123930022e-09",
+    "2.942381371044379e-09", "2.771368794094646e-09",
+    "2.6100411120129147e-09", "2.4578650618080318e-09",
+    "2.3143358525785706e-09", "2.1789756961605694e-09",
+    "2.051332410772609e-09", "1.930978094185322e-09",
+    "1.8175078630994357e-09", "1.7105386555670103e-09",
+    "1.6097080934342552e-09", "1.5146734019226618e-09",
+    "1.4251103835965671e-09", "1.3407124440918767e-09",
+    "1.2611896671010989e-09", "1.1862679362257337e-09",
+    "1.1156881014171702e-09", "1.0492051878331574e-09",
+    "9.865876450377012e-10")
+
+  /** Two-sided normal p-value 2·(1 − Φ(|z|)) for a standardized test
+    * statistic, via linear interpolation on [[NormalSfGrid]].
+    * |z| ≥ 6 clamps to 2·(grid end) ≈ 2.0e−9 (stated; any decision
+    * threshold was crossed long before); NULL z → NULL p. The ·2 and
+    * the abs ride the same replayable dag as the interpolation.
+    */
+  def normalPTwoSided(z: Column): Column = {
+    val az = abs(z)
+    when(z.isNull, lit(null).cast("double"))
+      .when(az * lit(100.0) >= lit(600.0),
+        lit(2.0) * lit(NormalSfGrid.last.toDouble))
+      .otherwise(lit(2.0) * gridInterp(NormalSfGrid, az, 0.0))
   }
+
+  /** Oracle-side rendering of [[normalPTwoSided]] — same digits,
+    * same dag, as DuckDB SQL. */
+  def normalPTwoSidedSql(zExpr: String): String =
+    s"""CASE WHEN ($zExpr) IS NULL THEN NULL
+       |  WHEN ABS($zExpr) * 100.0 >= 600.0
+       |    THEN 2.0 * ${sqlDouble(NormalSfGrid.last)}
+       |  ELSE 2.0 * (${gridInterpSql(NormalSfGrid, s"ABS($zExpr)", "0.0")})
+       |END""".stripMargin
 }

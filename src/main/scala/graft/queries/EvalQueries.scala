@@ -1183,6 +1183,40 @@ object EvalQueries {
        |  ${graft.operators.StatTests.kolmogorovPValueSql("ks_z")} AS p_value
        |FROM base""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q162 — the q146 Mann–Whitney z finished as a decision: two-sided
+  // normal p-value via the NormalSfGrid literal-interpolation
+  // discipline (erf is not ulp-portable; the shared survival-function
+  // grid is). With q159 this closes the unscored-statistic class:
+  // every z the engine emits now carries its evidence strength.
+  // ---------------------------------------------------------------
+  def q162RankSumP(spark: SparkSession, d: String): DataFrame =
+    q146RankSum(spark, d)
+      .withColumn("p_two_sided",
+        graft.operators.StatTests.normalPTwoSided(col("z")))
+
+  val q162Sql: String =
+    s"""WITH base AS ($q146Sql)
+       |SELECT n_pos, n_neg, n_distinct_scores, u, tie_term, z,
+       |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
+       |FROM base""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q163 — per-source rank-sum p-values (q148 scored): the per-source
+  // separation dashboard ranks by evidence, not by a raw z that a
+  // small source can never reach.
+  // ---------------------------------------------------------------
+  def q163GroupRankSumP(spark: SparkSession, d: String): DataFrame =
+    q148GroupRankSum(spark, d)
+      .withColumn("p_two_sided",
+        graft.operators.StatTests.normalPTwoSided(col("z")))
+
+  val q163Sql: String =
+    s"""WITH base AS ($q148Sql)
+       |SELECT source, n_pos, n_neg, n_distinct_scores, u, tie_term, z,
+       |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
+       |FROM base""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -1208,7 +1242,9 @@ object EvalQueries {
     "q152_group_spearman"    -> (q152GroupSpearman _),
     "q156_group_kendall"     -> (q156GroupKendall _),
     "q159_ks_p_value"        -> (q159KsPValue _),
-    "q160_group_ks_p_value"  -> (q160GroupKsPValue _))
+    "q160_group_ks_p_value"  -> (q160GroupKsPValue _),
+    "q162_rank_sum_p"        -> (q162RankSumP _),
+    "q163_group_rank_sum_p"  -> (q163GroupRankSumP _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -1235,5 +1271,7 @@ object EvalQueries {
     "q152_group_spearman"    -> q152Sql,
     "q156_group_kendall"     -> q156Sql,
     "q159_ks_p_value"        -> q159Sql,
-    "q160_group_ks_p_value"  -> q160Sql)
+    "q160_group_ks_p_value"  -> q160Sql,
+    "q162_rank_sum_p"        -> q162Sql,
+    "q163_group_rank_sum_p"  -> q163Sql)
 }

@@ -594,4 +594,19 @@ class StatTestsSpec extends AnyFunSuite {
     ps.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
     assert(ps.head == 1.0 && ps.last < 1e-7)
   }
+
+  test("normalPTwoSided: known critical values, symmetry, clamps, NULL") {
+    val zs = Seq[java.lang.Double](1.96, -1.96, 2.5758, 0.0, 7.0, null)
+    val df = zs.zipWithIndex
+      .map { case (z, i) => (i, Option(z).map(_.doubleValue)) }
+      .toDF("i", "z")
+    val got = df.withColumn("p", StatTests.normalPTwoSided(col("z")))
+      .orderBy("i").collect().map(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    assert(math.abs(got(0).get - 0.05) < 1e-3)
+    assert(got(1).get == got(0).get)          // symmetric in z
+    assert(math.abs(got(2).get - 0.01) < 1e-3)
+    assert(got(3).get == 1.0)                 // z = 0: p = 2 * 0.5
+    assert(got(4).get == 2.0 * StatTests.NormalSfGrid.last.toDouble) // clamp
+    assert(got(5).isEmpty)
+  }
 }
