@@ -1283,4 +1283,152 @@ object Profiling {
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(raw, census, full))
     out
   }
+
+  /** EXACT Kendall τ-b over raw values — removes [[kendallTauBanded]]'s
+    * quantization without a global sort or an all-pairs join. The
+    * unordered pairs are partitioned by their (x-cell, y-cell)
+    * relation into three disjoint classes, each counted exactly:
+    *
+    *   A. different x-cell AND different y-cell — cells are
+    *      value-range buckets, so cell order IS value order: the
+    *      banded dominance machinery on the cells×cells census grid
+    *      counts these pairs exactly (suffix sums over a bounded
+    *      grid, nothing data-sized past the cell census);
+    *   B. same x-cell (any y) — an equi-join of the distinct-value
+    *      census with itself on the x-cell, strict x order, y
+    *      compared directly: Σ_c d_c² work, `cells`-way parallel;
+    *   C. same y-cell AND different x-cell — the mirror join on the
+    *      y-cell, strict y order, x decided by cell order.
+    *
+    * Tie terms come from the distinct-value census itself (marginal
+    * Σt(t−1) and joint Σn(n−1)), so every count is exact — the
+    * banded form's within-band blindness is gone. All pair counts
+    * accumulate in DECIMAL(38,0); τ-b is the same guarded IEEE dag
+    * as the banded form.
+    *
+    * 100 TB: one distinct-(x,y) census scan; class A is windowed
+    * over ≤ cells² rows; classes B/C are cell-equi-joins costing
+    * Σ_c d_c² — size `cells` to the census (d²/cells per-axis work;
+    * cells ~ d/1000 keeps it linear-ish). The degenerate single-cell
+    * edge (all values equal) still counts through class B. Output
+    * schema matches [[kendallTauBanded]].
+    */
+  def kendallTauExact(
+      df: DataFrame, x: Column, y: Column, cells: Int = 256): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val raw = df
+      .select(x.cast("double").as("_x"), y.cast("double").as("_y"))
+      .persist()
+    val nn = raw.filter(col("_x").isNotNull && !isnan(col("_x")) &&
+      col("_y").isNotNull && !isnan(col("_y")))
+    val census = nn.groupBy(col("_x"), col("_y"))
+      .agg(count(lit(1)).as("_n"))
+      .persist()
+    val stats = census.agg(
+      min(col("_x")), max(col("_x")), min(col("_y")), max(col("_y")),
+      coalesce(sum(col("_n")), lit(0L))).head()
+    val total = stats.getLong(4)
+    if (total == 0L) {
+      census.unpersist(blocking = false)
+      raw.unpersist(blocking = false)
+      return spark.range(1).select(
+        lit(0L).as("n"),
+        lit(null).cast("double").as("concordant"),
+        lit(null).cast("double").as("discordant"),
+        lit(null).cast("double").as("tie_x2"),
+        lit(null).cast("double").as("tie_y2"),
+        lit(null).cast("double").as("tie_xy2"),
+        lit(null).cast("double").as("tau_b"))
+    }
+    val (mnX, mxX) = (stats.getDouble(0), stats.getDouble(1))
+    val (mnY, mxY) = (stats.getDouble(2), stats.getDouble(3))
+    def cellOf(c: Column, mn: Double, mx: Double): Column =
+      if (mx == mn) lit(0L)
+      else least(lit(cells - 1L), floor((c - lit(mn)) / lit((mx - mn) / cells)))
+    val cen = census
+      .withColumn("_cx", cellOf(col("_x"), mnX, mxX))
+      .withColumn("_cy", cellOf(col("_y"), mnY, mxY))
+      .persist()
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val one = lit(1L).cast("decimal(38,0)")
+
+    // ---- class A: cross-cell dominance on the cell grid ----------
+    val cellCensus = cen.groupBy(col("_cx"), col("_cy")).agg(sum(col("_n")).as("_n"))
+    val grid = spark.range(0, cells).select(col("id").as("_cx"))
+      .crossJoin(broadcast(spark.range(0, cells).select(col("id").as("_cy"))))
+    val full = grid.join(cellCensus, Seq("_cx", "_cy"), "left")
+      .select(col("_cx"), col("_cy"), coalesce(col("_n"), lit(0L)).as("_n"))
+    val wCol = W.partitionBy(col("_cx")).orderBy(col("_cy"))
+    val s1 = full
+      .withColumn("_sAbove",
+        coalesce(sum(col("_n")).over(wCol.rowsBetween(1, W.unboundedFollowing)), lit(0L)))
+      .withColumn("_sBelow",
+        coalesce(sum(col("_n")).over(wCol.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val wRow = W.partitionBy(col("_cy")).orderBy(col("_cx"))
+      .rowsBetween(1, W.unboundedFollowing)
+    val domA = s1
+      .withColumn("_g", coalesce(sum(col("_sAbove")).over(wRow), lit(0L)))
+      .withColumn("_l", coalesce(sum(col("_sBelow")).over(wRow), lit(0L)))
+      .agg(
+        sum(dec(col("_n")) * dec(col("_g"))).cast("decimal(38,0)").as("_cA"),
+        sum(dec(col("_n")) * dec(col("_l"))).cast("decimal(38,0)").as("_dA"))
+
+    // ---- class B: same x-cell, strict x ---------------------------
+    val l = cen.select(col("_cx").as("_kcx"), col("_cy").as("_kcy"),
+      col("_x").as("_x1"), col("_y").as("_y1"), col("_n").as("_n1"))
+    val r = cen.select(col("_cx").as("_rcx"), col("_cy").as("_rcy"),
+      col("_x").as("_x2"), col("_y").as("_y2"), col("_n").as("_n2"))
+    val pairB = l.join(r, col("_kcx") === col("_rcx") && col("_x1") < col("_x2"))
+    val aggB = pairB.agg(
+      coalesce(sum(when(col("_y2") > col("_y1"), dec(col("_n1")) * dec(col("_n2")))),
+        lit(0L).cast("decimal(38,0)")).cast("decimal(38,0)").as("_cB"),
+      coalesce(sum(when(col("_y2") < col("_y1"), dec(col("_n1")) * dec(col("_n2")))),
+        lit(0L).cast("decimal(38,0)")).cast("decimal(38,0)").as("_dB"))
+
+    // ---- class C: same y-cell, different x-cell, strict y ---------
+    val pairC = l.join(r, col("_kcy") === col("_rcy") &&
+      col("_y1") < col("_y2") && col("_kcx") =!= col("_rcx"))
+    val aggC = pairC.agg(
+      coalesce(sum(when(col("_rcx") > col("_kcx"), dec(col("_n1")) * dec(col("_n2")))),
+        lit(0L).cast("decimal(38,0)")).cast("decimal(38,0)").as("_cC"),
+      coalesce(sum(when(col("_rcx") < col("_kcx"), dec(col("_n1")) * dec(col("_n2")))),
+        lit(0L).cast("decimal(38,0)")).cast("decimal(38,0)").as("_dC"))
+
+    // ---- exact tie terms from the distinct-value census -----------
+    def margTie2(key: String): DataFrame = {
+      val t = census.groupBy(col(key)).agg(sum(col("_n")).as("_t"))
+      t.agg(coalesce(sum(dec(col("_t")) * (dec(col("_t")) - one)),
+        lit(0L).cast("decimal(38,0)")).cast("decimal(38,0)").as(s"_t$key"))
+    }
+    val jointTie = census.agg(
+      coalesce(sum(dec(col("_n")) * (dec(col("_n")) - one)),
+        lit(0L).cast("decimal(38,0)")).cast("decimal(38,0)").as("_txy2"))
+
+    val joined = domA
+      .crossJoin(broadcast(aggB)).crossJoin(broadcast(aggC))
+      .crossJoin(broadcast(margTie2("_x"))).crossJoin(broadcast(margTie2("_y")))
+      .crossJoin(broadcast(jointTie))
+      .select(
+        lit(total).as("n"),
+        (col("_cA") + col("_cB") + col("_cC")).cast("decimal(38,0)").as("_c"),
+        (col("_dA") + col("_dB") + col("_dC")).cast("decimal(38,0)").as("_d"),
+        col("_t_x").as("_tx2"), col("_t_y").as("_ty2"), col("_txy2"))
+    val dn = col("n").cast("double")
+    val dx = (dn * (dn - lit(1.0)) - col("_tx2").cast("double")) / lit(2.0)
+    val dy = (dn * (dn - lit(1.0)) - col("_ty2").cast("double")) / lit(2.0)
+    val out = joined.select(
+      col("n"),
+      col("_c").cast("double").as("concordant"),
+      col("_d").cast("double").as("discordant"),
+      col("_tx2").cast("double").as("tie_x2"),
+      col("_ty2").cast("double").as("tie_y2"),
+      col("_txy2").cast("double").as("tie_xy2"),
+      when(dx > lit(0.0) && dy > lit(0.0),
+        (col("_c").cast("double") - col("_d").cast("double")) / sqrt(dx * dy))
+        .as("tau_b"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(raw, census, cen))
+    out
+  }
 }

@@ -1217,6 +1217,69 @@ object EvalQueries {
        |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
        |FROM base""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q164 — EXACT Kendall tau-b of the quality logit vs document
+  // length, on a deterministic 5% md5 doc sample: q151's banded
+  // approximation replaced by the exact cell-partitioned pair count
+  // (cross-cell dominance + within-cell equi-join refinements). The
+  // sample keeps the oracle's O(d^2) census pair join replayable in
+  // DuckDB; the operator itself is full-corpus-capable (cells knob)
+  // and spec-pinned against brute force at several cell counts.
+  // ---------------------------------------------------------------
+  def q164ExactKendall(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .filter(graft.operators.Sampling.hashScore(col("doc_id")) < lit(0.05))
+      .withColumn("doc_len", col("n_chars"))
+    val s = graft.operators.TextAnalysis.linearQualityScore(
+      docs, "doc_id", "text",
+      bias = -2.0, wStopword = 8.0, wPunct = -4.0,
+      wMeanWordLen = 0.25, wKChars = 0.5,
+      carry = Seq("doc_len"))
+    graft.operators.Profiling.kendallTauExact(
+      s, col("logit"), col("doc_len"), cells = 64)
+  }
+
+  val q164Sql: String = {
+    val sample =
+      "CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0 < 0.05"
+    s"""WITH q AS (${ExtensionQueries.q112Sql}),
+       |s AS (SELECT q.logit AS x, CAST(d.n_chars AS DOUBLE) AS y
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id
+       |  WHERE $sample
+       |    AND q.logit IS NOT NULL AND NOT isnan(q.logit)
+       |    AND d.n_chars IS NOT NULL),
+       |c AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY x, y),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+       |p AS (
+       |  SELECT
+       |    COALESCE(CAST(SUM(CASE WHEN a.x < b.x AND a.y < b.y
+       |      THEN CAST(a.n AS DECIMAL(38,0)) * b.n END) AS DECIMAL(38,0)), 0) AS c,
+       |    COALESCE(CAST(SUM(CASE WHEN a.x < b.x AND a.y > b.y
+       |      THEN CAST(a.n AS DECIMAL(38,0)) * b.n END) AS DECIMAL(38,0)), 0) AS d
+       |  FROM c a JOIN c b
+       |    ON (a.x < b.x) OR (a.x = b.x AND a.y < b.y)),
+       |tx AS (SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS DECIMAL(38,0)) AS v
+       |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY x) m),
+       |ty AS (SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS DECIMAL(38,0)) AS v
+       |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY y) m),
+       |txy AS (SELECT CAST(SUM(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS DECIMAL(38,0)) AS v FROM c)
+       |SELECT t.nn AS n,
+       |  CAST(p.c AS DOUBLE) AS concordant, CAST(p.d AS DOUBLE) AS discordant,
+       |  CAST(tx.v AS DOUBLE) AS tie_x2, CAST(ty.v AS DOUBLE) AS tie_y2,
+       |  CAST(txy.v AS DOUBLE) AS tie_xy2,
+       |  CASE WHEN (CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0)
+       |        - CAST(tx.v AS DOUBLE)) / 2.0 > 0.0
+       |    AND (CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0)
+       |        - CAST(ty.v AS DOUBLE)) / 2.0 > 0.0
+       |  THEN (CAST(p.c AS DOUBLE) - CAST(p.d AS DOUBLE))
+       |    / SQRT(((CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0)
+       |        - CAST(tx.v AS DOUBLE)) / 2.0)
+       |      * ((CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0)
+       |        - CAST(ty.v AS DOUBLE)) / 2.0))
+       |  END AS tau_b
+       |FROM t CROSS JOIN p CROSS JOIN tx CROSS JOIN ty CROSS JOIN txy""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -1244,7 +1307,8 @@ object EvalQueries {
     "q159_ks_p_value"        -> (q159KsPValue _),
     "q160_group_ks_p_value"  -> (q160GroupKsPValue _),
     "q162_rank_sum_p"        -> (q162RankSumP _),
-    "q163_group_rank_sum_p"  -> (q163GroupRankSumP _))
+    "q163_group_rank_sum_p"  -> (q163GroupRankSumP _),
+    "q164_exact_kendall"     -> (q164ExactKendall _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -1273,5 +1337,6 @@ object EvalQueries {
     "q159_ks_p_value"        -> q159Sql,
     "q160_group_ks_p_value"  -> q160Sql,
     "q162_rank_sum_p"        -> q162Sql,
-    "q163_group_rank_sum_p"  -> q163Sql)
+    "q163_group_rank_sum_p"  -> q163Sql,
+    "q164_exact_kendall"     -> q164Sql)
 }

@@ -694,4 +694,70 @@ class ProfilingSpec extends AnyFunSuite {
     assert(a.getAs[Double]("tau_b") == b.getAs[Double]("tau_b"))
     assert(a.getAs[Double]("concordant") == b.getAs[Double]("concordant"))
   }
+
+  // ---------------- kendallTauExact ----------------
+
+  private def bruteKendall(pts: Seq[(Double, Double)]): (Long, Long, Long, Long, Long) = {
+    var c = 0L; var d = 0L
+    for (i <- pts.indices; j <- (i + 1) until pts.size) {
+      val s = (pts(j)._1 - pts(i)._1) * (pts(j)._2 - pts(i)._2)
+      if (pts(i)._1 != pts(j)._1 && pts(i)._2 != pts(j)._2) {
+        if (s > 0) c += 1 else d += 1
+      }
+    }
+    def tie2(vs: Seq[Double]): Long =
+      vs.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1)).sum
+    val txy2 = pts.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1)).sum
+    (c, d, tie2(pts.map(_._1)), tie2(pts.map(_._2)), txy2)
+  }
+
+  test("kendallTauExact matches the brute-force pair count, any cell count") {
+    // deterministic mixed data: correlation + heavy ties on both axes
+    val pts = (0 until 120).map { i =>
+      val x = (i * 7 % 23).toDouble
+      val y = (i * 7 % 23 + i % 5 - (i * 3 % 7)).toDouble
+      (x, y)
+    }
+    val (c, d, tx2, ty2, txy2) = bruteKendall(pts)
+    val n = pts.size.toLong
+    val df = pts.toDF("x", "y")
+    for (cells <- Seq(1, 3, 16, 256)) {
+      val r = Profiling.kendallTauExact(df, col("x"), col("y"), cells).head()
+      assert(r.getAs[Long]("n") == n, s"cells=$cells")
+      assert(r.getAs[Double]("concordant") == c.toDouble, s"cells=$cells")
+      assert(r.getAs[Double]("discordant") == d.toDouble, s"cells=$cells")
+      assert(r.getAs[Double]("tie_x2") == tx2.toDouble)
+      assert(r.getAs[Double]("tie_y2") == ty2.toDouble)
+      assert(r.getAs[Double]("tie_xy2") == txy2.toDouble)
+      // pair identity: 2C + 2D + tx2 + ty2 - txy2 = n(n-1)
+      assert(2 * c + 2 * d + tx2 + ty2 - txy2 == n * (n - 1))
+      val dx = (n.toDouble * (n - 1).toDouble - tx2.toDouble) / 2.0
+      val dy = (n.toDouble * (n - 1).toDouble - ty2.toDouble) / 2.0
+      assert(r.getAs[Double]("tau_b") == (c.toDouble - d.toDouble) / math.sqrt(dx * dy))
+    }
+  }
+
+  test("kendallTauExact: monotone data gives tau_b = 1; constant column gives NULL; empty gives 0-row shape") {
+    val mono = (1 to 50).map(i => (i.toDouble, i.toDouble * 2 + 1)).toDF("x", "y")
+    val rm = Profiling.kendallTauExact(mono, col("x"), col("y")).head()
+    assert(rm.getAs[Double]("tau_b") == 1.0)
+    val const = (1 to 50).map(i => (i.toDouble, 7.0)).toDF("x", "y")
+    val rc = Profiling.kendallTauExact(const, col("x"), col("y")).head()
+    assert(rc.isNullAt(rc.fieldIndex("tau_b")))   // no y order to correlate
+    val empty = Seq.empty[(Double, Double)].toDF("x", "y")
+    val re = Profiling.kendallTauExact(empty, col("x"), col("y")).head()
+    assert(re.getAs[Long]("n") == 0L && re.isNullAt(re.fieldIndex("tau_b")))
+  }
+
+  test("kendallTauExact sees within-band inversions the banded form misses") {
+    // all points inside ONE band of a coarse grid: banded tau sees ties
+    // only; exact tau resolves the inversion structure
+    val pts = Seq((0.10, 0.19), (0.11, 0.17), (0.12, 0.15), (0.13, 0.13))
+    val df = pts.toDF("x", "y")
+    val banded = Profiling.kendallTauBanded(df, col("x"), col("y"),
+      loX = 0.0, hiX = 1.0, binsX = 2, loY = 0.0, hiY = 1.0, binsY = 2).head()
+    val exact = Profiling.kendallTauExact(df, col("x"), col("y")).head()
+    assert(banded.isNullAt(banded.fieldIndex("tau_b"))) // everything one band: all tied
+    assert(exact.getAs[Double]("tau_b") == -1.0)        // perfectly inverted
+  }
 }
