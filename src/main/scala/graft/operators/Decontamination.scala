@@ -148,4 +148,56 @@ object Decontamination {
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(benchSet))
     out
   }
+
+  /** SEMANTIC contamination report — the embedding-space complement
+    * of the n-gram [[contaminationReport]]: paraphrased or lightly
+    * rewritten benchmark items share no shingles but sit next to the
+    * benchmark in embedding space. A corpus item is flagged when ANY
+    * benchmark embedding's cosine reaches `threshold`; the report
+    * carries the best match and its cosine for audit.
+    *
+    * Shape: benchmark broadcast (an eval set is config-sized by
+    * construction), corpus scans once, cosine scored map-side with
+    * hoisted norms (the annJoinBrute discipline), and the THRESHOLD
+    * FILTER RUNS MAP-SIDE BEFORE ANY SHUFFLE — only flagged
+    * (corpus, bench) candidate pairs reach the per-corpus-id argmax
+    * window, so the shuffle is contamination-sized, not
+    * |corpus|×|bench|-sized. Ties on cosine break to the smallest
+    * benchmark id (deterministic audit row).
+    */
+  def semanticContaminationReport(
+      corpus: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = broadcast(
+      bench.select(col(idCol).as("bench_id"), col(vecCol).as("_bv"),
+        graft.functions.DqFunctions.l2Norm(col(vecCol)).as("_bn")))
+    val scored = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"),
+        graft.functions.DqFunctions.l2Norm(col(vecCol)).as("_cn"))
+      .crossJoin(b)
+      .select(col("corpus_id"), col("bench_id"),
+        when(col("_cn") > 0 && col("_bn") > 0,
+          graft.functions.DqFunctions.dotProduct(col("_cv"), col("_bv"))
+            / (col("_cn") * col("_bn")))
+          .otherwise(lit(null).cast("double")).as("cosine"))
+      .filter(col("cosine") >= lit(threshold))
+    val w = Window.partitionBy("corpus_id")
+      .orderBy(col("cosine").desc, col("bench_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("corpus_id").as(idCol), col("bench_id"), col("cosine"))
+  }
+
+  /** Drop semantically contaminated items (anti-join against the
+    * report) — composes with the n-gram stage in a curation funnel:
+    * run the exact shingle pass first, this pass on what survives.
+    */
+  def decontaminateSemantic(
+      corpus: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    corpus.join(
+      semanticContaminationReport(corpus, bench, idCol, vecCol, threshold)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

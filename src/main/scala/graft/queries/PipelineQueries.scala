@@ -721,8 +721,46 @@ object PipelineQueries {
       |  CAST(sum(CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT) AS w_sum
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q165 — SEMANTIC decontamination report: corpus vectors whose best
+  // cosine against the benchmark split (vec_id % 20 = 0, the q44
+  // convention) reaches 0.35 — the embedding-space complement of
+  // q42's n-gram screen (paraphrases share no shingles). Threshold
+  // filter is map-side BEFORE any shuffle; the argmax window sees
+  // only contaminated candidates.
+  // ---------------------------------------------------------------
+  private val SemThreshold = 0.35
+
+  def q165SemanticDecontam(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    graft.operators.Decontamination.semanticContaminationReport(
+      corpus = emb.filter(col("vec_id") % QueryMod =!= 0),
+      bench = emb.filter(col("vec_id") % QueryMod === 0),
+      idCol = "vec_id", vecCol = "embedding", threshold = SemThreshold)
+  }
+
+  val q165Sql: String = {
+    def dot(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    s"""WITH b AS (SELECT vec_id AS bench_id, embedding AS bv
+       |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id % $QueryMod <> 0),
+       |s AS (SELECT corpus_id, bench_id,
+       |    ${dot("cv", "bv")} /
+       |    (sqrt(${dot("cv", "cv")}) * sqrt(${dot("bv", "bv")})) AS cosine
+       |  FROM c, b),
+       |f AS (SELECT * FROM s WHERE cosine >= $SemThreshold)
+       |SELECT corpus_id AS vec_id, bench_id, cosine FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY corpus_id ORDER BY cosine DESC, bench_id) AS rn
+       |  FROM f) WHERE rn = 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_incremental_totals" -> (q105IncrementalTotals _),
+    "q165_semantic_decontam" -> (q165SemanticDecontam _),
     "q67_bloom_decontam" -> (q67BloomDecontam _),
     "q42_decontamination" -> (q42Decontamination _),
     "q43_pii_redaction" -> (q43PiiRedaction _),
@@ -742,6 +780,7 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q105_incremental_totals" -> q105Sql,
+    "q165_semantic_decontam" -> q165Sql,
     "q67_bloom_decontam" -> q67Sql,
     "q42_decontamination" -> q42Sql,
     "q43_pii_redaction" -> q43Sql,

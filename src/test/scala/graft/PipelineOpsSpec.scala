@@ -485,4 +485,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("collide"))
   }
+
+  // ---------------- semantic decontamination ----------------
+
+  test("semanticContaminationReport flags the planted paraphrase, keeps the orthogonal doc") {
+    import org.apache.spark.sql.functions._
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f))).toDF("id", "vec")
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.1f, 0.0f)),   // near bench 100 (paraphrase analog)
+      (2L, Array(0.0f, 0.0f, 1.0f)),    // orthogonal to the benchmark
+      (3L, Array(0.7f, 0.7f, 0.0f))     // between both; best match is min id 100
+    ).toDF("id", "vec")
+    val rep = graft.operators.Decontamination.semanticContaminationReport(
+      corpus, bench, "id", "vec", threshold = 0.9).collect()
+    assert(rep.map(_.getLong(0)).toSet == Set(1L))
+    assert(rep.head.getAs[Long]("bench_id") == 100L)
+    assert(rep.head.getAs[Double]("cosine") > 0.9)
+    // tie-ish case at a looser threshold: doc 3 matches both equally,
+    // report must pick the smaller bench id deterministically
+    val rep2 = graft.operators.Decontamination.semanticContaminationReport(
+      corpus, bench, "id", "vec", threshold = 0.5).collect()
+    val d3 = rep2.find(_.getLong(0) == 3L).get
+    assert(d3.getAs[Long]("bench_id") == 100L)
+    val kept = graft.operators.Decontamination.decontaminateSemantic(
+      corpus, bench, "id", "vec", threshold = 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
 }
