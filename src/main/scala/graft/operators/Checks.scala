@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Limits
 
 /** Declarative data-quality checks — the Deequ-shaped layer the
   * reference's domain implies (SURVEY.md §7.1): completeness,
@@ -987,13 +988,35 @@ object Checks {
     * the data still appear (zero count) via the literal digit spine —
     * a missing digit is the loudest Benford signal there is.
     */
+  /** First significant digit of an exact positive integer value as a
+    * column (NULL for NULL/non-positive input) — the map-side half of
+    * [[benfordDigits]], exposed so a STREAMING census can key the
+    * incremental partials log by digit and score batches later with
+    * [[benfordFromCounts]].
+    */
+  def benfordFirstDigit(intValue: Column): Column = {
+    val v = intValue.cast("long")
+    when(v.isNotNull && v > 0L,
+      substring(v.cast("string"), 1, 1).cast("int"))
+  }
+
   def benfordDigits(df: DataFrame, intValue: Column): DataFrame = {
-    val spark = df.sparkSession
     val counts = df
-      .select(intValue.cast("long").as("_v"))
-      .filter(col("_v").isNotNull && col("_v") > 0L)
-      .select(substring(col("_v").cast("string"), 1, 1).cast("int").as("digit"))
+      .select(benfordFirstDigit(intValue).as("digit"))
+      .filter(col("digit").isNotNull)
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    benfordFromCounts(counts)
+  }
+
+  /** Score a (digit, n) census — the reduce half of [[benfordDigits]],
+    * shared by the batch form and the streaming partials-log form
+    * (digit counts are trivially mergeable: integer addition). Digits
+    * absent from `counts` still report (zero count) via the literal
+    * spine; the arithmetic dag is IDENTICAL to the batch form's, so
+    * a streamed census scores bit-identically to one batch pass.
+    */
+  def benfordFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
     val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"))
     val expected = spine.withColumn("expected_p",
       element_at(array(BenfordP.map(s => lit(s.toDouble)): _*), col("digit")))
@@ -1019,5 +1042,59 @@ object Checks {
       .select(col("digit"), col("n"), col("observed_p"), col("expected_p"),
         col("chi2_contrib"))
       .crossJoin(broadcast(summary))
+  }
+
+  /** Per-group Benford conformance — [[benfordDigits]] keyed by a
+    * group column, so a fabrication signal localizes to the source /
+    * segment that produced it instead of diluting into the corpus
+    * census. One (group, digit) hash census; every group gets the
+    * full 9-digit spine (groups × 9 rows — group cardinality times a
+    * constant); per-group chi2/MAD with the same order-independent
+    * quantized sums. NULL-group rows are excluded; groups whose rows
+    * were all filtered (NULL / non-positive values) are absent.
+    */
+  def benfordDigitsBy(
+      df: DataFrame, group: Column, intValue: Column,
+      broadcastRowLimit: Long = Limits.BroadcastRowLimit): DataFrame = {
+    val counts = df
+      .select(group.as("_g"), benfordFirstDigit(intValue).as("digit"))
+      .filter(col("_g").isNotNull && col("digit").isNotNull)
+      .groupBy(col("_g"), col("digit")).agg(count(lit(1)).as("n"))
+      .persist()
+    val spark = df.sparkSession
+    val ng = counts.agg(countDistinct(col("_g"))).head().getLong(0)
+    def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastRowLimit) broadcast(f) else f
+    val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+      .withColumn("expected_p",
+        element_at(array(BenfordP.map(s => lit(s.toDouble)): _*), col("digit")))
+    val census = counts.select(col("_g")).distinct()
+      .crossJoin(broadcast(spine))
+      .join(counts, Seq("_g", "digit"), "left")
+      .select(col("_g"), col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("expected_p"))
+    val tot = census.groupBy(col("_g").as("_gt")).agg(sum(col("n")).as("_N"))
+    val contrib = census
+      .join(bcIfSmall(tot, ng), col("_g") === col("_gt")).drop("_gt")
+      .withColumn("observed_p",
+        when(col("_N") > 0L, col("n").cast("double") / col("_N").cast("double")))
+      .withColumn("chi2_contrib",
+        when(col("_N") > 0L, {
+          val e = col("_N").cast("double") * col("expected_p")
+          (col("n").cast("double") - e) * (col("n").cast("double") - e) / e
+        }))
+    val summary = contrib.groupBy(col("_g").as("_gs")).agg(
+      (sum(bround(col("chi2_contrib") * lit(1e9)).cast("decimal(38,0)"))
+        .cast("double") / lit(1e9)).as("chi2_stat"),
+      (sum(bround(abs(col("observed_p") - col("expected_p")) * lit(1e15))
+        .cast("decimal(38,0)"))
+        .cast("double") / lit(1e15) / lit(9.0)).as("mad"))
+    val out = contrib
+      .join(bcIfSmall(summary, ng), col("_g") === col("_gs")).drop("_gs")
+      .select(col("_g").as("group_key"), col("digit"), col("n"),
+        col("observed_p"), col("expected_p"), col("chi2_contrib"),
+        col("chi2_stat"), col("mad"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(counts))
+    out
   }
 }

@@ -1437,8 +1437,66 @@ object CheckQueries {
        |FROM c CROSS JOIN summ""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q166 — per-event-type Benford conformance over event values
+  // (quantized to cents, the q161 convention): the fabrication
+  // screen localized to the stream that produced it — one synthetic
+  // or truncated-range event type shows nonconformity the corpus
+  // census dilutes away. Group × 9-digit spine, per-group chi2/MAD.
+  // ---------------------------------------------------------------
+  def q166GroupBenford(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Checks.benfordDigitsBy(
+      graft.Tables.events(spark, d),
+      col("event_type"),
+      bround(col("value") * lit(100.0)))
+      .withColumnRenamed("group_key", "event_type")
+
+  val q166Sql: String = {
+    val bp = graft.operators.Checks.BenfordP.map(_ + "e0")
+      .mkString("[", ", ", "]")
+    s"""WITH v AS (
+       |  SELECT event_type AS g,
+       |    CAST(round_even(value * 100.0, 0) AS BIGINT) AS v
+       |  FROM events WHERE event_type IS NOT NULL),
+       |cnt AS (
+       |  SELECT g, CAST(SUBSTRING(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM v WHERE v IS NOT NULL AND v > 0 GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT CAST(d AS INT) AS digit,
+       |    list_extract($bp, CAST(d AS INT)) AS expected_p
+       |  FROM generate_series(1, 9) t(d)),
+       |census AS (
+       |  SELECT gg.g, s.digit, COALESCE(cnt.n, 0) AS n, s.expected_p
+       |  FROM (SELECT DISTINCT g FROM cnt) gg
+       |  CROSS JOIN spine s
+       |  LEFT JOIN cnt ON cnt.g = gg.g AND cnt.digit = s.digit),
+       |tot AS (SELECT g, CAST(SUM(n) AS BIGINT) AS nn FROM census GROUP BY g),
+       |c AS (
+       |  SELECT census.g, census.digit, census.n, census.expected_p,
+       |    CASE WHEN tot.nn > 0 THEN
+       |      CAST(census.n AS DOUBLE) / CAST(tot.nn AS DOUBLE) END AS observed_p,
+       |    CASE WHEN tot.nn > 0 THEN
+       |      (CAST(census.n AS DOUBLE) - CAST(tot.nn AS DOUBLE) * census.expected_p)
+       |      * (CAST(census.n AS DOUBLE) - CAST(tot.nn AS DOUBLE) * census.expected_p)
+       |      / (CAST(tot.nn AS DOUBLE) * census.expected_p) END AS chi2_contrib
+       |  FROM census JOIN tot ON census.g = tot.g),
+       |summ AS (
+       |  SELECT g,
+       |    CAST(CAST(SUM(CAST(round_even(chi2_contrib * 1000000000.0, 0)
+       |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000.0
+       |      AS chi2_stat,
+       |    CAST(CAST(SUM(CAST(round_even(ABS(observed_p - expected_p) * 1e15, 0)
+       |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1e15 / 9.0 AS mad
+       |  FROM c GROUP BY g)
+       |SELECT c.g AS event_type, c.digit, c.n, c.observed_p, c.expected_p,
+       |  c.chi2_contrib, summ.chi2_stat, summ.mad
+       |FROM c JOIN summ ON c.g = summ.g""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_benford" -> (q161Benford _),
+    "q166_group_benford" -> (q166GroupBenford _),
     "q145_contingency_chi2" -> (q145Contingency _),
     "q101_key_skew" -> (q101KeySkew _),
     "q107_cms_counts" -> (q107CmsCounts _),
@@ -1478,6 +1536,7 @@ object CheckQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q161_benford" -> q161Sql,
+    "q166_group_benford" -> q166Sql,
     "q145_contingency_chi2" -> q145Sql,
     "q101_key_skew" -> q101Sql,
     "q107_cms_counts" -> q107Sql,

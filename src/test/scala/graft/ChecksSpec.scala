@@ -493,4 +493,27 @@ class ChecksSpec extends AnyFunSuite {
     // expected_p matches the shared literal table
     assert(out.head.getAs[Double]("expected_p") == Checks.BenfordP.head.toDouble)
   }
+
+  test("benfordDigitsBy: grouped equals solo per group; NULL groups excluded") {
+    import org.apache.spark.sql.functions._
+    val geo = (0 until 400).map(i => ("geo", math.pow(1.3, (i % 60).toDouble).toLong))
+    val uni = (10000 until 10300).map(i => ("uni", i.toLong))
+    val nul = Seq((null.asInstanceOf[String], 123L))
+    val df = (geo ++ uni ++ nul).toDF("g", "v").filter(col("v") > 0L)
+    val grouped = Checks.benfordDigitsBy(df, col("g"), col("v"))
+      .collect().groupBy(_.getAs[String]("group_key"))
+    assert(grouped.keySet == Set("geo", "uni"))
+    for (g <- Seq("geo", "uni")) {
+      val solo = Checks.benfordDigits(df.filter(col("g") === g), col("v"))
+        .orderBy("digit").collect()
+      val grp = grouped(g).sortBy(_.getAs[Int]("digit"))
+        .map(r => (r.getAs[Int]("digit"), r.getAs[Long]("n"),
+          r.getAs[Double]("observed_p"), r.getAs[Double]("chi2_contrib"),
+          r.getAs[Double]("chi2_stat"), r.getAs[Double]("mad")))
+      val sol = solo.map(r => (r.getAs[Int]("digit"), r.getAs[Long]("n"),
+        r.getAs[Double]("observed_p"), r.getAs[Double]("chi2_contrib"),
+        r.getAs[Double]("chi2_stat"), r.getAs[Double]("mad")))
+      assert(grp.toSeq == sol.toSeq, s"group $g")
+    }
+  }
 }

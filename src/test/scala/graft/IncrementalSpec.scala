@@ -152,4 +152,39 @@ class IncrementalSpec extends AnyFunSuite {
     assert(peak.length == 1)
     assert(peak.head.getAs[Long]("bucket_start_us") == streamed.keys.toSeq.sorted.apply(2))
   }
+
+  test("streaming Benford: digit-keyed partials log scores identically to one batch pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIncremental
+    import graft.operators.Checks
+    implicit val sqlCtx = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_benford").toString
+    val (log, ckpt) = (s"$scratch/digits", s"$scratch/ckpt")
+
+    // amounts spread over two "ingest batches"; includes non-positive
+    // and fractional-cents rows the digit extraction must fence
+    val batch1 = Seq(123.45, 190.0, 250.10, 0.0, -7.0).map(v => (ts("2024-01-01 05:00:00"), v))
+    val batch2 = Seq(310.99, 1999.0, 12.34, 84.50).map(v => (ts("2024-01-02 05:00:00"), v))
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val digitKey = Checks.benfordFirstDigit(bround($"v" * 100.0))
+    val sq = StreamingIncremental.partialsSink(
+      stream.toDF().toDF("t", "v"), digitKey, $"t", lit(1L), 86400L, log, ckpt)
+    stream.addData(batch1); sq.processAllAvailable()
+    stream.addData(batch2); sq.processAllAvailable()
+    sq.stop()
+
+    val streamed = Checks.benfordFromCounts(
+        StreamingIncremental.readTotals(spark, log)
+          .filter(col("key").isNotNull)
+          .select(col("key").cast("int").as("digit"), col("n")))
+      .orderBy("digit").collect()
+    val batch = Checks.benfordDigits(
+        (batch1 ++ batch2).map(_._2).map(Tuple1(_)).toDF("v"),
+        bround($"v" * 100.0))
+      .orderBy("digit").collect()
+    assert(streamed.length == 9 && batch.length == 9)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+    // the two excluded rows (0.0, -7.0) counted nowhere
+    assert(streamed.map(_.getAs[Long]("n")).sum == 7L)
+  }
 }
