@@ -1280,6 +1280,44 @@ object EvalQueries {
        |FROM t CROSS JOIN p CROSS JOIN tx CROSS JOIN ty CROSS JOIN txy""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q167 — the q139 Spearman rho finished as a decision: large-sample
+  // z = rho*sqrt(n-1) and its two-sided normal p-value via the shared
+  // NormalSfGrid dag — with q159/q162 this makes every correlation /
+  // separation statistic in the engine evidence-scored.
+  // ---------------------------------------------------------------
+  private def spearmanScored(base: DataFrame): DataFrame = {
+    val z = col("spearman_rho") * sqrt(col("n").cast("double") - lit(1.0))
+    base.withColumn("z", z)
+      .withColumn("p_two_sided",
+        graft.operators.StatTests.normalPTwoSided(col("z")))
+  }
+
+  private def spearmanScoredSql(cols: String): String =
+    s"""SELECT $cols, z,
+       |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
+       |FROM (SELECT *,
+       |  spearman_rho * sqrt(CAST(n AS DOUBLE) - 1.0) AS z
+       |  FROM base) t""".stripMargin
+
+  def q167SpearmanP(spark: SparkSession, d: String): DataFrame =
+    spearmanScored(q139LengthCorrelation(spark, d))
+
+  val q167Sql: String =
+    s"""WITH base AS ($q139Sql)
+       |${spearmanScoredSql("n, spearman_rho")}""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q168 — per-source Spearman scored (q152 + z/p): the per-source
+  // correlation dashboard ranked by evidence strength.
+  // ---------------------------------------------------------------
+  def q168GroupSpearmanP(spark: SparkSession, d: String): DataFrame =
+    spearmanScored(q152GroupSpearman(spark, d))
+
+  val q168Sql: String =
+    s"""WITH base AS ($q152Sql)
+       |${spearmanScoredSql("source, n, spearman_rho")}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -1308,7 +1346,9 @@ object EvalQueries {
     "q160_group_ks_p_value"  -> (q160GroupKsPValue _),
     "q162_rank_sum_p"        -> (q162RankSumP _),
     "q163_group_rank_sum_p"  -> (q163GroupRankSumP _),
-    "q164_exact_kendall"     -> (q164ExactKendall _))
+    "q164_exact_kendall"     -> (q164ExactKendall _),
+    "q167_spearman_p"        -> (q167SpearmanP _),
+    "q168_group_spearman_p"  -> (q168GroupSpearmanP _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -1338,5 +1378,7 @@ object EvalQueries {
     "q160_group_ks_p_value"  -> q160Sql,
     "q162_rank_sum_p"        -> q162Sql,
     "q163_group_rank_sum_p"  -> q163Sql,
-    "q164_exact_kendall"     -> q164Sql)
+    "q164_exact_kendall"     -> q164Sql,
+    "q167_spearman_p"        -> q167Sql,
+    "q168_group_spearman_p"  -> q168Sql)
 }

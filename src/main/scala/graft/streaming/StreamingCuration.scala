@@ -81,4 +81,48 @@ object StreamingCuration {
         TimeMode.ProcessingTime(), OutputMode.Append())
       .toDF(idCol, textCol)
   }
+
+  /** Streaming semantic decontamination screen — the standing-query
+    * form of [[graft.operators.Decontamination.decontaminateSemantic]]:
+    * each arriving embedding row is scored against the WHOLE benchmark
+    * in-expression (the annJoinIvf literal-centroid discipline — the
+    * benchmark is an eval set, config-sized by construction, collected
+    * once under an explicit guard and unrolled into literal arrays
+    * with hoisted norms), so the screen is STATELESS: works in any
+    * output mode, no stream-static join support matrix to negotiate,
+    * no state store. Output = input columns + `max_bench_cosine` +
+    * `is_contaminated`; the caller filters or routes on the flag.
+    *
+    * Batch/stream parity is spec-pinned: the admitted set equals the
+    * batch anti-join's on the same rows (same cosine dag — hoisted
+    * norms, one dot per pair).
+    */
+  def semanticScreen(
+      stream: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxBenchRows: Int = 65536): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rows = bench.select(col(vecCol)).collect()
+    require(rows.length <= maxBenchRows,
+      s"benchmark has ${rows.length} rows > $maxBenchRows — a set that " +
+        "size is not literal-unrollable; route it through the batch " +
+        "decontaminateSemantic pass instead")
+    val vecs = rows.map(_.getSeq[Float](0).toArray).filter(_ != null)
+    if (vecs.isEmpty)
+      return stream
+        .withColumn("max_bench_cosine", lit(null).cast("double"))
+        .withColumn("is_contaminated", lit(false))
+    val cn = graft.functions.DqFunctions.l2Norm(col(vecCol))
+    val cosines = vecs.map { v =>
+      val norm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      val bl = array(v.map(x => lit(x.toFloat)).toIndexedSeq: _*)
+      when(cn > 0 && lit(norm) > 0,
+        graft.functions.DqFunctions.dotProduct(col(vecCol), bl)
+          / (cn * lit(norm)))
+    }
+    val maxCos = greatest(cosines.toIndexedSeq: _*)
+    stream
+      .withColumn("max_bench_cosine", maxCos)
+      .withColumn("is_contaminated",
+        coalesce(col("max_bench_cosine") >= lit(threshold), lit(false)))
+  }
 }

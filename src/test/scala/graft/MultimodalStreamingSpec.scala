@@ -971,4 +971,37 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(maintained == scratch,
       "maintained decision table must equal the from-scratch run")
   }
+
+  test("streaming semantic screen admits exactly what the batch anti-join admits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f))).toDF("id", "vec")
+    val rows = Seq(
+      (1L, Array(0.99f, 0.1f, 0.0f)),   // contaminated (near bench 100)
+      (2L, Array(0.0f, 0.0f, 1.0f)),    // orthogonal — admitted
+      (3L, Array(0.5f, 0.5f, 0.7f)),    // mid-similarity — admitted at 0.9
+      (4L, Array(0.0f, 0.0f, 0.0f)))    // zero norm — NULL cosine, admitted
+    val stream = MemoryStream[(Long, Array[Float])]
+    val screened = graft.streaming.StreamingCuration.semanticScreen(
+      stream.toDF().toDF("id", "vec"), bench, "id", "vec", threshold = 0.9)
+    val sink = screened.writeStream.format("memory").queryName("sem_screen")
+      .outputMode("append").start()
+    stream.addData(rows.take(2)); sink.processAllAvailable()
+    stream.addData(rows.drop(2)); sink.processAllAvailable()
+    sink.stop()
+    val out = spark.table("sem_screen").collect()
+    assert(out.length == 4)
+    val admitted = out.filter(!_.getAs[Boolean]("is_contaminated"))
+      .map(_.getAs[Long]("id")).toSet
+    val batchAdmitted = graft.operators.Decontamination.decontaminateSemantic(
+        rows.toDF("id", "vec"), bench, "id", "vec", threshold = 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(admitted == batchAdmitted && admitted == Set(2L, 3L, 4L))
+    // the flagged row carries its audit cosine; zero-norm row carries NULL
+    assert(out.find(_.getAs[Long]("id") == 1L).get.getAs[Double]("max_bench_cosine") > 0.9)
+    assert(out.find(_.getAs[Long]("id") == 4L).get.isNullAt(2))
+  }
 }
