@@ -936,6 +936,109 @@ object StatTests {
     out
   }
 
+  /** Two-sample mean-difference z test on an EXACT integer-valued
+    * column — the parametric leg of the two-cohort drift triptych
+    * (KS = whole distribution, rank-sum = ordinal separation, this =
+    * location shift in the metric's own units). The caller quantizes
+    * (`bround(x·100)` for cents — the [[graft.operators.Checks.benfordDigits]]
+    * convention) so Σx and Σx² accumulate in DECIMAL(38,0):
+    * order-independent, engine-portable, exact to ~10³⁸. Means,
+    * sample variances (n−1), the pooled-standard-error z
+    * (m_a − m_b)/√(s²_a/n_a + s²_b/n_b) and its two-sided normal
+    * p-value ([[normalPTwoSided]]) are one IEEE dag stated
+    * identically in the oracle. Degenerate shapes are NULL, not a
+    * crash: cohorts under 2 rows have no sample variance; a zero
+    * standard error (both cohorts constant) has no z — the when-guard
+    * short-circuits ANSI division.
+    *
+    * 100 TB: ONE hash aggregate over the scan (map-side partials),
+    * everything after is a 1-row frame.
+    */
+  def meanDiffZ(df: DataFrame, intValue: Column, inA: Column): DataFrame = {
+    val nn = df
+      .filter(inA.isNotNull)
+      .select(intValue.cast("long").as("_v"),
+        when(inA.cast("boolean"), 1L).otherwise(0L).as("_a"))
+      .filter(col("_v").isNotNull)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def side(flag: Column, suffix: String) = Seq(
+      sum(flag).as(s"n_$suffix"),
+      sum(when(flag === 1L, dec(col("_v"))).otherwise(dec(lit(0L))))
+        .cast("decimal(38,0)").as(s"_s$suffix"),
+      sum(when(flag === 1L, dec(col("_v")) * dec(col("_v")))
+        .otherwise(dec(lit(0L))))
+        .cast("decimal(38,0)").as(s"_q$suffix"))
+    val aggd = nn.agg(
+      (side(col("_a"), "a") ++ side(lit(1L) - col("_a"), "b")).head,
+      (side(col("_a"), "a") ++ side(lit(1L) - col("_a"), "b")).tail: _*)
+      .select(
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("_sa"), dec(lit(0L))).as("_sa"),
+        coalesce(col("_qa"), dec(lit(0L))).as("_qa"),
+        coalesce(col("_sb"), dec(lit(0L))).as("_sb"),
+        coalesce(col("_qb"), dec(lit(0L))).as("_qb"))
+    meanDiffFinish(aggd)
+  }
+
+  /** The shared finishing dag of [[meanDiffZ]] / [[meanDiffZBy]]:
+    * (n, Σv, Σv²) per cohort → means, sample variances, z, p;
+    * `carry` columns (the group key) pass through untouched. */
+  private def meanDiffFinish(aggd: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    def mean(n: Column, s: Column) =
+      when(n > 0L, s.cast("double") / n.cast("double"))
+    def variance(n: Column, s: Column, q: Column) =
+      when(n > 1L,
+        (q.cast("double") - (s.cast("double") * s.cast("double"))
+          / n.cast("double")) / (n.cast("double") - lit(1.0)))
+    val withStats = aggd
+      .withColumn("mean_a", mean(col("n_a"), col("_sa")))
+      .withColumn("mean_b", mean(col("n_b"), col("_sb")))
+      .withColumn("var_a", variance(col("n_a"), col("_sa"), col("_qa")))
+      .withColumn("var_b", variance(col("n_b"), col("_sb"), col("_qb")))
+    val se2 = col("var_a") / col("n_a").cast("double") +
+      col("var_b") / col("n_b").cast("double")
+    withStats
+      .withColumn("mean_diff", col("mean_a") - col("mean_b"))
+      .withColumn("z",
+        when(col("var_a").isNotNull && col("var_b").isNotNull && se2 > lit(0.0),
+          (col("mean_a") - col("mean_b")) / sqrt(se2)))
+      .withColumn("p_two_sided", normalPTwoSided(col("z")))
+      .select(carry.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("var_a"), col("var_b"),
+        col("mean_diff"), col("z"), col("p_two_sided")): _*)
+  }
+
+  /** Per-group [[meanDiffZ]] — each group's cohort-A-vs-B location
+    * shift from ONE (group)-keyed aggregate; group-scale output. */
+  def meanDiffZBy(
+      df: DataFrame, group: Column, intValue: Column, inA: Column): DataFrame = {
+    val nn = df
+      .filter(inA.isNotNull && group.isNotNull)
+      .select(group.as("_g"), intValue.cast("long").as("_v"),
+        when(inA.cast("boolean"), 1L).otherwise(0L).as("_a"))
+      .filter(col("_v").isNotNull)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def side(flag: Column, suffix: String) = Seq(
+      sum(flag).as(s"n_$suffix"),
+      sum(when(flag === 1L, dec(col("_v"))).otherwise(dec(lit(0L))))
+        .cast("decimal(38,0)").as(s"_s$suffix"),
+      sum(when(flag === 1L, dec(col("_v")) * dec(col("_v")))
+        .otherwise(dec(lit(0L))))
+        .cast("decimal(38,0)").as(s"_q$suffix"))
+    val exprs = side(col("_a"), "a") ++ side(lit(1L) - col("_a"), "b")
+    val aggd = nn.groupBy(col("_g").as("group_key"))
+      .agg(exprs.head, exprs.tail: _*)
+      .select(col("group_key"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("_sa"), dec(lit(0L))).as("_sa"),
+        coalesce(col("_qa"), dec(lit(0L))).as("_qa"),
+        coalesce(col("_sb"), dec(lit(0L))).as("_sb"),
+        coalesce(col("_qb"), dec(lit(0L))).as("_qb"))
+    meanDiffFinish(aggd, carry = Seq("group_key"))
+  }
+
   /** Kolmogorov distribution survival function Q(λ) = 2·Σ_{k≥1}
     * (−1)^{k−1}·exp(−2k²λ²), tabulated at λ = 0.30 + i·0.01 for
     * i = 0..270 as the exact decimal-literal strings BOTH engines

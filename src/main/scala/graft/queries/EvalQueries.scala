@@ -1318,6 +1318,82 @@ object EvalQueries {
     s"""WITH base AS ($q152Sql)
        |${spearmanScoredSql("source, n, spearman_rho")}""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q169 — two-sample mean-difference z of the quality logit
+  // (quantized to micro-units, exact decimal moments) between the
+  // English and non-English cohorts: the parametric location leg of
+  // the drift triptych (q144 KS = distribution, q146 rank-sum =
+  // ordinal, this = mean shift in the metric's units), p-scored via
+  // the shared normal grid.
+  // ---------------------------------------------------------------
+  def q169MeanDiffZ(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d).filter(!isnan(col("logit")))
+    graft.operators.StatTests.meanDiffZ(
+      s, bround(col("logit") * lit(1000000.0)), col("is_en"))
+  }
+
+  private def meanDiffAggSql(src: String, groupSel: String, groupBy: String): String =
+    s"""v AS (SELECT $groupSel
+       |    CAST(round_even(logit * 1000000.0, 0) AS BIGINT) AS v,
+       |    CASE WHEN is_en THEN 1 ELSE 0 END AS a
+       |  FROM $src WHERE is_en IS NOT NULL AND NOT isnan(logit)),
+       |ag AS (SELECT $groupBy
+       |    CAST(SUM(a) AS BIGINT) AS n_a,
+       |    CAST(SUM(1 - a) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN a = 1 THEN CAST(v AS DECIMAL(38,0))
+       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS sa,
+       |    CAST(SUM(CASE WHEN a = 1 THEN CAST(v AS DECIMAL(38,0)) * v
+       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS qa,
+       |    CAST(SUM(CASE WHEN a = 0 THEN CAST(v AS DECIMAL(38,0))
+       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS sb,
+       |    CAST(SUM(CASE WHEN a = 0 THEN CAST(v AS DECIMAL(38,0)) * v
+       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS qb
+       |  FROM v $$groupBy2),
+       |f AS (SELECT *,
+       |    CASE WHEN n_a > 0 THEN CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) END AS mean_a,
+       |    CASE WHEN n_b > 0 THEN CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) END AS mean_b,
+       |    CASE WHEN n_a > 1 THEN
+       |      (CAST(qa AS DOUBLE) - (CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+       |        / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) END AS var_a,
+       |    CASE WHEN n_b > 1 THEN
+       |      (CAST(qb AS DOUBLE) - (CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+       |        / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) END AS var_b
+       |  FROM ag),
+       |g AS (SELECT *,
+       |    mean_a - mean_b AS mean_diff,
+       |    CASE WHEN var_a IS NOT NULL AND var_b IS NOT NULL
+       |      AND (var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)) > 0.0
+       |    THEN (mean_a - mean_b)
+       |      / SQRT(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
+       |    END AS z
+       |  FROM f)""".stripMargin
+      .replace("$groupBy2", if (groupBy.isEmpty) "" else "GROUP BY g")
+
+  val q169Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |${meanDiffAggSql("s", "", "")}
+       |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b, mean_diff, z,
+       |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
+       |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q170 — per-source mean-difference z (q169 keyed by source): one
+  // grouped aggregate, group-scale output, same finishing dag.
+  // ---------------------------------------------------------------
+  def q170GroupMeanDiffZ(spark: SparkSession, d: String): DataFrame = {
+    val s = scored(spark, d).filter(!isnan(col("logit")))
+    graft.operators.StatTests.meanDiffZBy(
+      s, col("source"), bround(col("logit") * lit(1000000.0)), col("is_en"))
+      .withColumnRenamed("group_key", "source")
+  }
+
+  val q170Sql: String =
+    s"""WITH s AS ($scoredSql),
+       |${meanDiffAggSql("s", "source AS g,", "g,")}
+       |SELECT g AS source, n_a, n_b, mean_a, mean_b, var_a, var_b, mean_diff, z,
+       |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
+       |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -1348,7 +1424,9 @@ object EvalQueries {
     "q163_group_rank_sum_p"  -> (q163GroupRankSumP _),
     "q164_exact_kendall"     -> (q164ExactKendall _),
     "q167_spearman_p"        -> (q167SpearmanP _),
-    "q168_group_spearman_p"  -> (q168GroupSpearmanP _))
+    "q168_group_spearman_p"  -> (q168GroupSpearmanP _),
+    "q169_mean_diff_z"       -> (q169MeanDiffZ _),
+    "q170_group_mean_diff_z" -> (q170GroupMeanDiffZ _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -1380,5 +1458,7 @@ object EvalQueries {
     "q163_group_rank_sum_p"  -> q163Sql,
     "q164_exact_kendall"     -> q164Sql,
     "q167_spearman_p"        -> q167Sql,
-    "q168_group_spearman_p"  -> q168Sql)
+    "q168_group_spearman_p"  -> q168Sql,
+    "q169_mean_diff_z"       -> q169Sql,
+    "q170_group_mean_diff_z" -> q170Sql)
 }

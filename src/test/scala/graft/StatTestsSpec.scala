@@ -609,4 +609,55 @@ class StatTestsSpec extends AnyFunSuite {
     assert(got(4).get == 2.0 * StatTests.NormalSfGrid.last.toDouble) // clamp
     assert(got(5).isEmpty)
   }
+
+  // ---------------- meanDiffZ ----------------
+
+  test("meanDiffZ matches the hand-computed moments dag; fences for degenerate cohorts") {
+    // A = {10, 12, 14}, B = {20, 24}
+    val df = Seq((10L, true), (12L, true), (14L, true),
+      (20L, false), (24L, false)).toDF("v", "a")
+    val r = StatTests.meanDiffZ(df, col("v"), col("a")).head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    val meanA = 36.0 / 3.0; val meanB = 44.0 / 2.0
+    val varA = (440.0 - 36.0 * 36.0 / 3.0) / 2.0   // sample variance
+    val varB = (976.0 - 44.0 * 44.0 / 2.0) / 1.0
+    assert(r.getAs[Double]("mean_a") == meanA && r.getAs[Double]("mean_b") == meanB)
+    assert(r.getAs[Double]("var_a") == varA && r.getAs[Double]("var_b") == varB)
+    val z = (meanA - meanB) / math.sqrt(varA / 3.0 + varB / 2.0)
+    assert(r.getAs[Double]("z") == z)
+    assert(r.getAs[Double]("p_two_sided") > 0 && r.getAs[Double]("p_two_sided") < 1)
+    // single-row cohort: no sample variance, z NULL (not a crash)
+    val tiny = Seq((10L, true), (20L, false), (21L, false)).toDF("v", "a")
+    val rt = StatTests.meanDiffZ(tiny, col("v"), col("a")).head()
+    assert(rt.isNullAt(rt.fieldIndex("var_a")) && rt.isNullAt(rt.fieldIndex("z")))
+    // both cohorts constant: zero standard error, z NULL
+    val const = Seq((5L, true), (5L, true), (9L, false), (9L, false)).toDF("v", "a")
+    val rc = StatTests.meanDiffZ(const, col("v"), col("a")).head()
+    assert(rc.getAs[Double]("var_a") == 0.0 && rc.isNullAt(rc.fieldIndex("z")))
+    // empty cohort: means report, z NULL
+    val solo = Seq((5L, true), (6L, true)).toDF("v", "a")
+    val rs = StatTests.meanDiffZ(solo, col("v"), col("a")).head()
+    assert(rs.getAs[Long]("n_b") == 0L && rs.isNullAt(rs.fieldIndex("z")))
+  }
+
+  test("meanDiffZBy: grouped equals solo per group; NULL group/cohort excluded") {
+    val df = Seq(
+      ("g1", 10L, Some(true)), ("g1", 12L, Some(true)), ("g1", 20L, Some(false)),
+      ("g1", 22L, Some(false)),
+      ("g2", 5L, Some(true)), ("g2", 9L, Some(true)), ("g2", 5L, Some(false)),
+      ("g2", 1L, Some(false)),
+      (null.asInstanceOf[String], 99L, Some(true)), ("g1", 7L, None))
+      .toDF("g", "v", "a")
+    val grouped = StatTests.meanDiffZBy(df, col("g"), col("v"), col("a"))
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    assert(grouped.keySet == Set("g1", "g2"))
+    for (g <- Seq("g1", "g2")) {
+      val solo = StatTests.meanDiffZ(df.filter(col("g") === g), col("v"), col("a")).head()
+      val gr = grouped(g)
+      for (f <- Seq("n_a", "n_b"))
+        assert(gr.getAs[Long](f) == solo.getAs[Long](f), s"$g.$f")
+      for (f <- Seq("mean_a", "mean_b", "var_a", "var_b", "mean_diff", "z", "p_two_sided"))
+        assert(gr.getAs[Double](f) == solo.getAs[Double](f), s"$g.$f")
+    }
+  }
 }
