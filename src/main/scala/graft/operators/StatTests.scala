@@ -1039,6 +1039,76 @@ object StatTests {
     meanDiffFinish(aggd, carry = Seq("group_key"))
   }
 
+  /** Two-sample proportion z test — "did the success rate move
+    * between cohorts?" as a decision. For a 2×2 table z² equals the
+    * chi-square statistic, so via [[normalPTwoSided]] this also
+    * closes the df=1 chi-square p-value gap (higher-df chi-square
+    * stays unscored: its p needs a gamma surface per df, stated as an
+    * engine trade-off). Counts are exact Longs; the pooled rate
+    * p̂ = (s_a+s_b)/(n_a+n_b), the z
+    * (p_a − p_b)/√(p̂(1−p̂)(1/n_a+1/n_b)) and its p are one stated
+    * IEEE dag. Degenerate shapes → NULL z: an empty cohort, or a
+    * pooled rate of exactly 0 or 1 (no variance to test against).
+    * NULL cohort rows are excluded; NULL success flags count as
+    * failures only when stated — here they are EXCLUDED (an unknown
+    * outcome is not a failure).
+    *
+    * 100 TB: one hash aggregate with map-side partials; 1-row output.
+    */
+  def proportionZ(df: DataFrame, success: Column, inA: Column): DataFrame = {
+    val nn = df
+      .filter(inA.isNotNull && success.isNotNull)
+      .select(when(inA.cast("boolean"), 1L).otherwise(0L).as("_a"),
+        when(success.cast("boolean"), 1L).otherwise(0L).as("_s"))
+    val aggd = nn.agg(
+      coalesce(sum(col("_a")), lit(0L)).as("n_a"),
+      coalesce(sum(lit(1L) - col("_a")), lit(0L)).as("n_b"),
+      coalesce(sum(col("_a") * col("_s")), lit(0L)).as("s_a"),
+      coalesce(sum((lit(1L) - col("_a")) * col("_s")), lit(0L)).as("s_b"))
+    proportionFinish(aggd)
+  }
+
+  /** Shared finishing dag of [[proportionZ]] / [[proportionZBy]]. */
+  private def proportionFinish(aggd: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val withRates = aggd
+      .withColumn("rate_a",
+        when(col("n_a") > 0L, col("s_a").cast("double") / na))
+      .withColumn("rate_b",
+        when(col("n_b") > 0L, col("s_b").cast("double") / nb))
+      .withColumn("_pool",
+        when(col("n_a") + col("n_b") > 0L,
+          (col("s_a") + col("s_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double")))
+    val se2 = col("_pool") * (lit(1.0) - col("_pool")) * (lit(1.0) / na + lit(1.0) / nb)
+    withRates
+      .withColumn("rate_diff", col("rate_a") - col("rate_b"))
+      .withColumn("z",
+        when(col("n_a") > 0L && col("n_b") > 0L && se2 > lit(0.0),
+          (col("rate_a") - col("rate_b")) / sqrt(se2)))
+      .withColumn("p_two_sided", normalPTwoSided(col("z")))
+      .select(carry.map(col) ++ Seq(col("n_a"), col("n_b"), col("s_a"),
+        col("s_b"), col("rate_a"), col("rate_b"), col("rate_diff"),
+        col("z"), col("p_two_sided")): _*)
+  }
+
+  /** Per-group [[proportionZ]] — one grouped aggregate, group-scale
+    * output: which segment's rate moved, with evidence. */
+  def proportionZBy(
+      df: DataFrame, group: Column, success: Column, inA: Column): DataFrame = {
+    val nn = df
+      .filter(inA.isNotNull && success.isNotNull && group.isNotNull)
+      .select(group.as("_g"),
+        when(inA.cast("boolean"), 1L).otherwise(0L).as("_a"),
+        when(success.cast("boolean"), 1L).otherwise(0L).as("_s"))
+    val aggd = nn.groupBy(col("_g").as("group_key")).agg(
+      coalesce(sum(col("_a")), lit(0L)).as("n_a"),
+      coalesce(sum(lit(1L) - col("_a")), lit(0L)).as("n_b"),
+      coalesce(sum(col("_a") * col("_s")), lit(0L)).as("s_a"),
+      coalesce(sum((lit(1L) - col("_a")) * col("_s")), lit(0L)).as("s_b"))
+    proportionFinish(aggd, carry = Seq("group_key"))
+  }
+
   /** Kolmogorov distribution survival function Q(λ) = 2·Σ_{k≥1}
     * (−1)^{k−1}·exp(−2k²λ²), tabulated at λ = 0.30 + i·0.01 for
     * i = 0..270 as the exact decimal-literal strings BOTH engines

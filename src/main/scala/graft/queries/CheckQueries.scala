@@ -1494,8 +1494,74 @@ object CheckQueries {
        |FROM c JOIN summ ON c.g = summ.g""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q171 — two-proportion z: the high-value-event rate (value > 200)
+  // between the even/odd user split — the A/B-assignment health
+  // check (a hash split must NOT move the outcome rate; a small p
+  // here means the split machinery is broken). z^2 equals the 2x2
+  // chi-square, so this also closes the df=1 chi-square p gap.
+  // ---------------------------------------------------------------
+  def q171ProportionZ(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.proportionZ(
+      graft.Tables.events(spark, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull),
+      success = col("value") > lit(200.0),
+      inA = pmod(col("user_id"), lit(2L)) === 0L)
+
+  private def propZSql(groupSel: String, groupByKw: String, finalSel: String): String =
+    s"""v AS (SELECT $groupSel
+       |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+       |    CASE WHEN value > 200.0 THEN 1 ELSE 0 END AS sc
+       |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+       |ag AS (SELECT $groupByKw
+       |    CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(1 - a) AS BIGINT) AS n_b,
+       |    CAST(SUM(a * sc) AS BIGINT) AS s_a,
+       |    CAST(SUM((1 - a) * sc) AS BIGINT) AS s_b
+       |  FROM v $groupByKw),
+       |f AS (SELECT *,
+       |    CASE WHEN n_a > 0 THEN CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_a,
+       |    CASE WHEN n_b > 0 THEN CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS rate_b,
+       |    CASE WHEN n_a + n_b > 0 THEN
+       |      CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) END AS pool
+       |  FROM ag),
+       |g AS (SELECT *,
+       |    rate_a - rate_b AS rate_diff,
+       |    CASE WHEN n_a > 0 AND n_b > 0
+       |      AND pool * (1.0 - pool)
+       |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) > 0.0
+       |    THEN (rate_a - rate_b)
+       |      / SQRT(pool * (1.0 - pool)
+       |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+       |    END AS z
+       |  FROM f)
+       |SELECT $finalSel n_a, n_b, s_a, s_b, rate_a, rate_b, rate_diff, z,
+       |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
+       |FROM g""".stripMargin
+
+  val q171Sql: String = s"WITH ${propZSql("", "", "")}"
+
+  // ---------------------------------------------------------------
+  // q172 — per-event-type proportion z: the A/B rate check localized
+  // to the stream where an assignment bug would hide.
+  // ---------------------------------------------------------------
+  def q172GroupProportionZ(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.proportionZBy(
+      graft.Tables.events(spark, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull),
+      group = col("event_type"),
+      success = col("value") > lit(200.0),
+      inA = pmod(col("user_id"), lit(2L)) === 0L)
+      .withColumnRenamed("group_key", "event_type")
+
+  val q172Sql: String =
+    s"WITH ${propZSql("event_type AS g,", "GROUP BY g", "g AS event_type,")}"
+      .replace("FROM v GROUP BY g),", "FROM v WHERE g IS NOT NULL GROUP BY g),")
+      .replace("ag AS (SELECT GROUP BY g", "ag AS (SELECT g,")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_benford" -> (q161Benford _),
+    "q171_proportion_z" -> (q171ProportionZ _),
+    "q172_group_proportion_z" -> (q172GroupProportionZ _),
     "q166_group_benford" -> (q166GroupBenford _),
     "q145_contingency_chi2" -> (q145Contingency _),
     "q101_key_skew" -> (q101KeySkew _),
@@ -1536,6 +1602,8 @@ object CheckQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q161_benford" -> q161Sql,
+    "q171_proportion_z" -> q171Sql,
+    "q172_group_proportion_z" -> q172Sql,
     "q166_group_benford" -> q166Sql,
     "q145_contingency_chi2" -> q145Sql,
     "q101_key_skew" -> q101Sql,

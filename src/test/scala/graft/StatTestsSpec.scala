@@ -660,4 +660,54 @@ class StatTestsSpec extends AnyFunSuite {
         assert(gr.getAs[Double](f) == solo.getAs[Double](f), s"$g.$f")
     }
   }
+
+  // ---------------- proportionZ ----------------
+
+  test("proportionZ matches the hand dag; z^2 equals the 2x2 chi-square; fences") {
+    // A: 30 of 100 succeed; B: 20 of 100
+    val rows = Seq.tabulate(200) { i =>
+      val a = i < 100
+      val s = if (a) i < 30 else i < 120
+      (a, s)
+    }
+    val df = rows.toDF("a", "s")
+    val r = StatTests.proportionZ(df, col("s"), col("a")).head()
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("s_a") == 30L)
+    assert(r.getAs[Long]("n_b") == 100L && r.getAs[Long]("s_b") == 20L)
+    val pool = 50.0 / 200.0
+    val z = (30.0 / 100.0 - 20.0 / 100.0) /
+      math.sqrt(pool * (1.0 - pool) * (1.0 / 100.0 + 1.0 / 100.0))
+    assert(r.getAs[Double]("z") == z)
+    // z^2 == Pearson chi-square of the same 2x2 (within float
+    // tolerance: different but algebraically identical dags)
+    val chi = StatTests.contingencyChiSquare(df, col("a"), col("s"))
+    val chi2 = chi.collect().map(_.getAs[Double]("contribution")).sum
+    assert(math.abs(z * z - chi2) < 1e-9)
+    // all-success pool: no variance, z NULL
+    val allS = Seq((true, true), (false, true)).toDF("a", "s")
+    val ra = StatTests.proportionZ(allS, col("s"), col("a")).head()
+    assert(ra.isNullAt(ra.fieldIndex("z")))
+    // empty cohort and NULL-outcome exclusion
+    val mixed = Seq((Some(true), Some(true)), (Some(true), None),
+      (None, Some(false))).toDF("a", "s")
+    val rm = StatTests.proportionZ(mixed, col("s"), col("a")).head()
+    assert(rm.getAs[Long]("n_a") == 1L && rm.getAs[Long]("n_b") == 0L)
+    assert(rm.isNullAt(rm.fieldIndex("z")))
+  }
+
+  test("proportionZBy: grouped equals solo per group") {
+    val df = Seq(
+      ("x", true, true), ("x", true, false), ("x", false, true), ("x", false, true),
+      ("y", true, true), ("y", true, true), ("y", false, false), ("y", false, true))
+      .toDF("g", "a", "s")
+    val grouped = StatTests.proportionZBy(df, col("g"), col("s"), col("a"))
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    for (g <- Seq("x", "y")) {
+      val solo = StatTests.proportionZ(df.filter(col("g") === g), col("s"), col("a")).head()
+      for (f <- Seq("n_a", "n_b", "s_a", "s_b"))
+        assert(grouped(g).getAs[Long](f) == solo.getAs[Long](f), s"$g.$f")
+      for (f <- Seq("rate_a", "rate_b", "z", "p_two_sided"))
+        assert(grouped(g).getAs[Double](f) == solo.getAs[Double](f), s"$g.$f")
+    }
+  }
 }
