@@ -1431,4 +1431,159 @@ object Profiling {
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(raw, census, cen))
     out
   }
+
+  /** Jarque–Bera normality census — "is this metric's distribution
+    * even roughly normal?" as a scored decision (residual checks,
+    * anomaly-model preconditions, detecting mixture/fat-tail regimes
+    * in a metric the mean/σ monitors assume Gaussian). The caller
+    * quantizes to an exact integer column (`bround(x·100)` cents —
+    * the shared convention).
+    *
+    * EXACTNESS: the central-moment NUMERATORS are computed as pure
+    * integers in DECIMAL(38,0) about an integer shift m0 ≈ mean
+    * (shifting keeps fourth powers small: the domain bound is
+    * n³·Σ(v−m0)⁴ < 10³⁸ — deviations ≲ 10⁴ quantization units at
+    * 10⁶ rows/group; the aggregate ERRORS loudly on overflow under
+    * ANSI decimal rather than degrading):
+    *   M2n = n·S2 − S1², M3n = n²·S3 − 3n·S1·S2 + 2S1³,
+    *   M4n = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3S1⁴   (Sk = Σ(v−m0)^k)
+    * The float tail is FUSION-FREE by construction: skewness
+    * (M3n/n³)/(m2·√m2) and kurtosis (M4n/n⁴)/(m2·m2) are pure
+    * multiply/divide/sqrt chains (no a·b+c shape anywhere), and the
+    * JB combination S²+((K−3)²/4) quantizes each term to 1e−9 and
+    * adds EXACT decimals — because a float multiply feeding an add
+    * invites FMA contraction in vectorized engines (observed: DuckDB
+    * reassociates/fuses the classic m4 raw-moment dag 2 ulp away
+    * from the stated left-to-right IEEE evaluation; integer
+    * numerators + fusion-free floats are the portable form).
+    *
+    * Output: n, mean, m2, skewness, kurtosis, jb_stat (quantized
+    * combination, stated), p_value = exp(−JB/2) via the exact χ²(2)
+    * survival grid. Degenerate shapes → NULL.
+    *
+    * 100 TB: two hash aggregates over one persisted narrow
+    * projection (the shift needs the mean first); 1-row output.
+    */
+  def normalityJarqueBera(df: DataFrame, intValue: Column): DataFrame = {
+    val nn = df.select(intValue.cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .persist()
+    val head = nn.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("_v").cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)")).as("_s1")).head()
+    val n = head.getLong(0)
+    if (n == 0L) {
+      nn.unpersist(blocking = false)
+      return df.sparkSession.range(1).select(
+        lit(0L).as("n"), lit(null).cast("double").as("mean"),
+        lit(null).cast("double").as("m2"),
+        lit(null).cast("double").as("skewness"),
+        lit(null).cast("double").as("kurtosis"),
+        lit(null).cast("double").as("jb_stat"),
+        lit(null).cast("double").as("p_value"))
+    }
+    val s1 = head.getDecimal(1)
+    val m0 = math.floor(s1.doubleValue() / n.toDouble).toLong
+    val out = jarqueBeraFinish(
+      shiftedSums(nn.withColumn("_g", lit(1)), m0).drop("group_key"),
+      meanOf = Some(s1.doubleValue() / n.toDouble))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(nn))
+    out
+  }
+
+  /** (group, shifted power sums) aggregate shared by the two forms. */
+  private def shiftedSums(nn: DataFrame, m0: Long): DataFrame = {
+    val d = (col("_v") - lit(m0)).cast("decimal(38,0)")
+    nn.groupBy(col("_g").as("group_key")).agg(
+      count(lit(1)).as("n"),
+      sum(d).cast("decimal(38,0)").as("_s1"),
+      sum(d * d).cast("decimal(38,0)").as("_s2"),
+      sum(d * d * d).cast("decimal(38,0)").as("_s3"),
+      sum(d * d * d * d).cast("decimal(38,0)").as("_s4"))
+      .withColumn("_m0", lit(m0))
+  }
+
+  /** Shared finishing dag: exact integer central-moment numerators →
+    * fusion-free float shape statistics. `meanOf` carries the solo
+    * form's precomputed mean; the grouped form derives it from the
+    * shift identity mean = m0 + S1/n. */
+  private def jarqueBeraFinish(
+      aggd: DataFrame, meanOf: Option[Double] = None,
+      carry: Seq[String] = Nil): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val nDec = dec(col("n"))
+    val withNum = aggd
+      .withColumn("_m2n",
+        (nDec * col("_s2") - col("_s1") * col("_s1"))
+          .cast("decimal(38,0)"))
+      .withColumn("_m3n",
+        (nDec * nDec * col("_s3")
+          - lit(3L).cast("decimal(38,0)") * nDec * col("_s1") * col("_s2")
+          + lit(2L).cast("decimal(38,0)") * col("_s1") * col("_s1") * col("_s1"))
+          .cast("decimal(38,0)"))
+      .withColumn("_m4n",
+        (nDec * nDec * nDec * col("_s4")
+          - lit(4L).cast("decimal(38,0)") * nDec * nDec * col("_s1") * col("_s3")
+          + lit(6L).cast("decimal(38,0)") * nDec * col("_s1") * col("_s1") * col("_s2")
+          - lit(3L).cast("decimal(38,0)") * col("_s1") * col("_s1") * col("_s1") * col("_s1"))
+          .cast("decimal(38,0)"))
+    val nd = col("n").cast("double")
+    val mean = meanOf.map(lit).getOrElse(
+      col("_m0").cast("double") + col("_s1").cast("double") / nd)
+    val shaped = withNum
+      .withColumn("mean", mean)
+      .withColumn("m2", col("_m2n").cast("double") / (nd * nd))
+      .withColumn("skewness",
+        when(col("m2") > lit(0.0),
+          (col("_m3n").cast("double") / (nd * nd * nd))
+            / (col("m2") * sqrt(col("m2")))))
+      .withColumn("kurtosis",
+        when(col("m2") > lit(0.0),
+          (col("_m4n").cast("double") / (nd * nd * nd * nd))
+            / (col("m2") * col("m2"))))
+      .withColumn("jb_stat",
+        when(col("skewness").isNotNull && col("kurtosis").isNotNull,
+          (nd / lit(6.0)) *
+            ((bround(col("skewness") * col("skewness") * lit(1e9))
+                .cast("decimal(38,0)")
+              + bround((col("kurtosis") - lit(3.0)) * (col("kurtosis") - lit(3.0))
+                  / lit(4.0) * lit(1e9)).cast("decimal(38,0)"))
+              .cast("double") / lit(1e9))))
+      .withColumn("p_value", StatTests.chi2Df2PValue(col("jb_stat")))
+    shaped.select(carry.map(col) ++ Seq(col("n"), col("mean"), col("m2"),
+      col("skewness"), col("kurtosis"), col("jb_stat"), col("p_value")): _*)
+  }
+
+  /** Per-group [[normalityJarqueBera]] — ONE global integer shift m0
+    * (any integer shift yields exact central numerators, so sharing
+    * the corpus-level shift costs nothing and keeps the plan at two
+    * aggregates); per-group means recovered from the shift identity.
+    * NULL-group rows excluded. */
+  def normalityJarqueBeraBy(
+      df: DataFrame, group: Column, intValue: Column): DataFrame = {
+    val nn = df.select(group.as("_g"), intValue.cast("long").as("_v"))
+      .filter(col("_g").isNotNull && col("_v").isNotNull)
+      .persist()
+    val head = nn.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("_v").cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)")).as("_s1")).head()
+    val n = head.getLong(0)
+    if (n == 0L) {
+      nn.unpersist(blocking = false)
+      return df.sparkSession.emptyDataFrame
+        .select()  // no groups: 0-row frame with the output schema below
+        .limit(0)
+        .select(lit("").as("group_key"), lit(0L).as("n"),
+          lit(null).cast("double").as("mean"),
+          lit(null).cast("double").as("m2"),
+          lit(null).cast("double").as("skewness"),
+          lit(null).cast("double").as("kurtosis"),
+          lit(null).cast("double").as("jb_stat"),
+          lit(null).cast("double").as("p_value"))
+    }
+    val m0 = math.floor(head.getDecimal(1).doubleValue() / n.toDouble).toLong
+    val out = jarqueBeraFinish(shiftedSums(nn, m0), carry = Seq("group_key"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(nn))
+    out
+  }
 }

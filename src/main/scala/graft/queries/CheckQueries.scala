@@ -1558,9 +1558,96 @@ object CheckQueries {
       .replace("FROM v GROUP BY g),", "FROM v WHERE g IS NOT NULL GROUP BY g),")
       .replace("ag AS (SELECT GROUP BY g", "ag AS (SELECT g,")
 
+  // ---------------------------------------------------------------
+  // q173 — Jarque–Bera normality census of event values (cents):
+  // exact decimal power sums → skewness/kurtosis/JB and the EXACT
+  // chi2(2df) p-value exp(-x/2) via the shared literal grid — the
+  // precondition check for every mean/sigma-based monitor.
+  // q174 — the same census per event type.
+  // ---------------------------------------------------------------
+  def q173Normality(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.normalityJarqueBera(
+      graft.Tables.events(spark, d),
+      bround(col("value") * lit(100.0)))
+
+  def q174GroupNormality(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.normalityJarqueBeraBy(
+      graft.Tables.events(spark, d),
+      col("event_type"),
+      bround(col("value") * lit(100.0)))
+      .withColumnRenamed("group_key", "event_type")
+
+  private def jbSql(groupSel: String, groupBy: String, finalSel: String): String = {
+    // integer central-moment numerators in HUGEINT (the engine's
+    // DECIMAL(38,0) — same integers, same doubles); float tail is
+    // fusion-free (see normalityJarqueBera's Scaladoc)
+    s"""v AS (SELECT $groupSel
+       |    CAST(round_even(value * 100.0, 0) AS BIGINT) AS v
+       |  FROM events WHERE round_even(value * 100.0, 0) IS NOT NULL$$groupWhere),
+       |g0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+       |    CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS t1 FROM v),
+       |shf AS (SELECT n0, t1,
+       |    CAST(FLOOR(CAST(t1 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS BIGINT) AS m0
+       |  FROM g0),
+       |ag AS (SELECT $groupSel CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(v.v - shf.m0 AS HUGEINT)) AS HUGEINT) AS s1,
+       |    CAST(SUM(CAST(v.v - shf.m0 AS HUGEINT) * (v.v - shf.m0)) AS HUGEINT) AS s2,
+       |    CAST(SUM(CAST(v.v - shf.m0 AS HUGEINT) * (v.v - shf.m0) * (v.v - shf.m0)) AS HUGEINT) AS s3,
+       |    CAST(SUM(CAST(v.v - shf.m0 AS HUGEINT) * (v.v - shf.m0) * (v.v - shf.m0) * (v.v - shf.m0)) AS HUGEINT) AS s4,
+       |    MAX(shf.m0) AS m0, MAX(shf.t1) AS t1, MAX(shf.n0) AS n0
+       |  FROM v CROSS JOIN shf $groupBy),
+       |num AS (SELECT *,
+       |    CAST(n AS HUGEINT) * s2 - s1 * s1 AS m2n,
+       |    CAST(n AS HUGEINT) * n * s3
+       |      - 3 * CAST(n AS HUGEINT) * s1 * s2
+       |      + 2 * s1 * s1 * s1 AS m3n,
+       |    CAST(n AS HUGEINT) * n * n * s4
+       |      - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+       |      + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+       |      - 3 * s1 * s1 * s1 * s1 AS m4n
+       |  FROM ag),
+       |mm AS (SELECT *,
+       |    $$meanExpr AS mean,
+       |    CAST(m2n AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS m2
+       |  FROM num),
+       |sh AS (SELECT *,
+       |    CASE WHEN m2 > 0.0 THEN
+       |      (CAST(m3n AS DOUBLE)
+       |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |      / (m2 * SQRT(m2)) END AS skewness,
+       |    CASE WHEN m2 > 0.0 THEN
+       |      (CAST(m4n AS DOUBLE)
+       |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       |           * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |      / (m2 * m2) END AS kurtosis
+       |  FROM mm),
+       |j AS (SELECT *,
+       |    CASE WHEN skewness IS NOT NULL AND kurtosis IS NOT NULL THEN
+       |      (CAST(n AS DOUBLE) / 6.0) *
+       |        (CAST(CAST(round_even(skewness * skewness * 1e9, 0) AS DECIMAL(38,0))
+       |          + CAST(round_even((kurtosis - 3.0) * (kurtosis - 3.0) / 4.0 * 1e9, 0)
+       |              AS DECIMAL(38,0)) AS DOUBLE) / 1e9) END AS jb_stat
+       |  FROM sh)
+       |SELECT $finalSel n, mean, m2, skewness, kurtosis, jb_stat,
+       |  ${graft.operators.StatTests.chi2Df2PValueSql("jb_stat")} AS p_value
+       |FROM j""".stripMargin
+      .replace("$groupWhere", if (groupSel.isEmpty) "" else " AND event_type IS NOT NULL")
+      .replace("$meanExpr",
+        if (groupSel.isEmpty) "CAST(t1 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+        else "CAST(m0 AS DOUBLE) + CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)")
+  }
+
+  val q173Sql: String = s"WITH ${jbSql("", "", "")}"
+  val q174Sql: String =
+    s"WITH ${jbSql("event_type AS g,", "GROUP BY g", "g AS event_type,")}"
+      .replace("ag AS (SELECT event_type AS g, CAST", "ag AS (SELECT g, CAST")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_benford" -> (q161Benford _),
     "q171_proportion_z" -> (q171ProportionZ _),
+    "q173_normality_jb" -> (q173Normality _),
+    "q174_group_normality_jb" -> (q174GroupNormality _),
     "q172_group_proportion_z" -> (q172GroupProportionZ _),
     "q166_group_benford" -> (q166GroupBenford _),
     "q145_contingency_chi2" -> (q145Contingency _),
@@ -1603,6 +1690,8 @@ object CheckQueries {
   val oracleSql: Map[String, String] = Map(
     "q161_benford" -> q161Sql,
     "q171_proportion_z" -> q171Sql,
+    "q173_normality_jb" -> q173Sql,
+    "q174_group_normality_jb" -> q174Sql,
     "q172_group_proportion_z" -> q172Sql,
     "q166_group_benford" -> q166Sql,
     "q145_contingency_chi2" -> q145Sql,

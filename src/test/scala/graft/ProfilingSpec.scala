@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.functions.{col, expr, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Profiling
@@ -759,5 +759,76 @@ class ProfilingSpec extends AnyFunSuite {
     val exact = Profiling.kendallTauExact(df, col("x"), col("y")).head()
     assert(banded.isNullAt(banded.fieldIndex("tau_b"))) // everything one band: all tied
     assert(exact.getAs[Double]("tau_b") == -1.0)        // perfectly inverted
+  }
+
+  // ---------------- normalityJarqueBera ----------------
+
+  test("normalityJarqueBera matches the exact-integer-numerator dag") {
+    val vs = Seq(2L, 4L, 4L, 4L, 5L, 5L, 7L, 9L)
+    val df = vs.map(Tuple1(_)).toDF("v")
+    val r = Profiling.normalityJarqueBera(df, col("v")).head()
+    val n = vs.size
+    // replicate: integer shift m0 = floor(mean), shifted integer sums
+    val m0 = math.floor(vs.sum.toDouble / n).toLong
+    val d = vs.map(_ - m0)
+    val (s1, s2, s3, s4) = (d.sum, d.map(x => x * x).sum,
+      d.map(x => x * x * x).sum, d.map(x => x * x * x * x).sum)
+    val m2n = n.toLong * s2 - s1 * s1
+    val m3n = n.toLong * n * s3 - 3L * n * s1 * s2 + 2L * s1 * s1 * s1
+    val m4n = n.toLong * n * n * s4 - 4L * n.toLong * n * s1 * s3 +
+      6L * n * s1 * s1 * s2 - 3L * s1 * s1 * s1 * s1
+    val nd = n.toDouble
+    val m2 = m2n.toDouble / (nd * nd)
+    val skew = (m3n.toDouble / (nd * nd * nd)) / (m2 * math.sqrt(m2))
+    val kurt = (m4n.toDouble / (nd * nd * nd * nd)) / (m2 * m2)
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Double]("m2") == m2)
+    assert(r.getAs[Double]("skewness") == skew)
+    assert(r.getAs[Double]("kurtosis") == kurt)
+    assert(math.abs(r.getAs[Double]("mean") - 5.0) < 1e-12)
+    assert(r.getAs[Double]("jb_stat") > 0.0)
+    assert(r.getAs[Double]("p_value") > 0.0 && r.getAs[Double]("p_value") <= 1.0)
+  }
+
+  test("normalityJarqueBera: symmetric vs skewed; constant and empty fences") {
+    // binomial(40, 0.5)-ish via popcount of the row index: symmetric,
+    // near-normal -> small |skew| and JB
+    val sym = spark.range(0, 4096)
+      .select(expr("bit_count(id)").cast("long").as("v"))
+    val rs = Profiling.normalityJarqueBera(sym, col("v")).head()
+    // geometric-ish: heavily right-skewed
+    val skw = spark.range(0, 4096)
+      .select((col("id") % 7L) * (col("id") % 7L) * (col("id") % 7L) + 1L)
+      .toDF("v")
+    val rk = Profiling.normalityJarqueBera(skw, col("v")).head()
+    assert(math.abs(rs.getAs[Double]("skewness")) < 0.2)
+    assert(rk.getAs[Double]("skewness") > 0.5)
+    assert(rs.getAs[Double]("jb_stat") < rk.getAs[Double]("jb_stat"))
+    assert(rs.getAs[Double]("p_value") > rk.getAs[Double]("p_value"))
+    val const = Seq(7L, 7L, 7L).map(Tuple1(_)).toDF("v")
+    val rc = Profiling.normalityJarqueBera(const, col("v")).head()
+    assert(rc.getAs[Double]("m2") == 0.0 && rc.isNullAt(rc.fieldIndex("skewness")))
+    assert(rc.isNullAt(rc.fieldIndex("jb_stat")))
+    val empty = Seq.empty[Long].map(Tuple1(_)).toDF("v")
+    val re = Profiling.normalityJarqueBera(empty, col("v")).head()
+    assert(re.getAs[Long]("n") == 0L && re.isNullAt(re.fieldIndex("p_value")))
+  }
+
+  test("normalityJarqueBeraBy: grouped equals solo per group (shift-invariant numerators)") {
+    val df = (Seq.tabulate(300)(i => ("a", (i % 13).toLong * (i % 13) + 2)) ++
+      Seq.tabulate(200)(i => ("b", 50L + (i % 11)))).toDF("g", "v")
+    val grouped = Profiling.normalityJarqueBeraBy(df, col("g"), col("v"))
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = Profiling.normalityJarqueBera(df.filter(col("g") === g), col("v")).head()
+      val gr = grouped(g)
+      assert(gr.getAs[Long]("n") == solo.getAs[Long]("n"))
+      // the integer numerators are shift-invariant, so these are
+      // bit-equal even though the two forms used different shifts
+      for (f <- Seq("m2", "skewness", "kurtosis", "jb_stat", "p_value"))
+        assert(gr.getAs[Double](f) == solo.getAs[Double](f), s"$g.$f")
+      // mean rides a different (stated) float route per form: m0 + S1/n
+      assert(math.abs(gr.getAs[Double]("mean") - solo.getAs[Double]("mean")) < 1e-9)
+    }
   }
 }
