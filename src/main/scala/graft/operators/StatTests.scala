@@ -1524,6 +1524,49 @@ object StatTests {
        |  ELSE ${gridInterpSql(Chi2Df2SfGrid, xExpr, "0.0", "20.0")}
        |END""".stripMargin
 
+  /** Benjamini–Hochberg FDR gate over a frame of per-hypothesis
+    * p-values — the multiple-testing correction the per-source
+    * statistic family needs: 20 sources × p < 0.05 yields one false
+    * alarm EVERY run; BH controls the expected false-discovery rate
+    * at `alpha` instead. Ranks the m non-NULL p-values ascending
+    * (`tieBreak` makes the reported rank deterministic under tied
+    * p's; the DISCOVERY SET itself is tie-order-invariant by
+    * construction — the max-k rule flags every p ≤ p(k*)), finds
+    * k* = max{k : p(k) ≤ k·α/m}, and flags p ≤ p(k*). NULL p rows
+    * pass through unflagged and outside m.
+    *
+    * Output: input columns + `p_rank`, `bh_critical` (k·α/m),
+    * `is_discovery`. The frame is hypothesis-scale (one row per
+    * source/segment/test — config-sized by nature); the lone
+    * unpartitioned window is bounded by that, the
+    * [[graft.LogSilence]] convention.
+    */
+  def benjaminiHochberg(
+      df: DataFrame, pCol: Column, tieBreak: Column,
+      alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val withP = df.withColumn("_p", pCol)
+    val m = broadcast(withP.agg(
+      sum(when(col("_p").isNotNull, 1L).otherwise(0L)).as("_m")))
+    val w = Window.orderBy(col("_p").asc_nulls_last, tieBreak.asc)
+    val ranked = withP.crossJoin(m)
+      .withColumn("p_rank",
+        when(col("_p").isNotNull, row_number().over(w).cast("bigint")))
+      .withColumn("bh_critical",
+        when(col("_p").isNotNull,
+          col("p_rank").cast("double") * lit(alpha) / col("_m").cast("double")))
+      .persist()
+    val kstarP = broadcast(ranked.agg(
+      max(when(col("_p") <= col("bh_critical"), col("_p"))).as("_kp")))
+    val out = ranked.crossJoin(kstarP)
+      .withColumn("is_discovery",
+        coalesce(col("_p") <= col("_kp"), lit(false)))
+      .drop("_p", "_m", "_kp")
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(ranked))
+    out
+  }
+
   /** Two-sample mean-difference z test on an EXACT integer-valued
     * column — the parametric leg of the two-cohort drift triptych
     * (KS = whole distribution, rank-sum = ordinal separation, this =

@@ -1394,6 +1394,37 @@ object EvalQueries {
        |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
        |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q175 — Benjamini–Hochberg FDR gate over the per-source KS
+  // p-values (q160): the multiple-testing correction that turns 20
+  // per-source drift tests into a controlled discovery set (raw
+  // p < 0.05 per source false-alarms every run at this width).
+  // ---------------------------------------------------------------
+  def q175BhDiscoveries(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.benjaminiHochberg(
+      q160GroupKsPValue(spark, d), col("p_value"), col("source"),
+      alpha = 0.05)
+
+  val q175Sql: String =
+    s"""WITH base AS ($q160Sql),
+       |mm AS (SELECT CAST(SUM(CASE WHEN p_value IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS m FROM base),
+       |r AS (SELECT base.*, mm.m,
+       |    CASE WHEN p_value IS NOT NULL THEN CAST(row_number() OVER (
+       |      ORDER BY p_value ASC NULLS LAST, source ASC) AS BIGINT)
+       |    END AS p_rank
+       |  FROM base CROSS JOIN mm),
+       |c AS (SELECT *,
+       |    CASE WHEN p_value IS NOT NULL THEN
+       |      CAST(p_rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE) END AS bh_critical
+       |  FROM r),
+       |k AS (SELECT MAX(CASE WHEN p_value <= bh_critical THEN p_value END) AS kp
+       |  FROM c)
+       |SELECT c.source, c.n_group, c.n_rest, c.n_distinct_values, c.ks_stat,
+       |  c.ks_at, c.ks_z, c.p_value, c.p_rank, c.bh_critical,
+       |  COALESCE(c.p_value <= k.kp, FALSE) AS is_discovery
+       |FROM c CROSS JOIN k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -1426,7 +1457,8 @@ object EvalQueries {
     "q167_spearman_p"        -> (q167SpearmanP _),
     "q168_group_spearman_p"  -> (q168GroupSpearmanP _),
     "q169_mean_diff_z"       -> (q169MeanDiffZ _),
-    "q170_group_mean_diff_z" -> (q170GroupMeanDiffZ _))
+    "q170_group_mean_diff_z" -> (q170GroupMeanDiffZ _),
+    "q175_bh_discoveries"    -> (q175BhDiscoveries _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -1460,5 +1492,6 @@ object EvalQueries {
     "q167_spearman_p"        -> q167Sql,
     "q168_group_spearman_p"  -> q168Sql,
     "q169_mean_diff_z"       -> q169Sql,
-    "q170_group_mean_diff_z" -> q170Sql)
+    "q170_group_mean_diff_z" -> q170Sql,
+    "q175_bh_discoveries"    -> q175Sql)
 }

@@ -710,4 +710,48 @@ class StatTestsSpec extends AnyFunSuite {
         assert(grouped(g).getAs[Double](f) == solo.getAs[Double](f), s"$g.$f")
     }
   }
+
+  // ---------------- benjaminiHochberg ----------------
+
+  test("benjaminiHochberg flags the textbook discovery set; NULLs pass through") {
+    // m=6, alpha=0.25; sorted p: .01 .02 .04 .12 .2 .9
+    // criticals k*alpha/m: .0417 .0833 .125 .1667 .2083 .25
+    // k* = 5 (p=.2 <= .2083 — step-up: k=6 fails, k=5 holds);
+    // discoveries = p <= p(5) = .2
+    val df = Seq(("a", 0.12), ("b", 0.01), ("c", 0.9), ("d", 0.04),
+      ("e", 0.02), ("f", 0.2)).toDF("id", "p")
+      .unionByName(Seq(("g", null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "p"))
+    val out = StatTests.benjaminiHochberg(df, col("p"), col("id"), alpha = 0.25)
+      .collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(out.size == 7)
+    val discovered = out.values.filter(_.getAs[Boolean]("is_discovery"))
+      .map(_.getAs[String]("id")).toSet
+    assert(discovered == Set("b", "e", "d", "a", "f"))
+    assert(out("b").getAs[Long]("p_rank") == 1L)
+    assert(out("d").getAs[Long]("p_rank") == 3L)
+    // m excludes the NULL row: critical for rank 1 is alpha/6
+    assert(out("b").getAs[Double]("bh_critical") == 1.0 * 0.25 / 6.0)
+    assert(out("g").isNullAt(out("g").fieldIndex("p_rank")))
+    assert(!out("g").getAs[Boolean]("is_discovery"))
+    // canonical check: every discovery p <= p(k*), every
+    // non-discovery p > p(k*)
+    val kp = 0.2
+    out.values.filter(r => !r.isNullAt(r.fieldIndex("p"))).foreach { r =>
+      assert(r.getAs[Boolean]("is_discovery") == (r.getAs[Double]("p") <= kp))
+    }
+  }
+
+  test("benjaminiHochberg: tied p-values get a deterministic rank and one decision") {
+    val df = Seq(("x", 0.03), ("y", 0.03), ("z", 0.5)).toDF("id", "p")
+    val out = StatTests.benjaminiHochberg(df, col("p"), col("id"), alpha = 0.1)
+      .collect().map(r => r.getAs[String]("id") -> r).toMap
+    // ties ranked by the tie-break column: x -> 1, y -> 2
+    assert(out("x").getAs[Long]("p_rank") == 1L)
+    assert(out("y").getAs[Long]("p_rank") == 2L)
+    // k* = 2 (0.03 <= 2*0.1/3): BOTH tied rows share the decision
+    assert(out("x").getAs[Boolean]("is_discovery"))
+    assert(out("y").getAs[Boolean]("is_discovery"))
+    assert(!out("z").getAs[Boolean]("is_discovery"))
+  }
 }
