@@ -95,6 +95,48 @@ object GraftChecks {
           expr(need(a, "group", "ks_by")),
           expr(need(a, "value", "ks_by"))))),
 
+    "benford" -> (("table, value (exact integer expr — quantize doubles first)",
+      (s: SparkSession, a: Map[String, String]) =>
+        Checks.benfordDigits(
+          s.table(need(a, "table", "benford")),
+          expr(need(a, "value", "benford"))))),
+
+    "ks_p" -> (("table, value, cohort (boolean expr)  (KS + p-value)",
+      (s: SparkSession, a: Map[String, String]) =>
+        StatTests.ksTwoSample(
+          s.table(need(a, "table", "ks_p")),
+          expr(need(a, "value", "ks_p")),
+          expr(need(a, "cohort", "ks_p")))
+          .withColumn("p_value", StatTests.kolmogorovPValue(col("ks_z"))))),
+
+    "mean_diff_z" -> (("table, value (exact integer expr), cohort (boolean expr)",
+      (s: SparkSession, a: Map[String, String]) =>
+        StatTests.meanDiffZ(
+          s.table(need(a, "table", "mean_diff_z")),
+          expr(need(a, "value", "mean_diff_z")),
+          expr(need(a, "cohort", "mean_diff_z"))))),
+
+    "proportion_z" -> (("table, success (boolean expr), cohort (boolean expr)",
+      (s: SparkSession, a: Map[String, String]) =>
+        StatTests.proportionZ(
+          s.table(need(a, "table", "proportion_z")),
+          expr(need(a, "success", "proportion_z")),
+          expr(need(a, "cohort", "proportion_z"))))),
+
+    "normality" -> (("table, value (exact integer expr)",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Profiling.normalityJarqueBera(
+          s.table(need(a, "table", "normality")),
+          expr(need(a, "value", "normality"))))),
+
+    "fdr_gate" -> (("table, p (expr), tie_break (expr)[, alpha]",
+      (s: SparkSession, a: Map[String, String]) =>
+        StatTests.benjaminiHochberg(
+          s.table(need(a, "table", "fdr_gate")),
+          expr(need(a, "p", "fdr_gate")),
+          expr(need(a, "tie_break", "fdr_gate")),
+          a.get("alpha").map(_.toDouble).getOrElse(0.05)))),
+
     "chi_square" -> (("table, row_key, col_key",
       (s: SparkSession, a: Map[String, String]) =>
         StatTests.contingencyChiSquare(

@@ -142,4 +142,44 @@ class PipelinesSpec extends AnyFunSuite {
     assert(r.getInt(2) == 738900)
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
   }
+
+  test("SQL-callable checks: the r11 statistic surface (benford, p-scored tests, FDR) from SQL") {
+    Seq(123L, 190L, 250L, 310L, 1999L, 12L, 84L, 145L, 267L)
+      .map(Tuple1(_)).toDF("amt").createOrReplaceTempView("sqlc_amts")
+    val ben = spark.sql(
+      "CALL graft.benford(`table` => 'sqlc_amts', value => 'amt')").collect()
+    assert(ben.length == 9)
+    assert(ben.map(_.getAs[Long]("n")).sum == 9L)
+
+    Seq((10L, true), (12L, true), (14L, true), (20L, false), (24L, false))
+      .toDF("v", "en").createOrReplaceTempView("sqlc_md")
+    val md = spark.sql(
+      "CALL graft.mean_diff_z(`table` => 'sqlc_md', value => 'v', cohort => 'en')").head()
+    val direct = graft.operators.StatTests.meanDiffZ(
+      spark.table("sqlc_md"), $"v", $"en").head()
+    assert(md.getAs[Double]("z") == direct.getAs[Double]("z"))
+    assert(md.getAs[Double]("p_two_sided") == direct.getAs[Double]("p_two_sided"))
+
+    val pz = spark.sql(
+      """CALL graft.proportion_z(`table` => 'sqlc_md',
+        |  success => 'v > 13', cohort => 'en')""".stripMargin).head()
+    assert(pz.getAs[Long]("n_a") == 3L && pz.getAs[Long]("s_a") == 1L)
+
+    val jb = spark.sql(
+      "CALL graft.normality(`table` => 'sqlc_md', value => 'v')").head()
+    assert(jb.getAs[Long]("n") == 5L && jb.getAs[Double]("m2") > 0.0)
+
+    Seq(("s1", 0.001), ("s2", 0.04), ("s3", 0.9))
+      .toDF("src", "p").createOrReplaceTempView("sqlc_ps")
+    val fdr = spark.sql(
+      """CALL graft.fdr_gate(`table` => 'sqlc_ps', p => 'p',
+        |  tie_break => 'src', alpha => '0.05')""".stripMargin)
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Boolean]("is_discovery")).toMap
+    assert(fdr("s1") && !fdr("s3"))
+
+    val ksp = spark.sql(
+      """CALL graft.ks_p(`table` => 'sqlc_md', value => 'v',
+        |  cohort => 'en')""".stripMargin).head()
+    assert(ksp.getAs[Double]("p_value") > 0.0 && ksp.getAs[Double]("p_value") <= 1.0)
+  }
 }
