@@ -31,6 +31,7 @@ object SparkEntry {
     ExtensionQueries.ensureKeepListState(spark, sfDir)
     queries("q133_dedup_weighted_auc")(spark, sfDir) // ensures q133_scored/q133_keeplist
     queries("q135_retrieval_quality")(spark, sfDir)  // ensures q135_truth
+    queries("q175_bh_discoveries")(spark, sfDir)     // ensures q175_source_ks_p
     ()
   }
 

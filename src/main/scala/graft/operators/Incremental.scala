@@ -62,4 +62,58 @@ object Incremental {
   def keyTotals(partials: DataFrame): DataFrame =
     partials.groupBy(col("key"))
       .agg(sum(col("n")).as("n"), sum(col("w_sum")).as("w_sum"))
+
+  /** Per-(key, bucket) PARTIAL POWER SUMS (n, Σd, Σd², Σd³, Σd⁴ of
+    * d = value − shift, DECIMAL(38,0)) — the moments analog of
+    * [[bucketPartials]]: exactly mergeable integer sums that let a
+    * standing query maintain what the mean-diff and Jarque–Bera
+    * statistics need without rescanning history. `shift` keeps
+    * fourth powers small (the [[Profiling.normalityJarqueBera]]
+    * domain bound); ANY integer works (the central-moment numerators
+    * are shift-invariant), so use a profiled mean from any prior
+    * day. The shift is RECORDED per row — merging rows with
+    * different shifts would mix incomparable sums, so the merge
+    * groups by it and a reader asserting a single monitoring config
+    * can check `shift`'s distinct count.
+    */
+  def bucketMoments(
+      df: DataFrame, key: Column, ts: Column, value: Column,
+      shift: Long, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val d = (value.cast("long") - lit(shift)).cast("decimal(38,0)")
+    df.select(key.as("key"), (us - pmod(us, lit(width))).as("bucket_start_us"),
+        d.as("_d"))
+      .filter(col("_d").isNotNull)
+      .groupBy(col("key"), col("bucket_start_us"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_d")).cast("decimal(38,0)").as("s1"),
+        sum(col("_d") * col("_d")).cast("decimal(38,0)").as("s2"),
+        sum(col("_d") * col("_d") * col("_d")).cast("decimal(38,0)").as("s3"),
+        sum(col("_d") * col("_d") * col("_d") * col("_d"))
+          .cast("decimal(38,0)").as("s4"))
+      .withColumn("shift", lit(shift))
+  }
+
+  /** Merge moments-partials tables: integer adds, any order. */
+  def mergeMoments(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "at least one moments frame required")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("key"), col("bucket_start_us"), col("shift"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("s1")).cast("decimal(38,0)").as("s1"),
+        sum(col("s2")).cast("decimal(38,0)").as("s2"),
+        sum(col("s3")).cast("decimal(38,0)").as("s3"),
+        sum(col("s4")).cast("decimal(38,0)").as("s4"))
+  }
+
+  /** Lifetime per-key moments over a moments log. */
+  def keyMoments(partials: DataFrame): DataFrame =
+    partials.groupBy(col("key"), col("shift"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("s1")).cast("decimal(38,0)").as("s1"),
+        sum(col("s2")).cast("decimal(38,0)").as("s2"),
+        sum(col("s3")).cast("decimal(38,0)").as("s3"),
+        sum(col("s4")).cast("decimal(38,0)").as("s4"))
 }

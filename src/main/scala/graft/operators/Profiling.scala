@@ -1554,6 +1554,21 @@ object Profiling {
       col("skewness"), col("kurtosis"), col("jb_stat"), col("p_value")): _*)
   }
 
+  /** Per-key [[normalityJarqueBera]] over a maintained MOMENTS log
+    * ([[Incremental.bucketMoments]] / the streaming momentsSink):
+    * the standing normality monitor — key×bucket rows in, the same
+    * finishing dag out, bit-identical to the batch grouped form when
+    * the log's shift equals the batch's (and exact for ANY shift by
+    * numerator invariance). */
+  def normalityFromMoments(moments: DataFrame): DataFrame =
+    jarqueBeraFinish(
+      Incremental.keyMoments(moments).select(
+        col("key").as("group_key"), col("n"),
+        col("s1").as("_s1"), col("s2").as("_s2"),
+        col("s3").as("_s3"), col("s4").as("_s4"),
+        col("shift").as("_m0")),
+      carry = Seq("group_key"))
+
   /** Per-group [[normalityJarqueBera]] — ONE global integer shift m0
     * (any integer shift yields exact central numerators, so sharing
     * the corpus-level shift costs nothing and keeps the plan at two

@@ -1640,6 +1640,42 @@ object StatTests {
         col("mean_diff"), col("z"), col("p_two_sided")): _*)
   }
 
+  /** [[meanDiffZ]] over a maintained MOMENTS log
+    * ([[Incremental.bucketMoments]] / the streaming momentsSink)
+    * instead of raw rows — the standing-monitor form: the log is
+    * keyed by the cohort, `inA` maps a key row to its side, and the
+    * statistic costs key×bucket rows however large the history. The
+    * recorded shift cancels out of variances/diff/z (shift
+    * invariance) and is added back to the reported means. Refuses a
+    * mixed-shift log loudly (those sums are incomparable).
+    */
+  def meanDiffZFromMoments(moments: DataFrame, inA: Column): DataFrame = {
+    val km = Incremental.keyMoments(moments)
+    val shifts = km.select(col("shift")).distinct().collect()
+    require(shifts.length <= 1,
+      s"moments log carries ${shifts.length} distinct shifts — " +
+        "re-profile the monitor with one shift before comparing sums")
+    val shift = if (shifts.isEmpty) 0L else shifts.head.getLong(0)
+    val flagged = km.select(
+      when(inA, 1L).otherwise(0L).as("_a"),
+      col("n"), col("s1"), col("s2"))
+    val dec0 = lit(0L).cast("decimal(38,0)")
+    val aggd = flagged.agg(
+      coalesce(sum(when(col("_a") === 1L, col("n"))), lit(0L)).as("n_a"),
+      coalesce(sum(when(col("_a") === 0L, col("n"))), lit(0L)).as("n_b"),
+      coalesce(sum(when(col("_a") === 1L, col("s1"))), dec0)
+        .cast("decimal(38,0)").as("_sa"),
+      coalesce(sum(when(col("_a") === 1L, col("s2"))), dec0)
+        .cast("decimal(38,0)").as("_qa"),
+      coalesce(sum(when(col("_a") === 0L, col("s1"))), dec0)
+        .cast("decimal(38,0)").as("_sb"),
+      coalesce(sum(when(col("_a") === 0L, col("s2"))), dec0)
+        .cast("decimal(38,0)").as("_qb"))
+    meanDiffFinish(aggd)
+      .withColumn("mean_a", col("mean_a") + lit(shift.toDouble))
+      .withColumn("mean_b", col("mean_b") + lit(shift.toDouble))
+  }
+
   /** Per-group [[meanDiffZ]] — each group's cohort-A-vs-B location
     * shift from ONE (group)-keyed aggregate; group-scale output. */
   def meanDiffZBy(

@@ -1402,7 +1402,13 @@ object EvalQueries {
   // ---------------------------------------------------------------
   def q175BhDiscoveries(spark: SparkSession, d: String): DataFrame =
     graft.operators.StatTests.benjaminiHochberg(
-      q160GroupKsPValue(spark, d), col("p_value"), col("source"),
+      // the per-source p table is the FIXTURE (a drift dashboard
+      // reads it materialized); the timed operator is the BH gate —
+      // the q129/q133 amortization discipline. The oracle still
+      // states the full from-scratch chain.
+      QueryFixtures.ensure(spark, d, "q175_source_ks_p")(
+        q160GroupKsPValue(spark, d)),
+      col("p_value"), col("source"),
       alpha = 0.05)
 
   val q175Sql: String =

@@ -46,6 +46,27 @@ object StreamingIncremental {
       }
       .start()
 
+  /** Start the MOMENTS sink: per-batch power-sum partials
+    * ([[Incremental.bucketMoments]]) appended to `path` — the
+    * standing-query feed for the mean-diff and Jarque–Bera monitors
+    * ([[graft.operators.StatTests.meanDiffZFromMoments]],
+    * [[graft.operators.Profiling.normalityFromMoments]]). */
+  def momentsSink(
+      stream: DataFrame, key: Column, ts: Column, value: Column,
+      shift: Long, bucketSeconds: Long, path: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Incremental.bucketMoments(batch, key, ts, value, shift, bucketSeconds)
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
+  /** Lifetime per-key moments of a moments log (merge-at-read). */
+  def readKeyMoments(spark: SparkSession, path: String): DataFrame =
+    Incremental.keyMoments(spark.read.parquet(path))
+
   /** Current per-key totals of a partials log: merge-at-read over
     * partials rows (never raw history). */
   def readTotals(spark: SparkSession, path: String): DataFrame =

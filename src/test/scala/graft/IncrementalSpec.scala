@@ -187,4 +187,61 @@ class IncrementalSpec extends AnyFunSuite {
     // the two excluded rows (0.0, -7.0) counted nowhere
     assert(streamed.map(_.getAs[Long]("n")).sum == 7L)
   }
+
+  test("streaming moments log: JB and mean-diff monitors equal their batch forms") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIncremental
+    import graft.operators.{Profiling, StatTests}
+    implicit val sqlCtx = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_mom").toString
+    val (log, ckpt) = (s"$scratch/moments", s"$scratch/ckpt")
+
+    val batch1 = Seq(("a", 12L), ("a", 15L), ("b", 40L), ("a", 9L))
+      .map { case (k, v) => (k, ts("2024-01-01 05:00:00"), v) }
+    val batch2 = Seq(("a", 14L), ("b", 44L), ("b", 38L), ("b", 47L), ("a", 11L))
+      .map { case (k, v) => (k, ts("2024-01-02 07:00:00"), v) }
+    val all = (batch1 ++ batch2).map(t => (t._1, t._3)).toDF("k", "v")
+
+    // the batch grouped JB picks m0 = floor(global mean); give the
+    // standing monitor the same shift so results are BIT-identical
+    val gm = all.agg(sum($"v").cast("double") / count(lit(1)).cast("double"))
+      .head().getDouble(0)
+    val m0 = math.floor(gm).toLong
+
+    val stream = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val sq = StreamingIncremental.momentsSink(
+      stream.toDF().toDF("k", "t", "v"), $"k", $"t", $"v", m0, 86400L, log, ckpt)
+    stream.addData(batch1); sq.processAllAvailable()
+    stream.addData(batch2); sq.processAllAvailable()
+    sq.stop()
+
+    val streamedJb = Profiling.normalityFromMoments(spark.read.parquet(log))
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    val batchJb = Profiling.normalityJarqueBeraBy(all, $"k", $"v")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    assert(streamedJb.keySet == Set("a", "b"))
+    for (k <- Seq("a", "b"); f <- Seq("mean", "m2", "skewness", "kurtosis",
+        "jb_stat", "p_value"))
+      assert(streamedJb(k).getAs[Double](f) == batchJb(k).getAs[Double](f), s"$k.$f")
+
+    // mean-diff monitor over the same log: cohort = key
+    val streamedMd = StatTests.meanDiffZFromMoments(
+      spark.read.parquet(log), inA = col("key") === "a").head()
+    val batchMd = StatTests.meanDiffZ(all, $"v", $"k" === "a").head()
+    assert(streamedMd.getAs[Long]("n_a") == batchMd.getAs[Long]("n_a"))
+    // shift-invariant statistics agree to float noise (different but
+    // stated dags: shifted vs raw sums)
+    for (f <- Seq("mean_a", "mean_b", "var_a", "var_b", "mean_diff", "z"))
+      assert(math.abs(streamedMd.getAs[Double](f) - batchMd.getAs[Double](f)) < 1e-9, f)
+
+    // mixed-shift logs are refused loudly
+    graft.operators.Incremental.bucketMoments(
+      Seq(("a", ts("2024-01-03 00:00:00"), 5L)).toDF("k", "t", "v"),
+      $"k", $"t", $"v", m0 + 7L, 86400L)
+      .write.mode("append").parquet(log)
+    val ex = intercept[IllegalArgumentException] {
+      StatTests.meanDiffZFromMoments(spark.read.parquet(log), col("key") === "a")
+    }
+    assert(ex.getMessage.contains("distinct shifts"))
+  }
 }
