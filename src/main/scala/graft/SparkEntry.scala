@@ -32,6 +32,11 @@ object SparkEntry {
     queries("q133_dedup_weighted_auc")(spark, sfDir) // ensures q133_scored/q133_keeplist
     queries("q135_retrieval_quality")(spark, sfDir)  // ensures q135_truth
     queries("q175_bh_discoveries")(spark, sfDir)     // ensures q175_source_ks_p
+    // p-scoring wrapper fixtures (base statistics have their own
+    // timed rows; the wrappers time the scoring)
+    Seq("q159_ks_p_value", "q160_group_ks_p_value", "q162_rank_sum_p",
+      "q163_group_rank_sum_p", "q167_spearman_p", "q168_group_spearman_p")
+      .foreach(q => queries(q)(spark, sfDir))
     ()
   }
 

@@ -1397,10 +1397,22 @@ object Profiling {
         lit(0L).cast("decimal(38,0)")).cast("decimal(38,0)").as("_dC"))
 
     // ---- exact tie terms from the distinct-value census -----------
-    def margTie2(key: String): DataFrame = {
+    // three per-axis tie censuses, all exact integers: Σt(t−1) (the
+    // τ-b denominator), Σt(t−1)(2t+5) and Σt(t−1)(t−2) (the
+    // tie-corrected null-variance terms of the significance z)
+    def margTies(key: String): DataFrame = {
       val t = census.groupBy(col(key)).agg(sum(col("_n")).as("_t"))
-      t.agg(coalesce(sum(dec(col("_t")) * (dec(col("_t")) - one)),
-        lit(0L).cast("decimal(38,0)")).cast("decimal(38,0)").as(s"_t$key"))
+      val td = dec(col("_t"))
+      val two = lit(2L).cast("decimal(38,0)")
+      val five = lit(5L).cast("decimal(38,0)")
+      val dec0 = lit(0L).cast("decimal(38,0)")
+      t.agg(
+        coalesce(sum(td * (td - one)), dec0)
+          .cast("decimal(38,0)").as(s"_t$key"),
+        coalesce(sum(td * (td - one) * (two * td + five)), dec0)
+          .cast("decimal(38,0)").as(s"_tv$key"),
+        coalesce(sum(td * (td - one) * (td - two)), dec0)
+          .cast("decimal(38,0)").as(s"_tw$key"))
     }
     val jointTie = census.agg(
       coalesce(sum(dec(col("_n")) * (dec(col("_n")) - one)),
@@ -1408,16 +1420,32 @@ object Profiling {
 
     val joined = domA
       .crossJoin(broadcast(aggB)).crossJoin(broadcast(aggC))
-      .crossJoin(broadcast(margTie2("_x"))).crossJoin(broadcast(margTie2("_y")))
+      .crossJoin(broadcast(margTies("_x"))).crossJoin(broadcast(margTies("_y")))
       .crossJoin(broadcast(jointTie))
       .select(
         lit(total).as("n"),
         (col("_cA") + col("_cB") + col("_cC")).cast("decimal(38,0)").as("_c"),
         (col("_dA") + col("_dB") + col("_dC")).cast("decimal(38,0)").as("_d"),
-        col("_t_x").as("_tx2"), col("_t_y").as("_ty2"), col("_txy2"))
+        col("_t_x").as("_tx2"), col("_t_y").as("_ty2"), col("_txy2"),
+        col("_tv_x"), col("_tv_y"), col("_tw_x"), col("_tw_y"))
     val dn = col("n").cast("double")
     val dx = (dn * (dn - lit(1.0)) - col("_tx2").cast("double")) / lit(2.0)
     val dy = (dn * (dn - lit(1.0)) - col("_ty2").cast("double")) / lit(2.0)
+    // tie-corrected null variance of C−D (Kendall 1970 / the scipy
+    // kendalltau convention): the big (v0−vt−vu) term is an EXACT
+    // decimal subtraction; the three terms combine as additions of
+    // DIVISION results — no fusible a·b+c float shape
+    val nDecC = dec(lit(total))
+    val one2 = lit(1L).cast("decimal(38,0)")
+    val v0 = nDecC * (nDecC - one2) *
+      (lit(2L).cast("decimal(38,0)") * nDecC + lit(5L).cast("decimal(38,0)"))
+    val varNum1 = (v0 - col("_tv_x") - col("_tv_y")).cast("decimal(38,0)")
+    val term1 = varNum1.cast("double") / lit(18.0)
+    val term2 = (col("_tx2") * col("_ty2")).cast("decimal(38,0)").cast("double") /
+      (lit(2.0) * dn * (dn - lit(1.0)))
+    val term3 = (col("_tw_x") * col("_tw_y")).cast("decimal(38,0)").cast("double") /
+      (lit(9.0) * dn * (dn - lit(1.0)) * (dn - lit(2.0)))
+    val varCD = term1 + term2 + term3
     val out = joined.select(
       col("n"),
       col("_c").cast("double").as("concordant"),
@@ -1427,7 +1455,11 @@ object Profiling {
       col("_txy2").cast("double").as("tie_xy2"),
       when(dx > lit(0.0) && dy > lit(0.0),
         (col("_c").cast("double") - col("_d").cast("double")) / sqrt(dx * dy))
-        .as("tau_b"))
+        .as("tau_b"),
+      when(lit(total) > 2L && varCD > lit(0.0),
+        (col("_c").cast("double") - col("_d").cast("double")) / sqrt(varCD))
+        .as("z"))
+      .withColumn("p_two_sided", StatTests.normalPTwoSided(col("z")))
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(raw, census, cen))
     out
   }

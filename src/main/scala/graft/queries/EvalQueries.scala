@@ -1152,12 +1152,14 @@ object EvalQueries {
   // IEEE dag is). Closes the "ks_z left unscored" gap: the monitor
   // can now gate on "p < 0.01", not a raw critical value.
   // ---------------------------------------------------------------
-  def q159KsPValue(spark: SparkSession, d: String): DataFrame = {
-    val s = scored(spark, d)
-    graft.operators.StatTests.ksTwoSample(s, col("logit"), col("is_en"))
+  def q159KsPValue(spark: SparkSession, d: String): DataFrame =
+    // the base statistic is q144's own timed row; here the timed
+    // operator is the p-scoring (the q175 fixture discipline)
+    QueryFixtures.ensure(spark, d, "q159_base_ks")(
+      { val s = scored(spark, d)
+        graft.operators.StatTests.ksTwoSample(s, col("logit"), col("is_en")) })
       .withColumn("p_value",
         graft.operators.StatTests.kolmogorovPValue(col("ks_z")))
-  }
 
   val q159Sql: String =
     s"""WITH base AS ($q144Sql)
@@ -1173,7 +1175,8 @@ object EvalQueries {
   // dag, per group.
   // ---------------------------------------------------------------
   def q160GroupKsPValue(spark: SparkSession, d: String): DataFrame =
-    q147GroupKs(spark, d)
+    QueryFixtures.ensure(spark, d, "q160_base_group_ks")(
+      q147GroupKs(spark, d))
       .withColumn("p_value",
         graft.operators.StatTests.kolmogorovPValue(col("ks_z")))
 
@@ -1191,7 +1194,8 @@ object EvalQueries {
   // every z the engine emits now carries its evidence strength.
   // ---------------------------------------------------------------
   def q162RankSumP(spark: SparkSession, d: String): DataFrame =
-    q146RankSum(spark, d)
+    QueryFixtures.ensure(spark, d, "q162_base_rank_sum")(
+      q146RankSum(spark, d))
       .withColumn("p_two_sided",
         graft.operators.StatTests.normalPTwoSided(col("z")))
 
@@ -1207,7 +1211,8 @@ object EvalQueries {
   // small source can never reach.
   // ---------------------------------------------------------------
   def q163GroupRankSumP(spark: SparkSession, d: String): DataFrame =
-    q148GroupRankSum(spark, d)
+    QueryFixtures.ensure(spark, d, "q163_base_group_rank_sum")(
+      q148GroupRankSum(spark, d))
       .withColumn("p_two_sided",
         graft.operators.StatTests.normalPTwoSided(col("z")))
 
@@ -1258,12 +1263,16 @@ object EvalQueries {
        |      THEN CAST(a.n AS DECIMAL(38,0)) * b.n END) AS DECIMAL(38,0)), 0) AS d
        |  FROM c a JOIN c b
        |    ON (a.x < b.x) OR (a.x = b.x AND a.y < b.y)),
-       |tx AS (SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS DECIMAL(38,0)) AS v
+       |tx AS (SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS DECIMAL(38,0)) AS v,
+       |    CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS HUGEINT) AS v2,
+       |    CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS HUGEINT) AS v3
        |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY x) m),
-       |ty AS (SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS DECIMAL(38,0)) AS v
+       |ty AS (SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS DECIMAL(38,0)) AS v,
+       |    CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS HUGEINT) AS v2,
+       |    CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS HUGEINT) AS v3
        |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY y) m),
-       |txy AS (SELECT CAST(SUM(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS DECIMAL(38,0)) AS v FROM c)
-       |SELECT t.nn AS n,
+       |txy AS (SELECT CAST(SUM(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS DECIMAL(38,0)) AS v FROM c),
+       |res AS (SELECT t.nn AS n,
        |  CAST(p.c AS DOUBLE) AS concordant, CAST(p.d AS DOUBLE) AS discordant,
        |  CAST(tx.v AS DOUBLE) AS tie_x2, CAST(ty.v AS DOUBLE) AS tie_y2,
        |  CAST(txy.v AS DOUBLE) AS tie_xy2,
@@ -1276,8 +1285,28 @@ object EvalQueries {
        |        - CAST(tx.v AS DOUBLE)) / 2.0)
        |      * ((CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0)
        |        - CAST(ty.v AS DOUBLE)) / 2.0))
-       |  END AS tau_b
-       |FROM t CROSS JOIN p CROSS JOIN tx CROSS JOIN ty CROSS JOIN txy""".stripMargin
+       |  END AS tau_b,
+       |  CASE WHEN t.nn > 2 AND
+       |    (CAST(CAST(t.nn AS HUGEINT) * (t.nn - 1) * (2 * t.nn + 5)
+       |        - tx.v2 - ty.v2 AS DOUBLE) / 18.0
+       |      + CAST(CAST(tx.v AS HUGEINT) * CAST(ty.v AS HUGEINT) AS DOUBLE)
+       |        / (2.0 * CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0))
+       |      + CAST(tx.v3 * ty.v3 AS DOUBLE)
+       |        / (9.0 * CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0)
+       |           * (CAST(t.nn AS DOUBLE) - 2.0))) > 0.0
+       |  THEN (CAST(p.c AS DOUBLE) - CAST(p.d AS DOUBLE))
+       |    / SQRT(CAST(CAST(t.nn AS HUGEINT) * (t.nn - 1) * (2 * t.nn + 5)
+       |        - tx.v2 - ty.v2 AS DOUBLE) / 18.0
+       |      + CAST(CAST(tx.v AS HUGEINT) * CAST(ty.v AS HUGEINT) AS DOUBLE)
+       |        / (2.0 * CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0))
+       |      + CAST(tx.v3 * ty.v3 AS DOUBLE)
+       |        / (9.0 * CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0)
+       |           * (CAST(t.nn AS DOUBLE) - 2.0)))
+       |  END AS z
+       |FROM t CROSS JOIN p CROSS JOIN tx CROSS JOIN ty CROSS JOIN txy)
+       |SELECT res.*,
+       |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
+       |FROM res""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -1301,7 +1330,8 @@ object EvalQueries {
        |  FROM base) t""".stripMargin
 
   def q167SpearmanP(spark: SparkSession, d: String): DataFrame =
-    spearmanScored(q139LengthCorrelation(spark, d))
+    spearmanScored(QueryFixtures.ensure(spark, d, "q167_base_spearman")(
+      q139LengthCorrelation(spark, d)))
 
   val q167Sql: String =
     s"""WITH base AS ($q139Sql)
@@ -1312,7 +1342,8 @@ object EvalQueries {
   // correlation dashboard ranked by evidence strength.
   // ---------------------------------------------------------------
   def q168GroupSpearmanP(spark: SparkSession, d: String): DataFrame =
-    spearmanScored(q152GroupSpearman(spark, d))
+    spearmanScored(QueryFixtures.ensure(spark, d, "q168_base_group_spearman")(
+      q152GroupSpearman(spark, d)))
 
   val q168Sql: String =
     s"""WITH base AS ($q152Sql)

@@ -734,6 +734,24 @@ class ProfilingSpec extends AnyFunSuite {
       val dx = (n.toDouble * (n - 1).toDouble - tx2.toDouble) / 2.0
       val dy = (n.toDouble * (n - 1).toDouble - ty2.toDouble) / 2.0
       assert(r.getAs[Double]("tau_b") == (c.toDouble - d.toDouble) / math.sqrt(dx * dy))
+      // tie-corrected significance z (the scipy kendalltau convention)
+      def tieSums(vs: Seq[Double]): (BigInt, BigInt, BigInt) = {
+        val ts = vs.groupBy(identity).values.map(g => BigInt(g.size)).toSeq
+        (ts.map(t => t * (t - 1)).sum,
+          ts.map(t => t * (t - 1) * (2 * t + 5)).sum,
+          ts.map(t => t * (t - 1) * (t - 2)).sum)
+      }
+      val (v1x, v2x, v3x) = tieSums(pts.map(_._1))
+      val (v1y, v2y, v3y) = tieSums(pts.map(_._2))
+      val nB = BigInt(n)
+      val nd = n.toDouble
+      val varCD = (nB * (nB - 1) * (2 * nB + 5) - v2x - v2y).toDouble / 18.0 +
+        (v1x * v1y).toDouble / (2.0 * nd * (nd - 1.0)) +
+        (v3x * v3y).toDouble / (9.0 * nd * (nd - 1.0) * (nd - 2.0))
+      val z = (c.toDouble - d.toDouble) / math.sqrt(varCD)
+      assert(r.getAs[Double]("z") == z, s"cells=$cells z")
+      assert(r.getAs[Double]("p_two_sided") > 0.0 &&
+        r.getAs[Double]("p_two_sided") <= 1.0)
     }
   }
 
