@@ -1586,30 +1586,34 @@ object StatTests {
     * everything after is a 1-row frame.
     */
   def meanDiffZ(df: DataFrame, intValue: Column, inA: Column): DataFrame = {
+    // NULL values are excluded IN THE AGGREGATE (when-guards), never
+    // by a raw-row filter on the derived column: predicate pushdown
+    // would inline the (possibly expensive) value expression into a
+    // scan Filter and evaluate it twice per row (the q169 logit tree,
+    // caught in-plan; the single-evaluation discipline)
     val nn = df
       .filter(inA.isNotNull)
       .select(intValue.cast("long").as("_v"),
         when(inA.cast("boolean"), 1L).otherwise(0L).as("_a"))
-      .filter(col("_v").isNotNull)
+    meanDiffFinish(nn.agg(
+      meanDiffSides.head, meanDiffSides.tail: _*))
+  }
+
+  /** Null-value-aware per-cohort (count, Σv, Σv²) aggregate
+    * expressions over the (_v, _a) projection — shared by the solo
+    * and grouped mean-diff forms. */
+  private def meanDiffSides: Seq[Column] = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    val vOk = col("_v").isNotNull
     def side(flag: Column, suffix: String) = Seq(
-      sum(flag).as(s"n_$suffix"),
-      sum(when(flag === 1L, dec(col("_v"))).otherwise(dec(lit(0L))))
+      coalesce(sum(when(vOk, flag)), lit(0L)).as(s"n_$suffix"),
+      coalesce(sum(when(vOk && flag === 1L, dec(col("_v")))),
+        lit(0L).cast("decimal(38,0)"))
         .cast("decimal(38,0)").as(s"_s$suffix"),
-      sum(when(flag === 1L, dec(col("_v")) * dec(col("_v")))
-        .otherwise(dec(lit(0L))))
+      coalesce(sum(when(vOk && flag === 1L, dec(col("_v")) * dec(col("_v")))),
+        lit(0L).cast("decimal(38,0)"))
         .cast("decimal(38,0)").as(s"_q$suffix"))
-    val aggd = nn.agg(
-      (side(col("_a"), "a") ++ side(lit(1L) - col("_a"), "b")).head,
-      (side(col("_a"), "a") ++ side(lit(1L) - col("_a"), "b")).tail: _*)
-      .select(
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"),
-        coalesce(col("_sa"), dec(lit(0L))).as("_sa"),
-        coalesce(col("_qa"), dec(lit(0L))).as("_qa"),
-        coalesce(col("_sb"), dec(lit(0L))).as("_sb"),
-        coalesce(col("_qb"), dec(lit(0L))).as("_qb"))
-    meanDiffFinish(aggd)
+    side(col("_a"), "a") ++ side(lit(1L) - col("_a"), "b")
   }
 
   /** The shared finishing dag of [[meanDiffZ]] / [[meanDiffZBy]]:
@@ -1684,25 +1688,8 @@ object StatTests {
       .filter(inA.isNotNull && group.isNotNull)
       .select(group.as("_g"), intValue.cast("long").as("_v"),
         when(inA.cast("boolean"), 1L).otherwise(0L).as("_a"))
-      .filter(col("_v").isNotNull)
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    def side(flag: Column, suffix: String) = Seq(
-      sum(flag).as(s"n_$suffix"),
-      sum(when(flag === 1L, dec(col("_v"))).otherwise(dec(lit(0L))))
-        .cast("decimal(38,0)").as(s"_s$suffix"),
-      sum(when(flag === 1L, dec(col("_v")) * dec(col("_v")))
-        .otherwise(dec(lit(0L))))
-        .cast("decimal(38,0)").as(s"_q$suffix"))
-    val exprs = side(col("_a"), "a") ++ side(lit(1L) - col("_a"), "b")
     val aggd = nn.groupBy(col("_g").as("group_key"))
-      .agg(exprs.head, exprs.tail: _*)
-      .select(col("group_key"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"),
-        coalesce(col("_sa"), dec(lit(0L))).as("_sa"),
-        coalesce(col("_qa"), dec(lit(0L))).as("_qa"),
-        coalesce(col("_sb"), dec(lit(0L))).as("_sb"),
-        coalesce(col("_qb"), dec(lit(0L))).as("_qb"))
+      .agg(meanDiffSides.head, meanDiffSides.tail: _*)
     meanDiffFinish(aggd, carry = Seq("group_key"))
   }
 

@@ -1357,11 +1357,15 @@ object EvalQueries {
   // ordinal, this = mean shift in the metric's units), p-scored via
   // the shared normal grid.
   // ---------------------------------------------------------------
-  def q169MeanDiffZ(spark: SparkSession, d: String): DataFrame = {
-    val s = scored(spark, d).filter(!isnan(col("logit")))
+  def q169MeanDiffZ(spark: SparkSession, d: String): DataFrame =
+    // the NaN guard lives INSIDE the projected expression (NaN → NULL
+    // → excluded in the aggregate): a raw filter on the derived logit
+    // would inline the whole feature tree into the scan Filter and
+    // evaluate it twice per row (caught in-plan this round)
     graft.operators.StatTests.meanDiffZ(
-      s, bround(col("logit") * lit(1000000.0)), col("is_en"))
-  }
+      scored(spark, d),
+      when(!isnan(col("logit")), bround(col("logit") * lit(1000000.0))),
+      col("is_en"))
 
   private def meanDiffAggSql(src: String, groupSel: String, groupBy: String): String =
     s"""v AS (SELECT $groupSel
@@ -1411,12 +1415,12 @@ object EvalQueries {
   // q170 — per-source mean-difference z (q169 keyed by source): one
   // grouped aggregate, group-scale output, same finishing dag.
   // ---------------------------------------------------------------
-  def q170GroupMeanDiffZ(spark: SparkSession, d: String): DataFrame = {
-    val s = scored(spark, d).filter(!isnan(col("logit")))
+  def q170GroupMeanDiffZ(spark: SparkSession, d: String): DataFrame =
     graft.operators.StatTests.meanDiffZBy(
-      s, col("source"), bround(col("logit") * lit(1000000.0)), col("is_en"))
+      scored(spark, d), col("source"),
+      when(!isnan(col("logit")), bround(col("logit") * lit(1000000.0))),
+      col("is_en"))
       .withColumnRenamed("group_key", "source")
-  }
 
   val q170Sql: String =
     s"""WITH s AS ($scoredSql),

@@ -106,7 +106,9 @@ object StreamingCuration {
       s"benchmark has ${rows.length} rows > $maxBenchRows — a set that " +
         "size is not literal-unrollable; route it through the batch " +
         "decontaminateSemantic pass instead")
-    val vecs = rows.map(_.getSeq[Float](0).toArray).filter(_ != null)
+    // a NULL benchmark embedding is skipped (it can match nothing);
+    // the null check must run BEFORE getSeq dereferences the cell
+    val vecs = rows.filter(!_.isNullAt(0)).map(_.getSeq[Float](0).toArray)
     if (vecs.isEmpty)
       return stream
         .withColumn("max_bench_cosine", lit(null).cast("double"))

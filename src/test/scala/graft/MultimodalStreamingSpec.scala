@@ -978,7 +978,8 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq(
       (100L, Array(1.0f, 0.0f, 0.0f)),
-      (101L, Array(0.0f, 1.0f, 0.0f))).toDF("id", "vec")
+      (101L, Array(0.0f, 1.0f, 0.0f)),
+      (102L, null.asInstanceOf[Array[Float]])).toDF("id", "vec") // NULL bench vec: skipped, not an NPE
     val rows = Seq(
       (1L, Array(0.99f, 0.1f, 0.0f)),   // contaminated (near bench 100)
       (2L, Array(0.0f, 0.0f, 1.0f)),    // orthogonal — admitted
