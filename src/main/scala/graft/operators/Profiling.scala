@@ -1464,6 +1464,179 @@ object Profiling {
     out
   }
 
+  /** Per-group [[kendallTauExact]] — each group's exact raw-value
+    * τ-b and tie-corrected z from ONE (group, x, y) census: the same
+    * three-class pair partition, with the cell grid SHARED across
+    * groups (cells bucket the global value range; cell order = value
+    * order holds within every group, so per-group dominance on the
+    * zero-filled groups × cells² spine is exact), B/C refinement
+    * joins keyed by (group, cell), and per-group tie censuses.
+    * Group-scale joins ride the adaptive-broadcast convention.
+    * Default cells is smaller than the solo form's: the spine is
+    * groups × cells², and per-group distinct counts are smaller.
+    */
+  def kendallTauExactBy(
+      df: DataFrame, group: Column, x: Column, y: Column,
+      cells: Int = 64,
+      broadcastRowLimit: Long = Limits.BroadcastRowLimit): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val W = org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val raw = df
+      .select(group.as("_g"), x.cast("double").as("_x"), y.cast("double").as("_y"))
+      .persist()
+    val nn = raw.filter(col("_g").isNotNull &&
+      col("_x").isNotNull && !isnan(col("_x")) &&
+      col("_y").isNotNull && !isnan(col("_y")))
+    val census = nn.groupBy(col("_g"), col("_x"), col("_y"))
+      .agg(count(lit(1)).as("_n"))
+      .persist()
+    val stats = census.agg(
+      min(col("_x")), max(col("_x")), min(col("_y")), max(col("_y")),
+      countDistinct(col("_g"))).head()
+    if (stats.isNullAt(0)) {
+      census.unpersist(blocking = false); raw.unpersist(blocking = false)
+      return spark.range(0).select(
+        lit("").as("group_key"), lit(0L).as("n"),
+        lit(null).cast("double").as("concordant"),
+        lit(null).cast("double").as("discordant"),
+        lit(null).cast("double").as("tie_x2"),
+        lit(null).cast("double").as("tie_y2"),
+        lit(null).cast("double").as("tie_xy2"),
+        lit(null).cast("double").as("tau_b"),
+        lit(null).cast("double").as("z"),
+        lit(null).cast("double").as("p_two_sided"))
+    }
+    val (mnX, mxX) = (stats.getDouble(0), stats.getDouble(1))
+    val (mnY, mxY) = (stats.getDouble(2), stats.getDouble(3))
+    val ng = stats.getLong(4)
+    def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastRowLimit) broadcast(f) else f
+    def cellOf(c: Column, mn: Double, mx: Double): Column =
+      if (mx == mn) lit(0L)
+      else least(lit(cells - 1L), greatest(lit(0L),
+        floor((c - lit(mn)) / lit((mx - mn) / cells))))
+    val cen = census
+      .withColumn("_cx", cellOf(col("_x"), mnX, mxX))
+      .withColumn("_cy", cellOf(col("_y"), mnY, mxY))
+      .persist()
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val one = lit(1L).cast("decimal(38,0)")
+    val dec0 = lit(0L).cast("decimal(38,0)")
+
+    // class A per group: dominance on the zero-filled group spine
+    val cellCensus = cen.groupBy(col("_g"), col("_cx"), col("_cy"))
+      .agg(sum(col("_n")).as("_n"))
+    val grid = spark.range(0, cells).select(col("id").as("_cx"))
+      .crossJoin(broadcast(spark.range(0, cells).select(col("id").as("_cy"))))
+    val full = census.select(col("_g")).distinct()
+      .crossJoin(broadcast(grid))
+      .join(cellCensus, Seq("_g", "_cx", "_cy"), "left")
+      .select(col("_g"), col("_cx"), col("_cy"),
+        coalesce(col("_n"), lit(0L)).as("_n"))
+    val wCol = W.partitionBy(col("_g"), col("_cx")).orderBy(col("_cy"))
+    val s1 = full
+      .withColumn("_sAbove",
+        coalesce(sum(col("_n")).over(wCol.rowsBetween(1, W.unboundedFollowing)), lit(0L)))
+      .withColumn("_sBelow",
+        coalesce(sum(col("_n")).over(wCol.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val wRow = W.partitionBy(col("_g"), col("_cy")).orderBy(col("_cx"))
+      .rowsBetween(1, W.unboundedFollowing)
+    val domA = s1
+      .withColumn("_gg", coalesce(sum(col("_sAbove")).over(wRow), lit(0L)))
+      .withColumn("_ll", coalesce(sum(col("_sBelow")).over(wRow), lit(0L)))
+      .groupBy(col("_g")).agg(
+        sum(col("_n")).as("n"),
+        sum(dec(col("_n")) * dec(col("_gg"))).cast("decimal(38,0)").as("_cA"),
+        sum(dec(col("_n")) * dec(col("_ll"))).cast("decimal(38,0)").as("_dA"))
+
+    // classes B and C: (group, cell)-keyed refinement joins
+    val l = cen.select(col("_g").as("_lg"), col("_cx").as("_kcx"),
+      col("_cy").as("_kcy"), col("_x").as("_x1"), col("_y").as("_y1"),
+      col("_n").as("_n1"))
+    val r = cen.select(col("_g").as("_rg"), col("_cx").as("_rcx"),
+      col("_cy").as("_rcy"), col("_x").as("_x2"), col("_y").as("_y2"),
+      col("_n").as("_n2"))
+    val aggB = l.join(r, col("_lg") === col("_rg") &&
+        col("_kcx") === col("_rcx") && col("_x1") < col("_x2"))
+      .groupBy(col("_lg").as("_g")).agg(
+        coalesce(sum(when(col("_y2") > col("_y1"), dec(col("_n1")) * dec(col("_n2")))),
+          dec0).cast("decimal(38,0)").as("_cB"),
+        coalesce(sum(when(col("_y2") < col("_y1"), dec(col("_n1")) * dec(col("_n2")))),
+          dec0).cast("decimal(38,0)").as("_dB"))
+    val aggC = l.join(r, col("_lg") === col("_rg") &&
+        col("_kcy") === col("_rcy") &&
+        col("_y1") < col("_y2") && col("_kcx") =!= col("_rcx"))
+      .groupBy(col("_lg").as("_g")).agg(
+        coalesce(sum(when(col("_rcx") > col("_kcx"), dec(col("_n1")) * dec(col("_n2")))),
+          dec0).cast("decimal(38,0)").as("_cC"),
+        coalesce(sum(when(col("_rcx") < col("_kcx"), dec(col("_n1")) * dec(col("_n2")))),
+          dec0).cast("decimal(38,0)").as("_dC"))
+
+    // per-group tie censuses (τ-b denominator + z variance terms)
+    def margTies(key: String, t2: String, tv: String, tw: String): DataFrame = {
+      val t = census.groupBy(col("_g").as("_gm"), col(key)).agg(sum(col("_n")).as("_t"))
+      val td = dec(col("_t"))
+      val two = lit(2L).cast("decimal(38,0)")
+      val five = lit(5L).cast("decimal(38,0)")
+      t.groupBy(col("_gm")).agg(
+        coalesce(sum(td * (td - one)), dec0).cast("decimal(38,0)").as(t2),
+        coalesce(sum(td * (td - one) * (two * td + five)), dec0)
+          .cast("decimal(38,0)").as(tv),
+        coalesce(sum(td * (td - one) * (td - two)), dec0)
+          .cast("decimal(38,0)").as(tw))
+    }
+    val jointTie = census.groupBy(col("_g").as("_gm"))
+      .agg(coalesce(sum(dec(col("_n")) * (dec(col("_n")) - one)), dec0)
+        .cast("decimal(38,0)").as("_txy2"))
+
+    def joinG(a: DataFrame, b: DataFrame): DataFrame = {
+      val withKey = if (b.columns.contains("_gm")) b else b.withColumnRenamed("_g", "_gm")
+      a.join(bcIfSmall(withKey, ng), col("_g") === col("_gm"), "left").drop("_gm")
+    }
+    val joined = joinG(joinG(joinG(joinG(joinG(
+      domA, aggB), aggC),
+      margTies("_x", "_tx2", "_tvx", "_twx")),
+      margTies("_y", "_ty2", "_tvy", "_twy")), jointTie)
+      .na.fill(0, Seq.empty) // B/C absent groups: left-join NULLs → zero below
+    val z0 = (c: String) => coalesce(col(c), dec0)
+    val base = joined.select(
+      col("_g").as("group_key"), col("n"),
+      (col("_cA") + z0("_cB") + z0("_cC")).cast("decimal(38,0)").as("_c"),
+      (col("_dA") + z0("_dB") + z0("_dC")).cast("decimal(38,0)").as("_d"),
+      col("_tx2"), col("_ty2"), col("_txy2"),
+      col("_tvx"), col("_tvy"), col("_twx"), col("_twy"))
+    val dn = col("n").cast("double")
+    val dx = (dn * (dn - lit(1.0)) - col("_tx2").cast("double")) / lit(2.0)
+    val dy = (dn * (dn - lit(1.0)) - col("_ty2").cast("double")) / lit(2.0)
+    val nDecC = dec(col("n"))
+    val v0 = nDecC * (nDecC - one) *
+      (lit(2L).cast("decimal(38,0)") * nDecC + lit(5L).cast("decimal(38,0)"))
+    val varNum1 = (v0 - col("_tvx") - col("_tvy")).cast("decimal(38,0)")
+    val term1 = varNum1.cast("double") / lit(18.0)
+    val term2 = (col("_tx2") * col("_ty2")).cast("decimal(38,0)").cast("double") /
+      (lit(2.0) * dn * (dn - lit(1.0)))
+    val term3 = (col("_twx") * col("_twy")).cast("decimal(38,0)").cast("double") /
+      (lit(9.0) * dn * (dn - lit(1.0)) * (dn - lit(2.0)))
+    val varCD = term1 + term2 + term3
+    val out = base.select(
+      col("group_key"), col("n"),
+      col("_c").cast("double").as("concordant"),
+      col("_d").cast("double").as("discordant"),
+      col("_tx2").cast("double").as("tie_x2"),
+      col("_ty2").cast("double").as("tie_y2"),
+      col("_txy2").cast("double").as("tie_xy2"),
+      when(dx > lit(0.0) && dy > lit(0.0),
+        (col("_c").cast("double") - col("_d").cast("double")) / sqrt(dx * dy))
+        .as("tau_b"),
+      when(col("n") > 2L && varCD > lit(0.0),
+        (col("_c").cast("double") - col("_d").cast("double")) / sqrt(varCD))
+        .as("z"))
+      .withColumn("p_two_sided", StatTests.normalPTwoSided(col("z")))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(raw, census, cen))
+    out
+  }
+
   /** Jarque–Bera normality census — "is this metric's distribution
     * even roughly normal?" as a scored decision (residual checks,
     * anomaly-model preconditions, detecting mixture/fat-tail regimes

@@ -1466,6 +1466,100 @@ object EvalQueries {
        |  COALESCE(c.p_value <= k.kp, FALSE) AS is_discovery
        |FROM c CROSS JOIN k""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q176 — per-source EXACT Kendall tau-b (q164 keyed by source):
+  // which source's quality-length association differs, with exact
+  // tie-corrected evidence. Shared global cell grid (pair counts are
+  // cell-layout-invariant — spec-pinned bit-equal to solo per
+  // group); same 5% sample so the per-source oracle pair joins stay
+  // replayable.
+  // ---------------------------------------------------------------
+  def q176GroupExactKendall(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .filter(graft.operators.Sampling.hashScore(col("doc_id")) < lit(0.05))
+      .withColumn("doc_len", col("n_chars"))
+    val s = graft.operators.TextAnalysis.linearQualityScore(
+      docs, "doc_id", "text",
+      bias = -2.0, wStopword = 8.0, wPunct = -4.0,
+      wMeanWordLen = 0.25, wKChars = 0.5,
+      carry = Seq("doc_len", "source"))
+    graft.operators.Profiling.kendallTauExactBy(
+      s, col("source"), col("logit"), col("doc_len"), cells = 32)
+      .withColumnRenamed("group_key", "source")
+  }
+
+  val q176Sql: String = {
+    val sample =
+      "CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0 < 0.05"
+    s"""WITH q AS (${ExtensionQueries.q112Sql}),
+       |s AS (SELECT d.source AS g, q.logit AS x, CAST(d.n_chars AS DOUBLE) AS y
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id
+       |  WHERE $sample
+       |    AND d.source IS NOT NULL
+       |    AND q.logit IS NOT NULL AND NOT isnan(q.logit)
+       |    AND d.n_chars IS NOT NULL),
+       |c AS (SELECT g, x, y, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY g, x, y),
+       |t AS (SELECT g, CAST(SUM(n) AS BIGINT) AS nn FROM c GROUP BY g),
+       |p AS (
+       |  SELECT a.g,
+       |    COALESCE(CAST(SUM(CASE WHEN a.x < b.x AND a.y < b.y
+       |      THEN CAST(a.n AS DECIMAL(38,0)) * b.n END) AS DECIMAL(38,0)), 0) AS c,
+       |    COALESCE(CAST(SUM(CASE WHEN a.x < b.x AND a.y > b.y
+       |      THEN CAST(a.n AS DECIMAL(38,0)) * b.n END) AS DECIMAL(38,0)), 0) AS d
+       |  FROM c a JOIN c b
+       |    ON a.g = b.g AND ((a.x < b.x) OR (a.x = b.x AND a.y < b.y))
+       |  GROUP BY a.g),
+       |tx AS (SELECT g, CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS DECIMAL(38,0)) AS v,
+       |    CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS HUGEINT) AS v2,
+       |    CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS HUGEINT) AS v3
+       |  FROM (SELECT g, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY g, x) m GROUP BY g),
+       |ty AS (SELECT g, CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS DECIMAL(38,0)) AS v,
+       |    CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS HUGEINT) AS v2,
+       |    CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS HUGEINT) AS v3
+       |  FROM (SELECT g, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY g, y) m GROUP BY g),
+       |txy AS (SELECT g, CAST(SUM(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS DECIMAL(38,0)) AS v
+       |  FROM c GROUP BY g),
+       |res AS (SELECT t.g, t.nn AS n,
+       |  CASE WHEN p.c IS NULL THEN 0.0 ELSE CAST(p.c AS DOUBLE) END AS concordant,
+       |  CASE WHEN p.d IS NULL THEN 0.0 ELSE CAST(p.d AS DOUBLE) END AS discordant,
+       |  CAST(tx.v AS DOUBLE) AS tie_x2, CAST(ty.v AS DOUBLE) AS tie_y2,
+       |  CAST(txy.v AS DOUBLE) AS tie_xy2,
+       |  CASE WHEN (CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0)
+       |        - CAST(tx.v AS DOUBLE)) / 2.0 > 0.0
+       |    AND (CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0)
+       |        - CAST(ty.v AS DOUBLE)) / 2.0 > 0.0
+       |  THEN (COALESCE(CAST(p.c AS DOUBLE), 0.0) - COALESCE(CAST(p.d AS DOUBLE), 0.0))
+       |    / SQRT(((CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0)
+       |        - CAST(tx.v AS DOUBLE)) / 2.0)
+       |      * ((CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0)
+       |        - CAST(ty.v AS DOUBLE)) / 2.0))
+       |  END AS tau_b,
+       |  CASE WHEN t.nn > 2 AND
+       |    (CAST(CAST(t.nn AS HUGEINT) * (t.nn - 1) * (2 * t.nn + 5)
+       |        - tx.v2 - ty.v2 AS DOUBLE) / 18.0
+       |      + CAST(CAST(tx.v AS HUGEINT) * CAST(ty.v AS HUGEINT) AS DOUBLE)
+       |        / (2.0 * CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0))
+       |      + CAST(tx.v3 * ty.v3 AS DOUBLE)
+       |        / (9.0 * CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0)
+       |           * (CAST(t.nn AS DOUBLE) - 2.0))) > 0.0
+       |  THEN (COALESCE(CAST(p.c AS DOUBLE), 0.0) - COALESCE(CAST(p.d AS DOUBLE), 0.0))
+       |    / SQRT(CAST(CAST(t.nn AS HUGEINT) * (t.nn - 1) * (2 * t.nn + 5)
+       |        - tx.v2 - ty.v2 AS DOUBLE) / 18.0
+       |      + CAST(CAST(tx.v AS HUGEINT) * CAST(ty.v AS HUGEINT) AS DOUBLE)
+       |        / (2.0 * CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0))
+       |      + CAST(tx.v3 * ty.v3 AS DOUBLE)
+       |        / (9.0 * CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1.0)
+       |           * (CAST(t.nn AS DOUBLE) - 2.0)))
+       |  END AS z
+       |FROM t
+       |LEFT JOIN p ON t.g = p.g
+       |JOIN tx ON t.g = tx.g JOIN ty ON t.g = ty.g JOIN txy ON t.g = txy.g)
+       |SELECT res.g AS source, res.n, res.concordant, res.discordant,
+       |  res.tie_x2, res.tie_y2, res.tie_xy2, res.tau_b, res.z,
+       |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
+       |FROM res""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_auc"               -> (q119Auc _),
     "q120_calibration"       -> (q120Calibration _),
@@ -1499,7 +1593,8 @@ object EvalQueries {
     "q168_group_spearman_p"  -> (q168GroupSpearmanP _),
     "q169_mean_diff_z"       -> (q169MeanDiffZ _),
     "q170_group_mean_diff_z" -> (q170GroupMeanDiffZ _),
-    "q175_bh_discoveries"    -> (q175BhDiscoveries _))
+    "q175_bh_discoveries"    -> (q175BhDiscoveries _),
+    "q176_group_exact_kendall" -> (q176GroupExactKendall _))
 
   val oracleSql: Map[String, String] = Map(
     "q119_auc"               -> q119Sql,
@@ -1534,5 +1629,6 @@ object EvalQueries {
     "q168_group_spearman_p"  -> q168Sql,
     "q169_mean_diff_z"       -> q169Sql,
     "q170_group_mean_diff_z" -> q170Sql,
-    "q175_bh_discoveries"    -> q175Sql)
+    "q175_bh_discoveries"    -> q175Sql,
+    "q176_group_exact_kendall" -> q176Sql)
 }

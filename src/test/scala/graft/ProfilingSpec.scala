@@ -849,4 +849,34 @@ class ProfilingSpec extends AnyFunSuite {
       assert(math.abs(gr.getAs[Double]("mean") - solo.getAs[Double]("mean")) < 1e-9)
     }
   }
+
+  test("kendallTauExactBy: grouped equals solo per group, bit for bit") {
+    // groups with different relationships, shapes, and tie structure
+    val pts = Seq.tabulate(150)(i => ("pos", (i % 17).toDouble, ((i % 17) + i % 3).toDouble)) ++
+      Seq.tabulate(120)(i => ("neg", (i % 13).toDouble, (20 - (i % 13) + i % 2).toDouble)) ++
+      Seq.tabulate(90)(i => ("tie", (i % 5).toDouble, 7.0))
+    val df = pts.toDF("g", "x", "y")
+    val grouped = Profiling.kendallTauExactBy(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    assert(grouped.keySet == Set("pos", "neg", "tie"))
+    for (g <- Seq("pos", "neg", "tie")) {
+      val solo = Profiling.kendallTauExact(
+        df.filter(col("g") === g), col("x"), col("y")).head()
+      val gr = grouped(g)
+      assert(gr.getAs[Long]("n") == solo.getAs[Long]("n"), s"$g.n")
+      // exact integer pair counts are cell-layout-invariant, so the
+      // grouped (global-bounds) and solo (own-bounds) forms agree
+      // bit for bit on every output
+      for (f <- Seq("concordant", "discordant", "tie_x2", "tie_y2", "tie_xy2",
+          "tau_b", "z", "p_two_sided")) {
+        val a = gr.isNullAt(gr.fieldIndex(f)); val b = solo.isNullAt(solo.fieldIndex(f))
+        assert(a == b, s"$g.$f nullity")
+        if (!a) assert(gr.getAs[Double](f) == solo.getAs[Double](f), s"$g.$f")
+      }
+    }
+    // the constant-y group has no rank order: tau NULL
+    assert(grouped("tie").isNullAt(grouped("tie").fieldIndex("tau_b")))
+    assert(grouped("pos").getAs[Double]("tau_b") > 0.0)
+    assert(grouped("neg").getAs[Double]("tau_b") < 0.0)
+  }
 }
