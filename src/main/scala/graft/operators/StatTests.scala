@@ -1746,6 +1746,32 @@ object StatTests {
         col("z"), col("p_two_sided")): _*)
   }
 
+  /** [[proportionZ]] over a maintained counts log — the standing
+    * A/B-health monitor: feed the incremental partials sink a STRUCT
+    * key `struct(cohortFlag, successFlag)` and one row per arrival;
+    * the per-key totals then carry the whole 2×2 table however large
+    * the history, and this finisher reads it at key-scale. Counts
+    * are exact integers, so the streamed form is BIT-identical to
+    * the batch [[proportionZ]] over the same rows (spec-pinned).
+    * `inA` / `success` address the key struct's fields.
+    */
+  def proportionZFromCounts(
+      counts: DataFrame, inA: Column, success: Column): DataFrame = {
+    val flagged = counts
+      .filter(inA.isNotNull && success.isNotNull)
+      .select(when(inA.cast("boolean"), 1L).otherwise(0L).as("_a"),
+        when(success.cast("boolean"), 1L).otherwise(0L).as("_s"),
+        col("n"))
+    val aggd = flagged.agg(
+      coalesce(sum(when(col("_a") === 1L, col("n"))), lit(0L)).as("n_a"),
+      coalesce(sum(when(col("_a") === 0L, col("n"))), lit(0L)).as("n_b"),
+      coalesce(sum(when(col("_a") === 1L && col("_s") === 1L, col("n"))),
+        lit(0L)).as("s_a"),
+      coalesce(sum(when(col("_a") === 0L && col("_s") === 1L, col("n"))),
+        lit(0L)).as("s_b"))
+    proportionFinish(aggd)
+  }
+
   /** Per-group [[proportionZ]] — one grouped aggregate, group-scale
     * output: which segment's rate moved, with evidence. */
   def proportionZBy(

@@ -244,4 +244,33 @@ class IncrementalSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("distinct shifts"))
   }
+
+  test("streaming proportion monitor: struct-keyed counts log equals batch proportionZ bit for bit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIncremental
+    import graft.operators.StatTests
+    implicit val sqlCtx = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_prop").toString
+    val (log, ckpt) = (s"$scratch/counts", s"$scratch/ckpt")
+
+    val batch1 = Seq((true, true), (true, false), (false, true), (true, true))
+      .map { case (a, sc) => (a, sc, ts("2024-01-01 03:00:00")) }
+    val batch2 = Seq((false, false), (false, true), (true, false), (false, false))
+      .map { case (a, sc) => (a, sc, ts("2024-01-02 03:00:00")) }
+    val stream = MemoryStream[(Boolean, Boolean, java.sql.Timestamp)]
+    val sq = StreamingIncremental.partialsSink(
+      stream.toDF().toDF("a", "s", "t"),
+      struct($"a", $"s"), $"t", lit(1L), 86400L, log, ckpt)
+    stream.addData(batch1); sq.processAllAvailable()
+    stream.addData(batch2); sq.processAllAvailable()
+    sq.stop()
+
+    val streamed = StatTests.proportionZFromCounts(
+      StreamingIncremental.readTotals(spark, log),
+      inA = col("key.a"), success = col("key.s")).head()
+    val batch = StatTests.proportionZ(
+      (batch1 ++ batch2).map(t => (t._1, t._2)).toDF("a", "s"),
+      col("s"), col("a")).head()
+    assert(streamed == batch)   // exact integers end to end: bit-equal rows
+  }
 }
