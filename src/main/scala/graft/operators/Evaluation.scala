@@ -300,7 +300,8 @@ object Evaluation {
           lit(0L).as("n_distinct_scores"),
           lit(null).cast("double").as("u"),
           lit(null).cast("double").as("tie_term"),
-          lit(null).cast("double").as("z"))
+          lit(null).cast("double").as("z"),
+          lit(null).cast("double").as("cliffs_delta"))
       case Some((ranked, censusAll)) =>
         val t = (col("_pos") + col("_neg")).cast("decimal(38,0)")
         val agged = ranked.agg(
@@ -324,7 +325,14 @@ object Evaluation {
           col("_tie").cast("double").as("tie_term"),
           when(col("n_pos") > 0L && col("n_neg") > 0L && varU > lit(0.0),
             (col("_num").cast("double") - dn1 * dn2) / (lit(2.0) * sqrt(varU)))
-            .as("z"))
+            .as("z"),
+          // Cliff's delta 2U/(n1·n2) − 1: the EFFECT SIZE the z's
+          // significance needs for context (a huge sample makes a
+          // trivial shift "significant"); division then subtract —
+          // fusion-free, and = 2·AUC − 1 by the U/AUC identity
+          when(col("n_pos") > 0L && col("n_neg") > 0L,
+            col("_num").cast("double") / (dn1 * dn2) - lit(1.0))
+            .as("cliffs_delta"))
         graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll))
         out
     }
@@ -496,7 +504,8 @@ object Evaluation {
           lit(0L).as("n_distinct_scores"),
           lit(null).cast("double").as("u"),
           lit(null).cast("double").as("tie_term"),
-          lit(null).cast("double").as("z"))
+          lit(null).cast("double").as("z"),
+          lit(null).cast("double").as("cliffs_delta"))
       case Some((ranked, censusAll)) =>
         val t = (col("_pos") + col("_neg")).cast("decimal(38,0)")
         val agged = ranked.groupBy(col("_g").as("group_key")).agg(
@@ -518,7 +527,10 @@ object Evaluation {
           col("_tie").cast("double").as("tie_term"),
           when(col("n_pos") > 0L && col("n_neg") > 0L && varU > lit(0.0),
             (col("_num").cast("double") - dn1 * dn2) / (lit(2.0) * sqrt(varU)))
-            .as("z"))
+            .as("z"),
+          when(col("n_pos") > 0L && col("n_neg") > 0L,
+            col("_num").cast("double") / (dn1 * dn2) - lit(1.0))
+            .as("cliffs_delta"))
         graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll))
         out
     }

@@ -836,7 +836,10 @@ object EvalQueries {
        |      * ((CAST(n_pos + n_neg AS DOUBLE) + 1.0)
        |         - CAST(tie AS DOUBLE) / (CAST(n_pos + n_neg AS DOUBLE)
        |             * (CAST(n_pos + n_neg AS DOUBLE) - 1.0)))))
-       |  END AS z
+       |  END AS z,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    CAST(num AS DOUBLE) / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0
+       |  END AS cliffs_delta
        |FROM a""".stripMargin
 
   // ---------------------------------------------------------------
@@ -937,7 +940,10 @@ object EvalQueries {
        |      * ((CAST(n_pos + n_neg AS DOUBLE) + 1.0)
        |         - CAST(tie AS DOUBLE) / (CAST(n_pos + n_neg AS DOUBLE)
        |             * (CAST(n_pos + n_neg AS DOUBLE) - 1.0)))))
-       |  END AS z
+       |  END AS z,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    CAST(num AS DOUBLE) / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0
+       |  END AS cliffs_delta
        |FROM a""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1201,7 +1207,7 @@ object EvalQueries {
 
   val q162Sql: String =
     s"""WITH base AS ($q146Sql)
-       |SELECT n_pos, n_neg, n_distinct_scores, u, tie_term, z,
+       |SELECT n_pos, n_neg, n_distinct_scores, u, tie_term, z, cliffs_delta,
        |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
        |FROM base""".stripMargin
 
@@ -1218,7 +1224,7 @@ object EvalQueries {
 
   val q163Sql: String =
     s"""WITH base AS ($q148Sql)
-       |SELECT source, n_pos, n_neg, n_distinct_scores, u, tie_term, z,
+       |SELECT source, n_pos, n_neg, n_distinct_scores, u, tie_term, z, cliffs_delta,
        |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
        |FROM base""".stripMargin
 
