@@ -591,4 +591,34 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$name must stay UDF-free")
     }
   }
+
+  test("q169: no feature expression in any raw-row Filter (single evaluation)") {
+    // the NaN guard lives inside the projected expression and NULL
+    // exclusion inside the aggregate — a raw filter on the derived
+    // logit would inline the whole feature tree into the scan Filter
+    // and evaluate it twice per row (caught and fixed in-plan, r11)
+    val q = graft.queries.EvalQueries.queries("q169_mean_diff_z")(spark, d)
+    val filters = q.queryExecution.optimizedPlan.toString
+      .split("\n").filter(_.contains("Filter"))
+    assert(filters.nonEmpty)
+    assert(!filters.exists(_.contains("text#")),
+      "a Filter references the raw text column: the quality-feature " +
+        "tree was inlined into a raw-row filter (double evaluation)")
+  }
+
+  test("q164/q176: exact-Kendall refinement joins are equi-joins, never nested loops") {
+    for (name <- Seq("q164_exact_kendall", "q176_group_exact_kendall")) {
+      val p = plan(graft.queries.EvalQueries.queries(name)(spark, d))
+      assert(!p.contains("CartesianProduct"),
+        s"$name: a pair-refinement join became a cartesian product")
+      // BNLJ is fine ONLY as the broadcast 1-row Cross combiner of
+      // the summary aggregates; a refinement join that lost its cell
+      // equi-key would plan as a CONDITIONED Inner BNLJ
+      val badBnlj = p.split("\n").filter(_.contains("BroadcastNestedLoopJoin"))
+        .filterNot(_.contains("Cross"))
+      assert(badBnlj.isEmpty,
+        s"$name: non-Cross nested-loop join — a cell equi-key was lost:\n" +
+          badBnlj.mkString("\n"))
+    }
+  }
 }
