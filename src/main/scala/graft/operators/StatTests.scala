@@ -1524,6 +1524,66 @@ object StatTests {
        |  ELSE ${gridInterpSql(Chi2Df2SfGrid, xExpr, "0.0", "20.0")}
        |END""".stripMargin
 
+  /** Theil–Sen robust volume trend — the slope estimator the daily
+    * monitors need when a single outage day would wreck a
+    * least-squares fit (the median of pairwise slopes has 29%
+    * breakdown). The bucket series is ZERO-FILLED over the calendar
+    * spine (a day with no events is a 0 in a volume trend, not a
+    * gap); every bucket pair contributes one exact slope — the
+    * bucket deltas are exact multiples of the width, so
+    * `(Δn)/(Δb/width)` divides an exact integer double by an exact
+    * integer double — and the estimate is the exact interpolated
+    * median over the ≤ buckets²/2 pair slopes (`percentile`, the
+    * q39/q65 convention). Output: one row — n_buckets, n_pairs,
+    * slope_per_bucket (median), slope_min/slope_max (the range the
+    * median is robust against). Pairs are bucket-scale
+    * (calendar-bounded): `maxBuckets` guards the quadratic loudly.
+    */
+  def theilSenTrend(
+      df: DataFrame, ts: Column, bucketSeconds: Long,
+      maxBuckets: Int = 8192): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val spark = df.sparkSession
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val daily = df.filter(ts.isNotNull)
+      .select((us - pmod(us, lit(width))).as("_b"))
+      .groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+      .persist()
+    val bounds = daily.agg(min(col("_b")), max(col("_b")), count(lit(1))).head()
+    if (bounds.isNullAt(0)) {
+      daily.unpersist(blocking = false)
+      return spark.range(1).select(
+        lit(0L).as("n_buckets"), lit(0L).as("n_pairs"),
+        lit(null).cast("double").as("slope_per_bucket"),
+        lit(null).cast("double").as("slope_min"),
+        lit(null).cast("double").as("slope_max"))
+    }
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val nb = (mx - mn) / width + 1L
+    require(nb <= maxBuckets,
+      s"$nb calendar buckets > $maxBuckets — the pairwise-slope census " +
+        "is quadratic in buckets; widen bucketSeconds or raise maxBuckets")
+    val spine = spark.range(0, nb)
+      .select((lit(mn) + col("id") * lit(width)).as("_b"))
+    val series = spine.join(daily, Seq("_b"), "left")
+      .select(col("_b"), coalesce(col("_n"), lit(0L)).as("_n"))
+    val l = series.select(col("_b").as("_b1"), col("_n").as("_n1"))
+    val r = series.select(col("_b").as("_b2"), col("_n").as("_n2"))
+    val slopes = l.join(r, col("_b1") < col("_b2"))
+      .select(((col("_n2") - col("_n1")).cast("double") /
+        ((col("_b2") - col("_b1")).cast("double") / lit(width.toDouble)))
+        .as("_s"))
+    val out = slopes.agg(
+      lit(nb).as("n_buckets"),
+      count(lit(1)).as("n_pairs"),
+      expr("percentile(_s, 0.5)").as("slope_per_bucket"),
+      min(col("_s")).as("slope_min"),
+      max(col("_s")).as("slope_max"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(daily))
+    out
+  }
+
   /** Benjamini–Hochberg FDR gate over a frame of per-hypothesis
     * p-values — the multiple-testing correction the per-source
     * statistic family needs: 20 sources × p < 0.05 yields one false

@@ -462,6 +462,41 @@ object TemporalQueries {
        |FROM sc CROSS JOIN p""".stripMargin
 
   // ---------------------------------------------------------------
+  // q177 — Theil–Sen robust trend of daily event volume: the median
+  // of all pairwise day-slopes over the ZERO-FILLED calendar spine
+  // (an empty day is a 0 in a volume trend, not a gap) — the robust
+  // companion to q153's CUSUM (CUSUM localizes a level shift; this
+  // estimates the drift rate a single outage day cannot wreck).
+  // Exact pair slopes (integer-double divisions), exact interpolated
+  // median (percentile == quantile_cont, the q39 convention).
+  // ---------------------------------------------------------------
+  def q177TheilSen(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.theilSenTrend(
+      Tables.events(spark, d), col("ts"), DaySeconds)
+
+  val q177Sql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  FROM events WHERE ts IS NOT NULL),
+       |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY b),
+       |bd AS (SELECT MIN(b) AS mn, MAX(b) AS mx FROM c),
+       |spine AS (SELECT CAST(bd.mn + gs.x * $DayUs AS BIGINT) AS b
+       |  FROM bd, generate_series(0, 100000) gs(x)
+       |  WHERE bd.mn + gs.x * $DayUs <= bd.mx),
+       |series AS (
+       |  SELECT spine.b, COALESCE(c.n, 0) AS n
+       |  FROM spine LEFT JOIN c ON spine.b = c.b),
+       |slopes AS (
+       |  SELECT CAST(r.n - l.n AS DOUBLE)
+       |      / (CAST(r.b - l.b AS DOUBLE) / ${DayUs}.0) AS s
+       |  FROM series l JOIN series r ON l.b < r.b)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM spine) AS n_buckets,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  quantile_cont(s, 0.5) AS slope_per_bucket,
+       |  MIN(s) AS slope_min, MAX(s) AS slope_max
+       |FROM slopes""".stripMargin
+
+  // ---------------------------------------------------------------
   // q154 — per-type CUSUM change-point census: q153 keyed by
   // event_type, so a level shift in one stream is localized to ITS
   // key and day instead of diluting into the corpus total.
@@ -536,6 +571,7 @@ object TemporalQueries {
     "q155_weighted_cusum" -> (q155WeightedCusum _),
     "q154_group_cusum" -> (q154GroupCusum _),
     "q153_cusum" -> (q153Cusum _),
+    "q177_theil_sen" -> (q177TheilSen _),
     "q150_cat_timeline" -> (q150CatTimeline _),
     "q149_ks_timeline" -> (q149KsTimeline _),
     "q33_asof_join" -> (q33AsofJoin _),
@@ -554,6 +590,7 @@ object TemporalQueries {
     "q155_weighted_cusum" -> q155Sql,
     "q154_group_cusum" -> q154Sql,
     "q153_cusum" -> q153Sql,
+    "q177_theil_sen" -> q177Sql,
     "q150_cat_timeline" -> q150Sql,
     "q149_ks_timeline" -> q149Sql,
     "q33_asof_join" -> q33Sql,

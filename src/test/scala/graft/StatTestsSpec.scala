@@ -754,4 +754,39 @@ class StatTestsSpec extends AnyFunSuite {
     assert(out("y").getAs[Boolean]("is_discovery"))
     assert(!out("z").getAs[Boolean]("is_discovery"))
   }
+
+  // ---------------- theilSenTrend ----------------
+
+  private def tsAt(day: Int, hour: Int = 6) =
+    java.sql.Timestamp.valueOf(f"2024-02-${day}%02d $hour%02d:00:00")
+
+  test("theilSenTrend: exact median pairwise slope; outage day cannot wreck it") {
+    // volumes 2,4,6,8,10 over five days: every pairwise slope is
+    // exactly 2/day -> median 2, min=max=2
+    val rows = (1 to 5).flatMap(d => Seq.fill(2 * d)(Tuple1(tsAt(d))))
+    val r = StatTests.theilSenTrend(rows.toDF("ts"), col("ts"), 86400L).head()
+    assert(r.getAs[Long]("n_buckets") == 5L && r.getAs[Long]("n_pairs") == 10L)
+    assert(r.getAs[Double]("slope_per_bucket") == 2.0)
+    assert(r.getAs[Double]("slope_min") == 2.0 && r.getAs[Double]("slope_max") == 2.0)
+    // same trend plus one catastrophic outage day (day 3 empty —
+    // ZERO-FILLED, not skipped): the median slope stays near 2 while
+    // min/max blow out — the robustness this estimator exists for
+    val out = (1 to 5).filter(_ != 3).flatMap(d => Seq.fill(2 * d)(Tuple1(tsAt(d))))
+    val ro = StatTests.theilSenTrend(out.toDF("ts"), col("ts"), 86400L).head()
+    assert(ro.getAs[Long]("n_buckets") == 5L, "the empty day must be spine-filled")
+    assert(math.abs(ro.getAs[Double]("slope_per_bucket") - 2.0) <= 1.0)
+    assert(ro.getAs[Double]("slope_min") < -3.0)   // the crash into day 3
+  }
+
+  test("theilSenTrend: empty input shape; bucket-quadratic guard is loud") {
+    val empty = Seq.empty[Tuple1[java.sql.Timestamp]].toDF("ts")
+    val re = StatTests.theilSenTrend(empty, col("ts"), 86400L).head()
+    assert(re.getAs[Long]("n_buckets") == 0L &&
+      re.isNullAt(re.fieldIndex("slope_per_bucket")))
+    val two = Seq(Tuple1(tsAt(1)), Tuple1(tsAt(5))).toDF("ts")
+    val ex = intercept[IllegalArgumentException] {
+      StatTests.theilSenTrend(two, col("ts"), 86400L, maxBuckets = 3)
+    }
+    assert(ex.getMessage.contains("quadratic"))
+  }
 }
