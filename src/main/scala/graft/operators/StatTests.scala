@@ -1584,6 +1584,58 @@ object StatTests {
     out
   }
 
+  /** Per-key [[theilSenTrend]] — each key's robust slope over the
+    * SHARED zero-filled calendar spine (keys × buckets rows; a key
+    * absent on a day is a 0 for that key), pair slopes keyed so no
+    * cross-key pair exists, per-key exact median. Which stream is
+    * actually growing, robustly. */
+  def theilSenTrendBy(
+      df: DataFrame, key: Column, ts: Column, bucketSeconds: Long,
+      maxBuckets: Int = 8192): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val spark = df.sparkSession
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val daily = df.filter(ts.isNotNull && key.isNotNull)
+      .select(key.as("_k"), (us - pmod(us, lit(width))).as("_b"))
+      .groupBy(col("_k"), col("_b")).agg(count(lit(1)).as("_n"))
+      .persist()
+    val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
+    if (bounds.isNullAt(0)) {
+      daily.unpersist(blocking = false)
+      return spark.range(0).select(
+        lit("").as("key"), lit(0L).as("n_buckets"), lit(0L).as("n_pairs"),
+        lit(null).cast("double").as("slope_per_bucket"),
+        lit(null).cast("double").as("slope_min"),
+        lit(null).cast("double").as("slope_max"))
+    }
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val nb = (mx - mn) / width + 1L
+    require(nb <= maxBuckets,
+      s"$nb calendar buckets > $maxBuckets — the pairwise-slope census " +
+        "is quadratic in buckets; widen bucketSeconds or raise maxBuckets")
+    val spine = spark.range(0, nb)
+      .select((lit(mn) + col("id") * lit(width)).as("_b"))
+    val series = daily.select(col("_k")).distinct()
+      .crossJoin(broadcast(spine))
+      .join(daily, Seq("_k", "_b"), "left")
+      .select(col("_k"), col("_b"), coalesce(col("_n"), lit(0L)).as("_n"))
+    val l = series.select(col("_k"), col("_b").as("_b1"), col("_n").as("_n1"))
+    val r = series.select(col("_k").as("_k2"), col("_b").as("_b2"), col("_n").as("_n2"))
+    val slopes = l.join(r, col("_k") === col("_k2") && col("_b1") < col("_b2"))
+      .select(col("_k"), ((col("_n2") - col("_n1")).cast("double") /
+        ((col("_b2") - col("_b1")).cast("double") / lit(width.toDouble)))
+        .as("_s"))
+    val out = slopes.groupBy(col("_k").as("key")).agg(
+      lit(nb).as("n_buckets"),
+      count(lit(1)).as("n_pairs"),
+      expr("percentile(_s, 0.5)").as("slope_per_bucket"),
+      min(col("_s")).as("slope_min"),
+      max(col("_s")).as("slope_max"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(daily))
+    out
+  }
+
   /** Benjamini–Hochberg FDR gate over a frame of per-hypothesis
     * p-values — the multiple-testing correction the per-source
     * statistic family needs: 20 sources × p < 0.05 yields one false

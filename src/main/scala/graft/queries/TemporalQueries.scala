@@ -497,6 +497,41 @@ object TemporalQueries {
        |FROM slopes""".stripMargin
 
   // ---------------------------------------------------------------
+  // q178 — per-type Theil–Sen trend: which stream is actually
+  // growing/shrinking, robustly — q177 keyed by event type over the
+  // shared calendar spine (a type absent on a day is a 0 for it).
+  // ---------------------------------------------------------------
+  def q178GroupTheilSen(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.theilSenTrendBy(
+      Tables.events(spark, d), col("event_type"), col("ts"), DaySeconds)
+      .withColumnRenamed("key", "event_type")
+
+  val q178Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type AS k, epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+       |c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY k, b),
+       |bd AS (SELECT MIN(b) AS mn, MAX(b) AS mx FROM c),
+       |spine AS (SELECT CAST(bd.mn + gs.x * $DayUs AS BIGINT) AS b
+       |  FROM bd, generate_series(0, 100000) gs(x)
+       |  WHERE bd.mn + gs.x * $DayUs <= bd.mx),
+       |series AS (
+       |  SELECT ks.k, spine.b, COALESCE(c.n, 0) AS n
+       |  FROM (SELECT DISTINCT k FROM c) ks
+       |  CROSS JOIN spine
+       |  LEFT JOIN c ON c.k = ks.k AND c.b = spine.b),
+       |slopes AS (
+       |  SELECT l.k, CAST(r.n - l.n AS DOUBLE)
+       |      / (CAST(r.b - l.b AS DOUBLE) / ${DayUs}.0) AS s
+       |  FROM series l JOIN series r ON l.k = r.k AND l.b < r.b)
+       |SELECT k AS event_type,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM spine) AS n_buckets,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  quantile_cont(s, 0.5) AS slope_per_bucket,
+       |  MIN(s) AS slope_min, MAX(s) AS slope_max
+       |FROM slopes GROUP BY k""".stripMargin
+
+  // ---------------------------------------------------------------
   // q154 — per-type CUSUM change-point census: q153 keyed by
   // event_type, so a level shift in one stream is localized to ITS
   // key and day instead of diluting into the corpus total.
@@ -572,6 +607,7 @@ object TemporalQueries {
     "q154_group_cusum" -> (q154GroupCusum _),
     "q153_cusum" -> (q153Cusum _),
     "q177_theil_sen" -> (q177TheilSen _),
+    "q178_group_theil_sen" -> (q178GroupTheilSen _),
     "q150_cat_timeline" -> (q150CatTimeline _),
     "q149_ks_timeline" -> (q149KsTimeline _),
     "q33_asof_join" -> (q33AsofJoin _),
@@ -591,6 +627,7 @@ object TemporalQueries {
     "q154_group_cusum" -> q154Sql,
     "q153_cusum" -> q153Sql,
     "q177_theil_sen" -> q177Sql,
+    "q178_group_theil_sen" -> q178Sql,
     "q150_cat_timeline" -> q150Sql,
     "q149_ks_timeline" -> q149Sql,
     "q33_asof_join" -> q33Sql,

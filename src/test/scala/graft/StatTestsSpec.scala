@@ -789,4 +789,29 @@ class StatTestsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("quadratic"))
   }
+
+  test("theilSenTrendBy: grouped equals solo per key on the shared spine") {
+    val rows =
+      (1 to 5).flatMap(d => Seq.fill(2 * d)(("up", tsAt(d)))) ++
+      (1 to 5).flatMap(d => Seq.fill(12 - 2 * d)(("down", tsAt(d)))) ++
+      Seq.fill(3)(("spiky", tsAt(2)))   // present one day only: zero-filled elsewhere
+    val df = rows.toDF("k", "ts")
+    val grouped = StatTests.theilSenTrendBy(df, col("k"), col("ts"), 86400L)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(grouped.keySet == Set("up", "down", "spiky"))
+    assert(grouped("up").getAs[Double]("slope_per_bucket") == 2.0)
+    assert(grouped("down").getAs[Double]("slope_per_bucket") == -2.0)
+    // solo over the same calendar (all keys share min/max days here)
+    for (k <- Seq("up", "down")) {
+      val solo = StatTests.theilSenTrend(
+        df.filter(col("k") === k).select(col("ts")), col("ts"), 86400L).head()
+      val gr = grouped(k)
+      assert(gr.getAs[Long]("n_pairs") == solo.getAs[Long]("n_pairs"), k)
+      assert(gr.getAs[Double]("slope_per_bucket") ==
+        solo.getAs[Double]("slope_per_bucket"), k)
+    }
+    // the one-day key sees the shared 5-day spine: 10 pairs, median 0
+    assert(grouped("spiky").getAs[Long]("n_pairs") == 10L)
+    assert(grouped("spiky").getAs[Double]("slope_per_bucket") == 0.0)
+  }
 }
