@@ -129,6 +129,13 @@ object GraftChecks {
           s.table(need(a, "table", "normality")),
           expr(need(a, "value", "normality"))))),
 
+    "trend" -> (("table, ts (timestamp expr)[, bucket_seconds]  (Theil-Sen robust slope)",
+      (s: SparkSession, a: Map[String, String]) =>
+        StatTests.theilSenTrend(
+          s.table(need(a, "table", "trend")),
+          expr(need(a, "ts", "trend")),
+          a.get("bucket_seconds").map(_.toLong).getOrElse(86400L)))),
+
     "fdr_gate" -> (("table, p (expr), tie_break (expr)[, alpha]",
       (s: SparkSession, a: Map[String, String]) =>
         StatTests.benjaminiHochberg(

@@ -181,5 +181,14 @@ class PipelinesSpec extends AnyFunSuite {
       """CALL graft.ks_p(`table` => 'sqlc_md', value => 'v',
         |  cohort => 'en')""".stripMargin).head()
     assert(ksp.getAs[Double]("p_value") > 0.0 && ksp.getAs[Double]("p_value") <= 1.0)
+
+    Seq((ts("2024-01-01 05:00:00")), (ts("2024-01-02 05:00:00")),
+      (ts("2024-01-02 06:00:00")), (ts("2024-01-03 05:00:00")),
+      (ts("2024-01-03 06:00:00")), (ts("2024-01-03 07:00:00")))
+      .map(Tuple1(_)).toDF("t").createOrReplaceTempView("sqlc_ts")
+    val trend = spark.sql(
+      "CALL graft.trend(`table` => 'sqlc_ts', ts => 't')").head()
+    assert(trend.getAs[Long]("n_buckets") == 3L)
+    assert(trend.getAs[Double]("slope_per_bucket") == 1.0)
   }
 }
