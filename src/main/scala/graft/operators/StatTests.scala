@@ -1636,6 +1636,79 @@ object StatTests {
     out
   }
 
+  /** Mann–Kendall trend test — the SIGNIFICANCE companion to
+    * [[theilSenTrend]] (the slope says how fast; this says whether
+    * the monotone trend is real at these sample sizes). S = Σ
+    * sign(n_j − n_i) over all bucket pairs of the same ZERO-FILLED
+    * calendar series (an exact integer), null variance
+    * (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18 with the tie term over tied
+    * VALUE groups (exact decimal numerator — time buckets are never
+    * tied), the classic continuity-corrected z ((S∓1)/σ, 0 at S=0),
+    * and the two-sided normal p on the shared grid. Output: one row —
+    * n_buckets, s_statistic, var_s, z, p_two_sided.
+    */
+  def mannKendallTrend(
+      df: DataFrame, ts: Column, bucketSeconds: Long,
+      maxBuckets: Int = 8192): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val spark = df.sparkSession
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val daily = df.filter(ts.isNotNull)
+      .select((us - pmod(us, lit(width))).as("_b"))
+      .groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+      .persist()
+    val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
+    if (bounds.isNullAt(0)) {
+      daily.unpersist(blocking = false)
+      return spark.range(1).select(
+        lit(0L).as("n_buckets"), lit(null).cast("long").as("s_statistic"),
+        lit(null).cast("double").as("var_s"),
+        lit(null).cast("double").as("z"),
+        lit(null).cast("double").as("p_two_sided"))
+    }
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val nb = (mx - mn) / width + 1L
+    require(nb <= maxBuckets,
+      s"$nb calendar buckets > $maxBuckets — the pair census is " +
+        "quadratic in buckets; widen bucketSeconds or raise maxBuckets")
+    val spine = spark.range(0, nb)
+      .select((lit(mn) + col("id") * lit(width)).as("_b"))
+    val series = spine.join(daily, Seq("_b"), "left")
+      .select(col("_b"), coalesce(col("_n"), lit(0L)).as("_n"))
+      .persist()
+    val l = series.select(col("_b").as("_b1"), col("_n").as("_n1"))
+    val r = series.select(col("_b").as("_b2"), col("_n").as("_n2"))
+    val sAgg = l.join(r, col("_b1") < col("_b2"))
+      .agg(coalesce(sum(signum(col("_n2") - col("_n1")).cast("long")), lit(0L))
+        .as("s_statistic"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val one = lit(1L).cast("decimal(38,0)")
+    val two = lit(2L).cast("decimal(38,0)")
+    val five = lit(5L).cast("decimal(38,0)")
+    val tie = series.groupBy(col("_n")).agg(count(lit(1)).as("_t"))
+      .agg(coalesce(sum(dec(col("_t")) * (dec(col("_t")) - one) *
+        (two * dec(col("_t")) + five)), lit(0L).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("_vt"))
+    val nDec = dec(lit(nb))
+    val varNum = (nDec * (nDec - one) * (two * nDec + five))
+    val out = sAgg.crossJoin(broadcast(tie))
+      .withColumn("n_buckets", lit(nb))
+      .withColumn("var_s",
+        (varNum - col("_vt")).cast("decimal(38,0)").cast("double") / lit(18.0))
+      .withColumn("z",
+        when(col("var_s") > lit(0.0) && col("s_statistic") > 0L,
+          (col("s_statistic").cast("double") - lit(1.0)) / sqrt(col("var_s")))
+          .when(col("var_s") > lit(0.0) && col("s_statistic") < 0L,
+            (col("s_statistic").cast("double") + lit(1.0)) / sqrt(col("var_s")))
+          .when(col("var_s") > lit(0.0), lit(0.0)))
+      .withColumn("p_two_sided", normalPTwoSided(col("z")))
+      .select(col("n_buckets"), col("s_statistic"), col("var_s"),
+        col("z"), col("p_two_sided"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(daily, series))
+    out
+  }
+
   /** Benjamini–Hochberg FDR gate over a frame of per-hypothesis
     * p-values — the multiple-testing correction the per-source
     * statistic family needs: 20 sources × p < 0.05 yields one false

@@ -532,6 +532,54 @@ object TemporalQueries {
        |FROM slopes GROUP BY k""".stripMargin
 
   // ---------------------------------------------------------------
+  // q179 — Mann–Kendall trend test of daily event volume: is q177's
+  // slope a real monotone trend or noise, at these sample sizes —
+  // exact S over the zero-filled spine, tie-corrected variance,
+  // continuity-corrected z, p on the shared normal grid.
+  // ---------------------------------------------------------------
+  def q179MannKendall(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.mannKendallTrend(
+      Tables.events(spark, d), col("ts"), DaySeconds)
+
+  val q179Sql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  FROM events WHERE ts IS NOT NULL),
+       |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY b),
+       |bd AS (SELECT MIN(b) AS mn, MAX(b) AS mx FROM c),
+       |spine AS (SELECT CAST(bd.mn + gs.x * $DayUs AS BIGINT) AS b
+       |  FROM bd, generate_series(0, 100000) gs(x)
+       |  WHERE bd.mn + gs.x * $DayUs <= bd.mx),
+       |series AS (
+       |  SELECT spine.b, COALESCE(c.n, 0) AS n
+       |  FROM spine LEFT JOIN c ON spine.b = c.b),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM spine),
+       |sagg AS (
+       |  SELECT COALESCE(CAST(SUM(CASE WHEN r.n > l.n THEN 1
+       |      WHEN r.n < l.n THEN -1 ELSE 0 END) AS BIGINT), 0) AS s
+       |  FROM series l JOIN series r ON l.b < r.b),
+       |tie AS (
+       |  SELECT COALESCE(CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+       |    AS HUGEINT), 0) AS vt
+       |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM series GROUP BY n) m),
+       |f AS (
+       |  SELECT nb.nn AS n_buckets, sagg.s AS s_statistic,
+       |    CAST(CAST(nb.nn AS HUGEINT) * (nb.nn - 1) * (2 * nb.nn + 5)
+       |      - tie.vt AS DOUBLE) / 18.0 AS var_s
+       |  FROM nb CROSS JOIN sagg CROSS JOIN tie),
+       |g AS (
+       |  SELECT *,
+       |    CASE WHEN var_s > 0.0 AND s_statistic > 0
+       |      THEN (CAST(s_statistic AS DOUBLE) - 1.0) / SQRT(var_s)
+       |    WHEN var_s > 0.0 AND s_statistic < 0
+       |      THEN (CAST(s_statistic AS DOUBLE) + 1.0) / SQRT(var_s)
+       |    WHEN var_s > 0.0 THEN 0.0 END AS z
+       |  FROM f)
+       |SELECT n_buckets, s_statistic, var_s, z,
+       |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
+       |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------
   // q154 — per-type CUSUM change-point census: q153 keyed by
   // event_type, so a level shift in one stream is localized to ITS
   // key and day instead of diluting into the corpus total.
@@ -607,6 +655,7 @@ object TemporalQueries {
     "q154_group_cusum" -> (q154GroupCusum _),
     "q153_cusum" -> (q153Cusum _),
     "q177_theil_sen" -> (q177TheilSen _),
+    "q179_mann_kendall" -> (q179MannKendall _),
     "q178_group_theil_sen" -> (q178GroupTheilSen _),
     "q150_cat_timeline" -> (q150CatTimeline _),
     "q149_ks_timeline" -> (q149KsTimeline _),
@@ -627,6 +676,7 @@ object TemporalQueries {
     "q154_group_cusum" -> q154Sql,
     "q153_cusum" -> q153Sql,
     "q177_theil_sen" -> q177Sql,
+    "q179_mann_kendall" -> q179Sql,
     "q178_group_theil_sen" -> q178Sql,
     "q150_cat_timeline" -> q150Sql,
     "q149_ks_timeline" -> q149Sql,

@@ -814,4 +814,30 @@ class StatTestsSpec extends AnyFunSuite {
     assert(grouped("spiky").getAs[Long]("n_pairs") == 10L)
     assert(grouped("spiky").getAs[Double]("slope_per_bucket") == 0.0)
   }
+
+  test("mannKendallTrend: hand-computed S/variance/z; flat series gives z=0; ties corrected") {
+    // strictly rising 1,2,3,4,5 over 5 days: S = 10 (all pairs +1),
+    // no value ties: var = 5*4*15/18
+    val rising = (1 to 5).flatMap(d => Seq.fill(d)(Tuple1(tsAt(d))))
+    val r = StatTests.mannKendallTrend(rising.toDF("ts"), col("ts"), 86400L).head()
+    assert(r.getAs[Long]("s_statistic") == 10L)
+    val varS = (5.0 * 4.0 * 15.0 - 0.0) / 18.0
+    assert(r.getAs[Double]("var_s") == varS)
+    assert(r.getAs[Double]("z") == (10.0 - 1.0) / math.sqrt(varS))
+    assert(r.getAs[Double]("p_two_sided") < 0.05)
+    // constant volume: every pair tied -> S = 0, z = 0, p = 1
+    val flat = (1 to 5).flatMap(d => Seq.fill(3)(Tuple1(tsAt(d))))
+    val rf = StatTests.mannKendallTrend(flat.toDF("ts"), col("ts"), 86400L).head()
+    assert(rf.getAs[Long]("s_statistic") == 0L)
+    // ALL five values tied: the tie term kills the whole variance
+    assert(rf.getAs[Double]("var_s") == 0.0)
+    assert(rf.isNullAt(rf.fieldIndex("z")))   // no variance: undefined, not 0/0
+    // partial ties: days 1,2 have 2 events, days 3..5 have 7
+    val pt = (1 to 2).flatMap(d => Seq.fill(2)(Tuple1(tsAt(d)))) ++
+      (3 to 5).flatMap(d => Seq.fill(7)(Tuple1(tsAt(d))))
+    val rp = StatTests.mannKendallTrend(pt.toDF("ts"), col("ts"), 86400L).head()
+    assert(rp.getAs[Long]("s_statistic") == 6L)  // only the 2x3 cross pairs count
+    val vt = 2.0 * 1 * 9 + 3.0 * 2 * 11          // t(t-1)(2t+5) for t=2 and t=3
+    assert(rp.getAs[Double]("var_s") == (5.0 * 4 * 15 - vt) / 18.0)
+  }
 }
