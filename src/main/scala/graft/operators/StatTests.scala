@@ -1709,6 +1709,77 @@ object StatTests {
     out
   }
 
+  /** Per-key [[mannKendallTrend]] — each key's monotone-trend
+    * evidence over the SHARED zero-filled calendar spine (the
+    * [[theilSenTrendBy]] convention: a key absent on a day is a 0),
+    * per-key tie correction, group-scale output. */
+  def mannKendallTrendBy(
+      df: DataFrame, key: Column, ts: Column, bucketSeconds: Long,
+      maxBuckets: Int = 8192): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val spark = df.sparkSession
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val daily = df.filter(ts.isNotNull && key.isNotNull)
+      .select(key.as("_k"), (us - pmod(us, lit(width))).as("_b"))
+      .groupBy(col("_k"), col("_b")).agg(count(lit(1)).as("_n"))
+      .persist()
+    val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
+    if (bounds.isNullAt(0)) {
+      daily.unpersist(blocking = false)
+      return spark.range(0).select(
+        lit("").as("key"), lit(0L).as("n_buckets"),
+        lit(null).cast("long").as("s_statistic"),
+        lit(null).cast("double").as("var_s"),
+        lit(null).cast("double").as("z"),
+        lit(null).cast("double").as("p_two_sided"))
+    }
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val nb = (mx - mn) / width + 1L
+    require(nb <= maxBuckets,
+      s"$nb calendar buckets > $maxBuckets — the pair census is " +
+        "quadratic in buckets; widen bucketSeconds or raise maxBuckets")
+    val spine = spark.range(0, nb)
+      .select((lit(mn) + col("id") * lit(width)).as("_b"))
+    val series = daily.select(col("_k")).distinct()
+      .crossJoin(broadcast(spine))
+      .join(daily, Seq("_k", "_b"), "left")
+      .select(col("_k"), col("_b"), coalesce(col("_n"), lit(0L)).as("_n"))
+      .persist()
+    val l = series.select(col("_k"), col("_b").as("_b1"), col("_n").as("_n1"))
+    val r = series.select(col("_k").as("_k2"), col("_b").as("_b2"), col("_n").as("_n2"))
+    val sAgg = l.join(r, col("_k") === col("_k2") && col("_b1") < col("_b2"))
+      .groupBy(col("_k"))
+      .agg(coalesce(sum(signum(col("_n2") - col("_n1")).cast("long")), lit(0L))
+        .as("s_statistic"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val one = lit(1L).cast("decimal(38,0)")
+    val two = lit(2L).cast("decimal(38,0)")
+    val five = lit(5L).cast("decimal(38,0)")
+    val tie = series.groupBy(col("_k").as("_kt"), col("_n")).agg(count(lit(1)).as("_t"))
+      .groupBy(col("_kt"))
+      .agg(coalesce(sum(dec(col("_t")) * (dec(col("_t")) - one) *
+        (two * dec(col("_t")) + five)), lit(0L).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("_vt"))
+    val nDec = dec(lit(nb))
+    val varNum = (nDec * (nDec - one) * (two * nDec + five))
+    val out = sAgg.join(tie, col("_k") === col("_kt")).drop("_kt")
+      .withColumn("n_buckets", lit(nb))
+      .withColumn("var_s",
+        (varNum - col("_vt")).cast("decimal(38,0)").cast("double") / lit(18.0))
+      .withColumn("z",
+        when(col("var_s") > lit(0.0) && col("s_statistic") > 0L,
+          (col("s_statistic").cast("double") - lit(1.0)) / sqrt(col("var_s")))
+          .when(col("var_s") > lit(0.0) && col("s_statistic") < 0L,
+            (col("s_statistic").cast("double") + lit(1.0)) / sqrt(col("var_s")))
+          .when(col("var_s") > lit(0.0), lit(0.0)))
+      .withColumn("p_two_sided", normalPTwoSided(col("z")))
+      .select(col("_k").as("key"), col("n_buckets"), col("s_statistic"),
+        col("var_s"), col("z"), col("p_two_sided"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(daily, series))
+    out
+  }
+
   /** Benjamini–Hochberg FDR gate over a frame of per-hypothesis
     * p-values — the multiple-testing correction the per-source
     * statistic family needs: 20 sources × p < 0.05 yields one false

@@ -580,6 +580,57 @@ object TemporalQueries {
        |FROM g""".stripMargin
 
   // ---------------------------------------------------------------
+  // q180 — per-type Mann–Kendall: which stream's trend is REAL —
+  // q179 keyed by event type over the shared spine, per-key ties.
+  // ---------------------------------------------------------------
+  def q180GroupMannKendall(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.mannKendallTrendBy(
+      Tables.events(spark, d), col("event_type"), col("ts"), DaySeconds)
+      .withColumnRenamed("key", "event_type")
+
+  val q180Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type AS k, epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+       |c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY k, b),
+       |bd AS (SELECT MIN(b) AS mn, MAX(b) AS mx FROM c),
+       |spine AS (SELECT CAST(bd.mn + gs.x * $DayUs AS BIGINT) AS b
+       |  FROM bd, generate_series(0, 100000) gs(x)
+       |  WHERE bd.mn + gs.x * $DayUs <= bd.mx),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM spine),
+       |series AS (
+       |  SELECT ks.k, spine.b, COALESCE(c.n, 0) AS n
+       |  FROM (SELECT DISTINCT k FROM c) ks
+       |  CROSS JOIN spine
+       |  LEFT JOIN c ON c.k = ks.k AND c.b = spine.b),
+       |sagg AS (
+       |  SELECT l.k, COALESCE(CAST(SUM(CASE WHEN r.n > l.n THEN 1
+       |      WHEN r.n < l.n THEN -1 ELSE 0 END) AS BIGINT), 0) AS s
+       |  FROM series l JOIN series r ON l.k = r.k AND l.b < r.b
+       |  GROUP BY l.k),
+       |tie AS (
+       |  SELECT k, COALESCE(CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+       |    AS HUGEINT), 0) AS vt
+       |  FROM (SELECT k, CAST(COUNT(*) AS BIGINT) AS t FROM series GROUP BY k, n) m
+       |  GROUP BY k),
+       |f AS (
+       |  SELECT sagg.k, nb.nn AS n_buckets, sagg.s AS s_statistic,
+       |    CAST(CAST(nb.nn AS HUGEINT) * (nb.nn - 1) * (2 * nb.nn + 5)
+       |      - tie.vt AS DOUBLE) / 18.0 AS var_s
+       |  FROM sagg JOIN tie ON sagg.k = tie.k CROSS JOIN nb),
+       |g AS (
+       |  SELECT *,
+       |    CASE WHEN var_s > 0.0 AND s_statistic > 0
+       |      THEN (CAST(s_statistic AS DOUBLE) - 1.0) / SQRT(var_s)
+       |    WHEN var_s > 0.0 AND s_statistic < 0
+       |      THEN (CAST(s_statistic AS DOUBLE) + 1.0) / SQRT(var_s)
+       |    WHEN var_s > 0.0 THEN 0.0 END AS z
+       |  FROM f)
+       |SELECT k AS event_type, n_buckets, s_statistic, var_s, z,
+       |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
+       |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------
   // q154 — per-type CUSUM change-point census: q153 keyed by
   // event_type, so a level shift in one stream is localized to ITS
   // key and day instead of diluting into the corpus total.
@@ -656,6 +707,7 @@ object TemporalQueries {
     "q153_cusum" -> (q153Cusum _),
     "q177_theil_sen" -> (q177TheilSen _),
     "q179_mann_kendall" -> (q179MannKendall _),
+    "q180_group_mann_kendall" -> (q180GroupMannKendall _),
     "q178_group_theil_sen" -> (q178GroupTheilSen _),
     "q150_cat_timeline" -> (q150CatTimeline _),
     "q149_ks_timeline" -> (q149KsTimeline _),
@@ -677,6 +729,7 @@ object TemporalQueries {
     "q153_cusum" -> q153Sql,
     "q177_theil_sen" -> q177Sql,
     "q179_mann_kendall" -> q179Sql,
+    "q180_group_mann_kendall" -> q180Sql,
     "q178_group_theil_sen" -> q178Sql,
     "q150_cat_timeline" -> q150Sql,
     "q149_ks_timeline" -> q149Sql,

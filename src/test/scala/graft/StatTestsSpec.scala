@@ -840,4 +840,22 @@ class StatTestsSpec extends AnyFunSuite {
     val vt = 2.0 * 1 * 9 + 3.0 * 2 * 11          // t(t-1)(2t+5) for t=2 and t=3
     assert(rp.getAs[Double]("var_s") == (5.0 * 4 * 15 - vt) / 18.0)
   }
+
+  test("mannKendallTrendBy: grouped equals solo per key on coinciding spines") {
+    val rows =
+      (1 to 5).flatMap(d => Seq.fill(d)(("up", tsAt(d)))) ++
+      (1 to 5).flatMap(d => Seq.fill(6 - d)(("down", tsAt(d))))
+    val df = rows.toDF("k", "ts")
+    val grouped = StatTests.mannKendallTrendBy(df, col("k"), col("ts"), 86400L)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    for (k <- Seq("up", "down")) {
+      val solo = StatTests.mannKendallTrend(
+        df.filter(col("k") === k).select(col("ts")), col("ts"), 86400L).head()
+      assert(grouped(k).getAs[Long]("s_statistic") == solo.getAs[Long]("s_statistic"), k)
+      assert(grouped(k).getAs[Double]("var_s") == solo.getAs[Double]("var_s"), k)
+      assert(grouped(k).getAs[Double]("z") == solo.getAs[Double]("z"), k)
+    }
+    assert(grouped("up").getAs[Long]("s_statistic") == 10L)
+    assert(grouped("down").getAs[Long]("s_statistic") == -10L)
+  }
 }
