@@ -1598,7 +1598,7 @@ object Profiling {
       domA, aggB), aggC),
       margTies("_x", "_tx2", "_tvx", "_twx")),
       margTies("_y", "_ty2", "_tvy", "_twy")), jointTie)
-      .na.fill(0, Seq.empty) // B/C absent groups: left-join NULLs → zero below
+    // B/C absent groups: left-join NULLs are zeroed by the z0 coalesce
     val z0 = (c: String) => coalesce(col(c), dec0)
     val base = joined.select(
       col("_g").as("group_key"), col("n"),

@@ -1916,7 +1916,10 @@ object StatTests {
       s"moments log carries ${shifts.length} distinct shifts — " +
         "re-profile the monitor with one shift before comparing sums")
     val shift = if (shifts.isEmpty) 0L else shifts.head.getLong(0)
-    val flagged = km.select(
+    // keys that resolve to NO cohort are EXCLUDED, matching the batch
+    // meanDiffZ (which filters inA.isNotNull) — NULL must not silently
+    // bucket into cohort B
+    val flagged = km.filter(inA.isNotNull).select(
       when(inA, 1L).otherwise(0L).as("_a"),
       col("n"), col("s1"), col("s2"))
     val dec0 = lit(0L).cast("decimal(38,0)")

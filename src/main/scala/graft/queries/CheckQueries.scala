@@ -1237,7 +1237,7 @@ object CheckQueries {
        |  SELECT axis, v,
        |    CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS na,
        |    CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS nb
-       |  FROM p GROUP BY axis, v),
+       |  FROM p WHERE v IS NOT NULL AND NOT isnan(v) GROUP BY axis, v),
        |t AS (SELECT axis, CAST(SUM(na) AS BIGINT) AS ta,
        |    CAST(SUM(nb) AS BIGINT) AS tb,
        |    CAST(COUNT(*) AS BIGINT) AS nd FROM c GROUP BY axis),

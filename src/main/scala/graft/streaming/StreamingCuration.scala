@@ -107,21 +107,28 @@ object StreamingCuration {
         "size is not literal-unrollable; route it through the batch " +
         "decontaminateSemantic pass instead")
     // a NULL benchmark embedding is skipped (it can match nothing);
-    // the null check must run BEFORE getSeq dereferences the cell
-    val vecs = rows.filter(!_.isNullAt(0)).map(_.getSeq[Float](0).toArray)
+    // the null check must run BEFORE getSeq dereferences the cell.
+    // Cells are read numerically (not getSeq[Float]) so array<double>
+    // benchmarks — accepted by the batch decontaminateSemantic path —
+    // work here too.
+    val vecs = rows.filter(!_.isNullAt(0))
+      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue).toArray)
     if (vecs.isEmpty)
       return stream
         .withColumn("max_bench_cosine", lit(null).cast("double"))
         .withColumn("is_contaminated", lit(false))
     val cn = graft.functions.DqFunctions.l2Norm(col(vecCol))
     val cosines = vecs.map { v =>
-      val norm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
-      val bl = array(v.map(x => lit(x.toFloat)).toIndexedSeq: _*)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      val bl = array(v.map(x => lit(x)).toIndexedSeq: _*)
       when(cn > 0 && lit(norm) > 0,
         graft.functions.DqFunctions.dotProduct(col(vecCol), bl)
           / (cn * lit(norm)))
     }
-    val maxCos = greatest(cosines.toIndexedSeq: _*)
+    // greatest() requires ≥2 args — a 1-row benchmark is legal
+    val maxCos =
+      if (cosines.length == 1) cosines.head
+      else greatest(cosines.toIndexedSeq: _*)
     stream
       .withColumn("max_bench_cosine", maxCos)
       .withColumn("is_contaminated",

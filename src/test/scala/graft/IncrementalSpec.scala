@@ -234,6 +234,21 @@ class IncrementalSpec extends AnyFunSuite {
     for (f <- Seq("mean_a", "mean_b", "var_a", "var_b", "mean_diff", "z"))
       assert(math.abs(streamedMd.getAs[Double](f) - batchMd.getAs[Double](f)) < 1e-9, f)
 
+    // a key whose inA expression resolves to NULL is EXCLUDED (batch
+    // parity), never silently bucketed into cohort B
+    graft.operators.Incremental.bucketMoments(
+      Seq(("c", ts("2024-01-03 00:00:00"), 999L)).toDF("k", "t", "v"),
+      $"k", $"t", $"v", m0, 86400L)
+      .write.mode("append").parquet(log)
+    val inAB = when(col("key") === "a", true).when(col("key") === "b", false)
+    val withNullKey = StatTests.meanDiffZFromMoments(
+      spark.read.parquet(log), inA = inAB).head()
+    assert(withNullKey.getAs[Long]("n_a") == batchMd.getAs[Long]("n_a"))
+    assert(withNullKey.getAs[Long]("n_b") == batchMd.getAs[Long]("n_b"))
+    for (f <- Seq("mean_a", "mean_b", "mean_diff", "z"))
+      assert(math.abs(withNullKey.getAs[Double](f) - batchMd.getAs[Double](f)) < 1e-9,
+        s"null-cohort key leaked into the statistic: $f")
+
     // mixed-shift logs are refused loudly
     graft.operators.Incremental.bucketMoments(
       Seq(("a", ts("2024-01-03 00:00:00"), 5L)).toDF("k", "t", "v"),

@@ -1005,4 +1005,28 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(out.find(_.getAs[Long]("id") == 1L).get.getAs[Double]("max_bench_cosine") > 0.9)
     assert(out.find(_.getAs[Long]("id") == 4L).get.isNullAt(2))
   }
+
+  test("semantic screen: 1-row benchmark and array<double> vectors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // exactly ONE non-null benchmark vector (greatest() needs ≥2 args —
+    // the 1-vector case must not throw), and double-typed embeddings
+    // (the batch path is element-type-agnostic; the screen must be too)
+    val bench = Seq((100L, Array(1.0, 0.0, 0.0))).toDF("id", "vec")
+    val stream = MemoryStream[(Long, Array[Double])]
+    val screened = graft.streaming.StreamingCuration.semanticScreen(
+      stream.toDF().toDF("id", "vec"), bench, "id", "vec", threshold = 0.9)
+    val sink = screened.writeStream.format("memory").queryName("sem_screen_1v")
+      .outputMode("append").start()
+    stream.addData(Seq(
+      (1L, Array(0.99, 0.1, 0.0)),   // contaminated
+      (2L, Array(0.0, 0.0, 1.0))))   // orthogonal — admitted
+    sink.processAllAvailable(); sink.stop()
+    val out = spark.table("sem_screen_1v").collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_contaminated"))
+      .map(_.getAs[Long]("id")).toSet
+    assert(flagged == Set(1L))
+    assert(out.find(_.getAs[Long]("id") == 1L)
+      .get.getAs[Double]("max_bench_cosine") > 0.9)
+  }
 }
