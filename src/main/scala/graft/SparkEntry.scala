@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{AnalyticsQueries, CheckQueries, EvalQueries, ExtensionQueries, JdbcQueries, ParityQueries, PipelineQueries, SamplingQueries, ScaleQueries, TemporalQueries}
+import graft.queries.{AnalyticsQueries, CheckQueries, EvalQueries, ExtensionQueries, JdbcQueries, ParityQueries, PipelineQueries, SamplingQueries, ScaleQueries, TemporalQueries, TokenQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +15,7 @@ object SparkEntry {
     ParityQueries.queries ++ ExtensionQueries.queries ++
       AnalyticsQueries.queries ++ CheckQueries.queries ++ TemporalQueries.queries ++
       SamplingQueries.queries ++ JdbcQueries.queries ++ ScaleQueries.queries ++
-      PipelineQueries.queries ++ EvalQueries.queries
+      PipelineQueries.queries ++ EvalQueries.queries ++ TokenQueries.queries
 
   /** One-time per-session materializations that queries depend on but
     * that should not be inside any timed region (q37's partitioned
@@ -46,5 +46,5 @@ object SparkEntry {
     ParityQueries.oracleSql ++ ExtensionQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++ CheckQueries.oracleSql ++ TemporalQueries.oracleSql ++
       SamplingQueries.oracleSql ++ JdbcQueries.oracleSql ++ ScaleQueries.oracleSql ++
-      PipelineQueries.oracleSql ++ EvalQueries.oracleSql
+      PipelineQueries.oracleSql ++ EvalQueries.oracleSql ++ TokenQueries.oracleSql
 }

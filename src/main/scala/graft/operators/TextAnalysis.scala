@@ -332,4 +332,46 @@ object TextAnalysis {
         least(lit(chunkTokens), size(col("_tk")) - col("_s") + 1).cast("bigint")
           .as("n_tokens"))
   }
+
+  /** Budget chunking in REAL tokens: split each document at word
+    * boundaries into chunks of ≈`budgetTokens` BPE tokens (the unit a
+    * context window is actually denominated in), instead of
+    * [[chunkByTokens]]'s fixed word windows. A word lands in chunk
+    * `floor(tokens_before_it / budget)` — chunks fill to the budget
+    * and spill the boundary word to the next chunk, so every chunk
+    * except a document's last holds ≥ budget − (max word tokens − 1)
+    * and < budget + max word tokens.
+    *
+    * 100 TB: map-only explode + a per-document window (documents are
+    * bounded, so the partition-by-doc window never concentrates) +
+    * one (doc, chunk) hash aggregate. The BPE count rides the
+    * codegen'd [[graft.functions.BpeTokenCount]] expression computed
+    * ONCE per word in the post-explode projection.
+    */
+  def chunkByTokenBudget(
+      df: DataFrame, idCol: String, textCol: String, budgetTokens: Int,
+      merges: Seq[(String, String)] = graft.functions.BpeVocab.default): DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val words = df
+      .select(col(idCol), posexplode(regexp_extract_all(
+        lower(col(textCol)),
+        lit(graft.functions.BpeVocab.PretokenRegex), lit(0))))
+      .select(col(idCol), col("pos").as("_pos"), col("col").as("_w"))
+      .withColumn("_nt",
+        graft.functions.Bpe.bpeTokenCount(col("_w"), merges).cast("long"))
+    val wCum = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    words
+      .withColumn("chunk_idx",
+        floor(coalesce(sum(col("_nt")).over(wCum), lit(0L))
+          / lit(budgetTokens.toLong)).cast("bigint"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("_nt")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos").as("p"), col("_w").as("w")))),
+          s => s.getField("w")), " ").as("chunk_text"))
+  }
 }
