@@ -971,6 +971,11 @@ object ExtensionQueries {
        |WHERE abs(len(pa) - len(pb)) <= $FuzzyMaxDist
        |  AND levenshtein(pa, pb) <= $FuzzyMaxDist""".stripMargin
 
+  /** Fixture-backed bench rows (see EvalQueries.fixtureBacked): q129's
+    * prior-state tables are built by ensureKeepListState, which
+    * benchSetup calls before warming these names. */
+  val fixtureBacked: Seq[String] = Seq("q129_incremental_keep_list")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_dedup_exact"        -> (q10DedupExact _),
     "q11_ngram_jaccard"      -> (q11NgramJaccard _),

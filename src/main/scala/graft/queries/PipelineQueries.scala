@@ -758,6 +758,10 @@ object PipelineQueries {
        |  FROM f) WHERE rn = 1""".stripMargin
   }
 
+  /** Fixture-backed bench rows (see EvalQueries.fixtureBacked):
+    * q135's first invocation materializes the q135_truth fixture. */
+  val fixtureBacked: Seq[String] = Seq("q135_retrieval_quality")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_incremental_totals" -> (q105IncrementalTotals _),
     "q165_semantic_decontam" -> (q165SemanticDecontam _),

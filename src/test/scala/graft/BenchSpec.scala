@@ -6,6 +6,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("every declared fixture-backed query is a registered query") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.fixtureBackedQueries.filterNot(qs.contains)
+    assert(missing.isEmpty,
+      s"fixtureBacked names not in the query registry: $missing")
+    // and every query has either an oracle or is a stated rows-only op
+    val orphanOracles = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphanOracles.isEmpty,
+      s"oracleSql entries without a query: $orphanOracles")
+  }
+
   test("evalAll completes over uniform 64-bit hashes (no ANSI overflow)") {
     // Summing uniform 64-bit hashes overflows Long within a handful of
     // rows under ANSI mode (each addition overflows w.p. ~1/2) — the
