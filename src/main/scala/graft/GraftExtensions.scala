@@ -97,5 +97,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashFromBase(exprs(0), coeffs.map(_._1).toArray,
           coeffs.map(_._2).toArray, DqFunctions.MinhashPrime)
       }))
+
+    // Real BPE tokenization (the embedded trained vocabulary; custom
+    // merge tables go through the Scala API, which takes them per call)
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      info("bpe_token_count",
+        "bpe_token_count(text) - real BPE token count (embedded trained vocab)"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.BpeTokenCount(exprs(0), graft.functions.BpeVocab.default)))
+
+    ext.injectFunction((
+      FunctionIdentifier("bpe_tokens"),
+      info("bpe_tokens",
+        "bpe_tokens(text) - BPE token sequence (embedded trained vocab)"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.BpeTokens(exprs(0), graft.functions.BpeVocab.default)))
+
+    ext.injectFunction((
+      FunctionIdentifier("log2fp_q16"),
+      info("log2fp_q16",
+        "log2fp_q16(n) - exact fixed-point log2(n)*65536 (integer dag, engine-portable)"),
+      (exprs: Seq[Expression]) => graft.functions.Log2FpQ16(exprs(0))))
   }
 }

@@ -186,7 +186,30 @@ object GraftChecks {
         Reconciliation.reconcile(
           s.table(need(a, "source", "reconcile")),
           s.table(need(a, "destination", "reconcile")),
-          lit(need(a, "date_created", "reconcile")).cast("date")))))
+          lit(need(a, "date_created", "reconcile")).cast("date")))),
+
+    // real-token accounting per group (q181 surface; embedded vocab)
+    "bpe_token_stats" -> (("table, text, group_by (expr)",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "bpe_token_stats"))
+        t.groupBy(expr(need(a, "group_by", "bpe_token_stats")).as("group_key"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(graft.functions.Bpe.bpeTokenCount(
+              expr(need(a, "text", "bpe_token_stats"))).cast("long"))
+              .as("total_bpe_tokens"))
+      })),
+
+    // the LM perplexity quality gate (q185 surface): train on the
+    // rows matching train_pred, score the rest
+    "lm_quality_gate" -> (("table, id, text, train_pred (boolean expr)[, threshold_q16]",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.LanguageModel.lmQualityGate(
+          s.table(need(a, "table", "lm_quality_gate")),
+          need(a, "id", "lm_quality_gate"),
+          need(a, "text", "lm_quality_gate"),
+          expr(need(a, "train_pred", "lm_quality_gate")),
+          a.get("threshold_q16").map(_.trim.toLong).getOrElse(-344064L)))))
 
   /** One row per registered check: (check, arguments). */
   def list(spark: SparkSession): DataFrame = {

@@ -30,7 +30,10 @@ class ExtensionsSpec extends AnyFunSuite {
           |  size(minhash64(array(123L))) AS k,
           |  size(distinct_ngram_hashes('abcab', 3)) AS g,
           |  md5_prefix_long('abc', 8) AS m,
-          |  size(ngram_md5_hashes('abcd', 3, 8)) AS ng""".stripMargin).head()
+          |  size(ngram_md5_hashes('abcd', 3, 8)) AS ng,
+          |  bpe_token_count('the fast scan') AS bc,
+          |  bpe_tokens('spark') AS bt,
+          |  log2fp_q16(1000L) AS lq""".stripMargin).head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getLong(1) == 2L)
       assert(r.getLong(2) == 7L, "single token hash: its own bits win every vote")
@@ -39,6 +42,10 @@ class ExtensionsSpec extends AnyFunSuite {
       // 0x90015098 = first 8 hex digits of md5('abc')
       assert(r.getLong(5) == 0x90015098L)
       assert(r.getInt(6) == 2, "two trigram windows in 'abcd'")
+      assert(r.getInt(7) == new graft.functions.BpeEncoder(
+        graft.functions.BpeVocab.default).encode("the fast scan").length)
+      assert(r.getSeq[String](8) == Seq("s", "par", "k"))
+      assert(r.getLong(9) == 653117L)
     } finally {
       // never ext.stop() — it shares the suite-wide SparkContext
       SparkSession.setDefaultSession(base)

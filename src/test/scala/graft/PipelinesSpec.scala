@@ -191,4 +191,30 @@ class PipelinesSpec extends AnyFunSuite {
     assert(trend.getAs[Long]("n_buckets") == 3L)
     assert(trend.getAs[Double]("slope_per_bucket") == 1.0)
   }
+
+  test("SQL-callable checks: the r12 token/LM surface from SQL") {
+    Seq((0L, "the fast scan", "a"), (1L, "the fast scan", "a"),
+      (2L, "slow merge join", "b"), (3L, "slow merge join", "b"),
+      (4L, "the fast scan", "a"), (5L, "the fast scan", "a"),
+      (6L, "slow merge join", "b"), (7L, "the fast scan", "a"),
+      (10L, "the fast scan", "a"), (11L, "zq zq zq", "b"))
+      .toDF("doc_id", "text", "src").createOrReplaceTempView("sqlc_tok")
+
+    val bs = spark.sql(
+      """CALL graft.bpe_token_stats(`table` => 'sqlc_tok',
+        |  text => 'text', group_by => 'src')""".stripMargin)
+      .collect().map(r => r.getAs[String]("group_key") ->
+        r.getAs[Long]("total_bpe_tokens")).toMap
+    val enc = new graft.functions.BpeEncoder(graft.functions.BpeVocab.default)
+    val perDoc = enc.encode("the fast scan").length.toLong
+    assert(bs("a") == 6L * perDoc)
+
+    val lm = spark.sql(
+      """CALL graft.lm_quality_gate(`table` => 'sqlc_tok', id => 'doc_id',
+        |  text => 'text', train_pred => 'doc_id < 8')""".stripMargin)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("avg_log2_prob")).toMap
+    assert(lm.keySet == Set(10L, 11L))
+    assert(lm(10L) > lm(11L), "in-distribution text must outscore unknowns")
+  }
 }
