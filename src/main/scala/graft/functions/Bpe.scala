@@ -181,3 +181,34 @@ object Bpe {
       merges: Seq[(String, String)] = BpeVocab.default): Column =
     ColumnBridge.column(BpeTokens(ColumnBridge.expression(text), merges))
 }
+
+/** Per-row Stupid Backoff score of a string column against a collected
+  * [[graft.operators.LmScorer]] — struct(n_tokens int, score_q16
+  * bigint). The scorer travels with the serialized plan (codegen pins
+  * it via `addReferenceObj`), which is why its size is loudly guarded
+  * at collect time. */
+case class LmScoreExpr(child: Expression,
+    scorer: graft.operators.LmScorer) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("score_q16", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lm_score requires a string input, got ${child.dataType.simpleString}")
+  override def nullSafeEval(s: Any): Any =
+    scorer.scoreRow(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sc = ctx.addReferenceObj("lmScorer", scorer,
+      classOf[graft.operators.LmScorer].getName)
+    defineCodeGen(ctx, ev, c => s"$sc.scoreRow($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LmScoreExpr {
+  def apply(text: Column, scorer: graft.operators.LmScorer): Column =
+    ColumnBridge.column(LmScoreExpr(ColumnBridge.expression(text), scorer))
+}

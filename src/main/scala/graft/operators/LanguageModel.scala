@@ -139,4 +139,69 @@ object LanguageModel {
     scoreStupidBackoff(model, docs.filter(!trainPred), idCol, textCol,
       thresholdQ16PerToken)
   }
+
+  /** The model as a serializable in-memory scorer for the STREAMING
+    * screen ([[graft.streaming.StreamingCuration.lmScreen]]) — the
+    * semanticScreen discipline: collected once under a LOUD size
+    * guard (a standing monitor's reference model is config-sized by
+    * construction; a corpus-scale model belongs on the batch path's
+    * scalable joins, not in a plan reference). Lookup keys are the
+    * space-joined grams (words never contain spaces). Scores are the
+    * same pre-folded Q16 deltas, so stream == batch EXACTLY.
+    */
+  def collectModel(model: StupidBackoffModel,
+      maxEntries: Int = 1 << 22): LmScorer = {
+    def toMap(df: DataFrame, keyCols: Seq[String], valCol: String) = {
+      val rows = df.collect()
+      require(rows.length <= maxEntries,
+        s"LM table has ${rows.length} rows > $maxEntries — a model that " +
+          "size is not plan-shippable; score through the batch " +
+          "scoreStupidBackoff joins instead")
+      rows.map { r =>
+        keyCols.map(r.getAs[String](_)).mkString(" ") -> r.getAs[Long](valCol)
+      }.toMap
+    }
+    val scorer = new LmScorer(
+      toMap(model.tri, Seq("_w2", "_w1", "_w"), "_lq3"),
+      toMap(model.bi, Seq("_w1", "_w"), "_lqb"),
+      toMap(model.uni, Seq("_w"), "_lqu"),
+      model.meta.head().getAs[Long]("_unk_q16"))
+    model.caches.foreach(_.unpersist())
+    scorer
+  }
+}
+
+/** In-memory Stupid Backoff scorer (collected model) — the engine of
+  * the streaming LM screen. Pure function of the text; exact-Q16
+  * identical to the batch join path by construction. */
+final class LmScorer(
+    val tri: Map[String, Long], val bi: Map[String, Long],
+    val uni: Map[String, Long], val unkQ16: Long) extends Serializable {
+
+  @transient private lazy val pretoken =
+    java.util.regex.Pattern.compile(BpeVocab.PretokenRegex)
+
+  /** [[score]] as a Catalyst row — the streaming screen's codegen
+    * call. */
+  def scoreRow(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val (n, s) = score(text.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, s))
+  }
+
+  /** (n_tokens, score_q16) of one document. */
+  def score(text: String): (Int, Long) = {
+    var w2 = "<s>"; var w1 = "<s>"
+    var n = 0; var sum = 0L
+    val m = pretoken.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    while (m.find()) {
+      val w = m.group()
+      val q = tri.getOrElse(w2 + " " + w1 + " " + w,
+        bi.getOrElse(w1 + " " + w, uni.getOrElse(w, unkQ16)))
+      sum += q; n += 1
+      w2 = w1; w1 = w
+    }
+    (n, sum)
+  }
 }

@@ -134,4 +134,40 @@ object StreamingCuration {
       .withColumn("is_contaminated",
         coalesce(col("max_bench_cosine") >= lit(threshold), lit(false)))
   }
+
+  /** Streaming LM quality screen — the standing-query form of
+    * [[graft.operators.LanguageModel.scoreStupidBackoff]]. The batch
+    * scorer needs a per-document window and per-document aggregation
+    * (unsupported on unbounded streams), so the screen applies a
+    * COLLECTED model ([[graft.operators.LanguageModel.collectModel]],
+    * loudly size-guarded — the semanticScreen discipline) as one
+    * stateless codegen expression per row: works in any output mode,
+    * no state store, no stream-static join matrix. Scores are the
+    * same pre-folded Q16 deltas, so the admitted set is spec-pinned
+    * EXACTLY equal to the batch path's on the same rows.
+    *
+    * Zero-token documents are not scorable: they pass through with
+    * NULL score and `low_quality = false` (a screen must not drop
+    * rows silently; the batch path EXCLUDES them — stated
+    * difference).
+    */
+  def lmScreen(
+      stream: DataFrame, scorer: graft.operators.LmScorer,
+      textCol: String, thresholdQ16PerToken: Long): DataFrame = {
+    val s = graft.functions.LmScoreExpr(col(textCol), scorer)
+    stream
+      .withColumn("_lm", s)
+      .withColumn("n_tokens", col("_lm.n_tokens").cast("long"))
+      .withColumn("score_q16",
+        when(col("n_tokens") > 0L, col("_lm.score_q16")))
+      .withColumn("avg_log2_prob",
+        when(col("n_tokens") > 0L,
+          col("score_q16").cast("double")
+            / (lit(65536.0) * col("n_tokens").cast("double"))))
+      .withColumn("low_quality",
+        coalesce(
+          col("score_q16") < lit(thresholdQ16PerToken) * col("n_tokens"),
+          lit(false)))
+      .drop("_lm")
+  }
 }

@@ -97,6 +97,49 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(out(12L)._4 == (out(12L)._2 < -20L * 65536L * 2L))
   }
 
+  test("streaming LM screen equals the batch scorer exactly (Q16)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val model = LanguageModel.trainStupidBackoff(
+      trainDocs.toDF("doc_id", "text"), "doc_id", "text")
+    val batch = LanguageModel.scoreStupidBackoff(model,
+        Seq((10L, "the cat sat on a rug"), (11L, "rug rug zq the"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", thresholdQ16PerToken = -4L * 65536L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    // re-train for the collected scorer: scoreStupidBackoff released
+    // the model's gram cache when the batch run executed
+    val scorer = LanguageModel.collectModel(LanguageModel.trainStupidBackoff(
+      trainDocs.toDF("doc_id", "text"), "doc_id", "text"))
+    val stream = MemoryStream[(Long, String)]
+    val screened = graft.streaming.StreamingCuration.lmScreen(
+      stream.toDF().toDF("doc_id", "text"), scorer, "text",
+      thresholdQ16PerToken = -4L * 65536L)
+    val sink = screened.writeStream.format("memory").queryName("lm_screen")
+      .outputMode("append").start()
+    stream.addData(Seq((10L, "the cat sat on a rug"),
+      (11L, "rug rug zq the"), (12L, "")))
+    sink.processAllAvailable(); sink.stop()
+    val out = spark.table("lm_screen").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- Seq(10L, 11L)) {
+      assert(out(id).getAs[Long]("n_tokens") == batch(id)._1, s"id $id")
+      assert(out(id).getAs[Long]("score_q16") == batch(id)._2, s"id $id")
+      assert(out(id).getAs[Boolean]("low_quality") == batch(id)._3, s"id $id")
+    }
+    // zero-token doc passes through unflagged with NULL score
+    assert(out(12L).getAs[Long]("n_tokens") == 0L)
+    assert(out(12L).isNullAt(out(12L).fieldIndex("score_q16")))
+    assert(!out(12L).getAs[Boolean]("low_quality"))
+    // the collect guard trips loudly on an over-budget model
+    val ex = intercept[IllegalArgumentException] {
+      LanguageModel.collectModel(LanguageModel.trainStupidBackoff(
+        trainDocs.toDF("doc_id", "text"), "doc_id", "text"), maxEntries = 3)
+    }
+    assert(ex.getMessage.contains("not plan-shippable"))
+  }
+
   test("backoff chain: bigram and unigram branches score between") {
     val lg = FixedPointLog.log2fpQ16 _
     val D = FixedPointLog.Log2Of04Q16
