@@ -268,6 +268,36 @@ object TokenQueries {
        |GROUP BY d.source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q187 — BPE vocabulary-utilization census: per-token occurrence
+  // and document counts across the corpus. The tokenizer-eval view:
+  // which vocab entries actually fire, and how token mass distributes
+  // (a swapped-in vocab with dead entries or single-char fallbacks
+  // shows up here before it shows up in training cost). Map-side
+  // explode + one hash aggregate keyed by token — the census is
+  // vocab-bounded however large the corpus.
+  // ---------------------------------------------------------------
+  def q187BpeVocabCensus(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), explode(Bpe.bpeTokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+
+  val q187Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes()},
+       |wtl AS (
+       |  SELECT w, string_split(trim(s), ' ') AS tl
+       |  FROM steps
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE instr(s, m.pair) > 0)),
+       |tok AS (
+       |  SELECT wo.doc_id, unnest(wtl.tl) AS token
+       |  FROM words wo JOIN wtl ON wo.w = wtl.w)
+       |SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM tok GROUP BY token""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -275,7 +305,8 @@ object TokenQueries {
     "q183_bpe_chunks"        -> (q183BpeChunks _),
     "q184_bpe_budget_sample" -> (q184BpeBudgetSample _),
     "q185_lm_doc_scores"     -> (q185LmDocScores _),
-    "q186_lm_source_gate"    -> (q186LmSourceGate _))
+    "q186_lm_source_gate"    -> (q186LmSourceGate _),
+    "q187_bpe_vocab_census"  -> (q187BpeVocabCensus _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -283,5 +314,6 @@ object TokenQueries {
     "q183_bpe_chunks"        -> q183Sql,
     "q184_bpe_budget_sample" -> q184Sql,
     "q185_lm_doc_scores"     -> q185Sql,
-    "q186_lm_source_gate"    -> q186Sql)
+    "q186_lm_source_gate"    -> q186Sql,
+    "q187_bpe_vocab_census"  -> q187Sql)
 }
