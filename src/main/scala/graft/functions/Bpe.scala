@@ -29,6 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class BpeEncoder(val merges: Seq[(String, String)]) extends Serializable {
 
+  // refuse ill-ordered tables at construction: the engine's
+  // all-occurrences-per-pass loop and the oracle's lowest-rank-replace
+  // replay agree exactly ONLY on rank-well-formed tables
+  BpeVocab.validateMerges(merges)
+
   @transient private lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((a, b), i) =>

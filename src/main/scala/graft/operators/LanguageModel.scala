@@ -152,9 +152,13 @@ object LanguageModel {
   def collectModel(model: StupidBackoffModel,
       maxEntries: Int = 1 << 22): LmScorer = {
     def toMap(df: DataFrame, keyCols: Seq[String], valCol: String) = {
-      val rows = df.collect()
+      // the size guard runs BEFORE full materialization: head(n+1)
+      // ships at most maxEntries+1 rows to the driver, so an
+      // over-budget model (trained on a corpus-scale slice by
+      // mistake) fails the require without first OOMing the driver
+      val rows = df.head(maxEntries + 1)
       require(rows.length <= maxEntries,
-        s"LM table has ${rows.length} rows > $maxEntries — a model that " +
+        s"LM table has > $maxEntries rows — a model that " +
           "size is not plan-shippable; score through the batch " +
           "scoreStupidBackoff joins instead")
       rows.map { r =>

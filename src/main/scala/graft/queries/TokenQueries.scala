@@ -122,7 +122,7 @@ object TokenQueries {
 
   // ---------------------------------------------------------------
   // q184 — corpus sampling to a real-token budget (the q97 surface):
-  // keep a deterministic ~80k-BPE-token subset, not a char budget.
+  // keep a deterministic ~20k-BPE-token subset, not a char budget.
   // ---------------------------------------------------------------
   private val BpeTokenBudget = 20000L
   private val BpeBudgetBuckets = 4096
@@ -199,7 +199,7 @@ object TokenQueries {
          |  FROM (SELECT doc_id, unnest(tk) AS w,
          |          unnest(generate_series(1, len(tk))) AS pos
          |        FROM (SELECT doc_id, regexp_extract_all(lower(text),
-         |          '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS tk FROM $src))
+         |          '${BpeVocab.PretokenRegex}') AS tk FROM $src))
          |  WINDOW $win AS (PARTITION BY doc_id ORDER BY pos)""".stripMargin
     s"""train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
        |scoredocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
@@ -273,8 +273,11 @@ object TokenQueries {
   // which vocab entries actually fire, and how token mass distributes
   // (a swapped-in vocab with dead entries or single-char fallbacks
   // shows up here before it shows up in training cost). Map-side
-  // explode + one hash aggregate keyed by token — the census is
-  // vocab-bounded however large the corpus.
+  // explode + one hash aggregate keyed by token; the output is
+  // vocab-bounded, and the shuffle is bounded by distinct
+  // (token, doc) pairs after map-side partial dedup — at true 100 TB
+  // the monitoring form swaps count_distinct for
+  // approx_count_distinct (or a sampled-documents census).
   // ---------------------------------------------------------------
   def q187BpeVocabCensus(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
@@ -287,7 +290,7 @@ object TokenQueries {
   val q187Sql: String =
     s"""WITH RECURSIVE ${BpeVocab.docTokensCtes()},
        |wtl AS (
-       |  SELECT w, string_split(trim(s), ' ') AS tl
+       |  SELECT w, string_split(trim(s), '  ') AS tl
        |  FROM steps
        |  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE instr(s, m.pair) > 0)),
        |tok AS (
@@ -298,6 +301,49 @@ object TokenQueries {
        |FROM tok GROUP BY token""".stripMargin
 
   // ---------------------------------------------------------------
+  // q188 — out-of-distribution fertility: the embedded vocabulary
+  // applied to text it was NOT dominated by — customer names (the
+  // 'customer#NNNNNNNNN segment' surface), whose digit runs tokenize
+  // through rank chains several merges deep and whose fertility sits
+  // well above the in-distribution 1.0 the documents table shows.
+  // This is the table a tokenizer swap is judged on: how does the
+  // FIXED vocabulary behave on incoming data shaped unlike its
+  // training corpus. Same map-side codegen expression; the oracle
+  // replays the full merge loop over the distinct NAME words.
+  // ---------------------------------------------------------------
+  def q188BpeNameFertility(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .select(col("c_mktsegment").as("segment"),
+        Bpe.bpeTokenCount(
+          concat_ws(" ", col("c_name"), col("c_mktsegment")))
+          .cast("long").as("_bt"),
+        size(regexp_extract_all(
+          lower(concat_ws(" ", col("c_name"), col("c_mktsegment"))),
+          lit(BpeVocab.PretokenRegex), lit(0))).cast("long").as("_nw"))
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n_names"),
+        sum(col("_bt")).as("total_bpe_tokens"),
+        sum(col("_nw")).as("total_words"),
+        when(sum(col("_nw")) > 0L,
+          sum(col("_bt")).cast("double") / sum(col("_nw")).cast("double"))
+          .as("tokens_per_word"))
+
+  val q188Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes(table =
+         "(SELECT c_custkey AS doc_id, " +
+           "c_name || ' ' || c_mktsegment AS text FROM customer)")}
+       |SELECT c.c_mktsegment AS segment,
+       |  CAST(COUNT(*) AS BIGINT) AS n_names,
+       |  CAST(SUM(t.bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       |  CAST(SUM(t.n_words) AS BIGINT) AS total_words,
+       |  CASE WHEN SUM(t.n_words) > 0 THEN
+       |    CAST(SUM(t.bpe_tokens) AS DOUBLE) / CAST(SUM(t.n_words) AS DOUBLE)
+       |  END AS tokens_per_word
+       |FROM customer c JOIN dtok t ON c.c_custkey = t.doc_id
+       |GROUP BY c.c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -306,7 +352,8 @@ object TokenQueries {
     "q184_bpe_budget_sample" -> (q184BpeBudgetSample _),
     "q185_lm_doc_scores"     -> (q185LmDocScores _),
     "q186_lm_source_gate"    -> (q186LmSourceGate _),
-    "q187_bpe_vocab_census"  -> (q187BpeVocabCensus _))
+    "q187_bpe_vocab_census"  -> (q187BpeVocabCensus _),
+    "q188_bpe_name_fertility" -> (q188BpeNameFertility _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -315,5 +362,6 @@ object TokenQueries {
     "q184_bpe_budget_sample" -> q184Sql,
     "q185_lm_doc_scores"     -> q185Sql,
     "q186_lm_source_gate"    -> q186Sql,
-    "q187_bpe_vocab_census"  -> q187Sql)
+    "q187_bpe_vocab_census"  -> q187Sql,
+    "q188_bpe_name_fertility" -> q188Sql)
 }

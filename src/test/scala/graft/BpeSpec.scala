@@ -50,8 +50,58 @@ class BpeSpec extends AnyFunSuite {
     // trained-on-corpus sanity: frequent corpus words fully merge
     assert(enc.encodeWord("scan").length == 1)
     assert(enc.encodeWord("window").length == 1)
-    // digits pretokenize as one run but never merge (no digit merges)
-    assert(enc.encode("12345").toSeq == Seq("1", "2", "3", "4", "5"))
+    // out-of-vocabulary words decompose into LEARNED subwords, not
+    // characters — the production-shaped profile of the 306-merge
+    // exhaustion vocabulary
+    assert(enc.encodeWord("windows").toSeq == Seq("window", "s"))
+    assert(enc.encodeWord("quantile").toSeq == Seq("qu", "an", "t", "i", "le"))
+  }
+
+  test("default vocab: multi-step rank chains >=3 deep") {
+    val enc = new BpeEncoder(BpeVocab.default)
+    // digit runs merge pairwise through deep chains: 0+0 -> 00,
+    // 00+00 -> 0000, 0000+00 -> 000000, 000000+0 -> 0000000, ... —
+    // the customer-name surface ('customer#000000001')
+    assert(enc.encodeWord("000000001").toSeq == Seq("000000001"))
+    assert(enc.encode("12345").toSeq == Seq("12", "34", "5"))
+    // 'furniture' sits at the deepest chain (7 merges stacked); its
+    // single terminal token proves the loop follows chains, not just
+    // first-order pairs
+    assert(enc.encodeWord("furniture").toSeq == Seq("furniture"))
+    assert(enc.encodeWord("automobile").toSeq == Seq("automobile"))
+    // chain-depth witness on an explicit table: abcd needs the
+    // 3-deep chain ab -> abc -> abcd applied in rank order
+    val chain = new BpeEncoder(Seq(("a", "b"), ("ab", "c"), ("abc", "d")))
+    assert(chain.encodeWord("abcd").toSeq == Seq("abcd"))
+    assert(chain.encodeWord("abcx").toSeq == Seq("abc", "x"))
+  }
+
+  test("merges.txt loader parses the interchange format; validation rejects ill-formed tables") {
+    val txt = "#version: 0.2\na b\nab c\n\nx y\n"
+    assert(BpeVocab.fromMergesText(txt) == Seq(("a", "b"), ("ab", "c"), ("x", "y")))
+    // a component that is neither a single code point nor an earlier
+    // merge product — the divergence case the ADVICE documented:
+    // [(ab,a),(a,b)] on 'abab' would tokenize differently in the
+    // engine (all-occurrence passes) and the oracle (single replace)
+    val ill = intercept[IllegalArgumentException] {
+      new BpeEncoder(Seq(("ab", "a"), ("a", "b")))
+    }
+    assert(ill.getMessage.contains("rank-well-formed"))
+    // duplicate pairs make ranks ambiguous
+    val dup = intercept[IllegalArgumentException] {
+      BpeVocab.validateMerges(Seq(("a", "b"), ("a", "b")))
+    }
+    assert(dup.getMessage.contains("duplicates"))
+    // spaces can never appear in symbols (pair-key delimiter)
+    val sp = intercept[IllegalArgumentException] {
+      BpeVocab.validateMerges(Seq(("a ", "b")))
+    }
+    assert(sp.getMessage.contains("space"))
+    // malformed merges.txt line
+    val bad = intercept[IllegalArgumentException] {
+      BpeVocab.fromMergesText("a b c\n")
+    }
+    assert(bad.getMessage.contains("expected 'left right'"))
   }
 
   test("column expressions equal the core encoder (codegen path)") {

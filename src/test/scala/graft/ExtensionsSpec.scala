@@ -44,7 +44,8 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getInt(6) == 2, "two trigram windows in 'abcd'")
       assert(r.getInt(7) == new graft.functions.BpeEncoder(
         graft.functions.BpeVocab.default).encode("the fast scan").length)
-      assert(r.getSeq[String](8) == Seq("s", "par", "k"))
+      assert(r.getSeq[String](8) == new graft.functions.BpeEncoder(
+        graft.functions.BpeVocab.default).encode("spark").toSeq)
       assert(r.getLong(9) == 653117L)
     } finally {
       // never ext.stop() — it shares the suite-wide SparkContext

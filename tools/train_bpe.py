@@ -1,12 +1,22 @@
 #!/usr/bin/env python3
 """One-off deterministic BPE trainer for the embedded graft vocabulary.
 
-Learns NUM_MERGES byte-pair merges from the sf0.001 documents corpus
-(the driver-generated public test data) and prints the Scala literal
-rows for src/main/scala/graft/functions/BpeVocab.scala.
+Learns up to NUM_MERGES byte-pair merges from the combined public
+sf0.001 test-data text (every VARCHAR surface the driver generates —
+documents.text plus the TPC-H-ish name/segment/priority/type columns
+and the events props), and prints the Scala literal rows for
+src/main/scala/graft/functions/BpeVocab.scala.
+
+The documents table alone carries only ~31 distinct pre-tokens (a
+synthetic Zipf vocabulary), which exhausts after ~1e2 merges with
+every word fully merged — a degenerate vocabulary for fertility /
+packing / budget surfaces. The combined corpus (~300 distinct
+pre-tokens, digit runs from entity names, brand codes, JSON props)
+trains a realistically shaped table: frequent words merge to single
+tokens, rarer words stay multi-token, digit strings merge pairwise.
 
 Stated training procedure (mirrored in BpeVocab's Scaladoc):
-- pre-tokenizer: regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')
+- pre-tokenizer: regexp_extract_all(lower(text), BpeVocab.PretokenRegex)
 - initial symbols: the word's characters (no end-of-word marker)
 - each round merges the adjacent pair with the highest corpus
   frequency (weighted by word frequency); ties break on the
@@ -19,14 +29,32 @@ import re, sys
 from collections import Counter
 import duckdb
 
-NUM_MERGES = 64
-CORPUS = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001/documents.parquet"
+NUM_MERGES = 512
+SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+# every generated VARCHAR surface, stated once (kept in sync with the
+# BpeVocab Scaladoc)
+CORPUS_SQL = f"""
+    SELECT text AS t FROM read_parquet('{SFDIR}/documents.parquet')
+    UNION ALL SELECT p_name || ' ' || p_brand || ' ' || p_type
+      FROM read_parquet('{SFDIR}/part.parquet')
+    UNION ALL SELECT c_name || ' ' || c_mktsegment
+      FROM read_parquet('{SFDIR}/customer.parquet')
+    UNION ALL SELECT s_name FROM read_parquet('{SFDIR}/supplier.parquet')
+    UNION ALL SELECT o_orderstatus || ' ' || o_orderpriority
+      FROM read_parquet('{SFDIR}/orders.parquet')
+    UNION ALL SELECT l_returnflag || ' ' || l_linestatus
+      FROM read_parquet('{SFDIR}/lineitem.parquet')
+    UNION ALL SELECT event_type || ' ' || props
+      FROM read_parquet('{SFDIR}/events.parquet')
+    UNION ALL SELECT n_name FROM read_parquet('{SFDIR}/nation.parquet')
+    UNION ALL SELECT r_name FROM read_parquet('{SFDIR}/region.parquet')
+"""
 
 con = duckdb.connect()
-texts = [r[0] for r in con.execute(
-    f"SELECT text FROM read_parquet('{CORPUS}')").fetchall()]
+texts = [r[0] for r in con.execute(CORPUS_SQL).fetchall() if r[0] is not None]
 
-PRETOK = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+PRETOK = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]")
 word_freq = Counter()
 for t in texts:
     for w in PRETOK.findall(t.lower()):
@@ -59,10 +87,20 @@ for _ in range(NUM_MERGES):
                 out.append(syms[i]); i += 1
         words[w] = tuple(out)
 
-print(f"// {len(merges)} merges trained on {CORPUS}")
+print(f"// {len(merges)} merges trained on the combined {SFDIR} text corpus")
 for a, b in merges:
-    print(f'    ("{a}", "{b}"),')
+    ea, eb = a.replace("\\", "\\\\").replace('"', '\\"'), b.replace("\\", "\\\\").replace('"', '\\"')
+    print(f'    ("{ea}", "{eb}"),')
 
-# sanity: report the terminal tokenization of the most frequent words
-for w, _ in word_freq.most_common(8):
+# sanity: report terminal tokenizations + fertility on documents words
+doc_words = Counter()
+for r in con.execute(f"SELECT text FROM read_parquet('{SFDIR}/documents.parquet')").fetchall():
+    for w in PRETOK.findall(r[0].lower()):
+        doc_words[w] += 1
+tot_tok = sum(len(words.get(w, tuple(w))) * f for w, f in doc_words.items())
+tot_w = sum(doc_words.values())
+print(f"// documents fertility: {tot_tok}/{tot_w} = {tot_tok/tot_w:.4f}", file=sys.stderr)
+for w, _ in word_freq.most_common(12):
     print(f"// {w!r} -> {words[w]}", file=sys.stderr)
+deep = [w for w in words if len(words[w]) == 1 and len(w) >= 6]
+print(f"// fully merged words >=6 chars: {len(deep)} e.g. {deep[:8]}", file=sys.stderr)
