@@ -1780,6 +1780,104 @@ object StatTests {
     out
   }
 
+  /** Seasonal Mann–Kendall trend test (Hirsch & Slack 1984): the
+    * [[mannKendallTrend]] S-statistic summed over SEASONAL STRATA —
+    * with day buckets and 7 seasons, only same-WEEKDAY bucket pairs
+    * are compared, so the weekday cycle [[mannKendallTrend]] mixes
+    * into its pair census (q90 measures it; q179 ignores it) cannot
+    * mask or fake a trend: a strong weekly sawtooth contributes
+    * exactly zero same-stratum sign disagreement, while a real
+    * monotone drift shows up in EVERY stratum.
+    *
+    * S = Σ_g S_g over the zero-filled calendar spine's strata
+    * (stratum = absolute bucket number mod `seasons` — calendar-
+    * aligned, so the stratification is stable across runs and across
+    * series); var S = Σ_g (n_g(n_g−1)(2n_g+5) − Σ_t t(t−1)(2t+5))/18
+    * with the tie term over tied VALUE groups WITHIN each stratum
+    * (strata are independent under H₀, variances add); continuity-
+    * corrected z on the total; two-sided normal p on the shared grid.
+    *
+    * The pair census joins on (stratum, b1 < b2) — `seasons` bounded
+    * censuses over the shared spine, each ≤ (nb/seasons)² pairs, so
+    * the seasonal form is CHEAPER than the unstratified census, not
+    * dearer. Output: one row — n_buckets, n_seasons, s_statistic,
+    * var_s, z, p_two_sided.
+    */
+  def seasonalMannKendallTrend(
+      df: DataFrame, ts: Column, bucketSeconds: Long, seasons: Int = 7,
+      maxBuckets: Int = 8192): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    require(seasons >= 2, s"seasons must be >= 2, got $seasons")
+    val spark = df.sparkSession
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val daily = df.filter(ts.isNotNull)
+      .select((us - pmod(us, lit(width))).as("_b"))
+      .groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+      .persist()
+    val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
+    if (bounds.isNullAt(0)) {
+      daily.unpersist(blocking = false)
+      return spark.range(1).select(
+        lit(0L).as("n_buckets"), lit(seasons.toLong).as("n_seasons"),
+        lit(null).cast("long").as("s_statistic"),
+        lit(null).cast("double").as("var_s"),
+        lit(null).cast("double").as("z"),
+        lit(null).cast("double").as("p_two_sided"))
+    }
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val nb = (mx - mn) / width + 1L
+    require(nb <= maxBuckets,
+      s"$nb calendar buckets > $maxBuckets — the pair census is " +
+        "quadratic in buckets per stratum; widen bucketSeconds or raise maxBuckets")
+    val spine = spark.range(0, nb)
+      .select((lit(mn) + col("id") * lit(width)).as("_b"))
+    // stratum from the ABSOLUTE bucket number (epoch-aligned): with
+    // day buckets and seasons=7 this is a fixed weekday labeling
+    val stratum = pmod(expr(s"_b div ${width}L"), lit(seasons.toLong))
+    val series = spine.join(daily, Seq("_b"), "left")
+      .select(col("_b"), stratum.as("_g"),
+        coalesce(col("_n"), lit(0L)).as("_n"))
+      .persist()
+    val l = series.select(col("_g"), col("_b").as("_b1"), col("_n").as("_n1"))
+    val r = series.select(col("_g").as("_g2"), col("_b").as("_b2"), col("_n").as("_n2"))
+    val sAgg = l.join(r, col("_g") === col("_g2") && col("_b1") < col("_b2"))
+      .agg(coalesce(sum(signum(col("_n2") - col("_n1")).cast("long")), lit(0L))
+        .as("s_statistic"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val one = lit(1L).cast("decimal(38,0)")
+    val two = lit(2L).cast("decimal(38,0)")
+    val five = lit(5L).cast("decimal(38,0)")
+    // per-stratum variance numerator: spine sizes and tied-value
+    // groups both live WITHIN the stratum
+    val varAgg = series.groupBy(col("_g"), col("_n")).agg(count(lit(1)).as("_t"))
+      .groupBy(col("_g"))
+      .agg(
+        sum(col("_t")).as("_ng"),
+        coalesce(sum(dec(col("_t")) * (dec(col("_t")) - one) *
+          (two * dec(col("_t")) + five)), lit(0L).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("_vt"))
+      .agg(coalesce(sum(
+        (dec(col("_ng")) * (dec(col("_ng")) - one) * (two * dec(col("_ng")) + five)
+          - col("_vt")).cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("_vnum"))
+    val out = sAgg.crossJoin(broadcast(varAgg))
+      .withColumn("n_buckets", lit(nb))
+      .withColumn("n_seasons", lit(seasons.toLong))
+      .withColumn("var_s", col("_vnum").cast("double") / lit(18.0))
+      .withColumn("z",
+        when(col("var_s") > lit(0.0) && col("s_statistic") > 0L,
+          (col("s_statistic").cast("double") - lit(1.0)) / sqrt(col("var_s")))
+          .when(col("var_s") > lit(0.0) && col("s_statistic") < 0L,
+            (col("s_statistic").cast("double") + lit(1.0)) / sqrt(col("var_s")))
+          .when(col("var_s") > lit(0.0), lit(0.0)))
+      .withColumn("p_two_sided", normalPTwoSided(col("z")))
+      .select(col("n_buckets"), col("n_seasons"), col("s_statistic"),
+        col("var_s"), col("z"), col("p_two_sided"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(daily, series))
+    out
+  }
+
   /** Benjamini–Hochberg FDR gate over a frame of per-hypothesis
     * p-values — the multiple-testing correction the per-source
     * statistic family needs: 20 sources × p < 0.05 yields one false

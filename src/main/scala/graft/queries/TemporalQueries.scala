@@ -631,6 +631,64 @@ object TemporalQueries {
        |FROM g""".stripMargin
 
   // ---------------------------------------------------------------
+  // q189 — SEASONAL Mann–Kendall: q179's monotone-trend evidence with
+  // the weekday cycle (q90's seasonality) stratified OUT — S summed
+  // over same-weekday bucket pairs only (7 bounded pair censuses over
+  // the shared spine), tie-corrected variance per stratum. The
+  // q178/q180 trend tests are weekday-confounded on a corpus with a
+  // weekly cycle; this is the form whose null distribution survives
+  // one.
+  // ---------------------------------------------------------------
+  def q189SeasonalMannKendall(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.seasonalMannKendallTrend(
+      Tables.events(spark, d), col("ts"), DaySeconds, seasons = 7)
+
+  val q189Sql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  FROM events WHERE ts IS NOT NULL),
+       |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY b),
+       |bd AS (SELECT MIN(b) AS mn, MAX(b) AS mx FROM c),
+       |spine AS (SELECT CAST(bd.mn + gs.x * $DayUs AS BIGINT) AS b
+       |  FROM bd, generate_series(0, 100000) gs(x)
+       |  WHERE bd.mn + gs.x * $DayUs <= bd.mx),
+       |series AS (
+       |  SELECT spine.b, (spine.b // $DayUs) % 7 AS g, COALESCE(c.n, 0) AS n
+       |  FROM spine LEFT JOIN c ON spine.b = c.b),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM spine),
+       |sagg AS (
+       |  SELECT COALESCE(CAST(SUM(CASE WHEN r.n > l.n THEN 1
+       |      WHEN r.n < l.n THEN -1 ELSE 0 END) AS BIGINT), 0) AS s
+       |  FROM series l JOIN series r ON l.g = r.g AND l.b < r.b),
+       |vg AS (
+       |  SELECT g, CAST(SUM(t) AS BIGINT) AS ng,
+       |    COALESCE(CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+       |      AS HUGEINT), 0) AS vt
+       |  FROM (SELECT g, n, CAST(COUNT(*) AS BIGINT) AS t
+       |        FROM series GROUP BY g, n) m
+       |  GROUP BY g),
+       |vr AS (
+       |  SELECT COALESCE(CAST(SUM(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5)
+       |    - vt) AS HUGEINT), 0) AS vnum
+       |  FROM vg),
+       |f AS (
+       |  SELECT nb.nn AS n_buckets, CAST(7 AS BIGINT) AS n_seasons,
+       |    sagg.s AS s_statistic,
+       |    CAST(vr.vnum AS DOUBLE) / 18.0 AS var_s
+       |  FROM nb CROSS JOIN sagg CROSS JOIN vr),
+       |g AS (
+       |  SELECT *,
+       |    CASE WHEN var_s > 0.0 AND s_statistic > 0
+       |      THEN (CAST(s_statistic AS DOUBLE) - 1.0) / SQRT(var_s)
+       |    WHEN var_s > 0.0 AND s_statistic < 0
+       |      THEN (CAST(s_statistic AS DOUBLE) + 1.0) / SQRT(var_s)
+       |    WHEN var_s > 0.0 THEN 0.0 END AS z
+       |  FROM f)
+       |SELECT n_buckets, n_seasons, s_statistic, var_s, z,
+       |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
+       |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------
   // q154 — per-type CUSUM change-point census: q153 keyed by
   // event_type, so a level shift in one stream is localized to ITS
   // key and day instead of diluting into the corpus total.
@@ -708,6 +766,7 @@ object TemporalQueries {
     "q177_theil_sen" -> (q177TheilSen _),
     "q179_mann_kendall" -> (q179MannKendall _),
     "q180_group_mann_kendall" -> (q180GroupMannKendall _),
+    "q189_seasonal_mann_kendall" -> (q189SeasonalMannKendall _),
     "q178_group_theil_sen" -> (q178GroupTheilSen _),
     "q150_cat_timeline" -> (q150CatTimeline _),
     "q149_ks_timeline" -> (q149KsTimeline _),
@@ -730,6 +789,7 @@ object TemporalQueries {
     "q177_theil_sen" -> q177Sql,
     "q179_mann_kendall" -> q179Sql,
     "q180_group_mann_kendall" -> q180Sql,
+    "q189_seasonal_mann_kendall" -> q189Sql,
     "q178_group_theil_sen" -> q178Sql,
     "q150_cat_timeline" -> q150Sql,
     "q149_ks_timeline" -> q149Sql,

@@ -858,4 +858,48 @@ class StatTestsSpec extends AnyFunSuite {
     assert(grouped("up").getAs[Long]("s_statistic") == 10L)
     assert(grouped("down").getAs[Long]("s_statistic") == -10L)
   }
+
+  test("seasonalMannKendall: a weekday cycle fools plain MK but not the seasonal form") {
+    // 28 days (4 full weeks): a strong NON-monotonic weekday level
+    // cycle + a small +1/week drift. Levels gap >= 5 > the 3-week max
+    // drift, so every cross-weekday pair's sign is set by the CYCLE,
+    // not the trend — plain MK drowns (hand-count: within-stratum +42,
+    // cross-stratum 4*sum_sign(level pairs) = +12, S = 54 over 378
+    // pairs, z ~ 1.05, p ~ 0.3), while every same-weekday stratum is
+    // strictly rising (S_g = 6 x 7 strata = 42 over 42 pairs).
+    val level = Seq(30, 10, 40, 20, 70, 5, 50)
+    val rows = (1 to 28).flatMap { d =>
+      val n = level((d - 1) % 7) + (d - 1) / 7
+      Seq.fill(n)(Tuple1(tsAt(d)))
+    }
+    val df = rows.toDF("ts")
+    val plain = StatTests.mannKendallTrend(df, col("ts"), 86400L).head()
+    assert(plain.getAs[Long]("s_statistic") == 54L)
+    assert(plain.getAs[Double]("p_two_sided") > 0.1,
+      "the cycle must drown the trend for plain MK")
+    val seas = StatTests.seasonalMannKendallTrend(df, col("ts"), 86400L).head()
+    assert(seas.getAs[Long]("n_buckets") == 28L)
+    assert(seas.getAs[Long]("n_seasons") == 7L)
+    assert(seas.getAs[Long]("s_statistic") == 42L)
+    // per stratum: n_g = 4, no value ties -> 4*3*13 = 156; 7 strata
+    val varS = (7.0 * 156.0) / 18.0
+    assert(seas.getAs[Double]("var_s") == varS)
+    assert(seas.getAs[Double]("z") == (42.0 - 1.0) / math.sqrt(varS))
+    assert(seas.getAs[Double]("p_two_sided") < 1e-4,
+      "the stratified test must see the drift")
+    // pure cycle, no drift: every stratum is constant -> S = 0 and the
+    // tie correction kills the whole variance -> z undefined (NULL)
+    val pure = (1 to 28).flatMap { d =>
+      Seq.fill(level((d - 1) % 7))(Tuple1(tsAt(d)))
+    }.toDF("ts")
+    val p0 = StatTests.seasonalMannKendallTrend(pure, col("ts"), 86400L).head()
+    assert(p0.getAs[Long]("s_statistic") == 0L)
+    assert(p0.getAs[Double]("var_s") == 0.0)
+    assert(p0.isNullAt(p0.fieldIndex("z")))
+    // empty input: defined one-row shape, not a crash
+    val e0 = StatTests.seasonalMannKendallTrend(
+      Seq.empty[Tuple1[java.sql.Timestamp]].toDF("ts"), col("ts"), 86400L).head()
+    assert(e0.getAs[Long]("n_buckets") == 0L)
+    assert(e0.isNullAt(e0.fieldIndex("s_statistic")))
+  }
 }
