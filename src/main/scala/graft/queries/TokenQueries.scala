@@ -301,6 +301,76 @@ object TokenQueries {
        |FROM tok GROUP BY token""".stripMargin
 
   // ---------------------------------------------------------------
+  // q190 — the LM score wired into the DECISION machinery (the way
+  // q112's logit feeds q126/q127/q130): per-source threshold sweep of
+  // q185's avg_log2_prob against the is_en label over the scored
+  // split — per (source, threshold), the confusion counts and P/R/F1
+  // of "keep if the LM score >= t". The sweep operator, band
+  // conventions, and oracle shape are exactly the q127 family's;
+  // only the score column (and its recursive-CTE provenance) differ.
+  // Domain [-6, -3) x 12 bands: width 0.25 and every threshold edge
+  // are exact binary doubles (the portability rule).
+  // ---------------------------------------------------------------
+  private val LmSweepLo = -6.0
+  private val LmSweepHi = -3.0
+  private val LmSweepBins = 12
+
+  def q190LmGateSweep(spark: SparkSession, d: String): DataFrame = {
+    val labeled = q185LmDocScores(spark, d).join(
+      Tables.documents(spark, d).select(col("doc_id"), col("source"),
+        (col("lang") === "en").as("_is_en")), "doc_id")
+    graft.operators.Evaluation.thresholdSweepBy(
+      labeled, col("source"), col("avg_log2_prob"), col("_is_en"),
+      LmSweepLo, LmSweepHi, LmSweepBins)
+      .withColumnRenamed("group_key", "source")
+  }
+
+  val q190Sql: String =
+    s"""WITH RECURSIVE $lmScoreCtes,
+       |lbl AS (
+       |  SELECT s.doc_id,
+       |    CAST(s.score_q16 AS DOUBLE) / (65536.0 * CAST(s.n_tokens AS DOUBLE)) AS v,
+       |    d.source, d.lang = 'en' AS p0
+       |  FROM dsc s JOIN documents d USING (doc_id)
+       |  WHERE d.source IS NOT NULL AND d.lang IS NOT NULL),
+       |b AS (
+       |  SELECT source,
+       |    LEAST(${LmSweepBins - 1}, GREATEST(0,
+       |      CAST(FLOOR((v - ($LmSweepLo)) / 0.25) AS BIGINT))) AS band,
+       |    CASE WHEN p0 THEN 1 ELSE 0 END AS p
+       |  FROM lbl),
+       |c AS (SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(p) AS BIGINT) AS n_pos
+       |      FROM b GROUP BY source, band),
+       |sp AS (SELECT g.source, spine.band,
+       |    COALESCE(c.n, 0) AS n, COALESCE(c.n_pos, 0) AS n_pos
+       |  FROM (SELECT DISTINCT source FROM b) g
+       |  CROSS JOIN (SELECT UNNEST(range(0, $LmSweepBins)) AS band) spine
+       |  LEFT JOIN c ON g.source = c.source AND spine.band = c.band),
+       |w AS (SELECT source, band, n, n_pos,
+       |    CAST(SUM(n_pos) OVER (PARTITION BY source ORDER BY band
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS tp,
+       |    CAST(SUM(n) OVER (PARTITION BY source ORDER BY band
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS kept,
+       |    CAST(SUM(n_pos) OVER (PARTITION BY source) AS BIGINT) AS p_all,
+       |    CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS n_all
+       |  FROM sp)
+       |SELECT source, band, $LmSweepLo + band * 0.25 AS threshold,
+       |  tp, kept - tp AS fp, p_all - tp AS fn,
+       |  n_all - kept - (p_all - tp) AS tn,
+       |  CASE WHEN kept > 0 THEN CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE) END AS precision,
+       |  CASE WHEN p_all > 0 THEN CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE) END AS recall,
+       |  CASE WHEN kept > 0 AND p_all > 0
+       |         AND (CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE)
+       |            + CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE)) > 0.0
+       |    THEN 2.0 * (CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE))
+       |             * (CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE))
+       |         / (CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE)
+       |          + CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE))
+       |  END AS f1
+       |FROM w""".stripMargin
+
+  // ---------------------------------------------------------------
   // q188 — out-of-distribution fertility: the embedded vocabulary
   // applied to text it was NOT dominated by — customer names (the
   // 'customer#NNNNNNNNN segment' surface), whose digit runs tokenize
@@ -353,7 +423,8 @@ object TokenQueries {
     "q185_lm_doc_scores"     -> (q185LmDocScores _),
     "q186_lm_source_gate"    -> (q186LmSourceGate _),
     "q187_bpe_vocab_census"  -> (q187BpeVocabCensus _),
-    "q188_bpe_name_fertility" -> (q188BpeNameFertility _))
+    "q188_bpe_name_fertility" -> (q188BpeNameFertility _),
+    "q190_lm_gate_sweep"      -> (q190LmGateSweep _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -363,5 +434,6 @@ object TokenQueries {
     "q185_lm_doc_scores"     -> q185Sql,
     "q186_lm_source_gate"    -> q186Sql,
     "q187_bpe_vocab_census"  -> q187Sql,
-    "q188_bpe_name_fertility" -> q188Sql)
+    "q188_bpe_name_fertility" -> q188Sql,
+    "q190_lm_gate_sweep"      -> q190Sql)
 }

@@ -81,6 +81,62 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(out(10L)._1 == 6L && out(11L)._1 == 6L)
   }
 
+  test("LM gate vs linear gate: the disagreement census isolates scrambled word order") {
+    // the q190 composition's semantics, pinned on a corpus built so
+    // the two gates MUST disagree on exactly one set: scrambled twins
+    // carry the identical linear features (permutation-invariant
+    // ratios — scrambles chosen with no adjacent stopwords, so the
+    // non-overlapping ' the '-count trick sees the same count) but
+    // broken word ORDER, which only the LM sees
+    import graft.operators.TextAnalysis
+    val fluent = Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "the dog ran to the rug"),
+      (12L, "a cat sat on a rug"))
+    val scrambled = Seq(
+      (13L, "mat the on sat cat the"),
+      (14L, "rug the to ran dog the"),
+      (15L, "rug a on sat cat a"))
+    val docs = (trainDocs ++ fluent ++ scrambled).toDF("doc_id", "text")
+    val lin = TextAnalysis.linearQualityScore(docs, "doc_id", "text",
+      bias = -2.0, wStopword = 8.0, wPunct = -4.0,
+      wMeanWordLen = 0.25, wKChars = 0.5)
+    val linMap = lin.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (((f, _), (s, _)) <- fluent.zip(scrambled))
+      assert(linMap(f) == linMap(s),
+        s"scrambling must not move the linear logit ($f vs $s)")
+    // elect a separating LM threshold from a first scoring pass
+    val first = gate(fluent ++ scrambled, thresholdQ16 = -(1L << 40))
+    val fluentMin = fluent.map(x => first(x._1)._3).min
+    val scrambledMax = scrambled.map(x => first(x._1)._3).max
+    assert(fluentMin > scrambledMax,
+      s"the LM must separate the groups ($fluentMin vs $scrambledMax)")
+    val thrQ16 = math.round((fluentMin + scrambledMax) / 2.0 * 65536.0)
+    val lm = LanguageModel.lmQualityGate(docs, "doc_id", "text",
+      trainPred = col("doc_id") < 8, thrQ16)
+    // the disagreement census proper: LM verdict x linear verdict
+    val census = lm.select(col("doc_id"), col("low_quality"))
+      .join(lin.select(col("doc_id"), col("keep")), "doc_id")
+      .groupBy(col("low_quality"), col("keep"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    // every fluent/scrambled twin shares its `keep`; low_quality
+    // splits them — so the scrambled docs are EXACTLY the rows where
+    // the gates disagree (low_quality=true under an identical keep)
+    val keepVal = lin.filter(col("doc_id") === 10L).head().getBoolean(2)
+    assert(census((true, keepVal)) == 3L,
+      "all three scrambled docs must land in the disagreement cell")
+    assert(census((false, keepVal)) == 3L)
+    assert(census.values.sum == 6L)
+    // and the flagged set IS the scrambled set
+    val flagged = lm.filter(col("low_quality")).collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged == scrambled.map(_._1).toSet)
+  }
+
   test("branch arithmetic is exact Q16: trigram, unknown, empty-doc") {
     val lg = FixedPointLog.log2fpQ16 _
     val D = FixedPointLog.Log2Of04Q16
