@@ -670,6 +670,50 @@ object Evaluation {
     out
   }
 
+  /** [[thresholdSweepBy]] rebuilt from a MAINTAINED band census — the
+    * partials-log discipline applied to the gate's operating points
+    * (the r11/r12 verdicts' q130 item): instead of rescanning the
+    * corpus, fold the mergeable (group_key, band, n, n_pos) integer
+    * partials a standing census emits
+    * ([[graft.streaming.StreamingCalibration.windowedBandCensusBy]]'s
+    * sink, a nightly append table, or any union of both) and run the
+    * same suffix-sum sweep over the filled spine. Partials at ANY
+    * granularity fold to the identical table (integer sums are
+    * order-free), so streamed == batch exactly — spec-pinned.
+    *
+    * `lo`/`hi`/`bins` must be the census's own banding (they
+    * reconstruct thresholds and the spine; a mismatch is a config
+    * error, caught by the band-range check). Output: exactly the
+    * [[thresholdSweepBy]] schema. Groups present in the log always
+    * have ≥1 surviving census row by construction, matching the batch
+    * raw-filter convention.
+    */
+  def sweepFromBandCensus(
+      bandCounts: DataFrame, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val counts = bandCounts
+      .select(col("group_key").as("_g"), col("band"), col("n"), col("n_pos"))
+      .groupBy(col("_g"), col("band"))
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"))
+      .persist()
+    val badBand = counts.filter(col("band") < 0L || col("band") >= bins).count()
+    require(badBand == 0L,
+      s"$badBand census rows carry bands outside [0, $bins) — the census " +
+        "was built with a different lo/hi/bins than this sweep")
+    val bandSpine = bandCounts.sparkSession.range(0, bins)
+      .select(col("id").as("band"))
+    val spine = counts.select(col("_g")).distinct()
+      .crossJoin(broadcast(bandSpine))
+      .join(counts, Seq("_g", "band"), "left")
+      .select(col("_g"), col("band"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"))
+    val out = sweepOverSpine(spine, Some(col("_g")), lo, hi, bins)
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(counts))
+    out
+  }
+
   /** Apply per-group operating points — the operator a curation run
     * actually EXECUTES after reading the sweep: elect each group's
     * F1-maximizing threshold from a [[thresholdSweepBy]] table

@@ -56,6 +56,46 @@ object StreamingCalibration {
         col("band"), col("n"), col("n_pos"))
   }
 
+  /** Per-GROUP watermarked windowed band census — [[windowedBandCensus]]
+    * keyed by a group column (source, segment): the streaming half of
+    * MAINTAINED per-source operating points. Rows with a NULL group
+    * are excluded (the [[graft.operators.Evaluation.thresholdSweepBy]]
+    * raw-filter convention, so the folded census matches the batch
+    * sweep's input exactly). State stays bounded:
+    * ≤ open-windows × groups × bins rows.
+    *
+    * The census sink is a PARTIALS LOG: each emitted (window, group,
+    * band, n, n_pos) row is a mergeable integer partial, so
+    * [[graft.operators.Evaluation.sweepFromBandCensus]] folds any
+    * accumulation of them — per window, per day, or the full log —
+    * into the exact batch threshold-sweep table, and
+    * [[graft.operators.Evaluation.applyOperatingPoints]] turns that
+    * into the q130 decision table without ever rescanning history.
+    */
+  def windowedBandCensusBy(
+      stream: DataFrame, groupCol: String, scoreCol: String, labelCol: String,
+      lo: Double, hi: Double, bins: Int,
+      tsCol: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val v = col(scoreCol).cast("double")
+    val band = least(lit(bins - 1L),
+      greatest(lit(0L), floor((v - lit(lo)) / lit(width))))
+    stream
+      .filter(col(scoreCol).isNotNull && !isnan(v) &&
+        col(labelCol).isNotNull && col(groupCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength),
+        col(groupCol).as("group_key"), band.as("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("window.start").as("window_start"),
+        col("group_key"), col("band"), col("n"), col("n_pos"))
+  }
+
   /** Gate-DISCRIMINATION monitor: per-window trapezoidal band-AUC
     * over a [[windowedBandCensus]] output — the streaming eval
     * family's third leg next to drift and calibration ("is the gate

@@ -336,6 +336,80 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       "single-class window must report NULL, not 0.5")
   }
 
+  test("streamed gate maintenance: folded band census -> sweep == batch thresholdSweepBy; applied points == the q130 decision table") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCalibration
+    import graft.operators.Evaluation
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double, Boolean)]
+    val sq = StreamingCalibration.windowedBandCensusBy(
+        stream.toDF().toDF("ts", "src", "score", "label"),
+        "src", "score", "label", lo = 0.0, hi = 1.0, bins = 4,
+        tsCol = "ts", windowLength = "1 hour", watermarkDelay = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sweep_census")
+      .start()
+    // two sources across two windows, with a clamp (1.3 -> band 3), a
+    // late row, and a NULL-group row that must be excluded
+    val raw = Seq(
+      (t("2024-01-01 10:05:00"), "a", 0.1, false),
+      (t("2024-01-01 10:10:00"), "a", 0.3, true),
+      (t("2024-01-01 10:15:00"), "b", 0.8, true),
+      (t("2024-01-01 10:20:00"), "b", 1.3, false),
+      (t("2024-01-01 11:02:00"), "a", 0.9, true),
+      (t("2024-01-01 11:10:00"), "b", 0.2, false))
+    stream.addData(raw.take(4) :+ ((t("2024-01-01 11:02:00"), "a", 0.9, true)))
+    sq.processAllAvailable()
+    stream.addData(Seq(
+      (t("2024-01-01 10:40:00"), "b", 0.6, true),     // late, in watermark
+      (t("2024-01-01 11:20:00"), null.asInstanceOf[String], 0.5, true), // null group: dropped
+      (t("2024-01-01 11:10:00"), "b", 0.2, false)))
+    sq.processAllAvailable()
+    stream.addData(Seq((t("2024-01-01 13:00:00"), "a", 0.5, true))) // close all
+    sq.processAllAvailable()
+    sq.stop()
+    // the partials log: fold EVERYTHING the stream emitted (any
+    // granularity folds the same — integer partials)
+    val log = spark.table("sweep_census")
+      .select($"group_key", $"band", $"n", $"n_pos")
+    val streamed = Evaluation.sweepFromBandCensus(log, lo = 0.0, hi = 1.0, bins = 4)
+    // batch truth over the same raw rows: the late one counts, the
+    // null-group one is dropped by the batch raw filter too, and the
+    // 13:00 watermark-advancer is excluded — its own window never
+    // closed, so the log (correctly) does not carry it yet
+    val rawDf = (raw :+ ((t("2024-01-01 10:40:00"), "b", 0.6, true)))
+      .toDF("ts", "src", "score", "label")
+    val batch = Evaluation.thresholdSweepBy(
+      rawDf, $"src", $"score", $"label", lo = 0.0, hi = 1.0, bins = 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("group_key"), r.getAs[Long]("band")) ->
+        (r.getAs[Double]("threshold"), r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+         r.getAs[Long]("fn"), r.getAs[Long]("tn"),
+         Option(r.getAs[java.lang.Double]("precision")),
+         Option(r.getAs[java.lang.Double]("recall")),
+         Option(r.getAs[java.lang.Double]("f1")))
+    }.toMap
+    val (sm, bm) = (key(streamed), key(batch))
+    assert(sm == bm, "the folded sweep must equal the batch sweep cell-for-cell")
+    assert(sm.size == 8, "2 sources x 4 bands")
+    // and the decision table: operating points elected from the
+    // MAINTAINED sweep, applied to the corpus == elected from the
+    // batch sweep (the q130 composition)
+    val applyStreamed = Evaluation.applyOperatingPoints(
+      rawDf, $"src", $"score", streamed).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val applyBatch = Evaluation.applyOperatingPoints(
+      rawDf, $"src", $"score", batch).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(applyStreamed == applyBatch,
+      "streamed-maintained operating points must yield the batch decision table")
+    // config-mismatch guard: a census built at different banding fails
+    // loudly instead of silently mis-thresholding
+    val bad = intercept[IllegalArgumentException] {
+      Evaluation.sweepFromBandCensus(log, lo = 0.0, hi = 1.0, bins = 2).collect()
+    }
+    assert(bad.getMessage.contains("different lo/hi/bins"))
+  }
+
   test("streaming banded KS: per-window drift equals the batch two-sample KS on band scores, late data folded") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingCalibration
