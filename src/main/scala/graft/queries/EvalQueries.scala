@@ -411,8 +411,8 @@ object EvalQueries {
     // what q133 exists to pin: the keep-filtered weighted join and
     // the exact integer-mass weighted AUC. The oracle still states
     // the full from-scratch SQL (q112 + q128 verbatim).
-    val s = QueryFixtures.ensure(spark, d, "q133_scored")(scored(spark, d))
-    val kl = QueryFixtures.ensure(spark, d, "q133_keeplist") {
+    val s = QueryFixtures.ensure(spark, d, "q133_scored", "q133_dedup_weighted_auc")(scored(spark, d))
+    val kl = QueryFixtures.ensure(spark, d, "q133_keeplist", "q133_dedup_weighted_auc") {
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("logit").desc, col("doc_id").asc)
       ExtensionQueries.q54DupClusters(spark, d)
@@ -1161,7 +1161,7 @@ object EvalQueries {
   def q159KsPValue(spark: SparkSession, d: String): DataFrame =
     // the base statistic is q144's own timed row; here the timed
     // operator is the p-scoring (the q175 fixture discipline)
-    QueryFixtures.ensure(spark, d, "q159_base_ks")(
+    QueryFixtures.ensure(spark, d, "q159_base_ks", "q159_ks_p_value")(
       { val s = scored(spark, d)
         graft.operators.StatTests.ksTwoSample(s, col("logit"), col("is_en")) })
       .withColumn("p_value",
@@ -1181,7 +1181,7 @@ object EvalQueries {
   // dag, per group.
   // ---------------------------------------------------------------
   def q160GroupKsPValue(spark: SparkSession, d: String): DataFrame =
-    QueryFixtures.ensure(spark, d, "q160_base_group_ks")(
+    QueryFixtures.ensure(spark, d, "q160_base_group_ks", "q160_group_ks_p_value")(
       q147GroupKs(spark, d))
       .withColumn("p_value",
         graft.operators.StatTests.kolmogorovPValue(col("ks_z")))
@@ -1200,7 +1200,7 @@ object EvalQueries {
   // every z the engine emits now carries its evidence strength.
   // ---------------------------------------------------------------
   def q162RankSumP(spark: SparkSession, d: String): DataFrame =
-    QueryFixtures.ensure(spark, d, "q162_base_rank_sum")(
+    QueryFixtures.ensure(spark, d, "q162_base_rank_sum", "q162_rank_sum_p")(
       q146RankSum(spark, d))
       .withColumn("p_two_sided",
         graft.operators.StatTests.normalPTwoSided(col("z")))
@@ -1217,7 +1217,7 @@ object EvalQueries {
   // small source can never reach.
   // ---------------------------------------------------------------
   def q163GroupRankSumP(spark: SparkSession, d: String): DataFrame =
-    QueryFixtures.ensure(spark, d, "q163_base_group_rank_sum")(
+    QueryFixtures.ensure(spark, d, "q163_base_group_rank_sum", "q163_group_rank_sum_p")(
       q148GroupRankSum(spark, d))
       .withColumn("p_two_sided",
         graft.operators.StatTests.normalPTwoSided(col("z")))
@@ -1336,7 +1336,7 @@ object EvalQueries {
        |  FROM base) t""".stripMargin
 
   def q167SpearmanP(spark: SparkSession, d: String): DataFrame =
-    spearmanScored(QueryFixtures.ensure(spark, d, "q167_base_spearman")(
+    spearmanScored(QueryFixtures.ensure(spark, d, "q167_base_spearman", "q167_spearman_p")(
       q139LengthCorrelation(spark, d)))
 
   val q167Sql: String =
@@ -1348,7 +1348,7 @@ object EvalQueries {
   // correlation dashboard ranked by evidence strength.
   // ---------------------------------------------------------------
   def q168GroupSpearmanP(spark: SparkSession, d: String): DataFrame =
-    spearmanScored(QueryFixtures.ensure(spark, d, "q168_base_group_spearman")(
+    spearmanScored(QueryFixtures.ensure(spark, d, "q168_base_group_spearman", "q168_group_spearman_p")(
       q152GroupSpearman(spark, d)))
 
   val q168Sql: String =
@@ -1447,7 +1447,7 @@ object EvalQueries {
       // reads it materialized); the timed operator is the BH gate —
       // the q129/q133 amortization discipline. The oracle still
       // states the full from-scratch chain.
-      QueryFixtures.ensure(spark, d, "q175_source_ks_p")(
+      QueryFixtures.ensure(spark, d, "q175_source_ks_p", "q175_bh_discoveries")(
         q160GroupKsPValue(spark, d)),
       col("p_value"), col("source"),
       alpha = 0.05)

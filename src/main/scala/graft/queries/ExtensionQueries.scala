@@ -372,7 +372,7 @@ object ExtensionQueries {
   private[graft] def ensureKeepListState(
       spark: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val scores = QueryFixtures.ensure(spark, d, "q129_scores") {
+    val scores = QueryFixtures.ensure(spark, d, "q129_scores", "q129_incremental_keep_list") {
       q112LinearQuality(spark, d)
         .select(col("doc_id"), col("logit").as("score"))
     }

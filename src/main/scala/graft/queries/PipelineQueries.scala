@@ -409,7 +409,7 @@ object PipelineQueries {
     // made the bench time the fixture, not the index eval. persisted
     // because both metric operators (retrievalQuality, ndcgAtK) read
     // it. The oracle still states the full brute-force SQL (q44).
-    val truth = QueryFixtures.ensure(spark, d, "q135_truth")(q44AnnJoin(spark, d))
+    val truth = QueryFixtures.ensure(spark, d, "q135_truth", "q135_retrieval_quality")(q44AnnJoin(spark, d))
       .persist()
     val rq = Ranking.retrievalQuality(run,
       truth.select(col("query_id"), col("neighbor_id")),

@@ -18,17 +18,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * exactly what the inline build produced (deterministic pipelines,
   * parquet round-trips are exact for every type involved), and the
   * oracles still state the full from-scratch SQL.
+  *
+  * COVERAGE LOOP (r12 verdict item): every `ensure` call names its
+  * OWNING query, which must appear in the aggregated `fixtureBacked`
+  * declarations (`SparkEntry.fixtureBackedQueries` — the set
+  * `benchSetup` warms). A caller that forgets to declare itself fails
+  * HERE, at first use in any spec or Verify run, instead of silently
+  * re-timing its fixture in the bench; and BenchSpec runs every
+  * declared query and diffs [[recordedOwners]] against the
+  * declarations, closing the loop in both directions.
   */
 object QueryFixtures {
+
+  /** The declared registry, resolved lazily at first `ensure` (the
+    * modules and SparkEntry are fully initialized by then — the call
+    * always comes FROM a module's query body). */
+  private lazy val declared: Set[String] =
+    graft.SparkEntry.fixtureBackedQueries.toSet
+
+  private val recorded =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Owners that have called [[ensure]] in this process — BenchSpec
+    * diffs this against the declarations. */
+  private[graft] def recordedOwners: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    recorded.asScala.toSet
+  }
 
   private[graft] def dirFor(d: String, name: String): String =
     s"target/fixtures/pid-${ProcessHandle.current().pid()}/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
   /** Write `build` to parquet at most once per process (per-pid
     * scratch, so a present _SUCCESS marker means this process already
-    * wrote it) and read it back.
+    * wrote it) and read it back. `owner` is the query name this
+    * fixture serves; it must be declared in its module's
+    * `fixtureBacked` list.
     */
-  def ensure(spark: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame = {
+  def ensure(spark: SparkSession, d: String, name: String, owner: String)(
+      build: => DataFrame): DataFrame = {
+    require(declared.contains(owner),
+      s"QueryFixtures.ensure('$name') called by undeclared owner " +
+        s"'$owner' — add it to the module's fixtureBacked list (next " +
+        "to this call site), or the bench will time the fixture " +
+        "build instead of the operator")
+    recorded.add(owner)
     val dir = dirFor(d, name)
     if (!new java.io.File(dir, "_SUCCESS").exists())
       build.write.mode("overwrite").parquet(dir)

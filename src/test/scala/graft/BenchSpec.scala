@@ -17,6 +17,24 @@ class BenchSpec extends AnyFunSuite {
       s"oracleSql entries without a query: $orphanOracles")
   }
 
+  test("fixture coverage loop: declared queries record themselves; undeclared owners are refused") {
+    import graft.queries.QueryFixtures
+    // forward direction: running every DECLARED fixture-backed query
+    // makes it register its ownership (ensure runs at plan-build time)
+    for (q <- SparkEntry.fixtureBackedQueries)
+      SparkEntry.queries(q)(spark, TestSpark.sf)
+    assert(QueryFixtures.recordedOwners == SparkEntry.fixtureBackedQueries.toSet,
+      "every declared fixture-backed query must call ensure under its own name")
+    // reverse direction is structural: an UNDECLARED owner cannot call
+    // ensure at all — the forgotten-declaration failure mode (r12
+    // verdict item 2) now fails the suite, not the bench
+    val e = intercept[IllegalArgumentException] {
+      QueryFixtures.ensure(spark, TestSpark.sf, "bogus_fixture",
+        "q999_not_declared")(spark.range(1).toDF("id"))
+    }
+    assert(e.getMessage.contains("undeclared owner"))
+  }
+
   test("evalAll completes over uniform 64-bit hashes (no ANSI overflow)") {
     // Summing uniform 64-bit hashes overflows Long within a handful of
     // rows under ANSI mode (each addition overflows w.p. ~1/2) — the
