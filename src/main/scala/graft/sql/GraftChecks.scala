@@ -209,7 +209,124 @@ object GraftChecks {
           need(a, "id", "lm_quality_gate"),
           need(a, "text", "lm_quality_gate"),
           expr(need(a, "train_pred", "lm_quality_gate")),
-          a.get("threshold_q16").map(_.trim.toLong).getOrElse(-344064L)))))
+          a.get("threshold_q16").map(_.trim.toLong).getOrElse(-344064L)))),
+
+    // ----- the DECISION family (q119-q130/q146/q151/q139 surfaces):
+    // every entry takes an optional `group` expression that switches
+    // to the per-group form, the eval family's convention -----
+
+    "auc" -> (("table, score (expr), label (boolean expr)[, group]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "auc"))
+        a.get("group") match {
+          case Some(g) => graft.operators.Evaluation.aucExactBy(
+            t, expr(g), expr(need(a, "score", "auc")),
+            expr(need(a, "label", "auc")))
+          case None => graft.operators.Evaluation.aucExact(
+            t, expr(need(a, "score", "auc")), expr(need(a, "label", "auc")))
+        }
+      })),
+
+    "calibration" -> (("table, score, label, lo, hi, bins[, group]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "calibration"))
+        val (lo, hi, bins) = (need(a, "lo", "calibration").toDouble,
+          need(a, "hi", "calibration").toDouble,
+          need(a, "bins", "calibration").toInt)
+        a.get("group") match {
+          case Some(g) => graft.operators.Evaluation.calibrationReportBy(
+            t, expr(g), expr(need(a, "score", "calibration")),
+            expr(need(a, "label", "calibration")), lo, hi, bins)
+          case None => graft.operators.Evaluation.calibrationReport(
+            t, expr(need(a, "score", "calibration")),
+            expr(need(a, "label", "calibration")), lo, hi, bins)
+        }
+      })),
+
+    "threshold_sweep" -> (("table, score, label, lo, hi, bins[, group]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "threshold_sweep"))
+        val (lo, hi, bins) = (need(a, "lo", "threshold_sweep").toDouble,
+          need(a, "hi", "threshold_sweep").toDouble,
+          need(a, "bins", "threshold_sweep").toInt)
+        a.get("group") match {
+          case Some(g) => graft.operators.Evaluation.thresholdSweepBy(
+            t, expr(g), expr(need(a, "score", "threshold_sweep")),
+            expr(need(a, "label", "threshold_sweep")), lo, hi, bins)
+          case None => graft.operators.Evaluation.thresholdSweep(
+            t, expr(need(a, "score", "threshold_sweep")),
+            expr(need(a, "label", "threshold_sweep")), lo, hi, bins)
+        }
+      })),
+
+    // elect per-group F1-max operating points from an internal sweep
+    // and execute the gate (the q130 decision table)
+    "gate_apply" -> (("table, group, score, label, lo, hi, bins",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "gate_apply"))
+        val g = expr(need(a, "group", "gate_apply"))
+        val sc = expr(need(a, "score", "gate_apply"))
+        val sweep = graft.operators.Evaluation.thresholdSweepBy(
+          t, g, sc, expr(need(a, "label", "gate_apply")),
+          need(a, "lo", "gate_apply").toDouble,
+          need(a, "hi", "gate_apply").toDouble,
+          need(a, "bins", "gate_apply").toInt).persist()
+        val out = graft.operators.Evaluation.applyOperatingPoints(t, g, sc, sweep)
+        graft.CacheLifecycle.releaseWhenExecuted(out, Seq(sweep))
+        out
+      })),
+
+    "rank_sum" -> (("table, value (expr), cohort (boolean expr)[, group]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "rank_sum"))
+        a.get("group") match {
+          case Some(g) => graft.operators.Evaluation.rankSumTestBy(
+            t, expr(g), expr(need(a, "value", "rank_sum")),
+            expr(need(a, "cohort", "rank_sum")))
+          case None => graft.operators.Evaluation.rankSumTest(
+            t, expr(need(a, "value", "rank_sum")),
+            expr(need(a, "cohort", "rank_sum")))
+        }
+      })),
+
+    "kendall" -> (("table, x (expr), y (expr)[, group]  (exact tau-b)",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "kendall"))
+        a.get("group") match {
+          case Some(g) => graft.operators.Profiling.kendallTauExactBy(
+            t, expr(g), expr(need(a, "x", "kendall")),
+            expr(need(a, "y", "kendall")))
+          case None => graft.operators.Profiling.kendallTauExact(
+            t, expr(need(a, "x", "kendall")), expr(need(a, "y", "kendall")))
+        }
+      })),
+
+    "spearman" -> (("table, x (expr), y (expr)[, group]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "spearman"))
+        a.get("group") match {
+          case Some(g) => graft.operators.Profiling.spearmanCorrBy(
+            t, expr(g), expr(need(a, "x", "spearman")),
+            expr(need(a, "y", "spearman")))
+          case None => graft.operators.Profiling.spearmanCorr(
+            t, expr(need(a, "x", "spearman")), expr(need(a, "y", "spearman")))
+        }
+      })),
+
+    // monotone-trend evidence; seasons > 1 stratifies the weekday
+    // cycle out (the q189 seasonal form)
+    "mann_kendall" -> (("table, ts (timestamp expr)[, bucket_seconds][, seasons]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "mann_kendall"))
+        val ts = expr(need(a, "ts", "mann_kendall"))
+        val bucket = a.get("bucket_seconds").map(_.toLong).getOrElse(86400L)
+        a.get("seasons").map(_.toInt) match {
+          case Some(k) => graft.operators.StatTests
+            .seasonalMannKendallTrend(t, ts, bucket, k)
+          case None => graft.operators.StatTests
+            .mannKendallTrend(t, ts, bucket)
+        }
+      })))
 
   /** One row per registered check: (check, arguments). */
   def list(spark: SparkSession): DataFrame = {

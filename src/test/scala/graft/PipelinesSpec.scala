@@ -217,4 +217,85 @@ class PipelinesSpec extends AnyFunSuite {
     assert(lm.keySet == Set(10L, 11L))
     assert(lm(10L) > lm(11L), "in-distribution text must outscore unknowns")
   }
+
+  test("SQL-callable checks: the decision family (auc/calibration/sweep/gate/rank-sum/correlations/MK) from SQL") {
+    import graft.operators.{Evaluation, Profiling, StatTests}
+    Seq(("a", 0.1, false), ("a", 0.4, true), ("a", 0.8, true),
+      ("b", 0.2, false), ("b", 0.6, false), ("b", 0.9, true),
+      ("a", 0.3, false), ("b", 0.7, true))
+      .toDF("src", "score", "label").createOrReplaceTempView("sqlc_sc")
+    val t = spark.table("sqlc_sc")
+
+    val auc = spark.sql(
+      "CALL graft.auc(`table` => 'sqlc_sc', score => 'score', label => 'label')").head()
+    assert(auc.getAs[Double]("auc") ==
+      Evaluation.aucExact(t, $"score", $"label").head().getAs[Double]("auc"))
+    val gauc = spark.sql(
+      """CALL graft.auc(`table` => 'sqlc_sc', score => 'score',
+        |  label => 'label', group => 'src')""".stripMargin).collect()
+    assert(gauc.length == 2)
+
+    val cal = spark.sql(
+      """CALL graft.calibration(`table` => 'sqlc_sc', score => 'score',
+        |  label => 'label', lo => '0.0', hi => '1.0', bins => '4')""".stripMargin)
+      .collect()
+    assert(cal.length == 4 && cal.map(_.getAs[Long]("n")).sum == 8L)
+
+    val sweep = spark.sql(
+      """CALL graft.threshold_sweep(`table` => 'sqlc_sc', score => 'score',
+        |  label => 'label', lo => '0.0', hi => '1.0', bins => '4',
+        |  group => 'src')""".stripMargin).collect()
+      .map(r => (r.getAs[String]("group_key"), r.getAs[Long]("band")) ->
+        r.getAs[Long]("tp")).toMap
+    val direct = Evaluation.thresholdSweepBy(
+      t, $"src", $"score", $"label", 0.0, 1.0, 4).collect()
+      .map(r => (r.getAs[String]("group_key"), r.getAs[Long]("band")) ->
+        r.getAs[Long]("tp")).toMap
+    assert(sweep == direct)
+
+    val gate = spark.sql(
+      """CALL graft.gate_apply(`table` => 'sqlc_sc', group => 'src',
+        |  score => 'score', label => 'label',
+        |  lo => '0.0', hi => '1.0', bins => '4')""".stripMargin).collect()
+      .map(r => r.getAs[String]("group_key") ->
+        (r.getAs[Double]("threshold"), r.getAs[Long]("n_kept"))).toMap
+    val directGate = Evaluation.applyOperatingPoints(t, $"src", $"score",
+        Evaluation.thresholdSweepBy(t, $"src", $"score", $"label", 0.0, 1.0, 4))
+      .collect().map(r => r.getAs[String]("group_key") ->
+        (r.getAs[Double]("threshold"), r.getAs[Long]("n_kept"))).toMap
+    assert(gate == directGate)
+
+    val rs = spark.sql(
+      "CALL graft.rank_sum(`table` => 'sqlc_sc', value => 'score', cohort => 'label')").head()
+    assert(rs.getAs[Double]("z") ==
+      Evaluation.rankSumTest(t, $"score", $"label").head().getAs[Double]("z"))
+
+    Seq((1.0, 2.0), (2.0, 4.0), (3.0, 3.0), (4.0, 8.0))
+      .toDF("x", "y").createOrReplaceTempView("sqlc_xy")
+    val kt = spark.sql(
+      "CALL graft.kendall(`table` => 'sqlc_xy', x => 'x', y => 'y')").head()
+    assert(kt.getAs[Double]("tau_b") == Profiling.kendallTauExact(
+      spark.table("sqlc_xy"), $"x", $"y").head().getAs[Double]("tau_b"))
+    val sp = spark.sql(
+      "CALL graft.spearman(`table` => 'sqlc_xy', x => 'x', y => 'y')").head()
+    assert(sp.getAs[Double]("spearman_rho") == Profiling.spearmanCorr(
+      spark.table("sqlc_xy"), $"x", $"y").head().getAs[Double]("spearman_rho"))
+
+    Seq((ts("2024-01-01 05:00:00")), (ts("2024-01-02 05:00:00")),
+      (ts("2024-01-02 06:00:00")), (ts("2024-01-03 05:00:00")),
+      (ts("2024-01-03 06:00:00")), (ts("2024-01-03 07:00:00")))
+      .map(Tuple1(_)).toDF("t").createOrReplaceTempView("sqlc_mk")
+    val mk = spark.sql(
+      "CALL graft.mann_kendall(`table` => 'sqlc_mk', ts => 't')").head()
+    assert(mk.getAs[Long]("s_statistic") == StatTests.mannKendallTrend(
+      spark.table("sqlc_mk"), $"t", 86400L).head().getAs[Long]("s_statistic"))
+    val smk = spark.sql(
+      "CALL graft.mann_kendall(`table` => 'sqlc_mk', ts => 't', seasons => '2')").head()
+    assert(smk.getAs[Long]("n_seasons") == 2L)
+    assert(smk.getAs[Long]("s_statistic") == StatTests.seasonalMannKendallTrend(
+      spark.table("sqlc_mk"), $"t", 86400L, 2).head().getAs[Long]("s_statistic"))
+
+    // the registry grew to 27 CALL-able checks
+    assert(graft.sql.GraftChecks.registry.size == 27)
+  }
 }
