@@ -117,6 +117,87 @@ object Provenance {
       .withColumn("file_name", regexp_extract(col("file_path"), "([^/]+)$", 1))
   }
 
+  /** Outcome of [[takedownExecute]], verified before return: a caller
+    * holding a report knows `outDir` is safe to swap in. */
+  final case class TakedownReport(
+      filesCarried: Long, filesRewritten: Long,
+      rowsBefore: Long, rowsDropped: Long, rowsAfter: Long)
+
+  /** Execute a [[takedownPlan]]: the write-new / verify half of the
+    * versioned write-new → verify → swap cycle (the keep-list fold's
+    * versioned-parquet discipline applied to deletion). Files with NO
+    * hits are carried into `outDir` as BYTE-IDENTICAL filesystem
+    * copies — their parquet encodings, stats, and bytes untouched, so
+    * the rewrite cost scales with the hit FRACTION of the corpus, not
+    * its size (the takedownPlan's point); files with hits are re-read
+    * with exactly the taken-down ids anti-joined out and rewritten.
+    *
+    * The input dir is NEVER modified: an in-flight reader of the old
+    * version keeps every file it bound at plan time (no
+    * overwrite-while-reading), and the swap is a pointer flip the
+    * caller performs only after this returns — which it does only
+    * after verifying (a) rowsAfter == rowsBefore − dropped and (b) a
+    * read-back probe finds zero taken-down ids in `outDir`. In-place
+    * execution (`outDir == dir`, however aliased) is refused loudly,
+    * the [[compact]] guard.
+    */
+  def takedownExecute(
+      spark: org.apache.spark.sql.SparkSession, dir: String, outDir: String,
+      idCol: String, takedown: DataFrame): TakedownReport = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inPath = new org.apache.hadoop.fs.Path(dir)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val qIn = inPath.getFileSystem(conf).makeQualified(inPath).toUri.normalize()
+    val qOut = outPath.getFileSystem(conf).makeQualified(outPath).toUri.normalize()
+    require(qIn != qOut,
+      "in-place takedown is refused: write side-by-side, verify, then swap")
+    val ids = takedown.select(col(idCol)).distinct().persist()
+    val df = spark.read.parquet(dir)
+    // compare by URI path component: _metadata.file_path and the
+    // filesystem listing may render the same file with different
+    // scheme spellings (file:/ vs file:///)
+    def pathKey(s: String) =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val hitPaths = takedownPlan(df, idCol, ids)
+      .select(col("file_path")).collect().map(r => pathKey(r.getString(0))).toSet
+    val fs = inPath.getFileSystem(conf)
+    val it = fs.listFiles(inPath, true)
+    val all = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .filter { f =>
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath).toSeq
+    val (hit, carried) = all.partition(p => hitPaths.contains(pathKey(p.toString)))
+    require(hit.size == hitPaths.size,
+      s"takedown plan named ${hitPaths.size} files but the listing matched ${hit.size}")
+    val outFs = outPath.getFileSystem(conf)
+    outFs.mkdirs(outPath)
+    carried.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, p, outFs, new org.apache.hadoop.fs.Path(outPath, p.getName),
+        false, conf)
+    }
+    if (hit.nonEmpty)
+      spark.read.parquet(hit.map(_.toString): _*)
+        .join(broadcast(ids), Seq(idCol), "left_anti")
+        .write.mode("append").parquet(outDir)
+    // verification before anyone swaps: exact row accounting and a
+    // zero-survivors probe of the taken-down ids
+    val rowsBefore = df.count()
+    val dropped = df.join(broadcast(ids), Seq(idCol), "left_semi").count()
+    val after = spark.read.parquet(outDir)
+    val rowsAfter = after.count()
+    require(rowsAfter == rowsBefore - dropped,
+      s"takedown rewrite row mismatch: $rowsBefore before, $dropped to drop, " +
+        s"$rowsAfter after — do NOT swap $outDir in")
+    val survivors = after.join(broadcast(ids), Seq(idCol), "left_semi").count()
+    require(survivors == 0L,
+      s"$survivors taken-down rows survive in $outDir — do NOT swap it in")
+    ids.unpersist(blocking = false)
+    TakedownReport(carried.size.toLong, hit.size.toLong,
+      rowsBefore, dropped, rowsAfter)
+  }
+
   /** Small-files compaction plan: assign every physical file of a
     * parquet layout to a rewrite group totaling ~`targetBytes` — the
     * maintenance pass that keeps a streamed-into / trickle-appended

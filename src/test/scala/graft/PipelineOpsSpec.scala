@@ -435,6 +435,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("takedownExecute: versioned write-new/verify/swap with a concurrent reader; survivors byte-identical") {
+    import graft.operators.Provenance
+    def md5(f: java.io.File): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map("%02x".format(_)).mkString
+    }
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = java.nio.file.Files.createTempDirectory("takedownx").toString
+    val v1 = base + "/v1"
+    val v2 = base + "/v2"
+    // a multi-file corpus: 6 files, ids clustered so SOME files carry
+    // no takedown hits at all
+    spark.range(0, 6000).selectExpr("id", "repeat('z', 64) AS pad")
+      .repartitionByRange(6, $"id").write.parquet(v1)
+    assert(parquetFiles(v1).length == 6)
+    val v1Sums = parquetFiles(v1).map(f => f.getName -> md5(f)).toMap
+    // the version pointer + an IN-FLIGHT reader bound to v1 before the
+    // cycle starts (Spark binds the file listing at read creation)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(base, "_CURRENT"), v1)
+    val inFlight = spark.read.parquet(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(base, "_CURRENT")))
+    // take down a contiguous id slice -> it lives in few files
+    val ids = spark.range(100, 240).toDF("id")
+    val report = Provenance.takedownExecute(spark, v1, v2, "id", ids)
+    assert(report.rowsBefore == 6000L && report.rowsDropped == 140L
+      && report.rowsAfter == 5860L)
+    assert(report.filesCarried + report.filesRewritten == 6L)
+    assert(report.filesCarried >= 4L,
+      s"a clustered takedown must leave most files untouched: $report")
+    // NO overwrite-while-reading: every v1 file is byte-identical
+    // after the cycle, and the in-flight reader still sees ALL of v1
+    assert(parquetFiles(v1).map(f => f.getName -> md5(f)).toMap == v1Sums,
+      "the old version's files must never be touched")
+    assert(inFlight.count() == 6000L,
+      "a reader bound before the cycle keeps its full version")
+    // byte-identical SURVIVORS: each carried file in v2 is an exact
+    // byte copy of its v1 original (same name, same md5)
+    val v2ByName = parquetFiles(v2).map(f => f.getName -> md5(f)).toMap
+    val carriedNames = v2ByName.keySet.intersect(v1Sums.keySet)
+    assert(carriedNames.size.toLong == report.filesCarried)
+    carriedNames.foreach { n =>
+      assert(v2ByName(n) == v1Sums(n), s"carried file $n must be byte-identical")
+    }
+    // content: v2 == v1 minus exactly the taken-down ids
+    val v2Ids = spark.read.parquet(v2).select("id").as[Long].collect().sorted
+    val expect = (0L until 6000L).filterNot(i => i >= 100 && i < 240)
+    assert(v2Ids.toSeq == expect)
+    // the SWAP is a pointer flip: new readers resolve v2, the
+    // in-flight reader is unaffected
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(base, "_CURRENT"), v2)
+    val fresh = spark.read.parquet(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(base, "_CURRENT")))
+    assert(fresh.count() == 5860L)
+    assert(inFlight.count() == 6000L)
+    // in-place execution refused, aliases included
+    intercept[IllegalArgumentException] {
+      Provenance.takedownExecute(spark, v1, v1, "id", ids)
+    }
+    intercept[IllegalArgumentException] {
+      Provenance.takedownExecute(spark, v1,
+        v1 + "/../" + new java.io.File(v1).getName, "id", ids)
+    }
+  }
+
   test("knnLabelAgreement: separable clusters agree fully, shuffled labels don't") {
     // two well-separated clusters on orthogonal axes, 8 vectors each
     def vec(axis: Int, jitter: Double): Seq[Float] =
