@@ -29,7 +29,7 @@ object SparkEntry {
     * this file. */
   def fixtureBackedQueries: Seq[String] =
     ExtensionQueries.fixtureBacked ++ PipelineQueries.fixtureBacked ++
-      EvalQueries.fixtureBacked
+      EvalQueries.fixtureBacked ++ TokenQueries.fixtureBacked
 
   def benchSetup(spark: SparkSession, sfDir: String): Unit = {
     ScaleQueries.ensurePartitionedEvents(spark, sfDir)

@@ -1878,6 +1878,91 @@ object StatTests {
     out
   }
 
+  /** Per-key [[seasonalMannKendallTrend]] — each key's season-
+    * stratified monotone-trend evidence over the SHARED zero-filled
+    * calendar spine (the [[mannKendallTrendBy]] convention: a key
+    * absent on a day is a 0), per-(key, stratum) tie correction,
+    * group-scale output. The pair census joins on (key, stratum,
+    * b1 < b2) — keys × seasons bounded censuses. */
+  def seasonalMannKendallTrendBy(
+      df: DataFrame, key: Column, ts: Column, bucketSeconds: Long,
+      seasons: Int = 7, maxBuckets: Int = 8192): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    require(seasons >= 2, s"seasons must be >= 2, got $seasons")
+    val spark = df.sparkSession
+    val width = bucketSeconds * 1000000L
+    val us = unix_micros(ts)
+    val daily = df.filter(ts.isNotNull && key.isNotNull)
+      .select(key.as("_k"), (us - pmod(us, lit(width))).as("_b"))
+      .groupBy(col("_k"), col("_b")).agg(count(lit(1)).as("_n"))
+      .persist()
+    val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
+    if (bounds.isNullAt(0)) {
+      daily.unpersist(blocking = false)
+      return spark.range(0).select(
+        lit("").as("key"), lit(0L).as("n_buckets"),
+        lit(seasons.toLong).as("n_seasons"),
+        lit(null).cast("long").as("s_statistic"),
+        lit(null).cast("double").as("var_s"),
+        lit(null).cast("double").as("z"),
+        lit(null).cast("double").as("p_two_sided"))
+    }
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val nb = (mx - mn) / width + 1L
+    require(nb <= maxBuckets,
+      s"$nb calendar buckets > $maxBuckets — the pair census is " +
+        "quadratic in buckets per stratum; widen bucketSeconds or raise maxBuckets")
+    val spine = spark.range(0, nb)
+      .select((lit(mn) + col("id") * lit(width)).as("_b"))
+    val stratum = pmod(expr(s"_b div ${width}L"), lit(seasons.toLong))
+    val series = daily.select(col("_k")).distinct()
+      .crossJoin(broadcast(spine))
+      .join(daily, Seq("_k", "_b"), "left")
+      .select(col("_k"), col("_b"), stratum.as("_g"),
+        coalesce(col("_n"), lit(0L)).as("_n"))
+      .persist()
+    val l = series.select(col("_k"), col("_g"), col("_b").as("_b1"), col("_n").as("_n1"))
+    val r = series.select(col("_k").as("_k2"), col("_g").as("_g2"),
+      col("_b").as("_b2"), col("_n").as("_n2"))
+    val sAgg = l.join(r, col("_k") === col("_k2") && col("_g") === col("_g2")
+        && col("_b1") < col("_b2"))
+      .groupBy(col("_k"))
+      .agg(coalesce(sum(signum(col("_n2") - col("_n1")).cast("long")), lit(0L))
+        .as("s_statistic"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val one = lit(1L).cast("decimal(38,0)")
+    val two = lit(2L).cast("decimal(38,0)")
+    val five = lit(5L).cast("decimal(38,0)")
+    val varAgg = series
+      .groupBy(col("_k").as("_kt"), col("_g"), col("_n")).agg(count(lit(1)).as("_t"))
+      .groupBy(col("_kt"), col("_g"))
+      .agg(
+        sum(col("_t")).as("_ng"),
+        coalesce(sum(dec(col("_t")) * (dec(col("_t")) - one) *
+          (two * dec(col("_t")) + five)), lit(0L).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("_vt"))
+      .groupBy(col("_kt"))
+      .agg(coalesce(sum(
+        (dec(col("_ng")) * (dec(col("_ng")) - one) * (two * dec(col("_ng")) + five)
+          - col("_vt")).cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("_vnum"))
+    val out = sAgg.join(varAgg, col("_k") === col("_kt")).drop("_kt")
+      .withColumn("n_buckets", lit(nb))
+      .withColumn("n_seasons", lit(seasons.toLong))
+      .withColumn("var_s", col("_vnum").cast("double") / lit(18.0))
+      .withColumn("z",
+        when(col("var_s") > lit(0.0) && col("s_statistic") > 0L,
+          (col("s_statistic").cast("double") - lit(1.0)) / sqrt(col("var_s")))
+          .when(col("var_s") > lit(0.0) && col("s_statistic") < 0L,
+            (col("s_statistic").cast("double") + lit(1.0)) / sqrt(col("var_s")))
+          .when(col("var_s") > lit(0.0), lit(0.0)))
+      .withColumn("p_two_sided", normalPTwoSided(col("z")))
+      .select(col("_k").as("key"), col("n_buckets"), col("n_seasons"),
+        col("s_statistic"), col("var_s"), col("z"), col("p_two_sided"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(daily, series))
+    out
+  }
+
   /** Benjamini–Hochberg FDR gate over a frame of per-hypothesis
     * p-values — the multiple-testing correction the per-source
     * statistic family needs: 20 sources × p < 0.05 yields one false

@@ -689,6 +689,65 @@ object TemporalQueries {
        |FROM g""".stripMargin
 
   // ---------------------------------------------------------------
+  // q191 — per-type SEASONAL Mann–Kendall: q189 keyed by event type
+  // over the shared spine — which stream's trend survives weekday
+  // deseasonalization (the q180 table with the cycle stratified out).
+  // ---------------------------------------------------------------
+  def q191GroupSeasonalMannKendall(spark: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.seasonalMannKendallTrendBy(
+      Tables.events(spark, d), col("event_type"), col("ts"), DaySeconds,
+      seasons = 7)
+      .withColumnRenamed("key", "event_type")
+
+  val q191Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type AS k, epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+       |c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY k, b),
+       |bd AS (SELECT MIN(b) AS mn, MAX(b) AS mx FROM c),
+       |spine AS (SELECT CAST(bd.mn + gs.x * $DayUs AS BIGINT) AS b
+       |  FROM bd, generate_series(0, 100000) gs(x)
+       |  WHERE bd.mn + gs.x * $DayUs <= bd.mx),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM spine),
+       |series AS (
+       |  SELECT ks.k, spine.b, (spine.b // $DayUs) % 7 AS g, COALESCE(c.n, 0) AS n
+       |  FROM (SELECT DISTINCT k FROM c) ks
+       |  CROSS JOIN spine
+       |  LEFT JOIN c ON c.k = ks.k AND c.b = spine.b),
+       |sagg AS (
+       |  SELECT l.k, COALESCE(CAST(SUM(CASE WHEN r.n > l.n THEN 1
+       |      WHEN r.n < l.n THEN -1 ELSE 0 END) AS BIGINT), 0) AS s
+       |  FROM series l JOIN series r ON l.k = r.k AND l.g = r.g AND l.b < r.b
+       |  GROUP BY l.k),
+       |vg AS (
+       |  SELECT k, g, CAST(SUM(t) AS BIGINT) AS ng,
+       |    COALESCE(CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+       |      AS HUGEINT), 0) AS vt
+       |  FROM (SELECT k, g, n, CAST(COUNT(*) AS BIGINT) AS t
+       |        FROM series GROUP BY k, g, n) m
+       |  GROUP BY k, g),
+       |vr AS (
+       |  SELECT k, COALESCE(CAST(SUM(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5)
+       |    - vt) AS HUGEINT), 0) AS vnum
+       |  FROM vg GROUP BY k),
+       |f AS (
+       |  SELECT sagg.k, nb.nn AS n_buckets, CAST(7 AS BIGINT) AS n_seasons,
+       |    sagg.s AS s_statistic,
+       |    CAST(vr.vnum AS DOUBLE) / 18.0 AS var_s
+       |  FROM sagg JOIN vr ON sagg.k = vr.k CROSS JOIN nb),
+       |g AS (
+       |  SELECT *,
+       |    CASE WHEN var_s > 0.0 AND s_statistic > 0
+       |      THEN (CAST(s_statistic AS DOUBLE) - 1.0) / SQRT(var_s)
+       |    WHEN var_s > 0.0 AND s_statistic < 0
+       |      THEN (CAST(s_statistic AS DOUBLE) + 1.0) / SQRT(var_s)
+       |    WHEN var_s > 0.0 THEN 0.0 END AS z
+       |  FROM f)
+       |SELECT k AS event_type, n_buckets, n_seasons, s_statistic, var_s, z,
+       |  ${graft.operators.StatTests.normalPTwoSidedSql("z")} AS p_two_sided
+       |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------
   // q154 — per-type CUSUM change-point census: q153 keyed by
   // event_type, so a level shift in one stream is localized to ITS
   // key and day instead of diluting into the corpus total.
@@ -767,6 +826,7 @@ object TemporalQueries {
     "q179_mann_kendall" -> (q179MannKendall _),
     "q180_group_mann_kendall" -> (q180GroupMannKendall _),
     "q189_seasonal_mann_kendall" -> (q189SeasonalMannKendall _),
+    "q191_group_seasonal_mann_kendall" -> (q191GroupSeasonalMannKendall _),
     "q178_group_theil_sen" -> (q178GroupTheilSen _),
     "q150_cat_timeline" -> (q150CatTimeline _),
     "q149_ks_timeline" -> (q149KsTimeline _),
@@ -790,6 +850,7 @@ object TemporalQueries {
     "q179_mann_kendall" -> q179Sql,
     "q180_group_mann_kendall" -> q180Sql,
     "q189_seasonal_mann_kendall" -> q189Sql,
+    "q191_group_seasonal_mann_kendall" -> q191Sql,
     "q178_group_theil_sen" -> q178Sql,
     "q150_cat_timeline" -> q150Sql,
     "q149_ks_timeline" -> q149Sql,

@@ -315,8 +315,16 @@ object TokenQueries {
   private val LmSweepHi = -3.0
   private val LmSweepBins = 12
 
+  /** Fixture-backed bench rows (the EvalQueries.fixtureBacked
+    * convention): q190 composes the decision sweep OVER the q185
+    * scores, which keep their own timed rows — so its bench row times
+    * the sweep, not a third LM training. */
+  val fixtureBacked: Seq[String] = Seq("q190_lm_gate_sweep")
+
   def q190LmGateSweep(spark: SparkSession, d: String): DataFrame = {
-    val labeled = q185LmDocScores(spark, d).join(
+    val perDoc = QueryFixtures.ensure(spark, d, "q190_lm_scores",
+      "q190_lm_gate_sweep")(q185LmDocScores(spark, d))
+    val labeled = perDoc.join(
       Tables.documents(spark, d).select(col("doc_id"), col("source"),
         (col("lang") === "en").as("_is_en")), "doc_id")
     graft.operators.Evaluation.thresholdSweepBy(

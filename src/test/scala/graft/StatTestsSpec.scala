@@ -902,4 +902,26 @@ class StatTestsSpec extends AnyFunSuite {
     assert(e0.getAs[Long]("n_buckets") == 0L)
     assert(e0.isNullAt(e0.fieldIndex("s_statistic")))
   }
+
+  test("seasonalMannKendallTrendBy: grouped equals solo per key on coinciding spines") {
+    val level = Seq(3, 1, 4, 2, 7, 1, 5)
+    val rows =
+      (1 to 28).flatMap { d =>
+        Seq.fill(level((d - 1) % 7) + (d - 1) / 7)(("drift", tsAt(d)))
+      } ++
+      (1 to 28).flatMap { d => Seq.fill(level((d - 1) % 7))(("cycle", tsAt(d))) }
+    val df = rows.toDF("k", "ts")
+    val grouped = StatTests.seasonalMannKendallTrendBy(
+        df, col("k"), col("ts"), 86400L)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    for (k <- Seq("drift", "cycle")) {
+      val solo = StatTests.seasonalMannKendallTrend(
+        df.filter(col("k") === k).select(col("ts")), col("ts"), 86400L).head()
+      assert(grouped(k).getAs[Long]("s_statistic") ==
+        solo.getAs[Long]("s_statistic"), k)
+      assert(grouped(k).getAs[Double]("var_s") == solo.getAs[Double]("var_s"), k)
+    }
+    assert(grouped("drift").getAs[Long]("s_statistic") == 42L)
+    assert(grouped("cycle").getAs[Long]("s_statistic") == 0L)
+  }
 }
