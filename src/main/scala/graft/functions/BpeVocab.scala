@@ -457,9 +457,18 @@ object BpeVocab {
     * recursion corpus-size-independent. `table` may be any relation
     * expression with (doc_id, text) columns, including a
     * parenthesized subquery.
+    *
+    * `wordPredicate` (a SQL predicate over the word column `w`)
+    * restricts the MERGE-LOOP REPLAY to a word slice — the TIERED
+    * oracle for production-size vocabularies: replay cost is
+    * O(replayed words × steps × |merges|), so a deterministic
+    * md5-sampled slice keeps a 50k-merge table's oracle tractable
+    * while staying hash-exact on the sampled surface (q192). With a
+    * non-default predicate only `wtok` rows for matching words exist;
+    * `dtok` is meaningful only under the default TRUE predicate.
     */
   def docTokensCtes(merges: Seq[(String, String)] = default,
-      table: String = "documents"): String = {
+      table: String = "documents", wordPredicate: String = "TRUE"): String = {
     validateMerges(merges)
     s"""merges(pair, merged, rank) AS (VALUES
        |      ${mergesValuesSql(merges)}),
@@ -471,7 +480,7 @@ object BpeVocab {
        |    init AS (
        |      SELECT DISTINCT w,
        |        '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') || '  ' AS s
-       |      FROM words),
+       |      FROM words WHERE $wordPredicate),
        |    steps(w, s) AS (
        |      SELECT w, s FROM init
        |      UNION ALL

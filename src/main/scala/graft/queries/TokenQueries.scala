@@ -422,6 +422,40 @@ object TokenQueries {
        |GROUP BY c.c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------
+  // q192 — the TIERED ORACLE demonstrated as a live query: per-word
+  // occurrence and token counts over a DETERMINISTIC md5-sampled
+  // word slice (md5-prefix mod 4 == 0, ~25% of distinct words). The
+  // oracle replays the merge loop ONLY for sampled words, so the
+  // replay cost scales with the slice — the strategy that keeps a
+  // 512–50k-merge production vocabulary's oracle tractable (full
+  // hash-exactness on the sampled surface; corpus totals stay on the
+  // q181 full-replay row, affordable because replay is
+  // distinct-word-bounded). Engine side: the slice predicate is the
+  // same portable md5-prefix integer both engines already share.
+  // ---------------------------------------------------------------
+  def q192BpeWordSlice(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit(BpeVocab.PretokenRegex), lit(0))).as("word"))
+      .filter(graft.functions.Md5Expressions.md5PrefixLong(
+        col("word"), 8, 4) === 0L)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("bpe_tokens",
+        Bpe.bpeTokenCount(col("word")).cast("long"))
+
+  val q192Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes(wordPredicate =
+         "CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) % 4 = 0")},
+       |sw AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+       |  FROM words
+       |  WHERE CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) % 4 = 0
+       |  GROUP BY w)
+       |SELECT sw.w AS word, sw.n_occurrences, k.nt AS bpe_tokens
+       |FROM sw JOIN wtok k USING (w)""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -432,7 +466,8 @@ object TokenQueries {
     "q186_lm_source_gate"    -> (q186LmSourceGate _),
     "q187_bpe_vocab_census"  -> (q187BpeVocabCensus _),
     "q188_bpe_name_fertility" -> (q188BpeNameFertility _),
-    "q190_lm_gate_sweep"      -> (q190LmGateSweep _))
+    "q190_lm_gate_sweep"      -> (q190LmGateSweep _),
+    "q192_bpe_word_slice"     -> (q192BpeWordSlice _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -443,5 +478,6 @@ object TokenQueries {
     "q186_lm_source_gate"    -> q186Sql,
     "q187_bpe_vocab_census"  -> q187Sql,
     "q188_bpe_name_fertility" -> q188Sql,
-    "q190_lm_gate_sweep"      -> q190Sql)
+    "q190_lm_gate_sweep"      -> q190Sql,
+    "q192_bpe_word_slice"     -> q192Sql)
 }
