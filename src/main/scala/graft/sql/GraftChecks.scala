@@ -188,15 +188,20 @@ object GraftChecks {
           s.table(need(a, "destination", "reconcile")),
           lit(need(a, "date_created", "reconcile")).cast("date")))),
 
-    // real-token accounting per group (q181 surface; embedded vocab)
-    "bpe_token_stats" -> (("table, text, group_by (expr)",
+    // real-token accounting per group (q181 surface; embedded vocab,
+    // or a custom vocabulary passed INLINE in merges.txt format —
+    // the loader surface from pure SQL)
+    "bpe_token_stats" -> (("table, text, group_by (expr)[, merges (merges.txt text)]",
       (s: SparkSession, a: Map[String, String]) => {
         val t = s.table(need(a, "table", "bpe_token_stats"))
+        val merges = a.get("merges")
+          .map(graft.functions.BpeVocab.fromMergesText)
+          .getOrElse(graft.functions.BpeVocab.default)
         t.groupBy(expr(need(a, "group_by", "bpe_token_stats")).as("group_key"))
           .agg(
             count(lit(1)).as("n_docs"),
             sum(graft.functions.Bpe.bpeTokenCount(
-              expr(need(a, "text", "bpe_token_stats"))).cast("long"))
+              expr(need(a, "text", "bpe_token_stats")), merges).cast("long"))
               .as("total_bpe_tokens"))
       })),
 
@@ -310,6 +315,45 @@ object GraftChecks {
             expr(need(a, "y", "spearman")))
           case None => graft.operators.Profiling.spearmanCorr(
             t, expr(need(a, "x", "spearman")), expr(need(a, "y", "spearman")))
+        }
+      })),
+
+    "ap" -> (("table, score (expr), label (boolean expr)[, group]  (exact average precision)",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "ap"))
+        a.get("group") match {
+          case Some(g) => graft.operators.Evaluation.averagePrecisionBy(
+            t, expr(g), expr(need(a, "score", "ap")),
+            expr(need(a, "label", "ap")))
+          case None => graft.operators.Evaluation.averagePrecisionExact(
+            t, expr(need(a, "score", "ap")), expr(need(a, "label", "ap")))
+        }
+      })),
+
+    "brier" -> (("table, score, label, lo, hi, bins[, group]  (Brier + decomposition)",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "brier"))
+        val (lo, hi, bins) = (need(a, "lo", "brier").toDouble,
+          need(a, "hi", "brier").toDouble, need(a, "bins", "brier").toInt)
+        a.get("group") match {
+          case Some(g) => graft.operators.Evaluation.brierDecompositionBy(
+            t, expr(g), expr(need(a, "score", "brier")),
+            expr(need(a, "label", "brier")), lo, hi, bins)
+          case None => graft.operators.Evaluation.brierDecomposition(
+            t, expr(need(a, "score", "brier")),
+            expr(need(a, "label", "brier")), lo, hi, bins)
+        }
+      })),
+
+    "cusum" -> (("table, ts (timestamp expr)[, bucket_seconds][, group]  (change-point census)",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "cusum"))
+        val ts = expr(need(a, "ts", "cusum"))
+        val bucket = a.get("bucket_seconds").map(_.toLong).getOrElse(86400L)
+        a.get("group") match {
+          case Some(g) => graft.operators.StatTests
+            .cusumChangePointBy(t, ts, expr(g), bucket)
+          case None => graft.operators.StatTests.cusumChangePoint(t, ts, bucket)
         }
       })),
 

@@ -295,7 +295,33 @@ class PipelinesSpec extends AnyFunSuite {
     assert(smk.getAs[Long]("s_statistic") == StatTests.seasonalMannKendallTrend(
       spark.table("sqlc_mk"), $"t", 86400L, 2).head().getAs[Long]("s_statistic"))
 
-    // the registry grew to 27 CALL-able checks
-    assert(graft.sql.GraftChecks.registry.size == 27)
+    val ap = spark.sql(
+      "CALL graft.ap(`table` => 'sqlc_sc', score => 'score', label => 'label')").head()
+    assert(ap.getAs[Double]("ap") == Evaluation.averagePrecisionExact(
+      t, $"score", $"label").head().getAs[Double]("ap"))
+
+    val br = spark.sql(
+      """CALL graft.brier(`table` => 'sqlc_sc', score => 'score',
+        |  label => 'label', lo => '0.0', hi => '1.0', bins => '4')""".stripMargin).head()
+    val brDirect = Evaluation.brierDecomposition(
+      t, $"score", $"label", 0.0, 1.0, 4).head()
+    assert(br.getAs[Long]("n") == brDirect.getAs[Long]("n"))
+
+    val cs = spark.sql(
+      "CALL graft.cusum(`table` => 'sqlc_mk', ts => 't')").collect()
+    assert(cs.length == StatTests.cusumChangePoint(
+      spark.table("sqlc_mk"), $"t", 86400L).count())
+
+    // inline merges.txt vocabulary through the loader surface
+    Seq((0L, "abab")).toDF("id", "text").createOrReplaceTempView("sqlc_bpe")
+    val custom = spark.sql(
+      """CALL graft.bpe_token_stats(`table` => 'sqlc_bpe', text => 'text',
+        |  group_by => 'id', merges => 'a b
+        |ab ab')""".stripMargin).head()
+    assert(custom.getAs[Long]("total_bpe_tokens") == 1L,
+      "custom vocab must merge 'abab' to one token: a b -> ab, ab ab -> abab")
+
+    // the registry grew to 30 CALL-able checks
+    assert(graft.sql.GraftChecks.registry.size == 30)
   }
 }
