@@ -463,6 +463,54 @@ object Sampling {
       .drop("_s", "_c", "_src", "_oc", "_off")
   }
 
+  /** Temperature-reweighted mixture plan at a TOKEN budget — the
+    * "how much of each source does the run consume" table a training
+    * mixture is provisioned from: raw token shares are flattened by
+    * temperature sampling (source weight ∝ share^(1/τ), the
+    * multilingual-pretraining standard that keeps small sources from
+    * vanishing), then a token `budget` is apportioned and expressed as
+    * per-source EPOCHS (budget·w_s / tokens_s — >1 means the source
+    * repeats, <1 means it is subsampled).
+    *
+    * τ is fixed at 2: share^(1/2) is IEEE `sqrt`, exactly rounded and
+    * identical in every engine, so the whole table stays on the hashed
+    * oracle surface; a general `pow` is a transcendental the
+    * portability rule bans. The sqrt is quantized to 1e-9 (floor of
+    * ×1e9, an exact-integer q) BEFORE the cross-source sum, so the
+    * normalizing denominator is an order-free integer sum, not a
+    * float reduction (the JB/q173 discipline).
+    *
+    * Scale shape: one map-side-combining aggregate to per-source
+    * totals (sources rows — config-sized), a broadcast of the 1-row
+    * normalizer, pure column arithmetic after. Rows with a NULL
+    * source or NULL/negative token count are excluded (stated).
+    * Output: (group_key, n_docs, total_tokens, token_share,
+    * temp_weight, target_tokens, epochs).
+    */
+  def temperatureMixturePlan(
+      df: DataFrame, source: Column, tokens: Column,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val tk = tokens.cast("long")
+    val per = df.filter(source.isNotNull && tk.isNotNull && tk >= 0L)
+      .groupBy(source.as("group_key"))
+      .agg(count(lit(1)).as("n_docs"), sum(tk).as("total_tokens"))
+      .withColumn("_q",
+        floor(sqrt(col("total_tokens").cast("double")) * lit(1e9)).cast("long"))
+    val tot = per.agg(
+      sum(col("total_tokens")).as("_ttk"), sum(col("_q")).as("_sq"))
+    val w = col("_q").cast("double") / col("_sq").cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(
+        col("group_key"), col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("_ttk").cast("double"))
+          .as("token_share"),
+        w.as("temp_weight"),
+        (lit(budgetTokens.toDouble) * w).as("target_tokens"),
+        ((lit(budgetTokens.toDouble) * w)
+          / col("total_tokens").cast("double")).as("epochs"))
+  }
+
   /** Deterministic uniform negative sampling for contrastive training:
     * `k` pseudo-random non-self corpus rows per anchor, reproducible
     * on any engine at any parallelism (no `rand()`, no `TABLESAMPLE`).

@@ -456,6 +456,47 @@ object TokenQueries {
        |FROM sw JOIN wtok k USING (w)""".stripMargin
 
   // ---------------------------------------------------------------
+  // q193 — temperature-sampled mixture plan in REAL tokens: per
+  // source, raw token share → τ=2 temperature weight (sqrt — the one
+  // temperature the no-transcendental rule admits exactly) → the
+  // token budget apportioned and expressed as per-source epochs. The
+  // table a mixture-provisioning run reads before q71/q109 execute
+  // the row-level mixing/ordering.
+  // ---------------------------------------------------------------
+  private val MixtureBudgetTokens = 50000L
+
+  def q193TokenMixturePlan(spark: SparkSession, d: String): DataFrame =
+    Sampling.temperatureMixturePlan(
+      withBpeTokens(spark, d), col("source"), col("bpe_tokens"),
+      MixtureBudgetTokens)
+      .withColumnRenamed("group_key", "source")
+
+  val q193Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes()},
+       |st AS (
+       |  SELECT d.source AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(t.bpe_tokens) AS BIGINT) AS tk
+       |  FROM documents d JOIN dtok t USING (doc_id)
+       |  WHERE d.source IS NOT NULL
+       |  GROUP BY d.source),
+       |q AS (
+       |  SELECT *, CAST(FLOOR(SQRT(CAST(tk AS DOUBLE)) * 1000000000.0)
+       |    AS BIGINT) AS qi
+       |  FROM st),
+       |tot AS (
+       |  SELECT CAST(SUM(tk) AS BIGINT) AS ttk, CAST(SUM(qi) AS BIGINT) AS sq
+       |  FROM q)
+       |SELECT q.source, q.n_docs, q.tk AS total_tokens,
+       |  CAST(q.tk AS DOUBLE) / CAST(tot.ttk AS DOUBLE) AS token_share,
+       |  CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE) AS temp_weight,
+       |  ${MixtureBudgetTokens}.0
+       |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)) AS target_tokens,
+       |  (${MixtureBudgetTokens}.0
+       |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)))
+       |    / CAST(q.tk AS DOUBLE) AS epochs
+       |FROM q CROSS JOIN tot""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -467,7 +508,8 @@ object TokenQueries {
     "q187_bpe_vocab_census"  -> (q187BpeVocabCensus _),
     "q188_bpe_name_fertility" -> (q188BpeNameFertility _),
     "q190_lm_gate_sweep"      -> (q190LmGateSweep _),
-    "q192_bpe_word_slice"     -> (q192BpeWordSlice _))
+    "q192_bpe_word_slice"     -> (q192BpeWordSlice _),
+    "q193_token_mixture_plan" -> (q193TokenMixturePlan _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -479,5 +521,6 @@ object TokenQueries {
     "q187_bpe_vocab_census"  -> q187Sql,
     "q188_bpe_name_fertility" -> q188Sql,
     "q190_lm_gate_sweep"      -> q190Sql,
-    "q192_bpe_word_slice"     -> q192Sql)
+    "q192_bpe_word_slice"     -> q192Sql,
+    "q193_token_mixture_plan" -> q193Sql)
 }

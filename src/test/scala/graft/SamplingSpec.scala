@@ -365,4 +365,37 @@ class SamplingSpec extends AnyFunSuite {
       .select("split").distinct().count()
     assert(moved == 1L, "doc 150 must share doc 101's split")
   }
+
+  test("temperatureMixturePlan: hand-computed sqrt flattening, exact IEEE shares, exclusions") {
+    // tokens 100/400/2500 -> sqrt 10/20/50 -> quantized 1e10/2e10/5e10
+    // (exact powers sum to 8e10, so every share below is an exact
+    // binary fraction: 0.125 / 0.25 / 0.625); budget 800 -> targets
+    // 100/200/500 -> epochs 1.0 / 0.5 / 0.2
+    val rows: Seq[(String, java.lang.Long)] = Seq(
+      ("a", 60L), ("a", 40L),
+      ("b", 400L),
+      ("c", 1000L), ("c", 1500L),
+      (null, 999L),                        // null source: excluded
+      ("c", null))                         // null tokens: excluded
+    val df = rows.toDF("src", "tk")
+    val out = Sampling.temperatureMixturePlan(df, col("src"), col("tk"), 800L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b", "c"))
+    assert(out("a").getAs[Long]("n_docs") == 2L)
+    assert(out("a").getAs[Long]("total_tokens") == 100L)
+    assert(out("a").getAs[Double]("token_share") == 100.0 / 3000.0)
+    assert(out("a").getAs[Double]("temp_weight") == 0.125)
+    assert(out("b").getAs[Double]("temp_weight") == 0.25)
+    assert(out("c").getAs[Double]("temp_weight") == 0.625)
+    assert(out("a").getAs[Double]("target_tokens") == 100.0)
+    assert(out("a").getAs[Double]("epochs") == 1.0)
+    assert(out("b").getAs[Double]("epochs") == 0.5)
+    assert(out("c").getAs[Double]("epochs") == 0.2)
+    // temperature flattens: the small source's weight share exceeds
+    // its raw token share, the big one's shrinks
+    assert(out("a").getAs[Double]("temp_weight") >
+      out("a").getAs[Double]("token_share"))
+    assert(out("c").getAs[Double]("temp_weight") <
+      out("c").getAs[Double]("token_share"))
+  }
 }
