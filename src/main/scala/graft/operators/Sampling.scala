@@ -490,17 +490,26 @@ object Sampling {
   def temperatureMixturePlan(
       df: DataFrame, source: Column, tokens: Column,
       budgetTokens: Long): DataFrame = {
-    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val tk = tokens.cast("long")
     val per = df.filter(source.isNotNull && tk.isNotNull && tk >= 0L)
       .groupBy(source.as("group_key"))
       .agg(count(lit(1)).as("n_docs"), sum(tk).as("total_tokens"))
-      .withColumn("_q",
-        floor(sqrt(col("total_tokens").cast("double")) * lit(1e9)).cast("long"))
-    val tot = per.agg(
+    mixturePlanFromTotals(per, budgetTokens)
+  }
+
+  /** The quantize → normalize → apportion back half shared by
+    * [[temperatureMixturePlan]] and [[mixturePlanFromTokenCensus]] —
+    * one arithmetic path, so the batch and maintained forms can never
+    * drift. `per` is (group_key, n_docs, total_tokens). */
+  private def mixturePlanFromTotals(
+      per: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val q = per.withColumn("_q",
+      floor(sqrt(col("total_tokens").cast("double")) * lit(1e9)).cast("long"))
+    val tot = q.agg(
       sum(col("total_tokens")).as("_ttk"), sum(col("_q")).as("_sq"))
     val w = col("_q").cast("double") / col("_sq").cast("double")
-    per.crossJoin(broadcast(tot))
+    q.crossJoin(broadcast(tot))
       .select(
         col("group_key"), col("n_docs"), col("total_tokens"),
         (col("total_tokens").cast("double") / col("_ttk").cast("double"))
@@ -510,6 +519,28 @@ object Sampling {
         ((lit(budgetTokens.toDouble) * w)
           / col("total_tokens").cast("double")).as("epochs"))
   }
+
+  /** [[temperatureMixturePlan]] rebuilt from a MAINTAINED token
+    * census — the partials-log discipline on the mixture surface
+    * (the [[graft.operators.Evaluation.sweepFromBandCensus]]
+    * analog): fold the mergeable (group_key, n_docs, total_tokens)
+    * integer partials a standing census emits
+    * ([[graft.streaming.StreamingCuration.windowedTokenCensus]]'s
+    * sink, or any append log) and apply the identical quantize →
+    * normalize → apportion arithmetic. Partials at any granularity
+    * fold to the same table (integer sums are order-free; the sqrt
+    * quantization happens AFTER the fold, on the exact totals) —
+    * streamed == batch exactly, spec-pinned.
+    */
+  def mixturePlanFromTokenCensus(
+      censusLog: DataFrame, budgetTokens: Long): DataFrame =
+    mixturePlanFromTotals(
+      censusLog
+        .select(col("group_key"), col("n_docs"), col("total_tokens"))
+        .groupBy(col("group_key"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_tokens")).as("total_tokens")),
+      budgetTokens)
 
   /** Deterministic uniform negative sampling for contrastive training:
     * `k` pseudo-random non-self corpus rows per anchor, reproducible

@@ -97,6 +97,42 @@ object StreamingCuration {
     * batch anti-join's on the same rows (same cosine dag — hoisted
     * norms, one dot per pair).
     */
+  /** Watermarked per-source REAL-token ingest census: per (window,
+    * source), document and BPE-token counts — the unit a training-run
+    * budget is denominated in, measured at ingest time instead of in
+    * a nightly batch. The token count is the stateless codegen
+    * [[graft.functions.Bpe.bpeTokenCount]] expression (map-side, no
+    * state beyond the windowed aggregate; bounded by open-windows ×
+    * sources rows).
+    *
+    * The sink is a PARTIALS LOG in the
+    * [[StreamingCalibration.windowedBandCensusBy]] sense: (n_docs,
+    * total_tokens) are mergeable integers, so
+    * [[graft.operators.Sampling.mixturePlanFromTokenCensus]] folds any
+    * accumulation of windows into exactly the batch
+    * [[graft.operators.Sampling.temperatureMixturePlan]] table — the
+    * mixture/epoch plan maintained as a standing query. Rows with a
+    * NULL source or NULL text are excluded (the batch plan's stated
+    * exclusion).
+    */
+  def windowedTokenCensus(
+      stream: DataFrame, sourceCol: String, textCol: String,
+      merges: Seq[(String, String)] = graft.functions.BpeVocab.default,
+      tsCol: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    stream
+      .filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength),
+        col(sourceCol).as("group_key"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.Bpe.bpeTokenCount(col(textCol), merges)
+          .cast("long")).as("total_tokens"))
+      .select(col("window.start").as("window_start"),
+        col("group_key"), col("n_docs"), col("total_tokens"))
+
   def semanticScreen(
       stream: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxBenchRows: Int = 65536): DataFrame = {

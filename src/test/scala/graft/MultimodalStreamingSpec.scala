@@ -410,6 +410,51 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("different lo/hi/bins"))
   }
 
+  test("streamed token census: folded windows == the batch temperature mixture plan") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCuration
+    import graft.operators.Sampling
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(java.sql.Timestamp, String, String)]
+    val sq = StreamingCuration.windowedTokenCensus(
+        stream.toDF().toDF("ts", "src", "text"),
+        "src", "text",
+        tsCol = "ts", windowLength = "1 hour", watermarkDelay = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("tok_census")
+      .start()
+    val raw = Seq(
+      (t("2024-01-01 10:05:00"), "a", "the fast table scan"),
+      (t("2024-01-01 10:10:00"), "a", "slow merge join"),
+      (t("2024-01-01 10:20:00"), "b", "spark query vector window"),
+      (t("2024-01-01 11:02:00"), "b", "group by key"),
+      (t("2024-01-01 11:10:00"), "a", "hash hash hash"))
+    stream.addData(raw.take(3) :+ raw(3))
+    sq.processAllAvailable()
+    stream.addData(Seq(
+      (t("2024-01-01 10:40:00"), "a", "sort order line"),   // late, in watermark
+      (t("2024-01-01 11:20:00"), null.asInstanceOf[String], "dropped"),
+      raw(4)))
+    sq.processAllAvailable()
+    stream.addData(Seq((t("2024-01-01 13:00:00"), "a", "closer"))) // close all
+    sq.processAllAvailable()
+    sq.stop()
+    val log = spark.table("tok_census")
+      .select($"group_key", $"n_docs", $"total_tokens")
+    val streamed = Sampling.mixturePlanFromTokenCensus(log, 1000L)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // batch truth: the same rows (late included, null-source and the
+    // unclosed 13:00 watermark-advancer excluded) through the raw-row
+    // batch plan, tokens = the same BPE expression
+    val rawDf = (raw :+ ((t("2024-01-01 10:40:00"), "a", "sort order line")))
+      .toDF("ts", "src", "text")
+      .select($"src", graft.functions.Bpe.bpeTokenCount($"text").as("tk"))
+    val batch = Sampling.temperatureMixturePlan(rawDf, $"src", $"tk", 1000L)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == batch,
+      "the folded token census must yield the batch mixture plan exactly")
+    assert(streamed.keySet == Set("a", "b"))
+  }
+
   test("streaming banded KS: per-window drift equals the batch two-sample KS on band scores, late data folded") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingCalibration
