@@ -374,4 +374,56 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("_pos").as("p"), col("_w").as("w")))),
           s => s.getField("w")), " ").as("chunk_text"))
   }
+
+  /** Per-group token-DIVERSITY census with EXACT fixed-point Shannon
+    * entropy: a templated or spammy source shows up as low entropy /
+    * low type–token ratio long before a human reads it — the
+    * corpus-composition signal next to the quality (q112) and
+    * perplexity (q185) gates.
+    *
+    * Entropy over the group's BPE-token distribution, kept on the
+    * hashed oracle surface by the [[graft.functions.FixedPointLog]]
+    * device (the no-transcendental rule): with token counts c_w and
+    * N = Σc_w,  H = log2 N − (Σ c_w·log2 c_w)/N — every log2 is the
+    * exact Q16 integer dag, the Σ c·lg(c) accumulates in
+    * DECIMAL(38,0) (order-free, wrap-proof past 100 TB token counts),
+    * and only the final displayed divisions are doubles with the dag
+    * stated identically in both engines. `normalized_entropy` is
+    * H / log2 V (NULL when V = 1 — a single-token distribution has no
+    * scale to normalize by).
+    *
+    * Scale shape: explode → one (group, token) hash aggregate (the
+    * q187 census) → one group aggregate; map-side partials bound the
+    * shuffle by distinct (group, token) pairs. Rows with NULL group
+    * or text are excluded (stated).
+    */
+  def tokenEntropyBy(
+      df: DataFrame, group: Column, text: Column,
+      merges: Seq[(String, String)] = graft.functions.BpeVocab.default): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val counts = df.filter(group.isNotNull && text.isNotNull)
+      .select(group.as("group_key"),
+        explode(graft.functions.Bpe.bpeTokens(text, merges)).as("_t"))
+      .groupBy(col("group_key"), col("_t"))
+      .agg(count(lit(1)).as("_c"))
+    val per = counts.groupBy(col("group_key"))
+      .agg(
+        sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(dec(col("_c")) * dec(graft.functions.Log2FpQ16(col("_c"))))
+          .cast("decimal(38,0)").as("_s"))
+    val entropy =
+      (graft.functions.Log2FpQ16(col("n_tokens")).cast("double") / lit(65536.0)) -
+        (col("_s").cast("double") / (lit(65536.0) * col("n_tokens").cast("double")))
+    per
+      .select(col("group_key"), col("n_tokens"), col("distinct_tokens"),
+        (col("distinct_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
+        entropy.as("entropy_bits"))
+      .withColumn("normalized_entropy",
+        when(col("distinct_tokens") > 1L,
+          col("entropy_bits") /
+            (graft.functions.Log2FpQ16(col("distinct_tokens")).cast("double")
+              / lit(65536.0))))
+  }
 }

@@ -497,6 +497,60 @@ object TokenQueries {
        |FROM q CROSS JOIN tot""".stripMargin
 
   // ---------------------------------------------------------------
+  // q194 — per-source token-diversity census with EXACT fixed-point
+  // Shannon entropy: H = lg N − (Σ c·lg c)/N, every lg the Q16
+  // integer dag (FixedPointLog), Σ c·lg c an order-free DECIMAL sum —
+  // entropy on the hashed surface without a transcendental. The
+  // corpus-composition signal: templated/spammy sources read low
+  // here before any human look.
+  // ---------------------------------------------------------------
+  def q194SourceEntropy(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenEntropyBy(
+      Tables.documents(spark, d), col("source"), col("text"))
+      .withColumnRenamed("group_key", "source")
+
+  val q194Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes()},
+       |wtl AS (
+       |  SELECT w, string_split(trim(s), '  ') AS tl
+       |  FROM steps
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE instr(s, m.pair) > 0)),
+       |tok AS (
+       |  SELECT d.source, unnest(wtl.tl) AS token
+       |  FROM words wo
+       |  JOIN wtl ON wo.w = wtl.w
+       |  JOIN documents d ON wo.doc_id = d.doc_id
+       |  WHERE d.source IS NOT NULL AND d.text IS NOT NULL),
+       |cnt AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+       |        FROM tok GROUP BY source, token),
+       |per AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nt,
+       |          CAST(COUNT(*) AS BIGINT) AS v
+       |        FROM cnt GROUP BY source),
+       |nums(n) AS (SELECT DISTINCT n FROM (
+       |  SELECT c AS n FROM cnt
+       |  UNION ALL SELECT nt FROM per
+       |  UNION ALL SELECT v FROM per)),
+       |${graft.functions.FixedPointLog.log2fpSqlCtes},
+       |sm AS (
+       |  SELECT cnt.source,
+       |    CAST(SUM(CAST(cnt.c AS HUGEINT) * lg.lq) AS HUGEINT) AS s
+       |  FROM cnt JOIN lg ON lg.n = cnt.c GROUP BY cnt.source),
+       |f AS (
+       |  SELECT per.source, per.nt, per.v,
+       |    CAST(per.v AS DOUBLE) / CAST(per.nt AS DOUBLE) AS ttr,
+       |    CAST(ln.lq AS DOUBLE) / 65536.0
+       |      - CAST(sm.s AS DOUBLE) / (65536.0 * CAST(per.nt AS DOUBLE)) AS h,
+       |    lv.lq AS lqv
+       |  FROM per JOIN sm USING (source)
+       |  JOIN lg ln ON ln.n = per.nt
+       |  JOIN lg lv ON lv.n = per.v)
+       |SELECT source, nt AS n_tokens, v AS distinct_tokens,
+       |  ttr AS type_token_ratio, h AS entropy_bits,
+       |  CASE WHEN v > 1 THEN h / (CAST(lqv AS DOUBLE) / 65536.0)
+       |  END AS normalized_entropy
+       |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -509,7 +563,8 @@ object TokenQueries {
     "q188_bpe_name_fertility" -> (q188BpeNameFertility _),
     "q190_lm_gate_sweep"      -> (q190LmGateSweep _),
     "q192_bpe_word_slice"     -> (q192BpeWordSlice _),
-    "q193_token_mixture_plan" -> (q193TokenMixturePlan _))
+    "q193_token_mixture_plan" -> (q193TokenMixturePlan _),
+    "q194_source_entropy"     -> (q194SourceEntropy _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -522,5 +577,6 @@ object TokenQueries {
     "q188_bpe_name_fertility" -> q188Sql,
     "q190_lm_gate_sweep"      -> q190Sql,
     "q192_bpe_word_slice"     -> q192Sql,
-    "q193_token_mixture_plan" -> q193Sql)
+    "q193_token_mixture_plan" -> q193Sql,
+    "q194_source_entropy"     -> q194Sql)
 }

@@ -133,4 +133,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(scored(1L).getBoolean(2), "stopword-rich prose must pass")
     assert(!scored(2L).getBoolean(2), "punctuation soup must not pass the gate")
   }
+
+  test("tokenEntropyBy: exact Q16 entropy — uniform 2 bits, constant 0, skew between, exclusions") {
+    import graft.functions.FixedPointLog
+    val rows: Seq[(String, String)] = Seq(
+      ("uniform", "a b c d"),      // 4 singleton tokens: H = 2 exactly
+      ("constant", "a a a"),       // one token x3: H = 0, normalized NULL
+      ("skew", "a a a b"),         // c = (3,1): H = 2 - 3·lg3/(4·2^16)
+      (null, "ignored"),
+      ("nulltext", null))
+    val out = TextAnalysis.tokenEntropyBy(
+        rows.toDF("src", "text"), col("src"), col("text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("uniform", "constant", "skew"))
+    val u = out("uniform")
+    assert(u.getAs[Long]("n_tokens") == 4L && u.getAs[Long]("distinct_tokens") == 4L)
+    assert(u.getAs[Double]("type_token_ratio") == 1.0)
+    assert(u.getAs[Double]("entropy_bits") == 2.0)   // lg(4) exact, Σc·lg(1) = 0
+    assert(u.getAs[Double]("normalized_entropy") == 1.0)
+    val c0 = out("constant")
+    // H = lg3 − 3·lg3/3: the engine's stated dag, zero only up to the
+    // two divisions — state it identically
+    val lq3 = FixedPointLog.log2fpQ16(3L)
+    assert(c0.getAs[Double]("entropy_bits") ==
+      lq3.toDouble / 65536.0 - (3L * lq3).toDouble / (65536.0 * 3.0))
+    assert(c0.isNullAt(c0.fieldIndex("normalized_entropy")),
+      "a single-token distribution has no normalization scale")
+    val s = out("skew")
+    val lq4 = FixedPointLog.log2fpQ16(4L)
+    val expected = lq4.toDouble / 65536.0 -
+      (3L * lq3 + 1L * 0L).toDouble / (65536.0 * 4.0)
+    assert(s.getAs[Double]("entropy_bits") == expected)
+    assert(s.getAs[Double]("entropy_bits") < 2.0 &&
+      s.getAs[Double]("entropy_bits") > 0.0,
+      "skew must land strictly between constant and uniform")
+  }
 }
