@@ -357,6 +357,25 @@ object GraftChecks {
         }
       })),
 
+    // temperature-sampled mixture/epoch plan at a token budget (q193)
+    "mixture_plan" -> (("table, source (expr), tokens (expr), budget_tokens",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Sampling.temperatureMixturePlan(
+          s.table(need(a, "table", "mixture_plan")),
+          expr(need(a, "source", "mixture_plan")),
+          expr(need(a, "tokens", "mixture_plan")),
+          need(a, "budget_tokens", "mixture_plan").trim.toLong))),
+
+    // per-group token-diversity census, exact Q16 entropy (q194)
+    "token_entropy" -> (("table, group_by (expr), text (expr)[, merges (merges.txt text)]",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.TextAnalysis.tokenEntropyBy(
+          s.table(need(a, "table", "token_entropy")),
+          expr(need(a, "group_by", "token_entropy")),
+          expr(need(a, "text", "token_entropy")),
+          a.get("merges").map(graft.functions.BpeVocab.fromMergesText)
+            .getOrElse(graft.functions.BpeVocab.default)))),
+
     // monotone-trend evidence; seasons > 1 stratifies the weekday
     // cycle out (the q189 seasonal form)
     "mann_kendall" -> (("table, ts (timestamp expr)[, bucket_seconds][, seasons]",

@@ -321,7 +321,23 @@ class PipelinesSpec extends AnyFunSuite {
     assert(custom.getAs[Long]("total_bpe_tokens") == 1L,
       "custom vocab must merge 'abab' to one token: a b -> ab, ab ab -> abab")
 
-    // the registry grew to 30 CALL-able checks
-    assert(graft.sql.GraftChecks.registry.size == 30)
+    // the token-unit decision surfaces
+    Seq(("a", 100L), ("b", 400L), ("c", 2500L))
+      .toDF("src", "tk").createOrReplaceTempView("sqlc_mix")
+    val mix = spark.sql(
+      """CALL graft.mixture_plan(`table` => 'sqlc_mix', source => 'src',
+        |  tokens => 'tk', budget_tokens => '800')""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("epochs")).toMap
+    assert(mix == Map("a" -> 1.0, "b" -> 0.5, "c" -> 0.2))
+    Seq(("a", "x y z w"), ("b", "x x x"))
+      .toDF("src", "text").createOrReplaceTempView("sqlc_ent")
+    val ent = spark.sql(
+      """CALL graft.token_entropy(`table` => 'sqlc_ent',
+        |  group_by => 'src', text => 'text')""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("entropy_bits")).toMap
+    assert(ent("a") == 2.0 && ent("b") == 0.0)
+
+    // the registry grew to 32 CALL-able checks
+    assert(graft.sql.GraftChecks.registry.size == 32)
   }
 }
