@@ -490,10 +490,22 @@ object Sampling {
   def temperatureMixturePlan(
       df: DataFrame, source: Column, tokens: Column,
       budgetTokens: Long): DataFrame = {
-    val tk = tokens.cast("long")
-    val per = df.filter(source.isNotNull && tk.isNotNull && tk >= 0L)
-      .groupBy(source.as("group_key"))
-      .agg(count(lit(1)).as("n_docs"), sum(tk).as("total_tokens"))
+    // raw rows are filtered ONLY on the cheap group column: a raw
+    // filter on the token expression would push below the projection
+    // with the whole tokenizer inlined (the aucExact trap — 2-3x
+    // per-row evaluation; PlanShapeSpec pins this family). The token
+    // expression evaluates once, in the projection; null/negative
+    // token rows are excluded inside when-guarded aggregates, and a
+    // group with no valid row drops on the post-aggregate filter
+    // (aggregate-output predicate — cannot push below).
+    val rows = df.filter(source.isNotNull)
+      .select(source.as("group_key"), tokens.cast("long").as("_tk"))
+    val valid = col("_tk").isNotNull && col("_tk") >= 0L
+    val per = rows.groupBy(col("group_key"))
+      .agg(
+        sum(when(valid, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(valid, col("_tk")).otherwise(0L)).as("total_tokens"))
+      .filter(col("n_docs") > 0L)
     mixturePlanFromTotals(per, budgetTokens)
   }
 

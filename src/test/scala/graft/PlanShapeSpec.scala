@@ -621,4 +621,27 @@ class PlanShapeSpec extends AnyFunSuite {
           badBnlj.mkString("\n"))
     }
   }
+
+  test("token family: no BPE/LM expression in any raw-row Filter (single evaluation)") {
+    // the InferFiltersFromGenerate / derived-column-filter traps would
+    // inline the whole tokenizer into the scan Filter — 2x per-row
+    // tokenization with zero correctness signal. Optimized-plan pin:
+    // Filters may gate only cheap source columns.
+    for (name <- Seq("q187_bpe_vocab_census", "q194_source_entropy",
+        "q181_bpe_token_stats", "q193_token_mixture_plan")) {
+      val p = SparkEntry.queries(name)(spark, d)
+        .queryExecution.optimizedPlan.toString
+      val filterLines = p.split("\n").filter(_.trim.matches("^\\+?-? ?Filter .*|.*\\+- Filter .*"))
+      val bad = filterLines.filter(l =>
+        l.toLowerCase.contains("bpetoken") || l.toLowerCase.contains("lmscore"))
+      assert(bad.isEmpty,
+        s"$name: tokenizer expression inlined into a raw Filter:\n${bad.mkString("\n")}")
+    }
+    // q190 rides its fixture: the sweep's plan must not contain the
+    // LM training pipeline (the fixture-amortization pin)
+    val p190 = SparkEntry.queries("q190_lm_gate_sweep")(spark, d)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!p190.contains("posexplode") && !p190.contains("log2fp"),
+      "q190 must read the materialized q185 scores, not retrain the LM")
+  }
 }
