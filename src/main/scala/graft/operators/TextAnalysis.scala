@@ -397,15 +397,23 @@ object TextAnalysis {
     * shuffle by distinct (group, token) pairs. Rows with NULL group
     * or text are excluded (stated).
     */
-  def tokenEntropyBy(
+  /** The (group, token) → count census shared by [[tokenEntropyBy]]
+    * and [[zipfSlopeBy]]: explode → one hash aggregate, shuffle
+    * bounded by distinct (group, token) pairs. */
+  private def tokenCountCensus(
       df: DataFrame, group: Column, text: Column,
-      merges: Seq[(String, String)] = graft.functions.BpeVocab.default): DataFrame = {
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    val counts = df.filter(group.isNotNull && text.isNotNull)
+      merges: Seq[(String, String)]): DataFrame =
+    df.filter(group.isNotNull && text.isNotNull)
       .select(group.as("group_key"),
         explode(graft.functions.Bpe.bpeTokens(text, merges)).as("_t"))
       .groupBy(col("group_key"), col("_t"))
       .agg(count(lit(1)).as("_c"))
+
+  def tokenEntropyBy(
+      df: DataFrame, group: Column, text: Column,
+      merges: Seq[(String, String)] = graft.functions.BpeVocab.default): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val counts = tokenCountCensus(df, group, text, merges)
     val per = counts.groupBy(col("group_key"))
       .agg(
         sum(col("_c")).as("n_tokens"),
@@ -425,5 +433,65 @@ object TextAnalysis {
           col("entropy_bits") /
             (graft.functions.Log2FpQ16(col("distinct_tokens")).cast("double")
               / lit(65536.0))))
+  }
+
+  /** Per-group Zipf rank–frequency slope — the SHAPE companion to
+    * [[tokenEntropyBy]]'s diversity level: natural text reads near
+    * slope −1 on the log–log rank/frequency plot; templated or
+    * machine-generated sources bend far from it. Robust fit =
+    * Theil–Sen (median of pairwise slopes) over the TOP-`k` ranks by
+    * count (the head is where the Zipf law lives, and k bounds the
+    * per-group pair census at k²/2 however large the vocabulary —
+    * the maxBuckets discipline without a crash path).
+    *
+    * Portability: both axes are the EXACT Q16 log₂ dag
+    * ([[graft.functions.FixedPointLog]]) of exact integers (count,
+    * rank), so every pairwise slope is one double division of two
+    * exact integer deltas, and the median is the same
+    * percentile/quantile_cont interpolation the Theil–Sen trend
+    * operator already hash-matches. Rank ties break on the token
+    * string (deterministic); pairs whose Q16 rank-logs collide
+    * (possible only at ranks ≫ 2¹⁶) are excluded, stated. Output:
+    * (group_key, n_distinct_tokens, n_head, n_pairs, zipf_slope,
+    * slope_min, slope_max).
+    */
+  def zipfSlopeBy(
+      df: DataFrame, group: Column, text: Column, k: Int = 256,
+      merges: Seq[(String, String)] = graft.functions.BpeVocab.default): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = tokenCountCensus(df, group, text, merges).persist()
+    val v = counts.groupBy(col("group_key"))
+      .agg(count(lit(1)).as("n_distinct_tokens"))
+    val wRank = Window.partitionBy(col("group_key"))
+      .orderBy(col("_c").desc, col("_t").asc)
+    val head = counts
+      .withColumn("_r", row_number().over(wRank).cast("long"))
+      .filter(col("_r") <= k)
+      .select(col("group_key"), col("_r"),
+        graft.functions.Log2FpQ16(col("_r")).as("_lgr"),
+        graft.functions.Log2FpQ16(col("_c")).as("_lgc"))
+    val l = head.select(col("group_key"), col("_r").as("_r1"),
+      col("_lgr").as("_lgr1"), col("_lgc").as("_lgc1"))
+    val r = head.select(col("group_key").as("_g2"), col("_r").as("_r2"),
+      col("_lgr").as("_lgr2"), col("_lgc").as("_lgc2"))
+    val slopes = l.join(r, col("group_key") === col("_g2") && col("_r1") < col("_r2"))
+      .filter(col("_lgr2") =!= col("_lgr1"))
+      .select(col("group_key"),
+        ((col("_lgc2") - col("_lgc1")).cast("double")
+          / (col("_lgr2") - col("_lgr1")).cast("double")).as("_s"))
+    val fit = slopes.groupBy(col("group_key"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr("percentile(_s, 0.5)").as("zipf_slope"),
+        min(col("_s")).as("slope_min"),
+        max(col("_s")).as("slope_max"))
+    val heads = head.groupBy(col("group_key")).agg(count(lit(1)).as("n_head"))
+    val out = v.join(heads, Seq("group_key")).join(fit, Seq("group_key"), "left")
+      .select(col("group_key"), col("n_distinct_tokens"), col("n_head"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("zipf_slope"), col("slope_min"), col("slope_max"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(counts))
+    out
   }
 }

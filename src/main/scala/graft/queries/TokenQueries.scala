@@ -551,6 +551,64 @@ object TokenQueries {
        |FROM f""".stripMargin
 
   // ---------------------------------------------------------------
+  // q195 — per-source Zipf rank–frequency slope: the SHAPE companion
+  // to q194's entropy level. Theil–Sen over (lg rank, lg count) on
+  // the top-256 head, both axes the exact Q16 log dag — natural text
+  // reads near −1; templated/generated sources bend away. The pair
+  // census is k²-bounded per source however large the vocabulary.
+  // ---------------------------------------------------------------
+  private val ZipfHeadK = 256
+
+  def q195ZipfSlope(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.zipfSlopeBy(
+      Tables.documents(spark, d), col("source"), col("text"), ZipfHeadK)
+      .withColumnRenamed("group_key", "source")
+
+  val q195Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes()},
+       |wtl AS (
+       |  SELECT w, string_split(trim(s), '  ') AS tl
+       |  FROM steps
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE instr(s, m.pair) > 0)),
+       |tok AS (
+       |  SELECT d.source, unnest(wtl.tl) AS token
+       |  FROM words wo
+       |  JOIN wtl ON wo.w = wtl.w
+       |  JOIN documents d ON wo.doc_id = d.doc_id
+       |  WHERE d.source IS NOT NULL AND d.text IS NOT NULL),
+       |cnt AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+       |        FROM tok GROUP BY source, token),
+       |v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ndt
+       |      FROM cnt GROUP BY source),
+       |rk AS (SELECT source, c,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY c DESC, token ASC) AS BIGINT) AS r
+       |  FROM cnt),
+       |hd AS (SELECT * FROM rk WHERE r <= $ZipfHeadK),
+       |nums(n) AS (SELECT DISTINCT n FROM (
+       |  SELECT c AS n FROM hd UNION ALL SELECT r FROM hd)),
+       |${graft.functions.FixedPointLog.log2fpSqlCtes},
+       |hx AS (
+       |  SELECT hd.source, hd.r, lr.lq AS lgr, lc.lq AS lgc
+       |  FROM hd JOIN lg lr ON lr.n = hd.r JOIN lg lc ON lc.n = hd.c),
+       |sl AS (
+       |  SELECT a.source,
+       |    CAST(b.lgc - a.lgc AS DOUBLE) / CAST(b.lgr - a.lgr AS DOUBLE) AS s
+       |  FROM hx a JOIN hx b ON a.source = b.source AND a.r < b.r
+       |  WHERE b.lgr <> a.lgr),
+       |fit AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    quantile_cont(s, 0.5) AS zipf_slope,
+       |    MIN(s) AS slope_min, MAX(s) AS slope_max
+       |  FROM sl GROUP BY source),
+       |hh AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_head
+       |       FROM hd GROUP BY source)
+       |SELECT v.source, v.ndt AS n_distinct_tokens, hh.n_head,
+       |  CAST(COALESCE(fit.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  fit.zipf_slope, fit.slope_min, fit.slope_max
+       |FROM v JOIN hh USING (source) LEFT JOIN fit USING (source)""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -564,7 +622,8 @@ object TokenQueries {
     "q190_lm_gate_sweep"      -> (q190LmGateSweep _),
     "q192_bpe_word_slice"     -> (q192BpeWordSlice _),
     "q193_token_mixture_plan" -> (q193TokenMixturePlan _),
-    "q194_source_entropy"     -> (q194SourceEntropy _))
+    "q194_source_entropy"     -> (q194SourceEntropy _),
+    "q195_zipf_slope"         -> (q195ZipfSlope _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -578,5 +637,6 @@ object TokenQueries {
     "q190_lm_gate_sweep"      -> q190Sql,
     "q192_bpe_word_slice"     -> q192Sql,
     "q193_token_mixture_plan" -> q193Sql,
-    "q194_source_entropy"     -> q194Sql)
+    "q194_source_entropy"     -> q194Sql,
+    "q195_zipf_slope"         -> q195Sql)
 }

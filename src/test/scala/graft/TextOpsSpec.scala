@@ -168,4 +168,43 @@ class TextOpsSpec extends AnyFunSuite {
       s.getAs[Double]("entropy_bits") > 0.0,
       "skew must land strictly between constant and uniform")
   }
+
+  test("zipfSlopeBy: hand-derived Q16 pairwise slopes, flat distribution reads 0, head cap bounds pairs") {
+    import graft.functions.FixedPointLog
+    val lq = FixedPointLog.log2fpQ16 _
+    val rows = Seq(
+      // counts 4/2/1 -> ranks 1/2/3: three pairwise slopes, odd count
+      // so the median is an exact element, no interpolation
+      ("zipfish", "a a a a b b c"),
+      // flat counts: every pairwise slope is exactly 0
+      ("flat", "x x y y"))
+    val out = TextAnalysis.zipfSlopeBy(
+        rows.toDF("src", "text"), col("src"), col("text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val z = out("zipfish")
+    assert(z.getAs[Long]("n_distinct_tokens") == 3L)
+    assert(z.getAs[Long]("n_head") == 3L && z.getAs[Long]("n_pairs") == 3L)
+    // slopes: (r1,r2): (lg2-lg4)/(lg2-lg1) = -1 exactly;
+    // (r1,r3): (lg1-lg4)/(lg3-lg1); (r2,r3): (lg1-lg2)/(lg3-lg2) —
+    // the same integer-delta/double-division dag the engine states
+    val s12 = (lq(2) - lq(4)).toDouble / (lq(2) - lq(1)).toDouble
+    val s13 = (lq(1) - lq(4)).toDouble / (lq(3) - lq(1)).toDouble
+    val s23 = (lq(1) - lq(2)).toDouble / (lq(3) - lq(2)).toDouble
+    assert(s12 == -1.0)
+    val median = Seq(s12, s13, s23).sorted.apply(1)
+    assert(z.getAs[Double]("zipf_slope") == median)
+    assert(z.getAs[Double]("slope_min") == Seq(s12, s13, s23).min)
+    assert(z.getAs[Double]("slope_max") == Seq(s12, s13, s23).max)
+    val f = out("flat")
+    assert(f.getAs[Double]("zipf_slope") == 0.0)
+    // head cap: k = 2 keeps ranks 1..2 -> one pair
+    val capped = TextAnalysis.zipfSlopeBy(
+        rows.toDF("src", "text"), col("src"), col("text"), k = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(capped("zipfish").getAs[Long]("n_head") == 2L)
+    assert(capped("zipfish").getAs[Long]("n_pairs") == 1L)
+    assert(capped("zipfish").getAs[Double]("zipf_slope") == s12)
+    assert(capped("zipfish").getAs[Long]("n_distinct_tokens") == 3L,
+      "the vocabulary size reports the FULL census, not the head")
+  }
 }
