@@ -411,9 +411,32 @@ object TextAnalysis {
 
   def tokenEntropyBy(
       df: DataFrame, group: Column, text: Column,
-      merges: Seq[(String, String)] = graft.functions.BpeVocab.default): DataFrame = {
+      merges: Seq[(String, String)] = graft.functions.BpeVocab.default): DataFrame =
+    entropyFromCounts(tokenCountCensus(df, group, text, merges))
+
+  /** [[tokenEntropyBy]] rebuilt from a MAINTAINED vocabulary census —
+    * the partials-log discipline on the diversity surface (the
+    * sweepFromBandCensus / mixturePlanFromTokenCensus analog): fold
+    * the mergeable (group_key, token, n) integer partials a standing
+    * census emits
+    * ([[graft.streaming.StreamingCuration.windowedVocabCensus]]'s
+    * sink, or any append log) and run the identical entropy dag. The
+    * Q16 logs are taken AFTER the fold, on exact totals, so partials
+    * at any granularity fold to the same table — streamed == batch
+    * exactly, spec-pinned.
+    */
+  def tokenEntropyFromCensus(censusLog: DataFrame): DataFrame =
+    entropyFromCounts(
+      censusLog.select(col("group_key"), col("token").as("_t"), col("n"))
+        .groupBy(col("group_key"), col("_t"))
+        .agg(sum(col("n")).as("_c")))
+
+  /** The exact-Q16 entropy back half shared by [[tokenEntropyBy]] and
+    * [[tokenEntropyFromCensus]] over a (group_key, _t, _c) census —
+    * one arithmetic path, so the batch and maintained forms can never
+    * drift. */
+  private def entropyFromCounts(counts: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val counts = tokenCountCensus(df, group, text, merges)
     val per = counts.groupBy(col("group_key"))
       .agg(
         sum(col("_c")).as("n_tokens"),

@@ -133,6 +133,34 @@ object StreamingCuration {
       .select(col("window.start").as("window_start"),
         col("group_key"), col("n_docs"), col("total_tokens"))
 
+  /** Watermarked per-source VOCABULARY census: per (window, source,
+    * token), the BPE-token occurrence count — the streaming half of a
+    * maintained diversity monitor. State is bounded by open-windows ×
+    * sources × observed-vocabulary; the sink is a partials log whose
+    * integer rows
+    * [[graft.operators.TextAnalysis.tokenEntropyFromCensus]] folds
+    * into exactly the batch entropy/TTR table (the census-then-fold
+    * discipline, third surface). NULL source/text rows are excluded
+    * (the batch exclusion).
+    */
+  def windowedVocabCensus(
+      stream: DataFrame, sourceCol: String, textCol: String,
+      merges: Seq[(String, String)] = graft.functions.BpeVocab.default,
+      tsCol: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    stream
+      .filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        col(sourceCol).as("group_key"),
+        explode(graft.functions.Bpe.bpeTokens(col(textCol), merges)).as("token"))
+      .groupBy(window(col(tsCol), windowLength),
+        col("group_key"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("group_key"), col("token"), col("n"))
+
   def semanticScreen(
       stream: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxBenchRows: Int = 65536): DataFrame = {

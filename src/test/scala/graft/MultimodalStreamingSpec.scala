@@ -455,6 +455,45 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(streamed.keySet == Set("a", "b"))
   }
 
+  test("streamed vocab census: folded windows == the batch token-entropy table") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCuration
+    import graft.operators.TextAnalysis
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(java.sql.Timestamp, String, String)]
+    val sq = StreamingCuration.windowedVocabCensus(
+        stream.toDF().toDF("ts", "src", "text"),
+        "src", "text",
+        tsCol = "ts", windowLength = "1 hour", watermarkDelay = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("vocab_census")
+      .start()
+    val raw = Seq(
+      (t("2024-01-01 10:05:00"), "a", "scan scan table"),
+      (t("2024-01-01 10:10:00"), "a", "table join"),
+      (t("2024-01-01 10:20:00"), "b", "hash hash hash"),
+      (t("2024-01-01 11:02:00"), "a", "scan merge"))
+    stream.addData(raw)
+    sq.processAllAvailable()
+    stream.addData(Seq(
+      (t("2024-01-01 10:40:00"), "b", "sort sort"),  // late, in watermark
+      (t("2024-01-01 11:20:00"), null.asInstanceOf[String], "dropped")))
+    sq.processAllAvailable()
+    stream.addData(Seq((t("2024-01-01 13:00:00"), "a", "closer"))) // close all
+    sq.processAllAvailable()
+    sq.stop()
+    val log = spark.table("vocab_census")
+      .select($"group_key", $"token", $"n")
+    val streamed = TextAnalysis.tokenEntropyFromCensus(log)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val batch = TextAnalysis.tokenEntropyBy(
+        (raw :+ ((t("2024-01-01 10:40:00"), "b", "sort sort")))
+          .toDF("ts", "src", "text"), $"src", $"text")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == batch,
+      "the folded vocabulary census must yield the batch entropy table exactly")
+    assert(streamed.keySet == Set("a", "b"))
+  }
+
   test("streaming banded KS: per-window drift equals the batch two-sample KS on band scores, late data folded") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingCalibration
