@@ -609,6 +609,54 @@ object TokenQueries {
        |FROM v JOIN hh USING (source) LEFT JOIN fit USING (source)""".stripMargin
 
   // ---------------------------------------------------------------
+  // q196 — dedup-adjusted token accounting: per source, the raw vs
+  // UNIQUE-CONTENT token totals under the corpus-wide exact dedup
+  // (q10's min-id representative election) — the number that corrects
+  // every budget/mixture computation for duplicated mass. A source
+  // whose dup_token_frac is high contributes far fewer effective
+  // tokens than its raw count claims; q193's plan should be read
+  // against kept_tokens, and this is the table that says by how much.
+  // ---------------------------------------------------------------
+  def q196DedupTokenAccounting(spark: SparkSession, d: String): DataFrame = {
+    val docs = withBpeTokens(spark, d)
+      .select(col("source"), col("doc_id"), col("bpe_tokens"))
+    val kept = graft.operators.Dedup.dropExactDuplicates(
+        Tables.documents(spark, d), "doc_id", col("text"))
+      .select(col("doc_id"), lit(1L).as("_k"))
+    val tot = sum(col("bpe_tokens"))
+    val keptTok = sum(when(col("_k").isNotNull, col("bpe_tokens")).otherwise(0L))
+    docs.join(kept, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("_k"), lit(0L))).as("n_kept_docs"),
+        tot.as("total_tokens"),
+        keptTok.as("kept_tokens"),
+        when(tot > 0L,
+          (tot - keptTok).cast("double") / tot.cast("double"))
+          .as("dup_token_frac"))
+  }
+
+  val q196Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes()},
+       |kp AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN kp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept_docs,
+       |  CAST(SUM(t.bpe_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CASE WHEN kp.doc_id IS NOT NULL THEN t.bpe_tokens ELSE 0 END)
+       |    AS BIGINT) AS kept_tokens,
+       |  CASE WHEN SUM(t.bpe_tokens) > 0 THEN
+       |    CAST(SUM(t.bpe_tokens)
+       |        - SUM(CASE WHEN kp.doc_id IS NOT NULL THEN t.bpe_tokens ELSE 0 END)
+       |      AS DOUBLE) / CAST(SUM(t.bpe_tokens) AS DOUBLE)
+       |  END AS dup_token_frac
+       |FROM documents d
+       |JOIN dtok t USING (doc_id)
+       |LEFT JOIN kp ON d.doc_id = kp.doc_id
+       |GROUP BY d.source""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -623,7 +671,8 @@ object TokenQueries {
     "q192_bpe_word_slice"     -> (q192BpeWordSlice _),
     "q193_token_mixture_plan" -> (q193TokenMixturePlan _),
     "q194_source_entropy"     -> (q194SourceEntropy _),
-    "q195_zipf_slope"         -> (q195ZipfSlope _))
+    "q195_zipf_slope"         -> (q195ZipfSlope _),
+    "q196_dedup_token_accounting" -> (q196DedupTokenAccounting _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -638,5 +687,6 @@ object TokenQueries {
     "q192_bpe_word_slice"     -> q192Sql,
     "q193_token_mixture_plan" -> q193Sql,
     "q194_source_entropy"     -> q194Sql,
-    "q195_zipf_slope"         -> q195Sql)
+    "q195_zipf_slope"         -> q195Sql,
+    "q196_dedup_token_accounting" -> q196Sql)
 }
