@@ -376,6 +376,17 @@ object GraftChecks {
           a.get("merges").map(graft.functions.BpeVocab.fromMergesText)
             .getOrElse(graft.functions.BpeVocab.default)))),
 
+    // per-group Zipf rank-frequency slope over the top-k head (q195)
+    "zipf_slope" -> (("table, group_by (expr), text (expr)[, k][, merges (merges.txt text)]",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.TextAnalysis.zipfSlopeBy(
+          s.table(need(a, "table", "zipf_slope")),
+          expr(need(a, "group_by", "zipf_slope")),
+          expr(need(a, "text", "zipf_slope")),
+          a.get("k").map(_.trim.toInt).getOrElse(256),
+          a.get("merges").map(graft.functions.BpeVocab.fromMergesText)
+            .getOrElse(graft.functions.BpeVocab.default)))),
+
     // monotone-trend evidence; seasons > 1 stratifies the weekday
     // cycle out (the q189 seasonal form)
     "mann_kendall" -> (("table, ts (timestamp expr)[, bucket_seconds][, seasons]",

@@ -337,7 +337,15 @@ class PipelinesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getAs[Double]("entropy_bits")).toMap
     assert(ent("a") == 2.0 && ent("b") == 0.0)
 
-    // the registry grew to 32 CALL-able checks
-    assert(graft.sql.GraftChecks.registry.size == 32)
+    val zs = spark.sql(
+      """CALL graft.zipf_slope(`table` => 'sqlc_ent',
+        |  group_by => 'src', text => 'text')""".stripMargin)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(zs("a").getAs[Long]("n_distinct_tokens") == 4L)
+    assert(zs("a").getAs[Double]("zipf_slope") == 0.0,
+      "a flat 4-token distribution has slope 0 exactly")
+
+    // the registry grew to 33 CALL-able checks
+    assert(graft.sql.GraftChecks.registry.size == 33)
   }
 }
