@@ -657,6 +657,50 @@ object TokenQueries {
        |GROUP BY d.source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q197 — the mixture plan provisioned on UNIQUE-CONTENT tokens:
+  // q193's temperature apportionment computed over the exact-deduped
+  // corpus (q196's representative election), so a source padded with
+  // duplicates cannot buy mixture weight with repeated mass — the
+  // composition a real provisioning run executes.
+  // ---------------------------------------------------------------
+  def q197DedupMixturePlan(spark: SparkSession, d: String): DataFrame = {
+    val kept = graft.operators.Dedup.dropExactDuplicates(
+      Tables.documents(spark, d), "doc_id", col("text")).select("doc_id")
+    Sampling.temperatureMixturePlan(
+      withBpeTokens(spark, d).join(kept, Seq("doc_id"), "left_semi"),
+      col("source"), col("bpe_tokens"), MixtureBudgetTokens)
+      .withColumnRenamed("group_key", "source")
+  }
+
+  val q197Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes()},
+       |kp AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |st AS (
+       |  SELECT d.source AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(t.bpe_tokens) AS BIGINT) AS tk
+       |  FROM documents d
+       |  JOIN kp ON d.doc_id = kp.doc_id
+       |  JOIN dtok t ON d.doc_id = t.doc_id
+       |  WHERE d.source IS NOT NULL
+       |  GROUP BY d.source),
+       |q AS (
+       |  SELECT *, CAST(FLOOR(SQRT(CAST(tk AS DOUBLE)) * 1000000000.0)
+       |    AS BIGINT) AS qi
+       |  FROM st),
+       |tot AS (
+       |  SELECT CAST(SUM(tk) AS BIGINT) AS ttk, CAST(SUM(qi) AS BIGINT) AS sq
+       |  FROM q)
+       |SELECT q.source, q.n_docs, q.tk AS total_tokens,
+       |  CAST(q.tk AS DOUBLE) / CAST(tot.ttk AS DOUBLE) AS token_share,
+       |  CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE) AS temp_weight,
+       |  ${MixtureBudgetTokens}.0
+       |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)) AS target_tokens,
+       |  (${MixtureBudgetTokens}.0
+       |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)))
+       |    / CAST(q.tk AS DOUBLE) AS epochs
+       |FROM q CROSS JOIN tot""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -672,7 +716,8 @@ object TokenQueries {
     "q193_token_mixture_plan" -> (q193TokenMixturePlan _),
     "q194_source_entropy"     -> (q194SourceEntropy _),
     "q195_zipf_slope"         -> (q195ZipfSlope _),
-    "q196_dedup_token_accounting" -> (q196DedupTokenAccounting _))
+    "q196_dedup_token_accounting" -> (q196DedupTokenAccounting _),
+    "q197_dedup_mixture_plan" -> (q197DedupMixturePlan _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -688,5 +733,6 @@ object TokenQueries {
     "q193_token_mixture_plan" -> q193Sql,
     "q194_source_entropy"     -> q194Sql,
     "q195_zipf_slope"         -> q195Sql,
-    "q196_dedup_token_accounting" -> q196Sql)
+    "q196_dedup_token_accounting" -> q196Sql,
+    "q197_dedup_mixture_plan" -> q197Sql)
 }
