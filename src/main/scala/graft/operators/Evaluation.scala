@@ -697,10 +697,17 @@ object Evaluation {
       .groupBy(col("_g"), col("band"))
       .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"))
       .persist()
-    val badBand = counts.filter(col("band") < 0L || col("band") >= bins).count()
-    require(badBand == 0L,
-      s"$badBand census rows carry bands outside [0, $bins) — the census " +
-        "was built with a different lo/hi/bins than this sweep")
+    // release the cache BEFORE throwing: a failed config check must
+    // not leak a persisted frame across repeated failing calls
+    val badBand =
+      try counts.filter(col("band") < 0L || col("band") >= bins).count()
+      catch { case t: Throwable => counts.unpersist(blocking = false); throw t }
+    if (badBand != 0L) {
+      counts.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"$badBand census rows carry bands outside [0, $bins) — the census " +
+          "was built with a different lo/hi/bins than this sweep")
+    }
     val bandSpine = bandCounts.sparkSession.range(0, bins)
       .select(col("id").as("band"))
     val spine = counts.select(col("_g")).distinct()

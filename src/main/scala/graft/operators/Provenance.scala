@@ -140,6 +140,21 @@ object Provenance {
     * read-back probe finds zero taken-down ids in `outDir`. In-place
     * execution (`outDir == dir`, however aliased) is refused loudly,
     * the [[compact]] guard.
+    *
+    * Partitioned layouts are preserved: every file — carried or
+    * rewritten — lands under its INPUT-RELATIVE path in `outDir`, so
+    * a Hive-partitioned input (identically-named part files in many
+    * partition directories, partition-column values encoded in the
+    * directory names) round-trips with its directory structure — and
+    * therefore its partition columns — intact. A flat carry keyed on
+    * bare file name would silently overwrite colliding part files and
+    * drop the partition columns from the output. Rewrites of hit
+    * files run per partition directory (explicit leaf-file reads do
+    * not reconstruct partition-column values, and concurrent appends
+    * into one directory race on the committer's `_temporary` staging
+    * area — see [[compact]]); if `idCol` is itself a partition
+    * column the leaf read fails loudly on the missing column rather
+    * than mis-deleting.
     */
   def takedownExecute(
       spark: org.apache.spark.sql.SparkSession, dir: String, outDir: String,
@@ -152,50 +167,77 @@ object Provenance {
     require(qIn != qOut,
       "in-place takedown is refused: write side-by-side, verify, then swap")
     val ids = takedown.select(col(idCol)).distinct().persist()
-    val df = spark.read.parquet(dir)
-    // compare by URI path component: _metadata.file_path and the
-    // filesystem listing may render the same file with different
-    // scheme spellings (file:/ vs file:///)
-    def pathKey(s: String) =
-      new org.apache.hadoop.fs.Path(s).toUri.getPath
-    val hitPaths = takedownPlan(df, idCol, ids)
-      .select(col("file_path")).collect().map(r => pathKey(r.getString(0))).toSet
-    val fs = inPath.getFileSystem(conf)
-    val it = fs.listFiles(inPath, true)
-    val all = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-      .filter { f =>
-        val n = f.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }.map(_.getPath).toSeq
-    val (hit, carried) = all.partition(p => hitPaths.contains(pathKey(p.toString)))
-    require(hit.size == hitPaths.size,
-      s"takedown plan named ${hitPaths.size} files but the listing matched ${hit.size}")
-    val outFs = outPath.getFileSystem(conf)
-    outFs.mkdirs(outPath)
-    carried.foreach { p =>
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, p, outFs, new org.apache.hadoop.fs.Path(outPath, p.getName),
-        false, conf)
-    }
-    if (hit.nonEmpty)
-      spark.read.parquet(hit.map(_.toString): _*)
-        .join(broadcast(ids), Seq(idCol), "left_anti")
-        .write.mode("append").parquet(outDir)
-    // verification before anyone swaps: exact row accounting and a
-    // zero-survivors probe of the taken-down ids
-    val rowsBefore = df.count()
-    val dropped = df.join(broadcast(ids), Seq(idCol), "left_semi").count()
-    val after = spark.read.parquet(outDir)
-    val rowsAfter = after.count()
-    require(rowsAfter == rowsBefore - dropped,
-      s"takedown rewrite row mismatch: $rowsBefore before, $dropped to drop, " +
-        s"$rowsAfter after — do NOT swap $outDir in")
-    val survivors = after.join(broadcast(ids), Seq(idCol), "left_semi").count()
-    require(survivors == 0L,
-      s"$survivors taken-down rows survive in $outDir — do NOT swap it in")
-    ids.unpersist(blocking = false)
-    TakedownReport(carried.size.toLong, hit.size.toLong,
-      rowsBefore, dropped, rowsAfter)
+    try {
+      val df = spark.read.parquet(dir)
+      // compare by URI path component: _metadata.file_path and the
+      // filesystem listing may render the same file with different
+      // scheme spellings (file:/ vs file:///)
+      def pathKey(s: String) =
+        new org.apache.hadoop.fs.Path(s).toUri.getPath
+      // input-relative path of a leaf file: the suffix below the
+      // qualified input root — "" prefix stripping is safe because the
+      // recursive listing only yields paths under qIn
+      val rootKey = {
+        val k = qIn.getPath
+        if (k.endsWith("/")) k else k + "/"
+      }
+      def relKey(s: String): String = {
+        val k = pathKey(s)
+        require(k.startsWith(rootKey), s"listed file $k escapes input root $rootKey")
+        k.substring(rootKey.length)
+      }
+      val hitPaths = takedownPlan(df, idCol, ids)
+        .select(col("file_path")).collect().map(r => pathKey(r.getString(0))).toSet
+      val fs = inPath.getFileSystem(conf)
+      val it = fs.listFiles(inPath, true)
+      val all = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .filter { f =>
+          val n = f.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }.map(_.getPath).toSeq
+      val (hit, carried) = all.partition(p => hitPaths.contains(pathKey(p.toString)))
+      require(hit.size == hitPaths.size,
+        s"takedown plan named ${hitPaths.size} files but the listing matched ${hit.size}")
+      val outFs = outPath.getFileSystem(conf)
+      outFs.mkdirs(outPath)
+      carried.foreach { p =>
+        val dest = new org.apache.hadoop.fs.Path(outPath, relKey(p.toString))
+        outFs.mkdirs(dest.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, outFs, dest, false, conf)
+      }
+      // rewrite hit files grouped by their partition directory, each
+      // group appended under the SAME relative directory of outDir —
+      // sequential over config-sized group count (see compact's
+      // committer-staging note), cluster-parallel within each read
+      hit.groupBy { p =>
+          val rel = relKey(p.toString)
+          val cut = rel.lastIndexOf('/')
+          if (cut < 0) "" else rel.substring(0, cut)
+        }
+        .toSeq.sortBy(_._1)
+        .foreach { case (relDir, paths) =>
+          val destDir =
+            if (relDir.isEmpty) outPath
+            else new org.apache.hadoop.fs.Path(outPath, relDir)
+          spark.read.parquet(paths.map(_.toString): _*)
+            .join(broadcast(ids), Seq(idCol), "left_anti")
+            .write.mode("append").parquet(destDir.toString)
+        }
+      // verification before anyone swaps: exact row accounting and a
+      // zero-survivors probe of the taken-down ids
+      val rowsBefore = df.count()
+      val dropped = df.join(broadcast(ids), Seq(idCol), "left_semi").count()
+      val after = spark.read.parquet(outDir)
+      val rowsAfter = after.count()
+      require(rowsAfter == rowsBefore - dropped,
+        s"takedown rewrite row mismatch: $rowsBefore before, $dropped to drop, " +
+          s"$rowsAfter after — do NOT swap $outDir in")
+      val survivors = after.join(broadcast(ids), Seq(idCol), "left_semi").count()
+      require(survivors == 0L,
+        s"$survivors taken-down rows survive in $outDir — do NOT swap it in")
+      TakedownReport(carried.size.toLong, hit.size.toLong,
+        rowsBefore, dropped, rowsAfter)
+    } finally ids.unpersist(blocking = false)
   }
 
   /** Small-files compaction plan: assign every physical file of a

@@ -518,8 +518,13 @@ object Sampling {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val q = per.withColumn("_q",
       floor(sqrt(col("total_tokens").cast("double")) * lit(1e9)).cast("long"))
+    // the cross-source sums accumulate as DECIMAL(38,0): per-row _q is
+    // ~1e16 at 100 TB-per-source scale (up to ~3e18 at Long.MAX
+    // tokens), so a LongType sum across sources can wrap — the same
+    // wrap-proof discipline as the entropy Σc·lg c sum
     val tot = q.agg(
-      sum(col("total_tokens")).as("_ttk"), sum(col("_q")).as("_sq"))
+      sum(col("total_tokens").cast("decimal(38,0)")).as("_ttk"),
+      sum(col("_q").cast("decimal(38,0)")).as("_sq"))
     val w = col("_q").cast("double") / col("_sq").cast("double")
     q.crossJoin(broadcast(tot))
       .select(

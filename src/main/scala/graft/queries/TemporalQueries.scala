@@ -653,7 +653,7 @@ object TemporalQueries {
        |  FROM bd, generate_series(0, 100000) gs(x)
        |  WHERE bd.mn + gs.x * $DayUs <= bd.mx),
        |series AS (
-       |  SELECT spine.b, (spine.b // $DayUs) % 7 AS g, COALESCE(c.n, 0) AS n
+       |  SELECT spine.b, (((spine.b // $DayUs) % 7) + 7) % 7 AS g, COALESCE(c.n, 0) AS n
        |  FROM spine LEFT JOIN c ON spine.b = c.b),
        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM spine),
        |sagg AS (
@@ -710,7 +710,7 @@ object TemporalQueries {
        |  WHERE bd.mn + gs.x * $DayUs <= bd.mx),
        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM spine),
        |series AS (
-       |  SELECT ks.k, spine.b, (spine.b // $DayUs) % 7 AS g, COALESCE(c.n, 0) AS n
+       |  SELECT ks.k, spine.b, (((spine.b // $DayUs) % 7) + 7) % 7 AS g, COALESCE(c.n, 0) AS n
        |  FROM (SELECT DISTINCT k FROM c) ks
        |  CROSS JOIN spine
        |  LEFT JOIN c ON c.k = ks.k AND c.b = spine.b),

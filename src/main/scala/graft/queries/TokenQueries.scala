@@ -484,7 +484,7 @@ object TokenQueries {
        |    AS BIGINT) AS qi
        |  FROM st),
        |tot AS (
-       |  SELECT CAST(SUM(tk) AS BIGINT) AS ttk, CAST(SUM(qi) AS BIGINT) AS sq
+       |  SELECT CAST(SUM(tk) AS HUGEINT) AS ttk, CAST(SUM(qi) AS HUGEINT) AS sq
        |  FROM q)
        |SELECT q.source, q.n_docs, q.tk AS total_tokens,
        |  CAST(q.tk AS DOUBLE) / CAST(tot.ttk AS DOUBLE) AS token_share,
@@ -688,7 +688,7 @@ object TokenQueries {
        |    AS BIGINT) AS qi
        |  FROM st),
        |tot AS (
-       |  SELECT CAST(SUM(tk) AS BIGINT) AS ttk, CAST(SUM(qi) AS BIGINT) AS sq
+       |  SELECT CAST(SUM(tk) AS HUGEINT) AS ttk, CAST(SUM(qi) AS HUGEINT) AS sq
        |  FROM q)
        |SELECT q.source, q.n_docs, q.tk AS total_tokens,
        |  CAST(q.tk AS DOUBLE) / CAST(tot.ttk AS DOUBLE) AS token_share,

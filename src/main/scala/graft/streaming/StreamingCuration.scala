@@ -82,21 +82,6 @@ object StreamingCuration {
       .toDF(idCol, textCol)
   }
 
-  /** Streaming semantic decontamination screen — the standing-query
-    * form of [[graft.operators.Decontamination.decontaminateSemantic]]:
-    * each arriving embedding row is scored against the WHOLE benchmark
-    * in-expression (the annJoinIvf literal-centroid discipline — the
-    * benchmark is an eval set, config-sized by construction, collected
-    * once under an explicit guard and unrolled into literal arrays
-    * with hoisted norms), so the screen is STATELESS: works in any
-    * output mode, no stream-static join support matrix to negotiate,
-    * no state store. Output = input columns + `max_bench_cosine` +
-    * `is_contaminated`; the caller filters or routes on the flag.
-    *
-    * Batch/stream parity is spec-pinned: the admitted set equals the
-    * batch anti-join's on the same rows (same cosine dag — hoisted
-    * norms, one dot per pair).
-    */
   /** Watermarked per-source REAL-token ingest census: per (window,
     * source), document and BPE-token counts — the unit a training-run
     * budget is denominated in, measured at ingest time instead of in
@@ -161,6 +146,21 @@ object StreamingCuration {
       .select(col("window.start").as("window_start"),
         col("group_key"), col("token"), col("n"))
 
+  /** Streaming semantic decontamination screen — the standing-query
+    * form of [[graft.operators.Decontamination.decontaminateSemantic]]:
+    * each arriving embedding row is scored against the WHOLE benchmark
+    * in-expression (the annJoinIvf literal-centroid discipline — the
+    * benchmark is an eval set, config-sized by construction, collected
+    * once under an explicit guard and unrolled into literal arrays
+    * with hoisted norms), so the screen is STATELESS: works in any
+    * output mode, no stream-static join support matrix to negotiate,
+    * no state store. Output = input columns + `max_bench_cosine` +
+    * `is_contaminated`; the caller filters or routes on the flag.
+    *
+    * Batch/stream parity is spec-pinned: the admitted set equals the
+    * batch anti-join's on the same rows (same cosine dag — hoisted
+    * norms, one dot per pair).
+    */
   def semanticScreen(
       stream: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxBenchRows: Int = 65536): DataFrame = {

@@ -501,6 +501,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("takedownExecute: Hive-partitioned layout round-trips with partition columns intact") {
+    import graft.operators.Provenance
+    val base = java.nio.file.Files.createTempDirectory("takedownp").toString
+    val v1 = base + "/v1"
+    val v2 = base + "/v2"
+    // 4 partition dirs; one part file per dir gets the SAME basename
+    // (part-00000...), the flat-carry collision the fix pins
+    spark.range(0, 4000)
+      .selectExpr("id", "CAST(id % 4 AS INT) AS site", "repeat('y', 32) AS pad")
+      .repartition(1)
+      .write.partitionBy("site").parquet(v1)
+    val leafNames = {
+      val fs = new java.io.File(v1).listFiles().filter(_.getName.startsWith("site="))
+      assert(fs.length == 4)
+      fs.flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName))
+    }
+    assert(leafNames.distinct.length < leafNames.length || leafNames.length == 4,
+      "fixture sanity: per-dir part files share basenames under repartition(1)")
+    // hits live in exactly one partition's id range -> other dirs carry
+    val ids = spark.range(0, 4000).filter($"id" % 4 === 2 && $"id" < 1000).toDF("id")
+    val nHit = ids.count()
+    val report = Provenance.takedownExecute(spark, v1, v2, "id", ids)
+    assert(report.rowsBefore == 4000L && report.rowsDropped == nHit)
+    // the output is STILL a partitioned table: partition column present
+    // with every original value, and the per-partition row accounting
+    // matches the input minus exactly the taken-down rows
+    val after = spark.read.parquet(v2)
+    assert(after.columns.toSet == Set("id", "site", "pad"),
+      s"partition column lost: ${after.columns.mkString(",")}")
+    val perSite = after.groupBy("site").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perSite == Map(0 -> 1000L, 1 -> 1000L, 2 -> (1000L - nHit), 3 -> 1000L))
+    // carried dirs are byte-identical copies under their RELATIVE paths
+    def md5(f: java.io.File): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map("%02x".format(_)).mkString
+    }
+    Seq(0, 1, 3).foreach { s =>
+      val in = new java.io.File(s"$v1/site=$s").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val out = new java.io.File(s"$v2/site=$s").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      assert(in.map(f => f.getName -> md5(f)).toSeq
+        == out.map(f => f.getName -> md5(f)).toSeq,
+        s"site=$s must be carried byte-identical under its relative path")
+    }
+  }
+
   test("knnLabelAgreement: separable clusters agree fully, shuffled labels don't") {
     // two well-separated clusters on orthogonal axes, 8 vectors each
     def vec(axis: Int, jitter: Double): Seq[Float] =
