@@ -369,6 +369,36 @@ object BpeVocab {
     ("c", "a"),
     ("i", "ca"))
 
+  /** The PRODUCTION-SCALE vocabulary: 1956 merges, trained by
+    * `tools/train_bpe.py` to corpus exhaustion on the combined
+    * public sf0.1 text surfaces (15,187 distinct pre-tokens — the
+    * 100×-larger corpus whose entity names, digit runs, and JSON
+    * props sustain a table past the 1k-merge production bar), shipped
+    * as the standard `merges.txt` interchange file
+    * (`/graft/merges.txt` on the classpath) and loaded through
+    * [[fromMergesText]] — i.e. the exact path a user with a real
+    * model vocabulary exercises, validation included. The token
+    * family (q181–q184, q187, q192–q197) is denominated in THIS
+    * table; [[default]] remains the embedded 306-merge sf0.001
+    * exhaustion table (operator default args, q188's
+    * out-of-distribution fertility probe, and the spec corpus).
+    *
+    * Oracle cost at this size, measured at sf0.01: the full-replay
+    * recursive CTE stays sub-second for documents-denominated
+    * queries because replay is DISTINCT-WORD-bounded (31 words) —
+    * |merges| multiplies the per-step scan, not the step count. The
+    * tiered md5-word-slice oracle (q192, `wordPredicate`) remains
+    * the documented path for corpora whose distinct-word census ×
+    * |merges| outgrows that.
+    */
+  lazy val production: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/merges.txt")
+    require(in != null, "classpath resource /graft/merges.txt is missing")
+    try fromMergesText(
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
   /** The stated pre-tokenizer, identical in both engines. Character
     * classes only, with the whitespace set SPELLED OUT — Java's `\s`
     * and RE2's `\s` disagree on vertical tab (U+000B), so the shared

@@ -133,4 +133,28 @@ class BpeSpec extends AnyFunSuite {
     assert(r.getSeq[String](0).toSeq == Seq("abc", "aa", "a"))
     assert(r.getInt(1) == 3)
   }
+
+  test("production vocab: loads through fromMergesText, >=1k merges, well-formed, non-degenerate OOD") {
+    val prod = BpeVocab.production
+    // the production bar: at least 1k merges, rank-well-formed (the
+    // lazy val would have thrown otherwise), loaded off the classpath
+    // through the interchange parser
+    assert(prod.size >= 1000, s"production table has ${prod.size} merges")
+    BpeVocab.validateMerges(prod) // idempotent re-check
+    val enc = new BpeEncoder(prod)
+    // in-distribution: the documents vocabulary fully merges
+    assert(enc.encode("customer window stream").toSeq
+      == Seq("customer", "window", "stream"))
+    // out-of-distribution digit runs tokenize PARTIALLY (1 < fertility
+    // < char count): the surface q198 pins against the oracle
+    val toks = enc.encode("987654321")
+    assert(toks.length > 1 && toks.length < 9,
+      s"expected partial merge of an unseen digit run, got ${toks.toSeq}")
+    assert(toks.mkString == "987654321")
+    // the column API and the core encoder agree at this size too
+    val viaCol = Seq((1L, "customer#987654321 building"))
+      .toDF("id", "text")
+      .select(Bpe.bpeTokens($"text", prod)).head().getSeq[String](0).toSeq
+    assert(viaCol == enc.encode("customer#987654321 building").toSeq)
+  }
 }

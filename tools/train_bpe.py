@@ -29,8 +29,12 @@ import re, sys
 from collections import Counter
 import duckdb
 
-NUM_MERGES = 512
+NUM_MERGES = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+# optional 3rd arg: output mode "scala" (default, literal rows) or
+# "merges" (the standard merges.txt interchange format fromMergesText
+# parses — the production-vocab path)
+OUT_MODE = sys.argv[3] if len(sys.argv) > 3 else "scala"
 
 # every generated VARCHAR surface, stated once (kept in sync with the
 # BpeVocab Scaladoc)
@@ -87,10 +91,15 @@ for _ in range(NUM_MERGES):
                 out.append(syms[i]); i += 1
         words[w] = tuple(out)
 
-print(f"// {len(merges)} merges trained on the combined {SFDIR} text corpus")
-for a, b in merges:
-    ea, eb = a.replace("\\", "\\\\").replace('"', '\\"'), b.replace("\\", "\\\\").replace('"', '\\"')
-    print(f'    ("{ea}", "{eb}"),')
+if OUT_MODE == "merges":
+    print(f"#version: 0.2 — {len(merges)} merges, combined {SFDIR} text corpus, graft tools/train_bpe.py")
+    for a, b in merges:
+        print(f"{a} {b}")
+else:
+    print(f"// {len(merges)} merges trained on the combined {SFDIR} text corpus")
+    for a, b in merges:
+        ea, eb = a.replace("\\", "\\\\").replace('"', '\\"'), b.replace("\\", "\\\\").replace('"', '\\"')
+        print(f'    ("{ea}", "{eb}"),')
 
 # sanity: report terminal tokenizations + fertility on documents words
 doc_words = Counter()
