@@ -337,7 +337,8 @@ object TokenQueries {
     * convention): q190 composes the decision sweep OVER the q185
     * scores, which keep their own timed rows — so its bench row times
     * the sweep, not a third LM training. */
-  val fixtureBacked: Seq[String] = Seq("q190_lm_gate_sweep")
+  val fixtureBacked: Seq[String] = Seq("q190_lm_gate_sweep",
+    "q199_neardup_token_accounting", "q200_neardup_mixture_plan")
 
   def q190LmGateSweep(spark: SparkSession, d: String): DataFrame = {
     val perDoc = QueryFixtures.ensure(spark, d, "q190_lm_scores",
@@ -766,6 +767,108 @@ object TokenQueries {
        |FROM q CROSS JOIN tot""".stripMargin
 
   // ---------------------------------------------------------------
+  // q199 — NEAR-dup-adjusted token accounting: q196 with the unique-
+  // content election replaced by the q128 cluster keep-list, so the
+  // discount covers near-duplicate mass (boilerplate variants, light
+  // edits) that exact hashing cannot see — the number a real
+  // provisioning run wants. A doc is discounted iff the keep-list
+  // DROPS it (keep=false); unclustered docs are implicitly kept.
+  // The keep-list is a materialized fixture (in production it IS a
+  // standing table — q128/q129 maintain it), so the bench times the
+  // accounting join, not a re-clustering.
+  // ---------------------------------------------------------------
+  private def nearDupDropList(
+      spark: SparkSession, d: String, owner: String): DataFrame =
+    QueryFixtures.ensure(spark, d, "q199_keep_list", owner)(
+      ExtensionQueries.q128ClusterKeepList(spark, d))
+      .filter(!col("keep")).select(col("doc_id"))
+
+  def q199NearDupTokenAccounting(spark: SparkSession, d: String): DataFrame = {
+    val docs = withBpeTokens(spark, d)
+      .select(col("source"), col("doc_id"), col("bpe_tokens"))
+    val dropped = nearDupDropList(spark, d, "q199_neardup_token_accounting")
+      .withColumn("_d", lit(1L))
+    val tot = sum(col("bpe_tokens"))
+    val keptTok = sum(when(col("_d").isNull, col("bpe_tokens")).otherwise(0L))
+    docs.join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_d").isNull, 1L).otherwise(0L)).as("n_kept_docs"),
+        tot.as("total_tokens"),
+        keptTok.as("kept_tokens"),
+        when(tot > 0L,
+          (tot - keptTok).cast("double") / tot.cast("double"))
+          .as("dup_token_frac"))
+  }
+
+  lazy val q199Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes(BpeVocab.production)},
+       |kl AS (${ExtensionQueries.q128Sql}),
+       |dr AS (SELECT doc_id FROM kl WHERE NOT keep)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept_docs,
+       |  CAST(SUM(t.bpe_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN t.bpe_tokens ELSE 0 END)
+       |    AS BIGINT) AS kept_tokens,
+       |  CASE WHEN SUM(t.bpe_tokens) > 0 THEN
+       |    CAST(SUM(t.bpe_tokens)
+       |        - SUM(CASE WHEN dr.doc_id IS NULL THEN t.bpe_tokens ELSE 0 END)
+       |      AS DOUBLE) / CAST(SUM(t.bpe_tokens) AS DOUBLE)
+       |  END AS dup_token_frac
+       |FROM documents d
+       |JOIN dtok t USING (doc_id)
+       |LEFT JOIN dr ON d.doc_id = dr.doc_id
+       |GROUP BY d.source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q200 — the mixture plan provisioned on NEAR-dup-unique tokens:
+  // q197's composition with the q128 keep-list as the election, so a
+  // source padded with light paraphrase/boilerplate variants cannot
+  // buy mixture weight any more than one padded with byte-identical
+  // copies. Same shared quantize → normalize → apportion core —
+  // the three plans (raw q193, exact-deduped q197, near-deduped
+  // q200) differ ONLY in which docs survive into the totals.
+  // ---------------------------------------------------------------
+  def q200NearDupMixturePlan(spark: SparkSession, d: String): DataFrame = {
+    val dropped = nearDupDropList(spark, d, "q200_neardup_mixture_plan")
+    Sampling.temperatureMixturePlan(
+      withBpeTokens(spark, d).join(dropped, Seq("doc_id"), "left_anti"),
+      col("source"), col("bpe_tokens"), MixtureBudgetTokens)
+      .withColumnRenamed("group_key", "source")
+  }
+
+  lazy val q200Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes(BpeVocab.production)},
+       |kl AS (${ExtensionQueries.q128Sql}),
+       |dr AS (SELECT doc_id FROM kl WHERE NOT keep),
+       |st AS (
+       |  SELECT d.source AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(t.bpe_tokens) AS BIGINT) AS tk
+       |  FROM documents d
+       |  JOIN dtok t ON d.doc_id = t.doc_id
+       |  LEFT JOIN dr ON d.doc_id = dr.doc_id
+       |  WHERE d.source IS NOT NULL AND dr.doc_id IS NULL
+       |  GROUP BY d.source),
+       |q AS (
+       |  SELECT *, CAST(FLOOR(SQRT(CAST(tk AS DOUBLE)) * 1000000000.0)
+       |    AS BIGINT) AS qi
+       |  FROM st),
+       |tot AS (
+       |  SELECT CAST(SUM(tk) AS HUGEINT) AS ttk, CAST(SUM(qi) AS HUGEINT) AS sq
+       |  FROM q)
+       |SELECT q.source, q.n_docs, q.tk AS total_tokens,
+       |  CAST(q.tk AS DOUBLE) / CAST(tot.ttk AS DOUBLE) AS token_share,
+       |  CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE) AS temp_weight,
+       |  ${MixtureBudgetTokens}.0
+       |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)) AS target_tokens,
+       |  (${MixtureBudgetTokens}.0
+       |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)))
+       |    / CAST(q.tk AS DOUBLE) AS epochs
+       |FROM q CROSS JOIN tot""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -783,7 +886,9 @@ object TokenQueries {
     "q195_zipf_slope"         -> (q195ZipfSlope _),
     "q196_dedup_token_accounting" -> (q196DedupTokenAccounting _),
     "q197_dedup_mixture_plan" -> (q197DedupMixturePlan _),
-    "q198_prod_name_fertility" -> (q198ProdNameFertility _))
+    "q198_prod_name_fertility" -> (q198ProdNameFertility _),
+    "q199_neardup_token_accounting" -> (q199NearDupTokenAccounting _),
+    "q200_neardup_mixture_plan" -> (q200NearDupMixturePlan _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -801,5 +906,7 @@ object TokenQueries {
     "q195_zipf_slope"         -> q195Sql,
     "q196_dedup_token_accounting" -> q196Sql,
     "q197_dedup_mixture_plan" -> q197Sql,
-    "q198_prod_name_fertility" -> q198Sql)
+    "q198_prod_name_fertility" -> q198Sql,
+    "q199_neardup_token_accounting" -> q199Sql,
+    "q200_neardup_mixture_plan" -> q200Sql)
 }

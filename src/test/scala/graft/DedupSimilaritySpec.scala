@@ -362,4 +362,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // empties the index — the documented blocking trade-off, loud in tests
     assert(Dedup.fuzzyPairs(names, "id", "name", maxDist = 2, maxTokenDf = 1).isEmpty)
   }
+
+  test("near-dup token discount subsumes the exact-dup discount (q199 vs q196)") {
+    import graft.queries.{ExtensionQueries, TokenQueries}
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.sf
+    // corpus-level kept token mass: the near-dup election can only
+    // keep LESS than the exact-content election — identical texts
+    // always pair (Jaccard 1.0), so every exact-dup group sits inside
+    // one near-dup cluster, which keeps exactly one member whose
+    // content group exact-dedup also keeps. (Zero-shingle docs — text
+    // shorter than the shingle width — are the stated exception; they
+    // carry no token mass on this corpus.)
+    def totals(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(sum("total_tokens"), sum("kept_tokens")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (exTot, exKept) = totals(TokenQueries.q196DedupTokenAccounting(spark, d))
+    val (ndTot, ndKept) = totals(TokenQueries.q199NearDupTokenAccounting(spark, d))
+    assert(exTot == ndTot, "both accountings denominate the same raw mass")
+    assert(ndKept <= exKept,
+      s"near-dup must discount at least the exact-dup mass: kept $ndKept vs $exKept")
+    assert(ndKept < ndTot, "fixture sanity: the corpus has near-dup mass to discount")
+    // doc-level containment: every exact-dropped doc is CLUSTERED by
+    // the near-dup pass (it has an identical twin, so it pairs at
+    // estimated Jaccard 1.0 in every band)
+    val exactDropped = graft.Tables.documents(spark, d)
+      .join(graft.operators.Dedup.dropExactDuplicates(
+        graft.Tables.documents(spark, d), "doc_id", col("text"))
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val clustered = ExtensionQueries.q128ClusterKeepList(spark, d).select("doc_id")
+    val escaped = exactDropped.join(clustered, Seq("doc_id"), "left_anti").count()
+    assert(escaped == 0L,
+      s"$escaped exact-duplicate docs escaped the near-dup clustering")
+  }
 }
