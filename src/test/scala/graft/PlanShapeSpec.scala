@@ -181,6 +181,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"first window must be keyed on (group, salt):\n$p")
   }
 
+  test("q195: zipf head extraction is the salted two-phase top-k (no full-census window)") {
+    val p = plan(graft.queries.TokenQueries.q195ZipfSlope(spark, d))
+    // the head must NOT funnel a source's whole distinct-token census
+    // through one per-group window task: phase 1 is keyed on
+    // (group, pmod(xxhash64(token), salts)), phase 2 ranks only the
+    // <= salts*k survivors
+    assert(p.contains("__salt_rank"),
+      s"expected the salted phase-1 rank before the per-group window:\n$p")
+    assert(p.contains("pmod") && p.contains("xxhash64"),
+      s"phase-1 window must be keyed on (group, salt):\n$p")
+  }
+
   test("q59: per-query top-k runs as WindowGroupLimit (partial top-k before the shuffle)") {
     val p = plan(graft.queries.PipelineQueries.q59LabelPurity(spark, d))
     assert(p.contains("WindowGroupLimit"),
