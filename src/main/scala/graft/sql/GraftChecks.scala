@@ -400,7 +400,78 @@ object GraftChecks {
           case None => graft.operators.StatTests
             .mannKendallTrend(t, ts, bucket)
         }
-      })))
+      })),
+
+    // ----- the dedup / similarity family (q128/q44/q95/q141
+    // surfaces) — the curation decisions, CALL-able -----
+
+    // near-dup cluster keep-list (the q128 decision table): MinHash-
+    // LSH pairs -> connected components -> keep the best-scoring
+    // member per cluster (id-ascending tiebreak; omit `score` for the
+    // min-id election). Portable hashing, so results match the oracle
+    // convention everywhere.
+    "near_dedup" -> (("table, id, text[, score (expr)][, n][, hashes][, bands][, threshold]",
+      (s: SparkSession, a: Map[String, String]) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = s.table(need(a, "table", "near_dedup"))
+        val id = need(a, "id", "near_dedup")
+        val pairs = graft.operators.Dedup.lshNearDupPairs(
+          t, id, need(a, "text", "near_dedup"),
+          n = a.get("n").map(_.trim.toInt).getOrElse(5),
+          numHashes = a.get("hashes").map(_.trim.toInt).getOrElse(64),
+          bands = a.get("bands").map(_.trim.toInt).getOrElse(16),
+          threshold = a.get("threshold").map(_.trim.toDouble).getOrElse(0.8),
+          portable = true)
+        val clusters = graft.operators.Dedup
+          .duplicateClusters(pairs, "id_a", "id_b")
+          .select(col("id").as(id), col("cluster_id"), col("cluster_size"))
+        val score = a.get("score").map(expr).getOrElse(lit(0L))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("_score").desc, col(id).asc)
+        clusters.join(t.select(col(id), score.as("_score")), Seq(id))
+          .withColumn("keep", row_number().over(w) === 1)
+          .select(col(id), col("cluster_id"), col("cluster_size"),
+            col("_score").as("score"), col("keep"))
+      })),
+
+    // approximate nearest neighbors (the q44/q58 surface): IVF cell
+    // equi-join of a query table against a corpus table on an
+    // Array[Float] embedding column — never a cartesian
+    "ann_topk" -> (("queries, corpus, id, vec (array<float> col), k[, nlist][, nprobe]",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Similarity.annJoinIvf(
+          s.table(need(a, "queries", "ann_topk")),
+          s.table(need(a, "corpus", "ann_topk")),
+          need(a, "id", "ann_topk"),
+          need(a, "vec", "ann_topk"),
+          need(a, "k", "ann_topk").trim.toInt,
+          nlist = a.get("nlist").map(_.trim.toInt).getOrElse(16),
+          nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4)))),
+
+    // train/test leakage census (the q95 surface): one row of counts,
+    // or the per-group offender list with offenders => 'true'. Pass
+    // the near-dup cluster id (or any group key) as `group`.
+    "split_leakage" -> (("table, group (expr), split (expr)[, offenders (true/false)]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "split_leakage"))
+        val g = expr(need(a, "group", "split_leakage"))
+        val sp = expr(need(a, "split", "split_leakage"))
+        if (a.get("offenders").exists(_.trim.equalsIgnoreCase("true")))
+          graft.operators.Sampling.splitLeakageGroups(t, g, sp)
+        else graft.operators.Sampling.splitLeakage(t, g, sp)
+      })),
+
+    // cross-source content overlap matrix (the q141 surface):
+    // mergeable per-group MinHash sketches, groups² comparison —
+    // corpus scanned once however many sources
+    "source_overlap" -> (("table, text, group[, n][, hashes]",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Dedup.sourceOverlapMatrix(
+          s.table(need(a, "table", "source_overlap")),
+          need(a, "text", "source_overlap"),
+          need(a, "group", "source_overlap"),
+          n = a.get("n").map(_.trim.toInt).getOrElse(5),
+          numHashes = a.get("hashes").map(_.trim.toInt).getOrElse(64)))))
 
   /** One row per registered check: (check, arguments). */
   def list(spark: SparkSession): DataFrame = {

@@ -345,7 +345,67 @@ class PipelinesSpec extends AnyFunSuite {
     assert(zs("a").getAs[Double]("zipf_slope") == 0.0,
       "a flat 4-token distribution has slope 0 exactly")
 
-    // the registry grew to 33 CALL-able checks
-    assert(graft.sql.GraftChecks.registry.size == 33)
+    // the registry grew to 37 CALL-able checks
+    assert(graft.sql.GraftChecks.registry.size == 37)
+  }
+
+  test("SQL-callable checks: the dedup/similarity family (near_dedup/ann_topk/split_leakage/source_overlap) from SQL") {
+    import graft.operators.{Dedup, Sampling}
+
+    // near_dedup: two byte-identical docs cluster; the score election
+    // keeps the HIGHER-scoring member, not the lower id
+    val longText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, longText, 0.2), (2L, longText, 0.9),
+        (3L, "completely different words entirely unrelated content here now truly", 0.5))
+      .toDF("doc_id", "text", "quality").createOrReplaceTempView("sqlc_nd")
+    val nd = spark.sql(
+      """CALL graft.near_dedup(`table` => 'sqlc_nd', id => 'doc_id',
+        |  text => 'text', score => 'quality')""".stripMargin)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(nd == Map(1L -> false, 2L -> true),
+      s"the exact-duplicate pair must cluster and elect the best-scoring member: $nd")
+
+    // ann_topk: a query equal to a corpus vector must rank it first
+    // (nlist/nprobe sized so every cell is probed -> exact)
+    def vec(x: Float, y: Float) = Array(x, y)
+    Seq((100L, vec(1f, 0f))).toDF("id", "emb").createOrReplaceTempView("sqlc_q")
+    Seq((1L, vec(1f, 0f)), (2L, vec(0f, 1f)), (3L, vec(0.9f, 0.1f)), (4L, vec(-1f, 0f)))
+      .toDF("id", "emb").createOrReplaceTempView("sqlc_c")
+    val ann = spark.sql(
+      """CALL graft.ann_topk(queries => 'sqlc_q', corpus => 'sqlc_c',
+        |  id => 'id', vec => 'emb', k => '2', nlist => '2', nprobe => '2')""".stripMargin)
+      .orderBy($"cosine".desc).collect()
+    assert(ann.length == 2)
+    assert(ann.head.getAs[Long]("neighbor_id") == 1L
+      && ann.head.getAs[Double]("cosine") > 0.999)
+
+    // split_leakage: CALL == the operator, and the offender list names
+    // the straddling group
+    Seq(("g1", "train"), ("g1", "test"), ("g2", "train"), ("g3", "test"))
+      .toDF("grp", "split").createOrReplaceTempView("sqlc_sl")
+    val sl = spark.sql(
+      "CALL graft.split_leakage(`table` => 'sqlc_sl', group => 'grp', split => 'split')").head()
+    val slDirect = Sampling.splitLeakage(
+      spark.table("sqlc_sl"), $"grp", $"split").head()
+    assert(sl.toSeq == slDirect.toSeq)
+    val off = spark.sql(
+      """CALL graft.split_leakage(`table` => 'sqlc_sl', group => 'grp',
+        |  split => 'split', offenders => 'true')""".stripMargin).collect()
+    assert(off.map(_.getAs[String]("group")).toSeq == Seq("g1"))
+
+    // source_overlap: CALL == the operator on a shared-text corpus
+    Seq(("s1", longText), ("s2", longText),
+        ("s3", "nothing shared with anyone else at all in this sentence"))
+      .toDF("src", "text").createOrReplaceTempView("sqlc_ov")
+    val ovCall = spark.sql(
+      "CALL graft.source_overlap(`table` => 'sqlc_ov', text => 'text', group => 'src')")
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    val ovDirect = Dedup.sourceOverlapMatrix(
+      spark.table("sqlc_ov"), "text", "src")
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    assert(ovCall == ovDirect)
+    assert(ovCall(("s1", "s2")) == 1.0, s"identical sources must overlap fully: $ovCall")
   }
 }
