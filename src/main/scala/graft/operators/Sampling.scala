@@ -559,6 +559,35 @@ object Sampling {
           sum(col("total_tokens")).as("total_tokens")),
       budgetTokens)
 
+  /** The NEAR-DUP-adjusted mixture plan (the q200 surface) rebuilt
+    * from MAINTAINED state: a per-doc token log (`idCol`, source,
+    * tokens — appended once per ingest batch, so each document is
+    * tokenized exactly once, at arrival) and the maintained cluster
+    * keep-list decision table ([[graft.operators.Dedup
+    * .foldIntoClusterKeepList]]'s output: any row with `keep = false`
+    * is discounted; docs absent from the list are unclustered and
+    * implicitly kept).
+    *
+    * The window/source granularity trick the token census uses does
+    * NOT work here: a near-dup arriving in batch k can demote a doc
+    * admitted in batch 1, so the discount must re-resolve per doc —
+    * which is exactly why the log is per-doc. Everything else is the
+    * one shared quantize → normalize → apportion core, so the
+    * maintained form equals the batch [[temperatureMixturePlan]]-
+    * over-kept-docs composition exactly (spec-pinned). Cost per plan:
+    * one anti-join of the token log against the config-×-corpus-dup-
+    * rate-sized drop list + the group-sized aggregate — no text
+    * rescan, no re-tokenization.
+    */
+  def mixturePlanFromKeepList(
+      tokenLog: DataFrame, keepList: DataFrame, idCol: String,
+      source: Column, tokens: Column, budgetTokens: Long): DataFrame = {
+    val dropped = keepList.filter(!col("keep")).select(col(idCol))
+    temperatureMixturePlan(
+      tokenLog.join(dropped, Seq(idCol), "left_anti"),
+      source, tokens, budgetTokens)
+  }
+
   /** Deterministic uniform negative sampling for contrastive training:
     * `k` pseudo-random non-self corpus rows per anchor, reproducible
     * on any engine at any parallelism (no `rand()`, no `TABLESAMPLE`).

@@ -1130,6 +1130,94 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       "maintained decision table must equal the from-scratch run")
   }
 
+  test("streamed near-dup-adjusted mixture plan: maintained keep-list + per-doc token log == batch q200 composition") {
+    // VERDICT r13 item 5: the dedup-adjusted provisioning plan as a
+    // MAINTAINED surface. foreachBatch folds each arriving batch into
+    // (a) the materialized keep-list decision table (the q129 fold)
+    // and (b) an append-only per-doc token log — each doc tokenized
+    // once, at arrival. The plan then resolves per doc (a near-dup in
+    // batch k can demote a batch-1 doc, so window-granularity census
+    // partials cannot carry the discount) and must equal the batch
+    // composition over everything seen.
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Dedup, Sampling}
+    implicit val sqlCtx = spark.sqlContext
+    val merges = graft.functions.BpeVocab.default
+    val budget = 50000L
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"source", $"text", $"n_chars").persist()
+    val scores = docs.select($"doc_id", $"n_chars".cast("double").as("score"))
+    val dir = java.nio.file.Files.createTempDirectory("stream_ndplan").toString
+    val w = Window.partitionBy($"cluster_id").orderBy($"score".desc, $"doc_id".asc)
+    def tokenRows(batch: org.apache.spark.sql.DataFrame) =
+      batch.select($"doc_id", $"source",
+        graft.functions.Bpe.bpeTokenCount($"text", merges)
+          .cast("long").as("bpe_tokens"))
+    // initial state from the first third, batch-style
+    val b0 = docs.filter($"doc_id" % 3 === 0)
+    val (p0, s0) = Dedup.lshNearDupPairsWithSignatures(
+      b0, "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    Dedup.duplicateClusters(p0, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"cluster_id", $"cluster_size")
+      .join(scores, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "cluster_size", "score", "keep")
+      .write.parquet(s"$dir/state_v0")
+    s0.write.parquet(s"$dir/sigs_v0"); s0.unpersist()
+    tokenRows(b0).write.parquet(s"$dir/tokens")
+    var version = 0
+    val stream = MemoryStream[(Long, String, String)]
+    val sq = stream.toDF().toDF("doc_id", "source", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val state = spark.read.parquet(s"$dir/state_v$version")
+        val sigs = spark.read.parquet(s"$dir/sigs_v$version")
+        val (updated, newSigs) = Dedup.foldIntoClusterKeepList(
+          state, sigs, scores, batch, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        version += 1
+        updated.write.parquet(s"$dir/state_v$version")
+        sigs.unionByName(newSigs).write.parquet(s"$dir/sigs_v$version")
+        newSigs.unpersist()
+        tokenRows(batch).write.mode("append").parquet(s"$dir/tokens")
+        ()
+      }
+      .start()
+    def third(k: Int) = docs.filter($"doc_id" % 3 === k)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    stream.addData(third(1)); sq.processAllAvailable()
+    stream.addData(third(2)); sq.processAllAvailable()
+    sq.stop()
+    assert(version == 2, s"two folds expected, got $version")
+    val maintained = Sampling.mixturePlanFromKeepList(
+        spark.read.parquet(s"$dir/tokens"),
+        spark.read.parquet(s"$dir/state_v$version"), "doc_id",
+        $"source", $"bpe_tokens", budget)
+      .collect().map(r => r.getAs[String]("group_key") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Double]("target_tokens"), r.getAs[Double]("epochs"))).toMap
+    // batch composition over everything seen: from-scratch clustering
+    // + election, then the same plan over kept docs
+    val (pAll, sAll) = Dedup.lshNearDupPairsWithSignatures(
+      docs, "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    val dropped = Dedup.duplicateClusters(pAll, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"cluster_id")
+      .join(scores, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .filter(!$"keep").select("doc_id")
+    val batchPlan = Sampling.temperatureMixturePlan(
+        tokenRows(docs).join(dropped, Seq("doc_id"), "left_anti"),
+        $"source", $"bpe_tokens", budget)
+      .collect().map(r => r.getAs[String]("group_key") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Double]("target_tokens"), r.getAs[Double]("epochs"))).toMap
+    sAll.unpersist(); docs.unpersist()
+    assert(maintained == batchPlan,
+      "the maintained near-dup-adjusted plan must equal the batch composition")
+    assert(maintained.nonEmpty)
+  }
+
   test("streaming semantic screen admits exactly what the batch anti-join admits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
