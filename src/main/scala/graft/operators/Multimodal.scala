@@ -143,6 +143,29 @@ object Multimodal {
       .mapPartitions(_.grouped(batchSize).flatMap(g => codec(g.toSeq)))
   }
 
+  /** ViT-style patch-token count from image dimensions: an image of
+    * (width × height) pixels costs `ceil(w/P)·ceil(h/P) + 1` tokens
+    * in a P-pixel-patch vision encoder (the +1 is the class token) —
+    * the unit a multimodal training budget charges images in, the
+    * way BPE tokens charge text. Pure codegen column arithmetic over
+    * dimension columns, so it composes with EITHER dimension source:
+    * the real `decodeFeatures` width/height (header-probed) or any
+    * synthetic stand-in. The ceil is exact: (d + P−1)/P on
+    * non-negative ints is correctly rounded in double and floor'd,
+    * identical to integer `//` in any engine.
+    */
+  def patchTokens(width: org.apache.spark.sql.Column,
+      height: org.apache.spark.sql.Column, patchSize: Int = 16):
+      org.apache.spark.sql.Column = {
+    require(patchSize >= 1, s"patchSize must be positive, got $patchSize")
+    val p = lit(patchSize.toDouble)
+    val wp = floor((width.cast("long") + lit(patchSize - 1).cast("long"))
+      .cast("double") / p).cast("long")
+    val hp = floor((height.cast("long") + lit(patchSize - 1).cast("long"))
+      .cast("double") / p).cast("long")
+    wp * hp + lit(1L)
+  }
+
   /** Frame sampling for video rows: explode n evenly-spaced fake
     * frame indices per video (the Spark-side shape of ffmpeg frame
     * extraction — one row out per sampled frame).

@@ -869,6 +869,78 @@ object TokenQueries {
        |FROM q CROSS JOIN tot""".stripMargin
 
   // ---------------------------------------------------------------
+  // q201 — the MULTIMODAL mixture plan: the token economy spanning
+  // text AND image sources in one provisioning table. Text rows cost
+  // production-vocab BPE tokens; image rows (the q21 media rotation,
+  // doc_id % 3 == 0) cost ViT patch tokens — ceil(w/16)·ceil(h/16)+1
+  // (Multimodal.patchTokens) over the corpus's synthetic stand-in
+  // dimensions, derived from the SAME portable md5-prefix integer
+  // both engines share (the decode path's hash-derived stub dims,
+  // restated portably; a real deployment feeds decodeFeatures'
+  // header-probed width/height through the identical expression).
+  // Image sources enter the plan as 'img:<source>' group keys, so
+  // temperature apportionment trades text against image mass in one
+  // budget — the table a multimodal training run is provisioned from.
+  // ---------------------------------------------------------------
+  private val PatchSize = 16
+
+  def q201MultimodalMixturePlan(spark: SparkSession, d: String): DataFrame = {
+    val text = withBpeTokens(spark, d)
+      .select(col("source"), col("bpe_tokens").cast("long").as("tokens"))
+    val p = graft.functions.Md5Expressions.md5PrefixLong(col("text"), 8)
+    val w = lit(64L) + pmod(p, lit(1024L))
+    val h = lit(64L) + pmod(shiftright(p, 10), lit(1024L))
+    val img = Tables.documents(spark, d)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(concat(lit("img:"), col("source")).as("source"),
+        graft.operators.Multimodal.patchTokens(w, h, PatchSize).as("tokens"))
+    Sampling.temperatureMixturePlan(
+      text.unionByName(img), col("source"), col("tokens"),
+      MixtureBudgetTokens)
+      .withColumnRenamed("group_key", "source")
+  }
+
+  val q201Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes(BpeVocab.production)},
+       |tx AS (
+       |  SELECT d.source AS source, CAST(t.bpe_tokens AS BIGINT) AS tokens
+       |  FROM documents d JOIN dtok t USING (doc_id)
+       |  WHERE d.source IS NOT NULL),
+       |imp AS (
+       |  SELECT 'img:' || d.source AS source,
+       |    CAST(('0x' || substr(md5(d.text), 1, 8)) AS UBIGINT) AS p
+       |  FROM documents d
+       |  WHERE d.doc_id % 3 = 0 AND d.source IS NOT NULL
+       |    AND d.text IS NOT NULL),
+       |im AS (
+       |  SELECT source,
+       |    CAST((((64 + p % 1024) + ${PatchSize - 1}) // $PatchSize)
+       |       * (((64 + (p // 1024) % 1024) + ${PatchSize - 1}) // $PatchSize)
+       |       + 1 AS BIGINT) AS tokens
+       |  FROM imp),
+       |u AS (SELECT * FROM tx UNION ALL SELECT * FROM im),
+       |st AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(tokens) AS BIGINT) AS tk
+       |  FROM u GROUP BY source),
+       |q AS (
+       |  SELECT *, CAST(FLOOR(SQRT(CAST(tk AS DOUBLE)) * 1000000000.0)
+       |    AS BIGINT) AS qi
+       |  FROM st),
+       |tot AS (
+       |  SELECT CAST(SUM(tk) AS HUGEINT) AS ttk, CAST(SUM(qi) AS HUGEINT) AS sq
+       |  FROM q)
+       |SELECT q.source, q.n_docs, q.tk AS total_tokens,
+       |  CAST(q.tk AS DOUBLE) / CAST(tot.ttk AS DOUBLE) AS token_share,
+       |  CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE) AS temp_weight,
+       |  ${MixtureBudgetTokens}.0
+       |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)) AS target_tokens,
+       |  (${MixtureBudgetTokens}.0
+       |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)))
+       |    / CAST(q.tk AS DOUBLE) AS epochs
+       |FROM q CROSS JOIN tot""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -888,7 +960,8 @@ object TokenQueries {
     "q197_dedup_mixture_plan" -> (q197DedupMixturePlan _),
     "q198_prod_name_fertility" -> (q198ProdNameFertility _),
     "q199_neardup_token_accounting" -> (q199NearDupTokenAccounting _),
-    "q200_neardup_mixture_plan" -> (q200NearDupMixturePlan _))
+    "q200_neardup_mixture_plan" -> (q200NearDupMixturePlan _),
+    "q201_multimodal_mixture_plan" -> (q201MultimodalMixturePlan _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -908,5 +981,6 @@ object TokenQueries {
     "q197_dedup_mixture_plan" -> q197Sql,
     "q198_prod_name_fertility" -> q198Sql,
     "q199_neardup_token_accounting" -> q199Sql,
-    "q200_neardup_mixture_plan" -> q200Sql)
+    "q200_neardup_mixture_plan" -> q200Sql,
+    "q201_multimodal_mixture_plan" -> q201Sql)
 }

@@ -73,6 +73,33 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(dist(2L).width == 5 && dist(2L).height == 3 && dist(2L).format == "jpeg")
   }
 
+  test("patchTokens: ceil(w/P)*ceil(h/P)+1, exact at boundaries and odd patch sizes") {
+    val rows = Seq(
+      (224, 224), // canonical ViT-B input: 14*14+1 = 197
+      (225, 224), // one pixel over -> 15*14+1
+      (16, 16),   // exactly one patch
+      (1, 1),     // sub-patch image still costs one patch
+      (1023, 65)) // larger dims
+      .toDF("w", "h")
+    val got = rows.select(
+      Multimodal.patchTokens($"w", $"h").as("t16"),
+      Multimodal.patchTokens($"w", $"h", 14).as("t14"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def expect(w: Int, h: Int, p: Int) =
+      ((w + p - 1) / p).toLong * ((h + p - 1) / p) + 1
+    val want = Seq((224, 224), (225, 224), (16, 16), (1, 1), (1023, 65))
+      .map { case (w, h) => (expect(w, h, 16), expect(w, h, 14)) }
+    assert(got.toSeq == want)
+    assert(got.head._1 == 197L, "224x224 at P=16 is the canonical 197 tokens")
+    // composes with the real decode path's dimension columns
+    val media = Multimodal.mediaTable(
+      Seq((0L, "payload bytes", "s")).toDF("id", "text", "src"),
+      "id", "text", "src")
+    val feat = Multimodal.decodeFeatures(spark, media, partitions = 1)
+      .select(Multimodal.patchTokens($"width", $"height").as("t")).head()
+    assert(feat.getLong(0) >= 2L)
+  }
+
   test("frame sampling: n rows per video") {
     val media = Multimodal.mediaTable(
       Tables.documents(spark, TestSpark.sf), "doc_id", "text", "source")
