@@ -166,6 +166,33 @@ object Multimodal {
     wp * hp + lit(1L)
   }
 
+  /** Speech-encoder token count from audio duration: `ceil(ms·R/1000)`
+    * tokens at `tokensPerSecond = R` (e.g. 50 for a 20 ms-frame
+    * acoustic encoder, 25 for a downsampled one). Exact integer
+    * arithmetic stated as a floor'd double division — correctly
+    * rounded and exact whenever 1000 divides the product, the same
+    * argument as [[patchTokens]]'s ceil.
+    */
+  def audioTokens(durationMs: org.apache.spark.sql.Column,
+      tokensPerSecond: Int = 50): org.apache.spark.sql.Column = {
+    require(tokensPerSecond >= 1,
+      s"tokensPerSecond must be positive, got $tokensPerSecond")
+    floor((durationMs.cast("long") * lit(tokensPerSecond.toLong) + lit(999L))
+      .cast("double") / lit(1000.0)).cast("long")
+  }
+
+  /** Video token count: `nFrames` sampled frames, each costing the
+    * image [[patchTokens]] of the frame dimensions — the uniform-
+    * frame-sampling cost model ([[sampleFrames]] is the row-level
+    * form; this is the budget arithmetic).
+    */
+  def videoTokens(width: org.apache.spark.sql.Column,
+      height: org.apache.spark.sql.Column, nFrames: Int = 8,
+      patchSize: Int = 16): org.apache.spark.sql.Column = {
+    require(nFrames >= 1, s"nFrames must be positive, got $nFrames")
+    lit(nFrames.toLong) * patchTokens(width, height, patchSize)
+  }
+
   /** Frame sampling for video rows: explode n evenly-spaced fake
     * frame indices per video (the Spark-side shape of ffmpeg frame
     * extraction — one row out per sampled frame).

@@ -941,6 +941,107 @@ object TokenQueries {
        |FROM q CROSS JOIN tot""".stripMargin
 
   // ---------------------------------------------------------------
+  // q202 — tokenizer compression ratio: UTF-8 bytes per BPE token,
+  // per source, at the production vocabulary — THE standard metric a
+  // tokenizer swap is judged on (a better-fit vocabulary compresses
+  // more bytes into each token; a mismatched one fragments). Pure
+  // map-side arithmetic over two sums; sources whose byte total is 0
+  // report a NULL ratio.
+  // ---------------------------------------------------------------
+  def q202TokenizerCompression(spark: SparkSession, d: String): DataFrame = {
+    val toks = sum(when(col("_bt").isNotNull, col("_bt")).otherwise(0L))
+    val bytes = sum(when(col("_nb").isNotNull, col("_nb")).otherwise(0L))
+    Tables.documents(spark, d)
+      .filter(col("source").isNotNull)
+      .select(col("source"),
+        Bpe.bpeTokenCount(col("text"), BpeVocab.production)
+          .cast("long").as("_bt"),
+        octet_length(col("text")).cast("long").as("_nb"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        bytes.as("total_bytes"),
+        toks.as("total_bpe_tokens"),
+        when(toks > 0L, bytes.cast("double") / toks.cast("double"))
+          .as("bytes_per_token"))
+  }
+
+  val q202Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes(BpeVocab.production)}
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(COALESCE(octet_length(encode(d.text)), 0)) AS BIGINT)
+       |    AS total_bytes,
+       |  CAST(SUM(t.bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       |  CASE WHEN SUM(t.bpe_tokens) > 0 THEN
+       |    CAST(SUM(COALESCE(octet_length(encode(d.text)), 0)) AS DOUBLE)
+       |      / CAST(SUM(t.bpe_tokens) AS DOUBLE)
+       |  END AS bytes_per_token
+       |FROM documents d JOIN dtok t USING (doc_id)
+       |WHERE d.source IS NOT NULL
+       |GROUP BY d.source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q203 — the FULL media token census: per (kind, source), item and
+  // token totals under each modality's costing rule — image rows cost
+  // ViT patches, audio rows cost duration×rate speech-encoder tokens,
+  // video rows cost sampled-frames×patches (Multimodal.audioTokens /
+  // videoTokens / patchTokens). Dimensions and duration are the
+  // decode stub's hash-derived stand-ins restated on the portable
+  // md5-prefix integer (q201's convention); a real deployment feeds
+  // decodeFeatures' probed values through the identical expressions.
+  // The per-modality provisioning table q201's cross-modal plan reads
+  // its image row from, completed for audio/video.
+  // ---------------------------------------------------------------
+  private val AudioTokensPerSecond = 50
+  private val VideoFrames = 8
+
+  def q203MediaTokenCensus(spark: SparkSession, d: String): DataFrame = {
+    val M = graft.operators.Multimodal
+    val p = graft.functions.Md5Expressions.md5PrefixLong(col("text"), 8)
+    val w = lit(64L) + pmod(p, lit(1024L))
+    val h = lit(64L) + pmod(shiftright(p, 10), lit(1024L))
+    val dur = lit(1000L) + pmod(p, lit(60000L))
+    val kind = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val tokens = when(kind === "image", M.patchTokens(w, h, PatchSize))
+      .when(kind === "audio", M.audioTokens(dur, AudioTokensPerSecond))
+      .otherwise(M.videoTokens(w, h, VideoFrames, PatchSize))
+    Tables.documents(spark, d)
+      .filter(col("source").isNotNull && col("text").isNotNull)
+      .select(kind.as("kind"), col("source"), tokens.as("_tk"))
+      .groupBy(col("kind"), col("source"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("_tk")).as("total_tokens"))
+  }
+
+  val q203Sql: String =
+    s"""WITH b AS (
+       |  SELECT CASE CAST(doc_id % 3 AS INT)
+       |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    source,
+       |    CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) AS p
+       |  FROM documents
+       |  WHERE source IS NOT NULL AND text IS NOT NULL),
+       |t AS (
+       |  SELECT kind, source,
+       |    CASE kind
+       |      WHEN 'image' THEN
+       |        (((64 + p % 1024) + ${PatchSize - 1}) // $PatchSize)
+       |          * (((64 + (p // 1024) % 1024) + ${PatchSize - 1}) // $PatchSize) + 1
+       |      WHEN 'audio' THEN
+       |        ((1000 + p % 60000) * $AudioTokensPerSecond + 999) // 1000
+       |      ELSE
+       |        $VideoFrames * ((((64 + p % 1024) + ${PatchSize - 1}) // $PatchSize)
+       |          * (((64 + (p // 1024) % 1024) + ${PatchSize - 1}) // $PatchSize) + 1)
+       |    END AS tk
+       |  FROM b)
+       |SELECT kind, source, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  CAST(SUM(tk) AS BIGINT) AS total_tokens
+       |FROM t GROUP BY kind, source""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -961,7 +1062,9 @@ object TokenQueries {
     "q198_prod_name_fertility" -> (q198ProdNameFertility _),
     "q199_neardup_token_accounting" -> (q199NearDupTokenAccounting _),
     "q200_neardup_mixture_plan" -> (q200NearDupMixturePlan _),
-    "q201_multimodal_mixture_plan" -> (q201MultimodalMixturePlan _))
+    "q201_multimodal_mixture_plan" -> (q201MultimodalMixturePlan _),
+    "q202_tokenizer_compression" -> (q202TokenizerCompression _),
+    "q203_media_token_census" -> (q203MediaTokenCensus _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -982,5 +1085,7 @@ object TokenQueries {
     "q198_prod_name_fertility" -> q198Sql,
     "q199_neardup_token_accounting" -> q199Sql,
     "q200_neardup_mixture_plan" -> q200Sql,
-    "q201_multimodal_mixture_plan" -> q201Sql)
+    "q201_multimodal_mixture_plan" -> q201Sql,
+    "q202_tokenizer_compression" -> q202Sql,
+    "q203_media_token_census" -> q203Sql)
 }

@@ -100,6 +100,28 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(feat.getLong(0) >= 2L)
   }
 
+  test("audioTokens/videoTokens: ceil(ms*R/1000) and frames*patches, exact at boundaries") {
+    val rows = Seq(
+      (1000L, 224, 224),  // exactly 1 s -> 50 tokens at R=50
+      (1001L, 224, 224),  // one ms over -> 51
+      (20L, 16, 16),      // one acoustic frame
+      (0L, 1, 1))         // zero duration -> zero tokens
+      .toDF("ms", "w", "h")
+    val got = rows.select(
+      Multimodal.audioTokens($"ms").as("a50"),
+      Multimodal.audioTokens($"ms", 25).as("a25"),
+      Multimodal.videoTokens($"w", $"h").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def ceilDiv(x: Long, d: Long) = (x + d - 1) / d
+    val want = Seq((1000L, 224, 224), (1001L, 224, 224), (20L, 16, 16), (0L, 1, 1))
+      .map { case (ms, w, h) =>
+        (ceilDiv(ms * 50, 1000), ceilDiv(ms * 25, 1000),
+          8L * (ceilDiv(w, 16) * ceilDiv(h, 16) + 1)) }
+    assert(got.toSeq == want)
+    assert(got.head._1 == 50L && got(1)._1 == 51L)
+    assert(got.head._3 == 8L * 197L, "8 frames of the canonical 197-token image")
+  }
+
   test("frame sampling: n rows per video") {
     val media = Multimodal.mediaTable(
       Tables.documents(spark, TestSpark.sf), "doc_id", "text", "source")
