@@ -163,7 +163,12 @@ object Multimodal {
       .cast("double") / p).cast("long")
     val hp = floor((height.cast("long") + lit(patchSize - 1).cast("long"))
       .cast("double") / p).cast("long")
-    wp * hp + lit(1L)
+    // negative dimensions (a corrupt header probe) NULL out instead of
+    // producing positive-looking nonsense ((-12)·(-12)+1) that would
+    // silently skew a mixture budget — the budget aggregates exclude
+    // NULL token rows, so the bad row surfaces as a dropped count
+    when(width.cast("long") >= 0L && height.cast("long") >= 0L,
+      wp * hp + lit(1L))
   }
 
   /** Speech-encoder token count from audio duration: `ceil(ms·R/1000)`
@@ -177,8 +182,10 @@ object Multimodal {
       tokensPerSecond: Int = 50): org.apache.spark.sql.Column = {
     require(tokensPerSecond >= 1,
       s"tokensPerSecond must be positive, got $tokensPerSecond")
-    floor((durationMs.cast("long") * lit(tokensPerSecond.toLong) + lit(999L))
-      .cast("double") / lit(1000.0)).cast("long")
+    // negative duration NULLs out (see patchTokens' guard note)
+    when(durationMs.cast("long") >= 0L,
+      floor((durationMs.cast("long") * lit(tokensPerSecond.toLong) + lit(999L))
+        .cast("double") / lit(1000.0)).cast("long"))
   }
 
   /** Video token count: `nFrames` sampled frames, each costing the

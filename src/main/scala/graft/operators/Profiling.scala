@@ -674,24 +674,14 @@ object Profiling {
 
   def topValues(df: DataFrame, cols: Seq[String], k: Int, salts: Int = 32): DataFrame = {
     require(cols.nonEmpty && k >= 1, "need columns and k >= 1")
-    val W = org.apache.spark.sql.expressions.Window
     val pairs = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*)).as("p"))
       .select(col("p.*"))
       .filter(col("value").isNotNull)
     val counts = pairs.groupBy(col("column"), col("value"))
       .agg(count(lit(1)).as("n_rows"))
-    val order = Seq(col("n_rows").desc, col("value").asc)
-    val perSalt = W
-      .partitionBy(col("column"), pmod(xxhash64(col("value")), lit(salts.toLong)))
-      .orderBy(order: _*)
-    val perColumn = W.partitionBy(col("column")).orderBy(order: _*)
-    counts
-      .withColumn("__salt_rank", row_number().over(perSalt))
-      .filter(col("__salt_rank") <= k)
-      .withColumn("rank", row_number().over(perColumn).cast("bigint"))
-      .filter(col("rank") <= k)
-      .drop("__salt_rank")
+    Sampling.saltedTopK(counts, Seq(col("column")), col("value"),
+      Seq(col("n_rows").desc, col("value").asc), k, salts, "rank")
   }
 
   /** Class-balance profile of a label column — the one-look check

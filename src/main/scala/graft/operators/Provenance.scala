@@ -141,20 +141,16 @@ object Provenance {
     * execution (`outDir == dir`, however aliased) is refused loudly,
     * the [[compact]] guard.
     *
-    * Partitioned layouts are preserved: every file — carried or
-    * rewritten — lands under its INPUT-RELATIVE path in `outDir`, so
-    * a Hive-partitioned input (identically-named part files in many
-    * partition directories, partition-column values encoded in the
-    * directory names) round-trips with its directory structure — and
-    * therefore its partition columns — intact. A flat carry keyed on
-    * bare file name would silently overwrite colliding part files and
-    * drop the partition columns from the output. Rewrites of hit
-    * files run per partition directory (explicit leaf-file reads do
-    * not reconstruct partition-column values, and concurrent appends
-    * into one directory race on the committer's `_temporary` staging
-    * area — see [[compact]]); if `idCol` is itself a partition
-    * column the leaf read fails loudly on the missing column rather
-    * than mis-deleting.
+    * Partitioned layouts are preserved: carried files land under
+    * their INPUT-RELATIVE paths in `outDir` (a flat carry keyed on
+    * bare file name would silently overwrite colliding part files
+    * and drop the partition columns from the output), and hit files
+    * rewrite as ONE Spark job — a `basePath` read reconstructs the
+    * partition-column values from the directory names (so `idCol`
+    * may itself be a partition column) and a single `partitionBy`
+    * append recreates the layout. Rewrite cost therefore scales with
+    * hit bytes, never with the number of impacted partition
+    * directories.
     */
   def takedownExecute(
       spark: org.apache.spark.sql.SparkSession, dir: String, outDir: String,
@@ -205,24 +201,25 @@ object Provenance {
         outFs.mkdirs(dest.getParent)
         org.apache.hadoop.fs.FileUtil.copy(fs, p, outFs, dest, false, conf)
       }
-      // rewrite hit files grouped by their partition directory, each
-      // group appended under the SAME relative directory of outDir —
-      // sequential over config-sized group count (see compact's
-      // committer-staging note), cluster-parallel within each read
-      hit.groupBy { p =>
-          val rel = relKey(p.toString)
-          val cut = rel.lastIndexOf('/')
-          if (cut < 0) "" else rel.substring(0, cut)
-        }
-        .toSeq.sortBy(_._1)
-        .foreach { case (relDir, paths) =>
-          val destDir =
-            if (relDir.isEmpty) outPath
-            else new org.apache.hadoop.fs.Path(outPath, relDir)
-          spark.read.parquet(paths.map(_.toString): _*)
-            .join(broadcast(ids), Seq(idCol), "left_anti")
-            .write.mode("append").parquet(destDir.toString)
-        }
+      // rewrite hit files as ONE job: the basePath read reconstructs
+      // partition-column values from the directory names (so a
+      // takedown keyed on a partition column works too), and a single
+      // partitionBy append recreates the layout under outDir — cost
+      // scales with hit BYTES, not hit-directory count (a takedown
+      // touching one row in each of 5000 partition dirs must not pay
+      // 5000 job submissions)
+      if (hit.nonEmpty) {
+        val hitDf = spark.read.option("basePath", dir)
+          .parquet(hit.map(_.toString): _*)
+        // partition columns = basePath schema minus one leaf's file
+        // schema (one footer read — cheap); empty for a flat layout
+        val partCols = hitDf.columns.toSeq
+          .diff(spark.read.parquet(hit.head.toString).columns.toSeq)
+        val cleaned = hitDf.join(broadcast(ids), Seq(idCol), "left_anti")
+        if (partCols.isEmpty) cleaned.write.mode("append").parquet(outDir)
+        else cleaned.write.partitionBy(partCols: _*)
+          .mode("append").parquet(outDir)
+      }
       // verification before anyone swaps: exact row accounting and a
       // zero-survivors probe of the taken-down ids
       val rowsBefore = df.count()

@@ -27,44 +27,59 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(hashScore(col(idCol)) < fraction)
 
+  /** The salted two-phase exact top-k CORE — one implementation of
+    * the exactness-critical idiom shared by [[capPerGroup]],
+    * [[capPerGroupBy]], [[prioritySample]],
+    * [[graft.operators.Profiling.topValues]] and
+    * [[graft.operators.TextAnalysis.zipfSlopeBy]] (five
+    * hand-maintained copies before r14). Phase 1 ranks within
+    * (`partitionCols`, `pmod(xxhash64(saltKey), salts)`) —
+    * `salts`-way parallel even for one giant partition — and keeps
+    * each salt's top-k; phase 2 ranks only the ≤ salts·k survivors
+    * per partition, emitting `rankName` (bigint, 1-based, ≤ k).
+    * EXACT, not approximate, whenever `order` is a TOTAL order of the
+    * rows: every row of the true top-k has within-salt rank ≤ its
+    * global rank ≤ k, so the survivors contain the answer. Callers
+    * must pass a tie-broken order (the usual pattern ends with a
+    * unique id/value ascending).
+    */
+  private[graft] def saltedTopK(
+      df: DataFrame, partitionCols: Seq[Column], saltKey: Column,
+      order: Seq[Column], k: Int, salts: Int, rankName: String): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(salts >= 1, "salts must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val perSalt = W
+      .partitionBy(partitionCols :+ pmod(xxhash64(saltKey), lit(salts.toLong)): _*)
+      .orderBy(order: _*)
+    val whole = W.partitionBy(partitionCols: _*).orderBy(order: _*)
+    df.withColumn("__salt_rank", row_number().over(perSalt))
+      .filter(col("__salt_rank") <= k)
+      .withColumn(rankName, row_number().over(whole).cast("bigint"))
+      .filter(col(rankName) <= k)
+      .drop("__salt_rank")
+  }
+
   /** Domain balancing: keep at most `k` rows per group, chosen
     * deterministically by hash score with an id tiebreak — the
     * "cap every source/domain at N documents" mixing primitive, with
     * the same any-run/any-engine reproducibility as the splits.
+    * Group keys here are Zipfian in practice (web domains), so the
+    * ranking is [[saltedTopK]] — a single per-group window would
+    * sort the hottest domain's 10⁸⁺ rows in one task.
     *
     * Returns the input columns plus `sample_rank` (1-based within
     * the group). Only (id, group, score) triples ride the window
     * shuffle; payload columns join back by id afterwards, so wide
     * documents never shuffle. Uniform scores mean the kept set is a
     * uniform k-subset of each group.
-    *
-    * Two-phase salted top-k, because group keys here are Zipfian in
-    * practice (web domains): a single `row_number` window over the
-    * group would sort the hottest domain's 10⁸⁺ rows in ONE task at
-    * corpus scale. Phase 1 ranks within (group, salt) — `salts`-way
-    * parallel even for one giant group — and keeps each salt's
-    * top-k; phase 2 ranks the ≤ salts·k survivors per group. Exact,
-    * not approximate: (score, id) is a total order, and every row in
-    * the global per-group top-k has within-salt rank ≤ its global
-    * rank ≤ k, so the global top-k is contained in the union of
-    * per-salt top-k sets.
     */
   def capPerGroup(
       df: DataFrame, idCol: String, groupCol: String, k: Int,
       salts: Int = 32): DataFrame = {
-    require(k >= 1, "k must be positive")
-    require(salts >= 1, "salts must be positive")
-    val W = org.apache.spark.sql.expressions.Window
-    val order = Seq(hashScore(col(idCol)).asc, col(idCol).asc)
-    val perSalt = W
-      .partitionBy(col(groupCol), pmod(xxhash64(col(idCol)), lit(salts.toLong)))
-      .orderBy(order: _*)
-    val perGroup = W.partitionBy(col(groupCol)).orderBy(order: _*)
-    val winners = df.select(col(idCol), col(groupCol))
-      .withColumn("__salt_rank", row_number().over(perSalt))
-      .filter(col("__salt_rank") <= k)
-      .withColumn("sample_rank", row_number().over(perGroup).cast("bigint"))
-      .filter(col("sample_rank") <= k)
+    val winners = saltedTopK(
+      df.select(col(idCol), col(groupCol)), Seq(col(groupCol)), col(idCol),
+      Seq(hashScore(col(idCol)).asc, col(idCol).asc), k, salts, "sample_rank")
       .select(col(idCol), col("sample_rank"))
     df.join(winners, Seq(idCol))
   }
@@ -81,19 +96,10 @@ object Sampling {
   def capPerGroupBy(
       df: DataFrame, idCol: String, groupCol: String, k: Int,
       scoreCol: Column, salts: Int = 32): DataFrame = {
-    require(k >= 1, "k must be positive")
-    require(salts >= 1, "salts must be positive")
-    val W = org.apache.spark.sql.expressions.Window
-    val order = Seq(col("_score").desc, col(idCol).asc)
-    val perSalt = W
-      .partitionBy(col(groupCol), pmod(xxhash64(col(idCol)), lit(salts.toLong)))
-      .orderBy(order: _*)
-    val perGroup = W.partitionBy(col(groupCol)).orderBy(order: _*)
-    val winners = df.select(col(idCol), col(groupCol), scoreCol.as("_score"))
-      .withColumn("__salt_rank", row_number().over(perSalt))
-      .filter(col("__salt_rank") <= k)
-      .withColumn("sample_rank", row_number().over(perGroup).cast("bigint"))
-      .filter(col("sample_rank") <= k)
+    val winners = saltedTopK(
+      df.select(col(idCol), col(groupCol), scoreCol.as("_score")),
+      Seq(col(groupCol)), col(idCol),
+      Seq(col("_score").desc, col(idCol).asc), k, salts, "sample_rank")
       .select(col(idCol), col("sample_rank"))
     df.join(winners, Seq(idCol))
   }
@@ -310,21 +316,14 @@ object Sampling {
       salts: Int = 32): DataFrame = {
     require(k >= 1, "k must be positive")
     require(salts >= 1, "salts must be positive")
-    val W = org.apache.spark.sql.expressions.Window
     val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("double") + lit(1.0)) / lit(4294967296.0)
     val priority = col("_w").cast("double") / u
-    val order = Seq(priority.desc, col(idCol).asc)
-    val perSalt = W
-      .partitionBy(pmod(xxhash64(col(idCol)), lit(salts.toLong)))
-      .orderBy(order: _*)
-    val global = W.partitionBy().orderBy(order: _*)
-    val winners = df.select(col(idCol), weightCol.as("_w"))
-      .filter(col("_w").isNotNull && col("_w") > lit(0))
-      .withColumn("__salt_rank", row_number().over(perSalt))
-      .filter(col("__salt_rank") <= k)
-      .withColumn("priority_rank", row_number().over(global).cast("bigint"))
-      .filter(col("priority_rank") <= k)
+    val winners = saltedTopK(
+      df.select(col(idCol), weightCol.as("_w"))
+        .filter(col("_w").isNotNull && col("_w") > lit(0)),
+      Seq.empty, col(idCol),
+      Seq(priority.desc, col(idCol).asc), k, salts, "priority_rank")
       .select(col(idCol), col("priority_rank"))
     df.join(winners, Seq(idCol))
   }

@@ -486,24 +486,12 @@ object TextAnalysis {
     val counts = tokenCountCensus(df, group, text, merges).persist()
     val v = counts.groupBy(col("group_key"))
       .agg(count(lit(1)).as("n_distinct_tokens"))
-    // head extraction is the SALTED TWO-PHASE top-k (the capPerGroup
-    // argument): a single per-group window would sort a web-scale
-    // source's full distinct-token census (10⁸ rows) in one task.
-    // Phase 1 ranks within (group, salt) — salts-way parallel — and
-    // keeps each salt's top-k; phase 2 ranks the ≤ salts·k survivors.
-    // Exact, not approximate: (_c desc, _t asc) is a total order, so
-    // every global-top-k row has within-salt rank ≤ k.
-    val salts = 32
-    val order = Seq(col("_c").desc, col("_t").asc)
-    val perSalt = Window
-      .partitionBy(col("group_key"), pmod(xxhash64(col("_t")), lit(salts.toLong)))
-      .orderBy(order: _*)
-    val perGroup = Window.partitionBy(col("group_key")).orderBy(order: _*)
-    val head = counts
-      .withColumn("__salt_rank", row_number().over(perSalt))
-      .filter(col("__salt_rank") <= k)
-      .withColumn("_r", row_number().over(perGroup).cast("long"))
-      .filter(col("_r") <= k)
+    // head extraction is the salted two-phase top-k (the shared
+    // Sampling.saltedTopK core): a single per-group window would sort
+    // a web-scale source's full distinct-token census (10⁸ rows) in
+    // one task. Exact under the (_c desc, _t asc) total order.
+    val head = Sampling.saltedTopK(counts, Seq(col("group_key")), col("_t"),
+        Seq(col("_c").desc, col("_t").asc), k, salts = 32, rankName = "_r")
       .select(col("group_key"), col("_r"),
         graft.functions.Log2FpQ16(col("_r")).as("_lgr"),
         graft.functions.Log2FpQ16(col("_c")).as("_lgc"))

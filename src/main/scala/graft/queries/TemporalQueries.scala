@@ -84,7 +84,7 @@ object TemporalQueries {
   val q78Sql: String = {
     val w = GapBucketSeconds * 1000000L
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) - epoch_us(ts) % $w AS b
+       |  SELECT epoch_us(ts) - ((epoch_us(ts) % $w + $w) % $w) AS b
        |  FROM events WHERE event_type = 'error'),
        |p AS (SELECT DISTINCT b FROM e),
        |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM p),
@@ -183,7 +183,7 @@ object TemporalQueries {
   val q87Sql: String = {
     val w = CohortWeekSeconds * 1000000L
     s"""WITH act AS (
-       |  SELECT DISTINCT user_id AS k, epoch_us(ts) - epoch_us(ts) % $w AS b
+       |  SELECT DISTINCT user_id AS k, epoch_us(ts) - ((epoch_us(ts) % $w + $w) % $w) AS b
        |  FROM events WHERE value > $CohortValueMin),
        |coh AS (SELECT k, min(b) AS c FROM act GROUP BY 1)
        |SELECT c AS cohort_start_us, CAST((b - c) / $w AS BIGINT) AS offset,
@@ -228,7 +228,7 @@ object TemporalQueries {
   val q100Sql: String =
     s"""WITH dly AS (
        |  SELECT event_type AS key,
-       |    epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_start_us,
+       |    epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs) AS bucket_start_us,
        |    CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT) AS w_sum
        |  FROM events GROUP BY 1, 2)
@@ -289,7 +289,7 @@ object TemporalQueries {
   val q104Sql: String =
     s"""WITH gi AS (
        |  SELECT DISTINCT user_id,
-       |    epoch_us(ts) - epoch_us(ts) % $DayUs AS d, event_type AS i
+       |    epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs) AS d, event_type AS i
        |  FROM events WHERE user_id IS NOT NULL),
        |p AS (
        |  SELECT a.i AS item_a, b.i AS item_b
@@ -315,7 +315,7 @@ object TemporalQueries {
   val q114Sql: String =
     s"""WITH gi AS (
        |  SELECT DISTINCT user_id,
-       |    epoch_us(ts) - epoch_us(ts) % $DayUs AS d, event_type AS i
+       |    epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs) AS d, event_type AS i
        |  FROM events WHERE user_id IS NOT NULL),
        |pairs AS (
        |  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_groups
@@ -344,7 +344,7 @@ object TemporalQueries {
 
   val q149Sql: String =
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS b, CAST(value AS DOUBLE) AS v
+       |  SELECT epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs) AS b, CAST(value AS DOUBLE) AS v
        |  FROM events
        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
        |c AS (SELECT b, v, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY b, v),
@@ -394,7 +394,7 @@ object TemporalQueries {
 
   val q150Sql: String =
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS b, event_type AS k
+       |  SELECT epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs) AS b, event_type AS k
        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
        |c AS (SELECT b, k, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY b, k),
        |bk AS (SELECT DISTINCT b FROM c),
@@ -439,7 +439,7 @@ object TemporalQueries {
 
   val q153Sql: String =
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  SELECT epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs) AS b
        |  FROM events WHERE ts IS NOT NULL),
        |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY b),
        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS d, CAST(SUM(n) AS BIGINT) AS nn
@@ -476,7 +476,7 @@ object TemporalQueries {
 
   val q177Sql: String =
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  SELECT epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs) AS b
        |  FROM events WHERE ts IS NOT NULL),
        |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY b),
        |bd AS (SELECT MIN(b) AS mn, MAX(b) AS mx FROM c),
@@ -508,7 +508,7 @@ object TemporalQueries {
 
   val q178Sql: String =
     s"""WITH e AS (
-       |  SELECT event_type AS k, epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  SELECT event_type AS k, epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs) AS b
        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
        |c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY k, b),
        |bd AS (SELECT MIN(b) AS mn, MAX(b) AS mx FROM c),
@@ -543,7 +543,7 @@ object TemporalQueries {
 
   val q179Sql: String =
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  SELECT epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs) AS b
        |  FROM events WHERE ts IS NOT NULL),
        |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY b),
        |bd AS (SELECT MIN(b) AS mn, MAX(b) AS mx FROM c),
@@ -590,7 +590,7 @@ object TemporalQueries {
 
   val q180Sql: String =
     s"""WITH e AS (
-       |  SELECT event_type AS k, epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  SELECT event_type AS k, epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs) AS b
        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
        |c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY k, b),
        |bd AS (SELECT MIN(b) AS mn, MAX(b) AS mx FROM c),
@@ -645,7 +645,7 @@ object TemporalQueries {
 
   val q189Sql: String =
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  SELECT epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs) AS b
        |  FROM events WHERE ts IS NOT NULL),
        |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY b),
        |bd AS (SELECT MIN(b) AS mn, MAX(b) AS mx FROM c),
@@ -701,7 +701,7 @@ object TemporalQueries {
 
   val q191Sql: String =
     s"""WITH e AS (
-       |  SELECT event_type AS k, epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  SELECT event_type AS k, epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs) AS b
        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
        |c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY k, b),
        |bd AS (SELECT MIN(b) AS mn, MAX(b) AS mx FROM c),
@@ -758,7 +758,7 @@ object TemporalQueries {
 
   val q154Sql: String =
     s"""WITH e AS (
-       |  SELECT event_type AS k, epoch_us(ts) - epoch_us(ts) % $DayUs AS b
+       |  SELECT event_type AS k, epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs) AS b
        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
        |c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY k, b),
        |t AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS d, CAST(SUM(n) AS BIGINT) AS nn
@@ -793,7 +793,7 @@ object TemporalQueries {
 
   val q155Sql: String =
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS b,
+       |  SELECT epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs) AS b,
        |    CAST(round_even(value * 100, 0) AS BIGINT) AS w
        |  FROM events WHERE ts IS NOT NULL),
        |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,

@@ -529,21 +529,14 @@ object TokenQueries {
   // ---------------------------------------------------------------
   private val MixtureBudgetTokens = 50000L
 
-  def q193TokenMixturePlan(spark: SparkSession, d: String): DataFrame =
-    Sampling.temperatureMixturePlan(
-      withBpeTokens(spark, d), col("source"), col("bpe_tokens"),
-      MixtureBudgetTokens)
-      .withColumnRenamed("group_key", "source")
-
-  val q193Sql: String =
-    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes(BpeVocab.production)},
-       |st AS (
-       |  SELECT d.source AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |    CAST(SUM(t.bpe_tokens) AS BIGINT) AS tk
-       |  FROM documents d JOIN dtok t USING (doc_id)
-       |  WHERE d.source IS NOT NULL
-       |  GROUP BY d.source),
-       |q AS (
+  /** The quantize → normalize → apportion oracle tail shared by every
+    * mixture-plan SQL (q193/q197/q200/q201): expects a CTE
+    * `st(source, n_docs, tk)` in scope. ONE renderer, so an
+    * arithmetic fix (e.g. the r14 HUGEINT accumulation) can never
+    * miss a copy — the mirror of the engine-side shared
+    * `mixturePlanFromTotals` core. */
+  private lazy val mixturePlanTailSql: String =
+    s"""q AS (
        |  SELECT *, CAST(FLOOR(SQRT(CAST(tk AS DOUBLE)) * 1000000000.0)
        |    AS BIGINT) AS qi
        |  FROM st),
@@ -559,6 +552,22 @@ object TokenQueries {
        |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)))
        |    / CAST(q.tk AS DOUBLE) AS epochs
        |FROM q CROSS JOIN tot""".stripMargin
+
+  def q193TokenMixturePlan(spark: SparkSession, d: String): DataFrame =
+    Sampling.temperatureMixturePlan(
+      withBpeTokens(spark, d), col("source"), col("bpe_tokens"),
+      MixtureBudgetTokens)
+      .withColumnRenamed("group_key", "source")
+
+  val q193Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes(BpeVocab.production)},
+       |st AS (
+       |  SELECT d.source AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(t.bpe_tokens) AS BIGINT) AS tk
+       |  FROM documents d JOIN dtok t USING (doc_id)
+       |  WHERE d.source IS NOT NULL
+       |  GROUP BY d.source),
+       |$mixturePlanTailSql""".stripMargin
 
   // ---------------------------------------------------------------
   // q194 — per-source token-diversity census with EXACT fixed-point
@@ -749,22 +758,7 @@ object TokenQueries {
        |  JOIN dtok t ON d.doc_id = t.doc_id
        |  WHERE d.source IS NOT NULL
        |  GROUP BY d.source),
-       |q AS (
-       |  SELECT *, CAST(FLOOR(SQRT(CAST(tk AS DOUBLE)) * 1000000000.0)
-       |    AS BIGINT) AS qi
-       |  FROM st),
-       |tot AS (
-       |  SELECT CAST(SUM(tk) AS HUGEINT) AS ttk, CAST(SUM(qi) AS HUGEINT) AS sq
-       |  FROM q)
-       |SELECT q.source, q.n_docs, q.tk AS total_tokens,
-       |  CAST(q.tk AS DOUBLE) / CAST(tot.ttk AS DOUBLE) AS token_share,
-       |  CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE) AS temp_weight,
-       |  ${MixtureBudgetTokens}.0
-       |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)) AS target_tokens,
-       |  (${MixtureBudgetTokens}.0
-       |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)))
-       |    / CAST(q.tk AS DOUBLE) AS epochs
-       |FROM q CROSS JOIN tot""".stripMargin
+       |$mixturePlanTailSql""".stripMargin
 
   // ---------------------------------------------------------------
   // q199 — NEAR-dup-adjusted token accounting: q196 with the unique-
@@ -851,22 +845,7 @@ object TokenQueries {
        |  LEFT JOIN dr ON d.doc_id = dr.doc_id
        |  WHERE d.source IS NOT NULL AND dr.doc_id IS NULL
        |  GROUP BY d.source),
-       |q AS (
-       |  SELECT *, CAST(FLOOR(SQRT(CAST(tk AS DOUBLE)) * 1000000000.0)
-       |    AS BIGINT) AS qi
-       |  FROM st),
-       |tot AS (
-       |  SELECT CAST(SUM(tk) AS HUGEINT) AS ttk, CAST(SUM(qi) AS HUGEINT) AS sq
-       |  FROM q)
-       |SELECT q.source, q.n_docs, q.tk AS total_tokens,
-       |  CAST(q.tk AS DOUBLE) / CAST(tot.ttk AS DOUBLE) AS token_share,
-       |  CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE) AS temp_weight,
-       |  ${MixtureBudgetTokens}.0
-       |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)) AS target_tokens,
-       |  (${MixtureBudgetTokens}.0
-       |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)))
-       |    / CAST(q.tk AS DOUBLE) AS epochs
-       |FROM q CROSS JOIN tot""".stripMargin
+       |$mixturePlanTailSql""".stripMargin
 
   // ---------------------------------------------------------------
   // q201 — the MULTIMODAL mixture plan: the token economy spanning
@@ -884,12 +863,29 @@ object TokenQueries {
   // ---------------------------------------------------------------
   private val PatchSize = 16
 
+  /** The ViT patch-token arithmetic as DuckDB text — ONE renderer for
+    * q201/q203 so the ceil dag cannot drift between copies. `w`/`h`
+    * are SQL expressions for the dimension values. */
+  private def patchTokensSql(w: String, h: String): String =
+    s"((($w) + ${PatchSize - 1}) // $PatchSize)" +
+      s" * ((($h) + ${PatchSize - 1}) // $PatchSize) + 1"
+
+  /** The decode stub's hash-derived stand-in dimensions/duration
+    * restated on the portable md5-prefix integer (shared by
+    * q201/q203; the oracle states the same arithmetic over
+    * `CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT)`). */
+  private def mediaStandIns: (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val p = graft.functions.Md5Expressions.md5PrefixLong(col("text"), 8)
+    (lit(64L) + pmod(p, lit(1024L)),
+      lit(64L) + pmod(shiftright(p, 10), lit(1024L)),
+      lit(1000L) + pmod(p, lit(60000L)))
+  }
+
   def q201MultimodalMixturePlan(spark: SparkSession, d: String): DataFrame = {
     val text = withBpeTokens(spark, d)
       .select(col("source"), col("bpe_tokens").cast("long").as("tokens"))
-    val p = graft.functions.Md5Expressions.md5PrefixLong(col("text"), 8)
-    val w = lit(64L) + pmod(p, lit(1024L))
-    val h = lit(64L) + pmod(shiftright(p, 10), lit(1024L))
+    val (w, h, _) = mediaStandIns
     val img = Tables.documents(spark, d)
       .filter(pmod(col("doc_id"), lit(3)) === 0)
       .select(concat(lit("img:"), col("source")).as("source"),
@@ -914,31 +910,15 @@ object TokenQueries {
        |    AND d.text IS NOT NULL),
        |im AS (
        |  SELECT source,
-       |    CAST((((64 + p % 1024) + ${PatchSize - 1}) // $PatchSize)
-       |       * (((64 + (p // 1024) % 1024) + ${PatchSize - 1}) // $PatchSize)
-       |       + 1 AS BIGINT) AS tokens
+       |    CAST(${patchTokensSql("64 + p % 1024", "64 + (p // 1024) % 1024")}
+       |      AS BIGINT) AS tokens
        |  FROM imp),
        |u AS (SELECT * FROM tx UNION ALL SELECT * FROM im),
        |st AS (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |    CAST(SUM(tokens) AS BIGINT) AS tk
        |  FROM u GROUP BY source),
-       |q AS (
-       |  SELECT *, CAST(FLOOR(SQRT(CAST(tk AS DOUBLE)) * 1000000000.0)
-       |    AS BIGINT) AS qi
-       |  FROM st),
-       |tot AS (
-       |  SELECT CAST(SUM(tk) AS HUGEINT) AS ttk, CAST(SUM(qi) AS HUGEINT) AS sq
-       |  FROM q)
-       |SELECT q.source, q.n_docs, q.tk AS total_tokens,
-       |  CAST(q.tk AS DOUBLE) / CAST(tot.ttk AS DOUBLE) AS token_share,
-       |  CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE) AS temp_weight,
-       |  ${MixtureBudgetTokens}.0
-       |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)) AS target_tokens,
-       |  (${MixtureBudgetTokens}.0
-       |    * (CAST(q.qi AS DOUBLE) / CAST(tot.sq AS DOUBLE)))
-       |    / CAST(q.tk AS DOUBLE) AS epochs
-       |FROM q CROSS JOIN tot""".stripMargin
+       |$mixturePlanTailSql""".stripMargin
 
   // ---------------------------------------------------------------
   // q202 — tokenizer compression ratio: UTF-8 bytes per BPE token,
@@ -997,10 +977,7 @@ object TokenQueries {
 
   def q203MediaTokenCensus(spark: SparkSession, d: String): DataFrame = {
     val M = graft.operators.Multimodal
-    val p = graft.functions.Md5Expressions.md5PrefixLong(col("text"), 8)
-    val w = lit(64L) + pmod(p, lit(1024L))
-    val h = lit(64L) + pmod(shiftright(p, 10), lit(1024L))
-    val dur = lit(1000L) + pmod(p, lit(60000L))
+    val (w, h, dur) = mediaStandIns
     val kind = element_at(
       array(lit("image"), lit("audio"), lit("video")),
       (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
@@ -1028,13 +1005,12 @@ object TokenQueries {
        |  SELECT kind, source,
        |    CASE kind
        |      WHEN 'image' THEN
-       |        (((64 + p % 1024) + ${PatchSize - 1}) // $PatchSize)
-       |          * (((64 + (p // 1024) % 1024) + ${PatchSize - 1}) // $PatchSize) + 1
+       |        ${patchTokensSql("64 + p % 1024", "64 + (p // 1024) % 1024")}
        |      WHEN 'audio' THEN
        |        ((1000 + p % 60000) * $AudioTokensPerSecond + 999) // 1000
        |      ELSE
-       |        $VideoFrames * ((((64 + p % 1024) + ${PatchSize - 1}) // $PatchSize)
-       |          * (((64 + (p // 1024) % 1024) + ${PatchSize - 1}) // $PatchSize) + 1)
+       |        $VideoFrames * (${patchTokensSql(
+                  "64 + p % 1024", "64 + (p // 1024) % 1024")})
        |    END AS tk
        |  FROM b)
        |SELECT kind, source, CAST(COUNT(*) AS BIGINT) AS n_items,

@@ -517,8 +517,10 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(fs.length == 4)
       fs.flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName))
     }
-    assert(leafNames.distinct.length < leafNames.length || leafNames.length == 4,
-      "fixture sanity: per-dir part files share basenames under repartition(1)")
+    assert(leafNames.distinct.length == 1,
+      "fixture sanity: all 4 partition dirs must share ONE part-file basename " +
+        "(one task writes every partition), or the flat-carry collision this " +
+        s"test pins is not being exercised: ${leafNames.toSeq}")
     // hits live in exactly one partition's id range -> other dirs carry
     val ids = spark.range(0, 4000).filter($"id" % 4 === 2 && $"id" < 1000).toDF("id")
     val nHit = ids.count()
