@@ -471,7 +471,43 @@ object GraftChecks {
           need(a, "text", "source_overlap"),
           need(a, "group", "source_overlap"),
           n = a.get("n").map(_.trim.toInt).getOrElse(5),
-          numHashes = a.get("hashes").map(_.trim.toInt).getOrElse(64)))))
+          numHashes = a.get("hashes").map(_.trim.toInt).getOrElse(64)))),
+
+    // the one-look corpus DATA CARD: the battery a user runs first
+    // against any new corpus, as one long-format (metric, value)
+    // table from ONE aggregate pass — doc counts, null/duplicate-id
+    // fractions, exact-content duplication, size means. Composite by
+    // design (the reference's 'data quality checks' spirit): each
+    // number has a deeper dedicated check to drill into.
+    "corpus_report" -> (("table, id, text",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "corpus_report"))
+        val id = col(need(a, "id", "corpus_report"))
+        val txt = col(need(a, "text", "corpus_report"))
+        val one = t.agg(
+          count(lit(1)).as("n"),
+          sum(when(txt.isNull, 1L).otherwise(0L)).as("nulls"),
+          count_distinct(id).as("ids"),
+          count_distinct(md5(txt.cast("binary"))).as("contents"),
+          sum(coalesce(length(txt), lit(0)).cast("long")).as("chars"),
+          sum(coalesce(
+            graft.functions.DqFunctions.tokenCount(txt), lit(0))
+            .cast("long")).as("words"))
+        val n = col("n").cast("double")
+        val nonNull = (col("n") - col("nulls")).cast("double")
+        one.select(explode(map(
+          lit("n_docs"), n,
+          lit("null_text_frac"),
+          when(col("n") > 0L, col("nulls").cast("double") / n),
+          lit("duplicate_id_frac"),
+          when(col("n") > 0L, lit(1.0) - col("ids").cast("double") / n),
+          lit("exact_dup_frac"),
+          when(nonNull > 0.0,
+            lit(1.0) - col("contents").cast("double") / nonNull),
+          lit("mean_chars"), when(col("n") > 0L, col("chars").cast("double") / n),
+          lit("mean_words"), when(col("n") > 0L, col("words").cast("double") / n)
+        )).as(Seq("metric", "value")))
+      })))
 
   /** One row per registered check: (check, arguments). */
   def list(spark: SparkSession): DataFrame = {

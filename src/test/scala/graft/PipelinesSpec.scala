@@ -345,8 +345,8 @@ class PipelinesSpec extends AnyFunSuite {
     assert(zs("a").getAs[Double]("zipf_slope") == 0.0,
       "a flat 4-token distribution has slope 0 exactly")
 
-    // the registry grew to 37 CALL-able checks
-    assert(graft.sql.GraftChecks.registry.size == 37)
+    // the registry grew to 38 CALL-able checks
+    assert(graft.sql.GraftChecks.registry.size == 38)
   }
 
   test("SQL-callable checks: the dedup/similarity family (near_dedup/ann_topk/split_leakage/source_overlap) from SQL") {
@@ -407,5 +407,21 @@ class PipelinesSpec extends AnyFunSuite {
         r.getAs[Double]("est_jaccard")).toMap
     assert(ovCall == ovDirect)
     assert(ovCall(("s1", "s2")) == 1.0, s"identical sources must overlap fully: $ovCall")
+
+    // corpus_report: the one-look data card in long format, exact on
+    // a hand-computed corpus (4 docs: one null text, one exact dup
+    // pair, one duplicate id)
+    Seq((1L, "alpha beta"), (1L, "gamma"), (2L, "alpha beta"),
+        (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").createOrReplaceTempView("sqlc_card")
+    val card = spark.sql(
+      "CALL graft.corpus_report(`table` => 'sqlc_card', id => 'doc_id', text => 'text')")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("n_docs") == 4.0)
+    assert(card("null_text_frac") == 0.25)
+    assert(card("duplicate_id_frac") == 0.25, s"4 rows, 3 ids: $card")
+    assert(card("exact_dup_frac") == 1.0 - 2.0 / 3.0,
+      s"3 non-null texts, 2 distinct contents: $card")
+    assert(card("mean_words") == (2 + 1 + 2 + 0) / 4.0)
   }
 }

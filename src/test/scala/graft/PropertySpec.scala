@@ -93,6 +93,45 @@ class PropertySpec extends AnyFunSuite {
       "AUC is a rank statistic: monotone transforms must not change it")
   }
 
+  test("saltedTopK equals the naive single-window top-k on random skewed batches") {
+    // the exactness property all five riders (capPerGroup[By],
+    // prioritySample, topValues, zipfSlopeBy) depend on: for ANY
+    // total order and ANY salt assignment, the two-phase result is
+    // identical to the naive per-group window — including heavily
+    // skewed group sizes and k larger than some groups
+    import org.apache.spark.sql.expressions.Window
+    val rowGen = for {
+      g <- Gen.frequency((8, Gen.const("hot")), (1, Gen.const("warm")),
+        (1, Gen.const("cold")))
+      v <- Gen.choose(0L, 40L) // narrow domain -> many ties
+      id <- Gen.choose(0L, 1000000L)
+    } yield (g, v, id)
+    val rows = Gen.listOfN(300, rowGen).sample.get.distinctBy(_._3)
+    val df = rows.toDF("g", "v", "id")
+    for (k <- Seq(1, 7, 64); salts <- Seq(1, 4, 32)) {
+      val got = graft.operators.Sampling.saltedTopK(
+          df, Seq($"g"), $"id", Seq($"v".desc, $"id".asc), k, salts, "r")
+        .select($"g", $"id", $"r")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val naive = df.withColumn("r",
+          row_number().over(Window.partitionBy($"g")
+            .orderBy($"v".desc, $"id".asc)).cast("bigint"))
+        .filter($"r" <= k)
+        .select($"g", $"id", $"r")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == naive, s"k=$k salts=$salts")
+    }
+    // global form (no partition columns)
+    val gotGlobal = graft.operators.Sampling.saltedTopK(
+        df, Seq.empty, $"id", Seq($"v".desc, $"id".asc), 10, 8, "r")
+      .select($"id", $"r").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naiveGlobal = df.withColumn("r",
+        row_number().over(Window.orderBy($"v".desc, $"id".asc)).cast("bigint"))
+      .filter($"r" <= 10)
+      .select($"id", $"r").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotGlobal == naiveGlobal)
+  }
+
   test("union fan-out count is the sum of per-source counts") {
     val sizes = Gen.listOfN(5, Gen.choose(0, 50)).sample.get
     val frames = sizes.zipWithIndex.map { case (n, i) =>
