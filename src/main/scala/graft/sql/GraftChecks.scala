@@ -473,6 +473,15 @@ object GraftChecks {
           n = a.get("n").map(_.trim.toInt).getOrElse(5),
           numHashes = a.get("hashes").map(_.trim.toInt).getOrElse(64)))),
 
+    // metadata-only schema diff between two catalog tables: one row
+    // per added/removed/retyped column — the deploy-time drift check
+    // a reconciliation run opens with (no data scan)
+    "schema_drift" -> (("current, baseline",
+      (s: SparkSession, a: Map[String, String]) =>
+        Checks.schemaDrift(
+          s.table(need(a, "current", "schema_drift")),
+          s.table(need(a, "baseline", "schema_drift"))))),
+
     // the one-look corpus DATA CARD: the battery a user runs first
     // against any new corpus, as one long-format (metric, value)
     // table from ONE aggregate pass — doc counts, null/duplicate-id

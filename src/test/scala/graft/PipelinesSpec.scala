@@ -345,8 +345,8 @@ class PipelinesSpec extends AnyFunSuite {
     assert(zs("a").getAs[Double]("zipf_slope") == 0.0,
       "a flat 4-token distribution has slope 0 exactly")
 
-    // the registry grew to 38 CALL-able checks
-    assert(graft.sql.GraftChecks.registry.size == 38)
+    // the registry grew to 39 CALL-able checks
+    assert(graft.sql.GraftChecks.registry.size == 39)
   }
 
   test("SQL-callable checks: the dedup/similarity family (near_dedup/ann_topk/split_leakage/source_overlap) from SQL") {
@@ -423,5 +423,15 @@ class PipelinesSpec extends AnyFunSuite {
     assert(card("exact_dup_frac") == 1.0 - 2.0 / 3.0,
       s"3 non-null texts, 2 distinct contents: $card")
     assert(card("mean_words") == (2 + 1 + 2 + 0) / 4.0)
+
+    // schema_drift: metadata-only diff, CALL == the operator
+    spark.range(1).selectExpr("id", "CAST(1 AS INT) AS a", "'x' AS b")
+      .createOrReplaceTempView("sqlc_cur")
+    spark.range(1).selectExpr("id", "CAST(1.0 AS DOUBLE) AS a", "'y' AS c")
+      .createOrReplaceTempView("sqlc_base")
+    val drift = spark.sql(
+      "CALL graft.schema_drift(current => 'sqlc_cur', baseline => 'sqlc_base')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(drift == Map("b" -> "added", "c" -> "removed", "a" -> "retyped"))
   }
 }
