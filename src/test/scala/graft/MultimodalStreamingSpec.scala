@@ -120,6 +120,13 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(got.toSeq == want)
     assert(got.head._1 == 50L && got(1)._1 == 51L)
     assert(got.head._3 == 8L * 197L, "8 frames of the canonical 197-token image")
+    // corrupt probes (negative dims/duration) NULL out instead of
+    // producing positive-looking nonsense that would skew a budget
+    val bad = Seq((-200, 224, -5L)).toDF("w", "h", "ms")
+      .select(Multimodal.patchTokens($"w", $"h"),
+        Multimodal.videoTokens($"w", $"h"),
+        Multimodal.audioTokens($"ms")).head()
+    assert(bad.isNullAt(0) && bad.isNullAt(1) && bad.isNullAt(2))
   }
 
   test("frame sampling: n rows per video") {
