@@ -425,6 +425,33 @@ object TextAnalysis {
     * at any granularity fold to the same table — streamed == batch
     * exactly, spec-pinned.
     */
+  /** The q202 tokenizer compression ratio rebuilt from a MAINTAINED
+    * token census — the partials-log discipline on the fourth token
+    * surface: fold the mergeable (group_key, n_docs, total_tokens,
+    * total_bytes) integer rows
+    * ([[graft.streaming.StreamingCuration.windowedTokenCensus]]'s
+    * sink, a nightly append table, or any union of both) and divide
+    * ONCE on the exact totals. Partials at any granularity fold to
+    * the same table (integer sums are order-free; the single double
+    * division happens AFTER the fold), so streamed == batch exactly.
+    * Output: (group_key, n_docs, total_bytes, total_bpe_tokens,
+    * bytes_per_token — NULL when the token total is 0).
+    */
+  def compressionFromCensus(censusLog: DataFrame): DataFrame = {
+    val toks = sum(col("total_tokens"))
+    val bytes = sum(col("total_bytes"))
+    censusLog
+      .select(col("group_key"), col("n_docs"),
+        col("total_tokens"), col("total_bytes"))
+      .groupBy(col("group_key"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        bytes.as("total_bytes"),
+        toks.as("total_bpe_tokens"),
+        when(toks > 0L, bytes.cast("double") / toks.cast("double"))
+          .as("bytes_per_token"))
+  }
+
   def tokenEntropyFromCensus(censusLog: DataFrame): DataFrame =
     entropyFromCounts(
       censusLog.select(col("group_key"), col("token").as("_t"), col("n"))

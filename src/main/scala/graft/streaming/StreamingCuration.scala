@@ -114,9 +114,15 @@ object StreamingCuration {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(graft.functions.Bpe.bpeTokenCount(col(textCol), merges)
-          .cast("long")).as("total_tokens"))
+          .cast("long")).as("total_tokens"),
+        // bytes ride the same partials log (mergeable integers), so
+        // the tokenizer compression ratio — bytes per token, the
+        // q202 metric — is a maintained surface for free:
+        // TextAnalysis.compressionFromCensus folds the log
+        sum(octet_length(col(textCol)).cast("long")).as("total_bytes"))
       .select(col("window.start").as("window_start"),
-        col("group_key"), col("n_docs"), col("total_tokens"))
+        col("group_key"), col("n_docs"), col("total_tokens"),
+        col("total_bytes"))
 
   /** Watermarked per-source VOCABULARY census: per (window, source,
     * token), the BPE-token occurrence count — the streaming half of a

@@ -509,6 +509,23 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       "the folded token census must yield the batch mixture plan exactly")
     assert(streamed.keySet == Set("a", "b"))
+    // fourth maintained token surface: the same log carries byte
+    // totals, so the q202 compression ratio folds from it — streamed
+    // == a one-pass batch aggregate over the same rows
+    val comp = graft.operators.TextAnalysis.compressionFromCensus(
+        spark.table("tok_census"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val compBatch = (raw :+ ((t("2024-01-01 10:40:00"), "a", "sort order line")))
+      .toDF("ts", "src", "text")
+      .select($"src", graft.functions.Bpe.bpeTokenCount($"text")
+        .cast("long").as("tk"), octet_length($"text").cast("long").as("nb"))
+      .groupBy($"src").agg(count(lit(1)).as("n_docs"),
+        sum($"nb").as("total_bytes"), sum($"tk").as("total_bpe_tokens"),
+        (sum($"nb").cast("double") / sum($"tk").cast("double"))
+          .as("bytes_per_token"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(comp == compBatch,
+      "the folded census must yield the batch compression ratio exactly")
   }
 
   test("streamed vocab census: folded windows == the batch token-entropy table") {
