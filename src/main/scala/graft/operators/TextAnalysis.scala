@@ -425,17 +425,43 @@ object TextAnalysis {
     * at any granularity fold to the same table — streamed == batch
     * exactly, spec-pinned.
     */
-  /** The q202 tokenizer compression ratio rebuilt from a MAINTAINED
-    * token census — the partials-log discipline on the fourth token
+  def tokenEntropyFromCensus(censusLog: DataFrame): DataFrame =
+    entropyFromCounts(
+      censusLog.select(col("group_key"), col("token").as("_t"), col("n"))
+        .groupBy(col("group_key"), col("_t"))
+        .agg(sum(col("n")).as("_c")))
+
+  /** Per-group tokenizer COMPRESSION RATIO — UTF-8 bytes per BPE
+    * token, THE standard metric a tokenizer swap is judged on (the
+    * q202 surface). Batch form: per-doc integer partials (n_docs=1,
+    * tokens, bytes) folded through [[compressionFromCensus]] — the
+    * SAME dag as the maintained form, so the two can never drift
+    * (the mixturePlanFromTotals discipline). Rows with a NULL group
+    * or NULL text are excluded (stated — and the exclusion the
+    * streaming census applies, so maintained == batch exactly).
+    */
+  def tokenizerCompressionBy(
+      df: DataFrame, group: Column, text: Column,
+      merges: Seq[(String, String)] = graft.functions.BpeVocab.default): DataFrame =
+    compressionFromCensus(
+      df.filter(group.isNotNull && text.isNotNull)
+        .select(group.as("group_key"), lit(1L).as("n_docs"),
+          graft.functions.Bpe.bpeTokenCount(text, merges)
+            .cast("long").as("total_tokens"),
+          octet_length(text).cast("long").as("total_bytes")))
+
+  /** The fold half shared by [[tokenizerCompressionBy]] and the
+    * MAINTAINED form — the partials-log discipline on the compression
     * surface: fold the mergeable (group_key, n_docs, total_tokens,
     * total_bytes) integer rows
     * ([[graft.streaming.StreamingCuration.windowedTokenCensus]]'s
-    * sink, a nightly append table, or any union of both) and divide
-    * ONCE on the exact totals. Partials at any granularity fold to
-    * the same table (integer sums are order-free; the single double
-    * division happens AFTER the fold), so streamed == batch exactly.
-    * Output: (group_key, n_docs, total_bytes, total_bpe_tokens,
-    * bytes_per_token — NULL when the token total is 0).
+    * sink, a nightly append table, per-doc batch partials, or any
+    * union of them) and divide ONCE on the exact totals. Partials at
+    * any granularity fold to the same table (integer sums are
+    * order-free; the single double division happens AFTER the fold),
+    * so streamed == batch exactly. Output: (group_key, n_docs,
+    * total_bytes, total_bpe_tokens, bytes_per_token — NULL when the
+    * token total is 0).
     */
   def compressionFromCensus(censusLog: DataFrame): DataFrame = {
     val toks = sum(col("total_tokens"))
@@ -451,12 +477,6 @@ object TextAnalysis {
         when(toks > 0L, bytes.cast("double") / toks.cast("double"))
           .as("bytes_per_token"))
   }
-
-  def tokenEntropyFromCensus(censusLog: DataFrame): DataFrame =
-    entropyFromCounts(
-      censusLog.select(col("group_key"), col("token").as("_t"), col("n"))
-        .groupBy(col("group_key"), col("_t"))
-        .agg(sum(col("n")).as("_c")))
 
   /** The exact-Q16 entropy back half shared by [[tokenEntropyBy]] and
     * [[tokenEntropyFromCensus]] over a (group_key, _t, _c) census —

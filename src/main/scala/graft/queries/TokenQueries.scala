@@ -924,40 +924,29 @@ object TokenQueries {
   // q202 — tokenizer compression ratio: UTF-8 bytes per BPE token,
   // per source, at the production vocabulary — THE standard metric a
   // tokenizer swap is judged on (a better-fit vocabulary compresses
-  // more bytes into each token; a mismatched one fragments). Pure
-  // map-side arithmetic over two sums; sources whose byte total is 0
-  // report a NULL ratio.
+  // more bytes into each token; a mismatched one fragments). Rides
+  // TextAnalysis.tokenizerCompressionBy — per-doc integer partials
+  // folded through the SAME compressionFromCensus dag the maintained
+  // form uses, so batch and streamed can never drift. NULL-source and
+  // NULL-text rows are excluded (the census exclusion).
   // ---------------------------------------------------------------
-  def q202TokenizerCompression(spark: SparkSession, d: String): DataFrame = {
-    val toks = sum(when(col("_bt").isNotNull, col("_bt")).otherwise(0L))
-    val bytes = sum(when(col("_nb").isNotNull, col("_nb")).otherwise(0L))
-    Tables.documents(spark, d)
-      .filter(col("source").isNotNull)
-      .select(col("source"),
-        Bpe.bpeTokenCount(col("text"), BpeVocab.production)
-          .cast("long").as("_bt"),
-        octet_length(col("text")).cast("long").as("_nb"))
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        bytes.as("total_bytes"),
-        toks.as("total_bpe_tokens"),
-        when(toks > 0L, bytes.cast("double") / toks.cast("double"))
-          .as("bytes_per_token"))
-  }
+  def q202TokenizerCompression(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenizerCompressionBy(
+      Tables.documents(spark, d), col("source"), col("text"),
+      BpeVocab.production)
+      .withColumnRenamed("group_key", "source")
 
   val q202Sql: String =
     s"""WITH RECURSIVE ${BpeVocab.docTokensCtes(BpeVocab.production)}
        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |  CAST(SUM(COALESCE(octet_length(encode(d.text)), 0)) AS BIGINT)
-       |    AS total_bytes,
+       |  CAST(SUM(octet_length(encode(d.text))) AS BIGINT) AS total_bytes,
        |  CAST(SUM(t.bpe_tokens) AS BIGINT) AS total_bpe_tokens,
        |  CASE WHEN SUM(t.bpe_tokens) > 0 THEN
-       |    CAST(SUM(COALESCE(octet_length(encode(d.text)), 0)) AS DOUBLE)
+       |    CAST(SUM(octet_length(encode(d.text))) AS DOUBLE)
        |      / CAST(SUM(t.bpe_tokens) AS DOUBLE)
        |  END AS bytes_per_token
        |FROM documents d JOIN dtok t USING (doc_id)
-       |WHERE d.source IS NOT NULL
+       |WHERE d.source IS NOT NULL AND d.text IS NOT NULL
        |GROUP BY d.source""".stripMargin
 
   // ---------------------------------------------------------------

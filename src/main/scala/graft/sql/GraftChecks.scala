@@ -496,6 +496,10 @@ object GraftChecks {
         val one = t.agg(
           count(lit(1)).as("n"),
           sum(when(txt.isNull, 1L).otherwise(0L)).as("nulls"),
+          // duplicate-id accounting runs over NON-NULL ids only
+          // (count_distinct skips nulls, so dividing by n would
+          // misreport null ids as duplicates); nulls get their own row
+          sum(when(id.isNull, 1L).otherwise(0L)).as("null_ids"),
           count_distinct(id).as("ids"),
           count_distinct(md5(txt.cast("binary"))).as("contents"),
           sum(coalesce(length(txt), lit(0)).cast("long")).as("chars"),
@@ -503,16 +507,20 @@ object GraftChecks {
             graft.functions.DqFunctions.tokenCount(txt), lit(0))
             .cast("long")).as("words"))
         val n = col("n").cast("double")
-        val nonNull = (col("n") - col("nulls")).cast("double")
+        val nonNullTxt = (col("n") - col("nulls")).cast("double")
+        val nonNullIds = (col("n") - col("null_ids")).cast("double")
         one.select(explode(map(
           lit("n_docs"), n,
           lit("null_text_frac"),
           when(col("n") > 0L, col("nulls").cast("double") / n),
+          lit("null_id_frac"),
+          when(col("n") > 0L, col("null_ids").cast("double") / n),
           lit("duplicate_id_frac"),
-          when(col("n") > 0L, lit(1.0) - col("ids").cast("double") / n),
+          when(nonNullIds > 0.0,
+            lit(1.0) - col("ids").cast("double") / nonNullIds),
           lit("exact_dup_frac"),
-          when(nonNull > 0.0,
-            lit(1.0) - col("contents").cast("double") / nonNull),
+          when(nonNullTxt > 0.0,
+            lit(1.0) - col("contents").cast("double") / nonNullTxt),
           lit("mean_chars"), when(col("n") > 0L, col("chars").cast("double") / n),
           lit("mean_words"), when(col("n") > 0L, col("words").cast("double") / n)
         )).as(Seq("metric", "value")))

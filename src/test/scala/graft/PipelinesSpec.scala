@@ -411,18 +411,24 @@ class PipelinesSpec extends AnyFunSuite {
     // corpus_report: the one-look data card in long format, exact on
     // a hand-computed corpus (4 docs: one null text, one exact dup
     // pair, one duplicate id)
-    Seq((1L, "alpha beta"), (1L, "gamma"), (2L, "alpha beta"),
-        (3L, null.asInstanceOf[String]))
+    Seq((java.lang.Long.valueOf(1L), "alpha beta"),
+        (java.lang.Long.valueOf(1L), "gamma"),
+        (java.lang.Long.valueOf(2L), "alpha beta"),
+        (java.lang.Long.valueOf(3L), null.asInstanceOf[String]),
+        (null.asInstanceOf[java.lang.Long], "delta"))
       .toDF("doc_id", "text").createOrReplaceTempView("sqlc_card")
     val card = spark.sql(
       "CALL graft.corpus_report(`table` => 'sqlc_card', id => 'doc_id', text => 'text')")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(card("n_docs") == 4.0)
-    assert(card("null_text_frac") == 0.25)
-    assert(card("duplicate_id_frac") == 0.25, s"4 rows, 3 ids: $card")
-    assert(card("exact_dup_frac") == 1.0 - 2.0 / 3.0,
-      s"3 non-null texts, 2 distinct contents: $card")
-    assert(card("mean_words") == (2 + 1 + 2 + 0) / 4.0)
+    assert(card("n_docs") == 5.0)
+    assert(card("null_text_frac") == 0.2)
+    assert(card("null_id_frac") == 0.2)
+    // duplicate ids over NON-NULL ids only: 4 non-null rows, 3 ids —
+    // the null id must NOT count as a duplicate
+    assert(card("duplicate_id_frac") == 0.25, s"4 non-null ids, 3 distinct: $card")
+    assert(card("exact_dup_frac") == 1.0 - 3.0 / 4.0,
+      s"4 non-null texts, 3 distinct contents: $card")
+    assert(card("mean_words") == (2 + 1 + 2 + 0 + 1) / 5.0)
 
     // schema_drift: metadata-only diff, CALL == the operator
     spark.range(1).selectExpr("id", "CAST(1 AS INT) AS a", "'x' AS b")
