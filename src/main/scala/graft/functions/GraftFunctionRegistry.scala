@@ -45,6 +45,24 @@ object GraftFunctionRegistry {
       """CREATE OR REPLACE TEMPORARY FUNCTION date_ordinal(d DATE)
         |RETURNS INT RETURN CAST(datediff(d, DATE '0001-01-01') + 1 AS INT)""".stripMargin)
 
+    // media token costing (the q201/q203 rules) as SQL scalar
+    // functions, so token expressions passed to CALL graft.mixture_plan
+    // can price image/audio/video rows; negative inputs NULL out (the
+    // Multimodal guard, stated identically here)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION patch_tokens(
+        |  w BIGINT, h BIGINT) RETURNS BIGINT RETURN
+        |CASE WHEN w >= 0 AND h >= 0 THEN
+        |  CAST(floor((w + 15) / 16.0) * floor((h + 15) / 16.0) + 1 AS BIGINT)
+        |END""".stripMargin)
+
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION audio_tokens(
+        |  ms BIGINT) RETURNS BIGINT RETURN
+        |CASE WHEN ms >= 0 THEN
+        |  CAST(floor((ms * 50 + 999) / 1000.0) AS BIGINT)
+        |END""".stripMargin)
+
     spark.sql(
       """CREATE OR REPLACE TEMPORARY FUNCTION cosine_similarity(
         |  a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN

@@ -141,6 +141,13 @@ class PipelinesSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 2.0)
     assert(r.getInt(2) == 738900)
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    // media token costing from SQL == the Column builders
+    val m = spark.sql(
+      """SELECT patch_tokens(224L, 224L) AS p, audio_tokens(1001L) AS a,
+        |       patch_tokens(-1L, 10L) AS pn, audio_tokens(-1L) AS an""".stripMargin)
+      .head()
+    assert(m.getLong(0) == 197L && m.getLong(1) == 51L)
+    assert(m.isNullAt(2) && m.isNullAt(3))
   }
 
   test("SQL-callable checks: the r11 statistic surface (benford, p-scored tests, FDR) from SQL") {
