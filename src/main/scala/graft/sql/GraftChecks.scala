@@ -473,6 +473,49 @@ object GraftChecks {
           n = a.get("n").map(_.trim.toInt).getOrElse(5),
           numHashes = a.get("hashes").map(_.trim.toInt).getOrElse(64)))),
 
+    // ----- the provenance / layout-maintenance family (q49/q76/q111
+    // surfaces) — file-level operations take a PATH argument (they
+    // answer questions about physical layout, which a catalog name
+    // abstracts away) -----
+
+    // per-file row counts + min/max envelopes (the q49 manifest)
+    "file_manifest" -> (("path, stat_cols (csv)",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Provenance.fileManifest(
+          s.read.parquet(need(a, "path", "file_manifest")),
+          cols(need(a, "stat_cols", "file_manifest"))))),
+
+    // zone-map skip arithmetic for a range predicate, answered from
+    // the manifest alone (the q111 planning estimate)
+    "pruning_estimate" -> (("path, stat_col, lo (expr), hi (expr)",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Provenance.pruningEstimate(
+          graft.operators.Provenance.fileManifest(
+            s.read.parquet(need(a, "path", "pruning_estimate")),
+            Seq(need(a, "stat_col", "pruning_estimate"))),
+          need(a, "stat_col", "pruning_estimate"),
+          expr(need(a, "lo", "pruning_estimate")),
+          expr(need(a, "hi", "pruning_estimate"))))),
+
+    // which physical files a takedown manifest impacts, and how hard
+    // (the q76 rewrite plan); `ids` is a catalog table carrying the
+    // id column
+    "takedown_plan" -> (("path, id, ids (catalog table of ids)",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Provenance.takedownPlan(
+          s.read.parquet(need(a, "path", "takedown_plan")),
+          need(a, "id", "takedown_plan"),
+          s.table(need(a, "ids", "takedown_plan"))))),
+
+    // small-files compaction plan: rewrite groups of ~target_bytes
+    "compaction_plan" -> (("path, target_bytes[, shards]",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Provenance.compactionPlan(
+          s,
+          need(a, "path", "compaction_plan"),
+          need(a, "target_bytes", "compaction_plan").trim.toLong,
+          a.get("shards").map(_.trim.toInt).getOrElse(16)))),
+
     // metadata-only schema diff between two catalog tables: one row
     // per added/removed/retyped column — the deploy-time drift check
     // a reconciliation run opens with (no data scan)

@@ -352,8 +352,8 @@ class PipelinesSpec extends AnyFunSuite {
     assert(zs("a").getAs[Double]("zipf_slope") == 0.0,
       "a flat 4-token distribution has slope 0 exactly")
 
-    // the registry grew to 39 CALL-able checks
-    assert(graft.sql.GraftChecks.registry.size == 39)
+    // the registry grew to 43 CALL-able checks
+    assert(graft.sql.GraftChecks.registry.size == 43)
   }
 
   test("SQL-callable checks: the dedup/similarity family (near_dedup/ann_topk/split_leakage/source_overlap) from SQL") {
@@ -446,5 +446,41 @@ class PipelinesSpec extends AnyFunSuite {
       "CALL graft.schema_drift(current => 'sqlc_cur', baseline => 'sqlc_base')")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(drift == Map("b" -> "added", "c" -> "removed", "a" -> "retyped"))
+  }
+
+  test("SQL-callable checks: the provenance/layout family (manifest/pruning/takedown/compaction) from SQL") {
+    import graft.operators.Provenance
+    val dir = java.nio.file.Files.createTempDirectory("sqlc_prov").toString + "/t"
+    spark.range(0, 600).selectExpr("id", "id * 2 AS v")
+      .repartitionByRange(3, $"id").write.parquet(dir)
+
+    val man = spark.sql(
+      s"CALL graft.file_manifest(path => '$dir', stat_cols => 'id,v')")
+      .collect()
+    assert(man.length == 3 && man.map(_.getAs[Long]("n_rows")).sum == 600L)
+    val manDirect = Provenance.fileManifest(spark.read.parquet(dir), Seq("id", "v"))
+      .collect().map(r => r.getAs[String]("file_path") -> r.getAs[Long]("n_rows")).toMap
+    assert(man.map(r => r.getAs[String]("file_path") -> r.getAs[Long]("n_rows")).toMap
+      == manDirect)
+
+    // a range hitting one file's envelope skips the other two
+    val pe = spark.sql(
+      s"""CALL graft.pruning_estimate(path => '$dir', stat_col => 'id',
+         |  lo => '0', hi => '10')""".stripMargin).head()
+    assert(pe.getAs[Long]("n_files") == 3L && pe.getAs[Long]("n_files_scanned") == 1L)
+
+    Seq(5L, 6L).toDF("id").createOrReplaceTempView("sqlc_td")
+    val tp = spark.sql(
+      s"CALL graft.takedown_plan(path => '$dir', id => 'id', ids => 'sqlc_td')")
+      .collect()
+    assert(tp.length == 1 && tp.head.getAs[Long]("n_hit") == 2L,
+      "a contiguous id slice must impact exactly one range-partitioned file")
+
+    val cp = spark.sql(
+      s"CALL graft.compaction_plan(path => '$dir', target_bytes => '100000000', shards => '1')")
+      .collect()
+    assert(cp.length == 3, "every physical file must be assigned to a group")
+    assert(cp.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"))).distinct.length == 1,
+      "all three small files fit one pack under a large target")
   }
 }
