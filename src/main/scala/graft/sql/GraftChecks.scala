@@ -357,14 +357,25 @@ object GraftChecks {
         }
       })),
 
-    // temperature-sampled mixture/epoch plan at a token budget (q193)
-    "mixture_plan" -> (("table, source (expr), tokens (expr), budget_tokens",
-      (s: SparkSession, a: Map[String, String]) =>
+    // temperature-sampled mixture/epoch plan at a token budget (q193);
+    // pass drop_ids (a catalog table whose `id` column lists docs a
+    // dedup keep-list DROPPED) + id to provision on surviving docs
+    // only — the q200 near-dup-adjusted composition from pure SQL
+    "mixture_plan" -> (("table, source (expr), tokens (expr), budget_tokens[, drop_ids (table)][, id]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val base = s.table(need(a, "table", "mixture_plan"))
+        val t = a.get("drop_ids") match {
+          case Some(dt) =>
+            val idCol = need(a, "id", "mixture_plan")
+            base.join(s.table(dt).select(col(idCol)), Seq(idCol), "left_anti")
+          case None => base
+        }
         graft.operators.Sampling.temperatureMixturePlan(
-          s.table(need(a, "table", "mixture_plan")),
+          t,
           expr(need(a, "source", "mixture_plan")),
           expr(need(a, "tokens", "mixture_plan")),
-          need(a, "budget_tokens", "mixture_plan").trim.toLong))),
+          need(a, "budget_tokens", "mixture_plan").trim.toLong)
+      })),
 
     // per-group token-diversity census, exact Q16 entropy (q194)
     "token_entropy" -> (("table, group_by (expr), text (expr)[, merges (merges.txt text)]",

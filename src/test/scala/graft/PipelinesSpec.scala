@@ -336,6 +336,17 @@ class PipelinesSpec extends AnyFunSuite {
         |  tokens => 'tk', budget_tokens => '800')""".stripMargin)
       .collect().map(r => r.getString(0) -> r.getAs[Double]("epochs")).toMap
     assert(mix == Map("a" -> 1.0, "b" -> 0.5, "c" -> 0.2))
+    // the dedup-adjusted composition from SQL: dropping source c's
+    // only row removes it from the plan and re-normalizes the rest
+    Seq(("a", 100L, 1L), ("b", 400L, 2L), ("c", 2500L, 3L))
+      .toDF("src", "tk", "doc_id").createOrReplaceTempView("sqlc_mixd")
+    Seq(3L).toDF("doc_id").createOrReplaceTempView("sqlc_mixdrop")
+    val mixd = spark.sql(
+      """CALL graft.mixture_plan(`table` => 'sqlc_mixd', source => 'src',
+        |  tokens => 'tk', budget_tokens => '300',
+        |  drop_ids => 'sqlc_mixdrop', id => 'doc_id')""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("epochs")).toMap
+    assert(mixd == Map("a" -> 1.0, "b" -> 0.5), s"dropped source must vanish: $mixd")
     Seq(("a", "x y z w"), ("b", "x x x"))
       .toDF("src", "text").createOrReplaceTempView("sqlc_ent")
     val ent = spark.sql(
