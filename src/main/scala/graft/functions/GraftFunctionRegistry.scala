@@ -49,18 +49,21 @@ object GraftFunctionRegistry {
     // functions, so token expressions passed to CALL graft.mixture_plan
     // can price image/audio/video rows; negative inputs NULL out (the
     // Multimodal guard, stated identically here)
+    val P = graft.operators.Multimodal.DefaultPatchSize
+    val R = graft.operators.Multimodal.DefaultAudioTokensPerSecond
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION patch_tokens(
         |  w BIGINT, h BIGINT) RETURNS BIGINT RETURN
         |CASE WHEN w >= 0 AND h >= 0 THEN
-        |  CAST(floor((w + 15) / 16.0) * floor((h + 15) / 16.0) + 1 AS BIGINT)
+        |  CAST(floor((w + ${P - 1}) / $P.0) * floor((h + ${P - 1}) / $P.0)
+        |    + 1 AS BIGINT)
         |END""".stripMargin)
 
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION audio_tokens(
         |  ms BIGINT) RETURNS BIGINT RETURN
         |CASE WHEN ms >= 0 THEN
-        |  CAST(floor((ms * 50 + 999) / 1000.0) AS BIGINT)
+        |  CAST(floor((ms * $R + 999) / 1000.0) AS BIGINT)
         |END""".stripMargin)
 
     spark.sql(

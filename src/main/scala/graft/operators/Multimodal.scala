@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Default ViT patch edge (pixels) for [[patchTokens]]/[[videoTokens]]
+    * — ONE constant, interpolated into the SQL function registrations
+    * too, so the Scala and SQL costing rules cannot drift. */
+  val DefaultPatchSize = 16
+
+  /** Default speech-encoder rate (tokens/second) for [[audioTokens]]. */
+  val DefaultAudioTokensPerSecond = 50
+
   /** The codec contract: one batch of payloads in, features out. */
   type Codec = Seq[MediaItem] => Seq[MediaFeatures]
 
@@ -155,7 +163,8 @@ object Multimodal {
     * identical to integer `//` in any engine.
     */
   def patchTokens(width: org.apache.spark.sql.Column,
-      height: org.apache.spark.sql.Column, patchSize: Int = 16):
+      height: org.apache.spark.sql.Column,
+      patchSize: Int = DefaultPatchSize):
       org.apache.spark.sql.Column = {
     require(patchSize >= 1, s"patchSize must be positive, got $patchSize")
     val p = lit(patchSize.toDouble)
@@ -179,7 +188,8 @@ object Multimodal {
     * argument as [[patchTokens]]'s ceil.
     */
   def audioTokens(durationMs: org.apache.spark.sql.Column,
-      tokensPerSecond: Int = 50): org.apache.spark.sql.Column = {
+      tokensPerSecond: Int = DefaultAudioTokensPerSecond)
+      : org.apache.spark.sql.Column = {
     require(tokensPerSecond >= 1,
       s"tokensPerSecond must be positive, got $tokensPerSecond")
     // negative duration NULLs out (see patchTokens' guard note)
@@ -195,7 +205,7 @@ object Multimodal {
     */
   def videoTokens(width: org.apache.spark.sql.Column,
       height: org.apache.spark.sql.Column, nFrames: Int = 8,
-      patchSize: Int = 16): org.apache.spark.sql.Column = {
+      patchSize: Int = DefaultPatchSize): org.apache.spark.sql.Column = {
     require(nFrames >= 1, s"nFrames must be positive, got $nFrames")
     lit(nFrames.toLong) * patchTokens(width, height, patchSize)
   }

@@ -361,13 +361,16 @@ object GraftChecks {
     // pass drop_ids (a catalog table whose `id` column lists docs a
     // dedup keep-list DROPPED) + id to provision on surviving docs
     // only — the q200 near-dup-adjusted composition from pure SQL
-    "mixture_plan" -> (("table, source (expr), tokens (expr), budget_tokens[, drop_ids (table)][, id]",
+    "mixture_plan" -> (("table, source (expr), tokens (expr), budget_tokens[, drop_ids (table) + id]",
       (s: SparkSession, a: Map[String, String]) => {
         val base = s.table(need(a, "table", "mixture_plan"))
         val t = a.get("drop_ids") match {
           case Some(dt) =>
             val idCol = need(a, "id", "mixture_plan")
-            base.join(s.table(dt).select(col(idCol)), Seq(idCol), "left_anti")
+            // drop lists are keep-list-scale — broadcast them (the
+            // takedownPlan convention), never shuffle the corpus
+            base.join(broadcast(s.table(dt).select(col(idCol))),
+              Seq(idCol), "left_anti")
           case None => base
         }
         graft.operators.Sampling.temperatureMixturePlan(

@@ -141,13 +141,22 @@ class PipelinesSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 2.0)
     assert(r.getInt(2) == 738900)
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
-    // media token costing from SQL == the Column builders
-    val m = spark.sql(
-      """SELECT patch_tokens(224L, 224L) AS p, audio_tokens(1001L) AS a,
-        |       patch_tokens(-1L, 10L) AS pn, audio_tokens(-1L) AS an""".stripMargin)
-      .head()
-    assert(m.getLong(0) == 197L && m.getLong(1) == 51L)
-    assert(m.isNullAt(2) && m.isNullAt(3))
+    // media token costing from SQL == the Column builders, pinned by
+    // EQUALITY over a grid (not hand constants), so a change to the
+    // Multimodal defaults cannot silently diverge the SQL copies
+    val grid = Seq((224L, 224L, 1000L), (225L, 224L, 1001L), (1L, 1L, 0L),
+      (1023L, 65L, 60999L), (-1L, 10L, -1L))
+      .toDF("w", "h", "ms")
+    grid.createOrReplaceTempView("sqlc_media_grid")
+    val viaSql = spark.sql(
+      "SELECT patch_tokens(w, h) AS p, audio_tokens(ms) AS a FROM sqlc_media_grid")
+      .collect().map(r => (r.get(0), r.get(1))).toSeq
+    val viaCols = grid.select(
+        graft.operators.Multimodal.patchTokens($"w", $"h").as("p"),
+        graft.operators.Multimodal.audioTokens($"ms").as("a"))
+      .collect().map(r => (r.get(0), r.get(1))).toSeq
+    assert(viaSql == viaCols, s"SQL functions must equal the Column builders")
+    assert(viaSql.head == ((197L, 50L)) && viaSql.last == ((null, null)))
   }
 
   test("SQL-callable checks: the r11 statistic surface (benford, p-scored tests, FDR) from SQL") {
