@@ -183,9 +183,19 @@ object Multimodal {
   /** Speech-encoder token count from audio duration: `ceil(ms·R/1000)`
     * tokens at `tokensPerSecond = R` (e.g. 50 for a 20 ms-frame
     * acoustic encoder, 25 for a downsampled one). Exact integer
-    * arithmetic stated as a floor'd double division — correctly
-    * rounded and exact whenever 1000 divides the product, the same
-    * argument as [[patchTokens]]'s ceil.
+    * arithmetic stated as a floor'd double division — and the floor is
+    * exact for EVERY numerator `n = ms·R + 999 ≤ 2⁵³`, not only when
+    * 1000 divides it: such `n` converts to double losslessly, and the
+    * correctly-rounded quotient `n/1000.0` can only cross the next
+    * integer if the true fractional shortfall `(1000−r)/1000 ≥ 1/1000`
+    * were smaller than half an ulp of the quotient — but the quotient
+    * is ≤ 2⁵³/1000 ≈ 2⁴³, whose ulp is 2⁻⁹ < 2/1000 only at the very
+    * top, and even there half an ulp (2⁻¹⁰ ≈ 0.00098) stays below the
+    * minimum shortfall 1/1000 = 0.001. So rounding never reaches the
+    * next integer and `floor` returns the true `ceil(ms·R/1000)`.
+    * 2⁵³/R ms is ~5,700 years of audio at R=50 — far beyond any guard
+    * (query-side stand-ins cap at 60 s), so the idiom is exact over
+    * the entire admissible domain, same conclusion as [[patchTokens]].
     */
   def audioTokens(durationMs: org.apache.spark.sql.Column,
       tokensPerSecond: Int = DefaultAudioTokensPerSecond)

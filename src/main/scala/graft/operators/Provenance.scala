@@ -191,6 +191,22 @@ object Provenance {
           val n = f.getPath.getName
           !n.startsWith("_") && !n.startsWith(".")
         }.map(_.getPath).toSeq
+      // layout-uniformity guard: the partition-column inference below
+      // diffs ONE leaf footer against the basePath schema, which is
+      // only sound when every data file sits at the same partition
+      // depth with the same directory keys. A mixed flat+partitioned
+      // (or depth-divergent) input would make that diff — and Spark's
+      // partition discovery — guess; refuse loudly BEFORE any file is
+      // copied rather than mis-infer a layout.
+      val layouts = all.map { p =>
+        relKey(p.toString).split('/').dropRight(1)
+          .map(seg => seg.takeWhile(_ != '=')).toSeq
+      }.distinct
+      require(layouts.size <= 1,
+        s"mixed partition layouts under $dir (" +
+          layouts.map(l => if (l.isEmpty) "<flat>" else l.mkString("/"))
+            .mkString(" vs ") +
+          ") — refusing takedown; compact the table to one layout first")
       val (hit, carried) = all.partition(p => hitPaths.contains(pathKey(p.toString)))
       require(hit.size == hitPaths.size,
         s"takedown plan named ${hitPaths.size} files but the listing matched ${hit.size}")

@@ -581,7 +581,156 @@ object GraftChecks {
           lit("mean_chars"), when(col("n") > 0L, col("chars").cast("double") / n),
           lit("mean_words"), when(col("n") > 0L, col("words").cast("double") / n)
         )).as(Seq("metric", "value")))
-      })))
+      })),
+
+    // ----- the eval / monitoring family (r15: the q45/q135/q142/
+    // q147-class surfaces made CALL-able) -----
+
+    // per-query retrieval quality of a run table against a truth
+    // table (the q135 surface): precision/recall@k, first relevant
+    // rank, reciprocal rank
+    "retrieval_quality" -> (("run, truth (catalog tables), query, item, score, k",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Ranking.retrievalQuality(
+          s.table(need(a, "run", "retrieval_quality")),
+          s.table(need(a, "truth", "retrieval_quality")),
+          need(a, "query", "retrieval_quality"),
+          need(a, "item", "retrieval_quality"),
+          need(a, "score", "retrieval_quality"),
+          need(a, "k", "retrieval_quality").trim.toInt))),
+
+    // graded-gain ranking quality: per-query DCG/IDCG/nDCG@k with
+    // the quantized integer discount table (order-free exact sums)
+    "ndcg" -> (("run, truth (catalog tables), query, item, score, gain, k",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Ranking.ndcgAtK(
+          s.table(need(a, "run", "ndcg")),
+          s.table(need(a, "truth", "ndcg")),
+          need(a, "query", "ndcg"),
+          need(a, "item", "ndcg"),
+          need(a, "score", "ndcg"),
+          need(a, "gain", "ndcg"),
+          need(a, "k", "ndcg").trim.toInt))),
+
+    // lexical top-k retrieval over a document table (the q45 BM25
+    // surface); terms is a comma-separated literal term list
+    "bm25_topk" -> (("table, id, text, terms (csv), k[, k1][, b][, min_score]",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Retrieval.bm25TopK(
+          s.table(need(a, "table", "bm25_topk")),
+          need(a, "id", "bm25_topk"),
+          need(a, "text", "bm25_topk"),
+          cols(need(a, "terms", "bm25_topk")),
+          need(a, "k", "bm25_topk").trim.toInt,
+          k1 = a.get("k1").map(_.trim.toDouble).getOrElse(1.2),
+          b = a.get("b").map(_.trim.toDouble).getOrElse(0.75),
+          minScore = a.get("min_score").map(_.trim.toDouble).getOrElse(0.0)))),
+
+    // isotonic (PAV) score recalibration over a banded census (the
+    // q142/q143 surface); pass `group` for one monotone mapping per
+    // source
+    "isotonic" -> (("table, score (expr), label (expr), lo, hi, bins[, group (expr)]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "isotonic"))
+        val sc = expr(need(a, "score", "isotonic"))
+        val lb = expr(need(a, "label", "isotonic"))
+        val lo = need(a, "lo", "isotonic").trim.toDouble
+        val hi = need(a, "hi", "isotonic").trim.toDouble
+        val bins = need(a, "bins", "isotonic").trim.toInt
+        a.get("group") match {
+          case Some(g) => graft.operators.Evaluation
+            .isotonicCalibrationBy(t, expr(g), sc, lb, lo, hi, bins)
+          case None => graft.operators.Evaluation
+            .isotonicCalibration(t, sc, lb, lo, hi, bins)
+        }
+      })),
+
+    // adjacent-period KS drift timeline (the q149 surface): one KS
+    // row per adjacent pair of time buckets — the monitoring query
+    // that answers "when did the distribution move"
+    "ks_timeline" -> (("table, ts (expr), value (expr), bucket_seconds[, cells]",
+      (s: SparkSession, a: Map[String, String]) =>
+        StatTests.ksAdjacentPeriods(
+          s.table(need(a, "table", "ks_timeline")),
+          expr(need(a, "ts", "ks_timeline")),
+          expr(need(a, "value", "ks_timeline")),
+          need(a, "bucket_seconds", "ks_timeline").trim.toLong,
+          cells = a.get("cells").map(_.trim.toInt).getOrElse(4096)))),
+
+    // per-(kind, group) media token census under each modality's
+    // costing rule (the q203 surface): image rows cost ViT patches,
+    // audio rows duration×rate, video rows frames×patches; rows of
+    // any other kind get NULL tokens (visible, not silently priced)
+    "media_census" -> (("table, kind (expr: image|audio|video), group (expr), " +
+      "width (expr), height (expr), duration_ms (expr)[, patch][, rate][, frames]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val M = graft.operators.Multimodal
+        val t = s.table(need(a, "table", "media_census"))
+        val kind = expr(need(a, "kind", "media_census"))
+        val w = expr(need(a, "width", "media_census"))
+        val h = expr(need(a, "height", "media_census"))
+        val dur = expr(need(a, "duration_ms", "media_census"))
+        val patch = a.get("patch").map(_.trim.toInt).getOrElse(16)
+        val rate = a.get("rate").map(_.trim.toInt).getOrElse(50)
+        val frames = a.get("frames").map(_.trim.toInt).getOrElse(8)
+        val tokens = when(kind === "image", M.patchTokens(w, h, patch))
+          .when(kind === "audio", M.audioTokens(dur, rate))
+          .when(kind === "video", M.videoTokens(w, h, frames, patch))
+        t.select(kind.as("kind"),
+            expr(need(a, "group", "media_census")).as("group_key"),
+            tokens.as("_tk"))
+          .groupBy(col("kind"), col("group_key"))
+          .agg(count(lit(1)).as("n_items"), sum(col("_tk")).as("total_tokens"))
+      })),
+
+    // tokenizer compression ratio — UTF-8 bytes per BPE token per
+    // group (the q202 surface); vocab selects the merge table:
+    // 'production' (classpath merges.txt) or 'seed' (the small
+    // bootstrap table)
+    "compression" -> (("table, group (expr), text (expr)[, vocab (production|seed)]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val vocab = a.get("vocab").map(_.trim.toLowerCase).getOrElse("production") match {
+          case "production" => graft.functions.BpeVocab.production
+          case "seed" => graft.functions.BpeVocab.default
+          case other => throw new IllegalArgumentException(
+            s"graft.compression: unknown vocab '$other' (production, seed)")
+        }
+        graft.operators.TextAnalysis.tokenizerCompressionBy(
+          s.table(need(a, "table", "compression")),
+          expr(need(a, "group", "compression")),
+          expr(need(a, "text", "compression")), vocab)
+      })),
+
+    // n-gram-heuristic language census: docs per detected language
+    "lang_id" -> (("table, text (expr)",
+      (s: SparkSession, a: Map[String, String]) => {
+        val t = s.table(need(a, "table", "lang_id"))
+        val txt = expr(need(a, "text", "lang_id"))
+        t.filter(txt.isNotNull)
+          .select(graft.operators.TextAnalysis.langId(txt).as("lang"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      })),
+
+    // per-document quality features + blended 0..1 score (the q18
+    // pre-filter surface)
+    "text_quality" -> (("table, id, text",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.TextAnalysis.qualityFeatures(
+          s.table(need(a, "table", "text_quality")),
+          need(a, "id", "text_quality"),
+          need(a, "text", "text_quality")))),
+
+    // integer fixed-point PageRank over an edge table (the q115
+    // surface) — deterministic, cardinality-adaptive execution
+    "pagerank" -> (("table (edges), src (expr), dst (expr)[, iterations][, damping_permille]",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Graph.pageRankInt(
+          s.table(need(a, "table", "pagerank")),
+          expr(need(a, "src", "pagerank")),
+          expr(need(a, "dst", "pagerank")),
+          iterations = a.get("iterations").map(_.trim.toInt).getOrElse(3),
+          dampingPermille =
+            a.get("damping_permille").map(_.trim.toLong).getOrElse(850L)))))
 
   /** One row per registered check: (check, arguments). */
   def list(spark: SparkSession): DataFrame = {

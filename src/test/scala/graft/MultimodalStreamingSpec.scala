@@ -127,6 +127,27 @@ class MultimodalStreamingSpec extends AnyFunSuite {
         Multimodal.videoTokens($"w", $"h"),
         Multimodal.audioTokens($"ms")).head()
     assert(bad.isNullAt(0) && bad.isNullAt(1) && bad.isNullAt(2))
+    // exactness at the extremes of the floor'd-double-division domain
+    // (scaladoc: exact for every numerator ms*R+999 <= 2^53, not only
+    // multiples of 1000). Probe the guard extremes (60 s cap), the
+    // worst-case r=1 and r=999 remainders near the domain ceiling, and
+    // the ceiling itself for both shipped rates.
+    val twoP53 = 1L << 53
+    for (r <- Seq(25, 50)) {
+      val ceilMs = (twoP53 - 999L) / r
+      val probes = Seq(60000L, 60001L, ceilMs, ceilMs - 1,
+        // remainders 1 and 999 mod 1000 at large magnitude
+        (ceilMs / 1000) * 1000 / r * r + 1, ceilMs - 999)
+        .filter(ms => ms >= 0 && ms * r + 999 <= twoP53)
+      val gotX = probes.toDF("ms")
+        .select($"ms", Multimodal.audioTokens($"ms", r).as("t"))
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      probes.foreach { ms =>
+        val want = (BigInt(ms) * r + 999) / 1000
+        assert(BigInt(gotX(ms)) == want,
+          s"audioTokens($ms, $r) = ${gotX(ms)}, want $want")
+      }
+    }
   }
 
   test("frame sampling: n rows per video") {

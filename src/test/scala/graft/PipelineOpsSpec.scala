@@ -552,6 +552,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("takedownExecute: mixed flat+partitioned layout is refused loudly before any copy") {
+    import graft.operators.Provenance
+    val base = java.nio.file.Files.createTempDirectory("takedownmix").toString
+    val v1 = base + "/v1"
+    val v2 = base + "/v2"
+    // a partitioned table with a stray flat part file at the root —
+    // the layout a botched manual append produces. Single-footer
+    // partition inference would silently guess here; the guard must
+    // refuse BEFORE any file lands in outDir.
+    spark.range(0, 400)
+      .selectExpr("id", "CAST(id % 2 AS INT) AS site")
+      .write.partitionBy("site").parquet(v1)
+    spark.range(400, 500).selectExpr("id", "CAST(0 AS INT) AS site")
+      .write.mode("append").parquet(v1 + "_flat")
+    // move the flat part file under v1's root
+    val flat = new java.io.File(v1 + "_flat").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(flat.toPath,
+      java.nio.file.Paths.get(v1, "stray-" + flat.getName))
+    val ids = spark.range(0, 10).toDF("id")
+    val ex = intercept[IllegalArgumentException] {
+      Provenance.takedownExecute(spark, v1, v2, "id", ids)
+    }
+    assert(ex.getMessage.contains("mixed partition layouts"), ex.getMessage)
+    assert(!new java.io.File(v2).exists(),
+      "refusal must come before anything is written to outDir")
+    // depth-divergent nesting (site=0/extra=1/...) is refused the same way
+    val v3 = base + "/v3"
+    spark.range(0, 100)
+      .selectExpr("id", "CAST(id % 2 AS INT) AS site", "CAST(1 AS INT) AS extra")
+      .write.partitionBy("site", "extra").parquet(v3)
+    spark.range(100, 120).selectExpr("id", "CAST(9 AS INT) AS site")
+      .write.mode("append").parquet(v3 + "_one")
+    val one = new java.io.File(v3 + "_one").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val destDir = java.nio.file.Paths.get(v3, "site=9")
+    java.nio.file.Files.createDirectories(destDir)
+    java.nio.file.Files.move(one.toPath, destDir.resolve(one.getName))
+    // here Spark's own partition discovery refuses first (conflicting
+    // directory structures at the initial read) — also loud, also
+    // before any copy; either refusal satisfies the contract
+    val ex2 = intercept[Exception] {
+      Provenance.takedownExecute(spark, v3, base + "/v4", "id", ids)
+    }
+    assert(ex2.getMessage.contains("mixed partition layouts")
+      || ex2.getMessage.toLowerCase.contains("conflicting"), ex2.getMessage)
+    assert(!new java.io.File(base + "/v4").exists(),
+      "refusal must come before anything is written to outDir")
+  }
+
   test("knnLabelAgreement: separable clusters agree fully, shuffled labels don't") {
     // two well-separated clusters on orthogonal axes, 8 vectors each
     def vec(axis: Int, jitter: Double): Seq[Float] =

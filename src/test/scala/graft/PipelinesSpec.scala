@@ -372,8 +372,9 @@ class PipelinesSpec extends AnyFunSuite {
     assert(zs("a").getAs[Double]("zipf_slope") == 0.0,
       "a flat 4-token distribution has slope 0 exactly")
 
-    // the registry grew to 43 CALL-able checks
-    assert(graft.sql.GraftChecks.registry.size == 43)
+    // the registry grew to 53 CALL-able checks (r15: the
+    // eval/monitoring family)
+    assert(graft.sql.GraftChecks.registry.size == 53)
   }
 
   test("SQL-callable checks: the dedup/similarity family (near_dedup/ann_topk/split_leakage/source_overlap) from SQL") {
@@ -502,5 +503,131 @@ class PipelinesSpec extends AnyFunSuite {
     assert(cp.length == 3, "every physical file must be assigned to a group")
     assert(cp.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"))).distinct.length == 1,
       "all three small files fit one pack under a large target")
+  }
+
+  test("SQL-callable checks: the r15 eval/monitoring family from SQL") {
+    import org.apache.spark.sql.functions._
+
+    // retrieval_quality + ndcg: a 2-query run against known truth
+    Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7),
+        (2L, 20L, 0.9), (2L, 21L, 0.8))
+      .toDF("qid", "item", "score").createOrReplaceTempView("sqlc_run")
+    Seq((1L, 10L, 2L), (1L, 12L, 1L), (2L, 99L, 1L))
+      .toDF("qid", "item", "gain").createOrReplaceTempView("sqlc_truth")
+    val rq = spark.sql(
+      """CALL graft.retrieval_quality(run => 'sqlc_run', truth => 'sqlc_truth',
+        |  query => 'qid', item => 'item', score => 'score', k => '2')""".stripMargin)
+      .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(rq(1L).getAs[Long]("hits") == 1L && rq(1L).getAs[Double]("rr") == 1.0)
+    assert(rq(2L).getAs[Long]("hits") == 0L && rq(2L).isNullAt(
+      rq(2L).fieldIndex("first_rel_rank")))
+    val nd = spark.sql(
+      """CALL graft.ndcg(run => 'sqlc_run', truth => 'sqlc_truth',
+        |  query => 'qid', item => 'item', score => 'score',
+        |  gain => 'gain', k => '2')""".stripMargin)
+      .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+    // q1: rank1 hit with gain 2, ideal = gains (2,1) at ranks (1,2)
+    assert(nd(1L).getAs[Double]("ndcg") > 0.0 && nd(1L).getAs[Double]("ndcg") < 1.0)
+    assert(nd(2L).isNullAt(nd(2L).fieldIndex("ndcg")) ||
+      nd(2L).getAs[Double]("ndcg") == 0.0)
+
+    // bm25_topk: term-bearing doc outranks the rest
+    Seq((1L, "spark engine shuffles data"), (2L, "pandas frame"),
+        (3L, "spark spark spark")).toDF("doc_id", "text")
+      .createOrReplaceTempView("sqlc_bm")
+    val bm = spark.sql(
+      """CALL graft.bm25_topk(`table` => 'sqlc_bm', id => 'doc_id',
+        |  text => 'text', terms => 'spark', k => '2',
+        |  min_score => '0.000001')""".stripMargin).collect()
+    assert(bm.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+
+    // isotonic: CALL == operator, grouped form keyed per source
+    Seq((0.1, 0, "a"), (0.2, 0, "a"), (0.6, 1, "a"), (0.9, 1, "a"),
+        (0.3, 1, "b"), (0.8, 0, "b"))
+      .toDF("score", "label", "src").createOrReplaceTempView("sqlc_iso")
+    val iso = spark.sql(
+      """CALL graft.isotonic(`table` => 'sqlc_iso', score => 'score',
+        |  label => 'label', lo => '0.0', hi => '1.0', bins => '4')""".stripMargin)
+      .collect()
+    assert(iso.nonEmpty)
+    val ps = iso.map(_.getAs[Double]("calibrated_p"))
+    assert(ps.sameElements(ps.sorted), "PAV mapping must be monotone")
+    val isoBy = spark.sql(
+      """CALL graft.isotonic(`table` => 'sqlc_iso', score => 'score',
+        |  label => 'label', lo => '0.0', hi => '1.0', bins => '4',
+        |  group => 'src')""".stripMargin).collect()
+    assert(isoBy.map(_.getAs[String]("group_key")).toSet == Set("a", "b"))
+
+    // ks_timeline: an injected level shift between two day buckets
+    val tl = (0 until 200).map { i =>
+      val day = i / 100
+      (java.sql.Timestamp.valueOf(s"2024-01-0${day + 1} 00:00:${i % 60}"),
+        if (day == 0) i % 10 * 1.0 else 100.0 + i % 10)
+    }.toDF("t", "v")
+    tl.createOrReplaceTempView("sqlc_tl")
+    val kst = spark.sql(
+      """CALL graft.ks_timeline(`table` => 'sqlc_tl', ts => 't',
+        |  value => 'v', bucket_seconds => '86400')""".stripMargin).collect()
+    assert(kst.length == 1 && kst.head.getAs[Double]("ks_stat") == 1.0,
+      s"disjoint supports across the two days must read KS=1: ${kst.toSeq}")
+
+    // media_census: one row per (kind, group); unknown kind prices NULL
+    Seq(("image", "s1", 32, 32, 0L), ("image", "s1", 16, 16, 0L),
+        ("audio", "s1", 0, 0, 1500L), ("video", "s2", 16, 16, 0L),
+        ("text", "s2", 0, 0, 0L))
+      .toDF("kind", "src", "w", "h", "ms").createOrReplaceTempView("sqlc_mc")
+    val mc = spark.sql(
+      """CALL graft.media_census(`table` => 'sqlc_mc', kind => 'kind',
+        |  group => 'src', width => 'w', height => 'h',
+        |  duration_ms => 'ms')""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(mc(("image", "s1")).getAs[Long]("total_tokens") == (4L + 1L) + (1L + 1L))
+    assert(mc(("audio", "s1")).getAs[Long]("total_tokens") == 75L)
+    assert(mc(("video", "s2")).getAs[Long]("total_tokens") == 8L * 2L)
+    assert(mc(("text", "s2")).isNullAt(
+      mc(("text", "s2")).fieldIndex("total_tokens")))
+
+    // compression: CALL == the operator at the production vocab
+    Seq((1L, "the cat sat on the mat", "a"), (2L, "xyzzy", "b"))
+      .toDF("doc_id", "text", "src").createOrReplaceTempView("sqlc_cmp")
+    val cmp = spark.sql(
+      """CALL graft.compression(`table` => 'sqlc_cmp', group => 'src',
+        |  text => 'text')""".stripMargin).collect()
+    val cmpDirect = graft.operators.TextAnalysis.tokenizerCompressionBy(
+      spark.table("sqlc_cmp"), col("src"), col("text"),
+      graft.functions.BpeVocab.production).collect()
+    assert(cmp.map(_.toSeq).toSet == cmpDirect.map(_.toSeq).toSet)
+    intercept[IllegalArgumentException] {
+      graft.sql.GraftChecks.run(spark, "compression",
+        Map("table" -> "sqlc_cmp", "group" -> "src", "text" -> "text",
+          "vocab" -> "bogus"))
+    }
+
+    // lang_id census: english markers detected
+    Seq("the cat is on the mat and the dog is in the house",
+        "el gato y el perro en la casa").toDF("text")
+      .createOrReplaceTempView("sqlc_li")
+    val li = spark.sql(
+      "CALL graft.lang_id(`table` => 'sqlc_li', text => 'text')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(li.getOrElse("en", 0L) >= 1L, s"english doc must be detected: $li")
+    assert(li.values.sum == 2L)
+
+    // text_quality: per-doc features via CALL
+    val tq = spark.sql(
+      "CALL graft.text_quality(`table` => 'sqlc_cmp', id => 'doc_id', text => 'text')")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(tq(1L).getAs[Long]("n_tokens") == 6L)
+    assert(tq(1L).getAs[Double]("stopword_ratio") > 0.0)
+
+    // pagerank: a 3-node chain ranks the sink highest
+    Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+      .createOrReplaceTempView("sqlc_pr")
+    val pr = spark.sql(
+      "CALL graft.pagerank(`table` => 'sqlc_pr', src => 's', dst => 'd')")
+      .collect()
+    assert(pr.length == 3)
+    val byNode = pr.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byNode(3L) > byNode(1L), s"sink must outrank the source: $byNode")
   }
 }
