@@ -399,6 +399,30 @@ object BpeVocab {
     finally in.close()
   }
 
+  /** The LARGE demonstration vocabulary: 15,971 merges — the same
+    * combined sf0.1 corpus trained under the standard production
+    * stop-at-vocab-size convention (`tools/train_bpe_fast.py` with
+    * min pair count 1) to FULL-VOCABULARY exhaustion: every one of
+    * the 15,187 distinct corpus pre-tokens merges to a single token,
+    * so no further merge is derivable from the public corpus — the
+    * hard ceiling of a zero-egress sandbox, 8.2× [[production]] and
+    * at the foot of the realistic 16k–50k band. Shipped as a second
+    * standard interchange file (`/graft/merges_large.txt`) and loaded
+    * through the SAME [[fromMergesText]] + [[validateMerges]] path,
+    * demonstrating the loader and the q192 tiered-oracle convention
+    * at production |merges| (q205/q206). [[production]] stays the
+    * token family's denomination: re-denominating every oracle to a
+    * 16k-row VALUES replay would multiply the whole Verify budget
+    * for no additional coverage.
+    */
+  lazy val large: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/merges_large.txt")
+    require(in != null, "classpath resource /graft/merges_large.txt is missing")
+    try fromMergesText(
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
   /** The stated pre-tokenizer, identical in both engines. Character
     * classes only, with the whitespace set SPELLED OUT — Java's `\s`
     * and RE2's `\s` disagree on vertical tab (U+000B), so the shared

@@ -89,6 +89,24 @@ object Multimodal {
         format = "synthetic")
     }
 
+  /** Synthesize a REAL `width`×`height` PNG payload (flat-color RGB,
+    * in-memory `javax.imageio` encode) — the fixture-side generator
+    * that lets a corpus with no binary media exercise the REAL
+    * [[probeImage]] decode path end-to-end: generate at known
+    * dimensions, probe, and verify the probe returns them. Small and
+    * deterministic (a flat image deflates to ~a few hundred bytes at
+    * any admissible size).
+    */
+  def synthesizePng(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width.toLong * height <= (1L << 22),
+      s"synthetic PNG dims out of range: ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Header-only image probe: (width, height, format) via the
     * registered `javax.imageio` reader, without decoding pixels —
     * `ImageReader.getWidth/getHeight` read the header only, so a

@@ -338,7 +338,8 @@ object TokenQueries {
     * scores, which keep their own timed rows — so its bench row times
     * the sweep, not a third LM training. */
   val fixtureBacked: Seq[String] = Seq("q190_lm_gate_sweep",
-    "q199_neardup_token_accounting", "q200_neardup_mixture_plan")
+    "q199_neardup_token_accounting", "q200_neardup_mixture_plan",
+    "q204_real_decode_census")
 
   def q190LmGateSweep(spark: SparkSession, d: String): DataFrame = {
     val perDoc = QueryFixtures.ensure(spark, d, "q190_lm_scores",
@@ -1007,6 +1008,138 @@ object TokenQueries {
        |FROM t GROUP BY kind, source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q204 — REAL-decode media census (the image leg priced from real
+  // decoded dimensions): the fixture synthesizes an actual PNG per
+  // image-rotation doc at dimensions derived from the portable
+  // md5-prefix integer, then runs the REAL decodeFeatures path —
+  // javax.imageio header probe, batched mapPartitions — over those
+  // payloads and persists what the PROBE returned. The census prices
+  // ViT patch tokens from the probed width/height; the oracle
+  // restates the GENERATOR arithmetic (dims from md5). A hash match
+  // therefore proves the real decode round-trips: if the ImageIO
+  // probe misread any header — or silently fell back to the stub
+  // (format would read 'synthetic', dims would be hash-derived) —
+  // n_png and every token total would diverge. This replaces q201/
+  // q203's stand-in-dimension convention with decodeFeatures' probed
+  // values on the image leg, oracle-checked.
+  // ---------------------------------------------------------------
+  private def q204MediaDimsFixture(
+      spark: SparkSession, d: String, owner: String): DataFrame =
+    QueryFixtures.ensure(spark, d, "q204_media_dims", owner) {
+      import spark.implicits._
+      val M = graft.operators.Multimodal
+      val p = graft.functions.Md5Expressions.md5PrefixLong(col("text"), 8)
+      val media = Tables.documents(spark, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 0 &&
+          col("source").isNotNull && col("text").isNotNull)
+        .select(col("doc_id").as("_1"), col("source").as("_2"),
+          (lit(16L) + pmod(p, lit(256L))).cast("int").as("_3"),
+          (lit(16L) + pmod(shiftright(p, 8), lit(256L))).cast("int").as("_4"))
+        .as[(Long, String, Int, Int)]
+        .map { case (id, src, w, h) =>
+          // fully-qualified object calls: a local alias val would be
+          // captured into the closure and the module object is not
+          // Serializable
+          graft.operators.Multimodal.MediaItem(id, "image",
+            graft.operators.Multimodal.synthesizePng(w, h), src) }
+        .toDF()
+      M.decodeFeatures(spark, media, partitions = 32)
+        .select(col("media_id"), col("width"), col("height"), col("format"))
+    }
+
+  def q204RealDecodeCensus(spark: SparkSession, d: String): DataFrame = {
+    val M = graft.operators.Multimodal
+    val dims = q204MediaDimsFixture(spark, d, "q204_real_decode_census")
+    dims.join(
+        Tables.documents(spark, d)
+          .select(col("doc_id").as("media_id"), col("source")),
+        Seq("media_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum(when(col("format") === "png", 1L).otherwise(0L)).as("n_png"),
+        sum(M.patchTokens(col("width"), col("height"), PatchSize))
+          .as("total_patch_tokens"))
+  }
+
+  val q204Sql: String =
+    s"""WITH imp AS (
+       |  SELECT source, CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) AS p
+       |  FROM documents
+       |  WHERE doc_id % 3 = 0 AND source IS NOT NULL AND text IS NOT NULL)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_images,
+       |  CAST(COUNT(*) AS BIGINT) AS n_png,
+       |  CAST(SUM(${patchTokensSql("16 + p % 256", "16 + (p // 256) % 256")})
+       |    AS BIGINT) AS total_patch_tokens
+       |FROM imp GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q205 — the LARGE (15,971-merge) vocabulary demonstrated under
+  // the q192 tiered-oracle convention, on a genuinely OUT-OF-
+  // VOCABULARY surface: order keys as digit strings. The training
+  // corpus (name/props text) never saw bare order keys, so each
+  // sampled number tokenizes through PARTIAL digit-run merges —
+  // fertility lands strictly between 1 and the digit count, the
+  // regime where a wrong merge-loop step at production |merges|
+  // would actually move a result. The md5 slice (mod 256, ~55 words
+  // at sf0.01) keeps the oracle's 15,971-row VALUES replay at ~2 s;
+  // the engine encode is |merges|-insensitive (per-thread word memo).
+  // ---------------------------------------------------------------
+  def q205LargeVocabFertility(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(col("o_orderkey").cast("string").as("word"))
+      .filter(graft.functions.Md5Expressions.md5PrefixLong(
+        col("word"), 8, 256) === 0L)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("bpe_tokens",
+        Bpe.bpeTokenCount(col("word"), BpeVocab.large).cast("long"))
+      .withColumn("n_chars", length(col("word")).cast("long"))
+
+  val q205Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes(BpeVocab.large,
+         table = "(SELECT o_orderkey AS doc_id, " +
+           "CAST(o_orderkey AS VARCHAR) AS text FROM orders)",
+         wordPredicate =
+           "CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) % 256 = 0")},
+       |sw AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+       |  FROM words
+       |  WHERE CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) % 256 = 0
+       |  GROUP BY w)
+       |SELECT sw.w AS word, sw.n_occurrences, k.nt AS bpe_tokens,
+       |  CAST(len(sw.w) AS BIGINT) AS n_chars
+       |FROM sw JOIN wtok k USING (w)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q206 — tokenizer compression ratio at the LARGE vocabulary: the
+  // q202 dag re-denominated in BpeVocab.large — the bytes-per-token
+  // comparison row a tokenizer swap is judged on (1956-merge
+  // production vs 15,971-merge large over the same corpus). The
+  // oracle's full replay stays cheap because documents carry only
+  // ~31 distinct words — replay is distinct-word-bounded, |merges|
+  // multiplies the per-step scan only.
+  // ---------------------------------------------------------------
+  def q206LargeVocabCompression(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenizerCompressionBy(
+      Tables.documents(spark, d), col("source"), col("text"),
+      BpeVocab.large)
+      .withColumnRenamed("group_key", "source")
+
+  val q206Sql: String =
+    s"""WITH RECURSIVE ${BpeVocab.docTokensCtes(BpeVocab.large)}
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(octet_length(encode(d.text))) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(t.bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       |  CASE WHEN SUM(t.bpe_tokens) > 0 THEN
+       |    CAST(SUM(octet_length(encode(d.text))) AS DOUBLE)
+       |      / CAST(SUM(t.bpe_tokens) AS DOUBLE)
+       |  END AS bytes_per_token
+       |FROM documents d JOIN dtok t USING (doc_id)
+       |WHERE d.source IS NOT NULL AND d.text IS NOT NULL
+       |GROUP BY d.source""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -1029,7 +1162,10 @@ object TokenQueries {
     "q200_neardup_mixture_plan" -> (q200NearDupMixturePlan _),
     "q201_multimodal_mixture_plan" -> (q201MultimodalMixturePlan _),
     "q202_tokenizer_compression" -> (q202TokenizerCompression _),
-    "q203_media_token_census" -> (q203MediaTokenCensus _))
+    "q203_media_token_census" -> (q203MediaTokenCensus _),
+    "q204_real_decode_census" -> (q204RealDecodeCensus _),
+    "q205_large_vocab_fertility" -> (q205LargeVocabFertility _),
+    "q206_large_vocab_compression" -> (q206LargeVocabCompression _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -1052,5 +1188,8 @@ object TokenQueries {
     "q200_neardup_mixture_plan" -> q200Sql,
     "q201_multimodal_mixture_plan" -> q201Sql,
     "q202_tokenizer_compression" -> q202Sql,
-    "q203_media_token_census" -> q203Sql)
+    "q203_media_token_census" -> q203Sql,
+    "q204_real_decode_census" -> q204Sql,
+    "q205_large_vocab_fertility" -> q205Sql,
+    "q206_large_vocab_compression" -> q206Sql)
 }

@@ -157,4 +157,28 @@ class BpeSpec extends AnyFunSuite {
       .select(Bpe.bpeTokens($"text", prod)).head().getSeq[String](0).toSeq
     assert(viaCol == enc.encode("customer#987654321 building").toSeq)
   }
+
+  test("large vocab: 15,971 merges through fromMergesText; production is its exact prefix") {
+    val large = BpeVocab.large
+    assert(large.size == 15971, s"large table has ${large.size} merges")
+    BpeVocab.validateMerges(large) // idempotent re-check
+    // the two tables are the SAME training run up to the min-count
+    // stop: production (min pair count 2) is the exact prefix of
+    // large (min count 1) — any divergence means the trainers or the
+    // shipped files drifted
+    val prod = BpeVocab.production
+    assert(large.take(prod.size) == prod,
+      "production must be the exact rank prefix of the large table")
+    // every corpus word fully merges under the large table
+    // (full-vocabulary exhaustion), including the single-occurrence
+    // entity names that stay multi-token under production
+    val enc = new BpeEncoder(large)
+    assert(enc.encode("customer window stream").toSeq
+      == Seq("customer", "window", "stream"))
+    // an out-of-vocabulary digit run still tokenizes PARTIALLY —
+    // the q205 surface
+    val toks = enc.encode("987654321987")
+    assert(toks.length > 1 && toks.mkString == "987654321987",
+      s"expected partial merge of an unseen digit run, got ${toks.toSeq}")
+  }
 }
