@@ -1312,6 +1312,123 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(maintained.nonEmpty)
   }
 
+  test("one-job streaming curation: keep-list + token log + compression census + mixture plan from ONE foreachBatch == batch") {
+    // VERDICT r14 item 6: the maintained surfaces composed into ONE
+    // foreachBatch pipeline over a SHARED ingest batch — each arriving
+    // batch is tokenized once and that single pass feeds (a) the
+    // keep-list fold, (b) the append-only per-doc token log, and
+    // (c) the mergeable compression-census partials. After any number
+    // of batches, BOTH downstream decision surfaces — the near-dup-
+    // adjusted mixture plan and the bytes-per-token compression table
+    // — must equal their batch compositions over everything seen.
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Dedup, Sampling, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    val merges = graft.functions.BpeVocab.default
+    val budget = 50000L
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"source", $"text", $"n_chars").persist()
+    val scores = docs.select($"doc_id", $"n_chars".cast("double").as("score"))
+    val dir = java.nio.file.Files.createTempDirectory("stream_onejob").toString
+    val w = Window.partitionBy($"cluster_id").orderBy($"score".desc, $"doc_id".asc)
+    // ONE tokenization per arriving doc; both the token log and the
+    // census partials project from this shared frame
+    def tokenized(batch: org.apache.spark.sql.DataFrame) =
+      batch.filter($"source".isNotNull && $"text".isNotNull)
+        .select($"doc_id", $"source",
+          graft.functions.Bpe.bpeTokenCount($"text", merges)
+            .cast("long").as("bpe_tokens"),
+          octet_length($"text").cast("long").as("bytes"))
+    def censusRows(tok: org.apache.spark.sql.DataFrame) =
+      tok.select($"source".as("group_key"), lit(1L).as("n_docs"),
+        $"bpe_tokens".as("total_tokens"), $"bytes".as("total_bytes"))
+    val b0 = docs.filter($"doc_id" % 3 === 0)
+    val (p0, s0) = Dedup.lshNearDupPairsWithSignatures(
+      b0, "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    Dedup.duplicateClusters(p0, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"cluster_id", $"cluster_size")
+      .join(scores, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "cluster_size", "score", "keep")
+      .write.parquet(s"$dir/state_v0")
+    s0.write.parquet(s"$dir/sigs_v0"); s0.unpersist()
+    val t0 = tokenized(b0).persist()
+    t0.select($"doc_id", $"source", $"bpe_tokens")
+      .write.parquet(s"$dir/tokens")
+    censusRows(t0).write.parquet(s"$dir/census")
+    t0.unpersist()
+    var version = 0
+    val stream = MemoryStream[(Long, String, String)]
+    val sq = stream.toDF().toDF("doc_id", "source", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val state = spark.read.parquet(s"$dir/state_v$version")
+        val sigs = spark.read.parquet(s"$dir/sigs_v$version")
+        val (updated, newSigs) = Dedup.foldIntoClusterKeepList(
+          state, sigs, scores, batch, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        version += 1
+        updated.write.parquet(s"$dir/state_v$version")
+        sigs.unionByName(newSigs).write.parquet(s"$dir/sigs_v$version")
+        newSigs.unpersist()
+        val tok = tokenized(batch).persist()
+        tok.select($"doc_id", $"source", $"bpe_tokens")
+          .write.mode("append").parquet(s"$dir/tokens")
+        censusRows(tok).write.mode("append").parquet(s"$dir/census")
+        tok.unpersist()
+        ()
+      }
+      .start()
+    def third(k: Int) = docs.filter($"doc_id" % 3 === k)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    stream.addData(third(1)); sq.processAllAvailable()
+    stream.addData(third(2)); sq.processAllAvailable()
+    sq.stop()
+    assert(version == 2, s"two folds expected, got $version")
+    // surface 1: the near-dup-adjusted mixture plan
+    val maintainedPlan = Sampling.mixturePlanFromKeepList(
+        spark.read.parquet(s"$dir/tokens"),
+        spark.read.parquet(s"$dir/state_v$version"), "doc_id",
+        $"source", $"bpe_tokens", budget)
+      .collect().map(r => r.getAs[String]("group_key") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Double]("target_tokens"), r.getAs[Double]("epochs"))).toMap
+    // surface 2: bytes-per-token compression from the census partials
+    val maintainedCmp = TextAnalysis.compressionFromCensus(
+        spark.read.parquet(s"$dir/census"))
+      .collect().map(r => r.getAs[String]("group_key") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_bytes"),
+          r.getAs[Long]("total_bpe_tokens"),
+          r.getAs[Double]("bytes_per_token"))).toMap
+    // batch compositions over everything seen
+    val (pAll, sAll) = Dedup.lshNearDupPairsWithSignatures(
+      docs, "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    val dropped = Dedup.duplicateClusters(pAll, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"cluster_id")
+      .join(scores, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .filter(!$"keep").select("doc_id")
+    val batchPlan = Sampling.temperatureMixturePlan(
+        tokenized(docs).join(dropped, Seq("doc_id"), "left_anti"),
+        $"source", $"bpe_tokens", budget)
+      .collect().map(r => r.getAs[String]("group_key") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Double]("target_tokens"), r.getAs[Double]("epochs"))).toMap
+    val batchCmp = TextAnalysis.tokenizerCompressionBy(
+        docs, $"source", $"text", merges)
+      .collect().map(r => r.getAs[String]("group_key") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_bytes"),
+          r.getAs[Long]("total_bpe_tokens"),
+          r.getAs[Double]("bytes_per_token"))).toMap
+    sAll.unpersist(); docs.unpersist()
+    assert(maintainedPlan == batchPlan,
+      "one-job maintained mixture plan must equal the batch composition")
+    assert(maintainedCmp == batchCmp,
+      "one-job maintained compression census must equal the batch run")
+    assert(maintainedPlan.nonEmpty && maintainedCmp.nonEmpty)
+  }
+
   test("streaming semantic screen admits exactly what the batch anti-join admits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
