@@ -194,6 +194,34 @@ object Similarity {
     * Approximate: a true neighbor in an unprobed cell is missed —
     * recall vs [[annJoinBrute]] is pinned in the spec, not an oracle.
     */
+  /** Smallest power of two `p` with `p·p ≥ n`, clamped to
+    * `[1, cap]` — the auto-nlist rule (`nlist = 0` in the IVF entry
+    * points). `p ≈ √n` cells balance the two cost legs: centroid
+    * assignment is `n·p` dot products and the probed cell join is
+    * `~nprobe · |Q| · n/p` pairs — both `~n^1.5` at `p = √n` with
+    * nprobe FIXED, where a fixed nlist leaves the cell join fully
+    * quadratic once both sides grow with the corpus (measured at the
+    * r15 10× rehearsal: ×42 growth for the fixed-16 config vs ×7.4
+    * suite-wide — SCALE.md). The cap bounds the literal-centroid
+    * expression tree of the SAMPLED variant (cap·dim literals must
+    * stay codegen-friendly); beyond the cap, move to [[annJoinIvf]]'s
+    * k-means/table centroids. Integer-exact (doubling loop, no
+    * floats) so an oracle can restate the rule portably.
+    */
+  def autoNlist(n: Long, cap: Int = 256): Int = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    var p = 1L
+    while (p * p < n && p < cap) p *= 2
+    math.min(p, cap).toInt
+  }
+
+  /** `nlist = 0` → [[autoNlist]] of the corpus count (one count job —
+    * config-vs-data decided at plan time, the adaptive-crossover
+    * discipline); explicit values pass through unchanged. */
+  private def resolveNlist(corpus: DataFrame, nlist: Int): Int =
+    if (nlist == 0) autoNlist(corpus.count())
+    else { require(nlist >= 1, s"nlist must be >= 1 (or 0 = auto), got $nlist"); nlist }
+
   def annJoinIvf(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
@@ -203,7 +231,7 @@ object Similarity {
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
       .persist()
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setDistanceMeasure("cosine")
+      .setK(resolveNlist(feats, nlist)).setSeed(seed).setDistanceMeasure("cosine")
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(feats)
     val assigned = model.transform(feats).select(
@@ -219,7 +247,8 @@ object Similarity {
         .select(col("query_id"), col("_qv"),  // separate select: centScores
           // references _qv, which may not be a lateral alias under explode
           explode(transform(
-            slice(reverse(array_sort(centScores)), 1, nprobe),
+            slice(reverse(array_sort(centScores)), 1,
+              math.min(nprobe, model.clusterCenters.length)),
             sc => sc.getField("c"))).as("cell")))
     val out = topKPerQuery(
       assigned.join(probes, "cell")
@@ -259,8 +288,10 @@ object Similarity {
       nlist: Int, nprobe: Int,
       carryQuery: Seq[(String, String)] = Nil,
       carryCorpus: Seq[(String, String)] = Nil): DataFrame = {
+    val nl = resolveNlist(corpus, nlist)
+    val np = math.min(nprobe, nl)
     val cents: Seq[(Int, Seq[Double])] = corpus
-      .orderBy(col(idCol)).limit(nlist)
+      .orderBy(col(idCol)).limit(nl)
       .select(col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) => i -> rowVecToDoubles(r) }.toSeq
     def centCol(c: Seq[Double]): Column = array(c.map(lit): _*)
@@ -296,7 +327,7 @@ object Similarity {
           (Seq(col("query_id"), col("_qv"), col("_qn")) ++
             carryQuery.map { case (_, out) => col(out) } :+
             explode(transform(
-              slice(reverse(array_sort(centScores(col("_qv"), col("_qn")))), 1, nprobe),
+              slice(reverse(array_sort(centScores(col("_qv"), col("_qn")))), 1, np),
               sc => sc.getField("c"))).as("cell")): _*))
     assigned.join(probes, "cell")
       .select(

@@ -112,6 +112,39 @@ class SkewIvfSpec extends AnyFunSuite {
     assert(ivf.map(_._1).toSet.intersect(brute10).size >= 2)
   }
 
+  test("autoNlist: smallest power of two with p*p >= n, capped; auto IVF == explicit at the derived value") {
+    import graft.operators.Similarity
+    // the integer rule at its boundaries
+    assert(Similarity.autoNlist(0) == 1)
+    assert(Similarity.autoNlist(1) == 1)
+    assert(Similarity.autoNlist(2) == 2)
+    assert(Similarity.autoNlist(4) == 2)
+    assert(Similarity.autoNlist(5) == 4)
+    assert(Similarity.autoNlist(16) == 4)
+    assert(Similarity.autoNlist(17) == 8)
+    assert(Similarity.autoNlist(5700) == 128)
+    assert(Similarity.autoNlist(57000) == 256)
+    assert(Similarity.autoNlist(Long.MaxValue) == 256, "cap binds")
+    assert(Similarity.autoNlist(Long.MaxValue, cap = 1024) == 1024)
+    // nlist = 0 resolves to autoNlist(corpus count) and produces the
+    // IDENTICAL result to passing that value explicitly
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val c = emb.filter($"vec_id" % 20 =!= 0)
+    val derived = Similarity.autoNlist(c.count())
+    val auto = Similarity.annJoinIvfSampled(
+      q, c, "vec_id", "embedding", k = 3, nlist = 0, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val explicit = Similarity.annJoinIvfSampled(
+      q, c, "vec_id", "embedding", k = 3, nlist = derived, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(auto == explicit && auto.nonEmpty)
+    // nprobe larger than the resolved nlist clamps instead of failing
+    val clamped = Similarity.annJoinIvfSampled(
+      q, c, "vec_id", "embedding", k = 3, nlist = 2, nprobe = 64)
+    assert(clamped.count() > 0)
+  }
+
   test("ivfTopKKMeans: trained centroids, exact cosines from probed cells, decent recall") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter($"vec_id" === 0).select($"embedding").head()
