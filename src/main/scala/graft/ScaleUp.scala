@@ -102,15 +102,16 @@ object ScaleUp {
     val eStride = pow10Above(maxOf(events, "event_id"))
     val uStride = pow10Above(maxOf(events, "user_id"))
 
-    def write(df: DataFrame, name: String, parts: Int): Unit = {
+    def write(df: DataFrame, name: String, parts: Int,
+        factor: Int = copies): Unit = {
       df.repartition(parts).write.mode("overwrite")
         .parquet(s"$dest/$name.parquet")
-      println(s"[scaleup] wrote $name x$copies")
+      println(s"[scaleup] wrote $name x$factor")
     }
 
     // dimensions: copied once
-    write(Tables.region(spark, src), "region", 1)
-    write(Tables.nation(spark, src), "nation", 1)
+    write(Tables.region(spark, src), "region", 1, factor = 1)
+    write(Tables.nation(spark, src), "nation", 1, factor = 1)
 
     write(replicate(customer, copies, Map("c_custkey" -> cStride)),
       "customer", copies)

@@ -210,9 +210,12 @@ object Similarity {
     */
   def autoNlist(n: Long, cap: Int = 256): Int = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
+    // doubling stops while staying <= cap, so the result is a power
+    // of two for ANY cap value (clamping after the fact could return
+    // a non-power-of-two cap)
     var p = 1L
-    while (p * p < n && p < cap) p *= 2
-    math.min(p, cap).toInt
+    while (p * p < n && p * 2 <= cap) p *= 2
+    p.toInt
   }
 
   /** `nlist = 0` → [[autoNlist]] of the corpus count (one count job —

@@ -685,15 +685,17 @@ object GraftChecks {
 
     // tokenizer compression ratio — UTF-8 bytes per BPE token per
     // group (the q202 surface); vocab selects the merge table:
-    // 'production' (classpath merges.txt) or 'seed' (the small
-    // bootstrap table)
-    "compression" -> (("table, group (expr), text (expr)[, vocab (production|seed)]",
+    // 'production' (classpath merges.txt, 1,956 merges), 'large'
+    // (merges_large.txt, 15,971) or 'seed' (the small bootstrap
+    // table)
+    "compression" -> (("table, group (expr), text (expr)[, vocab (production|large|seed)]",
       (s: SparkSession, a: Map[String, String]) => {
         val vocab = a.get("vocab").map(_.trim.toLowerCase).getOrElse("production") match {
           case "production" => graft.functions.BpeVocab.production
+          case "large" => graft.functions.BpeVocab.large
           case "seed" => graft.functions.BpeVocab.default
           case other => throw new IllegalArgumentException(
-            s"graft.compression: unknown vocab '$other' (production, seed)")
+            s"graft.compression: unknown vocab '$other' (production, large, seed)")
         }
         graft.operators.TextAnalysis.tokenizerCompressionBy(
           s.table(need(a, "table", "compression")),
