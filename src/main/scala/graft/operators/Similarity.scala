@@ -262,6 +262,106 @@ object Similarity {
     out
   }
 
+  /** [[annJoinIvfSampled]]'s cell machinery driven by a CENTROID
+    * TABLE — the variant that lifts the literal-centroid ceiling
+    * ([[autoNlist]]'s cap): the sampled/k-means forms inline every
+    * centroid as array literals in the assignment expression, which
+    * is codegen-friendly to a few hundred cells; an index with tens
+    * of thousands of cells needs the centroids as DATA. The table
+    * (`cell INT, centroid ARRAY<FLOAT|DOUBLE>`) is config-sized by
+    * definition (an index has thousands of cells, not billions), so
+    * it is collected once and broadcast; assignment and probing run
+    * as tight JVM loops over the broadcast array inside
+    * `mapPartitions` — the one place the expression form genuinely
+    * cannot express the semantics (a 65k-literal projection breaks
+    * whole-stage codegen), and the same shape MLlib's own
+    * `KMeansModel.transform` uses internally. Scoring inside probed
+    * cells stays expression-based (hoisted-norm cosine), and every
+    * double is bit-identical to the literal variant: exact float→
+    * double casts, the same element-order summations, the same
+    * (s DESC, cell DESC) tie order — spec-pinned equal to
+    * [[annJoinIvfSampled]] on a shared centroid set (SkewIvfSpec).
+    *
+    * Ids must be integral (cast to long); pass any centroid source —
+    * the id-ordered sample, persisted k-means centers, an externally
+    * trained codebook.
+    */
+  def annJoinIvfCentroids(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Array[(Int, Array[Double])] = centroids
+      .select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map { r =>
+        r.getInt(0) -> r.getSeq[Any](1).map {
+          case f: java.lang.Float  => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+          case other => throw new IllegalArgumentException(
+            s"centroid element must be float/double, got ${other.getClass}")
+        }.toArray
+      }.sortBy(_._1)
+    require(cents.nonEmpty, "centroid table is empty")
+    require(cents.map(_._1).distinct.length == cents.length,
+      "duplicate cell ids in the centroid table")
+    val np = math.min(nprobe, cents.length)
+    // centroid norms once, driver-side (same sqrt-of-ordered-sum dag
+    // as l2Norm, so cosines below match the expression form bitwise)
+    def normOf(v: Array[Double]): Double = {
+      var a = 0.0; var i = 0
+      while (i < v.length) { a += v(i) * v(i); i += 1 }
+      math.sqrt(a)
+    }
+    val bc = spark.sparkContext.broadcast(
+      cents.map { case (c, v) => (c, v, normOf(v)) })
+    // top `take` cells by (cosine DESC, cell DESC) — the literal
+    // variant's array_sort/array_max struct order, nulls (zero norm
+    // or dim mismatch) last
+    def bestCells(vec: Array[Double], take: Int): Seq[Int] = {
+      val vn = normOf(vec)
+      val scored = bc.value.map { case (c, ct, on) =>
+        val s: java.lang.Double =
+          if (ct.length != vec.length || vn <= 0 || on <= 0) null
+          else {
+            var d = 0.0; var i = 0
+            while (i < vec.length) { d += vec(i) * ct(i); i += 1 }
+            java.lang.Double.valueOf(d / (vn * on))
+          }
+        (s, c)
+      }
+      scored.sortWith { case ((s1, c1), (s2, c2)) =>
+        if (s1 == null && s2 == null) c1 > c2
+        else if (s1 == null) false
+        else if (s2 == null) true
+        else if (s1.doubleValue != s2.doubleValue) s1.doubleValue > s2.doubleValue
+        else c1 > c2
+      }.take(take).map(_._2).toSeq
+    }
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("_1"),
+        col(vecCol).cast("array<double>").as("_2"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, v, bestCells(v, 1).head) })
+      .toDF("neighbor_id", "_cv", "cell")
+    val probes = broadcast(queries
+      .select(col(idCol).cast("long").as("_1"),
+        col(vecCol).cast("array<double>").as("_2"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        bestCells(v, np).map(c => (id, v, c)) })
+      .toDF("query_id", "_qv", "cell"))
+    val scored = assigned
+      .withColumn("_cn", l2Norm(col("_cv")))
+      .join(probes.withColumn("_qn", l2Norm(col("_qv"))), "cell")
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("_cn") > 0 && col("_qn") > 0,
+          dotProduct(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+          .otherwise(lit(null).cast("double")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** [[annJoinIvf]] with DETERMINISTIC id-ordered-sample centroids
     * instead of k-means — same assignment (argmax cosine), same
     * per-query probe expression, same cell equi-join, but every step

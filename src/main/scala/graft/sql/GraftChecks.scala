@@ -450,17 +450,33 @@ object GraftChecks {
 
     // approximate nearest neighbors (the q44/q58 surface): IVF cell
     // equi-join of a query table against a corpus table on an
-    // Array[Float] embedding column — never a cartesian
-    "ann_topk" -> (("queries, corpus, id, vec (array<float> col), k[, nlist][, nprobe]",
-      (s: SparkSession, a: Map[String, String]) =>
-        graft.operators.Similarity.annJoinIvf(
-          s.table(need(a, "queries", "ann_topk")),
-          s.table(need(a, "corpus", "ann_topk")),
-          need(a, "id", "ann_topk"),
-          need(a, "vec", "ann_topk"),
-          need(a, "k", "ann_topk").trim.toInt,
-          nlist = a.get("nlist").map(_.trim.toInt).getOrElse(16),
-          nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4)))),
+    // Array[Float] embedding column — never a cartesian. nlist '0'
+    // derives the sqrt(n) cell count (Similarity.autoNlist); pass
+    // `centroids` (a catalog table of cell INT, centroid ARRAY) to
+    // use a persisted codebook instead of k-means — the form that
+    // scales past the literal-centroid cap
+    "ann_topk" -> (("queries, corpus, id, vec (array<float> col), k" +
+      "[, nlist (0 = auto)][, nprobe][, centroids (catalog table)]",
+      (s: SparkSession, a: Map[String, String]) => a.get("centroids") match {
+        case Some(ct) =>
+          graft.operators.Similarity.annJoinIvfCentroids(
+            s.table(need(a, "queries", "ann_topk")),
+            s.table(need(a, "corpus", "ann_topk")),
+            s.table(ct),
+            need(a, "id", "ann_topk"),
+            need(a, "vec", "ann_topk"),
+            need(a, "k", "ann_topk").trim.toInt,
+            nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4))
+        case None =>
+          graft.operators.Similarity.annJoinIvf(
+            s.table(need(a, "queries", "ann_topk")),
+            s.table(need(a, "corpus", "ann_topk")),
+            need(a, "id", "ann_topk"),
+            need(a, "vec", "ann_topk"),
+            need(a, "k", "ann_topk").trim.toInt,
+            nlist = a.get("nlist").map(_.trim.toInt).getOrElse(16),
+            nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4))
+      })),
 
     // train/test leakage census (the q95 surface): one row of counts,
     // or the per-group offender list with offenders => 'true'. Pass

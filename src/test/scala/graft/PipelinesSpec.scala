@@ -406,6 +406,17 @@ class PipelinesSpec extends AnyFunSuite {
     assert(ann.length == 2)
     assert(ann.head.getAs[Long]("neighbor_id") == 1L
       && ann.head.getAs[Double]("cosine") > 0.999)
+    // the persisted-codebook form: centroids as a catalog table
+    Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)))
+      .toDF("cell", "centroid").createOrReplaceTempView("sqlc_cents")
+    val annCt = spark.sql(
+      """CALL graft.ann_topk(queries => 'sqlc_q', corpus => 'sqlc_c',
+        |  id => 'id', vec => 'emb', k => '2', nprobe => '2',
+        |  centroids => 'sqlc_cents')""".stripMargin)
+      .orderBy($"cosine".desc).collect()
+    assert(annCt.length == 2)
+    assert(annCt.head.getAs[Long]("neighbor_id") == 1L
+      && annCt.head.getAs[Double]("cosine") > 0.999)
 
     // split_leakage: CALL == the operator, and the offender list names
     // the straddling group

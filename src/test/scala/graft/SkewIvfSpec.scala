@@ -145,6 +145,51 @@ class SkewIvfSpec extends AnyFunSuite {
     assert(clamped.count() > 0)
   }
 
+  test("annJoinIvfCentroids: centroid-TABLE variant == literal-sampled variant; works past the literal cap") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val c = emb.filter($"vec_id" % 20 =!= 0)
+    // the sampled variant's centroid set, materialized AS A TABLE:
+    // id-ordered first nlist corpus vectors, cell = sample position
+    def centTable(nlist: Int) = {
+      val rows = c.orderBy($"vec_id").limit(nlist)
+        .select($"embedding").collect()
+        .zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Float](0).map(_.toDouble)) }.toSeq
+      rows.toDF("cell", "centroid")
+    }
+    val viaTable = Similarity.annJoinIvfCentroids(
+      q, c, centTable(16), "vec_id", "embedding", k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaLiterals = Similarity.annJoinIvfSampled(
+      q, c, "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaTable == viaLiterals,
+      "table-centroid IVF must equal the literal variant bit-for-bit on a shared centroid set")
+    assert(viaTable.nonEmpty)
+    // past the literal-expression cap: 512 cells works as data (the
+    // literal form would inline 512×64 array literals)
+    val big = Similarity.annJoinIvfCentroids(
+      q, c, centTable(512), "vec_id", "embedding", k = 3, nprobe = 8)
+    val perQuery = big.groupBy($"query_id").count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) <= 3))
+    // cosines are exact (probing prunes candidates, never alters
+    // scores): every reported cosine matches the brute pair score
+    val brute = Similarity.annJoinBrute(
+      q, c, "vec_id", "embedding", k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    big.collect().foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+    // duplicate cell ids are refused loudly
+    intercept[IllegalArgumentException] {
+      Similarity.annJoinIvfCentroids(q, c,
+        Seq((0, Seq(1.0)), (0, Seq(2.0))).toDF("cell", "centroid"),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+    }
+  }
+
   test("ivfTopKKMeans: trained centroids, exact cosines from probed cells, decent recall") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter($"vec_id" === 0).select($"embedding").head()
