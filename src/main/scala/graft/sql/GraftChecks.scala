@@ -705,19 +705,12 @@ object GraftChecks {
     // (merges_large.txt, 15,971) or 'seed' (the small bootstrap
     // table)
     "compression" -> (("table, group (expr), text (expr)[, vocab (production|large|seed)]",
-      (s: SparkSession, a: Map[String, String]) => {
-        val vocab = a.get("vocab").map(_.trim.toLowerCase).getOrElse("production") match {
-          case "production" => graft.functions.BpeVocab.production
-          case "large" => graft.functions.BpeVocab.large
-          case "seed" => graft.functions.BpeVocab.default
-          case other => throw new IllegalArgumentException(
-            s"graft.compression: unknown vocab '$other' (production, large, seed)")
-        }
+      (s: SparkSession, a: Map[String, String]) =>
         graft.operators.TextAnalysis.tokenizerCompressionBy(
           s.table(need(a, "table", "compression")),
           expr(need(a, "group", "compression")),
-          expr(need(a, "text", "compression")), vocab)
-      })),
+          expr(need(a, "text", "compression")),
+          vocabArg(a, "compression")))),
 
     // n-gram-heuristic language census: docs per detected language
     "lang_id" -> (("table, text (expr)",
@@ -748,7 +741,84 @@ object GraftChecks {
           expr(need(a, "dst", "pagerank")),
           iterations = a.get("iterations").map(_.trim.toInt).getOrElse(3),
           dampingPermille =
-            a.get("damping_permille").map(_.trim.toLong).getOrElse(850L)))))
+            a.get("damping_permille").map(_.trim.toLong).getOrElse(850L)))),
+
+    // ----- the curation family (r15 part 2: the q10/q42/q43/q66/q74/
+    // q97 funnel stages made CALL-able) -----
+
+    // exact-content duplicate groups (the q10 surface)
+    "dedup_exact" -> (("table, id, content (expr)",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Dedup.exactDuplicateGroups(
+          s.table(need(a, "table", "dedup_exact")),
+          need(a, "id", "dedup_exact"),
+          expr(need(a, "content", "dedup_exact"))))),
+
+    // drop corpus docs sharing >= min_overlap exact n-gram shingles
+    // with a benchmark table (the q42 decontamination surface)
+    "decontaminate" -> (("corpus, bench (catalog tables), id, text, n[, min_overlap]",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Decontamination.decontaminate(
+          s.table(need(a, "corpus", "decontaminate")),
+          s.table(need(a, "bench", "decontaminate")),
+          need(a, "id", "decontaminate"),
+          need(a, "text", "decontaminate"),
+          need(a, "n", "decontaminate").trim.toInt,
+          minOverlap = a.get("min_overlap").map(_.trim.toLong).getOrElse(1L)))),
+
+    // ordered-rule PII redaction with per-pattern match counts (the
+    // q43 surface; the shipped default pattern set)
+    "redact_pii" -> (("table, id, text",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Redaction.redactPii(
+          s.table(need(a, "table", "redact_pii")),
+          need(a, "id", "redact_pii"),
+          need(a, "text", "redact_pii")))),
+
+    // word-boundary chunks of ~budget BPE tokens per document (the
+    // q66/q183 surface); vocab as in `compression`
+    "chunk_tokens" -> (("table, id, text, budget[, vocab (production|large|seed)]",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.TextAnalysis.chunkByTokenBudget(
+          s.table(need(a, "table", "chunk_tokens")),
+          need(a, "id", "chunk_tokens"),
+          need(a, "text", "chunk_tokens"),
+          need(a, "budget", "chunk_tokens").trim.toInt,
+          vocabArg(a, "chunk_tokens")))),
+
+    // deterministic hash-ordered sample cut at a weight budget (the
+    // q97 surface): keep rows until the budget is spent
+    "sample_budget" -> (("table, id, weight (expr), budget[, buckets]",
+      (s: SparkSession, a: Map[String, String]) =>
+        graft.operators.Sampling.sampleToBudget(
+          s.table(need(a, "table", "sample_budget")),
+          need(a, "id", "sample_budget"),
+          expr(need(a, "weight", "sample_budget")),
+          need(a, "budget", "sample_budget").trim.toLong,
+          buckets = a.get("buckets").map(_.trim.toInt).getOrElse(4096)))),
+
+    // per-group winsorized mean/stddev (the q74 robust-stats surface)
+    "winsorized_stats" -> (("table, value, group[, p_lo][, p_hi][, scale]",
+      (s: SparkSession, a: Map[String, String]) =>
+        Checks.winsorizedStats(
+          s.table(need(a, "table", "winsorized_stats")),
+          need(a, "value", "winsorized_stats"),
+          need(a, "group", "winsorized_stats"),
+          pLo = a.get("p_lo").map(_.trim.toDouble).getOrElse(0.05),
+          pHi = a.get("p_hi").map(_.trim.toDouble).getOrElse(0.95),
+          scale = a.get("scale").map(_.trim.toDouble).getOrElse(1e6)))))
+
+  /** Shared vocab-argument resolution for the token-denominated
+    * checks (`compression`, `chunk_tokens`): production (default) |
+    * large | seed. */
+  private def vocabArg(a: Map[String, String], check: String): Seq[(String, String)] =
+    a.get("vocab").map(_.trim.toLowerCase).getOrElse("production") match {
+      case "production" => graft.functions.BpeVocab.production
+      case "large" => graft.functions.BpeVocab.large
+      case "seed" => graft.functions.BpeVocab.default
+      case other => throw new IllegalArgumentException(
+        s"graft.$check: unknown vocab '$other' (production, large, seed)")
+    }
 
   /** One row per registered check: (check, arguments). */
   def list(spark: SparkSession): DataFrame = {

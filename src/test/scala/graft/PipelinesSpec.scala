@@ -372,9 +372,9 @@ class PipelinesSpec extends AnyFunSuite {
     assert(zs("a").getAs[Double]("zipf_slope") == 0.0,
       "a flat 4-token distribution has slope 0 exactly")
 
-    // the registry grew to 53 CALL-able checks (r15: the
-    // eval/monitoring family)
-    assert(graft.sql.GraftChecks.registry.size == 53)
+    // the registry grew to 59 CALL-able checks (r15: the
+    // eval/monitoring + curation families)
+    assert(graft.sql.GraftChecks.registry.size == 59)
   }
 
   test("SQL-callable checks: the dedup/similarity family (near_dedup/ann_topk/split_leakage/source_overlap) from SQL") {
@@ -640,5 +640,75 @@ class PipelinesSpec extends AnyFunSuite {
     assert(pr.length == 3)
     val byNode = pr.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byNode(3L) > byNode(1L), s"sink must outrank the source: $byNode")
+  }
+
+  test("SQL-callable checks: the r15 curation family from SQL") {
+    import org.apache.spark.sql.functions._
+
+    // dedup_exact: one group per distinct content, min id elected
+    Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sqlc_de")
+    val de = spark.sql(
+      "CALL graft.dedup_exact(`table` => 'sqlc_de', id => 'doc_id', content => 'text')")
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(de == Map(1L -> 2L, 3L -> 1L))
+
+    // decontaminate: the doc sharing the bench 3-gram is dropped
+    Seq((1L, "alpha beta gamma delta"), (2L, "zeta eta theta iota"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sqlc_corpus")
+    Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+      .createOrReplaceTempView("sqlc_bench")
+    val dc = spark.sql(
+      """CALL graft.decontaminate(corpus => 'sqlc_corpus', bench => 'sqlc_bench',
+        |  id => 'doc_id', text => 'text', n => '3')""".stripMargin)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(dc == Set(2L), s"contaminated doc 1 must be dropped: $dc")
+
+    // redact_pii: default patterns strike an email, counts ride along
+    Seq((1L, "contact me at user@example.com please"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sqlc_pii")
+    val rp = spark.sql(
+      "CALL graft.redact_pii(`table` => 'sqlc_pii', id => 'doc_id', text => 'text')")
+      .head()
+    assert(!rp.getAs[String]("text_redacted").contains("user@example.com"))
+
+    // chunk_tokens: CALL == the operator at the production vocab
+    Seq((1L, "the cat sat on the mat and then the dog sat too"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sqlc_ck")
+    val ck = spark.sql(
+      """CALL graft.chunk_tokens(`table` => 'sqlc_ck', id => 'doc_id',
+        |  text => 'text', budget => '4')""".stripMargin).collect()
+    val ckDirect = graft.operators.TextAnalysis.chunkByTokenBudget(
+      spark.table("sqlc_ck"), "doc_id", "text", 4,
+      graft.functions.BpeVocab.production).collect()
+    assert(ck.map(_.toSeq).toSet == ckDirect.map(_.toSeq).toSet && ck.length > 1)
+
+    // sample_budget: CALL == the operator; kept weight <= budget
+    val sb0 = (1L to 50L).map(i => (i, 10L)).toDF("id", "w")
+    sb0.createOrReplaceTempView("sqlc_sb")
+    val sb = spark.sql(
+      """CALL graft.sample_budget(`table` => 'sqlc_sb', id => 'id',
+        |  weight => 'w', budget => '100')""".stripMargin).collect()
+    val sbDirect = graft.operators.Sampling.sampleToBudget(
+      spark.table("sqlc_sb"), "id", col("w"), 100L).collect()
+    assert(sb.map(_.toSeq).toSet == sbDirect.map(_.toSeq).toSet)
+    assert(sb.map(_.getAs[Long]("w")).sum <= 100L && sb.nonEmpty)
+
+    // winsorized_stats: CALL == the operator on a grouped outlier set
+    Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 1000.0), ("b", 5.0))
+      .toDF("grp", "v").createOrReplaceTempView("sqlc_ws")
+    val ws = spark.sql(
+      "CALL graft.winsorized_stats(`table` => 'sqlc_ws', value => 'v', group => 'grp')")
+      .collect()
+    val wsDirect = graft.operators.Checks.winsorizedStats(
+      spark.table("sqlc_ws"), "v", "grp").collect()
+    assert(ws.map(_.toSeq).toSet == wsDirect.map(_.toSeq).toSet && ws.nonEmpty)
+
+    // vocab rejection is shared across the token-denominated checks
+    intercept[IllegalArgumentException] {
+      graft.sql.GraftChecks.run(spark, "chunk_tokens",
+        Map("table" -> "sqlc_ck", "id" -> "doc_id", "text" -> "text",
+          "budget" -> "4", "vocab" -> "bogus"))
+    }
   }
 }
