@@ -107,6 +107,65 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Synthesize a REAL RIFF/WAVE payload of `durationMs` milliseconds
+    * (8 kHz, mono, 8-bit PCM — byteRate 8000, so the data chunk is
+    * exactly `8·ms` bytes and [[probeWav]] recovers the duration
+    * EXACTLY for any ms). Deterministic silence; the audio analog of
+    * [[synthesizePng]] for exercising the real decode path
+    * end-to-end on a corpus with no binary media.
+    */
+  def synthesizeWav(durationMs: Long): Array[Byte] = {
+    require(durationMs >= 0 && durationMs <= 3600000L,
+      s"synthetic WAV duration out of range: $durationMs ms")
+    val byteRate = 8000 // 8000 Hz × 1 channel × 1 byte/sample
+    val dataSize = (durationMs * byteRate / 1000L).toInt
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)            // PCM, mono
+      .putInt(8000).putInt(byteRate)      // sample rate, byte rate
+      .putShort(1).putShort(8)            // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    // 8-bit PCM silence is 0x80
+    var i = 0
+    while (i < dataSize) { buf.put(0x80.toByte); i += 1 }
+    buf.array()
+  }
+
+  /** Header-only WAV probe: (duration_ms, "wav") from the RIFF
+    * header — `fmt ` chunk's byte rate and the `data` chunk size,
+    * `durationMs = dataSize·1000 / byteRate` (integer floor; exact
+    * whenever 1000 divides `dataSize·1000`, in particular always for
+    * [[synthesizeWav]] payloads). None for anything that is not a
+    * well-formed RIFF/WAVE — the caller falls back to the stub, the
+    * probe never throws on arbitrary bytes (chunk walk is
+    * bounds-checked).
+    */
+  def probeWav(bytes: Array[Byte]): Option[Long] = {
+    if (bytes.length < 44) return None
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    var off = 12
+    var byteRate = 0L
+    var dataSize = -1L
+    while (off + 8 <= bytes.length && (byteRate == 0L || dataSize < 0L)) {
+      val id = ascii(off, 4)
+      val size = b.getInt(off + 4).toLong & 0xffffffffL
+      if (id == "fmt " && off + 16 + 8 <= bytes.length)
+        byteRate = b.getInt(off + 8 + 8).toLong & 0xffffffffL
+      if (id == "data") dataSize = size
+      // chunks are word-aligned: odd sizes carry a pad byte
+      off += 8 + size.toInt + (size.toInt & 1)
+      if (size > Int.MaxValue - 16 || off < 0) return None
+    }
+    if (byteRate <= 0L || dataSize < 0L) None
+    else Some(dataSize * 1000L / byteRate)
+  }
+
   /** Header-only image probe: (width, height, format) via the
     * registered `javax.imageio` reader, without decoding pixels —
     * `ImageReader.getWidth/getHeight` read the header only, so a
@@ -137,9 +196,12 @@ object Multimodal {
   }
 
   /** ======= DEFAULT CODEC =======
-    * Real metadata decode for image payloads via `javax.imageio`
+    * Real metadata decode: image payloads via `javax.imageio`
     * (PNG/JPEG/GIF/BMP with the stock JDK; TIFF+ with plugins on the
-    * executor classpath); stub fallback for everything else.
+    * executor classpath), audio payloads via the RIFF/WAVE header
+    * walk ([[probeWav]] — pure JVM, no codec dependency); stub
+    * fallback for everything else (video containers need an ffmpeg-
+    * style binding — that codec drops in as another [[Codec]]).
     */
   def decodeImageIO(batch: Seq[MediaItem]): Seq[MediaFeatures] = {
     val fallback = decodeStub(batch)
@@ -148,6 +210,12 @@ object Multimodal {
         probeImage(m.payload) match {
           case Some((w, h, fmt)) =>
             fb.copy(width = w, height = h, duration_ms = 0L, format = fmt)
+          case None => fb
+        }
+      case (m, fb) if m.kind == "audio" =>
+        probeWav(m.payload) match {
+          case Some(ms) =>
+            fb.copy(width = 0, height = 0, duration_ms = ms, format = "wav")
           case None => fb
         }
       case (_, fb) => fb

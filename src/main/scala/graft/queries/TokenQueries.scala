@@ -339,7 +339,7 @@ object TokenQueries {
     * the sweep, not a third LM training. */
   val fixtureBacked: Seq[String] = Seq("q190_lm_gate_sweep",
     "q199_neardup_token_accounting", "q200_neardup_mixture_plan",
-    "q204_real_decode_census")
+    "q204_real_decode_census", "q207_real_audio_census")
 
   def q190LmGateSweep(spark: SparkSession, d: String): DataFrame = {
     val perDoc = QueryFixtures.ensure(spark, d, "q190_lm_scores",
@@ -1140,6 +1140,69 @@ object TokenQueries {
        |GROUP BY d.source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q207 — REAL-decode audio census (the audio leg of q204's
+  // pattern): the fixture synthesizes an actual RIFF/WAVE payload
+  // per audio-rotation doc at a duration derived from the portable
+  // md5-prefix integer (q203's stand-in convention made physical),
+  // runs the REAL header probe through decodeFeatures, and prices
+  // speech-encoder tokens from the PROBED duration_ms; the oracle
+  // restates the generator arithmetic. A hash match proves the WAV
+  // header walk round-trips (a stub fallback would read format
+  // 'synthetic' with hash-derived duration and diverge on both
+  // n_wav and the token totals). Video remains the documented stub:
+  // container parsing needs an ffmpeg-class binding the sandbox
+  // does not ship.
+  // ---------------------------------------------------------------
+  private def q207AudioDimsFixture(
+      spark: SparkSession, d: String, owner: String): DataFrame =
+    QueryFixtures.ensure(spark, d, "q207_audio_dims", owner) {
+      import spark.implicits._
+      val p = graft.functions.Md5Expressions.md5PrefixLong(col("text"), 8)
+      val media = Tables.documents(spark, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 1 &&
+          col("source").isNotNull && col("text").isNotNull)
+        .select(col("doc_id").as("_1"), col("source").as("_2"),
+          (lit(1000L) + pmod(p, lit(60000L))).as("_3"))
+        .as[(Long, String, Long)]
+        .map { case (id, src, ms) =>
+          graft.operators.Multimodal.MediaItem(id, "audio",
+            graft.operators.Multimodal.synthesizeWav(ms), src) }
+        .toDF()
+      graft.operators.Multimodal.decodeFeatures(spark, media, partitions = 32)
+        .select(col("media_id"), col("duration_ms"), col("format"))
+    }
+
+  def q207RealAudioCensus(spark: SparkSession, d: String): DataFrame = {
+    val M = graft.operators.Multimodal
+    val dims = q207AudioDimsFixture(spark, d, "q207_real_audio_census")
+    dims.join(
+        Tables.documents(spark, d)
+          .select(col("doc_id").as("media_id"), col("source")),
+        Seq("media_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum(when(col("format") === "wav", 1L).otherwise(0L)).as("n_wav"),
+        sum(col("duration_ms")).as("total_ms"),
+        sum(M.audioTokens(col("duration_ms"), AudioTokensPerSecond))
+          .as("total_audio_tokens"))
+  }
+
+  val q207Sql: String =
+    s"""WITH au AS (
+       |  SELECT source,
+       |    1000 + CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 60000
+       |      AS ms
+       |  FROM documents
+       |  WHERE doc_id % 3 = 1 AND source IS NOT NULL AND text IS NOT NULL)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clips,
+       |  CAST(COUNT(*) AS BIGINT) AS n_wav,
+       |  CAST(SUM(ms) AS BIGINT) AS total_ms,
+       |  CAST(SUM((ms * $AudioTokensPerSecond + 999) // 1000) AS BIGINT)
+       |    AS total_audio_tokens
+       |FROM au GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -1165,7 +1228,8 @@ object TokenQueries {
     "q203_media_token_census" -> (q203MediaTokenCensus _),
     "q204_real_decode_census" -> (q204RealDecodeCensus _),
     "q205_large_vocab_fertility" -> (q205LargeVocabFertility _),
-    "q206_large_vocab_compression" -> (q206LargeVocabCompression _))
+    "q206_large_vocab_compression" -> (q206LargeVocabCompression _),
+    "q207_real_audio_census" -> (q207RealAudioCensus _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -1191,5 +1255,6 @@ object TokenQueries {
     "q203_media_token_census" -> q203Sql,
     "q204_real_decode_census" -> q204Sql,
     "q205_large_vocab_fertility" -> q205Sql,
-    "q206_large_vocab_compression" -> q206Sql)
+    "q206_large_vocab_compression" -> q206Sql,
+    "q207_real_audio_census" -> q207Sql)
 }

@@ -150,6 +150,40 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("synthesizeWav/probeWav: exact duration round-trip; malformed payloads fall back, never throw") {
+    import graft.operators.Multimodal
+    // exact recovery across the stand-in duration domain incl. the
+    // guard extremes and a non-multiple-of-1000 value
+    Seq(0L, 1L, 999L, 1000L, 1001L, 60999L, 3600000L).foreach { ms =>
+      val bytes = Multimodal.synthesizeWav(ms)
+      assert(Multimodal.probeWav(bytes).contains(ms),
+        s"WAV round-trip must be exact at $ms ms")
+    }
+    // malformed inputs: None (stub fallback), never an exception
+    assert(Multimodal.probeWav(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.probeWav("not a riff header at all........................"
+      .getBytes("US-ASCII")).isEmpty)
+    val truncated = Multimodal.synthesizeWav(5000L).take(20)
+    assert(Multimodal.probeWav(truncated).isEmpty)
+    // a RIFF header with a lying chunk size must not loop or throw
+    val lying = Multimodal.synthesizeWav(10L)
+    val bb = java.nio.ByteBuffer.wrap(lying)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, Int.MaxValue - 2) // data chunk size absurdly large
+    assert(Multimodal.probeWav(lying).contains(
+      ((Int.MaxValue - 2).toLong * 1000L) / 8000L)
+      || Multimodal.probeWav(lying).isEmpty)
+    // the default codec routes audio through the probe: real WAV
+    // payloads decode with format 'wav' and the TRUE duration; text
+    // bytes fall back to the stub
+    val items = Seq(
+      Multimodal.MediaItem(1L, "audio", Multimodal.synthesizeWav(2500L), "s"),
+      Multimodal.MediaItem(2L, "audio", "plain text bytes".getBytes("UTF-8"), "s"))
+    val feats = Multimodal.decodeImageIO(items).map(f => f.media_id -> f).toMap
+    assert(feats(1L).format == "wav" && feats(1L).duration_ms == 2500L)
+    assert(feats(2L).format == "synthetic")
+  }
+
   test("frame sampling: n rows per video") {
     val media = Multimodal.mediaTable(
       Tables.documents(spark, TestSpark.sf), "doc_id", "text", "source")
