@@ -7,17 +7,19 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * The default codec (`decodeImageIO`) probes real image payloads
-  * with `javax.imageio` — a header-only read of dimensions + format,
-  * never a full pixel decode, which is the correct scale behavior
-  * for multi-MB payloads. Payloads no installed reader recognizes
-  * (and audio/video, for which the JDK ships no codec) fall back to
+  * The default codec (`decodeImageIO`) probes real payloads in all
+  * three modalities — images with `javax.imageio`, audio with the
+  * RIFF/WAVE header walk, video with the RIFF/AVI main-header walk —
+  * always a header-only read of dimensions/duration + format, never
+  * a full pixel/sample decode, which is the correct scale behavior
+  * for multi-MB payloads. Payloads no probe recognizes fall back to
   * `decodeStub`'s deterministic hash-derived features, so the
   * pipeline shape stays testable with synthetic corpora. Everything
   * around the codec — the schema, the typed Dataset plumbing, the
   * batched `mapPartitions` shape (codec setup amortizes per batch),
   * and the repartition-for-parallel-decode step — is codec-agnostic:
-  * an ffmpeg-style a/v binding drops in as another `Codec` function.
+  * an ffmpeg-style binding for non-RIFF containers drops in as
+  * another `Codec` function.
   */
 object Multimodal {
 
@@ -166,6 +168,91 @@ object Multimodal {
     else Some(dataSize * 1000L / byteRate)
   }
 
+  /** Synthesize a REAL RIFF/AVI header payload: `RIFF('AVI ')`
+    * containing `LIST(hdrl)` with the standard 56-byte `avih` main
+    * header (µs/frame, total frames, width, height — the public
+    * AVI main-header layout) and an empty `LIST(movi)`. Not a
+    * playable movie (no stream data — the video analog of a
+    * header-only probe target), but byte-for-byte the real container
+    * format a header walk parses. Completes the synthesize-probe
+    * round-trip pattern for the third modality.
+    */
+  def synthesizeAvi(
+      width: Int, height: Int, totalFrames: Int,
+      usPerFrame: Int = 33333): Array[Byte] = {
+    require(width >= 1 && height >= 1 && totalFrames >= 1 && usPerFrame >= 1,
+      s"synthetic AVI params out of range: ${width}x$height, " +
+        s"$totalFrames frames @ $usPerFrame us")
+    // RIFF(4+ (LIST hdrl: 8+4+8+56) + (LIST movi: 8+4)) — fixed sizes
+    val hdrlSize = 4 + 8 + 56
+    val riffSize = 4 + (8 + hdrlSize) + (8 + 4)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(hdrlSize)
+      .put("hdrl".getBytes("US-ASCII"))
+      .put("avih".getBytes("US-ASCII")).putInt(56)
+      .putInt(usPerFrame)   // dwMicroSecPerFrame
+      .putInt(0)            // dwMaxBytesPerSec
+      .putInt(0)            // dwPaddingGranularity
+      .putInt(0)            // dwFlags
+      .putInt(totalFrames)  // dwTotalFrames
+      .putInt(0)            // dwInitialFrames
+      .putInt(1)            // dwStreams
+      .putInt(0)            // dwSuggestedBufferSize
+      .putInt(width)        // dwWidth
+      .putInt(height)       // dwHeight
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      .put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("movi".getBytes("US-ASCII"))
+    buf.array()
+  }
+
+  /** Header-only AVI probe: (width, height, duration_ms) from the
+    * `avih` main header — `duration = µsPerFrame · totalFrames /
+    * 1000` (integer floor; exact whenever 1000 divides the product).
+    * Walks `RIFF('AVI ')` top-level chunks, descends the `hdrl`
+    * LIST; None for anything that is not a well-formed AVI header
+    * (bounds-checked, never throws on arbitrary bytes).
+    */
+  def probeAvi(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (bytes.length < 12) return None
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, n: Int) =
+      if (off + n > bytes.length) "" else new String(bytes, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ") return None
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = ascii(off, 4)
+      val size = b.getInt(off + 4).toLong & 0xffffffffL
+      if (size > Int.MaxValue - 16) return None
+      if (id == "LIST" && ascii(off + 8, 4) == "hdrl") {
+        // descend: sub-chunks start after the 4-byte list type
+        var sub = off + 12
+        val listEnd = math.min(off + 8 + size.toInt, bytes.length)
+        while (sub + 8 <= listEnd) {
+          val sid = ascii(sub, 4)
+          val ssize = b.getInt(sub + 4).toLong & 0xffffffffL
+          if (sid == "avih" && ssize >= 40 && sub + 8 + 40 <= bytes.length) {
+            val usPerFrame = b.getInt(sub + 8).toLong & 0xffffffffL
+            val frames = b.getInt(sub + 8 + 16).toLong & 0xffffffffL
+            val w = b.getInt(sub + 8 + 32)
+            val h = b.getInt(sub + 8 + 36)
+            if (w <= 0 || h <= 0 || usPerFrame <= 0L) return None
+            return Some((w, h, usPerFrame * frames / 1000L))
+          }
+          if (ssize > Int.MaxValue - 16) return None
+          sub += 8 + ssize.toInt + (ssize.toInt & 1)
+        }
+        return None
+      }
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
   /** Header-only image probe: (width, height, format) via the
     * registered `javax.imageio` reader, without decoding pixels —
     * `ImageReader.getWidth/getHeight` read the header only, so a
@@ -199,9 +286,11 @@ object Multimodal {
     * Real metadata decode: image payloads via `javax.imageio`
     * (PNG/JPEG/GIF/BMP with the stock JDK; TIFF+ with plugins on the
     * executor classpath), audio payloads via the RIFF/WAVE header
-    * walk ([[probeWav]] — pure JVM, no codec dependency); stub
-    * fallback for everything else (video containers need an ffmpeg-
-    * style binding — that codec drops in as another [[Codec]]).
+    * walk ([[probeWav]]), video payloads via the RIFF/AVI main-
+    * header walk ([[probeAvi]]) — both pure JVM, no codec
+    * dependency; stub fallback for anything unrecognized (an
+    * ffmpeg-style binding for non-RIFF containers drops in as
+    * another [[Codec]]).
     */
   def decodeImageIO(batch: Seq[MediaItem]): Seq[MediaFeatures] = {
     val fallback = decodeStub(batch)
@@ -216,6 +305,12 @@ object Multimodal {
         probeWav(m.payload) match {
           case Some(ms) =>
             fb.copy(width = 0, height = 0, duration_ms = ms, format = "wav")
+          case None => fb
+        }
+      case (m, fb) if m.kind == "video" =>
+        probeAvi(m.payload) match {
+          case Some((w, h, ms)) =>
+            fb.copy(width = w, height = h, duration_ms = ms, format = "avi")
           case None => fb
         }
       case (_, fb) => fb

@@ -339,7 +339,8 @@ object TokenQueries {
     * the sweep, not a third LM training. */
   val fixtureBacked: Seq[String] = Seq("q190_lm_gate_sweep",
     "q199_neardup_token_accounting", "q200_neardup_mixture_plan",
-    "q204_real_decode_census", "q207_real_audio_census")
+    "q204_real_decode_census", "q207_real_audio_census",
+    "q208_real_video_census")
 
   def q190LmGateSweep(spark: SparkSession, d: String): DataFrame = {
     val perDoc = QueryFixtures.ensure(spark, d, "q190_lm_scores",
@@ -1203,6 +1204,75 @@ object TokenQueries {
        |FROM au GROUP BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q208 — REAL-decode video census (the third modality leg,
+  // completing q204/q207's pattern): the fixture synthesizes an
+  // actual RIFF/AVI header payload per video-rotation doc — width/
+  // height from the md5-prefix integer (q204's image convention),
+  // frame count 1 + p % 240 at 30 fps (33333 µs/frame) — runs the
+  // REAL avih main-header walk through decodeFeatures, and prices
+  // videoTokens (sampled frames × ViT patches) from the PROBED
+  // dimensions plus the probed container duration. The oracle
+  // restates the generator arithmetic; a hash match proves the AVI
+  // header walk round-trips (stub fallback would flip format and
+  // hash-diverge on dims, duration, and token totals alike).
+  // ---------------------------------------------------------------
+  private val AviUsPerFrame = 33333L
+
+  private def q208VideoDimsFixture(
+      spark: SparkSession, d: String, owner: String): DataFrame =
+    QueryFixtures.ensure(spark, d, "q208_video_dims", owner) {
+      import spark.implicits._
+      val p = graft.functions.Md5Expressions.md5PrefixLong(col("text"), 8)
+      val media = Tables.documents(spark, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 2 &&
+          col("source").isNotNull && col("text").isNotNull)
+        .select(col("doc_id").as("_1"), col("source").as("_2"),
+          (lit(16L) + pmod(p, lit(256L))).cast("int").as("_3"),
+          (lit(16L) + pmod(shiftright(p, 8), lit(256L))).cast("int").as("_4"),
+          (lit(1L) + pmod(p, lit(240L))).cast("int").as("_5"))
+        .as[(Long, String, Int, Int, Int)]
+        .map { case (id, src, w, h, frames) =>
+          graft.operators.Multimodal.MediaItem(id, "video",
+            graft.operators.Multimodal.synthesizeAvi(w, h, frames,
+              AviUsPerFrame.toInt), src) }
+        .toDF()
+      graft.operators.Multimodal.decodeFeatures(spark, media, partitions = 32)
+        .select(col("media_id"), col("width"), col("height"),
+          col("duration_ms"), col("format"))
+    }
+
+  def q208RealVideoCensus(spark: SparkSession, d: String): DataFrame = {
+    val M = graft.operators.Multimodal
+    val dims = q208VideoDimsFixture(spark, d, "q208_real_video_census")
+    dims.join(
+        Tables.documents(spark, d)
+          .select(col("doc_id").as("media_id"), col("source")),
+        Seq("media_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_videos"),
+        sum(when(col("format") === "avi", 1L).otherwise(0L)).as("n_avi"),
+        sum(col("duration_ms")).as("total_ms"),
+        sum(M.videoTokens(col("width"), col("height"), VideoFrames, PatchSize))
+          .as("total_video_tokens"))
+  }
+
+  val q208Sql: String =
+    s"""WITH vi AS (
+       |  SELECT source,
+       |    CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) AS p
+       |  FROM documents
+       |  WHERE doc_id % 3 = 2 AND source IS NOT NULL AND text IS NOT NULL)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_videos,
+       |  CAST(COUNT(*) AS BIGINT) AS n_avi,
+       |  CAST(SUM(($AviUsPerFrame * (1 + p % 240)) // 1000) AS BIGINT)
+       |    AS total_ms,
+       |  CAST(SUM($VideoFrames * (${patchTokensSql(
+             "16 + p % 256", "16 + (p // 256) % 256")})) AS BIGINT)
+       |    AS total_video_tokens
+       |FROM vi GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -1229,7 +1299,8 @@ object TokenQueries {
     "q204_real_decode_census" -> (q204RealDecodeCensus _),
     "q205_large_vocab_fertility" -> (q205LargeVocabFertility _),
     "q206_large_vocab_compression" -> (q206LargeVocabCompression _),
-    "q207_real_audio_census" -> (q207RealAudioCensus _))
+    "q207_real_audio_census" -> (q207RealAudioCensus _),
+    "q208_real_video_census" -> (q208RealVideoCensus _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -1256,5 +1327,6 @@ object TokenQueries {
     "q204_real_decode_census" -> q204Sql,
     "q205_large_vocab_fertility" -> q205Sql,
     "q206_large_vocab_compression" -> q206Sql,
-    "q207_real_audio_census" -> q207Sql)
+    "q207_real_audio_census" -> q207Sql,
+    "q208_real_video_census" -> q208Sql)
 }

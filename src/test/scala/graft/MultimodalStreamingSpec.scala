@@ -184,6 +184,39 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(feats(2L).format == "synthetic")
   }
 
+  test("synthesizeAvi/probeAvi: exact (w, h, duration) round-trip; malformed headers fall back") {
+    import graft.operators.Multimodal
+    // round-trip across the generator domain incl. corner dims and
+    // the 1-frame / max-frame ends of the q208 convention
+    for ((w, h, f, us) <- Seq((16, 16, 1, 33333), (271, 16, 240, 33333),
+        (1920, 1080, 54000, 16667), (1, 1, 1, 1))) {
+      val got = Multimodal.probeAvi(Multimodal.synthesizeAvi(w, h, f, us))
+      assert(got.contains((w, h, us.toLong * f / 1000L)),
+        s"AVI round-trip at ${w}x$h, $f frames @ $us us: $got")
+    }
+    // malformed inputs: None, never an exception
+    assert(Multimodal.probeAvi(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.probeAvi(
+      Multimodal.synthesizeWav(100L)).isEmpty, "a WAV is not an AVI")
+    assert(Multimodal.probeAvi(
+      Multimodal.synthesizeAvi(8, 8, 4).take(30)).isEmpty, "truncated header")
+    // zero/negative dims in a forged header are refused (stub wins)
+    val forged = Multimodal.synthesizeAvi(8, 8, 4)
+    java.nio.ByteBuffer.wrap(forged)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(24 + 8 + 32, 0)
+    assert(Multimodal.probeAvi(forged).isEmpty)
+    // the default codec routes video rows through the probe; text
+    // bytes fall back to the stub
+    val items = Seq(
+      Multimodal.MediaItem(1L, "video", Multimodal.synthesizeAvi(64, 48, 30), "s"),
+      Multimodal.MediaItem(2L, "video", "plain text bytes".getBytes("UTF-8"), "s"))
+    val feats = Multimodal.decodeImageIO(items).map(f => f.media_id -> f).toMap
+    assert(feats(1L).format == "avi" && feats(1L).width == 64
+      && feats(1L).height == 48
+      && feats(1L).duration_ms == 33333L * 30 / 1000)
+    assert(feats(2L).format == "synthetic")
+  }
+
   test("frame sampling: n rows per video") {
     val media = Multimodal.mediaTable(
       Tables.documents(spark, TestSpark.sf), "doc_id", "text", "source")
