@@ -71,9 +71,10 @@ object Multimodal {
 
   /** ======= STUB FALLBACK =======
     * Deterministic fake decode: dimensions and duration derived from
-    * payload length/hash. Serves payloads no real codec recognizes
-    * (synthetic corpora, a/v without an ffmpeg binding) so the
-    * pipeline stays total and reproducible.
+    * payload length/hash. Serves payloads no real probe recognizes
+    * (synthetic text-as-bytes corpora; non-RIFF a/v containers
+    * without an ffmpeg binding) so the pipeline stays total and
+    * reproducible.
     */
   def decodeStub(batch: Seq[MediaItem]): Seq[MediaFeatures] =
     batch.map { m =>
