@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   *    survives] ≈ 0.7⁵ ≈ 0.17) while each copy's INTERNAL dup/near-
   *    dup structure is preserved exactly (the same substitution maps
   *    within-copy duplicates to identical outputs);
-  *  - `embeddings.embedding` gets a ±0.5% per-coordinate
-  *    deterministic jitter, preserving norms and cluster geometry
+  *  - `embeddings.embedding` gets a bounded ±0.005 ADDITIVE
+  *    per-coordinate deterministic jitter (approximately
+  *    norm-preserving for the unit-scale test embeddings; small
+  *    coordinates see a larger relative change), keeping cluster
+  *    geometry
   *    while keeping copies distinct;
   *  - dimension tables (region, nation) are copied once — at any
   *    scale they stay broadcast-sized, and inflating them would

@@ -246,10 +246,15 @@ object Multimodal {
           }
           if (ssize > Int.MaxValue - 16) return None
           sub += 8 + ssize.toInt + (ssize.toInt & 1)
+          // a lying sub-chunk size can wrap the Int offset negative;
+          // re-entering the walk with a negative index would throw —
+          // mirror probeWav's totality guard and bail to the stub
+          if (sub < 0) return None
         }
         return None
       }
       off += 8 + size.toInt + (size.toInt & 1)
+      if (off < 0) return None
     }
     None
   }

@@ -327,7 +327,14 @@ object Similarity {
           else {
             var d = 0.0; var i = 0
             while (i < vec.length) { d += vec(i) * ct(i); i += 1 }
-            java.lang.Double.valueOf(d / (vn * on))
+            val cs = d / (vn * on)
+            // non-finite scores (NaN coordinates, inf overflow) join
+            // the nulls-last branch — a NaN inside sortWith is
+            // intransitive (NaN compares false both ways) and TimSort
+            // may throw "Comparison method violates its general
+            // contract!" on such inputs
+            if (java.lang.Double.isFinite(cs)) java.lang.Double.valueOf(cs)
+            else null
           }
         (s, c)
       }

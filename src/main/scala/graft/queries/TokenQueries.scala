@@ -1150,9 +1150,9 @@ object TokenQueries {
   // restates the generator arithmetic. A hash match proves the WAV
   // header walk round-trips (a stub fallback would read format
   // 'synthetic' with hash-derived duration and diverge on both
-  // n_wav and the token totals). Video remains the documented stub:
-  // container parsing needs an ffmpeg-class binding the sandbox
-  // does not ship.
+  // n_wav and the token totals). Video has the same real-decode leg
+  // via the RIFF/AVI main-header walk (q208); only non-RIFF
+  // containers fall back to the stub.
   // ---------------------------------------------------------------
   private def q207AudioDimsFixture(
       spark: SparkSession, d: String, owner: String): DataFrame =

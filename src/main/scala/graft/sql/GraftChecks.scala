@@ -459,6 +459,14 @@ object GraftChecks {
       "[, nlist (0 = auto)][, nprobe][, centroids (catalog table)]",
       (s: SparkSession, a: Map[String, String]) => a.get("centroids") match {
         case Some(ct) =>
+          // refuse loudly rather than silently ignore a tuning knob:
+          // the centroid table fixes the cell count, so a caller
+          // passing nlist alongside it would never learn their value
+          // had no effect
+          require(!a.contains("nlist"),
+            "ann_topk: nlist has no effect when centroids is given " +
+              "(the centroid table fixes the cell count) — drop nlist " +
+              "or drop centroids")
           graft.operators.Similarity.annJoinIvfCentroids(
             s.table(need(a, "queries", "ann_topk")),
             s.table(need(a, "corpus", "ann_topk")),

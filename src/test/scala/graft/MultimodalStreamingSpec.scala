@@ -200,6 +200,24 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       Multimodal.synthesizeWav(100L)).isEmpty, "a WAV is not an AVI")
     assert(Multimodal.probeAvi(
       Multimodal.synthesizeAvi(8, 8, 4).take(30)).isEmpty, "truncated header")
+    // a lying top-level chunk size just under the Int.MaxValue-16
+    // size check must not wrap the walk offset negative and re-enter
+    // (the probeWav totality guard, mirrored): big-but-valid size,
+    // offset 20 + size overflows Int
+    val lyingTop = Multimodal.synthesizeAvi(8, 8, 4)
+    java.nio.ByteBuffer.wrap(lyingTop)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue - 17) // hdrl LIST claims ~2GB
+      .put(20, 'j'.toByte)           // ...and is not hdrl, so the walk skips it
+    assert(Multimodal.probeAvi(lyingTop).isEmpty, "lying top-level chunk size")
+    // same hole in the hdrl sub-walk: a non-avih sub chunk with a
+    // near-max size wraps `sub` negative
+    val lyingSub = Multimodal.synthesizeAvi(8, 8, 4)
+    val lb = java.nio.ByteBuffer.wrap(lyingSub)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    lb.put(24, 'j'.toByte)             // avih -> jvih (skipped, walk continues)
+    lb.putInt(28, Int.MaxValue - 17)   // sub-chunk claims ~2GB
+    assert(Multimodal.probeAvi(lyingSub).isEmpty, "lying hdrl sub-chunk size")
     // zero/negative dims in a forged header are refused (stub wins)
     val forged = Multimodal.synthesizeAvi(8, 8, 4)
     java.nio.ByteBuffer.wrap(forged)
