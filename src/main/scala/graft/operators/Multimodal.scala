@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   *
   * The default codec (`decodeImageIO`) probes real payloads in all
   * three modalities — images with `javax.imageio`, audio with the
-  * RIFF/WAVE header walk, video with the RIFF/AVI main-header walk —
+  * RIFF/WAVE header walk, video with the RIFF/AVI main-header walk
+  * and the ISO BMFF (mp4/mov) box walk —
   * always a header-only read of dimensions/duration + format, never
   * a full pixel/sample decode, which is the correct scale behavior
   * for multi-MB payloads. Payloads no probe recognizes fall back to
@@ -259,6 +260,157 @@ object Multimodal {
     None
   }
 
+  /** Synthesize a REAL ISO BMFF (mp4) header payload: `ftyp(isom)` +
+    * `moov( mvhd + trak(tkhd) )` with version-0 boxes — movie
+    * timescale 1000 so the mvhd duration IS the millisecond count,
+    * and the tkhd width/height in the spec's 16.16 fixed-point
+    * encoding. Not a playable movie (no `mdat`/sample tables — the
+    * header-only probe target), but byte-for-byte the real
+    * big-endian box layout an ISO BMFF walk parses. mp4 is what real
+    * corpora mostly ship; this completes the video leg beyond the
+    * RIFF/AVI container.
+    */
+  def synthesizeMp4(width: Int, height: Int, durationMs: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= 0x7fff && height <= 0x7fff &&
+      durationMs >= 0 && durationMs <= Int.MaxValue.toLong,
+      s"synthetic mp4 params out of range: ${width}x$height, $durationMs ms")
+    val ftypSize = 20       // header + major brand + minor version + 1 brand
+    val mvhdSize = 8 + 100  // version-0 mvhd payload is exactly 100 bytes
+    val tkhdSize = 8 + 84   // version-0 tkhd payload is exactly 84 bytes
+    val trakSize = 8 + tkhdSize
+    val moovSize = 8 + mvhdSize + trakSize
+    // ISO BMFF is big-endian — ByteBuffer's default order
+    val buf = java.nio.ByteBuffer.allocate(ftypSize + moovSize)
+    def fourcc(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+    def unityMatrix(): Unit = {
+      buf.putInt(0x00010000).putInt(0).putInt(0)
+      buf.putInt(0).putInt(0x00010000).putInt(0)
+      buf.putInt(0).putInt(0).putInt(0x40000000)
+      ()
+    }
+    buf.putInt(ftypSize); fourcc("ftyp")
+    fourcc("isom"); buf.putInt(0x200); fourcc("isom")
+    buf.putInt(moovSize); fourcc("moov")
+    buf.putInt(mvhdSize); fourcc("mvhd")
+    buf.putInt(0)                       // version 0 + flags
+    buf.putInt(0).putInt(0)             // creation, modification
+    buf.putInt(1000)                    // timescale: 1 unit = 1 ms
+    buf.putInt(durationMs.toInt)        // duration (movie timescale units)
+    buf.putInt(0x00010000)              // rate 1.0 (16.16)
+    buf.putShort(0x0100.toShort)        // volume 1.0 (8.8)
+    buf.putShort(0)                     // reserved
+    buf.putInt(0).putInt(0)             // reserved[2]
+    unityMatrix()
+    var i = 0
+    while (i < 6) { buf.putInt(0); i += 1 } // pre_defined[6]
+    buf.putInt(2)                       // next_track_ID
+    buf.putInt(trakSize); fourcc("trak")
+    buf.putInt(tkhdSize); fourcc("tkhd")
+    buf.putInt(0x000007)                // v0; enabled | in_movie | in_preview
+    buf.putInt(0).putInt(0)             // creation, modification
+    buf.putInt(1)                       // track_ID
+    buf.putInt(0)                       // reserved
+    buf.putInt(durationMs.toInt)        // track duration (movie timescale)
+    buf.putInt(0).putInt(0)             // reserved[2]
+    buf.putShort(0).putShort(0)         // layer, alternate_group
+    buf.putShort(0).putShort(0)         // volume (0 for video), reserved
+    unityMatrix()
+    buf.putInt(width << 16)             // 16.16 fixed-point width
+    buf.putInt(height << 16)            // 16.16 fixed-point height
+    buf.array()
+  }
+
+  /** Header-only ISO BMFF (mp4/mov) probe: (width, height,
+    * duration_ms) from `moov/mvhd` (timescale + duration, versions
+    * 0 and 1) and the first `trak/tkhd` with nonzero 16.16
+    * dimensions (the video track — audio tkhds carry 0×0), via a
+    * pure-JVM big-endian box walk. `durationMs = duration · 1000 /
+    * timescale` (integer floor; exact for [[synthesizeMp4]]'s
+    * timescale-1000 payloads). Requires a leading `ftyp` box —
+    * the standard brand marker — to discriminate from arbitrary
+    * bytes. None otherwise; offsets are carried as Long and every
+    * read is bounds-checked, so the walk never throws or wraps on
+    * arbitrary/lying payloads (the probeWav/probeAvi totality
+    * contract).
+    */
+  def probeMp4(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (bytes.length < 16) return None
+    val b = java.nio.ByteBuffer.wrap(bytes) // big-endian default
+    val len = bytes.length.toLong
+    def ascii(off: Long, n: Int): String =
+      if (off < 0 || off + n > len) ""
+      else new String(bytes, off.toInt, n, "US-ASCII")
+    def u32(off: Long): Long =
+      if (off < 0 || off + 4 > len) -1L
+      else b.getInt(off.toInt).toLong & 0xffffffffL
+    // first box of `tpe` in [from, to): Some((payloadStart, boxEnd));
+    // None on not-found or any malformed size
+    def findBox(from: Long, to: Long, tpe: String): Option[(Long, Long)] = {
+      var off = from
+      while (off + 8 <= to) {
+        val size0 = u32(off)
+        val id = ascii(off + 4, 4)
+        if (size0 < 0L || id.isEmpty) return None
+        var payload = off + 8
+        val end: Long =
+          if (size0 == 0L) to // "box extends to end of enclosing scope"
+          else if (size0 == 1L) { // 64-bit largesize follows the type
+            if (off + 16 > to) return None
+            payload = off + 16
+            val hi = u32(off + 8); val lo = u32(off + 12)
+            if (hi < 0L || lo < 0L) return None
+            off + ((hi << 32) | lo)
+          } else off + size0
+        if (end < payload || end > to) return None
+        if (id == tpe) return Some((payload, end))
+        off = end
+      }
+      None
+    }
+    if (ascii(4, 4) != "ftyp") return None
+    val moov = findBox(0L, len, "moov")
+    if (moov.isEmpty) return None
+    val (moovP, moovE) = moov.get
+    // mvhd: movie timescale + duration (v0: 32-bit, v1: 64-bit)
+    val mvhd = findBox(moovP, moovE, "mvhd")
+    if (mvhd.isEmpty) return None
+    val (mv, mvE) = mvhd.get
+    val mvVer = if (mv < len) bytes(mv.toInt) & 0xff else -1
+    val (ts, dur): (Long, Long) =
+      if (mvVer == 0 && mvE - mv >= 20) (u32(mv + 12), u32(mv + 16))
+      else if (mvVer == 1 && mvE - mv >= 32) {
+        val t = u32(mv + 20)
+        val dhi = u32(mv + 24); val dlo = u32(mv + 28)
+        if (dhi < 0L || dlo < 0L) (t, -1L) else (t, (dhi << 32) | dlo)
+      } else (-1L, -1L)
+    if (ts <= 0L || dur < 0L) return None
+    // first trak whose tkhd has nonzero dims = the video track
+    var cur = moovP
+    while (cur < moovE) {
+      findBox(cur, moovE, "trak") match {
+        case Some((tp, te)) =>
+          findBox(tp, te, "tkhd") match {
+            case Some((tk, tkE)) if tk < len =>
+              val v = bytes(tk.toInt) & 0xff
+              val need = if (v == 1) 96L else 84L
+              val wOff = if (v == 1) tk + 88 else tk + 76
+              if (tkE - tk >= need) {
+                // integer part of the 16.16 encoding; a fraction-only
+                // width (< 1 px) is not a usable video dimension
+                val w = (u32(wOff) >> 16).toInt
+                val h = (u32(wOff + 4) >> 16).toInt
+                if (w > 0 && h > 0)
+                  return Some((w, h, dur * 1000L / ts))
+              }
+            case _ => ()
+          }
+          cur = te
+        case None => return None
+      }
+    }
+    None
+  }
+
   /** Header-only image probe: (width, height, format) via the
     * registered `javax.imageio` reader, without decoding pixels —
     * `ImageReader.getWidth/getHeight` read the header only, so a
@@ -293,10 +445,11 @@ object Multimodal {
     * (PNG/JPEG/GIF/BMP with the stock JDK; TIFF+ with plugins on the
     * executor classpath), audio payloads via the RIFF/WAVE header
     * walk ([[probeWav]]), video payloads via the RIFF/AVI main-
-    * header walk ([[probeAvi]]) — both pure JVM, no codec
-    * dependency; stub fallback for anything unrecognized (an
-    * ffmpeg-style binding for non-RIFF containers drops in as
-    * another [[Codec]]).
+    * header walk ([[probeAvi]]) then the ISO BMFF box walk
+    * ([[probeMp4]], mp4/mov — the container real corpora mostly
+    * ship) — all pure JVM, no codec dependency; stub fallback for
+    * anything unrecognized (an ffmpeg-style binding for genuinely
+    * exotic containers drops in as another [[Codec]]).
     */
   def decodeImageIO(batch: Seq[MediaItem]): Seq[MediaFeatures] = {
     val fallback = decodeStub(batch)
@@ -317,7 +470,11 @@ object Multimodal {
         probeAvi(m.payload) match {
           case Some((w, h, ms)) =>
             fb.copy(width = w, height = h, duration_ms = ms, format = "avi")
-          case None => fb
+          case None => probeMp4(m.payload) match {
+            case Some((w, h, ms)) =>
+              fb.copy(width = w, height = h, duration_ms = ms, format = "mp4")
+            case None => fb
+          }
         }
       case (_, fb) => fb
     }

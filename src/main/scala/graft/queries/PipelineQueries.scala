@@ -192,6 +192,88 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------
+  // q209 — the PRODUCTION IVF spelling, oracle-exact: q58's query/
+  // corpus split and probe config, but driven the way a 100 TB
+  // deployment runs it — a PERSISTED centroid table (codebook
+  // fixture) sized by the integer-exact auto-nlist rule
+  // (Similarity.autoNlist: smallest power of two p with p·p ≥ n —
+  // the measured fix for the fixed-nlist quadratic, SCALE.md
+  // §Round-15), consumed by annJoinIvfCentroids (broadcast codebook,
+  // JVM-loop cell assignment — the MLlib transform shape that lifts
+  // the literal-centroid codegen ceiling). The codebook is the same
+  // deterministic id-ordered corpus sample as q58's literal
+  // centroids, so DuckDB replays the ENTIRE pipeline including the
+  // √n rule (min power-of-two with p*p >= count, capped 256) and the
+  // result hash-matches: the exact plan you'd run at scale is
+  // oracle-verified, not only spec-pinned to its literal proxy
+  // (SkewIvfSpec keeps the bit-equality pin as well).
+  // ---------------------------------------------------------------
+  private def q209CentroidFixture(
+      spark: SparkSession, d: String, owner: String): DataFrame =
+    QueryFixtures.ensure(spark, d, "q209_ivf_centroids", owner) {
+      val corpus = Tables.embeddings(spark, d)
+        .filter(col("vec_id") % QueryMod =!= 0)
+      // the auto rule, spelled nlist = 0 at the entry points: one
+      // count job, paid once at fixture build (a production codebook
+      // is trained/sized once and persisted, which is the point)
+      val nl = Similarity.autoNlist(corpus.count())
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+      // id-ordered sample as the codebook, cell = sample rank — the
+      // annJoinIvfSampled centroid convention persisted as a table
+      // (config-sized: nl <= 256 rows, the single-partition window
+      // is free here)
+      corpus.orderBy(col("vec_id")).limit(nl)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("cell", (row_number().over(w) - 1).cast("int"))
+        .select(col("cell"), col("embedding").as("centroid"))
+    }
+
+  def q209AnnIvfAuto(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.annJoinIvfCentroids(
+      queries = emb.filter(col("vec_id") % QueryMod === 0),
+      corpus = emb.filter(col("vec_id") % QueryMod =!= 0),
+      centroids = q209CentroidFixture(spark, d, "q209_ann_ivf_auto"),
+      idCol = "vec_id", vecCol = "embedding", k = AnnK, nprobe = IvfNprobe)
+  }
+
+  val q209Sql: String = {
+    def dot(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    def cos(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""WITH corpus AS (SELECT vec_id AS neighbor_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id % $QueryMod <> 0),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |nl AS (SELECT coalesce((SELECT min(p)
+       |    FROM (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) AS p)
+       |    WHERE CAST(p AS BIGINT) * p >= (SELECT count(*) FROM corpus)),
+       |  256) AS v),
+       |cents AS (SELECT CAST(rn - 1 AS INT) AS c, cv AS ct FROM (
+       |    SELECT cv, row_number() OVER (ORDER BY neighbor_id) AS rn
+       |    FROM corpus) WHERE rn <= (SELECT v FROM nl)),
+       |assigned AS (SELECT neighbor_id, cv, cell FROM (
+       |    SELECT neighbor_id, cv, c AS cell,
+       |      row_number() OVER (PARTITION BY neighbor_id
+       |        ORDER BY ${cos("cv", "ct")} DESC, c DESC) AS ar
+       |    FROM corpus CROSS JOIN cents) WHERE ar = 1),
+       |probes AS (SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, cents.c AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cos("qv", "ct")} DESC, c DESC) AS pr
+       |    FROM q CROSS JOIN cents)
+       |  WHERE pr <= least($IvfNprobe, (SELECT v FROM nl))),
+       |scored AS (SELECT p.query_id, a.neighbor_id, ${cos("cv", "qv")} AS cosine
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM scored) WHERE rn <= $AnnK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q63 — line-level corpus dedup (C4-style boilerplate removal).
   // The synthetic corpus has no repeated lines, so the query plants
   // deterministic chrome — a header on every document, a footer on
@@ -760,7 +842,8 @@ object PipelineQueries {
 
   /** Fixture-backed bench rows (see EvalQueries.fixtureBacked):
     * q135's first invocation materializes the q135_truth fixture. */
-  val fixtureBacked: Seq[String] = Seq("q135_retrieval_quality")
+  val fixtureBacked: Seq[String] =
+    Seq("q135_retrieval_quality", "q209_ann_ivf_auto")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_incremental_totals" -> (q105IncrementalTotals _),
@@ -770,6 +853,7 @@ object PipelineQueries {
     "q43_pii_redaction" -> (q43PiiRedaction _),
     "q44_ann_join" -> (q44AnnJoin _),
     "q58_ann_ivf" -> (q58AnnIvf _),
+    "q209_ann_ivf_auto" -> (q209AnnIvfAuto _),
     "q59_label_purity" -> (q59LabelPurity _),
     "q92_label_purity_ivf" -> (q92LabelPurityIvf _),
     "q123_hard_negatives" -> (q123HardNegatives _),
@@ -790,6 +874,7 @@ object PipelineQueries {
     "q43_pii_redaction" -> q43Sql,
     "q44_ann_join" -> q44Sql,
     "q58_ann_ivf" -> q58Sql,
+    "q209_ann_ivf_auto" -> q209Sql,
     "q59_label_purity" -> q59Sql,
     "q92_label_purity_ivf" -> q92Sql,
     "q123_hard_negatives" -> q123Sql,

@@ -340,7 +340,7 @@ object TokenQueries {
   val fixtureBacked: Seq[String] = Seq("q190_lm_gate_sweep",
     "q199_neardup_token_accounting", "q200_neardup_mixture_plan",
     "q204_real_decode_census", "q207_real_audio_census",
-    "q208_real_video_census")
+    "q208_real_video_census", "q210_mixed_video_census")
 
   def q190LmGateSweep(spark: SparkSession, d: String): DataFrame = {
     val perDoc = QueryFixtures.ensure(spark, d, "q190_lm_scores",
@@ -1273,6 +1273,81 @@ object TokenQueries {
        |FROM vi GROUP BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q210 — MIXED-CONTAINER real-decode video census: the same
+  // video-rotation docs as q208, but even ids ship RIFF/AVI and odd
+  // ids ship ISO BMFF (mp4) — one fixture, one decodeFeatures pass,
+  // and the census counts per-container legs from the PROBED format
+  // plus totals from the probed dims/durations. A hash match proves
+  // both container walks round-trip AND that the codec's dispatch
+  // (AVI walk first, then the mp4 box walk, stub last) routes every
+  // payload to the right probe — a stub fallback or cross-container
+  // misroute flips n_avi/n_mp4 and the totals. The oracle restates
+  // the generator arithmetic per container branch.
+  // ---------------------------------------------------------------
+  private def q210MixedVideoDimsFixture(
+      spark: SparkSession, d: String, owner: String): DataFrame =
+    QueryFixtures.ensure(spark, d, "q210_mixed_video_dims", owner) {
+      import spark.implicits._
+      val p = graft.functions.Md5Expressions.md5PrefixLong(col("text"), 8)
+      val media = Tables.documents(spark, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 2 &&
+          col("source").isNotNull && col("text").isNotNull)
+        .select(col("doc_id").as("_1"), col("source").as("_2"),
+          (lit(16L) + pmod(p, lit(256L))).cast("int").as("_3"),
+          (lit(16L) + pmod(shiftright(p, 8), lit(256L))).cast("int").as("_4"),
+          (lit(1L) + pmod(p, lit(240L))).cast("int").as("_5"),
+          (lit(1000L) + pmod(p, lit(60000L))).as("_6"))
+        .as[(Long, String, Int, Int, Int, Long)]
+        .map { case (id, src, w, h, frames, ms) =>
+          val payload =
+            if (id % 2 == 0)
+              graft.operators.Multimodal.synthesizeAvi(w, h, frames,
+                AviUsPerFrame.toInt)
+            else graft.operators.Multimodal.synthesizeMp4(w, h, ms)
+          graft.operators.Multimodal.MediaItem(id, "video", payload, src) }
+        .toDF()
+      graft.operators.Multimodal.decodeFeatures(spark, media, partitions = 32)
+        .select(col("media_id"), col("width"), col("height"),
+          col("duration_ms"), col("format"))
+    }
+
+  def q210MixedVideoCensus(spark: SparkSession, d: String): DataFrame = {
+    val M = graft.operators.Multimodal
+    val dims = q210MixedVideoDimsFixture(spark, d, "q210_mixed_video_census")
+    dims.join(
+        Tables.documents(spark, d)
+          .select(col("doc_id").as("media_id"), col("source")),
+        Seq("media_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_videos"),
+        sum(when(col("format") === "avi", 1L).otherwise(0L)).as("n_avi"),
+        sum(when(col("format") === "mp4", 1L).otherwise(0L)).as("n_mp4"),
+        sum(col("duration_ms")).as("total_ms"),
+        sum(M.videoTokens(col("width"), col("height"), VideoFrames, PatchSize))
+          .as("total_video_tokens"))
+  }
+
+  val q210Sql: String =
+    s"""WITH vi AS (
+       |  SELECT source, doc_id,
+       |    CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) AS p
+       |  FROM documents
+       |  WHERE doc_id % 3 = 2 AND source IS NOT NULL AND text IS NOT NULL)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_videos,
+       |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_avi,
+       |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_mp4,
+       |  CAST(SUM(CASE WHEN doc_id % 2 = 0
+       |      THEN ($AviUsPerFrame * (1 + p % 240)) // 1000
+       |      ELSE 1000 + p % 60000 END) AS BIGINT) AS total_ms,
+       |  CAST(SUM($VideoFrames * (${patchTokensSql(
+             "16 + p % 256", "16 + (p // 256) % 256")})) AS BIGINT)
+       |    AS total_video_tokens
+       |FROM vi GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -1300,7 +1375,8 @@ object TokenQueries {
     "q205_large_vocab_fertility" -> (q205LargeVocabFertility _),
     "q206_large_vocab_compression" -> (q206LargeVocabCompression _),
     "q207_real_audio_census" -> (q207RealAudioCensus _),
-    "q208_real_video_census" -> (q208RealVideoCensus _))
+    "q208_real_video_census" -> (q208RealVideoCensus _),
+    "q210_mixed_video_census" -> (q210MixedVideoCensus _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -1328,5 +1404,6 @@ object TokenQueries {
     "q205_large_vocab_fertility" -> q205Sql,
     "q206_large_vocab_compression" -> q206Sql,
     "q207_real_audio_census" -> q207Sql,
-    "q208_real_video_census" -> q208Sql)
+    "q208_real_video_census" -> q208Sql,
+    "q210_mixed_video_census" -> q210Sql)
 }

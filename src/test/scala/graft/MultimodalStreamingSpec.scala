@@ -184,6 +184,59 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(feats(2L).format == "synthetic")
   }
 
+  test("synthesizeMp4/probeMp4: exact (w, h, duration) round-trip; malformed boxes fall back") {
+    import graft.operators.Multimodal
+    // round-trip across the generator domain incl. corner dims and
+    // durations (timescale 1000 makes ms exact)
+    for ((w, h, ms) <- Seq((16, 16, 1L), (271, 16, 59999L),
+        (1920, 1080, 3600000L), (1, 1, 0L), (0x7fff, 0x7fff, 123L))) {
+      val got = Multimodal.probeMp4(Multimodal.synthesizeMp4(w, h, ms))
+      assert(got.contains((w, h, ms)),
+        s"mp4 round-trip at ${w}x$h, $ms ms: $got")
+    }
+    // malformed inputs: None, never an exception
+    assert(Multimodal.probeMp4(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.probeMp4(
+      Multimodal.synthesizeAvi(8, 8, 4)).isEmpty, "an AVI is not an mp4")
+    assert(Multimodal.probeMp4(
+      Multimodal.synthesizeWav(100L)).isEmpty, "a WAV is not an mp4")
+    assert(Multimodal.probeMp4(
+      Multimodal.synthesizeMp4(8, 8, 40L).take(30)).isEmpty, "truncated moov")
+    assert(Multimodal.probeMp4(
+      "ftypnot really a box layout at all.............".getBytes("US-ASCII"))
+      .isEmpty, "ftyp text but no box sizes")
+    // a lying box size (0xffffffff) must not wrap or throw
+    val lying = Multimodal.synthesizeMp4(8, 8, 40L)
+    java.nio.ByteBuffer.wrap(lying).putInt(20, -1) // moov size -> 4294967295
+    assert(Multimodal.probeMp4(lying).isEmpty, "lying moov size")
+    // largesize spelling (size == 1 + 64-bit size) parses: rewrite
+    // the ftyp box as a largesize box and keep the rest intact
+    val base = Multimodal.synthesizeMp4(64, 48, 2500L)
+    val large = new Array[Byte](base.length + 8)
+    System.arraycopy(base, 0, large, 0, 8)          // size+type of ftyp
+    System.arraycopy(base, 8, large, 16, base.length - 8)
+    val lb2 = java.nio.ByteBuffer.wrap(large)
+    lb2.putInt(0, 1)        // size = 1 -> largesize follows type
+    lb2.putLong(8, 28L)     // 20-byte ftyp + 8 for the largesize field
+    assert(Multimodal.probeMp4(large).contains((64, 48, 2500L)),
+      "largesize ftyp box")
+    // a zero-dim (audio-style) first tkhd is skipped, not returned:
+    // forge width=0 -> probe must refuse (single-trak payload)
+    val forged = Multimodal.synthesizeMp4(8, 8, 40L)
+    // tkhd width offset: 20 (ftyp) + 8 (moov hdr) + 108 (mvhd) +
+    // 8 (trak hdr) + 8 (tkhd hdr) + 76 = 228
+    java.nio.ByteBuffer.wrap(forged).putInt(228, 0)
+    assert(Multimodal.probeMp4(forged).isEmpty, "zero-width video track")
+    // the default codec prefers AVI, then mp4, then the stub
+    val items = Seq(
+      Multimodal.MediaItem(1L, "video", Multimodal.synthesizeMp4(320, 240, 1500L), "s"),
+      Multimodal.MediaItem(2L, "video", "plain text bytes".getBytes("UTF-8"), "s"))
+    val feats = Multimodal.decodeImageIO(items).map(f => f.media_id -> f).toMap
+    assert(feats(1L).format == "mp4" && feats(1L).width == 320
+      && feats(1L).height == 240 && feats(1L).duration_ms == 1500L)
+    assert(feats(2L).format == "synthetic")
+  }
+
   test("synthesizeAvi/probeAvi: exact (w, h, duration) round-trip; malformed headers fall back") {
     import graft.operators.Multimodal
     // round-trip across the generator domain incl. corner dims and
