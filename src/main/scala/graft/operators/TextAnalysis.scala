@@ -41,11 +41,21 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = {
     val padded = concat(lit(" "), text, lit(" "))
-    val scored = LangMarkers.map { case (lang, ms) => (lang, langScore(padded, ms)) }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    scored.foldRight(lit("und"): Column) { case ((lang, s), elseCol) =>
-      when(s === best && s > 0, lit(lang)).otherwise(elseCol)
-    }
+    // argmax via array_max over (score, rank, lang) structs — each
+    // language's score is stated (and codegen'd) exactly ONCE. The
+    // previous when-chain spelling re-inlined every score into every
+    // branch (s_i === greatest(s_1..s_L) per language), which blew the
+    // fused curate/streaming-curation stages past Janino's 64 KB
+    // method limit and silently dropped them to interpreted execution.
+    // rank descends with list position, so equal scores resolve to the
+    // first-listed language — the original tie rule; the lang field is
+    // never reached by the comparison (rank is unique).
+    val scored = array(LangMarkers.zipWithIndex.map { case ((lang, ms), i) =>
+      struct(langScore(padded, ms).as("s"),
+        lit(LangMarkers.length - i).as("r"), lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("s") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
   /** Quality features: lengths, token counts, ratios, and a blended
