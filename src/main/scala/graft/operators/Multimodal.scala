@@ -495,6 +495,60 @@ object Multimodal {
       .mapPartitions(_.grouped(batchSize).flatMap(g => codec(g.toSeq)))
   }
 
+  /** Per-(kind, source) media-token census over a media table
+    * (media_id, kind, payload, source): decode through `codec` (real
+    * header probes with stub fallback), price each row in its
+    * modality's token unit — [[patchTokens]] for images,
+    * [[audioTokens]] for audio, [[videoTokens]] for video — and
+    * aggregate ONE group-sized census: (kind, source, n_items,
+    * n_real_decode, total_ms, total_media_tokens). Every census
+    * column is a mergeable integer (counts and sums), so per-batch
+    * partials fold BY ADDITION into exactly the single-pass census —
+    * the contract [[mediaCensusFromPartials]] and the streaming sink
+    * ([[graft.streaming.StreamingCuration.mediaCensusSink]]) rely on.
+    * The dims→source join projects only (media_id, source) off the
+    * media frame (payloads pruned), and decode stays the
+    * embarrassingly-parallel map-side work of [[decodeFeatures]].
+    */
+  def mediaTokenCensus(
+      spark: SparkSession, media: DataFrame, partitions: Int,
+      patchSize: Int = DefaultPatchSize, videoFrames: Int = 8,
+      audioTokensPerSecond: Int = DefaultAudioTokensPerSecond,
+      codec: Codec = decodeImageIO, batchSize: Int = 64): DataFrame = {
+    val dims = decodeFeatures(spark, media, partitions, batchSize, codec)
+      .toDF()
+    dims
+      .join(media.select(col("media_id"), col("source")), Seq("media_id"))
+      .groupBy(col("kind"), col("source"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("format") =!= "synthetic", 1L).otherwise(0L))
+          .as("n_real_decode"),
+        sum(col("duration_ms")).as("total_ms"),
+        sum(when(col("kind") === "image",
+            patchTokens(col("width"), col("height"), patchSize))
+          .when(col("kind") === "audio",
+            audioTokens(col("duration_ms"), audioTokensPerSecond))
+          .otherwise(
+            videoTokens(col("width"), col("height"), videoFrames, patchSize)))
+          .as("total_media_tokens"))
+  }
+
+  /** Fold any accumulation of [[mediaTokenCensus]] partials (e.g. the
+    * per-batch append log a streaming sink writes) into the census of
+    * everything they cover — integer addition per (kind, source),
+    * exactly equal to the single-pass census over the union of the
+    * batches (all columns are counts/sums; spec-pinned streamed ==
+    * batch on a two-batch split).
+    */
+  def mediaCensusFromPartials(partials: DataFrame): DataFrame =
+    partials.groupBy(col("kind"), col("source"))
+      .agg(
+        sum(col("n_items")).as("n_items"),
+        sum(col("n_real_decode")).as("n_real_decode"),
+        sum(col("total_ms")).as("total_ms"),
+        sum(col("total_media_tokens")).as("total_media_tokens"))
+
   /** ViT-style patch-token count from image dimensions: an image of
     * (width × height) pixels costs `ceil(w/P)·ceil(h/P) + 1` tokens
     * in a P-pixel-patch vision encoder (the +1 is the class token) —

@@ -554,6 +554,61 @@ object GraftChecks {
           need(a, "target_bytes", "compaction_plan").trim.toLong,
           a.get("shards").map(_.trim.toInt).getOrElse(16)))),
 
+    // EXECUTION surface for takedowns — the ONE registry entry family
+    // that writes. Dry-run by DEFAULT: without `execute => true` it
+    // returns the takedown PLAN (which files a rewrite would touch),
+    // writing nothing; with it, it runs the side-by-side write-new /
+    // verify half (never in place — the operator refuses out == in
+    // and mixed partition layouts loudly) and returns the verified
+    // 1-row report. Any execute value other than exactly 'true' is
+    // refused, not coerced.
+    "takedown_execute" -> ((
+      "path, out_path, id, ids (catalog table)[, execute (true)]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val path = need(a, "path", "takedown_execute")
+        val id = need(a, "id", "takedown_execute")
+        val ids = s.table(need(a, "ids", "takedown_execute"))
+        if (!executeArg(a, "takedown_execute")) {
+          // dry run still demands the out path, so a caller cannot
+          // discover the missing argument only at execution time
+          need(a, "out_path", "takedown_execute")
+          graft.operators.Provenance.takedownPlan(
+            s.read.parquet(path), id, ids)
+        } else {
+          val r = graft.operators.Provenance.takedownExecute(
+            s, path, need(a, "out_path", "takedown_execute"), id, ids)
+          import s.implicits._
+          Seq((r.filesCarried, r.filesRewritten, r.rowsBefore,
+            r.rowsDropped, r.rowsAfter)).toDF(
+            "files_carried", "files_rewritten", "rows_before",
+            "rows_dropped", "rows_after")
+        }
+      })),
+
+    // EXECUTION surface for compaction — same dry-run-default
+    // discipline: without `execute => true` it returns the
+    // compaction PLAN (file → (shard, pack) assignment); with it, it
+    // rewrites each pack side-by-side into out_path (in-place
+    // refused by the operator), verifies row counts by read-back,
+    // and returns the 1-row report.
+    "compact" -> ((
+      "path, out_path, target_bytes[, shards][, execute (true)]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val path = need(a, "path", "compact")
+        val target = need(a, "target_bytes", "compact").trim.toLong
+        val shards = a.get("shards").map(_.trim.toInt).getOrElse(16)
+        if (!executeArg(a, "compact")) {
+          need(a, "out_path", "compact")
+          graft.operators.Provenance.compactionPlan(s, path, target, shards)
+        } else {
+          val r = graft.operators.Provenance.compact(
+            s, path, need(a, "out_path", "compact"), target, shards)
+          import s.implicits._
+          Seq((r.nGroups, r.filesBefore, r.filesAfter, r.rowsTotal)).toDF(
+            "n_groups", "files_before", "files_after", "rows_total")
+        }
+      })),
+
     // metadata-only schema diff between two catalog tables: one row
     // per added/removed/retyped column — the deploy-time drift check
     // a reconciliation run opens with (no data scan)
@@ -815,6 +870,22 @@ object GraftChecks {
           pLo = a.get("p_lo").map(_.trim.toDouble).getOrElse(0.05),
           pHi = a.get("p_hi").map(_.trim.toDouble).getOrElse(0.95),
           scale = a.get("scale").map(_.trim.toDouble).getOrElse(1e6)))))
+
+  /** Shared execute-argument gate for the EXECUTION surfaces
+    * (`takedown_execute`, `compact`): absent → dry run; exactly
+    * 'true' (case-insensitive) → execute; anything else is refused
+    * loudly rather than coerced to a boolean — a typo must not
+    * trigger a filesystem rewrite, and must not silently dry-run
+    * when the caller believed they executed.
+    */
+  private def executeArg(a: Map[String, String], check: String): Boolean =
+    a.get("execute") match {
+      case None => false
+      case Some(v) if v.trim.equalsIgnoreCase("true") => true
+      case Some(v) => throw new IllegalArgumentException(
+        s"graft.$check: execute must be exactly 'true' to run the " +
+          s"rewrite (got '$v'); omit it for a dry run")
+    }
 
   /** Shared vocab-argument resolution for the token-denominated
     * checks (`compression`, `chunk_tokens`): production (default) |

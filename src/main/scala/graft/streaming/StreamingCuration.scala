@@ -240,4 +240,42 @@ object StreamingCuration {
           lit(false)))
       .drop("_lm")
   }
+
+  /** Streamed maintenance for the MULTIMODAL budget (the seventh
+    * maintained surface): each micro-batch of media rows runs the
+    * REAL header-probe decode and appends ITS OWN per-(kind, source)
+    * token census ([[graft.operators.Multimodal.mediaTokenCensus]] —
+    * mergeable integers, ≤ kinds × sources rows per batch regardless
+    * of batch size) to `path` — the [[StreamingSketch]] append-log
+    * discipline, which is also the q202 windowed-census discipline
+    * minus the window (the media budget is a running total, not a
+    * timeline). Reads fold by addition
+    * ([[graft.operators.Multimodal.mediaCensusFromPartials]]) into
+    * EXACTLY the batch census of everything that has arrived
+    * (spec-pinned streamed == batch on a two-batch split) — so the
+    * multimodal mixture budget is a standing query, never a rescan
+    * of payload history.
+    */
+  def mediaCensusSink(
+      stream: DataFrame, path: String, checkpoint: String,
+      partitions: Int = 32,
+      patchSize: Int = graft.operators.Multimodal.DefaultPatchSize,
+      videoFrames: Int = 8,
+      audioTokensPerSecond: Int =
+        graft.operators.Multimodal.DefaultAudioTokensPerSecond)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Multimodal.mediaTokenCensus(
+            batch.sparkSession, batch, partitions,
+            patchSize, videoFrames, audioTokensPerSecond)
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
+  /** The media-token census of everything appended so far. */
+  def readMediaCensus(spark: SparkSession, path: String): DataFrame =
+    graft.operators.Multimodal.mediaCensusFromPartials(
+      spark.read.parquet(path))
 }

@@ -237,6 +237,51 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(feats(2L).format == "synthetic")
   }
 
+  test("streamed media census: per-batch partials fold to exactly the batch census (seventh maintained surface)") {
+    import graft.operators.Multimodal
+    import graft.streaming.StreamingCuration
+    val dir = java.nio.file.Files.createTempDirectory("media_census").toString
+    val log = s"$dir/log"; val ckpt = s"$dir/ckpt"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Multimodal.MediaItem]
+    val sq = StreamingCuration.mediaCensusSink(
+      stream.toDF(), log, ckpt, partitions = 4)
+    // all three real-container modalities + a stub-fallback payload,
+    // across two sources, split across two micro-batches
+    val batch1 = Seq(
+      Multimodal.MediaItem(1L, "image", Multimodal.synthesizePng(64, 48), "web"),
+      Multimodal.MediaItem(2L, "audio", Multimodal.synthesizeWav(2500L), "web"),
+      Multimodal.MediaItem(3L, "video", Multimodal.synthesizeAvi(320, 240, 30), "books"),
+      Multimodal.MediaItem(4L, "video", "not a container".getBytes("UTF-8"), "web"))
+    val batch2 = Seq(
+      Multimodal.MediaItem(5L, "video", Multimodal.synthesizeMp4(640, 480, 1500L), "web"),
+      Multimodal.MediaItem(6L, "audio", Multimodal.synthesizeWav(750L), "books"),
+      Multimodal.MediaItem(7L, "image", Multimodal.synthesizePng(17, 33), "web"))
+    stream.addData(batch1); sq.processAllAvailable()
+    stream.addData(batch2); sq.processAllAvailable()
+    sq.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val streamed = keyed(StreamingCuration.readMediaCensus(spark, log))
+    val batch = keyed(Multimodal.mediaTokenCensus(
+      spark, (batch1 ++ batch2).toDF(), partitions = 4))
+    assert(streamed == batch,
+      s"folded per-batch media-census partials must equal the " +
+        s"single-pass census: $streamed vs $batch")
+    // the log really is per-batch partials: 2 batches appended
+    // (kind, source) rows independently — web/video appears in both
+    assert(spark.read.parquet(log)
+      .filter(col("kind") === "video" && col("source") === "web")
+      .count() == 2L, "each micro-batch appends its own partial row")
+    // decode reality check rode through the stream: every real
+    // container probed (only the text-bytes video row is synthetic)
+    assert(streamed(("video", "web"))._2 == 1L
+      && streamed(("video", "books"))._2 == 1L
+      && streamed(("audio", "web"))._2 == 1L
+      && streamed(("image", "web"))._2 == 2L)
+  }
+
   test("synthesizeAvi/probeAvi: exact (w, h, duration) round-trip; malformed headers fall back") {
     import graft.operators.Multimodal
     // round-trip across the generator domain incl. corner dims and

@@ -372,9 +372,83 @@ class PipelinesSpec extends AnyFunSuite {
     assert(zs("a").getAs[Double]("zipf_slope") == 0.0,
       "a flat 4-token distribution has slope 0 exactly")
 
-    // the registry grew to 59 CALL-able checks (r15: the
-    // eval/monitoring + curation families)
-    assert(graft.sql.GraftChecks.registry.size == 59)
+    // the registry grew to 61 CALL-able checks (r16: the execution
+    // surfaces takedown_execute + compact, dry-run by default)
+    assert(graft.sql.GraftChecks.registry.size == 61)
+  }
+
+  test("SQL-callable execution surfaces: takedown_execute and compact dry-run by default, refuse loudly, execute on explicit true") {
+    val base = java.nio.file.Files
+      .createTempDirectory("sqlc_exec").toString
+    val tbl = s"$base/tbl"
+    // 4 single-row files so the plan/compaction have real work
+    (1L to 4L).foreach { i =>
+      Seq((i, s"doc $i")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(tbl)
+    }
+    Seq(Tuple1(2L)).toDF("doc_id").createOrReplaceTempView("sqlc_exec_ids")
+
+    // 1. dry run (no execute arg): returns the PLAN, writes nothing
+    val outT = s"$base/out_takedown"
+    val plan = spark.sql(
+      s"""CALL graft.takedown_execute(path => '$tbl',
+         |  out_path => '$outT', id => 'doc_id',
+         |  ids => 'sqlc_exec_ids')""".stripMargin).collect()
+    assert(plan.length == 1 && plan.head.getAs[Long]("n_hit") == 1L,
+      s"dry run returns the one-hit plan: ${plan.mkString(",")}")
+    assert(!new java.io.File(outT).exists(),
+      "a dry run must write NOTHING")
+
+    // 2. a non-'true' execute value is refused, not coerced — and
+    // still writes nothing
+    val boom = intercept[Exception] {
+      spark.sql(
+        s"""CALL graft.takedown_execute(path => '$tbl',
+           |  out_path => '$outT', id => 'doc_id',
+           |  ids => 'sqlc_exec_ids', execute => 'yes')""".stripMargin)
+        .collect()
+    }
+    assert(boom.getMessage.contains("execute must be exactly 'true'"))
+    assert(!new java.io.File(outT).exists())
+
+    // 3. in-place execution is refused by the operator guard
+    val inPlace = intercept[Exception] {
+      spark.sql(
+        s"""CALL graft.takedown_execute(path => '$tbl',
+           |  out_path => '$tbl', id => 'doc_id',
+           |  ids => 'sqlc_exec_ids', execute => 'true')""".stripMargin)
+        .collect()
+    }
+    assert(inPlace.getMessage.contains("in-place takedown is refused"))
+
+    // 4. explicit execute => 'true' runs the rewrite and returns the
+    // verified report
+    val rep = spark.sql(
+      s"""CALL graft.takedown_execute(path => '$tbl',
+         |  out_path => '$outT', id => 'doc_id',
+         |  ids => 'sqlc_exec_ids', execute => 'true')""".stripMargin)
+      .collect().head
+    assert(rep.getAs[Long]("rows_before") == 4L
+      && rep.getAs[Long]("rows_dropped") == 1L
+      && rep.getAs[Long]("rows_after") == 3L, s"takedown report: $rep")
+    assert(spark.read.parquet(outT).count() == 3L)
+
+    // 5. compact: dry run returns the pack plan; execute coalesces
+    // the 4 files and verifies by read-back
+    val outC = s"$base/out_compact"
+    val cplan = spark.sql(
+      s"""CALL graft.compact(path => '$tbl', out_path => '$outC',
+         |  target_bytes => '10000000')""".stripMargin).collect()
+    assert(cplan.length == 4 && !new java.io.File(outC).exists(),
+      "compact dry run lists the 4 files, writes nothing")
+    val crep = spark.sql(
+      s"""CALL graft.compact(path => '$tbl', out_path => '$outC',
+         |  target_bytes => '10000000', shards => '1',
+         |  execute => 'true')""".stripMargin).collect().head
+    assert(crep.getAs[Long]("rows_total") == 4L
+      && crep.getAs[Long]("files_after") < crep.getAs[Long]("files_before"),
+      s"compaction report: $crep")
+    assert(spark.read.parquet(outC).count() == 4L)
   }
 
   test("SQL-callable checks: the dedup/similarity family (near_dedup/ann_topk/split_leakage/source_overlap) from SQL") {
