@@ -274,6 +274,33 @@ object Multimodal {
     require(width >= 1 && height >= 1 && width <= 0x7fff && height <= 0x7fff &&
       durationMs >= 0 && durationMs <= Int.MaxValue.toLong,
       s"synthetic mp4 params out of range: ${width}x$height, $durationMs ms")
+    bmffHeaderPayload("isom", durationMs, width, height)
+  }
+
+  /** Synthesize a REAL ISO BMFF AUDIO header payload (m4a): major
+    * brand `M4A ` and a single audio trak — tkhd volume 1.0 (8.8
+    * fixed point) with the spec-mandated 0×0 track dimensions, the
+    * exact shape [[probeBmffAudio]] recovers the duration from and
+    * [[probeMp4]] correctly REFUSES (no video track). Byte-for-byte
+    * the same big-endian box layout as [[synthesizeMp4]] apart from
+    * the brand and the audio tkhd fields.
+    */
+  def synthesizeM4a(durationMs: Long): Array[Byte] = {
+    require(durationMs >= 0 && durationMs <= Int.MaxValue.toLong,
+      s"synthetic m4a duration out of range: $durationMs ms")
+    bmffHeaderPayload("M4A ", durationMs, 0, 0)
+  }
+
+  /** Shared ISO BMFF writer behind [[synthesizeMp4]] /
+    * [[synthesizeM4a]]: `ftyp(brand)` + `moov(mvhd + trak(tkhd))`,
+    * version-0 boxes, movie timescale 1000 (the mvhd duration IS
+    * the millisecond count), tkhd width/height in 16.16 fixed point
+    * — `width == 0` means an AUDIO track (volume 1.0, 0×0 dims).
+    * Not a playable file (no `mdat`/sample tables — the header-only
+    * probe target), but byte-for-byte the real box layout.
+    */
+  private def bmffHeaderPayload(
+      brand: String, durationMs: Long, width: Int, height: Int): Array[Byte] = {
     val ftypSize = 20       // header + major brand + minor version + 1 brand
     val mvhdSize = 8 + 100  // version-0 mvhd payload is exactly 100 bytes
     val tkhdSize = 8 + 84   // version-0 tkhd payload is exactly 84 bytes
@@ -289,7 +316,7 @@ object Multimodal {
       ()
     }
     buf.putInt(ftypSize); fourcc("ftyp")
-    fourcc("isom"); buf.putInt(0x200); fourcc("isom")
+    fourcc(brand); buf.putInt(0x200); fourcc("isom")
     buf.putInt(moovSize); fourcc("moov")
     buf.putInt(mvhdSize); fourcc("mvhd")
     buf.putInt(0)                       // version 0 + flags
@@ -313,27 +340,30 @@ object Multimodal {
     buf.putInt(durationMs.toInt)        // track duration (movie timescale)
     buf.putInt(0).putInt(0)             // reserved[2]
     buf.putShort(0).putShort(0)         // layer, alternate_group
-    buf.putShort(0).putShort(0)         // volume (0 for video), reserved
+    // volume: 0 for a video track, 1.0 (8.8 fixed) for audio
+    buf.putShort(if (width == 0) 0x0100.toShort else 0).putShort(0)
     unityMatrix()
     buf.putInt(width << 16)             // 16.16 fixed-point width
     buf.putInt(height << 16)            // 16.16 fixed-point height
     buf.array()
   }
 
-  /** Header-only ISO BMFF (mp4/mov) probe: (width, height,
-    * duration_ms) from `moov/mvhd` (timescale + duration, versions
-    * 0 and 1) and the first `trak/tkhd` with nonzero 16.16
-    * dimensions (the video track — audio tkhds carry 0×0), via a
-    * pure-JVM big-endian box walk. `durationMs = duration · 1000 /
-    * timescale` (integer floor; exact for [[synthesizeMp4]]'s
-    * timescale-1000 payloads). Requires a leading `ftyp` box —
-    * the standard brand marker — to discriminate from arbitrary
-    * bytes. None otherwise; offsets are carried as Long and every
-    * read is bounds-checked, so the walk never throws or wraps on
-    * arbitrary/lying payloads (the probeWav/probeAvi totality
-    * contract).
+  /** Shared ISO BMFF box walk behind [[probeMp4]] (video: dims
+    * required) and [[probeBmffAudio]] (audio: duration only):
+    * `Some((durationMs, dims))` where `durationMs` comes from
+    * `moov/mvhd` (timescale + duration, versions 0 and 1;
+    * `duration · 1000 / timescale`, integer floor — exact for the
+    * synthesizers' timescale-1000 payloads) and `dims` is the first
+    * `trak/tkhd` with nonzero 16.16 dimensions (the video track —
+    * audio tkhds carry 0×0, so an m4a yields `dims = None`).
+    * Requires a leading `ftyp` box — the standard brand marker — to
+    * discriminate from arbitrary bytes. None otherwise; offsets are
+    * carried as Long and every read is bounds-checked, so the walk
+    * never throws or wraps on arbitrary/lying payloads (the
+    * probeWav/probeAvi totality contract).
     */
-  def probeMp4(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+  private def bmffMovie(
+      bytes: Array[Byte]): Option[(Long, Option[(Int, Int)])] = {
     if (bytes.length < 16) return None
     val b = java.nio.ByteBuffer.wrap(bytes) // big-endian default
     val len = bytes.length.toLong
@@ -384,9 +414,11 @@ object Multimodal {
         if (dhi < 0L || dlo < 0L) (t, -1L) else (t, (dhi << 32) | dlo)
       } else (-1L, -1L)
     if (ts <= 0L || dur < 0L) return None
+    val ms = dur * 1000L / ts
     // first trak whose tkhd has nonzero dims = the video track
     var cur = moovP
-    while (cur < moovE) {
+    var dims: Option[(Int, Int)] = None
+    while (cur < moovE && dims.isEmpty) {
       findBox(cur, moovE, "trak") match {
         case Some((tp, te)) =>
           findBox(tp, te, "tkhd") match {
@@ -399,17 +431,33 @@ object Multimodal {
                 // width (< 1 px) is not a usable video dimension
                 val w = (u32(wOff) >> 16).toInt
                 val h = (u32(wOff + 4) >> 16).toInt
-                if (w > 0 && h > 0)
-                  return Some((w, h, dur * 1000L / ts))
+                if (w > 0 && h > 0) dims = Some((w, h))
               }
             case _ => ()
           }
           cur = te
-        case None => return None
+        case None => cur = moovE
       }
     }
-    None
+    Some((ms, dims))
   }
+
+  /** Header-only ISO BMFF (mp4/mov) VIDEO probe: (width, height,
+    * duration_ms) via [[bmffMovie]]; None when the container has no
+    * video track (an m4a's tkhds all carry 0×0 dims) — the kind
+    * dispatch routes such payloads to [[probeBmffAudio]] instead.
+    */
+  def probeMp4(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    bmffMovie(bytes).collect { case (ms, Some((w, h))) => (w, h, ms) }
+
+  /** Header-only ISO BMFF AUDIO probe (m4a/mp4 audio): duration_ms
+    * from `moov/mvhd` via [[bmffMovie]], ignoring track dimensions —
+    * the audio leg of the BMFF family, completing probeWav the way
+    * [[probeMp4]] completes probeAvi. Total on arbitrary bytes
+    * (bounds-checked Long offsets, never throws).
+    */
+  def probeBmffAudio(bytes: Array[Byte]): Option[Long] =
+    bmffMovie(bytes).map(_._1)
 
   /** Header-only image probe: (width, height, format) via the
     * registered `javax.imageio` reader, without decoding pixels —
@@ -444,7 +492,8 @@ object Multimodal {
     * Real metadata decode: image payloads via `javax.imageio`
     * (PNG/JPEG/GIF/BMP with the stock JDK; TIFF+ with plugins on the
     * executor classpath), audio payloads via the RIFF/WAVE header
-    * walk ([[probeWav]]), video payloads via the RIFF/AVI main-
+    * walk ([[probeWav]]) then the ISO BMFF mvhd walk
+    * ([[probeBmffAudio]], m4a), video payloads via the RIFF/AVI main-
     * header walk ([[probeAvi]]) then the ISO BMFF box walk
     * ([[probeMp4]], mp4/mov — the container real corpora mostly
     * ship) — all pure JVM, no codec dependency; stub fallback for
@@ -464,7 +513,11 @@ object Multimodal {
         probeWav(m.payload) match {
           case Some(ms) =>
             fb.copy(width = 0, height = 0, duration_ms = ms, format = "wav")
-          case None => fb
+          case None => probeBmffAudio(m.payload) match {
+            case Some(ms) =>
+              fb.copy(width = 0, height = 0, duration_ms = ms, format = "m4a")
+            case None => fb
+          }
         }
       case (m, fb) if m.kind == "video" =>
         probeAvi(m.payload) match {

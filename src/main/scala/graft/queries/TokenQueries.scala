@@ -340,7 +340,8 @@ object TokenQueries {
   val fixtureBacked: Seq[String] = Seq("q190_lm_gate_sweep",
     "q199_neardup_token_accounting", "q200_neardup_mixture_plan",
     "q204_real_decode_census", "q207_real_audio_census",
-    "q208_real_video_census", "q210_mixed_video_census")
+    "q208_real_video_census", "q210_mixed_video_census",
+    "q211_mixed_audio_census")
 
   def q190LmGateSweep(spark: SparkSession, d: String): DataFrame = {
     val perDoc = QueryFixtures.ensure(spark, d, "q190_lm_scores",
@@ -1151,8 +1152,9 @@ object TokenQueries {
   // header walk round-trips (a stub fallback would read format
   // 'synthetic' with hash-derived duration and diverge on both
   // n_wav and the token totals). Video has the same real-decode leg
-  // via the RIFF/AVI main-header walk (q208); only non-RIFF
-  // containers fall back to the stub.
+  // via the RIFF/AVI and ISO BMFF walks (q208/q210), audio's BMFF
+  // (m4a) leg is q211; only genuinely exotic containers fall back
+  // to the stub.
   // ---------------------------------------------------------------
   private def q207AudioDimsFixture(
       spark: SparkSession, d: String, owner: String): DataFrame =
@@ -1348,6 +1350,76 @@ object TokenQueries {
        |FROM vi GROUP BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q211 — MIXED-CONTAINER real-decode audio census (the audio twin
+  // of q210): the same audio-rotation docs as q207, but even ids
+  // ship RIFF/WAVE and odd ids ship ISO BMFF (m4a) — one fixture,
+  // one decodeFeatures pass, and the census counts per-container
+  // legs from the PROBED format plus totals from the probed
+  // durations. A hash match proves both audio walks round-trip AND
+  // that the codec's audio dispatch (WAV walk first, then the BMFF
+  // mvhd walk, stub last) routes every payload to the right probe —
+  // a stub fallback or misroute flips n_wav/n_m4a and, because the
+  // stub's hash-derived duration diverges from the generator's,
+  // total_ms and the token totals too. The oracle restates the
+  // generator arithmetic per container branch (both branches carry
+  // the same md5-derived duration, so only the format split differs).
+  // ---------------------------------------------------------------
+  private def q211MixedAudioDimsFixture(
+      spark: SparkSession, d: String, owner: String): DataFrame =
+    QueryFixtures.ensure(spark, d, "q211_mixed_audio_dims", owner) {
+      import spark.implicits._
+      val p = graft.functions.Md5Expressions.md5PrefixLong(col("text"), 8)
+      val media = Tables.documents(spark, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 1 &&
+          col("source").isNotNull && col("text").isNotNull)
+        .select(col("doc_id").as("_1"), col("source").as("_2"),
+          (lit(1000L) + pmod(p, lit(60000L))).as("_3"))
+        .as[(Long, String, Long)]
+        .map { case (id, src, ms) =>
+          val payload =
+            if (id % 2 == 0) graft.operators.Multimodal.synthesizeWav(ms)
+            else graft.operators.Multimodal.synthesizeM4a(ms)
+          graft.operators.Multimodal.MediaItem(id, "audio", payload, src) }
+        .toDF()
+      graft.operators.Multimodal.decodeFeatures(spark, media, partitions = 32)
+        .select(col("media_id"), col("duration_ms"), col("format"))
+    }
+
+  def q211MixedAudioCensus(spark: SparkSession, d: String): DataFrame = {
+    val M = graft.operators.Multimodal
+    val dims = q211MixedAudioDimsFixture(spark, d, "q211_mixed_audio_census")
+    dims.join(
+        Tables.documents(spark, d)
+          .select(col("doc_id").as("media_id"), col("source")),
+        Seq("media_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum(when(col("format") === "wav", 1L).otherwise(0L)).as("n_wav"),
+        sum(when(col("format") === "m4a", 1L).otherwise(0L)).as("n_m4a"),
+        sum(col("duration_ms")).as("total_ms"),
+        sum(M.audioTokens(col("duration_ms"), AudioTokensPerSecond))
+          .as("total_audio_tokens"))
+  }
+
+  val q211Sql: String =
+    s"""WITH au AS (
+       |  SELECT source, doc_id,
+       |    1000 + CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 60000
+       |      AS ms
+       |  FROM documents
+       |  WHERE doc_id % 3 = 1 AND source IS NOT NULL AND text IS NOT NULL)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clips,
+       |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_wav,
+       |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_m4a,
+       |  CAST(SUM(ms) AS BIGINT) AS total_ms,
+       |  CAST(SUM((ms * $AudioTokensPerSecond + 999) // 1000) AS BIGINT)
+       |    AS total_audio_tokens
+       |FROM au GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_bpe_token_stats"   -> (q181BpeTokenStats _),
@@ -1376,7 +1448,8 @@ object TokenQueries {
     "q206_large_vocab_compression" -> (q206LargeVocabCompression _),
     "q207_real_audio_census" -> (q207RealAudioCensus _),
     "q208_real_video_census" -> (q208RealVideoCensus _),
-    "q210_mixed_video_census" -> (q210MixedVideoCensus _))
+    "q210_mixed_video_census" -> (q210MixedVideoCensus _),
+    "q211_mixed_audio_census" -> (q211MixedAudioCensus _))
 
   val oracleSql: Map[String, String] = Map(
     "q181_bpe_token_stats"   -> q181Sql,
@@ -1405,5 +1478,6 @@ object TokenQueries {
     "q206_large_vocab_compression" -> q206Sql,
     "q207_real_audio_census" -> q207Sql,
     "q208_real_video_census" -> q208Sql,
-    "q210_mixed_video_census" -> q210Sql)
+    "q210_mixed_video_census" -> q210Sql,
+    "q211_mixed_audio_census" -> q211Sql)
 }

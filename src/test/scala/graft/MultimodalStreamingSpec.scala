@@ -237,6 +237,43 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(feats(2L).format == "synthetic")
   }
 
+  test("synthesizeM4a/probeBmffAudio: exact duration round-trip; probeMp4 refuses audio-only; dispatch routes wav/m4a/stub") {
+    import graft.operators.Multimodal
+    for (ms <- Seq(0L, 1L, 1000L, 59999L, 3600000L, Int.MaxValue.toLong)) {
+      val m4a = Multimodal.synthesizeM4a(ms)
+      assert(Multimodal.probeBmffAudio(m4a).contains(ms),
+        s"m4a duration round-trip at $ms ms")
+      // no video track -> the VIDEO probe must refuse the same bytes
+      assert(Multimodal.probeMp4(m4a).isEmpty,
+        s"probeMp4 must refuse an audio-only BMFF ($ms ms)")
+    }
+    // a video mp4's mvhd also yields a duration (a/v containers share
+    // the movie header), and the WAV walk refuses BMFF bytes
+    assert(Multimodal.probeBmffAudio(
+      Multimodal.synthesizeMp4(64, 48, 2500L)).contains(2500L))
+    assert(Multimodal.probeWav(Multimodal.synthesizeM4a(100L)).isEmpty)
+    // malformed inputs: None, never an exception (shared-walk totality)
+    assert(Multimodal.probeBmffAudio(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.probeBmffAudio(
+      Multimodal.synthesizeWav(100L)).isEmpty, "a WAV is not BMFF")
+    assert(Multimodal.probeBmffAudio(
+      Multimodal.synthesizeM4a(40L).take(30)).isEmpty, "truncated moov")
+    val lying = Multimodal.synthesizeM4a(40L)
+    java.nio.ByteBuffer.wrap(lying).putInt(20, -1) // moov size -> 4294967295
+    assert(Multimodal.probeBmffAudio(lying).isEmpty, "lying moov size")
+    // the default codec's audio dispatch: WAV walk first, then the
+    // BMFF mvhd walk, stub last
+    val items = Seq(
+      Multimodal.MediaItem(1L, "audio", Multimodal.synthesizeWav(2500L), "s"),
+      Multimodal.MediaItem(2L, "audio", Multimodal.synthesizeM4a(1500L), "s"),
+      Multimodal.MediaItem(3L, "audio", "plain text bytes".getBytes("UTF-8"), "s"))
+    val feats = Multimodal.decodeImageIO(items).map(f => f.media_id -> f).toMap
+    assert(feats(1L).format == "wav" && feats(1L).duration_ms == 2500L)
+    assert(feats(2L).format == "m4a" && feats(2L).duration_ms == 1500L
+      && feats(2L).width == 0 && feats(2L).height == 0)
+    assert(feats(3L).format == "synthetic")
+  }
+
   test("streamed media census: per-batch partials fold to exactly the batch census (seventh maintained surface)") {
     import graft.operators.Multimodal
     import graft.streaming.StreamingCuration
