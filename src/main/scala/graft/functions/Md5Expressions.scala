@@ -69,6 +69,82 @@ object Md5Prefix {
     }
     new GenericArrayData(out)
   }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** All WORD n-gram hashes of `s` (Broder w-shingling, with
+    * multiplicity): whitespace-run tokenization, each n-token window
+    * hashed as its canonical single-space join — the exact string
+    * `array_to_string(tokens[i:i+n-1], ' ')` a DuckDB oracle states,
+    * and the same window strings `DqFunctions.wordShingles` builds
+    * (minus the distinct pass; minhash minima are
+    * multiplicity-invariant). Short-text convention mirrors both:
+    * fewer than n tokens → ONE hash of the whole token join (empty /
+    * all-whitespace text → hash of the empty string). Windows whose
+    * source bytes are already single-space-joined hash the original
+    * byte span with zero copies — the corpus norm; multi-whitespace
+    * gaps take the canonical-join slow path.
+    */
+  def wordNgramHashes(s: UTF8String, n: Int, hexDigits: Int, mod: Long): GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // token spans: starts(k) inclusive, ends(k) exclusive
+    var numTokens = 0
+    var i = 0
+    var cap = 8
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        val st = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        if (numTokens == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(numTokens) = st; ends(numTokens) = i
+        numTokens += 1
+      }
+    }
+    def joinHash(from: Int, until: Int): Long = {
+      // single-space fast path: the byte span IS the canonical join
+      var singleSpaced = true
+      var k = from
+      while (singleSpaced && k < until - 1) {
+        if (starts(k + 1) != ends(k) + 1) singleSpaced = false
+        k += 1
+      }
+      if (from >= until) hash(bytes, 0, 0, hexDigits, mod)
+      else if (singleSpaced)
+        hash(bytes, starts(from), ends(until - 1) - starts(from), hexDigits, mod)
+      else {
+        var sz = until - from - 1 // the joining spaces
+        k = from
+        while (k < until) { sz += ends(k) - starts(k); k += 1 }
+        val buf = new Array[Byte](sz)
+        var o = 0
+        k = from
+        while (k < until) {
+          if (k > from) { buf(o) = ' '; o += 1 }
+          val tl = ends(k) - starts(k)
+          System.arraycopy(bytes, starts(k), buf, o, tl)
+          o += tl
+          k += 1
+        }
+        hash(buf, 0, sz, hexDigits, mod)
+      }
+    }
+    if (numTokens <= n)
+      return new GenericArrayData(Array(joinHash(0, numTokens)))
+    val count = numTokens - n + 1
+    val out = new Array[Long](count)
+    var j = 0
+    while (j < count) { out(j) = joinHash(j, j + n); j += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Scalar: first-h-hex-digits-of-md5 as long (mod optional). */
@@ -125,10 +201,42 @@ case class NgramMd5Hashes(child: Expression, n: Int, hexDigits: Int, mod: Long)
     copy(child = newChild)
 }
 
+/** Array: md5-prefix hashes of every WORD n-gram window (Broder
+  * w-shingling; see [[Md5Prefix.wordNgramHashes]]).
+  */
+case class WordNgramMd5Hashes(child: Expression, n: Int, hexDigits: Int, mod: Long)
+    extends UnaryExpression {
+  require(n >= 1 && hexDigits >= 1 && hexDigits <= 15)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_ngram_md5_hashes requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Prefix.wordNgramHashes(input.asInstanceOf[UTF8String], n, hexDigits, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.Md5Prefix.wordNgramHashes($s, $n, $hexDigits, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Md5Expressions {
   def md5PrefixLong(s: Column, hexDigits: Int, mod: Long = 0L): Column =
     ColumnBridge.column(Md5PrefixLong(ColumnBridge.expression(s), hexDigits, mod))
 
   def ngramMd5Hashes(text: Column, n: Int, hexDigits: Int, mod: Long = 0L): Column =
     ColumnBridge.column(NgramMd5Hashes(ColumnBridge.expression(text), n, hexDigits, mod))
+
+  def wordNgramMd5Hashes(text: Column, n: Int, hexDigits: Int, mod: Long = 0L): Column =
+    ColumnBridge.column(WordNgramMd5Hashes(ColumnBridge.expression(text), n, hexDigits, mod))
 }

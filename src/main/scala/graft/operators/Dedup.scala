@@ -371,12 +371,16 @@ object Dedup {
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int): DataFrame =
-    df.select(col(idCol).as("id"), charShingles(col(textCol), n).as("_sh"))
+      n: Int, numHashes: Int, words: Boolean = false): DataFrame = {
+    val sh =
+      if (words) graft.functions.DqFunctions.wordShingles(col(textCol), n)
+      else charShingles(col(textCol), n)
+    df.select(col(idCol).as("id"), sh.as("_sh"))
       .select(col("id"), minhashBaseHashes(col("_sh")).as("_mh"))
       .select(col("id"),
         graft.functions.MinhashExpression
           .minhashFromBaseNative(col("_mh"), numHashes).as("sig"))
+  }
 
   /** Engine-portable signatures: md5-based base hashes through the
     * same native one-pass k-min — a DuckDB oracle can compute the
@@ -390,12 +394,16 @@ object Dedup {
     */
   def minhashSignaturesPortable(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int): DataFrame =
+      n: Int, numHashes: Int, words: Boolean = false): DataFrame = {
+    val base =
+      if (words) graft.functions.Md5Expressions.wordNgramMd5Hashes(
+        col(textCol), n, hexDigits = 8, mod = MinhashPrime)
+      else graft.functions.Md5Expressions.ngramMd5Hashes(
+        col(textCol), n, hexDigits = 8, mod = MinhashPrime)
     df.select(col(idCol).as("id"),
       graft.functions.MinhashExpression.minhashFromBaseNative(
-        graft.functions.Md5Expressions.ngramMd5Hashes(
-          col(textCol), n, hexDigits = 8, mod = MinhashPrime),
-        numHashes).as("sig"))
+        base, numHashes).as("sig"))
+  }
 
   /** LSH banding: candidate pairs agreeing on at least one of `bands`
     * bands of `numHashes / bands` rows each, with the estimated
@@ -604,13 +612,27 @@ object Dedup {
     * unpruned candidate set is quadratic-ish (46% of all pairs at
     * 16×4 banding on the test corpus); the floor reduces scored
     * candidates to the near-threshold tail.
+    *
+    * `words = true` switches the shingle unit to word n-grams
+    * (Broder w-shingling) — THE scale lever when band enumeration,
+    * not output, dominates: char n-grams on a small-vocabulary
+    * corpus make every shingle ambient, so unrelated docs minhash-
+    * collide and the Σ bucket² enumeration grows ~n² with corpus
+    * size even while the thresholded OUTPUT stays linear (measured
+    * at the 100× rehearsal: char-5 q12 ×19.5 for 3.33× data
+    * sf3→sf10 with output pairs ×3.3; the word-4 spelling stays
+    * near-linear — SCALE.md §Round-16). A word n-gram draws from
+    * ~vocab^n values, so ambient collisions vanish; true near-dups
+    * still collide. Same banding, same portable md5 convention
+    * ([[graft.functions.Md5Prefix.wordNgramHashes]]).
     */
   def lshNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
+      threshold: Double = 0.8, portable: Boolean = false,
+      words: Boolean = false): DataFrame = {
     val (pairs, sigs) = lshNearDupPairsWithSignatures(
-      df, idCol, textCol, n, numHashes, bands, threshold, portable)
+      df, idCol, textCol, n, numHashes, bands, threshold, portable, words)
     graft.CacheLifecycle.releaseAfterFirstUse(Seq(sigs))
     pairs
   }
@@ -622,10 +644,11 @@ object Dedup {
   def lshNearDupPairsWithSignatures(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, portable: Boolean = false): (DataFrame, DataFrame) = {
+      threshold: Double = 0.8, portable: Boolean = false,
+      words: Boolean = false): (DataFrame, DataFrame) = {
     val sigs =
-      (if (portable) minhashSignaturesPortable(df, idCol, textCol, n, numHashes)
-       else minhashSignatures(df, idCol, textCol, n, numHashes)).persist()
+      (if (portable) minhashSignaturesPortable(df, idCol, textCol, n, numHashes, words)
+       else minhashSignatures(df, idCol, textCol, n, numHashes, words)).persist()
     val pairs = scoredPairsFromSignatures(sigs, numHashes, bands, portable,
         minCollisions = minAgreeingBands(numHashes, bands, threshold))
       .filter(col("est_jaccard") >= threshold)

@@ -41,6 +41,8 @@ object ExtensionQueries {
   // are the standard Broder-style remedy precisely because they push
   // ambient similarity down without touching near-duplicate pairs.
   private val LshShingleN = 5
+  // q212's word-shingle width — the q122 Broder word-4 convention
+  private val WordLshN = 4
 
   // q11 runs the exact inverted-index pair join over the FULL corpus
   // with a stop-shingle document-frequency cap: shingles in more than
@@ -253,20 +255,51 @@ object ExtensionQueries {
       "doc_id", "text", n = LshShingleN, numHashes = LshHashes, bands = LshBands,
       threshold = JaccardThreshold, portable = true)
 
-  /** Mirrors the portable pipeline stage by stage: shingles → md5
-    * base hash mod p → k-min over the affine family (coefficients
-    * embedded as literals) → md5 band buckets → distinct pairs →
-    * agreement fraction.
+  // ---------------------------------------------------------------
+  // q212 — the SCALE spelling of q12: the identical 64×16 banded
+  // minhash pipeline over Broder word 4-shingles instead of char
+  // 5-grams. The 100× rehearsal (SCALE.md §Round-16) measured q12's
+  // char-5 candidate ENUMERATION going ~n² on this small-vocabulary
+  // corpus — every char 5-gram is ambient, so unrelated docs band-
+  // collide and Σ bucket² blows up while the thresholded OUTPUT
+  // stays linear (×3.3 pairs for ×3.33 data). A word 4-gram draws
+  // from ~vocab⁴ values, ambient collisions vanish, and the same
+  // plan stays near-linear through 100×. q12 keeps its char-5
+  // config by the q58/q209 precedent (an index config is part of
+  // the pinned result); this row oracle-pins the unit you'd run at
+  // 100 TB. The word-window hashes ride the native
+  // Md5Prefix.wordNgramHashes (canonical single-space join, zero-
+  // copy on single-spaced text), so DuckDB replays them exactly.
+  // ---------------------------------------------------------------
+  def q212WordLsh(spark: SparkSession, d: String): DataFrame =
+    Dedup.lshNearDupPairs(Tables.documents(spark, d),
+      "doc_id", "text", n = WordLshN, numHashes = LshHashes, bands = LshBands,
+      threshold = JaccardThreshold, portable = true, words = true)
+
+  val q212Sql: String = lshPipelineSql(
+    s"""w AS (SELECT doc_id AS id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS t
+       |  FROM documents),
+       |sh AS (SELECT id, list_distinct(CASE WHEN len(t) <= $WordLshN
+       |    THEN [array_to_string(t, ' ')]
+       |    ELSE [array_to_string(t[i : i + ${WordLshN - 1}], ' ')
+       |          for i in range(1, len(t) - $WordLshN + 2)] END) AS s
+       |  FROM w)""".stripMargin)
+
+  /** Mirrors the portable pipeline stage by stage: shingles (the
+    * `sh` CTE supplied per unit) → md5 base hash mod p → k-min over
+    * the affine family (coefficients embedded as literals) → md5
+    * band buckets → distinct pairs → agreement fraction. ONE dag for
+    * both shingle units (the shared-renderer discipline) — q12
+    * interpolates char windows, q212 word windows.
     */
-  val q12Sql: String = {
+  private def lshPipelineSql(shCte: String): String = {
     import graft.functions.DqFunctions.{minhashCoeffs, MinhashPrime}
     val rows = LshHashes / LshBands
     val minExprs = minhashCoeffs(LshHashes).map { case (a, b) =>
       s"list_min(list_transform(h, x -> (${a} * x + ${b}) % $MinhashPrime))"
     }.mkString("[\n      ", ",\n      ", "]")
-    s"""WITH sh AS (SELECT doc_id AS id, list_distinct(
-       |    [substr(text, i, $LshShingleN) for i in range(1, greatest(length(text) - ${LshShingleN - 1}, 1) + 1)]) AS s
-       |  FROM documents),
+    s"""WITH $shCte,
        |bh AS (SELECT id, list_transform(s, g ->
        |    CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) AS BIGINT) % $MinhashPrime) AS h
        |  FROM sh),
@@ -287,6 +320,11 @@ object ExtensionQueries {
        |SELECT id_a, id_b, est_jaccard FROM scored
        |WHERE est_jaccard >= $JaccardThreshold""".stripMargin
   }
+
+  val q12Sql: String = lshPipelineSql(
+    s"""sh AS (SELECT doc_id AS id, list_distinct(
+       |    [substr(text, i, $LshShingleN) for i in range(1, greatest(length(text) - ${LshShingleN - 1}, 1) + 1)]) AS s
+       |  FROM documents)""".stripMargin)
 
   // ---------------------------------------------------------------
   // q54 — duplicate clusters: connected components over the q12 LSH
@@ -981,6 +1019,7 @@ object ExtensionQueries {
     "q11_ngram_jaccard"      -> (q11NgramJaccard _),
     "q122_containment"       -> (q122Containment _),
     "q12_minhash_lsh"        -> (q12MinhashLsh _),
+    "q212_word_lsh"          -> (q212WordLsh _),
     "q62_corpus_overlap"     -> (q62CorpusOverlap _),
     "q141_source_overlap"    -> (q141SourceOverlap _),
     "q13_simhash_neardup"    -> (q13SimhashNearDup _),
@@ -1012,6 +1051,7 @@ object ExtensionQueries {
     "q11_ngram_jaccard"      -> q11Sql,
     "q122_containment"       -> q122Sql,
     "q12_minhash_lsh"        -> q12Sql,
+    "q212_word_lsh"          -> q212Sql,
     "q62_corpus_overlap"     -> q62Sql,
     "q141_source_overlap"    -> q141Sql,
     "q13_simhash_neardup"    -> q13Sql,

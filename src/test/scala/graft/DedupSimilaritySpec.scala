@@ -94,6 +94,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
         newBatch, "doc_id", "text"))
   }
 
+  test("word-shingle LSH (q212 unit): exact/near dups pair, char-ambient docs don't; both portable forms") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "alpha beta gamma delta epsilon zeta eta iota" // 1-word tail edit
+    // char-5-soaked but word-disjoint: same chars, one space moved —
+    // nearly every char window is shared, yet no word 4-gram is
+    val c = "thequickbrownfox jumpsoverthelazydog"
+    val e = "thequickbrownfoxjumpsoverthelazydog"
+    val docs = Seq((1L, a), (2L, a), (3L, b), (4L, c), (5L, e))
+      .toDF("doc_id", "text")
+    // bands = numHashes -> exact candidate recall (any agreeing
+    // position collides), so the assertions are deterministic up to
+    // astronomically unlikely base-hash collisions
+    for (portable <- Seq(true, false)) {
+      val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text",
+        n = 4, numHashes = 64, bands = 64, threshold = 0.3,
+        portable = portable, words = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+        s"exact dup must pair at est 1.0 (portable=$portable): ${pairs.toSeq}")
+      assert(pairs.exists(p => p._1 == 1L && p._2 == 3L),
+        s"4-of-6-shared-windows near dup must pair at t=0.3 (portable=$portable)")
+      assert(!pairs.exists(p => p._1 == 4L && p._2 == 5L),
+        s"word-disjoint docs must not pair however char-similar (portable=$portable)")
+    }
+    // the contrast that motivates the unit: the char-5 spelling DOES
+    // pair the word-disjoint docs (shared char mass is the ambient
+    // trap the 100x rehearsal measured going quadratic)
+    val charPairs = Dedup.lshNearDupPairs(docs, "doc_id", "text",
+      n = 5, numHashes = 64, bands = 64, threshold = 0.3, portable = true)
+    assert(charPairs.filter($"id_a" === 4L && $"id_b" === 5L).count() == 1,
+      "char-5 unit must pair the chars-shared/words-disjoint docs")
+  }
+
   // ---------------- foldIntoClusterKeepList ----------------
   // bands = numHashes (1 row per band) makes LSH candidate recall
   // exact — a pair collides iff any signature position agrees — so

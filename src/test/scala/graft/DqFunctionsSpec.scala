@@ -169,6 +169,19 @@ class DqFunctionsSpec extends AnyFunSuite {
       sort_array(array_distinct(DqFunctions.minhashBaseHashesPortable(
         DqFunctions.charShingles($"text", 3)))).as("composed"))
     assert(ng.filter($"native" =!= $"composed").count() == 0)
+    // WORD n-gram array: native byte-walk (canonical single-space
+    // join, zero-copy fast path) vs the compositional
+    // wordShingles → md5 pipeline — including the multi-whitespace
+    // slow path ("a b  c"), sub-n-token texts, and the empty string
+    val wdocs = docs.union(Seq(
+      (90004L, "one two three four five six"),
+      (90005L, "  leading  and \t tab\nnewline  "),
+      (90006L, "under four")).toDF("doc_id", "text"))
+    val wg = wdocs.select(
+      sort_array(array_distinct(Md5Expressions.wordNgramMd5Hashes($"text", 4, 8, p))).as("native"),
+      sort_array(array_distinct(DqFunctions.minhashBaseHashesPortable(
+        DqFunctions.wordShingles($"text", 4)))).as("composed"))
+    assert(wg.filter($"native" =!= $"composed").count() == 0)
   }
 
   test("native SortedIntersectCount equals size(array_intersect) on sorted sets") {
