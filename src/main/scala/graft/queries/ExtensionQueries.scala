@@ -337,8 +337,25 @@ object ExtensionQueries {
     Dedup.duplicateClusters(q12MinhashLsh(spark, d), "id_a", "id_b")
       .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
 
-  val q54Sql: String =
-    s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($q12Sql) q12),
+  // ---------------------------------------------------------------
+  // q213 — q54's closure over the SCALE pair unit: connected
+  // components on q212's word-shingle LSH pairs. With the char-
+  // ambient enumeration gone (q212), this is the dedup closure
+  // you'd run at 100 TB — measured with q212 at the 100× rehearsal
+  // (SCALE.md §Round-16). Same recursive-closure oracle as q54 (one
+  // shared renderer), q212's SQL as the pair subquery.
+  // ---------------------------------------------------------------
+  def q213WordDupClusters(spark: SparkSession, d: String): DataFrame =
+    Dedup.duplicateClusters(q212WordLsh(spark, d), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+
+  /** Recursive-transitive-closure oracle over a pair subquery — ONE
+    * renderer for q54 (char-5 pairs) and q213 (word-4 pairs):
+    * small-data semantics for the distributed min-label-propagation
+    * algorithm.
+    */
+  private def closureSql(pairsSql: String, alias: String): String =
+    s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($pairsSql) $alias),
        |edges AS (SELECT id_a AS a, id_b AS b FROM p
        |  UNION SELECT id_b, id_a FROM p),
        |reach(id, r) AS (
@@ -350,6 +367,10 @@ object ExtensionQueries {
        |  FROM lab GROUP BY 1)
        |SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_size
        |FROM lab JOIN sz ON lab.cluster_id = sz.cluster_id""".stripMargin
+
+  val q54Sql: String = closureSql(q12Sql, "q12")
+
+  val q213Sql: String = closureSql(q212Sql, "q212")
 
   // ---------------------------------------------------------------
   // q128 — the dedup DECISION: per clustered doc, keep or drop.
@@ -1024,6 +1045,7 @@ object ExtensionQueries {
     "q141_source_overlap"    -> (q141SourceOverlap _),
     "q13_simhash_neardup"    -> (q13SimhashNearDup _),
     "q54_dup_clusters"       -> (q54DupClusters _),
+    "q213_word_dup_clusters" -> (q213WordDupClusters _),
     "q128_cluster_keep_list" -> (q128ClusterKeepList _),
     "q129_incremental_keep_list" -> (q129IncrementalKeepList _),
     "q56_quantization"       -> (q56Quantization _),
@@ -1056,6 +1078,7 @@ object ExtensionQueries {
     "q141_source_overlap"    -> q141Sql,
     "q13_simhash_neardup"    -> q13Sql,
     "q54_dup_clusters"       -> q54Sql,
+    "q213_word_dup_clusters" -> q213Sql,
     "q128_cluster_keep_list" -> q128Sql,
     "q129_incremental_keep_list" -> q129Sql,
     "q56_quantization"       -> q56Sql,
