@@ -333,9 +333,21 @@ object ExtensionQueries {
   // computes components by recursive transitive closure — small-data
   // semantics for the distributed min-label-propagation algorithm.
   // ---------------------------------------------------------------
-  def q54DupClusters(spark: SparkSession, d: String): DataFrame =
-    Dedup.duplicateClusters(q12MinhashLsh(spark, d), "id_a", "id_b")
+  def q54DupClusters(spark: SparkSession, d: String): DataFrame = {
+    // caller-managed signature cache (the q213 discipline): the
+    // closure consumes the pair plan eagerly, so the async
+    // release-after-first-use listener could fire on the edge-COUNT
+    // job and drop the signature cache before the collect — measured
+    // 2.2× on q213's warm passes at sf3 before the fix
+    val (pairs, sigs) = Dedup.lshNearDupPairsWithSignatures(
+      Tables.documents(spark, d), "doc_id", "text",
+      n = LshShingleN, numHashes = LshHashes, bands = LshBands,
+      threshold = JaccardThreshold, portable = true)
+    val out = Dedup.duplicateClusters(pairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+    sigs.unpersist(blocking = false)
+    out
+  }
 
   // ---------------------------------------------------------------
   // q213 — q54's closure over the SCALE pair unit: connected
@@ -345,9 +357,21 @@ object ExtensionQueries {
   // (SCALE.md §Round-16). Same recursive-closure oracle as q54 (one
   // shared renderer), q212's SQL as the pair subquery.
   // ---------------------------------------------------------------
-  def q213WordDupClusters(spark: SparkSession, d: String): DataFrame =
-    Dedup.duplicateClusters(q212WordLsh(spark, d), "id_a", "id_b")
+  def q213WordDupClusters(spark: SparkSession, d: String): DataFrame = {
+    // caller-managed signature cache: duplicateClusters consumes the
+    // pair plan eagerly (persist + count + driver collect), so by
+    // return time every signature consumption has happened and the
+    // cache can be dropped synchronously — no listener race, no
+    // session-lifetime pin
+    val (pairs, sigs) = Dedup.lshNearDupPairsWithSignatures(
+      Tables.documents(spark, d), "doc_id", "text",
+      n = WordLshN, numHashes = LshHashes, bands = LshBands,
+      threshold = JaccardThreshold, portable = true, words = true)
+    val out = Dedup.duplicateClusters(pairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+    sigs.unpersist(blocking = false)
+    out
+  }
 
   /** Recursive-transitive-closure oracle over a pair subquery — ONE
     * renderer for q54 (char-5 pairs) and q213 (word-4 pairs):
@@ -385,8 +409,10 @@ object ExtensionQueries {
   // ---------------------------------------------------------------
   def q128ClusterKeepList(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = Dedup.duplicateClusters(q12MinhashLsh(spark, d), "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+    // q54DupClusters already applies the caller-managed signature-
+    // cache discipline (and the closure result is eager), so reusing
+    // it shares the fix
+    val clusters = q54DupClusters(spark, d)
     val scoredDocs = q112LinearQuality(spark, d).select(col("doc_id"), col("logit"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("logit").desc, col("doc_id").asc)
