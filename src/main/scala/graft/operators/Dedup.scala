@@ -439,10 +439,10 @@ object Dedup {
   def lshCandidatePairsWithSignatures(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      portable: Boolean = false): (DataFrame, DataFrame) = {
+      portable: Boolean = false, words: Boolean = false): (DataFrame, DataFrame) = {
     val sigs =
-      (if (portable) minhashSignaturesPortable(df, idCol, textCol, n, numHashes)
-       else minhashSignatures(df, idCol, textCol, n, numHashes)).persist()
+      (if (portable) minhashSignaturesPortable(df, idCol, textCol, n, numHashes, words)
+       else minhashSignatures(df, idCol, textCol, n, numHashes, words)).persist()
     (lshCandidatePairsFromSignatures(sigs, numHashes, bands, portable), sigs)
   }
 
@@ -668,9 +668,11 @@ object Dedup {
       corpusSigs: DataFrame,
       newDocs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
+      threshold: Double = 0.8, portable: Boolean = false,
+      words: Boolean = false): DataFrame = {
     val (kept, newSigs) = dropNearDuplicatesAgainstWithSignatures(
-      corpusSigs, newDocs, idCol, textCol, n, numHashes, bands, threshold, portable)
+      corpusSigs, newDocs, idCol, textCol, n, numHashes, bands, threshold,
+      portable, words)
     graft.CacheLifecycle.releaseAfterFirstUse(Seq(newSigs))
     kept
   }
@@ -685,7 +687,8 @@ object Dedup {
       corpusSigs: DataFrame,
       newDocs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, portable: Boolean = false): (DataFrame, DataFrame) = {
+      threshold: Double = 0.8, portable: Boolean = false,
+      words: Boolean = false): (DataFrame, DataFrame) = {
     // a signature width differing from the materialized table would
     // silently empty the candidate buckets — fail loudly instead
     corpusSigs.select(size(col("sig"))).take(1).foreach { r =>
@@ -693,8 +696,8 @@ object Dedup {
         s"corpus signature width ${r.getInt(0)} != numHashes $numHashes")
     }
     val newSigs =
-      (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes)
-       else minhashSignatures(newDocs, idCol, textCol, n, numHashes)).persist()
+      (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes, words)
+       else minhashSignatures(newDocs, idCol, textCol, n, numHashes, words)).persist()
     val dropIds = collisionPairsWithFeatures(
         bandedOf(newSigs, numHashes, bands, portable),
         bandedOf(corpusSigs, numHashes, bands, portable),
@@ -760,7 +763,8 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, portable: Boolean = false,
       maxRounds: Int = 50,
-      checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
+      checkpointDir: Option[String] = None,
+      words: Boolean = false): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     corpusSigs.select(size(col("sig"))).take(1).foreach { r =>
       require(r.getInt(0) == numHashes,
@@ -771,8 +775,8 @@ object Dedup {
     val sc = scores.select(col("doc_id"), col("score"))
     val floor = minAgreeingBands(numHashes, bands, threshold)
     val newSigs =
-      (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes)
-       else minhashSignatures(newDocs, idCol, textCol, n, numHashes)).persist()
+      (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes, words)
+       else minhashSignatures(newDocs, idCol, textCol, n, numHashes, words)).persist()
     // new × corpus pairs at est_jaccard >= threshold — asymmetric band
     // join, O(increment); resolved against state so each old endpoint
     // becomes its cluster node (or itself if previously unclustered).

@@ -424,21 +424,29 @@ object GraftChecks {
     // member per cluster (id-ascending tiebreak; omit `score` for the
     // min-id election). Portable hashing, so results match the oracle
     // convention everywhere.
-    "near_dedup" -> (("table, id, text[, score (expr)][, n][, hashes][, bands][, threshold]",
+    "near_dedup" -> (("table, id, text[, score (expr)][, n][, hashes][, bands][, threshold][, unit ('char'|'word')]",
       (s: SparkSession, a: Map[String, String]) => {
         import org.apache.spark.sql.expressions.Window
         val t = s.table(need(a, "table", "near_dedup"))
         val id = need(a, "id", "near_dedup")
-        val pairs = graft.operators.Dedup.lshNearDupPairs(
+        val unit = a.get("unit").map(_.trim.toLowerCase).getOrElse("char")
+        require(unit == "char" || unit == "word",
+          s"near_dedup unit must be 'char' or 'word', got '$unit'")
+        // caller-managed signature cache (the q213 discipline):
+        // duplicateClusters consumes the pair plan eagerly, so the
+        // cache can be dropped synchronously after it returns
+        val (pairs, sigs) = graft.operators.Dedup.lshNearDupPairsWithSignatures(
           t, id, need(a, "text", "near_dedup"),
-          n = a.get("n").map(_.trim.toInt).getOrElse(5),
+          n = a.get("n").map(_.trim.toInt)
+            .getOrElse(if (unit == "word") 4 else 5),
           numHashes = a.get("hashes").map(_.trim.toInt).getOrElse(64),
           bands = a.get("bands").map(_.trim.toInt).getOrElse(16),
           threshold = a.get("threshold").map(_.trim.toDouble).getOrElse(0.8),
-          portable = true)
+          portable = true, words = unit == "word")
         val clusters = graft.operators.Dedup
           .duplicateClusters(pairs, "id_a", "id_b")
           .select(col("id").as(id), col("cluster_id"), col("cluster_size"))
+        sigs.unpersist(blocking = false)
         val score = a.get("score").map(expr).getOrElse(lit(0L))
         val w = Window.partitionBy(col("cluster_id"))
           .orderBy(col("_score").desc, col(id).asc)

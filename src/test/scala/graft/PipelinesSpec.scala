@@ -466,6 +466,28 @@ class PipelinesSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
     assert(nd == Map(1L -> false, 2L -> true),
       s"the exact-duplicate pair must cluster and elect the best-scoring member: $nd")
+    // the word-shingle unit (the q212/q213 scale spelling): same
+    // election on the exact pair; chars-shared-words-disjoint docs
+    // must NOT cluster under it
+    Seq((1L, longText, 0.2), (2L, longText, 0.9),
+        (3L, "thequickbrownfox jumpsoverthelazydog", 0.5),
+        (4L, "thequickbrownfoxjumpsoverthelazydog", 0.6))
+      .toDF("doc_id", "text", "quality").createOrReplaceTempView("sqlc_ndw")
+    val ndw = spark.sql(
+      """CALL graft.near_dedup(`table` => 'sqlc_ndw', id => 'doc_id',
+        |  text => 'text', score => 'quality', unit => 'word')""".stripMargin)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("keep")))
+    assert(ndw.collect { case (id, _, keep) if Set(1L, 2L)(id) => id -> keep }
+      .toMap == Map(1L -> false, 2L -> true),
+      s"word unit: exact pair clusters, best-scoring member kept: ${ndw.toSeq}")
+    assert(!ndw.exists(r => Set(3L, 4L)(r._1) && r._2 > 1),
+      s"word unit must not cluster the chars-shared/words-disjoint docs: ${ndw.toSeq}")
+    intercept[Exception] {
+      spark.sql("""CALL graft.near_dedup(`table` => 'sqlc_ndw',
+        |  id => 'doc_id', text => 'text', unit => 'sentence')""".stripMargin)
+        .collect()
+    }
 
     // ann_topk: a query equal to a corpus vector must rank it first
     // (nlist/nprobe sized so every cell is probed -> exact)
