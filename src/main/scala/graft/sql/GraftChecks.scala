@@ -456,6 +456,36 @@ object GraftChecks {
             col("_score").as("score"), col("keep"))
       })),
 
+    // incremental near-dedup (the production daily-increment shape):
+    // drop from `table` every row whose estimated jaccard against the
+    // EXISTING corpus reaches `threshold`. The corpus arrives as its
+    // materialized signature table `sigs` (id, sig ARRAY<BIGINT>) —
+    // signed once, persisted between runs — and the band join is
+    // asymmetric new × corpus, so an increment costs O(increment),
+    // not O(corpus). n/hashes/unit MUST match how `sigs` was signed
+    // (the width check catches a hashes mismatch loudly; a unit/n
+    // mismatch silently empties the buckets — state them explicitly)
+    "near_dedup_incremental" -> (("table, sigs, id, text[, n][, hashes][, bands][, threshold][, unit ('char'|'word')]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val unit = a.get("unit").map(_.trim.toLowerCase).getOrElse("char")
+        require(unit == "char" || unit == "word",
+          s"near_dedup_incremental unit must be 'char' or 'word', got '$unit'")
+        val (kept, newSigs) =
+          graft.operators.Dedup.dropNearDuplicatesAgainstWithSignatures(
+            s.table(need(a, "sigs", "near_dedup_incremental")),
+            s.table(need(a, "table", "near_dedup_incremental")),
+            need(a, "id", "near_dedup_incremental"),
+            need(a, "text", "near_dedup_incremental"),
+            n = a.get("n").map(_.trim.toInt)
+              .getOrElse(if (unit == "word") 4 else 5),
+            numHashes = a.get("hashes").map(_.trim.toInt).getOrElse(64),
+            bands = a.get("bands").map(_.trim.toInt).getOrElse(16),
+            threshold = a.get("threshold").map(_.trim.toDouble).getOrElse(0.8),
+            portable = true, words = unit == "word")
+        graft.CacheLifecycle.releaseAfterFirstUse(Seq(newSigs))
+        kept
+      })),
+
     // approximate nearest neighbors (the q44/q58 surface): IVF cell
     // equi-join of a query table against a corpus table on an
     // Array[Float] embedding column — never a cartesian. nlist '0'

@@ -372,9 +372,10 @@ class PipelinesSpec extends AnyFunSuite {
     assert(zs("a").getAs[Double]("zipf_slope") == 0.0,
       "a flat 4-token distribution has slope 0 exactly")
 
-    // the registry grew to 61 CALL-able checks (r16: the execution
-    // surfaces takedown_execute + compact, dry-run by default)
-    assert(graft.sql.GraftChecks.registry.size == 61)
+    // the registry grew to 62 CALL-able checks (r16: the execution
+    // surfaces takedown_execute + compact with dry-run defaults, and
+    // near_dedup_incremental — the O(increment) production shape)
+    assert(graft.sql.GraftChecks.registry.size == 62)
   }
 
   test("SQL-callable execution surfaces: takedown_execute and compact dry-run by default, refuse loudly, execute on explicit true") {
@@ -487,6 +488,30 @@ class PipelinesSpec extends AnyFunSuite {
       spark.sql("""CALL graft.near_dedup(`table` => 'sqlc_ndw',
         |  id => 'doc_id', text => 'text', unit => 'sentence')""".stripMargin)
         .collect()
+    }
+
+    // near_dedup_incremental: the corpus signature table (signed once,
+    // the production between-runs artifact) screens a new batch —
+    // the corpus duplicate drops, the novel doc survives, and the
+    // CALL equals the operator it wraps
+    val corpus = Seq((10L, longText),
+        (11L, "some other corpus document with plenty of distinct words"))
+      .toDF("doc_id", "text")
+    Dedup.minhashSignaturesPortable(corpus, "doc_id", "text", n = 5, numHashes = 64)
+      .createOrReplaceTempView("sqlc_ndi_sigs")
+    Seq((20L, longText),
+        (21L, "a genuinely novel document sharing nothing with the corpus"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sqlc_ndi_new")
+    val kept = spark.sql(
+      """CALL graft.near_dedup_incremental(`table` => 'sqlc_ndi_new',
+        |  sigs => 'sqlc_ndi_sigs', id => 'doc_id', text => 'text')""".stripMargin)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(21L),
+      s"the corpus duplicate must drop, the novel doc must survive: $kept")
+    intercept[Exception] { // signature-width mismatch refused loudly
+      spark.sql("""CALL graft.near_dedup_incremental(`table` => 'sqlc_ndi_new',
+        |  sigs => 'sqlc_ndi_sigs', id => 'doc_id', text => 'text',
+        |  hashes => '32')""".stripMargin).collect()
     }
 
     // ann_topk: a query equal to a corpus vector must rank it first
