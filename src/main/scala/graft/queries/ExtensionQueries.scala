@@ -293,13 +293,16 @@ object ExtensionQueries {
     * both shingle units (the shared-renderer discipline) — q12
     * interpolates char windows, q212 word windows.
     */
-  private def lshPipelineSql(shCte: String): String = {
+  /** The shingles→signatures→band-buckets CTE chain (`sh`/`bh`/`sig`
+    * /`banded`) shared by every LSH oracle — the pair queries
+    * (q12/q212) append the pair tail, q214 the asymmetric screen. */
+  private def sigBandCtesSql(shCte: String): String = {
     import graft.functions.DqFunctions.{minhashCoeffs, MinhashPrime}
     val rows = LshHashes / LshBands
     val minExprs = minhashCoeffs(LshHashes).map { case (a, b) =>
       s"list_min(list_transform(h, x -> (${a} * x + ${b}) % $MinhashPrime))"
     }.mkString("[\n      ", ",\n      ", "]")
-    s"""WITH $shCte,
+    s"""$shCte,
        |bh AS (SELECT id, list_transform(s, g ->
        |    CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) AS BIGINT) % $MinhashPrime) AS h
        |  FROM sh),
@@ -308,18 +311,25 @@ object ExtensionQueries {
        |    CAST(CAST(('0x' || substr(md5(
        |      array_to_string(sg[b.band * $rows + 1 : b.band * $rows + $rows], ',')
        |    ), 1, 15)) AS UBIGINT) AS BIGINT) AS bucket
-       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $LshBands)) AS band) b),
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $LshBands)) AS band) b)""".stripMargin
+  }
+
+  /** Signature agreement fraction between two `sig` rows. */
+  private def agreementSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, ${LshHashes + 1}),
+       |      i -> CASE WHEN $a.sg[i] = $b.sg[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |      / ${LshHashes}.0""".stripMargin
+
+  private def lshPipelineSql(shCte: String): String =
+    s"""WITH ${sigBandCtesSql(shCte)},
        |pairs AS (SELECT DISTINCT a.id AS ia, b.id AS ib
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
        |scored AS (SELECT ia AS id_a, ib AS id_b,
-       |    CAST(list_sum(list_transform(range(1, ${LshHashes + 1}),
-       |      i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END)) AS DOUBLE)
-       |      / ${LshHashes}.0 AS est_jaccard
+       |    ${agreementSql("sa", "sb")} AS est_jaccard
        |  FROM pairs JOIN sig sa ON ia = sa.id JOIN sig sb ON ib = sb.id)
        |SELECT id_a, id_b, est_jaccard FROM scored
        |WHERE est_jaccard >= $JaccardThreshold""".stripMargin
-  }
 
   val q12Sql: String = lshPipelineSql(
     s"""sh AS (SELECT doc_id AS id, list_distinct(
@@ -397,6 +407,46 @@ object ExtensionQueries {
   val q213Sql: String = closureSql(q212Sql, "q212")
 
   // ---------------------------------------------------------------
+  // q214 — INCREMENTAL near-dup screen, oracle-exact: the
+  // O(increment) production shape (Dedup.dropNearDuplicatesAgainst)
+  // pinned by hash. The corpus split is q129's (prior = doc_id % 10
+  // != 0, new batch = % 10 == 0); the prior corpus arrives as its
+  // MATERIALIZED signature table (the q129_sigs parquet fixture —
+  // in production this artifact persists between runs, which is the
+  // whole point), and the band join is asymmetric new × corpus.
+  // The oracle recomputes both sides' signatures from text (equal to
+  // the fixture by md5-portability) and drops every new doc whose
+  // agreement with any corpus doc reaches the threshold — the
+  // engine's lossless minAgreeingBands prefilter changes nothing at
+  // the thresholded result (property-pinned), so the SQL can omit it.
+  // ---------------------------------------------------------------
+  def q214IncrementalScreen(spark: SparkSession, d: String): DataFrame = {
+    val (_, priorSigs, _) =
+      ensureKeepListState(spark, d, "q214_incremental_screen")
+    val newBatch = Tables.documents(spark, d).filter(col("doc_id") % 10 === 0)
+    Dedup.dropNearDuplicatesAgainst(
+        priorSigs, newBatch, "doc_id", "text",
+        n = LshShingleN, numHashes = LshHashes, bands = LshBands,
+        threshold = JaccardThreshold, portable = true)
+      .select(col("doc_id"), col("source"))
+  }
+
+  val q214Sql: String =
+    s"""WITH ${sigBandCtesSql(
+      s"""sh AS (SELECT doc_id AS id, list_distinct(
+         |    [substr(text, i, $LshShingleN) for i in range(1, greatest(length(text) - ${LshShingleN - 1}, 1) + 1)]) AS s
+         |  FROM documents)""".stripMargin)},
+       |drops AS (SELECT DISTINCT n.id
+       |  FROM banded n JOIN banded c
+       |    ON n.band = c.band AND n.bucket = c.bucket
+       |    AND n.id % 10 = 0 AND c.id % 10 <> 0
+       |  JOIN sig sn ON sn.id = n.id JOIN sig sc ON sc.id = c.id
+       |  WHERE ${agreementSql("sn", "sc")} >= $JaccardThreshold)
+       |SELECT d.doc_id, d.source FROM documents d
+       |WHERE d.doc_id % 10 = 0
+       |  AND d.doc_id NOT IN (SELECT id FROM drops)""".stripMargin
+
+  // ---------------------------------------------------------------
   // q128 — the dedup DECISION: per clustered doc, keep or drop.
   // q54 says which docs are duplicates of each other; q112 says how
   // good each doc is; this joins them into the action list a curation
@@ -455,9 +505,10 @@ object ExtensionQueries {
     * fixture, not the O(increment) fold (r10 verdict item 1).
     */
   private[graft] def ensureKeepListState(
-      spark: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+      spark: SparkSession, d: String,
+      owner: String = "q129_incremental_keep_list"): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val scores = QueryFixtures.ensure(spark, d, "q129_scores", "q129_incremental_keep_list") {
+    val scores = QueryFixtures.ensure(spark, d, "q129_scores", owner) {
       q112LinearQuality(spark, d)
         .select(col("doc_id"), col("logit").as("score"))
     }
@@ -1059,7 +1110,8 @@ object ExtensionQueries {
   /** Fixture-backed bench rows (see EvalQueries.fixtureBacked): q129's
     * prior-state tables are built by ensureKeepListState, which
     * benchSetup calls before warming these names. */
-  val fixtureBacked: Seq[String] = Seq("q129_incremental_keep_list")
+  val fixtureBacked: Seq[String] =
+    Seq("q129_incremental_keep_list", "q214_incremental_screen")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_dedup_exact"        -> (q10DedupExact _),
@@ -1072,6 +1124,7 @@ object ExtensionQueries {
     "q13_simhash_neardup"    -> (q13SimhashNearDup _),
     "q54_dup_clusters"       -> (q54DupClusters _),
     "q213_word_dup_clusters" -> (q213WordDupClusters _),
+    "q214_incremental_screen" -> (q214IncrementalScreen _),
     "q128_cluster_keep_list" -> (q128ClusterKeepList _),
     "q129_incremental_keep_list" -> (q129IncrementalKeepList _),
     "q56_quantization"       -> (q56Quantization _),
@@ -1105,6 +1158,7 @@ object ExtensionQueries {
     "q13_simhash_neardup"    -> q13Sql,
     "q54_dup_clusters"       -> q54Sql,
     "q213_word_dup_clusters" -> q213Sql,
+    "q214_incremental_screen" -> q214Sql,
     "q128_cluster_keep_list" -> q128Sql,
     "q129_incremental_keep_list" -> q129Sql,
     "q56_quantization"       -> q56Sql,
