@@ -102,9 +102,24 @@ object DqFunctions {
     transform(zipped, s => concat_ws(" ", (0 until n).map(j => s.getField(s"w$j")): _*))
   }
 
-  /** Distinct word n-gram shingles (whitespace tokenization). */
-  def wordShingles(text: Column, n: Int): Column =
-    array_distinct(wordWindows(split(trim(text), "\\s+"), n, minWindows = 1))
+  /** Distinct word n-gram shingles (whitespace tokenization).
+    * Spark's `trim` strips only ' ', so text bounded by '\t'/'\n'
+    * leaves empty edge fields in the split — remove them so the
+    * token list matches the native tokenizer (Md5Prefix
+    * .wordNgramHashes) and the oracle's empty-filtered list.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = wordTokens(text)
+    // zero tokens (empty / all-whitespace text) → the one degenerate
+    // empty-join window, matching the native short-text convention
+    // (one hash of "") and the oracle's len(t) <= n arm
+    val safe = when(size(toks) === 0, array(lit(""))).otherwise(toks)
+    array_distinct(wordWindows(safe, n, minWindows = 1))
+  }
+
+  /** Whitespace-run tokens with empty fields removed. */
+  private[graft] def wordTokens(text: Column): Column =
+    array_remove(split(trim(text), "\\s+"), "")
 
   /** Jaccard similarity of two array-typed set columns. */
   def jaccardSim(a: Column, b: Column): Column = {

@@ -110,11 +110,14 @@ object Md5Prefix {
       }
     }
     def joinHash(from: Int, until: Int): Long = {
-      // single-space fast path: the byte span IS the canonical join
+      // single-space fast path: the byte span IS the canonical join.
+      // The gap must be 1 byte wide AND that byte must be a literal
+      // space — a lone '\t'/'\n' separator is the same width but needs
+      // the canonical re-join (the raw span would hash non-portably).
       var singleSpaced = true
       var k = from
       while (singleSpaced && k < until - 1) {
-        if (starts(k + 1) != ends(k) + 1) singleSpaced = false
+        if (starts(k + 1) != ends(k) + 1 || bytes(ends(k)) != ' ') singleSpaced = false
         k += 1
       }
       if (from >= until) hash(bytes, 0, 0, hexDigits, mod)

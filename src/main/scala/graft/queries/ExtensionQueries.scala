@@ -278,7 +278,7 @@ object ExtensionQueries {
 
   val q212Sql: String = lshPipelineSql(
     s"""w AS (SELECT doc_id AS id,
-       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS t
+       |    list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS t
        |  FROM documents),
        |sh AS (SELECT id, list_distinct(CASE WHEN len(t) <= $WordLshN
        |    THEN [array_to_string(t, ' ')]

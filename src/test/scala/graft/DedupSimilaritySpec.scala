@@ -127,6 +127,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "char-5 unit must pair the chars-shared/words-disjoint docs")
   }
 
+  test("whitespace-variant copies collide under word shingles: tab/newline reformat is est 1.0") {
+    // THE case word-level near-dedup exists for: the same document
+    // re-wrapped with tabs/newlines must produce the IDENTICAL word
+    // signature (canonical single-space join), so the pair surfaces
+    // at estimated agreement 1.0. Pinned on both portable forms —
+    // the r16 fast-path bug made the native (portable) path hash raw
+    // byte spans for single-'\t'/'\n' gaps, silently missing exactly
+    // this pair.
+    val spaced    = "alpha beta gamma delta epsilon zeta eta theta"
+    val reWrapped = "alpha\tbeta gamma\ndelta epsilon\tzeta eta\ntheta"
+    val wrapped   = "alpha beta gamma delta\nepsilon zeta eta theta"
+    val docs = Seq((1L, spaced), (2L, reWrapped), (3L, wrapped))
+      .toDF("doc_id", "text")
+    for (portable <- Seq(true, false)) {
+      val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text",
+        n = 4, numHashes = 64, bands = 64, threshold = 0.3,
+        portable = portable, words = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+        s"tab/newline re-wrap must collide at est 1.0 (portable=$portable): ${pairs.toSeq}")
+      assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 1.0),
+        s"single-newline wrap must collide at est 1.0 (portable=$portable): ${pairs.toSeq}")
+    }
+  }
+
   // ---------------- foldIntoClusterKeepList ----------------
   // bands = numHashes (1 row per band) makes LSH candidate recall
   // exact — a pair collides iff any signature position agrees — so

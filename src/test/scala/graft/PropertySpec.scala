@@ -534,4 +534,45 @@ class PropertySpec extends AnyFunSuite {
         cells.head.getAs[Long]("col_total"))
     }
   }
+
+  test("native word n-gram hashes equal the compositional pipeline over a whitespace alphabet") {
+    // Standing invariant behind the r16 finding: the zero-copy fast
+    // path in Md5Prefix.wordNgramHashes must hash the CANONICAL
+    // single-space join regardless of which whitespace bytes (and
+    // run lengths) separate the source tokens. Random texts over a
+    // whitespace alphabet {' ', '\t', '\n', '\r', '', '\u000B', '\f',
+    // runs, mixed runs} — including leading/trailing whitespace,
+    // whitespace-only, and empty texts — so the next zero-copy
+    // optimization can't silently reintroduce the class.
+    import graft.functions.{DqFunctions, Md5Expressions}
+    val sepGen = Gen.oneOf(
+      " ", "\t", "\n", "\r", "\u000B", "\f",
+      "  ", " \t ", "\n\n", "\t\n", "\r\n", " \u000B")
+    val tokGen = Gen.choose(1, 5).flatMap(l =>
+      Gen.listOfN(l, Gen.alphaLowerChar).map(_.mkString))
+    val textGen = for {
+      k    <- Gen.choose(0, 9)
+      toks <- Gen.listOfN(k, tokGen)
+      seps <- Gen.listOfN(math.max(k - 1, 0), sepGen)
+      lead <- Gen.oneOf("", " ", "\t", "\n ")
+      tail <- Gen.oneOf("", " ", "\n", "\t ")
+    } yield lead + toks.zipAll(seps, "", "").map { case (t, s) => t + s }.mkString + tail
+    val texts = Gen.listOfN(400, textGen).sample.get ++
+      Seq("", " ", "\t", "\n\n", " \t\n ")
+    for (n <- Seq(1, 2, 4)) {
+      val p = DqFunctions.MinhashPrime
+      val both = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(
+          $"text",
+          sort_array(array_distinct(
+            Md5Expressions.wordNgramMd5Hashes($"text", n, 8, p))).as("native"),
+          sort_array(array_distinct(DqFunctions.minhashBaseHashesPortable(
+            DqFunctions.wordShingles($"text", n)))).as("composed"))
+      val bad = both.filter($"native" =!= $"composed").collect()
+      assert(bad.isEmpty, s"n=$n first divergent text: " +
+        bad.headOption.map(r => r.getString(0).map(c =>
+          if (c.isWhitespace) f"\\u${c.toInt}%04x" else c.toString).mkString))
+    }
+  }
 }
