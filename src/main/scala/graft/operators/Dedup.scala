@@ -710,6 +710,47 @@ object Dedup {
     (newDocs.join(dropIds, Seq(idCol), "left_anti"), newSigs)
   }
 
+  /** Append a signature batch to the parquet signature STORE at
+    * `outPath`, completing the incremental-dedup loop: the next
+    * increment's corpus signature table is the store plus this
+    * append. For the drop-screen ([[dropNearDuplicatesAgainst]])
+    * append the KEPT rows' signatures only — dropped docs never
+    * enter the corpus, and keeping their signatures would wrongly
+    * screen future docs against documents that aren't there
+    * (jaccard is not transitive). For the keep-list fold
+    * ([[foldIntoClusterKeepList]]) every new doc enters the state,
+    * so the full batch is right.
+    *
+    * Write discipline mirrors the execution surfaces
+    * (takedown/compact): appending INTO the files currently backing
+    * `corpusSigs` — the store root or a leaf directory holding its
+    * part files — is refused loudly (a write under a directory
+    * being read in the same plan is undefined, and mixing new part
+    * files into a consumed leaf corrupts the store's layout). A
+    * fresh sibling subtree under the same store root is fine — the
+    * side-by-side append that grows the store for the NEXT
+    * registration to pick up.
+    */
+  def appendSignatures(
+      corpusSigs: DataFrame, sigs: DataFrame, outPath: String): Unit = {
+    val spark = sigs.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      // compare by URI path component: listings render the same file
+      // with different scheme spellings (file:/ vs file:///)
+      hp.getFileSystem(conf).makeQualified(hp).toUri.normalize().getPath
+    }
+    val out = qualified(outPath)
+    val backing = corpusSigs.inputFiles.map(qualified)
+    val clash = backing.find(f => f == out || f.startsWith(out + "/"))
+    require(clash.isEmpty,
+      s"sigs_out '$outPath' contains a file backing the corpus signature " +
+        s"table (${clash.get}): appending into the store being read is " +
+        "refused — write a side-by-side subtree and re-register")
+    sigs.write.mode("append").parquet(outPath)
+  }
+
   /** Incremental maintenance of the cluster KEEP-LIST — fold a new
     * batch into a materialized `(doc_id, cluster_id, cluster_size,
     * score, keep)` decision table (the q128 surface) without

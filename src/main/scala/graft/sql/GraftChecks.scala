@@ -464,17 +464,25 @@ object GraftChecks {
     // asymmetric new × corpus, so an increment costs O(increment),
     // not O(corpus). n/hashes/unit MUST match how `sigs` was signed
     // (the width check catches a hashes mismatch loudly; a unit/n
-    // mismatch silently empties the buckets — state them explicitly)
-    "near_dedup_incremental" -> (("table, sigs, id, text[, n][, hashes][, bands][, threshold][, unit ('char'|'word')]",
+    // mismatch silently empties the buckets — state them explicitly).
+    // `sigs_out` closes the loop FROM SQL: append the KEPT rows'
+    // signatures (the docs that actually enter the corpus) to a
+    // caller-named parquet store, so the next increment's `sigs`
+    // table is this store re-registered — appending into the files
+    // backing the CURRENT `sigs` table is refused loudly (the
+    // takedown_execute write discipline; see Dedup.appendSignatures)
+    "near_dedup_incremental" -> (("table, sigs, id, text[, n][, hashes][, bands][, threshold][, unit ('char'|'word')][, sigs_out (parquet path)]",
       (s: SparkSession, a: Map[String, String]) => {
         val unit = a.get("unit").map(_.trim.toLowerCase).getOrElse("char")
         require(unit == "char" || unit == "word",
           s"near_dedup_incremental unit must be 'char' or 'word', got '$unit'")
+        val corpusSigs = s.table(need(a, "sigs", "near_dedup_incremental"))
+        val id = need(a, "id", "near_dedup_incremental")
         val (kept, newSigs) =
           graft.operators.Dedup.dropNearDuplicatesAgainstWithSignatures(
-            s.table(need(a, "sigs", "near_dedup_incremental")),
+            corpusSigs,
             s.table(need(a, "table", "near_dedup_incremental")),
-            need(a, "id", "near_dedup_incremental"),
+            id,
             need(a, "text", "near_dedup_incremental"),
             n = a.get("n").map(_.trim.toInt)
               .getOrElse(if (unit == "word") 4 else 5),
@@ -482,8 +490,24 @@ object GraftChecks {
             bands = a.get("bands").map(_.trim.toInt).getOrElse(16),
             threshold = a.get("threshold").map(_.trim.toDouble).getOrElse(0.8),
             portable = true, words = unit == "word")
-        graft.CacheLifecycle.releaseAfterFirstUse(Seq(newSigs))
-        kept
+        a.get("sigs_out") match {
+          case None =>
+            graft.CacheLifecycle.releaseAfterFirstUse(Seq(newSigs))
+            kept
+          case Some(out) =>
+            // the append is an eager job over both caches-to-be: pin
+            // the kept rows so the caller's consumption replays the
+            // cache, not the screen; release newSigs synchronously
+            // once the write (its only consumer) has completed
+            val keptP = kept.persist()
+            graft.operators.Dedup.appendSignatures(
+              corpusSigs,
+              newSigs.join(keptP.select(col(id).as("id")), Seq("id"), "left_semi"),
+              out.trim)
+            newSigs.unpersist(blocking = false)
+            graft.CacheLifecycle.releaseWhenExecuted(keptP, Seq(keptP))
+            keptP
+        }
       })),
 
     // approximate nearest neighbors (the q44/q58 surface): IVF cell
@@ -592,8 +616,9 @@ object GraftChecks {
           need(a, "target_bytes", "compaction_plan").trim.toLong,
           a.get("shards").map(_.trim.toInt).getOrElse(16)))),
 
-    // EXECUTION surface for takedowns — the ONE registry entry family
-    // that writes. Dry-run by DEFAULT: without `execute => true` it
+    // EXECUTION surface for takedowns — with compact and
+    // near_dedup_incremental's opt-in sigs_out, the only registry
+    // entries that write. Dry-run by DEFAULT: without `execute => true` it
     // returns the takedown PLAN (which files a rewrite would touch),
     // writing nothing; with it, it runs the side-by-side write-new /
     // verify half (never in place — the operator refuses out == in

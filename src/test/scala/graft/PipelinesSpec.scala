@@ -514,6 +514,70 @@ class PipelinesSpec extends AnyFunSuite {
         |  hashes => '32')""".stripMargin).collect()
     }
 
+    // sigs_out closes the loop from SQL: two chained increments via
+    // CALL (store grown by side-by-side appends, re-registered
+    // between runs) must equal the operator-layer chain exactly —
+    // kept rows AND the signature store contents
+    val sigStore = java.nio.file.Files
+      .createTempDirectory("sqlc_ndi_store").toString
+    Dedup.minhashSignaturesPortable(corpus, "doc_id", "text", n = 5, numHashes = 64)
+      .write.mode("overwrite").parquet(s"$sigStore/base")
+    spark.read.parquet(s"$sigStore/base").createOrReplaceTempView("sqlc_ndi_store0")
+    val batch2 = Seq(
+        (30L, longText),                                                  // dup of corpus
+        (31L, "fresh first increment document with its own novel words"))
+      .toDF("doc_id", "text")
+    batch2.createOrReplaceTempView("sqlc_ndi_b2")
+    val batch3 = Seq(
+        (40L, "fresh first increment document with its own novel words"), // dup of 31 (prev increment)
+        (41L, "a final wholly distinct document closing out the chain"))
+      .toDF("doc_id", "text")
+    batch3.createOrReplaceTempView("sqlc_ndi_b3")
+    val keptB2 = spark.sql(
+      s"""CALL graft.near_dedup_incremental(`table` => 'sqlc_ndi_b2',
+        |  sigs => 'sqlc_ndi_store0', id => 'doc_id', text => 'text',
+        |  sigs_out => '$sigStore/inc1')""".stripMargin)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptB2 == Set(31L), s"corpus dup drops in increment 1: $keptB2")
+    // re-register the grown store (base + inc1) for the next increment
+    spark.read.parquet(s"$sigStore/base", s"$sigStore/inc1")
+      .createOrReplaceTempView("sqlc_ndi_store1")
+    val keptB3 = spark.sql(
+      s"""CALL graft.near_dedup_incremental(`table` => 'sqlc_ndi_b3',
+        |  sigs => 'sqlc_ndi_store1', id => 'doc_id', text => 'text',
+        |  sigs_out => '$sigStore/inc2')""".stripMargin)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptB3 == Set(41L),
+      s"dup of a PREVIOUS increment's kept doc must drop — the append worked: $keptB3")
+    // operator-layer chain over the same batches: store contents match
+    val sigsOp0 = Dedup.minhashSignaturesPortable(corpus, "doc_id", "text", 5, 64)
+    val (keptOp2, sigsNew2) = Dedup.dropNearDuplicatesAgainstWithSignatures(
+      sigsOp0, batch2, "doc_id", "text", n = 5, numHashes = 64, portable = true)
+    val sigsOp1 = sigsOp0.union(
+      sigsNew2.join(keptOp2.select($"doc_id".as("id")), Seq("id"), "left_semi"))
+    val (keptOp3, sigsNew3) = Dedup.dropNearDuplicatesAgainstWithSignatures(
+      sigsOp1, batch3, "doc_id", "text", n = 5, numHashes = 64, portable = true)
+    assert(keptOp2.select("doc_id").as[Long].collect().toSet == keptB2)
+    assert(keptOp3.select("doc_id").as[Long].collect().toSet == keptB3)
+    val storeRows = spark.read.parquet(s"$sigStore/base", s"$sigStore/inc1", s"$sigStore/inc2")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val opRows = sigsOp1.union(
+        sigsNew3.join(keptOp3.select($"doc_id".as("id")), Seq("id"), "left_semi"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(storeRows == opRows,
+      "CALL-chained signature store must equal the operator-layer chain")
+    sigsNew2.unpersist(); sigsNew3.unpersist()
+    // in-place append refused: into the store leaf backing the
+    // registered sigs table, and into a parent holding its files
+    for (inPlace <- Seq(s"$sigStore/base", sigStore)) {
+      val e = intercept[Exception] {
+        spark.sql(s"""CALL graft.near_dedup_incremental(`table` => 'sqlc_ndi_b2',
+          |  sigs => 'sqlc_ndi_store0', id => 'doc_id', text => 'text',
+          |  sigs_out => '$inPlace')""".stripMargin).collect()
+      }
+      assert(e.getMessage.contains("refused"), s"$inPlace: ${e.getMessage}")
+    }
+
     // ann_topk: a query equal to a corpus vector must rank it first
     // (nlist/nprobe sized so every cell is probed -> exact)
     def vec(x: Float, y: Float) = Array(x, y)
