@@ -276,7 +276,13 @@ object ExtensionQueries {
       "doc_id", "text", n = WordLshN, numHashes = LshHashes, bands = LshBands,
       threshold = JaccardThreshold, portable = true, words = true)
 
-  val q212Sql: String = lshPipelineSql(
+  /** Word-4 shingle CTEs (`w`/`sh`), stated ONCE for every word-unit
+    * oracle (q212 pairs, q213 closure via q212, q215 screen). The
+    * whitespace class is explicit — RE2's \s excludes VT while the
+    * engine's (Java's) includes it — and empty edge fields from
+    * leading/trailing non-space whitespace are filtered, matching the
+    * native tokenizer. */
+  private lazy val wordShCtesSql: String =
     s"""w AS (SELECT doc_id AS id,
        |    list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS t
        |  FROM documents),
@@ -284,7 +290,9 @@ object ExtensionQueries {
        |    THEN [array_to_string(t, ' ')]
        |    ELSE [array_to_string(t[i : i + ${WordLshN - 1}], ' ')
        |          for i in range(1, len(t) - $WordLshN + 2)] END) AS s
-       |  FROM w)""".stripMargin)
+       |  FROM w)""".stripMargin
+
+  val q212Sql: String = lshPipelineSql(wordShCtesSql)
 
   /** Mirrors the portable pipeline stage by stage: shingles (the
     * `sh` CTE supplied per unit) → md5 base hash mod p → k-min over
@@ -431,11 +439,11 @@ object ExtensionQueries {
       .select(col("doc_id"), col("source"))
   }
 
-  val q214Sql: String =
-    s"""WITH ${sigBandCtesSql(
-      s"""sh AS (SELECT doc_id AS id, list_distinct(
-         |    [substr(text, i, $LshShingleN) for i in range(1, greatest(length(text) - ${LshShingleN - 1}, 1) + 1)]) AS s
-         |  FROM documents)""".stripMargin)},
+  /** The asymmetric-screen oracle tail, shared by both shingle units
+    * (q214 char-5, q215 word-4): drop every new-batch doc (% 10 == 0)
+    * whose agreement with any prior-corpus doc reaches the threshold. */
+  private def incrementalScreenSql(shCte: String): String =
+    s"""WITH ${sigBandCtesSql(shCte)},
        |drops AS (SELECT DISTINCT n.id
        |  FROM banded n JOIN banded c
        |    ON n.band = c.band AND n.bucket = c.bucket
@@ -445,6 +453,39 @@ object ExtensionQueries {
        |SELECT d.doc_id, d.source FROM documents d
        |WHERE d.doc_id % 10 = 0
        |  AND d.doc_id NOT IN (SELECT id FROM drops)""".stripMargin
+
+  val q214Sql: String = incrementalScreenSql(
+    s"""sh AS (SELECT doc_id AS id, list_distinct(
+       |    [substr(text, i, $LshShingleN) for i in range(1, greatest(length(text) - ${LshShingleN - 1}, 1) + 1)]) AS s
+       |  FROM documents)""".stripMargin)
+
+  // ---------------------------------------------------------------
+  // q215 — the incremental screen in the WORD unit: q214's exact
+  // asymmetric shape over a WORD-SIGNED corpus signature fixture —
+  // the spelling the 100× rehearsal picked for ambient-char corpora
+  // (char-5 candidate enumeration went ~n² on small vocabularies;
+  // the word unit runs the identical banded plan sub-linearly). In
+  // production the store is signed ONCE in whichever unit the
+  // pipeline standardizes on; this pins the word-store path
+  // hash-exact, including the canonical single-space join the r16
+  // fast-path fix restored.
+  // ---------------------------------------------------------------
+  def q215WordIncrementalScreen(spark: SparkSession, d: String): DataFrame = {
+    val priorSigs = QueryFixtures.ensure(
+      spark, d, "q215_word_sigs", "q215_word_incremental_screen") {
+      Dedup.minhashSignaturesPortable(
+        Tables.documents(spark, d).filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = WordLshN, numHashes = LshHashes, words = true)
+    }
+    val newBatch = Tables.documents(spark, d).filter(col("doc_id") % 10 === 0)
+    Dedup.dropNearDuplicatesAgainst(
+        priorSigs, newBatch, "doc_id", "text",
+        n = WordLshN, numHashes = LshHashes, bands = LshBands,
+        threshold = JaccardThreshold, portable = true, words = true)
+      .select(col("doc_id"), col("source"))
+  }
+
+  val q215Sql: String = incrementalScreenSql(wordShCtesSql)
 
   // ---------------------------------------------------------------
   // q128 — the dedup DECISION: per clustered doc, keep or drop.
@@ -1111,7 +1152,8 @@ object ExtensionQueries {
     * prior-state tables are built by ensureKeepListState, which
     * benchSetup calls before warming these names. */
   val fixtureBacked: Seq[String] =
-    Seq("q129_incremental_keep_list", "q214_incremental_screen")
+    Seq("q129_incremental_keep_list", "q214_incremental_screen",
+      "q215_word_incremental_screen")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_dedup_exact"        -> (q10DedupExact _),
@@ -1125,6 +1167,7 @@ object ExtensionQueries {
     "q54_dup_clusters"       -> (q54DupClusters _),
     "q213_word_dup_clusters" -> (q213WordDupClusters _),
     "q214_incremental_screen" -> (q214IncrementalScreen _),
+    "q215_word_incremental_screen" -> (q215WordIncrementalScreen _),
     "q128_cluster_keep_list" -> (q128ClusterKeepList _),
     "q129_incremental_keep_list" -> (q129IncrementalKeepList _),
     "q56_quantization"       -> (q56Quantization _),
@@ -1159,6 +1202,7 @@ object ExtensionQueries {
     "q54_dup_clusters"       -> q54Sql,
     "q213_word_dup_clusters" -> q213Sql,
     "q214_incremental_screen" -> q214Sql,
+    "q215_word_incremental_screen" -> q215Sql,
     "q128_cluster_keep_list" -> q128Sql,
     "q129_incremental_keep_list" -> q129Sql,
     "q56_quantization"       -> q56Sql,
