@@ -688,7 +688,65 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, portable: Boolean = false,
+      words: Boolean = false): (DataFrame, DataFrame) =
+    screenAgainst(corpusSigs, bandedOf(corpusSigs, numHashes, bands, portable),
+      newDocs, idCol, textCol, n, numHashes, bands, threshold, portable, words)
+
+  /** The materialized BAND TABLE of a signature table — `(id, band,
+    * bucket)` rows, the SECOND between-runs artifact of the
+    * incremental-dedup loop. The r17 increment-scale probe measured
+    * re-banding the corpus (`bands` md5-prefix digests per corpus
+    * doc) as the DOMINANT per-run cost of a screen — flat in
+    * increment size, linear in corpus size — while the banded rows
+    * at rest are three narrow columns a run merely scans. Sign once,
+    * band once, screen increments forever: persist this next to the
+    * signature table and screen through
+    * [[dropNearDuplicatesAgainstBanded]]. At cluster scale, write it
+    * partitioned/bucketed by the bucket key so the band join shuffles
+    * only the increment side.
+    */
+  def bandedSignatures(
+      sigs: DataFrame, numHashes: Int, bands: Int,
+      portable: Boolean = false): DataFrame =
+    bandedOf(sigs, numHashes, bands, portable)
+
+  /** [[dropNearDuplicatesAgainstWithSignatures]] with the corpus band
+    * table supplied from its materialized store instead of recomputed
+    * — the production screen spelling. `corpusBanded` MUST be the
+    * [[bandedSignatures]] of `corpusSigs` at the same
+    * numHashes/bands/portable (the band-count check below catches a
+    * bands mismatch loudly; a stale or differently-hashed table
+    * silently misses pairs — maintain the two artifacts together,
+    * appending both per increment).
+    */
+  def dropNearDuplicatesAgainstBanded(
+      corpusSigs: DataFrame, corpusBanded: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, portable: Boolean = false,
       words: Boolean = false): (DataFrame, DataFrame) = {
+    // bands mismatch check: one narrow-column scan, cheap next to the
+    // screen itself; a wrong-bands table would join garbage buckets
+    val maxBand = corpusBanded.agg(max(col("band"))).head().getInt(0)
+    require(maxBand == bands - 1,
+      s"corpus band table has bands 0..$maxBand but the screen states " +
+        s"$bands bands — re-band the store or state the right bands")
+    screenAgainst(corpusSigs, corpusBanded,
+      newDocs, idCol, textCol, n, numHashes, bands, threshold, portable, words)
+  }
+
+  /** Increments whose band table fits under this many rows take the
+    * broadcast screen path (id + band + bucket ≈ 20 bytes/row → ~tens
+    * of MB at the default; a daily increment at 16 bands is ~131k
+    * docs). Above it, the general salted shuffle join runs. */
+  val DefaultBroadcastIncrementBandRows: Long = 1L << 21
+
+  private def screenAgainst(
+      corpusSigs: DataFrame, corpusBanded: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int,
+      threshold: Double, portable: Boolean,
+      words: Boolean): (DataFrame, DataFrame) = {
     // a signature width differing from the materialized table would
     // silently empty the candidate buckets — fail loudly instead
     corpusSigs.select(size(col("sig"))).take(1).foreach { r =>
@@ -698,15 +756,52 @@ object Dedup {
     val newSigs =
       (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes, words)
        else minhashSignatures(newDocs, idCol, textCol, n, numHashes, words)).persist()
-    val dropIds = collisionPairsWithFeatures(
-        bandedOf(newSigs, numHashes, bands, portable),
-        bandedOf(corpusSigs, numHashes, bands, portable),
-        Seq("band", "bucket"), ordered = false,
-        featsA = newSigs, featsB = corpusSigs,
-        minCollisions = minAgreeingBands(numHashes, bands, threshold))
-      .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
-      .select(col("id_a").as(idCol))
-      .distinct()
+    val minColl = minAgreeingBands(numHashes, bands, threshold)
+    // Adaptive routing (the smallGraphEdgeLimit discipline): an
+    // increment is small BY DESIGN — when its band table fits a
+    // broadcast, the corpus is SCANNED, never shuffled. The general
+    // path shuffles the corpus band table three ways (hot-bucket
+    // census, salted collision join, sig fetch) — measured at the
+    // 100× rehearsal as the flat O(corpus) floor of every screen run
+    // (~5 s at sf10 with the band table already materialized, vs the
+    // increment's own milliseconds). Broadcasting the increment makes
+    // every corpus touch a map-side pass: one banded scan for the
+    // collision probe (no salting needed — a hot bucket's corpus rows
+    // are spread across partitions by layout, not hashed to one
+    // task), one sig scan filtered by the broadcast candidate pairs.
+    // The count() gate is increment-scale and warms the persist.
+    val dropIds =
+      if (newSigs.count() * bands <= DefaultBroadcastIncrementBandRows) {
+        val newBanded = bandedOf(newSigs, numHashes, bands, portable)
+        broadcast {
+        val collisions = corpusBanded.as("b")
+          .join(broadcast(newBanded).as("a"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        val pairs =
+          if (minColl > 1)
+            collisions.groupBy("id_a", "id_b").agg(count(lit(1)).as("_nb"))
+              .filter(col("_nb") >= minColl).drop("_nb")
+          else collisions.distinct()
+        corpusSigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+          .join(broadcast(pairs), Seq("id_b"))
+          .join(broadcast(newSigs.select(col("id").as("id_a"), col("sig").as("sig_a"))),
+            Seq("id_a"))
+          .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
+          .select(col("id_a").as(idCol))
+          .distinct()
+        } // broadcast: drop ids are ≤ the (small) increment here —
+          // the anti-join below never shuffles the batch
+      } else
+        collisionPairsWithFeatures(
+            bandedOf(newSigs, numHashes, bands, portable),
+            corpusBanded,
+            Seq("band", "bucket"), ordered = false,
+            featsA = newSigs, featsB = corpusSigs,
+            minCollisions = minColl)
+          .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
+          .select(col("id_a").as(idCol))
+          .distinct()
     (newDocs.join(dropIds, Seq(idCol), "left_anti"), newSigs)
   }
 
@@ -732,8 +827,16 @@ object Dedup {
     * registration to pick up.
     */
   def appendSignatures(
-      corpusSigs: DataFrame, sigs: DataFrame, outPath: String): Unit = {
-    val spark = sigs.sparkSession
+      corpusSigs: DataFrame, sigs: DataFrame, outPath: String): Unit =
+    appendArtifact(Seq(corpusSigs), sigs, outPath)
+
+  /** The write half of [[appendSignatures]], generalized: append
+    * `rows` to the parquet store at `outPath`, refusing loudly when
+    * the path contains any file backing ANY of `guardAgainst` (the
+    * stores this run is reading — signature table, band table). */
+  private[graft] def appendArtifact(
+      guardAgainst: Seq[DataFrame], rows: DataFrame, outPath: String): Unit = {
+    val spark = rows.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     def qualified(p: String): String = {
       val hp = new org.apache.hadoop.fs.Path(p)
@@ -742,13 +845,13 @@ object Dedup {
       hp.getFileSystem(conf).makeQualified(hp).toUri.normalize().getPath
     }
     val out = qualified(outPath)
-    val backing = corpusSigs.inputFiles.map(qualified)
+    val backing = guardAgainst.flatMap(_.inputFiles).map(qualified)
     val clash = backing.find(f => f == out || f.startsWith(out + "/"))
     require(clash.isEmpty,
-      s"sigs_out '$outPath' contains a file backing the corpus signature " +
-        s"table (${clash.get}): appending into the store being read is " +
-        "refused — write a side-by-side subtree and re-register")
-    sigs.write.mode("append").parquet(outPath)
+      s"out path '$outPath' contains a file backing a store this run " +
+        s"reads (${clash.getOrElse("")}): appending into the store being " +
+        "read is refused — write a side-by-side subtree and re-register")
+    rows.write.mode("append").parquet(outPath)
   }
 
   /** Incremental maintenance of the cluster KEEP-LIST — fold a new

@@ -470,43 +470,67 @@ object GraftChecks {
     // caller-named parquet store, so the next increment's `sigs`
     // table is this store re-registered — appending into the files
     // backing the CURRENT `sigs` table is refused loudly (the
-    // takedown_execute write discipline; see Dedup.appendSignatures)
-    "near_dedup_incremental" -> (("table, sigs, id, text[, n][, hashes][, bands][, threshold][, unit ('char'|'word')][, sigs_out (parquet path)]",
+    // takedown_execute write discipline; see Dedup.appendSignatures).
+    // `banded` supplies the corpus BAND table from its materialized
+    // store (re-banding the corpus per run is the measured dominant
+    // screen cost — see Dedup.bandedSignatures); `banded_out` appends
+    // the kept rows' band rows, maintaining the two artifacts together
+    "near_dedup_incremental" -> (("table, sigs, id, text[, n][, hashes][, bands][, threshold][, unit ('char'|'word')][, sigs_out (parquet path)][, banded (catalog table)][, banded_out (parquet path)]",
       (s: SparkSession, a: Map[String, String]) => {
         val unit = a.get("unit").map(_.trim.toLowerCase).getOrElse("char")
         require(unit == "char" || unit == "word",
           s"near_dedup_incremental unit must be 'char' or 'word', got '$unit'")
         val corpusSigs = s.table(need(a, "sigs", "near_dedup_incremental"))
         val id = need(a, "id", "near_dedup_incremental")
-        val (kept, newSigs) =
-          graft.operators.Dedup.dropNearDuplicatesAgainstWithSignatures(
-            corpusSigs,
-            s.table(need(a, "table", "near_dedup_incremental")),
-            id,
-            need(a, "text", "near_dedup_incremental"),
-            n = a.get("n").map(_.trim.toInt)
-              .getOrElse(if (unit == "word") 4 else 5),
-            numHashes = a.get("hashes").map(_.trim.toInt).getOrElse(64),
-            bands = a.get("bands").map(_.trim.toInt).getOrElse(16),
-            threshold = a.get("threshold").map(_.trim.toDouble).getOrElse(0.8),
-            portable = true, words = unit == "word")
-        a.get("sigs_out") match {
+        val numHashes = a.get("hashes").map(_.trim.toInt).getOrElse(64)
+        val bands = a.get("bands").map(_.trim.toInt).getOrElse(16)
+        val bandedOpt = a.get("banded").map(t => s.table(t))
+        def screen(newDocs: org.apache.spark.sql.DataFrame) = bandedOpt match {
+          case Some(cb) =>
+            graft.operators.Dedup.dropNearDuplicatesAgainstBanded(
+              corpusSigs, cb, newDocs, id,
+              need(a, "text", "near_dedup_incremental"),
+              n = a.get("n").map(_.trim.toInt)
+                .getOrElse(if (unit == "word") 4 else 5),
+              numHashes = numHashes, bands = bands,
+              threshold = a.get("threshold").map(_.trim.toDouble).getOrElse(0.8),
+              portable = true, words = unit == "word")
           case None =>
-            graft.CacheLifecycle.releaseAfterFirstUse(Seq(newSigs))
-            kept
-          case Some(out) =>
-            // the append is an eager job over both caches-to-be: pin
-            // the kept rows so the caller's consumption replays the
-            // cache, not the screen; release newSigs synchronously
-            // once the write (its only consumer) has completed
-            val keptP = kept.persist()
-            graft.operators.Dedup.appendSignatures(
-              corpusSigs,
-              newSigs.join(keptP.select(col(id).as("id")), Seq("id"), "left_semi"),
-              out.trim)
-            newSigs.unpersist(blocking = false)
-            graft.CacheLifecycle.releaseWhenExecuted(keptP, Seq(keptP))
-            keptP
+            graft.operators.Dedup.dropNearDuplicatesAgainstWithSignatures(
+              corpusSigs, newDocs, id,
+              need(a, "text", "near_dedup_incremental"),
+              n = a.get("n").map(_.trim.toInt)
+                .getOrElse(if (unit == "word") 4 else 5),
+              numHashes = numHashes, bands = bands,
+              threshold = a.get("threshold").map(_.trim.toDouble).getOrElse(0.8),
+              portable = true, words = unit == "word")
+        }
+        val (kept, newSigs) =
+          screen(s.table(need(a, "table", "near_dedup_incremental")))
+        val outs = Seq("sigs_out", "banded_out").flatMap(k => a.get(k).map(k -> _.trim))
+        if (outs.isEmpty) {
+          graft.CacheLifecycle.releaseAfterFirstUse(Seq(newSigs))
+          kept
+        } else {
+          // the appends are eager jobs over both caches-to-be: pin
+          // the kept rows so the caller's consumption replays the
+          // cache, not the screen; release newSigs synchronously
+          // once the writes (its only consumers) have completed
+          val keptP = kept.persist()
+          val keptSigs = newSigs
+            .join(keptP.select(col(id).as("id")), Seq("id"), "left_semi")
+          val guards = corpusSigs +: bandedOpt.toSeq
+          outs.foreach {
+            case ("sigs_out", out) =>
+              graft.operators.Dedup.appendArtifact(guards, keptSigs, out)
+            case (_, out) =>
+              graft.operators.Dedup.appendArtifact(guards,
+                graft.operators.Dedup.bandedSignatures(
+                  keptSigs, numHashes, bands, portable = true), out)
+          }
+          newSigs.unpersist(blocking = false)
+          graft.CacheLifecycle.releaseWhenExecuted(keptP, Seq(keptP))
+          keptP
         }
       })),
 

@@ -278,4 +278,96 @@ object StreamingCuration {
   def readMediaCensus(spark: SparkSession, path: String): DataFrame =
     graft.operators.Multimodal.mediaCensusFromPartials(
       spark.read.parquet(path))
+
+  /** Streamed incremental near-dedup screen (the NINTH maintained
+    * surface) — the full production loop of
+    * [[graft.operators.Dedup.dropNearDuplicatesAgainst]] as a
+    * standing query: each micro-batch is screened against the
+    * signature STORE (everything kept so far), survivors land under
+    * `keptPath/batch_<id>`, and THEIR signatures grow the store under
+    * `storePath/batch_<id>` — so batch N+1 is automatically screened
+    * against batch N's keepers, and the band join stays asymmetric
+    * new × corpus (O(batch), never O(corpus)) on every trigger.
+    *
+    * The store is a directory OF signature subtrees: seed it with the
+    * existing corpus's signatures at `storePath/base` (a
+    * [[graft.operators.Dedup.minhashSignaturesPortable]] write — the
+    * materialized between-runs artifact) before starting the stream;
+    * an unseeded store is refused loudly rather than treated as an
+    * empty corpus (a typo'd path must not admit everything).
+    *
+    * Replay-safe where a bare append-log is not: foreachBatch can
+    * re-run a batch after a failure, so each batch OVERWRITES its own
+    * subtree, and the store read EXCLUDES the current batch's subtree
+    * — a replayed batch therefore never screens against its own
+    * partial output (which would drop every row), and reruns converge
+    * to the identical store. Within-batch duplicates pass through,
+    * exactly like the batch operator (the intra-batch pass is a
+    * separate concern); unit/params must match how the store was
+    * signed — the operator's loud width check rides along.
+    */
+  def incrementalScreenSink(
+      stream: DataFrame, idCol: String, textCol: String,
+      storePath: String, keptPath: String, checkpoint: String,
+      n: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, words: Boolean = false,
+      bandedPath: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.col
+        def subtrees(rootPath: String, what: String): Seq[String] = {
+          val root = new org.apache.hadoop.fs.Path(rootPath)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val subs =
+            if (fs.exists(root))
+              fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+                .filterNot(_.getName == s"batch_$batchId")
+            else Array.empty[org.apache.hadoop.fs.Path]
+          require(subs.nonEmpty,
+            s"$what store '$rootPath' has no subtrees — seed it " +
+              "(e.g. write the corpus artifact to <store>/base) before " +
+              "streaming; an empty store would admit every document")
+          subs.map(_.toString).toIndexedSeq
+        }
+        val store = spark.read.parquet(subtrees(storePath, "signature"): _*)
+        // with a banded twin store the per-trigger corpus touch is a
+        // pure scan (the broadcast screen path): no re-banding, no
+        // corpus shuffle — the artifact pair the probes measured 5×
+        val (kept0, newSigs) = bandedPath match {
+          case Some(bp) =>
+            graft.operators.Dedup.dropNearDuplicatesAgainstBanded(
+              store, spark.read.parquet(subtrees(bp, "band"): _*),
+              batch, idCol, textCol, n, numHashes, bands, threshold,
+              portable = true, words = words)
+          case None =>
+            graft.operators.Dedup.dropNearDuplicatesAgainstWithSignatures(
+              store, batch, idCol, textCol, n, numHashes, bands, threshold,
+              portable = true, words = words)
+        }
+        val kept = kept0.persist()
+        kept.write.mode("overwrite").parquet(s"$keptPath/batch_$batchId")
+        val keptSigs = newSigs
+          .join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        keptSigs.write.mode("overwrite").parquet(s"$storePath/batch_$batchId")
+        bandedPath.foreach { bp =>
+          graft.operators.Dedup
+            .bandedSignatures(keptSigs, numHashes, bands, portable = true)
+            .write.mode("overwrite").parquet(s"$bp/batch_$batchId")
+        }
+        newSigs.unpersist(blocking = false)
+        kept.unpersist(blocking = false)
+        ()
+      }
+      .start()
+
+  /** Everything the screen has kept so far. */
+  def readScreenKept(spark: SparkSession, keptPath: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(keptPath)
+
+  /** The current signature store (seed + every kept batch). */
+  def readScreenStore(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(storePath)
 }

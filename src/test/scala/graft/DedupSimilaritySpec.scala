@@ -92,6 +92,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Dedup.dropNearDuplicatesAgainst(
         Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 32),
         newBatch, "doc_id", "text"))
+    // the PRE-BANDED spelling (materialized corpus band table — the
+    // second between-runs artifact) returns the identical kept set
+    val banded = Dedup.bandedSignatures(corpusSigs, 64, 16)
+    val (keptPre, sigsPre) = Dedup.dropNearDuplicatesAgainstBanded(
+      corpusSigs, banded, newBatch, "doc_id", "text", threshold = 0.8)
+    assert(keptPre.select("doc_id").as[Long].collect().toSet == Set(11L))
+    sigsPre.unpersist()
+    // a band table built at different bands is refused loudly (wrong
+    // slice hashes would silently miss pairs)
+    assertThrows[IllegalArgumentException](
+      Dedup.dropNearDuplicatesAgainstBanded(
+        corpusSigs, Dedup.bandedSignatures(corpusSigs, 64, 8),
+        newBatch, "doc_id", "text", threshold = 0.8))
   }
 
   test("word-shingle LSH (q212 unit): exact/near dups pair, char-ambient docs don't; both portable forms") {

@@ -1706,4 +1706,96 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(out.find(_.getAs[Long]("id") == 1L)
       .get.getAs[Double]("max_bench_cosine") > 0.9)
   }
+
+  test("streamed incremental screen: two batches against a growing store == the operator-layer chain (ninth maintained surface)") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingCuration
+    val dir = java.nio.file.Files.createTempDirectory("inc_screen").toString
+    val store = s"$dir/store"; val kept = s"$dir/kept"; val ckpt = s"$dir/ckpt"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then sleeps"),
+      (2L, "completely different content about distributed query engines"))
+      .toDF("doc_id", "text")
+    // seed the store: the materialized corpus signatures
+    Dedup.minhashSignaturesPortable(corpus, "doc_id", "text", n = 3, numHashes = 64)
+      .write.mode("overwrite").parquet(s"$store/base")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val sq = StreamingCuration.incrementalScreenSink(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      store, kept, ckpt, n = 3, numHashes = 64, threshold = 0.8)
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and then sleeps"), // dup of corpus 1
+      (11L, "entirely novel text with no counterpart in the corpus at all"))
+    val batch2 = Seq(
+      (20L, "entirely novel text with no counterpart in the corpus at all"), // dup of 11 (batch 1 keeper)
+      (21L, "a second wholly fresh document closing out the stream test"))
+    stream.addData(batch1); sq.processAllAvailable()
+    stream.addData(batch2); sq.processAllAvailable()
+    sq.stop()
+    val streamedKept = StreamingCuration.readScreenKept(spark, kept)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamedKept == Set(11L, 21L),
+      s"corpus dup AND previous-batch-keeper dup must drop: $streamedKept")
+    // operator-layer chain over the same batches
+    val sigs0 = Dedup.minhashSignaturesPortable(corpus, "doc_id", "text", 3, 64)
+    val (kept1, sigs1) = Dedup.dropNearDuplicatesAgainstWithSignatures(
+      sigs0, batch1.toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, numHashes = 64, portable = true)
+    val grown = sigs0.union(
+      sigs1.join(kept1.select($"doc_id".as("id")), Seq("id"), "left_semi"))
+    val (kept2, sigs2) = Dedup.dropNearDuplicatesAgainstWithSignatures(
+      grown, batch2.toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, numHashes = 64, portable = true)
+    val opKept = (kept1.select("doc_id").as[Long].collect() ++
+      kept2.select("doc_id").as[Long].collect()).toSet
+    assert(streamedKept == opKept)
+    // the store equals the chain's signature table, rows and all
+    val storeRows = StreamingCuration.readScreenStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val opRows = grown.union(
+        sigs2.join(kept2.select($"doc_id".as("id")), Seq("id"), "left_semi"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(storeRows == opRows,
+      "the streamed store must equal the operator-layer chained signature table")
+    sigs1.unpersist(); sigs2.unpersist()
+    // an unseeded store is refused, not treated as an empty corpus
+    val stream2 = MemoryStream[(Long, String)]
+    val sq2 = StreamingCuration.incrementalScreenSink(
+      stream2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/unseeded_store", s"$dir/unseeded_kept", s"$dir/unseeded_ckpt",
+      n = 3, numHashes = 64)
+    stream2.addData(batch1)
+    val e = intercept[Exception] { sq2.processAllAvailable() }
+    assert(e.getMessage.contains("seed"), e.getMessage)
+    sq2.stop()
+
+    // the banded-twin form (per-trigger corpus touch = pure scans):
+    // identical kept rows, and the maintained band store equals
+    // bandedSignatures of the maintained sig store
+    val store2 = s"$dir/store_b"; val bandStore = s"$dir/bands_b"
+    Dedup.minhashSignaturesPortable(corpus, "doc_id", "text", n = 3, numHashes = 64)
+      .write.mode("overwrite").parquet(s"$store2/base")
+    Dedup.bandedSignatures(spark.read.parquet(s"$store2/base"), 64, 16, portable = true)
+      .write.mode("overwrite").parquet(s"$bandStore/base")
+    val stream3 = MemoryStream[(Long, String)]
+    val sq3 = StreamingCuration.incrementalScreenSink(
+      stream3.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      store2, s"$dir/kept_b", s"$dir/ckpt_b", n = 3, numHashes = 64,
+      threshold = 0.8, bandedPath = Some(bandStore))
+    stream3.addData(batch1); sq3.processAllAvailable()
+    stream3.addData(batch2); sq3.processAllAvailable()
+    sq3.stop()
+    val keptBanded = StreamingCuration.readScreenKept(spark, s"$dir/kept_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptBanded == streamedKept)
+    val bandRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(bandStore)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expBand = Dedup.bandedSignatures(
+        StreamingCuration.readScreenStore(spark, store2), 64, 16, portable = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(bandRows == expBand && bandRows.nonEmpty,
+      "the maintained band store must equal bandedSignatures of the sig store")
+  }
 }

@@ -578,6 +578,52 @@ class PipelinesSpec extends AnyFunSuite {
       assert(e.getMessage.contains("refused"), s"$inPlace: ${e.getMessage}")
     }
 
+    // the PRE-BANDED production spelling from SQL: corpus band table
+    // supplied via `banded`, both artifacts maintained via
+    // sigs_out/banded_out — kept rows and the grown band store equal
+    // the re-banding CALL chain above
+    val bandStore = java.nio.file.Files
+      .createTempDirectory("sqlc_ndi_bands").toString
+    Dedup.bandedSignatures(spark.read.parquet(s"$sigStore/base"), 64, 16,
+        portable = true)
+      .write.mode("overwrite").parquet(s"$bandStore/base")
+    spark.read.parquet(s"$bandStore/base").createOrReplaceTempView("sqlc_ndi_banded0")
+    val keptB2Pre = spark.sql(
+      s"""CALL graft.near_dedup_incremental(`table` => 'sqlc_ndi_b2',
+        |  sigs => 'sqlc_ndi_store0', id => 'doc_id', text => 'text',
+        |  banded => 'sqlc_ndi_banded0',
+        |  sigs_out => '$sigStore/pre_inc1', banded_out => '$bandStore/inc1')""".stripMargin)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptB2Pre == keptB2, "pre-banded CALL must keep the same rows")
+    // the appended band rows equal bandedSignatures of the appended sigs
+    val bandRows = spark.read.parquet(s"$bandStore/inc1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expBandRows = Dedup.bandedSignatures(
+        spark.read.parquet(s"$sigStore/pre_inc1"), 64, 16, portable = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(bandRows == expBandRows && bandRows.nonEmpty)
+    // chain increment 2 against the grown PAIR of stores
+    spark.read.parquet(s"$sigStore/base", s"$sigStore/pre_inc1")
+      .createOrReplaceTempView("sqlc_ndi_store1p")
+    spark.read.parquet(s"$bandStore/base", s"$bandStore/inc1")
+      .createOrReplaceTempView("sqlc_ndi_banded1")
+    val keptB3Pre = spark.sql(
+      s"""CALL graft.near_dedup_incremental(`table` => 'sqlc_ndi_b3',
+        |  sigs => 'sqlc_ndi_store1p', id => 'doc_id', text => 'text',
+        |  banded => 'sqlc_ndi_banded1')""".stripMargin)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptB3Pre == keptB3,
+      s"pre-banded chain must equal the re-banding chain: $keptB3Pre")
+    // a banded table at the wrong bands is refused loudly
+    Dedup.bandedSignatures(spark.read.parquet(s"$sigStore/base"), 64, 8,
+        portable = true).createOrReplaceTempView("sqlc_ndi_banded_wrong")
+    val eb = intercept[Exception] {
+      spark.sql("""CALL graft.near_dedup_incremental(`table` => 'sqlc_ndi_b2',
+        |  sigs => 'sqlc_ndi_store0', id => 'doc_id', text => 'text',
+        |  banded => 'sqlc_ndi_banded_wrong')""".stripMargin).collect()
+    }
+    assert(eb.getMessage.contains("band"), eb.getMessage)
+
     // ann_topk: a query equal to a corpus vector must rank it first
     // (nlist/nprobe sized so every cell is probed -> exact)
     def vec(x: Float, y: Float) = Array(x, y)
