@@ -250,6 +250,35 @@ object ExtensionQueries {
        |JOIN nd nb ON b.source = nb.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q216 — the MAINTAINED overlap matrix's read path, oracle-exact:
+  // the streamed q141 surface resolves its standing answer from an
+  // APPEND LOG of per-batch group sketches (the StreamingSketch
+  // discipline), folded by elementwise min + doc-count add
+  // (mergeGroupSketchLog) into the groups² compare. Min-merging is
+  // EXACT (each k-min component over A ∪ B is the min of the
+  // per-side minima), so the maintained answer must equal the
+  // from-scratch q141 — this row pins that equality BY HASH against
+  // q141's own oracle SQL, over a materialized 8-batch log fixture
+  // (in production, the artifact the streamed sink appends).
+  // ---------------------------------------------------------------
+  def q216SketchLogOverlap(spark: SparkSession, d: String): DataFrame = {
+    val log = QueryFixtures.ensure(
+      spark, d, "q216_sketch_log", "q216_sketch_log_overlap") {
+      (0 until 8).map(b =>
+        Dedup.groupSketches(
+          Tables.documents(spark, d).filter(pmod(col("doc_id"), lit(8)) === b),
+          "text", "source", n = LshShingleN, numHashes = LshHashes))
+        .reduce(_ unionByName _)
+    }
+    Dedup.overlapMatrixFromSketches(
+      Dedup.mergeGroupSketchLog(log, LshHashes), LshHashes)
+  }
+
+  /** q141's from-scratch SQL verbatim: the maintained read path must
+    * be indistinguishable from a full rescan. */
+  lazy val q216Sql: String = q141Sql
+
   def q12MinhashLsh(spark: SparkSession, d: String): DataFrame =
     Dedup.lshNearDupPairs(Tables.documents(spark, d),
       "doc_id", "text", n = LshShingleN, numHashes = LshHashes, bands = LshBands,
@@ -1162,7 +1191,7 @@ object ExtensionQueries {
     * benchSetup calls before warming these names. */
   val fixtureBacked: Seq[String] =
     Seq("q129_incremental_keep_list", "q214_incremental_screen",
-      "q215_word_incremental_screen")
+      "q215_word_incremental_screen", "q216_sketch_log_overlap")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_dedup_exact"        -> (q10DedupExact _),
@@ -1177,6 +1206,7 @@ object ExtensionQueries {
     "q213_word_dup_clusters" -> (q213WordDupClusters _),
     "q214_incremental_screen" -> (q214IncrementalScreen _),
     "q215_word_incremental_screen" -> (q215WordIncrementalScreen _),
+    "q216_sketch_log_overlap" -> (q216SketchLogOverlap _),
     "q128_cluster_keep_list" -> (q128ClusterKeepList _),
     "q129_incremental_keep_list" -> (q129IncrementalKeepList _),
     "q56_quantization"       -> (q56Quantization _),
@@ -1212,6 +1242,7 @@ object ExtensionQueries {
     "q213_word_dup_clusters" -> q213Sql,
     "q214_incremental_screen" -> q214Sql,
     "q215_word_incremental_screen" -> q215Sql,
+    "q216_sketch_log_overlap" -> q216Sql,
     "q128_cluster_keep_list" -> q128Sql,
     "q129_incremental_keep_list" -> q129Sql,
     "q56_quantization"       -> q56Sql,

@@ -656,4 +656,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p190.contains("posexplode") && !p190.contains("log2fp"),
       "q190 must read the materialized q185 scores, not retrain the LM")
   }
+
+  test("broadcast screen: the corpus is scanned, never shuffled or sort-merge joined") {
+    // The r17 scale fix's structural pin: when the increment fits the
+    // broadcast gate, every corpus touch in the incremental screen is
+    // a broadcast-probe scan. The only exchanges allowed are over the
+    // CANDIDATE sets (keyed id_a/id_b — increment-scale by design);
+    // an exchange keyed any other way, or any SortMergeJoin, means
+    // someone re-introduced a corpus shuffle.
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.documents(spark, d).limit(400)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") % 10 =!= 0)
+    val corpusSigs = Dedup.minhashSignaturesPortable(
+      corpus, "doc_id", "text", n = 4, numHashes = 64, words = true)
+    val banded = Dedup.bandedSignatures(corpusSigs, 64, 16, portable = true)
+    val inc = Tables.documents(spark, d).limit(400)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") % 10 === 0)
+    val (kept, sigs) = Dedup.dropNearDuplicatesAgainstBanded(
+      corpusSigs, banded, inc, "doc_id", "text",
+      n = 4, numHashes = 64, bands = 16, threshold = 0.8,
+      portable = true, words = true)
+    val p = kept.queryExecution.executedPlan.toString
+    sigs.unpersist()
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus sort-merge join in the broadcast screen:\n$p")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3,
+      s"band probe, sig fetch, and anti-join must all broadcast:\n$p")
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => l.contains("id_a")),
+      s"every exchange must be candidate-keyed (id_a...), got:\n${exchanges.mkString("\n")}")
+  }
 }
