@@ -306,14 +306,14 @@ object ExtensionQueries {
       threshold = JaccardThreshold, portable = true, words = true)
 
   /** Word-4 shingle CTEs (`w`/`sh`), stated ONCE for every word-unit
-    * oracle (q212 pairs, q213 closure via q212, q215 screen). The
-    * whitespace class is explicit — RE2's \s excludes VT while the
-    * engine's (Java's) includes it — and empty edge fields from
-    * leading/trailing non-space whitespace are filtered, matching the
-    * native tokenizer. */
-  private lazy val wordShCtesSql: String =
+    * oracle (q212 pairs, q213 closure via q212, q215 screen, q217's
+    * re-wrapped view via `textSql`). The whitespace class is explicit
+    * — RE2's \s excludes VT while the engine's (Java's) includes it —
+    * and empty edge fields from leading/trailing non-space whitespace
+    * are filtered, matching the native tokenizer. */
+  private def wordShCtes(textSql: String): String =
     s"""w AS (SELECT doc_id AS id,
-       |    list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS t
+       |    list_filter(regexp_split_to_array(trim($textSql), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS t
        |  FROM documents),
        |sh AS (SELECT id, list_distinct(CASE WHEN len(t) <= $WordLshN
        |    THEN [array_to_string(t, ' ')]
@@ -321,7 +321,38 @@ object ExtensionQueries {
        |          for i in range(1, len(t) - $WordLshN + 2)] END) AS s
        |  FROM w)""".stripMargin
 
+  private lazy val wordShCtesSql: String = wordShCtes("text")
+
   val q212Sql: String = lshPipelineSql(wordShCtesSql)
+
+  // ---------------------------------------------------------------
+  // q217 — the word-LSH pipeline over a WHITESPACE-REALISTIC view of
+  // the corpus. The synthetic corpus is single-space-only, which is
+  // exactly why the r16 word-hash fast-path bug passed every oracle:
+  // no hash-checked row ever saw a '\n' or '\t' separator. This row
+  // re-wraps the text DETERMINISTICALLY on both sides (' the ' →
+  // newline-separated, ' table ' → tab-separated; plain left-to-right
+  // all-occurrence replace, identical semantics in Spark and DuckDB)
+  // and runs the identical q212 banded pipeline — single-'\n'/'\t'
+  // separators now sit on the HASH-CHECKED path, not only in specs,
+  // and the result must equal q212's pairs EXACTLY (re-wrapping only
+  // changes whitespace, and word shingles are whitespace-canonical).
+  // A reintroduced canonicalization bug hash-mismatches this row.
+  // ---------------------------------------------------------------
+  def q217WordLshWrapped(spark: SparkSession, d: String): DataFrame = {
+    val wrapped = org.apache.spark.sql.functions.replace(
+      org.apache.spark.sql.functions.replace(
+        col("text"), lit(" the "), lit("\nthe ")),
+      lit(" table "), lit("\ttable "))
+    Dedup.lshNearDupPairs(
+      Tables.documents(spark, d).withColumn("text", wrapped),
+      "doc_id", "text", n = WordLshN, numHashes = LshHashes, bands = LshBands,
+      threshold = JaccardThreshold, portable = true, words = true)
+  }
+
+  val q217Sql: String = lshPipelineSql(wordShCtes(
+    "replace(replace(text, ' the ', chr(10) || 'the '), " +
+      "' table ', chr(9) || 'table ')"))
 
   /** Mirrors the portable pipeline stage by stage: shingles (the
     * `sh` CTE supplied per unit) → md5 base hash mod p → k-min over
@@ -1207,6 +1238,7 @@ object ExtensionQueries {
     "q214_incremental_screen" -> (q214IncrementalScreen _),
     "q215_word_incremental_screen" -> (q215WordIncrementalScreen _),
     "q216_sketch_log_overlap" -> (q216SketchLogOverlap _),
+    "q217_word_lsh_wrapped" -> (q217WordLshWrapped _),
     "q128_cluster_keep_list" -> (q128ClusterKeepList _),
     "q129_incremental_keep_list" -> (q129IncrementalKeepList _),
     "q56_quantization"       -> (q56Quantization _),
@@ -1243,6 +1275,7 @@ object ExtensionQueries {
     "q214_incremental_screen" -> q214Sql,
     "q215_word_incremental_screen" -> q215Sql,
     "q216_sketch_log_overlap" -> q216Sql,
+    "q217_word_lsh_wrapped" -> q217Sql,
     "q128_cluster_keep_list" -> q128Sql,
     "q129_incremental_keep_list" -> q129Sql,
     "q56_quantization"       -> q56Sql,

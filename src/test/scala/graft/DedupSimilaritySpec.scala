@@ -140,6 +140,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "char-5 unit must pair the chars-shared/words-disjoint docs")
   }
 
+  test("q217 == q212: re-wrapping the corpus with tabs/newlines changes NO word-LSH pair") {
+    // the invariant the q217 oracle row rides: word shingles are
+    // whitespace-canonical, so the deterministic re-wrap (newline
+    // before 'the', tab before 'table') must leave every signature —
+    // and therefore every banded pair — bit-identical
+    import graft.queries.ExtensionQueries
+    val d = TestSpark.sf
+    val plain = ExtensionQueries.queries("q212_word_lsh")(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    val wrapped = ExtensionQueries.queries("q217_word_lsh_wrapped")(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    assert(plain == wrapped && plain.nonEmpty)
+  }
+
   test("whitespace-variant copies collide under word shingles: tab/newline reformat is est 1.0") {
     // THE case word-level near-dedup exists for: the same document
     // re-wrapped with tabs/newlines must produce the IDENTICAL word
