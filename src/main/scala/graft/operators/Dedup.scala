@@ -688,9 +688,11 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, portable: Boolean = false,
-      words: Boolean = false): (DataFrame, DataFrame) =
+      words: Boolean = false,
+      pairBroadcastLimit: Long = graft.Limits.BroadcastRowLimit): (DataFrame, DataFrame) =
     screenAgainst(corpusSigs, bandedOf(corpusSigs, numHashes, bands, portable),
-      newDocs, idCol, textCol, n, numHashes, bands, threshold, portable, words)
+      newDocs, idCol, textCol, n, numHashes, bands, threshold, portable, words,
+      pairBroadcastLimit)
 
   /** The materialized BAND TABLE of a signature table — `(id, band,
     * bucket)` rows, the SECOND between-runs artifact of the
@@ -724,15 +726,26 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, portable: Boolean = false,
-      words: Boolean = false): (DataFrame, DataFrame) = {
+      words: Boolean = false,
+      pairBroadcastLimit: Long = graft.Limits.BroadcastRowLimit): (DataFrame, DataFrame) = {
     // bands mismatch check: one narrow-column scan, cheap next to the
-    // screen itself; a wrong-bands table would join garbage buckets
-    val maxBand = corpusBanded.agg(max(col("band"))).head().getInt(0)
+    // screen itself; a wrong-bands table would join garbage buckets.
+    // max() over an EMPTY table is null — an empty/unseeded band
+    // store is exactly the misconfiguration this guard exists for, so
+    // refuse it loudly rather than let getInt throw a bare NPE
+    val maxBandRow = corpusBanded.agg(max(col("band"))).head()
+    require(!maxBandRow.isNullAt(0),
+      "corpus band table is empty — an empty/unseeded band store " +
+        "cannot back a screen (it would admit every document); band " +
+        "the corpus signatures (Dedup.bandedSignatures) and point the " +
+        "screen at that store")
+    val maxBand = maxBandRow.getInt(0)
     require(maxBand == bands - 1,
       s"corpus band table has bands 0..$maxBand but the screen states " +
         s"$bands bands — re-band the store or state the right bands")
     screenAgainst(corpusSigs, corpusBanded,
-      newDocs, idCol, textCol, n, numHashes, bands, threshold, portable, words)
+      newDocs, idCol, textCol, n, numHashes, bands, threshold, portable, words,
+      pairBroadcastLimit)
   }
 
   /** Increments whose band table fits under this many rows take the
@@ -746,7 +759,8 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int,
       threshold: Double, portable: Boolean,
-      words: Boolean): (DataFrame, DataFrame) = {
+      words: Boolean,
+      pairBroadcastLimit: Long = graft.Limits.BroadcastRowLimit): (DataFrame, DataFrame) = {
     // a signature width differing from the materialized table would
     // silently empty the candidate buckets — fail loudly instead
     corpusSigs.select(size(col("sig"))).take(1).foreach { r =>
@@ -757,6 +771,19 @@ object Dedup {
       (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes, words)
        else minhashSignatures(newDocs, idCol, textCol, n, numHashes, words)).persist()
     val minColl = minAgreeingBands(numHashes, bands, threshold)
+    // the general path: salted shuffle collision join whose hot-bucket
+    // census absorbs skew — the route of record for large increments
+    // AND for hot-template blow-ups the broadcast route must not carry
+    def saltedScreen(): DataFrame =
+      collisionPairsWithFeatures(
+          bandedOf(newSigs, numHashes, bands, portable),
+          corpusBanded,
+          Seq("band", "bucket"), ordered = false,
+          featsA = newSigs, featsB = corpusSigs,
+          minCollisions = minColl)
+        .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
+        .select(col("id_a").as(idCol))
+        .distinct()
     // Adaptive routing (the smallGraphEdgeLimit discipline): an
     // increment is small BY DESIGN — when its band table fits a
     // broadcast, the corpus is SCANNED, never shuffled. The general
@@ -770,39 +797,57 @@ object Dedup {
     // are spread across partitions by layout, not hashed to one
     // task), one sig scan filtered by the broadcast candidate pairs.
     // The count() gate is increment-scale and warms the persist.
+    var pairsCache: Option[DataFrame] = None
     val dropIds =
       if (newSigs.count() * bands <= DefaultBroadcastIncrementBandRows) {
         val newBanded = bandedOf(newSigs, numHashes, bands, portable)
-        broadcast {
         val collisions = corpusBanded.as("b")
           .join(broadcast(newBanded).as("a"),
             col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         val pairs =
-          if (minColl > 1)
-            collisions.groupBy("id_a", "id_b").agg(count(lit(1)).as("_nb"))
-              .filter(col("_nb") >= minColl).drop("_nb")
-          else collisions.distinct()
-        corpusSigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
-          .join(broadcast(pairs), Seq("id_b"))
-          .join(broadcast(newSigs.select(col("id").as("id_a"), col("sig").as("sig_a"))),
-            Seq("id_a"))
-          .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
-          .select(col("id_a").as(idCol))
-          .distinct()
-        } // broadcast: drop ids are ≤ the (small) increment here —
-          // the anti-join below never shuffles the batch
-      } else
-        collisionPairsWithFeatures(
-            bandedOf(newSigs, numHashes, bands, portable),
-            corpusBanded,
-            Seq("band", "bucket"), ordered = false,
-            featsA = newSigs, featsB = corpusSigs,
-            minCollisions = minColl)
-          .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
-          .select(col("id_a").as(idCol))
-          .distinct()
-    (newDocs.join(dropIds, Seq(idCol), "left_anti"), newSigs)
+          (if (minColl > 1)
+             collisions.groupBy("id_a", "id_b").agg(count(lit(1)).as("_nb"))
+               .filter(col("_nb") >= minColl).drop("_nb")
+           else collisions.distinct()).persist()
+        // The increment gate above bounds the increment-side
+        // broadcasts, but `pairs` scales with increment × corpus
+        // collision MULTIPLICITY, which no increment-side count
+        // bounds: one hot template duplicated millions of times in
+        // the corpus (exactly the corpus near-dedup exists for) turns
+        // a small matching increment into millions of candidate pairs
+        // — a driver OOM if broadcast. So the pair set itself is
+        // counted (one aggregate over the collision probe the route
+        // needs anyway; the count materializes the cache the kept
+        // plan then replays instead of re-scanning the corpus) and
+        // the salted path — whose hot-bucket census exists for
+        // precisely this skew — takes over above the engine-wide
+        // broadcast limit. The cardinality-adaptive discipline of
+        // Evaluation/Checks, applied to the screen's own blow-up.
+        if (pairs.count() <= pairBroadcastLimit) {
+          pairsCache = Some(pairs)
+          broadcast {
+            corpusSigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+              .join(broadcast(pairs), Seq("id_b"))
+              .join(broadcast(newSigs.select(col("id").as("id_a"), col("sig").as("sig_a"))),
+                Seq("id_a"))
+              .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
+              .select(col("id_a").as(idCol))
+              .distinct()
+          } // broadcast: drop ids are ≤ the (small) increment here —
+            // the anti-join below never shuffles the batch
+        } else {
+          pairs.unpersist(blocking = false)
+          saltedScreen()
+        }
+      } else saltedScreen()
+    val kept = newDocs.join(dropIds, Seq(idCol), "left_anti")
+    // the gate's count() already executed over the pairs cache, so the
+    // release must key on the RETURNED plan (releaseWhenExecuted), not
+    // on any plan containing the cache — else the count's own listener
+    // event would free it before the kept rows ever ran
+    pairsCache.foreach(p => graft.CacheLifecycle.releaseWhenExecuted(kept, Seq(p)))
+    (kept, newSigs)
   }
 
   /** Append a signature batch to the parquet signature STORE at

@@ -670,6 +670,76 @@ object ExtensionQueries {
   lazy val q129Sql: String = q128Sql
 
   // ---------------------------------------------------------------
+  // q218 — the incremental keep-list FOLD in the WORD unit: q129's
+  // exact fold shape over a WORD-SIGNED state fixture — the unit the
+  // 100× rehearsal picked for ambient-char corpora (see q212/q215).
+  // q129 keeps its char-5 config by the config-is-part-of-the-
+  // pinned-result rule; this row migrates the fold surface to the
+  // production unit, completing the incremental family (screen =
+  // q215, fold = q218) in the word unit. The prior corpus's word
+  // signature table IS the q215_word_sigs fixture — in production
+  // ONE materialized signature store serves both the screen and the
+  // fold, and sharing the fixture pins exactly that. Oracle: the
+  // from-scratch word-unit keep-list (q213 closure + q112 scores)
+  // over the full corpus — incremental == from-scratch, hash-pinned
+  // in the second shingle unit.
+  // ---------------------------------------------------------------
+  private[graft] def ensureWordKeepListState(
+      spark: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val owner = "q218_word_keep_list_fold"
+    val scores = QueryFixtures.ensure(spark, d, "q129_scores", owner) {
+      q112LinearQuality(spark, d)
+        .select(col("doc_id"), col("logit").as("score"))
+    }
+    val priorSigs = QueryFixtures.ensure(spark, d, "q215_word_sigs", owner) {
+      Dedup.minhashSignaturesPortable(
+        Tables.documents(spark, d).filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = WordLshN, numHashes = LshHashes, words = true)
+    }
+    val stateDir = QueryFixtures.dirFor(d, "q218_word_state")
+    if (!new java.io.File(stateDir, "_SUCCESS").exists()) {
+      val priorPairs = Dedup.lshCandidatePairsFromSignatures(
+          priorSigs, LshHashes, LshBands, portableBuckets = true)
+        .filter(col("est_jaccard") >= JaccardThreshold)
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      Dedup.duplicateClusters(priorPairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+        .join(scores, "doc_id")
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("doc_id", "cluster_id", "cluster_size", "score", "keep")
+        .write.mode("overwrite").parquet(stateDir)
+    }
+    (spark.read.parquet(stateDir), priorSigs, scores)
+  }
+
+  def q218WordKeepListFold(spark: SparkSession, d: String): DataFrame = {
+    val newBatch = Tables.documents(spark, d).filter(col("doc_id") % 10 === 0)
+    // the timed region is the FOLD (the q129 discipline): prior-run
+    // state arrives from its materialized store; scores is persisted
+    // because the fold consumes it three times
+    val (state, priorSigs, scoresRaw) = ensureWordKeepListState(spark, d)
+    val scores = scoresRaw.persist()
+    val (updated, newSigs) = Dedup.foldIntoClusterKeepList(
+      state, priorSigs, scores, newBatch, "doc_id", "text",
+      n = WordLshN, numHashes = LshHashes, bands = LshBands,
+      threshold = JaccardThreshold, portable = true, words = true)
+    val out = updated.select(col("doc_id"), col("cluster_id"),
+      col("cluster_size"), col("score").as("logit"), col("keep"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(newSigs, scores))
+    out
+  }
+
+  lazy val q218Sql: String =
+    s"""WITH clus AS ($q213Sql), q AS ($q112Sql),
+       |j AS (SELECT clus.doc_id, clus.cluster_id, clus.cluster_size, q.logit
+       |  FROM clus JOIN q ON clus.doc_id = q.doc_id),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY cluster_id ORDER BY logit DESC, doc_id) AS rn FROM j)
+       |SELECT doc_id, cluster_id, cluster_size, logit, rn = 1 AS keep FROM r""".stripMargin
+
+  // ---------------------------------------------------------------
   // q13 — SimHash near-dup pairs (banded Hamming ≤ 3), portable
   // mode: 60-bit md5 token hashes, 15-bit chunk candidates — the
   // DuckDB oracle replays the identical bit arithmetic.
@@ -1222,7 +1292,8 @@ object ExtensionQueries {
     * benchSetup calls before warming these names. */
   val fixtureBacked: Seq[String] =
     Seq("q129_incremental_keep_list", "q214_incremental_screen",
-      "q215_word_incremental_screen", "q216_sketch_log_overlap")
+      "q215_word_incremental_screen", "q216_sketch_log_overlap",
+      "q218_word_keep_list_fold")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_dedup_exact"        -> (q10DedupExact _),
@@ -1241,6 +1312,7 @@ object ExtensionQueries {
     "q217_word_lsh_wrapped" -> (q217WordLshWrapped _),
     "q128_cluster_keep_list" -> (q128ClusterKeepList _),
     "q129_incremental_keep_list" -> (q129IncrementalKeepList _),
+    "q218_word_keep_list_fold" -> (q218WordKeepListFold _),
     "q56_quantization"       -> (q56Quantization _),
     "q14_embedding_neardup"  -> (q14EmbeddingNearDup _),
     "q14b_embedding_lsh"     -> (q14bEmbeddingNearDupLsh _),
@@ -1278,6 +1350,7 @@ object ExtensionQueries {
     "q217_word_lsh_wrapped" -> q217Sql,
     "q128_cluster_keep_list" -> q128Sql,
     "q129_incremental_keep_list" -> q129Sql,
+    "q218_word_keep_list_fold" -> q218Sql,
     "q56_quantization"       -> q56Sql,
     "q14_embedding_neardup"  -> q14Sql,
     "q14b_embedding_lsh"     -> q14bSql,

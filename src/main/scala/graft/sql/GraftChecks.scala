@@ -485,6 +485,18 @@ object GraftChecks {
         val numHashes = a.get("hashes").map(_.trim.toInt).getOrElse(64)
         val bands = a.get("bands").map(_.trim.toInt).getOrElse(16)
         val bandedOpt = a.get("banded").map(t => s.table(t))
+        // the two stores are ONE artifact pair: growing the signature
+        // store while leaving the band store stale (or vice versa)
+        // passes the bands-count check on the next increment yet
+        // silently misses that increment's keepers — so with `banded`
+        // supplied, sigs_out and banded_out must travel together
+        require(!bandedOpt.isDefined ||
+            a.contains("sigs_out") == a.contains("banded_out"),
+          "near_dedup_incremental: with `banded` supplied, sigs_out and " +
+            "banded_out must be passed together (both or neither) — " +
+            "appending to one store but not the other leaves them " +
+            "drifted, and the next increment's screen silently misses " +
+            "duplicates of this increment's keepers")
         def screen(newDocs: org.apache.spark.sql.DataFrame) = bandedOpt match {
           case Some(cb) =>
             graft.operators.Dedup.dropNearDuplicatesAgainstBanded(

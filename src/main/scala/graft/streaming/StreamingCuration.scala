@@ -321,10 +321,20 @@ object StreamingCuration {
         def subtrees(rootPath: String, what: String): Seq[String] = {
           val root = new org.apache.hadoop.fs.Path(rootPath)
           val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // batch_<id> subtrees from id >= current are excluded, not
+          // just the current one: after a checkpoint reset that reuses
+          // the store path, batch ids restart and a leftover FUTURE
+          // subtree (possibly half-written by the dead run) would
+          // otherwise silently join the corpus — or fail the read.
+          // Non-batch_ names are seeds by contract and always read.
+          val batchRe = "batch_(\\d+)".r
           val subs =
             if (fs.exists(root))
               fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-                .filterNot(_.getName == s"batch_$batchId")
+                .filterNot(p => p.getName match {
+                  case batchRe(id) => id.toLong >= batchId
+                  case _ => false
+                })
             else Array.empty[org.apache.hadoop.fs.Path]
           require(subs.nonEmpty,
             s"$what store '$rootPath' has no subtrees — seed it " +

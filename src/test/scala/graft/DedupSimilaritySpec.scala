@@ -107,6 +107,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
         newBatch, "doc_id", "text", threshold = 0.8))
   }
 
+  test("broadcast screen: hot-template pair blow-up falls back to the salted path, identical kept set") {
+    // The r17 gate bounded the increment-side broadcasts but not the
+    // candidate-PAIR set, which scales with increment × corpus
+    // collision multiplicity: one hot template duplicated across the
+    // corpus turns a small matching increment into corpus-sized pairs
+    // — a driver OOM if broadcast. Plant exactly that shape and pin
+    // that the screen (a) routes to the salted shuffle path above the
+    // pair limit, (b) keeps the identical set either way.
+    val template = "the hot boilerplate template that repeats across this entire corpus verbatim"
+    val corpus = spark.range(3000)
+      .select(col("id").as("doc_id"), lit(template).as("text"))
+      .union(spark.range(3000, 3040).select(col("id").as("doc_id"),
+        concat(lit("corpus filler row "), col("id"),
+          lit(" entirely separate wording here")).as("text")))
+    val corpusSigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 64).persist()
+    val banded = Dedup.bandedSignatures(corpusSigs, 64, 16)
+    val inc = Seq(
+      (100000L, template), (100001L, template), (100002L, template), // hot matches
+      (100010L, "genuinely novel survivor text with zero counterpart anywhere"),
+      (100011L, "another untouched document that must pass the screen intact"))
+      .toDF("doc_id", "text")
+    // pairs = 3 matching docs × 3000 template copies ≈ 9000 — above a
+    // 1k limit (forced fallback), far below the default 4M (broadcast)
+    val (keptSalted, s1) = Dedup.dropNearDuplicatesAgainstBanded(
+      corpusSigs, banded, inc, "doc_id", "text", threshold = 0.8,
+      pairBroadcastLimit = 1000L)
+    val saltedPlan = keptSalted.queryExecution.executedPlan.toString
+    val saltedSet = keptSalted.select("doc_id").as[Long].collect().toSet
+    s1.unpersist()
+    val (keptBcast, s2) = Dedup.dropNearDuplicatesAgainstBanded(
+      corpusSigs, banded, inc, "doc_id", "text", threshold = 0.8)
+    val bcastPlan = keptBcast.queryExecution.executedPlan.toString
+    val bcastSet = keptBcast.select("doc_id").as[Long].collect().toSet
+    s2.unpersist()
+    assert(saltedSet == Set(100010L, 100011L), "template matches drop, novels survive")
+    assert(bcastSet == saltedSet, "both routes must keep the identical set")
+    assert(saltedPlan.contains("_salt"),
+      s"above the pair limit the screen must take the salted shuffle path:\n$saltedPlan")
+    assert(!bcastPlan.contains("_salt"),
+      "under the pair limit the broadcast route (no salting) must run")
+    // an EMPTY band store is refused loudly, not NPE'd (it would
+    // admit every document — the unseeded-store misconfiguration)
+    val err = intercept[IllegalArgumentException](
+      Dedup.dropNearDuplicatesAgainstBanded(
+        corpusSigs, banded.filter(lit(false)), inc, "doc_id", "text"))
+    assert(err.getMessage.contains("empty"), err.getMessage)
+    corpusSigs.unpersist()
+  }
+
   test("word-shingle LSH (q212 unit): exact/near dups pair, char-ambient docs don't; both portable forms") {
     val a = "alpha beta gamma delta epsilon zeta eta theta"
     val b = "alpha beta gamma delta epsilon zeta eta iota" // 1-word tail edit
