@@ -286,42 +286,28 @@ object Similarity {
     * the id-ordered sample, persisted k-means centers, an externally
     * trained codebook.
     */
-  def annJoinIvfCentroids(
-      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cents: Array[(Int, Array[Double])] = centroids
-      .select(col("cell").cast("int"), col("centroid"))
-      .collect()
-      .map { r =>
-        r.getInt(0) -> r.getSeq[Any](1).map {
-          case f: java.lang.Float  => f.toDouble
-          case d: java.lang.Double => d.doubleValue
-          case other => throw new IllegalArgumentException(
-            s"centroid element must be float/double, got ${other.getClass}")
-        }.toArray
-      }.sortBy(_._1)
-    require(cents.nonEmpty, "centroid table is empty")
-    require(cents.map(_._1).distinct.length == cents.length,
-      "duplicate cell ids in the centroid table")
-    val np = math.min(nprobe, cents.length)
-    // centroid norms once, driver-side (same sqrt-of-ordered-sum dag
-    // as l2Norm, so cosines below match the expression form bitwise)
-    def normOf(v: Array[Double]): Double = {
+  /** The collected codebook with its probe machinery, broadcast to
+    * executors — shared by the recompute ([[annJoinIvfCentroids]]),
+    * artifact-build ([[ivfCellAssignments]]) and stored-assignment
+    * ([[annJoinIvfAssigned]]) forms so all three compute bit-identical
+    * cell choices. Centroid norms are computed once, driver-side, with
+    * the same sqrt-of-ordered-sum dag as l2Norm, so cosines match the
+    * expression form bitwise. */
+  private[graft] final class CentroidIndex(
+      val cells: Array[(Int, Array[Double], Double)]) extends Serializable {
+    def size: Int = cells.length
+    def cellIds: Set[Int] = cells.map(_._1).toSet
+    private def normOf(v: Array[Double]): Double = {
       var a = 0.0; var i = 0
       while (i < v.length) { a += v(i) * v(i); i += 1 }
       math.sqrt(a)
     }
-    val bc = spark.sparkContext.broadcast(
-      cents.map { case (c, v) => (c, v, normOf(v)) })
     // top `take` cells by (cosine DESC, cell DESC) — the literal
     // variant's array_sort/array_max struct order, nulls (zero norm
     // or dim mismatch) last
     def bestCells(vec: Array[Double], take: Int): Seq[Int] = {
       val vn = normOf(vec)
-      val scored = bc.value.map { case (c, ct, on) =>
+      val scored = cells.map { case (c, ct, on) =>
         val s: java.lang.Double =
           if (ct.length != vec.length || vn <= 0 || on <= 0) null
           else {
@@ -346,18 +332,64 @@ object Similarity {
         else c1 > c2
       }.take(take).map(_._2).toSeq
     }
+  }
+
+  private def collectCentroidIndex(centroids: DataFrame): CentroidIndex = {
+    val cents: Array[(Int, Array[Double])] = centroids
+      .select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map { r =>
+        r.getInt(0) -> r.getSeq[Any](1).map {
+          case f: java.lang.Float  => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+          case other => throw new IllegalArgumentException(
+            s"centroid element must be float/double, got ${other.getClass}")
+        }.toArray
+      }.sortBy(_._1)
+    require(cents.nonEmpty, "centroid table is empty")
+    require(cents.map(_._1).distinct.length == cents.length,
+      "duplicate cell ids in the centroid table")
+    def normOf(v: Array[Double]): Double = {
+      var a = 0.0; var i = 0
+      while (i < v.length) { a += v(i) * v(i); i += 1 }
+      math.sqrt(a)
+    }
+    new CentroidIndex(cents.map { case (c, v) => (c, v, normOf(v)) })
+  }
+
+  def annJoinIvfCentroids(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(collectCentroidIndex(centroids))
     val assigned = corpus
       .select(col(idCol).cast("long").as("_1"),
         col(vecCol).cast("array<double>").as("_2"))
       .as[(Long, Array[Double])]
-      .mapPartitions(_.map { case (id, v) => (id, v, bestCells(v, 1).head) })
+      .mapPartitions(_.map { case (id, v) => (id, v, bc.value.bestCells(v, 1).head) })
       .toDF("neighbor_id", "_cv", "cell")
+    probeScoreTopK(queries, assigned, bc, idCol, vecCol, k, nprobe)
+  }
+
+  /** The shared probe + score + top-k tail of the IVF forms: probe
+    * cells per query over the broadcast codebook, equi-join against
+    * an assigned `(neighbor_id, _cv, cell)` corpus, hoisted-norm
+    * cosine, per-query top-k. */
+  private def probeScoreTopK(
+      queries: DataFrame, assigned: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[CentroidIndex],
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val np = math.min(nprobe, bc.value.size)
     val probes = broadcast(queries
       .select(col(idCol).cast("long").as("_1"),
         col(vecCol).cast("array<double>").as("_2"))
       .as[(Long, Array[Double])]
       .mapPartitions(_.flatMap { case (id, v) =>
-        bestCells(v, np).map(c => (id, v, c)) })
+        bc.value.bestCells(v, np).map(c => (id, v, c)) })
       .toDF("query_id", "_qv", "cell"))
     val scored = assigned
       .withColumn("_cn", l2Norm(col("_cv")))
@@ -367,6 +399,74 @@ object Similarity {
           dotProduct(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
           .otherwise(lit(null).cast("double")).as("cosine"))
     topKPerQuery(scored, k)
+  }
+
+  /** The corpus with its IVF cell assignment — the MATERIALIZED
+    * artifact of the ANN family (the dedup band-table discipline
+    * applied to IVF): assign ONCE against a persisted codebook, store
+    * the result, and every subsequent query consumes the stored
+    * assignment through [[annJoinIvfAssigned]] with the argmax
+    * already paid — only increments are ever assigned again. Until
+    * this artifact existed, every IVF query re-assigned the whole
+    * corpus (nlist × dim flops per corpus row per RUN) — the same
+    * O(corpus)-floor shape the r17 increment probe caught in the
+    * dedup screen. Write with `.write.partitionBy("cell")` so the
+    * cell is the partition key at rest: probe joins then read only
+    * probed subdirectories, i.e. at ~nprobe/nlist of the corpus even
+    * the scan is sub-corpus. Grow the store by assigning each new
+    * batch with the SAME codebook and appending (a changed codebook
+    * invalidates the whole store — version them together;
+    * [[annJoinIvfAssigned]]'s cell-coverage check catches a codebook
+    * that shrank, not one whose vectors moved).
+    */
+  def ivfCellAssignments(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(collectCentroidIndex(centroids))
+    corpus
+      .select(col(idCol).cast("long").as("_1"),
+        col(vecCol).cast("array<double>").as("_2"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, v, bc.value.bestCells(v, 1).head) })
+      .toDF(idCol, vecCol, "cell")
+  }
+
+  /** [[annJoinIvfCentroids]] with the corpus-side cell assignment
+    * supplied from its materialized store ([[ivfCellAssignments]])
+    * instead of recomputed — the production ANN spelling, exactly as
+    * [[graft.operators.Dedup.dropNearDuplicatesAgainstBanded]] is the
+    * production screen spelling. `assigned` must carry `(idCol,
+    * vecCol, cell)` built against the SAME codebook passed here: a
+    * store containing cell ids the codebook lacks is refused loudly
+    * (one narrow-column aggregate — those rows could never be probed,
+    * silently vanishing from every result), while an assignment from
+    * a retrained codebook that kept its cell-id range is
+    * indistinguishable from data and must be prevented by versioning
+    * the two artifacts together. Scoring is bit-identical to the
+    * recompute form.
+    */
+  def annJoinIvfAssigned(
+      queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(collectCentroidIndex(centroids))
+    val known = bc.value.cellIds
+    val unknown = assigned.select(col("cell").cast("int"))
+      .distinct().collect().map(_.getInt(0)).filterNot(known)
+    require(unknown.isEmpty,
+      s"assignment store contains cell ids the codebook lacks " +
+        s"(${unknown.sorted.take(5).mkString(", ")}…): those rows could " +
+        "never be probed — the store was built against a different " +
+        "codebook; rebuild it (ivfCellAssignments) or pass the matching " +
+        "centroid table")
+    val corpusSide = assigned.select(
+      col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"),
+      col("cell").cast("int").as("cell"))
+    probeScoreTopK(queries, corpusSide, bc, idCol, vecCol, k, nprobe)
   }
 
   /** [[annJoinIvf]] with DETERMINISTIC id-ordered-sample centroids

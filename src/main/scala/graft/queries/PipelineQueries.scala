@@ -274,6 +274,43 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------
+  // q219 — q209 with the corpus-side cell assignment consumed from
+  // its MATERIALIZED store: the band-table discipline applied to the
+  // ANN family. Until this row, every IVF query re-assigned the
+  // whole corpus against the codebook per run (nlist × dim flops per
+  // corpus row — the same O(corpus)-floor shape the r17 increment
+  // probe caught in the dedup screen); here the (id, vec, cell)
+  // assignment is built ONCE next to the q209 codebook, written
+  // partitioned BY CELL (the IVF inverted-list layout at rest), and
+  // the query's per-run corpus touch is a scan of the store. The
+  // oracle is q209's from-scratch SQL verbatim — stored-assignment
+  // == recompute-everything, pinned by hash.
+  // ---------------------------------------------------------------
+  private def ensureIvfAssignedStore(spark: SparkSession, d: String): DataFrame = {
+    val cents = q209CentroidFixture(spark, d, "q219_ann_ivf_assigned")
+    val dir = QueryFixtures.dirFor(d, "q219_ivf_assigned")
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      // repartition by cell → one file per cell (the posting-list
+      // layout at rest); bare partitionBy writes tasks × cells small
+      // files and the store read pays a listing tax instead
+      Similarity.ivfCellAssignments(
+          Tables.embeddings(spark, d).filter(col("vec_id") % QueryMod =!= 0),
+          cents, "vec_id", "embedding")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  def q219AnnIvfAssigned(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.annJoinIvfAssigned(
+      queries = emb.filter(col("vec_id") % QueryMod === 0),
+      assigned = ensureIvfAssignedStore(spark, d),
+      centroids = q209CentroidFixture(spark, d, "q219_ann_ivf_assigned"),
+      idCol = "vec_id", vecCol = "embedding", k = AnnK, nprobe = IvfNprobe)
+  }
+
+  // ---------------------------------------------------------------
   // q63 — line-level corpus dedup (C4-style boilerplate removal).
   // The synthetic corpus has no repeated lines, so the query plants
   // deterministic chrome — a header on every document, a footer on
@@ -843,7 +880,8 @@ object PipelineQueries {
   /** Fixture-backed bench rows (see EvalQueries.fixtureBacked):
     * q135's first invocation materializes the q135_truth fixture. */
   val fixtureBacked: Seq[String] =
-    Seq("q135_retrieval_quality", "q209_ann_ivf_auto")
+    Seq("q135_retrieval_quality", "q209_ann_ivf_auto",
+      "q219_ann_ivf_assigned")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_incremental_totals" -> (q105IncrementalTotals _),
@@ -854,6 +892,7 @@ object PipelineQueries {
     "q44_ann_join" -> (q44AnnJoin _),
     "q58_ann_ivf" -> (q58AnnIvf _),
     "q209_ann_ivf_auto" -> (q209AnnIvfAuto _),
+    "q219_ann_ivf_assigned" -> (q219AnnIvfAssigned _),
     "q59_label_purity" -> (q59LabelPurity _),
     "q92_label_purity_ivf" -> (q92LabelPurityIvf _),
     "q123_hard_negatives" -> (q123HardNegatives _),
@@ -875,6 +914,7 @@ object PipelineQueries {
     "q44_ann_join" -> q44Sql,
     "q58_ann_ivf" -> q58Sql,
     "q209_ann_ivf_auto" -> q209Sql,
+    "q219_ann_ivf_assigned" -> q209Sql,
     "q59_label_purity" -> q59Sql,
     "q92_label_purity_ivf" -> q92Sql,
     "q123_hard_negatives" -> q123Sql,

@@ -553,8 +553,16 @@ object GraftChecks {
     // `centroids` (a catalog table of cell INT, centroid ARRAY) to
     // use a persisted codebook instead of k-means — the form that
     // scales past the literal-centroid cap
+    // `assigned` supplies the corpus-side cell assignment from its
+    // materialized store (Similarity.ivfCellAssignments — the IVF
+    // analog of near_dedup_incremental's `banded`): the per-run
+    // corpus touch is then a scan, never the codebook argmax. It
+    // replaces `corpus` (the store carries id, vec, cell) and
+    // requires `centroids` (probing still needs the codebook, and
+    // the store is validated against it).
     "ann_topk" -> (("queries, corpus, id, vec (array<float> col), k" +
-      "[, nlist (0 = auto)][, nprobe][, centroids (catalog table)]",
+      "[, nlist (0 = auto)][, nprobe][, centroids (catalog table)]" +
+      "[, assigned (catalog table: id, vec, cell)]",
       (s: SparkSession, a: Map[String, String]) => a.get("centroids") match {
         case Some(ct) =>
           // refuse loudly rather than silently ignore a tuning knob:
@@ -565,15 +573,34 @@ object GraftChecks {
             "ann_topk: nlist has no effect when centroids is given " +
               "(the centroid table fixes the cell count) — drop nlist " +
               "or drop centroids")
-          graft.operators.Similarity.annJoinIvfCentroids(
-            s.table(need(a, "queries", "ann_topk")),
-            s.table(need(a, "corpus", "ann_topk")),
-            s.table(ct),
-            need(a, "id", "ann_topk"),
-            need(a, "vec", "ann_topk"),
-            need(a, "k", "ann_topk").trim.toInt,
-            nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4))
+          a.get("assigned") match {
+            case Some(at) =>
+              require(!a.contains("corpus"),
+                "ann_topk: corpus has no effect when assigned is given " +
+                  "(the assignment store carries the corpus rows) — " +
+                  "drop corpus or drop assigned")
+              graft.operators.Similarity.annJoinIvfAssigned(
+                s.table(need(a, "queries", "ann_topk")),
+                s.table(at),
+                s.table(ct),
+                need(a, "id", "ann_topk"),
+                need(a, "vec", "ann_topk"),
+                need(a, "k", "ann_topk").trim.toInt,
+                nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4))
+            case None =>
+              graft.operators.Similarity.annJoinIvfCentroids(
+                s.table(need(a, "queries", "ann_topk")),
+                s.table(need(a, "corpus", "ann_topk")),
+                s.table(ct),
+                need(a, "id", "ann_topk"),
+                need(a, "vec", "ann_topk"),
+                need(a, "k", "ann_topk").trim.toInt,
+                nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4))
+          }
         case None =>
+          require(!a.contains("assigned"),
+            "ann_topk: assigned requires centroids (probing needs the " +
+              "codebook the store was built against)")
           graft.operators.Similarity.annJoinIvf(
             s.table(need(a, "queries", "ann_topk")),
             s.table(need(a, "corpus", "ann_topk")),

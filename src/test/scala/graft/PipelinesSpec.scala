@@ -648,6 +648,29 @@ class PipelinesSpec extends AnyFunSuite {
     assert(annCt.length == 2)
     assert(annCt.head.getAs[Long]("neighbor_id") == 1L
       && annCt.head.getAs[Double]("cosine") > 0.999)
+    // the stored-assignment form: the materialized (id, vec, cell)
+    // store replaces corpus — results equal the recompute CALL
+    graft.operators.Similarity.ivfCellAssignments(
+        spark.table("sqlc_c"), spark.table("sqlc_cents"), "id", "emb")
+      .createOrReplaceTempView("sqlc_assigned")
+    val annAs = spark.sql(
+      """CALL graft.ann_topk(queries => 'sqlc_q', assigned => 'sqlc_assigned',
+        |  id => 'id', vec => 'emb', k => '2', nprobe => '2',
+        |  centroids => 'sqlc_cents')""".stripMargin)
+      .orderBy($"cosine".desc).collect()
+    assert(annAs.map(_.toSeq).toSeq == annCt.map(_.toSeq).toSeq,
+      "stored-assignment CALL must equal the recompute CALL")
+    // assigned without centroids, and assigned alongside corpus, are
+    // refused loudly (ignored knobs are bugs waiting to be learned)
+    val ea1 = intercept[Exception](spark.sql(
+      """CALL graft.ann_topk(queries => 'sqlc_q', assigned => 'sqlc_assigned',
+        |  id => 'id', vec => 'emb', k => '2')""".stripMargin).collect())
+    assert(ea1.getMessage.contains("centroids"), ea1.getMessage)
+    val ea2 = intercept[Exception](spark.sql(
+      """CALL graft.ann_topk(queries => 'sqlc_q', corpus => 'sqlc_c',
+        |  assigned => 'sqlc_assigned', id => 'id', vec => 'emb', k => '2',
+        |  centroids => 'sqlc_cents')""".stripMargin).collect())
+    assert(ea2.getMessage.contains("corpus"), ea2.getMessage)
 
     // split_leakage: CALL == the operator, and the offender list names
     // the straddling group

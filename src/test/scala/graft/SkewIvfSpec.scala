@@ -190,6 +190,44 @@ class SkewIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("annJoinIvfAssigned: stored-assignment path == recompute path; stale store refused") {
+    // The materialized (id, vec, cell) assignment — the ANN analog of
+    // the dedup band store: assigned once against the codebook,
+    // written partitioned by cell, consumed per query without the
+    // corpus-wide argmax. Must equal the recompute form bit-for-bit.
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val c = emb.filter($"vec_id" % 20 =!= 0)
+    val cents = c.orderBy($"vec_id").limit(16)
+      .select($"embedding").collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](0).map(_.toDouble)) }.toSeq
+      .toDF("cell", "centroid")
+    val store = java.nio.file.Files
+      .createTempDirectory("ivf_assigned").toString
+    Similarity.ivfCellAssignments(c, cents, "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("cell").parquet(store)
+    val fromStore = Similarity.annJoinIvfAssigned(
+      q, spark.read.parquet(store), cents,
+      "vec_id", "embedding", k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val recomputed = Similarity.annJoinIvfCentroids(
+      q, c, cents, "vec_id", "embedding", k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromStore == recomputed && fromStore.nonEmpty,
+      "stored-assignment IVF must equal the recompute form bit-for-bit")
+    // a store holding cell ids the codebook lacks was built against a
+    // DIFFERENT codebook — those rows could never be probed, so the
+    // mismatch is refused loudly instead of silently dropping them
+    val shrunk = cents.filter($"cell" < 8)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.annJoinIvfAssigned(
+        q, spark.read.parquet(store), shrunk,
+        "vec_id", "embedding", k = 3, nprobe = 4)
+    }
+    assert(err.getMessage.contains("codebook"), err.getMessage)
+  }
+
   test("ivfTopKKMeans: trained centroids, exact cosines from probed cells, decent recall") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter($"vec_id" === 0).select($"embedding").head()
