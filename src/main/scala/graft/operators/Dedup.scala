@@ -771,76 +771,16 @@ object Dedup {
       (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes, words)
        else minhashSignatures(newDocs, idCol, textCol, n, numHashes, words)).persist()
     val minColl = minAgreeingBands(numHashes, bands, threshold)
-    // the general path: salted shuffle collision join whose hot-bucket
-    // census absorbs skew — the route of record for large increments
-    // AND for hot-template blow-ups the broadcast route must not carry
-    def saltedScreen(): DataFrame =
-      collisionPairsWithFeatures(
-          bandedOf(newSigs, numHashes, bands, portable),
-          corpusBanded,
-          Seq("band", "bucket"), ordered = false,
-          featsA = newSigs, featsB = corpusSigs,
-          minCollisions = minColl)
-        .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
-        .select(col("id_a").as(idCol))
-        .distinct()
-    // Adaptive routing (the smallGraphEdgeLimit discipline): an
-    // increment is small BY DESIGN — when its band table fits a
-    // broadcast, the corpus is SCANNED, never shuffled. The general
-    // path shuffles the corpus band table three ways (hot-bucket
-    // census, salted collision join, sig fetch) — measured at the
-    // 100× rehearsal as the flat O(corpus) floor of every screen run
-    // (~5 s at sf10 with the band table already materialized, vs the
-    // increment's own milliseconds). Broadcasting the increment makes
-    // every corpus touch a map-side pass: one banded scan for the
-    // collision probe (no salting needed — a hot bucket's corpus rows
-    // are spread across partitions by layout, not hashed to one
-    // task), one sig scan filtered by the broadcast candidate pairs.
-    // The count() gate is increment-scale and warms the persist.
-    var pairsCache: Option[DataFrame] = None
-    val dropIds =
-      if (newSigs.count() * bands <= DefaultBroadcastIncrementBandRows) {
-        val newBanded = bandedOf(newSigs, numHashes, bands, portable)
-        val collisions = corpusBanded.as("b")
-          .join(broadcast(newBanded).as("a"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        val pairs =
-          (if (minColl > 1)
-             collisions.groupBy("id_a", "id_b").agg(count(lit(1)).as("_nb"))
-               .filter(col("_nb") >= minColl).drop("_nb")
-           else collisions.distinct()).persist()
-        // The increment gate above bounds the increment-side
-        // broadcasts, but `pairs` scales with increment × corpus
-        // collision MULTIPLICITY, which no increment-side count
-        // bounds: one hot template duplicated millions of times in
-        // the corpus (exactly the corpus near-dedup exists for) turns
-        // a small matching increment into millions of candidate pairs
-        // — a driver OOM if broadcast. So the pair set itself is
-        // counted (one aggregate over the collision probe the route
-        // needs anyway; the count materializes the cache the kept
-        // plan then replays instead of re-scanning the corpus) and
-        // the salted path — whose hot-bucket census exists for
-        // precisely this skew — takes over above the engine-wide
-        // broadcast limit. The cardinality-adaptive discipline of
-        // Evaluation/Checks, applied to the screen's own blow-up.
-        if (pairs.count() <= pairBroadcastLimit) {
-          pairsCache = Some(pairs)
-          broadcast {
-            corpusSigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
-              .join(broadcast(pairs), Seq("id_b"))
-              .join(broadcast(newSigs.select(col("id").as("id_a"), col("sig").as("sig_a"))),
-                Seq("id_a"))
-              .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
-              .select(col("id_a").as(idCol))
-              .distinct()
-          } // broadcast: drop ids are ≤ the (small) increment here —
-            // the anti-join below never shuffles the batch
-        } else {
-          pairs.unpersist(blocking = false)
-          saltedScreen()
-        }
-      } else saltedScreen()
+    val (scoredCand, pairsCache, bcastRoute) = incrementScoredCandidates(
+      corpusSigs, corpusBanded, newSigs, numHashes, bands, portable,
+      minColl, pairBroadcastLimit)
+    val ids0 = scoredCand
+      .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
+      .select(col("id_a").as(idCol))
+      .distinct()
+    // broadcast route: drop ids are ≤ the (small) increment — the
+    // anti-join below never shuffles the batch
+    val dropIds = if (bcastRoute) broadcast(ids0) else ids0
     val kept = newDocs.join(dropIds, Seq(idCol), "left_anti")
     // the gate's count() already executed over the pairs cache, so the
     // release must key on the RETURNED plan (releaseWhenExecuted), not
@@ -848,6 +788,81 @@ object Dedup {
     // event would free it before the kept rows ever ran
     pairsCache.foreach(p => graft.CacheLifecycle.releaseWhenExecuted(kept, Seq(p)))
     (kept, newSigs)
+  }
+
+  /** Scored increment × corpus candidate rows `(id_a = new, id_b =
+    * corpus, sig_a, sig_b)` at ≥ `minColl` agreeing bands — the
+    * shared core of the incremental screen AND the keep-list fold's
+    * new×corpus leg, routed adaptively (the smallGraphEdgeLimit
+    * discipline): an increment is small BY DESIGN — when its band
+    * table fits a broadcast, the corpus is SCANNED, never shuffled.
+    * The general path shuffles the corpus band table three ways
+    * (hot-bucket census, salted collision join, sig fetch) — measured
+    * at the 100× rehearsal as the flat O(corpus) floor of every
+    * screen run. Broadcasting the increment makes every corpus touch
+    * a map-side pass: one banded scan for the collision probe (no
+    * salting needed — a hot bucket's corpus rows are spread across
+    * partitions by layout, not hashed to one task), one sig scan
+    * filtered by the broadcast candidate pairs. The count() gate is
+    * increment-scale and warms the persist.
+    *
+    * The increment gate bounds the increment-side broadcasts, but
+    * `pairs` scales with increment × corpus collision MULTIPLICITY,
+    * which no increment-side count bounds: one hot template
+    * duplicated millions of times in the corpus (exactly the corpus
+    * near-dedup exists for) turns a small matching increment into
+    * millions of candidate pairs — a driver OOM if broadcast. So the
+    * pair set itself is counted (one aggregate over the collision
+    * probe the route needs anyway; the count materializes the cache
+    * the final plan then replays instead of re-scanning the corpus)
+    * and the salted path — whose hot-bucket census exists for
+    * precisely this skew — takes over above the engine-wide broadcast
+    * limit (measured at the time crossover too: SCALE.md §Round-18).
+    * The cardinality-adaptive discipline of Evaluation/Checks,
+    * applied to the screen's own blow-up.
+    *
+    * Returns the scored frame, the pairs cache for the caller to
+    * release once ITS returned plan has executed (broadcast route
+    * only — registering here would race the gate's own count), and
+    * whether the broadcast route was taken (the caller may
+    * broadcast-hint reductions of an increment-bounded result).
+    */
+  private def incrementScoredCandidates(
+      corpusSigs: DataFrame, corpusBanded: DataFrame, newSigs: DataFrame,
+      numHashes: Int, bands: Int, portable: Boolean, minColl: Int,
+      pairBroadcastLimit: Long): (DataFrame, Option[DataFrame], Boolean) = {
+    // the general path: salted shuffle collision join whose hot-bucket
+    // census absorbs skew — the route of record for large increments
+    // AND for hot-template blow-ups the broadcast route must not carry
+    def salted(): DataFrame =
+      collisionPairsWithFeatures(
+        bandedOf(newSigs, numHashes, bands, portable),
+        corpusBanded,
+        Seq("band", "bucket"), ordered = false,
+        featsA = newSigs, featsB = corpusSigs,
+        minCollisions = minColl)
+    if (newSigs.count() * bands <= DefaultBroadcastIncrementBandRows) {
+      val newBanded = bandedOf(newSigs, numHashes, bands, portable)
+      val collisions = corpusBanded.as("b")
+        .join(broadcast(newBanded).as("a"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val pairs =
+        (if (minColl > 1)
+           collisions.groupBy("id_a", "id_b").agg(count(lit(1)).as("_nb"))
+             .filter(col("_nb") >= minColl).drop("_nb")
+         else collisions.distinct()).persist()
+      if (pairs.count() <= pairBroadcastLimit) {
+        val scored = corpusSigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+          .join(broadcast(pairs), Seq("id_b"))
+          .join(broadcast(newSigs.select(col("id").as("id_a"), col("sig").as("sig_a"))),
+            Seq("id_a"))
+        (scored, Some(pairs), true)
+      } else {
+        pairs.unpersist(blocking = false)
+        (salted(), None, false)
+      }
+    } else (salted(), None, false)
   }
 
   /** Append a signature batch to the parquet signature STORE at
@@ -878,9 +893,13 @@ object Dedup {
   /** The write half of [[appendSignatures]], generalized: append
     * `rows` to the parquet store at `outPath`, refusing loudly when
     * the path contains any file backing ANY of `guardAgainst` (the
-    * stores this run is reading — signature table, band table). */
+    * stores this run is reading — signature table, band table).
+    * `partitionBy` preserves a partitioned store's layout (the IVF
+    * assignment store appends new files under its existing cell=
+    * directories — one append job, never a per-directory loop). */
   private[graft] def appendArtifact(
-      guardAgainst: Seq[DataFrame], rows: DataFrame, outPath: String): Unit = {
+      guardAgainst: Seq[DataFrame], rows: DataFrame, outPath: String,
+      partitionBy: Seq[String] = Nil): Unit = {
     val spark = rows.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     def qualified(p: String): String = {
@@ -896,7 +915,9 @@ object Dedup {
       s"out path '$outPath' contains a file backing a store this run " +
         s"reads (${clash.getOrElse("")}): appending into the store being " +
         "read is refused — write a side-by-side subtree and re-register")
-    rows.write.mode("append").parquet(outPath)
+    val w = rows.write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(outPath)
   }
 
   /** Incremental maintenance of the cluster KEEP-LIST — fold a new
@@ -945,6 +966,10 @@ object Dedup {
     * `newSigs` is persisted — append it to the corpus signature table
     * for the next increment, then release it (the
     * [[dropNearDuplicatesAgainstWithSignatures]] contract).
+    * `corpusBanded` supplies the corpus band table from its
+    * materialized store ([[bandedSignatures]] — the artifact pair the
+    * screen reads), skipping the per-run corpus re-banding; None
+    * re-bands in-plan.
     */
   def foldIntoClusterKeepList(
       state: DataFrame, corpusSigs: DataFrame, scores: DataFrame,
@@ -953,11 +978,30 @@ object Dedup {
       threshold: Double = 0.8, portable: Boolean = false,
       maxRounds: Int = 50,
       checkpointDir: Option[String] = None,
-      words: Boolean = false): (DataFrame, DataFrame) = {
+      words: Boolean = false,
+      corpusBanded: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     corpusSigs.select(size(col("sig"))).take(1).foreach { r =>
       require(r.getInt(0) == numHashes,
         s"corpus signature width ${r.getInt(0)} != numHashes $numHashes")
+    }
+    // corpusBanded supplied from its materialized store skips the
+    // per-run corpus re-banding, exactly as in the screen (the fold
+    // and the screen share ONE signature/band artifact pair in
+    // production); the same loud bands-mismatch / empty-store guards
+    val banded = corpusBanded match {
+      case Some(cb) =>
+        val maxBandRow = cb.agg(max(col("band"))).head()
+        require(!maxBandRow.isNullAt(0),
+          "corpus band table is empty — an empty/unseeded band store " +
+            "cannot back a fold; band the corpus signatures " +
+            "(Dedup.bandedSignatures) and point the fold at that store")
+        require(maxBandRow.getInt(0) == bands - 1,
+          s"corpus band table has bands 0..${maxBandRow.getInt(0)} but " +
+            s"the fold states $bands bands — re-band the store or state " +
+            "the right bands")
+        cb
+      case None => bandedOf(corpusSigs, numHashes, bands, portable)
     }
     val st = state.select(col("doc_id"), col("cluster_id"),
       col("cluster_size"), col("score"), col("keep"))
@@ -967,15 +1011,17 @@ object Dedup {
       (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes, words)
        else minhashSignatures(newDocs, idCol, textCol, n, numHashes, words)).persist()
     // new × corpus pairs at est_jaccard >= threshold — asymmetric band
-    // join, O(increment); resolved against state so each old endpoint
-    // becomes its cluster node (or itself if previously unclustered).
-    // Persisted: consumed by the eager closure below AND by the
+    // join routed through the screen's adaptive core (broadcast
+    // increment when it fits, pair gate, salted shuffle fallback):
+    // O(increment), corpus scanned not shuffled on the broadcast
+    // route; resolved against state so each old endpoint becomes its
+    // cluster node (or itself if previously unclustered). Persisted:
+    // consumed by the eager closure below AND by the
     // singleton-promotion branch of the returned plan.
-    val newOldResolved = collisionPairsWithFeatures(
-        bandedOf(newSigs, numHashes, bands, portable),
-        bandedOf(corpusSigs, numHashes, bands, portable),
-        Seq("band", "bucket"), ordered = false,
-        featsA = newSigs, featsB = corpusSigs, minCollisions = floor)
+    val (scoredCand, pairsCache, _) = incrementScoredCandidates(
+      corpusSigs, banded, newSigs, numHashes, bands, portable,
+      floor, graft.Limits.BroadcastRowLimit)
+    val newOldResolved = scoredCand
       .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
       .select(col("id_a").as("_new"), col("id_b").as("_old"))
       .join(st.select(col("doc_id").as("_old"), col("cluster_id").as("_oc")),
@@ -1023,7 +1069,8 @@ object Dedup {
     val untouched = st.join(broadcast(clusterMap.select(col("_oldc"))),
       col("cluster_id") === col("_oldc"), "left_anti")
     val out = untouched.unionByName(recomputed)
-    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(newOldResolved))
+    graft.CacheLifecycle.releaseWhenExecuted(out,
+      newOldResolved +: pairsCache.toSeq)
     (out, newSigs)
   }
 

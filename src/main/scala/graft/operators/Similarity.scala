@@ -433,6 +433,22 @@ object Similarity {
       .toDF(idCol, vecCol, "cell")
   }
 
+  /** Append a batch's cell assignments to the parquet store at
+    * `outPath`, preserving the cell-partitioned layout (one append
+    * job writes new files under the existing cell= directories) —
+    * the [[graft.operators.Dedup.appendSignatures]] discipline for
+    * the ANN artifact: growing the store costs assigning the BATCH,
+    * never a corpus pass. `batch` must be [[ivfCellAssignments]]
+    * output built against the store's own codebook (a drifted
+    * codebook is the versioning hazard documented there); writes
+    * into files backing `guardAgainst` (the frames this run reads —
+    * pass the registered store/codebook) are refused loudly. */
+  def appendCellAssignments(
+      guardAgainst: Seq[DataFrame], batch: DataFrame, outPath: String): Unit =
+    graft.operators.Dedup.appendArtifact(
+      guardAgainst, batch.repartition(col("cell")), outPath,
+      partitionBy = Seq("cell"))
+
   /** [[annJoinIvfCentroids]] with the corpus-side cell assignment
     * supplied from its materialized store ([[ivfCellAssignments]])
     * instead of recomputed — the production ANN spelling, exactly as

@@ -656,11 +656,18 @@ object ExtensionQueries {
     // new-member join); the other two state frames are single-read
     // parquet scans
     val (state, priorSigs, scoresRaw) = ensureKeepListState(spark, d)
+    // the char-5 store's band-table twin (the q215 artifact-pair
+    // discipline, in this family's pinned unit)
+    val priorBanded = QueryFixtures.ensure(spark, d, "q129_banded",
+      "q129_incremental_keep_list") {
+      Dedup.bandedSignatures(priorSigs, LshHashes, LshBands, portable = true)
+    }
     val scores = scoresRaw.persist()
     val (updated, newSigs) = Dedup.foldIntoClusterKeepList(
       state, priorSigs, scores, newBatch, "doc_id", "text",
       n = LshShingleN, numHashes = LshHashes, bands = LshBands,
-      threshold = JaccardThreshold, portable = true)
+      threshold = JaccardThreshold, portable = true,
+      corpusBanded = Some(priorBanded))
     val out = updated.select(col("doc_id"), col("cluster_id"),
       col("cluster_size"), col("score").as("logit"), col("keep"))
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(newSigs, scores))
@@ -685,7 +692,8 @@ object ExtensionQueries {
   // in the second shingle unit.
   // ---------------------------------------------------------------
   private[graft] def ensureWordKeepListState(
-      spark: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+      spark: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val owner = "q218_word_keep_list_fold"
     val scores = QueryFixtures.ensure(spark, d, "q129_scores", owner) {
@@ -696,6 +704,11 @@ object ExtensionQueries {
       Dedup.minhashSignaturesPortable(
         Tables.documents(spark, d).filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text", n = WordLshN, numHashes = LshHashes, words = true)
+    }
+    // the band-table twin — the SAME store q215's screen reads (one
+    // artifact pair serves screen and fold, as in production)
+    val priorBanded = QueryFixtures.ensure(spark, d, "q215_word_banded", owner) {
+      Dedup.bandedSignatures(priorSigs, LshHashes, LshBands, portable = true)
     }
     val stateDir = QueryFixtures.dirFor(d, "q218_word_state")
     if (!new java.io.File(stateDir, "_SUCCESS").exists()) {
@@ -711,20 +724,22 @@ object ExtensionQueries {
         .select("doc_id", "cluster_id", "cluster_size", "score", "keep")
         .write.mode("overwrite").parquet(stateDir)
     }
-    (spark.read.parquet(stateDir), priorSigs, scores)
+    (spark.read.parquet(stateDir), priorSigs, priorBanded, scores)
   }
 
   def q218WordKeepListFold(spark: SparkSession, d: String): DataFrame = {
     val newBatch = Tables.documents(spark, d).filter(col("doc_id") % 10 === 0)
     // the timed region is the FOLD (the q129 discipline): prior-run
-    // state arrives from its materialized store; scores is persisted
-    // because the fold consumes it three times
-    val (state, priorSigs, scoresRaw) = ensureWordKeepListState(spark, d)
+    // state — keep-list, signature store AND its band-table twin —
+    // arrives from materialized stores; scores is persisted because
+    // the fold consumes it three times
+    val (state, priorSigs, priorBanded, scoresRaw) = ensureWordKeepListState(spark, d)
     val scores = scoresRaw.persist()
     val (updated, newSigs) = Dedup.foldIntoClusterKeepList(
       state, priorSigs, scores, newBatch, "doc_id", "text",
       n = WordLshN, numHashes = LshHashes, bands = LshBands,
-      threshold = JaccardThreshold, portable = true, words = true)
+      threshold = JaccardThreshold, portable = true, words = true,
+      corpusBanded = Some(priorBanded))
     val out = updated.select(col("doc_id"), col("cluster_id"),
       col("cluster_size"), col("score").as("logit"), col("keep"))
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(newSigs, scores))

@@ -611,6 +611,40 @@ object GraftChecks {
             nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4))
       })),
 
+    // build or grow the materialized IVF cell-assignment store (the
+    // `assigned` table ann_topk consumes — Similarity
+    // .ivfCellAssignments): assign `corpus` (the full corpus once, or
+    // a daily batch) against the persisted codebook and, with `out`,
+    // append the (id, vec, cell) rows to the cell-partitioned parquet
+    // store — growing the store costs assigning the BATCH, never a
+    // corpus pass. Appending into files backing the current `corpus`
+    // or `centroids` tables is refused loudly (the sigs_out write
+    // discipline). The assignment frame is returned either way.
+    "ann_assign" -> (("corpus, centroids (catalog table), id, vec" +
+      "[, out (parquet path)]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val corpus = s.table(need(a, "corpus", "ann_assign"))
+        val cents = s.table(need(a, "centroids", "ann_assign"))
+        val assigned = graft.operators.Similarity.ivfCellAssignments(
+          corpus, cents,
+          need(a, "id", "ann_assign"), need(a, "vec", "ann_assign"))
+        a.get("out").map(_.trim) match {
+          case Some(out) =>
+            // pin so the caller's consumption replays the cache the
+            // append job materialized, not a second assignment pass;
+            // drop the pin if the write-guard refuses before any job
+            val pinned = assigned.persist()
+            try graft.operators.Similarity.appendCellAssignments(
+              Seq(corpus, cents), pinned, out)
+            catch { case e: Throwable =>
+              pinned.unpersist(blocking = false); throw e
+            }
+            graft.CacheLifecycle.releaseWhenExecuted(pinned, Seq(pinned))
+            pinned
+          case None => assigned
+        }
+      })),
+
     // train/test leakage census (the q95 surface): one row of counts,
     // or the per-group offender list with offenders => 'true'. Pass
     // the near-dup cluster id (or any group key) as `group`.

@@ -372,10 +372,11 @@ class PipelinesSpec extends AnyFunSuite {
     assert(zs("a").getAs[Double]("zipf_slope") == 0.0,
       "a flat 4-token distribution has slope 0 exactly")
 
-    // the registry grew to 62 CALL-able checks (r16: the execution
+    // the registry grew to 63 CALL-able checks (r16: the execution
     // surfaces takedown_execute + compact with dry-run defaults, and
-    // near_dedup_incremental — the O(increment) production shape)
-    assert(graft.sql.GraftChecks.registry.size == 62)
+    // near_dedup_incremental — the O(increment) production shape;
+    // r18: ann_assign — build/grow the IVF cell-assignment store)
+    assert(graft.sql.GraftChecks.registry.size == 63)
   }
 
   test("SQL-callable execution surfaces: takedown_execute and compact dry-run by default, refuse loudly, execute on explicit true") {
@@ -671,6 +672,47 @@ class PipelinesSpec extends AnyFunSuite {
         |  assigned => 'sqlc_assigned', id => 'id', vec => 'emb', k => '2',
         |  centroids => 'sqlc_cents')""".stripMargin).collect())
     assert(ea2.getMessage.contains("corpus"), ea2.getMessage)
+    // ann_assign: the CALL that BUILDS/GROWS the store — equals the
+    // operator; with out, two appends reconstruct the full assignment
+    val aaDir = java.nio.file.Files.createTempDirectory("sqlc_ann_assign").toString
+    val aaCall = spark.sql(
+      """CALL graft.ann_assign(corpus => 'sqlc_c', centroids => 'sqlc_cents',
+        |  id => 'id', vec => 'emb')""".stripMargin)
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    val aaOp = graft.operators.Similarity.ivfCellAssignments(
+        spark.table("sqlc_c"), spark.table("sqlc_cents"), "id", "emb")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    assert(aaCall == aaOp, "ann_assign CALL must equal the operator")
+    spark.table("sqlc_c").filter($"id" <= 2).createOrReplaceTempView("sqlc_c_b1")
+    spark.table("sqlc_c").filter($"id" > 2).createOrReplaceTempView("sqlc_c_b2")
+    spark.sql(s"""CALL graft.ann_assign(corpus => 'sqlc_c_b1',
+      |  centroids => 'sqlc_cents', id => 'id', vec => 'emb',
+      |  out => '$aaDir/store')""".stripMargin).collect()
+    spark.sql(s"""CALL graft.ann_assign(corpus => 'sqlc_c_b2',
+      |  centroids => 'sqlc_cents', id => 'id', vec => 'emb',
+      |  out => '$aaDir/store')""".stripMargin).collect()
+    val grownStore = spark.read.parquet(s"$aaDir/store")
+      .select($"id", $"cell").collect().map(_.toSeq.toString).sorted.toSeq
+    val fullAssign = graft.operators.Similarity.ivfCellAssignments(
+        spark.table("sqlc_c"), spark.table("sqlc_cents"), "id", "emb")
+      .select($"id", $"cell").collect().map(_.toSeq.toString).sorted.toSeq
+    assert(grownStore == fullAssign,
+      "two batch appends must reconstruct the full assignment store")
+    // and the grown store serves ann_topk identically to recompute
+    spark.read.parquet(s"$aaDir/store").createOrReplaceTempView("sqlc_assigned2")
+    val annAs2 = spark.sql(
+      """CALL graft.ann_topk(queries => 'sqlc_q', assigned => 'sqlc_assigned2',
+        |  id => 'id', vec => 'emb', k => '2', nprobe => '2',
+        |  centroids => 'sqlc_cents')""".stripMargin)
+      .orderBy($"cosine".desc).collect()
+    assert(annAs2.map(_.toSeq).toSeq == annCt.map(_.toSeq).toSeq)
+    // appending into the files backing the corpus being read: refused
+    spark.read.parquet(s"$aaDir/store").createOrReplaceTempView("sqlc_c_inplace")
+    val ea3 = intercept[Exception](spark.sql(
+      s"""CALL graft.ann_assign(corpus => 'sqlc_c_inplace',
+        |  centroids => 'sqlc_cents', id => 'id', vec => 'emb',
+        |  out => '$aaDir/store')""".stripMargin).collect())
+    assert(ea3.getMessage.contains("refused"), ea3.getMessage)
 
     // split_leakage: CALL == the operator, and the offender list names
     // the straddling group
