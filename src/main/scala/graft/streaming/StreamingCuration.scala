@@ -373,6 +373,73 @@ object StreamingCuration {
       }
       .start()
 
+  /** Streamed IVF cell assignment (the TENTH maintained surface) —
+    * the ANN family's store maintenance as a standing query: each
+    * micro-batch of vectors is assigned against the persisted
+    * codebook ([[graft.operators.Similarity.ivfCellAssignments]] —
+    * batch-scale argmax, never a corpus pass) and lands under
+    * `storePath/batch_<id>`, itself cell-partitioned, so the
+    * assignment store the q219 serving path consumes is maintained
+    * continuously. Replay-safe the same way the screen sink is: a
+    * batch OVERWRITES its own subtree, so reruns converge to the
+    * identical store. Seed the log with an existing corpus's bulk
+    * assignment at `storePath/base` if one predates the stream.
+    *
+    * The log is the maintained artifact; serve from it directly
+    * ([[readAssignmentLog]] → `annJoinIvfAssigned`), or compact it
+    * periodically into a single cell-partitioned table
+    * ([[compactAssignmentLog]]) when the subtree count grows — the
+    * compacted form is the one whose serving scan dynamic-partition-
+    * prunes to the probed cells (PlanShapeSpec's q219 pin).
+    * `centroids` must be the SAME codebook the serving path passes —
+    * the versioning contract documented on `ivfCellAssignments`.
+    */
+  def annAssignSink(
+      stream: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity
+          .ivfCellAssignments(batch, centroids, idCol, vecCol)
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$storePath/batch_$batchId")
+        ()
+      }
+      .start()
+
+  /** The maintained assignment store: every subtree (seed + batches),
+    * each read with its own basePath so the cell partition column
+    * reconstructs per subtree before the union. */
+  def readAssignmentLog(spark: SparkSession, storePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val subs =
+      if (fs.exists(root))
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath.toString)
+      else Array.empty[String]
+    require(subs.nonEmpty,
+      s"assignment store '$storePath' has no subtrees — seed it or run " +
+        "annAssignSink before reading")
+    subs.map(p => spark.read.option("basePath", p).parquet(p))
+      .reduce(_ unionByName _)
+  }
+
+  /** Rewrite the assignment log as ONE cell-partitioned table at
+    * `outPath` — the serving layout whose probe scan dynamic-
+    * partition-prunes (a union-of-subtrees read cannot). Side-by-side
+    * only: writing into the log's own files is refused loudly (the
+    * takedown/compact discipline). One shuffle, one write job. */
+  def compactAssignmentLog(
+      spark: SparkSession, logPath: String, outPath: String): Unit = {
+    val log = readAssignmentLog(spark, logPath)
+    graft.operators.Dedup.appendArtifact(
+      Seq(log), log.repartition(col("cell")), outPath,
+      partitionBy = Seq("cell"))
+  }
+
   /** Everything the screen has kept so far. */
   def readScreenKept(spark: SparkSession, keptPath: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(keptPath)

@@ -1798,4 +1798,62 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(bandRows == expBand && bandRows.nonEmpty,
       "the maintained band store must equal bandedSignatures of the sig store")
   }
+
+  test("streamed IVF assignment: log == batch assignment; compacted store serves ann_topk identically") {
+    import graft.streaming.StreamingCuration
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ann_assign_stream").toString
+    val store = s"$dir/store"
+    def vec(parts: Double*) = parts.toArray
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cell", "centroid")
+    // seed: an existing corpus's bulk assignment predating the stream
+    val seedCorpus = Seq((1L, vec(0.9, 0.1)), (2L, vec(0.1, 0.9)))
+      .toDF("vec_id", "emb")
+    Similarity.ivfCellAssignments(seedCorpus, cents, "vec_id", "emb")
+      .repartition($"cell")
+      .write.partitionBy("cell").parquet(s"$store/base")
+    val stream = MemoryStream[(Long, Array[Double])]
+    val sq = StreamingCuration.annAssignSink(
+      stream.toDF().toDF("vec_id", "emb"), "vec_id", "emb",
+      cents, store, s"$dir/ckpt")
+    val b1 = Seq((10L, vec(1.0, 0.2)), (11L, vec(0.3, 1.0)))
+    val b2 = Seq((20L, vec(-1.0, 0.0)), (21L, vec(0.7, 0.7)))
+    stream.addData(b1); sq.processAllAvailable()
+    stream.addData(b2); sq.processAllAvailable()
+    sq.stop()
+    // the maintained log equals the batch operator over seed + batches
+    val everything = seedCorpus.union((b1 ++ b2).toDF("vec_id", "emb"))
+    val expected = Similarity.ivfCellAssignments(everything, cents, "vec_id", "emb")
+      .select($"vec_id", $"cell").collect().map(_.toSeq).toSet
+    val log = StreamingCuration.readAssignmentLog(spark, store)
+    assert(log.select($"vec_id", $"cell").collect().map(_.toSeq).toSet == expected,
+      "the maintained log must equal the batch assignment of everything")
+    // the log serves annJoinIvfAssigned == the recompute form
+    val queries = Seq((100L, vec(0.95, 0.05))).toDF("vec_id", "emb")
+    val viaLog = Similarity.annJoinIvfAssigned(
+      queries, log, cents, "vec_id", "emb", k = 2, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val recomputed = Similarity.annJoinIvfCentroids(
+      queries, everything, cents, "vec_id", "emb", k = 2, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(viaLog == recomputed && viaLog.nonEmpty)
+    // compaction: one cell-partitioned serving table, same rows, same
+    // serving result; compacting INTO the log itself is refused
+    StreamingCuration.compactAssignmentLog(spark, store, s"$dir/serving")
+    val served = spark.read.parquet(s"$dir/serving")
+    assert(served.select($"vec_id", $"cell").collect().map(_.toSeq).toSet == expected)
+    val viaServing = Similarity.annJoinIvfAssigned(
+      queries, served, cents, "vec_id", "emb", k = 2, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(viaServing == recomputed)
+    val e = intercept[IllegalArgumentException](
+      StreamingCuration.compactAssignmentLog(spark, store, s"$store/base"))
+    assert(e.getMessage.contains("refused"), e.getMessage)
+    // an empty/missing store is refused loudly
+    val e2 = intercept[IllegalArgumentException](
+      StreamingCuration.readAssignmentLog(spark, s"$dir/nowhere"))
+    assert(e2.getMessage.contains("subtrees"), e2.getMessage)
+  }
 }

@@ -148,6 +148,30 @@ class PlanShapeSpec extends AnyFunSuite {
       "cosine must run on the native dot-product expression")
   }
 
+  test("q219: stored-assignment IVF scans the store under DPP, probes broadcast, no corpus argmax") {
+    // The ANN artifact's structural pin: the corpus side must be a
+    // plain FileScan of the materialized cell-partitioned store —
+    // with DYNAMIC PARTITION PRUNING driven by the broadcast probes
+    // (only probed cell= subdirectories are read), which also proves
+    // no mapPartitions argmax stage crept back onto the corpus side
+    // (an object stage's output cannot be a partition-filtered scan).
+    // The probe flatMap (query-scale) is the only object boundary; it
+    // renders once per consumer (join build + DPP subquery).
+    val p = plan(graft.queries.PipelineQueries.queries("q219_ann_ivf_assigned")(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes must broadcast into an equi-join on cell:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the stored-assignment path must not degrade to an all-pairs join:\n$p")
+    // the store scan is the one FileScan carrying the cell partition
+    // column (the rendered store path truncates inside the location)
+    val storeScan = p.split("\n").filter(l =>
+      l.contains("FileScan parquet") && l.contains("cell#"))
+    assert(storeScan.nonEmpty, s"corpus side must scan the assignment store:\n$p")
+    assert(storeScan.forall(_.contains("dynamicpruningexpression")),
+      "the store scan must be partition-pruned by the probe cells " +
+        s"(dynamicpruningexpression on cell):\n${storeScan.mkString("\n")}")
+  }
+
   test("q45: BM25 ranking plans as TakeOrderedAndProject (no global sort)") {
     val p = plan(graft.queries.PipelineQueries.q45Bm25(spark, d))
     assert(p.contains("TakeOrderedAndProject"),
