@@ -311,6 +311,47 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------
+  // q220 — q219 over a store GROWN BY APPENDS: the corpus assignment
+  // arrives as two batch appends (Similarity.appendCellAssignments —
+  // the daily-increment write path, preserving the cell-partitioned
+  // layout) instead of one bulk build. Serving from the grown store
+  // must be indistinguishable from serving from the bulk store must
+  // be indistinguishable from recomputing — oracle is q209's
+  // from-scratch SQL verbatim, so the APPEND path itself sits on the
+  // hash-checked gate (a dropped batch, a layout-breaking write, or
+  // a partition-column round-trip bug all flip the hash).
+  // ---------------------------------------------------------------
+  private def ensureIvfGrownStore(spark: SparkSession, d: String): DataFrame = {
+    val cents = q209CentroidFixture(spark, d, "q220_ann_ivf_grown")
+    val dir = QueryFixtures.dirFor(d, "q220_ivf_grown")
+    // two writes build this fixture, so a bare _SUCCESS (present
+    // after the FIRST append) cannot gate it — mark completion
+    // explicitly once both batches landed
+    val ok = new java.io.File(dir, "_GROWN_OK")
+    if (!ok.exists()) {
+      val corpus = Tables.embeddings(spark, d)
+        .filter(col("vec_id") % QueryMod =!= 0)
+      for (parity <- Seq(0, 1))
+        Similarity.appendCellAssignments(Seq(cents),
+          Similarity.ivfCellAssignments(
+            corpus.filter(col("vec_id") % 2 === parity),
+            cents, "vec_id", "embedding"),
+          dir)
+      ok.createNewFile()
+    }
+    spark.read.parquet(dir)
+  }
+
+  def q220AnnIvfGrown(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.annJoinIvfAssigned(
+      queries = emb.filter(col("vec_id") % QueryMod === 0),
+      assigned = ensureIvfGrownStore(spark, d),
+      centroids = q209CentroidFixture(spark, d, "q220_ann_ivf_grown"),
+      idCol = "vec_id", vecCol = "embedding", k = AnnK, nprobe = IvfNprobe)
+  }
+
+  // ---------------------------------------------------------------
   // q63 — line-level corpus dedup (C4-style boilerplate removal).
   // The synthetic corpus has no repeated lines, so the query plants
   // deterministic chrome — a header on every document, a footer on
@@ -881,7 +922,7 @@ object PipelineQueries {
     * q135's first invocation materializes the q135_truth fixture. */
   val fixtureBacked: Seq[String] =
     Seq("q135_retrieval_quality", "q209_ann_ivf_auto",
-      "q219_ann_ivf_assigned")
+      "q219_ann_ivf_assigned", "q220_ann_ivf_grown")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_incremental_totals" -> (q105IncrementalTotals _),
@@ -893,6 +934,7 @@ object PipelineQueries {
     "q58_ann_ivf" -> (q58AnnIvf _),
     "q209_ann_ivf_auto" -> (q209AnnIvfAuto _),
     "q219_ann_ivf_assigned" -> (q219AnnIvfAssigned _),
+    "q220_ann_ivf_grown" -> (q220AnnIvfGrown _),
     "q59_label_purity" -> (q59LabelPurity _),
     "q92_label_purity_ivf" -> (q92LabelPurityIvf _),
     "q123_hard_negatives" -> (q123HardNegatives _),
@@ -915,6 +957,7 @@ object PipelineQueries {
     "q58_ann_ivf" -> q58Sql,
     "q209_ann_ivf_auto" -> q209Sql,
     "q219_ann_ivf_assigned" -> q209Sql,
+    "q220_ann_ivf_grown" -> q209Sql,
     "q59_label_purity" -> q59Sql,
     "q92_label_purity_ivf" -> q92Sql,
     "q123_hard_negatives" -> q123Sql,

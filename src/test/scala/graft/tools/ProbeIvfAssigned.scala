@@ -83,6 +83,31 @@ object ProbeIvfAssigned {
     minWarm("inc-assign (grow the store by 1k rows)") {
       Similarity.ivfCellAssignments(increment, cents, "vec_id", "embedding")
     }
+
+    // the SERVING-layout question: the streamed sink maintains the
+    // assignment as a LOG of batch subtrees (union read — no
+    // partition pruning across subtrees), the compacted store is one
+    // cell-partitioned table whose probe scan dynamic-partition-
+    // prunes. A single query probing nprobe/nlist of the cells is
+    // where the difference shows (a 100-query batch touches most
+    // cells anyway).
+    val logDir = s"$fixDir/assign_log"
+    (0 until 8).foreach { b =>
+      Similarity.ivfCellAssignments(
+          corpus.filter(col("vec_id") % 8 === b), cents, "vec_id", "embedding")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$logDir/batch_$b")
+    }
+    val log = graft.streaming.StreamingCuration.readAssignmentLog(spark, logDir)
+    val oneQuery = emb.filter(col("vec_id") === 0)
+    minWarm("serve 1 query from 8-subtree LOG (union read)") {
+      Similarity.annJoinIvfAssigned(
+        oneQuery, log, cents, "vec_id", "embedding", k = 10, nprobe = 4)
+    }
+    minWarm("serve 1 query from COMPACTED store (DPP-pruned scan)") {
+      Similarity.annJoinIvfAssigned(
+        oneQuery, store, cents, "vec_id", "embedding", k = 10, nprobe = 4)
+    }
     spark.stop()
   }
 }
