@@ -771,16 +771,19 @@ object Dedup {
       (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes, words)
        else minhashSignatures(newDocs, idCol, textCol, n, numHashes, words)).persist()
     val minColl = minAgreeingBands(numHashes, bands, threshold)
-    val (scoredCand, pairsCache, bcastRoute) = incrementScoredCandidates(
+    val (scoredCand, pairsCache, incrementBounded) = incrementScoredCandidates(
       corpusSigs, corpusBanded, newSigs, numHashes, bands, portable,
       minColl, pairBroadcastLimit)
     val ids0 = scoredCand
       .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= threshold)
       .select(col("id_a").as(idCol))
       .distinct()
-    // broadcast route: drop ids are ≤ the (small) increment — the
-    // anti-join below never shuffles the batch
-    val dropIds = if (bcastRoute) broadcast(ids0) else ids0
+    // drop ids are ≤ the (small) increment whenever the INCREMENT
+    // gate passed — including the hot-template fallback, where only
+    // the PAIR set blew past the broadcast limit (id_a stays
+    // increment-bounded however many corpus copies each id collided
+    // with) — so the anti-join below never shuffles the batch
+    val dropIds = if (incrementBounded) broadcast(ids0) else ids0
     val kept = newDocs.join(dropIds, Seq(idCol), "left_anti")
     // the gate's count() already executed over the pairs cache, so the
     // release must key on the RETURNED plan (releaseWhenExecuted), not
@@ -824,8 +827,10 @@ object Dedup {
     * Returns the scored frame, the pairs cache for the caller to
     * release once ITS returned plan has executed (broadcast route
     * only — registering here would race the gate's own count), and
-    * whether the broadcast route was taken (the caller may
-    * broadcast-hint reductions of an increment-bounded result).
+    * whether the INCREMENT gate passed (the caller may broadcast-hint
+    * reductions of an increment-bounded result — true on BOTH pair
+    * routes of a small increment, since a hot-template pair blow-up
+    * inflates the pair set, never the increment-side id set).
     */
   private def incrementScoredCandidates(
       corpusSigs: DataFrame, corpusBanded: DataFrame, newSigs: DataFrame,
@@ -860,7 +865,7 @@ object Dedup {
         (scored, Some(pairs), true)
       } else {
         pairs.unpersist(blocking = false)
-        (salted(), None, false)
+        (salted(), None, true)
       }
     } else (salted(), None, false)
   }

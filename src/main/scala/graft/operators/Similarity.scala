@@ -297,6 +297,31 @@ object Similarity {
       val cells: Array[(Int, Array[Double], Double)]) extends Serializable {
     def size: Int = cells.length
     def cellIds: Set[Int] = cells.map(_._1).toSet
+    /** The codebook's identity, md5 over the sorted (cell, centroid)
+      * values — Double.toHexString, so the fingerprint is exact, not
+      * a formatted approximation. Stamped into every assignment row
+      * at build/append time and REQUIRED to match at serve time: a
+      * retrained codebook that kept its cell-id range produces
+      * assignments indistinguishable from data (the cell-coverage
+      * check cannot see it), so the two artifacts are versioned
+      * together by construction. Computed driver-side once per
+      * collect; config-sized input by definition.
+      */
+    lazy val fingerprint: String = {
+      val sb = new StringBuilder
+      cells.sortBy(_._1).foreach { case (c, v, _) =>
+        sb.append(c).append(':')
+        var i = 0
+        while (i < v.length) {
+          sb.append(java.lang.Double.toHexString(v(i))).append(',')
+          i += 1
+        }
+        sb.append(';')
+      }
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
     private def normOf(v: Array[Double]): Double = {
       var a = 0.0; var i = 0
       while (i < v.length) { a += v(i) * v(i); i += 1 }
@@ -373,33 +398,57 @@ object Similarity {
     probeScoreTopK(queries, assigned, bc, idCol, vecCol, k, nprobe)
   }
 
-  /** The shared probe + score + top-k tail of the IVF forms: probe
-    * cells per query over the broadcast codebook, equi-join against
-    * an assigned `(neighbor_id, _cv, cell)` corpus, hoisted-norm
-    * cosine, per-query top-k. */
-  private def probeScoreTopK(
+  /** The shared probe + score tail of the codebook-index IVF forms:
+    * probe cells per query over the broadcast codebook, equi-join
+    * against an assigned `(neighbor_id, _cv, cell)` corpus,
+    * hoisted-norm cosine. Passenger columns ride the same rows
+    * (`carryQuery` src→out renames joined from the query side — eval
+    * sets are broadcast-small by construction, so the carry join is
+    * free; `carryCorpus` names already present on `assigned`), so the
+    * plain top-k, the label-agreement diagnostic, and hard-negative
+    * mining all score through the IDENTICAL plan and cannot drift on
+    * probe choice, tie order, or cosine arithmetic. */
+  private def probeScored(
       queries: DataFrame, assigned: DataFrame,
       bc: org.apache.spark.broadcast.Broadcast[CentroidIndex],
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, nprobe: Int,
+      carryQuery: Seq[(String, String)] = Nil,
+      carryCorpus: Seq[String] = Nil): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val np = math.min(nprobe, bc.value.size)
-    val probes = broadcast(queries
+    val probes0 = queries
       .select(col(idCol).cast("long").as("_1"),
         col(vecCol).cast("array<double>").as("_2"))
       .as[(Long, Array[Double])]
       .mapPartitions(_.flatMap { case (id, v) =>
         bc.value.bestCells(v, np).map(c => (id, v, c)) })
-      .toDF("query_id", "_qv", "cell"))
-    val scored = assigned
+      .toDF("query_id", "_qv", "cell")
+    val probes = broadcast(
+      if (carryQuery.isEmpty) probes0
+      else probes0.join(
+        broadcast(queries.select(
+          (col(idCol).cast("long").as("query_id") +:
+            carryQuery.map { case (src, out) => col(src).as(out) }): _*)),
+        Seq("query_id")))
+    val carryOuts = carryQuery.map(_._2) ++ carryCorpus
+    assigned
       .withColumn("_cn", l2Norm(col("_cv")))
       .join(probes.withColumn("_qn", l2Norm(col("_qv"))), "cell")
-      .select(col("query_id"), col("neighbor_id"),
+      .select((Seq(col("query_id"), col("neighbor_id"),
         when(col("_cn") > 0 && col("_qn") > 0,
           dotProduct(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
-          .otherwise(lit(null).cast("double")).as("cosine"))
-    topKPerQuery(scored, k)
+          .otherwise(lit(null).cast("double")).as("cosine")) ++
+        carryOuts.map(col)): _*)
   }
+
+  /** [[probeScored]] + per-query top-k — the plain ANN-join tail. */
+  private def probeScoreTopK(
+      queries: DataFrame, assigned: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[CentroidIndex],
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
+    topKPerQuery(
+      probeScored(queries, assigned, bc, idCol, vecCol, nprobe), k)
 
   /** The corpus with its IVF cell assignment — the MATERIALIZED
     * artifact of the ANN family (the dedup band-table discipline
@@ -410,27 +459,111 @@ object Similarity {
     * this artifact existed, every IVF query re-assigned the whole
     * corpus (nlist × dim flops per corpus row per RUN) — the same
     * O(corpus)-floor shape the r17 increment probe caught in the
-    * dedup screen. Write with `.write.partitionBy("cell")` so the
-    * cell is the partition key at rest: probe joins then read only
-    * probed subdirectories, i.e. at ~nprobe/nlist of the corpus even
-    * the scan is sub-corpus. Grow the store by assigning each new
-    * batch with the SAME codebook and appending (a changed codebook
-    * invalidates the whole store — version them together;
-    * [[annJoinIvfAssigned]]'s cell-coverage check catches a codebook
-    * that shrank, not one whose vectors moved).
+    * dedup screen. Write with `.write.partitionBy("cell",
+    * "codebook_fp")` so the cell is the partition key at rest (probe
+    * joins then read only probed subdirectories, i.e. at
+    * ~nprobe/nlist of the corpus even the scan is sub-corpus) and the
+    * codebook fingerprint rides the directory layout. Grow the store
+    * by assigning each new batch with the SAME codebook and appending
+    * — a changed codebook invalidates the whole store, and the two
+    * artifacts ARE versioned together: every row carries the
+    * codebook's fingerprint ([[CentroidIndex.fingerprint]]),
+    * [[appendCellAssignments]] refuses a mismatched store or batch,
+    * and [[annJoinIvfAssigned]] refuses to serve a store whose
+    * fingerprint differs from the codebook passed to it — from
+    * partition-directory metadata alone in the written layout, no
+    * store job.
     */
   def ivfCellAssignments(
       corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(collectCentroidIndex(centroids))
-    corpus
-      .select(col(idCol).cast("long").as("_1"),
-        col(vecCol).cast("array<double>").as("_2"))
-      .as[(Long, Array[Double])]
-      .mapPartitions(_.map { case (id, v) => (id, v, bc.value.bestCells(v, 1).head) })
-      .toDF(idCol, vecCol, "cell")
+    val idx = collectCentroidIndex(centroids)
+    val bc = spark.sparkContext.broadcast(idx)
+    // Row-based so passenger columns (`carry` — e.g. the label a
+    // downstream diagnostic serves from the store) ride the
+    // assignment scan instead of costing a corpus-scale join later;
+    // the id/vec legs are the same cast-long/cast-double dag as the
+    // r18 typed path, so assignments are bit-identical
+    val base = corpus.select(
+      (Seq(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as(vecCol)) ++
+        carry.map(col)): _*)
+    val outSchema = base.schema.add(
+      org.apache.spark.sql.types.StructField(
+        "cell", org.apache.spark.sql.types.IntegerType, nullable = false))
+    base.mapPartitions { it =>
+      it.map { r =>
+        val s = r.getSeq[Double](1)
+        val v = new Array[Double](s.length)
+        var i = 0
+        while (i < v.length) { v(i) = s(i); i += 1 }
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ bc.value.bestCells(v, 1).head)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      // the codebook↔store version stamp (serve-time contract): a
+      // constant column, so parquet dictionary-encodes it to nothing
+      // and partitionBy lifts it into the directory name
+      .withColumn("codebook_fp", lit(idx.fingerprint))
+  }
+
+  /** Distinct `(codebook_fp, cell)` pairs of an assignment store.
+    * When the store is file-backed AND partitioned by both columns
+    * (the written layout), both sets come from the partition-
+    * directory names in `inputFiles` — driver metadata the read
+    * already listed, NO job (the r18 per-serve `distinct().collect()`
+    * store scan, removed — on a 100 TB store that was a full
+    * file-listing + footer pass per query for a value the directory
+    * layout already states). Anything else (an in-memory frame, a
+    * cell-only-partitioned store) falls back to one narrow
+    * two-column aggregate. */
+  private def storedFpsAndCells(assigned: DataFrame): (Set[String], Set[Int]) = {
+    val cellRe = "/cell=([^/]+)/".r
+    val fpRe = "/codebook_fp=([^/]+)/".r
+    val files = assigned.inputFiles
+    val meta = files.map { f =>
+      (fpRe.findFirstMatchIn(f).map(_.group(1)),
+        cellRe.findFirstMatchIn(f).map(_.group(1)))
+    }
+    if (files.nonEmpty && meta.forall { case (f, c) => f.isDefined && c.isDefined })
+      (meta.flatMap(_._1).toSet, meta.flatMap(_._2).map(_.toInt).toSet)
+    else {
+      val rows = assigned
+        .select(col("codebook_fp"), col("cell").cast("int"))
+        .distinct().collect()
+      (rows.map(_.getString(0)).toSet, rows.map(_.getInt(1)).toSet)
+    }
+  }
+
+  /** The serve-time half of the codebook↔store version contract:
+    * the store must carry the fingerprint column, every stored
+    * fingerprint must equal the serving codebook's, and every stored
+    * cell must exist in the codebook. Refusals are loud — each failure
+    * mode is a silent-wrong-answer class otherwise. */
+  private def requireStoreMatchesCodebook(
+      assigned: DataFrame, idx: CentroidIndex, what: String): Unit = {
+    require(assigned.columns.contains("codebook_fp"),
+      s"$what carries no codebook_fp column — it predates the " +
+        "codebook↔store version contract (or was not built by " +
+        "ivfCellAssignments); rebuild it against the serving codebook")
+    val (fps, cells) = storedFpsAndCells(assigned)
+    require(fps.nonEmpty, s"$what is empty — assign into it first")
+    require(fps == Set(idx.fingerprint),
+      s"$what was built against a DIFFERENT codebook (stored " +
+        s"fingerprint(s) ${fps.toSeq.sorted.mkString(", ")} != serving " +
+        s"${idx.fingerprint}): a retrained codebook that kept its " +
+        "cell-id range would otherwise serve silently wrong neighbors " +
+        "— rebuild the store (ivfCellAssignments) or pass the " +
+        "codebook the store was built against")
+    val unknown = cells.filterNot(idx.cellIds)
+    require(unknown.isEmpty,
+      s"$what contains cell ids the codebook lacks " +
+        s"(${unknown.toSeq.sorted.take(5).mkString(", ")}…): those rows " +
+        "could never be probed — the store was built against a " +
+        "different codebook; rebuild it (ivfCellAssignments) or pass " +
+        "the matching centroid table")
   }
 
   /** Append a batch's cell assignments to the parquet store at
@@ -439,50 +572,151 @@ object Similarity {
     * the [[graft.operators.Dedup.appendSignatures]] discipline for
     * the ANN artifact: growing the store costs assigning the BATCH,
     * never a corpus pass. `batch` must be [[ivfCellAssignments]]
-    * output built against the store's own codebook (a drifted
-    * codebook is the versioning hazard documented there); writes
-    * into files backing `guardAgainst` (the frames this run reads —
-    * pass the registered store/codebook) are refused loudly. */
+    * output built against `centroids` — the store's own codebook; the
+    * version contract is enforced on BOTH sides of the write: before
+    * it, any existing `codebook_fp=` partition directory that differs
+    * from `centroids`' fingerprint refuses the append (one driver-side
+    * glob over directory names, no job — the store stays clean); after
+    * it, a batch that carried a foreign fingerprint has landed in its
+    * own partition directory (the fp is a partition column, so the
+    * layout itself records the violation) and is refused loudly with
+    * the directory to delete. Writes into files backing `guardAgainst`
+    * (the frames this run reads — pass the registered store/codebook)
+    * are refused loudly. */
   def appendCellAssignments(
-      guardAgainst: Seq[DataFrame], batch: DataFrame, outPath: String): Unit =
+      guardAgainst: Seq[DataFrame], batch: DataFrame,
+      centroids: DataFrame, outPath: String): Unit = {
+    val fp = collectCentroidIndex(centroids).fingerprint
+    require(batch.columns.contains("codebook_fp"),
+      "batch carries no codebook_fp column — build it with " +
+        "ivfCellAssignments against the store's codebook")
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    def storedFps(): Set[String] =
+      if (!fs.exists(root)) Set.empty
+      else fs.globStatus(
+        new org.apache.hadoop.fs.Path(root, "cell=*/codebook_fp=*"))
+        .map(_.getPath.getName.stripPrefix("codebook_fp=")).toSet
+    val pre = storedFps() - fp
+    require(pre.isEmpty,
+      s"store '$outPath' was built against a DIFFERENT codebook " +
+        s"(stored fingerprint(s) ${pre.toSeq.sorted.mkString(", ")} != " +
+        s"batch codebook $fp): appending would mix codebook versions — " +
+        "rebuild the store against the new codebook, or assign the " +
+        "batch with the store's")
     graft.operators.Dedup.appendArtifact(
       guardAgainst, batch.repartition(col("cell")), outPath,
-      partitionBy = Seq("cell"))
+      partitionBy = Seq("cell", "codebook_fp"))
+    val post = storedFps() - fp
+    require(post.isEmpty,
+      s"the appended batch carried foreign codebook fingerprint(s) " +
+        s"${post.toSeq.sorted.mkString(", ")} (expected $fp from the " +
+        "centroids passed here): the batch was assigned against a " +
+        "different codebook — delete the store's " +
+        s"cell=*/codebook_fp={${post.toSeq.sorted.mkString(",")}} " +
+        "subdirectories and re-assign the batch")
+  }
 
   /** [[annJoinIvfCentroids]] with the corpus-side cell assignment
     * supplied from its materialized store ([[ivfCellAssignments]])
     * instead of recomputed — the production ANN spelling, exactly as
     * [[graft.operators.Dedup.dropNearDuplicatesAgainstBanded]] is the
     * production screen spelling. `assigned` must carry `(idCol,
-    * vecCol, cell)` built against the SAME codebook passed here: a
-    * store containing cell ids the codebook lacks is refused loudly
-    * (one narrow-column aggregate — those rows could never be probed,
-    * silently vanishing from every result), while an assignment from
-    * a retrained codebook that kept its cell-id range is
-    * indistinguishable from data and must be prevented by versioning
-    * the two artifacts together. Scoring is bit-identical to the
-    * recompute form.
+    * vecCol, cell, codebook_fp)` built against the SAME codebook
+    * passed here — ENFORCED, not documented: the store's fingerprint
+    * column must equal the serving codebook's
+    * ([[CentroidIndex.fingerprint]]), so an assignment from a
+    * retrained codebook that kept its cell-id range — previously
+    * indistinguishable from data, the engine's one silent-wrong-answer
+    * class — is refused loudly, as is a store containing cell ids the
+    * codebook lacks (those rows could never be probed). When the store
+    * is partitioned by (cell, codebook_fp) — the written layout — both
+    * guards read partition-directory metadata only: no job before the
+    * probe join. Scoring is bit-identical to the recompute form.
     */
   def annJoinIvfAssigned(
       queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val spark = queries.sparkSession
-    val bc = spark.sparkContext.broadcast(collectCentroidIndex(centroids))
-    val known = bc.value.cellIds
-    val unknown = assigned.select(col("cell").cast("int"))
-      .distinct().collect().map(_.getInt(0)).filterNot(known)
-    require(unknown.isEmpty,
-      s"assignment store contains cell ids the codebook lacks " +
-        s"(${unknown.sorted.take(5).mkString(", ")}…): those rows could " +
-        "never be probed — the store was built against a different " +
-        "codebook; rebuild it (ivfCellAssignments) or pass the matching " +
-        "centroid table")
+    val idx = collectCentroidIndex(centroids)
+    requireStoreMatchesCodebook(assigned, idx, "assignment store")
+    val bc = spark.sparkContext.broadcast(idx)
     val corpusSide = assigned.select(
       col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_cv"),
       col("cell").cast("int").as("cell"))
     probeScoreTopK(queries, corpusSide, bc, idCol, vecCol, k, nprobe)
+  }
+
+  /** [[knnLabelAgreementIvf]] served from the MATERIALIZED assignment
+    * store instead of re-assigning the corpus per run — the q219
+    * discipline applied to the label-agreement diagnostic (the exact
+    * O(corpus) floor the store exists to remove). The store must
+    * carry `labelCol` — build it with
+    * `ivfCellAssignments(..., carry = Seq(labelCol))` so labels ride
+    * the inverted list at rest and serving never joins the corpus.
+    * Candidates come from the shared [[probeScored]] tail (broadcast
+    * codebook probe, cell equi-join — DPP-prunable at rest), the
+    * agreement aggregate from the shared [[labelAgreementTail]], so
+    * stored == recompute bit-for-bit given the same codebook
+    * (oracle-pinned by q221 against q92's from-scratch SQL).
+    */
+  def knnLabelAgreementIvfAssigned(
+      queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val idx = collectCentroidIndex(centroids)
+    requireStoreMatchesCodebook(assigned, idx, "assignment store")
+    require(assigned.columns.contains(labelCol),
+      s"assignment store carries no '$labelCol' column — build it with " +
+        s"""ivfCellAssignments(..., carry = Seq("$labelCol")) so the """ +
+        "diagnostic serves labels from the store, not a corpus join")
+    val bc = queries.sparkSession.sparkContext.broadcast(idx)
+    val corpusSide = assigned.select(
+      col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"),
+      col("cell").cast("int").as("cell"),
+      col(labelCol).as("_nlabel"))
+    labelAgreementTail(
+      probeScored(queries, corpusSide, bc, idCol, vecCol, nprobe,
+        carryQuery = Seq(labelCol -> "_qlabel"),
+        carryCorpus = Seq("_nlabel")),
+      k)
+  }
+
+  /** [[hardNegativesIvf]] served from the MATERIALIZED assignment
+    * store (labels at rest via `carry`, the
+    * [[knnLabelAgreementIvfAssigned]] shape): per-run cost is a probe
+    * of the cell-partitioned store, never the corpus argmax. Shares
+    * [[probeScored]] and [[hardNegativesTail]] with the recompute
+    * form — stored == recompute bit-for-bit given the same codebook
+    * (oracle-pinned by q222 against q123's from-scratch SQL).
+    */
+  def hardNegativesIvfAssigned(
+      queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val idx = collectCentroidIndex(centroids)
+    requireStoreMatchesCodebook(assigned, idx, "assignment store")
+    require(assigned.columns.contains(labelCol),
+      s"assignment store carries no '$labelCol' column — build it with " +
+        s"""ivfCellAssignments(..., carry = Seq("$labelCol")) so mining """ +
+        "serves labels from the store, not a corpus join")
+    val bc = queries.sparkSession.sparkContext.broadcast(idx)
+    val corpusSide = assigned.select(
+      col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"),
+      col("cell").cast("int").as("cell"),
+      col(labelCol).as("neighbor_label"))
+    hardNegativesTail(
+      probeScored(queries, corpusSide, bc, idCol, vecCol, nprobe,
+        carryQuery = Seq(labelCol -> "query_label"),
+        carryCorpus = Seq("neighbor_label")),
+      k)
   }
 
   /** [[annJoinIvf]] with DETERMINISTIC id-ordered-sample centroids
@@ -634,13 +868,23 @@ object Similarity {
     */
   def hardNegativesIvf(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      labelCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    hardNegativesTail(
+      ivfSampledScored(queries, corpus, idCol, vecCol, nlist, nprobe,
+        carryQuery = Seq(labelCol -> "query_label"),
+        carryCorpus = Seq(labelCol -> "neighbor_label")),
+      k)
+
+  /** Shared mining tail over scored-and-labeled candidate rows:
+    * label-mismatch filter BEFORE the per-query top-k (so every slot
+    * is a negative), rank by the [[topKPerQuery]] order. One
+    * definition so the recompute and stored-assignment forms cannot
+    * drift. */
+  private def hardNegativesTail(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    ivfSampledScored(queries, corpus, idCol, vecCol, nlist, nprobe,
-        carryQuery = Seq(labelCol -> "query_label"),
-        carryCorpus = Seq(labelCol -> "neighbor_label"))
+    scored
       .filter(!(col("neighbor_label") <=> col("query_label")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)

@@ -292,12 +292,15 @@ object PipelineQueries {
     if (!new java.io.File(dir, "_SUCCESS").exists())
       // repartition by cell → one file per cell (the posting-list
       // layout at rest); bare partitionBy writes tasks × cells small
-      // files and the store read pays a listing tax instead
+      // files and the store read pays a listing tax instead. The
+      // codebook fingerprint is the second partition key, so BOTH
+      // serve-time guards (version match, cell coverage) read
+      // directory metadata — no store job before the probe join
       Similarity.ivfCellAssignments(
           Tables.embeddings(spark, d).filter(col("vec_id") % QueryMod =!= 0),
           cents, "vec_id", "embedding")
         .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+        .write.mode("overwrite").partitionBy("cell", "codebook_fp").parquet(dir)
     spark.read.parquet(dir)
   }
 
@@ -326,9 +329,17 @@ object PipelineQueries {
     val dir = QueryFixtures.dirFor(d, "q220_ivf_grown")
     // two writes build this fixture, so a bare _SUCCESS (present
     // after the FIRST append) cannot gate it — mark completion
-    // explicitly once both batches landed
+    // explicitly once both batches landed. And because the writes are
+    // APPENDS, a retry after a death between them must not land on
+    // top of the first run's leftovers (mode append would duplicate
+    // batch rows — a q220 hash failure that never self-heals): when
+    // the completion marker is absent, any partial directory is
+    // deleted first, making the build idempotent
     val ok = new java.io.File(dir, "_GROWN_OK")
     if (!ok.exists()) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
       val corpus = Tables.embeddings(spark, d)
         .filter(col("vec_id") % QueryMod =!= 0)
       for (parity <- Seq(0, 1))
@@ -336,7 +347,7 @@ object PipelineQueries {
           Similarity.ivfCellAssignments(
             corpus.filter(col("vec_id") % 2 === parity),
             cents, "vec_id", "embedding"),
-          dir)
+          cents, dir)
       ok.createNewFile()
     }
     spark.read.parquet(dir)
@@ -349,6 +360,97 @@ object PipelineQueries {
       assigned = ensureIvfGrownStore(spark, d),
       centroids = q209CentroidFixture(spark, d, "q220_ann_ivf_grown"),
       idCol = "vec_id", vecCol = "embedding", k = AnnK, nprobe = IvfNprobe)
+  }
+
+  // ---------------------------------------------------------------
+  // q221/q222/q223 — the IVF CONSUMERS routed through the assignment
+  // store: until these rows, q219 removed the per-run corpus argmax
+  // for the plain ANN join only, while the label-agreement diagnostic
+  // (q92), hard-negative mining (q123) and the retrieval-quality eval
+  // (q135) still re-assigned the whole corpus per run — the exact
+  // O(corpus) floor the store exists to remove. One store fixture
+  // serves all three (labels ride the inverted list at rest via
+  // `carry` — serving never joins the corpus), built against the
+  // sibling queries' 16-cell id-ordered codebook so each oracle is
+  // the sibling's from-scratch SQL VERBATIM: stored == recompute,
+  // pinned by hash on every consumer, the q219 pattern.
+  // ---------------------------------------------------------------
+  private def ivf16CentroidFixture(
+      spark: SparkSession, d: String, owner: String): DataFrame =
+    QueryFixtures.ensure(spark, d, "q221_ivf16_centroids", owner) {
+      val corpus = Tables.embeddings(spark, d)
+        .filter(col("vec_id") % QueryMod =!= 0)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+      // q58/q92/q123's sampled-centroid convention as a table:
+      // id-ordered first IvfNlist corpus vectors, cell = sample rank
+      corpus.orderBy(col("vec_id")).limit(IvfNlist)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("cell", (row_number().over(w) - 1).cast("int"))
+        .select(col("cell"), col("embedding").as("centroid"))
+    }
+
+  private def ensureIvf16AssignedStore(
+      spark: SparkSession, d: String, owner: String): DataFrame = {
+    val cents = ivf16CentroidFixture(spark, d, owner)
+    val dir = QueryFixtures.dirFor(d, "q221_ivf16_assigned")
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      Similarity.ivfCellAssignments(
+          Tables.embeddings(spark, d).filter(col("vec_id") % QueryMod =!= 0),
+          cents, "vec_id", "embedding", carry = Seq("label"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell", "codebook_fp").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  def q221LabelPurityIvfAssigned(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.knnLabelAgreementIvfAssigned(
+      queries = emb.filter(col("vec_id") % QueryMod === 0),
+      assigned = ensureIvf16AssignedStore(spark, d, "q221_label_purity_ivf_assigned"),
+      centroids = ivf16CentroidFixture(spark, d, "q221_label_purity_ivf_assigned"),
+      idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+      k = AnnK, nprobe = IvfNprobe)
+  }
+
+  def q222HardNegativesAssigned(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.hardNegativesIvfAssigned(
+      queries = emb.filter(col("vec_id") % QueryMod === 0),
+      assigned = ensureIvf16AssignedStore(spark, d, "q222_hard_negatives_assigned"),
+      centroids = ivf16CentroidFixture(spark, d, "q222_hard_negatives_assigned"),
+      idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+      k = AnnK, nprobe = IvfNprobe)
+  }
+
+  // q135's eval with the RUN leg served from the store: the index
+  // under evaluation is the production (stored-assignment) spelling,
+  // not its recompute proxy — truth stays the materialized brute
+  // fixture, metrics are byte-shared with q135, oracle is q135's SQL
+  // verbatim.
+  def q223RetrievalQualityAssigned(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, d)
+    val run = Similarity.annJoinIvfAssigned(
+      queries = emb.filter(col("vec_id") % QueryMod === 0),
+      assigned = ensureIvf16AssignedStore(spark, d, "q223_retrieval_quality_assigned"),
+      centroids = ivf16CentroidFixture(spark, d, "q223_retrieval_quality_assigned"),
+      idCol = "vec_id", vecCol = "embedding", k = AnnK, nprobe = IvfNprobe)
+      .persist()
+    val truth = QueryFixtures.ensure(spark, d, "q135_truth",
+      "q223_retrieval_quality_assigned")(q44AnnJoin(spark, d))
+      .persist()
+    val rq = Ranking.retrievalQuality(run,
+      truth.select(col("query_id"), col("neighbor_id")),
+      "query_id", "neighbor_id", "cosine", k = AnnK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val graded = truth.withColumn("gain",
+      (lit(AnnK + 1) - row_number().over(w)).cast("long"))
+    val nd = Ranking.ndcgAtK(run, graded,
+      "query_id", "neighbor_id", "cosine", "gain", k = AnnK)
+    val out = rq.join(nd, Seq("query_id"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(run, truth))
+    out
   }
 
   // ---------------------------------------------------------------
@@ -922,7 +1024,9 @@ object PipelineQueries {
     * q135's first invocation materializes the q135_truth fixture. */
   val fixtureBacked: Seq[String] =
     Seq("q135_retrieval_quality", "q209_ann_ivf_auto",
-      "q219_ann_ivf_assigned", "q220_ann_ivf_grown")
+      "q219_ann_ivf_assigned", "q220_ann_ivf_grown",
+      "q221_label_purity_ivf_assigned", "q222_hard_negatives_assigned",
+      "q223_retrieval_quality_assigned")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_incremental_totals" -> (q105IncrementalTotals _),
@@ -935,6 +1039,9 @@ object PipelineQueries {
     "q209_ann_ivf_auto" -> (q209AnnIvfAuto _),
     "q219_ann_ivf_assigned" -> (q219AnnIvfAssigned _),
     "q220_ann_ivf_grown" -> (q220AnnIvfGrown _),
+    "q221_label_purity_ivf_assigned" -> (q221LabelPurityIvfAssigned _),
+    "q222_hard_negatives_assigned" -> (q222HardNegativesAssigned _),
+    "q223_retrieval_quality_assigned" -> (q223RetrievalQualityAssigned _),
     "q59_label_purity" -> (q59LabelPurity _),
     "q92_label_purity_ivf" -> (q92LabelPurityIvf _),
     "q123_hard_negatives" -> (q123HardNegatives _),
@@ -958,6 +1065,9 @@ object PipelineQueries {
     "q209_ann_ivf_auto" -> q209Sql,
     "q219_ann_ivf_assigned" -> q209Sql,
     "q220_ann_ivf_grown" -> q209Sql,
+    "q221_label_purity_ivf_assigned" -> q92Sql,
+    "q222_hard_negatives_assigned" -> q123Sql,
+    "q223_retrieval_quality_assigned" -> q135Sql,
     "q59_label_purity" -> q59Sql,
     "q92_label_purity_ivf" -> q92Sql,
     "q123_hard_negatives" -> q123Sql,

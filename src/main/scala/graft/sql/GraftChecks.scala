@@ -635,14 +635,40 @@ object GraftChecks {
             // drop the pin if the write-guard refuses before any job
             val pinned = assigned.persist()
             try graft.operators.Similarity.appendCellAssignments(
-              Seq(corpus, cents), pinned, out)
+              Seq(corpus, cents), pinned, cents, out)
             catch { case e: Throwable =>
               pinned.unpersist(blocking = false); throw e
             }
-            graft.CacheLifecycle.releaseWhenExecuted(pinned, Seq(pinned))
-            pinned
+            // the append job's plan CONTAINS `pinned`, and its
+            // listener event is delivered asynchronously — keyed on
+            // `pinned` itself it could land after registration and
+            // free the cache before the caller consumed it. The
+            // trigger is therefore a marker projection only the
+            // RETURNED frame carries: the write job's already-executed
+            // plan has no such node, so it can never match
+            val returned = pinned.select(pinned.columns.toIndexedSeq.map(col): _*)
+            graft.CacheLifecycle.releaseWhenExecuted(returned, Seq(pinned))
+            returned
           case None => assigned
         }
+      })),
+
+    // compact the streamed ANN assignment LOG (annAssignSink's
+    // directory of batch subtrees) into ONE cell-partitioned serving
+    // table — the layout whose probe scan dynamic-partition-prunes to
+    // probed cells (a union-of-subtrees read cannot). The ann-family
+    // sibling of `compact`: side-by-side only (writing into the log's
+    // own files is refused loudly by the operator); returns the
+    // 1-row (n_rows, n_cells) report read back from the compacted
+    // store — the write-verification discipline (S9)
+    "ann_compact" -> (("log (parquet path), out (parquet path)",
+      (s: SparkSession, a: Map[String, String]) => {
+        val out = need(a, "out", "ann_compact")
+        graft.streaming.StreamingCuration.compactAssignmentLog(
+          s, need(a, "log", "ann_compact"), out)
+        s.read.parquet(out).agg(
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("cell")).as("n_cells"))
       })),
 
     // train/test leakage census (the q95 surface): one row of counts,

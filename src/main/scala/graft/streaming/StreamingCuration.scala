@@ -392,7 +392,12 @@ object StreamingCuration {
     * compacted form is the one whose serving scan dynamic-partition-
     * prunes to the probed cells (PlanShapeSpec's q219 pin).
     * `centroids` must be the SAME codebook the serving path passes —
-    * the versioning contract documented on `ivfCellAssignments`.
+    * enforced, not just documented: each batch's rows carry the
+    * codebook's fingerprint (a partition column), and
+    * `annJoinIvfAssigned` refuses to serve a store whose fingerprint
+    * differs from its codebook, so a sink restarted with a retrained
+    * codebook against an old store path surfaces as a loud serve-time
+    * refusal (mixed fingerprints), never as silently wrong neighbors.
     */
   def annAssignSink(
       stream: DataFrame, idCol: String, vecCol: String,
@@ -404,26 +409,41 @@ object StreamingCuration {
         graft.operators.Similarity
           .ivfCellAssignments(batch, centroids, idCol, vecCol)
           .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell")
+          .write.mode("overwrite").partitionBy("cell", "codebook_fp")
           .parquet(s"$storePath/batch_$batchId")
         ()
       }
       .start()
 
-  /** The maintained assignment store: every subtree (seed + batches),
-    * each read with its own basePath so the cell partition column
-    * reconstructs per subtree before the union. */
+  /** The maintained assignment store: every COMPLETE subtree (seed +
+    * batches), each read with its own basePath so the partition
+    * columns (cell, codebook_fp) reconstruct per subtree before the
+    * union. Completeness is the write's own `_SUCCESS` marker: a
+    * subtree a crashed sink batch left half-written has none and is
+    * SKIPPED — reading it would poison (fail or corrupt) every
+    * serving read until the stream restarts and replays it, and
+    * permanently if the stream is dead. The replaying sink overwrites
+    * the subtree, at which point it carries the marker and joins the
+    * log — the screen sink's future-batch guard, applied to the
+    * batch-side serving read. */
   def readAssignmentLog(spark: SparkSession, storePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val subs =
       if (fs.exists(root))
-        fs.listStatus(root).filter(_.isDirectory).map(_.getPath.toString)
-      else Array.empty[String]
-    require(subs.nonEmpty,
-      s"assignment store '$storePath' has no subtrees — seed it or run " +
-        "annAssignSink before reading")
-    subs.map(p => spark.read.option("basePath", p).parquet(p))
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      else Array.empty[org.apache.hadoop.fs.Path]
+    val complete = subs.filter(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+    require(complete.nonEmpty,
+      s"assignment store '$storePath' has no complete subtrees" +
+        (if (subs.nonEmpty)
+          s" (${subs.length} present, none carrying _SUCCESS — " +
+            "half-written leftovers of a dead run?)"
+        else "") +
+        " — seed it or run annAssignSink before reading")
+    complete.map(p =>
+        spark.read.option("basePath", p.toString).parquet(p.toString))
       .reduce(_ unionByName _)
   }
 
@@ -437,7 +457,7 @@ object StreamingCuration {
     val log = readAssignmentLog(spark, logPath)
     graft.operators.Dedup.appendArtifact(
       Seq(log), log.repartition(col("cell")), outPath,
-      partitionBy = Seq("cell"))
+      partitionBy = Seq("cell", "codebook_fp"))
   }
 
   /** Everything the screen has kept so far. */

@@ -1855,5 +1855,24 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       StreamingCuration.readAssignmentLog(spark, s"$dir/nowhere"))
     assert(e2.getMessage.contains("subtrees"), e2.getMessage)
+    // a HALF-WRITTEN subtree (no _SUCCESS — a dead sink batch, or a
+    // stale future batch after a checkpoint reset) is SKIPPED by the
+    // serving read instead of poisoning it: same rows as before the
+    // crash landed
+    val half = new java.io.File(s"$store/batch_99")
+    assert(half.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/batch_99/part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // not even parquet — reading it would fail
+    val afterCrash = StreamingCuration.readAssignmentLog(spark, store)
+    assert(afterCrash.select($"vec_id", $"cell").collect()
+      .map(_.toSeq).toSet == expected,
+      "marker-less half subtrees must be skipped, not read")
+    // a store with ONLY half-written subtrees refuses loudly and says why
+    val onlyHalf = s"$dir/onlyhalf"
+    assert(new java.io.File(s"$onlyHalf/batch_0").mkdirs())
+    val e3 = intercept[IllegalArgumentException](
+      StreamingCuration.readAssignmentLog(spark, onlyHalf))
+    assert(e3.getMessage.contains("_SUCCESS"), e3.getMessage)
   }
 }

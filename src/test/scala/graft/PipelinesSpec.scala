@@ -372,11 +372,13 @@ class PipelinesSpec extends AnyFunSuite {
     assert(zs("a").getAs[Double]("zipf_slope") == 0.0,
       "a flat 4-token distribution has slope 0 exactly")
 
-    // the registry grew to 63 CALL-able checks (r16: the execution
+    // the registry grew to 64 CALL-able checks (r16: the execution
     // surfaces takedown_execute + compact with dry-run defaults, and
     // near_dedup_incremental — the O(increment) production shape;
-    // r18: ann_assign — build/grow the IVF cell-assignment store)
-    assert(graft.sql.GraftChecks.registry.size == 63)
+    // r18: ann_assign — build/grow the IVF cell-assignment store;
+    // r19: ann_compact — compact the streamed assignment log into
+    // the DPP-prunable serving table)
+    assert(graft.sql.GraftChecks.registry.size == 64)
   }
 
   test("SQL-callable execution surfaces: takedown_execute and compact dry-run by default, refuse loudly, execute on explicit true") {
@@ -713,6 +715,34 @@ class PipelinesSpec extends AnyFunSuite {
         |  centroids => 'sqlc_cents', id => 'id', vec => 'emb',
         |  out => '$aaDir/store')""".stripMargin).collect())
     assert(ea3.getMessage.contains("refused"), ea3.getMessage)
+    // ann_compact: the CALL that rewrites the streamed assignment LOG
+    // as the one DPP-prunable serving table — report read back from
+    // the compacted store; serving from it equals the recompute CALL;
+    // compacting INTO the log itself is refused
+    val logDir = s"$aaDir/log"
+    for ((src, sub) <- Seq("sqlc_c_b1" -> "base", "sqlc_c_b2" -> "batch_0"))
+      graft.operators.Similarity.ivfCellAssignments(
+          spark.table(src), spark.table("sqlc_cents"), "id", "emb")
+        .repartition($"cell")
+        .write.partitionBy("cell", "codebook_fp").parquet(s"$logDir/$sub")
+    val rep = spark.sql(
+      s"CALL graft.ann_compact(log => '$logDir', out => '$aaDir/compacted')")
+      .collect()
+    assert(rep.length == 1 && rep.head.getAs[Long]("n_rows") == 4L
+      && rep.head.getAs[Long]("n_cells") >= 1L)
+    spark.read.parquet(s"$aaDir/compacted")
+      .createOrReplaceTempView("sqlc_compacted")
+    val annAs3 = spark.sql(
+      """CALL graft.ann_topk(queries => 'sqlc_q', assigned => 'sqlc_compacted',
+        |  id => 'id', vec => 'emb', k => '2', nprobe => '2',
+        |  centroids => 'sqlc_cents')""".stripMargin)
+      .orderBy($"cosine".desc).collect()
+    assert(annAs3.map(_.toSeq).toSeq == annCt.map(_.toSeq).toSeq,
+      "serving from the compacted log must equal the recompute CALL")
+    val ea4 = intercept[Exception](spark.sql(
+      s"CALL graft.ann_compact(log => '$logDir', out => '$logDir/base')")
+      .collect())
+    assert(ea4.getMessage.contains("refused"), ea4.getMessage)
 
     // split_leakage: CALL == the operator, and the offender list names
     // the straddling group

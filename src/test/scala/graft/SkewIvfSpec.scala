@@ -228,6 +228,120 @@ class SkewIvfSpec extends AnyFunSuite {
     assert(err.getMessage.contains("codebook"), err.getMessage)
   }
 
+  test("codebook↔store version contract: same-range retrain refused at serve AND append; fp-less store refused") {
+    // The r18 gap: an assignment built against a RETRAINED codebook
+    // that kept its cell-id range was indistinguishable from data —
+    // the cell-coverage check only caught a codebook that shrank.
+    // Every row now carries the codebook fingerprint and every serve/
+    // append requires a match.
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val c = emb.filter($"vec_id" % 20 =!= 0)
+    // id-ordered sample offset by `skip` rows: SAME cell-id range
+    // 0..15, different vectors — the retrained-codebook shape
+    def centTable(skip: Int) = {
+      val rows = c.orderBy($"vec_id").limit(16 + skip)
+        .select($"embedding").collect().drop(skip)
+        .zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Float](0).map(_.toDouble)) }.toSeq
+      rows.toDF("cell", "centroid")
+    }
+    val cents = centTable(0)
+    val retrained = centTable(4)
+    val store = java.nio.file.Files
+      .createTempDirectory("ivf_fp_store").toString
+    Similarity.ivfCellAssignments(c, cents, "vec_id", "embedding")
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("cell", "codebook_fp")
+      .parquet(store)
+    val stored = spark.read.parquet(store)
+    // the matching codebook serves (both guards are partition-
+    // directory metadata in this layout — no store job)
+    assert(Similarity.annJoinIvfAssigned(
+      q, stored, cents, "vec_id", "embedding", k = 3, nprobe = 4)
+      .count() > 0)
+    // retrained same-range codebook at serve: REFUSED (pre-r19 this
+    // silently served wrong neighbors)
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.annJoinIvfAssigned(
+        q, stored, retrained, "vec_id", "embedding", k = 3, nprobe = 4))
+    assert(e1.getMessage.contains("DIFFERENT codebook"), e1.getMessage)
+    // a store with no fingerprint column predates the contract: refused
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.annJoinIvfAssigned(
+        q, stored.drop("codebook_fp"), cents,
+        "vec_id", "embedding", k = 3, nprobe = 4))
+    assert(e2.getMessage.contains("codebook_fp"), e2.getMessage)
+    // append-side, BEFORE the write (the store stays clean): a batch
+    // declared against the retrained codebook cannot land on a store
+    // built with the original
+    val batch = Similarity.ivfCellAssignments(
+      q, retrained, "vec_id", "embedding")
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.appendCellAssignments(Seq(cents), batch, retrained, store))
+    assert(e3.getMessage.contains("DIFFERENT codebook"), e3.getMessage)
+    // and a MIS-DECLARED batch (rows assigned against one codebook,
+    // append claiming another) lands in its own fingerprint directory
+    // — the layout itself records the violation — and the post-write
+    // check names it
+    val fresh = java.nio.file.Files
+      .createTempDirectory("ivf_fp_fresh").toString + "/store"
+    val e4 = intercept[IllegalArgumentException](
+      Similarity.appendCellAssignments(Nil, batch, cents, fresh))
+    assert(e4.getMessage.contains("foreign"), e4.getMessage)
+  }
+
+  test("assigned-store consumers: label agreement and hard negatives equal their recompute forms; carry-less store refused") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val c = emb.filter($"vec_id" % 20 =!= 0)
+    // the sampled-centroid convention as a table (cell = sample rank),
+    // so the stored forms must equal the literal-sampled recompute
+    // forms bit-for-bit
+    val cents = c.orderBy($"vec_id").limit(16)
+      .select($"embedding").collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](0).map(_.toDouble)) }.toSeq
+      .toDF("cell", "centroid")
+    val store = java.nio.file.Files
+      .createTempDirectory("ivf_carry_store").toString
+    Similarity.ivfCellAssignments(
+        c, cents, "vec_id", "embedding", carry = Seq("label"))
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("cell", "codebook_fp")
+      .parquet(store)
+    val stored = spark.read.parquet(store)
+    val agreeStored = Similarity.knnLabelAgreementIvfAssigned(
+      q, stored, cents, "vec_id", "embedding", "label", k = 3, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val agreeRecompute = Similarity.knnLabelAgreementIvf(
+      q, c, "vec_id", "embedding", "label", k = 3, nlist = 16, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(agreeStored == agreeRecompute && agreeStored.nonEmpty,
+      "stored label agreement must equal the recompute diagnostic")
+    val hnStored = Similarity.hardNegativesIvfAssigned(
+      q, stored, cents, "vec_id", "embedding", "label", k = 3, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val hnRecompute = Similarity.hardNegativesIvf(
+      q, c, "vec_id", "embedding", "label", k = 3, nlist = 16, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(hnStored == hnRecompute && hnStored.nonEmpty,
+      "stored hard negatives must equal the recompute mining")
+    // a store built WITHOUT the label passenger cannot back the label
+    // consumers — refused with the fix spelled out, never a corpus join
+    val bare = java.nio.file.Files
+      .createTempDirectory("ivf_bare_store").toString
+    Similarity.ivfCellAssignments(c, cents, "vec_id", "embedding")
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("cell", "codebook_fp")
+      .parquet(bare)
+    val e = intercept[IllegalArgumentException](
+      Similarity.knnLabelAgreementIvfAssigned(
+        q, spark.read.parquet(bare), cents,
+        "vec_id", "embedding", "label", k = 3, nprobe = 4))
+    assert(e.getMessage.contains("carry"), e.getMessage)
+  }
+
   test("ivfTopKKMeans: trained centroids, exact cosines from probed cells, decent recall") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter($"vec_id" === 0).select($"embedding").head()

@@ -68,7 +68,8 @@ object ProbeIvfAssigned {
     // the read pays a listing tax that swamps the probe at rest
     Similarity.ivfCellAssignments(corpus, cents, "vec_id", "embedding")
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$fixDir/assigned")
+      .write.mode("overwrite").partitionBy("cell", "codebook_fp")
+      .parquet(s"$fixDir/assigned")
     val store = spark.read.parquet(s"$fixDir/assigned")
     println(s"PROBE codebook: $nl cells; store rows ${store.count()}")
 
@@ -96,7 +97,8 @@ object ProbeIvfAssigned {
       Similarity.ivfCellAssignments(
           corpus.filter(col("vec_id") % 8 === b), cents, "vec_id", "embedding")
         .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$logDir/batch_$b")
+        .write.mode("overwrite").partitionBy("cell", "codebook_fp")
+        .parquet(s"$logDir/batch_$b")
     }
     val log = graft.streaming.StreamingCuration.readAssignmentLog(spark, logDir)
     val oneQuery = emb.filter(col("vec_id") === 0)
