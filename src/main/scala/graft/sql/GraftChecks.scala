@@ -671,6 +671,100 @@ object GraftChecks {
           count_distinct(col("cell")).as("n_cells"))
       })),
 
+    // kNN label agreement (the q59/q92/q221 surface): per-label exact
+    // counts of same-label neighbors among each query's k nearest —
+    // the embedding-space label-noise diagnostic. Default is the
+    // BRUTE diagnostic (exact — the verifier baseline); `nlist`
+    // routes candidates through the sampled IVF plan (q92's scale
+    // path); `assigned` + `centroids` serves from the materialized
+    // store with labels at rest (ivfCellAssignments carry) — the
+    // production spelling. Ignored-knob combinations refused, the
+    // ann_topk discipline.
+    "knn_agreement" -> (("queries, corpus (or assigned + centroids), " +
+      "id, vec, label, k[, nlist][, nprobe]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val id = need(a, "id", "knn_agreement")
+        val vec = need(a, "vec", "knn_agreement")
+        val label = need(a, "label", "knn_agreement")
+        val k = need(a, "k", "knn_agreement").trim.toInt
+        a.get("assigned") match {
+          case Some(at) =>
+            require(a.contains("centroids"),
+              "knn_agreement: assigned requires centroids (probing " +
+                "needs the codebook the store was built against)")
+            require(!a.contains("corpus"),
+              "knn_agreement: corpus has no effect when assigned is " +
+                "given (the store carries the corpus rows) — drop one")
+            require(!a.contains("nlist"),
+              "knn_agreement: nlist has no effect when assigned is " +
+                "given (the centroid table fixes the cell count)")
+            graft.operators.Similarity.knnLabelAgreementIvfAssigned(
+              s.table(need(a, "queries", "knn_agreement")), s.table(at),
+              s.table(a("centroids")), id, vec, label, k,
+              nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4))
+          case None =>
+            require(!a.contains("centroids"),
+              "knn_agreement: centroids requires assigned (the " +
+                "recompute form samples its own codebook)")
+            a.get("nlist").map(_.trim.toInt) match {
+              case Some(nl) =>
+                graft.operators.Similarity.knnLabelAgreementIvf(
+                  s.table(need(a, "queries", "knn_agreement")),
+                  s.table(need(a, "corpus", "knn_agreement")),
+                  id, vec, label, k, nlist = nl,
+                  nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4))
+              case None =>
+                require(!a.contains("nprobe"),
+                  "knn_agreement: nprobe has no effect on the brute " +
+                    "diagnostic — pass nlist for the IVF plan")
+                graft.operators.Similarity.knnLabelAgreement(
+                  s.table(need(a, "queries", "knn_agreement")),
+                  s.table(need(a, "corpus", "knn_agreement")),
+                  id, vec, label, k)
+            }
+        }
+      })),
+
+    // hard-negative mining (the q123/q222 surface): per query, the k
+    // most-similar corpus rows with a DIFFERENT label (the filter
+    // runs BEFORE the top-k, so every slot is a negative) through the
+    // IVF candidate plan. `assigned` + `centroids` is the
+    // stored-assignment production spelling (labels at rest).
+    "hard_negatives" -> (("queries, corpus (or assigned + centroids), " +
+      "id, vec, label, k[, nlist (default 16)][, nprobe]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val id = need(a, "id", "hard_negatives")
+        val vec = need(a, "vec", "hard_negatives")
+        val label = need(a, "label", "hard_negatives")
+        val k = need(a, "k", "hard_negatives").trim.toInt
+        val nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4)
+        a.get("assigned") match {
+          case Some(at) =>
+            require(a.contains("centroids"),
+              "hard_negatives: assigned requires centroids (probing " +
+                "needs the codebook the store was built against)")
+            require(!a.contains("corpus"),
+              "hard_negatives: corpus has no effect when assigned is " +
+                "given (the store carries the corpus rows) — drop one")
+            require(!a.contains("nlist"),
+              "hard_negatives: nlist has no effect when assigned is " +
+                "given (the centroid table fixes the cell count)")
+            graft.operators.Similarity.hardNegativesIvfAssigned(
+              s.table(need(a, "queries", "hard_negatives")), s.table(at),
+              s.table(a("centroids")), id, vec, label, k, nprobe)
+          case None =>
+            require(!a.contains("centroids"),
+              "hard_negatives: centroids requires assigned (the " +
+                "recompute form samples its own codebook)")
+            graft.operators.Similarity.hardNegativesIvf(
+              s.table(need(a, "queries", "hard_negatives")),
+              s.table(need(a, "corpus", "hard_negatives")),
+              id, vec, label, k,
+              nlist = a.get("nlist").map(_.trim.toInt).getOrElse(16),
+              nprobe = nprobe)
+        }
+      })),
+
     // train/test leakage census (the q95 surface): one row of counts,
     // or the per-group offender list with offenders => 'true'. Pass
     // the near-dup cluster id (or any group key) as `group`.

@@ -401,13 +401,19 @@ object StreamingCuration {
     */
   def annAssignSink(
       stream: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, storePath: String, checkpoint: String)
+      centroids: DataFrame, storePath: String, checkpoint: String,
+      carry: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    // `carry` columns (e.g. the label the agreement/hard-negative
+    // consumers serve from the store) ride each batch's assignment
+    // scan and land at rest, exactly as in the batch artifact — seed
+    // subtrees must carry the SAME columns (the log read's strict
+    // unionByName refuses a drifted pair loudly)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Similarity
-          .ivfCellAssignments(batch, centroids, idCol, vecCol)
+          .ivfCellAssignments(batch, centroids, idCol, vecCol, carry)
           .repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell", "codebook_fp")
           .parquet(s"$storePath/batch_$batchId")

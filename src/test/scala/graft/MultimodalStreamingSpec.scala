@@ -1875,4 +1875,58 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       StreamingCuration.readAssignmentLog(spark, onlyHalf))
     assert(e3.getMessage.contains("_SUCCESS"), e3.getMessage)
   }
+
+  test("streamed IVF assignment with carry: the maintained store serves the label consumers == the bulk artifact") {
+    import graft.streaming.StreamingCuration
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ann_assign_carry").toString
+    val store = s"$dir/store"
+    def vec(parts: Double*) = parts.toArray
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cell", "centroid")
+    // the seed must carry the SAME columns the sink carries (the log
+    // read's strict unionByName is the drift guard)
+    val seedCorpus = Seq((1L, vec(0.9, 0.1), "a"), (2L, vec(0.1, 0.9), "b"))
+      .toDF("vec_id", "emb", "lbl")
+    Similarity.ivfCellAssignments(
+        seedCorpus, cents, "vec_id", "emb", carry = Seq("lbl"))
+      .repartition($"cell")
+      .write.partitionBy("cell", "codebook_fp").parquet(s"$store/base")
+    val stream = MemoryStream[(Long, Array[Double], String)]
+    val sq = StreamingCuration.annAssignSink(
+      stream.toDF().toDF("vec_id", "emb", "lbl"), "vec_id", "emb",
+      cents, store, s"$dir/ckpt", carry = Seq("lbl"))
+    val b1 = Seq((10L, vec(1.0, 0.2), "a"), (11L, vec(0.3, 1.0), "a"))
+    val b2 = Seq((20L, vec(-1.0, 0.0), "b"), (21L, vec(0.7, 0.7), "b"))
+    stream.addData(b1); sq.processAllAvailable()
+    stream.addData(b2); sq.processAllAvailable()
+    sq.stop()
+    val everything = seedCorpus.union((b1 ++ b2).toDF("vec_id", "emb", "lbl"))
+    val log = StreamingCuration.readAssignmentLog(spark, store)
+    val queries = Seq((100L, vec(0.95, 0.05), "a"), (101L, vec(0.0, 1.0), "b"))
+      .toDF("vec_id", "emb", "lbl")
+    // the bulk artifact of everything that arrived — what the
+    // maintained log must be indistinguishable from at serve time
+    val bulk = Similarity.ivfCellAssignments(
+      everything, cents, "vec_id", "emb", carry = Seq("lbl"))
+    val agreeLog = Similarity.knnLabelAgreementIvfAssigned(
+      queries, log, cents, "vec_id", "emb", "lbl", k = 2, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val agreeBulk = Similarity.knnLabelAgreementIvfAssigned(
+      queries, bulk, cents, "vec_id", "emb", "lbl", k = 2, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(agreeLog == agreeBulk && agreeLog.nonEmpty,
+      "the maintained log must serve the agreement diagnostic " +
+        "identically to the bulk artifact")
+    val hnLog = Similarity.hardNegativesIvfAssigned(
+      queries, log, cents, "vec_id", "emb", "lbl", k = 2, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val hnBulk = Similarity.hardNegativesIvfAssigned(
+      queries, bulk, cents, "vec_id", "emb", "lbl", k = 2, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(hnLog == hnBulk && hnLog.nonEmpty,
+      "the maintained log must serve hard negatives identically to " +
+        "the bulk artifact")
+  }
 }

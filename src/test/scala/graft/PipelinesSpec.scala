@@ -372,13 +372,15 @@ class PipelinesSpec extends AnyFunSuite {
     assert(zs("a").getAs[Double]("zipf_slope") == 0.0,
       "a flat 4-token distribution has slope 0 exactly")
 
-    // the registry grew to 64 CALL-able checks (r16: the execution
+    // the registry grew to 66 CALL-able checks (r16: the execution
     // surfaces takedown_execute + compact with dry-run defaults, and
     // near_dedup_incremental — the O(increment) production shape;
     // r18: ann_assign — build/grow the IVF cell-assignment store;
     // r19: ann_compact — compact the streamed assignment log into
-    // the DPP-prunable serving table)
-    assert(graft.sql.GraftChecks.registry.size == 64)
+    // the DPP-prunable serving table — plus knn_agreement and
+    // hard_negatives, the embedding-diagnostics family with brute/
+    // IVF/stored-assignment arms)
+    assert(graft.sql.GraftChecks.registry.size == 66)
   }
 
   test("SQL-callable execution surfaces: takedown_execute and compact dry-run by default, refuse loudly, execute on explicit true") {
@@ -743,6 +745,82 @@ class PipelinesSpec extends AnyFunSuite {
       s"CALL graft.ann_compact(log => '$logDir', out => '$logDir/base')")
       .collect())
     assert(ea4.getMessage.contains("refused"), ea4.getMessage)
+
+    // knn_agreement / hard_negatives: the embedding-diagnostics family
+    // from SQL — brute, IVF, and stored-assignment arms each equal the
+    // operator; ignored-knob combinations refused
+    Seq((100L, vec(1f, 0f), "a"), (101L, vec(0f, 1f), "b"))
+      .toDF("id", "emb", "lbl").createOrReplaceTempView("sqlc_ql")
+    Seq((1L, vec(1f, 0f), "a"), (2L, vec(0f, 1f), "a"),
+      (3L, vec(0.9f, 0.1f), "b"), (4L, vec(-1f, 0f), "b"))
+      .toDF("id", "emb", "lbl").createOrReplaceTempView("sqlc_cl")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.toString).sorted.toSeq
+    assert(rows(spark.sql(
+      """CALL graft.knn_agreement(queries => 'sqlc_ql', corpus => 'sqlc_cl',
+        |  id => 'id', vec => 'emb', label => 'lbl', k => '2')""".stripMargin))
+      == rows(graft.operators.Similarity.knnLabelAgreement(
+        spark.table("sqlc_ql"), spark.table("sqlc_cl"),
+        "id", "emb", "lbl", k = 2)),
+      "brute knn_agreement CALL must equal the operator")
+    assert(rows(spark.sql(
+      """CALL graft.knn_agreement(queries => 'sqlc_ql', corpus => 'sqlc_cl',
+        |  id => 'id', vec => 'emb', label => 'lbl', k => '2',
+        |  nlist => '2', nprobe => '2')""".stripMargin))
+      == rows(graft.operators.Similarity.knnLabelAgreementIvf(
+        spark.table("sqlc_ql"), spark.table("sqlc_cl"),
+        "id", "emb", "lbl", k = 2, nlist = 2, nprobe = 2)),
+      "IVF knn_agreement CALL must equal the operator")
+    // the stored arm: 2-dim centroids matching the vectors, labels
+    // carried at rest
+    Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cell", "centroid").createOrReplaceTempView("sqlc_cents2")
+    graft.operators.Similarity.ivfCellAssignments(
+        spark.table("sqlc_cl"), spark.table("sqlc_cents2"),
+        "id", "emb", carry = Seq("lbl"))
+      .createOrReplaceTempView("sqlc_assigned_lbl")
+    assert(rows(spark.sql(
+      """CALL graft.knn_agreement(queries => 'sqlc_ql',
+        |  assigned => 'sqlc_assigned_lbl', centroids => 'sqlc_cents2',
+        |  id => 'id', vec => 'emb', label => 'lbl', k => '2',
+        |  nprobe => '2')""".stripMargin))
+      == rows(graft.operators.Similarity.knnLabelAgreementIvfAssigned(
+        spark.table("sqlc_ql"), spark.table("sqlc_assigned_lbl"),
+        spark.table("sqlc_cents2"), "id", "emb", "lbl", k = 2, nprobe = 2)),
+      "stored knn_agreement CALL must equal the operator")
+    assert(rows(spark.sql(
+      """CALL graft.hard_negatives(queries => 'sqlc_ql', corpus => 'sqlc_cl',
+        |  id => 'id', vec => 'emb', label => 'lbl', k => '2',
+        |  nlist => '2', nprobe => '2')""".stripMargin))
+      == rows(graft.operators.Similarity.hardNegativesIvf(
+        spark.table("sqlc_ql"), spark.table("sqlc_cl"),
+        "id", "emb", "lbl", k = 2, nlist = 2, nprobe = 2)),
+      "hard_negatives CALL must equal the operator")
+    assert(rows(spark.sql(
+      """CALL graft.hard_negatives(queries => 'sqlc_ql',
+        |  assigned => 'sqlc_assigned_lbl', centroids => 'sqlc_cents2',
+        |  id => 'id', vec => 'emb', label => 'lbl', k => '2',
+        |  nprobe => '2')""".stripMargin))
+      == rows(graft.operators.Similarity.hardNegativesIvfAssigned(
+        spark.table("sqlc_ql"), spark.table("sqlc_assigned_lbl"),
+        spark.table("sqlc_cents2"), "id", "emb", "lbl", k = 2, nprobe = 2)),
+      "stored hard_negatives CALL must equal the operator")
+    val ek1 = intercept[Exception](spark.sql(
+      """CALL graft.knn_agreement(queries => 'sqlc_ql', corpus => 'sqlc_cl',
+        |  id => 'id', vec => 'emb', label => 'lbl', k => '2',
+        |  centroids => 'sqlc_cents2')""".stripMargin).collect())
+    assert(ek1.getMessage.contains("assigned"), ek1.getMessage)
+    val ek2 = intercept[Exception](spark.sql(
+      """CALL graft.knn_agreement(queries => 'sqlc_ql', corpus => 'sqlc_cl',
+        |  id => 'id', vec => 'emb', label => 'lbl', k => '2',
+        |  nprobe => '2')""".stripMargin).collect())
+    assert(ek2.getMessage.contains("nlist"), ek2.getMessage)
+    val ek3 = intercept[Exception](spark.sql(
+      """CALL graft.hard_negatives(queries => 'sqlc_ql', corpus => 'sqlc_cl',
+        |  assigned => 'sqlc_assigned_lbl', centroids => 'sqlc_cents2',
+        |  id => 'id', vec => 'emb', label => 'lbl', k => '2')""".stripMargin)
+      .collect())
+    assert(ek3.getMessage.contains("corpus"), ek3.getMessage)
 
     // split_leakage: CALL == the operator, and the offender list names
     // the straddling group
