@@ -382,6 +382,42 @@ object Similarity {
     new CentroidIndex(cents.map { case (c, v) => (c, v, normOf(v)) })
   }
 
+  /** Train an IVF codebook (MLlib KMeans, cosine distance, fixed
+    * seed) and return it in the persisted-codebook TABLE form
+    * (`cell INT, centroid ARRAY<DOUBLE>`) every serving and
+    * maintenance surface consumes — the missing first step of the
+    * production loop (train → persist → [[ivfCellAssignments]] →
+    * [[annJoinIvfAssigned]]), which until now lived inline in each
+    * k-means entry point. `nlist = 0` derives the √n cell count
+    * ([[autoNlist]]). Training is a one-time batch job; the returned
+    * table is config-sized (cells, not rows). The codebook is
+    * VERSIONED WITH its assignment stores ([[CentroidIndex
+    * .fingerprint]]): persist each trained codebook to a NEW path —
+    * overwriting the one a store was built against is exactly the
+    * hazard the fingerprint contract refuses at serve time (the
+    * `ann_train` CALL refuses an existing `out` for this reason).
+    */
+  def trainIvfCodebook(
+      corpus: DataFrame, vecCol: String,
+      nlist: Int = 0, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feats = corpus
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .persist()
+    val model = new KMeans()
+      .setK(resolveNlist(feats, nlist)).setSeed(seed)
+      .setDistanceMeasure("cosine")
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(feats)
+    feats.unpersist(blocking = false)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+  }
+
   def annJoinIvfCentroids(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
@@ -496,6 +532,11 @@ object Similarity {
     base.mapPartitions { it =>
       it.map { r =>
         val s = r.getSeq[Double](1)
+        // a bare NPE here would surface as an executor stack with no
+        // context at corpus scale — name the row instead
+        if (s == null) throw new IllegalArgumentException(
+          s"null $vecCol in the corpus ($idCol=${r.get(0)}) — filter " +
+            "null vectors before assignment")
         val v = new Array[Double](s.length)
         var i = 0
         while (i < v.length) { v(i) = s(i); i += 1 }

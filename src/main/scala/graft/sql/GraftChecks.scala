@@ -560,55 +560,100 @@ object GraftChecks {
     // replaces `corpus` (the store carries id, vec, cell) and
     // requires `centroids` (probing still needs the codebook, and
     // the store is validated against it).
+    // `assigned_log` serves from the STREAMED maintenance log
+    // (annAssignSink's directory of batch subtrees) — a path argument
+    // like the provenance family's, because a catalog name cannot
+    // express a directory-of-subtrees layout; only _SUCCESS-complete
+    // subtrees are read (StreamingCuration.readAssignmentLog).
     "ann_topk" -> (("queries, corpus, id, vec (array<float> col), k" +
       "[, nlist (0 = auto)][, nprobe][, centroids (catalog table)]" +
-      "[, assigned (catalog table: id, vec, cell)]",
-      (s: SparkSession, a: Map[String, String]) => a.get("centroids") match {
-        case Some(ct) =>
-          // refuse loudly rather than silently ignore a tuning knob:
-          // the centroid table fixes the cell count, so a caller
-          // passing nlist alongside it would never learn their value
-          // had no effect
-          require(!a.contains("nlist"),
-            "ann_topk: nlist has no effect when centroids is given " +
-              "(the centroid table fixes the cell count) — drop nlist " +
-              "or drop centroids")
-          a.get("assigned") match {
-            case Some(at) =>
-              require(!a.contains("corpus"),
-                "ann_topk: corpus has no effect when assigned is given " +
-                  "(the assignment store carries the corpus rows) — " +
-                  "drop corpus or drop assigned")
-              graft.operators.Similarity.annJoinIvfAssigned(
-                s.table(need(a, "queries", "ann_topk")),
-                s.table(at),
-                s.table(ct),
-                need(a, "id", "ann_topk"),
-                need(a, "vec", "ann_topk"),
-                need(a, "k", "ann_topk").trim.toInt,
-                nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4))
-            case None =>
-              graft.operators.Similarity.annJoinIvfCentroids(
-                s.table(need(a, "queries", "ann_topk")),
-                s.table(need(a, "corpus", "ann_topk")),
-                s.table(ct),
-                need(a, "id", "ann_topk"),
-                need(a, "vec", "ann_topk"),
-                need(a, "k", "ann_topk").trim.toInt,
-                nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4))
-          }
-        case None =>
-          require(!a.contains("assigned"),
-            "ann_topk: assigned requires centroids (probing needs the " +
-              "codebook the store was built against)")
-          graft.operators.Similarity.annJoinIvf(
-            s.table(need(a, "queries", "ann_topk")),
-            s.table(need(a, "corpus", "ann_topk")),
-            need(a, "id", "ann_topk"),
-            need(a, "vec", "ann_topk"),
-            need(a, "k", "ann_topk").trim.toInt,
-            nlist = a.get("nlist").map(_.trim.toInt).getOrElse(16),
-            nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4))
+      "[, assigned (catalog table: id, vec, cell)]" +
+      "[, assigned_log (parquet path: annAssignSink store)]",
+      (s: SparkSession, a: Map[String, String]) => {
+        require(!(a.contains("assigned") && a.contains("assigned_log")),
+          "ann_topk: assigned and assigned_log are two spellings of " +
+            "the same corpus side — pass one")
+        val assignedFrame = a.get("assigned").map(s.table)
+          .orElse(a.get("assigned_log").map(p =>
+            graft.streaming.StreamingCuration.readAssignmentLog(s, p.trim)))
+        a.get("centroids") match {
+          case Some(ct) =>
+            // refuse loudly rather than silently ignore a tuning knob:
+            // the centroid table fixes the cell count, so a caller
+            // passing nlist alongside it would never learn their value
+            // had no effect
+            require(!a.contains("nlist"),
+              "ann_topk: nlist has no effect when centroids is given " +
+                "(the centroid table fixes the cell count) — drop nlist " +
+                "or drop centroids")
+            assignedFrame match {
+              case Some(at) =>
+                require(!a.contains("corpus"),
+                  "ann_topk: corpus has no effect when assigned is given " +
+                    "(the assignment store carries the corpus rows) — " +
+                    "drop corpus or drop assigned")
+                graft.operators.Similarity.annJoinIvfAssigned(
+                  s.table(need(a, "queries", "ann_topk")),
+                  at,
+                  s.table(ct),
+                  need(a, "id", "ann_topk"),
+                  need(a, "vec", "ann_topk"),
+                  need(a, "k", "ann_topk").trim.toInt,
+                  nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4))
+              case None =>
+                graft.operators.Similarity.annJoinIvfCentroids(
+                  s.table(need(a, "queries", "ann_topk")),
+                  s.table(need(a, "corpus", "ann_topk")),
+                  s.table(ct),
+                  need(a, "id", "ann_topk"),
+                  need(a, "vec", "ann_topk"),
+                  need(a, "k", "ann_topk").trim.toInt,
+                  nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4))
+            }
+          case None =>
+            require(assignedFrame.isEmpty,
+              "ann_topk: assigned/assigned_log requires centroids " +
+                "(probing needs the codebook the store was built against)")
+            graft.operators.Similarity.annJoinIvf(
+              s.table(need(a, "queries", "ann_topk")),
+              s.table(need(a, "corpus", "ann_topk")),
+              need(a, "id", "ann_topk"),
+              need(a, "vec", "ann_topk"),
+              need(a, "k", "ann_topk").trim.toInt,
+              nlist = a.get("nlist").map(_.trim.toInt).getOrElse(16),
+              nprobe = a.get("nprobe").map(_.trim.toInt).getOrElse(4))
+        }
+      })),
+
+    // train an IVF codebook (MLlib KMeans, cosine, fixed seed) and
+    // return/persist it in the (cell, centroid) TABLE form every
+    // serving and maintenance surface consumes — the first step of
+    // the production loop (ann_train → ann_assign → ann_topk). With
+    // `out`, the codebook is written to a NEW parquet path; an
+    // existing path is refused loudly: a codebook is versioned with
+    // the assignment stores built against it (the fingerprint
+    // contract), so overwriting one in place is exactly the
+    // retrained-codebook hazard the serve guard exists to refuse.
+    "ann_train" -> (("corpus, vec, nlist (0 = auto)[, seed][, out (parquet path)]",
+      (s: SparkSession, a: Map[String, String]) => {
+        val cb = graft.operators.Similarity.trainIvfCodebook(
+          s.table(need(a, "corpus", "ann_train")),
+          need(a, "vec", "ann_train"),
+          nlist = need(a, "nlist", "ann_train").trim.toInt,
+          seed = a.get("seed").map(_.trim.toLong).getOrElse(42L))
+        a.get("out").map(_.trim) match {
+          case Some(out) =>
+            val p = new org.apache.hadoop.fs.Path(out)
+            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            require(!fs.exists(p),
+              s"ann_train: out path '$out' already exists — a codebook " +
+                "is versioned with the assignment stores built against " +
+                "it, so overwriting in place is refused; write a new " +
+                "path and rebuild/re-assign the stores")
+            cb.write.parquet(out)
+            s.read.parquet(out)
+          case None => cb
+        }
       })),
 
     // build or grow the materialized IVF cell-assignment store (the

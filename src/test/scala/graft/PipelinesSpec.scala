@@ -378,9 +378,11 @@ class PipelinesSpec extends AnyFunSuite {
     // r18: ann_assign — build/grow the IVF cell-assignment store;
     // r19: ann_compact — compact the streamed assignment log into
     // the DPP-prunable serving table — plus knn_agreement and
-    // hard_negatives, the embedding-diagnostics family with brute/
-    // IVF/stored-assignment arms)
-    assert(graft.sql.GraftChecks.registry.size == 66)
+    // hard_negatives (the embedding-diagnostics family with brute/
+    // IVF/stored-assignment arms) and ann_train (the codebook
+    // training step, never-overwrite out discipline): the full
+    // production loop train → assign → serve → compact is CALL-able)
+    assert(graft.sql.GraftChecks.registry.size == 67)
   }
 
   test("SQL-callable execution surfaces: takedown_execute and compact dry-run by default, refuse loudly, execute on explicit true") {
@@ -821,6 +823,57 @@ class PipelinesSpec extends AnyFunSuite {
         |  id => 'id', vec => 'emb', label => 'lbl', k => '2')""".stripMargin)
       .collect())
     assert(ek3.getMessage.contains("corpus"), ek3.getMessage)
+
+    // ann_train: the production loop's first step from SQL — the CALL
+    // equals the operator (same data, same seed), the trained codebook
+    // drives the assign→serve chain, and persisting over an existing
+    // path is refused (a codebook is versioned with its stores)
+    val trainDir = java.nio.file.Files.createTempDirectory("sqlc_ann_train").toString
+    val cbCall = rows(spark.sql(
+      """CALL graft.ann_train(corpus => 'sqlc_c', vec => 'emb',
+        |  nlist => '2')""".stripMargin))
+    val cbOp = rows(graft.operators.Similarity.trainIvfCodebook(
+      spark.table("sqlc_c"), "emb", nlist = 2))
+    assert(cbCall == cbOp && cbCall.nonEmpty,
+      "ann_train CALL must equal the operator")
+    spark.sql(s"""CALL graft.ann_train(corpus => 'sqlc_c', vec => 'emb',
+      |  nlist => '2', out => '$trainDir/cb')""".stripMargin).collect()
+    spark.read.parquet(s"$trainDir/cb").createOrReplaceTempView("sqlc_cb")
+    spark.sql(s"""CALL graft.ann_assign(corpus => 'sqlc_c',
+      |  centroids => 'sqlc_cb', id => 'id', vec => 'emb',
+      |  out => '$trainDir/store')""".stripMargin).collect()
+    spark.read.parquet(s"$trainDir/store")
+      .createOrReplaceTempView("sqlc_trained_store")
+    val servedTrained = spark.sql(
+      """CALL graft.ann_topk(queries => 'sqlc_q',
+        |  assigned => 'sqlc_trained_store', centroids => 'sqlc_cb',
+        |  id => 'id', vec => 'emb', k => '2', nprobe => '2')""".stripMargin)
+      .orderBy($"cosine".desc).collect().map(_.toSeq).toSeq
+    val servedRecompute = spark.sql(
+      """CALL graft.ann_topk(queries => 'sqlc_q', corpus => 'sqlc_c',
+        |  id => 'id', vec => 'emb', k => '2', nprobe => '2',
+        |  centroids => 'sqlc_cb')""".stripMargin)
+      .orderBy($"cosine".desc).collect().map(_.toSeq).toSeq
+    assert(servedTrained == servedRecompute && servedTrained.nonEmpty,
+      "the trained codebook's store must serve == its recompute form")
+    val et1 = intercept[Exception](spark.sql(
+      s"""CALL graft.ann_train(corpus => 'sqlc_c', vec => 'emb',
+        |  nlist => '2', out => '$trainDir/cb')""".stripMargin).collect())
+    assert(et1.getMessage.contains("versioned"), et1.getMessage)
+    // assigned_log: serving from the maintained LOG layout (directory
+    // of subtrees) by path == the catalog-table assigned form
+    val annViaLog = spark.sql(
+      s"""CALL graft.ann_topk(queries => 'sqlc_q', assigned_log => '$logDir',
+        |  id => 'id', vec => 'emb', k => '2', nprobe => '2',
+        |  centroids => 'sqlc_cents')""".stripMargin)
+      .orderBy($"cosine".desc).collect()
+    assert(annViaLog.map(_.toSeq).toSeq == annCt.map(_.toSeq).toSeq,
+      "serving from the assignment log must equal the recompute CALL")
+    val el1 = intercept[Exception](spark.sql(
+      s"""CALL graft.ann_topk(queries => 'sqlc_q', assigned => 'sqlc_assigned2',
+        |  assigned_log => '$logDir', id => 'id', vec => 'emb', k => '2',
+        |  nprobe => '2', centroids => 'sqlc_cents')""".stripMargin).collect())
+    assert(el1.getMessage.contains("one"), el1.getMessage)
 
     // split_leakage: CALL == the operator, and the offender list names
     // the straddling group
