@@ -760,6 +760,50 @@ object Similarity {
       k)
   }
 
+  /** The RETRAIN TRIGGER of the ANN family: chi-square cell-occupancy
+    * drift of an incoming batch against the assignment store's
+    * baseline, both under the serving codebook. A codebook is trained
+    * once ([[trainIvfCodebook]]) and then serves a corpus that keeps
+    * growing; when the incoming distribution wanders, probes
+    * concentrate in overfull cells and recall/latency degrade
+    * SILENTLY — nothing in the serve path fails. This is the monitor
+    * that closes the loop: assign the day's batch (the same
+    * [[ivfCellAssignments]] output the append path needs anyway — the
+    * argmax is paid once for both), compare its cell histogram
+    * against the store's, and let the per-cell chi-square
+    * contributions say WHERE the codebook no longer fits. The caller
+    * compares the summed statistic against a critical value on a
+    * retrain cadence — the [[graft.operators.Checks.categoricalDrift]]
+    * contract (pure rational arithmetic, engine-exact, no p-value
+    * transcendentals), and the output IS that operator's, over `cell`.
+    *
+    * The comparison is only meaningful when BOTH sides were assigned
+    * under the codebook passed here — enforced through the
+    * codebook↔store version contract on each frame (fingerprint match
+    * + cell coverage, partition-directory metadata when the layout
+    * carries it), so drift against a stale store or a foreign batch
+    * is a loud refusal, not a silently absurd statistic.
+    *
+    * Scale shape: two single-int-column aggregates. At rest `cell` is
+    * a partition column of the written layout, so the store-side
+    * histogram reads directory names + parquet footer row counts —
+    * no data pages; the batch side is batch-sized. Cells the batch
+    * found that hold no store mass surface as `new_category = true`
+    * rows (null contribution — infinite drift as data, per the shared
+    * contract).
+    */
+  def codebookDrift(
+      batchAssigned: DataFrame, assigned: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val idx = collectCentroidIndex(centroids)
+    requireStoreMatchesCodebook(assigned, idx, "assignment store")
+    requireStoreMatchesCodebook(batchAssigned, idx, "incoming batch")
+    graft.operators.Checks.categoricalDrift(
+      current = batchAssigned.select(col("cell").cast("int").as("cell")),
+      baseline = assigned.select(col("cell").cast("int").as("cell")),
+      catCol = "cell")
+  }
+
   /** [[annJoinIvf]] with DETERMINISTIC id-ordered-sample centroids
     * instead of k-means — same assignment (argmax cosine), same
     * per-query probe expression, same cell equi-join, but every step

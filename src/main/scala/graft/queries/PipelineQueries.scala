@@ -454,6 +454,73 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------
+  // q224 — the ANN family's RETRAIN TRIGGER: chi-square cell-
+  // occupancy drift of an incoming batch (the query-slice vectors,
+  // assigned under the serving codebook — the same ivfCellAssignments
+  // output the append path needs, so the argmax is paid once for
+  // drift AND append) against the q219 store's baseline histogram.
+  // Recall degrades SILENTLY when the incoming distribution wanders
+  // off the codebook; this is the monitor that says when — and, per
+  // cell, WHERE — to retrain. Oracle = q209's assignment CTEs over
+  // both slices feeding q52's drift arithmetic verbatim, so the
+  // monitored statistic is engine-exact, not approximately agreed.
+  // ---------------------------------------------------------------
+  def q224CodebookDrift(spark: SparkSession, d: String): DataFrame = {
+    val cents = q209CentroidFixture(spark, d, "q224_codebook_drift")
+    val batch = Similarity.ivfCellAssignments(
+      Tables.embeddings(spark, d).filter(col("vec_id") % QueryMod === 0),
+      cents, "vec_id", "embedding")
+    Similarity.codebookDrift(batch, ensureIvfAssignedStore(spark, d), cents)
+  }
+
+  val q224Sql: String = {
+    def dot(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    def cos(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    val exp =
+      "CAST(n_baseline AS DOUBLE) / CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE)"
+    s"""WITH corpus AS (SELECT vec_id AS neighbor_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id % $QueryMod <> 0),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |nl AS (SELECT coalesce((SELECT min(p)
+       |    FROM (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) AS p)
+       |    WHERE CAST(p AS BIGINT) * p >= (SELECT count(*) FROM corpus)),
+       |  256) AS v),
+       |cents AS (SELECT CAST(rn - 1 AS INT) AS c, cv AS ct FROM (
+       |    SELECT cv, row_number() OVER (ORDER BY neighbor_id) AS rn
+       |    FROM corpus) WHERE rn <= (SELECT v FROM nl)),
+       |base AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_baseline FROM (
+       |    SELECT neighbor_id, c AS cell,
+       |      row_number() OVER (PARTITION BY neighbor_id
+       |        ORDER BY ${cos("cv", "ct")} DESC, c DESC) AS ar
+       |    FROM corpus CROSS JOIN cents) WHERE ar = 1 GROUP BY cell),
+       |cur AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_current FROM (
+       |    SELECT query_id, c AS cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ${cos("qv", "ct")} DESC, c DESC) AS ar
+       |    FROM q CROSS JOIN cents) WHERE ar = 1 GROUP BY cell),
+       |j AS (SELECT coalesce(cur.cell, base.cell) AS cell,
+       |    coalesce(n_current, 0) AS n_current,
+       |    coalesce(n_baseline, 0) AS n_baseline
+       |  FROM cur FULL OUTER JOIN base
+       |    ON cur.cell IS NOT DISTINCT FROM base.cell),
+       |t AS (SELECT CAST(sum(n_current) AS BIGINT) AS tc,
+       |    CAST(sum(n_baseline) AS BIGINT) AS tb FROM j)
+       |SELECT cell, n_current, n_baseline,
+       |  CASE WHEN n_baseline > 0 AND tc > 0
+       |    THEN $exp ELSE NULL END AS expected,
+       |  CASE WHEN n_baseline > 0 AND tc > 0
+       |    THEN (CAST(n_current AS DOUBLE) - $exp)
+       |      * (CAST(n_current AS DOUBLE) - $exp) / ($exp)
+       |    ELSE NULL END AS chi2_contribution,
+       |  n_baseline = 0 AS new_category
+       |FROM j CROSS JOIN t""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q63 — line-level corpus dedup (C4-style boilerplate removal).
   // The synthetic corpus has no repeated lines, so the query plants
   // deterministic chrome — a header on every document, a footer on
@@ -1026,7 +1093,7 @@ object PipelineQueries {
     Seq("q135_retrieval_quality", "q209_ann_ivf_auto",
       "q219_ann_ivf_assigned", "q220_ann_ivf_grown",
       "q221_label_purity_ivf_assigned", "q222_hard_negatives_assigned",
-      "q223_retrieval_quality_assigned")
+      "q223_retrieval_quality_assigned", "q224_codebook_drift")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_incremental_totals" -> (q105IncrementalTotals _),
@@ -1042,6 +1109,7 @@ object PipelineQueries {
     "q221_label_purity_ivf_assigned" -> (q221LabelPurityIvfAssigned _),
     "q222_hard_negatives_assigned" -> (q222HardNegativesAssigned _),
     "q223_retrieval_quality_assigned" -> (q223RetrievalQualityAssigned _),
+    "q224_codebook_drift" -> (q224CodebookDrift _),
     "q59_label_purity" -> (q59LabelPurity _),
     "q92_label_purity_ivf" -> (q92LabelPurityIvf _),
     "q123_hard_negatives" -> (q123HardNegatives _),
@@ -1068,6 +1136,7 @@ object PipelineQueries {
     "q221_label_purity_ivf_assigned" -> q92Sql,
     "q222_hard_negatives_assigned" -> q123Sql,
     "q223_retrieval_quality_assigned" -> q135Sql,
+    "q224_codebook_drift" -> q224Sql,
     "q59_label_purity" -> q59Sql,
     "q92_label_purity_ivf" -> q92Sql,
     "q123_hard_negatives" -> q123Sql,

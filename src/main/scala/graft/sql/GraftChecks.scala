@@ -716,6 +716,36 @@ object GraftChecks {
           count_distinct(col("cell")).as("n_cells"))
       })),
 
+    // the ANN family's RETRAIN TRIGGER (the q224 surface): chi-square
+    // cell-occupancy drift of an incoming batch against the
+    // assignment store's baseline, both under the serving codebook
+    // (Similarity.codebookDrift — categoricalDrift's engine-exact
+    // arithmetic over `cell`, version contract enforced on both
+    // frames). Pass a raw `batch` + `id` + `vec` to assign it here
+    // (the same assignment the append path needs — argmax paid once),
+    // or `assigned_batch` when it was already assigned (ann_assign's
+    // return, a served log). The caller sums chi2_contribution
+    // against a critical value on the retrain cadence.
+    "ann_drift" -> (("batch, id, vec (or assigned_batch), store, " +
+      "centroids (catalog tables)",
+      (s: SparkSession, a: Map[String, String]) => {
+        val store = s.table(need(a, "store", "ann_drift"))
+        val cents = s.table(need(a, "centroids", "ann_drift"))
+        val batchAssigned = a.get("assigned_batch") match {
+          case Some(ab) =>
+            for (ig <- Seq("batch", "id", "vec") if a.contains(ig))
+              throw new IllegalArgumentException(
+                s"ann_drift: $ig has no effect when assigned_batch is " +
+                  "given (the batch already carries its cells) — drop one")
+            s.table(ab)
+          case None =>
+            graft.operators.Similarity.ivfCellAssignments(
+              s.table(need(a, "batch", "ann_drift")), cents,
+              need(a, "id", "ann_drift"), need(a, "vec", "ann_drift"))
+        }
+        graft.operators.Similarity.codebookDrift(batchAssigned, store, cents)
+      })),
+
     // kNN label agreement (the q59/q92/q221 surface): per-label exact
     // counts of same-label neighbors among each query's k nearest —
     // the embedding-space label-noise diagnostic. Default is the

@@ -372,17 +372,18 @@ class PipelinesSpec extends AnyFunSuite {
     assert(zs("a").getAs[Double]("zipf_slope") == 0.0,
       "a flat 4-token distribution has slope 0 exactly")
 
-    // the registry grew to 66 CALL-able checks (r16: the execution
+    // the registry grew to 68 CALL-able checks (r16: the execution
     // surfaces takedown_execute + compact with dry-run defaults, and
     // near_dedup_incremental — the O(increment) production shape;
     // r18: ann_assign — build/grow the IVF cell-assignment store;
     // r19: ann_compact — compact the streamed assignment log into
     // the DPP-prunable serving table — plus knn_agreement and
     // hard_negatives (the embedding-diagnostics family with brute/
-    // IVF/stored-assignment arms) and ann_train (the codebook
-    // training step, never-overwrite out discipline): the full
-    // production loop train → assign → serve → compact is CALL-able)
-    assert(graft.sql.GraftChecks.registry.size == 67)
+    // IVF/stored-assignment arms), ann_train (the codebook training
+    // step, never-overwrite out discipline), and ann_drift (the
+    // retrain trigger): the full production loop train → assign →
+    // serve → monitor → compact is CALL-able)
+    assert(graft.sql.GraftChecks.registry.size == 68)
   }
 
   test("SQL-callable execution surfaces: takedown_execute and compact dry-run by default, refuse loudly, execute on explicit true") {
@@ -874,6 +875,31 @@ class PipelinesSpec extends AnyFunSuite {
         |  assigned_log => '$logDir', id => 'id', vec => 'emb', k => '2',
         |  nprobe => '2', centroids => 'sqlc_cents')""".stripMargin).collect())
     assert(el1.getMessage.contains("one"), el1.getMessage)
+
+    // ann_drift: the retrain trigger from SQL — raw-batch arm assigns
+    // here and equals the operator; assigned_batch arm consumes a
+    // pre-assigned frame; ignored-knob combination refused
+    val driftCall = rows(spark.sql(
+      """CALL graft.ann_drift(batch => 'sqlc_q', id => 'id', vec => 'emb',
+        |  store => 'sqlc_assigned2', centroids => 'sqlc_cents')""".stripMargin))
+    val driftOp = rows(graft.operators.Similarity.codebookDrift(
+      graft.operators.Similarity.ivfCellAssignments(
+        spark.table("sqlc_q"), spark.table("sqlc_cents"), "id", "emb"),
+      spark.table("sqlc_assigned2"), spark.table("sqlc_cents")))
+    assert(driftCall == driftOp && driftCall.nonEmpty,
+      "ann_drift CALL must equal the operator")
+    val driftPre = rows(spark.sql(
+      """CALL graft.ann_drift(assigned_batch => 'sqlc_assigned',
+        |  store => 'sqlc_assigned2', centroids => 'sqlc_cents')""".stripMargin))
+    assert(driftPre == rows(graft.operators.Similarity.codebookDrift(
+      spark.table("sqlc_assigned"), spark.table("sqlc_assigned2"),
+      spark.table("sqlc_cents"))),
+      "pre-assigned ann_drift CALL must equal the operator")
+    val ed1 = intercept[Exception](spark.sql(
+      """CALL graft.ann_drift(batch => 'sqlc_q', id => 'id', vec => 'emb',
+        |  assigned_batch => 'sqlc_assigned', store => 'sqlc_assigned2',
+        |  centroids => 'sqlc_cents')""".stripMargin).collect())
+    assert(ed1.getMessage.contains("assigned_batch"), ed1.getMessage)
 
     // split_leakage: CALL == the operator, and the offender list names
     // the straddling group

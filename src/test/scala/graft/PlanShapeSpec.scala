@@ -172,6 +172,22 @@ class PlanShapeSpec extends AnyFunSuite {
         s"(dynamicpruningexpression on cell):\n${storeScan.mkString("\n")}")
   }
 
+  test("q224: the drift monitor's store side reads no data pages (empty read schema)") {
+    // The retrain trigger's structural pin: the baseline histogram
+    // groups the store's `cell` PARTITION column only, so column
+    // pruning must leave the store scan with an EMPTY data schema —
+    // directory names + row counts, never vector pages. A regression
+    // that drags a data column into the baseline side turns the
+    // monitor into a store scan that grows with the corpus.
+    val p = plan(graft.queries.PipelineQueries.queries("q224_codebook_drift")(spark, d))
+    val storeScan = p.split("\n").filter(l =>
+      l.contains("FileScan parquet") && l.contains("cell#"))
+    assert(storeScan.nonEmpty, s"baseline side must scan the assignment store:\n$p")
+    assert(storeScan.forall(_.contains("ReadSchema: struct<>")),
+      "the baseline histogram must read only partition metadata " +
+        s"(ReadSchema: struct<>):\n${storeScan.mkString("\n")}")
+  }
+
   test("q45: BM25 ranking plans as TakeOrderedAndProject (no global sort)") {
     val p = plan(graft.queries.PipelineQueries.q45Bm25(spark, d))
     assert(p.contains("TakeOrderedAndProject"),

@@ -16,20 +16,32 @@ class PropertySpec extends AnyFunSuite {
   import spark.implicits._
 
   test("horizontal stddev equals stddev_samp of exploded rows for random null patterns") {
+    // Seeded: an unseeded draw once produced a row whose stddev was
+    // ~5 against values of ~1e6, where the operator's deliberate
+    // one-pass form (oracle-pinned against the q04 SQL) loses
+    // ~(mean/std)²·ε relative precision to cancellation and a fixed
+    // 1e-6 relative tolerance flakes. The tolerance below also
+    // carries the cancellation term explicitly, so even an unlucky
+    // seed states the right bound: |err| ≲ n·ε·max(x²)/std.
     val rowGen = Gen.listOfN(3, Gen.option(Gen.choose(-1e6, 1e6)))
-    val rows = Gen.listOfN(60, rowGen).sample.get
+    val rows = Gen.listOfN(60, rowGen)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(20260816L)).get
       .map { case List(a, b, c) => (a, b, c) }
     val df = rows.toDF("a", "b", "c").withColumn("id", monotonically_increasing_id())
     val horiz = df.select($"id", horizontalStddevSamp($"a", $"b", $"c").as("h"))
     val long = df.select($"id", explode(array($"a", $"b", $"c")).as("v"))
       .filter($"v".isNotNull)
-      .groupBy("id").agg(stddev_samp($"v").as("s"))
+      .groupBy("id").agg(stddev_samp($"v").as("s"), max(abs($"v")).as("m"))
     val joined = horiz.join(long, Seq("id"), "left").collect()
     joined.foreach { r =>
       val h = if (r.isNullAt(1)) None else Some(r.getDouble(1))
       val s = if (r.size < 3 || r.isNullAt(2)) None else Some(r.getDouble(2))
       (h, s) match {
-        case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-6 * math.max(1, math.abs(y)))
+        case (Some(x), Some(y)) =>
+          val m = r.getDouble(3)
+          val cancel = 3 * 2.3e-16 * m * m / math.max(math.abs(y), 1e-12)
+          assert(math.abs(x - y) < 1e-6 * math.max(1, math.abs(y)) + cancel,
+            s"horiz $x vs samp $y (max|x| $m)")
         case (None, None) => ()
         case (None, Some(y)) => assert(y.isNaN || false, s"horiz null but samp $y")
         case (Some(x), None) => fail(s"horiz $x but samp null")

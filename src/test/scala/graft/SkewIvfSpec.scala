@@ -291,6 +291,54 @@ class SkewIvfSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("foreign"), e4.getMessage)
   }
 
+  test("codebookDrift: equals categoricalDrift over the cell histograms; foreign batch refused") {
+    // The retrain trigger: drift of an incoming batch's cell
+    // occupancy against the store's baseline, version contract
+    // enforced on BOTH frames — a batch assigned under a retrained
+    // codebook cannot produce a silently absurd statistic.
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val c = emb.filter($"vec_id" % 20 =!= 0)
+    def centTable(skip: Int) = {
+      val rows = c.orderBy($"vec_id").limit(16 + skip)
+        .select($"embedding").collect().drop(skip)
+        .zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Float](0).map(_.toDouble)) }.toSeq
+      rows.toDF("cell", "centroid")
+    }
+    val cents = centTable(0)
+    val store = java.nio.file.Files
+      .createTempDirectory("ivf_drift_store").toString
+    Similarity.ivfCellAssignments(c, cents, "vec_id", "embedding")
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("cell", "codebook_fp")
+      .parquet(store)
+    val stored = spark.read.parquet(store)
+    val batch = Similarity.ivfCellAssignments(q, cents, "vec_id", "embedding")
+    val drift = Similarity.codebookDrift(batch, stored, cents)
+      .collect().map(_.toSeq).toSet
+    val direct = graft.operators.Checks.categoricalDrift(
+        batch.select($"cell".cast("int").as("cell")),
+        stored.select($"cell".cast("int").as("cell")), "cell")
+      .collect().map(_.toSeq).toSet
+    assert(drift == direct && drift.nonEmpty,
+      "codebookDrift must be categoricalDrift over the cell histograms")
+    // the monitored statistic is the contribution sum — finite on the
+    // matched pair (every batch cell has baseline mass here)
+    assert(drift.forall(_.length == 6))
+    // a batch assigned under a retrained same-range codebook: refused
+    val foreign = Similarity.ivfCellAssignments(
+      q, centTable(4), "vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.codebookDrift(foreign, stored, cents))
+    assert(e1.getMessage.contains("DIFFERENT codebook"), e1.getMessage)
+    // and drift against a store whose codebook is not the serving
+    // one is equally refused (the store-side half of the contract)
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.codebookDrift(batch, stored, centTable(4)))
+    assert(e2.getMessage.contains("DIFFERENT codebook"), e2.getMessage)
+  }
+
   test("assigned-store consumers: label agreement and hard negatives equal their recompute forms; carry-less store refused") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter($"vec_id" % 20 === 0)
