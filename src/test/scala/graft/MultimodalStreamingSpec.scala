@@ -1848,6 +1848,19 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       queries, served, cents, "vec_id", "emb", k = 2, nprobe = 2)
       .collect().map(_.toSeq).toSet
     assert(viaServing == recomputed)
+    // the retrain trigger rides the maintained surfaces too: drift of
+    // the log (the recent side) against the compacted serving store
+    // equals the shared categoricalDrift arithmetic over the two cell
+    // histograms — the production cadence reading (monitor the log,
+    // compact on schedule), version contract enforced on both frames
+    val driftLS = Similarity.codebookDrift(log, served, cents)
+      .collect().map(_.toSeq).toSet
+    val driftDirect = graft.operators.Checks.categoricalDrift(
+        log.select($"cell".cast("int").as("cell")),
+        served.select($"cell".cast("int").as("cell")), "cell")
+      .collect().map(_.toSeq).toSet
+    assert(driftLS == driftDirect && driftLS.nonEmpty,
+      "codebookDrift must serve from the maintained log and compacted store")
     val e = intercept[IllegalArgumentException](
       StreamingCuration.compactAssignmentLog(spark, store, s"$store/base"))
     assert(e.getMessage.contains("refused"), e.getMessage)
