@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.AdaptiveCache.CensusPersist
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Limits
@@ -1060,7 +1061,7 @@ object Checks {
       .select(group.as("_g"), benfordFirstDigit(intValue).as("digit"))
       .filter(col("_g").isNotNull && col("digit").isNotNull)
       .groupBy(col("_g"), col("digit")).agg(count(lit(1)).as("n"))
-      .persist()
+      .persistCensus()
     val spark = df.sparkSession
     val ng = counts.agg(countDistinct(col("_g"))).head().getLong(0)
     def bcIfSmall(f: DataFrame, rows: Long): DataFrame =

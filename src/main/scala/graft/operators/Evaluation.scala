@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.AdaptiveCache.CensusPersist
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -73,7 +74,7 @@ object Evaluation {
     val gcols = group.map(_ => col("_g")).toSeq
     val censusAll = nn.groupBy(gcols :+ bin.as("band"): _*)
       .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pos"))
-      .persist()
+      .persistCensus()
     val counts = censusAll.filter(col("band").isNotNull)
     val bandSpine = df.sparkSession.range(0, bins).select(col("id").as("band"))
     val joined = group match {
@@ -210,7 +211,7 @@ object Evaluation {
     val censusAll = nn.groupBy(col("_v"))
       .agg(sum(col("_pw")).as("_pos"),
         sum(col("_nw")).as("_neg"))
-      .persist()
+      .persistCensus()
     val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
     val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx")).head()
     if (bounds.isNullAt(0)) {
@@ -419,7 +420,7 @@ object Evaluation {
     val censusAll = nn.groupBy(col("_g"), col("_v"))
       .agg(sum(col("_pw")).as("_pos"),
         sum(col("_nw")).as("_neg"))
-      .persist()
+      .persistCensus()
     val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
     val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
       count(lit(1)).as("n")).head()
@@ -696,7 +697,7 @@ object Evaluation {
       .select(col("group_key").as("_g"), col("band"), col("n"), col("n_pos"))
       .groupBy(col("_g"), col("band"))
       .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"))
-      .persist()
+      .persistCensus()
     // release the cache BEFORE throwing: a failed config check must
     // not leak a persisted frame across repeated failing calls
     val badBand =
@@ -806,7 +807,7 @@ object Evaluation {
     val censusAll = nn.groupBy(gcols :+ col("_v"): _*)
       .agg(sum(col("_p")).as("_pos"),
         sum(lit(1L) - col("_p")).as("_neg"))
-      .persist()
+      .persistCensus()
     val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
     val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
       count(lit(1)).as("n")).head()

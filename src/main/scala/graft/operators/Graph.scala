@@ -56,12 +56,24 @@ object Graph {
     */
   val DefaultSmallGraphEdgeLimit: Long = 2L << 20
 
+  /** `edgesDistinct = true`: the caller asserts the filtered edge list
+    * is already duplicate-free, so the entry dedup shuffle is skipped
+    * (r20: q115's symmetrized bipartite list is distinct by
+    * construction — the two union branches live in disjoint "c:"/"s:"
+    * namespaces — and its pre-symmetrize distinct already ran on the
+    * narrow integer pair, so this operator's own distinct was a second
+    * full shuffle of the string edges for nothing). Semantics are
+    * UNCHANGED when the assertion holds; a caller passing true with
+    * duplicate edges would double-count contributions, so it defaults
+    * off.
+    */
   def pageRankInt(
       edges: DataFrame, src: Column, dst: Column,
       iterations: Int = 3, dampingPermille: Long = 850L,
       unitRank: Long = 1000000L,
       checkpointDir: Option[String] = None,
-      smallGraphEdgeLimit: Long = DefaultSmallGraphEdgeLimit): DataFrame = {
+      smallGraphEdgeLimit: Long = DefaultSmallGraphEdgeLimit,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
@@ -70,11 +82,11 @@ object Graph {
     // materialize the distinct edge list once; the count routes the
     // small-graph driver path (and the distributed path consumes the
     // edge list through this cache when building eDeg)
-    val distinctEdges = edges
+    val filtered = edges
       .filter(src.isNotNull && dst.isNotNull)
       .select(src.as("src"), dst.as("dst"))
-      .distinct()
-      .persist()
+    val distinctEdges =
+      (if (edgesDistinct) filtered else filtered.distinct()).persist()
     val edgeCount = distinctEdges.count()
     if (edgeCount <= smallGraphEdgeLimit) {
       val out = pageRankIntDriver(

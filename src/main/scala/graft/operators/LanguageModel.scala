@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.AdaptiveCache.CensusPersist
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -70,7 +71,7 @@ object LanguageModel {
     // the gram relation feeds SIX aggregates — persist it or the
     // explode+window pipeline re-runs per count table
     val g = grams(clean, idCol, textCol)
-      .select(col("_w2"), col("_w1"), col("_w")).persist()
+      .select(col("_w2"), col("_w1"), col("_w")).persistCensus()
     val lg = (c: Column) => Log2FpQ16(c)
 
     val c3 = g.groupBy("_w2", "_w1", "_w").agg(count(lit(1)).as("_n3"))

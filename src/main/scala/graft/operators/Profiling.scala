@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.AdaptiveCache.CensusPersist
 import graft.Limits
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -1136,7 +1137,7 @@ object Profiling {
       .crossJoin(broadcast(spark.range(0, binsY).select(col("id").as("_by"))))
     val full = grid.join(census, Seq("_bx", "_by"), "left")
       .select(col("_bx"), col("_by"), coalesce(col("_n"), lit(0L)).as("_n"))
-      .persist()
+      .persistCensus()
     // within-column suffix (by' > by) and prefix (by' < by), then the
     // across-column suffix (bx' > bx) — all over the bounded grid
     val wCol = W.partitionBy(col("_bx")).orderBy(col("_by"))
@@ -1214,7 +1215,7 @@ object Profiling {
       .groupBy(col("_g"), band(col("_x"), loX, wX, binsX).as("_bx"),
         band(col("_y"), loY, wY, binsY).as("_by"))
       .agg(count(lit(1)).as("_n"))
-      .persist()
+      .persistCensus()
     val ng = census.agg(countDistinct(col("_g"))).head().getLong(0)
     def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
       if (rows <= broadcastRowLimit) broadcast(f) else f
@@ -1226,7 +1227,7 @@ object Profiling {
       .join(census, Seq("_g", "_bx", "_by"), "left")
       .select(col("_g"), col("_bx"), col("_by"),
         coalesce(col("_n"), lit(0L)).as("_n"))
-      .persist()
+      .persistCensus()
     val wCol = W.partitionBy(col("_g"), col("_bx")).orderBy(col("_by"))
     val s1 = full
       .withColumn("_sAbove",
@@ -1315,7 +1316,7 @@ object Profiling {
       col("_y").isNotNull && !isnan(col("_y")))
     val census = nn.groupBy(col("_x"), col("_y"))
       .agg(count(lit(1)).as("_n"))
-      .persist()
+      .persistCensus()
     val stats = census.agg(
       min(col("_x")), max(col("_x")), min(col("_y")), max(col("_y")),
       coalesce(sum(col("_n")), lit(0L))).head()
@@ -1480,7 +1481,7 @@ object Profiling {
       col("_y").isNotNull && !isnan(col("_y")))
     val census = nn.groupBy(col("_g"), col("_x"), col("_y"))
       .agg(count(lit(1)).as("_n"))
-      .persist()
+      .persistCensus()
     val stats = census.agg(
       min(col("_x")), max(col("_x")), min(col("_y")), max(col("_y")),
       countDistinct(col("_g"))).head()

@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object StatTests {
 
+  /** Census persists opt in to byte-adaptive cached partitioning: every
+    * persisted frame in this file is a post-aggregate census/spine
+    * (per-row cost ~ per-row size), the shape [[graft.AdaptiveCache]]
+    * is for. See that object for the measurement and the scoping rule.
+    */
+  private implicit class CensusPersist(private val df: DataFrame) {
+    def persistCensus(): DataFrame = graft.AdaptiveCache.persistByteAdaptive(df)
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic WITHOUT a global
     * sort: D = sup_x |F_A(x) − F_B(x)| over the empirical CDFs of
     * `value` in the two cohorts `inA` / not-`inA`.
@@ -77,7 +86,7 @@ object StatTests {
         when(inA.cast("boolean"), 0L).otherwise(1L).as("_b"))
     val censusAll = nn.groupBy(col("_v"))
       .agg(sum(col("_a")).as("_na"), sum(col("_b")).as("_nb"))
-      .persist()
+      .persistCensus()
     val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
     val stats = census
       .agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
@@ -125,7 +134,7 @@ object StatTests {
     val gaps = ranked.select(col("_v"),
       abs(col("_ca").cast("double") / lit(ta.toDouble)
         - col("_cb").cast("double") / lit(tb.toDouble)).as("_gap"))
-      .persist()
+      .persistCensus()
     val zScale = math.sqrt(ta.toDouble * tb.toDouble / (ta + tb).toDouble)
     val out = gaps
       .crossJoin(broadcast(gaps.agg(max(col("_gap")).as("_mx"))))
@@ -177,7 +186,7 @@ object StatTests {
       .select(group.as("_g"), value.cast("double").as("_v"))
     val censusGvAll = nn.groupBy(col("_g"), col("_v"))
       .agg(count(lit(1)).as("_n"))
-      .persist()
+      .persistCensus()
     val censusGv = censusGvAll.filter(col("_v").isNotNull && !isnan(col("_v")))
     // global value census + bounds/totals/cardinalities in ONE job,
     // all census-derived (the group count feeds the adaptive
@@ -219,7 +228,7 @@ object StatTests {
       .join(broadcast(offsV.select(col("_c"), col("_off"))), Seq("_c"))
       .withColumn("_cumAll", col("_off") + sum(col("_nAll")).over(wIncl))
       .select(col("_v"), col("_c"), col("_cumAll"))
-      .persist()
+      .persistCensus()
     // group totals (group-scale) and the groups × values spine.
     // Broadcasts are cardinality-adaptive (the grouped-eval family's
     // convention): the group count rode the bounds job above, and
@@ -256,7 +265,7 @@ object StatTests {
         abs(col("_cumG").cast("double") / col("_tg").cast("double")
           - (col("_cumAll") - col("_cumG")).cast("double")
             / (lit(bigN) - col("_tg")).cast("double"))).as("_gap"))
-      .persist()
+      .persistCensus()
     val mxPerG = gaps.groupBy(col("_g")).agg(max(col("_gap")).as("_mx"))
     val out = gaps
       .join(bcIfSmall(mxPerG, nGroups), Seq("_g"))
@@ -315,7 +324,7 @@ object StatTests {
         value.cast("double").as("_v"))
     val censusAll = nn.groupBy(col("_b"), col("_v"))
       .agg(count(lit(1)).as("_n"))
-      .persist()
+      .persistCensus()
     val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
     // bounds + bucket cardinality in ONE job; the bucket count is a
     // safe upper bound on the pair count for the adaptive broadcasts
@@ -339,7 +348,7 @@ object StatTests {
     val broadcastLimit = Limits.BroadcastRowLimit
     def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
       if (rows <= broadcastLimit) broadcast(f) else f
-    val pc = adjacentPairCensus(census, "_v", width, nPairs).persist()
+    val pc = adjacentPairCensus(census, "_v", width, nPairs).persistCensus()
     val tot = pc.groupBy(col("_p"))
       .agg(sum(col("_nl")).as("_tl"), sum(col("_nr")).as("_tr"),
         count(lit(1)).as("_nd"))
@@ -369,7 +378,7 @@ object StatTests {
       .select(col("_p"), col("_v"), col("_tl"), col("_tr"), col("_nd"),
         abs(col("_cl").cast("double") / col("_tl").cast("double")
           - col("_cr").cast("double") / col("_tr").cast("double")).as("_gap"))
-      .persist()
+      .persistCensus()
     val mxPerP = gaps.groupBy(col("_p")).agg(max(col("_gap")).as("_mx"))
     val out = gaps
       .join(bcIfSmall(mxPerP, nPairs), Seq("_p"))
@@ -446,7 +455,7 @@ object StatTests {
       .select((us - pmod(us, lit(width))).as("_b"), key.as("_k"))
     val censusAll = nn.groupBy(col("_b"), col("_k"))
       .agg(count(lit(1)).as("_n"))
-      .persist()
+      .persistCensus()
     val nBuckets = censusAll.agg(countDistinct(col("_b"))).head().getLong(0)
     if (nBuckets == 0L) {
       censusAll.unpersist(blocking = false)
@@ -459,7 +468,7 @@ object StatTests {
         lit(null).cast("double").as("rate_gap"),
         lit(null).cast("double").as("chi2_contribution"))
     }
-    val pc = adjacentPairCensus(censusAll, "_k", width, nBuckets).persist()
+    val pc = adjacentPairCensus(censusAll, "_k", width, nBuckets).persistCensus()
     val tot = pc.groupBy(col("_p"))
       .agg(sum(col("_nl")).as("_tl"), sum(col("_nr")).as("_tr"))
     val totHinted = if (nBuckets <= Limits.BroadcastRowLimit) broadcast(tot) else tot
@@ -527,7 +536,7 @@ object StatTests {
     val daily = df.filter(ts.isNotNull)
       .select((us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_b")).agg(count(lit(1)).as("n"))
-      .persist()
+      .persistCensus()
     cusumCore(daily, massCol = "n", cumName = "cum_n", caches = Seq(daily))
   }
 
@@ -550,7 +559,7 @@ object StatTests {
       .select(bucket.cast("long").as("_b"), mass.cast("long").as("_m"))
       .groupBy(col("_b"))
       .agg(coalesce(sum(col("_m")), lit(0L)).as("mass"))
-      .persist()
+      .persistCensus()
     cusumCore(daily, massCol = "mass", cumName = "cum_mass", caches = Seq(daily))
   }
 
@@ -575,7 +584,7 @@ object StatTests {
         (col("_d").cast("decimal(38,0)") * col(cumName).cast("decimal(38,0)") -
           col("_k").cast("decimal(38,0)") * col("_T").cast("decimal(38,0)"))
           .cast("decimal(38,0)"))
-      .persist()
+      .persistCensus()
     val mx = cum.agg(max(abs(col("cusum_scaled"))).as("_mx"))
     val peak = cum.crossJoin(broadcast(mx))
       .agg(min(when(abs(col("cusum_scaled")) === col("_mx"), col("_b"))).as("_pb"))
@@ -617,7 +626,7 @@ object StatTests {
       .select((us - pmod(us, lit(width))).as("_b"), weight.cast("long").as("_w"))
       .groupBy(col("_b"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("_w")), lit(0L)).as("w_sum"))
-      .persist()
+      .persistCensus()
     cusumCore(daily, massCol = "w_sum", cumName = "cum_w", caches = Seq(daily))
   }
 
@@ -641,7 +650,7 @@ object StatTests {
     val daily = df.filter(ts.isNotNull && key.isNotNull)
       .select(key.as("_k"), (us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_k"), col("_b")).agg(count(lit(1)).as("n"))
-      .persist()
+      .persistCensus()
     val nKeys = daily.agg(countDistinct(col("_k"))).head().getLong(0)
     val limit = Limits.BroadcastRowLimit
     def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
@@ -659,7 +668,7 @@ object StatTests {
         (col("_d").cast("decimal(38,0)") * col("cum_n").cast("decimal(38,0)") -
           col("_j").cast("decimal(38,0)") * col("_N").cast("decimal(38,0)"))
           .cast("decimal(38,0)"))
-      .persist()
+      .persistCensus()
     val mxPerK = cum.groupBy(col("_k").as("_mk"))
       .agg(max(abs(col("cusum_scaled"))).as("_mx"))
     val peakPerK = cum
@@ -711,7 +720,7 @@ object StatTests {
       .select(rowKey.as("row_key"), colKey.as("col_key"))
     val cellsDf = nn.groupBy(col("row_key"), col("col_key"))
       .agg(count(lit(1)).as("n"))
-      .persist()
+      .persistCensus()
     val rowTot = cellsDf.groupBy(col("row_key")).agg(sum(col("n")).as("row_total"))
     val colTot = cellsDf.groupBy(col("col_key")).agg(sum(col("n")).as("col_total"))
     val grand = cellsDf.agg(sum(col("n")).as("grand_total"))
@@ -774,7 +783,7 @@ object StatTests {
         when(inA.cast("boolean"), 0L).otherwise(1L).as("_b"))
     val censusAll = nn.groupBy(col("_g"), col("_v"))
       .agg(sum(col("_a")).as("_na"), sum(col("_b")).as("_nb"))
-      .persist()
+      .persistCensus()
     val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
     // bounds + group cardinality in one job (feeds the cell width and
     // the adaptive broadcasts below without a second probe)
@@ -828,7 +837,7 @@ object StatTests {
       when(col("_ta") > 0L && col("_tb") > 0L,
         abs(col("_ca").cast("double") / col("_ta").cast("double")
           - col("_cb").cast("double") / col("_tb").cast("double"))).as("_gap"))
-      .persist()
+      .persistCensus()
     val mxPerG = gaps.groupBy(col("_g")).agg(max(col("_gap")).as("_mx"))
     val out = gaps
       .join(bcIfSmall(mxPerG, nGroups), Seq("_g"))
@@ -926,7 +935,7 @@ object StatTests {
       .select(col("group_key").as("axis"),
         col("n_a").as("n_current"), col("n_b").as("n_baseline"),
         col("n_distinct_values"), col("ks_stat"), col("ks_at"), col("ks_z"))
-      .persist() // ≤ k rows; consumed by the summary agg AND the join below
+      .persistCensus() // ≤ k rows; consumed by the summary agg AND the join below
     val summary = perAxis.agg(
       max(col("ks_stat")).as("ks_ensemble_max"),
       (sum(bround(col("ks_stat") * lit(1e15)).cast("decimal(38,0)"))
@@ -1549,7 +1558,7 @@ object StatTests {
     val daily = df.filter(ts.isNotNull)
       .select((us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_b")).agg(count(lit(1)).as("_n"))
-      .persist()
+      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val bounds = daily.agg(min(col("_b")), max(col("_b")), count(lit(1))).head()
     if (bounds.isNullAt(0)) {
       daily.unpersist(blocking = false)
@@ -1599,7 +1608,7 @@ object StatTests {
     val daily = df.filter(ts.isNotNull && key.isNotNull)
       .select(key.as("_k"), (us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_k"), col("_b")).agg(count(lit(1)).as("_n"))
-      .persist()
+      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
     if (bounds.isNullAt(0)) {
       daily.unpersist(blocking = false)
@@ -1657,7 +1666,7 @@ object StatTests {
     val daily = df.filter(ts.isNotNull)
       .select((us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_b")).agg(count(lit(1)).as("_n"))
-      .persist()
+      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
     if (bounds.isNullAt(0)) {
       daily.unpersist(blocking = false)
@@ -1676,7 +1685,7 @@ object StatTests {
       .select((lit(mn) + col("id") * lit(width)).as("_b"))
     val series = spine.join(daily, Seq("_b"), "left")
       .select(col("_b"), coalesce(col("_n"), lit(0L)).as("_n"))
-      .persist()
+      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val l = series.select(col("_b").as("_b1"), col("_n").as("_n1"))
     val r = series.select(col("_b").as("_b2"), col("_n").as("_n2"))
     val sAgg = l.join(r, col("_b1") < col("_b2"))
@@ -1723,7 +1732,7 @@ object StatTests {
     val daily = df.filter(ts.isNotNull && key.isNotNull)
       .select(key.as("_k"), (us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_k"), col("_b")).agg(count(lit(1)).as("_n"))
-      .persist()
+      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
     if (bounds.isNullAt(0)) {
       daily.unpersist(blocking = false)
@@ -1745,7 +1754,7 @@ object StatTests {
       .crossJoin(broadcast(spine))
       .join(daily, Seq("_k", "_b"), "left")
       .select(col("_k"), col("_b"), coalesce(col("_n"), lit(0L)).as("_n"))
-      .persist()
+      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val l = series.select(col("_k"), col("_b").as("_b1"), col("_n").as("_n1"))
     val r = series.select(col("_k").as("_k2"), col("_b").as("_b2"), col("_n").as("_n2"))
     val sAgg = l.join(r, col("_k") === col("_k2") && col("_b1") < col("_b2"))
@@ -1814,7 +1823,7 @@ object StatTests {
     val daily = df.filter(ts.isNotNull)
       .select((us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_b")).agg(count(lit(1)).as("_n"))
-      .persist()
+      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
     if (bounds.isNullAt(0)) {
       daily.unpersist(blocking = false)
@@ -1838,7 +1847,7 @@ object StatTests {
     val series = spine.join(daily, Seq("_b"), "left")
       .select(col("_b"), stratum.as("_g"),
         coalesce(col("_n"), lit(0L)).as("_n"))
-      .persist()
+      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val l = series.select(col("_g"), col("_b").as("_b1"), col("_n").as("_n1"))
     val r = series.select(col("_g").as("_g2"), col("_b").as("_b2"), col("_n").as("_n2"))
     val sAgg = l.join(r, col("_g") === col("_g2") && col("_b1") < col("_b2"))
@@ -1895,7 +1904,7 @@ object StatTests {
     val daily = df.filter(ts.isNotNull && key.isNotNull)
       .select(key.as("_k"), (us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_k"), col("_b")).agg(count(lit(1)).as("_n"))
-      .persist()
+      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
     if (bounds.isNullAt(0)) {
       daily.unpersist(blocking = false)
@@ -1920,7 +1929,7 @@ object StatTests {
       .join(daily, Seq("_k", "_b"), "left")
       .select(col("_k"), col("_b"), stratum.as("_g"),
         coalesce(col("_n"), lit(0L)).as("_n"))
-      .persist()
+      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val l = series.select(col("_k"), col("_g"), col("_b").as("_b1"), col("_n").as("_n1"))
     val r = series.select(col("_k").as("_k2"), col("_g").as("_g2"),
       col("_b").as("_b2"), col("_n").as("_n2"))
@@ -1995,7 +2004,7 @@ object StatTests {
       .withColumn("bh_critical",
         when(col("_p").isNotNull,
           col("p_rank").cast("double") * lit(alpha) / col("_m").cast("double")))
-      .persist()
+      .persistCensus()
     val kstarP = broadcast(ranked.agg(
       max(when(col("_p") <= col("bh_critical"), col("_p"))).as("_kp")))
     val out = ranked.crossJoin(kstarP)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.AdaptiveCache.CensusPersist
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -286,7 +287,7 @@ object TextAnalysis {
     // tf feeds BOTH the df dictionary and the scoring join; persist so
     // the explode+count runs once. Released after first use.
     val tf = tk.groupBy(col("id"), col("term"))
-      .agg(count(lit(1)).as("tf")).persist()
+      .agg(count(lit(1)).as("tf")).persistCensus()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_dft"))
     val n = df.agg(count(lit(1)).as("_n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -540,7 +541,7 @@ object TextAnalysis {
       merges: Seq[(String, String)] = graft.functions.BpeVocab.default): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
-    val counts = tokenCountCensus(df, group, text, merges).persist()
+    val counts = tokenCountCensus(df, group, text, merges).persistCensus()
     val v = counts.groupBy(col("group_key"))
       .agg(count(lit(1)).as("n_distinct_tokens"))
     // head extraction is the salted two-phase top-k (the shared

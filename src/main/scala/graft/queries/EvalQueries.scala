@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.AdaptiveCache.CensusPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -282,7 +283,7 @@ object EvalQueries {
     val s = scored(spark, d)
     val sweep = Evaluation.thresholdSweepBy(
       s, col("source"), col("logit"), col("is_en"),
-      lo = -4.0, hi = 4.0, bins = 16).persist()
+      lo = -4.0, hi = 4.0, bins = 16).persistCensus()
     val out = Evaluation.applyOperatingPoints(s, col("source"), col("logit"), sweep)
       .withColumnRenamed("group_key", "source")
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(sweep))

@@ -223,15 +223,24 @@ object ScaleQueries {
   def q115PageRank(spark: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
-    val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(
-        concat(lit("c:"), col("o_custkey").cast("string")).as("a"),
-        concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
+    // distinct on the NARROW integer pair, strings built after: the
+    // dedup shuffle moves two longs per row instead of two strings
+    // (guide §2.3, narrower types), and the map-side hash is over ints.
+    // Same edge set: (custkey, suppkey) -> ("c:"+ck, "s:"+sk) is
+    // injective, so distinct-then-concat == concat-then-distinct.
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
       .distinct()
+    val raw = pairs.select(
+      concat(lit("c:"), col("ck").cast("string")).as("a"),
+      concat(lit("s:"), col("sk").cast("string")).as("b"))
     // symmetrize: importance flows both ways in a bipartite purchase
-    // graph (and no node dangles)
+    // graph (and no node dangles). The union is distinct by
+    // construction ("c:" / "s:" namespaces are disjoint), so the
+    // operator's own dedup shuffle is skipped (edgesDistinct).
     val edges = raw.union(raw.select(col("b").as("a"), col("a").as("b")))
-    graft.operators.Graph.pageRankInt(edges, col("a"), col("b"), iterations = 3)
+    graft.operators.Graph.pageRankInt(edges, col("a"), col("b"), iterations = 3,
+      edgesDistinct = true)
   }
 
   val q115Sql: String = {

@@ -53,6 +53,20 @@ class GraphSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("edgesDistinct skips the dedup shuffle without changing ranks (r20)") {
+    // already-distinct edges: the fast path must equal the default on
+    // BOTH the driver and the distributed branch
+    val edges = (1 to 60).map(i => (s"n${i % 11}", s"n${(i * 5) % 11}"))
+      .filter { case (a, b) => a != b }.distinct.toDF("s", "t")
+    val dflt = ranks(Graph.pageRankInt(edges, col("s"), col("t"), iterations = 3))
+    val fast = ranks(Graph.pageRankInt(edges, col("s"), col("t"), iterations = 3,
+      edgesDistinct = true))
+    assert(dflt == fast)
+    val dDist = ranks(Graph.pageRankInt(edges, col("s"), col("t"),
+      iterations = 3, smallGraphEdgeLimit = 0L, edgesDistinct = true))
+    assert(dflt == dDist)
+  }
+
   test("driver fixed-point and distributed rounds are bit-identical") {
     val edges = (1 to 60).map(i => (s"n${i % 11}", s"n${(i * 5) % 11}"))
       .filter { case (a, b) => a != b }.toDF("s", "t")
