@@ -19,9 +19,23 @@ import graft.functions.DqFunctions._
   */
 object Similarity {
 
+  /** A constant double-array column as ONE pre-folded Literal node —
+    * value-identical to `array(vals.map(lit): _*)` (which
+    * ConstantFolding collapses to exactly this literal at optimize
+    * time), but the plan is built with 1 node instead of dim+1. The
+    * IVF family inlines nlist × dim literal leaves per centroid
+    * expression TWICE per plan (assignment + probes), and re-running
+    * the optimizer over those ~10k-node trees on every invocation
+    * measured as driver-side seconds at bench scale (r20 JobProfile:
+    * warm wall ≫ job wall). Folding them up front removes that
+    * planning cost without touching runtime arithmetic.
+    */
+  private[graft] def litVec(vals: Seq[Double]): Column =
+    typedLit(vals.toArray)
+
   /** Cosine of every row against a constant query vector. */
   def cosineToQuery(vecCol: Column, query: Seq[Double]): Column =
-    cosineSimilarity(vecCol, array(query.map(lit): _*))
+    cosineSimilarity(vecCol, litVec(query))
 
   /** Exact top-k by cosine (ties broken by id for determinism). */
   def bruteForceTopK(
@@ -77,7 +91,7 @@ object Similarity {
       .orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) => i -> rowVecToDoubles(r) }.toSeq
-    def centCol(c: Seq[Double]): Column = array(c.map(lit): _*)
+    def centCol(c: Seq[Double]): Column = litVec(c)
     // assign: argmax cosine via array_max over (score, cell) structs
     val scored = array(cents.map { case (i, c) =>
       struct(cosineSimilarity(col(vecCol), centCol(c)).as("s"), lit(i).as("c"))
@@ -242,7 +256,7 @@ object Similarity {
     // per-query probe cells: rank the literal centroid array by
     // cosine in-expression, keep the top nprobe, explode to join keys
     val centScores = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      struct(cosineSimilarity(col("_qv"), array(c.toArray.map(lit).toIndexedSeq: _*)).as("s"),
+      struct(cosineSimilarity(col("_qv"), litVec(c.toArray.toIndexedSeq)).as("s"),
         lit(i).as("c"))
     }.toIndexedSeq: _*)
     val probes = broadcast(
@@ -839,7 +853,7 @@ object Similarity {
       .orderBy(col(idCol)).limit(nl)
       .select(col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) => i -> rowVecToDoubles(r) }.toSeq
-    def centCol(c: Seq[Double]): Column = array(c.map(lit): _*)
+    def centCol(c: Seq[Double]): Column = litVec(c)
     // hoisted-norm cosine, value-identical to cosineSimilarity (same
     // d/(na*nb) with the same operand values in the same order): the
     // row's norm is computed ONCE per row instead of once per
@@ -861,8 +875,17 @@ object Similarity {
         (Seq(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")) ++
           carryCorpus.map { case (src, out) => col(src).as(out) }): _*)
       .withColumn("_cn", l2Norm(col("_cv")))
+      // coalesce with an unreachable sentinel ONLY to make `cell`
+      // statically non-nullable (array_max over a non-empty array of
+      // non-null structs never returns null, but Catalyst cannot see
+      // that): with a nullable join key, the inner cell join infers
+      // isnotnull(cell) and pushes the ENTIRE nlist×dim argmax tree
+      // into the corpus scan Filter — the assignment evaluated twice
+      // per row, measured as a ~2 s single-task stage at bench scale
+      // (r20; the q169-class inlining trap, join-inference variant).
       .withColumn("cell",
-        array_max(centScores(col("_cv"), col("_cn"))).getField("c"))
+        coalesce(array_max(centScores(col("_cv"), col("_cn"))).getField("c"),
+          lit(-1)))
     val probes = broadcast(
       queries.select(
           (Seq(col(idCol).as("query_id"), col(vecCol).as("_qv")) ++

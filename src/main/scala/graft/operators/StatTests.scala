@@ -922,7 +922,7 @@ object StatTests {
     def projected(df: DataFrame, a: Boolean): DataFrame = {
       val dots = m.map { w =>
         graft.functions.DqFunctions.dotProduct(
-          col(vecCol), array(w.map(lit): _*))
+          col(vecCol), graft.operators.Similarity.litVec(w))
       }
       df.select(array(dots: _*).as("_ps"))
         .select(posexplode(col("_ps")).as(Seq("_axis", "_pv")))
