@@ -35,7 +35,8 @@ object Decontamination {
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val shingles = array_distinct(graft.functions.DqFunctions.wordWindows(
       regexp_extract_all(col(textCol), lit("\\S+"), lit(0)), n, minWindows = 0))
-    df.select(col(idCol).as("id"), explode(shingles).as("_s"))
+    graft.ParallelSpread.forCpu(df, col(idCol))
+      .select(col(idCol).as("id"), explode(shingles).as("_s"))
       .select(col("id"), Md5Expressions.md5PrefixLong(col("_s"), 15).as("h"))
   }
 

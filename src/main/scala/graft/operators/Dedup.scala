@@ -375,7 +375,10 @@ object Dedup {
     val sh =
       if (words) graft.functions.DqFunctions.wordShingles(col(textCol), n)
       else charShingles(col(textCol), n)
-    df.select(col(idCol).as("id"), sh.as("_sh"))
+    // unsplittable-input spread before the CPU-dense shingle/minhash
+    // projections (guide §2.5; no-op on parallel or post-shuffle input)
+    graft.ParallelSpread.forCpu(df, col(idCol))
+      .select(col(idCol).as("id"), sh.as("_sh"))
       .select(col("id"), minhashBaseHashes(col("_sh")).as("_mh"))
       .select(col("id"),
         graft.functions.MinhashExpression
@@ -400,9 +403,10 @@ object Dedup {
         col(textCol), n, hexDigits = 8, mod = MinhashPrime)
       else graft.functions.Md5Expressions.ngramMd5Hashes(
         col(textCol), n, hexDigits = 8, mod = MinhashPrime)
-    df.select(col(idCol).as("id"),
-      graft.functions.MinhashExpression.minhashFromBaseNative(
-        base, numHashes).as("sig"))
+    graft.ParallelSpread.forCpu(df, col(idCol))
+      .select(col(idCol).as("id"),
+        graft.functions.MinhashExpression.minhashFromBaseNative(
+          base, numHashes).as("sig"))
   }
 
   /** LSH banding: candidate pairs agreeing on at least one of `bands`
@@ -1105,7 +1109,8 @@ object Dedup {
     * minhashSignatures).
     */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
+    graft.ParallelSpread.forCpu(df, col(idCol))
+      .select(col(idCol).as("id"),
         transform(split(trim(col(textCol)), "\\s+"), t => xxhash64(t)).as("_th"))
       .select(col("id"),
         graft.functions.SimhashExpression
@@ -1119,7 +1124,8 @@ object Dedup {
     * one-pass expression applies unchanged.
     */
   def simhashesPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
+    graft.ParallelSpread.forCpu(df, col(idCol))
+      .select(col(idCol).as("id"),
         transform(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)),
           t => graft.functions.Md5Expressions.md5PrefixLong(t, hexDigits = 15)).as("_th"))
       .select(col("id"),
@@ -1176,7 +1182,8 @@ object Dedup {
     // 3× fewer array traversals than recomputing norms pairwise).
     // cosine = dot / (norm_a · norm_b) — the same expression shape as
     // cosineSimilarity, so values are bit-identical.
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val v = graft.ParallelSpread.forCpu(df, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .withColumn("cosine",
@@ -1201,7 +1208,8 @@ object Dedup {
     // only (id, tbl, bkt) — never the vectors — and a pair colliding
     // in several tables is deduped BEFORE the (single) cosine
     // evaluation, with vectors joined back once per side.
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val v = graft.ParallelSpread.forCpu(df, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"))
     val bucketed = v.select(
       col("id"),

@@ -1011,7 +1011,8 @@ object Evaluation {
       df: DataFrame, id: Column, score: Column, label: Column,
       replicates: Int, salt: String, cells: Int = 4096): DataFrame = {
     require(replicates >= 1, s"replicates must be >= 1, got $replicates")
-    val narrow = df.filter(label.isNotNull)
+    val narrow = graft.ParallelSpread.forCpu(df.filter(label.isNotNull),
+      id)
       .select(id.cast("string").as("_id"),
         score.cast("double").as("_v"),
         label.cast("boolean").as("_y"))

@@ -76,7 +76,9 @@ object TextAnalysis {
     val meanWordLen = when(nTokens > 0,
       length(regexp_replace(t, "\\s+", "")).cast("double") / nTokens.cast("double"))
       .otherwise(lit(0.0))
-    df.select(
+    // unsplittable-input spread before the regex-heavy feature
+    // projection (guide §2.5; no-op on parallel/post-shuffle input)
+    graft.ParallelSpread.forCpu(df, col(idCol)).select(
       (Seq(
         col(idCol),
         nChars.cast("bigint").as("n_chars"),
