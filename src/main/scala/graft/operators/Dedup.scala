@@ -100,7 +100,8 @@ object Dedup {
     // The raw posting list feeds BOTH the DF aggregate and the join
     // back onto it; persisting the (id, 8-byte hash) pairs runs the
     // shingle scan once instead of twice.
-    val exAll = df.select(col(idCol).as("id"),
+    val exAll = graft.ParallelSpread.forCpu(df, col(idCol))
+      .select(col(idCol).as("id"),
         explode(graft.functions.NgramHashExpression
           .distinctNgramHashes(col(textCol), n)).as("g"))
       .persist()
@@ -279,7 +280,8 @@ object Dedup {
       n: Int, threshold: Double,
       maxDfFraction: Option[Double] = None): DataFrame =
     containmentPairsFromShingled(
-      df.select(col(idCol).as("id"), whitespaceTokens(col(textCol)).as("_ws"))
+      graft.ParallelSpread.forCpu(df, col(idCol))
+        .select(col(idCol).as("id"), whitespaceTokens(col(textCol)).as("_ws"))
         .select(col("id"), wordShingleHashesFromTokens(col("_ws"), n).as("_sh")),
       threshold, maxDfFraction)
 
