@@ -32,10 +32,25 @@ import org.apache.spark.sql.DataFrame
 object AdaptiveCache {
   private val Key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
 
+  /** Serializes the conf set/persist/restore bracket (never synchronize
+    * on the interned conf-key string itself).
+    */
+  private val bracketLock = new Object
+
   /** Measurement escape hatch (r20): plain persist, for before/after
     * A/B runs of the byte-adaptive caching itself.
     */
   private val untuned = sys.env.contains("SPARK_GRAFT_UNTUNED")
+
+  /** Frames persisted through the bracket, weakly keyed by Dataset
+    * identity, so [[CacheLifecycle]] can RE-pin one under the same
+    * bracket after a superseded claim's release dropped the shared
+    * cache entry (see CacheLifecycle's registration steal). Weak keys:
+    * entries vanish with the Dataset, no per-session growth.
+    */
+  private val censusFrames =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
 
   /** `import graft.AdaptiveCache.CensusPersist` for `df.persistCensus()`
     * at call sites. Only POST-SHUFFLE censuses benefit (a persist with
@@ -47,13 +62,32 @@ object AdaptiveCache {
 
   def persistByteAdaptive(df: DataFrame): DataFrame = {
     if (untuned) return df.persist()
-    val conf = df.sparkSession.conf
-    val prev = conf.getOption(Key)
-    conf.set(Key, "true")
-    try df.persist()
-    finally prev match {
-      case Some(v) => conf.set(Key, v)
-      case None    => conf.unset(Key)
+    censusFrames.put(df, java.lang.Boolean.TRUE)
+    // the set/persist/restore window is serialized (one lock for every
+    // bracketed persist on the process): SparkSession conf is session-
+    // global across threads, so a concurrent plain persist landing
+    // inside the bracket would cache under the wrong flag and a racing
+    // restore could clobber a concurrent bracket's set. The engine's
+    // entry points are sequential today; the lock makes the library
+    // API safe for concurrent callers too.
+    bracketLock.synchronized {
+      val conf = df.sparkSession.conf
+      val prev = conf.getOption(Key)
+      conf.set(Key, "true")
+      try df.persist()
+      finally prev match {
+        case Some(v) => conf.set(Key, v)
+        case None    => conf.unset(Key)
+      }
     }
   }
+
+  /** Re-persist with the SAME discipline `df` was originally persisted
+    * under: bracketed when it went through [[persistByteAdaptive]],
+    * plain otherwise. Used by [[CacheLifecycle]] when a registration
+    * steal has just dropped the cache entry a fresh pass shares.
+    */
+  private[graft] def repersist(df: DataFrame): Unit =
+    if (censusFrames.containsKey(df)) { persistByteAdaptive(df); () }
+    else { df.persist(); () }
 }

@@ -32,6 +32,35 @@ object CacheLifecycle {
     */
   private val reaper = new java.util.Timer("graft-cache-lifecycle-reaper", true)
 
+  /** Pending release claims, keyed by the CANONICALIZED plan of each
+    * cache a registration pins. At most one claim per key: a new
+    * registration for the same canonical plan STEALS the prior claim —
+    * releases it synchronously and re-pins the cache — because the
+    * listener events that drive releases arrive asynchronously on the
+    * shared bus, which can lag a full invocation behind under load.
+    * Without the steal, the measured failure mode (r20, q223 warm
+    * 4× slower than cold at 32 cores) is: invocation N+1's persist()
+    * finds N's still-cached entry (CacheManager WARNs "already
+    * cached", adds nothing), then N's late listener event unpersists
+    * the SHARED entry mid-build, and N+1 executes with no cache at
+    * all — every multi-consumer intermediate recomputed per consumer.
+    * The steal makes the hand-off deterministic: by the time a fresh
+    * invocation's plan executes, its caches are pinned by an entry no
+    * stale claim can remove (a stale claim's release is a one-shot CAS
+    * the steal has already consumed).
+    */
+  private val pending =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, () => Unit]()
+
+  /** Serializes release() bodies against the steal/re-pin window so a
+    * stale claim's in-flight unpersist cannot drop an entry between a
+    * fresh registration's "is it still cached?" check and its re-pin.
+    * Uncontended outside the harness's sequential hand-offs; reentrant
+    * (the steal invokes the stolen release under the same monitor).
+    */
+  private val handoffLock = new Object
+
   /** Auto-unpersist `caches` after the first query execution that
     * consumes any of them completes (success or failure). Matching is
     * by analyzed-plan subtree (`sameResult`), so a late-delivered
@@ -69,14 +98,37 @@ object CacheLifecycle {
     if (caches.isEmpty || matchOn.isEmpty) return
     val spark = caches.head.sparkSession
     val ourPlans = matchOn.map(_.queryExecution.analyzed)
+    val keys = caches.map(_.queryExecution.analyzed.canonicalized)
     val released = new AtomicBoolean(false)
     var unregister: () => Unit = () => ()
+    lazy val releaseFn: () => Unit = () => release()
     def release(): Unit =
-      if (released.compareAndSet(false, true)) {
+      if (released.compareAndSet(false, true)) handoffLock.synchronized {
         try caches.foreach(_.unpersist(blocking = false))
         catch { case _: Throwable => () } // stopped session: nothing to release
+        keys.foreach(k => pending.remove(k, releaseFn))
         unregister()
       }
+    // registration steal: supersede any pending claim on the same
+    // canonical cache plans (its invocation's trigger has executed —
+    // invocations are sequential — so its pin is garbage the lagging
+    // listener bus hasn't collected yet), then re-pin any cache the
+    // steal (or an already-landed stale release) left unpersisted, so
+    // THIS invocation recomputes into a fresh entry instead of running
+    // uncached. Under the lock so a stale release body cannot
+    // interleave between the storageLevel check and the re-pin.
+    handoffLock.synchronized {
+      keys.foreach { k =>
+        val prior = pending.put(k, releaseFn)
+        if ((prior ne null) && (prior ne releaseFn)) prior()
+      }
+      caches.foreach { c =>
+        try {
+          if (c.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            AdaptiveCache.repersist(c)
+        } catch { case _: Throwable => () }
+      }
+    }
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private def maybeRelease(qe: QueryExecution): Unit = {
         val consumes =
@@ -91,6 +143,10 @@ object CacheLifecycle {
     }
     unregister = () => spark.listenerManager.unregister(listener)
     spark.listenerManager.register(listener)
+    // if a concurrent registration stole THIS claim between the steal
+    // block and the register above, release() already ran with the
+    // no-op unregister — drop the listener now instead of leaking it
+    if (released.get()) spark.listenerManager.unregister(listener)
     reaper.schedule(new java.util.TimerTask {
       override def run(): Unit = release()
     }, maxIdleMs)

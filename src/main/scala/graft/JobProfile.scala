@@ -72,16 +72,25 @@ object JobProfile {
       SparkEntry.queries.get(n) match {
         case None => println(s"unknown query '$n'")
         case Some(fn) =>
-          def once(tag: String): Double = {
+          def once(): Double = {
             val t0 = System.nanoTime()
             Bench.evalAll(fn(spark, sfDir))
             (System.nanoTime() - t0) / 1e9
           }
-          val cold = once("cold")
+          val cold = once()
           rec.reset()
-          val warm = once("warm")
-          // listener events are posted async; give the bus a moment
-          Thread.sleep(300)
+          val warm = once()
+          // listener events are posted async: poll until the recorded
+          // job count stabilizes (a fixed sleep under-reports on a
+          // loaded host, and profile decisions ride these numbers)
+          var last = -1
+          var same = 0
+          var waited = 0
+          while (same < 3 && waited < 10000) {
+            Thread.sleep(200); waited += 200
+            val n = rec.synchronized(rec.jobs.size + rec.stages.size)
+            if (n == last) same += 1 else { same = 0; last = n }
+          }
           println(f"===== $n cold=$cold%.3f warm=$warm%.3f =====")
           rec.synchronized {
             val jobTotal = rec.jobs.values.map(j => j.t1 - j.t0).sum / 1e3

@@ -33,9 +33,7 @@ object StatTests {
     * (per-row cost ~ per-row size), the shape [[graft.AdaptiveCache]]
     * is for. See that object for the measurement and the scoping rule.
     */
-  private implicit class CensusPersist(private val df: DataFrame) {
-    def persistCensus(): DataFrame = graft.AdaptiveCache.persistByteAdaptive(df)
-  }
+  import graft.AdaptiveCache.CensusPersist
 
   /** Exact two-sample Kolmogorov–Smirnov statistic WITHOUT a global
     * sort: D = sup_x |F_A(x) − F_B(x)| over the empirical CDFs of

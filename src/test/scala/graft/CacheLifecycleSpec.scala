@@ -104,6 +104,31 @@ class CacheLifecycleSpec extends AnyFunSuite {
     sigs.unpersist(blocking = true)
   }
 
+  test("a fresh registration steals a stale claim on the same canonical plan and re-pins") {
+    // the r20 q223 failure shape: invocation N's release event lags on
+    // the async listener bus (here: its trigger simply never executes),
+    // invocation N+1 persists the same canonical plan (CacheManager
+    // shares the entry), and without the steal N's late release would
+    // drop N+1's cache mid-flight — N+1 then recomputes the
+    // intermediate once per consumer, uncached
+    def mk() = spark.range(500).selectExpr("id % 7 as k")
+      .groupBy("k").count()
+    val a = mk(); a.persist()
+    val triggerA = a.selectExpr("sum(count) as s")
+    CacheLifecycle.releaseWhenExecuted(triggerA, Seq(a))
+    // triggerA never executes: A's claim stays pending, its entry cached
+    val b = mk(); b.persist() // shares A's entry ("already cached" WARN)
+    val triggerB = b.selectExpr("sum(count) as s")
+    CacheLifecycle.releaseWhenExecuted(triggerB, Seq(b))
+    // registration B must have stolen A's claim (released it
+    // synchronously) and re-pinned the plan, so B executes cached
+    assert(b.storageLevel != StorageLevel.NONE,
+      "fresh invocation's cache must be pinned after the steal")
+    triggerB.collect()
+    assert(eventually() { b.storageLevel == StorageLevel.NONE },
+      "B's own claim must still release after B executes")
+  }
+
   test("unrelated executions do not release caches prematurely") {
     val docs = Tables.documents(spark, TestSpark.sf).limit(40)
     val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", numHashes = 16, bands = 4)
