@@ -61,7 +61,7 @@ object AdaptiveCache {
   }
 
   def persistByteAdaptive(df: DataFrame): DataFrame = {
-    if (untuned) return df.persist()
+    if (untuned) return CacheLifecycle.persistManaged(df)
     censusFrames.put(df, java.lang.Boolean.TRUE)
     // the set/persist/restore window is serialized (one lock for every
     // bracketed persist on the process): SparkSession conf is session-
@@ -69,15 +69,19 @@ object AdaptiveCache {
     // inside the bracket would cache under the wrong flag and a racing
     // restore could clobber a concurrent bracket's set. The engine's
     // entry points are sequential today; the lock makes the library
-    // API safe for concurrent callers too.
-    bracketLock.synchronized {
-      val conf = df.sparkSession.conf
-      val prev = conf.getOption(Key)
-      conf.set(Key, "true")
-      try df.persist()
-      finally prev match {
-        case Some(v) => conf.set(Key, v)
-        case None    => conf.unset(Key)
+    // API safe for concurrent callers too. Lock order is always
+    // handoff -> bracket (CacheLifecycle's repersist path takes them
+    // in the same order).
+    CacheLifecycle.withHandoff(df) {
+      bracketLock.synchronized {
+        val conf = df.sparkSession.conf
+        val prev = conf.getOption(Key)
+        conf.set(Key, "true")
+        try df.persist()
+        finally prev match {
+          case Some(v) => conf.set(Key, v)
+          case None    => conf.unset(Key)
+        }
       }
     }
   }

@@ -53,13 +53,62 @@ object CacheLifecycle {
     new java.util.concurrent.ConcurrentHashMap[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, () => Unit]()
 
-  /** Serializes release() bodies against the steal/re-pin window so a
+  /** Serializes release() bodies against the steal/persist window so a
     * stale claim's in-flight unpersist cannot drop an entry between a
-    * fresh registration's "is it still cached?" check and its re-pin.
-    * Uncontended outside the harness's sequential hand-offs; reentrant
-    * (the steal invokes the stolen release under the same monitor).
+    * fresh invocation's steal and its persist. Uncontended outside the
+    * harness's sequential hand-offs; reentrant (the steal invokes the
+    * stolen release under the same monitor).
     */
   private val handoffLock = new Object
+
+  /** Release (synchronously) any stale pending claim on `df`'s
+    * canonicalized plan. Callers must hold [[handoffLock]].
+    */
+  private[graft] def stealLocked(df: DataFrame): Unit = {
+    val key =
+      try df.queryExecution.analyzed.canonicalized
+      catch { case _: Throwable => return }
+    val prior = pending.remove(key)
+    if (prior ne null) prior()
+  }
+
+  /** Persist with a deterministic cache hand-off: a stale pending
+    * claim on the same canonicalized plan (a PRIOR invocation whose
+    * release event is still in flight on the lagging listener bus) is
+    * released synchronously FIRST, so this invocation's persist always
+    * creates a fresh entry that its eager probes materialize and its
+    * main execution then reads — instead of the probes riding the
+    * prior entry and the late release (or the registration-time
+    * backstop steal) dropping it mid-invocation, which forces the main
+    * execution's concurrent consumers to race-recompute the
+    * intermediate (measured: q139 warm 1.6 → 2.4 s under the
+    * registration-time-only steal). Use at every persist the release
+    * machinery manages; chainable as `.persistFresh()` via
+    * [[FreshPersist]].
+    */
+  def persistManaged(df: DataFrame): DataFrame = handoffLock.synchronized {
+    stealLocked(df)
+    df.persist()
+    df
+  }
+
+  /** `import graft.CacheLifecycle.FreshPersist` for `df.persistFresh()`
+    * at call sites.
+    */
+  implicit class FreshPersist(private val df: DataFrame) extends AnyVal {
+    def persistFresh(): DataFrame = persistManaged(df)
+  }
+
+  /** Run `body` (a persist of `df`, under whatever conf bracket the
+    * caller needs) after stealing any stale claim on `df`'s plan, all
+    * under the hand-off lock — [[persistManaged]] for callers that
+    * wrap the persist call itself (AdaptiveCache's bracket).
+    */
+  private[graft] def withHandoff(df: DataFrame)(body: => DataFrame): DataFrame =
+    handoffLock.synchronized {
+      stealLocked(df)
+      body
+    }
 
   /** Auto-unpersist `caches` after the first query execution that
     * consumes any of them completes (success or failure). Matching is
@@ -102,13 +151,17 @@ object CacheLifecycle {
     val released = new AtomicBoolean(false)
     var unregister: () => Unit = () => ()
     lazy val releaseFn: () => Unit = () => release()
-    def release(): Unit =
-      if (released.compareAndSet(false, true)) handoffLock.synchronized {
+    // CAS inside the lock: a release body past its CAS but outside the
+    // lock could otherwise unpersist AFTER a steal observed the
+    // consumed claim and a fresh persist re-created the entry
+    def release(): Unit = handoffLock.synchronized {
+      if (released.compareAndSet(false, true)) {
         try caches.foreach(_.unpersist(blocking = false))
         catch { case _: Throwable => () } // stopped session: nothing to release
         keys.foreach(k => pending.remove(k, releaseFn))
         unregister()
       }
+    }
     // registration steal: supersede any pending claim on the same
     // canonical cache plans (its invocation's trigger has executed —
     // invocations are sequential — so its pin is garbage the lagging

@@ -1,5 +1,6 @@
 package graft
 
+import graft.CacheLifecycle.FreshPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -106,13 +107,13 @@ object Curation {
     // 1+2. per-row quality and language gates, evaluated at the scan
     // (the same expressions qualityFeatures/langId project in q17/q18)
     val t = col(textCol)
-    val qualityDocs = docs.filter(qualityPredicate(t, cfg)).persist()
+    val qualityDocs = docs.filter(qualityPredicate(t, cfg)).persistFresh()
     val afterQuality = qualityDocs.count()
-    val langDocs = qualityDocs.filter(languagePredicate(t, cfg)).persist()
+    val langDocs = qualityDocs.filter(languagePredicate(t, cfg)).persistFresh()
     val afterLanguage = langDocs.count()
 
     // 3. exact dedup — keep the min-id representative per content hash
-    val exact = Dedup.dropExactDuplicates(langDocs, idCol, t).persist()
+    val exact = Dedup.dropExactDuplicates(langDocs, idCol, t).persistFresh()
     val afterExact = exact.count()
 
     // 4. near-dedup. Two keep policies over the thresholded pair set:
@@ -153,7 +154,7 @@ object Curation {
               .select(col("id").as(idCol))
         }
       } else pairs.select(col("id_b").as(idCol)).distinct()
-    val nearDeduped = exact.join(drop, Seq(idCol), "left_anti").persist()
+    val nearDeduped = exact.join(drop, Seq(idCol), "left_anti").persistFresh()
     val afterNear = nearDeduped.count()
 
     // 5. benchmark decontamination (skipped when no eval set given):
@@ -169,7 +170,7 @@ object Curation {
           else
             Decontamination.decontaminate(nearDeduped, bench, idCol, textCol,
               cfg.decontamNgram, cfg.decontamMinOverlap)
-        dropFn.persist()
+        dropFn.persistFresh()
       case None => nearDeduped
     }
     val afterDecontam = benchmark.fold(afterNear)(_ => cleaned.count())

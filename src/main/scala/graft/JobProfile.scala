@@ -21,7 +21,8 @@ object JobProfile {
   final case class StageRec(
       id: Int, name: String, var ms: Long = 0L,
       var shufRead: Long = 0L, var shufWrite: Long = 0L,
-      var input: Long = 0L, var tasks: Int = 0)
+      var input: Long = 0L, var tasks: Int = 0,
+      var runMs: Long = 0L, var deserMs: Long = 0L)
   final case class JobRec(
       id: Int, desc: String, t0: Long, var t1: Long = 0L,
       stages: mutable.Set[Int] = mutable.Set.empty)
@@ -47,6 +48,8 @@ object JobProfile {
       r.shufWrite += si.taskMetrics.shuffleWriteMetrics.bytesWritten
       r.input += si.taskMetrics.inputMetrics.bytesRead
       r.tasks += si.numTasks
+      r.runMs += si.taskMetrics.executorRunTime
+      r.deserMs += si.taskMetrics.executorDeserializeTime
     }
     def reset(): Unit = synchronized { jobs.clear(); stages.clear() }
   }
@@ -100,11 +103,12 @@ object JobProfile {
               val sr = st.map(_.shufRead).sum / 1e6
               val sw = st.map(_.shufWrite).sum / 1e6
               val in = st.map(_.input).sum / 1e6
-              println(f"  job ${j.id}%3d ${(j.t1 - j.t0) / 1e3}%7.3f s stages=${j.stages.size}%2d in=$in%8.1fMB sr=$sr%7.1fMB sw=$sw%7.1fMB  ${j.desc.take(80)}")
+              val names = st.map(s => s"${s.name}[${s.tasks}]").distinct.mkString(" | ")
+              println(f"  job ${j.id}%3d ${(j.t1 - j.t0) / 1e3}%7.3f s stages=${j.stages.size}%2d in=$in%8.1fMB sr=$sr%7.1fMB sw=$sw%7.1fMB  ${j.desc.take(60)} ${names.take(160)}")
             }
             val heavy = rec.stages.values.toSeq.sortBy(-_.ms).take(8)
             heavy.foreach { s =>
-              println(f"    stage ${s.id}%4d ${s.ms / 1e3}%7.3f s tasks=${s.tasks}%3d in=${s.input / 1e6}%8.1fMB sr=${s.shufRead / 1e6}%7.1fMB sw=${s.shufWrite / 1e6}%7.1fMB ${s.name.take(60)}")
+              println(f"    stage ${s.id}%4d ${s.ms / 1e3}%7.3f s tasks=${s.tasks}%3d run=${s.runMs / 1e3}%7.3f deser=${s.deserMs / 1e3}%6.3f in=${s.input / 1e6}%8.1fMB sr=${s.shufRead / 1e6}%7.1fMB sw=${s.shufWrite / 1e6}%7.1fMB ${s.name.take(60)}")
             }
           }
       }

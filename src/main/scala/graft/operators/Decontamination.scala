@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLifecycle.FreshPersist
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -125,7 +126,7 @@ object Decontamination {
       corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       n: Int, minOverlap: Long = 1L, fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
-    val benchSet = benchmarkShingles(bench, idCol, textCol, n).persist()
+    val benchSet = benchmarkShingles(bench, idCol, textCol, n).persistFresh()
     val items = math.max(benchSet.count(), 1L)
     val bloom = benchSet.stat.bloomFilter("h", items, fpp)
     val bloomBytes = {

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLifecycle.FreshPersist
 import graft.AdaptiveCache.CensusPersist
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -1016,7 +1017,7 @@ object Evaluation {
       .select(id.cast("string").as("_id"),
         score.cast("double").as("_v"),
         label.cast("boolean").as("_y"))
-      .persist()
+      .persistFresh()
     val reps = narrow
       .withColumn("_r", explode(sequence(lit(0), lit(replicates - 1))))
       .withColumn("replicate", col("_r").cast("long"))

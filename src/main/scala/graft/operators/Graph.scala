@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLifecycle.FreshPersist
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -86,7 +87,7 @@ object Graph {
       .filter(src.isNotNull && dst.isNotNull)
       .select(src.as("src"), dst.as("dst"))
     val distinctEdges =
-      (if (edgesDistinct) filtered else filtered.distinct()).persist()
+      (if (edgesDistinct) filtered else filtered.distinct()).persistFresh()
     val edgeCount = distinctEdges.count()
     if (edgeCount <= smallGraphEdgeLimit) {
       val out = pageRankIntDriver(
@@ -113,11 +114,11 @@ object Graph {
       .withColumn("_deg",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("src"))))
-      .persist()
+      .persistFresh()
     val nodes = eDeg.select(col("src").as("node"))
       .union(eDeg.select(col("dst").as("node")))
       .distinct()
-      .persist()
+      .persistFresh()
     val baseRank = ((1000L - dampingPermille) * unitRank) / 1000L
 
     var ranks = snapshot(nodes.withColumn("rank", lit(unitRank)))

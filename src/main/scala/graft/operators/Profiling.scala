@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLifecycle.FreshPersist
 import graft.AdaptiveCache.CensusPersist
 import graft.Limits
 import org.apache.spark.sql.{Column, DataFrame}
@@ -935,7 +936,7 @@ object Profiling {
     // single-evaluation discipline; PlanShapeSpec pins it for q139)
     val raw = df
       .select(x.cast("double").as("_x"), y.cast("double").as("_y"))
-      .persist()
+      .persistFresh()
     val nn = raw.filter(col("_x").isNotNull && !isnan(col("_x")) &&
       col("_y").isNotNull && !isnan(col("_y")))
     // doubled-midrank table for one column: distinct-value census →
@@ -1010,7 +1011,7 @@ object Profiling {
     val W = org.apache.spark.sql.expressions.Window
     val raw = df
       .select(group.as("_g"), x.cast("double").as("_x"), y.cast("double").as("_y"))
-      .persist()
+      .persistFresh()
     val nn = raw.filter(col("_g").isNotNull &&
       col("_x").isNotNull && !isnan(col("_x")) &&
       col("_y").isNotNull && !isnan(col("_y")))
@@ -1123,7 +1124,7 @@ object Profiling {
     val wY = (hiY - loY) / binsY
     val raw = df
       .select(x.cast("double").as("_x"), y.cast("double").as("_y"))
-      .persist()
+      .persistFresh()
     val nn = raw.filter(col("_x").isNotNull && !isnan(col("_x")) &&
       col("_y").isNotNull && !isnan(col("_y")))
     def band(c: Column, lo: Double, w: Double, bins: Int): Column =
@@ -1205,7 +1206,7 @@ object Profiling {
     val wY = (hiY - loY) / binsY
     val raw = df
       .select(group.as("_g"), x.cast("double").as("_x"), y.cast("double").as("_y"))
-      .persist()
+      .persistFresh()
     val nn = raw.filter(col("_g").isNotNull &&
       col("_x").isNotNull && !isnan(col("_x")) &&
       col("_y").isNotNull && !isnan(col("_y")))
@@ -1311,7 +1312,7 @@ object Profiling {
     val spark = df.sparkSession
     val raw = df
       .select(x.cast("double").as("_x"), y.cast("double").as("_y"))
-      .persist()
+      .persistFresh()
     val nn = raw.filter(col("_x").isNotNull && !isnan(col("_x")) &&
       col("_y").isNotNull && !isnan(col("_y")))
     val census = nn.groupBy(col("_x"), col("_y"))
@@ -1341,7 +1342,7 @@ object Profiling {
     val cen = census
       .withColumn("_cx", cellOf(col("_x"), mnX, mxX))
       .withColumn("_cy", cellOf(col("_y"), mnY, mxY))
-      .persist()
+      .persistFresh()
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val one = lit(1L).cast("decimal(38,0)")
 
@@ -1475,7 +1476,7 @@ object Profiling {
     val spark = df.sparkSession
     val raw = df
       .select(group.as("_g"), x.cast("double").as("_x"), y.cast("double").as("_y"))
-      .persist()
+      .persistFresh()
     val nn = raw.filter(col("_g").isNotNull &&
       col("_x").isNotNull && !isnan(col("_x")) &&
       col("_y").isNotNull && !isnan(col("_y")))
@@ -1510,7 +1511,7 @@ object Profiling {
     val cen = census
       .withColumn("_cx", cellOf(col("_x"), mnX, mxX))
       .withColumn("_cy", cellOf(col("_y"), mnY, mxY))
-      .persist()
+      .persistFresh()
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val one = lit(1L).cast("decimal(38,0)")
     val dec0 = lit(0L).cast("decimal(38,0)")
@@ -1663,7 +1664,7 @@ object Profiling {
   def normalityJarqueBera(df: DataFrame, intValue: Column): DataFrame = {
     val nn = df.select(intValue.cast("long").as("_v"))
       .filter(col("_v").isNotNull)
-      .persist()
+      .persistFresh()
     val head = nn.agg(count(lit(1)).as("n"),
       coalesce(sum(col("_v").cast("decimal(38,0)")),
         lit(0L).cast("decimal(38,0)")).as("_s1")).head()
@@ -1774,7 +1775,7 @@ object Profiling {
       df: DataFrame, group: Column, intValue: Column): DataFrame = {
     val nn = df.select(group.as("_g"), intValue.cast("long").as("_v"))
       .filter(col("_g").isNotNull && col("_v").isNotNull)
-      .persist()
+      .persistFresh()
     val head = nn.agg(count(lit(1)).as("n"),
       coalesce(sum(col("_v").cast("decimal(38,0)")),
         lit(0L).cast("decimal(38,0)")).as("_s1")).head()

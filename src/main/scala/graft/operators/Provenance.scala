@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLifecycle.FreshPersist
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -162,7 +163,7 @@ object Provenance {
     val qOut = outPath.getFileSystem(conf).makeQualified(outPath).toUri.normalize()
     require(qIn != qOut,
       "in-place takedown is refused: write side-by-side, verify, then swap")
-    val ids = takedown.select(col(idCol)).distinct().persist()
+    val ids = takedown.select(col(idCol)).distinct().persistFresh()
     try {
       val df = spark.read.parquet(dir)
       // compare by URI path component: _metadata.file_path and the

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLifecycle.FreshPersist
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -54,7 +55,7 @@ object Retrieval {
     val perDoc = df.select(
       (col(idCol).as("id") +: size(t).cast("bigint").as("_len") +:
         terms.zipWithIndex.map { case (term, i) => tfCol(term).as(s"_tf$i") }): _*)
-      .persist()
+      .persistFresh()
     // one corpus-statistics row: N, total length, per-term df
     val statCols = count(lit(1)).as("_n") +: sum(col("_len")).as("_sumlen") +:
       terms.indices.map(i =>

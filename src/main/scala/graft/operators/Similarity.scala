@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLifecycle.FreshPersist
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -128,7 +129,7 @@ object Similarity {
     // CacheLifecycle registration below)
     val feats = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-      .persist()
+      .persistFresh()
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setDistanceMeasure("cosine")
       .setFeaturesCol("features").setPredictionCol("cell")
@@ -246,7 +247,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val feats = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-      .persist()
+      .persistFresh()
     val model = new KMeans()
       .setK(resolveNlist(feats, nlist)).setSeed(seed).setDistanceMeasure("cosine")
       .setFeaturesCol("features").setPredictionCol("cell")
@@ -420,7 +421,7 @@ object Similarity {
     import spark.implicits._
     val feats = corpus
       .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-      .persist()
+      .persistFresh()
     val model = new KMeans()
       .setK(resolveNlist(feats, nlist)).setSeed(seed)
       .setDistanceMeasure("cosine")

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.CacheLifecycle.FreshPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -435,10 +436,10 @@ object PipelineQueries {
       assigned = ensureIvf16AssignedStore(spark, d, "q223_retrieval_quality_assigned"),
       centroids = ivf16CentroidFixture(spark, d, "q223_retrieval_quality_assigned"),
       idCol = "vec_id", vecCol = "embedding", k = AnnK, nprobe = IvfNprobe)
-      .persist()
+      .persistFresh()
     val truth = QueryFixtures.ensure(spark, d, "q135_truth",
       "q223_retrieval_quality_assigned")(q44AnnJoin(spark, d))
-      .persist()
+      .persistFresh()
     val rq = Ranking.retrievalQuality(run,
       truth.select(col("query_id"), col("neighbor_id")),
       "query_id", "neighbor_id", "cosine", k = AnnK)
@@ -730,7 +731,7 @@ object PipelineQueries {
   // ---------------------------------------------------------------
   def q135RetrievalQuality(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val run = q58AnnIvf(spark, d).persist()
+    val run = q58AnnIvf(spark, d).persistFresh()
     // the brute-force ground truth is a materialized-table read
     // (QueryFixtures, r10 verdict item 1): in production the truth
     // set is labeled ONCE and evaluated against many index configs —
@@ -739,7 +740,7 @@ object PipelineQueries {
     // because both metric operators (retrievalQuality, ndcgAtK) read
     // it. The oracle still states the full brute-force SQL (q44).
     val truth = QueryFixtures.ensure(spark, d, "q135_truth", "q135_retrieval_quality")(q44AnnJoin(spark, d))
-      .persist()
+      .persistFresh()
     val rq = Ranking.retrievalQuality(run,
       truth.select(col("query_id"), col("neighbor_id")),
       "query_id", "neighbor_id", "cosine", k = AnnK)

@@ -1,5 +1,6 @@
 package graft.sql
 
+import graft.CacheLifecycle.FreshPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -275,7 +276,7 @@ object GraftChecks {
           t, g, sc, expr(need(a, "label", "gate_apply")),
           need(a, "lo", "gate_apply").toDouble,
           need(a, "hi", "gate_apply").toDouble,
-          need(a, "bins", "gate_apply").toInt).persist()
+          need(a, "bins", "gate_apply").toInt).persistFresh()
         val out = graft.operators.Evaluation.applyOperatingPoints(t, g, sc, sweep)
         graft.CacheLifecycle.releaseWhenExecuted(out, Seq(sweep))
         out
@@ -528,7 +529,7 @@ object GraftChecks {
           // the kept rows so the caller's consumption replays the
           // cache, not the screen; release newSigs synchronously
           // once the writes (its only consumers) have completed
-          val keptP = kept.persist()
+          val keptP = kept.persistFresh()
           val keptSigs = newSigs
             .join(keptP.select(col(id).as("id")), Seq("id"), "left_semi")
           val guards = corpusSigs +: bandedOpt.toSeq
@@ -678,7 +679,7 @@ object GraftChecks {
             // pin so the caller's consumption replays the cache the
             // append job materialized, not a second assignment pass;
             // drop the pin if the write-guard refuses before any job
-            val pinned = assigned.persist()
+            val pinned = assigned.persistFresh()
             try graft.operators.Similarity.appendCellAssignments(
               Seq(corpus, cents), pinned, cents, out)
             catch { case e: Throwable =>
