@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLifecycle.FreshPersist
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -104,7 +105,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(graft.functions.NgramHashExpression
           .distinctNgramHashes(col(textCol), n)).as("g"))
-      .persist()
+      .persistFresh()
     val dfq = exAll.groupBy("g").agg(count(lit(1)).as("_df"))
     val exf = maxDfFraction match {
       case None => exAll.join(dfq, "g")
@@ -121,7 +122,7 @@ object Dedup {
     // rather than re-running the shingle explode + DF join per
     // consumer. A warehouse-scale run materializes it as a table
     // (same role as the minhash signature table).
-    exf.persist()
+    exf.persistFresh()
     // Prefix filtering (SSJoin/PPJoin family): under a global shingle
     // order, a pair with J(A,B) ≥ t must share an element within the
     // first floor((1−t)·|A|)+1 elements of EACH side — otherwise the
@@ -139,7 +140,7 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col("id"))).as("_sz"))
       .filter(col("_rn") <=
         floor(lit(1.0 - threshold) * col("_sz") + lit(1e-6)) + 1)
-      .persist() // both sides of the candidate self-join
+      .persistFresh() // both sides of the candidate self-join
     // PPJoin-style pruning inside the candidate join, before the
     // distinct and the verification joins ever see a pair:
     //  - length filter: J ≥ t needs min(|A|,|B|) ≥ t·max(|A|,|B|)
@@ -306,7 +307,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val sh = shingled.persist()
+    val sh = shingled.persistFresh()
     val exAll = sh.select(col("id"), explode(col("_sh")).as("g"))
     val dfq = exAll.groupBy("g").agg(count(lit(1)).as("_df"))
     val exf = maxDfFraction match {
@@ -323,7 +324,7 @@ object Dedup {
     val ranked = exf.select(col("id"), col("g"),
         row_number().over(wRank).as("_rn"),
         count(lit(1)).over(Window.partitionBy(col("id"))).as("_sz"))
-      .persist()
+      .persistFresh()
     val pref = ranked.filter(col("_rn") <=
       floor(lit(1.0 - threshold) * col("_sz") + lit(1e-6)) + 1)
     // prefix side ⋈ full posting side: qualifying pairs are caught via
@@ -448,7 +449,7 @@ object Dedup {
       portable: Boolean = false, words: Boolean = false): (DataFrame, DataFrame) = {
     val sigs =
       (if (portable) minhashSignaturesPortable(df, idCol, textCol, n, numHashes, words)
-       else minhashSignatures(df, idCol, textCol, n, numHashes, words)).persist()
+       else minhashSignatures(df, idCol, textCol, n, numHashes, words)).persistFresh()
     (lshCandidatePairsFromSignatures(sigs, numHashes, bands, portable), sigs)
   }
 
@@ -506,8 +507,8 @@ object Dedup {
     // hyperplane dot products per row dominated the query). They are
     // narrow (id + band/bucket keys, 8-byte columns), so persist and
     // auto-release once the returned plan has executed.
-    val bucketsA = bucketsA0.persist()
-    val bucketsB = if (bucketsB0 eq bucketsA0) bucketsA else bucketsB0.persist()
+    val bucketsA = bucketsA0.persistFresh()
+    val bucketsB = if (bucketsB0 eq bucketsA0) bucketsA else bucketsB0.persistFresh()
     graft.CacheLifecycle.releaseAfterFirstUse(
       if (bucketsB eq bucketsA) Seq(bucketsA) else Seq(bucketsA, bucketsB))
     // Within-bucket pair enumeration is the one genuinely skewed step
@@ -654,7 +655,7 @@ object Dedup {
       words: Boolean = false): (DataFrame, DataFrame) = {
     val sigs =
       (if (portable) minhashSignaturesPortable(df, idCol, textCol, n, numHashes, words)
-       else minhashSignatures(df, idCol, textCol, n, numHashes, words)).persist()
+       else minhashSignatures(df, idCol, textCol, n, numHashes, words)).persistFresh()
     val pairs = scoredPairsFromSignatures(sigs, numHashes, bands, portable,
         minCollisions = minAgreeingBands(numHashes, bands, threshold))
       .filter(col("est_jaccard") >= threshold)
@@ -775,7 +776,7 @@ object Dedup {
     }
     val newSigs =
       (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes, words)
-       else minhashSignatures(newDocs, idCol, textCol, n, numHashes, words)).persist()
+       else minhashSignatures(newDocs, idCol, textCol, n, numHashes, words)).persistFresh()
     val minColl = minAgreeingBands(numHashes, bands, threshold)
     val (scoredCand, pairsCache, incrementBounded) = incrementScoredCandidates(
       corpusSigs, corpusBanded, newSigs, numHashes, bands, portable,
@@ -862,7 +863,7 @@ object Dedup {
         (if (minColl > 1)
            collisions.groupBy("id_a", "id_b").agg(count(lit(1)).as("_nb"))
              .filter(col("_nb") >= minColl).drop("_nb")
-         else collisions.distinct()).persist()
+         else collisions.distinct()).persistFresh()
       if (pairs.count() <= pairBroadcastLimit) {
         val scored = corpusSigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
           .join(broadcast(pairs), Seq("id_b"))
@@ -992,27 +993,38 @@ object Dedup {
       words: Boolean = false,
       corpusBanded: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    corpusSigs.select(size(col("sig"))).take(1).foreach { r =>
-      require(r.getInt(0) == numHashes,
-        s"corpus signature width ${r.getInt(0)} != numHashes $numHashes")
-    }
     // corpusBanded supplied from its materialized store skips the
     // per-run corpus re-banding, exactly as in the screen (the fold
     // and the screen share ONE signature/band artifact pair in
-    // production); the same loud bands-mismatch / empty-store guards
+    // production); the same loud bands-mismatch / empty-store guards.
+    // Both store guards (signature width, band range) ride ONE action:
+    // each eager probe is a scheduler round trip worth ~0.1 s at bench
+    // scale (guide §1.5 / the probe-folding discipline)
     val banded = corpusBanded match {
       case Some(cb) =>
-        val maxBandRow = cb.agg(max(col("band"))).head()
-        require(!maxBandRow.isNullAt(0),
+        // right join: an EMPTY signature store still yields the one
+        // aggregate row (NULL width skips the width guard, as the old
+        // take(1)-on-empty did), never a rowless head()
+        val guards = corpusSigs.select(size(col("sig")).as("_w")).limit(1)
+          .join(cb.agg(max(col("band")).as("_mb")), lit(true), "right")
+          .head()
+        require(guards.isNullAt(0) || guards.getInt(0) == numHashes,
+          s"corpus signature width ${guards.getInt(0)} != numHashes $numHashes")
+        require(!guards.isNullAt(1),
           "corpus band table is empty — an empty/unseeded band store " +
             "cannot back a fold; band the corpus signatures " +
             "(Dedup.bandedSignatures) and point the fold at that store")
-        require(maxBandRow.getInt(0) == bands - 1,
-          s"corpus band table has bands 0..${maxBandRow.getInt(0)} but " +
+        require(guards.getInt(1) == bands - 1,
+          s"corpus band table has bands 0..${guards.getInt(1)} but " +
             s"the fold states $bands bands — re-band the store or state " +
             "the right bands")
         cb
-      case None => bandedOf(corpusSigs, numHashes, bands, portable)
+      case None =>
+        corpusSigs.select(size(col("sig"))).take(1).foreach { r =>
+          require(r.getInt(0) == numHashes,
+            s"corpus signature width ${r.getInt(0)} != numHashes $numHashes")
+        }
+        bandedOf(corpusSigs, numHashes, bands, portable)
     }
     val st = state.select(col("doc_id"), col("cluster_id"),
       col("cluster_size"), col("score"), col("keep"))
@@ -1020,7 +1032,7 @@ object Dedup {
     val floor = minAgreeingBands(numHashes, bands, threshold)
     val newSigs =
       (if (portable) minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes, words)
-       else minhashSignatures(newDocs, idCol, textCol, n, numHashes, words)).persist()
+       else minhashSignatures(newDocs, idCol, textCol, n, numHashes, words)).persistFresh()
     // new × corpus pairs at est_jaccard >= threshold — asymmetric band
     // join routed through the screen's adaptive core (broadcast
     // increment when it fits, pair gate, salted shuffle fallback):
@@ -1037,7 +1049,7 @@ object Dedup {
       .select(col("id_a").as("_new"), col("id_b").as("_old"))
       .join(st.select(col("doc_id").as("_old"), col("cluster_id").as("_oc")),
         Seq("_old"), "left")
-      .persist()
+      .persistFresh()
     val newNew = scoredPairsFromSignatures(newSigs, numHashes, bands, portable,
         minCollisions = floor)
       .filter(col("est_jaccard") >= threshold)
@@ -1047,11 +1059,15 @@ object Dedup {
       .union(newNew.select(col("id_a").as("a"), col("id_b").as("b")))
     val comp = duplicateClusters(edges, "a", "b", maxRounds, checkpointDir)
       .select(col("id").as("_node"), col("cluster_id").as("_newc"))
-    // touched old clusters relabel wholesale (map is increment-scale)
+    // touched old clusters relabel wholesale (map is increment-scale).
+    // Persisted: BOTH state passes below consume it through a
+    // broadcast build, and without the cache each build re-runs the
+    // state scan + distinct chain (r21 job-count trim)
     val clusterMap = comp
       .join(st.select(col("cluster_id").as("_oldc")).distinct(),
         col("_node") === col("_oldc"))
       .select(col("_oldc"), col("_newc"))
+      .persistFresh()
     val touchedStateMembers = st
       .join(broadcast(clusterMap), col("cluster_id") === col("_oldc"))
       .select(col("doc_id"), col("_newc").as("cluster_id"), col("score"))
@@ -1081,7 +1097,7 @@ object Dedup {
       col("cluster_id") === col("_oldc"), "left_anti")
     val out = untouched.unionByName(recomputed)
     graft.CacheLifecycle.releaseWhenExecuted(out,
-      newOldResolved +: pairsCache.toSeq)
+      Seq(newOldResolved, clusterMap) ++ pairsCache.toSeq)
     (out, newSigs)
   }
 
@@ -1394,7 +1410,7 @@ object Dedup {
     // (driver: count + collect; distributed: the symmetric union) —
     // without the persist an expensive pair pipeline (LSH) would run
     // per consumption
-    val pc = p.persist()
+    val pc = p.persistFresh()
     val edgeCount = pc.count()
     if (edgeCount <= smallGraphEdgeLimit) {
       val out = clusterLongPairsDriver(pc)
@@ -1421,7 +1437,7 @@ object Dedup {
     // partitioning, so the persisted layout is reused every round and
     // only the (much smaller) label table moves per iteration.
     val edges = pc.union(pc.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src")).persist()
+      .distinct().repartition(col("src")).persistFresh()
     // Seed each node with min(self, neighbors) directly — the
     // symmetric edge list already carries every neighbor of `src`, so
     // one agg replaces what would otherwise be the whole first
@@ -1671,7 +1687,7 @@ object Dedup {
   def sourceOverlapMatrix(
       df: DataFrame, textCol: String, groupCol: String,
       n: Int = 5, numHashes: Int = 64): DataFrame = {
-    val sk = groupSketches(df, textCol, groupCol, n, numHashes).persist()
+    val sk = groupSketches(df, textCol, groupCol, n, numHashes).persistFresh()
     val out = overlapMatrixFromSketches(sk, numHashes)
     graft.CacheLifecycle.releaseWhenExecuted(out, Seq(sk))
     out

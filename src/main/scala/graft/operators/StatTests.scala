@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLifecycle.FreshPersist
 import graft.Limits
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -132,20 +133,27 @@ object StatTests {
     val gaps = ranked.select(col("_v"),
       abs(col("_ca").cast("double") / lit(ta.toDouble)
         - col("_cb").cast("double") / lit(tb.toDouble)).as("_gap"))
-      .persistCensus()
     val zScale = math.sqrt(ta.toDouble * tb.toDouble / (ta + tb).toDouble)
+    // sup + argmin-value in ONE aggregation pass (r21): min over
+    // (−gap, v) structs is lexicographic — most-negative −gap = the
+    // SUP, ties broken to the smallest value — exactly the previous
+    // max-then-rejoin two-pass result (double negation is bit-exact,
+    // incl. ±0.0 round-trip; Spark's double ordering breaks ties the
+    // same way min(v) did). Removes the gaps persist + broadcast
+    // rejoin: one whole chain of stage-materialization jobs per call.
     val out = gaps
-      .crossJoin(broadcast(gaps.agg(max(col("_gap")).as("_mx"))))
       .agg(
         count(lit(1)).as("n_distinct_values"),
-        max(col("_gap")).as("ks_stat"),
-        min(when(col("_gap") === col("_mx"), col("_v"))).as("ks_at"))
+        min(when(col("_gap").isNotNull,
+          struct((-col("_gap")).as("_ng"), col("_v").as("_at")))).as("_m"))
       .select(lit(ta).as("n_a"), lit(tb).as("n_b"),
-        col("n_distinct_values"), col("ks_stat"), col("ks_at"),
-        (lit(zScale) * col("ks_stat")).as("ks_z"))
+        col("n_distinct_values"),
+        (-col("_m._ng")).as("ks_stat"),
+        col("_m._at").as("ks_at"),
+        (lit(zScale) * (-col("_m._ng"))).as("ks_z"))
     // keyed on the returned frame: the eager stats head() above
     // already consumed the census (see aucMassCore's rationale)
-    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll, gaps))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll))
     out
   }
 
@@ -263,25 +271,26 @@ object StatTests {
         abs(col("_cumG").cast("double") / col("_tg").cast("double")
           - (col("_cumAll") - col("_cumG")).cast("double")
             / (lit(bigN) - col("_tg")).cast("double"))).as("_gap"))
-      .persistCensus()
-    val mxPerG = gaps.groupBy(col("_g")).agg(max(col("_gap")).as("_mx"))
+    // per-group sup + argmin-value in ONE aggregation (the solo form's
+    // r21 single-pass trick): no per-group max table, no broadcast
+    // rejoin, no gaps persist — the NULL-gap (whole-corpus) group's
+    // struct is NULL and min ignores it, matching the old max-of-NULLs
     val out = gaps
-      .join(bcIfSmall(mxPerG, nGroups), Seq("_g"))
       .groupBy(col("_g"))
       .agg(first(col("_tg")).as("n_group"),
-        max(col("_gap")).as("_d"),
-        min(when(col("_gap") === col("_mx"), col("_v"))).as("_at"))
+        min(when(col("_gap").isNotNull,
+          struct((-col("_gap")).as("_ng"), col("_v").as("_at")))).as("_m"))
       .select(col("_g").as("group_key"),
         col("n_group"),
         (lit(bigN) - col("n_group")).as("n_rest"),
         lit(nd).as("n_distinct_values"),
-        when(col("n_group") < lit(bigN), col("_d")).as("ks_stat"),
-        when(col("n_group") < lit(bigN), col("_at")).as("ks_at"),
+        when(col("n_group") < lit(bigN), -col("_m._ng")).as("ks_stat"),
+        when(col("n_group") < lit(bigN), col("_m._at")).as("ks_at"),
         when(col("n_group") < lit(bigN),
           sqrt(col("n_group").cast("double")
             * (lit(bigN) - col("n_group")).cast("double")
-            / lit(bigN.toDouble)) * col("_d")).as("ks_z"))
-    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusGvAll, cumAll, gaps))
+            / lit(bigN.toDouble)) * (-col("_m._ng"))).as("ks_z"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusGvAll, cumAll))
     out
   }
 
@@ -376,24 +385,24 @@ object StatTests {
       .select(col("_p"), col("_v"), col("_tl"), col("_tr"), col("_nd"),
         abs(col("_cl").cast("double") / col("_tl").cast("double")
           - col("_cr").cast("double") / col("_tr").cast("double")).as("_gap"))
-      .persistCensus()
-    val mxPerP = gaps.groupBy(col("_p")).agg(max(col("_gap")).as("_mx"))
+    // per-pair sup + argmin-value in one aggregation (the r21
+    // single-pass trick — see ksTwoSample)
     val out = gaps
-      .join(bcIfSmall(mxPerP, nPairs), Seq("_p"))
       .groupBy(col("_p"))
       .agg(first(col("_tl")).as("n_left"),
         first(col("_tr")).as("n_right"),
         first(col("_nd")).as("n_distinct_values"),
-        max(col("_gap")).as("ks_stat"),
-        min(when(col("_gap") === col("_mx"), col("_v"))).as("ks_at"))
+        min(when(col("_gap").isNotNull,
+          struct((-col("_gap")).as("_ng"), col("_v").as("_at")))).as("_m"))
       .select(col("_p").as("bucket_start_us"),
         (col("_p") + lit(width)).as("next_start_us"),
         col("n_left"), col("n_right"), col("n_distinct_values"),
-        col("ks_stat"), col("ks_at"),
+        (-col("_m._ng")).as("ks_stat"),
+        col("_m._at").as("ks_at"),
         (sqrt(col("n_left").cast("double") * col("n_right").cast("double")
           / (col("n_left") + col("n_right")).cast("double"))
-          * col("ks_stat")).as("ks_z"))
-    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll, pc, gaps))
+          * (-col("_m._ng"))).as("ks_z"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll, pc))
     out
   }
 
@@ -583,9 +592,14 @@ object StatTests {
           col("_k").cast("decimal(38,0)") * col("_T").cast("decimal(38,0)"))
           .cast("decimal(38,0)"))
       .persistCensus()
-    val mx = cum.agg(max(abs(col("cusum_scaled"))).as("_mx"))
-    val peak = cum.crossJoin(broadcast(mx))
-      .agg(min(when(abs(col("cusum_scaled")) === col("_mx"), col("_b"))).as("_pb"))
+    // peak bucket in ONE aggregation (the r21 struct-min trick): min
+    // over (−|cusum|, b) = largest deviation, ties to the earliest
+    // bucket — decimal negation is exact, same argmin as the old
+    // max-then-crossJoin two-pass
+    val peak = cum
+      .agg(min(struct((-abs(col("cusum_scaled"))).as("_na"),
+        col("_b").as("_b"))).as("_m"))
+      .select(col("_m._b").as("_pb"))
     val keep = daily.columns.map {
       case "_b" => col("_b").as("bucket_start_us")
       case c    => col(c)
@@ -667,12 +681,14 @@ object StatTests {
           col("_j").cast("decimal(38,0)") * col("_N").cast("decimal(38,0)"))
           .cast("decimal(38,0)"))
       .persistCensus()
-    val mxPerK = cum.groupBy(col("_k").as("_mk"))
-      .agg(max(abs(col("cusum_scaled"))).as("_mx"))
+    // per-key peak bucket in ONE aggregation (the r21 struct-min
+    // trick — see cusumCore): drops the per-key max table and its
+    // broadcast rejoin
     val peakPerK = cum
-      .join(bcIfSmall(mxPerK, nKeys), col("_k") === col("_mk"))
       .groupBy(col("_k").as("_pk"))
-      .agg(min(when(abs(col("cusum_scaled")) === col("_mx"), col("_b"))).as("_pb"))
+      .agg(min(struct((-abs(col("cusum_scaled"))).as("_na"),
+        col("_b").as("_b"))).as("_m"))
+      .select(col("_pk"), col("_m._b").as("_pb"))
     val out = cum
       .join(bcIfSmall(peakPerK, nKeys), col("_k") === col("_pk"))
       .select(col("_k").as("key"), col("_b").as("bucket_start_us"),
@@ -835,24 +851,24 @@ object StatTests {
       when(col("_ta") > 0L && col("_tb") > 0L,
         abs(col("_ca").cast("double") / col("_ta").cast("double")
           - col("_cb").cast("double") / col("_tb").cast("double"))).as("_gap"))
-      .persistCensus()
-    val mxPerG = gaps.groupBy(col("_g")).agg(max(col("_gap")).as("_mx"))
+    // per-group sup + argmin-value in one aggregation (the r21
+    // single-pass trick — see ksTwoSample): empty-cohort groups have
+    // all-NULL gaps, a NULL struct min, and NULL stats, as before
     val out = gaps
-      .join(bcIfSmall(mxPerG, nGroups), Seq("_g"))
       .groupBy(col("_g"))
       .agg(first(col("_ta")).as("n_a"),
         first(col("_tb")).as("n_b"),
         count(lit(1)).as("n_distinct_values"),
-        max(col("_gap")).as("_d"),
-        min(when(col("_gap") === col("_mx"), col("_v"))).as("_at"))
+        min(when(col("_gap").isNotNull,
+          struct((-col("_gap")).as("_ng"), col("_v").as("_at")))).as("_m"))
       .select(col("_g").as("group_key"), col("n_a"), col("n_b"),
         col("n_distinct_values"),
-        col("_d").as("ks_stat"),
-        col("_at").as("ks_at"),
-        when(col("_d").isNotNull,
+        (-col("_m._ng")).as("ks_stat"),
+        col("_m._at").as("ks_at"),
+        when(col("_m").isNotNull,
           sqrt(col("n_a").cast("double") * col("n_b").cast("double")
-            / (col("n_a") + col("n_b")).cast("double")) * col("_d")).as("ks_z"))
-    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll, gaps))
+            / (col("n_a") + col("n_b")).cast("double")) * (-col("_m._ng"))).as("ks_z"))
+    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusAll))
     out
   }
 
@@ -1556,7 +1572,7 @@ object StatTests {
     val daily = df.filter(ts.isNotNull)
       .select((us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_b")).agg(count(lit(1)).as("_n"))
-      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
+      .persistFresh() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val bounds = daily.agg(min(col("_b")), max(col("_b")), count(lit(1))).head()
     if (bounds.isNullAt(0)) {
       daily.unpersist(blocking = false)
@@ -1606,7 +1622,7 @@ object StatTests {
     val daily = df.filter(ts.isNotNull && key.isNotNull)
       .select(key.as("_k"), (us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_k"), col("_b")).agg(count(lit(1)).as("_n"))
-      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
+      .persistFresh() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
     if (bounds.isNullAt(0)) {
       daily.unpersist(blocking = false)
@@ -1664,7 +1680,7 @@ object StatTests {
     val daily = df.filter(ts.isNotNull)
       .select((us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_b")).agg(count(lit(1)).as("_n"))
-      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
+      .persistFresh() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
     if (bounds.isNullAt(0)) {
       daily.unpersist(blocking = false)
@@ -1683,7 +1699,7 @@ object StatTests {
       .select((lit(mn) + col("id") * lit(width)).as("_b"))
     val series = spine.join(daily, Seq("_b"), "left")
       .select(col("_b"), coalesce(col("_n"), lit(0L)).as("_n"))
-      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
+      .persistFresh() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val l = series.select(col("_b").as("_b1"), col("_n").as("_n1"))
     val r = series.select(col("_b").as("_b2"), col("_n").as("_n2"))
     val sAgg = l.join(r, col("_b1") < col("_b2"))
@@ -1730,7 +1746,7 @@ object StatTests {
     val daily = df.filter(ts.isNotNull && key.isNotNull)
       .select(key.as("_k"), (us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_k"), col("_b")).agg(count(lit(1)).as("_n"))
-      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
+      .persistFresh() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
     if (bounds.isNullAt(0)) {
       daily.unpersist(blocking = false)
@@ -1752,7 +1768,7 @@ object StatTests {
       .crossJoin(broadcast(spine))
       .join(daily, Seq("_k", "_b"), "left")
       .select(col("_k"), col("_b"), coalesce(col("_n"), lit(0L)).as("_n"))
-      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
+      .persistFresh() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val l = series.select(col("_k"), col("_b").as("_b1"), col("_n").as("_n1"))
     val r = series.select(col("_k").as("_k2"), col("_b").as("_b2"), col("_n").as("_n2"))
     val sAgg = l.join(r, col("_k") === col("_k2") && col("_b1") < col("_b2"))
@@ -1821,7 +1837,7 @@ object StatTests {
     val daily = df.filter(ts.isNotNull)
       .select((us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_b")).agg(count(lit(1)).as("_n"))
-      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
+      .persistFresh() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
     if (bounds.isNullAt(0)) {
       daily.unpersist(blocking = false)
@@ -1845,7 +1861,7 @@ object StatTests {
     val series = spine.join(daily, Seq("_b"), "left")
       .select(col("_b"), stratum.as("_g"),
         coalesce(col("_n"), lit(0L)).as("_n"))
-      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
+      .persistFresh() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val l = series.select(col("_g"), col("_b").as("_b1"), col("_n").as("_n1"))
     val r = series.select(col("_g").as("_g2"), col("_b").as("_b2"), col("_n").as("_n2"))
     val sAgg = l.join(r, col("_g") === col("_g2") && col("_b1") < col("_b2"))
@@ -1902,7 +1918,7 @@ object StatTests {
     val daily = df.filter(ts.isNotNull && key.isNotNull)
       .select(key.as("_k"), (us - pmod(us, lit(width))).as("_b"))
       .groupBy(col("_k"), col("_b")).agg(count(lit(1)).as("_n"))
-      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
+      .persistFresh() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val bounds = daily.agg(min(col("_b")), max(col("_b"))).head()
     if (bounds.isNullAt(0)) {
       daily.unpersist(blocking = false)
@@ -1927,7 +1943,7 @@ object StatTests {
       .join(daily, Seq("_k", "_b"), "left")
       .select(col("_k"), col("_b"), stratum.as("_g"),
         coalesce(col("_n"), lit(0L)).as("_n"))
-      .persist() // pair-expansion source: CPU-dense downstream, keep full partitioning
+      .persistFresh() // pair-expansion source: CPU-dense downstream, keep full partitioning
     val l = series.select(col("_k"), col("_g"), col("_b").as("_b1"), col("_n").as("_n1"))
     val r = series.select(col("_k").as("_k2"), col("_g").as("_g2"),
       col("_b").as("_b2"), col("_n").as("_n2"))

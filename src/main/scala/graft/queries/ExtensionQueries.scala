@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.CacheLifecycle.FreshPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -662,7 +663,7 @@ object ExtensionQueries {
       "q129_incremental_keep_list") {
       Dedup.bandedSignatures(priorSigs, LshHashes, LshBands, portable = true)
     }
-    val scores = scoresRaw.persist()
+    val scores = scoresRaw.persistFresh()
     val (updated, newSigs) = Dedup.foldIntoClusterKeepList(
       state, priorSigs, scores, newBatch, "doc_id", "text",
       n = LshShingleN, numHashes = LshHashes, bands = LshBands,
@@ -734,7 +735,7 @@ object ExtensionQueries {
     // arrives from materialized stores; scores is persisted because
     // the fold consumes it three times
     val (state, priorSigs, priorBanded, scoresRaw) = ensureWordKeepListState(spark, d)
-    val scores = scoresRaw.persist()
+    val scores = scoresRaw.persistFresh()
     val (updated, newSigs) = Dedup.foldIntoClusterKeepList(
       state, priorSigs, scores, newBatch, "doc_id", "text",
       n = WordLshN, numHashes = LshHashes, bands = LshBands,

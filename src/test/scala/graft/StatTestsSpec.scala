@@ -37,6 +37,36 @@ class StatTestsSpec extends AnyFunSuite {
       math.sqrt(3.0 * 3.0 / 6.0) * d)
   }
 
+  test("exact ties at the sup break to the smallest value (single-pass argmax pin)") {
+    // A = {1,3}, B = {2,4}: gaps are exactly 0.5, 0.0, 0.5, 0.0 —
+    // bit-equal doubles at v=1 and v=3 — so ks_at must be the SMALLEST
+    // tied value in every form (the r21 struct-min single-pass
+    // aggregation must tie-break exactly like the old max-then-rejoin)
+    val df = Seq((1.0, true), (3.0, true), (2.0, false), (4.0, false))
+      .toDF("v", "a")
+    val solo = StatTests.ksTwoSample(df, $"v", $"a").head()
+    assert(solo.getAs[Double]("ks_stat") == 0.5 && solo.getAs[Double]("ks_at") == 1.0)
+    val grouped = Seq(
+      ("g1", 1.0, true), ("g1", 3.0, true), ("g1", 2.0, false), ("g1", 4.0, false),
+      ("g2", 1.0, true), ("g2", 3.0, true), ("g2", 2.0, false), ("g2", 4.0, false))
+      .toDF("g", "v", "a")
+    StatTests.ksTwoSampleBy(grouped, $"g", $"v", $"a").collect().foreach { r =>
+      assert(r.getAs[Double]("ks_stat") == 0.5 && r.getAs[Double]("ks_at") == 1.0)
+    }
+  }
+
+  test("cusum peak ties break to the earliest bucket (single-pass argmax pin)") {
+    // masses 2,1,1,2 over buckets 0..3s: scaled deviations 2,0,-2,0 —
+    // |.| ties at buckets 0 and 2; the flagged peak must be bucket 0
+    val df = Seq((0L, 1), (0L, 1), (1L, 1), (2L, 1), (3L, 1), (3L, 1))
+      .toDF("s", "x")
+      .select(timestamp_seconds($"s").as("ts"), $"x")
+    val r = StatTests.cusumChangePoint(df, $"ts", bucketSeconds = 1L)
+      .collect().sortBy(_.getAs[Long]("bucket_start_us"))
+    assert(r.map(_.getAs[Boolean]("is_peak")).toSeq ==
+      Seq(true, false, false, false))
+  }
+
   test("ksTwoSample: identical distributions give D = 0; disjoint give D = 1") {
     val same = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
       .toDF("v", "a")
