@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
 
 /** Spread an UNSPLITTABLE input across the session's cores before
   * CPU-dense per-row work — guide §2.5's input-skew remedy
@@ -37,12 +37,24 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, S
   */
 object ParallelSpread {
 
-  private def scanChainOnly(df: DataFrame): Boolean =
-    df.queryExecution.analyzed.collect { case p => p }.forall {
+  /** True only for a bare scan/filter/project chain whose leaves are
+    * FILE scans: the one-row-group input skew this spread was measured
+    * on lives behind a file scan, while an in-memory/LocalRelation
+    * frame (unit tests, small fixtures) gains nothing from a hash
+    * exchange and should pass through untouched (r21, ADVICE item).
+    */
+  private def scanChainOnly(df: DataFrame): Boolean = {
+    var fileLeaf = false
+    val chainOk = df.queryExecution.analyzed.collect { case p => p }.forall {
       case _: Project | _: Filter | _: SubqueryAlias => true
-      case _: LeafNode => true
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        fileLeaf = true; true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        fileLeaf = true; true
       case _ => false
     }
+    chainOk && fileLeaf
+  }
 
   def forCpu(df: DataFrame, key: Column): DataFrame = {
     if (!scanChainOnly(df)) return df
