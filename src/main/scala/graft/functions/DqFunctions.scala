@@ -207,12 +207,12 @@ object DqFunctions {
   }
 
   /** Estimated Jaccard from two equal-length minhash signatures:
-    * fraction of agreeing components.
+    * fraction of agreeing components. Native one-loop expression (r21)
+    * — value-identical to the previous zip_with + aggregate HOF pair,
+    * without the boxed intermediate array per scored candidate pair.
     */
   def minhashAgreement(sigA: Column, sigB: Column): Column =
-    aggregate(
-      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / size(sigA).cast("double")
+    MinhashAgreementExpression.minhashAgreementNative(sigA, sigB)
 
   /** Whitespace token count — number of maximal \S+ runs. */
   def tokenCount(text: Column): Column =

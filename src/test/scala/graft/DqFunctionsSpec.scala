@@ -108,6 +108,39 @@ class DqFunctionsSpec extends AnyFunSuite {
     assert(edge.forall(_.isNullAt(0)))
   }
 
+  test("native MinhashAgreement equals the HOF zip_with+aggregate composition") {
+    import graft.functions.{DqFunctions, MinhashAgreementExpression}
+    def hof(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / size(a).cast("double")
+    val docs = Tables.documents(spark, TestSpark.sf).limit(120)
+      .select($"doc_id",
+        DqFunctions.charShingles($"text", 3).as("sh"))
+      .select($"doc_id",
+        graft.functions.MinhashExpression.minhashFromBaseNative(
+          DqFunctions.minhashBaseHashes($"sh"), 64).as("sig"))
+    val both = docs.as("a").crossJoin(docs.as("b"))
+      .select(
+        MinhashAgreementExpression.minhashAgreementNative($"a.sig", $"b.sig").as("native"),
+        hof($"a.sig", $"b.sig").as("hof"))
+    assert(both.filter($"native" =!= $"hof" ||
+      $"native".isNull =!= $"hof".isNull).count() == 0)
+    // length mismatch: components past the shorter array never agree,
+    // the divisor is the LEFT length; NULL arrays poison to NULL
+    val edge = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L)),
+      (Seq(1L, 2L), Seq(1L, 2L, 3L, 4L))).toDF("a", "b")
+      .select(
+        MinhashAgreementExpression.minhashAgreementNative($"a", $"b").as("native"),
+        hof($"a", $"b").as("hof")).collect()
+    assert(edge.forall(r => r.getDouble(0) == r.getDouble(1)))
+    val nul = Seq((null, Seq(1L))).toDF("a", "b")
+      .select(MinhashAgreementExpression.minhashAgreementNative(
+        $"a".cast("array<bigint>"), $"b")).collect()
+    assert(nul.forall(_.isNullAt(0)))
+  }
+
   test("native MinhashFromBase equals the HOF transform+array_min composition") {
     import graft.functions.{DqFunctions, MinhashExpression}
     val docs = Tables.documents(spark, TestSpark.sf).limit(200)
