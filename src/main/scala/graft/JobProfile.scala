@@ -22,7 +22,8 @@ object JobProfile {
       id: Int, name: String, var ms: Long = 0L,
       var shufRead: Long = 0L, var shufWrite: Long = 0L,
       var input: Long = 0L, var tasks: Int = 0,
-      var runMs: Long = 0L, var deserMs: Long = 0L)
+      var runMs: Long = 0L, var deserMs: Long = 0L,
+      var rdds: String = "")
   final case class JobRec(
       id: Int, desc: String, t0: Long, var t1: Long = 0L,
       stages: mutable.Set[Int] = mutable.Set.empty)
@@ -50,6 +51,7 @@ object JobProfile {
       r.tasks += si.numTasks
       r.runMs += si.taskMetrics.executorRunTime
       r.deserMs += si.taskMetrics.executorDeserializeTime
+      r.rdds = si.rddInfos.map(_.name).distinct.mkString(",")
     }
     def reset(): Unit = synchronized { jobs.clear(); stages.clear() }
   }
@@ -108,7 +110,7 @@ object JobProfile {
             }
             val heavy = rec.stages.values.toSeq.sortBy(-_.ms).take(8)
             heavy.foreach { s =>
-              println(f"    stage ${s.id}%4d ${s.ms / 1e3}%7.3f s tasks=${s.tasks}%3d run=${s.runMs / 1e3}%7.3f deser=${s.deserMs / 1e3}%6.3f in=${s.input / 1e6}%8.1fMB sr=${s.shufRead / 1e6}%7.1fMB sw=${s.shufWrite / 1e6}%7.1fMB ${s.name.take(60)}")
+              println(f"    stage ${s.id}%4d ${s.ms / 1e3}%7.3f s tasks=${s.tasks}%3d run=${s.runMs / 1e3}%7.3f deser=${s.deserMs / 1e3}%6.3f in=${s.input / 1e6}%8.1fMB sr=${s.shufRead / 1e6}%7.1fMB sw=${s.shufWrite / 1e6}%7.1fMB ${s.name.take(40)} rdds=${s.rdds.take(120)}")
             }
           }
       }

@@ -69,9 +69,28 @@ object StatTests {
     * in a CDF). If either cohort is empty the statistic columns are
     * NULL — the test is undefined, not 0.
     */
+  /** Census cardinality at or under which the KS family computes its
+    * cumulative prefixes with a DIRECT window (unpartitioned for the
+    * solo form, group-partitioned for the grouped forms) instead of
+    * the cell/offset apparatus — the cardinality-adaptive convention
+    * (the adaptive-broadcast / small-graph-driver pattern). The cell
+    * trick exists solely for intra-partition parallelism on a census
+    * with billions of distinct values; the prefix sums are exact Long
+    * additions either way, so BOTH paths produce bit-identical
+    * statistics (spec-pinned by forcing each path). Under the limit
+    * the direct form removes, per call: the per-cell totals aggregate,
+    * the offsets window, their broadcast build, and the offset rejoin
+    * — a chain of serial AQE stage-materialization jobs each worth
+    * ~50–100 ms at bench scale (JobProfile r21). 1M census rows is a
+    * few tens of MB in one window task — the same order as the
+    * engine's broadcast limit.
+    */
+  val DefaultDirectWindowRows: Long = 1L << 20
+
   def ksTwoSample(
       df: DataFrame, value: Column, inA: Column,
-      cells: Int = 4096): DataFrame = {
+      cells: Int = 4096,
+      directWindowRows: Long = DefaultDirectWindowRows): DataFrame = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     val W = org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
@@ -106,30 +125,41 @@ object StatTests {
         lit(null).cast("double").as("ks_z"))
     }
     val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
-    val width = (mx - mn) / cells
-    val cell =
-      if (mx == mn) lit(0L)
-      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
-    val cen = census.withColumn("_c", cell)
-    // per-cell cohort totals -> broadcast offsets (≤ `cells` rows; the
-    // lone unpartitioned window is bounded by construction)
-    val perCell = cen.groupBy(col("_c"))
-      .agg(sum(col("_na")).as("_tca"), sum(col("_nb")).as("_tcb"))
-    val offs = perCell
-      .withColumn("_offa",
-        coalesce(sum(col("_tca")).over(
-          W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("_offb",
-        coalesce(sum(col("_tcb")).over(
-          W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-    // within-cell INCLUSIVE prefix, cell-partitioned — the ECDF at
-    // each distinct value; parallel in `cells`
-    val wIncl = W.partitionBy(col("_c")).orderBy(col("_v"))
-      .rowsBetween(W.unboundedPreceding, 0)
-    val ranked = cen
-      .join(broadcast(offs.select(col("_c"), col("_offa"), col("_offb"))), Seq("_c"))
-      .withColumn("_ca", col("_offa") + sum(col("_na")).over(wIncl))
-      .withColumn("_cb", col("_offb") + sum(col("_nb")).over(wIncl))
+    val nd = stats.getLong(4)
+    val ranked = if (nd <= directWindowRows) {
+      // direct path (census fits one window task): the inclusive
+      // prefixes in ONE bounded unpartitioned window — same exact Long
+      // sums, none of the cell/offset machinery
+      val wd = W.orderBy(col("_v")).rowsBetween(W.unboundedPreceding, 0)
+      census
+        .withColumn("_ca", sum(col("_na")).over(wd))
+        .withColumn("_cb", sum(col("_nb")).over(wd))
+    } else {
+      val width = (mx - mn) / cells
+      val cell =
+        if (mx == mn) lit(0L)
+        else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+      val cen = census.withColumn("_c", cell)
+      // per-cell cohort totals -> broadcast offsets (≤ `cells` rows;
+      // the lone unpartitioned window is bounded by construction)
+      val perCell = cen.groupBy(col("_c"))
+        .agg(sum(col("_na")).as("_tca"), sum(col("_nb")).as("_tcb"))
+      val offs = perCell
+        .withColumn("_offa",
+          coalesce(sum(col("_tca")).over(
+            W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("_offb",
+          coalesce(sum(col("_tcb")).over(
+            W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      // within-cell INCLUSIVE prefix, cell-partitioned — the ECDF at
+      // each distinct value; parallel in `cells`
+      val wIncl = W.partitionBy(col("_c")).orderBy(col("_v"))
+        .rowsBetween(W.unboundedPreceding, 0)
+      cen
+        .join(broadcast(offs.select(col("_c"), col("_offa"), col("_offb"))), Seq("_c"))
+        .withColumn("_ca", col("_offa") + sum(col("_na")).over(wIncl))
+        .withColumn("_cb", col("_offb") + sum(col("_nb")).over(wIncl))
+    }
     val gaps = ranked.select(col("_v"),
       abs(col("_ca").cast("double") / lit(ta.toDouble)
         - col("_cb").cast("double") / lit(tb.toDouble)).as("_gap"))
@@ -185,7 +215,8 @@ object StatTests {
     */
   def ksGroupVsRest(
       df: DataFrame, group: Column, value: Column,
-      cells: Int = 4096): DataFrame = {
+      cells: Int = 4096,
+      directWindowRows: Long = DefaultDirectWindowRows): DataFrame = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     val W = org.apache.spark.sql.expressions.Window
     val nn = df.filter(group.isNotNull)
@@ -217,24 +248,38 @@ object StatTests {
     val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
     val bigN = bounds.getLong(2)
     val nd = bounds.getLong(3)
-    val width = (mx - mn) / cells
-    val cell =
-      if (mx == mn) lit(0L)
-      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
-    // global inclusive cumulative, solo cell machinery (ONE copy,
-    // shared by every group through the spine)
-    val cenV = censusV.withColumn("_c", cell)
-    val offsV = cenV.groupBy(col("_c")).agg(sum(col("_nAll")).as("_tc"))
-      .withColumn("_off",
-        coalesce(sum(col("_tc")).over(
-          W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-    val wIncl = W.partitionBy(col("_c")).orderBy(col("_v"))
-      .rowsBetween(W.unboundedPreceding, 0)
-    val cumAll = cenV
-      .join(broadcast(offsV.select(col("_c"), col("_off"))), Seq("_c"))
-      .withColumn("_cumAll", col("_off") + sum(col("_nAll")).over(wIncl))
-      .select(col("_v"), col("_c"), col("_cumAll"))
-      .persistCensus()
+    val direct = nd <= directWindowRows
+    // global inclusive cumulative (ONE copy, shared by every group
+    // through the spine): direct bounded window when the census is
+    // small ([[DefaultDirectWindowRows]] — same exact Long sums), the
+    // solo cell machinery otherwise
+    val cumAll =
+      if (direct)
+        censusV.withColumn("_cumAll",
+            sum(col("_nAll")).over(
+              W.orderBy(col("_v")).rowsBetween(W.unboundedPreceding, 0)))
+          .select(col("_v"), col("_cumAll"))
+      else {
+        val width = (mx - mn) / cells
+        val cell =
+          if (mx == mn) lit(0L)
+          else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+        val cenV = censusV.withColumn("_c", cell)
+        val offsV = cenV.groupBy(col("_c")).agg(sum(col("_nAll")).as("_tc"))
+          .withColumn("_off",
+            coalesce(sum(col("_tc")).over(
+              W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        val wIncl = W.partitionBy(col("_c")).orderBy(col("_v"))
+          .rowsBetween(W.unboundedPreceding, 0)
+        // persisted on the CELL path only: there the spine is consumed
+        // twice (offset aggregate + ranked join); the direct spine has
+        // one consumer, so a cache would only add a materialization
+        cenV
+          .join(broadcast(offsV.select(col("_c"), col("_off"))), Seq("_c"))
+          .withColumn("_cumAll", col("_off") + sum(col("_nAll")).over(wIncl))
+          .select(col("_v"), col("_c"), col("_cumAll"))
+          .persistCensus()
+      }
     // group totals (group-scale) and the groups × values spine.
     // Broadcasts are cardinality-adaptive (the grouped-eval family's
     // convention): the group count rode the bounds job above, and
@@ -250,19 +295,28 @@ object StatTests {
       .crossJoin(bcIfSmall(groupTot, nGroups))
       .join(censusGv, Seq("_g", "_v"), "left")
       .withColumn("_ng", coalesce(col("_n"), lit(0L)))
-    // per-group inclusive prefix: (group, cell)-partitioned window
-    // offset by per-(group, cell) totals — groups×cells offset rows
-    val perGc = spine.groupBy(col("_g"), col("_c")).agg(sum(col("_ng")).as("_tgc"))
-    val wg = W.partitionBy(col("_g")).orderBy(col("_c"))
-      .rowsBetween(W.unboundedPreceding, -1)
-    val offsG = perGc.withColumn("_offg",
-      coalesce(sum(col("_tgc")).over(wg), lit(0L)))
-    val wgIncl = W.partitionBy(col("_g"), col("_c")).orderBy(col("_v"))
-      .rowsBetween(W.unboundedPreceding, 0)
-    val ranked = spine
-      .join(bcIfSmall(offsG.select(col("_g"), col("_c"), col("_offg")),
-        nGroups * cells), Seq("_g", "_c"))
-      .withColumn("_cumG", col("_offg") + sum(col("_ng")).over(wgIncl))
+    val ranked =
+      if (direct)
+        // per-group inclusive prefix in ONE group-partitioned window
+        // (≤ nd ≤ directWindowRows rows per partition, bounded)
+        spine.withColumn("_cumG",
+          sum(col("_ng")).over(W.partitionBy(col("_g")).orderBy(col("_v"))
+            .rowsBetween(W.unboundedPreceding, 0)))
+      else {
+        // per-group inclusive prefix: (group, cell)-partitioned window
+        // offset by per-(group, cell) totals — groups×cells offset rows
+        val perGc = spine.groupBy(col("_g"), col("_c")).agg(sum(col("_ng")).as("_tgc"))
+        val wg = W.partitionBy(col("_g")).orderBy(col("_c"))
+          .rowsBetween(W.unboundedPreceding, -1)
+        val offsG = perGc.withColumn("_offg",
+          coalesce(sum(col("_tgc")).over(wg), lit(0L)))
+        val wgIncl = W.partitionBy(col("_g"), col("_c")).orderBy(col("_v"))
+          .rowsBetween(W.unboundedPreceding, 0)
+        spine
+          .join(bcIfSmall(offsG.select(col("_g"), col("_c"), col("_offg")),
+            nGroups * cells), Seq("_g", "_c"))
+          .withColumn("_cumG", col("_offg") + sum(col("_ng")).over(wgIncl))
+      }
     // the when-guard keeps the rest-side divisor live only when the
     // rest is non-empty (ANSI mode raises on /0 otherwise); the
     // degenerate whole-corpus group gets NULL gaps, masked below
@@ -290,7 +344,8 @@ object StatTests {
           sqrt(col("n_group").cast("double")
             * (lit(bigN) - col("n_group")).cast("double")
             / lit(bigN.toDouble)) * (-col("_m._ng"))).as("ks_z"))
-    graft.CacheLifecycle.releaseWhenExecuted(out, Seq(censusGvAll, cumAll))
+    graft.CacheLifecycle.releaseWhenExecuted(out,
+      if (direct) Seq(censusGvAll) else Seq(censusGvAll, cumAll))
     out
   }
 
@@ -320,7 +375,8 @@ object StatTests {
     */
   def ksAdjacentPeriods(
       df: DataFrame, ts: Column, value: Column,
-      bucketSeconds: Long, cells: Int = 4096): DataFrame = {
+      bucketSeconds: Long, cells: Int = 4096,
+      directWindowRows: Long = DefaultDirectWindowRows): DataFrame = {
     require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
     require(cells >= 1, s"cells must be >= 1, got $cells")
     val W = org.apache.spark.sql.expressions.Window
@@ -336,7 +392,8 @@ object StatTests {
     // bounds + bucket cardinality in ONE job; the bucket count is a
     // safe upper bound on the pair count for the adaptive broadcasts
     val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
-        countDistinct(col("_b")).as("nb"))
+        countDistinct(col("_b")).as("nb"),
+        count(lit(1)).as("nrows"))
       .head()
     if (bounds.isNullAt(0)) {
       censusAll.unpersist(blocking = false)
@@ -359,27 +416,38 @@ object StatTests {
     val tot = pc.groupBy(col("_p"))
       .agg(sum(col("_nl")).as("_tl"), sum(col("_nr")).as("_tr"),
         count(lit(1)).as("_nd"))
-    // GLOBAL bounds for the cells (the grouped-family convention:
-    // cells only control window parallelism)
-    val width2 = (mx - mn) / cells
-    val cell =
-      if (mx == mn) lit(0L)
-      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width2)))
-    val cen = pc.withColumn("_c", cell)
-    val perPc = cen.groupBy(col("_p"), col("_c"))
-      .agg(sum(col("_nl")).as("_tcl"), sum(col("_nr")).as("_tcr"))
-    val wp = W.partitionBy(col("_p")).orderBy(col("_c"))
-      .rowsBetween(W.unboundedPreceding, -1)
-    val offs = perPc
-      .withColumn("_offl", coalesce(sum(col("_tcl")).over(wp), lit(0L)))
-      .withColumn("_offr", coalesce(sum(col("_tcr")).over(wp), lit(0L)))
-    val wIncl = W.partitionBy(col("_p"), col("_c")).orderBy(col("_v"))
-      .rowsBetween(W.unboundedPreceding, 0)
-    val ranked = cen
-      .join(bcIfSmall(offs.select(col("_p"), col("_c"), col("_offl"), col("_offr")),
-        nPairs * cells), Seq("_p", "_c"))
-      .withColumn("_cl", col("_offl") + sum(col("_nl")).over(wIncl))
-      .withColumn("_cr", col("_offr") + sum(col("_nr")).over(wIncl))
+    // pair census ≤ 2× value census rows: a safe direct-path gate
+    val ranked = if (2L * bounds.getLong(3) <= directWindowRows) {
+      // direct path (pair census fits bounded pair windows — see
+      // [[DefaultDirectWindowRows]]): per-pair inclusive prefixes in
+      // one pair-partitioned window, no cell/offset apparatus
+      val wd = W.partitionBy(col("_p")).orderBy(col("_v"))
+        .rowsBetween(W.unboundedPreceding, 0)
+      pc.withColumn("_cl", sum(col("_nl")).over(wd))
+        .withColumn("_cr", sum(col("_nr")).over(wd))
+    } else {
+      // GLOBAL bounds for the cells (the grouped-family convention:
+      // cells only control window parallelism)
+      val width2 = (mx - mn) / cells
+      val cell =
+        if (mx == mn) lit(0L)
+        else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width2)))
+      val cen = pc.withColumn("_c", cell)
+      val perPc = cen.groupBy(col("_p"), col("_c"))
+        .agg(sum(col("_nl")).as("_tcl"), sum(col("_nr")).as("_tcr"))
+      val wp = W.partitionBy(col("_p")).orderBy(col("_c"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val offs = perPc
+        .withColumn("_offl", coalesce(sum(col("_tcl")).over(wp), lit(0L)))
+        .withColumn("_offr", coalesce(sum(col("_tcr")).over(wp), lit(0L)))
+      val wIncl = W.partitionBy(col("_p"), col("_c")).orderBy(col("_v"))
+        .rowsBetween(W.unboundedPreceding, 0)
+      cen
+        .join(bcIfSmall(offs.select(col("_p"), col("_c"), col("_offl"), col("_offr")),
+          nPairs * cells), Seq("_p", "_c"))
+        .withColumn("_cl", col("_offl") + sum(col("_nl")).over(wIncl))
+        .withColumn("_cr", col("_offr") + sum(col("_nr")).over(wIncl))
+    }
     val gaps = ranked
       .join(bcIfSmall(tot, nPairs), Seq("_p"))
       .select(col("_p"), col("_v"), col("_tl"), col("_tr"), col("_nd"),
@@ -788,7 +856,8 @@ object StatTests {
     */
   def ksTwoSampleBy(
       df: DataFrame, group: Column, value: Column, inA: Column,
-      cells: Int = 4096): DataFrame = {
+      cells: Int = 4096,
+      directWindowRows: Long = DefaultDirectWindowRows): DataFrame = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     val W = org.apache.spark.sql.expressions.Window
     val nn = df.filter(group.isNotNull && inA.isNotNull)
@@ -803,7 +872,8 @@ object StatTests {
     // the adaptive broadcasts below without a second probe)
     val bounds = census
       .agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
-        countDistinct(col("_g")).as("ng"))
+        countDistinct(col("_g")).as("ng"),
+        count(lit(1)).as("nd"))
       .head()
     if (bounds.isNullAt(0)) {
       censusAll.unpersist(blocking = false)
@@ -818,32 +888,46 @@ object StatTests {
     val nGroups = bounds.getLong(2)
     def bcIfSmall(f: DataFrame, rows: Long): DataFrame =
       if (rows <= Limits.BroadcastRowLimit) broadcast(f) else f
-    val width = (mx - mn) / cells
-    val cell =
-      if (mx == mn) lit(0L)
-      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
-    val cen = census.withColumn("_c", cell)
-    // per-(group, cell) cohort totals -> exclusive offsets, group-
-    // partitioned (bounded windows: ≤ cells rows per group partition)
-    val perGc = cen.groupBy(col("_g"), col("_c"))
-      .agg(sum(col("_na")).as("_tca"), sum(col("_nb")).as("_tcb"))
-    val wOff = W.partitionBy(col("_g")).orderBy(col("_c"))
-      .rowsBetween(W.unboundedPreceding, -1)
-    val offs = perGc
-      .withColumn("_offa", coalesce(sum(col("_tca")).over(wOff), lit(0L)))
-      .withColumn("_offb", coalesce(sum(col("_tcb")).over(wOff), lit(0L)))
-    val groupTot = perGc.groupBy(col("_g"))
-      .agg(sum(col("_tca")).as("_ta"), sum(col("_tcb")).as("_tb"),
-        count(lit(1)).as("_ncells"))
-    val wIncl = W.partitionBy(col("_g"), col("_c")).orderBy(col("_v"))
-      .rowsBetween(W.unboundedPreceding, 0)
-    val ranked = cen
-      .join(bcIfSmall(offs.select(col("_g"), col("_c"), col("_offa"), col("_offb")),
-        nGroups * cells), Seq("_g", "_c"))
-      .withColumn("_ca", col("_offa") + sum(col("_na")).over(wIncl))
-      .withColumn("_cb", col("_offb") + sum(col("_nb")).over(wIncl))
-      .join(bcIfSmall(groupTot.select(col("_g"), col("_ta"), col("_tb")), nGroups),
-        Seq("_g"))
+    val ranked = if (bounds.getLong(3) <= directWindowRows) {
+      // direct path (census fits bounded group windows — see
+      // [[DefaultDirectWindowRows]]): per-group inclusive prefixes and
+      // group totals straight off the census, no cell/offset apparatus
+      val wd = W.partitionBy(col("_g")).orderBy(col("_v"))
+        .rowsBetween(W.unboundedPreceding, 0)
+      val groupTot = census.groupBy(col("_g"))
+        .agg(sum(col("_na")).as("_ta"), sum(col("_nb")).as("_tb"))
+      census
+        .withColumn("_ca", sum(col("_na")).over(wd))
+        .withColumn("_cb", sum(col("_nb")).over(wd))
+        .join(bcIfSmall(groupTot, nGroups), Seq("_g"))
+    } else {
+      val width = (mx - mn) / cells
+      val cell =
+        if (mx == mn) lit(0L)
+        else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+      val cen = census.withColumn("_c", cell)
+      // per-(group, cell) cohort totals -> exclusive offsets, group-
+      // partitioned (bounded windows: ≤ cells rows per group partition)
+      val perGc = cen.groupBy(col("_g"), col("_c"))
+        .agg(sum(col("_na")).as("_tca"), sum(col("_nb")).as("_tcb"))
+      val wOff = W.partitionBy(col("_g")).orderBy(col("_c"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val offs = perGc
+        .withColumn("_offa", coalesce(sum(col("_tca")).over(wOff), lit(0L)))
+        .withColumn("_offb", coalesce(sum(col("_tcb")).over(wOff), lit(0L)))
+      val groupTot = perGc.groupBy(col("_g"))
+        .agg(sum(col("_tca")).as("_ta"), sum(col("_tcb")).as("_tb"),
+          count(lit(1)).as("_ncells"))
+      val wIncl = W.partitionBy(col("_g"), col("_c")).orderBy(col("_v"))
+        .rowsBetween(W.unboundedPreceding, 0)
+      cen
+        .join(bcIfSmall(offs.select(col("_g"), col("_c"), col("_offa"), col("_offb")),
+          nGroups * cells), Seq("_g", "_c"))
+        .withColumn("_ca", col("_offa") + sum(col("_na")).over(wIncl))
+        .withColumn("_cb", col("_offb") + sum(col("_nb")).over(wIncl))
+        .join(bcIfSmall(groupTot.select(col("_g"), col("_ta"), col("_tb")), nGroups),
+          Seq("_g"))
+    }
     // the when-guard keeps both divisors live only when both cohorts
     // are non-empty (ANSI raises on double /0); empty-cohort groups
     // get NULL stats below

@@ -55,6 +55,34 @@ class StatTestsSpec extends AnyFunSuite {
     }
   }
 
+  test("KS direct-window path is bit-identical to the cell path (all four forms)") {
+    // the r21 cardinality-adaptive direct path must produce the same
+    // rows as the cell/offset machinery — force each path via
+    // directWindowRows (Long.MaxValue = always direct, 0 = always cell)
+    val rnd = new scala.util.Random(97)
+    val rows = (1 to 500).map { i =>
+      val g = s"s${i % 4}"
+      val a = i % 3 != 0
+      (g, math.rint((rnd.nextGaussian() + (if (a) 0.3 else 0.0)) * 8) / 8, a)
+    }
+    val df = rows.toDF("g", "v", "a")
+    def same(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame): Unit = {
+      assert(x.exceptAll(y).count() == 0 && y.exceptAll(x).count() == 0)
+      assert(x.count() == y.count())
+    }
+    same(StatTests.ksTwoSample(df, $"v", $"a", directWindowRows = Long.MaxValue),
+      StatTests.ksTwoSample(df, $"v", $"a", directWindowRows = 0L))
+    same(StatTests.ksTwoSampleBy(df, $"g", $"v", $"a", directWindowRows = Long.MaxValue),
+      StatTests.ksTwoSampleBy(df, $"g", $"v", $"a", directWindowRows = 0L))
+    same(StatTests.ksGroupVsRest(df, $"g", $"v", directWindowRows = Long.MaxValue),
+      StatTests.ksGroupVsRest(df, $"g", $"v", directWindowRows = 0L))
+    def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-03-${1 + i % 4}%02d 10:00:00")
+    val ts = rows.zipWithIndex.map { case ((_, v, _), i) => (t(i), v) }.toDF("ts", "v")
+    same(
+      StatTests.ksAdjacentPeriods(ts, $"ts", $"v", 86400L, directWindowRows = Long.MaxValue),
+      StatTests.ksAdjacentPeriods(ts, $"ts", $"v", 86400L, directWindowRows = 0L))
+  }
+
   test("cusum peak ties break to the earliest bucket (single-pass argmax pin)") {
     // masses 2,1,1,2 over buckets 0..3s: scaled deviations 2,0,-2,0 —
     // |.| ties at buckets 0 and 2; the flagged peak must be bucket 0
