@@ -201,8 +201,10 @@ object Evaluation {
     * case; otherwise (ranked, censusAll) with the caller owning the
     * census release (key it on the RETURNED plan, see [[aucFinish]]).
     */
-  private def rankedMass(
-      nn: DataFrame, cells: Int): Option[(DataFrame, DataFrame)] = {
+  private[graft] def rankedMass(
+      nn: DataFrame, cells: Int,
+      directWindowRows: Long = StatTests.DefaultDirectWindowRows)
+      : Option[(DataFrame, DataFrame)] = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     val W = org.apache.spark.sql.expressions.Window
     // score census FIRST: one raw scan, persisted at distinct-score
@@ -214,28 +216,38 @@ object Evaluation {
         sum(col("_nw")).as("_neg"))
       .persistCensus()
     val census = censusAll.filter(col("_v").isNotNull && !isnan(col("_v")))
-    val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx")).head()
+    val bounds = census.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
+      count(lit(1)).as("nd")).head()
     if (bounds.isNullAt(0)) {
       censusAll.unpersist(blocking = false)
       return None
     }
-    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
-    val width = (mx - mn) / cells
-    val cell =
-      if (mx == mn) lit(0L)
-      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
-    val cen = census.withColumn("_c", cell)
-    // per-cell negative totals -> broadcast offsets (config-sized rows)
-    val perCell = cen.groupBy(col("_c")).agg(sum(col("_neg")).as("_nc"))
-    val offs = perCell.withColumn("_off",
-      coalesce(sum(col("_nc")).over(
-        W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-    // within-cell prefix, cell-partitioned — parallel in `cells`
-    val wCell = W.partitionBy(col("_c")).orderBy(col("_v"))
-      .rowsBetween(W.unboundedPreceding, -1)
-    val ranked = cen.join(broadcast(offs.select(col("_c"), col("_off"))), Seq("_c"))
-      .withColumn("_cumNeg",
-        col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
+    val ranked = if (bounds.getLong(2) <= directWindowRows) {
+      // direct path (census fits one bounded window task — see
+      // StatTests.DefaultDirectWindowRows): the exclusive prefix in
+      // one window, no cell/offset apparatus, same exact Long sums
+      census.withColumn("_cumNeg",
+        coalesce(sum(col("_neg")).over(
+          W.orderBy(col("_v")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    } else {
+      val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+      val width = (mx - mn) / cells
+      val cell =
+        if (mx == mn) lit(0L)
+        else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+      val cen = census.withColumn("_c", cell)
+      // per-cell negative totals -> broadcast offsets (config-sized rows)
+      val perCell = cen.groupBy(col("_c")).agg(sum(col("_neg")).as("_nc"))
+      val offs = perCell.withColumn("_off",
+        coalesce(sum(col("_nc")).over(
+          W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      // within-cell prefix, cell-partitioned — parallel in `cells`
+      val wCell = W.partitionBy(col("_c")).orderBy(col("_v"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      cen.join(broadcast(offs.select(col("_c"), col("_off"))), Seq("_c"))
+        .withColumn("_cumNeg",
+          col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
+    }
     Some((ranked, censusAll))
   }
 
@@ -362,7 +374,8 @@ object Evaluation {
   def aucExactBy(
       df: DataFrame, group: Column, score: Column, label: Column,
       cells: Int = 4096,
-      broadcastRowLimit: Long = BroadcastRowLimit): DataFrame = {
+      broadcastRowLimit: Long = BroadcastRowLimit,
+      directWindowRows: Long = StatTests.DefaultDirectWindowRows): DataFrame = {
     // label/group filters run on raw rows (cheap columns); the score
     // null/NaN exclusion runs census-side so an expensive score
     // expression is evaluated exactly once per row — see [[aucExact]]
@@ -371,7 +384,7 @@ object Evaluation {
       .select(group.as("_g"), score.cast("double").as("_v"),
         when(label.cast("boolean"), 1L).otherwise(0L).as("_pw"),
         when(label.cast("boolean"), 0L).otherwise(1L).as("_nw"))
-    aucMassCoreBy(nn, cells, broadcastRowLimit)
+    aucMassCoreBy(nn, cells, broadcastRowLimit, directWindowRows)
   }
 
   /** Per-group weighted exact ROC AUC — [[aucExactWeighted]] keyed by
@@ -397,8 +410,9 @@ object Evaluation {
     * stage; shared by [[aucExactBy]] and [[aucExactWeightedBy]].
     */
   private def aucMassCoreBy(
-      nn: DataFrame, cells: Int, broadcastRowLimit: Long): DataFrame =
-    rankedMassBy(nn, cells, broadcastRowLimit) match {
+      nn: DataFrame, cells: Int, broadcastRowLimit: Long,
+      directWindowRows: Long = StatTests.DefaultDirectWindowRows): DataFrame =
+    rankedMassBy(nn, cells, broadcastRowLimit, directWindowRows) match {
       case None =>
         nn.limit(0).select(col("_g").as("group_key"),
           lit(0L).as("n_pos"), lit(0L).as("n_neg"),
@@ -413,9 +427,11 @@ object Evaluation {
     * Returns None when the census is empty (cache already released);
     * otherwise the caller owns the census release.
     */
-  private def rankedMassBy(
+  private[graft] def rankedMassBy(
       nn: DataFrame, cells: Int,
-      broadcastRowLimit: Long): Option[(DataFrame, DataFrame)] = {
+      broadcastRowLimit: Long,
+      directWindowRows: Long = StatTests.DefaultDirectWindowRows)
+      : Option[(DataFrame, DataFrame)] = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     val W = org.apache.spark.sql.expressions.Window
     val censusAll = nn.groupBy(col("_g"), col("_v"))
@@ -429,31 +445,42 @@ object Evaluation {
       censusAll.unpersist(blocking = false)
       return None
     }
-    // GLOBAL bounds are fine for the cells: the cell split only
-    // controls window parallelism; ranks come from (_g, _c, _v)
-    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
-    val width = (mx - mn) / cells
-    val cell =
-      if (mx == mn) lit(0L)
-      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
-    val cen = census.withColumn("_c", cell)
-    val perCell = cen.groupBy(col("_g"), col("_c")).agg(sum(col("_neg")).as("_nc"))
-    val offs = perCell.withColumn("_off",
-      coalesce(sum(col("_nc")).over(W.partitionBy(col("_g")).orderBy(col("_c"))
-        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-    // cardinality-adaptive: the offsets table is groups×cells rows —
-    // counting it rides the persisted census (cheap); above the limit
-    // the broadcast hint is dropped and the join shuffles instead of
-    // OOMing the driver on a million-group column
-    val offRows = perCell.count()
-    val wCell = W.partitionBy(col("_g"), col("_c")).orderBy(col("_v"))
-      .rowsBetween(W.unboundedPreceding, -1)
-    val ranked = cen
-      .join(broadcastIfSmall(offs.select(col("_g"), col("_c"), col("_off")),
-          offRows, broadcastRowLimit),
-        Seq("_g", "_c"))
-      .withColumn("_cumNeg",
-        col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
+    val ranked = if (bounds.getLong(2) <= directWindowRows) {
+      // direct path (census fits bounded group windows — see
+      // StatTests.DefaultDirectWindowRows): per-group exclusive prefix
+      // in one group-partitioned window — no cell/offset apparatus and
+      // no offset-cardinality count job; same exact Long sums
+      census.withColumn("_cumNeg",
+        coalesce(sum(col("_neg")).over(
+          W.partitionBy(col("_g")).orderBy(col("_v"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    } else {
+      // GLOBAL bounds are fine for the cells: the cell split only
+      // controls window parallelism; ranks come from (_g, _c, _v)
+      val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+      val width = (mx - mn) / cells
+      val cell =
+        if (mx == mn) lit(0L)
+        else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+      val cen = census.withColumn("_c", cell)
+      val perCell = cen.groupBy(col("_g"), col("_c")).agg(sum(col("_neg")).as("_nc"))
+      val offs = perCell.withColumn("_off",
+        coalesce(sum(col("_nc")).over(W.partitionBy(col("_g")).orderBy(col("_c"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      // cardinality-adaptive: the offsets table is groups×cells rows —
+      // counting it rides the persisted census (cheap); above the limit
+      // the broadcast hint is dropped and the join shuffles instead of
+      // OOMing the driver on a million-group column
+      val offRows = perCell.count()
+      val wCell = W.partitionBy(col("_g"), col("_c")).orderBy(col("_v"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      cen
+        .join(broadcastIfSmall(offs.select(col("_g"), col("_c"), col("_off")),
+            offRows, broadcastRowLimit),
+          Seq("_g", "_c"))
+        .withColumn("_cumNeg",
+          col("_off") + coalesce(sum(col("_neg")).over(wCell), lit(0L)))
+    }
     Some((ranked, censusAll))
   }
 
@@ -816,40 +843,55 @@ object Evaluation {
       censusAll.unpersist(blocking = false)
       return None
     }
-    // GLOBAL bounds are fine for the cells: the cell split only
-    // controls window parallelism; ranks come from (_g?, _c, _v)
-    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
-    val width = (mx - mn) / cells
-    val cell =
-      if (mx == mn) lit(0L)
-      else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
-    val cen = census.withColumn("_c", cell)
-    // per-cell totals -> DESCENDING offsets (mass strictly above the
-    // cell); groups×cells rows, cardinality-adaptive broadcast
-    val perCell = cen.groupBy(gcols :+ col("_c"): _*)
-      .agg(sum(col("_pos")).as("_pc"),
-        sum(col("_pos") + col("_neg")).as("_tc"))
-    val wOff = group match {
-      case Some(_) => W.partitionBy(col("_g")).orderBy(col("_c").desc)
-        .rowsBetween(W.unboundedPreceding, -1)
-      case None => W.orderBy(col("_c").desc)
-        .rowsBetween(W.unboundedPreceding, -1)
+    val ranked = if (bounds.getLong(2) <= StatTests.DefaultDirectWindowRows) {
+      // direct path (census fits bounded windows — see
+      // StatTests.DefaultDirectWindowRows): the inclusive DESCENDING
+      // cumulatives in one (group?-partitioned) window — no
+      // cell/offset apparatus, no offset-cardinality count job; same
+      // exact Long sums
+      val wd = (group match {
+        case Some(_) => W.partitionBy(col("_g")).orderBy(col("_v").desc)
+        case None    => W.orderBy(col("_v").desc)
+      }).rowsBetween(W.unboundedPreceding, W.currentRow)
+      census
+        .withColumn("_cumPos", sum(col("_pos")).over(wd))
+        .withColumn("_cumN", sum(col("_pos") + col("_neg")).over(wd))
+    } else {
+      // GLOBAL bounds are fine for the cells: the cell split only
+      // controls window parallelism; ranks come from (_g?, _c, _v)
+      val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+      val width = (mx - mn) / cells
+      val cell =
+        if (mx == mn) lit(0L)
+        else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+      val cen = census.withColumn("_c", cell)
+      // per-cell totals -> DESCENDING offsets (mass strictly above the
+      // cell); groups×cells rows, cardinality-adaptive broadcast
+      val perCell = cen.groupBy(gcols :+ col("_c"): _*)
+        .agg(sum(col("_pos")).as("_pc"),
+          sum(col("_pos") + col("_neg")).as("_tc"))
+      val wOff = group match {
+        case Some(_) => W.partitionBy(col("_g")).orderBy(col("_c").desc)
+          .rowsBetween(W.unboundedPreceding, -1)
+        case None => W.orderBy(col("_c").desc)
+          .rowsBetween(W.unboundedPreceding, -1)
+      }
+      val offs = perCell
+        .withColumn("_offPos", coalesce(sum(col("_pc")).over(wOff), lit(0L)))
+        .withColumn("_offTot", coalesce(sum(col("_tc")).over(wOff), lit(0L)))
+        .select(gcols ++ Seq(col("_c"), col("_offPos"), col("_offTot")): _*)
+      val offRows = group.map(_ => perCell.count()).getOrElse(cells.toLong)
+      // within-cell INCLUSIVE descending cumulative, (group?, cell)-
+      // partitioned — parallel in groups×cells
+      val wCell = W.partitionBy(gcols :+ col("_c"): _*).orderBy(col("_v").desc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val joinKeys = group.map(_ => Seq("_g", "_c")).getOrElse(Seq("_c"))
+      cen
+        .join(broadcastIfSmall(offs, offRows, broadcastRowLimit), joinKeys)
+        .withColumn("_cumPos", col("_offPos") + sum(col("_pos")).over(wCell))
+        .withColumn("_cumN",
+          col("_offTot") + sum(col("_pos") + col("_neg")).over(wCell))
     }
-    val offs = perCell
-      .withColumn("_offPos", coalesce(sum(col("_pc")).over(wOff), lit(0L)))
-      .withColumn("_offTot", coalesce(sum(col("_tc")).over(wOff), lit(0L)))
-      .select(gcols ++ Seq(col("_c"), col("_offPos"), col("_offTot")): _*)
-    val offRows = group.map(_ => perCell.count()).getOrElse(cells.toLong)
-    // within-cell INCLUSIVE descending cumulative, (group?, cell)-
-    // partitioned — parallel in groups×cells
-    val wCell = W.partitionBy(gcols :+ col("_c"): _*).orderBy(col("_v").desc)
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
-    val joinKeys = group.map(_ => Seq("_g", "_c")).getOrElse(Seq("_c"))
-    val ranked = cen
-      .join(broadcastIfSmall(offs, offRows, broadcastRowLimit), joinKeys)
-      .withColumn("_cumPos", col("_offPos") + sum(col("_pos")).over(wCell))
-      .withColumn("_cumN",
-        col("_offTot") + sum(col("_pos") + col("_neg")).over(wCell))
     Some((ranked, censusAll))
   }
 

@@ -947,23 +947,32 @@ object Profiling {
         count(lit(1)).as("k")).head()
       if (bounds.getLong(2) == 0L)
         return census.select(col("_v").as(outV), lit(0L).as(outR)).limit(0)
-      val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
-      val width = (mx - mn) / cells
-      val cell =
-        if (mx == mn) lit(0L)
-        else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
-      val cen = census.withColumn("_c", cell)
-      val perCell = cen.groupBy(col("_c")).agg(sum(col("_cnt")).as("_nc"))
-      val offs = perCell.withColumn("_off",
-        coalesce(sum(col("_nc")).over(
-          W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      val wCell = W.partitionBy(col("_c")).orderBy(col("_v"))
-        .rowsBetween(W.unboundedPreceding, -1)
-      cen.join(broadcast(offs.select(col("_c"), col("_off"))), Seq("_c"))
-        .withColumn("_cumBelow",
-          col("_off") + coalesce(sum(col("_cnt")).over(wCell), lit(0L)))
-        .select(col("_v").as(outV),
-          (lit(2L) * col("_cumBelow") + col("_cnt") + lit(1L)).as(outR))
+      val cum = if (bounds.getLong(2) <= StatTests.DefaultDirectWindowRows) {
+        // direct path (census fits one bounded window task): the
+        // exclusive prefix in one window — same exact Long sums, no
+        // cell/offset apparatus (see StatTests.DefaultDirectWindowRows)
+        census.withColumn("_cumBelow",
+          coalesce(sum(col("_cnt")).over(
+            W.orderBy(col("_v")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      } else {
+        val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+        val width = (mx - mn) / cells
+        val cell =
+          if (mx == mn) lit(0L)
+          else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+        val cen = census.withColumn("_c", cell)
+        val perCell = cen.groupBy(col("_c")).agg(sum(col("_cnt")).as("_nc"))
+        val offs = perCell.withColumn("_off",
+          coalesce(sum(col("_nc")).over(
+            W.orderBy(col("_c")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        val wCell = W.partitionBy(col("_c")).orderBy(col("_v"))
+          .rowsBetween(W.unboundedPreceding, -1)
+        cen.join(broadcast(offs.select(col("_c"), col("_off"))), Seq("_c"))
+          .withColumn("_cumBelow",
+            col("_off") + coalesce(sum(col("_cnt")).over(wCell), lit(0L)))
+      }
+      cum.select(col("_v").as(outV),
+        (lit(2L) * col("_cumBelow") + col("_cnt") + lit(1L)).as(outR))
     }
     val xr = midranks2("_x", "_xv", "_ax")
     val yr = midranks2("_y", "_yv", "_ay")
@@ -1034,23 +1043,32 @@ object Profiling {
         gOut: String, outV: String, outR: String): DataFrame = {
       val census = nn.groupBy(col("_g"), col(c).as("_v"))
         .agg(count(lit(1)).as("_cnt"))
-      val width = (mx - mn) / cells
-      val cell =
-        if (mx == mn) lit(0L)
-        else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
-      val cen = census.withColumn("_c", cell)
-      val perCell = cen.groupBy(col("_g"), col("_c")).agg(sum(col("_cnt")).as("_nc"))
-      val offs = perCell.withColumn("_off",
-        coalesce(sum(col("_nc")).over(W.partitionBy(col("_g")).orderBy(col("_c"))
-          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      val wCell = W.partitionBy(col("_g"), col("_c")).orderBy(col("_v"))
-        .rowsBetween(W.unboundedPreceding, -1)
-      cen.join(bcIfSmall(offs.select(col("_g"), col("_c"), col("_off")),
-          ng * cells), Seq("_g", "_c"))
-        .withColumn("_cumBelow",
-          col("_off") + coalesce(sum(col("_cnt")).over(wCell), lit(0L)))
-        .select(col("_g").as(gOut), col("_v").as(outV),
-          (lit(2L) * col("_cumBelow") + col("_cnt") + lit(1L)).as(outR))
+      // the row count k (≥ census rows) rode the stats job: the direct
+      // gate costs no extra probe (StatTests.DefaultDirectWindowRows)
+      val cum = if (stats.getLong(4) <= StatTests.DefaultDirectWindowRows) {
+        census.withColumn("_cumBelow",
+          coalesce(sum(col("_cnt")).over(
+            W.partitionBy(col("_g")).orderBy(col("_v"))
+              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      } else {
+        val width = (mx - mn) / cells
+        val cell =
+          if (mx == mn) lit(0L)
+          else least(lit(cells - 1L), floor((col("_v") - lit(mn)) / lit(width)))
+        val cen = census.withColumn("_c", cell)
+        val perCell = cen.groupBy(col("_g"), col("_c")).agg(sum(col("_cnt")).as("_nc"))
+        val offs = perCell.withColumn("_off",
+          coalesce(sum(col("_nc")).over(W.partitionBy(col("_g")).orderBy(col("_c"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        val wCell = W.partitionBy(col("_g"), col("_c")).orderBy(col("_v"))
+          .rowsBetween(W.unboundedPreceding, -1)
+        cen.join(bcIfSmall(offs.select(col("_g"), col("_c"), col("_off")),
+            ng * cells), Seq("_g", "_c"))
+          .withColumn("_cumBelow",
+            col("_off") + coalesce(sum(col("_cnt")).over(wCell), lit(0L)))
+      }
+      cum.select(col("_g").as(gOut), col("_v").as(outV),
+        (lit(2L) * col("_cumBelow") + col("_cnt") + lit(1L)).as(outR))
     }
     val xr = midranks2By("_x", stats.getDouble(0), stats.getDouble(1),
       "_gx", "_xv", "_ax")

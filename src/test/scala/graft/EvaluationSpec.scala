@@ -24,6 +24,31 @@ class EvaluationSpec extends AnyFunSuite {
     assert(r.getAs[Double]("auc") == 7.5 / 9.0)
   }
 
+  test("rankedMass direct-window path is bit-identical to the cell path (solo and grouped)") {
+    // the r21 cardinality-adaptive direct prefix must produce the same
+    // (_v, _cumNeg) rows as the cell/offset machinery — force each
+    // path via directWindowRows (Long.MaxValue = direct, 0 = cell)
+    val rnd = new scala.util.Random(53)
+    val nn = (1 to 400).map { i =>
+      val pos = i % 3 == 0
+      (s"g${i % 4}", math.rint(rnd.nextGaussian() * 16) / 16,
+        if (pos) 1L else 0L, if (pos) 0L else 1L)
+    }.toDF("_g", "_v", "_pw", "_nw")
+    def rows(direct: Long, grouped: Boolean) = {
+      val ranked =
+        (if (grouped) Evaluation.rankedMassBy(nn, 4096, 1L << 22, direct)
+         else Evaluation.rankedMass(nn.drop("_g"), 4096, direct)).get._1
+      val cols = if (grouped) Seq("_g", "_v", "_cumNeg") else Seq("_v", "_cumNeg")
+      ranked.select(cols.map(col): _*)
+    }
+    for (grouped <- Seq(false, true)) {
+      val d = rows(Long.MaxValue, grouped)
+      val c = rows(0L, grouped)
+      assert(d.exceptAll(c).count() == 0 && c.exceptAll(d).count() == 0)
+      assert(d.count() == c.count())
+    }
+  }
+
   test("aucExact: perfect separation gives 1.0, inverted gives 0.0, identical scores 0.5") {
     def auc(rows: Seq[(Double, Boolean)]): Double =
       Evaluation.aucExact(rows.toDF("s", "y"), $"s", $"y")
@@ -104,10 +129,14 @@ class EvaluationSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val hinted = Evaluation.aucExactBy(docs, $"source", $"s", $"y", cells = 8)
+      // directWindowRows = 0 forces the CELL path (the offsets join
+      // under test only exists there; the small-census direct path has
+      // no offsets join at all)
+      val hinted = Evaluation.aucExactBy(docs, $"source", $"s", $"y", cells = 8,
+        directWindowRows = 0L)
       // limit 0 simulates a group column too wide to broadcast
       val adaptive = Evaluation.aucExactBy(docs, $"source", $"s", $"y",
-        cells = 8, broadcastRowLimit = 0L)
+        cells = 8, broadcastRowLimit = 0L, directWindowRows = 0L)
       val pPlan = hinted.queryExecution.executedPlan.toString
       val aPlan = adaptive.queryExecution.executedPlan.toString
       assert(pPlan.contains("BroadcastHashJoin"),

@@ -523,14 +523,16 @@ class PlanShapeSpec extends AnyFunSuite {
     val lp = df119.queryExecution.optimizedPlan
     val rawScans = lp.collect { case l: LogicalRelation => l }.length
     val cached = lp.collect { case c: InMemoryRelation => c }.length
-    assert(rawScans == 0 && cached == 2,
-      s"both prefix-sum branches must read the cached census " +
+    // r21 direct-window path: ONE cached-census read feeds the single
+    // bounded prefix window (the cell/offset branch — two cached reads,
+    // a _c-partitioned window — only appears past DefaultDirectWindowRows)
+    assert(rawScans == 0 && cached == 1,
+      s"the prefix branch must read the cached census " +
         s"($rawScans raw scans outside the cache, $cached cached):\n$p")
-    assert("InMemoryTableScan".r.findAllIn(p).length == 2,
-      s"expected exactly two cached-census reads:\n$p")
-    // the data-scale cumulative window runs inside cells, never one task
-    assert(p.contains("Window") && p.contains("windowspecdefinition(_c#"),
-      s"cumulative negatives must be a cell-partitioned window:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).length == 1,
+      s"expected exactly one cached-census read:\n$p")
+    assert(p.contains("Window") && p.contains("windowspecdefinition(_v#"),
+      s"cumulative negatives must be a bounded census-window:\n$p")
     assert(p.contains("partial_sum"), "census folds map-side")
   }
 
